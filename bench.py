@@ -1,0 +1,64 @@
+"""Benchmark harness: headline queries at $SPARK_GRAFT_SF_DIR (default
+sf0.1) on local[$SPARK_GRAFT_CPUS]. Prints ONE JSON line:
+{"metric": ..., "value": total_sec, "unit": "sec", "queries": {...}, "sf": ...}
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+
+from parkour_spark.queries import QUERIES  # noqa: E402
+from parkour_spark.session import build_session  # noqa: E402
+
+SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+
+# Headline set: one per operator family, chosen to exercise scan+agg,
+# shuffle join, broadcast join, window, dedup (LSH), similarity, text.
+HEADLINE = [
+    "q1_pricing_summary",
+    "customer_order_stats",
+    "region_customer_counts",
+    "word_count",
+    "top3_orders_per_customer",
+    "matrixify",
+    "events_hourly",
+    "user_sessions",
+    "dedup_exact",
+    "dedup_minhash_lsh",
+    "knn_cosine",
+    "quality_scores",
+]
+
+
+def main() -> None:
+    spark = build_session("parkour_spark_bench")
+    # warm the JVM + parquet footers with a trivial action
+    spark.range(1).count()
+    times: dict[str, float] = {}
+    for name in HEADLINE:
+        t0 = time.perf_counter()
+        df = QUERIES[name](spark, SF_DIR)
+        n = df.count()
+        times[name] = round(time.perf_counter() - t0, 3)
+        print(f"# {name}: {times[name]}s ({n} rows)", file=sys.stderr)
+    sf = SF_DIR.rstrip("/").split("sf")[-1]
+    print(
+        json.dumps(
+            {
+                "metric": "headline_queries_total",
+                "value": round(sum(times.values()), 3),
+                "unit": "sec",
+                "queries": times,
+                "sf": float(sf),
+            }
+        )
+    )
+
+
+if __name__ == "__main__":
+    main()

@@ -1,0 +1,109 @@
+"""Unified read/write dataset handle — the dseq/dsink analog.
+
+The reference unifies input datasets ("dseqs": a job-config step + a
+locally reducible collection, /root/reference/src/clojure/parkour/io/
+dseq.clj:39-67) and output datasets ("dsinks": a config step + the dseq
+that re-reads what was written, io/dsink.clj:14-44). In Spark the natural
+unit is a `DataFrame` (lazy lineage) plus a *descriptor* that knows how to
+write and then re-read a materialized location.
+
+`Dataset` is that descriptor. It is intentionally thin: all query logic
+stays in DataFrame lineage (so Catalyst can optimize end-to-end) and
+`Dataset` only marks the materialization boundaries the reference made
+explicit as separate MapReduce jobs.
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass, field
+from typing import Any, Callable, Iterator
+
+from pyspark.sql import DataFrame, SparkSession
+
+
+@dataclass
+class Dataset:
+    """A named, optionally path-backed dataset.
+
+    - `read()` → DataFrame (the dseq role).
+    - `write(df)` → materialize and return a new path-backed Dataset whose
+      `read()` re-reads what was written (the dsink → dseq round-trip,
+      reference io/dsink.clj:14-44).
+    - Local reduction (reference `(into [] dseq)`, io/dseq.clj:51-63) is
+      `collect()` / `to_local_iterator()`.
+    """
+
+    spark: SparkSession
+    path: str | None = None
+    fmt: str = "parquet"
+    options: dict[str, str] = field(default_factory=dict)
+    _df: DataFrame | None = None
+
+    # -- dseq role ---------------------------------------------------------
+    def read(self) -> DataFrame:
+        if self._df is not None:
+            return self._df
+        if self.path is None:
+            raise ValueError("Dataset has neither an in-memory DataFrame nor a path")
+        reader = self.spark.read.format(self.fmt)
+        for k, v in self.options.items():
+            reader = reader.option(k, v)
+        return reader.load(self.path)
+
+    df = read  # alias
+
+    def collect(self) -> list:
+        return self.read().collect()
+
+    def to_local_iterator(self) -> Iterator:
+        return self.read().toLocalIterator()
+
+    def input_files(self) -> list[str]:
+        """Path introspection (reference `input-paths`, io/dseq.clj:78-92)."""
+        return self.read().inputFiles()
+
+    # -- dsink role --------------------------------------------------------
+    def write(self, df: DataFrame, mode: str = "overwrite", partition_by: list[str] | None = None) -> "Dataset":
+        if self.path is None:
+            raise ValueError("write() requires a path-backed Dataset")
+        writer = df.write.format(self.fmt).mode(mode)
+        for k, v in self.options.items():
+            writer = writer.option(k, v)
+        if partition_by:
+            writer = writer.partitionBy(*partition_by)
+        writer.save(self.path)
+        return Dataset(self.spark, path=self.path, fmt=self.fmt, options=dict(self.options))
+
+    # -- constructors ------------------------------------------------------
+    @staticmethod
+    def from_df(df: DataFrame) -> "Dataset":
+        return Dataset(df.sparkSession, _df=df)
+
+    @staticmethod
+    def from_collection(spark: SparkSession, rows: list, schema: Any = None) -> "Dataset":
+        """In-memory input (reference `mem/dseq`, io/mem.clj:39-53)."""
+        return Dataset.from_df(spark.createDataFrame(rows, schema=schema))
+
+
+def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    """Read one of the driver's synthetic parquet tables.
+
+    `events` is written with nanosecond timestamps, which Spark's parquet
+    reader rejects; read nanos as long and truncate to a microsecond
+    timestamp (identical to DuckDB/Arrow ns→us truncation)."""
+    if name == "events":
+        from pyspark.sql import functions as F
+
+        spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+        df = spark.read.parquet(f"{sf_dir}/{name}.parquet")
+        if dict(df.dtypes).get("ts") == "bigint":
+            df = df.withColumn("ts", F.timestamp_micros(F.floor(F.col("ts") / 1000).cast("long")))
+        return df
+    return spark.read.parquet(f"{sf_dir}/{name}.parquet")
+
+
+def load_tables(spark: SparkSession, sf_dir: str, *names: str) -> tuple[DataFrame, ...]:
+    return tuple(load_table(spark, sf_dir, n) for n in names)
+
+
+TableLoader = Callable[[SparkSession, str, str], DataFrame]

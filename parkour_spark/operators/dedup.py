@@ -1,0 +1,306 @@
+"""Deduplication operators: exact, MinHash+LSH, n-gram Jaccard, SimHash,
+embedding-cosine near-dup.
+
+Beyond-reference surface (SURVEY §7.6) — the training-data-pipeline
+dedup family, built Spark-first:
+
+- Everything is Column expressions + joins; no Python in the hot path.
+- Hashing uses md5 (bit-identical in Spark SQL and DuckDB/ANSI SQL), so
+  each operator has an exact cross-engine oracle. A lexicographic min
+  over per-token md5 hex digests is a valid MinHash permutation proxy:
+  md5(seed:token) is a uniform pseudo-permutation of the token universe
+  per seed.
+
+SCALE (100 TB):
+- exact dedup: one hash-shuffle on the fingerprint (partial agg first).
+- MinHash LSH: signatures are computed scan-side (no shuffle); the only
+  shuffle is the band-bucket self-join, whose fan-out is bounded by
+  bucket sizes — the knobs (num_hashes, bands) trade recall vs join
+  fan-out. Candidate verification joins back only candidate doc_ids.
+- never a full cartesian: candidate generation is always via equi-join
+  on band keys (LSH) or token inverted index (Jaccard).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, functions as F
+
+from parkour_spark.functions.text import fingerprint, shingles, tokens
+from parkour_spark.functions.vector import cosine
+
+
+def _features(text_col: str, ngram_n: int) -> F.Column:
+    """Distinct dedup features for a document: token set (n=1) or word
+    n-gram shingle set (n≥2). Shingles keep word order, giving a much
+    larger feature universe — the scale-correct choice: near-identical
+    *sequences* collide, mere vocabulary overlap does not."""
+    if ngram_n <= 1:
+        return F.array_distinct(tokens(F.lower(F.col(text_col))))
+    return F.array_distinct(shingles(F.col(text_col), ngram_n))
+
+
+def _parallelize_scan(df: DataFrame) -> DataFrame:
+    """Spread compute-heavy per-row work across all cores.
+
+    Small inputs (one parquet file / one row group) arrive as a single
+    partition; expensive scan-side expressions (md5 signatures over
+    shingle arrays) would then run on one core. At 100 TB inputs arrive
+    pre-split, so this is a no-op (only repartitions when below the
+    session's default parallelism)."""
+    target = df.sparkSession.sparkContext.defaultParallelism
+    if df.rdd.getNumPartitions() < target:
+        return df.repartition(target)
+    return df
+
+# ---------------------------------------------------------------------------
+# Exact dedup
+# ---------------------------------------------------------------------------
+
+
+def exact_dedup(df: DataFrame, text_col: str = "text", id_col: str = "doc_id") -> DataFrame:
+    """Keep the lowest id per exact (normalized) text fingerprint.
+    One shuffle on the 128-bit fingerprint; map-side partial min."""
+    return (
+        df.select(fingerprint(text_col).alias("fp"), F.col(id_col))
+        .groupBy("fp")
+        .agg(F.min(id_col).alias("keep_id"), F.count("*").alias("n_dups"))
+    )
+
+
+# ---------------------------------------------------------------------------
+# MinHash + LSH
+# ---------------------------------------------------------------------------
+
+
+def minhash_signature(
+    df: DataFrame, text_col: str = "text", id_col: str = "doc_id", num_hashes: int = 12,
+    ngram_n: int = 3,
+) -> DataFrame:
+    """(id, sig_0..sig_{k-1}) — sig_i = min over shingles of
+    md5('<i>:' || shingle). Computed entirely scan-side (no shuffle).
+
+    The feature array is staged in its own projection so the (expensive)
+    shingle construction is evaluated once per row, not once per
+    signature column — Catalyst keeps the stage because it refuses to
+    collapse projects that would duplicate non-cheap expressions."""
+    staged = _parallelize_scan(
+        df.select(F.col(id_col), _features(text_col, ngram_n).alias("__feats"))
+    )
+
+    # NB: closure factory, not default-arg lambdas — PySpark's higher-order
+    # wrappers pass the element *index* to any extra lambda parameter.
+    def hasher(i: int):
+        return lambda t: F.md5(F.concat(F.lit(f"{i}:"), t))
+
+    cols = [F.col(id_col)]
+    for i in range(num_hashes):
+        cols.append(
+            F.array_min(F.transform("__feats", hasher(i))).alias(f"sig_{i}")
+        )
+    return staged.select(*cols)
+
+
+def lsh_bands(sig_df: DataFrame, id_col: str = "doc_id", num_hashes: int = 12, bands: int = 4) -> DataFrame:
+    """Banding: concat rows-per-band signature slices into one band key,
+    explode to (id, band_idx, band_key)."""
+    rows_per_band = num_hashes // bands
+    band_cols = []
+    for b in range(bands):
+        parts = [F.col(f"sig_{b * rows_per_band + r}") for r in range(rows_per_band)]
+        band_cols.append(F.concat_ws("|", F.lit(str(b)), *parts))
+    return sig_df.select(
+        F.col(id_col),
+        F.explode(F.array(*band_cols)).alias("band_key"),
+    )
+
+
+def minhash_candidates(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    num_hashes: int = 12,
+    bands: int = 4,
+    ngram_n: int = 3,
+) -> DataFrame:
+    """Candidate near-dup pairs (a < b) sharing ≥1 LSH band bucket.
+    The self-join is an equi-join on band_key — shuffle-bounded, never
+    cartesian."""
+    b = lsh_bands(
+        minhash_signature(df, text_col, id_col, num_hashes, ngram_n), id_col, num_hashes, bands
+    )
+    # The self-join would otherwise evaluate the signature lineage twice;
+    # the bands table is tiny relative to the corpus (id + band key), so
+    # cache it. At cluster scale this would be a checkpoint/bucketed write.
+    b = b.persist()
+    left = b.alias("l")
+    right = b.alias("r")
+    return (
+        left.join(right, on="band_key")
+        .where(F.col(f"l.{id_col}") < F.col(f"r.{id_col}"))
+        .select(F.col(f"l.{id_col}").alias("id_a"), F.col(f"r.{id_col}").alias("id_b"))
+        .distinct()
+    )
+
+
+def _feature_sets(df: DataFrame, text_col: str, id_col: str, ngram_n: int = 3) -> DataFrame:
+    return _parallelize_scan(
+        df.select(F.col(id_col), _features(text_col, ngram_n).alias("toks"))
+    )
+
+
+def jaccard_verify(
+    candidates: DataFrame, df: DataFrame, text_col: str = "text", id_col: str = "doc_id",
+    threshold: float = 0.5, ngram_n: int = 3,
+) -> DataFrame:
+    """Exact feature-set Jaccard on candidate pairs only (joins back the
+    feature sets; cost ∝ |candidates|, not |df|²)."""
+    ts = _feature_sets(df, text_col, id_col, ngram_n)
+    a = ts.select(F.col(id_col).alias("id_a"), F.col("toks").alias("toks_a"))
+    bb = ts.select(F.col(id_col).alias("id_b"), F.col("toks").alias("toks_b"))
+    jac = F.size(F.array_intersect("toks_a", "toks_b")) / F.size(
+        F.array_union("toks_a", "toks_b")
+    )
+    return (
+        candidates.join(a, "id_a")
+        .join(bb, "id_b")
+        .select("id_a", "id_b", F.round(jac, 4).alias("jaccard"))
+        .where(F.col("jaccard") >= threshold)
+    )
+
+
+def minhash_dedup_pairs(
+    df: DataFrame, text_col: str = "text", id_col: str = "doc_id",
+    num_hashes: int = 12, bands: int = 4, threshold: float = 0.8, ngram_n: int = 3,
+) -> DataFrame:
+    """Full MinHash-LSH near-dup pipeline: LSH candidates → exact Jaccard
+    verification → pairs over threshold."""
+    cand = minhash_candidates(df, text_col, id_col, num_hashes, bands, ngram_n)
+    return jaccard_verify(cand, df, text_col, id_col, threshold, ngram_n)
+
+
+# ---------------------------------------------------------------------------
+# N-gram Jaccard via token inverted index (no LSH, exact, still no cartesian)
+# ---------------------------------------------------------------------------
+
+
+def ngram_jaccard_pairs(
+    df: DataFrame, text_col: str = "text", id_col: str = "doc_id", threshold: float = 0.8,
+    ngram_n: int = 3,
+) -> DataFrame:
+    """Exact all-pairs shingle-set Jaccard ≥ threshold, computed by
+    inverted index: explode shingles → self-join on shingle → count shared
+    per pair → |A∩B| / (|A|+|B|-|A∩B|).
+
+    SCALE: the join's fan-out is Σ_s df_s² over shingle doc-frequencies;
+    n≥2 shingles keep df_s small. For n=1 (plain tokens), stop-wordy
+    tokens dominate — cap document frequency before the join."""
+    ts = _feature_sets(df, text_col, id_col, ngram_n).withColumn("n_toks", F.size("toks"))
+    exploded = ts.select(F.col(id_col), F.col("n_toks"), F.explode("toks").alias("tok"))
+    a = exploded.select(
+        F.col(id_col).alias("id_a"), F.col("n_toks").alias("n_a"), "tok"
+    )
+    b = exploded.select(
+        F.col(id_col).alias("id_b"), F.col("n_toks").alias("n_b"), "tok"
+    )
+    shared = (
+        a.join(b, "tok")
+        .where(F.col("id_a") < F.col("id_b"))
+        .groupBy("id_a", "id_b", "n_a", "n_b")
+        .agg(F.count("*").alias("n_shared"))
+    )
+    jac = F.col("n_shared") / (F.col("n_a") + F.col("n_b") - F.col("n_shared"))
+    return shared.select(
+        "id_a", "id_b", F.round(jac, 4).alias("jaccard")
+    ).where(F.col("jaccard") >= threshold)
+
+
+# ---------------------------------------------------------------------------
+# SimHash
+# ---------------------------------------------------------------------------
+
+
+def simhash(
+    df: DataFrame, text_col: str = "text", id_col: str = "doc_id", bits: int = 16,
+    ngram_n: int = 3,
+) -> DataFrame:
+    """Per-doc SimHash over feature md5s (first `bits` bits of each
+    feature's md5). bit_b(doc) = majority over features of
+    bit_b(md5(feature)); signature = Σ_b bit_b · 2^b. Features default to
+    3-gram shingles (order-sensitive; bag-of-token SimHash cannot
+    separate docs that share vocabulary).
+
+    Column-expression only, staged (feature hashes computed once per
+    row), JVM-side, no shuffle."""
+    nhex = bits // 4
+    staged = _parallelize_scan(
+        df.select(F.col(id_col), _features(text_col, ngram_n).alias("__toks"))
+    )
+    tok_hash = F.transform(
+        "__toks", lambda t: F.conv(F.substring(F.md5(t), 1, nhex), 16, 10).cast("long")
+    )
+    staged = staged.select(F.col(id_col), tok_hash.alias("__th"))
+    def voter(b: int):
+        return lambda acc, h: acc + F.when(h.bitwiseAND(F.lit(1 << b)) != 0, 1).otherwise(-1)
+
+    sig = F.lit(0).cast("long")
+    for b in range(bits):
+        vote = F.aggregate(F.col("__th"), F.lit(0), voter(b))
+        sig = sig + F.when(vote > 0, F.lit(1 << b)).otherwise(F.lit(0)).cast("long")
+    return staged.select(F.col(id_col), sig.alias("simhash"))
+
+
+def simhash_pairs(
+    df: DataFrame, text_col: str = "text", id_col: str = "doc_id",
+    bits: int = 16, max_hamming: int = 3, ngram_n: int = 3,
+) -> DataFrame:
+    """Near-dup pairs by SimHash Hamming distance. Candidate generation
+    blocks on signature halves (pigeonhole: distance ≤ max_hamming with 2
+    blocks → at least one identical half when max_hamming ≤ 1 per block
+    ... for larger budgets more blocks are needed; we use 4 blocks of
+    bits/4). Exact Hamming check via bit_count(xor)."""
+    sig = simhash(df, text_col, id_col, bits, ngram_n)
+    nblocks = 4
+    block_bits = bits // nblocks
+    mask = (1 << block_bits) - 1
+    blocks = F.array(
+        *[
+            F.concat_ws(
+                ":",
+                F.lit(str(i)),
+                F.floor(F.col("simhash") / (1 << (i * block_bits))).cast("long").bitwiseAND(F.lit(mask)),
+            )
+            for i in range(nblocks)
+        ]
+    )
+    bl = sig.select(id_col, "simhash", F.explode(blocks).alias("block_key")).persist()
+    a = bl.select(F.col(id_col).alias("id_a"), F.col("simhash").alias("sig_a"), "block_key")
+    b = bl.select(F.col(id_col).alias("id_b"), F.col("simhash").alias("sig_b"), "block_key")
+    ham = F.bit_count(F.col("sig_a").bitwiseXOR(F.col("sig_b")))
+    return (
+        a.join(b, "block_key")
+        .where(F.col("id_a") < F.col("id_b"))
+        .select("id_a", "id_b", ham.alias("hamming"))
+        .where(F.col("hamming") <= max_hamming)
+        .distinct()
+    )
+
+
+# ---------------------------------------------------------------------------
+# Embedding-cosine near-dup
+# ---------------------------------------------------------------------------
+
+
+def embedding_neardup_pairs(
+    df: DataFrame, vec_col: str = "embedding", id_col: str = "vec_id", threshold: float = 0.95,
+    block_join: DataFrame | None = None,
+) -> DataFrame:
+    """Pairs with cosine ≥ threshold. Default (oracle-checkable) path is
+    the exact self-join; at scale pass `block_join` = LSH/IVF bucket
+    assignments (see operators.similarity) to bound the join."""
+    a = df.select(F.col(id_col).alias("id_a"), F.col(vec_col).alias("vec_a"))
+    b = df.select(F.col(id_col).alias("id_b"), F.col(vec_col).alias("vec_b"))
+    pairs = a.join(b, F.col("id_a") < F.col("id_b"))
+    cos = cosine("vec_a", "vec_b")
+    return pairs.select("id_a", "id_b", F.round(cos, 4).alias("cos")).where(
+        F.col("cos") >= threshold
+    )

@@ -1,0 +1,98 @@
+"""Join operators — equi, broadcast, semi/anti, co-group, secondary sort.
+
+The reference has no native join; it documents patterns (SURVEY §2.7):
+- reduce-side secondary-sort equi-join (test/parkour/join_test.clj:19-76)
+- job-graph co-group join (test/parkour/graph_test.clj:98-126)
+- map-side broadcast join via dvals (doc/dvals.md:10-14)
+
+Spark-first: `df.join` lets Catalyst choose broadcast-hash / shuffled-hash
+/ sort-merge; we only *hint* where we know the cardinality (dimension
+tables → broadcast). Co-group keeps the reference's arbitrary-function
+power via `cogroup().applyInPandas`.
+
+SCALE: equi-joins shuffle both sides on the key unless one side is
+broadcast. `broadcast_join` must only be used when the small side fits in
+executor memory (~10s of MB serialized); AQE converts sort-merge to
+broadcast at runtime when a side turns out small. Skewed keys are split
+by AQE skew-join (enabled in session defaults).
+"""
+
+from __future__ import annotations
+
+from typing import Callable, Sequence
+
+from pyspark.sql import DataFrame, functions as F
+
+
+def equi_join(
+    left: DataFrame, right: DataFrame, on, how: str = "inner"
+) -> DataFrame:
+    """Reduce-side equi-join analog (join_test.clj:19-76). `how` extends
+    the reference's inner-only pattern with Spark's full set:
+    inner/left/right/outer/left_semi/left_anti/cross."""
+    return left.join(right, on=on, how=how)
+
+
+def broadcast_join(big: DataFrame, small: DataFrame, on, how: str = "inner") -> DataFrame:
+    """Map-side join via broadcast (dval pattern, doc/dvals.md:10-14):
+    the small side ships to every task, no shuffle of the big side."""
+    return big.join(F.broadcast(small), on=on, how=how)
+
+
+def semi_join(left: DataFrame, right: DataFrame, on) -> DataFrame:
+    """EXISTS — rows of `left` with a match in `right`."""
+    return left.join(right, on=on, how="left_semi")
+
+
+def anti_join(left: DataFrame, right: DataFrame, on) -> DataFrame:
+    """NOT EXISTS — rows of `left` without a match in `right`."""
+    return left.join(right, on=on, how="left_anti")
+
+
+def cogroup_apply(
+    left: DataFrame,
+    right: DataFrame,
+    keys: Sequence[str],
+    fn: Callable,
+    schema,
+) -> DataFrame:
+    """Co-group with an arbitrary per-key function — the general form of
+    the reference's mux co-group reducer (graph_test.clj:98-126): both
+    sides shuffled on `keys`, the function sees (left_pdf, right_pdf) per
+    key as pandas DataFrames.
+
+    SCALE: both groups for one key must fit in memory; for pure equi-join
+    semantics prefer `equi_join` (streaming sort-merge)."""
+    return (
+        left.groupBy(*keys)
+        .cogroup(right.groupBy(*keys))
+        .applyInPandas(fn, schema=schema)
+    )
+
+
+def secondary_sort_collect(
+    df: DataFrame, group_key: str, sort_key: str, payload: str
+) -> DataFrame:
+    """Secondary sort, materialized form: per group, the payloads ordered
+    by `sort_key` (reference grouping-schema `:order \"ignore\"` trick,
+    join_test.clj:63-66 / io/avro.clj:95-99).
+
+    Implemented as sort_array(collect_list(struct(sort, payload))) — one
+    shuffle, partial-aggregated. For unbounded groups use
+    `secondary_sorted_partitions`."""
+    return df.groupBy(group_key).agg(
+        F.transform(
+            F.sort_array(F.collect_list(F.struct(sort_key, payload))),
+            lambda s: s[payload],
+        ).alias("sorted_payloads")
+    )
+
+
+def secondary_sorted_partitions(df: DataFrame, group_key: str, *sort_keys: str) -> DataFrame:
+    """Secondary sort, streaming form: partition by group key, sort rows
+    within partitions by (group, sort...) — the exact physical shape of
+    the reference's shuffle (partition by subset, sort by full key,
+    doc/serialization.md:49-53). Downstream mapInPandas/mapPartitions
+    consumers see each group's rows contiguous and ordered without
+    materializing the group."""
+    return df.repartition(group_key).sortWithinPartitions(group_key, *sort_keys)

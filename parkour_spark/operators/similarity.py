@@ -1,0 +1,90 @@
+"""Similarity search over embedding columns: brute-force top-k cosine and
+an LSH-bucketed approximate variant.
+
+Beyond-reference surface (SURVEY §7.6). Spark-first design:
+
+- Brute force: queries (small) are broadcast-joined against the corpus;
+  cosine is a pure Column expression (functions.vector) — JVM-side,
+  codegen'd; top-k per query via ranked window. At 100 TB this is one
+  scan of the corpus, no corpus shuffle: the window partitions by
+  query_id, whose cardinality = |queries|, and only (query, candidate,
+  score) tuples shuffle.
+- LSH path: random-hyperplane signatures bucket the corpus once
+  (scan-side compute, written bucketed); queries probe matching buckets
+  via equi-join on the signature — the corpus scan is replaced by a
+  bucket-pruned join. Recall is tunable by n_planes / n_probes.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, Window, functions as F
+
+from parkour_spark.functions.vector import cosine, dot
+
+
+def brute_force_topk(
+    corpus: DataFrame,
+    queries: DataFrame,
+    k: int = 10,
+    corpus_id: str = "vec_id",
+    corpus_vec: str = "embedding",
+    query_id: str = "query_id",
+    query_vec: str = "query_vec",
+) -> DataFrame:
+    """Exact top-k cosine neighbors per query. Result: (query_id, vec_id,
+    rank, cos). Broadcast the (small) query set; never shuffles the
+    corpus."""
+    q = queries.select(F.col(query_id), F.col(query_vec))
+    joined = corpus.crossJoin(F.broadcast(q))
+    scored = joined.select(
+        F.col(query_id),
+        F.col(corpus_id),
+        F.round(cosine(corpus_vec, query_vec), 4).alias("cos"),
+    )
+    w = Window.partitionBy(query_id).orderBy(F.col("cos").desc(), F.col(corpus_id))
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .where(F.col("rank") <= k)
+    )
+
+
+def hyperplane_signature(
+    df: DataFrame, planes: list[list[float]], vec_col: str = "embedding", out_col: str = "bucket"
+) -> DataFrame:
+    """Random-hyperplane LSH signature: bit_i = sign(v · plane_i), packed
+    into a long. Planes are driver-provided constants (seeded NumPy),
+    inlined as array literals — scan-side compute, no shuffle."""
+    sig = F.lit(0).cast("long")
+    for p in planes:
+        plane = F.array(*[F.lit(float(x)) for x in p])
+        bit = F.when(dot(vec_col, plane) >= 0, F.lit(1)).otherwise(F.lit(0)).cast("long")
+        sig = sig * 2 + bit
+    return df.withColumn(out_col, sig)
+
+
+def lsh_topk(
+    corpus: DataFrame,
+    queries: DataFrame,
+    planes: list[list[float]],
+    k: int = 10,
+    corpus_id: str = "vec_id",
+    corpus_vec: str = "embedding",
+    query_id: str = "query_id",
+    query_vec: str = "query_vec",
+) -> DataFrame:
+    """Approximate top-k: both sides signed with the same hyperplanes,
+    candidates = same bucket, then exact cosine re-rank within bucket.
+    SCALE: corpus bucketed once (reusable across query batches); the join
+    is equi on bucket — bucket-pruned instead of full-scan."""
+    c = hyperplane_signature(corpus, planes, corpus_vec, "bucket")
+    q = hyperplane_signature(
+        queries.select(query_id, F.col(query_vec)), planes, query_vec, "bucket"
+    )
+    joined = c.join(F.broadcast(q), "bucket")
+    scored = joined.select(
+        F.col(query_id),
+        F.col(corpus_id),
+        F.round(cosine(corpus_vec, query_vec), 4).alias("cos"),
+    )
+    w = Window.partitionBy(query_id).orderBy(F.col("cos").desc(), F.col(corpus_id))
+    return scored.withColumn("rank", F.row_number().over(w)).where(F.col("rank") <= k)

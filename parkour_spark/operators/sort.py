@@ -1,0 +1,83 @@
+"""Sorts, limits, sampling, partitioning control, global indexing.
+
+Reference coverage (SURVEY §2.8 + matrixify):
+- shuffle sort / total order (doc/serialization.md:49-53) → orderBy
+  (range-partitioned sort) / sortWithinPartitions.
+- custom partitioners (toolbox.clj:17-30) → repartition(n, expr); the
+  exact fn-of-key form via RDD partitionBy in `partition_by_fn`.
+- reservoir sampling (reducers.clj:161-174, io/sample.clj:14-32) →
+  seeded df.sample.
+- matrixify global dense indexing (examples/parkour/example/
+  matrixify.clj:25-46): two-phase per-partition count + prefix-sum →
+  `zip_with_index` (distributed, no single-partition window).
+"""
+
+from __future__ import annotations
+
+from typing import Callable, Sequence
+
+from pyspark.sql import Column, DataFrame, functions as F, types as T
+
+
+def total_sort(df: DataFrame, *order: Column) -> DataFrame:
+    """Global total order via range partitioning — the Hadoop total-order
+    partitioner analog. SCALE: range boundaries come from a sampled pass;
+    output stays partitioned (no single-node sort)."""
+    return df.orderBy(*order)
+
+
+def sort_within_partitions(df: DataFrame, *order) -> DataFrame:
+    return df.sortWithinPartitions(*order)
+
+
+def repartition_by(df: DataFrame, num: int | None, *exprs) -> DataFrame:
+    """Custom partitioning by expression (reference `by-p`/`nth0-p`,
+    toolbox.clj:17-30): hash-partition on arbitrary expressions."""
+    return df.repartition(num, *exprs) if num else df.repartition(*exprs)
+
+
+def partition_by_fn(df: DataFrame, num_partitions: int, key_fn: Callable) -> DataFrame:
+    """Exact fn-of-key partitioning (mapreduce.clj:277-296) — the RDD
+    escape hatch for partitioner semantics DataFrames can't express.
+    Rows land in partition `key_fn(row) % num_partitions`. Kept for
+    parity; prefer `repartition_by` so Catalyst stays in control."""
+    schema = df.schema
+    rdd = (
+        df.rdd.map(lambda row: (key_fn(row), row))
+        .partitionBy(num_partitions, lambda k: k)
+        .map(lambda kv: kv[1])
+    )
+    return df.sparkSession.createDataFrame(rdd, schema)
+
+
+def sample_seeded(df: DataFrame, fraction: float, seed: int = 42) -> DataFrame:
+    """Seeded sampling for cheap dev iteration (io/sample.clj:14-32)."""
+    return df.sample(fraction=fraction, seed=seed)
+
+
+def limit(df: DataFrame, n: int) -> DataFrame:
+    return df.limit(n)
+
+
+def zip_with_index(df: DataFrame, index_col: str = "index", order: Sequence[Column] | None = None) -> DataFrame:
+    """Global dense 0-based index, distributed.
+
+    The matrixify pattern (matrixify.clj:25-46): the reference runs a
+    first job counting rows per reducer, prefix-sums the counts on the
+    driver, then a second job assigns offsets+local index. Spark's
+    `rdd.zipWithIndex` does exactly this (count-per-partition pass +
+    offset pass) without hand-built jobs. With `order` given, rows are
+    range-partition sorted first so the index is the rank in that order —
+    unlike a single-partition `row_number()` window, this scales.
+    """
+    if order is not None:
+        df = df.orderBy(*order)
+    schema = T.StructType(list(df.schema.fields) + [T.StructField(index_col, T.LongType(), False)])
+    rdd = df.rdd.zipWithIndex().map(lambda pair: (*pair[0], pair[1]))
+    return df.sparkSession.createDataFrame(rdd, schema)
+
+
+def spark_partition_id(df: DataFrame, col_name: str = "partition_id") -> DataFrame:
+    """Expose the physical partition id (reference `mapred.task.partition`
+    dependency in matrixify; PySpark analog F.spark_partition_id)."""
+    return df.withColumn(col_name, F.spark_partition_id())

@@ -1,0 +1,830 @@
+"""Query registry: every operator from SURVEY §2 (plus the LLM-pipeline
+operator family) as a named (spark_fn, oracle_sql) pair.
+
+Each entry's Spark side dogfoods the engine's operator modules; the
+oracle side is the ANSI-SQL equivalent DuckDB runs on the same parquet
+tables. Column names and value formatting are mirrored exactly (the
+driver hash-compares sorted values).
+
+Cross-engine determinism rules used throughout:
+- aggregates of doubles → round(. , 2..4); per-row arithmetic mirrored
+  expression-for-expression so IEEE results are identical.
+- timestamps → formatted strings.
+- grouped collections (tuple shapes) → sorted, comma-joined strings.
+- hashing → md5 (bit-identical in both engines).
+"""
+
+from __future__ import annotations
+
+from typing import Callable
+
+from pyspark.sql import DataFrame, SparkSession, Window, functions as F
+
+from parkour_spark.dataset import load_table
+from parkour_spark.functions.text import (
+    EN_STOPWORDS,
+    avg_token_len,
+    fingerprint,
+    langid_en,
+    quality_score,
+    token_count,
+    tokens,
+)
+from parkour_spark.operators import agg as A
+from parkour_spark.operators import dedup as D
+from parkour_spark.operators import joins as J
+from parkour_spark.operators import setops as S
+from parkour_spark.operators import similarity as SIM
+from parkour_spark.operators import sort as SRT
+from parkour_spark import shapes as SH
+
+QueryFn = Callable[[SparkSession, str], DataFrame]
+QUERIES: dict[str, QueryFn] = {}
+ORACLES: dict[str, str] = {}
+
+
+def query(name: str, oracle: str | None = None):
+    def deco(fn: QueryFn) -> QueryFn:
+        QUERIES[name] = fn
+        if oracle is not None:
+            ORACLES[name] = oracle
+        return fn
+
+    return deco
+
+
+def _t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    return load_table(spark, sf_dir, name)
+
+
+# ===========================================================================
+# §2.6 Aggregations
+# ===========================================================================
+
+
+@query(
+    "word_count",
+    """
+    SELECT word, count(*) AS n
+    FROM (SELECT unnest(string_split_regex(trim(text), '\\s+')) AS word
+          FROM documents)
+    WHERE word <> ''
+    GROUP BY word
+    """,
+)
+def q_word_count(spark, sf_dir):
+    """The reference's canonical query (word_count.clj:9-22)."""
+    docs = _t(spark, sf_dir, "documents").select(F.col("text").alias("value"))
+    return A.word_count(docs)
+
+
+@query(
+    "distinct_tokens",
+    """
+    SELECT DISTINCT word FROM (
+      SELECT unnest(string_split_regex(trim(text), '\\s+')) AS word FROM documents)
+    WHERE word <> ''
+    """,
+)
+def q_distinct_tokens(spark, sf_dir):
+    """Distinct via `:keygroups` (word_count_test.clj:61-86)."""
+    docs = _t(spark, sf_dir, "documents")
+    words = docs.select(F.explode(tokens("text")).alias("word"))
+    return A.distinct_keys(words, "word")
+
+
+@query(
+    "q1_pricing_summary",
+    """
+    SELECT l_returnflag, l_linestatus,
+           round(sum(l_quantity), 2)                          AS sum_qty,
+           round(sum(l_extendedprice), 2)                     AS sum_base_price,
+           round(sum(l_extendedprice * (1 - l_discount)), 2)  AS sum_disc_price,
+           round(avg(l_quantity), 4)                          AS avg_qty,
+           count(*)                                           AS count_order
+    FROM lineitem
+    WHERE l_shipdate <= TIMESTAMP '1998-09-02 00:00:00'
+    GROUP BY l_returnflag, l_linestatus
+    """,
+)
+def q_q1(spark, sf_dir):
+    """TPC-H Q1 shape: scan + filter (pushed to parquet) + grouped
+    partial/final aggregation — the combiner pattern (graph.clj:239-248)."""
+    li = _t(spark, sf_dir, "lineitem")
+    return A.group_reduce(
+        li.where(F.col("l_shipdate") <= F.lit("1998-09-02 00:00:00").cast("timestamp")),
+        ["l_returnflag", "l_linestatus"],
+        F.round(F.sum("l_quantity"), 2).alias("sum_qty"),
+        F.round(F.sum("l_extendedprice"), 2).alias("sum_base_price"),
+        F.round(F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2).alias("sum_disc_price"),
+        F.round(F.avg("l_quantity"), 4).alias("avg_qty"),
+        F.count("*").alias("count_order"),
+    )
+
+
+@query(
+    "top_customers",
+    """
+    SELECT c_custkey, c_name, round(sum(o_totalprice), 2) AS revenue
+    FROM customer JOIN orders ON c_custkey = o_custkey
+    GROUP BY c_custkey, c_name
+    ORDER BY revenue DESC, c_custkey
+    LIMIT 10
+    """,
+)
+def q_top_customers(spark, sf_dir):
+    """Global top-k (SURVEY §2.8): TakeOrderedAndProject, no full sort."""
+    cust, orders = _t(spark, sf_dir, "customer"), _t(spark, sf_dir, "orders")
+    rev = J.equi_join(cust, orders, cust.c_custkey == orders.o_custkey).groupBy(
+        "c_custkey", "c_name"
+    ).agg(F.round(F.sum("o_totalprice"), 2).alias("revenue"))
+    return SRT.total_sort(rev, F.col("revenue").desc(), F.col("c_custkey")).limit(10)
+
+
+@query(
+    "orders_per_priority_pivot",
+    """
+    SELECT o_orderpriority,
+           count(*) FILTER (WHERE o_orderstatus = 'O') AS O,
+           count(*) FILTER (WHERE o_orderstatus = 'F') AS F,
+           count(*) FILTER (WHERE o_orderstatus = 'P') AS P
+    FROM orders GROUP BY o_orderpriority
+    """,
+)
+def q_pivot(spark, sf_dir):
+    """Pivot (Spark builtin; absent in reference, SURVEY §2.6 note)."""
+    orders = _t(spark, sf_dir, "orders")
+    p = orders.groupBy("o_orderpriority").pivot("o_orderstatus", ["O", "F", "P"]).count()
+    return p.select(
+        "o_orderpriority",
+        F.coalesce("O", F.lit(0)).alias("O"),
+        F.coalesce("F", F.lit(0)).alias("F"),
+        F.coalesce("P", F.lit(0)).alias("P"),
+    )
+
+
+@query(
+    "range_mod_agg",
+    """
+    SELECT "range" % 7 AS bucket, count(*) AS n, sum("range") AS total
+    FROM range(0, 100000) GROUP BY 1
+    """,
+)
+def q_range(spark, sf_dir):
+    """Synthetic range source (io/range.clj:28-42) + agg."""
+    return (
+        spark.range(0, 100000)
+        .select((F.col("id") % 7).alias("bucket"), F.col("id"))
+        .groupBy("bucket")
+        .agg(F.count("*").alias("n"), F.sum("id").alias("total"))
+    )
+
+
+# ===========================================================================
+# §2.7 Joins
+# ===========================================================================
+
+
+@query(
+    "customer_order_stats",
+    """
+    SELECT c_custkey, c_name, count(*) AS n_orders,
+           round(sum(o_totalprice), 2) AS total_spent,
+           round(max(o_totalprice), 2) AS max_order
+    FROM customer JOIN orders ON c_custkey = o_custkey
+    GROUP BY c_custkey, c_name
+    """,
+)
+def q_customer_orders(spark, sf_dir):
+    """Reduce-side equi-join (join_test.clj:19-76) + grouped agg."""
+    cust, orders = _t(spark, sf_dir, "customer"), _t(spark, sf_dir, "orders")
+    return J.equi_join(cust, orders, cust.c_custkey == orders.o_custkey).groupBy(
+        "c_custkey", "c_name"
+    ).agg(
+        F.count("*").alias("n_orders"),
+        F.round(F.sum("o_totalprice"), 2).alias("total_spent"),
+        F.round(F.max("o_totalprice"), 2).alias("max_order"),
+    )
+
+
+@query(
+    "region_customer_counts",
+    """
+    SELECT r_name, count(*) AS n_customers
+    FROM customer
+    JOIN nation ON c_nationkey = n_nationkey
+    JOIN region ON n_regionkey = r_regionkey
+    GROUP BY r_name
+    """,
+)
+def q_broadcast_join(spark, sf_dir):
+    """Map-side broadcast join chain (dval pattern, doc/dvals.md:10-14):
+    both dims broadcast; the fact table never shuffles for the join."""
+    cust = _t(spark, sf_dir, "customer")
+    nation = _t(spark, sf_dir, "nation")
+    region = _t(spark, sf_dir, "region")
+    joined = J.broadcast_join(
+        J.broadcast_join(cust, nation, cust.c_nationkey == nation.n_nationkey),
+        region,
+        F.col("n_regionkey") == region.r_regionkey,
+    )
+    return joined.groupBy("r_name").agg(F.count("*").alias("n_customers"))
+
+
+@query(
+    "customers_without_urgent_orders",
+    """
+    SELECT c_custkey, c_name FROM customer
+    WHERE c_custkey NOT IN
+        (SELECT o_custkey FROM orders WHERE o_orderpriority = '1-URGENT')
+    """,
+)
+def q_anti_join(spark, sf_dir):
+    cust, orders = _t(spark, sf_dir, "customer"), _t(spark, sf_dir, "orders")
+    return J.anti_join(
+        cust.select("c_custkey", "c_name"),
+        orders.where(F.col("o_orderpriority") == "1-URGENT").select(
+            F.col("o_custkey").alias("c_custkey")
+        ),
+        "c_custkey",
+    )
+
+
+@query(
+    "active_automobile_customers",
+    """
+    SELECT c_custkey, c_name FROM customer
+    WHERE c_mktsegment = 'AUTOMOBILE'
+      AND c_custkey IN (SELECT o_custkey FROM orders)
+    """,
+)
+def q_semi_join(spark, sf_dir):
+    cust, orders = _t(spark, sf_dir, "customer"), _t(spark, sf_dir, "orders")
+    return J.semi_join(
+        cust.where(F.col("c_mktsegment") == "AUTOMOBILE").select("c_custkey", "c_name"),
+        orders.select(F.col("o_custkey").alias("c_custkey")),
+        "c_custkey",
+    )
+
+
+@query(
+    "cogroup_order_stats",
+    """
+    SELECT c_custkey, count(o_orderkey) AS n_orders,
+           coalesce(round(max(o_totalprice), 2), -1.0) AS max_order
+    FROM customer LEFT JOIN orders ON c_custkey = o_custkey
+    GROUP BY c_custkey
+    """,
+)
+def q_cogroup(spark, sf_dir):
+    """Arbitrary-function co-group (graph_test.clj:98-126 →
+    cogroup().applyInPandas): per key the fn sees both sides' rows."""
+    import pandas as pd
+
+    cust = _t(spark, sf_dir, "customer").select("c_custkey")
+    orders = _t(spark, sf_dir, "orders").select(
+        F.col("o_custkey").alias("c_custkey"), "o_orderkey", "o_totalprice"
+    )
+
+    def stats(left: "pd.DataFrame", right: "pd.DataFrame") -> "pd.DataFrame":
+        if left.empty:
+            return pd.DataFrame(columns=["c_custkey", "n_orders", "max_order"])
+        key = int(left["c_custkey"].iloc[0])
+        n = len(right)
+        mx = round(float(right["o_totalprice"].max()), 2) if n else -1.0
+        return pd.DataFrame([{"c_custkey": key, "n_orders": n, "max_order": mx}])
+
+    return J.cogroup_apply(
+        cust, orders, ["c_custkey"], stats, "c_custkey long, n_orders long, max_order double"
+    )
+
+
+@query(
+    "top3_orders_per_customer",
+    """
+    SELECT o_custkey, o_orderkey, rank FROM (
+      SELECT o_custkey, o_orderkey,
+             row_number() OVER (PARTITION BY o_custkey
+                                ORDER BY o_totalprice DESC, o_orderkey) AS rank
+      FROM orders)
+    WHERE rank <= 3
+    """,
+)
+def q_topk_per_group(spark, sf_dir):
+    orders = _t(spark, sf_dir, "orders")
+    w = Window.partitionBy("o_custkey").orderBy(F.col("o_totalprice").desc(), F.col("o_orderkey"))
+    return (
+        orders.withColumn("rank", F.row_number().over(w))
+        .where(F.col("rank") <= 3)
+        .select("o_custkey", "o_orderkey", "rank")
+    )
+
+
+# ===========================================================================
+# §2.3 The 9 tuple shapes (lineitem: group=l_orderkey, key=l_linenumber,
+#      val=l_partkey)
+# ===========================================================================
+
+_SHAPE_ORACLES = {
+    "shape_keys": "SELECT l_orderkey AS key FROM lineitem",
+    "shape_vals": "SELECT l_linenumber AS value FROM lineitem",
+    "shape_keyvals": "SELECT l_orderkey AS key, l_linenumber AS value FROM lineitem",
+    "shape_keygroups": "SELECT DISTINCT l_orderkey AS key FROM lineitem",
+    "shape_valgroups": """
+        SELECT string_agg(l_linenumber, ',' ORDER BY l_linenumber) AS values
+        FROM lineitem GROUP BY l_orderkey""",
+    "shape_keyvalgroups": """
+        SELECT l_orderkey AS key,
+               string_agg(l_linenumber, ',' ORDER BY l_linenumber) AS values
+        FROM lineitem GROUP BY l_orderkey""",
+    "shape_keykeyvalgroups": """
+        SELECT l_orderkey AS key,
+               string_agg(l_linenumber || ':' || l_partkey, ','
+                          ORDER BY l_linenumber, l_partkey) AS pairs
+        FROM lineitem GROUP BY l_orderkey""",
+    "shape_keykeygroups": """
+        SELECT l_orderkey AS key,
+               string_agg(l_linenumber, ',' ORDER BY l_linenumber) AS keys
+        FROM lineitem GROUP BY l_orderkey""",
+    "shape_keysgroups": """
+        SELECT string_agg(l_linenumber, ',' ORDER BY l_linenumber) AS keys
+        FROM lineitem GROUP BY l_orderkey""",
+}
+
+
+def _join_longs(arr) -> F.Column:
+    return F.concat_ws(",", F.transform(arr, lambda x: x.cast("string")))
+
+
+def _shape_query(name: str):
+    @query(name, _SHAPE_ORACLES[name])
+    def fn(spark, sf_dir, _name=name):
+        li = _t(spark, sf_dir, "lineitem").select(
+            F.col("l_orderkey").alias("key"), F.col("l_linenumber").alias("value"),
+            F.col("l_partkey").alias("value2"),
+        )
+        if _name == "shape_keys":
+            return SH.keys_shape(li)
+        if _name == "shape_vals":
+            return SH.vals_shape(li)
+        if _name == "shape_keyvals":
+            return SH.keyvals(li)
+        if _name == "shape_keygroups":
+            return SH.keygroups(li)
+        if _name == "shape_valgroups":
+            return SH.valgroups(li).select(_join_longs("values").alias("values"))
+        if _name == "shape_keyvalgroups":
+            return SH.keyvalgroups(li).select("key", _join_longs("values").alias("values"))
+        if _name == "shape_keykeyvalgroups":
+            g = SH.keykeyvalgroups(li, "key", "value", "value2")
+            pairs = F.concat_ws(
+                ",",
+                F.transform(
+                    F.col("pairs"),
+                    lambda s: F.concat_ws(":", s["value"].cast("string"), s["value2"].cast("string")),
+                ),
+            )
+            return g.select("key", pairs.alias("pairs"))
+        if _name == "shape_keykeygroups":
+            return SH.keykeygroups(li, "key", "value").select("key", _join_longs("keys").alias("keys"))
+        if _name == "shape_keysgroups":
+            return SH.keysgroups(li, "key", "value").select(_join_longs("keys").alias("keys"))
+        raise ValueError(_name)
+
+    return fn
+
+
+for _n in _SHAPE_ORACLES:
+    _shape_query(_n)
+
+
+# ===========================================================================
+# §2.8 Sorts / secondary sort / sampling / matrixify indexing
+# ===========================================================================
+
+
+@query(
+    "secondary_sort_orders",
+    """
+    SELECT o_custkey,
+           string_agg(strftime(o_orderdate, '%Y-%m-%d %H:%M:%S'), ','
+                      ORDER BY strftime(o_orderdate, '%Y-%m-%d %H:%M:%S')) AS dates
+    FROM orders GROUP BY o_custkey
+    """,
+)
+def q_secondary_sort(spark, sf_dir):
+    """Secondary sort (grouping-schema trick, join_test.clj:63-66):
+    per-group values ordered by a non-group key."""
+    orders = _t(spark, sf_dir, "orders").select(
+        "o_custkey", F.date_format("o_orderdate", "yyyy-MM-dd HH:mm:ss").alias("d")
+    )
+    return orders.groupBy("o_custkey").agg(
+        F.concat_ws(",", F.sort_array(F.collect_list("d"))).alias("dates")
+    )
+
+
+@query(
+    "matrixify",
+    """
+    WITH edges AS (
+      SELECT s_name, p_name, round(sum(l_quantity), 2) AS w
+      FROM lineitem
+      JOIN supplier ON l_suppkey = s_suppkey
+      JOIN part ON l_partkey = p_partkey
+      GROUP BY s_name, p_name
+    ),
+    rows_idx AS (
+      SELECT s_name, dense_rank() OVER (ORDER BY s_name) - 1 AS row_idx FROM (SELECT DISTINCT s_name FROM edges)
+    ),
+    cols_idx AS (
+      SELECT p_name, dense_rank() OVER (ORDER BY p_name) - 1 AS col_idx FROM (SELECT DISTINCT p_name FROM edges)
+    )
+    SELECT row_idx, col_idx, w
+    FROM edges JOIN rows_idx USING (s_name) JOIN cols_idx USING (p_name)
+    """,
+)
+def q_matrixify(spark, sf_dir):
+    """The reference's flagship multi-job example (matrixify.clj:67-92):
+    relabel a weighted edge list with dense global indexes. The
+    reference's two-phase count+offset jobs become `zip_with_index`
+    (distributed count-per-partition + offset), not a single-partition
+    window."""
+    li = _t(spark, sf_dir, "lineitem")
+    sup = _t(spark, sf_dir, "supplier")
+    part = _t(spark, sf_dir, "part")
+    edges = (
+        J.broadcast_join(li, sup, li.l_suppkey == sup.s_suppkey)
+        .join(F.broadcast(part), li.l_partkey == part.p_partkey)
+        .groupBy("s_name", "p_name")
+        .agg(F.round(F.sum("l_quantity"), 2).alias("w"))
+    )
+    rows_idx = SRT.zip_with_index(
+        edges.select("s_name").distinct(), "row_idx", order=[F.col("s_name")]
+    )
+    cols_idx = SRT.zip_with_index(
+        edges.select("p_name").distinct(), "col_idx", order=[F.col("p_name")]
+    )
+    return (
+        edges.join(F.broadcast(rows_idx), "s_name")
+        .join(F.broadcast(cols_idx), "p_name")
+        .select("row_idx", "col_idx", "w")
+    )
+
+
+@query(
+    "running_user_total",
+    """
+    SELECT event_id, user_id,
+           round(sum(value) OVER (PARTITION BY user_id ORDER BY ts, event_id), 2) AS running
+    FROM events
+    """,
+)
+def q_running_total(spark, sf_dir):
+    """`pr/reductions` running accumulation (reducers.clj:22-33) as a
+    window aggregate."""
+    ev = _t(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id").rowsBetween(
+        Window.unboundedPreceding, Window.currentRow
+    )
+    return ev.select("event_id", "user_id", F.round(F.sum("value").over(w), 2).alias("running"))
+
+
+# ===========================================================================
+# §2.9 Set operations
+# ===========================================================================
+
+
+@query(
+    "ordered_positive_custkeys",
+    """
+    SELECT o_custkey AS custkey FROM orders
+    INTERSECT
+    SELECT c_custkey FROM customer WHERE c_acctbal > 0
+    """,
+)
+def q_intersect(spark, sf_dir):
+    orders = _t(spark, sf_dir, "orders").select(F.col("o_custkey").alias("custkey"))
+    cust = _t(spark, sf_dir, "customer").where(F.col("c_acctbal") > 0).select(
+        F.col("c_custkey").alias("custkey")
+    )
+    return S.intersect(orders, cust)
+
+
+@query(
+    "parts_never_bulk_ordered",
+    """
+    SELECT p_partkey FROM part
+    EXCEPT
+    SELECT l_partkey FROM lineitem WHERE l_quantity >= 45
+    """,
+)
+def q_except(spark, sf_dir):
+    part = _t(spark, sf_dir, "part").select("p_partkey")
+    li = (
+        _t(spark, sf_dir, "lineitem")
+        .where(F.col("l_quantity") >= 45)
+        .select(F.col("l_partkey").alias("p_partkey"))
+    )
+    return S.except_distinct(part, li)
+
+
+@query(
+    "union_tagged_names",
+    """
+    SELECT 'region' AS source, r_name AS name FROM region
+    UNION ALL
+    SELECT 'nation' AS source, n_name AS name FROM nation
+    """,
+)
+def q_union_tagged(spark, sf_dir):
+    """Heterogeneous-source multiplex union with discriminator
+    (multiplex_test.clj:12-33)."""
+    region = _t(spark, sf_dir, "region").select(F.col("r_name").alias("name"))
+    nation = _t(spark, sf_dir, "nation").select(F.col("n_name").alias("name"))
+    return S.union_tagged({"region": region, "nation": nation}).select("source", "name")
+
+
+# ===========================================================================
+# Events: windows & sessionization (streaming-surface batch equivalents)
+# ===========================================================================
+
+
+@query(
+    "events_hourly",
+    """
+    SELECT strftime(date_trunc('hour', ts), '%Y-%m-%d %H') AS hour, event_type,
+           count(*) AS n, round(sum(value), 2) AS total
+    FROM events GROUP BY 1, 2
+    """,
+)
+def q_events_hourly(spark, sf_dir):
+    """Tumbling window aggregation (batch form of the streaming surface)."""
+    ev = _t(spark, sf_dir, "events")
+    return ev.groupBy(
+        F.date_format(F.date_trunc("hour", "ts"), "yyyy-MM-dd HH").alias("hour"),
+        "event_type",
+    ).agg(F.count("*").alias("n"), F.round(F.sum("value"), 2).alias("total"))
+
+
+@query(
+    "user_sessions",
+    """
+    SELECT user_id, count(*) AS n_events,
+           1 + sum(CASE WHEN gap > 1800 THEN 1 ELSE 0 END) AS n_sessions
+    FROM (
+      SELECT user_id,
+             epoch(ts) - lag(epoch(ts)) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS gap
+      FROM events)
+    GROUP BY user_id
+    """,
+)
+def q_sessions(spark, sf_dir):
+    """Sessionization: lag-gap > 30 min starts a new session."""
+    ev = _t(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    gaps = ev.select(
+        "user_id",
+        (F.unix_timestamp("ts") - F.lag(F.unix_timestamp("ts")).over(w)).alias("gap"),
+    )
+    return gaps.groupBy("user_id").agg(
+        F.count("*").alias("n_events"),
+        (1 + F.sum(F.when(F.col("gap") > 1800, 1).otherwise(0))).alias("n_sessions"),
+    )
+
+
+# ===========================================================================
+# LLM-pipeline: text analysis
+# ===========================================================================
+
+_STOP_SQL = ", ".join(f"'{w}'" for w in EN_STOPWORDS)
+_TOKS_SQL = "list_filter(string_split_regex(lower(trim(text)), '\\s+'), x -> x <> '')"
+
+
+@query(
+    "token_stats",
+    f"""
+    SELECT doc_id,
+           len({_TOKS_SQL}) AS n_tokens,
+           length(text) AS n_chars,
+           round(list_sum(list_transform({_TOKS_SQL}, t -> length(t)))::DOUBLE
+                 / len({_TOKS_SQL}), 4) AS avg_tok_len
+    FROM documents
+    """,
+)
+def q_token_stats(spark, sf_dir):
+    docs = _t(spark, sf_dir, "documents")
+    return docs.select(
+        "doc_id",
+        token_count("text").alias("n_tokens"),
+        F.length("text").alias("n_chars"),
+        F.round(avg_token_len("text"), 4).alias("avg_tok_len"),
+    )
+
+
+@query(
+    "lang_id",
+    f"""
+    SELECT doc_id,
+           CASE WHEN len(list_filter({_TOKS_SQL}, x -> x IN ({_STOP_SQL})))::DOUBLE
+                     / len({_TOKS_SQL}) >= 0.05
+                THEN 'en' ELSE 'unk' END AS lang_pred
+    FROM documents
+    """,
+)
+def q_lang_id(spark, sf_dir):
+    docs = _t(spark, sf_dir, "documents")
+    return docs.select("doc_id", langid_en("text").alias("lang_pred"))
+
+
+@query(
+    "quality_scores",
+    f"""
+    SELECT doc_id,
+           round(0.4 * least(length(text)::DOUBLE / 500.0, 1.0)
+               + 0.3 * least(len(list_filter({_TOKS_SQL}, x -> x IN ({_STOP_SQL})))::DOUBLE
+                             / len({_TOKS_SQL}) * 10.0, 1.0)
+               + 0.3 * (CASE WHEN list_sum(list_transform({_TOKS_SQL}, t -> length(t)))::DOUBLE
+                                  / len({_TOKS_SQL}) BETWEEN 3.0 AND 10.0
+                        THEN 1.0 ELSE 0.0 END), 4) AS quality
+    FROM documents
+    """,
+)
+def q_quality(spark, sf_dir):
+    docs = _t(spark, sf_dir, "documents")
+    return docs.select("doc_id", quality_score("text").alias("quality"))
+
+
+@query(
+    "doc_fingerprints",
+    """
+    SELECT doc_id, md5(regexp_replace(lower(trim(text)), '\\s+', ' ', 'g')) AS fp
+    FROM documents
+    """,
+)
+def q_fingerprints(spark, sf_dir):
+    docs = _t(spark, sf_dir, "documents")
+    return docs.select("doc_id", fingerprint("text").alias("fp"))
+
+
+# ===========================================================================
+# LLM-pipeline: dedup
+# ===========================================================================
+
+
+@query(
+    "dedup_exact",
+    """
+    SELECT md5(regexp_replace(lower(trim(text)), '\\s+', ' ', 'g')) AS fp,
+           min(doc_id) AS keep_id, count(*) AS n_dups
+    FROM documents GROUP BY 1
+    """,
+)
+def q_dedup_exact(spark, sf_dir):
+    return D.exact_dedup(_t(spark, sf_dir, "documents"))
+
+
+_DTOKS_SQL = f"list_distinct({_TOKS_SQL})"
+# 3-gram word shingles over the token list (mirrors functions.text.shingles)
+_SHINGLES_SQL = (
+    f"list_distinct(list_transform(range(1, greatest(len({_TOKS_SQL}) - 3, 0) + 2), "
+    f"i -> array_to_string(list_slice({_TOKS_SQL}, i, i + 2), ' ')))"
+)
+
+
+def _minhash_oracle(num_hashes: int = 12, bands: int = 4, threshold: float = 0.8) -> str:
+    rpb = num_hashes // bands
+    sig_cols = ",\n       ".join(
+        f"list_min(list_transform(t, x -> md5('{i}:' || x))) AS sig_{i}"
+        for i in range(num_hashes)
+    )
+    band_keys = ", ".join(
+        "'" + str(b) + "|' || " + " || '|' || ".join(f"sig_{b * rpb + r}" for r in range(rpb))
+        for b in range(bands)
+    )
+    return f"""
+    WITH toks AS (SELECT doc_id, {_SHINGLES_SQL} AS t FROM documents),
+    sigs AS (SELECT doc_id, {sig_cols} FROM toks),
+    bands AS (SELECT doc_id, unnest([{band_keys}]) AS band_key FROM sigs),
+    cand AS (
+      SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
+      FROM bands a JOIN bands b USING (band_key)
+      WHERE a.doc_id < b.doc_id
+    )
+    SELECT id_a, id_b,
+           round(len(list_intersect(ta.t, tb.t))::DOUBLE
+                 / len(list_distinct(list_concat(ta.t, tb.t))), 4) AS jaccard
+    FROM cand
+    JOIN toks ta ON cand.id_a = ta.doc_id
+    JOIN toks tb ON cand.id_b = tb.doc_id
+    WHERE len(list_intersect(ta.t, tb.t))::DOUBLE
+          / len(list_distinct(list_concat(ta.t, tb.t))) >= {threshold}
+    """
+
+
+@query("dedup_minhash_lsh", _minhash_oracle())
+def q_minhash(spark, sf_dir):
+    """MinHash+LSH near-dup on 3-gram shingles: md5-min signatures →
+    banded buckets → equi-join candidates → exact Jaccard verify
+    (operators.dedup)."""
+    return D.minhash_dedup_pairs(_t(spark, sf_dir, "documents"), threshold=0.8)
+
+
+@query(
+    "dedup_ngram_jaccard",
+    f"""
+    WITH toks AS (SELECT doc_id, {_SHINGLES_SQL} AS t FROM documents)
+    SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+           round(len(list_intersect(a.t, b.t))::DOUBLE
+                 / len(list_distinct(list_concat(a.t, b.t))), 4) AS jaccard
+    FROM toks a JOIN toks b ON a.doc_id < b.doc_id
+    WHERE len(list_intersect(a.t, b.t))::DOUBLE
+          / len(list_distinct(list_concat(a.t, b.t))) >= 0.8
+    """,
+)
+def q_ngram_jaccard(spark, sf_dir):
+    """Exact all-pairs 3-gram-shingle Jaccard ≥ 0.8 via shingle inverted
+    index (the oracle brute-forces; the Spark plan never goes cartesian)."""
+    return D.ngram_jaccard_pairs(_t(spark, sf_dir, "documents"), threshold=0.8)
+
+
+def _simhash_oracle(bits: int = 16, max_hamming: int = 3) -> str:
+    hexpos = "0123456789abcdef"
+    nib = lambda i: f"(strpos('{hexpos}', substr(md5(t), {i}, 1)) - 1)"
+    th = f"({nib(1)} * 4096 + {nib(2)} * 256 + {nib(3)} * 16 + {nib(4)})"
+    votes = ",\n      ".join(
+        f"CASE WHEN list_sum(list_transform(th, h -> CASE WHEN (h & {1 << b}) != 0 THEN 1 ELSE -1 END)) > 0"
+        f" THEN {1 << b} ELSE 0 END AS v{b}"
+        for b in range(bits)
+    )
+    total = " + ".join(f"v{b}" for b in range(bits))
+    return f"""
+    WITH sh AS (SELECT doc_id, {_SHINGLES_SQL} AS s FROM documents),
+    th AS (SELECT doc_id, list_transform(s, t -> {th}) AS th FROM sh),
+    votes AS (SELECT doc_id, {votes} FROM th),
+    sigs AS (SELECT doc_id, ({total})::BIGINT AS sig FROM votes)
+    SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+           bit_count(xor(a.sig, b.sig)) AS hamming
+    FROM sigs a JOIN sigs b ON a.doc_id < b.doc_id
+    WHERE bit_count(xor(a.sig, b.sig)) <= {max_hamming}
+    """
+
+
+@query("dedup_simhash", _simhash_oracle())
+def q_simhash(spark, sf_dir):
+    """SimHash near-dup on 3-gram shingles: 16-bit majority-vote
+    signatures, pigeonhole-blocked candidate join (4 blocks × 4 bits
+    guarantees every pair at Hamming ≤ 3 shares a block), exact Hamming
+    check. The oracle brute-forces all pairs — identical result set."""
+    return D.simhash_pairs(_t(spark, sf_dir, "documents"))
+
+
+@query(
+    "embedding_neardup",
+    """
+    SELECT a.vec_id AS id_a, b.vec_id AS id_b,
+           round(list_dot_product(a.embedding::DOUBLE[], b.embedding::DOUBLE[])
+                 / (sqrt(list_dot_product(a.embedding::DOUBLE[], a.embedding::DOUBLE[]))
+                    * sqrt(list_dot_product(b.embedding::DOUBLE[], b.embedding::DOUBLE[]))), 4) AS cos
+    FROM embeddings a JOIN embeddings b ON a.vec_id < b.vec_id
+    WHERE list_dot_product(a.embedding::DOUBLE[], b.embedding::DOUBLE[])
+          / (sqrt(list_dot_product(a.embedding::DOUBLE[], a.embedding::DOUBLE[]))
+             * sqrt(list_dot_product(b.embedding::DOUBLE[], b.embedding::DOUBLE[]))) >= 0.4
+    """,
+)
+def q_embedding_neardup(spark, sf_dir):
+    return D.embedding_neardup_pairs(_t(spark, sf_dir, "embeddings"), threshold=0.4)
+
+
+# ===========================================================================
+# LLM-pipeline: similarity search
+# ===========================================================================
+
+
+@query(
+    "knn_cosine",
+    """
+    WITH q AS (SELECT vec_id AS query_id, embedding FROM embeddings WHERE vec_id < 5),
+    c AS (SELECT vec_id, embedding FROM embeddings WHERE vec_id >= 5),
+    scored AS (
+      SELECT q.query_id, c.vec_id,
+             round(list_dot_product(c.embedding::DOUBLE[], q.embedding::DOUBLE[])
+                   / (sqrt(list_dot_product(c.embedding::DOUBLE[], c.embedding::DOUBLE[]))
+                      * sqrt(list_dot_product(q.embedding::DOUBLE[], q.embedding::DOUBLE[]))), 4) AS cos
+      FROM c, q)
+    SELECT query_id, vec_id, rank, cos FROM (
+      SELECT *, row_number() OVER (PARTITION BY query_id ORDER BY cos DESC, vec_id) AS rank
+      FROM scored)
+    WHERE rank <= 10
+    """,
+)
+def q_knn(spark, sf_dir):
+    """Brute-force cosine top-k: broadcast queries, one corpus scan, JVM
+    Column-expression math (operators.similarity)."""
+    emb = _t(spark, sf_dir, "embeddings")
+    queries = emb.where(F.col("vec_id") < 5).select(
+        F.col("vec_id").alias("query_id"), F.col("embedding").alias("query_vec")
+    )
+    corpus = emb.where(F.col("vec_id") >= 5)
+    return SIM.brute_force_topk(corpus, queries, k=10).select(
+        "query_id", "vec_id", "rank", "cos"
+    )

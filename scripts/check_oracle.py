@@ -1,0 +1,90 @@
+"""Local replica of the driver's correctness gate: run each registered
+query in Spark AND its DuckDB oracle at sf0.01, compare row count, column
+names, and order-insensitive values.
+
+Usage: python scripts/check_oracle.py [query ...]
+"""
+
+from __future__ import annotations
+
+import math
+import sys
+
+import duckdb
+
+sys.path.insert(0, "/root/repo")
+
+from parkour_spark.queries import ORACLES, QUERIES  # noqa: E402
+from parkour_spark.session import build_session  # noqa: E402
+
+SF_DIR = "/root/testdata/sf0.01"
+TABLES = "region nation customer supplier part orders lineitem events documents embeddings".split()
+
+
+def norm(v):
+    if isinstance(v, float):
+        if math.isnan(v):
+            return "nan"
+        return round(v, 6)
+    if hasattr(v, "isoformat"):
+        return v.isoformat()
+    return v
+
+
+def rows_key(cols, rows):
+    order = sorted(range(len(cols)), key=lambda i: cols[i])
+    return sorted(tuple(norm(r[i]) for i in order) for r in rows)
+
+
+def main(names):
+    con = duckdb.connect()
+    for t in TABLES:
+        con.execute(f"CREATE VIEW {t} AS SELECT * FROM '{SF_DIR}/{t}.parquet'")
+    spark = build_session("oracle_check")
+
+    failures = []
+    for name in names:
+        fn = QUERIES[name]
+        try:
+            sdf = fn(spark, SF_DIR)
+            s_cols = sdf.columns
+            s_rows = [tuple(r) for r in sdf.collect()]
+        except Exception as e:
+            print(f"FAIL  {name}: spark error: {e}")
+            failures.append(name)
+            continue
+        if name not in ORACLES:
+            print(f"weak  {name}: rows={len(s_rows)} (no oracle)")
+            continue
+        try:
+            res = con.execute(ORACLES[name])
+            d_cols = [d[0] for d in res.description]
+            d_rows = res.fetchall()
+        except Exception as e:
+            print(f"FAIL  {name}: duckdb error: {e}")
+            failures.append(name)
+            continue
+        problems = []
+        if sorted(s_cols) != sorted(d_cols):
+            problems.append(f"cols spark={sorted(s_cols)} duck={sorted(d_cols)}")
+        if len(s_rows) != len(d_rows):
+            problems.append(f"rowcount spark={len(s_rows)} duck={len(d_rows)}")
+        if not problems:
+            sk, dk = rows_key(s_cols, s_rows), rows_key(d_cols, d_rows)
+            if sk != dk:
+                diff = next((i, a, b) for i, (a, b) in enumerate(zip(sk, dk)) if a != b)
+                problems.append(f"values differ, first diff at sorted idx {diff[0]}: spark={diff[1]} duck={diff[2]}")
+        if problems:
+            print(f"FAIL  {name}: " + "; ".join(problems))
+            failures.append(name)
+        else:
+            print(f"ok    {name}: rows={len(s_rows)}")
+    print(f"\n{len(names) - len(failures)}/{len(names)} ok")
+    if failures:
+        print("failures:", " ".join(failures))
+        sys.exit(1)
+
+
+if __name__ == "__main__":
+    args = sys.argv[1:] or list(QUERIES)
+    main(args)
