@@ -593,6 +593,233 @@ def q_sessions(spark, sf_dir):
 
 
 # ===========================================================================
+# Deeper analytics: multi-join, cube/rollup, exact percentile, windows
+# ===========================================================================
+
+
+@query(
+    "q3_shipping_priority",
+    """
+    SELECT o_orderkey,
+           round(sum(l_extendedprice * (1 - l_discount)), 2) AS revenue,
+           strftime(o_orderdate, '%Y-%m-%d') AS orderdate, o_orderpriority
+    FROM customer
+    JOIN orders ON c_custkey = o_custkey
+    JOIN lineitem ON l_orderkey = o_orderkey
+    WHERE c_mktsegment = 'BUILDING'
+      AND o_orderdate < TIMESTAMP '1998-03-15 00:00:00'
+      AND l_shipdate > TIMESTAMP '1998-03-15 00:00:00'
+    GROUP BY o_orderkey, strftime(o_orderdate, '%Y-%m-%d'), o_orderpriority
+    ORDER BY revenue DESC, o_orderkey
+    LIMIT 10
+    """,
+)
+def q_q3(spark, sf_dir):
+    """TPC-H Q3 shape: selective dim filter → two joins → agg → top-k.
+    Catalyst broadcast-joins the filtered customer side; the lineitem
+    date filter pushes to the parquet scan."""
+    cust = _t(spark, sf_dir, "customer").where(F.col("c_mktsegment") == "BUILDING")
+    orders = _t(spark, sf_dir, "orders").where(
+        F.col("o_orderdate") < F.lit("1998-03-15 00:00:00").cast("timestamp")
+    )
+    li = _t(spark, sf_dir, "lineitem").where(
+        F.col("l_shipdate") > F.lit("1998-03-15 00:00:00").cast("timestamp")
+    )
+    return (
+        li.join(orders, li.l_orderkey == orders.o_orderkey)
+        .join(F.broadcast(cust), orders.o_custkey == cust.c_custkey)
+        .groupBy(
+            "o_orderkey",
+            F.date_format("o_orderdate", "yyyy-MM-dd").alias("orderdate"),
+            "o_orderpriority",
+        )
+        .agg(
+            F.round(F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2).alias(
+                "revenue"
+            )
+        )
+        .select("o_orderkey", "revenue", "orderdate", "o_orderpriority")
+        .orderBy(F.col("revenue").desc(), F.col("o_orderkey"))
+        .limit(10)
+    )
+
+
+@query(
+    "rollup_returnflag_status",
+    """
+    SELECT l_returnflag, l_linestatus, count(*) AS n,
+           round(sum(l_quantity), 2) AS qty
+    FROM lineitem GROUP BY ROLLUP (l_returnflag, l_linestatus)
+    """,
+)
+def q_rollup(spark, sf_dir):
+    """Grouping sets (absent in reference; Spark builtin, SURVEY §2.6)."""
+    li = _t(spark, sf_dir, "lineitem")
+    return li.rollup("l_returnflag", "l_linestatus").agg(
+        F.count("*").alias("n"), F.round(F.sum("l_quantity"), 2).alias("qty")
+    )
+
+
+@query(
+    "cube_priority_status",
+    """
+    SELECT o_orderpriority, o_orderstatus, count(*) AS n
+    FROM orders GROUP BY CUBE (o_orderpriority, o_orderstatus)
+    """,
+)
+def q_cube(spark, sf_dir):
+    orders = _t(spark, sf_dir, "orders")
+    return orders.cube("o_orderpriority", "o_orderstatus").agg(F.count("*").alias("n"))
+
+
+@query(
+    "price_quantiles_by_segment",
+    """
+    WITH ranked AS (
+      SELECT c_mktsegment, o_totalprice, o_orderkey,
+             row_number() OVER (PARTITION BY c_mktsegment
+                                ORDER BY o_totalprice, o_orderkey) AS rn,
+             count(*) OVER (PARTITION BY c_mktsegment) AS n
+      FROM orders JOIN customer ON o_custkey = c_custkey)
+    SELECT c_mktsegment,
+           round(max(CASE WHEN rn = CAST(ceil(0.5 * n) AS BIGINT)
+                          THEN o_totalprice END), 2) AS p50,
+           round(max(CASE WHEN rn = CAST(ceil(0.9 * n) AS BIGINT)
+                          THEN o_totalprice END), 2) AS p90
+    FROM ranked GROUP BY c_mktsegment
+    """,
+)
+def q_quantiles(spark, sf_dir):
+    """Exact discrete (rank-based) quantiles — value at rank ⌈q·n⌉, so
+    both engines pick the same stored double (interpolated quantiles
+    differ across engines in final ulps). The 100 TB default is
+    `approx_percentile` (t-digest sketch, one pass, mergeable); exact
+    rank selection is the oracle-checkable form."""
+    orders = _t(spark, sf_dir, "orders")
+    cust = _t(spark, sf_dir, "customer")
+    joined = orders.join(F.broadcast(cust), orders.o_custkey == cust.c_custkey)
+    w = Window.partitionBy("c_mktsegment").orderBy("o_totalprice", "o_orderkey")
+    wc = Window.partitionBy("c_mktsegment")
+    ranked = joined.select(
+        "c_mktsegment",
+        "o_totalprice",
+        F.row_number().over(w).alias("rn"),
+        F.count("*").over(wc).alias("n"),
+    )
+    pick = lambda q: F.round(
+        F.max(
+            F.when(
+                F.col("rn") == F.ceil(F.lit(q) * F.col("n")).cast("bigint"),
+                F.col("o_totalprice"),
+            )
+        ),
+        2,
+    )
+    return ranked.groupBy("c_mktsegment").agg(pick(0.5).alias("p50"), pick(0.9).alias("p90"))
+
+
+@query(
+    "orders_above_customer_avg",
+    """
+    SELECT o_custkey, count(*) AS n_above
+    FROM (
+      SELECT o_custkey, o_totalprice,
+             avg(o_totalprice) OVER (PARTITION BY o_custkey) AS cavg
+      FROM orders)
+    WHERE o_totalprice > cavg
+    GROUP BY o_custkey
+    """,
+)
+def q_above_avg(spark, sf_dir):
+    """Window aggregate + filter (the reference would need a two-job
+    self-co-group; one shuffle here)."""
+    orders = _t(spark, sf_dir, "orders")
+    w = Window.partitionBy("o_custkey")
+    return (
+        orders.withColumn("cavg", F.avg("o_totalprice").over(w))
+        .where(F.col("o_totalprice") > F.col("cavg"))
+        .groupBy("o_custkey")
+        .agg(F.count("*").alias("n_above"))
+    )
+
+
+# ===========================================================================
+# Streaming (Structured Streaming over a finite file source, full oracle)
+# ===========================================================================
+
+
+@query(
+    "streaming_events_hourly",
+    """
+    SELECT strftime(date_trunc('hour', ts), '%Y-%m-%d %H') AS hour, event_type,
+           count(*) AS n, round(sum(value), 2) AS total
+    FROM events GROUP BY 1, 2
+    """,
+)
+def q_streaming_hourly(spark, sf_dir):
+    """The tumbling-window streaming aggregation, driven to completion
+    over a finite file source (memory sink, complete mode) — result is
+    provably identical to the batch query, which is the oracle."""
+    import tempfile
+
+    from parkour_spark.streaming.windows import read_stream, run_to_completion, tumbling_agg
+
+    ev = _t(spark, sf_dir, "events")
+    tmp = tempfile.mkdtemp(prefix="parkour_stream_")
+    ev.write.mode("overwrite").parquet(tmp)
+    stream = read_stream(spark, tmp, ev.schema, max_files=4)
+    agg = tumbling_agg(
+        stream,
+        "ts",
+        "1 hour",
+        ["event_type"],
+        [F.count("*").alias("n"), F.round(F.sum("value"), 2).alias("total")],
+    )
+    result = run_to_completion(agg, output_mode="complete")
+    return result.select(
+        F.date_format(F.col("window.start"), "yyyy-MM-dd HH").alias("hour"),
+        "event_type",
+        "n",
+        "total",
+    )
+
+
+# ===========================================================================
+# Multimodal (binary payload plumbing; codecs stubbed — see operators.multimodal)
+# ===========================================================================
+
+
+@query(
+    "multimodal_fingerprint",
+    """
+    SELECT doc_id AS media_id, md5(text) AS fp FROM documents
+    """,
+)
+def q_multimodal_fp(spark, sf_dir):
+    """Binary-payload exact-dedup fingerprint: documents' text bytes
+    stand in for blobs (no codec in this container); md5 runs JVM-side
+    over the binary column — blobs never shuffle."""
+    from parkour_spark.operators.multimodal import binary_fingerprint
+
+    blobs = _t(spark, sf_dir, "documents").select(
+        F.col("doc_id").alias("media_id"), F.encode("text", "UTF-8").alias("payload")
+    )
+    return binary_fingerprint(blobs).select("media_id", "fp")
+
+
+@query("multimodal_features")
+def q_multimodal_features(spark, sf_dir):
+    """Arrow-batched decode→features over mapInPandas (deterministic
+    stub decode; rows-only check — the fake codec is not SQL)."""
+    from parkour_spark.operators.multimodal import decode_image_features
+
+    blobs = _t(spark, sf_dir, "documents").select(
+        F.col("doc_id").alias("media_id"), F.encode("text", "UTF-8").alias("payload")
+    )
+    return decode_image_features(blobs)
+
+
+# ===========================================================================
 # LLM-pipeline: text analysis
 # ===========================================================================
 

@@ -1,0 +1,123 @@
+"""Structured Streaming surface (SURVEY §2.12: additive — the reference
+is batch-only Hadoop MapReduce; this is the engine's streaming layer over
+the `events` table shape).
+
+Provides: tumbling/sliding/session windowed aggregations with
+watermarks, a stateful per-key processor via applyInPandasWithState,
+and a test/dev driver that runs a file-backed stream to completion
+synchronously (memory sink + processAllAvailable).
+
+SCALE: all aggregations here are watermark-bounded, so state store size
+is (keys × open windows), not unbounded; `drop_late` controls how much
+out-of-order data is tolerated. On a cluster the state store shards by
+the grouping key like any shuffle.
+"""
+
+from __future__ import annotations
+
+import uuid
+from typing import Callable, Sequence
+
+from pyspark.sql import Column, DataFrame, SparkSession, functions as F
+
+
+def read_stream(
+    spark: SparkSession, path: str, schema, fmt: str = "parquet", max_files: int = 1
+) -> DataFrame:
+    """File-backed stream: each micro-batch ingests ≤ max_files files.
+    (Kafka/socket sources plug into the same downstream surface.)"""
+    return (
+        spark.readStream.format(fmt)
+        .schema(schema)
+        .option("maxFilesPerTrigger", max_files)
+        .load(path)
+    )
+
+
+def tumbling_agg(
+    events: DataFrame,
+    ts_col: str,
+    window: str,
+    keys: Sequence[str],
+    aggs: Sequence[Column],
+    watermark: str = "10 minutes",
+) -> DataFrame:
+    """Tumbling-window aggregation with late-data watermark."""
+    return (
+        events.withWatermark(ts_col, watermark)
+        .groupBy(F.window(ts_col, window), *keys)
+        .agg(*aggs)
+    )
+
+
+def sliding_agg(
+    events: DataFrame,
+    ts_col: str,
+    window: str,
+    slide: str,
+    keys: Sequence[str],
+    aggs: Sequence[Column],
+    watermark: str = "10 minutes",
+) -> DataFrame:
+    """Sliding-window aggregation (window > slide ⇒ overlapping)."""
+    return (
+        events.withWatermark(ts_col, watermark)
+        .groupBy(F.window(ts_col, window, slide), *keys)
+        .agg(*aggs)
+    )
+
+
+def session_agg(
+    events: DataFrame,
+    ts_col: str,
+    gap: str,
+    keys: Sequence[str],
+    aggs: Sequence[Column],
+    watermark: str = "10 minutes",
+) -> DataFrame:
+    """Session-window aggregation: windows close after `gap` inactivity
+    per key (the streaming form of operators' lag-gap sessionization)."""
+    return (
+        events.withWatermark(ts_col, watermark)
+        .groupBy(F.session_window(ts_col, gap), *keys)
+        .agg(*aggs)
+    )
+
+
+def stateful_apply(
+    events: DataFrame,
+    keys: Sequence[str],
+    fn: Callable,
+    output_schema: str,
+    state_schema: str,
+    output_mode: str = "append",
+    timeout: str = "NoTimeout",
+) -> DataFrame:
+    """Custom stateful per-key operator (applyInPandasWithState): `fn`
+    receives (key, iterator-of-pandas-batches, GroupState) — the
+    arbitrary-function reduce task of the reference, carried over to
+    unbounded streams."""
+    return events.groupBy(*keys).applyInPandasWithState(
+        fn, output_schema, state_schema, output_mode, timeout
+    )
+
+
+def run_to_completion(
+    stream_df: DataFrame, output_mode: str = "complete", query_name: str | None = None
+) -> DataFrame:
+    """Drive a streaming DataFrame over a *finite* file source to
+    completion: memory sink, processAllAvailable, stop. Returns the
+    result as a batch DataFrame. Test/dev harness — production uses
+    writeStream to a real sink with a trigger."""
+    name = query_name or f"q_{uuid.uuid4().hex[:8]}"
+    q = (
+        stream_df.writeStream.outputMode(output_mode)
+        .format("memory")
+        .queryName(name)
+        .start()
+    )
+    try:
+        q.processAllAvailable()
+    finally:
+        q.stop()
+    return stream_df.sparkSession.sql(f"SELECT * FROM {name}")

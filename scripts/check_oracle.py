@@ -33,7 +33,7 @@ def norm(v):
 
 def rows_key(cols, rows):
     order = sorted(range(len(cols)), key=lambda i: cols[i])
-    return sorted(tuple(norm(r[i]) for i in order) for r in rows)
+    return sorted(tuple("∅" if r[i] is None else str(norm(r[i])) for i in order) for r in rows)
 
 
 def main(names):

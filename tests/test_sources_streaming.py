@@ -1,0 +1,231 @@
+"""Sources, sinks (dux), streaming, multimodal, pipeline tests —
+mirrors the reference's I/O round-trip test suite (SURVEY §5:
+io/{text,mem,range,sample,mux,dux,dseq}_test.clj)."""
+
+import os
+
+import pytest
+from pyspark.sql import functions as F
+
+from parkour_spark.dataset import Dataset, load_table
+from parkour_spark.plans.pipeline import Pipeline, broadcast_value, execute
+from parkour_spark.sources import custom, dux, readers
+
+
+def test_range_dseq_golden(spark):
+    """range/dseq goldens: (range 10) and (range 5 100 7)
+    (test/parkour/io/range_test.clj:8-22)."""
+    assert [r.value for r in readers.range_dseq(spark, 10).collect()] == list(range(10))
+    got = sorted(r.value for r in readers.range_dseq(spark, 5, 100, 7, nper=5).collect())
+    assert got == list(range(5, 100, 7))
+
+
+def test_range_nper_partitions(spark):
+    df = readers.range_dseq(spark, 0, 100, 1, nper=10)
+    assert df.rdd.getNumPartitions() == 10
+
+
+def test_mem_dseq_roundtrip(spark):
+    """mem/dseq records golden (io/mem_test.clj:13-18)."""
+    rows = [("foo", 9), ("bar", 8), ("baz", 7), ("quux", 6)]
+    got = sorted(tuple(r) for r in readers.mem_dseq(spark, rows, "w string, n long").collect())
+    assert got == sorted(rows)
+
+
+def test_mem_dseq_nper(spark):
+    df = readers.mem_dseq(spark, [(i,) for i in range(10)], "x long", nper=2)
+    assert df.rdd.getNumPartitions() == 5
+
+
+def test_text_dseq(spark, tmp_path):
+    p = str(tmp_path / "t.txt")
+    with open(p, "w") as f:
+        f.write("apple banana\ncarrot\n")
+    df = readers.text_dseq(spark, p)
+    assert sorted(r.value for r in df.collect()) == ["apple banana", "carrot"]
+    off = readers.text_dseq_with_offsets(spark, p)
+    assert sorted(tuple(r) for r in off.collect()) == [(0, "apple banana"), (1, "carrot")]
+
+
+def test_sample_dseq_seeded(spark):
+    df = spark.range(1000)
+    a = readers.sample_dseq(df, 0.1, seed=7).collect()
+    b = readers.sample_dseq(df, 0.1, seed=7).collect()
+    assert [r.id for r in a] == [r.id for r in b]
+    assert 50 < len(a) < 200
+
+
+def test_mux_heterogeneous_union(spark, tmp_path):
+    """multiplex_test.clj:12-33 — text ∪ structured, discriminated."""
+    p = str(tmp_path / "m.txt")
+    with open(p, "w") as f:
+        f.write("apple\nbanana\ncarrot\n")
+    text = readers.text_dseq(spark, p)
+    mem = readers.mem_dseq(spark, [("applez",), ("bananaz",), ("carrotz",)], "value string")
+    out = readers.mux_dseq(text, mem, tags=["text", "mem"])
+    got = sorted((r["source"], r["value"]) for r in out.collect())
+    assert got == [("mem", "applez"), ("mem", "bananaz"), ("mem", "carrotz"),
+                   ("text", "apple"), ("text", "banana"), ("text", "carrot")]
+
+
+def test_fn_source(spark):
+    """input-format! analog: split fn + record fn (mapreduce.clj:194-223)."""
+    df = custom.fn_source(
+        spark,
+        splits=[(0, 5), (5, 10)],
+        read_split=lambda s: [(i, i * i) for i in range(s[0], s[1])],
+        schema="x long, sq long",
+    )
+    assert sorted((r.x, r.sq) for r in df.collect()) == [(i, i * i) for i in range(10)]
+    assert df.rdd.getNumPartitions() == 2
+
+
+def test_dux_named_outputs(spark, tmp_path):
+    """dux named outputs + read-back (graph_test.clj:170-183 even/odd)."""
+    df = spark.range(10).select(F.col("id"))
+    outs = dux.write_named(
+        df,
+        {
+            "even": (lambda d: d.where(F.col("id") % 2 == 0), Dataset(spark, str(tmp_path / "even"))),
+            "odd": (lambda d: d.where(F.col("id") % 2 == 1), Dataset(spark, str(tmp_path / "odd"))),
+        },
+    )
+    assert sorted(r.id for r in outs["even"].read().collect()) == [0, 2, 4, 6, 8]
+    assert sorted(r.id for r in outs["odd"].read().collect()) == [1, 3, 5, 7, 9]
+
+
+def test_dux_partitioned_routing(spark, tmp_path):
+    """dux/prefix-* → partitionBy(route_col) (dux_test.clj:18-46)."""
+    df = spark.createDataFrame([("a", 1), ("b", 2), ("a", 3)], ["k", "v"])
+    out = dux.write_partitioned(df, Dataset(spark, str(tmp_path / "routed")), ["k"])
+    dirs = sorted(d for d in os.listdir(tmp_path / "routed") if d.startswith("k="))
+    assert dirs == ["k=a", "k=b"]
+    assert sorted((r.k, r.v) for r in out.read().collect()) == [("a", 1), ("a", 3), ("b", 2)]
+
+
+def test_pipeline_end_to_end(spark, tmp_path):
+    """pg/input→map→reduce→output→re-input round-trip (graph.clj)."""
+    lines = spark.createDataFrame([("a b a",), ("b c",)], ["value"])
+    p = (
+        Pipeline.input(lines)
+        .map(lambda df: df.select(F.explode(F.split("value", " ")).alias("w")))
+        .reduce(["w"], F.count("*").alias("n"))
+        .output(Dataset(spark, str(tmp_path / "wc")))
+    )
+    assert sorted(tuple(r) for r in p.collect()) == [("a", 2), ("b", 2), ("c", 1)]
+
+
+def test_pipeline_parallel_execute(spark):
+    a = Pipeline.input(spark.range(5)).reduce([], F.sum("id").alias("s"))
+    b = Pipeline.input(spark.range(10)).reduce([], F.count("*").alias("n"))
+    ra, rb = execute(a, b)
+    assert ra[0]["s"] == 10 and rb[0]["n"] == 10
+
+
+def test_broadcast_value_filter(spark):
+    """dval broadcast-filter pattern (dval_test.clj:12-46)."""
+    words = broadcast_value(spark, {"blue", "baz"})
+    df = spark.createDataFrame([("blue",), ("red",), ("baz",)], ["w"])
+    got = sorted(
+        r.w for r in df.rdd.filter(lambda row: row.w in words.value).toDF().collect()
+    )
+    assert got == ["baz", "blue"]
+
+
+def test_streaming_tumbling_matches_batch(spark, sf_dir):
+    from parkour_spark.streaming.windows import read_stream, run_to_completion, tumbling_agg
+    import tempfile
+
+    ev = load_table(spark, sf_dir, "events")
+    tmp = tempfile.mkdtemp(prefix="stream_test_")
+    ev.write.mode("overwrite").parquet(tmp)
+    agg = tumbling_agg(
+        read_stream(spark, tmp, ev.schema, max_files=2),
+        "ts", "1 hour", ["event_type"], [F.count("*").alias("n")],
+    )
+    got = run_to_completion(agg, "complete")
+    batch = ev.groupBy(F.window("ts", "1 hour"), "event_type").agg(F.count("*").alias("n"))
+    assert sorted((str(r["window"]), r["event_type"], r["n"]) for r in got.collect()) == sorted(
+        (str(r["window"]), r["event_type"], r["n"]) for r in batch.collect()
+    )
+
+
+def test_streaming_session_window(spark, sf_dir):
+    from parkour_spark.streaming.windows import read_stream, run_to_completion, session_agg
+    import tempfile
+
+    ev = load_table(spark, sf_dir, "events")
+    tmp = tempfile.mkdtemp(prefix="stream_sess_")
+    ev.write.mode("overwrite").parquet(tmp)
+    agg = session_agg(
+        read_stream(spark, tmp, ev.schema, max_files=5),
+        "ts", "30 minutes", ["user_id"], [F.count("*").alias("n")],
+    )
+    got = run_to_completion(agg, "complete")
+    # session counts must sum to total events per user
+    per_user = {r["user_id"]: r["total"] for r in
+                got.groupBy("user_id").agg(F.sum("n").alias("total")).collect()}
+    expect = {r["user_id"]: r["n"] for r in
+              ev.groupBy("user_id").agg(F.count("*").alias("n")).collect()}
+    assert per_user == expect
+
+
+def test_stateful_apply_running_count(spark, sf_dir):
+    """applyInPandasWithState: per-user running event count."""
+    import tempfile
+
+    import pandas as pd
+    from pyspark.sql.streaming.state import GroupStateTimeout
+
+    from parkour_spark.streaming.windows import read_stream
+
+    ev = load_table(spark, sf_dir, "events").select("user_id", "event_id")
+    tmp = tempfile.mkdtemp(prefix="stream_state_")
+    ev.write.mode("overwrite").parquet(tmp)
+
+    def count_events(key, pdfs, state):
+        total = state.get[0] if state.exists else 0
+        for pdf in pdfs:
+            total += len(pdf)
+        state.update((total,))
+        yield pd.DataFrame({"user_id": [key[0]], "n": [total]})
+
+    stream = read_stream(spark, tmp, ev.schema, max_files=10)
+    out = stream.groupBy("user_id").applyInPandasWithState(
+        count_events, "user_id long, n long", "n long", "update",
+        GroupStateTimeout.NoTimeout,
+    )
+    q = out.writeStream.outputMode("update").format("memory").queryName("state_t").start()
+    try:
+        q.processAllAvailable()
+    finally:
+        q.stop()
+    final = spark.sql("SELECT user_id, max(n) AS n FROM state_t GROUP BY user_id")
+    got = {r["user_id"]: r["n"] for r in final.collect()}
+    expect = {r["user_id"]: r["cnt"] for r in
+              ev.groupBy("user_id").agg(F.count("*").alias("cnt")).collect()}
+    assert got == expect
+
+
+def test_multimodal_plumbing(spark):
+    from parkour_spark.operators import multimodal as MM
+
+    blobs = spark.createDataFrame(
+        [(1, b"hello"), (2, b"world"), (3, None)], "media_id long, payload binary"
+    )
+    fp = {r.media_id: r.fp for r in MM.binary_fingerprint(blobs).collect()}
+    assert fp[1] == "5d41402abc4b2a76b9719d911017c592"  # md5("hello")
+    assert fp[3] is None
+    feats = {r.media_id: r.features for r in MM.decode_image_features(blobs).collect()}
+    assert len(feats[1]) == 16 and feats[3] is None
+    assert feats[1] == MM.decode_image_features(blobs).collect()[0].features  # deterministic
+    with pytest.raises(NotImplementedError):
+        MM.resize_images(blobs, 10, 10)
+
+
+def test_dataset_roundtrip_and_introspection(spark, tmp_path):
+    ds = Dataset(spark, str(tmp_path / "ds"))
+    df = spark.range(5)
+    back = ds.write(df)
+    assert sorted(r.id for r in back.read().collect()) == [0, 1, 2, 3, 4]
+    assert len(back.input_files()) >= 1
