@@ -743,6 +743,130 @@ def q_above_avg(spark, sf_dir):
     )
 
 
+@query(
+    "asof_purchase_view",
+    """
+    SELECT p.event_id, p.user_id, v.event_id AS view_event_id
+    FROM (SELECT * FROM events WHERE event_type = 'purchase') p
+    ASOF LEFT JOIN (SELECT * FROM events WHERE event_type = 'view') v
+      ON p.user_id = v.user_id AND p.ts >= v.ts
+    """,
+)
+def q_asof(spark, sf_dir):
+    """As-of join (operators.asof): each purchase matched to the user's
+    most recent prior view. Union-sort implementation — one shuffle on
+    user_id, no pandas, no per-key materialization."""
+    from parkour_spark.operators.asof import asof_join
+
+    ev = _t(spark, sf_dir, "events")
+    purchases = ev.where(F.col("event_type") == "purchase").select(
+        "event_id", "user_id", F.unix_micros("ts").alias("t_us")
+    )
+    views = ev.where(F.col("event_type") == "view").select(
+        F.col("event_id").alias("view_event_id"),
+        "user_id",
+        F.unix_micros("ts").alias("vt_us"),
+    )
+    return asof_join(
+        purchases, views, ["user_id"], "t_us", "vt_us", ["view_event_id"]
+    ).select("event_id", "user_id", "view_event_id")
+
+
+@query(
+    "range_join_quantity_bands",
+    """
+    WITH bands AS (
+      SELECT "range" * 5 AS lo, ("range" + 1) * 5 AS hi,
+             'b' || "range" AS band
+      FROM range(0, 11))
+    SELECT band, count(*) AS n
+    FROM lineitem JOIN bands ON l_quantity >= lo AND l_quantity < hi
+    GROUP BY band
+    """,
+)
+def q_range_join(spark, sf_dir):
+    """Range join (operators.asof.range_join): bucketized interval join —
+    equi-join on bucket + residual filter, never a nested loop over the
+    fact table."""
+    from parkour_spark.operators.asof import range_join
+
+    li = _t(spark, sf_dir, "lineitem")
+    bands = spark.range(0, 11).select(
+        (F.col("id") * 5).cast("double").alias("lo"),
+        ((F.col("id") + 1) * 5).cast("double").alias("hi"),
+        F.concat(F.lit("b"), F.col("id")).alias("band"),
+    )
+    joined = range_join(li, bands, "l_quantity", "lo", "hi", bucket_width=5.0)
+    return joined.groupBy("band").agg(F.count("*").alias("n"))
+
+
+@query(
+    "json_props_sum",
+    """
+    SELECT event_type,
+           sum(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS k_total,
+           count(*) AS n
+    FROM events GROUP BY event_type
+    """,
+)
+def q_json_props(spark, sf_dir):
+    """Semi-structured column handling: JSON path extraction JVM-side
+    (get_json_object), no Python."""
+    ev = _t(spark, sf_dir, "events")
+    return ev.groupBy("event_type").agg(
+        F.sum(F.get_json_object("props", "$.k").cast("bigint")).alias("k_total"),
+        F.count("*").alias("n"),
+    )
+
+
+@query(
+    "order_gaps",
+    """
+    SELECT o_custkey, count(*) AS n_gaps, sum(gap_secs) AS total_gap_secs
+    FROM (
+      SELECT o_custkey,
+             CAST(epoch(o_orderdate) AS BIGINT)
+               - lag(CAST(epoch(o_orderdate) AS BIGINT))
+               OVER (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey)
+               AS gap_secs
+      FROM orders)
+    WHERE gap_secs IS NOT NULL
+    GROUP BY o_custkey
+    """,
+)
+def q_order_gaps(spark, sf_dir):
+    """lead/lag window family: inter-order gaps per customer (exact
+    integer seconds — no float accumulation)."""
+    orders = _t(spark, sf_dir, "orders")
+    w = Window.partitionBy("o_custkey").orderBy("o_orderdate", "o_orderkey")
+    gaps = orders.select(
+        "o_custkey",
+        (F.unix_timestamp("o_orderdate") - F.lag(F.unix_timestamp("o_orderdate")).over(w)).alias(
+            "gap_secs"
+        ),
+    ).where(F.col("gap_secs").isNotNull())
+    return gaps.groupBy("o_custkey").agg(
+        F.count("*").alias("n_gaps"), F.sum("gap_secs").alias("total_gap_secs")
+    )
+
+
+@query(
+    "events_user_counts",
+    """
+    SELECT event_type, count(DISTINCT user_id) AS n_users, count(*) AS n
+    FROM events GROUP BY event_type
+    """,
+)
+def q_user_counts(spark, sf_dir):
+    """Exact distinct-count (the approximate path at 100 TB is
+    approx_count_distinct/HLL — sketch algorithms differ across engines,
+    so the oracle uses exact)."""
+    ev = _t(spark, sf_dir, "events")
+    return ev.groupBy("event_type").agg(
+        F.countDistinct("user_id").alias("n_users"), F.count("*").alias("n")
+    )
+
+
 # ===========================================================================
 # Streaming (Structured Streaming over a finite file source, full oracle)
 # ===========================================================================
