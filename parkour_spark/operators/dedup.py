@@ -39,14 +39,48 @@ def _features(text_col: str, ngram_n: int) -> F.Column:
     return F.array_distinct(shingles(F.col(text_col), ngram_n))
 
 
-def _parallelize_scan(df: DataFrame) -> DataFrame:
+def _features_df(
+    df: DataFrame, text_col: str, id_col: str, ngram_n: int, out: str = "toks",
+    widen: bool = True,
+) -> DataFrame:
+    """(id, feature-set) with the tokenization staged in its own
+    projection: `shingles(text)` as one expression inlines the token
+    split 4× (size, sequence bound, slice source, short-doc fallback),
+    which bloats the generated code — per-query codegen+JIT time is the
+    dominant *cold* cost of the dedup family. Staging keeps each
+    projection's tree small; CollapseProject won't inline the non-cheap
+    token array because it is consumed more than once."""
+    base = _parallelize_scan(df.select(F.col(id_col), F.col(text_col)), widen=widen)
+    toked = base.select(
+        F.col(id_col), tokens(F.lower(F.col(text_col))).alias("__toks")
+    )
+    if ngram_n <= 1:
+        return toked.select(F.col(id_col), F.array_distinct("__toks").alias(out))
+    t = F.col("__toks")
+    k = F.size(t)
+    idx = F.sequence(F.lit(0), F.greatest(k - ngram_n, F.lit(0)))
+    sh = F.when(
+        k >= ngram_n,
+        F.transform(idx, lambda i: F.concat_ws(" ", F.slice(t, i + 1, ngram_n))),
+    ).otherwise(F.array(F.concat_ws(" ", t)))
+    return toked.select(F.col(id_col), F.array_distinct(sh).alias(out))
+
+
+def _parallelize_scan(df: DataFrame, widen: bool = True) -> DataFrame:
     """Spread compute-heavy per-row work across all cores.
 
     Small inputs (one parquet file / one row group) arrive as a single
     partition; expensive scan-side expressions (md5 signatures over
     shingle arrays) would then run on one core. At 100 TB inputs arrive
     pre-split, so this is a no-op (only repartitions when below the
-    session's default parallelism)."""
+    session's default parallelism).
+
+    Pass widen=False when `df` is already downstream of a shuffle: its
+    partitioning is fine, and under AQE `df.rdd.getNumPartitions()` on a
+    non-scan plan EXECUTES the upstream stages just to finalize the
+    partition count — a silent extra pass over the data."""
+    if not widen:
+        return df
     target = df.sparkSession.sparkContext.defaultParallelism
     if df.rdd.getNumPartitions() < target:
         return df.repartition(target)
@@ -71,33 +105,75 @@ def exact_dedup(df: DataFrame, text_col: str = "text", id_col: str = "doc_id") -
 # MinHash + LSH
 # ---------------------------------------------------------------------------
 
+# Universal-hash family over the Mersenne prime 2^31-1: h_i(x) =
+# (a_i*x + b_i) mod P with x < P, a_i,b_i < P keeps every product under
+# 2^62 — safe in ANSI-mode Spark *and* DuckDB BIGINT arithmetic (no
+# wraparound multiplies available in either), yet each h_i is an
+# independent permutation proxy (unlike h1 + i*h2 double hashing, whose
+# argmin is dominated by h1 — correlated signatures collapse LSH recall
+# and explode candidate counts).
+MINHASH_P = (1 << 31) - 1
+
+
+def minhash_params(num_hashes: int) -> list[tuple[int, int]]:
+    """Deterministic (a_i, b_i) pairs — closed-form so the DuckDB oracle
+    embeds the identical constants."""
+    out = []
+    for i in range(num_hashes):
+        a = (2654435761 * (i + 1)) % MINHASH_P or 1
+        b = (40503 * (i + 1) * 65537 + 12345) % MINHASH_P
+        out.append((a, b))
+    return out
+
 
 def minhash_signature(
     df: DataFrame, text_col: str = "text", id_col: str = "doc_id", num_hashes: int = 12,
     ngram_n: int = 3,
 ) -> DataFrame:
-    """(id, sig_0..sig_{k-1}) — sig_i = min over shingles of
-    md5('<i>:' || shingle). Computed entirely scan-side (no shuffle).
+    """(id, sig_0..sig_{k-1}): sig_i = min over shingles of
+    (a_i * x + b_i) mod P, x = first 8 md5 hex chars of the shingle.
+    Computed entirely scan-side (no shuffle), ONE digest per feature
+    instead of num_hashes — the md5 is the dominant cost at scale.
 
-    The feature array is staged in its own projection so the (expensive)
-    shingle construction is evaluated once per row, not once per
-    signature column — Catalyst keeps the stage because it refuses to
-    collapse projects that would duplicate non-cheap expressions."""
-    staged = _parallelize_scan(
-        df.select(F.col(id_col), _features(text_col, ngram_n).alias("__feats"))
+    All num_hashes minima are folded in a single `aggregate` pass with an
+    array<long> accumulator (not num_hashes separate transform/array_min
+    expressions): one small expression tree instead of k large ones keeps
+    per-query planning+JIT time — the dominant cold cost — flat in k.
+    Each stage lives in its own projection so the expensive array exprs
+    are evaluated once per row (CollapseProject refuses to inline
+    non-cheap expressions used more than once)."""
+    params = minhash_params(num_hashes)
+    a_arr = F.array(*[F.lit(a) for a, _ in params])  # foldable → hoisted
+    b_arr = F.array(*[F.lit(b) for _, b in params])
+    staged = _features_df(df, text_col, id_col, ngram_n, out="__feats")
+    hashed = staged.select(
+        F.col(id_col), F.transform("__feats", F.md5).alias("__md5")
     )
-
-    # NB: closure factory, not default-arg lambdas — PySpark's higher-order
-    # wrappers pass the element *index* to any extra lambda parameter.
-    def hasher(i: int):
-        return lambda t: F.md5(F.concat(F.lit(f"{i}:"), t))
-
-    cols = [F.col(id_col)]
-    for i in range(num_hashes):
-        cols.append(
-            F.array_min(F.transform("__feats", hasher(i))).alias(f"sig_{i}")
-        )
-    return staged.select(*cols)
+    parsed = hashed.select(
+        F.col(id_col),
+        F.transform(
+            "__md5",
+            lambda h: F.conv(F.substring(h, 1, 8), 16, 10).cast("long") % MINHASH_P,
+        ).alias("__x"),
+    )
+    init = F.array_repeat(F.lit(MINHASH_P).cast("long"), num_hashes)
+    mins = F.aggregate(
+        "__x",
+        init,
+        lambda acc, x: F.transform(
+            acc,
+            lambda m, i: F.least(
+                m,
+                (F.element_at(a_arr, i + 1) * x + F.element_at(b_arr, i + 1))
+                % MINHASH_P,
+            ),
+        ),
+    )
+    sigs = parsed.select(F.col(id_col), mins.alias("__sigs"))
+    return sigs.select(
+        F.col(id_col),
+        *[F.col("__sigs")[i].alias(f"sig_{i}") for i in range(num_hashes)],
+    )
 
 
 def lsh_bands(sig_df: DataFrame, id_col: str = "doc_id", num_hashes: int = 12, bands: int = 4) -> DataFrame:
@@ -123,38 +199,63 @@ def minhash_candidates(
     ngram_n: int = 3,
 ) -> DataFrame:
     """Candidate near-dup pairs (a < b) sharing ≥1 LSH band bucket.
-    The self-join is an equi-join on band_key — shuffle-bounded, never
-    cartesian."""
+
+    Shape: ONE shuffle — groupBy(band_key) collects each bucket's ids,
+    then pairs explode inside the bucket (flatten of a triangular
+    transform). No self-join, so the signature lineage is consumed once
+    and nothing needs persisting; bucket sizes bound the fan-out (b²
+    pairs per bucket — at cluster scale cap or drop over-common buckets
+    before exploding; a hot band key is a skew key)."""
     b = lsh_bands(
         minhash_signature(df, text_col, id_col, num_hashes, ngram_n), id_col, num_hashes, bands
     )
-    # The self-join would otherwise evaluate the signature lineage twice;
-    # the bands table is tiny relative to the corpus (id + band key), so
-    # cache it. At cluster scale this would be a checkpoint/bucketed write.
-    b = b.persist()
-    left = b.alias("l")
-    right = b.alias("r")
+    buckets = (
+        b.groupBy("band_key")
+        .agg(F.array_sort(F.collect_set(id_col)).alias("__ids"))
+        .where(F.size("__ids") > 1)
+    )
+    ids = F.col("__ids")
+    pair_expr = F.flatten(
+        F.transform(
+            ids,
+            lambda x, i: F.transform(
+                F.slice(ids, i + 2, F.size(ids)),
+                lambda y: F.struct(x.alias("id_a"), y.alias("id_b")),
+            ),
+        )
+    )
     return (
-        left.join(right, on="band_key")
-        .where(F.col(f"l.{id_col}") < F.col(f"r.{id_col}"))
-        .select(F.col(f"l.{id_col}").alias("id_a"), F.col(f"r.{id_col}").alias("id_b"))
+        buckets.select(F.explode(pair_expr).alias("__p"))
+        .select("__p.id_a", "__p.id_b")
         .distinct()
     )
 
 
-def _feature_sets(df: DataFrame, text_col: str, id_col: str, ngram_n: int = 3) -> DataFrame:
-    return _parallelize_scan(
-        df.select(F.col(id_col), _features(text_col, ngram_n).alias("toks"))
-    )
+def _feature_sets(
+    df: DataFrame, text_col: str, id_col: str, ngram_n: int = 3, widen: bool = True
+) -> DataFrame:
+    return _features_df(df, text_col, id_col, ngram_n, out="toks", widen=widen)
 
 
 def jaccard_verify(
     candidates: DataFrame, df: DataFrame, text_col: str = "text", id_col: str = "doc_id",
     threshold: float = 0.5, ngram_n: int = 3,
 ) -> DataFrame:
-    """Exact feature-set Jaccard on candidate pairs only (joins back the
-    feature sets; cost ∝ |candidates|, not |df|²)."""
-    ts = _feature_sets(df, text_col, id_col, ngram_n)
+    """Exact feature-set Jaccard on candidate pairs only. Feature sets
+    are computed solely for docs that appear in a candidate pair (semi-
+    join first), then persisted for the two join sides — cost ∝
+    |candidate docs|, not |df| and never |df|²."""
+    ids = (
+        candidates.select(F.col("id_a").alias(id_col))
+        .union(candidates.select(F.col("id_b").alias(id_col)))
+        .distinct()
+    )
+    # widen=False: the semi-join output is already shuffle-partitioned,
+    # and probing its partition count would re-execute the candidate
+    # lineage under AQE
+    ts = _feature_sets(
+        df.join(ids, id_col, "leftsemi"), text_col, id_col, ngram_n, widen=False
+    ).persist()
     a = ts.select(F.col(id_col).alias("id_a"), F.col("toks").alias("toks_a"))
     bb = ts.select(F.col(id_col).alias("id_b"), F.col("toks").alias("toks_b"))
     jac = F.size(F.array_intersect("toks_a", "toks_b")) / F.size(
@@ -173,8 +274,10 @@ def minhash_dedup_pairs(
     num_hashes: int = 12, bands: int = 4, threshold: float = 0.8, ngram_n: int = 3,
 ) -> DataFrame:
     """Full MinHash-LSH near-dup pipeline: LSH candidates → exact Jaccard
-    verification → pairs over threshold."""
-    cand = minhash_candidates(df, text_col, id_col, num_hashes, bands, ngram_n)
+    verification → pairs over threshold. Candidates are persisted — the
+    verify stage consumes them three times (two id projections + the
+    pair join) and the pair set is tiny relative to the corpus."""
+    cand = minhash_candidates(df, text_col, id_col, num_hashes, bands, ngram_n).persist()
     return jaccard_verify(cand, df, text_col, id_col, threshold, ngram_n)
 
 
@@ -232,9 +335,7 @@ def simhash(
     Column-expression only, staged (feature hashes computed once per
     row), JVM-side, no shuffle."""
     nhex = bits // 4
-    staged = _parallelize_scan(
-        df.select(F.col(id_col), _features(text_col, ngram_n).alias("__toks"))
-    )
+    staged = _features_df(df, text_col, id_col, ngram_n, out="__toks")
     tok_hash = F.transform(
         "__toks", lambda t: F.conv(F.substring(F.md5(t), 1, nhex), 16, 10).cast("long")
     )

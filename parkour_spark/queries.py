@@ -1043,10 +1043,15 @@ _SHINGLES_SQL = (
 
 
 def _minhash_oracle(num_hashes: int = 12, bands: int = 4, threshold: float = 0.8) -> str:
+    from parkour_spark.operators.dedup import MINHASH_P, minhash_params
+
     rpb = num_hashes // bands
+    # mirrors operators.dedup.minhash_signature: one md5 per shingle,
+    # x = hex[1:8] mod P, sig_i = min((a_i*x + b_i) mod P)
+    x = f"(('0x' || substr(md5(x), 1, 8))::BIGINT % {MINHASH_P})"
     sig_cols = ",\n       ".join(
-        f"list_min(list_transform(t, x -> md5('{i}:' || x))) AS sig_{i}"
-        for i in range(num_hashes)
+        f"list_min(list_transform(t, x -> ({a} * {x} + {b}) % {MINHASH_P})) AS sig_{i}"
+        for i, (a, b) in enumerate(minhash_params(num_hashes))
     )
     band_keys = ", ".join(
         "'" + str(b) + "|' || " + " || '|' || ".join(f"sig_{b * rpb + r}" for r in range(rpb))
