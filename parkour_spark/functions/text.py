@@ -79,6 +79,78 @@ def fingerprint(text: Column | str) -> Column:
     return F.md5(F.regexp_replace(F.lower(F.trim(c)), WHITESPACE, " "))
 
 
+# GPT-2-style pre-tokenizer shape, restricted to constructs RE2 and Java
+# regex share (no lookahead): a leading optional space glued to a letter
+# run, digit run, or punctuation run. ASCII classes so both engines
+# agree on every byte.
+BPE_SPLIT_RE = r" ?[A-Za-z]+| ?[0-9]+| ?[^A-Za-z0-9\s]+"
+
+# Frequent English character trigrams — the classic n-gram language-ID
+# profile, small enough to inline in a regex alternation.
+EN_TRIGRAMS = ("the", "and", "ing", "ion", "ent", "her", "for", "tha", "hat", "ere")
+
+
+def subword_count(text: Column | str) -> Column:
+    """BPE-ish token count: number of pre-tokenizer matches (letter runs,
+    digit runs, punctuation runs, each with optional leading space) — the
+    standard proxy for LLM token budgeting, JVM-side regexp_count."""
+    c = F.col(text) if isinstance(text, str) else text
+    return F.regexp_count(c, F.lit(BPE_SPLIT_RE))
+
+
+def langid_ngram(text: Column | str, per_chars: float = 20.0, min_hits: float = 1.0) -> Column:
+    """Character-n-gram language ID: density of frequent English trigrams
+    per `per_chars` characters; 'en' when density ≥ min_hits. A real
+    multi-language model swaps in per-language trigram profiles scored
+    the same way (argmax over densities)."""
+    c = F.col(text) if isinstance(text, str) else text
+    hits = F.regexp_count(F.lower(c), F.lit("(" + "|".join(EN_TRIGRAMS) + ")"))
+    density = hits * per_chars / F.greatest(F.length(c), F.lit(1))
+    return F.when(density >= min_hits, F.lit("en")).otherwise(F.lit("unk"))
+
+
+def normalize_text(text: Column | str) -> Column:
+    """Whitespace-normalized lowercase text — the canonical form for
+    fingerprinting. Materialize this as its own column BEFORE feeding it
+    to a per-character lambda: an expression referenced inside a
+    higher-order-function lambda is re-evaluated per array element, so an
+    inlined regexp_replace turns O(len) work into O(len²)."""
+    c = F.col(text) if isinstance(text, str) else text
+    return F.regexp_replace(F.lower(F.trim(c)), WHITESPACE, " ")
+
+
+def kgram_hashes(norm: Column | str, k: int = 8) -> Column:
+    """Stage 1 of winnowing fingerprints (Schleimer/Wilkerson/Aiken):
+    32-bit hashes of character k-grams. `norm` MUST be a materialized
+    normalized-text column (see normalize_text) — the lambda reads it per
+    element. One md5 per k-gram; a Rabin-Karp rolling hash inside a
+    Pandas UDF is the alternative when the per-doc k-gram count is
+    huge."""
+    c = F.col(norm) if isinstance(norm, str) else norm
+    n_grams = F.greatest(F.length(c) - (k - 1), F.lit(1))
+    return F.transform(
+        F.sequence(F.lit(1), n_grams),
+        lambda i: F.conv(F.substring(F.md5(c.substr(i, F.lit(k))), 1, 8), 16, 10).cast(
+            "long"
+        ),
+    )
+
+
+def winnow_select(grams: Column, w: int = 8) -> Column:
+    """Stage 2 of winnowing: distinct per-window minima of the k-gram
+    hash array — two docs sharing any substring ≥ k+w-1 chars share a
+    fingerprint, so overlap detection is an equi-join on the exploded
+    (doc, fp) table, never a pairwise scan. Keep this in a separate
+    projection from kgram_hashes so the gram array is computed once."""
+    n_windows = F.greatest(F.size(grams) - (w - 1), F.lit(1))
+    return F.array_distinct(
+        F.transform(
+            F.sequence(F.lit(1), n_windows),
+            lambda j: F.array_min(F.slice(grams, j, w)),
+        )
+    )
+
+
 def shingles(text: Column | str, n: int = 3) -> Column:
     """Word n-gram shingles (for MinHash/Jaccard dedup): array of
     space-joined n-token windows. Pure Column expression via transform

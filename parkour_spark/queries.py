@@ -1017,6 +1017,88 @@ def q_fingerprints(spark, sf_dir):
     return docs.select("doc_id", fingerprint("text").alias("fp"))
 
 
+@query(
+    "subword_token_count",
+    """
+    SELECT doc_id,
+           len(regexp_extract_all(text, ' ?[A-Za-z]+| ?[0-9]+| ?[^A-Za-z0-9\\s]+')) AS n_subwords,
+           len(regexp_extract_all(text, '\\S+')) AS n_ws_tokens
+    FROM documents
+    """,
+)
+def q_subword_count(spark, sf_dir):
+    """BPE-ish token counting (functions.text.subword_count): GPT-2-style
+    pre-tokenizer runs counted JVM-side with regexp_count — the LLM
+    token-budget proxy, next to the plain whitespace count."""
+    from parkour_spark.functions.text import subword_count
+
+    docs = _t(spark, sf_dir, "documents")
+    return docs.select(
+        "doc_id",
+        subword_count("text").alias("n_subwords"),
+        token_count("text").alias("n_ws_tokens"),
+    )
+
+
+@query(
+    "lang_id_ngram",
+    """
+    SELECT doc_id,
+           CASE WHEN len(regexp_extract_all(lower(text),
+                    '(the|and|ing|ion|ent|her|for|tha|hat|ere)')) * 20.0
+                     / greatest(length(text), 1) >= 1.0
+                THEN 'en' ELSE 'unk' END AS lang_pred
+    FROM documents
+    """,
+)
+def q_lang_id_ngram(spark, sf_dir):
+    """Character-trigram language ID (functions.text.langid_ngram):
+    density of frequent English trigrams — the n-gram-profile heuristic,
+    complementing the stopword-ratio variant in `lang_id`."""
+    from parkour_spark.functions.text import langid_ngram
+
+    docs = _t(spark, sf_dir, "documents")
+    return docs.select("doc_id", langid_ngram("text").alias("lang_pred"))
+
+
+@query(
+    "winnow_fingerprints",
+    """
+    WITH norm AS (
+      SELECT doc_id, regexp_replace(lower(trim(text)), '\\s+', ' ', 'g') AS nt
+      FROM documents),
+    grams AS (
+      SELECT doc_id,
+             list_transform(range(1, greatest(length(nt) - 7, 1) + 1),
+               i -> ('0x' || substr(md5(substr(nt, i, 8)), 1, 8))::BIGINT) AS g
+      FROM norm),
+    fps AS (
+      SELECT doc_id,
+             list_distinct(list_transform(range(1, greatest(len(g) - 7, 1) + 1),
+               j -> list_min(g[j:j+7]))) AS fp_set
+      FROM grams)
+    SELECT doc_id, unnest(fp_set) AS fp FROM fps
+    """,
+)
+def q_winnow(spark, sf_dir):
+    """Winnowing fingerprints (functions.text.kgram_hashes +
+    winnow_select): k=8 char-gram rolling hashes, w=8 window minima,
+    exploded to (doc_id, fp) — substring-overlap detection becomes an
+    equi-join on fp."""
+    from parkour_spark.functions.text import kgram_hashes, normalize_text, winnow_select
+
+    docs = _t(spark, sf_dir, "documents")
+    normed = docs.select(F.col("doc_id"), normalize_text("text").alias("__nt"))
+    grams = normed.select(F.col("doc_id"), kgram_hashes("__nt", k=8).alias("__g"))
+    fps = grams.select(F.col("doc_id"), winnow_select(F.col("__g"), w=8).alias("__fps"))
+    # explode_outer, NOT explode: plain explode adds a size(arr)>0 filter
+    # that predicate-pushdown rewrites below the staged projections,
+    # inlining the whole three-stage lambda pipeline into one giant
+    # Filter expression (compile explosion). The fp set is never empty,
+    # so the two are semantically identical here.
+    return fps.select("doc_id", F.explode_outer("__fps").alias("fp"))
+
+
 # ===========================================================================
 # LLM-pipeline: dedup
 # ===========================================================================
@@ -1182,5 +1264,69 @@ def q_knn(spark, sf_dir):
     )
     corpus = emb.where(F.col("vec_id") >= 5)
     return SIM.brute_force_topk(corpus, queries, k=10).select(
+        "query_id", "vec_id", "rank", "cos"
+    )
+
+
+def _cos_sql(a: str, b: str) -> str:
+    return (
+        f"(list_dot_product({a}::DOUBLE[], {b}::DOUBLE[])"
+        f" / (sqrt(list_dot_product({a}::DOUBLE[], {a}::DOUBLE[]))"
+        f" * sqrt(list_dot_product({b}::DOUBLE[], {b}::DOUBLE[]))))"
+    )
+
+
+def _ivf_oracle(n_cent: int = 16, nprobe: int = 4, k: int = 10) -> str:
+    return f"""
+    WITH cent AS (SELECT vec_id AS cid, embedding AS cvec FROM embeddings
+                  WHERE vec_id >= 5 AND vec_id < {5 + n_cent}),
+    q AS (SELECT vec_id AS query_id, embedding AS qvec FROM embeddings WHERE vec_id < 5),
+    c AS (SELECT vec_id, embedding FROM embeddings WHERE vec_id >= 5),
+    assign AS (
+      SELECT vec_id, cid FROM (
+        SELECT c.vec_id, cent.cid,
+               row_number() OVER (PARTITION BY c.vec_id
+                 ORDER BY {_cos_sql('c.embedding', 'cent.cvec')} DESC, cent.cid) AS rn
+        FROM c CROSS JOIN cent) WHERE rn = 1),
+    probes AS (
+      SELECT query_id, cid FROM (
+        SELECT q.query_id, cent.cid,
+               row_number() OVER (PARTITION BY q.query_id
+                 ORDER BY {_cos_sql('q.qvec', 'cent.cvec')} DESC, cent.cid) AS rn
+        FROM q CROSS JOIN cent) WHERE rn <= {nprobe}),
+    scored AS (
+      SELECT p.query_id, c.vec_id,
+             round({_cos_sql('c.embedding', 'q.qvec')}, 4) AS cos
+      FROM probes p JOIN assign a USING (cid)
+      JOIN c ON a.vec_id = c.vec_id
+      JOIN q ON p.query_id = q.query_id)
+    SELECT query_id, vec_id, rank, cos FROM (
+      SELECT *, row_number() OVER (PARTITION BY query_id ORDER BY cos DESC, vec_id) AS rank
+      FROM scored)
+    WHERE rank <= {k}
+    """
+
+
+@query("ivf_topk_cosine", _ivf_oracle())
+def q_ivf(spark, sf_dir):
+    """IVF approximate nearest neighbor (operators.similarity.ivf_topk):
+    the 100 TB scale path for similarity search. Corpus vectors are
+    assigned to inverted lists scan-side (centroids inlined as literals —
+    no join, no shuffle); queries probe their nprobe nearest cells via a
+    broadcast equi-join. Centroids are deterministic seed vectors
+    (vec_id 5..20) so DuckDB reproduces the identical result; a real
+    deployment plugs k-means centroids into the same plan."""
+    emb = _t(spark, sf_dir, "embeddings")
+    cents = [
+        (int(r["vec_id"]), [float(x) for x in r["embedding"]])
+        for r in emb.where((F.col("vec_id") >= 5) & (F.col("vec_id") < 21))
+        .select("vec_id", "embedding")
+        .collect()
+    ]
+    queries = emb.where(F.col("vec_id") < 5).select(
+        F.col("vec_id").alias("query_id"), F.col("embedding").alias("query_vec")
+    )
+    corpus = emb.where(F.col("vec_id") >= 5)
+    return SIM.ivf_topk(corpus, queries, cents, k=10, nprobe=4).select(
         "query_id", "vec_id", "rank", "cos"
     )
