@@ -59,22 +59,49 @@ def limit(df: DataFrame, n: int) -> DataFrame:
     return df.limit(n)
 
 
-def zip_with_index(df: DataFrame, index_col: str = "index", order: Sequence[Column] | None = None) -> DataFrame:
-    """Global dense 0-based index, distributed.
+def zip_with_index(
+    df: DataFrame, index_col: str = "index", order: Sequence[Column] | None = None,
+    persist: bool = True,
+) -> DataFrame:
+    """Global dense 0-based index, distributed and JVM-only.
 
     The matrixify pattern (matrixify.clj:25-46): the reference runs a
     first job counting rows per reducer, prefix-sums the counts on the
-    driver, then a second job assigns offsets+local index. Spark's
-    `rdd.zipWithIndex` does exactly this (count-per-partition pass +
-    offset pass) without hand-built jobs. With `order` given, rows are
-    range-partition sorted first so the index is the rank in that order —
-    unlike a single-partition `row_number()` window, this scales.
+    driver, then a second job assigns offset + local index. Same two
+    phases here, but with zero Python in the data path (rdd.zipWithIndex
+    would pickle every row through the Python worker twice):
+    `monotonically_increasing_id` already encodes (partition id << 33) +
+    consecutive local index; phase 1 aggregates per-partition counts
+    (tiny: one row per partition), the driver prefix-sums them, and
+    phase 2 adds the offset via an inlined literal map. With `order`
+    given, rows are range-partition sorted first so the index is the
+    rank in that order — never a single-partition row_number window.
+
+    `persist` keeps the two phases consistent and pays the sort once;
+    disable it for huge inputs whose lineage is cheap to recompute.
+    Assumes < 2^33 rows per partition (the mid encoding's limit).
     """
     if order is not None:
         df = df.orderBy(*order)
-    schema = T.StructType(list(df.schema.fields) + [T.StructField(index_col, T.LongType(), False)])
-    rdd = df.rdd.zipWithIndex().map(lambda pair: (*pair[0], pair[1]))
-    return df.sparkSession.createDataFrame(rdd, schema)
+    base = df.withColumn("__mid", F.monotonically_increasing_id())
+    if persist:
+        base = base.persist()
+    pid = F.shiftright("__mid", 33)
+    counts = base.select(pid.alias("__pid")).groupBy("__pid").count().collect()
+    offsets: dict[int, int] = {}
+    acc = 0
+    for row in sorted(counts, key=lambda r: r["__pid"]):
+        offsets[row["__pid"]] = acc
+        acc += row["count"]
+    # one entry per non-empty partition; for deployments with 100k+
+    # partitions swap the literal map for a broadcast join on __pid
+    mapping = F.create_map(
+        *[F.lit(v) for p, off in offsets.items() for v in (p, off)]
+    )
+    local = F.col("__mid").bitwiseAND(F.lit((1 << 33) - 1))
+    return base.select(
+        *df.columns, (mapping[pid] + local).alias(index_col)
+    )
 
 
 def spark_partition_id(df: DataFrame, col_name: str = "partition_id") -> DataFrame:

@@ -452,12 +452,14 @@ def q_matrixify(spark, sf_dir):
     li = _t(spark, sf_dir, "lineitem")
     sup = _t(spark, sf_dir, "supplier")
     part = _t(spark, sf_dir, "part")
+    # persist: the aggregated edge list (small relative to lineitem) is
+    # consumed three times — row index, column index, and the final join
     edges = (
         J.broadcast_join(li, sup, li.l_suppkey == sup.s_suppkey)
         .join(F.broadcast(part), li.l_partkey == part.p_partkey)
         .groupBy("s_name", "p_name")
         .agg(F.round(F.sum("l_quantity"), 2).alias("w"))
-    )
+    ).persist()
     rows_idx = SRT.zip_with_index(
         edges.select("s_name").distinct(), "row_idx", order=[F.col("s_name")]
     )
