@@ -96,3 +96,38 @@ def secondary_sorted_partitions(df: DataFrame, group_key: str, *sort_keys: str) 
     consumers see each group's rows contiguous and ordered without
     materializing the group."""
     return df.repartition(group_key).sortWithinPartitions(group_key, *sort_keys)
+
+
+def salted_join(
+    left: DataFrame,
+    right: DataFrame,
+    on: str | list[str],
+    num_salts: int = 16,
+    how: str = "inner",
+) -> DataFrame:
+    """Skew-mitigating equi-join: left rows get a deterministic salt in
+    [0, num_salts) hashed from the full row, the right side is replicated
+    once per salt, and the join key becomes (keys..., salt) — each hot
+    key's rows spread over num_salts shuffle partitions instead of one
+    straggler reducer. The result is row-identical to the plain join
+    (each left row carries exactly one salt; exactly one right replica
+    matches it), so correctness is oracle-checkable against the unsalted
+    SQL join.
+
+    Only inner/left joins: replicating the right side would duplicate
+    its unmatched rows under right/full semantics. AQE's skew-join
+    handles sort-merge skew automatically; explicit salting still wins
+    when a single key exceeds what one task can hold, or when the join
+    is shuffled-hash. At scale prefer salting the known-hot keys only
+    (filter + union) — this operator salts uniformly for simplicity."""
+    if how not in ("inner", "left"):
+        raise ValueError(f"salted_join supports inner/left, got {how}")
+    keys = [on] if isinstance(on, str) else list(on)
+    salt = F.pmod(F.xxhash64(*[F.col(c) for c in left.columns]), F.lit(num_salts)).cast(
+        "int"
+    )
+    l_salted = left.withColumn("__salt", salt)
+    r_salted = right.withColumn(
+        "__salt", F.explode(F.sequence(F.lit(0), F.lit(num_salts - 1)))
+    )
+    return l_salted.join(r_salted, keys + ["__salt"], how).drop("__salt")

@@ -869,6 +869,101 @@ def q_user_counts(spark, sf_dir):
     )
 
 
+@query(
+    "salted_join_agg",
+    """
+    SELECT o_orderpriority, count(*) AS n, round(sum(l_extendedprice), 2) AS total
+    FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+    GROUP BY o_orderpriority
+    """,
+)
+def q_salted_join(spark, sf_dir):
+    """Skew-mitigating salted join (operators.joins.salted_join): hot
+    keys spread over num_salts shuffle partitions; row-identical to the
+    plain join, so the oracle is the unsalted SQL."""
+    li = _t(spark, sf_dir, "lineitem")
+    orders = _t(spark, sf_dir, "orders").select(
+        F.col("o_orderkey").alias("l_orderkey"), "o_orderpriority"
+    )
+    joined = J.salted_join(li, orders, "l_orderkey", num_salts=8)
+    return joined.groupBy("o_orderpriority").agg(
+        F.count("*").alias("n"), F.round(F.sum("l_extendedprice"), 2).alias("total")
+    )
+
+
+@query(
+    "time_bucket_rollup",
+    """
+    SELECT make_timestamp((floor(epoch_us(ts) / 900000000) * 900000000)::BIGINT) AS bucket,
+           event_type, count(*) AS n, round(sum(value), 2) AS total
+    FROM events GROUP BY bucket, event_type
+    """,
+)
+def q_time_bucket(spark, sf_dir):
+    """Hypertable-style rollup (functions.timeops.time_bucket):
+    arbitrary-width (15 min) buckets via exact microsecond arithmetic —
+    one shuffle, map-side partial agg."""
+    from parkour_spark.functions.timeops import time_bucket
+
+    ev = _t(spark, sf_dir, "events")
+    return ev.groupBy(
+        time_bucket("ts", 900).alias("bucket"), "event_type"
+    ).agg(F.count("*").alias("n"), F.round(F.sum("value"), 2).alias("total"))
+
+
+@query(
+    "grouping_sets_priority_status",
+    """
+    SELECT coalesce(o_orderpriority, '(all)') AS priority,
+           coalesce(o_orderstatus, '(all)') AS status,
+           count(*) AS n
+    FROM orders
+    GROUP BY GROUPING SETS ((o_orderpriority), (o_orderstatus), ())
+    """,
+)
+def q_grouping_sets(spark, sf_dir):
+    """Explicit GROUPING SETS (beyond rollup/cube): per-priority,
+    per-status, and grand-total rows in one pass."""
+    orders = _t(spark, sf_dir, "orders")
+    return (
+        orders.groupingSets(
+            [["o_orderpriority"], ["o_orderstatus"], []],
+            "o_orderpriority",
+            "o_orderstatus",
+        )
+        .agg(F.count("*").alias("n"))
+        .select(
+            F.coalesce("o_orderpriority", F.lit("(all)")).alias("priority"),
+            F.coalesce("o_orderstatus", F.lit("(all)")).alias("status"),
+            F.col("n"),
+        )
+    )
+
+
+@query(
+    "order_price_ranks",
+    """
+    SELECT o_orderkey,
+           ntile(4) OVER w AS quartile,
+           round(percent_rank() OVER w, 6) AS pr,
+           round(cume_dist() OVER w, 6) AS cd
+    FROM orders
+    WINDOW w AS (PARTITION BY o_orderpriority ORDER BY o_totalprice, o_orderkey)
+    """,
+)
+def q_price_ranks(spark, sf_dir):
+    """Ranking-window family: ntile / percent_rank / cume_dist per
+    priority group."""
+    orders = _t(spark, sf_dir, "orders")
+    w = Window.partitionBy("o_orderpriority").orderBy("o_totalprice", "o_orderkey")
+    return orders.select(
+        "o_orderkey",
+        F.ntile(4).over(w).alias("quartile"),
+        F.round(F.percent_rank().over(w), 6).alias("pr"),
+        F.round(F.cume_dist().over(w), 6).alias("cd"),
+    )
+
+
 # ===========================================================================
 # Streaming (Structured Streaming over a finite file source, full oracle)
 # ===========================================================================
