@@ -1005,6 +1005,141 @@ def q_streaming_hourly(spark, sf_dir):
     )
 
 
+@query(
+    "streaming_sliding_30m",
+    """
+    WITH w AS (
+      SELECT make_timestamp(((floor(epoch_us(ts) / 1800000000) * 1800000000)
+                             - off)::BIGINT) AS wstart,
+             event_type, value
+      FROM events, (SELECT unnest([0, 1800000000]) AS off) offs)
+    SELECT strftime(wstart, '%Y-%m-%d %H:%M') AS wstart, event_type,
+           count(*) AS n, round(sum(value), 2) AS total
+    FROM w GROUP BY 1, 2
+    """,
+)
+def q_streaming_sliding(spark, sf_dir):
+    """Sliding-window streaming aggregation (1 h window, 30 min slide)
+    driven over a finite file source. Each event lands in exactly
+    window/slide = 2 epoch-aligned windows; the oracle materializes both
+    window starts per event and aggregates — provably the same
+    assignment Spark's F.window(ts, w, s) makes."""
+    import tempfile
+
+    from parkour_spark.streaming.windows import read_stream, run_to_completion, sliding_agg
+
+    ev = _t(spark, sf_dir, "events")
+    tmp = tempfile.mkdtemp(prefix="parkour_stream_")
+    ev.write.mode("overwrite").parquet(tmp)
+    stream = read_stream(spark, tmp, ev.schema, max_files=4)
+    agg = sliding_agg(
+        stream,
+        "ts",
+        "1 hour",
+        "30 minutes",
+        ["event_type"],
+        [F.count("*").alias("n"), F.round(F.sum("value"), 2).alias("total")],
+    )
+    result = run_to_completion(agg, output_mode="complete")
+    return result.select(
+        F.date_format(F.col("window.start"), "yyyy-MM-dd HH:mm").alias("wstart"),
+        "event_type",
+        "n",
+        "total",
+    )
+
+
+@query(
+    "streaming_session_30m",
+    """
+    WITH g AS (
+      SELECT user_id, ts, value,
+             CASE WHEN lag(ts) OVER (PARTITION BY user_id ORDER BY ts) IS NULL
+                  OR epoch_us(ts) - lag(epoch_us(ts)) OVER (PARTITION BY user_id ORDER BY ts)
+                     >= 1800000000
+                  THEN 1 ELSE 0 END AS new_s
+      FROM events),
+    s AS (SELECT user_id, ts, value,
+                 sum(new_s) OVER (PARTITION BY user_id ORDER BY ts
+                                  ROWS UNBOUNDED PRECEDING) AS sid
+          FROM g)
+    SELECT user_id, strftime(min(ts), '%Y-%m-%d %H:%M:%S') AS session_start,
+           count(*) AS n, round(sum(value), 2) AS total
+    FROM s GROUP BY user_id, sid
+    """,
+)
+def q_streaming_session(spark, sf_dir):
+    """Session-window streaming aggregation (30 min inactivity gap) per
+    user over a finite file source. Oracle is the batch gaps-and-islands
+    rewrite; a new session starts when the gap is >= the timeout
+    (Spark's session windows are [start, last+gap) — an event at exactly
+    last+gap does not overlap, hence >=)."""
+    import tempfile
+
+    from parkour_spark.streaming.windows import read_stream, run_to_completion, session_agg
+
+    ev = _t(spark, sf_dir, "events")
+    tmp = tempfile.mkdtemp(prefix="parkour_stream_")
+    ev.write.mode("overwrite").parquet(tmp)
+    stream = read_stream(spark, tmp, ev.schema, max_files=4)
+    agg = session_agg(
+        stream,
+        "ts",
+        "30 minutes",
+        ["user_id"],
+        [F.count("*").alias("n"), F.round(F.sum("value"), 2).alias("total")],
+    )
+    result = run_to_completion(agg, output_mode="complete")
+    return result.select(
+        "user_id",
+        F.date_format(F.col("session_window.start"), "yyyy-MM-dd HH:mm:ss").alias(
+            "session_start"
+        ),
+        "n",
+        "total",
+    )
+
+
+@query("streaming_stateful_user_counts")
+def q_streaming_stateful(spark, sf_dir):
+    """Custom stateful streaming operator (applyInPandasWithState): a
+    per-user running event counter carried across micro-batches — the
+    reference's arbitrary-function reduce task on an unbounded stream.
+    Not SQL-expressible (state evolves per micro-batch), so this entry
+    has no oracle; the driver records the rows-only check. Final state
+    equals the batch per-user count, asserted in
+    tests/test_sources_streaming.py."""
+    import pandas as pd
+    import tempfile
+
+    from parkour_spark.streaming.windows import read_stream, run_to_completion, stateful_apply
+
+    ev = _t(spark, sf_dir, "events")
+    tmp = tempfile.mkdtemp(prefix="parkour_stream_")
+    ev.write.mode("overwrite").parquet(tmp)
+    stream = read_stream(spark, tmp, ev.schema, max_files=8)
+
+    def count_updates(key, pdf_iter, state):
+        seen = state.get[0] if state.exists else 0
+        for pdf in pdf_iter:
+            seen += len(pdf)
+        state.update((seen,))
+        yield pd.DataFrame({"user_id": [key[0]], "n_events": [seen]})
+
+    counted = stateful_apply(
+        stream.select("user_id", "event_id"),
+        ["user_id"],
+        count_updates,
+        "user_id bigint, n_events bigint",
+        "n bigint",
+        output_mode="update",
+    )
+    result = run_to_completion(counted, output_mode="update")
+    # memory sink in update mode keeps every emitted row; the final
+    # count per user is the max across micro-batch emissions
+    return result.groupBy("user_id").agg(F.max("n_events").alias("n_events"))
+
+
 # ===========================================================================
 # Multimodal (binary payload plumbing; codecs stubbed — see operators.multimodal)
 # ===========================================================================
