@@ -1,0 +1,105 @@
+"""Plan-shape tests: lock in the physical-plan properties the engine is
+designed around (predicate pushdown, column pruning, broadcast joins,
+single-shuffle operators). A correctness-green query whose plan regresses
+to a full scan / extra shuffle / sort-merge of a dimension table is a
+scale bug even when local results match — these tests fail it early.
+"""
+
+import re
+
+import pytest
+from pyspark.sql import functions as F
+
+SF_DIR = "/root/testdata/sf0.001"
+
+
+def _plan(df) -> str:
+    return df._jdf.queryExecution().executedPlan().toString()
+
+
+def _shuffles(plan: str) -> int:
+    # hash/range repartitions only — BroadcastExchange is not a shuffle
+    return len(re.findall(r"Exchange (hash|range)partitioning", plan))
+
+
+@pytest.fixture(scope="module")
+def queries():
+    from parkour_spark.queries import QUERIES
+
+    return QUERIES
+
+
+def test_q1_single_shuffle_partial_agg(spark, queries):
+    plan = _plan(queries["q1_pricing_summary"](spark, SF_DIR))
+    assert _shuffles(plan) == 1, plan
+    # partial (map-side) + final aggregate — the combiner the reference
+    # attaches explicitly (graph.clj:239-248) must be automatic here
+    assert plan.count("HashAggregate") >= 2, plan
+
+
+def test_q1_column_pruning(spark, queries):
+    plan = _plan(queries["q1_pricing_summary"](spark, SF_DIR))
+    # ReadSchema gets truncated in toString(); the FileScan output list
+    # carries the same pruned column set
+    m = re.search(r"FileScan parquet \[([^\]]*)\]", plan)
+    assert m, plan
+    cols = {c.split("#")[0] for c in m.group(1).split(",") if c}
+    # only the aggregated/grouped columns reach the scan, never all 16
+    assert cols <= {
+        "l_returnflag", "l_linestatus", "l_quantity", "l_extendedprice",
+        "l_discount", "l_shipdate",
+    }, cols
+
+
+def test_filter_pushdown_reaches_scan(spark, queries):
+    plan = _plan(queries["active_automobile_customers"](spark, SF_DIR))
+    assert "PushedFilters: [" in plan, plan
+    assert re.search(r"PushedFilters: \[[^\]]*IsNotNull", plan) or re.search(
+        r"PushedFilters: \[[^\]]*EqualTo", plan
+    ), plan
+
+
+def test_dimension_joins_broadcast_not_sortmerge(spark, queries):
+    plan = _plan(queries["region_customer_counts"](spark, SF_DIR))
+    assert plan.count("BroadcastHashJoin") >= 2, plan
+    assert "SortMergeJoin" not in plan, plan
+
+
+def test_asof_join_single_shuffle(spark, queries):
+    """The union-sort as-of join's whole point: one shuffle on the key,
+    never a join or per-key pandas pass."""
+    plan = _plan(queries["asof_purchase_view"](spark, SF_DIR))
+    assert _shuffles(plan) == 1, plan
+    assert "SortMergeJoin" not in plan and "CartesianProduct" not in plan, plan
+
+
+def test_knn_broadcasts_queries_not_corpus(spark, queries):
+    plan = _plan(queries["knn_cosine"](spark, SF_DIR))
+    assert "BroadcastNestedLoopJoin" in plan or "BroadcastHashJoin" in plan, plan
+    # the corpus side must not shuffle before the join; the only
+    # repartitioning allowed is the per-query ranking window afterwards
+    assert _shuffles(plan) <= 1, plan
+
+
+def test_ivf_probe_join_broadcasts_probes(spark, queries):
+    plan = _plan(queries["ivf_topk_cosine"](spark, SF_DIR))
+    assert "BroadcastHashJoin" in plan, plan
+    assert "CartesianProduct" not in plan and "BroadcastNestedLoopJoin" not in plan, plan
+
+
+def test_exact_dedup_single_shuffle(spark, queries):
+    plan = _plan(queries["dedup_exact"](spark, SF_DIR))
+    assert _shuffles(plan) == 1, plan
+    assert plan.count("HashAggregate") >= 2, plan
+
+
+def test_word_count_partial_agg_before_shuffle(spark, queries):
+    plan = _plan(queries["word_count"](spark, SF_DIR))
+    assert _shuffles(plan) == 1, plan
+    assert plan.count("HashAggregate") >= 2, plan
+
+
+def test_range_join_is_equi_not_nested_loop(spark, queries):
+    plan = _plan(queries["range_join_quantity_bands"](spark, SF_DIR))
+    assert "CartesianProduct" not in plan, plan
+    assert "BroadcastNestedLoopJoin" not in plan, plan
