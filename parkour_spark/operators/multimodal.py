@@ -88,21 +88,100 @@ def decode_image_features(df: DataFrame, payload_col: str = "payload") -> DataFr
     return df.mapInPandas(decode, schema=out_schema)
 
 
-def resize_images(df: DataFrame, width: int, height: int) -> DataFrame:
-    """Image resize operator — NOT IMPLEMENTED in this container (no
-    codec). The signature and partitioning contract are fixed here so
-    callers can pipeline against it."""
-    raise NotImplementedError(
-        "image resize requires an image codec (PIL/libvips) not present "
-        "in this environment; use decode_image_features' stub pattern"
-    )
+def _fake_resize(payload: bytes, width: int, height: int) -> bytes:
+    """Deterministic stand-in for an image codec resize: sha256 keyed by
+    payload+dims, tiled to a plausible output size. CLEARLY A STUB —
+    swap for PIL/libvips via the `codec` parameter in production."""
+    digest = hashlib.sha256(payload + f":{width}x{height}".encode()).digest()
+    out_len = max(32, (width * height) // 64)
+    return (digest * (out_len // len(digest) + 1))[:out_len]
 
 
-def sample_video_frames(df: DataFrame, every_ms: int = 1000) -> DataFrame:
-    """Frame sampling operator — NOT IMPLEMENTED (no video codec). The
-    plumbing contract: input MEDIA_SCHEMA rows, output one row per
-    sampled frame (media_id, frame_idx, payload)."""
-    raise NotImplementedError(
-        "video frame sampling requires ffmpeg/pyav, not present; "
-        "plumbing contract documented in docstring"
+def resize_images(
+    df: DataFrame,
+    width: int,
+    height: int,
+    payload_col: str = "payload",
+    codec=None,
+) -> DataFrame:
+    """Image resize over Arrow-batched mapInPandas: (media_id, payload,
+    width, height) out, one row per input image. The Spark-side
+    plumbing — schema, batch iteration, null passthrough, no shuffle —
+    is real; `codec` is `callable(bytes, w, h) -> bytes` (PIL/libvips in
+    production), defaulting to a deterministic fake because no image
+    library ships in this container."""
+    codec = codec or _fake_resize
+    out_schema = T.StructType(
+        [
+            T.StructField("media_id", T.LongType(), False),
+            T.StructField("payload", T.BinaryType(), True),
+            T.StructField("width", T.IntegerType(), False),
+            T.StructField("height", T.IntegerType(), False),
+        ]
     )
+
+    def work(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            resized = [
+                codec(p, width, height) if p is not None else None
+                for p in pdf[payload_col]
+            ]
+            yield pd.DataFrame(
+                {
+                    "media_id": pdf["media_id"],
+                    "payload": resized,
+                    "width": width,
+                    "height": height,
+                }
+            )
+
+    return df.mapInPandas(work, schema=out_schema)
+
+
+def _fake_frame(payload: bytes, frame_idx: int) -> bytes:
+    """Deterministic stand-in for a video-frame extraction codec."""
+    return hashlib.sha256(payload + f":frame{frame_idx}".encode()).digest()
+
+
+def sample_video_frames(
+    df: DataFrame,
+    every_ms: int = 1000,
+    payload_col: str = "payload",
+    codec=None,
+) -> DataFrame:
+    """Frame sampling over mapInPandas: one output row per sampled frame
+    (media_id, frame_idx, frame_ms, frame). Frame count derives from
+    meta.duration_ms — a row-expanding (UDTF-shaped) Pandas transform,
+    the streaming-friendly batch shape: frames for one video are emitted
+    incrementally, never materialized per-video. `codec` is
+    `callable(bytes, frame_idx) -> bytes` (ffmpeg/pyav in production);
+    the default is a deterministic fake (no video library here)."""
+    codec = codec or _fake_frame
+    out_schema = T.StructType(
+        [
+            T.StructField("media_id", T.LongType(), False),
+            T.StructField("frame_idx", T.IntegerType(), False),
+            T.StructField("frame_ms", T.LongType(), False),
+            T.StructField("frame", T.BinaryType(), True),
+        ]
+    )
+
+    def work(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            ids, idxs, mss, frames = [], [], [], []
+            for mid, payload, meta in zip(
+                pdf["media_id"], pdf[payload_col], pdf["meta"]
+            ):
+                duration = (meta or {}).get("duration_ms") or 0
+                if payload is None or duration <= 0:
+                    continue
+                for i, ms in enumerate(range(0, int(duration), every_ms)):
+                    ids.append(mid)
+                    idxs.append(i)
+                    mss.append(ms)
+                    frames.append(codec(payload, i))
+            yield pd.DataFrame(
+                {"media_id": ids, "frame_idx": idxs, "frame_ms": mss, "frame": frames}
+            )
+
+    return df.mapInPandas(work, schema=out_schema)

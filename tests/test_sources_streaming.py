@@ -219,8 +219,45 @@ def test_multimodal_plumbing(spark):
     feats = {r.media_id: r.features for r in MM.decode_image_features(blobs).collect()}
     assert len(feats[1]) == 16 and feats[3] is None
     assert feats[1] == MM.decode_image_features(blobs).collect()[0].features  # deterministic
-    with pytest.raises(NotImplementedError):
-        MM.resize_images(blobs, 10, 10)
+
+
+def test_multimodal_resize_plumbing(spark):
+    from parkour_spark.operators import multimodal as MM
+
+    blobs = spark.createDataFrame(
+        [(1, b"hello"), (2, b"world"), (3, None)], "media_id long, payload binary"
+    )
+    rows = {r.media_id: r for r in MM.resize_images(blobs, 16, 16).collect()}
+    assert set(rows) == {1, 2, 3}
+    assert rows[1].width == 16 and rows[1].height == 16
+    assert rows[3].payload is None  # null passthrough
+    again = {r.media_id: r.payload for r in MM.resize_images(blobs, 16, 16).collect()}
+    assert rows[1].payload == again[1]  # deterministic stub
+    assert rows[1].payload != rows[2].payload
+
+
+def test_multimodal_frame_sampling(spark):
+    from pyspark.sql import Row
+
+    from parkour_spark.operators import multimodal as MM
+
+    videos = spark.createDataFrame(
+        [
+            Row(media_id=1, payload=b"vid-a", meta={"duration_ms": 3500}),
+            Row(media_id=2, payload=b"vid-b", meta={"duration_ms": 900}),
+            Row(media_id=3, payload=None, meta={"duration_ms": 5000}),
+        ],
+        "media_id long, payload binary, meta map<string,long>",
+    )
+    frames = MM.sample_video_frames(videos, every_ms=1000).collect()
+    by_id = {}
+    for r in frames:
+        by_id.setdefault(r.media_id, []).append(r)
+    # 3500ms @ 1000ms → frames at 0,1000,2000,3000; 900ms → one frame; null skipped
+    assert len(by_id[1]) == 4 and [r.frame_ms for r in sorted(by_id[1], key=lambda x: x.frame_idx)] == [0, 1000, 2000, 3000]
+    assert len(by_id[2]) == 1
+    assert 3 not in by_id
+    assert all(r.frame is not None for r in frames)
 
 
 def test_dataset_roundtrip_and_introspection(spark, tmp_path):
