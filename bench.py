@@ -18,20 +18,27 @@ from parkour_spark.session import build_session  # noqa: E402
 SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
 
 # Headline set: one per operator family, chosen to exercise scan+agg,
-# shuffle join, broadcast join, window, dedup (LSH), similarity, text.
+# shuffle join, broadcast join, skew-salted join, as-of join, window,
+# time-bucket rollup, dedup (exact + LSH), similarity (exact + IVF),
+# text analysis, rolling-hash fingerprints.
 HEADLINE = [
     "q1_pricing_summary",
     "customer_order_stats",
     "region_customer_counts",
+    "salted_join_agg",
+    "asof_purchase_view",
     "word_count",
     "top3_orders_per_customer",
     "matrixify",
     "events_hourly",
+    "time_bucket_rollup",
     "user_sessions",
     "dedup_exact",
     "dedup_minhash_lsh",
     "knn_cosine",
+    "ivf_topk_cosine",
     "quality_scores",
+    "winnow_fingerprints",
 ]
 
 
