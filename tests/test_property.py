@@ -1,0 +1,141 @@
+"""Property-based tests (hypothesis): operators checked against
+independent driver-side Python reference implementations on randomized
+inputs — the complement of the fixed-fixture golden tests and the
+DuckDB oracle gate (SURVEY §5 extension).
+
+Each property uses one deterministic Spark session and small generated
+relations; `deadline=None` because Spark job latency is not the property
+under test.
+"""
+
+import bisect
+
+from hypothesis import HealthCheck, given, settings, strategies as st
+from pyspark.sql import functions as F
+
+from parkour_spark.operators.asof import asof_join, range_join
+from parkour_spark.operators.dedup import exact_dedup
+from parkour_spark.operators.joins import salted_join
+
+_SETTINGS = dict(
+    max_examples=12,
+    deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture, HealthCheck.too_slow],
+)
+
+keys = st.integers(min_value=0, max_value=3)
+times = st.integers(min_value=0, max_value=50)
+
+
+@given(
+    left=st.lists(st.tuples(keys, times), min_size=1, max_size=25),
+    right=st.lists(st.tuples(keys, times), min_size=1, max_size=25),
+)
+@settings(**_SETTINGS)
+def test_asof_backward_matches_reference(spark, left, right):
+    """asof_join(backward) == latest right time <= left time, per key."""
+    ldf = spark.createDataFrame(
+        [(k, t, i) for i, (k, t) in enumerate(left)], ["k", "t", "lid"]
+    )
+    rdf = spark.createDataFrame(
+        [(k, t, float(t) + k) for (k, t) in right], ["k", "rt", "rv"]
+    )
+    got = {
+        r["lid"]: r["rv"]
+        for r in asof_join(ldf, rdf, ["k"], "t", "rt", ["rv"]).collect()
+    }
+
+    by_key: dict[int, list[tuple[int, float]]] = {}
+    for k, t in right:
+        by_key.setdefault(k, []).append((t, float(t) + k))
+    for k in by_key:
+        # equal right times: the window's last-write wins; make the
+        # reference agree by keeping the max value per (k, t)
+        dedup: dict[int, float] = {}
+        for t, v in sorted(by_key[k]):
+            dedup[t] = max(dedup.get(t, v), v)
+        by_key[k] = sorted(dedup.items())
+
+    for i, (k, t) in enumerate(left):
+        cands = by_key.get(k, [])
+        pos = bisect.bisect_right([c[0] for c in cands], t) - 1
+        expect = cands[pos][1] if pos >= 0 else None
+        assert got[i] == expect, (i, k, t, got[i], expect)
+
+
+@given(
+    vals=st.lists(st.floats(min_value=0, max_value=100, allow_nan=False), min_size=1, max_size=20),
+    intervals=st.lists(
+        st.tuples(st.floats(min_value=0, max_value=90, allow_nan=False),
+                  st.floats(min_value=0.5, max_value=20, allow_nan=False)),
+        min_size=1, max_size=8,
+    ),
+)
+@settings(**_SETTINGS)
+def test_range_join_matches_reference(spark, vals, intervals):
+    """range_join == brute-force [lo, hi) containment."""
+    ldf = spark.createDataFrame(list(enumerate(vals)), ["lid", "v"])
+    rdf = spark.createDataFrame(
+        [(i, lo, lo + w) for i, (lo, w) in enumerate(intervals)], ["rid", "lo", "hi"]
+    )
+    got = sorted(
+        (r["lid"], r["rid"])
+        for r in range_join(ldf, rdf, "v", "lo", "hi").select("lid", "rid").collect()
+    )
+    expect = sorted(
+        (li, ri)
+        for li, v in enumerate(vals)
+        for ri, (lo, w) in enumerate(intervals)
+        if lo <= v < lo + w
+    )
+    assert got == expect
+
+
+@given(
+    left=st.lists(st.tuples(keys, st.integers(0, 9)), min_size=0, max_size=25),
+    right=st.lists(st.tuples(keys, st.integers(0, 9)), min_size=0, max_size=25),
+    num_salts=st.sampled_from([1, 3, 8]),
+)
+@settings(**_SETTINGS)
+def test_salted_join_equals_plain_join(spark, left, right, num_salts):
+    if not left or not right:
+        return
+    ldf = spark.createDataFrame(left, ["k", "lv"])
+    rdf = spark.createDataFrame(right, ["k", "rv"])
+    plain = sorted(map(tuple, ldf.join(rdf, "k").select("k", "lv", "rv").collect()))
+    salted = sorted(
+        map(
+            tuple,
+            salted_join(ldf, rdf, "k", num_salts=num_salts)
+            .select("k", "lv", "rv")
+            .collect(),
+        )
+    )
+    assert salted == plain
+
+
+@given(
+    texts=st.lists(
+        st.text(alphabet="ab \t", min_size=0, max_size=12), min_size=1, max_size=20
+    )
+)
+@settings(**_SETTINGS)
+def test_exact_dedup_partitions_by_normalized_text(spark, texts):
+    """exact_dedup groups exactly the docs whose normalized text is
+    equal; keep_id is the minimum id of each group."""
+    df = spark.createDataFrame(list(enumerate(texts)), ["doc_id", "text"])
+    rows = exact_dedup(df, "text", "doc_id").collect()
+
+    def norm(s: str) -> str:
+        # mirror fingerprint() exactly: trim strips SPACES only (Spark
+        # and DuckDB agree), then any whitespace run becomes one space
+        import re
+
+        return re.sub(r"\s+", " ", s.strip(" ").lower())
+
+    groups: dict[str, list[int]] = {}
+    for i, s in enumerate(texts):
+        groups.setdefault(norm(s), []).append(i)
+    assert sorted((r["keep_id"], r["n_dups"]) for r in rows) == sorted(
+        (min(ids), len(ids)) for ids in groups.values()
+    )
