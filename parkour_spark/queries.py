@@ -869,6 +869,39 @@ def q_user_counts(spark, sf_dir):
     )
 
 
+@query("approx_user_counts")
+def q_approx_user_counts(spark, sf_dir):
+    """HyperLogLog distinct-count sketch (approx_count_distinct) — the
+    100 TB path for `events_user_counts`: mergeable fixed-size sketch
+    instead of an exact distinct shuffle. No oracle: HLL register layouts
+    differ across engines; the exact variant (`events_user_counts`) is
+    the oracle-checked twin, and the estimate is asserted within rsd
+    bounds in tests."""
+    ev = _t(spark, sf_dir, "events")
+    return ev.groupBy("event_type").agg(
+        F.approx_count_distinct("user_id", rsd=0.02).alias("n_users_approx"),
+        F.count("*").alias("n"),
+    )
+
+
+@query("approx_price_quantiles")
+def q_approx_quantiles(spark, sf_dir):
+    """Mergeable quantile sketch (approx_percentile) — the 100 TB path
+    for `price_quantiles_by_segment` (exact rank selection doesn't
+    scale). No oracle: sketch interpolation differs across engines; the
+    exact variant is the oracle-checked twin."""
+    cust = _t(spark, sf_dir, "customer")
+    orders = _t(spark, sf_dir, "orders")
+    joined = orders.join(
+        cust.select(F.col("c_custkey").alias("o_custkey"), "c_mktsegment"),
+        "o_custkey",
+    )
+    return joined.groupBy("c_mktsegment").agg(
+        F.approx_percentile("o_totalprice", [0.25, 0.5, 0.75], 10000).alias("quartiles"),
+        F.count("*").alias("n"),
+    )
+
+
 @query(
     "salted_join_agg",
     """

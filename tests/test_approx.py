@@ -1,0 +1,32 @@
+"""Sketch-based approximate aggregations: estimates verified against
+their exact oracle-checked twins within error bounds."""
+
+from pyspark.sql import functions as F
+
+from parkour_spark.queries import QUERIES
+
+SF_DIR = "/root/testdata/sf0.001"
+
+
+def test_approx_user_counts_within_rsd(spark):
+    approx = {
+        r["event_type"]: r["n_users_approx"]
+        for r in QUERIES["approx_user_counts"](spark, SF_DIR).collect()
+    }
+    exact = {
+        r["event_type"]: r["n_users"]
+        for r in QUERIES["events_user_counts"](spark, SF_DIR).collect()
+    }
+    assert set(approx) == set(exact)
+    for et, n in exact.items():
+        # rsd=0.02 → allow 5 sigma
+        assert abs(approx[et] - n) <= max(2, 0.1 * n), (et, approx[et], n)
+
+
+def test_approx_quantiles_ordered_and_bounded(spark):
+    rows = QUERIES["approx_price_quantiles"](spark, SF_DIR).collect()
+    assert rows
+    for r in rows:
+        q1, q2, q3 = r["quartiles"]
+        assert q1 <= q2 <= q3
+        assert q1 > 0
