@@ -869,6 +869,62 @@ def q_user_counts(spark, sf_dir):
     )
 
 
+@query(
+    "q5_local_supplier_revenue",
+    """
+    SELECT n_name, round(sum(l_extendedprice * (1 - l_discount)), 2) AS revenue
+    FROM customer
+    JOIN orders ON c_custkey = o_custkey
+    JOIN lineitem ON l_orderkey = o_orderkey
+    JOIN supplier ON l_suppkey = s_suppkey
+    JOIN nation ON s_nationkey = n_nationkey
+    JOIN region ON n_regionkey = r_regionkey
+    WHERE c_nationkey = s_nationkey
+    GROUP BY n_name
+    """,
+)
+def q_q5(spark, sf_dir):
+    """TPC-H-Q5-shaped 6-way join (local-supplier revenue by nation):
+    Catalyst handles join ordering; the three dimension tables broadcast,
+    the customer⋈orders⋈lineitem chain shuffles on its keys, and the
+    local-supplier predicate (c_nationkey = s_nationkey) applies as a
+    post-join filter."""
+    cust = _t(spark, sf_dir, "customer")
+    orders = _t(spark, sf_dir, "orders")
+    li = _t(spark, sf_dir, "lineitem")
+    sup = _t(spark, sf_dir, "supplier")
+    nation = _t(spark, sf_dir, "nation")
+    region = _t(spark, sf_dir, "region")
+    joined = (
+        cust.join(orders, cust.c_custkey == orders.o_custkey)
+        .join(li, orders.o_orderkey == li.l_orderkey)
+        .join(F.broadcast(sup), li.l_suppkey == sup.s_suppkey)
+        .join(F.broadcast(nation), sup.s_nationkey == nation.n_nationkey)
+        .join(F.broadcast(region), nation.n_regionkey == region.r_regionkey)
+        .where(cust.c_nationkey == sup.s_nationkey)
+    )
+    return joined.groupBy("n_name").agg(
+        F.round(F.sum(li.l_extendedprice * (1 - li.l_discount)), 2).alias("revenue")
+    )
+
+
+@query(
+    "orders_per_quarter",
+    """
+    SELECT strftime(date_trunc('quarter', o_orderdate), '%Y-%m') AS quarter,
+           count(*) AS n, round(sum(o_totalprice), 2) AS total
+    FROM orders GROUP BY 1
+    """,
+)
+def q_orders_per_quarter(spark, sf_dir):
+    """Calendar-grain date arithmetic (date_trunc quarter) — the fixed-
+    grain complement of the arbitrary-width time_bucket."""
+    orders = _t(spark, sf_dir, "orders")
+    return orders.groupBy(
+        F.date_format(F.date_trunc("quarter", "o_orderdate"), "yyyy-MM").alias("quarter")
+    ).agg(F.count("*").alias("n"), F.round(F.sum("o_totalprice"), 2).alias("total"))
+
+
 @query("approx_user_counts")
 def q_approx_user_counts(spark, sf_dir):
     """HyperLogLog distinct-count sketch (approx_count_distinct) — the
