@@ -106,4 +106,19 @@ def load_tables(spark: SparkSession, sf_dir: str, *names: str) -> tuple[DataFram
     return tuple(load_table(spark, sf_dir, n) for n in names)
 
 
+ALL_TABLES = (
+    "region nation customer supplier part orders lineitem events documents embeddings"
+).split()
+
+
+def register_views(spark: SparkSession, sf_dir: str, names: tuple[str, ...] = ()) -> None:
+    """Register the synthetic tables as temp views so arbitrary ANSI SQL
+    runs directly via `spark.sql(...)` — the engine's full-SQL surface
+    (the reference has no SQL at all; Catalyst gives it for free, and a
+    view is pure metadata: scans, pushdown, and pruning are identical to
+    the DataFrame path)."""
+    for name in names or ALL_TABLES:
+        load_table(spark, sf_dir, name).createOrReplaceTempView(name)
+
+
 TableLoader = Callable[[SparkSession, str, str], DataFrame]

@@ -925,6 +925,28 @@ def q_orders_per_quarter(spark, sf_dir):
     ).agg(F.count("*").alias("n"), F.round(F.sum("o_totalprice"), 2).alias("total"))
 
 
+_SQL_CORRELATED = """
+    SELECT c_mktsegment, count(*) AS n_above
+    FROM customer c
+    WHERE c_acctbal > (SELECT avg(c_acctbal) FROM customer
+                       WHERE c_mktsegment = c.c_mktsegment)
+    GROUP BY c_mktsegment
+"""
+
+
+@query("sql_correlated_subquery", _SQL_CORRELATED)
+def q_sql_correlated(spark, sf_dir):
+    """Full-SQL surface (dataset.register_views + spark.sql): the
+    IDENTICAL ANSI string runs on both engines — here a correlated
+    scalar subquery, which Catalyst decorrelates into an aggregate +
+    join. The reference has no SQL at all; exposing Spark SQL over the
+    same tables is the engine's query-language parity story."""
+    from parkour_spark.dataset import register_views
+
+    register_views(spark, sf_dir, ("customer",))
+    return spark.sql(_SQL_CORRELATED)
+
+
 @query("approx_user_counts")
 def q_approx_user_counts(spark, sf_dir):
     """HyperLogLog distinct-count sketch (approx_count_distinct) — the
