@@ -62,13 +62,28 @@ def langid_en(text: Column | str, threshold: float = 0.05) -> Column:
 def quality_score(text: Column | str) -> Column:
     """Composite quality score in [0,1]:
     0.4 * bounded-length + 0.3 * stopword presence + 0.3 * mean-token-len
-    band. Deterministic arithmetic only (oracle-expressible)."""
+    band.
+
+    Computed in integer BASIS POINTS (len: ≤4000, stopwords: ≤3000,
+    token-length band: 0/3000) with a floor on the single fractional
+    term, then one division by 10000 — and deliberately NO final
+    round(): a rounded double is only reproducible across engines until
+    some row lands on a representation-dependent tie (round(x,4)
+    half-up on the exact decimal expansion vs multiply-round-divide
+    disagreed at 1 ulp on 1 doc in 5000 at sf0.1). Integer arithmetic +
+    identical-order float ops are bit-identical everywhere."""
     c = F.col(text) if isinstance(text, str) else text
-    len_term = F.least(F.length(c).cast("double") / F.lit(500.0), F.lit(1.0))
-    stop_term = F.least(stopword_ratio(c) * 10.0, F.lit(1.0))
+    t = tokens(F.lower(c))
+    n_tok = F.size(t)
+    n_stop = F.size(F.filter(t, lambda x: x.isin(*EN_STOPWORDS)))
+    len_bp = F.least(F.length(c) * 8, F.lit(4000))
+    stop_bp = F.when(
+        n_tok > 0,
+        F.floor(F.lit(3000.0) * F.least(n_stop * 10, n_tok) / n_tok),
+    ).otherwise(F.lit(0))
     atl = avg_token_len(c)
-    atl_term = F.when((atl >= 3.0) & (atl <= 10.0), F.lit(1.0)).otherwise(F.lit(0.0))
-    return F.round(0.4 * len_term + 0.3 * stop_term + 0.3 * atl_term, 4)
+    atl_bp = F.when((atl >= 3.0) & (atl <= 10.0), F.lit(3000)).otherwise(F.lit(0))
+    return (len_bp + stop_bp + atl_bp) / F.lit(10000.0)
 
 
 def fingerprint(text: Column | str) -> Column:

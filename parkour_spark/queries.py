@@ -1334,12 +1334,15 @@ def q_lang_id(spark, sf_dir):
     "quality_scores",
     f"""
     SELECT doc_id,
-           round(0.4 * least(length(text)::DOUBLE / 500.0, 1.0)
-               + 0.3 * least(len(list_filter({_TOKS_SQL}, x -> x IN ({_STOP_SQL})))::DOUBLE
-                             / len({_TOKS_SQL}) * 10.0, 1.0)
-               + 0.3 * (CASE WHEN list_sum(list_transform({_TOKS_SQL}, t -> length(t)))::DOUBLE
-                                  / len({_TOKS_SQL}) BETWEEN 3.0 AND 10.0
-                        THEN 1.0 ELSE 0.0 END), 4) AS quality
+           (least(length(text) * 8, 4000)
+            + CASE WHEN len({_TOKS_SQL}) > 0
+                   THEN floor(3000.0 * least(len(list_filter({_TOKS_SQL},
+                                x -> x IN ({_STOP_SQL}))) * 10, len({_TOKS_SQL}))
+                              / len({_TOKS_SQL}))
+                   ELSE 0 END
+            + CASE WHEN list_sum(list_transform({_TOKS_SQL}, t -> length(t)))::DOUBLE
+                        / len({_TOKS_SQL}) BETWEEN 3.0 AND 10.0
+                   THEN 3000 ELSE 0 END) / 10000.0 AS quality
     FROM documents
     """,
 )
@@ -1513,18 +1516,24 @@ def q_minhash(spark, sf_dir):
 @query(
     "dedup_ngram_jaccard",
     f"""
-    WITH toks AS (SELECT doc_id, {_SHINGLES_SQL} AS t FROM documents)
-    SELECT a.doc_id AS id_a, b.doc_id AS id_b,
-           round(len(list_intersect(a.t, b.t))::DOUBLE
-                 / len(list_distinct(list_concat(a.t, b.t))), 4) AS jaccard
-    FROM toks a JOIN toks b ON a.doc_id < b.doc_id
-    WHERE len(list_intersect(a.t, b.t))::DOUBLE
-          / len(list_distinct(list_concat(a.t, b.t))) >= 0.8
+    WITH toks AS (SELECT doc_id, {_SHINGLES_SQL} AS t FROM documents),
+    ex AS (SELECT doc_id, len(t) AS n, unnest(t) AS tok FROM toks),
+    shared AS (
+      SELECT a.doc_id AS id_a, b.doc_id AS id_b, a.n AS n_a, b.n AS n_b,
+             count(*) AS ns
+      FROM ex a JOIN ex b USING (tok)
+      WHERE a.doc_id < b.doc_id
+      GROUP BY 1, 2, 3, 4)
+    SELECT id_a, id_b, round(ns::DOUBLE / (n_a + n_b - ns), 4) AS jaccard
+    FROM shared WHERE ns::DOUBLE / (n_a + n_b - ns) >= 0.8
     """,
 )
 def q_ngram_jaccard(spark, sf_dir):
     """Exact all-pairs 3-gram-shingle Jaccard ≥ 0.8 via shingle inverted
-    index (the oracle brute-forces; the Spark plan never goes cartesian)."""
+    index — |A∩B| from a token equi-join, never cartesian. The oracle
+    mirrors the inverted-index rewrite (an earlier brute-force oracle
+    was itself O(n²) and timed out at sf0.1 — the oracle must scale with
+    the operator it checks)."""
     return D.ngram_jaccard_pairs(_t(spark, sf_dir, "documents"), threshold=0.8)
 
 

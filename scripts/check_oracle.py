@@ -17,7 +17,9 @@ sys.path.insert(0, "/root/repo")
 from parkour_spark.queries import ORACLES, QUERIES  # noqa: E402
 from parkour_spark.session import build_session  # noqa: E402
 
-SF_DIR = "/root/testdata/sf0.01"
+import os
+
+SF_DIR = os.environ.get("SPARK_GRAFT_ORACLE_SF_DIR", "/root/testdata/sf0.01")
 TABLES = "region nation customer supplier part orders lineitem events documents embeddings".split()
 
 
