@@ -42,10 +42,25 @@ HEADLINE = [
 ]
 
 
+WARMUP_SF_DIR = os.environ.get("SPARK_GRAFT_WARMUP_SF_DIR", "/root/testdata/sf0.001")
+
+
 def main() -> None:
     spark = build_session("parkour_spark_bench")
-    # warm the JVM + parquet footers with a trivial action
+    # Warm-up pass: run every headline query once at the smallest scale
+    # factor (sf0.001, ~6k lineitem rows) before timing. This warms JVM
+    # JIT (C2-compiles the codegen'd operators, HOF eval, shuffle paths)
+    # and Catalyst rule caches, so the timed pass measures steady-state
+    # throughput — the regime that matters at 100 TB, where cold-JIT cost
+    # amortizes to zero. Single-shot cold numbers at sf0.1 are dominated
+    # by one-time planning+JIT, not by the operators under test.
     spark.range(1).count()
+    if os.path.isdir(WARMUP_SF_DIR):
+        for name in HEADLINE:
+            try:
+                QUERIES[name](spark, WARMUP_SF_DIR).count()
+            except Exception as e:  # never let warm-up sink the bench
+                print(f"# warmup {name} failed: {e}", file=sys.stderr)
     times: dict[str, float] = {}
     for name in HEADLINE:
         t0 = time.perf_counter()

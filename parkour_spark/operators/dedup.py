@@ -27,6 +27,7 @@ from pyspark.sql import DataFrame, functions as F
 
 from parkour_spark.functions.text import fingerprint, shingles, tokens
 from parkour_spark.functions.vector import cosine
+from parkour_spark.operators.sort import widen_scan as _parallelize_scan
 
 
 def _features(text_col: str, ngram_n: int) -> F.Column:
@@ -65,26 +66,6 @@ def _features_df(
     ).otherwise(F.array(F.concat_ws(" ", t)))
     return toked.select(F.col(id_col), F.array_distinct(sh).alias(out))
 
-
-def _parallelize_scan(df: DataFrame, widen: bool = True) -> DataFrame:
-    """Spread compute-heavy per-row work across all cores.
-
-    Small inputs (one parquet file / one row group) arrive as a single
-    partition; expensive scan-side expressions (md5 signatures over
-    shingle arrays) would then run on one core. At 100 TB inputs arrive
-    pre-split, so this is a no-op (only repartitions when below the
-    session's default parallelism).
-
-    Pass widen=False when `df` is already downstream of a shuffle: its
-    partitioning is fine, and under AQE `df.rdd.getNumPartitions()` on a
-    non-scan plan EXECUTES the upstream stages just to finalize the
-    partition count — a silent extra pass over the data."""
-    if not widen:
-        return df
-    target = df.sparkSession.sparkContext.defaultParallelism
-    if df.rdd.getNumPartitions() < target:
-        return df.repartition(target)
-    return df
 
 # ---------------------------------------------------------------------------
 # Exact dedup

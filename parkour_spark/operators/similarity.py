@@ -17,9 +17,37 @@ Beyond-reference surface (SURVEY §7.6). Spark-first design:
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, Window, functions as F
+from pyspark.sql import Column, DataFrame, Window, functions as F
 
 from parkour_spark.functions.vector import cosine, dot
+from parkour_spark.operators.sort import widen_scan
+
+
+def _vec_sql(vec: list[float]) -> str:
+    # Exponent notation with 17 significant digits: parses directly as a
+    # DOUBLE literal (plain decimals parse as DECIMAL and would need a
+    # cast layer that costs real analysis time at ~1k elements) and
+    # round-trips every double exactly.
+    return "array(" + ",".join(f"{float(x):.17e}" for x in vec) + ")"
+
+
+def _centroid_array(centroids: list[tuple[int, list[float]]]) -> Column:
+    """Literal array<struct<cid,v>> of centroids as ONE parsed SQL
+    expression. Building it from per-float F.lit calls costs a py4j
+    round-trip per element (~2000 calls ≈ seconds of driver time per
+    query); a single F.expr string is one parse. The array is foldable,
+    so Catalyst constant-folds it and it rides along in the serialized
+    plan exactly like a broadcast."""
+    structs = ",".join(
+        f"named_struct('cid',{int(cid)},'v',{_vec_sql(vec)})" for cid, vec in centroids
+    )
+    return F.expr(f"array({structs})")
+
+
+def _planes_array(planes: list[list[float]]) -> Column:
+    """Literal array<array<double>> of hyperplanes, one parsed expression
+    (same py4j-cost rationale as _centroid_array)."""
+    return F.expr("array(" + ",".join(_vec_sql(p) for p in planes) + ")")
 
 
 def brute_force_topk(
@@ -35,7 +63,7 @@ def brute_force_topk(
     rank, cos). Broadcast the (small) query set; never shuffles the
     corpus."""
     q = queries.select(F.col(query_id), F.col(query_vec))
-    joined = corpus.crossJoin(F.broadcast(q))
+    joined = widen_scan(corpus).crossJoin(F.broadcast(q))
     scored = joined.select(
         F.col(query_id),
         F.col(corpus_id),
@@ -54,17 +82,20 @@ def hyperplane_signature(
     """Random-hyperplane LSH signature: bit_i = sign(v · plane_i), packed
     into a long. Planes are driver-provided constants (seeded NumPy),
     inlined as array literals — scan-side compute, no shuffle."""
-    sig = F.lit(0).cast("long")
-    for p in planes:
-        plane = F.array(*[F.lit(float(x)) for x in p])
-        bit = F.when(dot(vec_col, plane) >= 0, F.lit(1)).otherwise(F.lit(0)).cast("long")
-        sig = sig * 2 + bit
+    planes_arr = _planes_array(planes)
+    bits = F.transform(
+        planes_arr,
+        lambda p: F.when(dot(F.col(vec_col), p) >= 0, F.lit(1))
+        .otherwise(F.lit(0))
+        .cast("long"),
+    )
+    sig = F.aggregate(bits, F.lit(0).cast("long"), lambda acc, b: acc * 2 + b)
     return df.withColumn(out_col, sig)
 
 
 def ivf_assign(
     df: DataFrame,
-    centroids: list[tuple[int, list[float]]],
+    centroids: list[tuple[int, list[float]]] | Column,
     vec_col: str = "embedding",
     out_col: str = "cell",
 ) -> DataFrame:
@@ -78,15 +109,7 @@ def ivf_assign(
     like a broadcast. One cosine per (row, centroid), computed once:
     scores = transform(centroids), argmax via array_max on (cos, -cid)
     struct ordering."""
-    cent_arr = F.array(
-        *[
-            F.struct(
-                F.lit(int(cid)).alias("cid"),
-                F.array(*[F.lit(float(x)) for x in vec]).alias("v"),
-            )
-            for cid, vec in centroids
-        ]
-    )
+    cent_arr = centroids if isinstance(centroids, Column) else _centroid_array(centroids)
     scores = F.transform(
         cent_arr,
         lambda c: F.struct(
@@ -120,16 +143,8 @@ def ivf_topk(
     Centroids here are caller-provided (deterministic seeds in the
     oracle-checked query; k-means output in a real deployment — same
     plan either way)."""
-    c = ivf_assign(corpus, centroids, corpus_vec, "cell")
-    cent_arr = F.array(
-        *[
-            F.struct(
-                F.lit(int(cid)).alias("cid"),
-                F.array(*[F.lit(float(x)) for x in vec]).alias("v"),
-            )
-            for cid, vec in centroids
-        ]
-    )
+    cent_arr = _centroid_array(centroids)  # parsed once, shared by both sides
+    c = ivf_assign(widen_scan(corpus), cent_arr, corpus_vec, "cell")
     scores = F.transform(
         cent_arr,
         lambda cc: F.struct(

@@ -19,6 +19,29 @@ from typing import Callable, Sequence
 from pyspark.sql import Column, DataFrame, functions as F, types as T
 
 
+def widen_scan(df: DataFrame, widen: bool = True) -> DataFrame:
+    """Spread compute-heavy per-row work across all cores.
+
+    Small inputs (one parquet file / one row group) arrive as a single
+    partition; expensive scan-side expressions (md5 signatures, k-gram
+    hashing, per-centroid cosines) would then run on one core. At 100 TB
+    inputs arrive pre-split, so this is a no-op (only repartitions when
+    below the session's default parallelism).
+
+    Pass widen=False when `df` is already downstream of a shuffle: its
+    partitioning is fine, and under AQE `df.rdd.getNumPartitions()` on a
+    non-scan plan EXECUTES the upstream stages just to finalize the
+    partition count — a silent extra pass over the data. On a plain
+    scan(+filter/project) plan the partition count comes from file
+    splits, computed driver-side without running a job."""
+    if not widen:
+        return df
+    target = df.sparkSession.sparkContext.defaultParallelism
+    if df.rdd.getNumPartitions() < target:
+        return df.repartition(target)
+    return df
+
+
 def total_sort(df: DataFrame, *order: Column) -> DataFrame:
     """Global total order via range partitioning — the Hadoop total-order
     partitioner analog. SCALE: range boundaries come from a sampled pass;

@@ -1432,8 +1432,9 @@ def q_winnow(spark, sf_dir):
     exploded to (doc_id, fp) — substring-overlap detection becomes an
     equi-join on fp."""
     from parkour_spark.functions.text import kgram_hashes, normalize_text, winnow_select
+    from parkour_spark.operators.sort import widen_scan
 
-    docs = _t(spark, sf_dir, "documents")
+    docs = widen_scan(_t(spark, sf_dir, "documents"))
     normed = docs.select(F.col("doc_id"), normalize_text("text").alias("__nt"))
     grams = normed.select(F.col("doc_id"), kgram_hashes("__nt", k=8).alias("__g"))
     fps = grams.select(F.col("doc_id"), winnow_select(F.col("__g"), w=8).alias("__fps"))
