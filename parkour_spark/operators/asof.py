@@ -35,6 +35,7 @@ def asof_join(
     right_vals: Sequence[str],
     direction: str = "backward",
     strict: bool = False,
+    tiebreak: str | None = None,
 ) -> DataFrame:
     """For each left row, attach the right row's values as of its time:
     the latest right row with r.time <= l.time (`backward`, default) or
@@ -44,9 +45,18 @@ def asof_join(
     Implementation: union both sides with a side tag, then per key a
     single time-ordered window carries the last (or next) seen right
     value onto left rows. One shuffle, one sort — the physical shape of
-    a sort-merge join."""
+    a sort-merge join.
+
+    Ties: when several right rows share (key, time), `tiebreak` (a
+    right-side column, e.g. its id) makes the carried row deterministic
+    — backward carries the max-tiebreak row, forward the min. Without
+    it the right_vals columns themselves break the tie, so the result
+    is stable across runs either way (never partition-order dependent)."""
     lt = F.col(left_time)
     keys = list(on)
+    # Right-rows-only tie order at equal (__t, __side); left rows hold
+    # NULLs here but __side already separates the sides at equal time.
+    tie_cols = [F.col(tiebreak)] if tiebreak else [F.col(v) for v in right_vals]
     l_tagged = left.withColumn("__t", lt.cast("double")).withColumn("__side", F.lit(1))
     for v in right_vals:
         l_tagged = l_tagged.withColumn(v, F.lit(None).cast(dict(right.dtypes)[v]))
@@ -66,7 +76,7 @@ def asof_join(
         side_order = F.col("__side").asc() if not strict else F.col("__side").desc()
         w = (
             Window.partitionBy(*keys)
-            .orderBy(F.col("__t").asc(), side_order)
+            .orderBy(F.col("__t").asc(), side_order, *tie_cols)
             .rowsBetween(Window.unboundedPreceding, -1 if strict else 0)
         )
         carried = [
@@ -79,7 +89,7 @@ def asof_join(
         side_order = F.col("__side").desc() if not strict else F.col("__side").asc()
         w = (
             Window.partitionBy(*keys)
-            .orderBy(F.col("__t").asc(), side_order)
+            .orderBy(F.col("__t").asc(), side_order, *tie_cols)
             .rowsBetween(1 if strict else 0, Window.unboundedFollowing)
         )
         carried = [

@@ -160,6 +160,11 @@ def minhash_signature(
 def lsh_bands(sig_df: DataFrame, id_col: str = "doc_id", num_hashes: int = 12, bands: int = 4) -> DataFrame:
     """Banding: concat rows-per-band signature slices into one band key,
     explode to (id, band_idx, band_key)."""
+    if bands <= 0 or bands > num_hashes or num_hashes % bands:
+        raise ValueError(
+            f"bands must divide num_hashes and be in [1, num_hashes]; "
+            f"got num_hashes={num_hashes}, bands={bands}"
+        )
     rows_per_band = num_hashes // bands
     band_cols = []
     for b in range(bands):
@@ -178,15 +183,22 @@ def minhash_candidates(
     num_hashes: int = 12,
     bands: int = 4,
     ngram_n: int = 3,
+    max_bucket: int | None = 1000,
 ) -> DataFrame:
     """Candidate near-dup pairs (a < b) sharing ≥1 LSH band bucket.
 
     Shape: ONE shuffle — groupBy(band_key) collects each bucket's ids,
     then pairs explode inside the bucket (flatten of a triangular
     transform). No self-join, so the signature lineage is consumed once
-    and nothing needs persisting; bucket sizes bound the fan-out (b²
-    pairs per bucket — at cluster scale cap or drop over-common buckets
-    before exploding; a hot band key is a skew key)."""
+    and nothing needs persisting; bucket sizes bound the fan-out.
+
+    `max_bucket` caps the fan-out: a degenerate band key (e.g. every
+    empty doc hashing to the same signature) would otherwise emit b²
+    pairs inside ONE task — the classic LSH straggler. Buckets larger
+    than the cap are dropped (an over-full bucket means the band key
+    carries no discriminating signal; its members are recovered by
+    their other bands or by the exact-dedup pass). Dropped-bucket
+    counts are observable via `overfull_lsh_buckets`."""
     b = lsh_bands(
         minhash_signature(df, text_col, id_col, num_hashes, ngram_n), id_col, num_hashes, bands
     )
@@ -195,6 +207,8 @@ def minhash_candidates(
         .agg(F.array_sort(F.collect_set(id_col)).alias("__ids"))
         .where(F.size("__ids") > 1)
     )
+    if max_bucket is not None:
+        buckets = buckets.where(F.size("__ids") <= max_bucket)
     ids = F.col("__ids")
     pair_expr = F.flatten(
         F.transform(
@@ -209,6 +223,29 @@ def minhash_candidates(
         buckets.select(F.explode(pair_expr).alias("__p"))
         .select("__p.id_a", "__p.id_b")
         .distinct()
+    )
+
+
+def overfull_lsh_buckets(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    num_hashes: int = 12,
+    bands: int = 4,
+    ngram_n: int = 3,
+    max_bucket: int = 1000,
+) -> DataFrame:
+    """Diagnostic twin of `minhash_candidates`'s cap: (band_key, size)
+    for buckets the cap would drop. Run it alongside a dedup job to
+    audit what the cap is discarding (at healthy parameterizations it
+    returns 0 rows)."""
+    b = lsh_bands(
+        minhash_signature(df, text_col, id_col, num_hashes, ngram_n), id_col, num_hashes, bands
+    )
+    return (
+        b.groupBy("band_key")
+        .agg(F.count("*").alias("bucket_size"))
+        .where(F.col("bucket_size") > max_bucket)
     )
 
 
@@ -242,11 +279,15 @@ def jaccard_verify(
     jac = F.size(F.array_intersect("toks_a", "toks_b")) / F.size(
         F.array_union("toks_a", "toks_b")
     )
+    # Filter on the RAW score; round only in the projection — the oracle
+    # SQL does the same, and a score in [threshold-5e-5, threshold) must
+    # not survive on one engine and die on the other.
     return (
         candidates.join(a, "id_a")
         .join(bb, "id_b")
-        .select("id_a", "id_b", F.round(jac, 4).alias("jaccard"))
-        .where(F.col("jaccard") >= threshold)
+        .select("id_a", "id_b", jac.alias("__jac"))
+        .where(F.col("__jac") >= threshold)
+        .select("id_a", "id_b", F.round("__jac", 4).alias("jaccard"))
     )
 
 
@@ -293,9 +334,11 @@ def ngram_jaccard_pairs(
         .agg(F.count("*").alias("n_shared"))
     )
     jac = F.col("n_shared") / (F.col("n_a") + F.col("n_b") - F.col("n_shared"))
-    return shared.select(
+    # Raw-score filter, rounded projection (mirrors the oracle — see
+    # jaccard_verify).
+    return shared.where(jac >= threshold).select(
         "id_a", "id_b", F.round(jac, 4).alias("jaccard")
-    ).where(F.col("jaccard") >= threshold)
+    )
 
 
 # ---------------------------------------------------------------------------
@@ -336,12 +379,19 @@ def simhash_pairs(
     bits: int = 16, max_hamming: int = 3, ngram_n: int = 3,
 ) -> DataFrame:
     """Near-dup pairs by SimHash Hamming distance. Candidate generation
-    blocks on signature halves (pigeonhole: distance ≤ max_hamming with 2
-    blocks → at least one identical half when max_hamming ≤ 1 per block
-    ... for larger budgets more blocks are needed; we use 4 blocks of
-    bits/4). Exact Hamming check via bit_count(xor)."""
+    blocks on signature slices — pigeonhole: a pair at distance ≤ d has
+    at most d differing bits, so splitting the signature into d+1 blocks
+    guarantees at least one block is identical. nblocks is DERIVED as
+    max_hamming + 1 (a fixed block count would silently void the recall
+    guarantee for larger budgets). Exact Hamming check via
+    bit_count(xor)."""
+    nblocks = max_hamming + 1
+    if bits % nblocks:
+        raise ValueError(
+            f"bits must be divisible by max_hamming + 1 blocks; "
+            f"got bits={bits}, max_hamming={max_hamming} (nblocks={nblocks})"
+        )
     sig = simhash(df, text_col, id_col, bits, ngram_n)
-    nblocks = 4
     block_bits = bits // nblocks
     mask = (1 << block_bits) - 1
     blocks = F.array(
@@ -372,17 +422,129 @@ def simhash_pairs(
 # ---------------------------------------------------------------------------
 
 
+def rademacher_bands(
+    n_bands: int, band_bits: int, dim: int, seed: int = 2024
+) -> list[list[list[int]]]:
+    """Deterministic ±1 (Rademacher) hyperplanes, grouped into bands:
+    n_bands lists of band_bits planes of length dim. Sign-random planes
+    are a valid cosine-LSH family, and their literals are 2 chars each —
+    a 64×4-plane block inlines into the plan for pennies where
+    17-digit-double planes would be a 400 KB SQL string."""
+    import random
+
+    rng = random.Random(seed)
+    return [
+        [[1 if rng.random() < 0.5 else -1 for _ in range(dim)] for _ in range(band_bits)]
+        for _ in range(n_bands)
+    ]
+
+
+def embedding_block_candidates(
+    df: DataFrame,
+    planes_bands: list[list[list[float]]],
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+    max_bucket: int | None = 1000,
+) -> DataFrame:
+    """Candidate pairs (a < b) sharing ≥1 hyperplane-LSH band bucket.
+
+    `planes_bands` = n_bands bands of band_bits hyperplanes each; a pair
+    is a candidate iff some band's full sign-signature matches. Same
+    single-shuffle bucket-pair shape as `minhash_candidates`: signatures
+    are computed scan-side (one dot product per plane, pure Column
+    exprs), band keys explode, groupBy(band_key) collects each bucket,
+    pairs explode inside the bucket. Never a self-join, never a
+    cartesian.
+
+    Recall math (tune n_bands/band_bits to the threshold): P(two
+    vectors at angle θ agree on one plane) = 1 - θ/π; a pair survives
+    iff all band_bits planes agree in some band, so miss = (1 -
+    p^band_bits)^n_bands. Low thresholds (θ large) need many narrow
+    bands — that cost is intrinsic to cosine LSH; the family is
+    cheapest at near-dup thresholds (cos ≥ 0.8)."""
+    # One flat literal array of all planes; bits computed in one pass,
+    # then sliced per band and packed into a long band signature.
+    flat = [p for band in planes_bands for p in band]
+    band_bits = len(planes_bands[0])
+    planes_arr = F.expr(
+        "array("
+        + ",".join("array(" + ",".join(str(float(x)) for x in p) + ")" for p in flat)
+        + ")"
+    )
+    from parkour_spark.functions.vector import dot
+
+    bits = F.transform(
+        planes_arr,
+        lambda p: F.when(dot(F.col(vec_col), p) >= 0, F.lit(1)).otherwise(F.lit(0)).cast("long"),
+    )
+    staged = df.select(F.col(id_col), bits.alias("__bits"))
+    keys = F.transform(
+        F.sequence(F.lit(0), F.lit(len(planes_bands) - 1)),
+        lambda i: F.concat_ws(
+            ":",
+            i,
+            F.aggregate(
+                F.slice("__bits", i * band_bits + 1, band_bits),
+                F.lit(0).cast("long"),
+                lambda acc, b: acc * 2 + b,
+            ),
+        ),
+    )
+    exploded = staged.select(F.col(id_col), F.explode(keys).alias("band_key"))
+    buckets = (
+        exploded.groupBy("band_key")
+        .agg(F.array_sort(F.collect_set(id_col)).alias("__ids"))
+        .where(F.size("__ids") > 1)
+    )
+    if max_bucket is not None:
+        buckets = buckets.where(F.size("__ids") <= max_bucket)
+    ids = F.col("__ids")
+    pair_expr = F.flatten(
+        F.transform(
+            ids,
+            lambda x, i: F.transform(
+                F.slice(ids, i + 2, F.size(ids)),
+                lambda y: F.struct(x.alias("id_a"), y.alias("id_b")),
+            ),
+        )
+    )
+    return (
+        buckets.select(F.explode(pair_expr).alias("__p"))
+        .select("__p.id_a", "__p.id_b")
+        .distinct()
+    )
+
+
 def embedding_neardup_pairs(
     df: DataFrame, vec_col: str = "embedding", id_col: str = "vec_id", threshold: float = 0.95,
-    block_join: DataFrame | None = None,
+    block_planes: list[list[list[float]]] | None = None,
+    max_bucket: int | None = 1000,
 ) -> DataFrame:
-    """Pairs with cosine ≥ threshold. Default (oracle-checkable) path is
-    the exact self-join; at scale pass `block_join` = LSH/IVF bucket
-    assignments (see operators.similarity) to bound the join."""
-    a = df.select(F.col(id_col).alias("id_a"), F.col(vec_col).alias("vec_a"))
-    b = df.select(F.col(id_col).alias("id_b"), F.col(vec_col).alias("vec_b"))
-    pairs = a.join(b, F.col("id_a") < F.col("id_b"))
+    """Pairs with cosine ≥ threshold.
+
+    Without `block_planes` this is the exact O(n²) self-join — the
+    oracle path, fine for small corpora and for verifying the blocked
+    path. WITH `block_planes` (bands of hyperplanes, e.g. from
+    `rademacher_bands`) candidate pairs come from LSH band buckets via
+    `embedding_block_candidates` — an equi-join plan whose cost is
+    bounded by bucket sizes, the only shape that survives at 100 TB —
+    and only candidates get the exact cosine check."""
+    if block_planes is not None:
+        cand = embedding_block_candidates(
+            df, block_planes, vec_col, id_col, max_bucket
+        ).persist()
+        vecs = df.select(F.col(id_col), F.col(vec_col)).persist()
+        a = vecs.select(F.col(id_col).alias("id_a"), F.col(vec_col).alias("vec_a"))
+        b = vecs.select(F.col(id_col).alias("id_b"), F.col(vec_col).alias("vec_b"))
+        pairs = cand.join(a, "id_a").join(b, "id_b")
+    else:
+        a = df.select(F.col(id_col).alias("id_a"), F.col(vec_col).alias("vec_a"))
+        b = df.select(F.col(id_col).alias("id_b"), F.col(vec_col).alias("vec_b"))
+        pairs = a.join(b, F.col("id_a") < F.col("id_b"))
     cos = cosine("vec_a", "vec_b")
-    return pairs.select("id_a", "id_b", F.round(cos, 4).alias("cos")).where(
-        F.col("cos") >= threshold
+    # Raw-score filter, rounded projection (mirrors the oracle SQL).
+    return (
+        pairs.select("id_a", "id_b", cos.alias("__cos"))
+        .where(F.col("__cos") >= threshold)
+        .select("id_a", "id_b", F.round("__cos", 4).alias("cos"))
     )

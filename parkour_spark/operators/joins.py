@@ -98,36 +98,97 @@ def secondary_sorted_partitions(df: DataFrame, group_key: str, *sort_keys: str) 
     return df.repartition(group_key).sortWithinPartitions(group_key, *sort_keys)
 
 
+def detect_hot_keys(
+    df: DataFrame,
+    keys: Sequence[str],
+    hot_row_threshold: int = 1_000_000,
+    sample_fraction: float = 0.001,
+    max_hot_keys: int = 1000,
+) -> list:
+    """Estimate which join-key values exceed `hot_row_threshold` rows via
+    a seeded sample — cost is one small agg over ~fraction of the data,
+    not a full groupBy-count of the corpus. Returns at most
+    `max_hot_keys` Rows (hot keys are, by definition, few). A key is
+    flagged when its sampled count implies an estimated total ≥
+    threshold."""
+    min_sampled = max(1, int(hot_row_threshold * sample_fraction))
+    return (
+        df.sample(fraction=sample_fraction, seed=42)
+        .groupBy(*keys)
+        .count()
+        .where(F.col("count") >= min_sampled)
+        .orderBy(F.col("count").desc())
+        .limit(max_hot_keys)
+        .drop("count")
+        .collect()
+    )
+
+
 def salted_join(
     left: DataFrame,
     right: DataFrame,
     on: str | list[str],
     num_salts: int = 16,
     how: str = "inner",
+    hot_keys: str | Sequence | None = "auto",
+    hot_row_threshold: int = 1_000_000,
+    sample_fraction: float = 0.001,
 ) -> DataFrame:
-    """Skew-mitigating equi-join: left rows get a deterministic salt in
-    [0, num_salts) hashed from the full row, the right side is replicated
-    once per salt, and the join key becomes (keys..., salt) — each hot
-    key's rows spread over num_salts shuffle partitions instead of one
-    straggler reducer. The result is row-identical to the plain join
-    (each left row carries exactly one salt; exactly one right replica
-    matches it), so correctness is oracle-checkable against the unsalted
-    SQL join.
+    """Skew-aware equi-join, row-identical to the plain join (so the
+    oracle is the unsalted SQL).
 
-    Only inner/left joins: replicating the right side would duplicate
-    its unmatched rows under right/full semantics. AQE's skew-join
-    handles sort-merge skew automatically; explicit salting still wins
-    when a single key exceeds what one task can hold, or when the join
-    is shuffled-hash. At scale prefer salting the known-hot keys only
-    (filter + union) — this operator salts uniformly for simplicity."""
+    Salting replicates the right side once per salt and spreads each hot
+    key over num_salts shuffle partitions — the cure for a single key
+    that exceeds one task. But replication × num_salts is real shuffle
+    volume, so it is applied ONLY to detected-hot keys:
+
+    - `hot_keys="auto"` (default): a sampled frequency pre-pass
+      (`detect_hot_keys`) finds keys estimated over `hot_row_threshold`
+      rows. No hot keys → the plan IS the plain join (zero salt
+      overhead; AQE still handles mild sort-merge skew).
+    - `hot_keys=[...]`: caller-known hot key values (list of scalars for
+      a single key column, or Rows/tuples for composite keys).
+    - `hot_keys="all"`: legacy uniform salting of every key — explicit
+      opt-in, pays replication on the whole join.
+    - `hot_keys=None` / empty: plain join.
+
+    When hot keys exist, the left splits hot/cold by broadcast
+    semi/anti join against the (tiny) hot-key table; the cold branch
+    joins plain, the hot branch joins salted, results union. Only
+    inner/left joins: replicating the right side would duplicate its
+    unmatched rows under right/full semantics."""
     if how not in ("inner", "left"):
         raise ValueError(f"salted_join supports inner/left, got {how}")
     keys = [on] if isinstance(on, str) else list(on)
-    salt = F.pmod(F.xxhash64(*[F.col(c) for c in left.columns]), F.lit(num_salts)).cast(
-        "int"
+
+    def _salted(l_side: DataFrame, r_side: DataFrame) -> DataFrame:
+        salt = F.pmod(
+            F.xxhash64(*[F.col(c) for c in l_side.columns]), F.lit(num_salts)
+        ).cast("int")
+        l_salted = l_side.withColumn("__salt", salt)
+        r_salted = r_side.withColumn(
+            "__salt", F.explode(F.sequence(F.lit(0), F.lit(num_salts - 1)))
+        )
+        return l_salted.join(r_salted, keys + ["__salt"], how).drop("__salt")
+
+    if hot_keys == "all":
+        return _salted(left, right)
+    if hot_keys == "auto":
+        hot_keys = detect_hot_keys(
+            left, keys, hot_row_threshold=hot_row_threshold, sample_fraction=sample_fraction
+        )
+    if not hot_keys:
+        return left.join(right, keys, how)
+
+    spark = left.sparkSession
+    rows = [
+        tuple(k) if isinstance(k, (tuple, list)) or hasattr(k, "__fields__") else (k,)
+        for k in hot_keys
+    ]
+    hot_df = spark.createDataFrame(rows, schema=left.select(*keys).schema)
+    cold = left.join(F.broadcast(hot_df), keys, "left_anti").join(right, keys, how)
+    hot = _salted(
+        left.join(F.broadcast(hot_df), keys, "left_semi"),
+        right.join(F.broadcast(hot_df), keys, "left_semi"),
     )
-    l_salted = left.withColumn("__salt", salt)
-    r_salted = right.withColumn(
-        "__salt", F.explode(F.sequence(F.lit(0), F.lit(num_salts - 1)))
-    )
-    return l_salted.join(r_salted, keys + ["__salt"], how).drop("__salt")
+    return cold.unionByName(hot)

@@ -45,12 +45,27 @@ MEDIA_SCHEMA = T.StructType(
 )
 
 
-def rebatch_for_blobs(df: DataFrame, rows_per_partition: int = 1000) -> DataFrame:
-    """Right-size partitions for large binary payloads so a partition's
-    blobs fit in executor memory (the multimodal analog of the
-    reference's nline mapper-sizing, io/nline.clj:8-19)."""
-    n = max(1, df.count() // rows_per_partition)
-    return df.repartition(n)
+def rebatch_for_blobs(
+    df: DataFrame,
+    max_records_per_batch: int = 64,
+    num_partitions: int | None = None,
+) -> DataFrame:
+    """Right-size Arrow transfer for large binary payloads (the
+    multimodal analog of the reference's nline mapper-sizing,
+    io/nline.clj:8-19).
+
+    The actual per-task memory bound for mapInPandas over blobs is the
+    Arrow record batch, so this caps
+    `spark.sql.execution.arrow.maxRecordsPerBatch`; partition byte
+    sizing comes free from the scan (`spark.sql.files.maxPartitionBytes`
+    splits parquet by bytes, blobs included). NO counting pass — a
+    `df.count()` here would be a full extra scan of the binary data.
+    Pass `num_partitions` only when the caller knows the blob geometry
+    better than the file splits do (e.g. after an explodey transform)."""
+    df.sparkSession.conf.set(
+        "spark.sql.execution.arrow.maxRecordsPerBatch", str(max_records_per_batch)
+    )
+    return df.repartition(num_partitions) if num_partitions else df
 
 
 def binary_fingerprint(df: DataFrame, payload_col: str = "payload") -> DataFrame:

@@ -166,7 +166,7 @@ def q_pivot(spark, sf_dir):
 @query(
     "range_mod_agg",
     """
-    SELECT "range" % 7 AS bucket, count(*) AS n, sum("range") AS total
+    SELECT "range" % 7 AS bucket, count(*) AS n, sum("range")::BIGINT AS total
     FROM range(0, 100000) GROUP BY 1
     """,
 )
@@ -572,7 +572,7 @@ def q_events_hourly(spark, sf_dir):
     "user_sessions",
     """
     SELECT user_id, count(*) AS n_events,
-           1 + sum(CASE WHEN gap > 1800 THEN 1 ELSE 0 END) AS n_sessions
+           (1 + sum(CASE WHEN gap > 1800 THEN 1 ELSE 0 END))::BIGINT AS n_sessions
     FROM (
       SELECT user_id,
              epoch(ts) - lag(epoch(ts)) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS gap
@@ -806,7 +806,7 @@ def q_range_join(spark, sf_dir):
     "json_props_sum",
     """
     SELECT event_type,
-           sum(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS k_total,
+           sum(CAST(json_extract_string(props, '$.k') AS BIGINT))::BIGINT AS k_total,
            count(*) AS n
     FROM events GROUP BY event_type
     """,
@@ -824,7 +824,7 @@ def q_json_props(spark, sf_dir):
 @query(
     "order_gaps",
     """
-    SELECT o_custkey, count(*) AS n_gaps, sum(gap_secs) AS total_gap_secs
+    SELECT o_custkey, count(*) AS n_gaps, sum(gap_secs)::BIGINT AS total_gap_secs
     FROM (
       SELECT o_custkey,
              CAST(epoch(o_orderdate) AS BIGINT)
@@ -974,9 +974,18 @@ def q_approx_quantiles(spark, sf_dir):
         cust.select(F.col("c_custkey").alias("o_custkey"), "c_mktsegment"),
         "o_custkey",
     )
-    return joined.groupBy("c_mktsegment").agg(
-        F.approx_percentile("o_totalprice", [0.25, 0.5, 0.75], 10000).alias("quartiles"),
+    agged = joined.groupBy("c_mktsegment").agg(
+        F.approx_percentile("o_totalprice", [0.25, 0.5, 0.75], 10000).alias("__q"),
         F.count("*").alias("n"),
+    )
+    # Scalar columns (not array<double>) so downstream canonicalizers can
+    # sort/hash the result row-wise.
+    return agged.select(
+        "c_mktsegment",
+        F.round(F.col("__q")[0], 2).alias("p25"),
+        F.round(F.col("__q")[1], 2).alias("p50"),
+        F.round(F.col("__q")[2], 2).alias("p75"),
+        "n",
     )
 
 
@@ -989,9 +998,13 @@ def q_approx_quantiles(spark, sf_dir):
     """,
 )
 def q_salted_join(spark, sf_dir):
-    """Skew-mitigating salted join (operators.joins.salted_join): hot
-    keys spread over num_salts shuffle partitions; row-identical to the
-    plain join, so the oracle is the unsalted SQL."""
+    """Skew-aware salted join (operators.joins.salted_join): a sampled
+    frequency pre-pass detects hot keys; only those are salted across
+    num_salts shuffle partitions, everything else takes the plain-join
+    plan (zero replication overhead when, as here, no key is skewed).
+    Row-identical to the plain join either way, so the oracle is the
+    unsalted SQL; the forced-hot path is plan- and row-asserted in
+    tests/test_joins.py."""
     li = _t(spark, sf_dir, "lineitem")
     orders = _t(spark, sf_dir, "orders").select(
         F.col("o_orderkey").alias("l_orderkey"), "o_orderpriority"
@@ -1584,6 +1597,34 @@ def q_simhash(spark, sf_dir):
 )
 def q_embedding_neardup(spark, sf_dir):
     return D.embedding_neardup_pairs(_t(spark, sf_dir, "embeddings"), threshold=0.4)
+
+
+_EMB_NEARDUP_SQL = """
+    SELECT a.vec_id AS id_a, b.vec_id AS id_b,
+           round(list_dot_product(a.embedding::DOUBLE[], b.embedding::DOUBLE[])
+                 / (sqrt(list_dot_product(a.embedding::DOUBLE[], a.embedding::DOUBLE[]))
+                    * sqrt(list_dot_product(b.embedding::DOUBLE[], b.embedding::DOUBLE[]))), 4) AS cos
+    FROM embeddings a JOIN embeddings b ON a.vec_id < b.vec_id
+    WHERE list_dot_product(a.embedding::DOUBLE[], b.embedding::DOUBLE[])
+          / (sqrt(list_dot_product(a.embedding::DOUBLE[], a.embedding::DOUBLE[]))
+             * sqrt(list_dot_product(b.embedding::DOUBLE[], b.embedding::DOUBLE[]))) >= 0.4
+    """
+
+
+@query("embedding_neardup_blocked", _EMB_NEARDUP_SQL)
+def q_embedding_neardup_blocked(spark, sf_dir):
+    """Scale path for embedding near-dup: hyperplane-LSH band buckets
+    generate candidates via equi-join (no O(n²) BroadcastNestedLoopJoin
+    — plan-asserted in test_dedup), exact cosine verifies candidates
+    only. 64 bands × 4 Rademacher planes give < 1e-4 miss probability
+    per true pair at cos 0.4 (see rademacher_bands docstring), so the
+    result matches the exact all-pairs oracle at test scale — checked,
+    not assumed."""
+    return D.embedding_neardup_pairs(
+        _t(spark, sf_dir, "embeddings"),
+        threshold=0.4,
+        block_planes=D.rademacher_bands(n_bands=64, band_bits=4, dim=64),
+    )
 
 
 # ===========================================================================

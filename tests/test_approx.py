@@ -27,6 +27,6 @@ def test_approx_quantiles_ordered_and_bounded(spark):
     rows = QUERIES["approx_price_quantiles"](spark, SF_DIR).collect()
     assert rows
     for r in rows:
-        q1, q2, q3 = r["quartiles"]
+        q1, q2, q3 = r["p25"], r["p50"], r["p75"]
         assert q1 <= q2 <= q3
         assert q1 > 0

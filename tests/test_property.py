@@ -106,7 +106,7 @@ def test_salted_join_equals_plain_join(spark, left, right, num_salts):
     salted = sorted(
         map(
             tuple,
-            salted_join(ldf, rdf, "k", num_salts=num_salts)
+            salted_join(ldf, rdf, "k", num_salts=num_salts, hot_keys="all")
             .select("k", "lv", "rv")
             .collect(),
         )

@@ -21,7 +21,12 @@ def test_salted_join_matches_plain_inner(spark):
     left, right = _sides(spark)
     plain = sorted(map(tuple, left.join(right, "k").select("k", "lv", "rv").collect()))
     salted = sorted(
-        map(tuple, salted_join(left, right, "k", num_salts=4).select("k", "lv", "rv").collect())
+        map(
+            tuple,
+            salted_join(left, right, "k", num_salts=4, hot_keys="all")
+            .select("k", "lv", "rv")
+            .collect(),
+        )
     )
     assert salted == plain
 
@@ -34,12 +39,37 @@ def test_salted_join_matches_plain_left(spark):
     salted = sorted(
         map(
             tuple,
-            salted_join(left, right, "k", num_salts=4, how="left")
+            salted_join(left, right, "k", num_salts=4, how="left", hot_keys="all")
             .select("k", "lv", "rv")
             .collect(),
         )
     )
     assert salted == plain
+
+
+def test_salted_join_auto_no_hot_keys_is_plain_join(spark):
+    """No skew detected → the plan IS the plain join: no salt column,
+    no right-side replication (the round-1 always-on salting cost 4× a
+    plain join for nothing)."""
+    left, right = _sides(spark)
+    joined = salted_join(left, right, "k", num_salts=4)  # auto, nothing hot
+    plan = joined._jdf.queryExecution().executedPlan().toString()
+    assert "__salt" not in plan
+    plain = sorted(map(tuple, left.join(right, "k").select("k", "lv", "rv").collect()))
+    got = sorted(map(tuple, joined.select("k", "lv", "rv").collect()))
+    assert got == plain
+
+
+def test_salted_join_explicit_hot_keys_row_identical(spark):
+    """Forced hot key → hot branch salted (salt machinery in the plan),
+    cold branch plain, union row-identical to the plain join."""
+    left, right = _sides(spark)
+    joined = salted_join(left, right, "k", num_salts=4, hot_keys=[1])
+    plan = joined._jdf.queryExecution().executedPlan().toString()
+    assert "__salt" in plan
+    plain = sorted(map(tuple, left.join(right, "k").select("k", "lv", "rv").collect()))
+    got = sorted(map(tuple, joined.select("k", "lv", "rv").collect()))
+    assert got == plain
 
 
 def test_salted_join_rejects_right_join(spark):
