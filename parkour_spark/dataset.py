@@ -18,7 +18,7 @@ from __future__ import annotations
 from dataclasses import dataclass, field
 from typing import Any, Callable, Iterator
 
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import Column, DataFrame, Observation, SparkSession, functions as F
 
 
 @dataclass
@@ -38,6 +38,9 @@ class Dataset:
     fmt: str = "parquet"
     options: dict[str, str] = field(default_factory=dict)
     _df: DataFrame | None = None
+    #: Job counters observed during the write that produced this handle
+    #: (reference attaches counters as dseq metadata, graph.clj:384-389).
+    metrics: dict[str, Any] | None = None
 
     # -- dseq role ---------------------------------------------------------
     def read(self) -> DataFrame:
@@ -63,16 +66,35 @@ class Dataset:
         return self.read().inputFiles()
 
     # -- dsink role --------------------------------------------------------
-    def write(self, df: DataFrame, mode: str = "overwrite", partition_by: list[str] | None = None) -> "Dataset":
+    def write(
+        self,
+        df: DataFrame,
+        mode: str = "overwrite",
+        partition_by: list[str] | None = None,
+        observe: list[Column] | None = None,
+    ) -> "Dataset":
+        """Materialize `df` and return a handle that re-reads it, with
+        job counters attached as `.metrics` (reference counters-on-dseq,
+        graph.clj:384-389). `rows_written` is always observed; pass
+        extra aliased aggregate Columns via `observe`. Observation rides
+        the write job itself — no extra pass."""
         if self.path is None:
             raise ValueError("write() requires a path-backed Dataset")
+        obs = Observation()
+        df = df.observe(obs, F.count(F.lit(1)).alias("rows_written"), *(observe or []))
         writer = df.write.format(self.fmt).mode(mode)
         for k, v in self.options.items():
             writer = writer.option(k, v)
         if partition_by:
             writer = writer.partitionBy(*partition_by)
         writer.save(self.path)
-        return Dataset(self.spark, path=self.path, fmt=self.fmt, options=dict(self.options))
+        return Dataset(
+            self.spark,
+            path=self.path,
+            fmt=self.fmt,
+            options=dict(self.options),
+            metrics=dict(obs.get),
+        )
 
     # -- constructors ------------------------------------------------------
     @staticmethod

@@ -56,15 +56,19 @@ def asof_join(
     keys = list(on)
     # Right-rows-only tie order at equal (__t, __side); left rows hold
     # NULLs here but __side already separates the sides at equal time.
-    tie_cols = [F.col(tiebreak)] if tiebreak else [F.col(v) for v in right_vals]
+    tie_cols = [F.col("__tie")] if tiebreak else [F.col(v) for v in right_vals]
     l_tagged = left.withColumn("__t", lt.cast("double")).withColumn("__side", F.lit(1))
     for v in right_vals:
         l_tagged = l_tagged.withColumn(v, F.lit(None).cast(dict(right.dtypes)[v]))
+    r_extra = [F.col(tiebreak).alias("__tie")] if tiebreak else []
+    if tiebreak:
+        l_tagged = l_tagged.withColumn("__tie", F.lit(None).cast(dict(right.dtypes)[tiebreak]))
     r_tagged = right.select(
         *keys,
         F.col(right_time).cast("double").alias("__t"),
         F.lit(0).alias("__side"),
         *[F.col(v) for v in right_vals],
+        *r_extra,
     )
     for c in left.columns:
         if c not in r_tagged.columns:

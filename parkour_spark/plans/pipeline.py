@@ -28,6 +28,7 @@ class Pipeline:
 
     def __init__(self, df: DataFrame):
         self.df = df
+        self.metrics: dict | None = None
 
     # -- stage analogs -----------------------------------------------------
     @staticmethod
@@ -67,12 +68,16 @@ class Pipeline:
         return Pipeline(self.df.orderBy(*order))
 
     # -- materialization ---------------------------------------------------
-    def output(self, sink: Dataset, mode: str = "overwrite") -> "Pipeline":
+    def output(self, sink: Dataset, mode: str = "overwrite", observe=None) -> "Pipeline":
         """`pg/output` (graph.clj:267-293): write, then *re-input* — the
         returned Pipeline reads back what was written, exactly the
-        reference's dsink→dseq round-trip."""
-        written = sink.write(self.df, mode=mode)
-        return Pipeline(written.read())
+        reference's dsink→dseq round-trip. Write-job counters
+        (rows_written + any `observe` aggregates) surface on the
+        returned Pipeline's `.metrics` (reference graph.clj:384-389)."""
+        written = sink.write(self.df, mode=mode, observe=observe)
+        out = Pipeline(written.read())
+        out.metrics = written.metrics
+        return out
 
     def collect(self) -> list:
         return self.df.collect()

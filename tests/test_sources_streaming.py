@@ -266,3 +266,19 @@ def test_dataset_roundtrip_and_introspection(spark, tmp_path):
     back = ds.write(df)
     assert sorted(r.id for r in back.read().collect()) == [0, 1, 2, 3, 4]
     assert len(back.input_files()) >= 1
+    # counters ride the write job (reference counters-on-dseq metadata)
+    assert back.metrics["rows_written"] == 5
+
+
+def test_write_observe_custom_counters(spark, tmp_path):
+    from pyspark.sql import functions as F
+
+    ds = Dataset(spark, str(tmp_path / "obs"))
+    df = spark.range(10).withColumn("even", (F.col("id") % 2 == 0).cast("int"))
+    back = ds.write(df, observe=[F.sum("even").alias("n_even")])
+    assert back.metrics == {"rows_written": 10, "n_even": 5}
+
+    from parkour_spark.plans.pipeline import Pipeline
+
+    pl = Pipeline.input(df).output(Dataset(spark, str(tmp_path / "obs2")))
+    assert pl.metrics["rows_written"] == 10
