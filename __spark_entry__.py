@@ -28,7 +28,8 @@ def entry(spark: SparkSession) -> DataFrame:
 _DEMOTED = [
     "distinct_tokens",          # word_count covers tokenize+distinct agg
     "shape_keys", "shape_vals", "shape_keygroups", "shape_valgroups",
-    "shape_keykeyvalgroups", "shape_keykeygroups",  # 3 shapes stay in-window
+    "shape_keykeyvalgroups", "shape_keykeygroups", "shape_keysgroups",
+    # shape_keyvals + shape_keyvalgroups stay in-window for the family
     "ordered_positive_custkeys",   # parts_never_bulk_ordered keeps set-ops
     "q3_shipping_priority",        # q5 keeps the multi-join TPC-H shape
     "cube_priority_status",        # rollup + grouping family represented

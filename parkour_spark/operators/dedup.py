@@ -529,19 +529,39 @@ def embedding_neardup_pairs(
     `embedding_block_candidates` — an equi-join plan whose cost is
     bounded by bucket sizes, the only shape that survives at 100 TB —
     and only candidates get the exact cosine check."""
+    from parkour_spark.functions.vector import dot, norm
+
+    # Norms hoisted scan-side: one fold per VECTOR, not two per pair
+    # (identical expression → identical value; cosine is
+    # dot/(norm_a*norm_b) exactly as the oracle computes it).
     if block_planes is not None:
         cand = embedding_block_candidates(
             df, block_planes, vec_col, id_col, max_bucket
         ).persist()
-        vecs = df.select(F.col(id_col), F.col(vec_col)).persist()
-        a = vecs.select(F.col(id_col).alias("id_a"), F.col(vec_col).alias("vec_a"))
-        b = vecs.select(F.col(id_col).alias("id_b"), F.col(vec_col).alias("vec_b"))
+        vecs = df.select(
+            F.col(id_col), F.col(vec_col), norm(vec_col).alias("__n")
+        ).persist()
+        a = vecs.select(
+            F.col(id_col).alias("id_a"), F.col(vec_col).alias("vec_a"),
+            F.col("__n").alias("__na"),
+        )
+        b = vecs.select(
+            F.col(id_col).alias("id_b"), F.col(vec_col).alias("vec_b"),
+            F.col("__n").alias("__nb"),
+        )
         pairs = cand.join(a, "id_a").join(b, "id_b")
     else:
-        a = df.select(F.col(id_col).alias("id_a"), F.col(vec_col).alias("vec_a"))
-        b = df.select(F.col(id_col).alias("id_b"), F.col(vec_col).alias("vec_b"))
+        staged = df.select(F.col(id_col), F.col(vec_col), norm(vec_col).alias("__n"))
+        a = staged.select(
+            F.col(id_col).alias("id_a"), F.col(vec_col).alias("vec_a"),
+            F.col("__n").alias("__na"),
+        )
+        b = staged.select(
+            F.col(id_col).alias("id_b"), F.col(vec_col).alias("vec_b"),
+            F.col("__n").alias("__nb"),
+        )
         pairs = a.join(b, F.col("id_a") < F.col("id_b"))
-    cos = cosine("vec_a", "vec_b")
+    cos = dot("vec_a", "vec_b") / (F.col("__na") * F.col("__nb"))
     # Raw-score filter, rounded projection (mirrors the oracle SQL).
     return (
         pairs.select("id_a", "id_b", cos.alias("__cos"))

