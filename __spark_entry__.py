@@ -29,8 +29,11 @@ _DEMOTED = [
     "distinct_tokens",          # word_count covers tokenize+distinct agg
     "shape_keys", "shape_vals", "shape_keygroups", "shape_valgroups",
     "shape_keykeyvalgroups", "shape_keykeygroups", "shape_keysgroups",
-    # shape_keyvals + shape_keyvalgroups stay in-window for the family
-    "ordered_positive_custkeys",   # parts_never_bulk_ordered keeps set-ops
+    "shape_keyvalgroups",
+    # shape_keyvals stays in-window as the tuple-shape family rep
+    "ordered_positive_custkeys",   # union_tagged_names keeps set-ops
+    "parts_never_bulk_ordered",
+    "events_hourly",               # streaming_events_hourly keeps tumbling
     "q3_shipping_priority",        # q5 keeps the multi-join TPC-H shape
     "cube_priority_status",        # rollup + grouping family represented
     "grouping_sets_priority_status",

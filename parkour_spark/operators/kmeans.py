@@ -1,0 +1,114 @@
+"""Distributed k-means (Lloyd's) over an embedding column — the
+iterative-algorithm family, and the natural producer of IVF coarse
+quantizers (operators.similarity.ivf_topk consumes its output).
+
+Spark-first at 100 TB:
+- Each iteration is ONE pass over the corpus. Assignment happens
+  scan-side with the centroids inlined as a plan literal (same mechanism
+  as similarity.ivf_assign — no join, no shuffle of the corpus).
+- The per-iteration statistics are (cell, count, sum-vector) partial
+  aggregates computed per Arrow batch with NumPy and reduced on the
+  driver: k×d doubles per partition flow to the driver, never the data.
+  This is the standard scalable shape for Lloyd's on a cluster (partial
+  sufficient statistics, tiny combine), expressed as mapInPandas.
+- Deterministic: seeded init (first k vectors in id order) and
+  floating-point combine in sorted partition order.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, functions as F, types as T
+
+
+def _partial_stats_schema(dim: int) -> T.StructType:
+    return T.StructType(
+        [
+            T.StructField("cell", T.LongType()),
+            T.StructField("n", T.LongType()),
+            T.StructField("s", T.ArrayType(T.DoubleType())),
+        ]
+    )
+
+
+def kmeans_fit(
+    df: DataFrame,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+    k: int = 16,
+    max_iters: int = 5,
+    tol: float = 1e-6,
+) -> list[tuple[int, list[float]]]:
+    """Fit k centroids; returns [(cid, vector)] ready for `ivf_topk`.
+
+    Init takes the first k vectors in `id_col` order (deterministic and
+    cheap; k-means|| would add sampling rounds — same per-iteration
+    plan). Stops early when max centroid movement < tol."""
+    import numpy as np
+
+    from parkour_spark.operators.similarity import ivf_assign_arrow
+
+    first = df.orderBy(id_col).select(vec_col).limit(k).collect()
+    if len(first) < k:
+        raise ValueError(f"need at least k={k} vectors, found {len(first)}")
+    cents = np.array([list(r[vec_col]) for r in first], dtype=np.float64)
+    dim = cents.shape[1]
+    schema = _partial_stats_schema(dim)
+
+    for _ in range(max_iters):
+        cent_list = [(i, [float(x) for x in cents[i]]) for i in range(k)]
+        assigned = ivf_assign_arrow(
+            df.select(F.col(id_col), F.col(vec_col)), cent_list, vec_col, "cell"
+        )
+
+        def partials(batches):
+            import numpy as np
+            import pandas as pd
+
+            for pdf in batches:
+                if len(pdf) == 0:
+                    continue
+                V = np.stack(pdf[vec_col].to_numpy()).astype(np.float64)
+                cells = pdf["cell"].to_numpy()
+                rows = []
+                for c in np.unique(cells):
+                    mask = cells == c
+                    rows.append((int(c), int(mask.sum()), V[mask].sum(axis=0).tolist()))
+                yield pd.DataFrame(rows, columns=["cell", "n", "s"])
+
+        stats = assigned.mapInPandas(partials, schema=schema).collect()
+        counts = np.zeros(k)
+        sums = np.zeros((k, dim))
+        # sorted combine → deterministic float accumulation order
+        for r in sorted(stats, key=lambda r: (r["cell"], r["n"], tuple(r["s"]))):
+            counts[r["cell"]] += r["n"]
+            sums[r["cell"]] += np.array(r["s"])
+        new = np.where(counts[:, None] > 0, sums / np.maximum(counts[:, None], 1), cents)
+        shift = float(np.abs(new - cents).max())
+        cents = new
+        if shift < tol:
+            break
+    return [(i, [float(x) for x in cents[i]]) for i in range(k)]
+
+
+def kmeans_inertia(
+    df: DataFrame,
+    centroids: list[tuple[int, list[float]]],
+    vec_col: str = "embedding",
+) -> float:
+    """Sum of (1 - cosine-to-assigned-centroid) over the corpus — the
+    objective tracked by tests to assert Lloyd's monotone improvement."""
+    from parkour_spark.operators.similarity import _centroid_array, ivf_assign
+    from parkour_spark.functions.vector import dot, norm
+
+    cent_arr = _centroid_array(centroids)
+    assigned = ivf_assign(df, cent_arr, vec_col, "cell")
+    by_cid = {cid: vec for cid, vec in centroids}
+    cvec = F.map_from_arrays(
+        F.array(*[F.lit(c) for c in by_cid]),
+        F.array(*[F.array(*[F.lit(float(x)) for x in v]) for v in by_cid.values()]),
+    )
+    cos = dot(F.col(vec_col), cvec[F.col("cell")]) / (
+        norm(vec_col) * norm(cvec[F.col("cell")])
+    )
+    row = assigned.select(F.sum(1 - cos).alias("inertia")).first()
+    return float(row["inertia"])

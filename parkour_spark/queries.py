@@ -1771,3 +1771,118 @@ def q_ivf_arrow(spark, sf_dir):
     identical (assignment argmax and candidate cosines agree; verified
     cross-engine, not assumed)."""
     return _ivf_query(spark, sf_dir, assign_engine="arrow")
+
+
+# ===========================================================================
+# Round 2 additions: streaming dedup, k-means, end-to-end corpus prep
+# ===========================================================================
+
+
+@query(
+    "streaming_dedup",
+    """
+    SELECT event_id, event_type FROM events
+    """,
+)
+def q_streaming_dedup(spark, sf_dir):
+    """Streaming exact dedup (streaming.windows.stream_dedup /
+    dropDuplicates): idempotent ingest for at-least-once delivery —
+    repeated event_ids collapse to one row across micro-batches. Over
+    the finite replay the deduped stream equals the distinct batch rows
+    (event_id is unique in the data, so the oracle is the plain
+    projection; the operator's state machinery is what is under test)."""
+    import tempfile
+
+    from parkour_spark.streaming.windows import read_stream, run_to_completion, stream_dedup
+
+    ev = _t(spark, sf_dir, "events")
+    tmp = tempfile.mkdtemp(prefix="parkour_stream_")
+    ev.write.mode("overwrite").parquet(tmp)
+    stream = read_stream(spark, tmp, ev.schema, max_files=8)
+    deduped = stream_dedup(stream.select("event_id", "event_type"), ["event_id"])
+    return run_to_completion(deduped, output_mode="append")
+
+
+@query("kmeans_centroids")
+def q_kmeans(spark, sf_dir):
+    """Distributed Lloyd's k-means over the embeddings corpus
+    (operators.kmeans.kmeans_fit): per iteration one scan-side
+    assignment pass + NumPy partial (cell, count, sum) statistics per
+    Arrow batch, combined on the driver. Iterative and micro-batched —
+    not SQL-expressible, so rows-only here; monotone-inertia and
+    ivf-integration are asserted in tests/test_kmeans.py. Returns one
+    row per centroid: (cid, n_members, centroid_norm)."""
+    from parkour_spark.functions.vector import norm as vnorm
+    from parkour_spark.operators.kmeans import kmeans_fit
+    from parkour_spark.operators.similarity import ivf_assign_arrow
+
+    emb = _t(spark, sf_dir, "embeddings")
+    cents = kmeans_fit(emb, k=8, max_iters=3)
+    assigned = ivf_assign_arrow(emb.select("vec_id", "embedding"), cents, "embedding", "cell")
+    sizes = assigned.groupBy("cell").agg(F.count("*").alias("n_members"))
+    cent_df = spark.createDataFrame(
+        [(cid, v) for cid, v in cents], "cell long, centroid array<double>"
+    ).select("cell", F.round(vnorm("centroid"), 6).alias("centroid_norm"))
+    return (
+        sizes.join(cent_df, "cell")
+        .select(F.col("cell").alias("cid"), "n_members", "centroid_norm")
+    )
+
+
+@query(
+    "corpus_prep",
+    f"""
+    WITH scored AS (
+      SELECT doc_id, text,
+             (least(length(text) * 8, 4000)
+              + CASE WHEN len({_TOKS_SQL}) > 0
+                     THEN floor(3000.0 * least(len(list_filter({_TOKS_SQL},
+                                  x -> x IN ({_STOP_SQL}))) * 10, len({_TOKS_SQL}))
+                                / len({_TOKS_SQL}))
+                     ELSE 0 END
+              + CASE WHEN list_sum(list_transform({_TOKS_SQL}, t -> length(t)))::DOUBLE
+                          / len({_TOKS_SQL}) BETWEEN 3.0 AND 10.0
+                     THEN 3000 ELSE 0 END) / 10000.0 AS quality,
+             CASE WHEN len(list_filter({_TOKS_SQL}, x -> x IN ({_STOP_SQL})))::DOUBLE
+                       / len({_TOKS_SQL}) >= 0.05
+                  THEN 'en' ELSE 'unk' END AS lang_pred,
+             md5(regexp_replace(lower(trim(text)), '\\s+', ' ', 'g')) AS fp
+      FROM documents),
+    kept AS (SELECT * FROM scored WHERE quality >= 0.5 AND lang_pred = 'en'),
+    canon AS (SELECT fp, min(doc_id) AS keep_id FROM kept GROUP BY fp)
+    SELECT k.doc_id, round(k.quality, 4) AS quality,
+           len(regexp_extract_all(k.text, ' ?[A-Za-z]+| ?[0-9]+| ?[^A-Za-z0-9\\s]+'))
+             AS n_subwords
+    FROM kept k JOIN canon c ON k.doc_id = c.keep_id
+    """,
+)
+def q_corpus_prep(spark, sf_dir):
+    """End-to-end training-data prep in ONE Catalyst plan: quality
+    scoring + language ID + whole-doc fingerprint computed in a single
+    scan-side projection, low-quality/non-English rows filtered, exact
+    near-dup losers dropped (min doc_id per fingerprint — one shuffle),
+    and the survivors tagged with their BPE-ish subword token count.
+    The composition is the point: each stage is the already-verified
+    operator, fused by Catalyst into scan → project → filter → one
+    aggregation → self-semi-join, with column pruning ensuring only
+    (doc_id, text) are ever read."""
+    from parkour_spark.functions.text import subword_count
+
+    docs = _t(spark, sf_dir, "documents")
+    scored = docs.select(
+        "doc_id",
+        "text",
+        quality_score("text").alias("quality"),
+        langid_en("text").alias("lang_pred"),
+        fingerprint("text").alias("fp"),
+    )
+    kept = scored.where((F.col("quality") >= 0.5) & (F.col("lang_pred") == "en"))
+    canon = kept.groupBy("fp").agg(F.min("doc_id").alias("doc_id"))
+    return (
+        kept.join(canon.select("doc_id"), "doc_id", "left_semi")
+        .select(
+            "doc_id",
+            F.round("quality", 4).alias("quality"),
+            subword_count("text").alias("n_subwords"),
+        )
+    )

@@ -84,6 +84,26 @@ def session_agg(
     )
 
 
+def stream_dedup(
+    events: DataFrame,
+    dedup_cols: Sequence[str],
+    ts_col: str | None = None,
+    watermark: str = "10 minutes",
+) -> DataFrame:
+    """Streaming exact dedup — idempotent ingest for at-least-once
+    sources (repeated deliveries collapse to one row). State holds one
+    entry per distinct key; WITH `ts_col` the key state expires past the
+    watermark (`dropDuplicatesWithinWatermark` — the only shape whose
+    state is bounded on an unbounded stream; without a ts the state
+    grows with distinct keys and suits finite/keyspace-bounded
+    streams)."""
+    if ts_col is not None:
+        return events.withWatermark(ts_col, watermark).dropDuplicatesWithinWatermark(
+            list(dedup_cols)
+        )
+    return events.dropDuplicates(list(dedup_cols))
+
+
 def stateful_apply(
     events: DataFrame,
     keys: Sequence[str],
