@@ -34,6 +34,7 @@ _DEMOTED = [
     "ordered_positive_custkeys",   # union_tagged_names keeps set-ops
     "parts_never_bulk_ordered",
     "events_hourly",               # streaming_events_hourly keeps tumbling
+    "rollup_returnflag_status",    # orders_per_priority_pivot keeps grouping
     "q3_shipping_priority",        # q5 keeps the multi-join TPC-H shape
     "cube_priority_status",        # rollup + grouping family represented
     "grouping_sets_priority_status",

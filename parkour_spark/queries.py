@@ -1886,3 +1886,62 @@ def q_corpus_prep(spark, sf_dir):
             subword_count("text").alias("n_subwords"),
         )
     )
+
+
+def _dedup_groups_oracle(threshold: float = 0.8) -> str:
+    from parkour_spark.operators.dedup import MINHASH_P, minhash_params
+
+    # pairs CTE = the dedup_minhash_lsh oracle's candidate+verify chain
+    num_hashes, bands = 12, 4
+    rpb = num_hashes // bands
+    x = f"(('0x' || substr(md5(x), 1, 8))::BIGINT % {MINHASH_P})"
+    sig_cols = ",\n       ".join(
+        f"list_min(list_transform(t, x -> ({a} * {x} + {b}) % {MINHASH_P})) AS sig_{i}"
+        for i, (a, b) in enumerate(minhash_params(num_hashes))
+    )
+    band_keys = ", ".join(
+        "'" + str(b) + "|' || " + " || '|' || ".join(f"sig_{b * rpb + r}" for r in range(rpb))
+        for b in range(bands)
+    )
+    return f"""
+    WITH RECURSIVE toks AS (SELECT doc_id, {_SHINGLES_SQL} AS t FROM documents),
+    sigs AS (SELECT doc_id, {sig_cols} FROM toks),
+    bands AS (SELECT doc_id, unnest([{band_keys}]) AS band_key FROM sigs),
+    cand AS (
+      SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
+      FROM bands a JOIN bands b USING (band_key)
+      WHERE a.doc_id < b.doc_id
+    ),
+    pairs AS (
+      SELECT id_a, id_b FROM cand
+      JOIN toks ta ON cand.id_a = ta.doc_id
+      JOIN toks tb ON cand.id_b = tb.doc_id
+      WHERE len(list_intersect(ta.t, tb.t))::DOUBLE
+            / len(list_distinct(list_concat(ta.t, tb.t))) >= {threshold}
+    ),
+    edges AS (SELECT id_a AS a, id_b AS b FROM pairs
+              UNION SELECT id_b, id_a FROM pairs),
+    reach(n, m) AS (
+      SELECT doc_id, doc_id FROM documents
+      UNION
+      SELECT r.n, e.b FROM reach r JOIN edges e ON r.m = e.a
+    )
+    SELECT n AS doc_id, min(m) AS component,
+           (n = min(m)) AS is_survivor
+    FROM reach GROUP BY n
+    """
+
+
+@query("dedup_groups", _dedup_groups_oracle())
+def q_dedup_groups(spark, sf_dir):
+    """Near-dup GROUPS, not just pairs: MinHash-LSH pairs → connected
+    components (operators.graph, min-label propagation, one join+agg
+    per round with checkpointed lineage) → keep the min doc_id per
+    component. The oracle closes the same pair set transitively with a
+    recursive CTE — result is the full corpus mapping with the
+    keep/drop decision per doc."""
+    from parkour_spark.operators.graph import dedup_survivors
+
+    docs = _t(spark, sf_dir, "documents")
+    pairs = D.minhash_dedup_pairs(docs, threshold=0.8)
+    return dedup_survivors(docs.select("doc_id"), pairs)

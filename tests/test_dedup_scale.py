@@ -116,3 +116,23 @@ def test_asof_join_ties_deterministic(spark):
         for p in (1, 2, 4)
     ]
     assert got == ["second", "second", "second"]
+
+
+def test_connected_components_chain_and_isolates(spark):
+    """A 6-node chain (worst-case diameter for label propagation) plus
+    isolated nodes: every chain member maps to the chain min; isolates
+    map to themselves."""
+    from parkour_spark.operators.graph import connected_components, dedup_survivors
+
+    nodes = spark.createDataFrame([(i,) for i in range(10)], "doc_id long")
+    chain = spark.createDataFrame(
+        [(i, i + 1) for i in range(5)] + [(7, 8)], "id_a long, id_b long"
+    )
+    cc = {r["n"]: r["component"] for r in
+          connected_components(nodes, chain, "doc_id").collect()}
+    assert all(cc[i] == 0 for i in range(6))
+    assert cc[7] == cc[8] == 7
+    assert cc[6] == 6 and cc[9] == 9
+    surv = {r["doc_id"]: r["is_survivor"] for r in
+            dedup_survivors(nodes, chain).collect()}
+    assert [d for d, s in sorted(surv.items()) if s] == [0, 6, 7, 9]
