@@ -26,6 +26,7 @@ COMMENTARY = {
     "salted_join_agg": "Skew-aware: a sampled key-frequency pre-pass (key columns projected before Sample, so the probe scan is single-column) detects hot keys; with none — the common case — the executed plan IS the plain join, no salt column, no replication. Forced-hot plans split hot/cold with the hot branch keyed on (l_orderkey, salt).",
     "matrixify": "Partial aggregation on integer keys precedes the broadcast name joins — the fact table never flows through a join; the two dimension zip_with_index builds (range sort + per-partition counts) run as overlapping jobs.",
     "embedding_neardup_blocked": "Hyperplane-LSH band buckets generate candidates through a single groupBy(band_key) shuffle and in-bucket pair explode — an equi-join plan end to end; exact cosine re-checks candidates only. No BroadcastNestedLoopJoin anywhere.",
+    "corpus_prep": "Four pipeline stages fused into one plan: quality + language + fingerprint are one scan-side projection (ReadSchema is just doc_id,text), the filter precedes the only aggregation (min doc_id per fingerprint), survivors re-attach by broadcast semi-join.",
 }
 
 HEADER = """# PLANS — physical-plan evidence for the headline operators

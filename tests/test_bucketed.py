@@ -75,3 +75,25 @@ def test_unbucketed_join_does_shuffle(spark, bucketed_tables):
         assert _shuffles(joined) >= 1
     finally:
         spark.conf.set("spark.sql.autoBroadcastJoinThreshold", old)
+
+
+def test_ivf_cells_partition_pruned_on_disk(spark, tmp_path):
+    """The persistent IVF deployment: the assigned corpus written
+    partitioned by cell, a probe reading only its cells' directories —
+    the scan must show PartitionFilters and skip non-probed cells."""
+    import pyspark.sql.functions as F
+
+    from parkour_spark.operators.similarity import ivf_assign_arrow
+
+    rows = [(i, [float((i * 7 + d) % 13) - 6.0 for d in range(8)]) for i in range(200)]
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+    cents = [(c, [1.0 if d == c else 0.0 for d in range(8)]) for c in range(4)]
+    path = str(tmp_path / "ivf_index")
+    ivf_assign_arrow(df, cents, "embedding", "cell").write.partitionBy("cell").parquet(path)
+
+    probe = spark.read.parquet(path).where(F.col("cell").isin(0, 1))
+    plan = probe._jdf.queryExecution().executedPlan().toString()
+    assert "PartitionFilters" in plan and "cell" in plan.split("PartitionFilters")[1][:120]
+    # pruning is real: only the probed cells' rows are read
+    all_cells = {r["cell"] for r in probe.select("cell").distinct().collect()}
+    assert all_cells <= {0, 1}
