@@ -139,3 +139,43 @@ def test_exact_dedup_partitions_by_normalized_text(spark, texts):
     assert sorted((r["keep_id"], r["n_dups"]) for r in rows) == sorted(
         (min(ids), len(ids)) for ids in groups.values()
     )
+
+
+@given(
+    left=st.lists(st.tuples(keys, times), min_size=1, max_size=20),
+    right=st.lists(st.tuples(keys, times), min_size=1, max_size=20),
+)
+@settings(**_SETTINGS)
+def test_asof_forward_ties_match_pandas_merge_asof(spark, left, right):
+    """asof_join(forward, tiebreak) cross-checked against pandas
+    merge_asof — an independent reference implementation — including
+    duplicate right timestamps, where both pick the min-tiebreak row."""
+    import pandas as pd
+
+    ldf = spark.createDataFrame(
+        [(k, t, i) for i, (k, t) in enumerate(left)], ["k", "t", "lid"]
+    )
+    # distinct rv per row so ties are observable: rv encodes rid
+    rdf = spark.createDataFrame(
+        [(k, t, i * 100 + t, i) for i, (k, t) in enumerate(right)],
+        ["k", "rt", "rv", "rid"],
+    )
+    got = {
+        r["lid"]: r["rv"]
+        for r in asof_join(
+            ldf, rdf, ["k"], "t", "rt", ["rv"], direction="forward", tiebreak="rid"
+        ).collect()
+    }
+    lpd = pd.DataFrame(
+        [(k, t, i) for i, (k, t) in enumerate(left)], columns=["k", "t", "lid"]
+    ).sort_values(["t", "lid"], kind="stable")
+    rpd = pd.DataFrame(
+        [(k, t, i * 100 + t, i) for i, (k, t) in enumerate(right)],
+        columns=["k", "rt", "rv", "rid"],
+    ).sort_values(["rt", "rid"], kind="stable")
+    merged = pd.merge_asof(
+        lpd, rpd, left_on="t", right_on="rt", by="k", direction="forward"
+    )
+    for _, row in merged.iterrows():
+        expect = None if pd.isna(row["rv"]) else int(row["rv"])
+        assert got[row["lid"]] == expect, (row["lid"], got[row["lid"]], expect)
