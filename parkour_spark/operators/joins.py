@@ -178,6 +178,23 @@ def salted_join(
     if hot_keys == "all":
         return _salted(left, right)
     if hot_keys == "auto":
+        # Size gate before paying the detection scan: a key can only
+        # overwhelm a task if the input is at least ~one shuffle
+        # partition's worth of data per potential hot key. If Catalyst's
+        # size estimate says the whole left side fits comfortably across
+        # the shuffle (≤ maxPartitionBytes × shuffle.partitions), no key
+        # can exceed a task — plain join, zero pre-pass. At 100 TB the
+        # gate always passes and detection runs.
+        spark = left.sparkSession
+        try:
+            size = int(left._jdf.queryExecution().optimizedPlan().stats().sizeInBytes())
+            cap = int(
+                spark.conf.get("spark.sql.files.maxPartitionBytes", "134217728").rstrip("b")
+            ) * int(spark.conf.get("spark.sql.shuffle.partitions", "200"))
+            if size <= cap:
+                return left.join(right, keys, how)
+        except Exception:
+            pass  # stats unavailable → fall through to detection
         hot_keys = detect_hot_keys(
             left, keys, hot_row_threshold=hot_row_threshold, sample_fraction=sample_fraction
         )
