@@ -26,7 +26,6 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, functions as F
 
 from parkour_spark.functions.text import fingerprint, shingles, tokens
-from parkour_spark.functions.vector import cosine
 from parkour_spark.operators.sort import widen_scan as _parallelize_scan
 
 
