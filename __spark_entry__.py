@@ -45,6 +45,7 @@ _DEMOTED = [
     "orders_above_customer_avg",
     "approx_user_counts",          # rows-only HLL; exact twin in window r01
     "order_price_ranks",           # running_user_total keeps window fns
+    "running_user_total",          # rolling_30d_spend (RANGE frame) supersedes
     "streaming_sliding_30m",       # tumbling+session+stateful stay in-window
 ]
 

@@ -1945,3 +1945,32 @@ def q_dedup_groups(spark, sf_dir):
     docs = _t(spark, sf_dir, "documents")
     pairs = D.minhash_dedup_pairs(docs, threshold=0.8)
     return dedup_survivors(docs.select("doc_id"), pairs)
+
+
+@query(
+    "rolling_30d_spend",
+    """
+    SELECT o_orderkey, o_custkey,
+           round(sum(o_totalprice) OVER (
+             PARTITION BY o_custkey ORDER BY epoch(o_orderdate)
+             RANGE BETWEEN 2592000 PRECEDING AND CURRENT ROW), 2) AS spend_30d
+    FROM orders
+    """,
+)
+def q_rolling_30d(spark, sf_dir):
+    """RANGE-frame window family (vs the ROWS frames elsewhere): each
+    order's trailing-30-day customer spend. The frame is VALUE-based —
+    all orders within 30×86400 seconds, however many rows that is —
+    which Spark expresses as rangeBetween over epoch seconds; one
+    shuffle on the partition key, sort within, single pass."""
+    orders = _t(spark, sf_dir, "orders")
+    w = (
+        Window.partitionBy("o_custkey")
+        .orderBy(F.unix_timestamp("o_orderdate"))
+        .rangeBetween(-30 * 86400, 0)
+    )
+    return orders.select(
+        "o_orderkey",
+        "o_custkey",
+        F.round(F.sum("o_totalprice").over(w), 2).alias("spend_30d"),
+    )
