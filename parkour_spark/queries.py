@@ -1309,13 +1309,25 @@ def q_multimodal_fp(spark, sf_dir):
 @query("multimodal_features")
 def q_multimodal_features(spark, sf_dir):
     """Arrow-batched decode→features over mapInPandas (deterministic
-    stub decode; rows-only check — the fake codec is not SQL)."""
+    stub decode; rows-only check — the fake codec is not SQL). The
+    feature VECTOR is projected to scalars (dim, first component,
+    checksum) because downstream canonicalizers sort/hash row values —
+    an array column is unhashable there (driver r01 err on
+    approx_price_quantiles)."""
     from parkour_spark.operators.multimodal import decode_image_features
 
     blobs = _t(spark, sf_dir, "documents").select(
         F.col("doc_id").alias("media_id"), F.encode("text", "UTF-8").alias("payload")
     )
-    return decode_image_features(blobs)
+    feats = decode_image_features(blobs)
+    return feats.select(
+        "media_id",
+        F.size("features").alias("n_features"),
+        F.round(F.col("features")[0], 6).alias("f0"),
+        F.round(F.aggregate("features", F.lit(0.0), lambda a, x: a + x), 6).alias(
+            "feature_sum"
+        ),
+    )
 
 
 # ===========================================================================
