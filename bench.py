@@ -40,6 +40,7 @@ HEADLINE = [
     "ivf_topk_cosine_arrow",
     "quality_scores",
     "winnow_fingerprints",
+    "corpus_prep",
 ]
 
 

@@ -1878,20 +1878,42 @@ def q_corpus_prep(spark, sf_dir):
     operator, fused by Catalyst into scan → project → filter → one
     aggregation → self-semi-join, with column pruning ensuring only
     (doc_id, text) are ever read."""
-    from parkour_spark.functions.text import subword_count
+    from parkour_spark.functions.text import EN_STOPWORDS, subword_count, tokens
 
     docs = _t(spark, sf_dir, "documents")
-    scored = docs.select(
+    # Stage the token array ONCE: quality + language both read it, and
+    # an expression referenced from several consumers would otherwise be
+    # inlined per consumer by CollapseProject (the regex split is the
+    # expensive part — 4 copies per row without staging).
+    staged = docs.select(
+        "doc_id", "text", tokens(F.lower(F.col("text"))).alias("__toks")
+    )
+    t = F.col("__toks")
+    n_tok = F.size(t)
+    n_stop = F.size(F.filter(t, lambda x: x.isin(*EN_STOPWORDS)))
+    len_bp = F.least(F.length("text") * 8, F.lit(4000))
+    stop_bp = F.when(
+        n_tok > 0, F.floor(F.lit(3000.0) * F.least(n_stop * 10, n_tok) / n_tok)
+    ).otherwise(F.lit(0))
+    atl = F.aggregate(t, F.lit(0).cast("double"), lambda acc, x: acc + F.length(x)) / n_tok
+    atl_bp = F.when((atl >= 3.0) & (atl <= 10.0), F.lit(3000)).otherwise(F.lit(0))
+    scored = staged.select(
         "doc_id",
         "text",
-        quality_score("text").alias("quality"),
-        langid_en("text").alias("lang_pred"),
+        ((len_bp + stop_bp + atl_bp) / F.lit(10000.0)).alias("quality"),
+        F.when(n_stop.cast("double") / n_tok >= 0.05, F.lit("en"))
+        .otherwise(F.lit("unk"))
+        .alias("lang_pred"),
         fingerprint("text").alias("fp"),
     )
     kept = scored.where((F.col("quality") >= 0.5) & (F.col("lang_pred") == "en"))
-    canon = kept.groupBy("fp").agg(F.min("doc_id").alias("doc_id"))
+    # survivor = min doc_id per fingerprint, decided by a window over fp:
+    # ONE shuffle and one pass over the scored lineage (a groupBy +
+    # semi-join would evaluate the scoring expressions twice)
+    w_fp = Window.partitionBy("fp")
     return (
-        kept.join(canon.select("doc_id"), "doc_id", "left_semi")
+        kept.withColumn("__keep", F.min("doc_id").over(w_fp))
+        .where(F.col("doc_id") == F.col("__keep"))
         .select(
             "doc_id",
             F.round("quality", 4).alias("quality"),
