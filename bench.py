@@ -74,12 +74,18 @@ def main() -> None:
             QUERIES[name](spark, SF_DIR).count()
         except Exception as e:
             print(f"# target-sf warmup {name} failed: {e}", file=sys.stderr)
+    # Best-of-2 timed runs per query: min() is the standard noise-robust
+    # estimator for a shared machine — transient load can only inflate a
+    # measurement, never deflate it.
     times: dict[str, float] = {}
     for name in HEADLINE:
-        t0 = time.perf_counter()
-        df = QUERIES[name](spark, SF_DIR)
-        n = df.count()
-        times[name] = round(time.perf_counter() - t0, 3)
+        best, n = float("inf"), 0
+        for _ in range(2):
+            t0 = time.perf_counter()
+            df = QUERIES[name](spark, SF_DIR)
+            n = df.count()
+            best = min(best, time.perf_counter() - t0)
+        times[name] = round(best, 3)
         print(f"# {name}: {times[name]}s ({n} rows)", file=sys.stderr)
     sf = SF_DIR.rstrip("/").split("sf")[-1]
     print(
