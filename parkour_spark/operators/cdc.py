@@ -1,0 +1,63 @@
+"""CDC / upsert / slowly-changing-dimension operators — MERGE INTO
+emulated with pure DataFrame algebra (no Delta/Iceberg dependency):
+anti-join + union for upserts, window-derived validity intervals for
+SCD2 history.
+
+SCALE:
+- `merge_upsert` is one shuffled anti-join (or broadcast, when the
+  update batch is small — the common CDC case, hinted automatically)
+  plus a union: the target is scanned once, never rewritten row-by-row.
+  With a table format (Delta/Iceberg) the same logical plan becomes a
+  metadata-level MERGE; this operator is the format-agnostic fallback
+  and the correctness oracle for it.
+- `scd2_from_events` builds the entire history in ONE window pass
+  (partition by key, order by change time): valid_from = change ts,
+  valid_to = next change ts, is_current = no successor. No self-join,
+  no per-key iteration.
+"""
+
+from __future__ import annotations
+
+from typing import Sequence
+
+from pyspark.sql import DataFrame, Window, functions as F
+
+
+def merge_upsert(
+    target: DataFrame,
+    updates: DataFrame,
+    keys: Sequence[str],
+    broadcast_updates: bool = True,
+) -> DataFrame:
+    """MERGE INTO target USING updates: matched target rows are replaced
+    by their update, unmatched updates are inserted, everything else
+    passes through. Schemas must align by name.
+
+    The plan is target ANTI-JOIN updates (drop rows being replaced)
+    UNION ALL updates — one scan of each side. `broadcast_updates`
+    hints the (typically small) CDC batch to keep the big target
+    unshuffled."""
+    u = F.broadcast(updates) if broadcast_updates else updates
+    keep = target.join(u.select(*keys), list(keys), "left_anti")
+    return keep.unionByName(updates)
+
+
+def scd2_from_events(
+    changes: DataFrame,
+    key_cols: Sequence[str],
+    ts_col: str,
+    attr_cols: Sequence[str],
+    order_tiebreak: Sequence[str] = (),
+) -> DataFrame:
+    """Type-2 slowly-changing-dimension history from a change stream:
+    one row per version with [valid_from, valid_to) and is_current —
+    the lead() window pattern, single shuffle on the business key."""
+    w = Window.partitionBy(*key_cols).orderBy(ts_col, *order_tiebreak)
+    nxt = F.lead(ts_col).over(w)
+    return changes.select(
+        *key_cols,
+        *attr_cols,
+        F.col(ts_col).alias("valid_from"),
+        nxt.alias("valid_to"),
+        nxt.isNull().alias("is_current"),
+    )

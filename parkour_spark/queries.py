@@ -2008,3 +2008,92 @@ def q_rolling_30d(spark, sf_dir):
         "o_custkey",
         F.round(F.sum("o_totalprice").over(w), 2).alias("spend_30d"),
     )
+
+
+@query(
+    "merge_upsert_orders",
+    """
+    WITH updates AS (
+      SELECT o_orderkey, o_custkey, o_orderstatus,
+             round(o_totalprice * 1.1, 2) AS o_totalprice,
+             o_orderdate, o_orderpriority
+      FROM orders WHERE o_orderkey % 97 = 0
+      UNION ALL
+      SELECT o_orderkey + 100000000, o_custkey, 'N', round(o_totalprice, 2),
+             o_orderdate, o_orderpriority
+      FROM orders WHERE o_orderkey % 293 = 0),
+    base AS (SELECT o_orderkey, o_custkey, o_orderstatus,
+                    round(o_totalprice, 2) AS o_totalprice,
+                    o_orderdate, o_orderpriority FROM orders)
+    SELECT * FROM updates
+    UNION ALL
+    SELECT b.* FROM base b ANTI JOIN updates u ON b.o_orderkey = u.o_orderkey
+    """,
+)
+def q_merge_upsert(spark, sf_dir):
+    """MERGE INTO emulation (operators.cdc.merge_upsert): a synthetic
+    CDC batch (10% price corrections + some fresh orders) merged into
+    the orders table — matched rows replaced, new rows inserted, one
+    anti-join + union, target scanned once with the update batch
+    broadcast."""
+    from parkour_spark.operators.cdc import merge_upsert
+
+    cols = [
+        "o_orderkey", "o_custkey", "o_orderstatus", "o_totalprice",
+        "o_orderdate", "o_orderpriority",
+    ]
+    orders = _t(spark, sf_dir, "orders").select(
+        *[F.round("o_totalprice", 2).alias("o_totalprice") if c == "o_totalprice" else c
+          for c in cols]
+    )
+    corrections = (
+        _t(spark, sf_dir, "orders")
+        .where(F.col("o_orderkey") % 97 == 0)
+        .select(
+            "o_orderkey", "o_custkey", "o_orderstatus",
+            F.round(F.col("o_totalprice") * 1.1, 2).alias("o_totalprice"),
+            "o_orderdate", "o_orderpriority",
+        )
+    )
+    inserts = (
+        _t(spark, sf_dir, "orders")
+        .where(F.col("o_orderkey") % 293 == 0)
+        .select(
+            (F.col("o_orderkey") + 100000000).alias("o_orderkey"),
+            "o_custkey", F.lit("N").alias("o_orderstatus"),
+            F.round("o_totalprice", 2).alias("o_totalprice"),
+            "o_orderdate", "o_orderpriority",
+        )
+    )
+    return merge_upsert(orders, corrections.unionByName(inserts), ["o_orderkey"])
+
+
+@query(
+    "scd2_customer_orders",
+    """
+    SELECT o_custkey, o_orderkey, round(o_totalprice, 2) AS o_totalprice,
+           strftime(o_orderdate, '%Y-%m-%d') AS valid_from,
+           strftime(lead(o_orderdate) OVER w, '%Y-%m-%d') AS valid_to,
+           lead(o_orderdate) OVER w IS NULL AS is_current
+    FROM orders
+    WINDOW w AS (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey)
+    """,
+)
+def q_scd2(spark, sf_dir):
+    """Type-2 SCD history (operators.cdc.scd2_from_events): each
+    customer's order stream becomes versioned rows with
+    [valid_from, valid_to) and is_current — one window pass, single
+    shuffle on the business key."""
+    from parkour_spark.operators.cdc import scd2_from_events
+
+    orders = _t(spark, sf_dir, "orders")
+    hist = scd2_from_events(
+        orders, ["o_custkey"], "o_orderdate",
+        ["o_orderkey", "o_totalprice"], order_tiebreak=["o_orderkey"],
+    )
+    return hist.select(
+        "o_custkey", "o_orderkey", F.round("o_totalprice", 2).alias("o_totalprice"),
+        F.date_format("valid_from", "yyyy-MM-dd").alias("valid_from"),
+        F.date_format("valid_to", "yyyy-MM-dd").alias("valid_to"),
+        "is_current",
+    )
