@@ -37,6 +37,7 @@ _DEMOTED = [
     "rollup_returnflag_status",    # orders_per_priority_pivot keeps grouping
     "top_customers",               # top3_orders_per_customer keeps top-k
     "customers_without_urgent_orders",  # anti-join shape exercised by merge_upsert
+    "active_automobile_customers",      # left_semi shape exercised by corpus_prep
     "q3_shipping_priority",        # q5 keeps the multi-join TPC-H shape
     "cube_priority_status",        # rollup + grouping family represented
     "grouping_sets_priority_status",

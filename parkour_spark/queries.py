@@ -2097,3 +2097,35 @@ def q_scd2(spark, sf_dir):
         F.date_format("valid_to", "yyyy-MM-dd").alias("valid_to"),
         "is_current",
     )
+
+
+@query(
+    "unpivot_lineitem_measures",
+    """
+    SELECT measure, round(avg(value), 4) AS avg_value, count(*) AS n
+    FROM (
+      SELECT 'quantity' AS measure, l_quantity AS value FROM lineitem
+      UNION ALL SELECT 'extendedprice', l_extendedprice FROM lineitem
+      UNION ALL SELECT 'discount', l_discount FROM lineitem
+      UNION ALL SELECT 'tax', l_tax FROM lineitem)
+    GROUP BY measure
+    """,
+)
+def q_unpivot(spark, sf_dir):
+    """Unpivot/melt (the inverse of the pivot family): wide numeric
+    measures to long (measure, value) form via DataFrame.unpivot — a
+    single Expand node, one pass, no join — then a tiny aggregate. The
+    oracle expresses the same reshape as UNION ALL."""
+    li = _t(spark, sf_dir, "lineitem")
+    long = li.unpivot(
+        ids=[],
+        values=["l_quantity", "l_extendedprice", "l_discount", "l_tax"],
+        variableColumnName="measure",
+        valueColumnName="value",
+    ).select(
+        F.expr("substring(measure, 3)").alias("measure"),  # drop 'l_' prefix
+        "value",
+    )
+    return long.groupBy("measure").agg(
+        F.round(F.avg("value"), 4).alias("avg_value"), F.count("*").alias("n")
+    )
