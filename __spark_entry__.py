@@ -38,6 +38,7 @@ _DEMOTED = [
     "top_customers",               # top3_orders_per_customer keeps top-k
     "customers_without_urgent_orders",  # anti-join shape exercised by merge_upsert
     "active_automobile_customers",      # left_semi shape exercised by corpus_prep
+    "q5_local_supplier_revenue",        # q1/customer_order_stats keep join+agg
     "q3_shipping_priority",        # q5 keeps the multi-join TPC-H shape
     "cube_priority_status",        # rollup + grouping family represented
     "grouping_sets_priority_status",

@@ -2129,3 +2129,37 @@ def q_unpivot(spark, sf_dir):
     return long.groupBy("measure").agg(
         F.round(F.avg("value"), 4).alias("avg_value"), F.count("*").alias("n")
     )
+
+
+@query(
+    "dataset_split_counts",
+    """
+    WITH b AS (
+      SELECT doc_id,
+             ('0x' || substr(md5(doc_id::VARCHAR), 1, 8))::BIGINT % 100 AS bucket,
+             len(list_filter(string_split_regex(lower(trim(text)), '\\s+'), x -> x <> '')) AS n_toks
+      FROM documents)
+    SELECT CASE WHEN bucket < 80 THEN 'train'
+                WHEN bucket < 90 THEN 'val' ELSE 'test' END AS split,
+           count(*) AS n_docs, sum(n_toks)::BIGINT AS total_tokens
+    FROM b GROUP BY 1
+    """,
+)
+def q_dataset_split(spark, sf_dir):
+    """Deterministic train/val/test split (functions.sampling): content-
+    hash bucketing (md5 mod 100) assigns every document to a split as a
+    pure function of its id — reproducible across runs, engines, and
+    partitionings, unlike seeded `sample()` whose membership shifts with
+    file splits. Scan-side expression, no shuffle before the count."""
+    from parkour_spark.functions.sampling import split_assign
+    from parkour_spark.functions.text import token_count
+
+    docs = _t(spark, sf_dir, "documents")
+    return (
+        docs.select(
+            split_assign("doc_id", {"train": 0.8, "val": 0.1, "test": 0.1}).alias("split"),
+            token_count("text").alias("n_toks"),
+        )
+        .groupBy("split")
+        .agg(F.count("*").alias("n_docs"), F.sum("n_toks").alias("total_tokens"))
+    )

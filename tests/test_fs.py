@@ -29,3 +29,25 @@ def test_temp_dir_scoped_cleanup(spark, tmp_path):
         assert fs.exists(spark, p + "/out")
         kept = p
     assert not fs.exists(spark, kept)
+
+
+def test_hash_sample_stable_under_repartitioning(spark):
+    """Content-hash sampling: identical membership at any partition
+    count (seeded sample() cannot promise this)."""
+    from parkour_spark.functions.sampling import hash_sample, split_assign
+    from pyspark.sql import functions as F
+
+    df = spark.range(1000).select(F.col("id").alias("doc_id"))
+    picks = [
+        sorted(r["doc_id"] for r in hash_sample(df.repartition(p), "doc_id", 0.2).collect())
+        for p in (1, 4, 13)
+    ]
+    assert picks[0] == picks[1] == picks[2]
+    assert 100 < len(picks[0]) < 300  # ~20%
+
+    splits = df.select(
+        "doc_id", split_assign("doc_id", {"train": 0.8, "val": 0.1, "test": 0.1}).alias("s")
+    )
+    counts = {r["s"]: r["n"] for r in splits.groupBy("s").agg(F.count("*").alias("n")).collect()}
+    assert set(counts) == {"train", "val", "test"}
+    assert counts["train"] > counts["val"] and counts["train"] > counts["test"]
