@@ -36,7 +36,11 @@ def merge_upsert(
     The plan is target ANTI-JOIN updates (drop rows being replaced)
     UNION ALL updates — one scan of each side. `broadcast_updates`
     hints the (typically small) CDC batch to keep the big target
-    unshuffled."""
+    unshuffled.
+
+    The batch must hold ONE row per key (standard CDC contract — SQL
+    MERGE errors on multi-match too); compact a multi-version batch to
+    its latest row per key first (e.g. max-ts row via a window)."""
     u = F.broadcast(updates) if broadcast_updates else updates
     keep = target.join(u.select(*keys), list(keys), "left_anti")
     return keep.unionByName(updates)

@@ -188,9 +188,11 @@ def salted_join(
         spark = left.sparkSession
         try:
             size = int(left._jdf.queryExecution().optimizedPlan().stats().sizeInBytes())
-            cap = int(
-                spark.conf.get("spark.sql.files.maxPartitionBytes", "134217728").rstrip("b")
-            ) * int(spark.conf.get("spark.sql.shuffle.partitions", "200"))
+            raw = spark.conf.get("spark.sql.files.maxPartitionBytes", "134217728")
+            s = raw.strip().lower().removesuffix("b")
+            mult = {"k": 2**10, "m": 2**20, "g": 2**30}
+            part_bytes = int(s[:-1]) * mult[s[-1]] if s[-1:] in mult else int(s)
+            cap = part_bytes * int(spark.conf.get("spark.sql.shuffle.partitions", "200"))
             if size <= cap:
                 return left.join(right, keys, how)
         except Exception:

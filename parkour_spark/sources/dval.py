@@ -41,10 +41,17 @@ def read_dval_file(name: str, mode: str = "r"):
     return open(SparkFiles.get(name), mode)
 
 
+# Per-PROCESS parse cache for load_dval: a cache captured in the loader
+# closure would be pickled per task and arrive empty, re-parsing per
+# task. A module-global lives once per Python worker process, so each
+# executor worker parses the file exactly once however many tasks run.
+_DVAL_CACHE: dict[str, object] = {}
+
+
 def load_dval(spark: SparkSession, local_path: str, parse: Callable[[str], object]):
     """Reference `load-dval` (dval.clj:137-153): ship the file AND return
-    a lazy task-side loader. The loader re-parses from the executor-local
-    copy on first use per process — the file transfers once per executor,
+    a lazy task-side loader. The loader parses the executor-local copy on
+    first use per worker process — the file transfers once per executor,
     the parsed object is built where it is used (never pickled through
     the closure).
 
@@ -52,11 +59,10 @@ def load_dval(spark: SparkSession, local_path: str, parse: Callable[[str], objec
     returned zero-arg callable is safe to capture in UDF closures (it
     holds only the file name and the parse function)."""
     name = dcpath(spark, local_path)
-    cache: dict[str, object] = {}
 
     def get():
-        if "v" not in cache:
-            cache["v"] = parse(SparkFiles.get(name))
-        return cache["v"]
+        if name not in _DVAL_CACHE:
+            _DVAL_CACHE[name] = parse(SparkFiles.get(name))
+        return _DVAL_CACHE[name]
 
     return get
