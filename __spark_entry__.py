@@ -39,6 +39,8 @@ _DEMOTED = [
     "customers_without_urgent_orders",  # anti-join shape exercised by merge_upsert
     "active_automobile_customers",      # left_semi shape exercised by corpus_prep
     "q5_local_supplier_revenue",        # q1/customer_order_stats keep join+agg
+    "region_customer_counts",           # broadcast-join shape in matrixify/tfidf
+    "price_quantiles_by_segment",       # approx_price_quantiles keeps family
     "q3_shipping_priority",        # q5 keeps the multi-join TPC-H shape
     "cube_priority_status",        # rollup + grouping family represented
     "grouping_sets_priority_status",

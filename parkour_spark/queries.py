@@ -2163,3 +2163,115 @@ def q_dataset_split(spark, sf_dir):
         .groupBy("split")
         .agg(F.count("*").alias("n_docs"), F.sum("n_toks").alias("total_tokens"))
     )
+
+
+@query(
+    "tfidf_top_terms",
+    f"""
+    WITH toks AS (SELECT doc_id, unnest(list_distinct({_TOKS_SQL})) AS term FROM documents),
+    n_docs AS (SELECT count(*) AS n FROM documents),
+    tf AS (
+      SELECT doc_id, term, count(*) AS tf FROM (
+        SELECT doc_id, unnest({_TOKS_SQL}) AS term FROM documents)
+      GROUP BY doc_id, term),
+    df AS (SELECT term, count(*) AS df FROM toks GROUP BY term),
+    scored AS (
+      SELECT tf.doc_id, tf.term,
+             round(tf.tf * ln((SELECT n FROM n_docs) / df.df::DOUBLE), 6) AS tfidf
+      FROM tf JOIN df USING (term))
+    SELECT doc_id, term, tfidf FROM (
+      SELECT *, row_number() OVER (PARTITION BY doc_id
+                ORDER BY tfidf DESC, term) AS rk
+      FROM scored)
+    WHERE rk <= 3
+    """,
+)
+def q_tfidf(spark, sf_dir):
+    """TF-IDF keyword extraction: per-doc term frequency × log inverse
+    document frequency, top-3 terms per doc (ties by term). Plan shape:
+    one explode + two aggregations; the document-frequency table is tiny
+    (vocabulary-sized) and broadcasts into the scoring join, so the
+    exploded term list shuffles once for tf and once for the ranking
+    window — at corpus scale the vocabulary side never drives a
+    shuffle. ln() is IEEE-identical across engines."""
+    docs = _t(spark, sf_dir, "documents")
+    n_docs = docs.count()  # tiny driver scalar, like IVF's centroid fetch
+    from parkour_spark.functions.text import tokens
+
+    terms = docs.select(
+        "doc_id", F.explode(tokens(F.lower(F.col("text")))).alias("term")
+    )
+    tf = terms.groupBy("doc_id", "term").agg(F.count("*").alias("tf"))
+    df_tbl = (
+        terms.distinct().groupBy("term").agg(F.count("*").alias("df"))
+    )
+    scored = tf.join(F.broadcast(df_tbl), "term").select(
+        "doc_id",
+        "term",
+        F.round(
+            F.col("tf") * F.log(F.lit(float(n_docs)) / F.col("df")), 6
+        ).alias("tfidf"),
+    )
+    w = Window.partitionBy("doc_id").orderBy(F.col("tfidf").desc(), "term")
+    return (
+        scored.withColumn("rk", F.row_number().over(w))
+        .where(F.col("rk") <= 3)
+        .select("doc_id", "term", "tfidf")
+    )
+
+
+@query(
+    "pmi_collocations",
+    f"""
+    WITH toks AS (SELECT doc_id, {_TOKS_SQL} AS t FROM documents),
+    uni AS (SELECT unnest(t) AS w FROM toks),
+    ucnt AS (SELECT w, count(*) AS c FROM uni GROUP BY w),
+    n_uni AS (SELECT count(*) AS n FROM uni),
+    big AS (
+      SELECT t[i] AS w1, t[i+1] AS w2
+      FROM toks, unnest(range(1, greatest(len(t), 1))) AS r(i)),
+    bcnt AS (SELECT w1, w2, count(*) AS c12 FROM big GROUP BY w1, w2),
+    n_big AS (SELECT count(*) AS n FROM big)
+    SELECT w1, w2, c12,
+           round(ln((c12::DOUBLE / (SELECT n FROM n_big))
+                 / ((u1.c::DOUBLE / (SELECT n FROM n_uni))
+                    * (u2.c::DOUBLE / (SELECT n FROM n_uni)))), 6) AS pmi
+    FROM bcnt JOIN ucnt u1 ON bcnt.w1 = u1.w JOIN ucnt u2 ON bcnt.w2 = u2.w
+    WHERE c12 >= 5
+    ORDER BY pmi DESC, w1, w2 LIMIT 20
+    """,
+)
+def q_pmi(spark, sf_dir):
+    """Pointwise-mutual-information bigram collocations: adjacent token
+    pairs scored by ln(P(w1,w2)/(P(w1)P(w2))), min count 5, global
+    top-20. Bigrams come from one scan-side transform (no self-join);
+    the unigram table is vocabulary-sized and broadcasts into the
+    scoring join — corpus-scale shape: explode once, aggregate, join
+    small."""
+    from parkour_spark.functions.text import tokens
+
+    docs = _t(spark, sf_dir, "documents")
+    toked = docs.select(tokens(F.lower(F.col("text"))).alias("t"))
+    uni = toked.select(F.explode("t").alias("w"))
+    ucnt = uni.groupBy("w").agg(F.count("*").alias("c"))
+    n_uni = uni.count()
+    t = F.col("t")
+    pairs_expr = F.expr(
+        "transform(sequence(1, greatest(size(t) - 1, 0)), i -> struct(t[i-1] AS w1, t[i] AS w2))"
+    )
+    big = toked.select(F.explode(pairs_expr).alias("p")).select("p.w1", "p.w2")
+    n_big = big.count()
+    bcnt = big.groupBy("w1", "w2").agg(F.count("*").alias("c12")).where(F.col("c12") >= 5)
+    u1 = ucnt.select(F.col("w").alias("w1"), F.col("c").alias("c1"))
+    u2 = ucnt.select(F.col("w").alias("w2"), F.col("c").alias("c2"))
+    pmi = F.log(
+        (F.col("c12") / F.lit(float(n_big)))
+        / ((F.col("c1") / F.lit(float(n_uni))) * (F.col("c2") / F.lit(float(n_uni))))
+    )
+    return (
+        bcnt.join(F.broadcast(u1), "w1")
+        .join(F.broadcast(u2), "w2")
+        .select("w1", "w2", "c12", F.round(pmi, 6).alias("pmi"))
+        .orderBy(F.col("pmi").desc(), "w1", "w2")
+        .limit(20)
+    )
