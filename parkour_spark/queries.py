@@ -2275,3 +2275,34 @@ def q_pmi(spark, sf_dir):
         .orderBy(F.col("pmi").desc(), "w1", "w2")
         .limit(20)
     )
+
+
+@query(
+    "streaming_enriched_counts",
+    """
+    SELECT c_mktsegment, count(*) AS n, round(sum(value), 2) AS total
+    FROM events JOIN customer ON user_id = c_custkey
+    GROUP BY c_mktsegment
+    """,
+)
+def q_streaming_enriched(spark, sf_dir):
+    """Stream-static join: the event stream enriches against a static
+    dimension (broadcast per micro-batch — no stream state, no stream
+    shuffle before the aggregate). The finite replay provably equals
+    the batch join, which is the oracle."""
+    import tempfile
+
+    from parkour_spark.streaming.windows import read_stream, run_to_completion
+
+    ev = _t(spark, sf_dir, "events")
+    cust = _t(spark, sf_dir, "customer").select(
+        F.col("c_custkey").alias("user_id"), "c_mktsegment"
+    )
+    tmp = tempfile.mkdtemp(prefix="parkour_stream_")
+    ev.write.mode("overwrite").parquet(tmp)
+    stream = read_stream(spark, tmp, ev.schema, max_files=8)
+    enriched = stream.join(F.broadcast(cust), "user_id")
+    agg = enriched.groupBy("c_mktsegment").agg(
+        F.count("*").alias("n"), F.round(F.sum("value"), 2).alias("total")
+    )
+    return run_to_completion(agg, output_mode="complete")
