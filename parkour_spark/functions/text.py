@@ -166,6 +166,22 @@ def winnow_select(grams: Column, w: int = 8) -> Column:
     )
 
 
+def bigrams(toks: Column) -> Column:
+    """Adjacent token pairs as array<struct<w1,w2>> (for PMI
+    collocations). Guarded for 0/1-token docs: Spark's
+    `sequence(1, 0)` is the DESCENDING array [1, 0] (step defaults to
+    -1 when start > stop), which would emit two spurious null-partnered
+    pairs per short doc and inflate any bigram total — short docs map
+    to the empty array instead, mirroring SQL `range()` semantics."""
+    n = F.size(toks)
+    idx = F.when(n >= 2, F.sequence(F.lit(1), n - 1)).otherwise(
+        F.array().cast("array<int>")
+    )
+    return F.transform(
+        idx, lambda i: F.struct(toks[i - 1].alias("w1"), toks[i].alias("w2"))
+    )
+
+
 def shingles(text: Column | str, n: int = 3) -> Column:
     """Word n-gram shingles (for MinHash/Jaccard dedup): array of
     space-joined n-token windows. Pure Column expression via transform

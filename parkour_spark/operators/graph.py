@@ -40,27 +40,35 @@ def connected_components(
         .distinct()
         .persist()
     )
+    # Labels propagate in the id's NATIVE orderable type (string doc ids
+    # are as valid as longs for corpus dedup; the old cast-to-long made
+    # every string comp NULL and broke convergence silently — r2 advice).
     labels = nodes.select(
-        F.col(node_col).alias("n"), F.col(node_col).cast("long").alias("comp")
+        F.col(node_col).alias("n"), F.col(node_col).alias("comp")
     ).localCheckpoint()
-    prev_sum = labels.select(F.sum("comp")).first()[0]
     for _ in range(max_iters):
         nb_min = (
             sym.join(labels, sym.b == labels.n)
             .groupBy("a")
             .agg(F.min("comp").alias("nb_min"))
         )
-        labels = (
+        nxt = (
             labels.join(nb_min, labels.n == nb_min.a, "left")
             .select(
-                "n", F.least(F.col("comp"), F.coalesce("nb_min", "comp")).alias("comp")
+                "n",
+                F.col("comp").alias("__old"),
+                F.least(F.col("comp"), F.coalesce("nb_min", "comp")).alias("comp"),
             )
             .localCheckpoint()
         )
-        cur_sum = labels.select(F.sum("comp")).first()[0]
-        if cur_sum == prev_sum:
+        # Convergence = no label moved this round. Checked type-
+        # generically against the checkpointed frame (one tiny action
+        # with an early-out limit), instead of the old label-sum trick
+        # that only worked for integral ids.
+        changed = nxt.where(F.col("comp") != F.col("__old")).limit(1).count()
+        labels = nxt.drop("__old")
+        if changed == 0:
             break
-        prev_sum = cur_sum
     sym.unpersist()
     return labels.select(F.col("n"), F.col("comp").alias("component"))
 

@@ -20,6 +20,7 @@ SCALE:
 from __future__ import annotations
 
 import hashlib
+from contextlib import contextmanager
 from typing import Iterator
 
 import pandas as pd
@@ -45,9 +46,33 @@ MEDIA_SCHEMA = T.StructType(
 )
 
 
+@contextmanager
+def blob_batch_size(spark, max_records_per_batch: int = 64):
+    """Scoped Arrow batch-size cap for blob-heavy mapInPandas work:
+    sets `spark.sql.execution.arrow.maxRecordsPerBatch` on entry and
+    RESTORES the previous value on exit, so the cap never leaks into
+    unrelated pandas-UDF operators (kmeans partials, Arrow IVF) in the
+    same session. The conf is read at EXECUTION time, so run the
+    action(s) inside the `with` block."""
+    key = "spark.sql.execution.arrow.maxRecordsPerBatch"
+    try:
+        prev = spark.conf.get(key)
+    except Exception:
+        prev = None
+    spark.conf.set(key, str(max_records_per_batch))
+    try:
+        yield
+    finally:
+        if prev is None:
+            spark.conf.unset(key)
+        else:
+            spark.conf.set(key, prev)
+
+
 def rebatch_for_blobs(
     df: DataFrame,
-    max_records_per_batch: int = 64,
+    *,
+    max_records_per_batch: int | None = None,
     num_partitions: int | None = None,
 ) -> DataFrame:
     """Right-size Arrow transfer for large binary payloads (the
@@ -55,16 +80,24 @@ def rebatch_for_blobs(
     io/nline.clj:8-19).
 
     The actual per-task memory bound for mapInPandas over blobs is the
-    Arrow record batch, so this caps
-    `spark.sql.execution.arrow.maxRecordsPerBatch`; partition byte
-    sizing comes free from the scan (`spark.sql.files.maxPartitionBytes`
-    splits parquet by bytes, blobs included). NO counting pass — a
-    `df.count()` here would be a full extra scan of the binary data.
-    Pass `num_partitions` only when the caller knows the blob geometry
-    better than the file splits do (e.g. after an explodey transform)."""
-    df.sparkSession.conf.set(
-        "spark.sql.execution.arrow.maxRecordsPerBatch", str(max_records_per_batch)
-    )
+    Arrow record batch, so `max_records_per_batch` caps
+    `spark.sql.execution.arrow.maxRecordsPerBatch` — NOTE this conf is
+    SESSION-WIDE and applies to every subsequent pandas-UDF operator
+    until changed back; prefer the scoped `blob_batch_size` context
+    manager around the action instead. Left `None`, nothing is mutated.
+    Partition byte sizing comes free from the scan
+    (`spark.sql.files.maxPartitionBytes` splits parquet by bytes, blobs
+    included). NO counting pass — a `df.count()` here would be a full
+    extra scan of the binary data. Pass `num_partitions` only when the
+    caller knows the blob geometry better than the file splits do
+    (e.g. after an explodey transform). Parameters are keyword-only
+    (the first positional arg changed meaning in r2 — loud is better
+    than silent)."""
+    if max_records_per_batch is not None:
+        df.sparkSession.conf.set(
+            "spark.sql.execution.arrow.maxRecordsPerBatch",
+            str(max_records_per_batch),
+        )
     return df.repartition(num_partitions) if num_partitions else df
 
 

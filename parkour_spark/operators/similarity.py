@@ -196,7 +196,7 @@ def ivf_topk(
     corpus_vec: str = "embedding",
     query_id: str = "query_id",
     query_vec: str = "query_vec",
-    assign_engine: str = "column",
+    assign_engine: str = "arrow",
 ) -> DataFrame:
     """IVF approximate top-k: corpus vectors are assigned to inverted
     lists (cells) once; each query probes only its `nprobe` nearest
@@ -210,10 +210,13 @@ def ivf_topk(
     flow into the ranking window, whose partition key is query_id.
     Centroids here are caller-provided (deterministic seeds in the
     oracle-checked query; k-means output in a real deployment — same
-    plan either way). `assign_engine="arrow"` swaps the corpus
-    assignment for the BLAS-batched `ivf_assign_arrow` (the 100 TB
-    path); probe selection and candidate re-ranking stay
-    Column-expression either way."""
+    plan either way). `assign_engine` defaults to "arrow" — the
+    BLAS-batched `ivf_assign_arrow` corpus assignment (the 100 TB path;
+    interpreted higher-order Column lambdas don't join whole-stage
+    codegen and measured ~4× slower per row). `assign_engine="column"`
+    keeps the pure-JVM fold-order-exact variant for oracle parity;
+    probe selection and candidate re-ranking stay Column-expression
+    either way."""
     cent_arr = _centroid_array(centroids)  # parsed once, shared by both sides
     if assign_engine == "arrow":
         assigned = ivf_assign_arrow(widen_scan(corpus), centroids, corpus_vec, "cell")

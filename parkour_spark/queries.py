@@ -779,14 +779,16 @@ def q_asof(spark, sf_dir):
     user_id, no pandas, no per-key materialization."""
     from parkour_spark.operators.asof import asof_join
 
+    from parkour_spark.functions.timeops import epoch_micros
+
     ev = _t(spark, sf_dir, "events")
     purchases = ev.where(F.col("event_type") == "purchase").select(
-        "event_id", "user_id", F.unix_micros("ts").alias("t_us")
+        "event_id", "user_id", epoch_micros("ts").alias("t_us")
     )
     views = ev.where(F.col("event_type") == "view").select(
         F.col("event_id").alias("view_event_id"),
         "user_id",
-        F.unix_micros("ts").alias("vt_us"),
+        epoch_micros("ts").alias("vt_us"),
     )
     return asof_join(
         purchases, views, ["user_id"], "t_us", "vt_us", ["view_event_id"]
@@ -966,27 +968,63 @@ def q_sql_correlated(spark, sf_dir):
     return spark.sql(_SQL_CORRELATED)
 
 
-@query("approx_user_counts")
+@query(
+    "approx_user_counts",
+    """
+    SELECT event_type,
+           count(DISTINCT user_id) AS n_users,
+           true AS sketch_ok,
+           count(*) AS n
+    FROM events GROUP BY event_type
+    """,
+)
 def q_approx_user_counts(spark, sf_dir):
     """HyperLogLog distinct-count sketch (approx_count_distinct) — the
     100 TB path for `events_user_counts`: mergeable fixed-size sketch
-    instead of an exact distinct shuffle. No oracle: HLL register layouts
-    differ across engines; the exact variant (`events_user_counts`) is
-    the oracle-checked twin, and the estimate is asserted within rsd
-    bounds in tests."""
+    instead of an exact distinct shuffle. HLL register layouts differ
+    across engines, so the ESTIMATE can't be hash-compared; the query
+    is bound-checked instead (same pattern as approx_price_quantiles):
+    it emits the exact distinct count (true cross-engine value check)
+    plus `sketch_ok` = estimate within 3×rsd of exact, pinned to `true`
+    by the oracle. Production uses the sketch alone — the exact count
+    here exists only for verification."""
     ev = _t(spark, sf_dir, "events")
-    return ev.groupBy("event_type").agg(
-        F.approx_count_distinct("user_id", rsd=0.02).alias("n_users_approx"),
+    agged = ev.groupBy("event_type").agg(
+        F.approx_count_distinct("user_id", rsd=0.02).alias("__approx"),
+        F.count_distinct("user_id").alias("n_users"),
         F.count("*").alias("n"),
     )
+    ok = (
+        F.abs(F.col("__approx").cast("double") - F.col("n_users"))
+        <= F.lit(3 * 0.02) * F.col("n_users")
+    )
+    return agged.select("event_type", "n_users", ok.alias("sketch_ok"), "n")
 
 
-@query("approx_price_quantiles")
+@query(
+    "approx_price_quantiles",
+    """
+    SELECT c_mktsegment,
+           CAST(round(CAST(quantile_cont(o_totalprice, 0.25) AS DECIMAL(18,3)), 2) AS DOUBLE) AS p25,
+           CAST(round(CAST(quantile_cont(o_totalprice, 0.50) AS DECIMAL(18,3)), 2) AS DOUBLE) AS p50,
+           CAST(round(CAST(quantile_cont(o_totalprice, 0.75) AS DECIMAL(18,3)), 2) AS DOUBLE) AS p75,
+           true AS sketch_ok,
+           count(*) AS n
+    FROM orders JOIN customer ON o_custkey = c_custkey
+    GROUP BY c_mktsegment
+    """,
+)
 def q_approx_quantiles(spark, sf_dir):
     """Mergeable quantile sketch (approx_percentile) — the 100 TB path
     for `price_quantiles_by_segment` (exact rank selection doesn't
-    scale). No oracle: sketch interpolation differs across engines; the
-    exact variant is the oracle-checked twin."""
+    scale). Sketch register layouts differ across engines, so the sketch
+    VALUES can't be hash-compared; instead (r2 verdict) the query is
+    bound-checked: it emits the EXACT interpolated percentiles (Spark's
+    `percentile` ≡ DuckDB's `quantile_cont` — a true cross-engine value
+    check) plus `sketch_ok` = every approx_percentile estimate within
+    0.5% of its exact value, which the oracle pins to `true`. The exact
+    computation exists only for verification; production uses the
+    mergeable sketch alone."""
     cust = _t(spark, sf_dir, "customer")
     orders = _t(spark, sf_dir, "orders")
     joined = orders.join(
@@ -994,16 +1032,32 @@ def q_approx_quantiles(spark, sf_dir):
         "o_custkey",
     )
     agged = joined.groupBy("c_mktsegment").agg(
+        F.percentile("o_totalprice", F.lit([0.25, 0.5, 0.75])).alias("__ex"),
         F.approx_percentile("o_totalprice", [0.25, 0.5, 0.75], 10000).alias("__q"),
         F.count("*").alias("n"),
     )
+    within = [
+        (
+            F.abs(F.col("__q")[i] - F.col("__ex")[i])
+            <= F.lit(0.005) * F.abs(F.col("__ex")[i])
+        )
+        for i in range(3)
+    ]
     # Scalar columns (not array<double>) so downstream canonicalizers can
-    # sort/hash the result row-wise.
+    # sort/hash the result row-wise. The interpolated midpoint can land
+    # exactly on a x.xx5 two-decimal rounding boundary, where the
+    # engines' (1-ulp-apart) doubles round in opposite directions; the
+    # decimal(18,3) cast first absorbs that — its 1e-3 rounding decision
+    # sits 6 orders of magnitude away from the 1e-9 interpolation noise.
+    def _p(i):
+        return F.round(F.col("__ex")[i].cast("decimal(18,3)"), 2).cast("double")
+
     return agged.select(
         "c_mktsegment",
-        F.round(F.col("__q")[0], 2).alias("p25"),
-        F.round(F.col("__q")[1], 2).alias("p50"),
-        F.round(F.col("__q")[2], 2).alias("p75"),
+        _p(0).alias("p25"),
+        _p(1).alias("p50"),
+        _p(2).alias("p75"),
+        (within[0] & within[1] & within[2]).alias("sketch_ok"),
         "n",
     )
 
@@ -1243,15 +1297,20 @@ def q_streaming_session(spark, sf_dir):
     )
 
 
-@query("streaming_stateful_user_counts")
+@query(
+    "streaming_stateful_user_counts",
+    """
+    SELECT user_id, count(*) AS n_events FROM events GROUP BY user_id
+    """,
+)
 def q_streaming_stateful(spark, sf_dir):
     """Custom stateful streaming operator (applyInPandasWithState): a
     per-user running event counter carried across micro-batches — the
     reference's arbitrary-function reduce task on an unbounded stream.
-    Not SQL-expressible (state evolves per micro-batch), so this entry
-    has no oracle; the driver records the rows-only check. Final state
-    equals the batch per-user count, asserted in
-    tests/test_sources_streaming.py."""
+    The per-micro-batch state evolution is not SQL, but its FINAL state
+    over the finite replay is exactly the batch per-user count — that
+    batch SQL is the oracle (r2 verdict promoted it from the test-level
+    assertion in tests/test_sources_streaming.py to the driver gate)."""
     import pandas as pd
     import tempfile
 
@@ -1306,14 +1365,34 @@ def q_multimodal_fp(spark, sf_dir):
     return binary_fingerprint(blobs).select("media_id", "fp")
 
 
-@query("multimodal_features")
+@query(
+    "multimodal_features",
+    """
+    WITH h AS (SELECT doc_id AS media_id, sha256(text) AS hx FROM documents),
+    f AS (SELECT media_id,
+                 list_transform(range(1, 17), i ->
+                   CAST(CAST('0x' || substr(hx, CAST(2*i-1 AS INT), 2) AS INT)
+                        / 255.0 AS FLOAT)) AS fs
+          FROM h)
+    SELECT media_id,
+           len(fs) AS n_features,
+           round(CAST(fs[1] AS DOUBLE), 6) AS f0,
+           round(list_sum(list_transform(fs, x -> CAST(x AS DOUBLE))), 6)
+             AS feature_sum
+    FROM f
+    """,
+)
 def q_multimodal_features(spark, sf_dir):
-    """Arrow-batched decode→features over mapInPandas (deterministic
-    stub decode; rows-only check — the fake codec is not SQL). The
-    feature VECTOR is projected to scalars (dim, first component,
-    checksum) because downstream canonicalizers sort/hash row values —
-    an array column is unhashable there (driver r01 err on
-    approx_price_quantiles)."""
+    """Arrow-batched decode→features over mapInPandas. The decode step
+    is a deterministic sha256-seeded stub (no image codec ships in this
+    container) — which makes it ORACLE-ABLE: DuckDB's sha256 reproduces
+    the fake decoder byte-for-byte (hex pairs → byte/255.0 → float32),
+    so the full mapInPandas plumbing (schema, Arrow batching, null
+    handling) is hash-verified cross-engine, not just rows-counted
+    (r2 verdict). The feature VECTOR is projected to scalars (dim,
+    first component, checksum) because downstream canonicalizers
+    sort/hash row values — an array column is unhashable there (driver
+    r01 err on approx_price_quantiles)."""
     from parkour_spark.operators.multimodal import decode_image_features
 
     blobs = _t(spark, sf_dir, "documents").select(
@@ -1768,21 +1847,23 @@ def q_ivf(spark, sf_dir):
     the 100 TB scale path for similarity search. Corpus vectors are
     assigned to inverted lists scan-side (centroids inlined as literals —
     no join, no shuffle); queries probe their nprobe nearest cells via a
-    broadcast equi-join. Centroids are deterministic seed vectors
-    (vec_id 5..20) so DuckDB reproduces the identical result; a real
-    deployment plugs k-means centroids into the same plan."""
-    return _ivf_query(spark, sf_dir, assign_engine="column")
-
-
-@query("ivf_topk_cosine_arrow", _ivf_oracle())
-def q_ivf_arrow(spark, sf_dir):
-    """Same IVF plan with the corpus assignment executed as an
-    Arrow-batched NumPy matmul (similarity.ivf_assign_arrow) — the
-    throughput path for the assignment scan, which dominates IVF cost
-    at corpus scale. Same oracle as ivf_topk_cosine: the result set is
-    identical (assignment argmax and candidate cosines agree; verified
-    cross-engine, not assumed)."""
+    broadcast equi-join. Assignment uses the default Arrow/BLAS engine
+    (one NumPy matmul per batch — r2 verdict flipped this to default;
+    the interpreted-HOF column variant is ~1.6× slower). Centroids are
+    deterministic seed vectors (vec_id 5..20) so DuckDB reproduces the
+    identical result; a real deployment plugs k-means centroids into
+    the same plan."""
     return _ivf_query(spark, sf_dir, assign_engine="arrow")
+
+
+@query("ivf_topk_cosine_column", _ivf_oracle())
+def q_ivf_column(spark, sf_dir):
+    """Same IVF plan with the corpus assignment as a pure-JVM Column
+    expression (similarity.ivf_assign) — kept for fold-order-exact
+    oracle parity and zero-Python deployments. Same oracle as
+    ivf_topk_cosine: the result set is identical (assignment argmax and
+    candidate cosines agree; verified cross-engine, not assumed)."""
+    return _ivf_query(spark, sf_dir, assign_engine="column")
 
 
 # ===========================================================================
@@ -1815,15 +1896,64 @@ def q_streaming_dedup(spark, sf_dir):
     return run_to_completion(deduped, output_mode="append")
 
 
-@query("kmeans_centroids")
+_KMEANS_ASSIGN = """
+{out} AS (
+  SELECT vec_id, v, cell FROM (
+    SELECT e.vec_id, e.v, c.cell,
+           row_number() OVER (PARTITION BY e.vec_id
+                              ORDER BY list_cosine_similarity(e.v, c.c) DESC,
+                                       c.cell) AS rn
+    FROM emb e CROSS JOIN {cents} c) WHERE rn = 1)"""
+
+_KMEANS_UPDATE = """
+{out} AS (
+  SELECT cell, list(m ORDER BY idx) AS c FROM (
+    SELECT cell, idx, avg(val) AS m FROM (
+      SELECT cell, unnest(v) AS val, unnest(range(1, len(v)+1)) AS idx
+      FROM {assigned})
+    GROUP BY cell, idx) GROUP BY cell)"""
+
+# Lloyd's k=8 × 3 iterations, UNROLLED as plain CTEs (fixed iteration
+# count ⇒ no recursion needed): init = first 8 vectors in vec_id order,
+# assignment = row_number argmax over list_cosine_similarity with ties
+# to the lowest cell — exactly kmeans_fit + ivf_assign_arrow. Engines
+# differ only in float fold order (~1e-15), absorbed by the 6-decimal
+# round and irrelevant to argmax assignments.
+_KMEANS_ORACLE = (
+    """
+    WITH emb AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+    c0 AS (SELECT row_number() OVER (ORDER BY vec_id) - 1 AS cell, v AS c
+           FROM (SELECT vec_id, v FROM emb ORDER BY vec_id LIMIT 8)),"""
+    + ",".join(
+        _KMEANS_ASSIGN.format(out=f"a{i}", cents=f"c{i-1}")
+        + ","
+        + _KMEANS_UPDATE.format(out=f"c{i}", assigned=f"a{i}")
+        for i in (1, 2, 3)
+    )
+    + ","
+    + _KMEANS_ASSIGN.format(out="af", cents="c3")
+    + """
+    SELECT af.cell AS cid, count(*) AS n_members,
+           round(sqrt(list_sum(list_transform(c3.c, x -> x*x))), 6) AS centroid_norm
+    FROM af JOIN c3 ON af.cell = c3.cell
+    GROUP BY af.cell, c3.c
+    """
+)
+
+
+@query("kmeans_centroids", _KMEANS_ORACLE)
 def q_kmeans(spark, sf_dir):
     """Distributed Lloyd's k-means over the embeddings corpus
     (operators.kmeans.kmeans_fit): per iteration one scan-side
     assignment pass + NumPy partial (cell, count, sum) statistics per
-    Arrow batch, combined on the driver. Iterative and micro-batched —
-    not SQL-expressible, so rows-only here; monotone-inertia and
-    ivf-integration are asserted in tests/test_kmeans.py. Returns one
-    row per centroid: (cid, n_members, centroid_norm)."""
+    Arrow batch, combined on the driver. Deterministic by construction
+    (seeded init = first k vectors in id order, fixed iteration count,
+    sorted partial combine), so the DuckDB oracle replays the SAME
+    Lloyd's — k=8 × 3 iterations unrolled as CTEs with cosine argmax
+    assignment (r2 verdict: promote from rows-only to a full oracle).
+    Monotone-inertia and ivf-integration stay asserted in
+    tests/test_kmeans.py. Returns one row per centroid:
+    (cid, n_members, centroid_norm)."""
     from parkour_spark.functions.vector import norm as vnorm
     from parkour_spark.operators.kmeans import kmeans_fit
     from parkour_spark.operators.similarity import ivf_assign_arrow
@@ -2195,22 +2325,32 @@ def q_tfidf(spark, sf_dir):
     window — at corpus scale the vocabulary side never drives a
     shuffle. ln() is IEEE-identical across engines."""
     docs = _t(spark, sf_dir, "documents")
-    n_docs = docs.count()  # tiny driver scalar, like IVF's centroid fetch
     from parkour_spark.functions.text import tokens
 
     terms = docs.select(
         "doc_id", F.explode(tokens(F.lower(F.col("text")))).alias("term")
     )
     tf = terms.groupBy("doc_id", "term").agg(F.count("*").alias("tf"))
-    df_tbl = (
-        terms.distinct().groupBy("term").agg(F.count("*").alias("df"))
-    )
-    scored = tf.join(F.broadcast(df_tbl), "term").select(
-        "doc_id",
-        "term",
-        F.round(
-            F.col("tf") * F.log(F.lit(float(n_docs)) / F.col("df")), 6
-        ).alias("tfidf"),
+    # SINGLE-PASS (r2 verdict): df = count over a window keyed by term
+    # on tf itself — tf has exactly one row per (doc, term), so the
+    # window count IS the document frequency, and the corpus is
+    # tokenized exactly once (the old broadcast-join formulation
+    # duplicated the tf subtree, and lambda exprIds defeat
+    # ReusedExchange canonicalization). n_docs rides in as a broadcast
+    # 1-row aggregate over a zero-column scan (parquet row-group counts)
+    # instead of a driver count() action.
+    w_df = Window.partitionBy("term")
+    n_docs = docs.agg(F.count("*").alias("n_docs"))
+    scored = (
+        tf.withColumn("df", F.count("*").over(w_df))
+        .crossJoin(F.broadcast(n_docs))
+        .select(
+            "doc_id",
+            "term",
+            F.round(
+                F.col("tf") * F.log(F.col("n_docs").cast("double") / F.col("df")), 6
+            ).alias("tfidf"),
+        )
     )
     w = Window.partitionBy("doc_id").orderBy(F.col("tfidf").desc(), "term")
     return (
@@ -2248,29 +2388,51 @@ def q_pmi(spark, sf_dir):
     the unigram table is vocabulary-sized and broadcasts into the
     scoring join — corpus-scale shape: explode once, aggregate, join
     small."""
-    from parkour_spark.functions.text import tokens
+    from parkour_spark.functions.text import bigrams, tokens
 
     docs = _t(spark, sf_dir, "documents")
     toked = docs.select(tokens(F.lower(F.col("text"))).alias("t"))
-    uni = toked.select(F.explode("t").alias("w"))
-    ucnt = uni.groupBy("w").agg(F.count("*").alias("c"))
-    n_uni = uni.count()
-    t = F.col("t")
-    pairs_expr = F.expr(
-        "transform(sequence(1, greatest(size(t) - 1, 0)), i -> struct(t[i-1] AS w1, t[i] AS w2))"
+    # SINGLE corpus pass (r2 verdict: the old shape re-tokenized the
+    # corpus 5×): unigrams ride as (w, NULL) marker structs next to the
+    # bigram structs in one explode; one groupBy yields the combined
+    # collocation count table. That table is AGGREGATED
+    # (vocabulary-sized, not corpus-sized), so persisting it is the
+    # scale-safe way to let unigram counts, bigram counts, and both
+    # totals all derive from it without re-reading the corpus —
+    # ReusedExchange can't dedupe the subtrees (lambda exprIds defeat
+    # plan canonicalization), a cache hit on the analyzed plan can.
+    # bigrams() guards 0/1-token docs (Spark's sequence(1,0) is the
+    # DESCENDING [1,0] and would emit spurious null pairs — r2 advice).
+    uni_structs = F.transform(
+        F.col("t"),
+        lambda w: F.struct(w.alias("w1"), F.lit(None).cast("string").alias("w2")),
     )
-    big = toked.select(F.explode(pairs_expr).alias("p")).select("p.w1", "p.w2")
-    n_big = big.count()
-    bcnt = big.groupBy("w1", "w2").agg(F.count("*").alias("c12")).where(F.col("c12") >= 5)
+    stream = toked.select(
+        F.explode(F.concat(uni_structs, bigrams(F.col("t")))).alias("p")
+    ).select("p.w1", "p.w2")
+    cnt = stream.groupBy("w1", "w2").agg(F.count("*").alias("c")).persist()
+    ucnt = cnt.where(F.col("w2").isNull()).select(F.col("w1").alias("w"), "c")
+    bcnt_all = cnt.where(F.col("w2").isNotNull()).select(
+        "w1", "w2", F.col("c").alias("c12")
+    )
+    totals = cnt.agg(
+        F.sum(F.when(F.col("w2").isNull(), F.col("c"))).alias("n_uni"),
+        F.sum(F.when(F.col("w2").isNotNull(), F.col("c"))).alias("n_big"),
+    )
+    bcnt = bcnt_all.where(F.col("c12") >= 5)
     u1 = ucnt.select(F.col("w").alias("w1"), F.col("c").alias("c1"))
     u2 = ucnt.select(F.col("w").alias("w2"), F.col("c").alias("c2"))
     pmi = F.log(
-        (F.col("c12") / F.lit(float(n_big)))
-        / ((F.col("c1") / F.lit(float(n_uni))) * (F.col("c2") / F.lit(float(n_uni))))
+        (F.col("c12") / F.col("n_big").cast("double"))
+        / (
+            (F.col("c1") / F.col("n_uni").cast("double"))
+            * (F.col("c2") / F.col("n_uni").cast("double"))
+        )
     )
     return (
         bcnt.join(F.broadcast(u1), "w1")
         .join(F.broadcast(u2), "w2")
+        .crossJoin(F.broadcast(totals))
         .select("w1", "w2", "c12", F.round(pmi, 6).alias("pmi"))
         .orderBy(F.col("pmi").desc(), "w1", "w2")
         .limit(20)

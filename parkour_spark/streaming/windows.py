@@ -34,6 +34,19 @@ def read_stream(
     )
 
 
+def _ltz_event_time(events: DataFrame, ts_col: str) -> DataFrame:
+    """Watermarks require TIMESTAMP (LTZ); parquet written without
+    timezone metadata reads as TIMESTAMP_NTZ under Spark 4's default
+    inference. With the session timezone pinned to UTC (session.py) the
+    NTZ→LTZ cast is instant-preserving, so watermark/window semantics
+    are unchanged — the cast only exists to satisfy
+    EVENT_TIME_IS_NOT_ON_TIMESTAMP_TYPE."""
+    dt = events.schema[ts_col].dataType.typeName()
+    if dt == "timestamp_ntz":
+        return events.withColumn(ts_col, F.col(ts_col).cast("timestamp"))
+    return events
+
+
 def tumbling_agg(
     events: DataFrame,
     ts_col: str,
@@ -44,7 +57,7 @@ def tumbling_agg(
 ) -> DataFrame:
     """Tumbling-window aggregation with late-data watermark."""
     return (
-        events.withWatermark(ts_col, watermark)
+        _ltz_event_time(events, ts_col).withWatermark(ts_col, watermark)
         .groupBy(F.window(ts_col, window), *keys)
         .agg(*aggs)
     )
@@ -61,7 +74,7 @@ def sliding_agg(
 ) -> DataFrame:
     """Sliding-window aggregation (window > slide ⇒ overlapping)."""
     return (
-        events.withWatermark(ts_col, watermark)
+        _ltz_event_time(events, ts_col).withWatermark(ts_col, watermark)
         .groupBy(F.window(ts_col, window, slide), *keys)
         .agg(*aggs)
     )
@@ -78,7 +91,7 @@ def session_agg(
     """Session-window aggregation: windows close after `gap` inactivity
     per key (the streaming form of operators' lag-gap sessionization)."""
     return (
-        events.withWatermark(ts_col, watermark)
+        _ltz_event_time(events, ts_col).withWatermark(ts_col, watermark)
         .groupBy(F.session_window(ts_col, gap), *keys)
         .agg(*aggs)
     )
@@ -98,7 +111,9 @@ def stream_dedup(
     grows with distinct keys and suits finite/keyspace-bounded
     streams)."""
     if ts_col is not None:
-        return events.withWatermark(ts_col, watermark).dropDuplicatesWithinWatermark(
+        return _ltz_event_time(events, ts_col).withWatermark(
+            ts_col, watermark
+        ).dropDuplicatesWithinWatermark(
             list(dedup_cols)
         )
     return events.dropDuplicates(list(dedup_cols))

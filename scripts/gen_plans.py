@@ -22,7 +22,7 @@ COMMENTARY = {
     "dedup_minhash_lsh": "Signature computation rides the scan (projections only); the single wide Exchange is the band-bucket groupBy; verification joins only candidate docs.",
     "knn_cosine": "Query set broadcasts; corpus scans once. The only Exchange is the per-query ranking window, keyed by query_id.",
     "ivf_topk_cosine": "Centroid assignment is a scan-side projection (centroids inlined as literals); probes broadcast into an equi-join on cell — only probed-cell rows are scored. Vector norms are computed once per row, never per pair.",
-    "ivf_topk_cosine_arrow": "Same plan with the assignment scan executed as an Arrow-batched NumPy matmul (ArrowEvalPython/MapInPandas over the corpus scan) — the BLAS throughput path for the pass that dominates IVF indexing; probe join and re-rank stay JVM-side.",
+    "ivf_topk_cosine_column": "Same plan with the assignment scan as a pure-JVM Column expression (interpreted HOF lambdas) — fold-order-exact oracle-parity variant; the default ivf_topk_cosine uses the Arrow/BLAS assignment (MapInPandas matmul), the throughput path for the pass that dominates IVF indexing.",
     "salted_join_agg": "Skew-aware: a sampled key-frequency pre-pass (key columns projected before Sample, so the probe scan is single-column) detects hot keys; with none — the common case — the executed plan IS the plain join, no salt column, no replication. Forced-hot plans split hot/cold with the hot branch keyed on (l_orderkey, salt).",
     "matrixify": "Partial aggregation on integer keys precedes the broadcast name joins — the fact table never flows through a join; the two dimension zip_with_index builds (range sort + per-partition counts) run as overlapping jobs.",
     "embedding_neardup_blocked": "Hyperplane-LSH band buckets generate candidates through a single groupBy(band_key) shuffle and in-bucket pair explode — an equi-join plan end to end; exact cosine re-checks candidates only. No BroadcastNestedLoopJoin anywhere.",
