@@ -1919,9 +1919,11 @@ _KMEANS_UPDATE = """
 # to the lowest cell — exactly kmeans_fit + ivf_assign_arrow. Engines
 # differ only in float fold order (~1e-15), absorbed by the 6-decimal
 # round and irrelevant to argmax assignments.
-_KMEANS_ORACLE = (
+# Shared CTE prefix: emb (doubles), c0 (init), a1/c1..a3/c3 (3 Lloyd's
+# rounds), af (final full-corpus assignment to c3).
+_KMEANS_CTES = (
     """
-    WITH emb AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+    emb AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
     c0 AS (SELECT row_number() OVER (ORDER BY vec_id) - 1 AS cell, v AS c
            FROM (SELECT vec_id, v FROM emb ORDER BY vec_id LIMIT 8)),"""
     + ",".join(
@@ -1932,6 +1934,11 @@ _KMEANS_ORACLE = (
     )
     + ","
     + _KMEANS_ASSIGN.format(out="af", cents="c3")
+)
+
+_KMEANS_ORACLE = (
+    "WITH "
+    + _KMEANS_CTES
     + """
     SELECT af.cell AS cid, count(*) AS n_members,
            round(sqrt(list_sum(list_transform(c3.c, x -> x*x))), 6) AS centroid_norm
@@ -1968,6 +1975,60 @@ def q_kmeans(spark, sf_dir):
     return (
         sizes.join(cent_df, "cell")
         .select(F.col("cell").alias("cid"), "n_members", "centroid_norm")
+    )
+
+
+_IVF_KMEANS_ORACLE = (
+    "WITH "
+    + _KMEANS_CTES
+    + f""",
+    cent AS (SELECT cell AS cid, c AS cvec FROM c3),
+    q AS (SELECT vec_id AS query_id, v AS qvec FROM emb WHERE vec_id < 5),
+    probes AS (
+      SELECT query_id, cid FROM (
+        SELECT q.query_id, cent.cid,
+               row_number() OVER (PARTITION BY q.query_id
+                 ORDER BY {_cos_sql('q.qvec', 'cent.cvec')} DESC, cent.cid) AS rn
+        FROM q CROSS JOIN cent) WHERE rn <= 2),
+    scored AS (
+      SELECT p.query_id, e.vec_id,
+             round({_cos_sql('e.v', 'q.qvec')}, 4) AS cos
+      FROM probes p JOIN af a ON p.cid = a.cell
+      JOIN emb e ON a.vec_id = e.vec_id
+      JOIN q ON p.query_id = q.query_id)
+    SELECT query_id, vec_id, rank, cos FROM (
+      SELECT *, row_number() OVER (PARTITION BY query_id
+                                   ORDER BY cos DESC, vec_id) AS rank
+      FROM scored)
+    WHERE rank <= 10
+    """
+)
+
+# Fitted-quantizer cache, same rationale as _IVF_CENTS: a production IVF
+# index runs its k-means job once, not per query batch.
+_KMEANS_IVF_CENTS: dict[str, list] = {}
+
+
+@query("ivf_kmeans_topk", _IVF_KMEANS_ORACLE)
+def q_ivf_kmeans(spark, sf_dir):
+    """END-TO-END learned-quantizer ANN (r2 verdict #7): kmeans_fit's
+    centroids feed ivf_topk directly — the production IVF shape (train
+    the coarse quantizer, assign the corpus, probe per query) as one
+    pipeline instead of the seed-vector stand-in. Deterministic by the
+    kmeans_centroids argument (seeded init, fixed rounds, sorted
+    combine), so the oracle replays Lloyd's in DuckDB CTEs and runs the
+    same probe/re-rank SQL on its centroids."""
+    from parkour_spark.operators.kmeans import kmeans_fit
+
+    emb = _t(spark, sf_dir, "embeddings")
+    if sf_dir not in _KMEANS_IVF_CENTS:
+        _KMEANS_IVF_CENTS[sf_dir] = kmeans_fit(emb, k=8, max_iters=3)
+    cents = _KMEANS_IVF_CENTS[sf_dir]
+    queries = emb.where(F.col("vec_id") < 5).select(
+        F.col("vec_id").alias("query_id"), F.col("embedding").alias("query_vec")
+    )
+    return SIM.ivf_topk(emb, queries, cents, k=10, nprobe=2).select(
+        "query_id", "vec_id", "rank", "cos"
     )
 
 
@@ -2109,6 +2170,27 @@ def q_dedup_groups(spark, sf_dir):
     docs = _t(spark, sf_dir, "documents")
     pairs = D.minhash_dedup_pairs(docs, threshold=0.8)
     return dedup_survivors(docs.select("doc_id"), pairs)
+
+
+@query("dedup_groups_bigstar", _dedup_groups_oracle())
+def q_dedup_groups_bigstar(spark, sf_dir):
+    """Same near-dup grouping computed by large-star/small-star
+    alternation (operators.graph.connected_components_bigstar, Kiveris
+    et al.) — the O(log n)-round path for DEEP components (spam
+    clusters, template farms) where min-label propagation's
+    O(diameter) rounds blow up. Identical oracle to dedup_groups: both
+    must produce the same transitive closure (a 1200-hop-chain round
+    bound is asserted in tests/test_r3_fixes.py)."""
+    from parkour_spark.operators.graph import connected_components_bigstar
+
+    docs = _t(spark, sf_dir, "documents")
+    pairs = D.minhash_dedup_pairs(docs, threshold=0.8)
+    cc = connected_components_bigstar(docs.select("doc_id"), pairs, node_col="doc_id")
+    return cc.select(
+        F.col("n").alias("doc_id"),
+        "component",
+        (F.col("n") == F.col("component")).alias("is_survivor"),
+    )
 
 
 @query(
@@ -2468,3 +2550,59 @@ def q_streaming_enriched(spark, sf_dir):
         F.count("*").alias("n"), F.round(F.sum("value"), 2).alias("total")
     )
     return run_to_completion(agg, output_mode="complete")
+
+
+@query(
+    "streaming_stream_join",
+    """
+    SELECT p.event_id, v.event_id AS view_event_id, p.user_id
+    FROM events p JOIN events v
+      ON p.user_id = v.user_id
+     AND p.event_type = 'purchase' AND v.event_type = 'view'
+     AND v.ts BETWEEN p.ts - INTERVAL 30 MINUTE AND p.ts
+    """,
+)
+def q_streaming_stream_join(spark, sf_dir):
+    """Stream-STREAM join (streaming.windows.stream_stream_join): each
+    purchase matches every view by the same user in the preceding 30
+    minutes — both sides are unbounded streams buffering state, with
+    eviction driven by the interval predicate (the streaming analog of
+    the as-of/range join family). Over the finite replay the result
+    equals the batch interval join, which is the oracle. The replayed
+    parquet parts are NOT time-ordered, so the query uses a
+    span-covering watermark (disorder tolerance, not state bound — a
+    live roughly-ordered stream would use a tight one; state eviction
+    semantics are exercised in tests)."""
+    import tempfile
+
+    from parkour_spark.streaming.windows import (
+        read_stream,
+        run_to_completion,
+        stream_stream_join,
+    )
+
+    ev = _t(spark, sf_dir, "events")
+    tmp = tempfile.mkdtemp(prefix="parkour_stream_")
+    ev.write.mode("overwrite").parquet(tmp)
+    purchases = read_stream(spark, tmp, ev.schema, max_files=8).where(
+        F.col("event_type") == "purchase"
+    ).select("event_id", F.col("ts").alias("p_ts"), "user_id")
+    views = read_stream(spark, tmp, ev.schema, max_files=8).where(
+        F.col("event_type") == "view"
+    ).select(
+        F.col("event_id").alias("view_event_id"),
+        F.col("ts").alias("v_ts"),
+        F.col("user_id").alias("v_user_id"),
+    )
+    cond = (
+        (F.col("user_id") == F.col("v_user_id"))
+        & (F.col("v_ts") >= F.col("p_ts") - F.expr("INTERVAL 30 MINUTES"))
+        & (F.col("v_ts") <= F.col("p_ts"))
+    )
+    joined = stream_stream_join(
+        purchases, views, cond, "p_ts", "v_ts", watermark="800 days"
+    )
+    result = run_to_completion(
+        joined.select("event_id", "view_event_id", "user_id"), output_mode="append"
+    )
+    return result

@@ -119,6 +119,36 @@ def stream_dedup(
     return events.dropDuplicates(list(dedup_cols))
 
 
+def stream_stream_join(
+    left: DataFrame,
+    right: DataFrame,
+    condition: Column,
+    left_ts: str,
+    right_ts: str,
+    watermark: str = "10 minutes",
+    how: str = "inner",
+) -> DataFrame:
+    """Watermark-bounded stream-stream join — the remaining table-stakes
+    streaming operator beyond windowed aggregation: both sides buffer
+    rows in the state store, matches emit as they arrive, and each
+    side's state is evicted once the other side's watermark passes the
+    range the join `condition` can still reach (Spark derives the state
+    watermark from the time-interval predicate, so `condition` SHOULD
+    constrain `left_ts` vs `right_ts` to a bounded interval — an
+    unconstrained equi-join on an unbounded stream keeps state forever
+    and Spark will reject outer variants outright).
+
+    SCALE: state shards by the equi-join key like any shuffle; the
+    interval width × input rate bounds per-key state. `watermark` is
+    how much cross-stream disorder is tolerated: rows later than it are
+    dropped, so replays of UNORDERED finite data (e.g. parquet parts)
+    need a span-covering watermark, while live roughly-ordered streams
+    use a tight one."""
+    l = _ltz_event_time(left, left_ts).withWatermark(left_ts, watermark)
+    r = _ltz_event_time(right, right_ts).withWatermark(right_ts, watermark)
+    return l.join(r, condition, how)
+
+
 def stateful_apply(
     events: DataFrame,
     keys: Sequence[str],

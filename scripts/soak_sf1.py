@@ -1,0 +1,145 @@
+"""sf1-equivalent scale soak for the fan-out-sensitive query family.
+
+The driver ships testdata up to sf0.1; the LSH/fan-out math
+(operators/dedup.py) is argued analytically but was only ever MEASURED
+at sf0.1 — this soak validates it one decade up. It materializes a 10×
+corpus from sf0.1 (documents replicated with a deterministic per-replica
+suffix token so replicas are DISTINCT documents that preserve the
+near-dup cluster structure; embeddings replicated with offset ids and a
+deterministic per-replica rotation of the vector so ANN geometry stays
+non-degenerate), runs each fan-out-sensitive query once cold, and
+records:
+
+- per-query wall seconds,
+- LSH bucket-skew diagnostics (max/median bucket size, overfull-bucket
+  count from the capped-LSH diagnostic) — the DATA-level straggler
+  signal that decides whether a band key would hot-spot one task at
+  1000 executors.
+
+Output: one JSON line + BENCH_sf1.json at the repo root.
+
+Usage: python scripts/soak_sf1.py [--keep]
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import sys
+import time
+
+sys.path.insert(0, "/root/repo")
+
+from pyspark.sql import functions as F
+
+from parkour_spark.queries import QUERIES
+from parkour_spark.session import build_session
+
+SRC = os.environ.get("SPARK_GRAFT_SOAK_SRC", "/root/testdata/sf0.1")
+DST = os.environ.get("SPARK_GRAFT_SOAK_DIR", "/tmp/parkour_soak_sf1")
+REPLICAS = int(os.environ.get("SPARK_GRAFT_SOAK_REPLICAS", "10"))
+
+SOAK_QUERIES = [
+    "dedup_minhash_lsh",
+    "dedup_ngram_jaccard",
+    "dedup_simhash",
+    "embedding_neardup_blocked",
+    "winnow_fingerprints",
+    "ivf_topk_cosine",
+    "corpus_prep",
+    "dedup_groups_bigstar",
+]
+
+
+def materialize(spark) -> None:
+    docs = spark.read.parquet(f"{SRC}/documents.parquet")
+    n_docs = docs.count()
+    reps = spark.range(REPLICAS).select(F.col("id").alias("rep"))
+    big_docs = (
+        docs.crossJoin(F.broadcast(reps))
+        .select(
+            (F.col("doc_id") + F.col("rep") * F.lit(n_docs * 10)).alias("doc_id"),
+            F.concat(
+                F.col("text"), F.lit(" rep"), F.col("rep").cast("string")
+            ).alias("text"),
+            *[c for c in docs.columns if c not in ("doc_id", "text")],
+        )
+    )
+    big_docs.write.mode("overwrite").parquet(f"{DST}/documents.parquet")
+
+    emb = spark.read.parquet(f"{SRC}/embeddings.parquet")
+    n_emb = emb.count()
+    dim = len(emb.select("embedding").first()["embedding"])
+    # deterministic per-replica rotation: shift vector components by
+    # `rep` positions — norms preserved, geometry stays spread out
+    rotated = F.expr(
+        "transform(sequence(0, {d}), i -> embedding[(i + rep) % {n}])".format(
+            d=dim - 1, n=dim
+        )
+    )
+    big_emb = (
+        emb.crossJoin(F.broadcast(reps))
+        .select(
+            (F.col("vec_id") + F.col("rep") * F.lit(n_emb * 10)).alias("vec_id"),
+            rotated.alias("embedding"),
+            *[c for c in emb.columns if c not in ("vec_id", "embedding")],
+        )
+    )
+    big_emb.write.mode("overwrite").parquet(f"{DST}/embeddings.parquet")
+
+
+def lsh_skew(spark) -> dict:
+    """Band-bucket size distribution for the minhash-LSH candidate
+    stage — max/median ratio is the would-be straggler at 1000 tasks."""
+    from parkour_spark.operators import dedup as D
+
+    docs = spark.read.parquet(f"{DST}/documents.parquet")
+    bands = D.lsh_bands(D.minhash_signature(docs, "text", "doc_id", 12), "doc_id", 12, 4)
+    sizes = bands.groupBy("band_key").agg(F.count("*").alias("n"))
+    row = sizes.agg(
+        F.max("n").alias("mx"),
+        F.expr("percentile(n, 0.5)").alias("med"),
+        F.count("*").alias("buckets"),
+    ).first()
+    cap = int(os.environ.get("SOAK_LSH_CAP", "200"))
+    over = D.overfull_lsh_buckets(docs, max_bucket=cap)
+    return {
+        "max_bucket": int(row["mx"]),
+        "median_bucket": float(row["med"]),
+        "n_buckets": int(row["buckets"]),
+        f"overfull_buckets_at_cap{cap}": int(over.count()),
+    }
+
+
+def main() -> None:
+    spark = build_session("soak_sf1")
+    t0 = time.perf_counter()
+    if not os.path.exists(f"{DST}/documents.parquet") or "--fresh" in sys.argv:
+        materialize(spark)
+    gen_s = round(time.perf_counter() - t0, 1)
+
+    times: dict[str, float] = {}
+    for name in SOAK_QUERIES:
+        t0 = time.perf_counter()
+        n = QUERIES[name](spark, DST).count()
+        times[name] = round(time.perf_counter() - t0, 3)
+        print(f"# soak {name}: {times[name]}s ({n} rows)", file=sys.stderr)
+
+    skew = lsh_skew(spark)
+    out = {
+        "metric": "soak_sf1_total",
+        "value": round(sum(times.values()), 3),
+        "unit": "sec",
+        "queries": times,
+        "sf": 1.0,
+        "replicas": REPLICAS,
+        "gen_seconds": gen_s,
+        "lsh_skew": skew,
+    }
+    print(json.dumps(out))
+    with open(os.path.join(os.path.dirname(__file__), "..", "BENCH_sf1.json"), "w") as f:
+        f.write(json.dumps(out) + "\n")
+
+
+if __name__ == "__main__":
+    main()

@@ -80,3 +80,135 @@ def test_rebatch_for_blobs_no_silent_mutation(spark):
     except Exception:
         after = None
     assert after == before  # no max_records_per_batch → no conf touched
+
+
+def test_bigstar_deep_chain_log_rounds(spark):
+    # A 1200-hop chain is the adversarial case for naive min-label
+    # propagation (O(diameter) rounds — would need 1200); large-star/
+    # small-star must collapse it to one component in O(log n) rounds.
+    from pyspark.sql import Row
+    from parkour_spark.operators.graph import connected_components_bigstar
+
+    n = 1200
+    nodes = spark.createDataFrame([Row(id=i) for i in range(n)])
+    edges = spark.createDataFrame([Row(id_a=i, id_b=i + 1) for i in range(n - 1)])
+    labels, rounds = connected_components_bigstar(
+        nodes, edges, return_rounds=True
+    )
+    got = labels.collect()
+    assert all(r["component"] == 0 for r in got) and len(got) == n
+    assert rounds <= 15, f"expected O(log n) rounds, took {rounds}"
+
+
+def test_bigstar_matches_naive_on_random_graph(spark):
+    import random
+
+    from pyspark.sql import Row
+    from parkour_spark.operators.graph import (
+        connected_components,
+        connected_components_bigstar,
+    )
+
+    rng = random.Random(7)
+    n = 300
+    nodes = spark.createDataFrame([Row(id=i) for i in range(n)])
+    edges = spark.createDataFrame(
+        [Row(id_a=rng.randrange(n), id_b=rng.randrange(n)) for _ in range(200)]
+    )
+    naive = {r["n"]: r["component"] for r in connected_components(nodes, edges).collect()}
+    big = {r["n"]: r["component"] for r in connected_components_bigstar(nodes, edges).collect()}
+    assert naive == big
+
+
+def test_bigstar_string_ids(spark):
+    from pyspark.sql import Row
+    from parkour_spark.operators.graph import connected_components_bigstar
+
+    nodes = spark.createDataFrame([Row(id=x) for x in "abcdefg"])
+    edges = spark.createDataFrame(
+        [Row(id_a="a", id_b="b"), Row(id_a="b", id_b="c"), Row(id_a="e", id_b="f")]
+    )
+    got = {r["n"]: r["component"] for r in connected_components_bigstar(nodes, edges).collect()}
+    assert got == {"a": "a", "b": "a", "c": "a", "d": "d", "e": "e", "f": "e", "g": "g"}
+
+
+def test_stream_stream_join_tight_watermark_ordered(spark, tmp_path):
+    # With time-ordered file arrival and disorder ≤ watermark, the
+    # watermark-bounded stream-stream join must equal the batch interval
+    # join — state eviction may not lose still-reachable matches.
+    import datetime as dt
+
+    from pyspark.sql import Row, functions as F
+    from parkour_spark.streaming.windows import (
+        read_stream,
+        run_to_completion,
+        stream_stream_join,
+    )
+
+    base = dt.datetime(2024, 1, 1)
+    rows = []
+    eid = 0
+    for hour in range(6):
+        for u in (1, 2):
+            rows.append(
+                Row(event_id=eid, ts=base + dt.timedelta(hours=hour), user_id=u,
+                    event_type="view")
+            )
+            eid += 1
+            rows.append(
+                Row(event_id=eid,
+                    ts=base + dt.timedelta(hours=hour, minutes=20), user_id=u,
+                    event_type="purchase")
+            )
+            eid += 1
+    df = spark.createDataFrame(rows)
+    path = str(tmp_path / "stream")
+    # one file per hour slice, written sequentially → ordered discovery
+    for hour in range(6):
+        lo = base + dt.timedelta(hours=hour)
+        hi = lo + dt.timedelta(hours=1)
+        df.where((F.col("ts") >= lo) & (F.col("ts") < hi)).coalesce(1).write.mode(
+            "append"
+        ).parquet(path)
+
+    purchases = read_stream(spark, path, df.schema, max_files=1).where(
+        F.col("event_type") == "purchase"
+    ).select("event_id", F.col("ts").alias("p_ts"), "user_id")
+    views = read_stream(spark, path, df.schema, max_files=1).where(
+        F.col("event_type") == "view"
+    ).select(
+        F.col("event_id").alias("view_event_id"),
+        F.col("ts").alias("v_ts"),
+        F.col("user_id").alias("v_user_id"),
+    )
+    cond = (
+        (F.col("user_id") == F.col("v_user_id"))
+        & (F.col("v_ts") >= F.col("p_ts") - F.expr("INTERVAL 30 MINUTES"))
+        & (F.col("v_ts") <= F.col("p_ts"))
+    )
+    joined = stream_stream_join(
+        purchases, views, cond, "p_ts", "v_ts", watermark="2 hours"
+    )
+    got = sorted(
+        (r["event_id"], r["view_event_id"])
+        for r in run_to_completion(
+            joined.select("event_id", "view_event_id"), output_mode="append"
+        ).collect()
+    )
+    # batch expectation: every purchase at :20 matches the :00 view of
+    # the same user and hour (20 min gap ≤ 30 min window)
+    batch = df.alias("p").join(
+        df.alias("v"),
+        (F.col("p.user_id") == F.col("v.user_id"))
+        & (F.col("p.event_type") == "purchase")
+        & (F.col("v.event_type") == "view")
+        & (F.col("v.ts") >= F.col("p.ts") - F.expr("INTERVAL 30 MINUTES"))
+        & (F.col("v.ts") <= F.col("p.ts")),
+    )
+    want = sorted(
+        (r["pe"], r["ve"])
+        for r in batch.select(
+            F.col("p.event_id").alias("pe"), F.col("v.event_id").alias("ve")
+        ).collect()
+    )
+    assert got == want and len(got) == 12
