@@ -20,45 +20,50 @@ def entry(spark: SparkSession) -> DataFrame:
     return QUERIES["q1_pricing_summary"](spark, "/root/testdata/sf0.001")
 
 
-# The driver's correctness gate checks the first 50 registry entries.
-# Order the registry so every operator family's flagship query sits in
-# that window; the entries below are redundant variants of families
-# already represented (all were driver-green in round 1) and register
-# after the window.
-_DEMOTED = [
-    "distinct_tokens",          # word_count covers tokenize+distinct agg
+# The driver's correctness gate checks the first 50 registry entries;
+# the registry holds more. The window ROTATES each round (r2 verdict
+# #1) so every query gets a driver row at most one round old:
+#   r2 window = operator-family flagships + the LLM-pipeline family;
+#   r3 window (below) = the 32 entries that had no r02 driver row,
+#     plus every query whose code changed or gained an oracle this
+#     round, plus the round's new operators — the r2-verified,
+#     untouched remainder registers after the window.
+# Out-of-window entries are still verified every round by the local
+# gate replica (scripts/check_oracle.py, run over ALL entries).
+_R3_WINDOW = [
+    # flagships
+    "q1_pricing_summary", "word_count",
+    # no r02 driver row (rotated back in)
+    "distinct_tokens",
     "shape_keys", "shape_vals", "shape_keygroups", "shape_valgroups",
     "shape_keykeyvalgroups", "shape_keykeygroups", "shape_keysgroups",
     "shape_keyvalgroups",
-    # shape_keyvals stays in-window as the tuple-shape family rep
-    "ordered_positive_custkeys",   # union_tagged_names keeps set-ops
-    "parts_never_bulk_ordered",
-    "events_hourly",               # streaming_events_hourly keeps tumbling
-    "rollup_returnflag_status",    # orders_per_priority_pivot keeps grouping
-    "top_customers",               # top3_orders_per_customer keeps top-k
-    "customers_without_urgent_orders",  # anti-join shape exercised by merge_upsert
-    "active_automobile_customers",      # left_semi shape exercised by corpus_prep
-    "q5_local_supplier_revenue",        # q1/customer_order_stats keep join+agg
-    "region_customer_counts",           # broadcast-join shape in matrixify/tfidf
-    "price_quantiles_by_segment",       # approx_price_quantiles keeps family
-    "q3_shipping_priority",        # q5 keeps the multi-join TPC-H shape
-    "cube_priority_status",        # rollup + grouping family represented
-    "grouping_sets_priority_status",
-    "events_user_counts",          # exact twin of approx_user_counts
-    "orders_per_quarter",          # time bucketing ≈ events_hourly
-    "time_bucket_rollup",
-    "sql_correlated_subquery",     # orders_above… demoted too: both green r01
-    "orders_above_customer_avg",
-    "approx_user_counts",          # rows-only HLL; exact twin in window r01
-    "order_price_ranks",           # running_user_total keeps window fns
-    "running_user_total",          # rolling_30d_spend (RANGE frame) supersedes
-    "streaming_sliding_30m",       # tumbling+session+stateful stay in-window
+    "ordered_positive_custkeys", "parts_never_bulk_ordered",
+    "events_hourly", "rollup_returnflag_status", "top_customers",
+    "customers_without_urgent_orders", "active_automobile_customers",
+    "q5_local_supplier_revenue", "region_customer_counts",
+    "price_quantiles_by_segment", "q3_shipping_priority",
+    "cube_priority_status", "grouping_sets_priority_status",
+    "events_user_counts", "orders_per_quarter", "time_bucket_rollup",
+    "sql_correlated_subquery", "orders_above_customer_avg",
+    "approx_user_counts", "order_price_ranks", "running_user_total",
+    "streaming_sliding_30m", "streaming_enriched_counts",
+    # code changed this round (NTZ epoch/watermark path, single-pass
+    # tfidf/pmi, arrow-default IVF, native-type CC)
+    "asof_purchase_view", "tfidf_top_terms", "pmi_collocations",
+    "ivf_topk_cosine", "ivf_topk_cosine_column", "dedup_groups",
+    "streaming_events_hourly", "streaming_session_30m", "streaming_dedup",
+    # gained an oracle this round
+    "approx_price_quantiles", "streaming_stateful_user_counts",
+    "multimodal_features", "kmeans_centroids",
+    # new this round
+    "dedup_groups_bigstar", "ivf_kmeans_topk", "streaming_stream_join",
 ]
 
 
 def _ordered(d: dict) -> dict:
-    back = [n for n in _DEMOTED if n in d]
-    return {n: d[n] for n in d if n not in back} | {n: d[n] for n in back}
+    front = [n for n in _R3_WINDOW if n in d]
+    return {n: d[n] for n in front} | {n: d[n] for n in d if n not in front}
 
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:

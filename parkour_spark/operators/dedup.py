@@ -460,7 +460,17 @@ def embedding_block_candidates(
     iff all band_bits planes agree in some band, so miss = (1 -
     p^band_bits)^n_bands. Low thresholds (θ large) need many narrow
     bands — that cost is intrinsic to cosine LSH; the family is
-    cheapest at near-dup thresholds (cos ≥ 0.8)."""
+    cheapest at near-dup thresholds (cos ≥ 0.8).
+
+    Cost math (tune band_bits to the CORPUS SIZE): expected bucket size
+    for spread-out vectors is ~n / 2^band_bits and in-bucket pair cost
+    is Σ b² per band, so pair work grows ~n²/2^band_bits — band_bits
+    must grow with log₂(n) to hold per-bucket work constant (measured:
+    a fixed banding is ~100× pair work at 10× rows, BENCH_sf1.json).
+    Compensate the recall loss of narrower buckets with more bands
+    (miss formula above). `max_bucket` is the backstop, not the tuning
+    knob: it bounds the b² straggler and drops are observable via
+    `overfull_lsh_buckets`."""
     # One flat literal array of all planes; bits computed in one pass,
     # then sliced per band and packed into a long band signature.
     flat = [p for band in planes_bands for p in band]

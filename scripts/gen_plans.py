@@ -27,6 +27,9 @@ COMMENTARY = {
     "matrixify": "Partial aggregation on integer keys precedes the broadcast name joins — the fact table never flows through a join; the two dimension zip_with_index builds (range sort + per-partition counts) run as overlapping jobs.",
     "embedding_neardup_blocked": "Hyperplane-LSH band buckets generate candidates through a single groupBy(band_key) shuffle and in-bucket pair explode — an equi-join plan end to end; exact cosine re-checks candidates only. No BroadcastNestedLoopJoin anywhere.",
     "corpus_prep": "Four pipeline stages fused into one plan: quality + language + fingerprint are one scan-side projection (ReadSchema is just doc_id,text), the filter precedes the only aggregation (min doc_id per fingerprint), survivors re-attach by broadcast semi-join.",
+    "ivf_kmeans_topk": "End-to-end learned-quantizer ANN: the k-means job runs once (cached coarse quantizer), then the SAME IVF plan as ivf_topk_cosine — Arrow-batched assignment scan, broadcast probe equi-join on cell, rounded-cosine ranking window keyed by query_id.",
+    "tfidf_top_terms": "SINGLE corpus pass: document frequency is a count window over the tf aggregate itself (one row per doc,term ⇒ window count IS df), n_docs rides in as a broadcast 1-row aggregate — no second tokenize, no driver count() action.",
+    "pmi_collocations": "SINGLE corpus pass: unigram markers and bigram structs ride one explode into one groupBy; the persisted vocabulary-sized count table then yields unigram counts, bigram counts, and both totals without re-reading the corpus.",
 }
 
 HEADER = """# PLANS — physical-plan evidence for the headline operators

