@@ -340,6 +340,63 @@ def ngram_jaccard_pairs(
     )
 
 
+def ngram_jaccard_pairs_capped(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    threshold: float = 0.8,
+    ngram_n: int = 3,
+    max_df: int = 100,
+) -> DataFrame:
+    """Jaccard near-dup pairs with DOCUMENT-FREQUENCY-CAPPED candidate
+    generation — the scale path for the inverted-index join, whose
+    fan-out Σ_s df_s² is quadratic in shingle doc-frequency (measured:
+    uncapped is ~100× pair work at 10× corpus, BENCH_sf1.json r3).
+
+    Two stages, the same candidates→verify shape as minhash:
+    1. Candidates = pairs sharing ≥1 RARE shingle (df ≤ max_df). The
+       join fan-out is Σ_{df≤cap} df² ≤ cap · Σ df — LINEAR in corpus
+       size at fixed cap.
+    2. Exact verify on full shingle sets (`jaccard_verify`) — scores
+       are EXACT, never estimated from the capped index.
+
+    Recall condition (document like the LSH miss-rate): a qualifying
+    pair is missed only if EVERY shared shingle has df > max_df — i.e.
+    the overlap is built entirely from boilerplate. Near-dup prose
+    shares doc-specific (rare) shingles with overwhelming probability;
+    corpora of templated/boilerplate documents need a higher cap or the
+    minhash path. The dropped-shingle volume is observable:
+    `F.count` over the df table where df > max_df."""
+    from pyspark.sql import Window
+
+    ts = _feature_sets(df, text_col, id_col, ngram_n)
+    exploded = ts.select(F.col(id_col), F.explode("toks").alias("tok"))
+    # df as a count window over the exploded stream — ONE shuffle
+    # produces (id, tok, df) already partitioned by tok, instead of a
+    # separate aggregate + join re-reading the corpus. The filtered
+    # rare stream and the (pair-sized) candidate set are persisted:
+    # lambda-derived exprIds defeat ReusedExchange canonicalization, so
+    # without the cache each downstream reference would re-scan and
+    # re-shingle the corpus (plan audit showed 12 scans).
+    rare_ex = (
+        exploded.withColumn("df", F.count("*").over(Window.partitionBy("tok")))
+        .where(F.col("df") <= max_df)
+        .select(id_col, "tok")
+        .persist()
+    )
+    cand = (
+        rare_ex.alias("a")
+        .join(rare_ex.alias("b"), "tok")
+        .where(F.col(f"a.{id_col}") < F.col(f"b.{id_col}"))
+        .select(
+            F.col(f"a.{id_col}").alias("id_a"), F.col(f"b.{id_col}").alias("id_b")
+        )
+        .distinct()
+        .persist()
+    )
+    return jaccard_verify(cand, df, text_col, id_col, threshold, ngram_n)
+
+
 # ---------------------------------------------------------------------------
 # SimHash
 # ---------------------------------------------------------------------------
@@ -436,6 +493,37 @@ def rademacher_bands(
         [[1 if rng.random() < 0.5 else -1 for _ in range(dim)] for _ in range(band_bits)]
         for _ in range(n_bands)
     ]
+
+
+def bands_for_corpus(
+    n_rows: int,
+    threshold: float = 0.8,
+    target_bucket: int = 200,
+    target_miss: float = 0.05,
+    max_band_bits: int = 16,
+) -> tuple[int, int]:
+    """(n_bands, band_bits) sized to BOTH the recall target and the
+    corpus size — operationalizes the cost math in
+    `embedding_block_candidates`'s docstring:
+
+    - band_bits = ⌈log₂(n_rows / target_bucket)⌉ keeps the expected
+      bucket ~target_bucket as the corpus grows (pair work stays
+      ~linear instead of n²/2^bits exploding),
+    - n_bands = ⌈ln(target_miss) / ln(1 - p^band_bits)⌉ with
+      p = 1 - arccos(threshold)/π restores recall: miss =
+      (1 - p^band_bits)^n_bands ≤ target_miss.
+
+    A 10× corpus pays ~3-4 extra bits and proportionally more bands —
+    logarithmic growth, decided by arithmetic instead of re-tuning."""
+    import math
+
+    p = 1.0 - math.acos(max(-1.0, min(1.0, threshold))) / math.pi
+    band_bits = max(1, min(max_band_bits, math.ceil(math.log2(max(2, n_rows / target_bucket)))))
+    hit = p**band_bits
+    if hit >= 1.0:
+        return 1, band_bits
+    n_bands = max(1, math.ceil(math.log(target_miss) / math.log(1.0 - hit)))
+    return n_bands, band_bits
 
 
 def embedding_block_candidates(

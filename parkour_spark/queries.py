@@ -1661,6 +1661,41 @@ def q_ngram_jaccard(spark, sf_dir):
     return D.ngram_jaccard_pairs(_t(spark, sf_dir, "documents"), threshold=0.8)
 
 
+@query(
+    "dedup_ngram_jaccard_capped",
+    f"""
+    WITH toks AS (SELECT doc_id, {_SHINGLES_SQL} AS t FROM documents),
+    ex AS (SELECT doc_id, unnest(t) AS tok FROM toks),
+    rare AS (SELECT tok FROM (SELECT tok, count(*) AS df FROM ex GROUP BY tok)
+             WHERE df <= 50),
+    rex AS (SELECT doc_id, tok FROM ex JOIN rare USING (tok)),
+    cand AS (SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
+             FROM rex a JOIN rex b USING (tok) WHERE a.doc_id < b.doc_id),
+    scored AS (
+      SELECT id_a, id_b,
+             len(list_intersect(ta.t, tb.t))::DOUBLE
+               / len(list_distinct(list_concat(ta.t, tb.t))) AS jac
+      FROM cand
+      JOIN toks ta ON cand.id_a = ta.doc_id
+      JOIN toks tb ON cand.id_b = tb.doc_id)
+    SELECT id_a, id_b, round(jac, 4) AS jaccard FROM scored WHERE jac >= 0.8
+    """,
+)
+def q_ngram_jaccard_capped(spark, sf_dir):
+    """df-capped candidate generation for shingle Jaccard
+    (dedup.ngram_jaccard_pairs_capped): candidates must share a RARE
+    shingle (df ≤ 50), bounding the inverted-index fan-out to
+    cap · Σ df (linear in corpus size) instead of Σ df² — the scale
+    path for the 100× blow-up the uncapped join showed at the r3 sf1
+    soak. Scores stay EXACT (full-set verify on candidates only); the
+    oracle mirrors the df filter so the recall condition is identical
+    cross-engine. Capped equals uncapped output at sf0.01 (asserted in
+    tests/test_r3_fixes.py)."""
+    return D.ngram_jaccard_pairs_capped(
+        _t(spark, sf_dir, "documents"), threshold=0.8, max_df=50
+    )
+
+
 def _simhash_oracle(bits: int = 16, max_hamming: int = 3) -> str:
     hexpos = "0123456789abcdef"
     nib = lambda i: f"(strpos('{hexpos}', substr(md5(t), {i}, 1)) - 1)"

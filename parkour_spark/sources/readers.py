@@ -38,8 +38,14 @@ def text_dseq(spark: SparkSession, path: str, min_partitions: int | None = None)
 
 
 def text_dseq_with_offsets(spark: SparkSession, path: str) -> DataFrame:
-    """(offset, line) tuples like TextInputFormat. Line numbers stand in
-    for byte offsets (the reference's tests only use them as unique keys)."""
+    """(offset, line) tuples like TextInputFormat, with TRUE byte
+    offsets via the parkour_text Python DataSource (sources/textfmt.py
+    — full TextInputFormat split-ownership semantics). Falls back to a
+    line-index stand-in only where the DataSource API is unavailable."""
+    from parkour_spark.sources import textfmt
+
+    if textfmt.register_text_source(spark):
+        return textfmt.text_offsets_dseq(spark, path)
     rdd = spark.sparkContext.textFile(path).zipWithIndex().map(lambda t: (t[1], t[0]))
     return spark.createDataFrame(rdd, "offset long, value string")
 

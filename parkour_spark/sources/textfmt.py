@@ -1,0 +1,176 @@
+"""Text input with TRUE byte offsets and exact n-lines-per-split — a
+PySpark 4 Python DataSource closing the two remaining text-source
+deltas vs the reference (io/text.clj:11-20 yields (byte-offset, line);
+io/nline.clj:8-19 is Hadoop NLineInputFormat: exactly N lines per
+split).
+
+Split semantics mirror Hadoop's TextInputFormat exactly:
+
+- BYTE mode: each file is cut into `split_size`-byte ranges. A reader
+  whose range starts mid-line skips forward to the next newline (that
+  partial line belongs to the PREVIOUS split, which reads one line past
+  its end) — so every line is read exactly once, with its true starting
+  byte offset, regardless of where splits land.
+- NLINE mode: split planning indexes line boundaries per file (one
+  sequential pass — the same cost Hadoop's NLineInputFormat pays in
+  getSplitsForFile) and emits exactly `n` lines per split.
+
+SCALE: planning ships only (path, start, end) triples as task metadata;
+records are read task-side from the split's byte range — no driver
+materialization, per-split open/seek amortized like a RecordReader.
+Local-filesystem paths here (the container has no HDFS); on a cluster
+the same reader logic runs over any fsspec-style file API.
+"""
+
+from __future__ import annotations
+
+import glob as _glob
+import os
+from dataclasses import dataclass
+
+from pyspark.sql import DataFrame, SparkSession
+
+try:  # PySpark 4 Python DataSource API
+    from pyspark.sql.datasource import DataSource, DataSourceReader, InputPartition
+
+    _HAVE_DSAPI = True
+except ImportError:  # pragma: no cover - pyspark<4 fallback path
+    DataSource = object
+    DataSourceReader = object
+    InputPartition = object
+    _HAVE_DSAPI = False
+
+
+@dataclass
+class _Split(InputPartition):
+    path: str
+    start: int
+    end: int  # exclusive byte bound for STARTING lines (byte mode)
+
+
+def _list_files(path: str) -> list[str]:
+    if os.path.isdir(path):
+        return sorted(
+            p for p in _glob.glob(os.path.join(path, "*")) if os.path.isfile(p)
+        )
+    return sorted(_glob.glob(path)) or [path]
+
+
+def _read_range(path: str, start: int, end: int):
+    """Yield (offset, line) for every line STARTING in [start, end).
+    A split starting mid-line skips to the next newline; the split
+    owning that line reads one line past its own end — Hadoop
+    TextInputFormat's contract."""
+    with open(path, "rb") as f:
+        off = start
+        if start > 0:
+            f.seek(start - 1)
+            prev = f.read(1)
+            if prev != b"\n":
+                skipped = f.readline()  # tail of the previous split's line
+                off = start + len(skipped)
+            # else: this split starts exactly on a line start
+        while off < end:
+            line = f.readline()
+            if not line:
+                break
+            yield off, line.rstrip(b"\r\n").decode("utf-8", errors="replace")
+            off += len(line)
+
+
+class TextOffsetsDataSource(DataSource):
+    """format name: parkour_text. Options:
+    - path: file, dir, or glob
+    - split_size: target bytes per split (byte mode, default 32 MiB)
+    - nline: exact lines per split (switches to NLINE mode)
+    """
+
+    @classmethod
+    def name(cls) -> str:
+        return "parkour_text"
+
+    def schema(self) -> str:
+        return "offset bigint, value string"
+
+    def reader(self, schema) -> "TextOffsetsReader":
+        return TextOffsetsReader(self.options)
+
+
+class TextOffsetsReader(DataSourceReader):
+    def __init__(self, options):
+        self.path = options.get("path")
+        if not self.path:
+            raise ValueError("parkour_text requires a path")
+        self.split_size = int(options.get("split_size", 32 * 1024 * 1024))
+        self.nline = int(options.get("nline", 0))
+
+    def partitions(self):
+        splits: list[_Split] = []
+        for path in _list_files(self.path):
+            size = os.path.getsize(path)
+            if self.nline > 0:
+                # index line boundaries (the NLineInputFormat planning
+                # pass); emit exact n-line ranges
+                bounds = [0]
+                with open(path, "rb") as f:
+                    count = 0
+                    while True:
+                        line = f.readline()
+                        if not line:
+                            break
+                        count += 1
+                        if count % self.nline == 0:
+                            bounds.append(f.tell())
+                if bounds[-1] < size:
+                    bounds.append(size)
+                for lo, hi in zip(bounds, bounds[1:]):
+                    # nline ranges land ON line starts, so end is exact
+                    splits.append(_Split(path, lo, hi))
+            else:
+                lo = 0
+                while lo < size or (lo == 0 and size == 0):
+                    hi = min(lo + self.split_size, size)
+                    splits.append(_Split(path, lo, hi if hi < size else size))
+                    lo = hi
+                    if size == 0:
+                        break
+        return splits or [_Split(self.path, 0, 0)]
+
+    def read(self, split: _Split):
+        yield from _read_range(split.path, split.start, split.end)
+
+
+def register_text_source(spark: SparkSession) -> bool:
+    """Idempotent registration; False when the DataSource API is absent
+    (callers fall back to readers.text_dseq_with_offsets)."""
+    if not _HAVE_DSAPI:
+        return False
+    try:
+        spark.dataSource.register(TextOffsetsDataSource)
+        return True
+    except Exception:
+        return False
+
+
+def text_offsets_dseq(
+    spark: SparkSession, path: str, split_size: int | None = None
+) -> DataFrame:
+    """(offset, value) with TRUE byte offsets, parallel byte-range
+    splits — the reference's text/dseq shape at parity."""
+    register_text_source(spark)
+    r = spark.read.format("parkour_text").option("path", path)
+    if split_size:
+        r = r.option("split_size", str(split_size))
+    return r.load()
+
+
+def nline_dseq(spark: SparkSession, path: str, n: int) -> DataFrame:
+    """Exactly n lines per split (reference io/nline.clj — Hadoop
+    NLineInputFormat semantics, including the planning-pass cost)."""
+    register_text_source(spark)
+    return (
+        spark.read.format("parkour_text")
+        .option("path", path)
+        .option("nline", str(n))
+        .load()
+    )

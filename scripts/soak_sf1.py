@@ -42,6 +42,7 @@ REPLICAS = int(os.environ.get("SPARK_GRAFT_SOAK_REPLICAS", "10"))
 SOAK_QUERIES = [
     "dedup_minhash_lsh",
     "dedup_ngram_jaccard",
+    "dedup_ngram_jaccard_capped",
     "dedup_simhash",
     "embedding_neardup_blocked",
     "winnow_fingerprints",

@@ -212,3 +212,60 @@ def test_stream_stream_join_tight_watermark_ordered(spark, tmp_path):
         ).collect()
     )
     assert got == want and len(got) == 12
+
+
+def test_ngram_jaccard_capped_equals_uncapped(spark):
+    # at sf0.001 no true near-dup pair should rely solely on
+    # high-df shingles → the capped candidates find the same pairs
+    from parkour_spark.operators import dedup as D
+
+    docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    full = sorted(
+        tuple(r) for r in D.ngram_jaccard_pairs(docs, threshold=0.8).collect()
+    )
+    capped = sorted(
+        tuple(r)
+        for r in D.ngram_jaccard_pairs_capped(docs, threshold=0.8, max_df=50).collect()
+    )
+    assert capped == full and len(full) > 0
+
+
+def test_bands_for_corpus_scaling():
+    from parkour_spark.operators.dedup import bands_for_corpus
+
+    nb_small, bits_small = bands_for_corpus(10_000)
+    nb_big, bits_big = bands_for_corpus(10_000_000)
+    # 1000× corpus → ~10 more bits, never fewer
+    assert bits_big - bits_small >= 9
+    # narrower buckets need more bands to hold the recall target
+    assert nb_big >= nb_small
+    # recall arithmetic: miss ≤ target for both settings
+    import math
+
+    p = 1 - math.acos(0.8) / math.pi
+    for nb, bits in ((nb_small, bits_small), (nb_big, bits_big)):
+        assert (1 - p**bits) ** nb <= 0.05 + 1e-9
+
+
+def test_bands_for_corpus_feeds_blocked_neardup(spark):
+    # auto-sized banding plugs straight into the blocked operator and
+    # (at this scale/threshold) reproduces the exact pair set
+    from parkour_spark.operators import dedup as D
+
+    emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    n = emb.count()
+    dim = len(emb.select("embedding").first()["embedding"])
+    n_bands, band_bits = D.bands_for_corpus(n, threshold=0.4, target_bucket=50)
+    planes = D.rademacher_bands(n_bands, band_bits, dim)
+    cand = D.embedding_block_candidates(emb, planes)
+    exact = D.embedding_neardup_pairs(emb, threshold=0.4)
+    cand_pairs = {(r["id_a"], r["id_b"]) for r in cand.collect()}
+    missed = [
+        (r["id_a"], r["id_b"])
+        for r in exact.collect()
+        if (r["id_a"], r["id_b"]) not in cand_pairs
+    ]
+    n_exact = exact.count()
+    # target_miss 0.05 → tolerate a small miss count, require real recall
+    assert n_exact > 0
+    assert len(missed) <= max(1, int(0.1 * n_exact)), missed

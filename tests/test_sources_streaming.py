@@ -44,7 +44,9 @@ def test_text_dseq(spark, tmp_path):
     df = readers.text_dseq(spark, p)
     assert sorted(r.value for r in df.collect()) == ["apple banana", "carrot"]
     off = readers.text_dseq_with_offsets(spark, p)
-    assert sorted(tuple(r) for r in off.collect()) == [(0, "apple banana"), (1, "carrot")]
+    # TRUE byte offsets since r3 (sources/textfmt.py): carrot starts at
+    # byte 13 = len("apple banana\n")
+    assert sorted(tuple(r) for r in off.collect()) == [(0, "apple banana"), (13, "carrot")]
 
 
 def test_sample_dseq_seeded(spark):
