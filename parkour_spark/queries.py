@@ -1744,32 +1744,58 @@ def q_embedding_neardup(spark, sf_dir):
     return D.embedding_neardup_pairs(_t(spark, sf_dir, "embeddings"), threshold=0.4)
 
 
-_EMB_NEARDUP_SQL = """
+_EMB_BLOCKED_SQL = """
+    WITH base AS (
+      SELECT vec_id, list_transform(embedding, x -> x::DOUBLE) AS v FROM embeddings
+    ),
+    copies AS (
+      SELECT vec_id + 1000000 AS vec_id,
+             list_transform(range(len(v)), j -> v[j+1] + 0.15 * v[((j+1) % len(v)) + 1]) AS v
+      FROM base
+    ),
+    corpus AS (SELECT * FROM base UNION ALL SELECT * FROM copies)
     SELECT a.vec_id AS id_a, b.vec_id AS id_b,
-           round(list_dot_product(a.embedding::DOUBLE[], b.embedding::DOUBLE[])
-                 / (sqrt(list_dot_product(a.embedding::DOUBLE[], a.embedding::DOUBLE[]))
-                    * sqrt(list_dot_product(b.embedding::DOUBLE[], b.embedding::DOUBLE[]))), 4) AS cos
-    FROM embeddings a JOIN embeddings b ON a.vec_id < b.vec_id
-    WHERE list_dot_product(a.embedding::DOUBLE[], b.embedding::DOUBLE[])
-          / (sqrt(list_dot_product(a.embedding::DOUBLE[], a.embedding::DOUBLE[]))
-             * sqrt(list_dot_product(b.embedding::DOUBLE[], b.embedding::DOUBLE[]))) >= 0.4
+           round(list_dot_product(a.v, b.v)
+                 / (sqrt(list_dot_product(a.v, a.v)) * sqrt(list_dot_product(b.v, b.v))), 4) AS cos
+    FROM corpus a JOIN corpus b ON a.vec_id < b.vec_id
+    WHERE list_dot_product(a.v, b.v)
+          / (sqrt(list_dot_product(a.v, a.v)) * sqrt(list_dot_product(b.v, b.v))) >= 0.9
     """
 
 
-@query("embedding_neardup_blocked", _EMB_NEARDUP_SQL)
+@query("embedding_neardup_blocked", _EMB_BLOCKED_SQL)
 def q_embedding_neardup_blocked(spark, sf_dir):
-    """Scale path for embedding near-dup: hyperplane-LSH band buckets
-    generate candidates via equi-join (no O(n²) BroadcastNestedLoopJoin
-    — plan-asserted in test_dedup), exact cosine verifies candidates
-    only. 64 bands × 4 Rademacher planes give < 1e-4 miss probability
-    per true pair at cos 0.4 (see rademacher_bands docstring), so the
-    result matches the exact all-pairs oracle at test scale — checked,
-    not assumed."""
-    return D.embedding_neardup_pairs(
-        _t(spark, sf_dir, "embeddings"),
-        threshold=0.4,
-        block_planes=D.rademacher_bands(n_bands=64, band_bits=4, dim=64),
+    """Scale path for embedding near-dup, r4 rework: banding is now
+    DERIVED from corpus stats (`embedding_neardup_pairs_auto` →
+    `bands_for_corpus`) instead of fixed — the r3 sf1 soak measured the
+    fixed 64×4 banding at ~100× pair work at 10× rows (87s; 98% of
+    RANDOM pairs collided in some band). Auto-sizing holds expected
+    random-bucket occupancy ~constant as n grows, so pair work stays
+    ~linear; signatures run Arrow-side (numpy matmul) since the derived
+    plane count is in the hundreds.
+
+    The query runs at a genuine near-dup threshold (cos 0.9) over a
+    corpus with PLANTED near-duplicates — each vector unioned with a
+    deterministic perturbed copy (v + 0.15·rotate(v,1), cos ≈ 0.989;
+    the raw synthetic embeddings have no pairs above cos 0.6, and below
+    ~0.7 cosine-LSH selectivity per bit (2p)⁻¹ collapses toward 1, so a
+    0.4-threshold "blocked" query was structurally all-pairs). The
+    oracle mirrors the derivation exactly and brute-forces all pairs;
+    recall margin at the planted cos (miss < 1e-13 per pair under the
+    derived banding) makes blocked ≡ exact deterministic, not lucky."""
+    emb = _t(spark, sf_dir, "embeddings").select(
+        "vec_id",
+        F.expr("transform(embedding, x -> cast(x as double))").alias("embedding"),
     )
+    copies = emb.select(
+        (F.col("vec_id") + F.lit(1000000)).alias("vec_id"),
+        F.expr(
+            "transform(sequence(0, size(embedding) - 1),"
+            " j -> embedding[j] + 0.15D * embedding[(j + 1) % size(embedding)])"
+        ).alias("embedding"),
+    )
+    corpus = emb.unionByName(copies)
+    return D.embedding_neardup_pairs_auto(corpus, threshold=0.9)
 
 
 # ===========================================================================

@@ -1,0 +1,94 @@
+"""Round-4 fixes: auto-scaled embedding-LSH banding (the r3 verdict's
+one measured scale-killer), Arrow-side band signatures, and their
+parity with the Column path and the exact oracle."""
+
+from __future__ import annotations
+
+import math
+
+import pytest
+from pyspark.sql import functions as F
+
+from parkour_spark.operators import dedup as D
+
+
+def test_auto_banding_scaling_10x_100x_1000x():
+    """The derivation that replaces r3's fixed 64x4 banding: as n grows
+    10x/100x/1000x, band_bits grows ~log2(n) (narrower buckets), bands
+    grow to hold the recall target, and the expected RANDOM-pair
+    candidate mass per row stays bounded & sub-linear — the property
+    whose absence cost 87s at sf1 (43M candidates = 98% of random
+    pairs under the fixed banding)."""
+    got = {}
+    for n in (10_000, 100_000, 1_000_000, 10_000_000):
+        nb, bits = D.bands_for_corpus(
+            n, threshold=0.9, target_bucket=2, target_miss=1e-4, max_band_bits=24
+        )
+        # recall arithmetic holds at every size
+        p = 1 - math.acos(0.9) / math.pi
+        assert (1 - p**bits) ** nb <= 1e-4 + 1e-12
+        # expected random candidates per row: n * P(band collision) summed
+        # over bands ~= n * nb / 2^bits
+        got[n] = (nb, bits, n * nb / 2**bits)
+    (nb0, b0, pr0), (nb3, b3, pr3) = got[10_000], got[10_000_000]
+    assert b3 - b0 >= 9  # 1000x corpus -> ~10 more bits
+    assert nb3 > nb0  # narrower buckets need more bands for recall
+    # per-row candidate mass bounded and strongly sub-linear: 1000x rows
+    # costs < 6x per-row work (vs 1000x under fixed banding)
+    assert all(pr <= 500 for _, _, pr in got.values())
+    assert pr3 / pr0 <= 6
+
+
+def test_arrow_band_keys_agree_with_column_candidates(spark):
+    """engine="arrow" (numpy matmul signatures) and engine="column"
+    (Catalyst HOF signatures) produce the SAME candidate pair set for
+    the same planes — the key packing differs (long vs string) but the
+    bucket partition of the corpus is identical."""
+    import random
+
+    rng = random.Random(11)
+    rows = []
+    for i in range(60):
+        base = [rng.uniform(-1, 1) for _ in range(8)]
+        rows.append((i, base))
+        if i % 4 == 0:
+            rows.append((1000 + i, [x + rng.uniform(-0.01, 0.01) for x in base]))
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+    planes = D.rademacher_bands(n_bands=12, band_bits=5, dim=8)
+    col_pairs = {
+        (r["id_a"], r["id_b"])
+        for r in D.embedding_block_candidates(df, planes, engine="column").collect()
+    }
+    arrow_pairs = {
+        (r["id_a"], r["id_b"])
+        for r in D.embedding_block_candidates(df, planes, engine="arrow").collect()
+    }
+    assert arrow_pairs == col_pairs and len(col_pairs) > 0
+
+
+def test_blocked_auto_matches_exact_on_derived_corpus(spark):
+    """The registered query's exact shape at sf0.001: derived corpus
+    (each vector + a deterministic perturbed copy at cos~0.989),
+    auto-sized banding, threshold 0.9 — blocked == exact all-pairs,
+    deterministically (miss < 1e-13 per planted pair)."""
+    emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet").select(
+        "vec_id",
+        F.expr("transform(embedding, x -> cast(x as double))").alias("embedding"),
+    )
+    copies = emb.select(
+        (F.col("vec_id") + F.lit(1_000_000)).alias("vec_id"),
+        F.expr(
+            "transform(sequence(0, size(embedding) - 1),"
+            " j -> embedding[j] + 0.15D * embedding[(j + 1) % size(embedding)])"
+        ).alias("embedding"),
+    )
+    corpus = emb.unionByName(copies)
+    blocked = sorted(
+        tuple(r)
+        for r in D.embedding_neardup_pairs_auto(corpus, threshold=0.9).collect()
+    )
+    exact = sorted(
+        tuple(r) for r in D.embedding_neardup_pairs(corpus, threshold=0.9).collect()
+    )
+    assert blocked == exact
+    assert len(exact) >= emb.count()  # every planted copy-pair present
