@@ -39,6 +39,25 @@ def test_auto_banding_scaling_10x_100x_1000x():
     assert pr3 / pr0 <= 6
 
 
+def test_cc_warns_on_max_iters_exhaustion(spark):
+    """Both CC variants warn loudly when they stop before a fixpoint
+    (r3 advice: a silent partial contraction is a wrong answer)."""
+    from parkour_spark.operators.graph import (
+        connected_components,
+        connected_components_bigstar,
+    )
+
+    n = 40  # a 40-hop chain cannot converge in 2 rounds
+    nodes = spark.range(n).select(F.col("id"))
+    edges = spark.createDataFrame(
+        [(i, i + 1) for i in range(n - 1)], "id_a long, id_b long"
+    )
+    with pytest.warns(RuntimeWarning, match="max_iters"):
+        connected_components(nodes, edges, max_iters=2).collect()
+    with pytest.warns(RuntimeWarning, match="fixpoint"):
+        connected_components_bigstar(nodes, edges, max_iters=1).collect()
+
+
 def test_arrow_band_keys_agree_with_column_candidates(spark):
     """engine="arrow" (numpy matmul signatures) and engine="column"
     (Catalyst HOF signatures) produce the SAME candidate pair set for
