@@ -11,8 +11,9 @@ Spark-first at 100 TB:
   driver: k×d doubles per partition flow to the driver, never the data.
   This is the standard scalable shape for Lloyd's on a cluster (partial
   sufficient statistics, tiny combine), expressed as mapInPandas.
-- Deterministic: seeded init (first k vectors in id order) and
-  floating-point combine in sorted partition order.
+- Deterministic: hash-sampled init (k smallest md5(id) — engine- and
+  layout-independent) and floating-point combine in sorted partition
+  order.
 """
 
 from __future__ import annotations
@@ -37,17 +38,33 @@ def kmeans_fit(
     k: int = 16,
     max_iters: int = 5,
     tol: float = 1e-6,
+    init: str = "hash_sample",
 ) -> list[tuple[int, list[float]]]:
     """Fit k centroids; returns [(cid, vector)] ready for `ivf_topk`.
 
-    Init takes the first k vectors in `id_col` order (deterministic and
-    cheap; k-means|| would add sampling rounds — same per-iteration
-    plan). Stops early when max centroid movement < tol."""
+    Default init is a deterministic HASH SAMPLE: the k vectors with the
+    smallest (md5(id), id) — a content-independent pseudo-random draw
+    that is reproducible across runs, partitionings, AND engines (the
+    same md5 ordering is plain SQL, so the DuckDB oracle replays the
+    identical seeds; same mechanism as functions.sampling.hash_bucket).
+    The r3 init ("first_k": first k rows in id order) is kept for
+    comparison but is quality-degenerate at scale: on any corpus where
+    id order correlates with content (crawl order, shard order — the
+    common case) all k seeds come from one neighborhood and Lloyd's
+    converges to a lopsided quantizer (r3 verdict; measured in
+    tests/test_kmeans.py on a sorted-by-cluster fixture). Stops early
+    when max centroid movement < tol."""
     import numpy as np
 
     from parkour_spark.operators.similarity import ivf_assign_arrow
 
-    first = df.orderBy(id_col).select(vec_col).limit(k).collect()
+    if init == "hash_sample":
+        seed_order = [F.md5(F.col(id_col).cast("string")), F.col(id_col)]
+    elif init == "first_k":
+        seed_order = [F.col(id_col)]
+    else:
+        raise ValueError(f"init must be 'hash_sample' or 'first_k', got {init!r}")
+    first = df.orderBy(*seed_order).select(vec_col).limit(k).collect()
     if len(first) < k:
         raise ValueError(f"need at least k={k} vectors, found {len(first)}")
     cents = np.array([list(r[vec_col]) for r in first], dtype=np.float64)

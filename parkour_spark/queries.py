@@ -1975,18 +1975,21 @@ _KMEANS_UPDATE = """
     GROUP BY cell, idx) GROUP BY cell)"""
 
 # Lloyd's k=8 × 3 iterations, UNROLLED as plain CTEs (fixed iteration
-# count ⇒ no recursion needed): init = first 8 vectors in vec_id order,
-# assignment = row_number argmax over list_cosine_similarity with ties
-# to the lowest cell — exactly kmeans_fit + ivf_assign_arrow. Engines
-# differ only in float fold order (~1e-15), absorbed by the 6-decimal
-# round and irrelevant to argmax assignments.
+# count ⇒ no recursion needed): init = hash-sampled seeds (the 8
+# vectors with smallest (md5(vec_id), vec_id) — r4: replaces
+# first-k-by-id, which seeds from one neighborhood on id-sorted
+# corpora), assignment = row_number argmax over
+# list_cosine_similarity with ties to the lowest cell — exactly
+# kmeans_fit + ivf_assign_arrow. Engines differ only in float fold
+# order (~1e-15), absorbed by the 6-decimal round and irrelevant to
+# argmax assignments.
 # Shared CTE prefix: emb (doubles), c0 (init), a1/c1..a3/c3 (3 Lloyd's
 # rounds), af (final full-corpus assignment to c3).
 _KMEANS_CTES = (
     """
     emb AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
-    c0 AS (SELECT row_number() OVER (ORDER BY vec_id) - 1 AS cell, v AS c
-           FROM (SELECT vec_id, v FROM emb ORDER BY vec_id LIMIT 8)),"""
+    c0 AS (SELECT row_number() OVER (ORDER BY md5(vec_id::VARCHAR), vec_id) - 1 AS cell, v AS c
+           FROM (SELECT vec_id, v FROM emb ORDER BY md5(vec_id::VARCHAR), vec_id LIMIT 8)),"""
     + ",".join(
         _KMEANS_ASSIGN.format(out=f"a{i}", cents=f"c{i-1}")
         + ","
@@ -2015,8 +2018,9 @@ def q_kmeans(spark, sf_dir):
     (operators.kmeans.kmeans_fit): per iteration one scan-side
     assignment pass + NumPy partial (cell, count, sum) statistics per
     Arrow batch, combined on the driver. Deterministic by construction
-    (seeded init = first k vectors in id order, fixed iteration count,
-    sorted partial combine), so the DuckDB oracle replays the SAME
+    (hash-sampled init = k smallest (md5(id), id) — engine- and
+    layout-independent, fixed iteration count, sorted partial combine),
+    so the DuckDB oracle replays the SAME
     Lloyd's — k=8 × 3 iterations unrolled as CTEs with cosine argmax
     assignment (r2 verdict: promote from rows-only to a full oracle).
     Monotone-inertia and ivf-integration stay asserted in
