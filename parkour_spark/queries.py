@@ -2633,26 +2633,33 @@ def q_streaming_stream_join(spark, sf_dir):
     minutes — both sides are unbounded streams buffering state, with
     eviction driven by the interval predicate (the streaming analog of
     the as-of/range join family). Over the finite replay the result
-    equals the batch interval join, which is the oracle. The replayed
-    parquet parts are NOT time-ordered, so the query uses a
-    span-covering watermark (disorder tolerance, not state bound — a
-    live roughly-ordered stream would use a tight one; state eviction
-    semantics are exercised in tests)."""
+    equals the batch interval join, which is the oracle.
+
+    r4 (r3 verdict #4): the replay is written TIME-ORDERED
+    (write_time_ordered_replay — sequential single-file appends in
+    contiguous time slices, consumed oldest-first at one file per
+    trigger), so the query runs with a REALISTIC 1-hour watermark and
+    bounded state — later batches never deliver rows older than
+    earlier ones, so the tight watermark loses nothing while state
+    actually evicts (peak state-rows asserted well below the unbounded
+    count in tests/test_r4_fixes.py). Replaces the r3 span-covering
+    "800 days" workaround for unordered parquet-part replays."""
     import tempfile
 
     from parkour_spark.streaming.windows import (
         read_stream,
         run_to_completion,
         stream_stream_join,
+        write_time_ordered_replay,
     )
 
     ev = _t(spark, sf_dir, "events")
     tmp = tempfile.mkdtemp(prefix="parkour_stream_")
-    ev.write.mode("overwrite").parquet(tmp)
-    purchases = read_stream(spark, tmp, ev.schema, max_files=8).where(
+    write_time_ordered_replay(ev, "ts", tmp, n_slices=8)
+    purchases = read_stream(spark, tmp, ev.schema, max_files=1).where(
         F.col("event_type") == "purchase"
     ).select("event_id", F.col("ts").alias("p_ts"), "user_id")
-    views = read_stream(spark, tmp, ev.schema, max_files=8).where(
+    views = read_stream(spark, tmp, ev.schema, max_files=1).where(
         F.col("event_type") == "view"
     ).select(
         F.col("event_id").alias("view_event_id"),
@@ -2665,7 +2672,7 @@ def q_streaming_stream_join(spark, sf_dir):
         & (F.col("v_ts") <= F.col("p_ts"))
     )
     joined = stream_stream_join(
-        purchases, views, cond, "p_ts", "v_ts", watermark="800 days"
+        purchases, views, cond, "p_ts", "v_ts", watermark="1 hour"
     )
     result = run_to_completion(
         joined.select("event_id", "view_event_id", "user_id"), output_mode="append"

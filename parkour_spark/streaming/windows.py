@@ -167,13 +167,52 @@ def stateful_apply(
     )
 
 
+def write_time_ordered_replay(
+    df: DataFrame, ts_col: str, path: str, n_slices: int = 8
+) -> None:
+    """Write `df` as `n_slices` sequential single-file parquet appends
+    in contiguous time-range order, so a maxFilesPerTrigger=1 file
+    stream replays it roughly TIME-ORDERED (the file source processes
+    files oldest-modification-first): disorder is bounded by one
+    slice's span, later batches never deliver rows older than earlier
+    batches, and tight watermarks therefore lose nothing while state
+    actually evicts. Replaces the span-covering-watermark workaround
+    for unordered parquet-part replays (r3 verdict #4).
+
+    Test/dev harness only (like `run_to_completion`): the global ntile
+    sort and the sequential appends are fine at replay scale; a
+    production stream (Kafka etc.) is already roughly time-ordered at
+    the source and needs none of this."""
+    from pyspark.sql import Window
+
+    sliced = df.withColumn(
+        "__slice", F.ntile(n_slices).over(Window.orderBy(ts_col))
+    )
+    for i in range(1, n_slices + 1):
+        (
+            sliced.where(F.col("__slice") == i)
+            .drop("__slice")
+            .coalesce(1)
+            .write.mode("append" if i > 1 else "overwrite")
+            .parquet(path)
+        )
+
+
 def run_to_completion(
-    stream_df: DataFrame, output_mode: str = "complete", query_name: str | None = None
+    stream_df: DataFrame,
+    output_mode: str = "complete",
+    query_name: str | None = None,
+    metrics_out: dict | None = None,
 ) -> DataFrame:
     """Drive a streaming DataFrame over a *finite* file source to
     completion: memory sink, processAllAvailable, stop. Returns the
     result as a batch DataFrame. Test/dev harness — production uses
-    writeStream to a real sink with a trigger."""
+    writeStream to a real sink with a trigger.
+
+    With `metrics_out`, per-batch progress is stashed into it under
+    "progress" (list of dicts) and the peak state-store row count
+    across batches under "max_state_rows" — how tests assert that a
+    tight watermark actually bounds state."""
     name = query_name or f"q_{uuid.uuid4().hex[:8]}"
     q = (
         stream_df.writeStream.outputMode(output_mode)
@@ -183,6 +222,23 @@ def run_to_completion(
     )
     try:
         q.processAllAvailable()
+        if metrics_out is not None:
+            import json
+
+            progress = [
+                p
+                if isinstance(p, dict)
+                else json.loads(p.json() if callable(p.json) else p.json)
+                for p in q.recentProgress
+            ]
+            metrics_out["progress"] = progress
+            metrics_out["max_state_rows"] = max(
+                (
+                    sum(op.get("numRowsTotal", 0) for op in p.get("stateOperators", []))
+                    for p in progress
+                ),
+                default=0,
+            )
     finally:
         q.stop()
     return stream_df.sparkSession.sql(f"SELECT * FROM {name}")

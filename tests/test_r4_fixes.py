@@ -58,6 +58,73 @@ def test_cc_warns_on_max_iters_exhaustion(spark):
         connected_components_bigstar(nodes, edges, max_iters=1).collect()
 
 
+def test_stream_join_tight_watermark_bounds_state(spark, tmp_path):
+    """r4 (r3 verdict #4): over a TIME-ORDERED replay the stream-stream
+    join runs with a realistic 1-hour watermark, produces the identical
+    result to the batch interval join, and its peak state-store rows
+    stay well below the span-covering-watermark (never-evict) run."""
+    from parkour_spark.streaming.windows import (
+        read_stream,
+        run_to_completion,
+        stream_stream_join,
+        write_time_ordered_replay,
+    )
+
+    ev = spark.read.parquet("/root/testdata/sf0.001/events.parquet")
+    path = str(tmp_path / "replay")
+    write_time_ordered_replay(ev, "ts", path, n_slices=8)
+
+    def run(watermark):
+        purchases = read_stream(spark, path, ev.schema, max_files=1).where(
+            F.col("event_type") == "purchase"
+        ).select("event_id", F.col("ts").alias("p_ts"), "user_id")
+        views = read_stream(spark, path, ev.schema, max_files=1).where(
+            F.col("event_type") == "view"
+        ).select(
+            F.col("event_id").alias("view_event_id"),
+            F.col("ts").alias("v_ts"),
+            F.col("user_id").alias("v_user_id"),
+        )
+        cond = (
+            (F.col("user_id") == F.col("v_user_id"))
+            & (F.col("v_ts") >= F.col("p_ts") - F.expr("INTERVAL 30 MINUTES"))
+            & (F.col("v_ts") <= F.col("p_ts"))
+        )
+        metrics = {}
+        out = run_to_completion(
+            stream_stream_join(
+                purchases, views, cond, "p_ts", "v_ts", watermark=watermark
+            ).select("event_id", "view_event_id", "user_id"),
+            output_mode="append",
+            metrics_out=metrics,
+        )
+        return sorted(tuple(r) for r in out.collect()), metrics["max_state_rows"]
+
+    tight_rows, tight_state = run("1 hour")
+    wide_rows, wide_state = run("800 days")
+    p = ev.where(F.col("event_type") == "purchase").select(
+        "event_id", F.col("ts").alias("p_ts"), "user_id"
+    )
+    v = ev.where(F.col("event_type") == "view").select(
+        F.col("event_id").alias("view_event_id"),
+        F.col("ts").alias("v_ts"),
+        F.col("user_id").alias("v_user_id"),
+    )
+    batch = sorted(
+        tuple(r)
+        for r in p.join(
+            v,
+            (F.col("user_id") == F.col("v_user_id"))
+            & (F.col("v_ts") >= F.col("p_ts") - F.expr("INTERVAL 30 MINUTES"))
+            & (F.col("v_ts") <= F.col("p_ts")),
+        )
+        .select("event_id", "view_event_id", "user_id")
+        .collect()
+    )
+    assert tight_rows == wide_rows == batch and len(batch) > 0
+    assert tight_state < 0.5 * wide_state, (tight_state, wide_state)
+
+
 def test_arrow_band_keys_agree_with_column_candidates(spark):
     """engine="arrow" (numpy matmul signatures) and engine="column"
     (Catalyst HOF signatures) produce the SAME candidate pair set for
