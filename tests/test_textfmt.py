@@ -4,6 +4,8 @@ textfmt.py) — closes the two text-source deltas vs the reference
 
 from __future__ import annotations
 
+import os
+
 import pytest
 
 from parkour_spark.sources.textfmt import (
@@ -79,3 +81,89 @@ def test_nline_exact_split_sizes(spark, textfile):
 def test_register_idempotent(spark):
     assert register_text_source(spark)
     assert register_text_source(spark)
+
+
+def test_arrow_and_tuple_paths_identical(spark, textfile):
+    # r4: the Arrow RecordBatch read path returns byte-for-byte the
+    # same rows as the per-tuple baseline
+    path, raw = textfile
+    register_text_source(spark)
+    arrow = sorted(
+        (r["offset"], r["value"])
+        for r in spark.read.format("parkour_text").option("path", path).load().collect()
+    )
+    tuples = sorted(
+        (r["offset"], r["value"])
+        for r in spark.read.format("parkour_text")
+        .option("path", path)
+        .option("arrow", "false")
+        .load()
+        .collect()
+    )
+    assert arrow == tuples == _ground_truth(raw)
+
+
+@pytest.mark.skipif(
+    not os.environ.get("PARKOUR_SOAK"),
+    reason="micro-bench only runs with PARKOUR_SOAK=1 (writes a ~512 MB file)",
+)
+def test_arrow_read_beats_tuple_read_per_core(spark, tmp_path):
+    """r4 verdict #6, adjudicated by measurement: PySpark 4's DataSource
+    worker ALREADY converts tuple iterators to Arrow batches
+    (pyspark/sql/worker/plan_data_source_read.py:
+    records_to_arrow_batches) — there is no per-row pickle path to beat,
+    and at full local[32] parallelism wall-clock is overhead-bound for
+    both paths (measured 0.92–1.07×). What the bulk-Arrow read path
+    buys is per-CORE throughput — the scarce resource on a 1000-executor
+    cluster — by replacing the per-line readline/decode loop and the
+    worker's per-tuple conversion with mmap + numpy newline scan +
+    zero-copy Arrow construction: measured ~2.0× on a single-split
+    512 MB read (1.79s vs 3.55s). Asserted at ≥1.6× for machine-noise
+    headroom."""
+    import time
+
+    path = str(tmp_path / "big.txt")
+    line = ("lorem ipsum dolor sit amet " * 8).strip() + "\n"
+    block = line * 10000
+    with open(path, "w") as f:
+        n_blocks = (512 * 1024 * 1024) // len(block) + 1
+        for _ in range(n_blocks):
+            f.write(block)
+    reps = n_blocks * 10000
+    register_text_source(spark)
+
+    def timed(arrow: str) -> float:
+        t0 = time.perf_counter()
+        n = (
+            spark.read.format("parkour_text")
+            .option("path", path)
+            .option("split_size", str(1024 * 1024 * 1024))  # ONE split
+            .option("arrow", arrow)
+            .load()
+            .count()
+        )
+        assert n == reps
+        return time.perf_counter() - t0
+
+    timed("true")  # warm
+    t_arrow = min(timed("true"), timed("true"))
+    t_tuple = min(timed("false"), timed("false"))
+    assert t_tuple / t_arrow >= 1.6, (t_tuple, t_arrow)
+
+
+def test_bulk_range_matches_tuple_range_at_every_boundary(textfile):
+    # _read_range_bulk honors the identical ownership contract as
+    # _read_range at every possible split point (incl. CRLF + utf8)
+    from parkour_spark.sources.textfmt import _read_range_bulk
+
+    path, raw = textfile
+    for cut in range(0, len(raw) + 7, 7):
+        for lo, hi in ((0, min(cut, len(raw))), (min(cut, len(raw)), len(raw))):
+            expect = list(_read_range(path, lo, hi))
+            got = _read_range_bulk(path, lo, hi)
+            rows = (
+                []
+                if got is None
+                else list(zip(got[0].to_pylist(), got[1].to_pylist()))
+            )
+            assert rows == expect, f"range ({lo},{hi})"
