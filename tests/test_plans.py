@@ -103,3 +103,30 @@ def test_range_join_is_equi_not_nested_loop(spark, queries):
     plan = _plan(queries["range_join_quantity_bands"](spark, SF_DIR))
     assert "CartesianProduct" not in plan, plan
     assert "BroadcastNestedLoopJoin" not in plan, plan
+
+
+def test_tfidf_single_text_scan(spark, queries):
+    """r4 plan-regression guard (r3 verdict #7): tfidf tokenizes the
+    corpus EXACTLY once — one scan reads the text column; the only
+    other scan of documents is the zero-column n_docs count (parquet
+    row-group counts, ReadSchema struct<>). The r2 regression class
+    (duplicated tf subtree re-tokenizing the corpus) would show a
+    second text:string scan here."""
+    plan = _plan(queries["tfidf_top_terms"](spark, SF_DIR))
+    assert plan.count("documents.parquet") == 2, plan
+    assert plan.count("text:string") == 1, plan
+    assert "ReadSchema: struct<>" in plan, plan
+
+
+def test_pmi_single_text_scan_via_cache(spark, queries):
+    """r4 plan-regression guard: every scan of documents in the pmi
+    plan sits under an InMemoryTableScan of the persisted
+    vocabulary-sized count table — the corpus is tokenized once at
+    cache fill, and unigram counts, bigram counts, and both totals all
+    derive from the cache. Dropping the persist (the r2 5x-retokenize
+    regression) makes InMemoryTableScan vanish while raw scans remain,
+    breaking the equality."""
+    plan = _plan(queries["pmi_collocations"](spark, SF_DIR))
+    n_scans = plan.count("documents.parquet")
+    assert n_scans >= 1
+    assert plan.count("InMemoryTableScan") == n_scans, plan
