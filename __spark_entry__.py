@@ -23,46 +23,50 @@ def entry(spark: SparkSession) -> DataFrame:
 # The driver's correctness gate checks the first 50 registry entries;
 # the registry holds more. The window ROTATES each round (r2 verdict
 # #1) so every query gets a driver row at most one round old:
-#   r2 window = operator-family flagships + the LLM-pipeline family;
-#   r3 window (below) = the 32 entries that had no r02 driver row,
-#     plus every query whose code changed or gained an oracle this
-#     round, plus the round's new operators — the r2-verified,
-#     untouched remainder registers after the window.
+#   r3 window = the 32 entries with no r02 driver row + changed/new;
+#   r4 window (below) = ALL 36 entries without an r03 driver row, plus
+#     the flagships, plus every query whose code or oracle changed this
+#     round (auto-banded embedding LSH, hash-sampled k-means init and
+#     its unrolled-CTE oracle, tight-watermark stream-stream join,
+#     exact-fixpoint CC), plus the r3-changed family to keep it fresh —
+#     the demoted remainder is exactly the r3-driver-green untouched
+#     set.
 # Out-of-window entries are still verified every round by the local
 # gate replica (scripts/check_oracle.py, run over ALL entries).
-_R3_WINDOW = [
+_R4_WINDOW = [
     # flagships
     "q1_pricing_summary", "word_count",
-    # no r02 driver row (rotated back in)
-    "distinct_tokens",
-    "shape_keys", "shape_vals", "shape_keygroups", "shape_valgroups",
-    "shape_keykeyvalgroups", "shape_keykeygroups", "shape_keysgroups",
-    "shape_keyvalgroups",
-    "ordered_positive_custkeys", "parts_never_bulk_ordered",
-    "events_hourly", "rollup_returnflag_status", "top_customers",
-    "customers_without_urgent_orders", "active_automobile_customers",
-    "q5_local_supplier_revenue", "region_customer_counts",
-    "price_quantiles_by_segment", "q3_shipping_priority",
-    "cube_priority_status", "grouping_sets_priority_status",
-    "events_user_counts", "orders_per_quarter", "time_bucket_rollup",
-    "sql_correlated_subquery", "orders_above_customer_avg",
-    "approx_user_counts", "order_price_ranks", "running_user_total",
-    "streaming_sliding_30m", "streaming_enriched_counts",
-    # code changed this round (NTZ epoch/watermark path, single-pass
-    # tfidf/pmi, arrow-default IVF, native-type CC)
-    "asof_purchase_view", "tfidf_top_terms", "pmi_collocations",
-    "ivf_topk_cosine", "ivf_topk_cosine_column", "dedup_groups",
-    "streaming_events_hourly", "streaming_session_30m", "streaming_dedup",
-    # gained an oracle this round
-    "approx_price_quantiles", "streaming_stateful_user_counts",
-    "multimodal_features", "kmeans_centroids",
-    # new this round
-    "dedup_groups_bigstar", "ivf_kmeans_topk", "streaming_stream_join",
+    # no r03 driver row (rotated back in; verified r02 + local gate)
+    "orders_per_priority_pivot", "range_mod_agg", "customer_order_stats",
+    "cogroup_order_stats", "top3_orders_per_customer", "shape_keyvals",
+    "secondary_sort_orders", "matrixify", "union_tagged_names",
+    "user_sessions", "range_join_quantity_bands", "json_props_sum",
+    "order_gaps", "salted_join_agg", "multimodal_fingerprint",
+    "token_stats", "lang_id", "quality_scores", "doc_fingerprints",
+    "subword_token_count", "lang_id_ngram", "winnow_fingerprints",
+    "dedup_exact", "dedup_minhash_lsh", "dedup_ngram_jaccard",
+    "dedup_ngram_jaccard_capped", "dedup_simhash", "embedding_neardup",
+    "embedding_neardup_blocked", "knn_cosine", "corpus_prep",
+    "rolling_30d_spend", "merge_upsert_orders", "scd2_customer_orders",
+    "unpivot_lineitem_measures", "dataset_split_counts",
+    # code or oracle changed this round (r4)
+    "kmeans_centroids", "ivf_kmeans_topk", "streaming_stream_join",
+    "dedup_groups", "dedup_groups_bigstar",
+    # r3-changed family kept fresh
+    "tfidf_top_terms", "pmi_collocations", "ivf_topk_cosine",
+    "ivf_topk_cosine_column", "asof_purchase_view",
+    "streaming_stateful_user_counts", "multimodal_features",
 ]
 
 
 def _ordered(d: dict) -> dict:
-    front = [n for n in _R3_WINDOW if n in d]
+    # loud drift check (r3 advice): a rename/typo must fail here, not
+    # silently slide an unverified entry into the 50-entry gate window
+    missing = set(_R4_WINDOW) - set(d)
+    assert not missing, f"window entries not in registry: {sorted(missing)}"
+    assert len(_R4_WINDOW) == 50, len(_R4_WINDOW)
+    assert len(set(_R4_WINDOW)) == 50, "duplicate window entries"
+    front = [n for n in _R4_WINDOW if n in d]
     return {n: d[n] for n in front} | {n: d[n] for n in d if n not in front}
 
 

@@ -40,6 +40,11 @@ HEADLINE = [
     "quality_scores",
     "winnow_fingerprints",
     "corpus_prep",
+    # r4 (r3 verdict #8): the scale-path variants that matter at 100 TB
+    # are tracked round-over-round, not just their exact-path twins
+    "dedup_ngram_jaccard_capped",
+    "dedup_groups_bigstar",
+    "embedding_neardup_blocked",
 ]
 
 

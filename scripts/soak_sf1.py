@@ -54,12 +54,14 @@ SOAK_QUERIES = [
 
 def materialize(spark) -> None:
     docs = spark.read.parquet(f"{SRC}/documents.parquet")
-    n_docs = docs.count()
+    # replica-id stride = max(id)+1, NOT n_rows*10: sparse id spaces
+    # with max id >= 10*n would silently collide replicas (r3 advice)
+    doc_stride = docs.agg(F.max("doc_id")).first()[0] + 1
     reps = spark.range(REPLICAS).select(F.col("id").alias("rep"))
     big_docs = (
         docs.crossJoin(F.broadcast(reps))
         .select(
-            (F.col("doc_id") + F.col("rep") * F.lit(n_docs * 10)).alias("doc_id"),
+            (F.col("doc_id") + F.col("rep") * F.lit(doc_stride)).alias("doc_id"),
             F.concat(
                 F.col("text"), F.lit(" rep"), F.col("rep").cast("string")
             ).alias("text"),
@@ -69,7 +71,7 @@ def materialize(spark) -> None:
     big_docs.write.mode("overwrite").parquet(f"{DST}/documents.parquet")
 
     emb = spark.read.parquet(f"{SRC}/embeddings.parquet")
-    n_emb = emb.count()
+    emb_stride = emb.agg(F.max("vec_id")).first()[0] + 1
     dim = len(emb.select("embedding").first()["embedding"])
     # deterministic per-replica rotation: shift vector components by
     # `rep` positions — norms preserved, geometry stays spread out
@@ -81,7 +83,7 @@ def materialize(spark) -> None:
     big_emb = (
         emb.crossJoin(F.broadcast(reps))
         .select(
-            (F.col("vec_id") + F.col("rep") * F.lit(n_emb * 10)).alias("vec_id"),
+            (F.col("vec_id") + F.col("rep") * F.lit(emb_stride)).alias("vec_id"),
             rotated.alias("embedding"),
             *[c for c in emb.columns if c not in ("vec_id", "embedding")],
         )
