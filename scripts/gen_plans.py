@@ -25,7 +25,7 @@ COMMENTARY = {
     "ivf_topk_cosine_column": "Same plan with the assignment scan as a pure-JVM Column expression (interpreted HOF lambdas) — fold-order-exact oracle-parity variant; the default ivf_topk_cosine uses the Arrow/BLAS assignment (MapInPandas matmul), the throughput path for the pass that dominates IVF indexing.",
     "salted_join_agg": "Skew-aware: a sampled key-frequency pre-pass (key columns projected before Sample, so the probe scan is single-column) detects hot keys; with none — the common case — the executed plan IS the plain join, no salt column, no replication. Forced-hot plans split hot/cold with the hot branch keyed on (l_orderkey, salt).",
     "matrixify": "Partial aggregation on integer keys precedes the broadcast name joins — the fact table never flows through a join; the two dimension zip_with_index builds (range sort + per-partition counts) run as overlapping jobs.",
-    "embedding_neardup_blocked": "Hyperplane-LSH band buckets generate candidates through a single groupBy(band_key) shuffle and in-bucket pair explode — an equi-join plan end to end; exact cosine re-checks candidates only. No BroadcastNestedLoopJoin anywhere.",
+    "embedding_neardup_blocked": "Hyperplane-LSH band buckets generate candidates through a single groupBy(band_key) shuffle and in-bucket pair explode — an equi-join plan end to end; exact cosine re-checks candidates only. No BroadcastNestedLoopJoin anywhere. r4: banding is DERIVED from corpus count (bands_for_corpus — band bits ~ log2(n) hold random-bucket occupancy constant, bands restore the recall target) and signatures are one numpy matmul per Arrow batch; the fixed 64x4 banding this replaces made 98% of random pairs candidates at 20k rows (87s -> 12.6s at the sf1 soak).",
     "corpus_prep": "Four pipeline stages fused into one plan: quality + language + fingerprint are one scan-side projection (ReadSchema is just doc_id,text), the filter precedes the only aggregation (min doc_id per fingerprint), survivors re-attach by broadcast semi-join.",
     "ivf_kmeans_topk": "End-to-end learned-quantizer ANN: the k-means job runs once (cached coarse quantizer), then the SAME IVF plan as ivf_topk_cosine — Arrow-batched assignment scan, broadcast probe equi-join on cell, rounded-cosine ranking window keyed by query_id.",
     "tfidf_top_terms": "SINGLE corpus pass: document frequency is a count window over the tf aggregate itself (one row per doc,term ⇒ window count IS df), n_docs rides in as a broadcast 1-row aggregate — no second tokenize, no driver count() action.",
