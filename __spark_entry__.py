@@ -52,10 +52,12 @@ _R4_WINDOW = [
     # code or oracle changed this round (r4)
     "kmeans_centroids", "ivf_kmeans_topk", "streaming_stream_join",
     "dedup_groups", "dedup_groups_bigstar",
-    # r3-changed family kept fresh
-    "tfidf_top_terms", "pmi_collocations", "ivf_topk_cosine",
-    "ivf_topk_cosine_column", "asof_purchase_view",
-    "streaming_stateful_user_counts", "multimodal_features",
+    # NEW this round (operators/corpus.py) — first driver rows
+    "decontaminate_ngram_overlap", "unigram_lm_scores", "bm25_search",
+    "doc_chunks", "pack_sequences", "stratified_sample_lang",
+    # r3-changed, kept fresh (the rest of that family carries r03 rows
+    # — exactly 1 round old at the r4 gate — and rotates back in r5)
+    "ivf_topk_cosine",
 ]
 
 

@@ -45,6 +45,9 @@ HEADLINE = [
     "dedup_ngram_jaccard_capped",
     "dedup_groups_bigstar",
     "embedding_neardup_blocked",
+    # r4: corpus-prep family additions (operators/corpus.py)
+    "decontaminate_ngram_overlap",
+    "pack_sequences",
 ]
 
 

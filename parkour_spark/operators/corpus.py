@@ -1,0 +1,317 @@
+"""Training-corpus preparation operators: benchmark decontamination,
+unigram-LM quality scoring, BM25 retrieval, document chunking, greedy
+sequence packing, and stratified sampling.
+
+Beyond-reference surface (SURVEY §7 build-plan step 6): the reference
+(damballa/parkour) is a Hadoop MapReduce dataflow library with no
+corpus-prep operators; these are the additive LLM-training-data ops,
+expressed Spark-first. The only reference analog is the arbitrary-map
+task surface (src/clojure/parkour/mapreduce.clj:107-123) these would
+have been hand-written against.
+
+Scale design (100 TB):
+- decontamination: the eval/benchmark side is SMALL by construction
+  (benchmarks are thousands of docs, not billions), so its distinct
+  n-grams broadcast; the corpus side explodes scan-side and the only
+  corpus-keyed shuffle is the per-doc hit aggregate.
+- unigram LM: one corpus tokenize pass; the (doc, term) tf table
+  shuffles once; corpus term counts ride a vocabulary-keyed window over
+  that same table (the single-pass trick proven on tfidf_top_terms);
+  grand totals are a broadcast 1-row aggregate. The vocabulary never
+  drives a corpus shuffle.
+- BM25: identical shape; the query-term list is a broadcast literal, so
+  filtering to query terms happens scan-side BEFORE the only shuffle.
+  Doc length is computed in the scan projection (size(tokens)), not by
+  a second window pass over the exploded table.
+- chunking: pure scan-side explode (sequence + substr) — zero shuffle.
+- packing: greedy first-fit is inherently sequential, so it is
+  parallelized per hash-bucket: each bucket packs independently inside
+  one Arrow batch (applyInPandas), O(1) state per bucket, bucket count
+  sized to the cluster. Bucket assignment and in-bucket order are pure
+  functions of the doc id, so results are partition-layout-independent
+  and cross-engine replayable (the DuckDB oracle replays the greedy
+  fold as a recursive CTE).
+
+Float determinism: scores are emitted as integer micro-units
+(round(x * 1e6) per term BEFORE the additive aggregate) so sums are
+order-independent and bit-identical across engines — the float-sum
+1-ulp tie class that motivated quality_score's basis-point arithmetic
+(functions/text.py) cannot occur here by construction.
+"""
+
+from __future__ import annotations
+
+from typing import Iterable
+
+import pandas as pd
+
+from pyspark.sql import Column, DataFrame, Window, functions as F
+
+from parkour_spark.functions.sampling import hash_bucket
+from parkour_spark.functions.text import shingles, token_count, tokens
+
+
+# --------------------------------------------------------------------------
+# Decontamination (benchmark n-gram overlap removal)
+# --------------------------------------------------------------------------
+
+def ngram_contamination(
+    docs: DataFrame,
+    eval_docs: DataFrame,
+    n: int = 4,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """(id, n_shared_ngrams) for corpus docs sharing ≥1 distinct token
+    n-gram with the eval/benchmark set — the standard train/test
+    decontamination test (n-gram collision against held-out benchmarks).
+
+    Plan: eval n-grams are deduplicated and BROADCAST (benchmarks are
+    small by construction); corpus n-grams explode scan-side into a
+    broadcast hash join, so the only shuffle is the final per-doc count.
+    """
+    ev = (
+        eval_docs.select(
+            F.explode(F.array_distinct(shingles(F.col(text_col), n))).alias("ngram")
+        )
+        .distinct()
+    )
+    tr = docs.select(
+        F.col(id_col),
+        F.explode(F.array_distinct(shingles(F.col(text_col), n))).alias("ngram"),
+    )
+    return (
+        tr.join(F.broadcast(ev), "ngram")
+        .groupBy(id_col)
+        .agg(F.count("*").alias("n_shared_ngrams"))
+    )
+
+
+def decontaminate(
+    docs: DataFrame,
+    eval_docs: DataFrame,
+    n: int = 4,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Corpus minus every doc sharing an n-gram with the eval set
+    (anti-join against the contamination table)."""
+    hits = ngram_contamination(docs, eval_docs, n, text_col, id_col)
+    return docs.join(hits.select(id_col), id_col, "left_anti")
+
+
+# --------------------------------------------------------------------------
+# Unigram-LM quality scoring
+# --------------------------------------------------------------------------
+
+def unigram_logprob(
+    docs: DataFrame, text_col: str = "text", id_col: str = "doc_id"
+) -> DataFrame:
+    """Per-doc unigram-LM score: mean token log-probability under the
+    corpus's own unigram distribution (the classic cheap LM-quality
+    filter — gibberish and boilerplate score far from the corpus mean).
+
+    Returns (id, n_toks, avg_logprob_micro) with the score in integer
+    micro-nats: each term's ln(c_w / N) is rounded to micro-nats BEFORE
+    the tf-weighted integer sum, so aggregation order cannot perturb
+    the result. Single corpus pass: c_w is a vocabulary-keyed window
+    over the tf table itself; N rides in as a broadcast 1-row agg.
+    """
+    terms = docs.select(
+        F.col(id_col), F.explode(tokens(F.lower(F.col(text_col)))).alias("term")
+    )
+    tf = terms.groupBy(id_col, "term").agg(F.count("*").alias("tf"))
+    cw = tf.withColumn("c_w", F.sum("tf").over(Window.partitionBy("term")))
+    n_total = tf.agg(F.sum("tf").alias("n_total"))
+    contrib = (
+        F.round(F.log(F.col("c_w").cast("double") / F.col("n_total")) * 1e6)
+        .cast("long")
+        * F.col("tf")
+    )
+    per_doc = (
+        cw.crossJoin(F.broadcast(n_total))
+        .groupBy(id_col)
+        .agg(F.sum(contrib).alias("sum_micro"), F.sum("tf").alias("n_toks"))
+    )
+    return per_doc.select(
+        id_col,
+        "n_toks",
+        F.round(F.col("sum_micro").cast("double") / F.col("n_toks"))
+        .cast("long")
+        .alias("avg_logprob_micro"),
+    )
+
+
+# --------------------------------------------------------------------------
+# BM25 retrieval
+# --------------------------------------------------------------------------
+
+def bm25_topk(
+    docs: DataFrame,
+    query_terms: Iterable[str],
+    k: int = 10,
+    k1: float = 1.2,
+    b: float = 0.75,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Okapi BM25 top-k retrieval for a literal query-term set.
+
+    score(d) = Σ_t ln(1 + (N - df_t + 0.5)/(df_t + 0.5))
+                 · tf·(k1+1) / (tf + k1·(1 - b + b·dl/avgdl))
+
+    Emitted as (id, n_qterms, score_micro): per-term scores are rounded
+    to integer micro-units before the sum (order-independent), ties at
+    rank k broken by id. Doc length dl is computed in the scan
+    projection; terms are filtered to the broadcast query set scan-side,
+    so the only corpus shuffle carries query-term postings.
+    """
+    qlist = sorted(set(query_terms))
+    base = docs.select(
+        F.col(id_col),
+        token_count(F.col(text_col)).alias("dl"),
+        F.explode(tokens(F.lower(F.col(text_col)))).alias("term"),
+    ).where(F.col("term").isin(qlist))
+    tf = base.groupBy(id_col, "dl", "term").agg(F.count("*").alias("tf"))
+    tf = tf.withColumn("df", F.count("*").over(Window.partitionBy("term")))
+    totals = docs.agg(
+        F.count("*").alias("n_docs"),
+        F.sum(token_count(F.col(text_col))).alias("n_total"),
+    )
+    avgdl = F.col("n_total").cast("double") / F.col("n_docs")
+    idf = F.log(
+        1
+        + (F.col("n_docs") - F.col("df") + 0.5) / (F.col("df") + 0.5)
+    )
+    tfn = (F.col("tf") * (k1 + 1)) / (
+        F.col("tf") + k1 * ((1 - b) + b * F.col("dl") / avgdl)
+    )
+    scored = (
+        tf.crossJoin(F.broadcast(totals))
+        .select(
+            F.col(id_col),
+            F.round(idf * tfn * 1e6).cast("long").alias("term_micro"),
+        )
+        .groupBy(id_col)
+        .agg(
+            F.count("*").alias("n_qterms"),
+            F.sum("term_micro").alias("score_micro"),
+        )
+    )
+    return scored.orderBy(F.col("score_micro").desc(), F.col(id_col)).limit(k)
+
+
+# --------------------------------------------------------------------------
+# Document chunking (training / RAG window extraction)
+# --------------------------------------------------------------------------
+
+def chunk_documents(
+    docs: DataFrame,
+    size: int = 120,
+    stride: int = 90,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Overlapping fixed-size character chunks: starts at 0, stride,
+    2·stride, …; the last chunk may be short; every doc yields ≥1 chunk.
+    Returns (id, chunk_idx, chunk_md5) — md5 keeps the registered-query
+    output compact and cross-engine-comparable while the full chunk text
+    is one `.substr` away in real use.
+
+    Pure scan-side sequence+substr explode — zero shuffle at any scale.
+    """
+    c = F.col(text_col)
+    n_extra = F.greatest(
+        F.expr(f"(length({text_col}) - {size} + {stride - 1}) DIV {stride}"),
+        F.lit(0),
+    )
+    idx = F.sequence(F.lit(0), n_extra.cast("int"))
+    chunks = F.transform(
+        idx, lambda i: F.md5(c.substr(i * stride + 1, F.lit(size)))
+    )
+    return docs.select(
+        F.col(id_col), F.posexplode(chunks).alias("chunk_idx", "chunk_md5")
+    )
+
+
+# --------------------------------------------------------------------------
+# Greedy sequence packing (token-budget bin filling)
+# --------------------------------------------------------------------------
+
+def pack_sequences(
+    docs: DataFrame,
+    budget: int = 256,
+    n_buckets: int = 8,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Pack documents into training sequences of ≤ budget tokens by
+    greedy first-fit in deterministic id order, parallelized per
+    hash-bucket (the sequential fold runs independently inside each
+    bucket; docs longer than the budget occupy a sequence alone).
+
+    Returns (bucket, seq_id, n_docs, seq_tokens) — the packing manifest
+    a trainer materializes sequences from. Deterministic: bucket and
+    order are pure functions of the id, so the DuckDB oracle replays
+    the identical fold as a per-bucket recursive CTE.
+    """
+    base = docs.select(
+        hash_bucket(F.col(id_col), n_buckets).cast("int").alias("bucket"),
+        F.col(id_col).alias("_pack_id"),
+        token_count(F.col(text_col)).alias("n_toks"),
+    )
+
+    def pack(pdf: pd.DataFrame) -> pd.DataFrame:
+        pdf = pdf.sort_values("_pack_id")
+        bucket = int(pdf["bucket"].iloc[0])
+        seq_docs: list[int] = []
+        seq_toks: list[int] = []
+        fill: int | None = None
+        for n in pdf["n_toks"]:
+            n = int(n)
+            if fill is None or fill + n > budget:
+                seq_docs.append(1)
+                seq_toks.append(n)
+                fill = n
+            else:
+                seq_docs[-1] += 1
+                seq_toks[-1] += n
+                fill += n
+        return pd.DataFrame(
+            {
+                "bucket": bucket,
+                "seq_id": range(len(seq_docs)),
+                "n_docs": seq_docs,
+                "seq_tokens": seq_toks,
+            }
+        )
+
+    return base.groupBy("bucket").applyInPandas(
+        pack, "bucket int, seq_id bigint, n_docs bigint, seq_tokens bigint"
+    )
+
+
+# --------------------------------------------------------------------------
+# Stratified (quota) sampling
+# --------------------------------------------------------------------------
+
+def stratified_sample(
+    df: DataFrame,
+    strata_col: str,
+    key_col: str,
+    fractions: dict[str, float],
+    default: float,
+    buckets: int = 100,
+) -> DataFrame:
+    """Keep a per-stratum fraction of rows, membership decided by
+    content hash of the key — the training-mix balancing op (e.g.
+    upweight one language). Reproducible across runs, engines, and
+    partitionings, unlike `df.sampleBy`; pure scan-side filter."""
+    bucket = hash_bucket(F.col(key_col), buckets)
+    thresh: Column = F.lit(int(default * buckets))
+    for name, frac in fractions.items():
+        thresh = (
+            F.when(F.col(strata_col) == name, F.lit(int(frac * buckets)))
+            .otherwise(thresh)
+        )
+    return df.where(bucket < thresh)

@@ -31,6 +31,7 @@ from parkour_spark.functions.text import (
     tokens,
 )
 from parkour_spark.operators import agg as A
+from parkour_spark.operators import corpus as C
 from parkour_spark.operators import dedup as D
 from parkour_spark.operators import joins as J
 from parkour_spark.operators import setops as S
@@ -2683,3 +2684,205 @@ def q_streaming_stream_join(spark, sf_dir):
         joined.select("event_id", "view_event_id", "user_id"), output_mode="append"
     )
     return result
+
+
+# ===========================================================================
+# Corpus-prep operators (operators/corpus.py): decontamination, LM quality,
+# BM25 retrieval, chunking, sequence packing, stratified sampling — the
+# beyond-reference training-data-pipeline family (SURVEY §7 step 6).
+# ===========================================================================
+
+# 4-gram word shingles (mirrors functions.text.shingles(n=4)): 4 tokens per
+# window; docs shorter than 4 tokens collapse to one whole-doc shingle.
+_NGRAM4_SQL = (
+    f"list_distinct(list_transform(range(1, greatest(len({_TOKS_SQL}) - 4, 0) + 2), "
+    f"i -> array_to_string(list_slice({_TOKS_SQL}, i, i + 3), ' ')))"
+)
+
+_HB_SQL = "('0x' || substr(md5(doc_id::VARCHAR), 1, 8))::BIGINT"
+
+
+@query(
+    "decontaminate_ngram_overlap",
+    f"""
+    WITH b AS (SELECT doc_id, text, {_HB_SQL} % 100 AS bkt FROM documents),
+    ev AS (SELECT DISTINCT unnest({_NGRAM4_SQL}) AS ngram FROM b WHERE bkt >= 95),
+    tr AS (SELECT doc_id, unnest({_NGRAM4_SQL}) AS ngram FROM b WHERE bkt < 95)
+    SELECT doc_id, count(*) AS n_shared_ngrams
+    FROM tr JOIN ev USING (ngram) GROUP BY doc_id
+    """,
+)
+def q_decontaminate(spark, sf_dir):
+    """Benchmark decontamination (operators.corpus.ngram_contamination):
+    the held-out eval set = the content-hash top-5% bucket of documents
+    (deterministic, engine-independent membership); every training doc
+    sharing a distinct token 4-gram with ANY eval doc is reported with
+    its collision count — the standard n-gram-overlap train/test
+    decontamination check.
+
+    SCALE: eval n-grams are distinct + broadcast (benchmarks are small
+    by construction); the corpus explodes scan-side into the broadcast
+    join, so the only corpus shuffle is the per-doc hit count.
+    `decontaminate()` anti-joins the same table to emit the clean
+    corpus."""
+    from parkour_spark.functions.sampling import hash_bucket
+
+    docs = _t(spark, sf_dir, "documents")
+    bkt = hash_bucket(F.col("doc_id"), 100)
+    return C.ngram_contamination(
+        docs.where(bkt < 95), docs.where(bkt >= 95), n=4
+    )
+
+
+@query(
+    "unigram_lm_scores",
+    f"""
+    WITH terms AS (SELECT doc_id, unnest({_TOKS_SQL}) AS term FROM documents),
+    tf AS (SELECT doc_id, term, count(*) AS tf FROM terms GROUP BY doc_id, term),
+    cw AS (SELECT term, sum(tf)::BIGINT AS c_w FROM tf GROUP BY term),
+    tot AS (SELECT sum(tf)::BIGINT AS n_total FROM tf),
+    per AS (
+      SELECT tf.doc_id,
+             sum(round(ln(cw.c_w::DOUBLE / (SELECT n_total FROM tot)) * 1e6)::BIGINT
+                 * tf.tf)::BIGINT AS sum_micro,
+             sum(tf.tf)::BIGINT AS n_toks
+      FROM tf JOIN cw USING (term) GROUP BY tf.doc_id)
+    SELECT doc_id, n_toks,
+           round(sum_micro::DOUBLE / n_toks)::BIGINT AS avg_logprob_micro
+    FROM per
+    """,
+)
+def q_unigram_lm(spark, sf_dir):
+    """Unigram-LM quality scoring (operators.corpus.unigram_logprob):
+    per-doc mean token log-probability under the corpus's own unigram
+    distribution — the classic cheap LM-quality filter. Integer
+    micro-nat arithmetic makes the additive aggregate order-independent
+    and bit-identical across engines (the float-sum 1-ulp tie class
+    cannot occur). Single corpus pass: corpus term counts ride a
+    vocabulary-keyed window over the tf table itself (the
+    tfidf_top_terms single-pass technique); N is a broadcast 1-row
+    aggregate."""
+    return C.unigram_logprob(_t(spark, sf_dir, "documents"))
+
+
+_BM25_TERMS = ("hash", "join", "scan")
+
+
+@query(
+    "bm25_search",
+    f"""
+    WITH base AS (
+      SELECT doc_id, len({_TOKS_SQL})::BIGINT AS dl, unnest({_TOKS_SQL}) AS term
+      FROM documents),
+    tf AS (SELECT doc_id, dl, term, count(*) AS tf FROM base
+           WHERE term IN ('hash', 'join', 'scan') GROUP BY doc_id, dl, term),
+    wdf AS (SELECT *, count(*) OVER (PARTITION BY term) AS df FROM tf),
+    tot AS (SELECT count(*) AS n_docs,
+                   (SELECT sum(len({_TOKS_SQL}))::BIGINT FROM documents) AS n_total
+            FROM documents),
+    scored AS (
+      SELECT doc_id,
+             round(ln(1 + (n_docs - df + 0.5) / (df + 0.5))
+                   * ((tf * 2.2) / (tf + 1.2 * (0.25 + 0.75 * dl / (n_total::DOUBLE / n_docs))))
+                   * 1e6)::BIGINT AS term_micro
+      FROM wdf, tot)
+    SELECT doc_id, count(*)::BIGINT AS n_qterms, sum(term_micro)::BIGINT AS score_micro
+    FROM scored GROUP BY doc_id
+    ORDER BY score_micro DESC, doc_id LIMIT 10
+    """,
+)
+def q_bm25(spark, sf_dir):
+    """Okapi BM25 top-10 retrieval (operators.corpus.bm25_topk) for a
+    literal query-term set (k1=1.2, b=0.75). Per-term scores are
+    rounded to integer micro-units BEFORE the per-doc sum, so the
+    aggregate is order-independent; rank-10 ties break by doc_id.
+
+    SCALE: the query-term filter is applied scan-side under the explode
+    (broadcast literal IN-list), so the only corpus shuffle carries
+    query-term postings, not the full corpus; doc length comes from the
+    scan projection (size(tokens)), not a second pass."""
+    return C.bm25_topk(_t(spark, sf_dir, "documents"), _BM25_TERMS, k=10)
+
+
+@query(
+    "doc_chunks",
+    """
+    SELECT doc_id, i AS chunk_idx, md5(substr(text, (i * 90 + 1)::INT, 120)) AS chunk_md5
+    FROM documents,
+         unnest(range(0, greatest((len(text) - 120 + 89) // 90, 0) + 1)) AS r(i)
+    """,
+)
+def q_doc_chunks(spark, sf_dir):
+    """Fixed-size overlapping chunking (operators.corpus.
+    chunk_documents): 120-char windows at stride 90 (30-char overlap),
+    last chunk short, every doc ≥1 chunk — the training/RAG window
+    extraction op. Registered output carries md5(chunk) for a compact
+    cross-engine artifact. Pure scan-side sequence+substr explode —
+    zero shuffle at any scale."""
+    return C.chunk_documents(_t(spark, sf_dir, "documents"), size=120, stride=90)
+
+
+@query(
+    "pack_sequences",
+    f"""
+    WITH RECURSIVE b AS (
+      SELECT bucket, doc_id, n_toks,
+             row_number() OVER (PARTITION BY bucket ORDER BY doc_id) AS rn
+      FROM (SELECT {_HB_SQL} % 8 AS bucket, doc_id,
+                   len({_TOKS_SQL})::BIGINT AS n_toks FROM documents)),
+    walk AS (
+      SELECT bucket, rn, n_toks, 0::BIGINT AS seq_id, n_toks AS fill
+      FROM b WHERE rn = 1
+      UNION ALL
+      SELECT b.bucket, b.rn, b.n_toks,
+             CASE WHEN w.fill + b.n_toks > 256 THEN w.seq_id + 1 ELSE w.seq_id END,
+             CASE WHEN w.fill + b.n_toks > 256 THEN b.n_toks ELSE w.fill + b.n_toks END
+      FROM b JOIN walk w ON b.bucket = w.bucket AND b.rn = w.rn + 1)
+    SELECT bucket::INT AS bucket, seq_id, count(*)::BIGINT AS n_docs,
+           sum(n_toks)::BIGINT AS seq_tokens
+    FROM walk GROUP BY bucket, seq_id
+    """,
+)
+def q_pack_sequences(spark, sf_dir):
+    """Greedy sequence packing (operators.corpus.pack_sequences): fill
+    256-token training sequences first-fit in deterministic doc-id
+    order, parallelized across 8 content-hash buckets — each bucket's
+    sequential fold runs independently in one Arrow batch
+    (applyInPandas), O(1) state per bucket; docs over budget occupy a
+    sequence alone. The oracle replays the identical fold as a
+    per-bucket recursive CTE, proving the distributed packing is
+    deterministic and partition-layout-independent.
+
+    SCALE: bucket count is the parallelism knob (pure function of the
+    id); per-bucket state is one integer, so 100 TB packs with bucket
+    count sized to the cluster, no global sort, no driver state."""
+    return C.pack_sequences(
+        _t(spark, sf_dir, "documents"), budget=256, n_buckets=8
+    )
+
+
+@query(
+    "stratified_sample_lang",
+    f"""
+    WITH b AS (SELECT lang, {_HB_SQL} % 100 AS bkt,
+                      len({_TOKS_SQL})::BIGINT AS n_toks FROM documents)
+    SELECT lang, count(*)::BIGINT AS n_docs, sum(n_toks)::BIGINT AS total_tokens
+    FROM b WHERE bkt < CASE WHEN lang = 'en' THEN 50 ELSE 20 END
+    GROUP BY lang
+    """,
+)
+def q_stratified_sample(spark, sf_dir):
+    """Stratified quota sampling (operators.corpus.stratified_sample):
+    keep 50% of English docs and 20% of every other language — the
+    training-mix rebalancing op — with membership decided by content
+    hash of the id (reproducible across runs/engines/partitionings,
+    unlike `sampleBy`'s seeded-but-layout-dependent Bernoulli draw).
+    Scan-side filter; the aggregate is only the verification summary."""
+    from parkour_spark.functions.text import token_count
+
+    docs = _t(spark, sf_dir, "documents")
+    kept = C.stratified_sample(docs, "lang", "doc_id", {"en": 0.5}, default=0.2)
+    return kept.groupBy("lang").agg(
+        F.count("*").alias("n_docs"),
+        F.sum(token_count("text")).alias("total_tokens"),
+    )

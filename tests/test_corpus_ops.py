@@ -1,0 +1,127 @@
+"""Semantic tests for operators/corpus.py (decontamination, unigram LM,
+BM25, chunking, packing, stratified sampling) — properties the DuckDB
+oracle can't express directly: budget invariants, containment, ranking
+monotonicity, chunk coverage."""
+
+import hashlib
+
+import pytest
+from pyspark.sql import Row, functions as F
+
+from parkour_spark.operators import corpus as C
+
+
+@pytest.fixture(scope="module")
+def docs(spark):
+    rows = [
+        Row(doc_id=1, text="alpha beta gamma delta epsilon zeta", lang="en"),
+        Row(doc_id=2, text="alpha beta gamma delta other words here", lang="en"),
+        Row(doc_id=3, text="completely different content entirely unique tokens", lang="de"),
+        Row(doc_id=4, text="hash join hash join hash scan table", lang="en"),
+        Row(doc_id=5, text="scan scan scan", lang="fr"),
+        Row(doc_id=6, text="one two", lang="en"),
+    ]
+    return spark.createDataFrame(rows)
+
+
+def test_contamination_hits_shared_ngrams(spark, docs):
+    ev = docs.where(F.col("doc_id") == 1)
+    tr = docs.where(F.col("doc_id") != 1)
+    hits = {r.doc_id: r.n_shared_ngrams for r in C.ngram_contamination(tr, ev, n=4).collect()}
+    # doc 2 shares the 4-gram "alpha beta gamma delta" with doc 1
+    assert hits == {2: 1}
+    clean = C.decontaminate(tr, ev, n=4)
+    assert sorted(r.doc_id for r in clean.select("doc_id").collect()) == [3, 4, 5, 6]
+
+
+def test_unigram_logprob_ranks_rare_content_lower(spark, docs):
+    scored = {r.doc_id: r for r in C.unigram_logprob(docs).collect()}
+    assert set(scored) == {1, 2, 3, 4, 5, 6}
+    # every score is a negative log-prob; docs made of repeated common
+    # tokens (5: 'scan' x3, also frequent in doc 4) score higher than
+    # all-unique-vocabulary docs (3)
+    assert all(r.avg_logprob_micro < 0 for r in scored.values())
+    assert scored[5].avg_logprob_micro > scored[3].avg_logprob_micro
+    assert scored[1].n_toks == 6
+
+
+def test_bm25_ranks_term_dense_doc_first(spark, docs):
+    top = C.bm25_topk(docs, ["hash", "join", "scan"], k=3).collect()
+    assert top[0].doc_id == 4  # contains all three query terms, densely
+    assert top[0].n_qterms == 3
+    assert all(top[i].score_micro >= top[i + 1].score_micro for i in range(len(top) - 1))
+    # docs with no query term never appear
+    assert {r.doc_id for r in top} <= {4, 5}
+
+
+def test_chunks_cover_text_and_match_md5(spark, docs):
+    out = C.chunk_documents(docs, size=10, stride=7).collect()
+    texts = {r.doc_id: r.text for r in docs.collect()}
+    by_doc = {}
+    for r in out:
+        by_doc.setdefault(r.doc_id, []).append(r)
+    for doc_id, text in texts.items():
+        rows = sorted(by_doc[doc_id], key=lambda r: r.chunk_idx)
+        # chunk count: starts at 0,7,14,... last start < len, >= len-10
+        n = max(0, -(-(len(text) - 10) // 7)) + 1
+        assert len(rows) == n
+        for r in rows:
+            piece = text[r.chunk_idx * 7 : r.chunk_idx * 7 + 10]
+            assert r.chunk_md5 == hashlib.md5(piece.encode()).hexdigest()
+        # strided starts + size>=stride cover every character
+        assert (n - 1) * 7 + 10 >= len(text)
+
+
+def test_packing_respects_budget_and_conserves_tokens(spark, sf_dir):
+    from parkour_spark.dataset import load_table
+    from parkour_spark.functions.text import token_count
+
+    docs = load_table(spark, sf_dir, "documents")
+    budget = 256
+    packed = C.pack_sequences(docs, budget=budget, n_buckets=4).collect()
+    # every multi-doc sequence fits the budget (only singleton sequences
+    # may exceed it — oversized docs pack alone)
+    for r in packed:
+        if r.n_docs > 1:
+            assert r.seq_tokens <= budget, r
+    # token + doc conservation
+    n_docs = docs.count()
+    n_toks = docs.select(F.sum(token_count("text")).alias("s")).collect()[0].s
+    assert sum(r.n_docs for r in packed) == n_docs
+    assert sum(r.seq_tokens for r in packed) == n_toks
+    # seq_ids are dense per bucket starting at 0
+    by_bucket = {}
+    for r in packed:
+        by_bucket.setdefault(r.bucket, []).append(r.seq_id)
+    for ids in by_bucket.values():
+        assert sorted(ids) == list(range(len(ids)))
+
+
+def test_packing_partition_layout_independent(spark, docs):
+    a = C.pack_sequences(docs, budget=8, n_buckets=2).collect()
+    b = C.pack_sequences(docs.repartition(5), budget=8, n_buckets=2).collect()
+    key = lambda r: (r.bucket, r.seq_id)
+    assert sorted(map(tuple, a), key=None) == sorted(map(tuple, b), key=None)
+    assert sorted(a, key=key) == sorted(b, key=key)
+
+
+def test_stratified_sample_fractions(spark, sf_dir):
+    from parkour_spark.dataset import load_table
+
+    docs = load_table(spark, sf_dir, "documents")
+    kept = C.stratified_sample(docs, "lang", "doc_id", {"en": 0.5}, default=0.2)
+    tot = {r.lang: r.n for r in docs.groupBy("lang").agg(F.count("*").alias("n")).collect()}
+    got = {r.lang: r.n for r in kept.groupBy("lang").agg(F.count("*").alias("n")).collect()}
+    # en kept at ~50%, others at ~20% (hash buckets: loose tolerance on
+    # the tiny sf0.001 fixture, but strictly fewer than total and >0)
+    assert 0 < got["en"] < tot["en"]
+    for lang, n in got.items():
+        frac = 0.5 if lang == "en" else 0.2
+        assert abs(n / tot[lang] - frac) < 0.25, (lang, n, tot[lang])
+    # determinism: same membership on a different layout
+    again = C.stratified_sample(
+        docs.repartition(7), "lang", "doc_id", {"en": 0.5}, default=0.2
+    )
+    assert sorted(r.doc_id for r in again.select("doc_id").collect()) == sorted(
+        r.doc_id for r in kept.select("doc_id").collect()
+    )
