@@ -22,6 +22,8 @@ from typing import Callable, Sequence
 
 from pyspark.sql import Column, DataFrame, Observation, functions as F
 
+from parkour_spark.operators.sort import explode_fast
+
 
 def group_reduce(df: DataFrame, keys: Sequence[str], *aggs: Column) -> DataFrame:
     """Grouped reduce with builtin (combiner-safe) aggregates.
@@ -49,8 +51,8 @@ def word_count(lines: DataFrame, text_col: str = "value") -> DataFrame:
     (examples/parkour/example/word_count.clj:9-22): tokenize, explode,
     count per word. Filter drops empty tokens from leading/trailing
     whitespace."""
-    words = lines.select(
-        F.explode(F.split(F.col(text_col), r"\s+")).alias("word")
+    words = explode_fast(
+        lines, F.split(F.col(text_col), r"\s+"), "word"
     ).filter(F.col("word") != "")
     return words.groupBy("word").agg(F.count("*").alias("n"))
 

@@ -49,6 +49,7 @@ from pyspark.sql import Column, DataFrame, Window, functions as F
 
 from parkour_spark.functions.sampling import hash_bucket
 from parkour_spark.functions.text import shingles, token_count, tokens
+from parkour_spark.operators.sort import explode_fast
 
 
 # --------------------------------------------------------------------------
@@ -70,15 +71,11 @@ def ngram_contamination(
     small by construction); corpus n-grams explode scan-side into a
     broadcast hash join, so the only shuffle is the final per-doc count.
     """
-    ev = (
-        eval_docs.select(
-            F.explode(F.array_distinct(shingles(F.col(text_col), n))).alias("ngram")
-        )
-        .distinct()
-    )
-    tr = docs.select(
-        F.col(id_col),
-        F.explode(F.array_distinct(shingles(F.col(text_col), n))).alias("ngram"),
+    ev = explode_fast(
+        eval_docs, F.array_distinct(shingles(F.col(text_col), n)), "ngram"
+    ).distinct()
+    tr = explode_fast(
+        docs, F.array_distinct(shingles(F.col(text_col), n)), "ngram", keep=[id_col]
     )
     return (
         tr.join(F.broadcast(ev), "ngram")
@@ -117,8 +114,8 @@ def unigram_logprob(
     the result. Single corpus pass: c_w is a vocabulary-keyed window
     over the tf table itself; N rides in as a broadcast 1-row agg.
     """
-    terms = docs.select(
-        F.col(id_col), F.explode(tokens(F.lower(F.col(text_col)))).alias("term")
+    terms = explode_fast(
+        docs, tokens(F.lower(F.col(text_col))), "term", keep=[id_col]
     )
     tf = terms.groupBy(id_col, "term").agg(F.count("*").alias("tf"))
     cw = tf.withColumn("c_w", F.sum("tf").over(Window.partitionBy("term")))
@@ -167,10 +164,11 @@ def bm25_topk(
     so the only corpus shuffle carries query-term postings.
     """
     qlist = sorted(set(query_terms))
-    base = docs.select(
-        F.col(id_col),
-        token_count(F.col(text_col)).alias("dl"),
-        F.explode(tokens(F.lower(F.col(text_col)))).alias("term"),
+    base = explode_fast(
+        docs,
+        tokens(F.lower(F.col(text_col))),
+        "term",
+        keep=[F.col(id_col), token_count(F.col(text_col)).alias("dl")],
     ).where(F.col("term").isin(qlist))
     tf = base.groupBy(id_col, "dl", "term").agg(F.count("*").alias("tf"))
     tf = tf.withColumn("df", F.count("*").over(Window.partitionBy("term")))
@@ -229,8 +227,8 @@ def chunk_documents(
     chunks = F.transform(
         idx, lambda i: F.md5(c.substr(i * stride + 1, F.lit(size)))
     )
-    return docs.select(
-        F.col(id_col), F.posexplode(chunks).alias("chunk_idx", "chunk_md5")
+    return explode_fast(
+        docs, chunks, "chunk_md5", keep=[id_col], pos_alias="chunk_idx"
     )
 
 

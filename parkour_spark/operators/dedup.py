@@ -26,7 +26,10 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, functions as F
 
 from parkour_spark.functions.text import fingerprint, shingles, tokens
-from parkour_spark.operators.sort import widen_scan as _parallelize_scan
+from parkour_spark.operators.sort import (
+    explode_fast as _explode_fast,
+    widen_scan as _parallelize_scan,
+)
 
 
 def _features(text_col: str, ngram_n: int) -> F.Column:
@@ -219,7 +222,7 @@ def minhash_candidates(
         )
     )
     return (
-        buckets.select(F.explode(pair_expr).alias("__p"))
+        _explode_fast(buckets, pair_expr, "__p")
         .select("__p.id_a", "__p.id_b")
         .distinct()
     )
@@ -319,7 +322,7 @@ def ngram_jaccard_pairs(
     n≥2 shingles keep df_s small. For n=1 (plain tokens), stop-wordy
     tokens dominate — cap document frequency before the join."""
     ts = _feature_sets(df, text_col, id_col, ngram_n).withColumn("n_toks", F.size("toks"))
-    exploded = ts.select(F.col(id_col), F.col("n_toks"), F.explode("toks").alias("tok"))
+    exploded = _explode_fast(ts, "toks", "tok", keep=[id_col, "n_toks"])
     a = exploded.select(
         F.col(id_col).alias("id_a"), F.col("n_toks").alias("n_a"), "tok"
     )
@@ -367,37 +370,22 @@ def ngram_jaccard_pairs_capped(
     corpora of templated/boilerplate documents need a higher cap or the
     minhash path. The dropped-shingle volume is observable:
     `F.count` over the df table where df > max_df."""
-    from pyspark.sql import Window
-
     ts = _feature_sets(df, text_col, id_col, ngram_n)
-    exploded = ts.select(F.col(id_col), F.explode("toks").alias("tok"))
-    # df as a count window over the exploded stream — ONE shuffle
-    # produces (id, tok, df) already partitioned by tok, instead of a
-    # separate aggregate + join re-reading the corpus. The filtered
-    # rare stream and the (pair-sized) candidate set are persisted:
-    # lambda-derived exprIds defeat ReusedExchange canonicalization, so
-    # without the cache each downstream reference would re-scan and
-    # re-shingle the corpus (plan audit showed 12 scans). The cache is
-    # session-scoped, intentional, and BOUNDED (r3 advice, adjudicated
-    # by measurement): CacheManager dedupes persist() by canonicalized
-    # plan, so repeated invocations (bench 3×, soak, oracle gate) reuse
-    # the same entries — cached RDD count measured flat across rounds.
-    rare_ex = (
-        exploded.withColumn("df", F.count("*").over(Window.partitionBy("tok")))
-        .where(F.col("df") <= max_df)
-        .select(id_col, "tok")
-        .persist()
+    exploded = _explode_fast(ts, "toks", "tok", keep=[id_col]).withColumnRenamed(
+        "tok", "band_key"
     )
-    cand = (
-        rare_ex.alias("a")
-        .join(rare_ex.alias("b"), "tok")
-        .where(F.col(f"a.{id_col}") < F.col(f"b.{id_col}"))
-        .select(
-            F.col(f"a.{id_col}").alias("id_a"), F.col(f"b.{id_col}").alias("id_b")
-        )
-        .distinct()
-        .persist()
-    )
+    # The shingle inverted index IS an LSH-style bucket table whose
+    # bucket size equals the shingle's document frequency (feature sets
+    # are array_distinct, so (id, shingle) rows are unique). Reusing
+    # the single-shuffle `_bucket_pairs` shape — groupBy(shingle) →
+    # collect bucket → drop buckets larger than the df cap → triangular
+    # in-bucket pair explode — therefore implements EXACTLY the
+    # "candidates share a rare (df ≤ max_df) shingle" contract, with
+    # one shuffle for the buckets and one for the pair distinct. The
+    # previous window-count + self-join formulation shuffled the
+    # exploded stream twice more and needed two session-lifetime
+    # persists to stop re-shingling (42s → 15s at the sf1 soak).
+    cand = _bucket_pairs(exploded, id_col, max_bucket=max_df).persist()
     return jaccard_verify(cand, df, text_col, id_col, threshold, ngram_n)
 
 
@@ -600,7 +588,7 @@ def _bucket_pairs(exploded: DataFrame, id_col: str, max_bucket: int | None) -> D
         )
     )
     return (
-        buckets.select(F.explode(pair_expr).alias("__p"))
+        _explode_fast(buckets, pair_expr, "__p")
         .select("__p.id_a", "__p.id_b")
         .distinct()
     )
@@ -679,7 +667,7 @@ def embedding_block_candidates(
             ),
         ),
     )
-    exploded = staged.select(F.col(id_col), F.explode(keys).alias("band_key"))
+    exploded = _explode_fast(staged, keys, "band_key", keep=[id_col])
     return _bucket_pairs(exploded, id_col, max_bucket)
 
 

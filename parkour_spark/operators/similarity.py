@@ -20,7 +20,7 @@ from __future__ import annotations
 from pyspark.sql import Column, DataFrame, Window, functions as F
 
 from parkour_spark.functions.vector import cosine, dot, norm
-from parkour_spark.operators.sort import widen_scan
+from parkour_spark.operators.sort import explode_fast, widen_scan
 
 
 def _vec_sql(vec: list[float]) -> str:
@@ -233,15 +233,14 @@ def ivf_topk(
     )
     # top-nprobe cells per query: sort (cos, ncid) ascending, reverse →
     # cos desc with ties to the lowest cid, take nprobe, explode
-    probes = queries.select(
-        F.col(query_id),
-        F.col(query_vec),
-        F.explode(
-            F.transform(
-                F.slice(F.reverse(F.array_sort(scores)), 1, nprobe),
-                lambda s: -s["ncid"],
-            )
-        ).alias("cell"),
+    probes = explode_fast(
+        queries,
+        F.transform(
+            F.slice(F.reverse(F.array_sort(scores)), 1, nprobe),
+            lambda s: -s["ncid"],
+        ),
+        "cell",
+        keep=[query_id, query_vec],
     ).withColumn("__qn", norm(query_vec))
     joined = c.join(F.broadcast(probes), "cell")
     scored = joined.select(

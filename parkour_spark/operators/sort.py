@@ -42,6 +42,45 @@ def widen_scan(df: DataFrame, widen: bool = True) -> DataFrame:
     return df
 
 
+def explode_fast(
+    df: DataFrame,
+    array: Column | str,
+    alias: str,
+    keep: Sequence[Column | str] = (),
+    pos_alias: str | None = None,
+) -> DataFrame:
+    """Explode an expensive-to-compute array without the
+    InferFiltersFromGenerate re-evaluation trap.
+
+    Plain `explode(arr)` makes the optimizer infer `size(arr) > 0 AND
+    isnotnull(arr)`, and predicate pushdown substitutes the FULL array
+    expression below every upstream projection. Subexpression
+    elimination cannot reach inside lambda functions, so any non-staged
+    subexpression referenced by a `transform`/`filter` lambda (e.g. the
+    regex tokenize feeding a shingle builder) is re-evaluated ONCE PER
+    ARRAY ELEMENT inside that filter. Measured on the sf1 shingle
+    corpus (50k docs, 2.65M shingles): 29.6s -> 1.4s, a ~20x cliff that
+    grows with average array length.
+
+    `explode_outer` infers no such filter; the null-guard on the
+    generated OUTPUT attribute (never pushable below the Generate)
+    restores plain-explode semantics for null/empty arrays — parity is
+    asserted in tests/test_r4_explode.py.
+
+    Contract: array ELEMENTS must be non-null (true for every feature
+    family here — split/concat_ws/md5/struct-literal arrays never
+    produce null elements). Null elements would be dropped where plain
+    explode emits them as null rows.
+    """
+    keep_cols = [F.col(c) if isinstance(c, str) else c for c in keep]
+    arr = F.col(array) if isinstance(array, str) else array
+    if pos_alias is not None:
+        gen = F.posexplode_outer(arr).alias(pos_alias, alias)
+    else:
+        gen = F.explode_outer(arr).alias(alias)
+    return df.select(*keep_cols, gen).where(F.col(alias).isNotNull())
+
+
 def total_sort(df: DataFrame, *order: Column) -> DataFrame:
     """Global total order via range partitioning — the Hadoop total-order
     partitioner analog. SCALE: range boundaries come from a sampled pass;

@@ -90,7 +90,7 @@ def q_word_count(spark, sf_dir):
 def q_distinct_tokens(spark, sf_dir):
     """Distinct via `:keygroups` (word_count_test.clj:61-86)."""
     docs = _t(spark, sf_dir, "documents")
-    words = docs.select(F.explode(tokens("text")).alias("word"))
+    words = SRT.explode_fast(docs, tokens("text"), "word")
     return A.distinct_keys(words, "word")
 
 
@@ -2475,8 +2475,8 @@ def q_tfidf(spark, sf_dir):
     docs = _t(spark, sf_dir, "documents")
     from parkour_spark.functions.text import tokens
 
-    terms = docs.select(
-        "doc_id", F.explode(tokens(F.lower(F.col("text")))).alias("term")
+    terms = SRT.explode_fast(
+        docs, tokens(F.lower(F.col("text"))), "term", keep=["doc_id"]
     )
     tf = terms.groupBy("doc_id", "term").agg(F.count("*").alias("tf"))
     # SINGLE-PASS (r2 verdict): df = count over a window keyed by term
@@ -2555,8 +2555,8 @@ def q_pmi(spark, sf_dir):
         F.col("t"),
         lambda w: F.struct(w.alias("w1"), F.lit(None).cast("string").alias("w2")),
     )
-    stream = toked.select(
-        F.explode(F.concat(uni_structs, bigrams(F.col("t")))).alias("p")
+    stream = SRT.explode_fast(
+        toked, F.concat(uni_structs, bigrams(F.col("t"))), "p"
     ).select("p.w1", "p.w2")
     # Session-scoped cache, intentional and BOUNDED (r3 advice,
     # adjudicated by measurement): CacheManager dedupes persist() by
