@@ -182,6 +182,113 @@ def bigrams(toks: Column) -> Column:
     )
 
 
+# ---------------------------------------------------------------------------
+# Repetition profiling (Gopher-style quality filters)
+# ---------------------------------------------------------------------------
+# The Gopher/MassiveText filtering rules flag documents dominated by
+# repetition (duplicate lines, repeated n-grams). The fractions below are
+# computed in integer BASIS POINTS (floor), the same cross-engine-exact
+# arithmetic as quality_score: integer token counts → one floor-divide,
+# no float-tie class.
+#
+# All three take a MATERIALIZED token-array column (see normalize_text's
+# warning): an expression referenced inside a higher-order-function
+# lambda is re-evaluated per array element, so the caller must stage
+# `tokens(text)` in its own projection first.
+
+
+def distinct_token_ratio_bp(toks: Column) -> Column:
+    """floor(10000 * distinct tokens / tokens); 10000 for empty docs.
+    Low values = the doc keeps repeating the same vocabulary."""
+    n = F.size(toks)
+    return F.when(
+        n > 0, F.floor(F.lit(10000) * F.size(F.array_distinct(toks)) / n)
+    ).otherwise(F.lit(10000)).cast("long")
+
+
+def max_token_run(toks: Column) -> Column:
+    """Length of the longest run of identical consecutive tokens — a
+    degenerate-generation / boilerplate signal. Single left fold over
+    the token array (state: previous token, current run, best run);
+    0 for empty docs."""
+    acc0 = F.struct(
+        F.lit(" ").alias("prev"),
+        F.lit(0).cast("long").alias("run"),
+        F.lit(0).cast("long").alias("best"),
+    )
+
+    def step(acc: Column, x: Column) -> Column:
+        run = F.when(x == acc["prev"], acc["run"] + 1).otherwise(F.lit(1).cast("long"))
+        return F.struct(
+            x.alias("prev"),
+            run.alias("run"),
+            F.greatest(acc["best"], run).alias("best"),
+        )
+
+    return F.aggregate(toks, acc0, step, lambda acc: acc["best"])
+
+
+def top_bigram_share_bp(toks: Column) -> Column:
+    """floor(10000 * count(most frequent adjacent bigram) / n_bigrams);
+    0 for docs with < 2 tokens. High values = one phrase dominates the
+    document (the Gopher top-n-gram-fraction rule).
+
+    Zero-shuffle formulation: the mode of the bigram multiset equals the
+    longest run in the SORTED bigram array, so it is the `max_token_run`
+    fold over array_sort(bigram strings) — pure scan-side Columns, while
+    the SQL oracle states the same thing relationally (unnest → group →
+    max)."""
+    n = F.size(toks)
+    idx = F.when(n >= 2, F.sequence(F.lit(1), n - 1)).otherwise(
+        F.array().cast("array<int>")
+    )
+    # separator " " cannot appear inside whitespace-split tokens, so
+    # the joined string is a bijective bigram key
+    bg = F.array_sort(
+        F.transform(idx, lambda i: F.concat_ws(" ", toks[i - 1], toks[i]))
+    )
+    top = max_token_run(bg)
+    return F.when(n >= 2, F.floor(F.lit(10000) * top / (n - 1))).otherwise(
+        F.lit(0)
+    ).cast("long")
+
+
+# ---------------------------------------------------------------------------
+# PII detection / redaction
+# ---------------------------------------------------------------------------
+# Patterns restricted to syntax RE2 (DuckDB) and java.util.regex (Spark)
+# interpret identically: ASCII classes, bounded repetition, \b word
+# boundaries, no lookaround. Redaction applies the three patterns in a
+# fixed order (email → ipv4 → id number) so both engines rewrite the
+# same spans.
+
+PII_EMAIL_RE = r"[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}"
+PII_IPV4_RE = r"\b[0-9]{1,3}\.[0-9]{1,3}\.[0-9]{1,3}\.[0-9]{1,3}\b"
+PII_IDNUM_RE = r"\b[0-9]{3}-[0-9]{2}-[0-9]{4}\b"
+
+
+def pii_counts(text: Column | str) -> Column:
+    """struct<n_email, n_ipv4, n_idnum> match counts (regexp_count is
+    JVM-side; DuckDB mirrors with len(regexp_extract_all))."""
+    c = F.col(text) if isinstance(text, str) else text
+    return F.struct(
+        F.regexp_count(c, F.lit(PII_EMAIL_RE)).cast("long").alias("n_email"),
+        F.regexp_count(c, F.lit(PII_IPV4_RE)).cast("long").alias("n_ipv4"),
+        F.regexp_count(c, F.lit(PII_IDNUM_RE)).cast("long").alias("n_idnum"),
+    )
+
+
+def redact_pii(text: Column | str) -> Column:
+    """Replace every PII match with a typed placeholder token. Order is
+    fixed (email first: its local part may contain digit runs an id/ip
+    pattern would otherwise bite into)."""
+    c = F.col(text) if isinstance(text, str) else text
+    c = F.regexp_replace(c, PII_EMAIL_RE, "<EMAIL>")
+    c = F.regexp_replace(c, PII_IPV4_RE, "<IP>")
+    c = F.regexp_replace(c, PII_IDNUM_RE, "<ID>")
+    return c
+
+
 def shingles(text: Column | str, n: int = 3) -> Column:
     """Word n-gram shingles (for MinHash/Jaccard dedup): array of
     space-joined n-token windows. Pure Column expression via transform

@@ -313,3 +313,155 @@ def stratified_sample(
             .otherwise(thresh)
         )
     return df.where(bucket < thresh)
+
+
+# --------------------------------------------------------------------------
+# Corpus-level exact line dedup (C4-style boilerplate removal)
+# --------------------------------------------------------------------------
+
+def line_dedup(
+    docs: DataFrame,
+    line_tokens: int = 10,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Remove every line that appears anywhere else in the corpus,
+    keeping only its globally-first occurrence (lowest (doc, position))
+    — the C4 pipeline's cross-document boilerplate filter. For corpora
+    without layout, a "line" is a run of `line_tokens` consecutive
+    tokens (non-overlapping), so the op is layout-independent.
+
+    Returns (id, n_lines, n_kept, kept_md5) with kept_md5 = md5 of the
+    surviving lines re-joined in document order (the reassembled text is
+    one concat away; md5 keeps the artifact compact and oracle-exact).
+
+    SCALE: first-occurrence resolution is groupBy(line).min(struct) —
+    map-side partial agg, so a boilerplate line in half the corpus ships
+    ONE candidate per upstream partition, never a corpus-sized hot key
+    (a window over partitionBy(line) would). The join back is equi on
+    the line text; residual probe-side skew on mega-frequent lines is
+    AQE skew-split territory. Second shuffle = per-doc regroup."""
+    toked = docs.select(F.col(id_col), tokens(F.lower(F.col(text_col))).alias("__t"))
+    n_lines = F.greatest(
+        F.ceil(F.size("__t") / F.lit(line_tokens)).cast("int"), F.lit(1)
+    )
+    segs = F.transform(
+        F.sequence(F.lit(0), n_lines - 1),
+        lambda i: F.concat_ws(" ", F.slice("__t", i * line_tokens + 1, line_tokens)),
+    )
+    staged = toked.select(F.col(id_col), segs.alias("__segs"))
+    lines = explode_fast(
+        staged, "__segs", "line", keep=[id_col], pos_alias="line_idx"
+    )
+    first = lines.groupBy("line").agg(
+        F.min(F.struct(F.col(id_col), F.col("line_idx"))).alias("__first")
+    )
+    flagged = lines.join(first, "line").withColumn(
+        "__keep",
+        (F.col(f"__first.{id_col}") == F.col(id_col))
+        & (F.col("__first.line_idx") == F.col("line_idx")),
+    )
+    return (
+        flagged.groupBy(id_col)
+        .agg(
+            F.count("*").alias("n_lines"),
+            F.sum(F.col("__keep").cast("long")).alias("n_kept"),
+            F.md5(
+                F.concat_ws(
+                    " ",
+                    F.transform(
+                        F.array_sort(
+                            F.collect_list(
+                                F.when(
+                                    F.col("__keep"),
+                                    F.struct(F.col("line_idx"), F.col("line")),
+                                )
+                            )
+                        ),
+                        lambda s: s["line"],
+                    ),
+                )
+            ).alias("kept_md5"),
+        )
+    )
+
+
+# --------------------------------------------------------------------------
+# Source-mixture weighting (training-mix temperature sampling)
+# --------------------------------------------------------------------------
+
+def source_mixture_weights(
+    docs: DataFrame,
+    source_col: str = "source",
+    text_col: str = "text",
+    alpha_num: int = 1,
+    alpha_den: int = 2,
+) -> DataFrame:
+    """Per-source temperature-sampling weights for training-mix design:
+    weight ∝ (tokens_s)^α with α = alpha_num/alpha_den (default 1/2,
+    the classic sqrt temperature that upweights small sources).
+
+    Returns (source, n_docs, n_tokens, weight_micro) with weight_micro
+    = floor(1e6 · (n_tokens_s / max_s n_tokens)^α) — normalized by the
+    LARGEST source rather than the sum, so the float path is
+    pow(ratio-of-exact-integers) with no cross-row float accumulation
+    (a float sum's addition order is engine-dependent; the max of
+    integers is not). One aggregation; the per-source table is tiny at
+    any corpus scale."""
+    per_src = docs.groupBy(source_col).agg(
+        F.count("*").alias("n_docs"),
+        F.sum(token_count(F.col(text_col))).alias("n_tokens"),
+    )
+    mx = per_src.agg(F.max("n_tokens").alias("__mx"))
+    ratio = F.col("n_tokens").cast("double") / F.col("__mx")
+    w = F.floor(
+        F.lit(1e6) * F.pow(ratio, F.lit(alpha_num / alpha_den))
+    ).cast("long")
+    return (
+        per_src.crossJoin(F.broadcast(mx))
+        .select(source_col, "n_docs", "n_tokens", w.alias("weight_micro"))
+    )
+
+
+# --------------------------------------------------------------------------
+# Vocabulary head coverage (Zipf profile)
+# --------------------------------------------------------------------------
+
+def vocab_head_coverage(
+    docs: DataFrame,
+    top_n: int = 100,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Top-`top_n` terms by corpus frequency with cumulative coverage:
+    (rank, term, cnt, cum_micro) where cum_micro = floor(1e6 · (Σ counts
+    of ranks ≤ r) / total tokens) — the Zipf-head profile that decides
+    tokenizer vocabulary sizing and stopword cutoffs. Ties rank by term.
+
+    One tokenize pass + one vocabulary-sized aggregate; ranking and the
+    cumulative sum run on the top-n rows only (integer arithmetic, no
+    float accumulation)."""
+    terms = explode_fast(docs, tokens(F.lower(F.col(text_col))), "term")
+    vocab = terms.groupBy("term").agg(F.count("*").alias("cnt"))
+    total = vocab.agg(F.sum("cnt").alias("__total"))
+    w = Window.orderBy(F.col("cnt").desc(), F.col("term"))
+    head = (
+        vocab.withColumn("rank", F.row_number().over(w))
+        .where(F.col("rank") <= top_n)
+    )
+    wc = (
+        Window.orderBy(F.col("cnt").desc(), F.col("term"))
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    return (
+        head.withColumn("cum", F.sum("cnt").over(wc))
+        .crossJoin(F.broadcast(total))
+        .select(
+            "rank",
+            "term",
+            "cnt",
+            F.floor(F.lit(1000000) * F.col("cum") / F.col("__total"))
+            .cast("long")
+            .alias("cum_micro"),
+        )
+    )

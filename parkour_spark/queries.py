@@ -2886,3 +2886,256 @@ def q_stratified_sample(spark, sf_dir):
         F.count("*").alias("n_docs"),
         F.sum(token_count("text")).alias("total_tokens"),
     )
+
+
+# ===========================================================================
+# LLM-pipeline round 4b: repetition filters, PII, line dedup, mixture stats
+# ===========================================================================
+
+@query(
+    "repetition_profile",
+    f"""
+    WITH tok AS (SELECT doc_id, {_TOKS_SQL} AS t FROM documents),
+    ex AS (SELECT doc_id, unnest(t) AS tk, generate_subscripts(t, 1) AS i FROM tok),
+    marks AS (
+      SELECT doc_id, i,
+             CASE WHEN lag(tk) OVER (PARTITION BY doc_id ORDER BY i) = tk
+                  THEN 0 ELSE 1 END AS new_run
+      FROM ex),
+    islands AS (
+      SELECT doc_id, sum(new_run) OVER (PARTITION BY doc_id ORDER BY i) AS rid
+      FROM marks),
+    runs AS (
+      SELECT doc_id, max(cnt)::BIGINT AS max_run FROM (
+        SELECT doc_id, rid, count(*) AS cnt FROM islands GROUP BY 1, 2)
+      GROUP BY doc_id),
+    bg AS (
+      SELECT doc_id, t[i] || ' ' || t[i + 1] AS bgk
+      FROM tok, unnest(range(1, len(t))) AS r(i)
+      WHERE len(t) >= 2),
+    topbg AS (
+      SELECT doc_id, max(cnt)::BIGINT AS top_cnt FROM (
+        SELECT doc_id, bgk, count(*) AS cnt FROM bg GROUP BY 1, 2)
+      GROUP BY doc_id)
+    SELECT tok.doc_id,
+           CASE WHEN len(t) > 0
+                THEN floor(10000 * len(list_distinct(t)) / len(t))::BIGINT
+                ELSE 10000 END AS distinct_bp,
+           coalesce(runs.max_run, 0)::BIGINT AS max_run,
+           CASE WHEN len(t) >= 2
+                THEN floor(10000 * topbg.top_cnt / (len(t) - 1))::BIGINT
+                ELSE 0 END AS top_bigram_bp,
+           (CASE WHEN len(t) > 0
+                 THEN floor(10000 * len(list_distinct(t)) / len(t))::BIGINT
+                 ELSE 10000 END >= 2000
+            AND coalesce(runs.max_run, 0) <= 4
+            AND CASE WHEN len(t) >= 2
+                     THEN floor(10000 * topbg.top_cnt / (len(t) - 1))::BIGINT
+                     ELSE 0 END <= 1500) AS passes
+    FROM tok
+    LEFT JOIN runs USING (doc_id)
+    LEFT JOIN topbg USING (doc_id)
+    """,
+)
+def q_repetition_profile(spark, sf_dir):
+    """Gopher-style repetition quality profile
+    (functions.text.distinct_token_ratio_bp / max_token_run /
+    top_bigram_share_bp): per-doc distinct-token ratio, longest
+    identical-token run, and most-frequent-bigram share, plus the
+    composite pass flag (the MassiveText-style repetition filter).
+
+    SCALE: everything is a scan-side Column fold over the staged token
+    array — zero shuffle, no explode; the bigram mode is the longest run
+    in the SORTED bigram array. The oracle states the identical
+    quantities relationally (unnest → windows/groups)."""
+    from parkour_spark.functions.text import (
+        distinct_token_ratio_bp,
+        max_token_run,
+        top_bigram_share_bp,
+        tokens,
+    )
+
+    docs = _t(spark, sf_dir, "documents")
+    toked = docs.select("doc_id", tokens(F.lower(F.col("text"))).alias("__t"))
+    prof = toked.select(
+        "doc_id",
+        distinct_token_ratio_bp(F.col("__t")).alias("distinct_bp"),
+        max_token_run(F.col("__t")).alias("max_run"),
+        top_bigram_share_bp(F.col("__t")).alias("top_bigram_bp"),
+    )
+    return prof.withColumn(
+        "passes",
+        (F.col("distinct_bp") >= 2000)
+        & (F.col("max_run") <= 4)
+        & (F.col("top_bigram_bp") <= 1500),
+    )
+
+
+# Deterministic planted PII: the synthetic corpus has none, so docs with
+# doc_id % 3 == 0 get a suffix carrying one email, one IPv4, and one
+# SSN-shaped id — identical expression in both engines, making the
+# detector/redactor outputs non-vacuous and hash-checkable.
+_PII_SUFFIX_SQL = (
+    "CASE WHEN doc_id % 3 = 0 THEN text || ' contact user' || doc_id::VARCHAR"
+    " || '@mail.example.com from 10.' || (doc_id % 200)::VARCHAR"
+    " || '.0.1 ref 123-45-' || lpad((doc_id % 10000)::VARCHAR, 4, '0')"
+    " ELSE text END"
+)
+_PII_EMAIL_SQL = r"[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}"
+_PII_IPV4_SQL = r"\b[0-9]{1,3}\.[0-9]{1,3}\.[0-9]{1,3}\.[0-9]{1,3}\b"
+_PII_IDNUM_SQL = r"\b[0-9]{3}-[0-9]{2}-[0-9]{4}\b"
+
+
+@query(
+    "pii_scrub",
+    f"""
+    WITH base AS (SELECT doc_id, {_PII_SUFFIX_SQL} AS text FROM documents)
+    SELECT doc_id,
+           len(regexp_extract_all(text, '{_PII_EMAIL_SQL}'))::BIGINT AS n_email,
+           len(regexp_extract_all(text, '{_PII_IPV4_SQL}'))::BIGINT AS n_ipv4,
+           len(regexp_extract_all(text, '{_PII_IDNUM_SQL}'))::BIGINT AS n_idnum,
+           md5(regexp_replace(regexp_replace(regexp_replace(text,
+               '{_PII_EMAIL_SQL}', '<EMAIL>', 'g'),
+               '{_PII_IPV4_SQL}', '<IP>', 'g'),
+               '{_PII_IDNUM_SQL}', '<ID>', 'g')) AS redacted_md5
+    FROM base
+    """,
+)
+def q_pii_scrub(spark, sf_dir):
+    """PII detection + redaction (functions.text.pii_counts/redact_pii)
+    over a corpus with deterministically planted emails / IPv4s / id
+    numbers (every doc_id % 3 == 0). Emits per-doc match counts and the
+    md5 of the redacted text — byte-for-byte cross-engine (patterns are
+    restricted to the RE2 ∩ java.util.regex common subset; replacement
+    order is fixed email → ip → id).
+
+    SCALE: pure scan-side regexp Columns, zero shuffle."""
+    from parkour_spark.functions.text import pii_counts, redact_pii
+
+    docs = _t(spark, sf_dir, "documents")
+    planted = docs.select(
+        "doc_id",
+        F.when(
+            F.col("doc_id") % 3 == 0,
+            F.concat(
+                F.col("text"),
+                F.lit(" contact user"),
+                F.col("doc_id").cast("string"),
+                F.lit("@mail.example.com from 10."),
+                (F.col("doc_id") % 200).cast("string"),
+                F.lit(".0.1 ref 123-45-"),
+                F.lpad((F.col("doc_id") % 10000).cast("string"), 4, "0"),
+            ),
+        ).otherwise(F.col("text")).alias("text"),
+    )
+    staged = planted.select("doc_id", pii_counts("text").alias("__p"), F.col("text"))
+    return staged.select(
+        "doc_id",
+        F.col("__p.n_email").alias("n_email"),
+        F.col("__p.n_ipv4").alias("n_ipv4"),
+        F.col("__p.n_idnum").alias("n_idnum"),
+        F.md5(redact_pii("text")).alias("redacted_md5"),
+    )
+
+
+# A fixed 10-token boilerplate line prepended to every even doc — the
+# cross-document duplicate that line_dedup must strip everywhere except
+# its globally-first occurrence.
+_BOILER = "subscribe to our newsletter for more updates and exclusive offers"
+
+
+@query(
+    "line_dedup_boiler",
+    f"""
+    WITH base AS (
+      SELECT doc_id,
+             CASE WHEN doc_id % 2 = 0 THEN '{_BOILER} ' || text ELSE text END AS text
+      FROM documents),
+    tok AS (SELECT doc_id, {_TOKS_SQL} AS t FROM base),
+    segs AS (
+      SELECT doc_id, i AS line_idx,
+             array_to_string(t[(i * 10 + 1):((i + 1) * 10)], ' ') AS line
+      FROM tok, unnest(range(greatest(ceil(len(t) / 10)::BIGINT, 1))) AS r(i)),
+    flagged AS (
+      SELECT doc_id, line_idx, line,
+             row_number() OVER (PARTITION BY line ORDER BY doc_id, line_idx) = 1
+               AS keep
+      FROM segs)
+    SELECT doc_id, count(*)::BIGINT AS n_lines,
+           sum(keep::INT)::BIGINT AS n_kept,
+           md5(coalesce(string_agg(CASE WHEN keep THEN line END, ' '
+                                   ORDER BY line_idx), '')) AS kept_md5
+    FROM flagged GROUP BY doc_id
+    """,
+)
+def q_line_dedup(spark, sf_dir):
+    """Corpus-level exact line dedup (operators.corpus.line_dedup), the
+    C4 boilerplate filter: a fixed 10-token boilerplate line is planted
+    at the head of every even doc; dedup keeps only its globally-first
+    occurrence (lowest (doc, position)) and every unique line, then
+    reports per-doc kept counts + the md5 of the reassembled text.
+
+    SCALE: first-occurrence via groupBy(line).min(struct) — map-side
+    partial agg, so a line present in half the corpus ships one
+    candidate per upstream partition instead of a corpus-sized hot key;
+    the residual probe-side skew on the join back is AQE skew-join
+    territory."""
+    docs = _t(spark, sf_dir, "documents")
+    planted = docs.select(
+        "doc_id",
+        F.when(
+            F.col("doc_id") % 2 == 0, F.concat(F.lit(_BOILER + " "), F.col("text"))
+        ).otherwise(F.col("text")).alias("text"),
+    )
+    return C.line_dedup(planted, line_tokens=10)
+
+
+@query(
+    "source_mixture_weights",
+    f"""
+    WITH per AS (
+      SELECT source, count(*)::BIGINT AS n_docs,
+             sum(len({_TOKS_SQL}))::BIGINT AS n_tokens
+      FROM documents GROUP BY source),
+    mx AS (SELECT max(n_tokens) AS m FROM per)
+    SELECT source, n_docs, n_tokens,
+           floor(1e6 * pow(n_tokens::DOUBLE / (SELECT m FROM mx), 0.5))::BIGINT
+             AS weight_micro
+    FROM per
+    """,
+)
+def q_source_mixture(spark, sf_dir):
+    """Training-mix temperature weights
+    (operators.corpus.source_mixture_weights): per-source token counts
+    → weight ∝ tokens^0.5, normalized by the LARGEST source so the
+    float path is pow(ratio-of-exact-integers) with no cross-row float
+    accumulation (a float sum's addition order is engine-dependent; a
+    max of integers is not). One aggregate; the per-source table is
+    tiny at any scale."""
+    return C.source_mixture_weights(_t(spark, sf_dir, "documents"))
+
+
+@query(
+    "vocab_head_coverage",
+    f"""
+    WITH terms AS (SELECT unnest({_TOKS_SQL}) AS term FROM documents),
+    vocab AS (SELECT term, count(*)::BIGINT AS cnt FROM terms GROUP BY term),
+    tot AS (SELECT sum(cnt)::BIGINT AS total FROM vocab),
+    ranked AS (
+      SELECT term, cnt,
+             row_number() OVER (ORDER BY cnt DESC, term) AS rank,
+             sum(cnt) OVER (ORDER BY cnt DESC, term
+                            ROWS UNBOUNDED PRECEDING)::BIGINT AS cum
+      FROM vocab)
+    SELECT rank::INT AS rank, term, cnt,
+           floor(1000000 * cum / (SELECT total FROM tot))::BIGINT AS cum_micro
+    FROM ranked WHERE rank <= 100
+    """,
+)
+def q_vocab_head(spark, sf_dir):
+    """Zipf head profile (operators.corpus.vocab_head_coverage): top-100
+    terms by corpus frequency with integer cumulative coverage in
+    micro-units — the statistic behind tokenizer vocabulary sizing and
+    stopword cutoffs. One tokenize pass + one vocabulary-sized
+    aggregate; ranking runs on the head rows only."""
+    return C.vocab_head_coverage(_t(spark, sf_dir, "documents"), top_n=100)

@@ -1,0 +1,111 @@
+"""Semantic tests for the round-4b operator family: repetition
+profiling, PII scrub, corpus line dedup, mixture weights, vocab head."""
+
+from __future__ import annotations
+
+import hashlib
+
+from pyspark.sql import functions as F
+
+from parkour_spark.functions.text import (
+    distinct_token_ratio_bp,
+    max_token_run,
+    pii_counts,
+    redact_pii,
+    tokens,
+    top_bigram_share_bp,
+)
+from parkour_spark.operators.corpus import (
+    line_dedup,
+    source_mixture_weights,
+    vocab_head_coverage,
+)
+
+
+def _profile(spark, text):
+    df = spark.createDataFrame([(text,)], "text string")
+    toked = df.select(tokens(F.lower(F.col("text"))).alias("t"))
+    return toked.select(
+        distinct_token_ratio_bp(F.col("t")).alias("d"),
+        max_token_run(F.col("t")).alias("r"),
+        top_bigram_share_bp(F.col("t")).alias("b"),
+    ).first()
+
+
+def test_repetition_profile_known_values(spark):
+    # "a a a b": 2 distinct / 4 tokens = 5000bp; run of 3 a's;
+    # bigrams: (a a) x2, (a b) -> top share floor(10000*2/3) = 6666
+    row = _profile(spark, "a a a b")
+    assert (row["d"], row["r"], row["b"]) == (5000, 3, 6666)
+    # all-distinct text: 10000bp, run 1, top bigram 1/3 -> 3333
+    row = _profile(spark, "w x y z")
+    assert (row["d"], row["r"], row["b"]) == (10000, 1, 3333)
+    # empty text: guards
+    row = _profile(spark, "   ")
+    assert (row["d"], row["r"], row["b"]) == (10000, 0, 0)
+    # bigram key is separator-safe: "ab c" vs "a bc" stay distinct
+    row = _profile(spark, "ab c a bc")
+    assert row["b"] == 3333  # all 3 bigrams distinct
+
+
+def test_pii_counts_and_redaction(spark):
+    text = (
+        "mail jane.doe+x@corp.example.org or 192.168.001.42 id 123-45-6789 "
+        "not-pii: 1.2 v2.3.4 12-34-5678"
+    )
+    df = spark.createDataFrame([(text,)], "text string")
+    row = df.select(
+        pii_counts("text").alias("p"), redact_pii("text").alias("red")
+    ).first()
+    assert (row["p"]["n_email"], row["p"]["n_ipv4"], row["p"]["n_idnum"]) == (1, 1, 1)
+    assert row["red"] == (
+        "mail <EMAIL> or <IP> id <ID> not-pii: 1.2 v2.3.4 12-34-5678"
+    )
+
+
+def test_line_dedup_keeps_global_first(spark):
+    boiler = "b0 b1 b2 b3 b4 b5 b6 b7 b8 b9"
+    docs = spark.createDataFrame(
+        [
+            (1, boiler + " u0 u1 u2 u3 u4 u5 u6 u7 u8 u9"),
+            (2, boiler + " v0 v1 v2 v3 v4 v5 v6 v7 v8 v9"),
+            (3, "w0 w1 w2 w3 w4 w5 w6 w7 w8 w9"),
+        ],
+        "doc_id long, text string",
+    )
+    out = {r["doc_id"]: r for r in line_dedup(docs, line_tokens=10).collect()}
+    assert (out[1]["n_lines"], out[1]["n_kept"]) == (2, 2)  # first owner keeps all
+    assert (out[2]["n_lines"], out[2]["n_kept"]) == (2, 1)  # boiler stripped
+    assert (out[3]["n_lines"], out[3]["n_kept"]) == (1, 1)  # unique doc untouched
+    exp2 = hashlib.md5(b"v0 v1 v2 v3 v4 v5 v6 v7 v8 v9").hexdigest()
+    assert out[2]["kept_md5"] == exp2
+
+
+def test_line_dedup_all_lines_removed(spark):
+    docs = spark.createDataFrame(
+        [(1, "x0 x1 x2 x3 x4 x5 x6 x7 x8 x9"), (2, "x0 x1 x2 x3 x4 x5 x6 x7 x8 x9")],
+        "doc_id long, text string",
+    )
+    out = {r["doc_id"]: r for r in line_dedup(docs, line_tokens=10).collect()}
+    assert out[2]["n_kept"] == 0
+    assert out[2]["kept_md5"] == hashlib.md5(b"").hexdigest()
+
+
+def test_source_mixture_weights_sqrt_temperature(spark):
+    docs = spark.createDataFrame(
+        [(1, "a b c d", "big"), (2, "a b c d", "big"), (3, "a b", "small")],
+        "doc_id long, text string, source string",
+    )
+    rows = {r["source"]: r for r in source_mixture_weights(docs).collect()}
+    assert rows["big"]["n_tokens"] == 8 and rows["small"]["n_tokens"] == 2
+    assert rows["big"]["weight_micro"] == 1_000_000
+    assert rows["small"]["weight_micro"] == 500_000  # sqrt(2/8) = 0.5
+
+
+def test_vocab_head_coverage_ranks_and_cum(spark):
+    docs = spark.createDataFrame(
+        [(1, "a a a b b c")], "doc_id long, text string"
+    )
+    rows = vocab_head_coverage(docs, top_n=2).collect()
+    assert [(r["rank"], r["term"], r["cnt"]) for r in rows] == [(1, "a", 3), (2, "b", 2)]
+    assert [r["cum_micro"] for r in rows] == [500_000, 833_333]
