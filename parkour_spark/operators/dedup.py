@@ -769,3 +769,67 @@ def embedding_neardup_pairs_auto(
         df, vec_col, id_col, threshold,
         block_planes=planes, max_bucket=max_bucket, engine="arrow",
     )
+
+
+# ---------------------------------------------------------------------------
+# Semantic dedup (k-means cluster blocking — SemDeDup-style)
+# ---------------------------------------------------------------------------
+
+
+def semantic_dedup_pairs(
+    df: DataFrame,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+    k: int = 8,
+    max_iters: int = 2,
+    threshold: float = 0.9,
+    max_cluster: int | None = None,
+    centroids: list[tuple[int, list[float]]] | None = None,
+) -> DataFrame:
+    """Semantic near-duplicate pairs via k-means cluster blocking (the
+    SemDeDup recipe, Abbas et al. 2023): fit a coarse quantizer, assign
+    every vector to its nearest centroid scan-side, and compare pairs
+    only WITHIN a cluster — candidates never cross clusters, so the
+    all-pairs O(n²) collapses to Σ_c n_c².
+
+    SCALE: k is the knob — production corpora use k ∝ n so expected
+    cluster size (and thus per-cluster pair work) stays constant; the
+    assignment pass is one Arrow matmul per batch with the centroid
+    table riding in the plan (no shuffle), and the in-cluster pair
+    explode reuses the single-shuffle `_bucket_pairs` shape with
+    `max_cluster` as the straggler backstop. By design a near-dup pair
+    straddling a cluster boundary is missed (SemDeDup's documented
+    recall trade) — the oracle mirrors the blocking rather than
+    brute-forcing all pairs.
+
+    Scores are EXACT cosines on candidates (same raw-filter +
+    rounded-projection contract as embedding_neardup_pairs)."""
+    from parkour_spark.functions.vector import dot, norm
+    from parkour_spark.operators.kmeans import kmeans_fit
+    from parkour_spark.operators.similarity import ivf_assign_arrow
+
+    if centroids is None:
+        centroids = kmeans_fit(df, vec_col, id_col, k=k, max_iters=max_iters)
+    assigned = ivf_assign_arrow(
+        df.select(F.col(id_col), F.col(vec_col)), centroids, vec_col, "band_key"
+    )
+    cand = _bucket_pairs(
+        assigned.select(F.col(id_col), F.col("band_key")), id_col, max_cluster
+    ).persist()
+    vecs = df.select(F.col(id_col), F.col(vec_col), norm(vec_col).alias("__n")).persist()
+    a = vecs.select(
+        F.col(id_col).alias("id_a"), F.col(vec_col).alias("vec_a"),
+        F.col("__n").alias("__na"),
+    )
+    b = vecs.select(
+        F.col(id_col).alias("id_b"), F.col(vec_col).alias("vec_b"),
+        F.col("__n").alias("__nb"),
+    )
+    cos = dot("vec_a", "vec_b") / (F.col("__na") * F.col("__nb"))
+    return (
+        cand.join(a, "id_a")
+        .join(b, "id_b")
+        .select("id_a", "id_b", cos.alias("__cos"))
+        .where(F.col("__cos") >= threshold)
+        .select("id_a", "id_b", F.round("__cos", 4).alias("cos"))
+    )

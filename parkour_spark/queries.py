@@ -3139,3 +3139,97 @@ def q_vocab_head(spark, sf_dir):
     stopword cutoffs. One tokenize pass + one vocabulary-sized
     aggregate; ranking runs on the head rows only."""
     return C.vocab_head_coverage(_t(spark, sf_dir, "documents"), top_n=100)
+
+
+# ===========================================================================
+# Semantic dedup (SemDeDup-style: k-means cluster blocking)
+# ===========================================================================
+
+# Planted-near-dup corpus in DuckDB terms: every vector unioned with its
+# deterministic perturbed copy (v + 0.15·rotate(v,1) — same expression as
+# embedding_neardup_blocked; DuckDB lists are 1-based, Spark subscripts
+# 0-based, hence the +1 shifts).
+_SEMDEDUP_EMB = """
+    emb AS (
+      SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings
+      UNION ALL
+      SELECT vec_id + 1000000,
+             list_transform(range(len(embedding)),
+               j -> embedding[j + 1]::DOUBLE
+                    + 0.15 * embedding[((j + 1) % len(embedding)) + 1]::DOUBLE)
+      FROM embeddings)"""
+
+
+def _lloyd_ctes(k: int, iters: int) -> str:
+    """Lloyd's unrolled over the current `emb` CTE: c0 = hash-sampled
+    init (k smallest (md5(id), id)), a{i}/c{i} per round, af = final
+    assignment — the parameterized twin of _KMEANS_CTES."""
+    parts = [
+        f"""
+    c0 AS (SELECT row_number() OVER (ORDER BY md5(vec_id::VARCHAR), vec_id) - 1 AS cell, v AS c
+           FROM (SELECT vec_id, v FROM emb ORDER BY md5(vec_id::VARCHAR), vec_id LIMIT {k}))"""
+    ]
+    for i in range(1, iters + 1):
+        parts.append(_KMEANS_ASSIGN.format(out=f"a{i}", cents=f"c{i-1}"))
+        parts.append(_KMEANS_UPDATE.format(out=f"c{i}", assigned=f"a{i}"))
+    parts.append(_KMEANS_ASSIGN.format(out="af", cents=f"c{iters}"))
+    return ",".join(parts)
+
+
+_SEMDEDUP_ORACLE = (
+    "WITH "
+    + _SEMDEDUP_EMB
+    + ","
+    + _lloyd_ctes(k=8, iters=2)
+    + f"""
+    SELECT id_a, id_b, round(cos, 4) AS cos FROM (
+      SELECT x.vec_id AS id_a, y.vec_id AS id_b,
+             {_cos_sql('x.v', 'y.v')} AS cos
+      FROM af x JOIN af y ON x.cell = y.cell AND x.vec_id < y.vec_id)
+    WHERE cos >= 0.9
+    """
+)
+
+# Fitted-quantizer cache (same rationale as _KMEANS_IVF_CENTS: the
+# k-means job runs once per corpus, not once per invocation).
+_SEMDEDUP_CENTS: dict[str, list] = {}
+
+
+@query("semantic_dedup_kmeans", _SEMDEDUP_ORACLE)
+def q_semantic_dedup(spark, sf_dir):
+    """SemDeDup-style semantic dedup (operators.dedup.
+    semantic_dedup_pairs): k-means cluster blocking over a corpus with
+    planted near-duplicates (each vector ∪ its deterministic perturbed
+    copy, cos ≈ 0.989), exact in-cluster cosine ≥ 0.9.
+
+    The oracle replays the IDENTICAL pipeline in DuckDB — hash-sampled
+    init, Lloyd's k=8 × 2 rounds unrolled as CTEs, argmax assignment,
+    in-cluster pairs — because cluster-boundary recall loss is part of
+    SemDeDup's contract: a planted pair split across clusters must be
+    missing from BOTH engines, so brute-force would be the wrong
+    oracle.
+
+    SCALE: assignment is one Arrow matmul per batch (centroids ride in
+    the plan, no shuffle); in-cluster pair work is Σ_c n_c², bounded by
+    choosing k ∝ corpus size (the SemDeDup recipe) plus the max_cluster
+    backstop; candidate pairs reuse the single-shuffle bucket-pair
+    shape."""
+    from parkour_spark.operators.kmeans import kmeans_fit
+
+    emb = _t(spark, sf_dir, "embeddings").select(
+        "vec_id",
+        F.expr("transform(embedding, x -> cast(x as double))").alias("embedding"),
+    )
+    copies = emb.select(
+        (F.col("vec_id") + F.lit(1000000)).alias("vec_id"),
+        F.expr(
+            "transform(sequence(0, size(embedding) - 1),"
+            " j -> embedding[j] + 0.15D * embedding[(j + 1) % size(embedding)])"
+        ).alias("embedding"),
+    )
+    corpus = emb.unionByName(copies)
+    if sf_dir not in _SEMDEDUP_CENTS:
+        _SEMDEDUP_CENTS[sf_dir] = kmeans_fit(corpus, k=8, max_iters=2)
+    return D.semantic_dedup_pairs(
+        corpus, threshold=0.9, centroids=_SEMDEDUP_CENTS[sf_dir]
+    )

@@ -109,3 +109,25 @@ def test_vocab_head_coverage_ranks_and_cum(spark):
     rows = vocab_head_coverage(docs, top_n=2).collect()
     assert [(r["rank"], r["term"], r["cnt"]) for r in rows] == [(1, "a", 3), (2, "b", 2)]
     assert [r["cum_micro"] for r in rows] == [500_000, 833_333]
+
+
+def test_semantic_dedup_planted_recall(spark):
+    """Cluster-blocked semantic dedup must recover most planted
+    near-dup pairs (the misses are cluster-boundary splits — SemDeDup's
+    documented recall trade) and report only genuine >= threshold
+    cosines."""
+    from parkour_spark.queries import QUERIES
+
+    df = QUERIES["semantic_dedup_kmeans"](spark, "/root/testdata/sf0.001")
+    rows = df.collect()
+    assert rows, "no pairs found"
+    # every reported pair is a planted (v, v') pair at this tiny SF and
+    # scores sit at the planted cosine (~0.989)
+    for r in rows:
+        assert r["id_b"] == r["id_a"] + 1000000
+        assert r["cos"] >= 0.9
+    # recall over the planted set
+    n_planted = df.sparkSession.read.parquet(
+        "/root/testdata/sf0.001/embeddings.parquet"
+    ).count()
+    assert len(rows) >= 0.8 * n_planted
