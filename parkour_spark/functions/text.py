@@ -289,14 +289,29 @@ def redact_pii(text: Column | str) -> Column:
     return c
 
 
-def shingles(text: Column | str, n: int = 3) -> Column:
-    """Word n-gram shingles (for MinHash/Jaccard dedup): array of
-    space-joined n-token windows. Pure Column expression via transform
-    over a token-index sequence."""
-    t = tokens(F.lower(F.col(text) if isinstance(text, str) else text))
-    k = F.size(t)
+def shingles_of(toks: Column, n: int = 3) -> Column:
+    """Word n-gram shingles built from a MATERIALIZED token-array column
+    (space-joined n-token windows; short docs collapse to one shingle).
+
+    The token array must be staged in its own projection first: the
+    window builder references it from inside a `transform` lambda, and
+    subexpression elimination cannot hoist an inlined tokenize out of a
+    lambda — an unstaged `tokens(text)` here is re-evaluated once PER
+    SHINGLE (the same O(len) → O(len²) cliff normalize_text documents
+    per character)."""
+    k = F.size(toks)
     idx = F.sequence(F.lit(0), F.greatest(k - n, F.lit(0)))
     return F.when(
         k >= n,
-        F.transform(idx, lambda i: F.concat_ws(" ", F.slice(t, i + 1, n))),
-    ).otherwise(F.array(F.concat_ws(" ", t)))
+        F.transform(idx, lambda i: F.concat_ws(" ", F.slice(toks, i + 1, n))),
+    ).otherwise(F.array(F.concat_ws(" ", toks)))
+
+
+def shingles(text: Column | str, n: int = 3) -> Column:
+    """Word n-gram shingles (for MinHash/Jaccard dedup) as ONE Column
+    expression over raw text. ONLY for contexts that stage the result
+    itself; when the consumer explodes or otherwise iterates the array,
+    stage `tokens(lower(text))` first and use `shingles_of` — this
+    inline form pays the per-element tokenize re-evaluation documented
+    there."""
+    return shingles_of(tokens(F.lower(F.col(text) if isinstance(text, str) else text)), n)

@@ -48,7 +48,7 @@ import pandas as pd
 from pyspark.sql import Column, DataFrame, Window, functions as F
 
 from parkour_spark.functions.sampling import hash_bucket
-from parkour_spark.functions.text import shingles, token_count, tokens
+from parkour_spark.functions.text import shingles_of, token_count, tokens
 from parkour_spark.operators.sort import explode_fast
 
 
@@ -71,11 +71,19 @@ def ngram_contamination(
     small by construction); corpus n-grams explode scan-side into a
     broadcast hash join, so the only shuffle is the final per-doc count.
     """
+    # Tokens staged in their own projection — shingles_of's transform
+    # lambda would otherwise re-evaluate the tokenize per n-gram
+    # (measured 5x on this operator at sf0.1).
+    ev_toked = eval_docs.select(tokens(F.lower(F.col(text_col))).alias("__toks"))
     ev = explode_fast(
-        eval_docs, F.array_distinct(shingles(F.col(text_col), n)), "ngram"
+        ev_toked, F.array_distinct(shingles_of(F.col("__toks"), n)), "ngram"
     ).distinct()
+    tr_toked = docs.select(
+        F.col(id_col), tokens(F.lower(F.col(text_col))).alias("__toks")
+    )
     tr = explode_fast(
-        docs, F.array_distinct(shingles(F.col(text_col), n)), "ngram", keep=[id_col]
+        tr_toked, F.array_distinct(shingles_of(F.col("__toks"), n)), "ngram",
+        keep=[id_col],
     )
     return (
         tr.join(F.broadcast(ev), "ngram")

@@ -25,21 +25,11 @@ from __future__ import annotations
 
 from pyspark.sql import DataFrame, functions as F
 
-from parkour_spark.functions.text import fingerprint, shingles, tokens
+from parkour_spark.functions.text import fingerprint, shingles_of, tokens
 from parkour_spark.operators.sort import (
     explode_fast as _explode_fast,
     widen_scan as _parallelize_scan,
 )
-
-
-def _features(text_col: str, ngram_n: int) -> F.Column:
-    """Distinct dedup features for a document: token set (n=1) or word
-    n-gram shingle set (n≥2). Shingles keep word order, giving a much
-    larger feature universe — the scale-correct choice: near-identical
-    *sequences* collide, mere vocabulary overlap does not."""
-    if ngram_n <= 1:
-        return F.array_distinct(tokens(F.lower(F.col(text_col))))
-    return F.array_distinct(shingles(F.col(text_col), ngram_n))
 
 
 def _features_df(
@@ -59,13 +49,7 @@ def _features_df(
     )
     if ngram_n <= 1:
         return toked.select(F.col(id_col), F.array_distinct("__toks").alias(out))
-    t = F.col("__toks")
-    k = F.size(t)
-    idx = F.sequence(F.lit(0), F.greatest(k - ngram_n, F.lit(0)))
-    sh = F.when(
-        k >= ngram_n,
-        F.transform(idx, lambda i: F.concat_ws(" ", F.slice(t, i + 1, ngram_n))),
-    ).otherwise(F.array(F.concat_ws(" ", t)))
+    sh = shingles_of(F.col("__toks"), ngram_n)
     return toked.select(F.col(id_col), F.array_distinct(sh).alias(out))
 
 
