@@ -3233,3 +3233,58 @@ def q_semantic_dedup(spark, sf_dir):
     return D.semantic_dedup_pairs(
         corpus, threshold=0.9, centroids=_SEMDEDUP_CENTS[sf_dir]
     )
+
+
+_SEMDEDUP_GROUPS_ORACLE = (
+    "WITH RECURSIVE "
+    + _SEMDEDUP_EMB
+    + ","
+    + _lloyd_ctes(k=8, iters=2)
+    + f""",
+    pairs AS (
+      SELECT x.vec_id AS id_a, y.vec_id AS id_b
+      FROM af x JOIN af y ON x.cell = y.cell AND x.vec_id < y.vec_id
+      WHERE {_cos_sql('x.v', 'y.v')} >= 0.9),
+    edges AS (SELECT id_a AS a, id_b AS b FROM pairs
+              UNION SELECT id_b, id_a FROM pairs),
+    reach(n, m) AS (
+      SELECT vec_id, vec_id FROM emb
+      UNION
+      SELECT r.n, e.b FROM reach r JOIN edges e ON r.m = e.a
+    )
+    SELECT n AS vec_id, min(m) AS component, (n = min(m)) AS is_survivor
+    FROM reach GROUP BY n
+    """
+)
+
+
+@query("semantic_dedup_groups", _SEMDEDUP_GROUPS_ORACLE)
+def q_semantic_dedup_groups(spark, sf_dir):
+    """End of the semantic-dedup pipeline: cluster-blocked cosine pairs
+    → connected components → keep the min vec_id per component
+    (operators.graph.dedup_survivors over semantic_dedup_pairs). The
+    oracle closes the same blocked pair set transitively with a
+    recursive CTE, so the keep/drop decision for every corpus vector is
+    hash-checked end-to-end (train quantizer → assign → block → verify
+    → group → survive)."""
+    from parkour_spark.operators.graph import dedup_survivors
+    from parkour_spark.operators.kmeans import kmeans_fit
+
+    emb = _t(spark, sf_dir, "embeddings").select(
+        "vec_id",
+        F.expr("transform(embedding, x -> cast(x as double))").alias("embedding"),
+    )
+    copies = emb.select(
+        (F.col("vec_id") + F.lit(1000000)).alias("vec_id"),
+        F.expr(
+            "transform(sequence(0, size(embedding) - 1),"
+            " j -> embedding[j] + 0.15D * embedding[(j + 1) % size(embedding)])"
+        ).alias("embedding"),
+    )
+    corpus = emb.unionByName(copies)
+    if sf_dir not in _SEMDEDUP_CENTS:
+        _SEMDEDUP_CENTS[sf_dir] = kmeans_fit(corpus, k=8, max_iters=2)
+    pairs = D.semantic_dedup_pairs(
+        corpus, threshold=0.9, centroids=_SEMDEDUP_CENTS[sf_dir]
+    )
+    return dedup_survivors(corpus.select("vec_id"), pairs, node_col="vec_id")

@@ -49,7 +49,46 @@ SOAK_QUERIES = [
     "ivf_topk_cosine",
     "corpus_prep",
     "dedup_groups_bigstar",
+    "decontaminate_ngram_overlap",
+    "line_dedup_boiler",
 ]
+
+
+def _soak_semantic_dedup(spark):
+    """SemDeDup at soak scale with the k ∝ n rule the operator
+    documents: the registered query's fixed k=8 (pinned by its unrolled
+    Lloyd's oracle at sf0.01) would leave ~5000-vector clusters at 40k
+    rows — Σ n_c² ≈ 100M pairs. k = n/250 holds expected cluster size
+    (and in-cluster pair work per cluster) constant; max_cluster is the
+    straggler backstop."""
+    from pyspark.sql import functions as F
+
+    from parkour_spark.operators.dedup import semantic_dedup_pairs
+
+    emb = spark.read.parquet(f"{DST}/embeddings.parquet").select(
+        "vec_id",
+        F.expr("transform(embedding, x -> cast(x as double))").alias("embedding"),
+    )
+    copies = emb.select(
+        (F.col("vec_id") + F.lit(10000000)).alias("vec_id"),
+        F.expr(
+            "transform(sequence(0, size(embedding) - 1),"
+            " j -> embedding[j] + 0.15D * embedding[(j + 1) % size(embedding)])"
+        ).alias("embedding"),
+    )
+    corpus = emb.unionByName(copies)
+    n = corpus.count()
+    k = max(8, n // 250)
+    return semantic_dedup_pairs(
+        corpus, k=k, max_iters=2, threshold=0.9, max_cluster=2000
+    )
+
+
+# Scale-parameterized variants that the fixed-parameter registered
+# queries (pinned by their sf0.01 oracles) cannot express.
+SOAK_CUSTOM = {
+    "semantic_dedup_k_scaled": _soak_semantic_dedup,
+}
 
 
 def materialize(spark) -> None:
@@ -122,9 +161,11 @@ def main() -> None:
     gen_s = round(time.perf_counter() - t0, 1)
 
     times: dict[str, float] = {}
-    for name in SOAK_QUERIES:
+    runs = [(name, lambda s, n=name: QUERIES[n](s, DST)) for name in SOAK_QUERIES]
+    runs += list(SOAK_CUSTOM.items())
+    for name, fn in runs:
         t0 = time.perf_counter()
-        n = QUERIES[name](spark, DST).count()
+        n = fn(spark).count()
         times[name] = round(time.perf_counter() - t0, 3)
         print(f"# soak {name}: {times[name]}s ({n} rows)", file=sys.stderr)
 
