@@ -30,6 +30,11 @@ COMMENTARY = {
     "ivf_kmeans_topk": "End-to-end learned-quantizer ANN: the k-means job runs once (cached coarse quantizer), then the SAME IVF plan as ivf_topk_cosine — Arrow-batched assignment scan, broadcast probe equi-join on cell, rounded-cosine ranking window keyed by query_id.",
     "tfidf_top_terms": "SINGLE corpus pass: document frequency is a count window over the tf aggregate itself (one row per doc,term ⇒ window count IS df), n_docs rides in as a broadcast 1-row aggregate — no second tokenize, no driver count() action.",
     "pmi_collocations": "SINGLE corpus pass: unigram markers and bigram structs ride one explode into one groupBy; the persisted vocabulary-sized count table then yields unigram counts, bigram counts, and both totals without re-reading the corpus.",
+    "dedup_ngram_jaccard_capped": "The shingle inverted index reused as a bucket table: one groupBy(shingle) shuffle collects buckets, the df cap drops oversize buckets, pairs explode in-bucket (never a self-join), exact verify touches candidate docs only. Every explode of a computed array goes through explode_fast — plain explode's inferred size()>0 filter re-evaluates the tokenize per shingle (measured 20x).",
+    "repetition_profile": "Zero shuffle, zero explode: distinct-token ratio, longest run, and top-bigram share are Column folds over one staged token array; the bigram mode is the longest run in the SORTED bigram array.",
+    "line_dedup_boiler": "Two shuffles total: groupBy(line).min(struct) resolves first occurrence with map-side partial aggregation (a boilerplate line in half the corpus ships one candidate per partition, never a hot window key), then one per-doc regroup rebuilds documents.",
+    "decontaminate_ngram_overlap": "Eval n-grams distinct + broadcast; corpus 4-grams explode scan-side from a STAGED token array into the broadcast join — the only corpus shuffle is the per-doc hit count.",
+    "semantic_dedup_kmeans": "SemDeDup: centroids ride the plan into an Arrow-matmul assignment scan (no shuffle); in-cluster candidates come from the single-shuffle bucket-pair shape with the cluster id as band key; exact cosine re-checks candidates only. k scales with corpus size to hold cluster pair work constant (soaked at k=n/250).",
 }
 
 HEADER = """# PLANS — physical-plan evidence for the headline operators
