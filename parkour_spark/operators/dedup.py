@@ -817,3 +817,69 @@ def semantic_dedup_pairs(
         .where(F.col("__cos") >= threshold)
         .select("id_a", "id_b", F.round("__cos", 4).alias("cos"))
     )
+
+
+# ---------------------------------------------------------------------------
+# Incremental (delta) dedup: new batch vs existing corpus
+# ---------------------------------------------------------------------------
+
+
+def ngram_jaccard_delta(
+    new_df: DataFrame,
+    corpus_df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    threshold: float = 0.8,
+    ngram_n: int = 3,
+    max_df: int = 100,
+) -> DataFrame:
+    """Near-dup pairs (id_new, id_old) between an INCOMING batch and the
+    EXISTING corpus — the production ingest shape: a new crawl is probed
+    against the index, never re-deduplicated against itself here (run
+    the in-batch operator for that), and the corpus is never compared
+    with itself again.
+
+    Plan: the corpus side builds the shingle bucket index (groupBy →
+    collect, df-capped exactly like ngram_jaccard_pairs_capped; at
+    production scale this table is precomputed once and persisted as
+    the dedup index); the new batch explodes scan-side and probes by
+    equi-join — fan-out is |new shingles| · min(df, cap), independent
+    of corpus self-pair volume. Exact Jaccard verify touches candidate
+    docs only, feature sets re-derived per side via semi-join."""
+    ts_old = _feature_sets(corpus_df, text_col, id_col, ngram_n)
+    ex_old = _explode_fast(ts_old, "toks", "tok", keep=[id_col])
+    buckets = (
+        ex_old.groupBy("tok")
+        .agg(F.array_sort(F.collect_set(id_col)).alias("__ids"))
+        .where(F.size("__ids") <= max_df)
+    )
+    ts_new = _feature_sets(new_df, text_col, id_col, ngram_n).persist()
+    ex_new = _explode_fast(ts_new, "toks", "tok", keep=[id_col])
+    cand = (
+        _explode_fast(
+            ex_new.join(buckets, "tok"),
+            "__ids",
+            "id_old",
+            keep=[F.col(id_col).alias("id_new")],
+        )
+        .distinct()
+        .persist()
+    )
+    a = ts_new.join(
+        cand.select(F.col("id_new").alias(id_col)).distinct(), id_col, "leftsemi"
+    ).select(F.col(id_col).alias("id_new"), F.col("toks").alias("toks_a"))
+    old_ids = cand.select(F.col("id_old").alias(id_col)).distinct()
+    b = _feature_sets(
+        corpus_df.join(old_ids, id_col, "leftsemi"), text_col, id_col, ngram_n,
+        widen=False,
+    ).select(F.col(id_col).alias("id_old"), F.col("toks").alias("toks_b"))
+    jac = F.size(F.array_intersect("toks_a", "toks_b")) / F.size(
+        F.array_union("toks_a", "toks_b")
+    )
+    return (
+        cand.join(a, "id_new")
+        .join(b, "id_old")
+        .select("id_new", "id_old", jac.alias("__jac"))
+        .where(F.col("__jac") >= threshold)
+        .select("id_new", "id_old", F.round("__jac", 4).alias("jaccard"))
+    )

@@ -3288,3 +3288,93 @@ def q_semantic_dedup_groups(spark, sf_dir):
         corpus, threshold=0.9, centroids=_SEMDEDUP_CENTS[sf_dir]
     )
     return dedup_survivors(corpus.select("vec_id"), pairs, node_col="vec_id")
+
+
+# ===========================================================================
+# Incremental ingest: delta dedup + streaming quality gate
+# ===========================================================================
+
+@query(
+    "dedup_delta_ingest",
+    f"""
+    WITH b AS (SELECT doc_id, text, {_HB_SQL} % 100 AS bkt FROM documents),
+    tn AS (SELECT doc_id, {_SHINGLES_SQL} AS t FROM b WHERE bkt >= 90),
+    toc AS (SELECT doc_id, {_SHINGLES_SQL} AS t FROM b WHERE bkt < 90),
+    exn AS (SELECT doc_id, unnest(t) AS tok FROM tn),
+    exo AS (SELECT doc_id, unnest(t) AS tok FROM toc),
+    rare AS (SELECT tok FROM (SELECT tok, count(*) AS df FROM exo GROUP BY tok)
+             WHERE df <= 50),
+    cand AS (
+      SELECT DISTINCT n.doc_id AS id_new, o.doc_id AS id_old
+      FROM exn n JOIN (SELECT doc_id, tok FROM exo JOIN rare USING (tok)) o
+      USING (tok)),
+    scored AS (
+      SELECT id_new, id_old,
+             len(list_intersect(a.t, c.t))::DOUBLE
+               / len(list_distinct(list_concat(a.t, c.t))) AS jac
+      FROM cand
+      JOIN tn a ON cand.id_new = a.doc_id
+      JOIN toc c ON cand.id_old = c.doc_id)
+    SELECT id_new, id_old, round(jac, 4) AS jaccard
+    FROM scored WHERE jac >= 0.8
+    """,
+)
+def q_dedup_delta(spark, sf_dir):
+    """Incremental ingest dedup (operators.dedup.ngram_jaccard_delta):
+    the content-hash top-10% of documents plays the INCOMING batch, the
+    rest the EXISTING corpus; pairs are (new, old) only — the new batch
+    probes the corpus's df-capped shingle bucket index, which is the
+    production shape (index precomputed once; probe fan-out ∝ new-batch
+    shingles · cap, independent of corpus self-pair volume)."""
+    from parkour_spark.functions.sampling import hash_bucket
+
+    docs = _t(spark, sf_dir, "documents")
+    bkt = hash_bucket(F.col("doc_id"), 100)
+    return D.ngram_jaccard_delta(
+        docs.where(bkt >= 90), docs.where(bkt < 90), threshold=0.8, max_df=50
+    )
+
+
+@query(
+    "streaming_quality_ingest",
+    f"""
+    WITH scored AS (
+      SELECT source,
+             (least(length(text) * 8, 4000)
+              + CASE WHEN len({_TOKS_SQL}) > 0
+                     THEN floor(3000.0 * least(len(list_filter({_TOKS_SQL},
+                                  x -> x IN ({_STOP_SQL}))) * 10, len({_TOKS_SQL}))
+                                / len({_TOKS_SQL}))
+                     ELSE 0 END
+              + CASE WHEN list_sum(list_transform({_TOKS_SQL}, t -> length(t)))::DOUBLE
+                          / len({_TOKS_SQL}) BETWEEN 3.0 AND 10.0
+                     THEN 3000 ELSE 0 END) / 10000.0 AS quality,
+             len({_TOKS_SQL})::BIGINT AS n_toks
+      FROM documents)
+    SELECT source, count(*)::BIGINT AS n_docs, sum(n_toks)::BIGINT AS total_tokens
+    FROM scored WHERE quality >= 0.5 GROUP BY source
+    """,
+)
+def q_streaming_quality(spark, sf_dir):
+    """Quality-gated streaming ingest: the corpus replayed as a file
+    stream, quality-scored scan-side per micro-batch, low-quality docs
+    dropped BEFORE any state, per-source running totals in complete
+    mode. Over the finite replay the running aggregate equals the batch
+    filter+group — the oracle. Production swaps the memory sink for a
+    real one and keeps the same plan; the gate costs zero shuffle
+    because the filter is a per-row projection."""
+    import tempfile
+
+    from parkour_spark.functions.text import quality_score, token_count
+    from parkour_spark.streaming.windows import read_stream, run_to_completion
+
+    docs = _t(spark, sf_dir, "documents")
+    tmp = tempfile.mkdtemp(prefix="parkour_stream_q_")
+    docs.write.mode("overwrite").parquet(tmp)
+    stream = read_stream(spark, tmp, docs.schema, max_files=4)
+    gated = stream.where(quality_score("text") >= 0.5)
+    agg = gated.groupBy("source").agg(
+        F.count("*").alias("n_docs"),
+        F.sum(token_count("text")).alias("total_tokens"),
+    )
+    return run_to_completion(agg, output_mode="complete")

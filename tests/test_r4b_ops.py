@@ -131,3 +131,54 @@ def test_semantic_dedup_planted_recall(spark):
         "/root/testdata/sf0.001/embeddings.parquet"
     ).count()
     assert len(rows) >= 0.8 * n_planted
+
+
+def test_dedup_delta_only_cross_pairs(spark):
+    """Delta dedup must report only (new, old) pairs — never new/new or
+    old/old — and find a planted cross-duplicate."""
+    from parkour_spark.operators.dedup import ngram_jaccard_delta
+
+    old = spark.createDataFrame(
+        [
+            (1, "alpha beta gamma delta epsilon zeta"),
+            (2, "one two three four five six"),
+            (3, "red green blue cyan magenta yellow"),
+            (4, "red green blue cyan magenta yellow"),  # old/old dup: ignored
+        ],
+        "doc_id long, text string",
+    )
+    new = spark.createDataFrame(
+        [
+            (101, "alpha beta gamma delta epsilon zeta"),  # dup of old 1
+            (102, "totally fresh unseen words here now"),
+            (103, "totally fresh unseen words here now"),  # new/new dup: ignored
+        ],
+        "doc_id long, text string",
+    )
+    rows = ngram_jaccard_delta(new, old, threshold=0.8, max_df=10).collect()
+    assert [(r["id_new"], r["id_old"], r["jaccard"]) for r in rows] == [(101, 1, 1.0)]
+
+
+def test_streaming_quality_ingest_matches_batch(spark):
+    from parkour_spark.queries import QUERIES
+    from parkour_spark.functions.text import quality_score, token_count
+    from parkour_spark.dataset import load_table
+
+    got = {
+        r["source"]: (r["n_docs"], r["total_tokens"])
+        for r in QUERIES["streaming_quality_ingest"](
+            spark, "/root/testdata/sf0.001"
+        ).collect()
+    }
+    docs = load_table(spark, "/root/testdata/sf0.001", "documents")
+    exp = {
+        r["source"]: (r["n_docs"], r["total_tokens"])
+        for r in docs.where(quality_score("text") >= 0.5)
+        .groupBy("source")
+        .agg(
+            F.count("*").alias("n_docs"),
+            F.sum(token_count("text")).alias("total_tokens"),
+        )
+        .collect()
+    }
+    assert got == exp and got
