@@ -883,3 +883,58 @@ def ngram_jaccard_delta(
         .where(F.col("__jac") >= threshold)
         .select("id_new", "id_old", F.round("__jac", 4).alias("jaccard"))
     )
+
+
+# ---------------------------------------------------------------------------
+# Winnowing overlap pairs (substring-level plagiarism / containment)
+# ---------------------------------------------------------------------------
+
+
+def winnow_overlap_pairs(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    k: int = 8,
+    w: int = 8,
+    min_shared: int = 3,
+    max_df: int = 50,
+) -> DataFrame:
+    """Pairs sharing ≥ min_shared winnowing fingerprints — substring-
+    level overlap detection (Schleimer/Wilkerson/Aiken): two docs
+    sharing any substring of length ≥ k+w-1 chars share a fingerprint,
+    so shared-fp counts rank containment/plagiarism candidates without
+    ever comparing documents pairwise.
+
+    Same bucket-table shape as the capped Jaccard: fingerprints whose
+    document frequency exceeds `max_df` are boilerplate (they carry no
+    pair signal and their buckets cost df² pair fan-out) and are
+    dropped; the remaining buckets explode triangular in-bucket pairs,
+    and ONE aggregation counts shared fps per pair."""
+    from parkour_spark.functions.text import kgram_hashes, normalize_text, winnow_select
+
+    base = _parallelize_scan(df.select(F.col(id_col), F.col(text_col)))
+    normed = base.select(F.col(id_col), normalize_text(text_col).alias("__nt"))
+    grams = normed.select(F.col(id_col), kgram_hashes("__nt", k=k).alias("__g"))
+    fps = grams.select(F.col(id_col), winnow_select(F.col("__g"), w=w).alias("__fps"))
+    ex = _explode_fast(fps, "__fps", "band_key", keep=[id_col])
+    buckets = (
+        ex.groupBy("band_key")
+        .agg(F.array_sort(F.collect_set(id_col)).alias("__ids"))
+        .where((F.size("__ids") > 1) & (F.size("__ids") <= max_df))
+    )
+    ids = F.col("__ids")
+    pair_expr = F.flatten(
+        F.transform(
+            ids,
+            lambda x, i: F.transform(
+                F.slice(ids, i + 2, F.size(ids)),
+                lambda y: F.struct(x.alias("id_a"), y.alias("id_b")),
+            ),
+        )
+    )
+    return (
+        _explode_fast(buckets, pair_expr, "__p")
+        .groupBy(F.col("__p.id_a").alias("id_a"), F.col("__p.id_b").alias("id_b"))
+        .agg(F.count("*").alias("n_shared"))
+        .where(F.col("n_shared") >= min_shared)
+    )

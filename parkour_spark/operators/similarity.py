@@ -284,3 +284,81 @@ def lsh_topk(
     )
     w = Window.partitionBy(query_id).orderBy(F.col("cos").desc(), F.col(corpus_id))
     return scored.withColumn("rank", F.row_number().over(w)).where(F.col("rank") <= k)
+
+
+def quantize_embeddings(
+    df: DataFrame,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+    levels: int = 256,
+) -> DataFrame:
+    """Scalar (per-dimension min/max) quantization of an embedding
+    corpus to `levels` codes — the storage/serving compression step of
+    an embedding pipeline (int8 codes = 4-8x smaller index).
+
+    Returns (id, codes_md5, mse_micro): codes_md5 fingerprints the
+    comma-joined code array (the artifact stays compact and
+    cross-engine-comparable; real use keeps the array<int>), mse_micro
+    = floor(1e6 · mean squared reconstruction error) against dequantized
+    midpoints.
+
+    SCALE + determinism: the per-dim stats are min/max — order-
+    independent (unlike mean/std, whose float accumulation is
+    engine/partition-order dependent), computed by one posexplode +
+    groupBy(dim) with map-side partial agg, then broadcast back as a
+    (dim → min,max) row. Codes are floor((x-min)/scale) clamped to
+    [0, levels-1]; degenerate dims (max == min) code to 0."""
+    dims = explode_fast(
+        df, F.col(vec_col), "val", keep=[id_col], pos_alias="dim"
+    )
+    stats = dims.groupBy("dim").agg(
+        F.min("val").alias("mn"), F.max("val").alias("mx")
+    )
+    packed = stats.agg(
+        F.array_sort(
+            F.collect_list(F.struct("dim", "mn", "mx"))
+        ).alias("__stats")
+    )
+    mn_arr = F.transform("__stats", lambda s: s["mn"].cast("double"))
+    mx_arr = F.transform("__stats", lambda s: s["mx"].cast("double"))
+    staged = (
+        df.crossJoin(F.broadcast(packed))
+        .select(
+            F.col(id_col),
+            F.expr(f"transform({vec_col}, x -> cast(x as double))").alias("__v"),
+            mn_arr.alias("__mn"),
+            mx_arr.alias("__mx"),
+        )
+    )
+    L = F.lit(levels - 1)
+    code = lambda x, mn, mx: F.when(
+        mx > mn,
+        F.least(
+            F.greatest(F.floor((x - mn) / ((mx - mn) / (L + 1))), F.lit(0)), L
+        ),
+    ).otherwise(F.lit(0)).cast("long")
+    codes = F.zip_with(
+        "__v", F.arrays_zip("__mn", "__mx"),
+        lambda x, s: code(x, s["__mn"], s["__mx"]),
+    )
+    coded = staged.select(
+        F.col(id_col), "__v", "__mn", "__mx", codes.alias("__codes")
+    )
+    deq = F.zip_with(
+        "__codes", F.arrays_zip("__mn", "__mx"),
+        lambda c, s: F.when(
+            s["__mx"] > s["__mn"],
+            s["__mn"] + (c.cast("double") + 0.5) * ((s["__mx"] - s["__mn"]) / (L + 1)),
+        ).otherwise(s["__mn"]),
+    )
+    err2 = F.zip_with(
+        "__v", deq, lambda x, d: (x - d) * (x - d)
+    )
+    mse = F.aggregate(err2, F.lit(0.0), lambda a, e: a + e) / F.size("__v")
+    return coded.select(
+        F.col(id_col),
+        F.md5(F.concat_ws(",", F.transform("__codes", lambda c: c.cast("string")))).alias(
+            "codes_md5"
+        ),
+        F.floor(mse * 1e6).cast("long").alias("mse_micro"),
+    )

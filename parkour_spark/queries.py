@@ -3378,3 +3378,85 @@ def q_streaming_quality(spark, sf_dir):
         F.sum(token_count("text")).alias("total_tokens"),
     )
     return run_to_completion(agg, output_mode="complete")
+
+
+@query(
+    "winnow_overlap_pairs",
+    """
+    WITH norm AS (
+      SELECT doc_id, regexp_replace(lower(trim(text)), '\\s+', ' ', 'g') AS nt
+      FROM documents),
+    grams AS (
+      SELECT doc_id,
+             list_transform(range(1, greatest(length(nt) - 7, 1) + 1),
+               i -> ('0x' || substr(md5(substr(nt, i, 8)), 1, 8))::BIGINT) AS g
+      FROM norm),
+    fps AS (
+      SELECT doc_id,
+             list_distinct(list_transform(range(1, greatest(len(g) - 7, 1) + 1),
+               j -> list_min(g[j:j+7]))) AS fp_set
+      FROM grams),
+    ex AS (SELECT doc_id, unnest(fp_set) AS fp FROM fps),
+    rare AS (SELECT fp FROM (SELECT fp, count(*) AS df FROM ex GROUP BY fp)
+             WHERE df BETWEEN 2 AND 50)
+    SELECT a.doc_id AS id_a, b.doc_id AS id_b, count(*)::BIGINT AS n_shared
+    FROM (SELECT doc_id, fp FROM ex JOIN rare USING (fp)) a
+    JOIN (SELECT doc_id, fp FROM ex JOIN rare USING (fp)) b USING (fp)
+    WHERE a.doc_id < b.doc_id
+    GROUP BY 1, 2 HAVING count(*) >= 3
+    """,
+)
+def q_winnow_overlap(spark, sf_dir):
+    """Substring-overlap pairs from winnowing fingerprints
+    (operators.dedup.winnow_overlap_pairs): docs sharing >= 3 selected
+    k-gram fingerprints, with boilerplate fps (df > 50) dropped — the
+    plagiarism/containment detector that completes the winnowing
+    pipeline (fingerprints -> shared-fp ranking), never pairwise over
+    documents."""
+    return D.winnow_overlap_pairs(_t(spark, sf_dir, "documents"))
+
+
+@query(
+    "quantized_embeddings",
+    """
+    WITH dims AS (
+      SELECT generate_subscripts(embedding, 1) AS dim, unnest(embedding) AS val
+      FROM embeddings),
+    stats AS (SELECT dim, min(val)::DOUBLE AS mn, max(val)::DOUBLE AS mx
+              FROM dims GROUP BY dim),
+    mnmx AS (SELECT list(mn ORDER BY dim) AS mn, list(mx ORDER BY dim) AS mx
+             FROM stats),
+    v AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+    coded AS (
+      SELECT vec_id, v, mn, mx,
+             list_transform(range(1, len(v) + 1), i ->
+               CASE WHEN mx[i] > mn[i]
+                    THEN least(greatest(floor((v[i] - mn[i])
+                                 / ((mx[i] - mn[i]) / 256)), 0), 255)::BIGINT
+                    ELSE 0 END) AS codes
+      FROM v CROSS JOIN mnmx),
+    errs AS (
+      SELECT vec_id, codes,
+             list_transform(range(1, len(v) + 1), i ->
+               CASE WHEN mx[i] > mn[i]
+                    THEN pow(v[i] - (mn[i] + (codes[i] + 0.5)
+                             * ((mx[i] - mn[i]) / 256)), 2)
+                    ELSE pow(v[i] - mn[i], 2) END) AS e2,
+             len(v) AS d
+      FROM coded)
+    SELECT vec_id,
+           md5(array_to_string(list_transform(codes, c -> c::VARCHAR), ',')) AS codes_md5,
+           floor(list_reduce(e2, (x, y) -> x + y) / d * 1e6)::BIGINT AS mse_micro
+    FROM errs
+    """,
+)
+def q_quantize(spark, sf_dir):
+    """Scalar int8 quantization of the embedding corpus
+    (operators.similarity.quantize_embeddings): per-dim min/max stats
+    (order-independent — the reason min/max and not mean/std), codes =
+    floor((x-min)/scale) clamped, md5 of the code array + integer
+    micro-MSE against dequantized midpoints. The stats pass is one
+    posexplode + partial-agg groupBy; coding is scan-side zip_with."""
+    from parkour_spark.operators.similarity import quantize_embeddings
+
+    return quantize_embeddings(_t(spark, sf_dir, "embeddings"))

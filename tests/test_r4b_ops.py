@@ -182,3 +182,39 @@ def test_streaming_quality_ingest_matches_batch(spark):
         .collect()
     }
     assert got == exp and got
+
+
+def test_winnow_overlap_detects_containment(spark):
+    """A doc containing a long substring of another must pair with it;
+    unrelated docs must not."""
+    from parkour_spark.operators.dedup import winnow_overlap_pairs
+
+    shared = "the quick brown fox jumps over the lazy dog again and again"
+    docs = spark.createDataFrame(
+        [
+            (1, shared + " plus some trailing content of its own here"),
+            (2, "prefix words first then " + shared),
+            (3, "zebra xylophone quartz vivid jackpot murmur glyph onyx"),
+        ],
+        "doc_id long, text string",
+    )
+    rows = winnow_overlap_pairs(docs, min_shared=3, max_df=10).collect()
+    assert [(r["id_a"], r["id_b"]) for r in rows] == [(1, 2)]
+    assert rows[0]["n_shared"] >= 3
+
+
+def test_quantize_embeddings_roundtrip_error_bounded(spark):
+    from parkour_spark.operators.similarity import quantize_embeddings
+
+    df = spark.createDataFrame(
+        [(1, [0.0, 1.0, -1.0]), (2, [1.0, 0.0, 1.0]), (3, [0.5, 0.5, 0.0])],
+        "vec_id long, embedding array<double>",
+    )
+    rows = {r["vec_id"]: r for r in quantize_embeddings(df).collect()}
+    assert len(rows) == 3
+    # 256 levels over range <= 2.0 -> cell width <= 1/128; midpoint
+    # dequantization error <= width/2 per dim -> mse < (1/256)^2 * 4
+    for r in rows.values():
+        assert 0 <= r["mse_micro"] <= 70
+    # identical vectors would share codes; distinct ones must differ
+    assert rows[1]["codes_md5"] != rows[2]["codes_md5"]
