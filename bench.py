@@ -48,6 +48,9 @@ HEADLINE = [
     # r4: corpus-prep family additions (operators/corpus.py)
     "decontaminate_ngram_overlap",
     "pack_sequences",
+    # r4 late additions: corpus line dedup + cluster-blocked semantic dedup
+    "line_dedup_boiler",
+    "semantic_dedup_kmeans",
 ]
 
 

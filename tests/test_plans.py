@@ -130,3 +130,46 @@ def test_pmi_single_text_scan_via_cache(spark, queries):
     n_scans = plan.count("documents.parquet")
     assert n_scans >= 1
     assert plan.count("InMemoryTableScan") == n_scans, plan
+
+
+def test_repetition_profile_zero_shuffle(spark, queries):
+    """The Gopher repetition filters are scan-side Column folds — the
+    plan must contain no Exchange and no Generate (no explode)."""
+    plan = _plan(queries["repetition_profile"](spark, SF_DIR))
+    assert _shuffles(plan) == 0, plan
+    assert "Generate" not in plan, plan
+
+
+def test_pii_scrub_zero_shuffle(spark, queries):
+    plan = _plan(queries["pii_scrub"](spark, SF_DIR))
+    assert _shuffles(plan) == 0, plan
+
+
+def test_line_dedup_no_window_partial_agg_first_occurrence(spark, queries):
+    """First-occurrence resolution must be a partial-agg groupBy, not a
+    window over partitionBy(line): a boilerplate line in half the
+    corpus would make the window's hot key a single-task straggler,
+    while min(struct) combines map-side."""
+    plan = _plan(queries["line_dedup_boiler"](spark, SF_DIR))
+    assert "Window" not in plan, plan
+    assert "partial_min" in plan, plan
+
+
+def test_decontaminate_broadcasts_eval_side(spark, queries):
+    plan = _plan(queries["decontaminate_ngram_overlap"](spark, SF_DIR))
+    assert "BroadcastHashJoin" in plan, plan
+    assert "SortMergeJoin" not in plan, plan
+
+
+def test_semantic_dedup_no_cartesian(spark, queries):
+    """Cluster blocking must keep the pair generation an equi-join /
+    bucket-explode plan — never an all-pairs join."""
+    plan = _plan(queries["semantic_dedup_kmeans"](spark, SF_DIR))
+    assert "CartesianProduct" not in plan, plan
+    assert "BroadcastNestedLoopJoin" not in plan, plan
+
+
+def test_delta_dedup_no_corpus_self_join(spark, queries):
+    plan = _plan(queries["dedup_delta_ingest"](spark, SF_DIR))
+    assert "CartesianProduct" not in plan, plan
+    assert "BroadcastNestedLoopJoin" not in plan, plan
