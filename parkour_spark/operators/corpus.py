@@ -473,3 +473,105 @@ def vocab_head_coverage(
             .alias("cum_micro"),
         )
     )
+
+
+# --------------------------------------------------------------------------
+# Bigram-LM quality scoring (conditional log-prob, add-1 smoothing)
+# --------------------------------------------------------------------------
+
+def bigram_lm_scores(
+    docs: DataFrame, text_col: str = "text", id_col: str = "doc_id"
+) -> DataFrame:
+    """Per-doc mean bigram log-probability under the corpus's own
+    add-1-smoothed bigram LM — the step up from `unigram_logprob`:
+    P(w2|w1) = (c(w1,w2) + 1) / (c(w1·) + V). Fluent text scores near
+    the corpus mean; shuffled/templated text scores low because its
+    transitions are rare even when its vocabulary is common.
+
+    Returns (id, n_bigrams, avg_logprob_micro); docs with < 2 tokens
+    have no transitions and are excluded. Integer micro-nats per term
+    BEFORE the tf-weighted sum (order-independent, engine-exact).
+
+    Single corpus pass: the (doc, w1, w2) tf table is the ONLY
+    corpus-sized shuffle; c(w1,w2) and the prefix total c(w1·) are
+    windows over that same table, V (vocabulary size) is a broadcast
+    1-row aggregate over its distinct tokens — nothing re-reads the
+    corpus (the tfidf/pmi single-pass discipline)."""
+    from parkour_spark.functions.text import bigrams
+
+    toked = docs.select(F.col(id_col), tokens(F.lower(F.col(text_col))).alias("__t"))
+    bg = explode_fast(toked, bigrams(F.col("__t")), "p", keep=[id_col]).select(
+        F.col(id_col), F.col("p.w1").alias("w1"), F.col("p.w2").alias("w2")
+    )
+    tf = bg.groupBy(id_col, "w1", "w2").agg(F.count("*").alias("tf"))
+    c12 = F.sum("tf").over(Window.partitionBy("w1", "w2"))
+    c1 = F.sum("tf").over(Window.partitionBy("w1"))
+    vocab = (
+        tf.select(F.col("w1").alias("w"))
+        .union(tf.select(F.col("w2").alias("w")))
+        .distinct()
+        .agg(F.count("*").alias("v"))
+    )
+    staged = tf.withColumn("c12", c12).withColumn("c1", c1)
+    contrib = (
+        F.round(
+            F.log((F.col("c12") + 1).cast("double") / (F.col("c1") + F.col("v")))
+            * 1e6
+        ).cast("long")
+        * F.col("tf")
+    )
+    per_doc = (
+        staged.crossJoin(F.broadcast(vocab))
+        .groupBy(id_col)
+        .agg(F.sum(contrib).alias("sum_micro"), F.sum("tf").alias("n_bigrams"))
+    )
+    return per_doc.select(
+        id_col,
+        "n_bigrams",
+        F.round(F.col("sum_micro").cast("double") / F.col("n_bigrams"))
+        .cast("long")
+        .alias("avg_logprob_micro"),
+    )
+
+
+# --------------------------------------------------------------------------
+# Feature-hashed document vectors (model-free dense representation)
+# --------------------------------------------------------------------------
+
+def hashed_doc_vectors(
+    docs: DataFrame,
+    dims: int = 64,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """(id, vec): tf-weighted feature-hashing (the hashing trick) —
+    token w adds its count to dimension md5(w) % dims. A deterministic,
+    model-free doc embedding that plugs into the whole similarity
+    family (kNN, IVF, quantization, semantic dedup) without any
+    trained encoder; collisions are the accepted trade of the trick.
+
+    Integer counts ⇒ every downstream dot/norm is EXACT (integer
+    arithmetic in doubles), so cosine rankings are engine- and
+    order-independent. One explode + one (doc, dim) aggregate; the
+    vector assembles scan-side from a map (no pivot, no dims-wide
+    shuffle)."""
+    terms = explode_fast(
+        docs, tokens(F.lower(F.col(text_col))), "term", keep=[id_col]
+    )
+    dimmed = terms.select(
+        F.col(id_col),
+        (
+            F.conv(F.substring(F.md5("term"), 1, 8), 16, 10).cast("long") % dims
+        ).alias("dim"),
+    )
+    counts = dimmed.groupBy(id_col, "dim").agg(F.count("*").alias("cnt"))
+    packed = counts.groupBy(id_col).agg(
+        F.map_from_entries(F.collect_list(F.struct("dim", "cnt"))).alias("__m")
+    )
+    vec = F.transform(
+        F.sequence(F.lit(0), F.lit(dims - 1)),
+        lambda d: F.coalesce(F.element_at("__m", d.cast("long")), F.lit(0)).cast(
+            "double"
+        ),
+    )
+    return packed.select(F.col(id_col), vec.alias("vec"))

@@ -3460,3 +3460,81 @@ def q_quantize(spark, sf_dir):
     from parkour_spark.operators.similarity import quantize_embeddings
 
     return quantize_embeddings(_t(spark, sf_dir, "embeddings"))
+
+
+@query(
+    "bigram_lm_scores",
+    f"""
+    WITH toked AS (SELECT doc_id, {_TOKS_SQL} AS t FROM documents),
+    bg AS (SELECT doc_id, t[i] AS w1, t[i + 1] AS w2
+           FROM toked, unnest(range(1, len(t))) AS r(i)
+           WHERE len(t) >= 2),
+    tf AS (SELECT doc_id, w1, w2, count(*) AS tf FROM bg GROUP BY 1, 2, 3),
+    c12 AS (SELECT w1, w2, sum(tf)::BIGINT AS c12 FROM tf GROUP BY 1, 2),
+    c1 AS (SELECT w1, sum(tf)::BIGINT AS c1 FROM tf GROUP BY 1),
+    v AS (SELECT count(*)::BIGINT AS v FROM
+          (SELECT w1 AS w FROM tf UNION SELECT w2 FROM tf)),
+    per AS (
+      SELECT tf.doc_id,
+             sum(round(ln((c12.c12 + 1)::DOUBLE / (c1.c1 + (SELECT v FROM v)))
+                       * 1e6)::BIGINT * tf.tf)::BIGINT AS sum_micro,
+             sum(tf.tf)::BIGINT AS n_bigrams
+      FROM tf JOIN c12 USING (w1, w2) JOIN c1 USING (w1)
+      GROUP BY tf.doc_id)
+    SELECT doc_id, n_bigrams,
+           round(sum_micro::DOUBLE / n_bigrams)::BIGINT AS avg_logprob_micro
+    FROM per
+    """,
+)
+def q_bigram_lm(spark, sf_dir):
+    """Bigram-LM quality scoring (operators.corpus.bigram_lm_scores):
+    per-doc mean log P(w2|w1) under the corpus's own add-1-smoothed
+    bigram model — catches shuffled/templated text whose TRANSITIONS
+    are rare even when its vocabulary is common (the step unigram LM
+    cannot take). Single corpus pass; conditional counts are windows
+    over the one (doc, w1, w2) tf table; vocabulary size broadcasts."""
+    return C.bigram_lm_scores(_t(spark, sf_dir, "documents"))
+
+
+@query(
+    "hashed_doc_knn",
+    f"""
+    WITH terms AS (SELECT doc_id, unnest({_TOKS_SQL}) AS term FROM documents),
+    dimmed AS (SELECT doc_id,
+                      ('0x' || substr(md5(term), 1, 8))::BIGINT % 64 AS dim
+               FROM terms),
+    counts AS (SELECT doc_id, dim, count(*) AS cnt FROM dimmed GROUP BY 1, 2),
+    grid AS (SELECT d.doc_id, r.dim FROM (SELECT doc_id FROM documents) d,
+             (SELECT unnest(range(0, 64)) AS dim) r),
+    filled AS (SELECT g.doc_id, g.dim, coalesce(c.cnt, 0)::DOUBLE AS v
+               FROM grid g LEFT JOIN counts c USING (doc_id, dim)),
+    vecs AS (SELECT doc_id, list(v ORDER BY dim) AS vec FROM filled GROUP BY doc_id),
+    q AS (SELECT doc_id AS query_id, vec AS qv FROM vecs WHERE doc_id < 3),
+    c AS (SELECT doc_id, vec FROM vecs WHERE doc_id >= 3),
+    scored AS (
+      SELECT query_id, doc_id, round({_cos_sql('vec', 'qv')}, 4) AS cos
+      FROM c, q)
+    SELECT query_id, doc_id, rank, cos FROM (
+      SELECT *, row_number() OVER (PARTITION BY query_id
+                                   ORDER BY cos DESC, doc_id) AS rank
+      FROM scored)
+    WHERE rank <= 5
+    """,
+)
+def q_hashed_doc_knn(spark, sf_dir):
+    """Model-free text retrieval end-to-end: feature-hashed tf vectors
+    (operators.corpus.hashed_doc_vectors, the hashing trick — token
+    counts land in md5(token) % 64 dims) feed the SAME brute-force
+    cosine top-k used for real embeddings. Integer counts make every
+    dot/norm exact, so rankings are engine-independent with no float
+    tie class. Demonstrates that the similarity family (kNN here; IVF,
+    quantization, semantic dedup identically) composes with derived
+    vectors, not just shipped embeddings."""
+    vecs = C.hashed_doc_vectors(_t(spark, sf_dir, "documents"), dims=64)
+    queries = vecs.where(F.col("doc_id") < 3).select(
+        F.col("doc_id").alias("query_id"), F.col("vec").alias("query_vec")
+    )
+    corpus = vecs.where(F.col("doc_id") >= 3)
+    return SIM.brute_force_topk(
+        corpus, queries, k=5, corpus_id="doc_id", corpus_vec="vec"
+    ).select("query_id", "doc_id", "rank", "cos")

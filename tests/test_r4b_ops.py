@@ -218,3 +218,32 @@ def test_quantize_embeddings_roundtrip_error_bounded(spark):
         assert 0 <= r["mse_micro"] <= 70
     # identical vectors would share codes; distinct ones must differ
     assert rows[1]["codes_md5"] != rows[2]["codes_md5"]
+
+
+def test_bigram_lm_scores_known_corpus(spark):
+    """Corpus: 'a b' x2 and 'a c'. V = 3 {a,b,c}; prefix total c(a.) = 3.
+    P(b|a) = (2+1)/(3+3) = 1/2; P(c|a) = (1+1)/6 = 1/3."""
+    import math
+
+    from parkour_spark.operators.corpus import bigram_lm_scores
+
+    docs = spark.createDataFrame(
+        [(1, "a b"), (2, "a b"), (3, "a c"), (4, "solo")],
+        "doc_id long, text string",
+    )
+    rows = {r["doc_id"]: r for r in bigram_lm_scores(docs).collect()}
+    assert 4 not in rows  # no bigrams -> excluded
+    assert rows[1]["avg_logprob_micro"] == round(math.log(0.5) * 1e6)
+    assert rows[3]["avg_logprob_micro"] == round(math.log(1 / 3) * 1e6)
+
+
+def test_hashed_doc_vectors_deterministic_and_tf_weighted(spark):
+    from parkour_spark.operators.corpus import hashed_doc_vectors
+
+    docs = spark.createDataFrame(
+        [(1, "x y x"), (2, "x y x"), (3, "y")], "doc_id long, text string"
+    )
+    rows = {r["doc_id"]: list(r["vec"]) for r in hashed_doc_vectors(docs, dims=8).collect()}
+    assert rows[1] == rows[2]  # identical text -> identical vector
+    assert sum(rows[1]) == 3.0 and sum(rows[3]) == 1.0  # tf mass preserved
+    assert len(rows[1]) == 8
