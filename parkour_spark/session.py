@@ -65,3 +65,46 @@ def build_session(
     spark = builder.getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
     return spark
+
+
+def cluster_conf(
+    total_cores: int,
+    executor_mem_gb: int = 32,
+    target_partition_mb: int = 128,
+) -> dict[str, str]:
+    """Recommended conf overrides for a REAL cluster deployment of this
+    engine (pass as `extra_conf` / spark-submit --conf). The local
+    defaults above optimize a single 32-thread JVM; at 1000 executors
+    the knobs that matter change:
+
+    - shuffle.partitions = 3× total cores: a CEILING — AQE coalescing
+      shrinks small stages, but an undersized ceiling makes 100 TB
+      shuffles produce multi-GB partitions that spill and straggle.
+    - files.maxPartitionBytes: scan-split size; 128 MB balances task
+      scheduling overhead vs memory per task for the Arrow-batched
+      operators (mapInPandas holds ~one split's batches in flight).
+    - autoBroadcastJoinThreshold raised to 256 MB: the dimension/dval/
+      probe tables this engine broadcasts (centroids ride in plans,
+      but probe sets and eval n-gram tables go through the planner)
+      are worth shipping to avoid fact-table shuffles at this scale.
+    - shuffle spill compression + zstd: 100 TB shuffles are
+      IO-bound; zstd halves shuffle bytes for these mostly-text
+      payloads at modest CPU.
+    - speculation on: the dedup/LSH family is straggler-sensitive
+      (bucket skew is capped by design, but hardware stragglers
+      remain).
+
+    Returned as a dict so tests can assert the policy and deployments
+    can layer site specifics on top."""
+    return {
+        "spark.sql.shuffle.partitions": str(3 * total_cores),
+        "spark.sql.files.maxPartitionBytes": f"{target_partition_mb}m",
+        "spark.sql.autoBroadcastJoinThreshold": str(256 * 1024 * 1024),
+        "spark.executor.memory": f"{executor_mem_gb}g",
+        "spark.memory.fraction": "0.6",
+        "spark.shuffle.compress": "true",
+        "spark.io.compression.codec": "zstd",
+        "spark.speculation": "true",
+        "spark.speculation.multiplier": "3",
+        "spark.sql.adaptive.advisoryPartitionSizeInBytes": "128m",
+    }

@@ -51,6 +51,9 @@ SOAK_QUERIES = [
     "dedup_groups_bigstar",
     "decontaminate_ngram_overlap",
     "line_dedup_boiler",
+    "dedup_delta_ingest",
+    "winnow_overlap_pairs",
+    "bigram_lm_scores",
 ]
 
 

@@ -175,3 +175,17 @@ def test_partition_by_fn(spark):
     for r in parts:
         by_pid.setdefault(r["pid"], set()).add(r["x"] % 4)
     assert all(len(v) == 1 for v in by_pid.values())
+
+
+def test_cluster_conf_policy():
+    """Deployment conf policy: shuffle ceiling scales with cores, scan
+    splits bounded, broadcast threshold raised (the engine leans on
+    broadcasting probe/eval tables), speculation on for the
+    straggler-sensitive LSH family."""
+    from parkour_spark.session import cluster_conf
+
+    conf = cluster_conf(total_cores=8000)
+    assert conf["spark.sql.shuffle.partitions"] == "24000"
+    assert conf["spark.sql.files.maxPartitionBytes"] == "128m"
+    assert int(conf["spark.sql.autoBroadcastJoinThreshold"]) == 256 * 1024 * 1024
+    assert conf["spark.speculation"] == "true"

@@ -179,3 +179,76 @@ def test_asof_forward_ties_match_pandas_merge_asof(spark, left, right):
     for _, row in merged.iterrows():
         expect = None if pd.isna(row["rv"]) else int(row["rv"])
         assert got[row["lid"]] == expect, (row["lid"], got[row["lid"]], expect)
+
+
+words = st.sampled_from(["aa", "bb", "cc", "dd", "ee"])
+docs_strategy = st.lists(
+    st.lists(words, min_size=0, max_size=12).map(" ".join),
+    min_size=1,
+    max_size=10,
+)
+
+
+@given(texts=docs_strategy)
+@settings(**_SETTINGS)
+def test_line_dedup_matches_reference(spark, texts):
+    """line_dedup == python reference: non-overlapping 3-token lines,
+    keep only the globally-first (doc, idx) occurrence of each line."""
+    from parkour_spark.operators.corpus import line_dedup
+
+    rows = [(i, t) for i, t in enumerate(texts)]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    got = {r["doc_id"]: (r["n_lines"], r["n_kept"]) for r in
+           line_dedup(df, line_tokens=3).collect()}
+
+    first: dict[str, tuple] = {}
+    lines_per_doc: dict[int, list] = {}
+    for i, t in rows:
+        toks = t.split()
+        segs = [" ".join(toks[j:j + 3]) for j in range(0, max(len(toks), 1), 3)]
+        lines_per_doc[i] = segs
+        for j, seg in enumerate(segs):
+            first.setdefault(seg, (i, j))
+    exp = {
+        i: (len(segs), sum(1 for j, seg in enumerate(segs) if first[seg] == (i, j)))
+        for i, segs in lines_per_doc.items()
+    }
+    assert got == exp
+
+
+@given(texts=docs_strategy)
+@settings(**_SETTINGS)
+def test_repetition_stats_match_reference(spark, texts):
+    """Column-fold repetition stats == python reference on random docs."""
+    from collections import Counter
+
+    from parkour_spark.functions.text import (
+        distinct_token_ratio_bp,
+        max_token_run,
+        top_bigram_share_bp,
+        tokens,
+    )
+
+    df = spark.createDataFrame([(i, t) for i, t in enumerate(texts)],
+                               "doc_id long, text string")
+    toked = df.select("doc_id", tokens(F.lower(F.col("text"))).alias("t"))
+    got = {
+        r["doc_id"]: (r["d"], r["r"], r["b"])
+        for r in toked.select(
+            "doc_id",
+            distinct_token_ratio_bp(F.col("t")).alias("d"),
+            max_token_run(F.col("t")).alias("r"),
+            top_bigram_share_bp(F.col("t")).alias("b"),
+        ).collect()
+    }
+    for i, t in enumerate(texts):
+        toks = t.split()
+        d = 10000 * len(set(toks)) // len(toks) if toks else 10000
+        r, best, prev = 0, 0, None
+        for x in toks:
+            r = r + 1 if x == prev else 1
+            best = max(best, r)
+            prev = x
+        bgs = Counter(zip(toks, toks[1:]))
+        b = 10000 * max(bgs.values()) // (len(toks) - 1) if bgs else 0
+        assert got[i] == (d, best, b), (i, t, got[i], (d, best, b))
