@@ -202,3 +202,70 @@ def dedup_survivors(
         "component",
         (F.col("n") == F.col("component")).alias("is_survivor"),
     )
+
+
+def pagerank(
+    nodes: DataFrame,
+    edges: DataFrame,
+    node_col: str = "id",
+    src: str = "id_a",
+    dst: str = "id_b",
+    iters: int = 3,
+    damping_micro: int = 850_000,
+) -> DataFrame:
+    """PageRank over an undirected pair list (each pair contributes both
+    directions), run a FIXED number of iterations in integer MICRO-rank
+    units — rank mass starts at 1e6 per node and every per-edge
+    contribution is rounded to an integer BEFORE the neighbor sum, so
+    the aggregate is order-independent and the whole trajectory is
+    engine-exact (the same discipline as the LM scores; a float
+    PageRank's Σ contributions differs per partition order).
+
+    r_{t+1}(v) = (1-d)·1e6 + Σ_{u→v} round(d · r_t(u) / deg(u))
+
+    On the near-dup graph this ranks CENTRALITY inside dup clusters —
+    the natural "canonical document" choice (most-connected survivor)
+    versus dedup_survivors' min-id policy. Isolated nodes hold the base
+    rank.
+
+    SCALE: same join primitive as connected_components — one equi-join
+    + one aggregation per round over the (src, dst) list, degrees
+    computed once, lineage truncated per round with localCheckpoint
+    (reliable checkpoint dir on a cluster). Fixed iteration count keeps
+    it one short chain of shuffles; convergence-to-tolerance is a
+    driver loop away but loses the closed-form oracle."""
+    sym = (
+        edges.select(F.col(src).alias("a"), F.col(dst).alias("b"))
+        .union(edges.select(F.col(dst).alias("a"), F.col(src).alias("b")))
+        .distinct()
+        .persist()
+    )
+    deg = sym.groupBy("a").agg(F.count("*").alias("deg"))
+    base = 1_000_000 - damping_micro
+    ranks = nodes.select(
+        F.col(node_col).alias("n"), F.lit(1_000_000).cast("long").alias("r")
+    ).localCheckpoint()
+    for _ in range(iters):
+        contribs = (
+            sym.join(ranks, sym.a == ranks.n)
+            .join(deg, "a")
+            .select(
+                F.col("b").alias("n2"),
+                F.round(
+                    F.lit(damping_micro / 1e6) * F.col("r") / F.col("deg")
+                ).cast("long").alias("c"),
+            )
+            .groupBy("n2")
+            .agg(F.sum("c").alias("in_sum"))
+        )
+        ranks = (
+            ranks.join(contribs, ranks.n == contribs.n2, "left")
+            .select(
+                "n",
+                (F.lit(base) + F.coalesce(F.col("in_sum"), F.lit(0)))
+                .cast("long")
+                .alias("r"),
+            )
+            .localCheckpoint()
+        )
+    return ranks.select(F.col("n").alias(node_col), F.col("r").alias("rank_micro"))

@@ -3538,3 +3538,70 @@ def q_hashed_doc_knn(spark, sf_dir):
     return SIM.brute_force_topk(
         corpus, queries, k=5, corpus_id="doc_id", corpus_vec="vec"
     ).select("query_id", "doc_id", "rank", "cos")
+
+
+def _pagerank_oracle(iters: int = 3) -> str:
+    from parkour_spark.operators.dedup import MINHASH_P, minhash_params
+
+    # pairs CTE chain = the dedup_minhash_lsh oracle (same graph as
+    # dedup_groups), then integer-micro PageRank unrolled.
+    num_hashes, bands = 12, 4
+    rpb = num_hashes // bands
+    x = f"(('0x' || substr(md5(x), 1, 8))::BIGINT % {MINHASH_P})"
+    sig_cols = ",\n       ".join(
+        f"list_min(list_transform(t, x -> ({a} * {x} + {b}) % {MINHASH_P})) AS sig_{i}"
+        for i, (a, b) in enumerate(minhash_params(num_hashes))
+    )
+    band_keys = ", ".join(
+        "'" + str(b) + "|' || " + " || '|' || ".join(f"sig_{b * rpb + r}" for r in range(rpb))
+        for b in range(bands)
+    )
+    rounds = []
+    for i in range(1, iters + 1):
+        p = f"r{i-1}"
+        rounds.append(f"""
+    r{i} AS (
+      SELECT {p}.n, (150000 + coalesce(s.in_sum, 0))::BIGINT AS r
+      FROM {p} LEFT JOIN (
+        SELECT e.b AS n2,
+               sum(round(0.85 * {p}.r / deg.deg)::BIGINT)::BIGINT AS in_sum
+        FROM edges e JOIN {p} ON e.a = {p}.n JOIN deg ON e.a = deg.a
+        GROUP BY e.b) s ON {p}.n = s.n2)""")
+    return f"""
+    WITH toks AS (SELECT doc_id, {_SHINGLES_SQL} AS t FROM documents),
+    sigs AS (SELECT doc_id, {sig_cols} FROM toks),
+    bands AS (SELECT doc_id, unnest([{band_keys}]) AS band_key FROM sigs),
+    cand AS (
+      SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
+      FROM bands a JOIN bands b USING (band_key)
+      WHERE a.doc_id < b.doc_id),
+    pairs AS (
+      SELECT id_a, id_b FROM cand
+      JOIN toks ta ON cand.id_a = ta.doc_id
+      JOIN toks tb ON cand.id_b = tb.doc_id
+      WHERE len(list_intersect(ta.t, tb.t))::DOUBLE
+            / len(list_distinct(list_concat(ta.t, tb.t))) >= 0.8),
+    edges AS (SELECT id_a AS a, id_b AS b FROM pairs
+              UNION SELECT id_b, id_a FROM pairs),
+    deg AS (SELECT a, count(*) AS deg FROM edges GROUP BY a),
+    r0 AS (SELECT doc_id AS n, 1000000::BIGINT AS r FROM documents),
+    {",".join(rounds)}
+    SELECT n AS doc_id, r AS rank_micro FROM r{iters}
+    """
+
+
+@query("pagerank_dedup_graph", _pagerank_oracle())
+def q_pagerank(spark, sf_dir):
+    """Distributed PageRank (operators.graph.pagerank) over the
+    near-dup pair graph (the same MinHash graph dedup_groups closes):
+    centrality inside dup clusters = the most-connected canonical
+    document, the alternative to min-id survivor choice. Integer
+    micro-rank trajectory (per-edge contributions rounded BEFORE the
+    neighbor sum) makes all 3 iterations engine-exact, so the oracle
+    unrolls them as CTEs. Same join primitive and per-round
+    checkpointing as connected components."""
+    from parkour_spark.operators.graph import pagerank
+
+    docs = _t(spark, sf_dir, "documents")
+    pairs = D.minhash_dedup_pairs(docs, threshold=0.8)
+    return pagerank(docs.select("doc_id"), pairs, node_col="doc_id", iters=3)

@@ -247,3 +247,18 @@ def test_hashed_doc_vectors_deterministic_and_tf_weighted(spark):
     assert rows[1] == rows[2]  # identical text -> identical vector
     assert sum(rows[1]) == 3.0 and sum(rows[3]) == 1.0  # tf mass preserved
     assert len(rows[1]) == 8
+
+
+def test_pagerank_center_outranks_leaves(spark):
+    """Star graph: the hub must outrank leaves; isolated nodes hold the
+    base rank; total mass conservation within rounding."""
+    from parkour_spark.operators.graph import pagerank
+
+    nodes = spark.createDataFrame([(i,) for i in range(6)], "id long")
+    edges = spark.createDataFrame(
+        [(0, 1), (0, 2), (0, 3), (0, 4)], "id_a long, id_b long"
+    )
+    r = {row["id"]: row["rank_micro"] for row in
+         pagerank(nodes, edges, node_col="id", iters=3).collect()}
+    assert r[0] > r[1] == r[2] == r[3] == r[4]  # hub dominates, leaves tie
+    assert r[5] == 150_000  # isolated: base rank only
