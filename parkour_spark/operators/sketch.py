@@ -1,0 +1,134 @@
+"""Mergeable frequency/membership sketches: count-min and bloom.
+
+At 100 TB, exact per-key state (distinct shuffles, full key dictionaries)
+is the scaling cliff; sketches replace it with FIXED-size summaries that
+merge associatively, so they ride Spark's partial aggregation: each task
+folds its partition into a w×d (or m-bit) table, the shuffle moves only
+sketch cells, and the merged sketch answers point queries with bounded
+error and zero false negatives.
+
+Everything is engine-exact by construction: bucket = md5-based
+`hash_bucket` (bit-identical in DuckDB — see functions/sampling.py), and
+counts are integers, so the whole sketch — not just the final answer —
+can be hash-compared against an oracle that replays the identical
+arithmetic in SQL.
+
+Reference parity: the reference's aggregation layer stops at exact
+grouped reduces (parkour graph.clj combine/reduce); sketches are a
+beyond-reference addition sized for the 100 TB tier.
+
+Count-min (Cormode & Muthukrishnan 2005):
+  cell(seed, bucket) = Σ count of keys with hash_seed(key) ≡ bucket.
+  estimate(key) = min over seeds of its d cells — always ≥ true count.
+Heavy hitters use the one-sided error: any key with true count ≥ T has
+ALL its cells ≥ T, so candidate keys can be restricted to those whose
+seed-0 bucket qualifies (bucket pruning, no false negatives), and the
+min-over-seeds estimate then prunes most collision survivors; the exact
+verify join removes the rest. The full key dictionary is never
+collected anywhere — candidates flow as a semi-join.
+
+Bloom prefilter (runtime join filter):
+  The classic big-big join killer is shuffling 100 TB of fact rows of
+  which <1% survive the join. A bloom filter over the dim keys is
+  broadcastable even when the dim itself is NOT (m bit-positions ≪ dim
+  rows), and membership tests run scan-side as k broadcast semi-joins
+  against the ≤m-row bit table — the fact side sheds non-matching rows
+  BEFORE its shuffle. False positives are harmless (the real join
+  removes them); false negatives are impossible (every dim key set all
+  its k bits).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, functions as F
+
+from parkour_spark.functions.sampling import hash_bucket
+
+
+def _seeded_bucket(key: Column, seed: Column | int, buckets: int) -> Column:
+    """Bucket of (seed || ':' || key) — independent-enough hash per seed,
+    replayable in ANSI SQL via the same md5 prefix arithmetic."""
+    s = F.lit(seed) if isinstance(seed, int) else seed
+    return hash_bucket(F.concat_ws(":", s.cast("string"), key.cast("string")), buckets)
+
+
+def cms_build(df: DataFrame, key: str, width: int = 1024, depth: int = 3) -> DataFrame:
+    """Count-min sketch of `key` frequencies: (seed, bucket, cnt) with
+    seed ∈ [0,depth), bucket ∈ [0,width). ONE shuffle of at most
+    width×depth×partitions partial cells (partial agg folds each
+    partition first); output is width×depth rows regardless of input
+    size — the fixed-size summary that makes this the 100 TB path."""
+    k = F.col(key)
+    seeds = F.explode(F.sequence(F.lit(0), F.lit(depth - 1))).alias("seed")
+    return (
+        df.select(k.alias("__k"), seeds)
+        .select("seed", _seeded_bucket(F.col("__k"), F.col("seed"), width).alias("bucket"))
+        .groupBy("seed", "bucket")
+        .agg(F.count("*").alias("cnt"))
+    )
+
+
+def cms_estimate(cms: DataFrame, keys: DataFrame, key: str, width: int = 1024,
+                 depth: int = 3) -> DataFrame:
+    """Point-query the sketch for each row of `keys`: estimate =
+    min over seeds of cell counts (0 if a cell is absent). The sketch
+    broadcasts (≤ width×depth rows); keys never shuffle."""
+    k = F.col(key)
+    expanded = keys.select(
+        k.alias(key),
+        F.explode(F.sequence(F.lit(0), F.lit(depth - 1))).alias("seed"),
+    ).withColumn("bucket", _seeded_bucket(F.col(key), F.col("seed"), width))
+    joined = expanded.join(F.broadcast(cms), ["seed", "bucket"], "left")
+    return joined.groupBy(key).agg(
+        F.min(F.coalesce(F.col("cnt"), F.lit(0))).alias("estimate")
+    )
+
+
+def cms_heavy_hitters(df: DataFrame, key: str, width: int = 1024, depth: int = 3,
+                      threshold: int = 100) -> DataFrame:
+    """Keys with true count ≥ threshold, found WITHOUT a full distinct:
+    (1) build the sketch; (2) candidate keys = those whose seed-0 cell
+    qualifies (one-sided: no true heavy hitter is lost) via a broadcast
+    semi-join against the ≤width qualifying buckets; (3) sketch
+    estimate = min over seeds; (4) exact verify count over the
+    candidate-restricted rows only. Returns (key, estimate, n) with
+    estimate ≥ n ≥ threshold."""
+    cms = cms_build(df, key, width, depth).persist()
+    hot0 = cms.where((F.col("seed") == 0) & (F.col("cnt") >= threshold)).select("bucket")
+    cand_rows = df.withColumn(
+        "__b0", _seeded_bucket(F.col(key), F.lit(0), width)
+    ).join(F.broadcast(hot0), F.col("__b0") == hot0.bucket, "left_semi")
+    exact = cand_rows.groupBy(key).agg(F.count("*").alias("n")).where(
+        F.col("n") >= threshold
+    )
+    est = cms_estimate(cms, exact.select(key), key, width, depth)
+    return exact.join(F.broadcast(est), key).select(key, "estimate", "n")
+
+
+def bloom_bits(df: DataFrame, key: str, m: int = 1 << 16, k: int = 3) -> DataFrame:
+    """Distinct bit positions set by hashing each key k ways into
+    [0, m) — the bloom filter as a ≤m-row table (broadcastable even
+    when df is not). One partial-agg-safe distinct of at most m rows."""
+    c = F.col(key)
+    seeds = F.explode(F.sequence(F.lit(0), F.lit(k - 1))).alias("seed")
+    return (
+        df.select(c.alias("__k"), seeds)
+        .select(_seeded_bucket(F.col("__k"), F.col("seed"), m).alias("pos"),
+                F.col("seed"))
+        .distinct()
+    )
+
+
+def bloom_prefilter(fact: DataFrame, bits: DataFrame, key: str,
+                    m: int = 1 << 16, k: int = 3) -> DataFrame:
+    """Drop fact rows that cannot join (some bloom bit unset) via k
+    broadcast semi-joins — scan-side, before any fact shuffle. Output ⊇
+    the true-matching rows (false positives pass; the caller's real
+    join removes them)."""
+    out = fact
+    for seed in range(k):
+        pos_s = bits.where(F.col("seed") == seed).select("pos")
+        out = out.withColumn("__pos", _seeded_bucket(F.col(key), F.lit(seed), m)).join(
+            F.broadcast(pos_s), F.col("__pos") == pos_s.pos, "left_semi"
+        )
+    return out.drop("__pos")

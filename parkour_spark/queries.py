@@ -3605,3 +3605,416 @@ def q_pagerank(spark, sf_dir):
     docs = _t(spark, sf_dir, "documents")
     pairs = D.minhash_dedup_pairs(docs, threshold=0.8)
     return pagerank(docs.select("doc_id"), pairs, node_col="doc_id", iters=3)
+
+
+# ===========================================================================
+# TPC-H-adapted plan-shape coverage (beyond the reference's own queries)
+# ===========================================================================
+# The reference ships word-count-class examples; an analytics engine
+# claiming its workload also needs the canonical warehouse plan shapes.
+# Each query below is the standard TPC-H shape adapted to the driver's
+# schema subset (no partsupp; lineitem lacks shipmode/shipinstruct/
+# commitdate), chosen so each exercises a DISTINCT physical plan:
+# scan-only agg (q6), nation-pair decode join (q7), outer-join-free
+# top-k with a selective fact filter (q10), conditional aggregation
+# (q14), having-over-join (q18), disjunctive pushdown (q19).
+
+
+@query(
+    "q6_forecast_revenue",
+    """
+    SELECT round(sum(l_extendedprice * l_discount), 2) AS revenue,
+           count(*) AS n
+    FROM lineitem
+    WHERE l_shipdate >= TIMESTAMP '1996-01-01 00:00:00'
+      AND l_shipdate < TIMESTAMP '1997-01-01 00:00:00'
+      AND l_discount BETWEEN 0.05 AND 0.07
+      AND l_quantity < 24
+    """,
+)
+def q_q6(spark, sf_dir):
+    """TPC-H Q6 shape: pure scan + conjunctive filter + global agg —
+    zero joins, zero wide shuffle (partial agg per partition, 1-row
+    merge). At 100 TB this is the pushdown litmus test: all four
+    predicates reach the parquet scan (PushedFilters) and only the
+    4 referenced columns are read (ReadSchema); asserted in
+    tests/test_plans.py."""
+    li = _t(spark, sf_dir, "lineitem")
+    return (
+        li.where(
+            (F.col("l_shipdate") >= F.lit("1996-01-01").cast("timestamp"))
+            & (F.col("l_shipdate") < F.lit("1997-01-01").cast("timestamp"))
+            & (F.col("l_discount") >= 0.05)
+            & (F.col("l_discount") <= 0.07)
+            & (F.col("l_quantity") < 24)
+        )
+        .agg(
+            F.round(F.sum(F.col("l_extendedprice") * F.col("l_discount")), 2).alias(
+                "revenue"
+            ),
+            F.count("*").alias("n"),
+        )
+    )
+
+
+@query(
+    "q7_volume_shipping",
+    """
+    SELECT cn.n_name AS cust_nation, sn.n_name AS supp_nation,
+           year(l_shipdate) AS l_year,
+           round(sum(l_extendedprice * (1 - l_discount)), 2) AS revenue
+    FROM lineitem
+    JOIN orders ON l_orderkey = o_orderkey
+    JOIN customer ON o_custkey = c_custkey
+    JOIN supplier ON l_suppkey = s_suppkey
+    JOIN nation cn ON c_nationkey = cn.n_nationkey
+    JOIN nation sn ON s_nationkey = sn.n_nationkey
+    WHERE cn.n_nationkey <> sn.n_nationkey
+      AND cn.n_nationkey < 4 AND sn.n_nationkey < 4
+    GROUP BY cn.n_name, sn.n_name, year(l_shipdate)
+    """,
+)
+def q_q7(spark, sf_dir):
+    """TPC-H Q7 shape (cross-nation shipping volume): the fact chain
+    shuffles once per join key; BOTH nation decodes broadcast (the same
+    dim table twice under different aliases), and the nation-pair
+    predicates apply against the broadcast rows — so the selective
+    nation filter never costs a shuffle. Group-by on derived year."""
+    li = _t(spark, sf_dir, "lineitem")
+    orders = _t(spark, sf_dir, "orders")
+    cust = _t(spark, sf_dir, "customer")
+    sup = _t(spark, sf_dir, "supplier")
+    nation = _t(spark, sf_dir, "nation")
+    cn = nation.where(F.col("n_nationkey") < 4).select(
+        F.col("n_nationkey").alias("cn_key"), F.col("n_name").alias("cust_nation")
+    )
+    sn = nation.where(F.col("n_nationkey") < 4).select(
+        F.col("n_nationkey").alias("sn_key"), F.col("n_name").alias("supp_nation")
+    )
+    return (
+        li.join(orders, li.l_orderkey == orders.o_orderkey)
+        .join(cust, orders.o_custkey == cust.c_custkey)
+        .join(F.broadcast(sup), li.l_suppkey == sup.s_suppkey)
+        .join(F.broadcast(cn), cust.c_nationkey == F.col("cn_key"))
+        .join(F.broadcast(sn), sup.s_nationkey == F.col("sn_key"))
+        .where(F.col("cn_key") != F.col("sn_key"))
+        .groupBy(
+            "cust_nation", "supp_nation", F.year("l_shipdate").alias("l_year")
+        )
+        .agg(
+            F.round(
+                F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2
+            ).alias("revenue")
+        )
+    )
+
+
+@query(
+    "q10_returned_items",
+    """
+    SELECT c_custkey, c_name,
+           round(sum(CAST(round(l_extendedprice * (1 - l_discount) * 100) AS BIGINT))
+                 / 100.0, 2) AS revenue,
+           round(c_acctbal, 2) AS acctbal, n_name
+    FROM customer
+    JOIN orders ON c_custkey = o_custkey
+    JOIN lineitem ON l_orderkey = o_orderkey
+    JOIN nation ON c_nationkey = n_nationkey
+    WHERE o_orderdate >= TIMESTAMP '1996-01-01 00:00:00'
+      AND o_orderdate < TIMESTAMP '1996-04-01 00:00:00'
+      AND l_returnflag = 'R'
+    GROUP BY c_custkey, c_name, round(c_acctbal, 2), n_name
+    ORDER BY revenue DESC, c_custkey
+    LIMIT 20
+    """,
+)
+def q_q10(spark, sf_dir):
+    """TPC-H Q10 shape (returned-item reporting): selective fact
+    filters (quarter of orders, returnflag = 'R') push to both scans
+    BEFORE the join, nation broadcasts, and the top-20 runs as
+    TakeOrderedAndProject (per-partition heap + driver merge, never a
+    global sort) — the at-scale top-k shape. Revenue sums integer
+    cents (per-row round BEFORE the aggregate) so the total is
+    addition-order-independent: a plain double sum here landed on a
+    .xx5 rounding tie between engines at sf0.01."""
+    cust = _t(spark, sf_dir, "customer")
+    orders = _t(spark, sf_dir, "orders").where(
+        (F.col("o_orderdate") >= F.lit("1996-01-01").cast("timestamp"))
+        & (F.col("o_orderdate") < F.lit("1996-04-01").cast("timestamp"))
+    )
+    li = _t(spark, sf_dir, "lineitem").where(F.col("l_returnflag") == "R")
+    nation = _t(spark, sf_dir, "nation")
+    return (
+        li.join(orders, li.l_orderkey == orders.o_orderkey)
+        .join(cust, orders.o_custkey == cust.c_custkey)
+        .join(F.broadcast(nation), cust.c_nationkey == nation.n_nationkey)
+        .groupBy(
+            "c_custkey",
+            "c_name",
+            F.round("c_acctbal", 2).alias("acctbal"),
+            "n_name",
+        )
+        .agg(
+            F.round(
+                F.sum(
+                    F.round(
+                        F.col("l_extendedprice") * (1 - F.col("l_discount")) * 100
+                    ).cast("long")
+                )
+                / 100.0,
+                2,
+            ).alias("revenue")
+        )
+        .select("c_custkey", "c_name", "revenue", "acctbal", "n_name")
+        .orderBy(F.col("revenue").desc(), F.col("c_custkey"))
+        .limit(20)
+    )
+
+
+@query(
+    "q14_promo_effect",
+    """
+    SELECT round(100.0 * sum(CASE WHEN p_type = 'PROMO'
+                                  THEN l_extendedprice * (1 - l_discount)
+                                  ELSE 0 END)
+                 / sum(l_extendedprice * (1 - l_discount)), 4) AS promo_pct,
+           count(*) AS n
+    FROM lineitem JOIN part ON l_partkey = p_partkey
+    WHERE l_shipdate >= TIMESTAMP '1997-01-01 00:00:00'
+      AND l_shipdate < TIMESTAMP '1997-02-01 00:00:00'
+    """,
+)
+def q_q14(spark, sf_dir):
+    """TPC-H Q14 shape (promotion effect): conditional aggregation —
+    one filtered fact scan broadcast-joined to part, CASE inside both
+    sums so the ratio needs exactly one pass; no groupBy shuffle at
+    all (global partial agg → 1-row merge)."""
+    li = _t(spark, sf_dir, "lineitem").where(
+        (F.col("l_shipdate") >= F.lit("1997-01-01").cast("timestamp"))
+        & (F.col("l_shipdate") < F.lit("1997-02-01").cast("timestamp"))
+    )
+    part = _t(spark, sf_dir, "part")
+    rev = F.col("l_extendedprice") * (1 - F.col("l_discount"))
+    return (
+        li.join(F.broadcast(part), li.l_partkey == part.p_partkey)
+        .agg(
+            F.round(
+                100.0
+                * F.sum(F.when(F.col("p_type") == "PROMO", rev).otherwise(0.0))
+                / F.sum(rev),
+                4,
+            ).alias("promo_pct"),
+            F.count("*").alias("n"),
+        )
+    )
+
+
+@query(
+    "q18_large_volume_customers",
+    """
+    SELECT c_custkey, o_orderkey,
+           strftime(o_orderdate, '%Y-%m-%d') AS orderdate,
+           round(o_totalprice, 2) AS totalprice,
+           round(sum(l_quantity), 2) AS total_qty
+    FROM customer
+    JOIN orders ON c_custkey = o_custkey
+    JOIN lineitem ON o_orderkey = l_orderkey
+    WHERE o_orderkey IN (
+      SELECT l_orderkey FROM lineitem GROUP BY l_orderkey
+      HAVING sum(l_quantity) > 150)
+    GROUP BY c_custkey, o_orderkey, strftime(o_orderdate, '%Y-%m-%d'),
+             round(o_totalprice, 2)
+    ORDER BY totalprice DESC, o_orderkey
+    LIMIT 20
+    """,
+)
+def q_q18(spark, sf_dir):
+    """TPC-H Q18 shape (large-volume customers): HAVING-derived key set
+    semi-joined back into the fact chain. The aggregate that computes
+    the >150 keys reuses the same lineitem scan; Spark plans the IN as
+    a LeftSemi join on l_orderkey — at scale the qualifying-key side is
+    tiny (orders with >150 units), so AQE converts it to broadcast."""
+    cust = _t(spark, sf_dir, "customer")
+    orders = _t(spark, sf_dir, "orders")
+    li = _t(spark, sf_dir, "lineitem")
+    big = (
+        li.groupBy("l_orderkey")
+        .agg(F.sum("l_quantity").alias("__qty"))
+        .where(F.col("__qty") > 150)
+        .select("l_orderkey")
+    )
+    return (
+        li.join(big.withColumnRenamed("l_orderkey", "__bk"),
+                F.col("l_orderkey") == F.col("__bk"), "left_semi")
+        .join(orders, F.col("l_orderkey") == orders.o_orderkey)
+        .join(cust, orders.o_custkey == cust.c_custkey)
+        .groupBy(
+            "c_custkey",
+            "o_orderkey",
+            F.date_format("o_orderdate", "yyyy-MM-dd").alias("orderdate"),
+            F.round("o_totalprice", 2).alias("totalprice"),
+        )
+        .agg(F.round(F.sum("l_quantity"), 2).alias("total_qty"))
+        .select("c_custkey", "o_orderkey", "orderdate", "totalprice", "total_qty")
+        .orderBy(F.col("totalprice").desc(), F.col("o_orderkey"))
+        .limit(20)
+    )
+
+
+@query(
+    "q19_disjunctive_predicates",
+    """
+    SELECT round(sum(l_extendedprice * (1 - l_discount)), 2) AS revenue,
+           count(*) AS n
+    FROM lineitem JOIN part ON p_partkey = l_partkey
+    WHERE (p_brand = 'Brand#1' AND p_size BETWEEN 1 AND 15
+           AND l_quantity >= 1 AND l_quantity <= 11)
+       OR (p_brand = 'Brand#2' AND p_size BETWEEN 1 AND 25
+           AND l_quantity >= 10 AND l_quantity <= 20)
+       OR (p_brand = 'Brand#3' AND p_size BETWEEN 1 AND 35
+           AND l_quantity >= 20 AND l_quantity <= 30)
+    """,
+)
+def q_q19(spark, sf_dir):
+    """TPC-H Q19 shape (disjunctive mixed-table predicates): the OR
+    spans both tables, so no single branch can be pushed whole —
+    Catalyst instead derives the DOMAIN disjunctions per side
+    (p_brand IN (..) / p_size <= 35 on part; l_quantity 1..30 on
+    lineitem) and pushes those below the join, leaving the full
+    disjunction as the post-join filter. Part broadcasts."""
+    li = _t(spark, sf_dir, "lineitem")
+    part = _t(spark, sf_dir, "part")
+    j = li.join(F.broadcast(part), part.p_partkey == li.l_partkey)
+    q = F.col("l_quantity")
+    cond = (
+        ((F.col("p_brand") == "Brand#1") & F.col("p_size").between(1, 15)
+         & (q >= 1) & (q <= 11))
+        | ((F.col("p_brand") == "Brand#2") & F.col("p_size").between(1, 25)
+           & (q >= 10) & (q <= 20))
+        | ((F.col("p_brand") == "Brand#3") & F.col("p_size").between(1, 35)
+           & (q >= 20) & (q <= 30))
+    )
+    return j.where(cond).agg(
+        F.round(F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2).alias(
+            "revenue"
+        ),
+        F.count("*").alias("n"),
+    )
+
+
+# ===========================================================================
+# Sketches (operators/sketch.py): count-min + bloom runtime join filter
+# ===========================================================================
+
+_CMS_W, _CMS_D, _CMS_T = 2048, 3, 45
+_CMS_BUCKET = (
+    "(('0x' || substr(md5({seed}::VARCHAR || ':' || {key}::VARCHAR), 1, 8))"
+    f"::BIGINT % {_CMS_W})"
+)
+
+
+@query(
+    "cms_heavy_hitters",
+    f"""
+    WITH seeds AS (SELECT unnest([0, 1, 2]) AS seed),
+    cells AS (
+      SELECT seed, {_CMS_BUCKET.format(seed='seed', key='l_partkey')} AS bucket,
+             count(*) AS cnt
+      FROM lineitem, seeds GROUP BY 1, 2),
+    exact AS (
+      SELECT l_partkey, count(*) AS n FROM lineitem
+      GROUP BY l_partkey HAVING count(*) >= {_CMS_T}),
+    est AS (
+      SELECT e.l_partkey, min(c.cnt) AS estimate
+      FROM (SELECT l_partkey, unnest([0, 1, 2]) AS seed FROM exact) e
+      JOIN cells c
+        ON c.seed = e.seed
+       AND c.bucket = {_CMS_BUCKET.format(seed='e.seed', key='e.l_partkey')}
+      GROUP BY e.l_partkey)
+    SELECT exact.l_partkey, estimate, n
+    FROM exact JOIN est ON exact.l_partkey = est.l_partkey
+    """,
+)
+def q_cms_heavy_hitters(spark, sf_dir):
+    """Count-min-sketch heavy hitters over lineitem part keys (count ≥
+    45): the sketch is width×depth = 2048×3 cells regardless of input
+    size, candidates come from qualifying seed-0 buckets (one-sided —
+    no heavy hitter can be lost), and the key dictionary is never
+    collected. estimate ≥ n for every row by construction; with 2000
+    keys in 2048 buckets the collisions that make estimate > n are
+    real and engine-exact (md5 bucketing, integer counts)."""
+    from parkour_spark.operators.sketch import cms_heavy_hitters
+
+    li = _t(spark, sf_dir, "lineitem")
+    return cms_heavy_hitters(li, "l_partkey", width=_CMS_W, depth=_CMS_D,
+                             threshold=_CMS_T)
+
+
+_BLOOM_M, _BLOOM_K = 4096, 3
+_BLOOM_POS = (
+    "(('0x' || substr(md5({seed}::VARCHAR || ':' || {key}::VARCHAR), 1, 8))"
+    f"::BIGINT % {_BLOOM_M})"
+)
+
+
+@query(
+    "bloom_filtered_join_agg",
+    f"""
+    WITH dim AS (SELECT p_partkey FROM part WHERE p_brand = 'Brand#1'),
+    seeds AS (SELECT unnest([0, 1, 2]) AS seed),
+    bits AS (
+      SELECT DISTINCT seed, {_BLOOM_POS.format(seed='seed', key='p_partkey')} AS pos
+      FROM dim, seeds),
+    cand AS (
+      SELECT * FROM lineitem l
+      WHERE EXISTS (SELECT 1 FROM bits b WHERE b.seed = 0
+                    AND b.pos = {_BLOOM_POS.format(seed='0', key='l.l_partkey')})
+        AND EXISTS (SELECT 1 FROM bits b WHERE b.seed = 1
+                    AND b.pos = {_BLOOM_POS.format(seed='1', key='l.l_partkey')})
+        AND EXISTS (SELECT 1 FROM bits b WHERE b.seed = 2
+                    AND b.pos = {_BLOOM_POS.format(seed='2', key='l.l_partkey')})),
+    joined AS (
+      SELECT l_extendedprice, l_discount FROM cand
+      JOIN dim ON cand.l_partkey = dim.p_partkey)
+    SELECT (SELECT count(*) FROM cand) AS n_candidates,
+           count(*) AS n_joined,
+           round(sum(CAST(round(l_extendedprice * (1 - l_discount) * 100)
+                          AS BIGINT)) / 100.0, 2) AS revenue
+    FROM joined
+    """,
+)
+def q_bloom_filtered_join(spark, sf_dir):
+    """Bloom-prefiltered big-big join: the dim (Brand#1 parts) is
+    MODELED as non-broadcastable (final join hinted merge), but its
+    bloom bit table (≤ 213 of 4096 positions) broadcasts fine — the
+    fact side sheds ~93% of rows scan-side via 3 broadcast semi-joins
+    BEFORE the shuffle, which is the whole 100 TB win. n_candidates
+    (bloom survivors incl. false positives) is engine-exact because
+    the bit positions are md5-derived; the merge join then removes the
+    FPs, so revenue matches the plain join. Integer-cents revenue."""
+    from parkour_spark.operators.sketch import bloom_bits, bloom_prefilter
+
+    li = _t(spark, sf_dir, "lineitem")
+    dim = _t(spark, sf_dir, "part").where(F.col("p_brand") == "Brand#1").select(
+        "p_partkey"
+    )
+    bits = bloom_bits(dim, "p_partkey", m=_BLOOM_M, k=_BLOOM_K)
+    cand = bloom_prefilter(li, bits, "l_partkey", m=_BLOOM_M, k=_BLOOM_K).persist()
+    joined = cand.join(dim.hint("merge"), cand.l_partkey == dim.p_partkey)
+    n_cand = cand.select(F.count("*").alias("n_candidates"))
+    return (
+        joined.agg(
+            F.count("*").alias("n_joined"),
+            F.round(
+                F.sum(
+                    F.round(
+                        F.col("l_extendedprice") * (1 - F.col("l_discount")) * 100
+                    ).cast("long")
+                )
+                / 100.0,
+                2,
+            ).alias("revenue"),
+        )
+        .crossJoin(F.broadcast(n_cand))
+        .select("n_candidates", "n_joined", "revenue")
+    )

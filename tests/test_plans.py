@@ -173,3 +173,57 @@ def test_delta_dedup_no_corpus_self_join(spark, queries):
     plan = _plan(queries["dedup_delta_ingest"](spark, SF_DIR))
     assert "CartesianProduct" not in plan, plan
     assert "BroadcastNestedLoopJoin" not in plan, plan
+
+
+# --- TPC-H-adapted plan shapes (r4 session: q6/q7/q10/q14/q18/q19) ----------
+
+
+def test_q6_pushdown_and_pruning_no_join(spark, queries):
+    plan = _plan(queries["q6_forecast_revenue"](spark, SF_DIR))
+    # pure scan+agg: no join operator of any kind, exactly one (1-row) merge
+    assert "Join" not in plan, plan
+    # all four predicates reach the parquet scan
+    m = re.search(r"PushedFilters: \[([^\]]*)", plan)
+    assert m, plan
+    pushed = m.group(1)
+    for col in ("l_shipdate", "l_discount", "l_quantity"):
+        assert col in pushed, (col, pushed)
+    # only the 4 referenced columns are read
+    s = re.search(r"FileScan parquet \[([^\]]*)\]", plan)
+    cols = {c.split("#")[0] for c in s.group(1).split(",") if c}
+    assert cols <= {"l_shipdate", "l_discount", "l_quantity", "l_extendedprice"}, cols
+
+
+def test_q7_both_nation_decodes_broadcast(spark, queries):
+    plan = _plan(queries["q7_volume_shipping"](spark, SF_DIR))
+    # supplier + 2 aliased nation sides all broadcast — never sort-merged
+    assert plan.count("BroadcastHashJoin") >= 3, plan
+
+
+def test_q10_topk_is_take_ordered(spark, queries):
+    plan = _plan(queries["q10_returned_items"](spark, SF_DIR))
+    assert "TakeOrderedAndProject" in plan, plan
+    # the returnflag filter pushes to the lineitem scan
+    assert re.search(r"PushedFilters: \[[^\]]*EqualTo\(l_returnflag,R\)", plan), plan
+
+
+def test_q14_no_groupby_shuffle(spark, queries):
+    plan = _plan(queries["q14_promo_effect"](spark, SF_DIR))
+    # conditional agg: broadcast join + global partial agg, zero wide shuffle
+    assert _shuffles(plan) == 0, plan
+    assert "BroadcastHashJoin" in plan, plan
+
+
+def test_q18_having_keys_semi_join(spark, queries):
+    plan = _plan(queries["q18_large_volume_customers"](spark, SF_DIR))
+    assert "LeftSemi" in plan, plan
+
+
+def test_q19_derived_domain_predicates_pushed(spark, queries):
+    plan = _plan(queries["q19_disjunctive_predicates"](spark, SF_DIR))
+    # the OR spans both tables, but Catalyst derives per-side domain
+    # disjunctions; the lineitem quantity bound must reach that scan
+    m = re.findall(r"PushedFilters: \[([^\]]*)", plan)
+    assert any("l_quantity" in p for p in m), m
+    assert any("p_brand" in p or "p_size" in p for p in m), m
+    assert "BroadcastHashJoin" in plan, plan
