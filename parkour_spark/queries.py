@@ -4018,3 +4018,66 @@ def q_bloom_filtered_join(spark, sf_dir):
         .crossJoin(F.broadcast(n_cand))
         .select("n_candidates", "n_joined", "revenue")
     )
+
+
+# ===========================================================================
+# Data layout (operators/layout.py): z-order clustering + file skipping
+# ===========================================================================
+
+
+@query(
+    "zorder_pruned_scan",
+    """
+    SELECT count(*) AS n,
+           round(sum(l_quantity), 2) AS qty,
+           round(sum(CAST(round(l_extendedprice * (1 - l_discount) * 100)
+                          AS BIGINT)) / 100.0, 2) AS revenue
+    FROM lineitem
+    WHERE l_partkey BETWEEN 10 AND 30 AND l_suppkey BETWEEN 1 AND 3
+    """,
+)
+def q_zorder_pruned_scan(spark, sf_dir):
+    """Write lineitem z-ordered on (l_partkey, l_suppkey), read it back
+    through a 2-d box predicate. The result is layout-INDEPENDENT (the
+    oracle is the plain filter+agg over the original table); what the
+    layout buys is file skipping, asserted quantitatively in
+    tests/test_layout.py (footer-stats pruning: z-order bounds files
+    hit on a single-dim box where a 1-d sort layout reads everything).
+    Quantization bounds come from a broadcast 1-row aggregate — no
+    driver collect, so the same code runs at any corpus size."""
+    import tempfile
+
+    from parkour_spark.operators.layout import write_zordered
+
+    li = _t(spark, sf_dir, "lineitem")
+    b = li.agg(
+        F.max("l_partkey").alias("__p_hi"), F.max("l_suppkey").alias("__s_hi")
+    )
+    cells = (
+        li.crossJoin(F.broadcast(b))
+        .withColumn(
+            "__c1", F.floor(F.col("l_partkey") * 256 / (F.col("__p_hi") + 1))
+        )
+        .withColumn(
+            "__c2", F.floor(F.col("l_suppkey") * 256 / (F.col("__s_hi") + 1))
+        )
+        .drop("__p_hi", "__s_hi")
+    )
+    tmp = tempfile.mkdtemp(prefix="parkour_zorder_")
+    write_zordered(cells, tmp, "__c1", "__c2", bits=8, n_files=16)
+    back = spark.read.parquet(tmp).where(
+        F.col("l_partkey").between(10, 30) & F.col("l_suppkey").between(1, 3)
+    )
+    return back.agg(
+        F.count("*").alias("n"),
+        F.round(F.sum("l_quantity"), 2).alias("qty"),
+        F.round(
+            F.sum(
+                F.round(
+                    F.col("l_extendedprice") * (1 - F.col("l_discount")) * 100
+                ).cast("long")
+            )
+            / 100.0,
+            2,
+        ).alias("revenue"),
+    )
