@@ -4081,3 +4081,103 @@ def q_zorder_pruned_scan(spark, sf_dir):
             2,
         ).alias("revenue"),
     )
+
+
+# ===========================================================================
+# BPE tokenizer training (operators/bpe.py)
+# ===========================================================================
+
+
+_BPE_PROLOGUE = """
+    WITH words AS (
+      SELECT word, count(*) AS wc FROM (
+        SELECT unnest(string_split_regex(trim(text), '\\s+')) AS word
+        FROM documents)
+      WHERE word <> '' GROUP BY word),
+    v0 AS (SELECT word, wc,
+           regexp_replace(word, '(.)', '<\\1>', 'g') AS s FROM words),
+"""
+
+
+def _bpe_rounds_sql(n_merges: int) -> tuple[str, str]:
+    """Unroll the BPE merge trajectory as CTE rounds. The sentinel
+    string representation makes each merge a plain `replace`, whose
+    left-to-right non-overlapping semantics are identical in Spark and
+    DuckDB — so the WHOLE trajectory (not just the final table) is
+    engine-exact. Returns (rounds_ctes, merge_table_select)."""
+    parts, sels, prev = [], [], "v0"
+    for i in range(1, n_merges + 1):
+        parts.append(f"""
+p{i} AS (
+  SELECT syms[i] AS lhs, syms[i+1] AS rhs, sum(wc) AS c
+  FROM (SELECT wc, string_split(trim(s, '<>'), '><') AS syms FROM {prev}),
+       unnest(range(1, len(syms))) AS t(i)
+  GROUP BY 1, 2),
+b{i} AS (SELECT lhs, rhs, c FROM p{i} ORDER BY c DESC, lhs, rhs LIMIT 1),
+v{i} AS (SELECT word, wc,
+         replace(s, '<' || b.lhs || '><' || b.rhs || '>',
+                 '<' || b.lhs || b.rhs || '>') AS s
+         FROM {prev}, b{i} b)""")
+        sels.append(f"SELECT {i} AS step, lhs, rhs, c AS pair_count FROM b{i}")
+        prev = f"v{i}"
+    return ",".join(parts), " UNION ALL ".join(sels)
+
+
+def _bpe_oracle(n_merges: int) -> str:
+    rounds, merge_table = _bpe_rounds_sql(n_merges)
+    return _BPE_PROLOGUE + rounds + "\n    " + merge_table
+
+
+_BPE_MERGES = 5
+
+
+@query("bpe_train_merges", _bpe_oracle(_BPE_MERGES))
+def q_bpe_train(spark, sf_dir):
+    """Distributed BPE training over the corpus vocabulary: one corpus
+    scan to (word, count), then 5 merge rounds on the vocab-sized table
+    (pair-count shuffle + 1-row argmax + broadcast-scalar replace per
+    round — the vocabulary itself is never collected). Greedy-replace
+    merge semantics are engine-exact (see operators/bpe.py), so the
+    oracle replays the full trajectory as unrolled CTEs."""
+    from parkour_spark.operators.bpe import bpe_train
+
+    docs = _t(spark, sf_dir, "documents")
+    words = (
+        docs.select(F.explode(F.split(F.trim("text"), r"\s+")).alias("word"))
+        .where(F.col("word") != "")
+        .groupBy("word")
+        .agg(F.count("*").alias("wc"))
+    )
+    return bpe_train(words, n_merges=_BPE_MERGES)
+
+
+@query(
+    "bpe_vocab_segmentation",
+    _BPE_PROLOGUE
+    + _bpe_rounds_sql(_BPE_MERGES)[0]
+    + f"""
+    SELECT word, wc, s AS segmented,
+           len(string_split(trim(s, '<>'), '><')) AS n_tokens
+    FROM v{_BPE_MERGES}
+    """,
+)
+def q_bpe_segment(spark, sf_dir):
+    """The learned merges APPLIED back to the vocabulary: per-word
+    segmentation string + token count after 5 merges — the encoder-side
+    half of BPE (zero shuffles beyond training: replaces are
+    scan-side). Shares the training trajectory with bpe_train_merges."""
+    from parkour_spark.operators.bpe import bpe_segment, bpe_train, vocab_from_words
+
+    docs = _t(spark, sf_dir, "documents")
+    words = (
+        docs.select(F.explode(F.split(F.trim("text"), r"\s+")).alias("word"))
+        .where(F.col("word") != "")
+        .groupBy("word")
+        .agg(F.count("*").alias("wc"))
+    )
+    merges = [
+        (r["lhs"], r["rhs"])
+        for r in bpe_train(words, n_merges=_BPE_MERGES).collect()
+    ]
+    seg = bpe_segment(vocab_from_words(words), merges)
+    return seg.select("word", "wc", F.col("s").alias("segmented"), "n_tokens")
