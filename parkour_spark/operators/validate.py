@@ -1,0 +1,179 @@
+"""Data-quality validation and column profiling (Deequ-style).
+
+A 100 TB ingest without constraint checks ships silent corruption into
+training runs; a naive check suite that scans the table once PER
+constraint turns quality into the most expensive stage. The shape here:
+
+- All row-level constraints over one table compile into a SINGLE
+  aggregate pass — each check is a conditional-sum Column, so N checks
+  cost one scan + one 1-row partial-agg merge, never N scans.
+- Uniqueness rides the same pass as `count(*) - count(DISTINCT col)`
+  (Catalyst plans the mixed agg with an Expand — one extra shuffle of
+  key-sized data, still one scan).
+- Referential integrity is its own shape by necessity (an anti-join);
+  the parent side is keys-only and broadcasts when small.
+- Output is a tall (constraint, violations, n_rows, status) table —
+  machine-checkable, so a pipeline gates a write on
+  `violations == 0` without parsing logs.
+
+`profile_columns` is the discovery-side twin: per-column null counts,
+distincts, min/max in one aggregate pass, emitted tall. Values are
+formatted to strings deterministically (doubles rounded, timestamps
+date-formatted) so profiles are comparable across engines and runs.
+
+Reference parity: beyond-reference (the reference has no quality
+layer; SURVEY §2 pipeline-infrastructure family).
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass
+
+from pyspark.sql import Column, DataFrame, functions as F
+
+
+@dataclass(frozen=True)
+class Check:
+    """A named constraint whose `violated` Column is true on bad rows."""
+
+    name: str
+    violated: Column
+
+
+def not_null(col: str) -> Check:
+    return Check(f"not_null({col})", F.col(col).isNull())
+
+
+def in_range(col: str, lo, hi) -> Check:
+    c = F.col(col)
+    return Check(f"in_range({col},{lo},{hi})", c.isNull() | (c < lo) | (c > hi))
+
+
+def in_set(col: str, values: list) -> Check:
+    c = F.col(col)
+    return Check(f"in_set({col})", c.isNull() | ~c.isin(values))
+
+
+def matches(col: str, pattern: str) -> Check:
+    c = F.col(col)
+    return Check(f"matches({col})", c.isNull() | ~c.rlike(pattern))
+
+
+def expression(name: str, violated: Column) -> Check:
+    return Check(name, violated)
+
+
+def validate(df: DataFrame, checks: list[Check],
+             unique_cols: list[str] | None = None) -> DataFrame:
+    """Run every check in ONE aggregate pass over df. Returns the tall
+    (constraint, violations, n_rows, status) table; `unique_cols` adds
+    count-distinct uniqueness constraints to the same pass."""
+    aggs = [F.count(F.lit(1)).alias("__n")]
+    names = []
+    for ch in checks:
+        names.append(ch.name)
+        aggs.append(
+            F.sum(F.when(ch.violated, F.lit(1)).otherwise(F.lit(0)))
+            .cast("long")
+            .alias(f"__v{len(names) - 1}")
+        )
+    for uc in unique_cols or []:
+        names.append(f"unique({uc})")
+        aggs.append(
+            (F.count(uc) - F.count_distinct(F.col(uc)))
+            .cast("long")
+            .alias(f"__v{len(names) - 1}")
+        )
+    wide = df.agg(*aggs)
+    tall = F.explode(
+        F.array(
+            *[
+                F.struct(
+                    F.lit(n).alias("constraint"),
+                    F.col(f"__v{i}").alias("violations"),
+                )
+                for i, n in enumerate(names)
+            ]
+        )
+    ).alias("c")
+    return wide.select(tall, F.col("__n").alias("n_rows")).select(
+        F.col("c.constraint").alias("constraint"),
+        F.col("c.violations").alias("violations"),
+        "n_rows",
+        F.when(F.col("c.violations") == 0, F.lit("pass"))
+        .otherwise(F.lit("fail"))
+        .alias("status"),
+    )
+
+
+def ref_integrity(child: DataFrame, fk: str, parent: DataFrame,
+                  pk: str) -> DataFrame:
+    """Orphaned-foreign-key count as the same tall shape: anti-join
+    against the keys-only parent side (broadcast when small)."""
+    orphans = child.join(
+        F.broadcast(parent.select(F.col(pk).alias("__pk")).distinct()),
+        F.col(fk) == F.col("__pk"),
+        "left_anti",
+    )
+    return (
+        child.agg(F.count(F.lit(1)).alias("n_rows"))
+        .crossJoin(F.broadcast(orphans.agg(F.count(F.lit(1)).alias("violations"))))
+        .select(
+            F.lit(f"ref_integrity({fk}->{pk})").alias("constraint"),
+            F.col("violations").cast("long").alias("violations"),
+            "n_rows",
+            F.when(F.col("violations") == 0, F.lit("pass"))
+            .otherwise(F.lit("fail"))
+            .alias("status"),
+        )
+    )
+
+
+def profile_columns(df: DataFrame, numeric_cols: list[str],
+                    string_cols: list[str] | None = None) -> DataFrame:
+    """Per-column profile in one aggregate pass: rows, nulls, distincts,
+    min/max — emitted tall, values formatted deterministically (doubles
+    rounded to 4 places) for cross-run/cross-engine comparability."""
+    aggs = [F.count(F.lit(1)).alias("__n")]
+    specs = []
+    for c in numeric_cols:
+        i = len(specs)
+        specs.append(c)
+        aggs += [
+            F.sum(F.when(F.col(c).isNull(), 1).otherwise(0)).cast("long").alias(f"__null{i}"),
+            F.count_distinct(F.col(c)).alias(f"__dv{i}"),
+            F.round(F.min(F.col(c)).cast("double"), 4).cast("string").alias(f"__min{i}"),
+            F.round(F.max(F.col(c)).cast("double"), 4).cast("string").alias(f"__max{i}"),
+        ]
+    for c in string_cols or []:
+        i = len(specs)
+        specs.append(c)
+        aggs += [
+            F.sum(F.when(F.col(c).isNull(), 1).otherwise(0)).cast("long").alias(f"__null{i}"),
+            F.count_distinct(F.col(c)).alias(f"__dv{i}"),
+            F.min(F.col(c)).alias(f"__min{i}"),
+            F.max(F.col(c)).alias(f"__max{i}"),
+        ]
+    wide = df.agg(*aggs)
+    tall = F.explode(
+        F.array(
+            *[
+                F.struct(
+                    F.lit(c).alias("column"),
+                    F.col(f"__null{i}").alias("n_null"),
+                    F.col(f"__dv{i}").alias("n_distinct"),
+                    F.col(f"__min{i}").alias("min_val"),
+                    F.col(f"__max{i}").alias("max_val"),
+                )
+                for i, c in enumerate(specs)
+            ]
+        )
+    ).alias("p")
+    return wide.select(tall, F.col("__n").alias("n_rows")).select(
+        F.col("p.column").alias("column"),
+        "n_rows",
+        F.col("p.n_null").alias("n_null"),
+        F.col("p.n_distinct").alias("n_distinct"),
+        F.col("p.min_val").alias("min_val"),
+        F.col("p.max_val").alias("max_val"),
+    )

@@ -4181,3 +4181,145 @@ def q_bpe_segment(spark, sf_dir):
     ]
     seg = bpe_segment(vocab_from_words(words), merges)
     return seg.select("word", "wc", F.col("s").alias("segmented"), "n_tokens")
+
+
+# ===========================================================================
+# Data-quality validation + profiling (operators/validate.py)
+# ===========================================================================
+
+
+@query(
+    "validate_orders_constraints",
+    """
+    WITH base AS (SELECT count(*) AS n FROM orders)
+    SELECT 'not_null(o_custkey)' AS constraint,
+           (SELECT count(*) FROM orders WHERE o_custkey IS NULL) AS violations,
+           n AS n_rows,
+           CASE WHEN (SELECT count(*) FROM orders WHERE o_custkey IS NULL) = 0
+                THEN 'pass' ELSE 'fail' END AS status FROM base
+    UNION ALL
+    SELECT 'in_range(o_totalprice,0.01,1000000)',
+           (SELECT count(*) FROM orders
+            WHERE o_totalprice IS NULL
+               OR o_totalprice < 0.01 OR o_totalprice > 1000000),
+           n,
+           CASE WHEN (SELECT count(*) FROM orders
+                      WHERE o_totalprice IS NULL
+                         OR o_totalprice < 0.01 OR o_totalprice > 1000000) = 0
+                THEN 'pass' ELSE 'fail' END FROM base
+    UNION ALL
+    SELECT 'in_set(o_orderstatus)',
+           (SELECT count(*) FROM orders
+            WHERE o_orderstatus IS NULL
+               OR o_orderstatus NOT IN ('F', 'O', 'P')),
+           n,
+           CASE WHEN (SELECT count(*) FROM orders
+                      WHERE o_orderstatus IS NULL
+                         OR o_orderstatus NOT IN ('F', 'O', 'P')) = 0
+                THEN 'pass' ELSE 'fail' END FROM base
+    UNION ALL
+    SELECT 'unique(o_orderkey)',
+           (SELECT count(o_orderkey) - count(DISTINCT o_orderkey) FROM orders),
+           n,
+           CASE WHEN (SELECT count(o_orderkey) - count(DISTINCT o_orderkey)
+                      FROM orders) = 0 THEN 'pass' ELSE 'fail' END FROM base
+    UNION ALL
+    SELECT 'ref_integrity(o_custkey->c_custkey)',
+           (SELECT count(*) FROM orders o WHERE NOT EXISTS
+             (SELECT 1 FROM customer c WHERE c.c_custkey = o.o_custkey)),
+           n,
+           CASE WHEN (SELECT count(*) FROM orders o WHERE NOT EXISTS
+                       (SELECT 1 FROM customer c
+                        WHERE c.c_custkey = o.o_custkey)) = 0
+                THEN 'pass' ELSE 'fail' END FROM base
+    UNION ALL
+    SELECT 'shipdate_after_orderdate',
+           (SELECT count(*) FROM lineitem l JOIN orders o
+             ON l.l_orderkey = o.o_orderkey
+            WHERE l.l_shipdate < o.o_orderdate),
+           (SELECT count(*) FROM lineitem l JOIN orders o
+             ON l.l_orderkey = o.o_orderkey),
+           CASE WHEN (SELECT count(*) FROM lineitem l JOIN orders o
+                       ON l.l_orderkey = o.o_orderkey
+                      WHERE l.l_shipdate < o.o_orderdate) = 0
+                THEN 'pass' ELSE 'fail' END
+    """,
+)
+def q_validate_orders(spark, sf_dir):
+    """Deequ-style constraint suite: every row-level check + uniqueness
+    compiles into ONE aggregate pass over orders (asserted in
+    tests/test_plans.py); referential integrity is a broadcast
+    anti-join; the cross-table date invariant runs on the joined pair.
+    The suite deliberately includes a FAILING constraint
+    (shipdate_after_orderdate — ~half the synthetic rows violate it)
+    so the artifact proves violations are counted, not just zeroed."""
+    from parkour_spark.operators import validate as V
+
+    orders = _t(spark, sf_dir, "orders")
+    cust = _t(spark, sf_dir, "customer")
+    li = _t(spark, sf_dir, "lineitem")
+    suite = V.validate(
+        orders,
+        [
+            V.not_null("o_custkey"),
+            V.in_range("o_totalprice", 0.01, 1000000),
+            V.in_set("o_orderstatus", ["F", "O", "P"]),
+        ],
+        unique_cols=["o_orderkey"],
+    )
+    fk = V.ref_integrity(orders, "o_custkey", cust, "c_custkey")
+    pair = li.join(orders, li.l_orderkey == orders.o_orderkey)
+    cross = V.validate(
+        pair,
+        [V.expression("shipdate_after_orderdate",
+                      F.col("l_shipdate") < F.col("o_orderdate"))],
+    )
+    return suite.unionByName(fk).unionByName(cross)
+
+
+@query(
+    "profile_order_columns",
+    """
+    WITH base AS (SELECT count(*) AS n FROM orders)
+    SELECT 'o_totalprice' AS "column", n AS n_rows,
+           (SELECT count(*) FROM orders WHERE o_totalprice IS NULL) AS n_null,
+           (SELECT count(DISTINCT o_totalprice) FROM orders) AS n_distinct,
+           (SELECT round(min(o_totalprice), 4)::VARCHAR FROM orders) AS min_val,
+           (SELECT round(max(o_totalprice), 4)::VARCHAR FROM orders) AS max_val
+    FROM base
+    UNION ALL
+    SELECT 'o_custkey', n,
+           (SELECT count(*) FROM orders WHERE o_custkey IS NULL),
+           (SELECT count(DISTINCT o_custkey) FROM orders),
+           (SELECT round(min(o_custkey)::DOUBLE, 4)::VARCHAR FROM orders),
+           (SELECT round(max(o_custkey)::DOUBLE, 4)::VARCHAR FROM orders)
+    FROM base
+    UNION ALL
+    SELECT 'o_orderpriority', n,
+           (SELECT count(*) FROM orders WHERE o_orderpriority IS NULL),
+           (SELECT count(DISTINCT o_orderpriority) FROM orders),
+           (SELECT min(o_orderpriority) FROM orders),
+           (SELECT max(o_orderpriority) FROM orders)
+    FROM base
+    UNION ALL
+    SELECT 'o_orderstatus', n,
+           (SELECT count(*) FROM orders WHERE o_orderstatus IS NULL),
+           (SELECT count(DISTINCT o_orderstatus) FROM orders),
+           (SELECT min(o_orderstatus) FROM orders),
+           (SELECT max(o_orderstatus) FROM orders)
+    FROM base
+    """,
+)
+def q_profile_orders(spark, sf_dir):
+    """Column profiling (discovery-side twin of the validation suite):
+    nulls / distincts / min / max for 4 columns in ONE aggregate pass,
+    emitted tall. Doubles round to 4 places before string formatting so
+    the profile is engine-comparable."""
+    from parkour_spark.operators.validate import profile_columns
+
+    orders = _t(spark, sf_dir, "orders")
+    return profile_columns(
+        orders,
+        numeric_cols=["o_totalprice", "o_custkey"],
+        string_cols=["o_orderpriority", "o_orderstatus"],
+    )

@@ -1,0 +1,80 @@
+"""Validation/profiling semantics (operators/validate.py) on hand-built
+frames with known nulls, dupes, and range violations — plus the
+single-scan plan property that makes an N-check suite affordable."""
+
+import pytest
+from pyspark.sql import functions as F
+
+from parkour_spark.operators import validate as V
+
+
+@pytest.fixture(scope="module")
+def frame(spark):
+    return spark.createDataFrame(
+        [
+            (1, 10.0, "A"),
+            (2, -5.0, "B"),
+            (2, 99.0, None),
+            (3, None, "Z"),
+        ],
+        "id long, amount double, code string",
+    )
+
+
+def test_checks_count_violations_exactly(spark, frame):
+    out = {
+        r["constraint"]: (r["violations"], r["status"])
+        for r in V.validate(
+            frame,
+            [
+                V.not_null("code"),
+                V.in_range("amount", 0.0, 50.0),
+                V.in_set("code", ["A", "B"]),
+            ],
+            unique_cols=["id"],
+        ).collect()
+    }
+    assert out["not_null(code)"] == (1, "fail")
+    # -5 out of range, 99 out of range, NULL counts as violation
+    assert out["in_range(amount,0.0,50.0)"] == (3, "fail")
+    # NULL and 'Z' not in set
+    assert out["in_set(code)"] == (2, "fail")
+    assert out["unique(id)"] == (1, "fail")
+    rows = V.validate(frame, [V.not_null("id")]).collect()
+    assert rows[0]["violations"] == 0 and rows[0]["status"] == "pass"
+    assert rows[0]["n_rows"] == 4
+
+
+def test_ref_integrity_counts_orphans(spark, frame):
+    parent = spark.createDataFrame([(1,), (2,)], "pk long")
+    out = V.ref_integrity(frame, "id", parent, "pk").collect()[0]
+    assert out["violations"] == 1  # id=3 has no parent
+    assert out["status"] == "fail"
+
+
+def test_profile_columns_values(spark, frame):
+    prof = {
+        r["column"]: r
+        for r in V.profile_columns(
+            frame, numeric_cols=["amount"], string_cols=["code"]
+        ).collect()
+    }
+    a = prof["amount"]
+    assert (a["n_rows"], a["n_null"], a["n_distinct"]) == (4, 1, 3)
+    assert a["min_val"] == "-5.0" and a["max_val"] == "99.0"
+    c = prof["code"]
+    assert (c["n_null"], c["n_distinct"]) == (1, 3)
+    assert c["min_val"] == "A" and c["max_val"] == "Z"
+
+
+def test_row_level_suite_is_single_scan(spark, frame):
+    # N row-level checks + uniqueness = ONE scan of the input (the agg
+    # carries every conditional sum; count-distinct adds an Expand, not
+    # a second scan)
+    df = V.validate(
+        frame,
+        [V.not_null("code"), V.in_range("amount", 0, 50), V.in_set("code", ["A"])],
+        unique_cols=["id"],
+    )
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert plan.count("Scan ExistingRDD") <= 1, plan
