@@ -269,3 +269,64 @@ def pagerank(
             .localCheckpoint()
         )
     return ranks.select(F.col("n").alias(node_col), F.col("r").alias("rank_micro"))
+
+
+def triangle_count(
+    edges: DataFrame,
+    src: str = "id_a",
+    dst: str = "id_b",
+) -> DataFrame:
+    """Per-node triangle counts via degree-ordered edge orientation
+    (the node-iterator++ / Cohen MapReduce scheme): orient every edge
+    from the lower-(degree, id) endpoint to the higher one, so each
+    triangle is enumerated exactly once as a wedge a→b, a→c (a its
+    lowest-ranked corner) closed by b→c. Orientation bounds per-node
+    out-degree by ~sqrt(2m) on any graph — the wedge fan-out that makes
+    naive triangle join quadratic on hot nodes stays bounded at scale.
+
+    Three shuffles total: degree agg, wedge self-join on the low
+    corner, closing semi-equi-join; then one explode+agg to credit all
+    three corners. Returns (node, n_triangles), nodes with ≥1 only.
+    """
+    e = (
+        edges.select(F.col(src).alias("a"), F.col(dst).alias("b"))
+        .where(F.col("a") != F.col("b"))
+        .select(
+            F.least("a", "b").alias("a"), F.greatest("a", "b").alias("b")
+        )
+        .distinct()
+    )
+    deg = (
+        e.select(F.col("a").alias("n")).union(e.select(F.col("b").alias("n")))
+        .groupBy("n")
+        .agg(F.count("*").alias("d"))
+    )
+    # orient: lower (degree, id) endpoint -> higher
+    ranked = (
+        e.join(deg.withColumnRenamed("n", "a").withColumnRenamed("d", "da"), "a")
+        .join(deg.withColumnRenamed("n", "b").withColumnRenamed("d", "db"), "b")
+        .select(
+            F.when(
+                (F.col("da") < F.col("db"))
+                | ((F.col("da") == F.col("db")) & (F.col("a") < F.col("b"))),
+                F.struct(F.col("a").alias("lo"), F.col("b").alias("hi")),
+            )
+            .otherwise(F.struct(F.col("b").alias("lo"), F.col("a").alias("hi")))
+            .alias("o")
+        )
+        .select(F.col("o.lo").alias("lo"), F.col("o.hi").alias("hi"))
+    )
+    w1 = ranked.select(F.col("lo").alias("a"), F.col("hi").alias("b"))
+    w2 = ranked.select(F.col("lo").alias("a"), F.col("hi").alias("c"))
+    wedges = w1.join(w2, "a").where(F.col("b") < F.col("c"))
+    tri = wedges.join(
+        ranked.select(
+            F.least("lo", "hi").alias("b"), F.greatest("lo", "hi").alias("c")
+        ).distinct(),
+        ["b", "c"],
+        "left_semi",
+    )
+    corners = tri.select(
+        F.explode(F.array("a", "b", "c")).alias("node")
+    )
+    return corners.groupBy("node").agg(F.count("*").alias("n_triangles"))

@@ -4323,3 +4323,84 @@ def q_profile_orders(spark, sf_dir):
         numeric_cols=["o_totalprice", "o_custkey"],
         string_cols=["o_orderpriority", "o_orderstatus"],
     )
+
+
+# ===========================================================================
+# Triangle counting (operators/graph.py) over the near-dup graph
+# ===========================================================================
+
+
+def _neardup_pairs_ctes() -> str:
+    """The dedup_minhash_lsh pair graph as a reusable CTE prefix
+    (toks → sigs → bands → cand → pairs) — same construction as the
+    pagerank oracle."""
+    from parkour_spark.operators.dedup import MINHASH_P, minhash_params
+
+    num_hashes, bands = 12, 4
+    rpb = num_hashes // bands
+    x = f"(('0x' || substr(md5(x), 1, 8))::BIGINT % {MINHASH_P})"
+    sig_cols = ",\n       ".join(
+        f"list_min(list_transform(t, x -> ({a} * {x} + {b}) % {MINHASH_P})) AS sig_{i}"
+        for i, (a, b) in enumerate(minhash_params(num_hashes))
+    )
+    band_keys = ", ".join(
+        "'" + str(b) + "|' || " + " || '|' || ".join(f"sig_{b * rpb + r}" for r in range(rpb))
+        for b in range(bands)
+    )
+    return f"""
+    toks AS (SELECT doc_id, {_SHINGLES_SQL} AS t FROM documents),
+    sigs AS (SELECT doc_id, {sig_cols} FROM toks),
+    bands AS (SELECT doc_id, unnest([{band_keys}]) AS band_key FROM sigs),
+    cand AS (
+      SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
+      FROM bands a JOIN bands b USING (band_key)
+      WHERE a.doc_id < b.doc_id),
+    pairs AS (
+      SELECT id_a, id_b FROM cand
+      JOIN toks ta ON cand.id_a = ta.doc_id
+      JOIN toks tb ON cand.id_b = tb.doc_id
+      WHERE len(list_intersect(ta.t, tb.t))::DOUBLE
+            / len(list_distinct(list_concat(ta.t, tb.t))) >= 0.8)"""
+
+
+@query(
+    "triangle_counts_dedup_graph",
+    f"""
+    WITH {_neardup_pairs_ctes()},
+    e AS (SELECT DISTINCT least(id_a, id_b) AS a, greatest(id_a, id_b) AS b
+          FROM pairs WHERE id_a <> id_b),
+    deg AS (SELECT n, count(*) AS d FROM (
+      SELECT a AS n FROM e UNION ALL SELECT b FROM e) GROUP BY n),
+    ranked AS (
+      SELECT CASE WHEN (da.d < db.d) OR (da.d = db.d AND e.a < e.b)
+                  THEN e.a ELSE e.b END AS lo,
+             CASE WHEN (da.d < db.d) OR (da.d = db.d AND e.a < e.b)
+                  THEN e.b ELSE e.a END AS hi
+      FROM e JOIN deg da ON e.a = da.n JOIN deg db ON e.b = db.n),
+    wedges AS (
+      SELECT w1.lo AS a, w1.hi AS b, w2.hi AS c
+      FROM ranked w1 JOIN ranked w2 ON w1.lo = w2.lo
+      WHERE w1.hi < w2.hi),
+    tri AS (
+      SELECT a, b, c FROM wedges
+      WHERE EXISTS (SELECT 1 FROM ranked r
+                    WHERE least(r.lo, r.hi) = wedges.b
+                      AND greatest(r.lo, r.hi) = wedges.c))
+    SELECT node, count(*) AS n_triangles FROM (
+      SELECT unnest([a, b, c]) AS node FROM tri)
+    GROUP BY node
+    """,
+)
+def q_triangle_counts(spark, sf_dir):
+    """Per-node triangle counts (operators.graph.triangle_count) over
+    the MinHash near-dup graph: triangle density separates tight dup
+    cliques from chains of borderline matches — a cluster-quality
+    signal CC alone can't give. Degree-ordered edge orientation bounds
+    wedge fan-out by ~sqrt(2m) so the self-join never goes quadratic
+    on a hot node; each triangle is enumerated exactly once at its
+    lowest-ranked corner."""
+    from parkour_spark.operators.graph import triangle_count
+
+    docs = _t(spark, sf_dir, "documents")
+    pairs = D.minhash_dedup_pairs(docs, threshold=0.8)
+    return triangle_count(pairs)

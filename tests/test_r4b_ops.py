@@ -262,3 +262,25 @@ def test_pagerank_center_outranks_leaves(spark):
          pagerank(nodes, edges, node_col="id", iters=3).collect()}
     assert r[0] > r[1] == r[2] == r[3] == r[4]  # hub dominates, leaves tie
     assert r[5] == 150_000  # isolated: base rank only
+
+
+def test_triangle_count_known_graphs(spark):
+    from parkour_spark.operators.graph import triangle_count
+
+    # K4 (every node in C(3,2)=3 triangles) + a 4-cycle with no
+    # diagonal (0 triangles) + duplicate/reversed edges (must dedupe)
+    k4 = [(a, b) for a in range(4) for b in range(4) if a < b]
+    square = [(10, 11), (11, 12), (12, 13), (13, 10), (11, 10)]
+    edges = spark.createDataFrame(k4 + square, "id_a long, id_b long")
+    got = {r["node"]: r["n_triangles"] for r in triangle_count(edges).collect()}
+    assert got == {0: 3, 1: 3, 2: 3, 3: 3}
+
+
+def test_triangle_count_single_triangle_with_tail(spark):
+    from parkour_spark.operators.graph import triangle_count
+
+    edges = spark.createDataFrame(
+        [(1, 2), (2, 3), (1, 3), (3, 4)], "id_a long, id_b long"
+    )
+    got = {r["node"]: r["n_triangles"] for r in triangle_count(edges).collect()}
+    assert got == {1: 1, 2: 1, 3: 1}
