@@ -33,13 +33,14 @@ def entry(spark: SparkSession) -> DataFrame:
 #     set.
 # Out-of-window entries are still verified every round by the local
 # gate replica (scripts/check_oracle.py, run over ALL entries).
-# The 7 entries ADDED LATE in r4 (repetition_profile, pii_scrub,
-# line_dedup_boiler, source_mixture_weights, vocab_head_coverage,
-# semantic_dedup_kmeans, semantic_dedup_groups) are NOT in this window:
-# every current slot is pinned (36 entries whose newest driver row is
-# r02 — demoting any would break the ≤1-round-old rotation invariant —
-# plus entries whose code changed in r4). They are local-gate-verified
-# (13/13 targeted runs green this round) and take window slots in r5.
+# Entries ADDED AFTER this window was pinned (the late-r4 families in
+# NOTES_r4.md §9-14: repetition/PII/line-dedup/semantic-dedup, delta
+# ingest, LM scoring, pagerank, TPC-H shapes, sketches, z-order, BPE,
+# validation, triangles) are NOT in this window: every slot is pinned
+# (36 entries whose newest driver row is r02 — demoting any would
+# break the ≤1-round-old rotation invariant — plus entries whose code
+# changed in r4). All are local-gate-verified (targeted
+# check_oracle.py runs green) and take window slots in r5.
 _R4_WINDOW = [
     # flagships
     "q1_pricing_summary", "word_count",

@@ -51,6 +51,13 @@ HEADLINE = [
     # r4 late additions: corpus line dedup + cluster-blocked semantic dedup
     "line_dedup_boiler",
     "semantic_dedup_kmeans",
+    # r4 third session: runtime join filter, z-order layout, iterative
+    # BPE training, triangle counting — the new families that matter at
+    # scale, tracked round-over-round
+    "bloom_filtered_join_agg",
+    "zorder_pruned_scan",
+    "bpe_train_merges",
+    "triangle_counts_dedup_graph",
 ]
 
 

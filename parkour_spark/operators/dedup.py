@@ -938,3 +938,61 @@ def winnow_overlap_pairs(
         .agg(F.count("*").alias("n_shared"))
         .where(F.col("n_shared") >= min_shared)
     )
+
+
+def sorted_neighborhood_pairs(
+    docs,
+    key_col,
+    window: int = 3,
+    block_chars: int = 2,
+    id_col: str = "doc_id",
+):
+    """Sorted-neighborhood blocking (the classic ER alternative to
+    LSH): sort records by a blocking key; candidate pairs = records
+    within `window` positions of each other. Distributed shape: the
+    sort is PER BLOCK (first `block_chars` of the key partition the
+    window spec), so there is no global-order bottleneck — one shuffle
+    on the block prefix, every block's neighborhood sweep independent.
+    The trade (pairs straddling a block boundary are not candidates) is
+    the standard sorted-blocks formulation; with a hash-like key the
+    boundary loss is uniform, and callers widen block_chars as n grows
+    to keep per-block rows bounded.
+
+    Pairs come from `window-1` lead() columns per row — zero
+    self-joins. Returns (id_a, id_b, key_a, key_b) with id_a < id_b.
+    """
+    from pyspark.sql import Window
+
+    k = F.col(key_col)
+    blocked = docs.select(
+        F.col(id_col).alias("__id"), k.alias("__k"),
+        F.substring(k, 1, block_chars).alias("__blk"),
+    )
+    w = Window.partitionBy("__blk").orderBy(F.col("__k"), F.col("__id"))
+    # window expressions can't live inside a generator: project the
+    # lead columns first, THEN array+explode the plain columns
+    led = blocked.select(
+        "__id", "__k",
+        *[F.lead("__id", i).over(w).alias(f"__nid{i}") for i in range(1, window)],
+        *[F.lead("__k", i).over(w).alias(f"__nk{i}") for i in range(1, window)],
+    )
+    neigh = F.array(
+        *[
+            F.struct(
+                F.col(f"__nid{i}").alias("nid"), F.col(f"__nk{i}").alias("nk")
+            )
+            for i in range(1, window)
+        ]
+    )
+    pairs = (
+        led.withColumn("__n", F.explode(neigh))
+        .where(F.col("__n.nid").isNotNull())
+        .select(
+            F.least("__id", F.col("__n.nid")).alias("id_a"),
+            F.greatest("__id", F.col("__n.nid")).alias("id_b"),
+            F.least("__k", F.col("__n.nk")).alias("key_a"),
+            F.greatest("__k", F.col("__n.nk")).alias("key_b"),
+        )
+        .distinct()
+    )
+    return pairs

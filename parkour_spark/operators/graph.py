@@ -330,3 +330,52 @@ def triangle_count(
         F.explode(F.array("a", "b", "c")).alias("node")
     )
     return corners.groupBy("node").agg(F.count("*").alias("n_triangles"))
+
+
+def kcore(
+    edges: DataFrame,
+    k: int = 2,
+    iters: int = 8,
+    src: str = "id_a",
+    dst: str = "id_b",
+) -> DataFrame:
+    """k-core decomposition by fixed-iteration peeling: repeatedly drop
+    nodes with degree < k (and their edges) until stable. Each round is
+    one degree aggregation + one semi-join — the same primitives as
+    connected components. `iters` is FIXED (not early-out) so the
+    computation is a pure function of the input and replayable as
+    unrolled oracle CTEs; callers size iters so peeling has converged
+    (each round removes at least one node until stable, so iters ≥
+    peel depth — shallow for near-dup graphs; a test asserts an extra
+    round is a no-op at the registered setting).
+
+    Returns (node, degree) for nodes surviving in the k-core, with
+    their final in-core degree.
+    """
+    e = (
+        edges.select(F.col(src).alias("a"), F.col(dst).alias("b"))
+        .where(F.col("a") != F.col("b"))
+        .select(F.least("a", "b").alias("a"), F.greatest("a", "b").alias("b"))
+        .distinct()
+    )
+    for _ in range(iters):
+        deg = (
+            e.select(F.col("a").alias("n"))
+            .union(e.select(F.col("b").alias("n")))
+            .groupBy("n")
+            .agg(F.count("*").alias("d"))
+        )
+        keep = deg.where(F.col("d") >= k).select("n")
+        e = (
+            e.join(keep.withColumnRenamed("n", "a"), "a", "left_semi")
+            .join(keep.withColumnRenamed("n", "b"), "b", "left_semi")
+            .select("a", "b")
+            .localCheckpoint(eager=False)
+        )
+    deg = (
+        e.select(F.col("a").alias("node"))
+        .union(e.select(F.col("b").alias("node")))
+        .groupBy("node")
+        .agg(F.count("*").alias("degree"))
+    )
+    return deg.where(F.col("degree") >= k)

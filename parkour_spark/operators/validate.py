@@ -177,3 +177,26 @@ def profile_columns(df: DataFrame, numeric_cols: list[str],
         F.col("p.min_val").alias("min_val"),
         F.col("p.max_val").alias("max_val"),
     )
+
+
+def histogram(df: DataFrame, col: str, lo: float, hi: float,
+              n_buckets: int = 20) -> DataFrame:
+    """Equi-width histogram in one partial-agg'd scan: bucket =
+    clamp(floor((x - lo) * n / (hi - lo))), counts per bucket with
+    explicit integer bucket bounds — at most n_buckets rows shuffle.
+    Out-of-range values clamp into the edge buckets (they are still
+    counted; a profile that silently drops outliers lies)."""
+    c = F.col(col).cast("double")
+    raw = F.floor((c - F.lit(lo)) * n_buckets / (F.lit(hi) - F.lit(lo)))
+    b = F.greatest(F.lit(0), F.least(F.lit(n_buckets - 1), raw)).cast("int")
+    return (
+        df.where(c.isNotNull())
+        .groupBy(b.alias("bucket"))
+        .agg(F.count("*").alias("n"))
+        .withColumn(
+            "lo", F.round(F.lit(lo) + F.col("bucket") * (F.lit(hi) - F.lit(lo)) / n_buckets, 4)
+        )
+        .withColumn(
+            "hi", F.round(F.lit(lo) + (F.col("bucket") + 1) * (F.lit(hi) - F.lit(lo)) / n_buckets, 4)
+        )
+    )

@@ -4404,3 +4404,177 @@ def q_triangle_counts(spark, sf_dir):
     docs = _t(spark, sf_dir, "documents")
     pairs = D.minhash_dedup_pairs(docs, threshold=0.8)
     return triangle_count(pairs)
+
+
+# ===========================================================================
+# Interval algebra, k-core, sorted-neighborhood blocking, histogram
+# ===========================================================================
+
+
+@query(
+    "merged_event_intervals",
+    """
+    WITH iv AS (
+      -- floor, not ::BIGINT: DuckDB casts double->bigint by ROUNDING,
+      -- Spark's unix_timestamp floors sub-second epochs
+      SELECT user_id, CAST(floor(epoch(ts)) AS BIGINT) AS start_s,
+             CAST(floor(epoch(ts)) AS BIGINT)
+               + CAST(round(value * 60) AS BIGINT) AS end_s
+      FROM events),
+    flagged AS (
+      SELECT user_id, start_s, end_s,
+             CASE WHEN start_s > max(end_s) OVER (
+               PARTITION BY user_id ORDER BY start_s, end_s
+               ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING)
+             THEN 1 ELSE 0 END AS new_run
+      FROM iv),
+    runs AS (
+      SELECT user_id, start_s, end_s,
+             sum(new_run) OVER (
+               PARTITION BY user_id ORDER BY start_s, end_s
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS run
+      FROM flagged),
+    merged AS (
+      SELECT user_id, min(start_s) AS start_s, max(end_s) AS end_s
+      FROM runs GROUP BY user_id, run)
+    SELECT user_id, count(*) AS n_runs,
+           sum(end_s - start_s) AS covered_s,
+           max(end_s - start_s) AS longest_s
+    FROM merged GROUP BY user_id
+    """,
+)
+def q_merged_intervals(spark, sf_dir):
+    """Per-user interval coverage (operators.intervals): each event
+    spans [ts, ts + value·60s]; overlapping spans coalesce via the
+    two-window distributed sweep (new-run flag against the running max
+    end, then run-id prefix sum) — one shuffle, every user's sweep
+    independent. Integer-second endpoints keep both engines exact."""
+    from parkour_spark.operators.intervals import coverage_stats, merge_intervals
+
+    ev = _t(spark, sf_dir, "events")
+    iv = ev.select(
+        "user_id",
+        F.unix_timestamp("ts").alias("start_s"),
+        (F.unix_timestamp("ts") + F.round(F.col("value") * 60).cast("long")).alias(
+            "end_s"
+        ),
+    )
+    return coverage_stats(merge_intervals(iv))
+
+
+_KCORE_K, _KCORE_ITERS = 3, 6
+
+
+def _kcore_oracle() -> str:
+    rounds = []
+    prev = "e0"
+    # MATERIALIZED is load-bearing: each round references the previous
+    # one 3x; inlined CTEs would expand the pair graph 3^iters times
+    # (observed as fd exhaustion re-opening the parquet per copy)
+    for i in range(1, _KCORE_ITERS + 1):
+        rounds.append(f"""
+    d{i} AS MATERIALIZED (SELECT n, count(*) AS d FROM (
+      SELECT a AS n FROM {prev} UNION ALL SELECT b FROM {prev}) GROUP BY n),
+    e{i} AS MATERIALIZED (SELECT a, b FROM {prev}
+             WHERE a IN (SELECT n FROM d{i} WHERE d >= {_KCORE_K})
+               AND b IN (SELECT n FROM d{i} WHERE d >= {_KCORE_K}))""")
+        prev = f"e{i}"
+    return f"""
+    WITH {_neardup_pairs_ctes()},
+    e0 AS MATERIALIZED (
+      SELECT DISTINCT least(id_a, id_b) AS a, greatest(id_a, id_b) AS b
+      FROM pairs WHERE id_a <> id_b),
+    {",".join(rounds)}
+    SELECT node, count(*) AS degree FROM (
+      SELECT a AS node FROM {prev} UNION ALL SELECT b FROM {prev})
+    GROUP BY node HAVING count(*) >= {_KCORE_K}
+    """
+
+
+@query("kcore_dedup_graph", _kcore_oracle())
+def q_kcore(spark, sf_dir):
+    """k-core of the near-dup graph (k=3): the dense nucleus of each
+    duplicate cluster after peeling chains and borderline tails —
+    fixed-iteration peeling (degree agg + semi-join per round, the
+    same primitives as CC), replayed exactly by unrolled oracle CTEs.
+    A test asserts one more round is a no-op at this setting, so the
+    fixed depth is converged, not truncated."""
+    from parkour_spark.operators.graph import kcore
+
+    docs = _t(spark, sf_dir, "documents")
+    pairs = D.minhash_dedup_pairs(docs, threshold=0.8)
+    return kcore(pairs, k=_KCORE_K, iters=_KCORE_ITERS)
+
+
+@query(
+    "sorted_neighborhood_candidates",
+    """
+    WITH keyed AS (
+      SELECT doc_id AS id,
+             md5(regexp_replace(lower(trim(text)), '\\s+', ' ', 'g')) AS k
+      FROM documents),
+    blocked AS (SELECT id, k, substr(k, 1, 2) AS blk FROM keyed),
+    neigh AS (
+      SELECT id, k, blk,
+             lead(id, 1) OVER w AS nid1, lead(k, 1) OVER w AS nk1,
+             lead(id, 2) OVER w AS nid2, lead(k, 2) OVER w AS nk2
+      FROM blocked
+      WINDOW w AS (PARTITION BY blk ORDER BY k, id)),
+    pairs AS (
+      SELECT least(id, nid1) AS id_a, greatest(id, nid1) AS id_b,
+             least(k, nk1) AS key_a, greatest(k, nk1) AS key_b
+      FROM neigh WHERE nid1 IS NOT NULL
+      UNION
+      SELECT least(id, nid2), greatest(id, nid2),
+             least(k, nk2), greatest(k, nk2)
+      FROM neigh WHERE nid2 IS NOT NULL)
+    SELECT id_a, id_b, key_a, key_b,
+           CASE WHEN key_a = key_b THEN 1 ELSE 0 END AS exact_dup
+    FROM pairs
+    """,
+)
+def q_sorted_neighborhood(spark, sf_dir):
+    """Sorted-neighborhood blocking (the ER-classic complement to LSH):
+    candidates = docs within 3 positions in fingerprint order WITHIN
+    each 2-hex-char block — per-block windows, no global sort
+    bottleneck, lead() columns instead of a self-join. Exact dups (the
+    planted fingerprint-identical docs) sort adjacent, so the
+    neighborhood provably catches them: `exact_dup` marks pairs whose
+    keys match."""
+    from parkour_spark.functions.text import fingerprint
+    from parkour_spark.operators.dedup import sorted_neighborhood_pairs
+
+    docs = _t(spark, sf_dir, "documents").select(
+        "doc_id", fingerprint("text").alias("fp")
+    )
+    pairs = sorted_neighborhood_pairs(
+        docs, "fp", window=3, block_chars=2, id_col="doc_id"
+    )
+    return pairs.withColumn(
+        "exact_dup",
+        F.when(F.col("key_a") == F.col("key_b"), F.lit(1)).otherwise(F.lit(0)),
+    )
+
+
+@query(
+    "price_histogram",
+    """
+    WITH b AS (
+      SELECT greatest(0, least(19,
+               CAST(floor((o_totalprice - 0) * 20 / (600000 - 0)) AS INT)))
+             AS bucket
+      FROM orders WHERE o_totalprice IS NOT NULL)
+    SELECT bucket, count(*) AS n,
+           round(0 + bucket * 600000.0 / 20, 4) AS lo,
+           round(0 + (bucket + 1) * 600000.0 / 20, 4) AS hi
+    FROM b GROUP BY bucket
+    """,
+)
+def q_price_histogram(spark, sf_dir):
+    """Equi-width price histogram (operators.validate.histogram): one
+    partial-agg'd scan, at most 20 rows shuffle; outliers clamp into
+    the edge buckets instead of silently vanishing."""
+    from parkour_spark.operators.validate import histogram
+
+    orders = _t(spark, sf_dir, "orders")
+    return histogram(orders, "o_totalprice", lo=0, hi=600000, n_buckets=20)

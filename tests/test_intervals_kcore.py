@@ -1,0 +1,94 @@
+"""Interval merging, k-core peeling, sorted-neighborhood blocking —
+semantic tests on hand-built inputs with known answers."""
+
+import pytest
+from pyspark.sql import functions as F
+
+from parkour_spark.operators.intervals import coverage_stats, merge_intervals
+
+
+def _iv(spark, rows):
+    return spark.createDataFrame(rows, "user_id long, start_s long, end_s long")
+
+
+def test_merge_intervals_overlap_touch_and_gap(spark):
+    df = _iv(
+        spark,
+        [
+            (1, 0, 10), (1, 5, 20),      # overlap -> [0, 20]
+            (1, 20, 30),                 # touching endpoint merges
+            (1, 40, 50),                 # gap -> new run
+            (2, 0, 5),                   # other key untouched
+        ],
+    )
+    runs = {
+        (r["user_id"], r["start_s"], r["end_s"]): r["n_merged"]
+        for r in merge_intervals(df).collect()
+    }
+    assert runs == {(1, 0, 30): 3, (1, 40, 50): 1, (2, 0, 5): 1}
+
+
+def test_merge_intervals_contained_span(spark):
+    # an interval fully inside an earlier one must not split the run
+    df = _iv(spark, [(1, 0, 100), (1, 10, 20), (1, 90, 150)])
+    out = merge_intervals(df).collect()
+    assert len(out) == 1
+    assert (out[0]["start_s"], out[0]["end_s"]) == (0, 150)
+
+
+def test_coverage_stats_exact(spark):
+    df = _iv(spark, [(1, 0, 10), (1, 20, 25)])
+    s = coverage_stats(merge_intervals(df)).collect()[0]
+    assert (s["n_runs"], s["covered_s"], s["longest_s"]) == (2, 15, 10)
+
+
+def test_kcore_peels_tails_keeps_clique(spark):
+    from parkour_spark.operators.graph import kcore
+
+    # K4 (each degree 3) + a tail 3-5-6 hanging off node 3
+    k4 = [(a, b) for a in range(4) for b in range(4) if a < b]
+    tail = [(3, 5), (5, 6)]
+    edges = spark.createDataFrame(k4 + tail, "id_a long, id_b long")
+    core = {r["node"]: r["degree"] for r in kcore(edges, k=3, iters=4).collect()}
+    assert core == {0: 3, 1: 3, 2: 3, 3: 3}
+    # k=2: the tail still peels (5 and 6 never reach degree 2)
+    core2 = {r["node"] for r in kcore(edges, k=2, iters=4).collect()}
+    assert core2 == {0, 1, 2, 3}
+
+
+def test_kcore_registered_iters_converged(spark):
+    # the registered fixed depth must be converged, not truncated:
+    # one more round changes nothing
+    from parkour_spark.operators import dedup as D
+    from parkour_spark.operators.graph import kcore
+    from parkour_spark.dataset import load_table
+    from parkour_spark.queries import _KCORE_ITERS, _KCORE_K
+
+    docs = load_table(spark, "/root/testdata/sf0.001", "documents")
+    pairs = D.minhash_dedup_pairs(docs, threshold=0.8)
+    a = sorted(
+        (r["node"], r["degree"])
+        for r in kcore(pairs, k=_KCORE_K, iters=_KCORE_ITERS).collect()
+    )
+    b = sorted(
+        (r["node"], r["degree"])
+        for r in kcore(pairs, k=_KCORE_K, iters=_KCORE_ITERS + 1).collect()
+    )
+    assert a == b and len(a) > 0
+
+
+def test_sorted_neighborhood_finds_adjacent_exact_dups(spark):
+    from parkour_spark.operators.dedup import sorted_neighborhood_pairs
+
+    # identical keys sort adjacent regardless of block -> always paired
+    rows = [(1, "aaaa"), (2, "aaaa"), (3, "bbbb"), (4, "zzzz")]
+    docs = spark.createDataFrame(rows, "doc_id long, fp string")
+    pairs = {
+        (r["id_a"], r["id_b"])
+        for r in sorted_neighborhood_pairs(
+            docs, "fp", window=3, block_chars=2, id_col="doc_id"
+        ).collect()
+    }
+    assert (1, 2) in pairs
+    # different blocks never pair ('aa' vs 'bb' vs 'zz' prefixes)
+    assert (2, 3) not in pairs and (3, 4) not in pairs
