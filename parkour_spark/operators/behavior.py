@@ -1,0 +1,119 @@
+"""Behavioral event analytics: funnels, retention cohorts, transition
+matrices.
+
+The standard product-analytics trio, shaped for event tables far larger
+than the user dimension:
+
+- Every operator reduces events to per-user facts FIRST (conditional
+  min/max aggregates or a lag window keyed by user), so the wide event
+  scan collapses to user-sized intermediates before anything joins or
+  re-shuffles — the 100 TB event table is touched exactly once.
+- Time math is integer (epoch days / week indexes from integer
+  division), never calendar-function-dependent, so results are
+  engine-exact and timezone-proof.
+- Sequence order is made deterministic by (ts, event_id) — event
+  streams carry same-timestamp rows, and an analytics answer that
+  depends on partition order is not an answer.
+
+Reference parity: beyond-reference (the reference has no event
+analytics; SURVEY §2 aggregation-family extension).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, Window, functions as F
+
+
+def funnel(
+    events: DataFrame,
+    steps: list[str],
+    user_col: str = "user_id",
+    type_col: str = "event_type",
+    ts_col: str = "ts",
+) -> DataFrame:
+    """EXACT sequential funnel: a user completes step k at the earliest
+    step-k event at-or-after their step-(k-1) completion time. This is
+    deliberately NOT the min-per-type shortcut (comparing each type's
+    global minimum), which miscounts users who did step k both before
+    and after step k-1 — the sequential definition needs the earliest
+    qualifying event, not the earliest event.
+
+    Shape: one pass per step — a type-filtered scan (predicate pushes
+    to the source) user-joined to the previous reach table, then a
+    per-user min. k steps = k user-keyed shuffles of step-filtered
+    data, never a replay of the whole event table per user. Returns
+    (step, step_name, n_users), non-increasing."""
+    reach: DataFrame | None = None
+    step_counts = []
+    for i, s in enumerate(steps):
+        ev_s = events.where(F.col(type_col) == s).select(
+            F.col(user_col).alias("__u"), F.col(ts_col).alias("__ts")
+        )
+        if reach is None:
+            reach = ev_s.groupBy("__u").agg(F.min("__ts").alias("__t"))
+        else:
+            reach = (
+                ev_s.join(reach, "__u")
+                .where(F.col("__ts") >= F.col("__t"))
+                .groupBy("__u")
+                .agg(F.min("__ts").alias("__t"))
+            )
+        step_counts.append(
+            reach.agg(F.count("*").cast("long").alias("n_users")).select(
+                F.lit(i + 1).alias("step"),
+                F.lit(s).alias("step_name"),
+                "n_users",
+            )
+        )
+    out = step_counts[0]
+    for df in step_counts[1:]:
+        out = out.unionByName(df)
+    return out
+
+
+def retention_cohorts(
+    events: DataFrame,
+    user_col: str = "user_id",
+    ts_col: str = "ts",
+) -> DataFrame:
+    """Weekly retention matrix: cohort_week = the user's first active
+    week (integer epoch-week), and for every (cohort_week, offset)
+    the count of cohort users active `offset` weeks later. Two
+    user-keyed aggregates; weeks are floor(epoch/86400/7) — integer,
+    calendar- and timezone-independent."""
+    week = (F.unix_timestamp(F.col(ts_col)) / F.lit(86400 * 7)).cast("long")
+    active = events.select(
+        F.col(user_col).alias("u"), week.alias("w")
+    ).distinct()
+    first = active.groupBy("u").agg(F.min("w").alias("w0"))
+    return (
+        active.join(first, "u")
+        .groupBy(
+            F.col("w0").alias("cohort_week"),
+            (F.col("w") - F.col("w0")).alias("week_offset"),
+        )
+        .agg(F.count_distinct("u").alias("n_users"))
+    )
+
+
+def transition_matrix(
+    events: DataFrame,
+    user_col: str = "user_id",
+    type_col: str = "event_type",
+    ts_col: str = "ts",
+    id_col: str = "event_id",
+) -> DataFrame:
+    """Per-user event-type transition counts: lag over the
+    deterministic (ts, id) order within each user, then one pair
+    aggregate. Returns (prev_type, next_type, n) — the empirical
+    Markov transition table."""
+    w = Window.partitionBy(user_col).orderBy(F.col(ts_col), F.col(id_col))
+    return (
+        events.withColumn("__prev", F.lag(type_col).over(w))
+        .where(F.col("__prev").isNotNull())
+        .groupBy(
+            F.col("__prev").alias("prev_type"),
+            F.col(type_col).alias("next_type"),
+        )
+        .agg(F.count("*").alias("n"))
+    )

@@ -4578,3 +4578,92 @@ def q_price_histogram(spark, sf_dir):
 
     orders = _t(spark, sf_dir, "orders")
     return histogram(orders, "o_totalprice", lo=0, hi=600000, n_buckets=20)
+
+
+# ===========================================================================
+# Behavioral event analytics (operators/behavior.py)
+# ===========================================================================
+
+
+@query(
+    "funnel_view_click_purchase",
+    """
+    WITH r1 AS (
+      SELECT user_id AS u, min(ts) AS t FROM events
+      WHERE event_type = 'view' GROUP BY user_id),
+    r2 AS (
+      SELECT e.user_id AS u, min(e.ts) AS t
+      FROM events e JOIN r1 ON e.user_id = r1.u
+      WHERE e.event_type = 'click' AND e.ts >= r1.t
+      GROUP BY e.user_id),
+    r3 AS (
+      SELECT e.user_id AS u, min(e.ts) AS t
+      FROM events e JOIN r2 ON e.user_id = r2.u
+      WHERE e.event_type = 'purchase' AND e.ts >= r2.t
+      GROUP BY e.user_id)
+    SELECT 1 AS step, 'view' AS step_name, (SELECT count(*) FROM r1) AS n_users
+    UNION ALL
+    SELECT 2, 'click', (SELECT count(*) FROM r2)
+    UNION ALL
+    SELECT 3, 'purchase', (SELECT count(*) FROM r3)
+    """,
+)
+def q_funnel(spark, sf_dir):
+    """Exact sequential funnel view → click → purchase: per step a
+    type-filtered scan joined to the previous reach table — the
+    SEQUENTIAL definition (earliest qualifying event after the prior
+    step), not the min-per-type shortcut that miscounts users who did
+    a later step first. Counts are non-increasing by construction."""
+    from parkour_spark.operators.behavior import funnel
+
+    ev = _t(spark, sf_dir, "events")
+    return funnel(ev, ["view", "click", "purchase"])
+
+
+@query(
+    "retention_weekly_cohorts",
+    """
+    WITH active AS (
+      SELECT DISTINCT user_id AS u,
+             CAST(floor(epoch(ts)) AS BIGINT) // (86400 * 7) AS w
+      FROM events),
+    first AS (SELECT u, min(w) AS w0 FROM active GROUP BY u)
+    SELECT w0 AS cohort_week, (w - w0) AS week_offset,
+           count(DISTINCT active.u) AS n_users
+    FROM active JOIN first ON active.u = first.u
+    GROUP BY w0, (w - w0)
+    """,
+)
+def q_retention(spark, sf_dir):
+    """Weekly retention matrix: cohort = each user's first active
+    integer epoch-week; one distinct (user, week) pass + one user-keyed
+    join — the 100 TB event table collapses to user-week grain before
+    anything joins. Integer week arithmetic, calendar-independent."""
+    from parkour_spark.operators.behavior import retention_cohorts
+
+    ev = _t(spark, sf_dir, "events")
+    return retention_cohorts(ev)
+
+
+@query(
+    "event_transition_matrix",
+    """
+    WITH ordered AS (
+      SELECT user_id, event_type,
+             lag(event_type) OVER (
+               PARTITION BY user_id ORDER BY ts, event_id) AS prev_type
+      FROM events)
+    SELECT prev_type, event_type AS next_type, count(*) AS n
+    FROM ordered WHERE prev_type IS NOT NULL
+    GROUP BY prev_type, event_type
+    """,
+)
+def q_transitions(spark, sf_dir):
+    """Empirical Markov transition table of event types per user: one
+    lag window over the deterministic (ts, event_id) order + one pair
+    aggregate. Same-timestamp rows are ordered by id — an analytics
+    answer that depends on partition order is not an answer."""
+    from parkour_spark.operators.behavior import transition_matrix
+
+    ev = _t(spark, sf_dir, "events")
+    return transition_matrix(ev)
