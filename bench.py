@@ -58,6 +58,8 @@ HEADLINE = [
     "zorder_pruned_scan",
     "bpe_train_merges",
     "triangle_counts_dedup_graph",
+    # r4 fourth session: product-quantization ANN (train+encode+ADC)
+    "pq_adc_topk",
 ]
 
 

@@ -69,16 +69,35 @@ def write_zordered(
     """Cluster df by the z-key of (c1, c2) into n_files parquet files:
     one range shuffle on the z-key, then a per-partition local sort so
     row groups inside each file are tight too. The helper key never
-    reaches the files."""
-    z = zorder_key(c1, c2, bits).alias("__z")
-    (
-        df.withColumn("__z", z)
-        .repartitionByRange(n_files, "__z")
-        .sortWithinPartitions("__z")
-        .drop("__z")
-        .write.mode("overwrite")
-        .parquet(path)
-    )
+    reaches the files.
+
+    Range boundaries come from sampling; the default 100 rows/partition
+    is tuned for recurring shuffles, but a layout write is a one-off
+    batch job whose whole value is boundary quality — noisy boundaries
+    leak a dimension's range across files and cost every future scan.
+    So the write temporarily raises the range-exchange sample size
+    (driver-side reservoir merge of ~2000 keys/partition — KBs), which
+    also pins the boundaries at test scale where the sample then covers
+    the data exactly."""
+    spark = df.sparkSession
+    key = "spark.sql.execution.rangeExchange.sampleSizePerPartition"
+    old = spark.conf.get(key, None)
+    spark.conf.set(key, "2000")
+    try:
+        z = zorder_key(c1, c2, bits).alias("__z")
+        (
+            df.withColumn("__z", z)
+            .repartitionByRange(n_files, "__z")
+            .sortWithinPartitions("__z")
+            .drop("__z")
+            .write.mode("overwrite")
+            .parquet(path)
+        )
+    finally:
+        if old is None:
+            spark.conf.unset(key)
+        else:
+            spark.conf.set(key, old)
 
 
 def files_hit_by_box(

@@ -1,0 +1,274 @@
+"""Product quantization (PQ) for approximate nearest neighbor search:
+split each embedding into m subvectors, learn an independent ksub-way
+codebook per subspace (L2 Lloyd's), encode every corpus vector as m
+small codes, and answer queries by asymmetric distance computation
+(ADC): the query stays full-precision, each candidate's score is
+reconstructed from per-subspace lookup tables — ksub dot products per
+subspace per query instead of one per corpus row.
+
+This completes the engine's quantization ladder (brute-force →
+IVF coarse quantizer → hyperplane LSH → int8 scalar quantization →
+PQ): at 100 TB the corpus compresses from d floats to m bytes per
+vector (64-dim float → 4 bytes here, a 64× reduction), which is what
+lets a candidate set live in memory next to the inverted lists.
+
+Spark-first shape, all three stages:
+- TRAIN: one mapInPandas pass per Lloyd's iteration computes partial
+  (subspace, cell, count, sum-vector) statistics for ALL m subspaces
+  simultaneously — m·ksub·(d/m) doubles per partition flow to the
+  driver, never the data. Same sufficient-statistics shape as
+  operators.kmeans.kmeans_fit, generalized to m independent problems
+  per pass.
+- ENCODE: scan-side Arrow pass; codes never shuffle.
+- ADC QUERY: the per-query lookup tables (nq·m·ksub dots) are computed
+  once in the closure; scoring is a NumPy gather per Arrow batch; only
+  (query, candidate, score) tuples shuffle into the final top-k window
+  — the corpus itself never shuffles (same contract as
+  similarity.brute_force_topk).
+
+Deterministic by construction, so the DuckDB oracle replays the whole
+pipeline: hash-sampled init (the ksub vectors with smallest
+(md5(id), id) — the SAME seed rows for every subspace, sliced), fixed
+iteration count, argmin ties to the lowest cell (NumPy argmin picks the
+first minimum; the oracle orders by (distance, cell)), sorted partial
+combine on the driver.
+
+Design follows the published method (Jégou, Douze, Schmid, "Product
+Quantization for Nearest Neighbor Search", TPAMI 2011). Beyond-reference
+surface: the reference engine ships no vector search at all.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, Window, functions as F, types as T
+
+from parkour_spark.operators.sort import widen_scan
+
+Codebooks = list[list[tuple[int, list[float]]]]  # [subspace][cell] -> vector
+
+
+def _seed_vectors(df: DataFrame, vec_col: str, id_col: str, ksub: int):
+    """The ksub full vectors with smallest (md5(id), id) — one driver
+    fetch of ksub rows; every subspace slices the same seeds, so the
+    oracle reproduces them with a single ORDER BY ... LIMIT."""
+    rows = (
+        df.orderBy(F.md5(F.col(id_col).cast("string")), F.col(id_col))
+        .select(vec_col)
+        .limit(ksub)
+        .collect()
+    )
+    if len(rows) < ksub:
+        raise ValueError(f"need at least ksub={ksub} vectors, found {len(rows)}")
+    return [[float(x) for x in r[vec_col]] for r in rows]
+
+
+def _np_codebooks(codebooks: Codebooks):
+    import numpy as np
+
+    return [
+        np.array([v for _, v in sorted(cb)], dtype=np.float64) for cb in codebooks
+    ]
+
+
+def _assign_codes(V, cbs):
+    """codes[n, m]: per-subspace L2 argmin (first minimum = lowest cell,
+    mirroring the oracle's ORDER BY distance, cell)."""
+    import numpy as np
+
+    n = V.shape[0]
+    m = len(cbs)
+    dsub = V.shape[1] // m
+    codes = np.empty((n, m), dtype=np.int64)
+    for s, C in enumerate(cbs):
+        Vs = V[:, s * dsub : (s + 1) * dsub]
+        # ||v - c||^2 = ||v||^2 - 2 v.c + ||c||^2 ; ||v||^2 is constant
+        # per row, so argmin over (-2 v.c + ||c||^2) suffices — but the
+        # full expression keeps ties identical to the oracle's
+        # list_distance ordering, so compute it whole.
+        d2 = (
+            (Vs * Vs).sum(axis=1)[:, None]
+            - 2.0 * (Vs @ C.T)
+            + (C * C).sum(axis=1)[None, :]
+        )
+        codes[:, s] = np.argmin(d2, axis=1)
+    return codes
+
+
+def pq_train(
+    df: DataFrame,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+    m: int = 4,
+    ksub: int = 8,
+    iters: int = 2,
+) -> Codebooks:
+    """Learn m independent ksub-way L2 codebooks. Returns
+    codebooks[s] = [(cell, centroid_vector)] with centroids of subspace
+    s (d/m dims each). One corpus pass per iteration, all subspaces at
+    once; empty cells keep their previous centroid."""
+    import numpy as np
+
+    seeds = _seed_vectors(df, vec_col, id_col, ksub)
+    dim = len(seeds[0])
+    if dim % m:
+        raise ValueError(f"dim {dim} not divisible by m={m}")
+    dsub = dim // m
+    cbs = [
+        np.array([s_vec[s * dsub : (s + 1) * dsub] for s_vec in seeds])
+        for s in range(m)
+    ]
+
+    stats_schema = T.StructType(
+        [
+            T.StructField("s", T.LongType()),
+            T.StructField("cell", T.LongType()),
+            T.StructField("n", T.LongType()),
+            T.StructField("sv", T.ArrayType(T.DoubleType())),
+        ]
+    )
+    corpus = widen_scan(df.select(id_col, vec_col))
+
+    for _ in range(iters):
+        frozen = [C.copy() for C in cbs]
+
+        def partials(batches, _cbs=frozen, _vec=vec_col, _dsub=dsub):
+            import numpy as np
+            import pandas as pd
+
+            for pdf in batches:
+                if len(pdf) == 0:
+                    continue
+                V = np.stack(pdf[_vec].to_numpy()).astype(np.float64)
+                codes = _assign_codes(V, _cbs)
+                rows = []
+                for s in range(len(_cbs)):
+                    Vs = V[:, s * _dsub : (s + 1) * _dsub]
+                    for c in np.unique(codes[:, s]):
+                        mask = codes[:, s] == c
+                        rows.append(
+                            (s, int(c), int(mask.sum()), Vs[mask].sum(axis=0).tolist())
+                        )
+                yield pd.DataFrame(rows, columns=["s", "cell", "n", "sv"])
+
+        stats = corpus.mapInPandas(partials, schema=stats_schema).collect()
+        counts = [np.zeros(ksub) for _ in range(m)]
+        sums = [np.zeros((ksub, dsub)) for _ in range(m)]
+        # sorted combine → deterministic float accumulation order
+        for r in sorted(stats, key=lambda r: (r["s"], r["cell"], r["n"], tuple(r["sv"]))):
+            counts[r["s"]][r["cell"]] += r["n"]
+            sums[r["s"]][r["cell"]] += np.array(r["sv"])
+        for s in range(m):
+            nz = counts[s] > 0
+            cbs[s][nz] = sums[s][nz] / counts[s][nz, None]
+
+    return [
+        [(c, [float(x) for x in cbs[s][c]]) for c in range(ksub)] for s in range(m)
+    ]
+
+
+def pq_encode(
+    df: DataFrame,
+    codebooks: Codebooks,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+    out_col: str = "codes",
+) -> DataFrame:
+    """(id, codes array<long>): m codes per vector, assigned scan-side
+    per Arrow batch. The full vector is dropped — this IS the
+    compressed representation."""
+    cbs = _np_codebooks(codebooks)
+    schema = T.StructType(
+        [
+            T.StructField(id_col, T.LongType()),
+            T.StructField(out_col, T.ArrayType(T.LongType())),
+        ]
+    )
+
+    def encode(batches, _cbs=cbs, _vec=vec_col, _id=id_col):
+        import numpy as np
+        import pandas as pd
+
+        for pdf in batches:
+            if len(pdf) == 0:
+                continue
+            V = np.stack(pdf[_vec].to_numpy()).astype(np.float64)
+            codes = _assign_codes(V, _cbs)
+            yield pd.DataFrame({_id: pdf[_id].to_numpy(), "codes": list(codes)})
+
+    return widen_scan(df.select(id_col, vec_col)).mapInPandas(encode, schema=schema)
+
+
+def pq_adc_topk(
+    corpus: DataFrame,
+    codebooks: Codebooks,
+    queries: list[tuple[int, list[float]]],
+    k: int = 10,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+) -> DataFrame:
+    """Asymmetric-distance top-k: score every corpus vector against
+    every query THROUGH its codes — approx_cos = Σ_s q_s·c_{s,code} /
+    (|q| · sqrt(Σ_s |c_{s,code}|²)) — then exact top-k per query.
+    Result: (query_id, vec_id, rank, adc_cos). Encoding and scoring
+    happen in one scan-side Arrow pass (the per-query tables are
+    nq·m·ksub dots, built once in the closure); only scored tuples
+    shuffle."""
+    import numpy as np
+
+    cbs = _np_codebooks(codebooks)
+    m = len(cbs)
+    dsub = cbs[0].shape[1]
+    Q = np.array([v for _, v in queries], dtype=np.float64)
+    qids = np.array([int(q) for q, _ in queries], dtype=np.int64)
+    qnorm = np.sqrt((Q * Q).sum(axis=1))
+    # dot_tables[s]: nq × ksub ; cnorm2[s]: ksub
+    dot_tables = [Q[:, s * dsub : (s + 1) * dsub] @ cbs[s].T for s in range(m)]
+    cnorm2 = [(C * C).sum(axis=1) for C in cbs]
+
+    schema = T.StructType(
+        [
+            T.StructField("query_id", T.LongType()),
+            T.StructField(id_col, T.LongType()),
+            T.StructField("adc_cos", T.DoubleType()),
+        ]
+    )
+
+    def score(batches, _cbs=cbs, _vec=vec_col, _id=id_col):
+        import numpy as np
+        import pandas as pd
+
+        for pdf in batches:
+            if len(pdf) == 0:
+                continue
+            V = np.stack(pdf[_vec].to_numpy()).astype(np.float64)
+            ids = pdf[_id].to_numpy()
+            codes = _assign_codes(V, _cbs)
+            # reconstructed dot per (query, row): gather + sum over s
+            dots = np.zeros((len(qids), len(ids)))
+            n2 = np.zeros(len(ids))
+            for s in range(len(_cbs)):
+                dots += dot_tables[s][:, codes[:, s]]
+                n2 += cnorm2[s][codes[:, s]]
+            scores = dots / (qnorm[:, None] * np.sqrt(n2)[None, :])
+            qq, rr = np.meshgrid(np.arange(len(qids)), np.arange(len(ids)),
+                                 indexing="ij")
+            yield pd.DataFrame(
+                {
+                    "query_id": qids[qq.ravel()],
+                    _id: ids[rr.ravel()],
+                    "adc_cos": scores.ravel(),
+                }
+            )
+
+    scored = widen_scan(corpus.select(id_col, vec_col)).mapInPandas(
+        score, schema=schema
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.round("adc_cos", 4).desc(), F.col(id_col)
+    )
+    return (
+        scored.withColumn("adc_cos", F.round("adc_cos", 4))
+        .withColumn("rank", F.row_number().over(w))
+        .where(F.col("rank") <= k)
+        .select("query_id", id_col, "rank", "adc_cos")
+    )

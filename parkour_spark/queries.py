@@ -2098,6 +2098,121 @@ def q_ivf_kmeans(spark, sf_dir):
     )
 
 
+def _pq_oracle(m: int = 4, ksub: int = 8, iters: int = 2, dim: int = 64,
+               k: int = 10) -> str:
+    """Full PQ pipeline replay: shared hash-sampled seeds, per-subspace
+    L2 Lloyd's unrolled (assignment = row_number argmin over
+    list_distance with ties to the lowest cell; update = per-dim avg,
+    cells that empty keep their previous centroid — exactly
+    operators.pq.pq_train), then ADC scoring through the learned codes."""
+    dsub = dim // m
+    parts = [
+        "emb AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings)",
+        f"""seeds AS (
+      SELECT row_number() OVER (ORDER BY md5(vec_id::VARCHAR), vec_id) - 1 AS cell, v
+      FROM (SELECT vec_id, v FROM emb
+            ORDER BY md5(vec_id::VARCHAR), vec_id LIMIT {ksub}))""",
+    ]
+    for s in range(m):
+        lo, hi = s * dsub + 1, (s + 1) * dsub
+        parts.append(
+            f"s{s}_e AS (SELECT vec_id, v[{lo}:{hi}] AS v FROM emb)"
+        )
+        parts.append(
+            f"s{s}_c0 AS (SELECT cell, v[{lo}:{hi}] AS c FROM seeds)"
+        )
+        for i in range(1, iters + 1):
+            parts.append(
+                f"""s{s}_a{i} AS (
+      SELECT vec_id, v, cell FROM (
+        SELECT e.vec_id, e.v, c.cell,
+               row_number() OVER (PARTITION BY e.vec_id
+                 ORDER BY list_distance(e.v, c.c) ASC, c.cell) AS rn
+        FROM s{s}_e e CROSS JOIN s{s}_c{i-1} c) WHERE rn = 1)"""
+            )
+            parts.append(
+                f"""s{s}_c{i} AS (
+      SELECT cell, list(mv ORDER BY idx) AS c FROM (
+        SELECT cell, idx, avg(val) AS mv FROM (
+          SELECT cell, unnest(v) AS val, unnest(range(1, len(v)+1)) AS idx
+          FROM s{s}_a{i})
+        GROUP BY cell, idx) GROUP BY cell
+      UNION ALL
+      SELECT cell, c FROM s{s}_c{i-1}
+      WHERE cell NOT IN (SELECT DISTINCT cell FROM s{s}_a{i}))"""
+            )
+        parts.append(
+            f"""s{s}_af AS (
+      SELECT vec_id, cell FROM (
+        SELECT e.vec_id, c.cell,
+               row_number() OVER (PARTITION BY e.vec_id
+                 ORDER BY list_distance(e.v, c.c) ASC, c.cell) AS rn
+        FROM s{s}_e e CROSS JOIN s{s}_c{iters} c) WHERE rn = 1)"""
+        )
+    joins = " ".join(
+        f"JOIN s{s}_af a{s} ON e.vec_id = a{s}.vec_id "
+        f"JOIN s{s}_c{iters} cb{s} ON a{s}.cell = cb{s}.cell"
+        for s in range(m)
+    )
+    dots = " + ".join(
+        f"list_dot_product(q.qv[{s * dsub + 1}:{(s + 1) * dsub}], cb{s}.c)"
+        for s in range(m)
+    )
+    norms = " + ".join(
+        f"list_dot_product(cb{s}.c, cb{s}.c)" for s in range(m)
+    )
+    return (
+        "WITH "
+        + ",\n    ".join(parts)
+        + f""",
+    q AS (SELECT vec_id AS query_id, v AS qv,
+                 sqrt(list_dot_product(v, v)) AS qn
+          FROM emb WHERE vec_id < 5),
+    scored AS (
+      SELECT q.query_id, e.vec_id,
+             round(({dots}) / (q.qn * sqrt({norms})), 4) AS adc_cos
+      FROM emb e {joins}
+      CROSS JOIN q)
+    SELECT query_id, vec_id, rank, adc_cos FROM (
+      SELECT *, row_number() OVER (PARTITION BY query_id
+                                   ORDER BY adc_cos DESC, vec_id) AS rank
+      FROM scored)
+    WHERE rank <= {k}
+    """
+    )
+
+
+# Trained-codebook cache, same rationale as _IVF_CENTS: a production PQ
+# index trains once, encodes once, then serves queries.
+_PQ_CODEBOOKS: dict[str, list] = {}
+
+
+@query("pq_adc_topk", _pq_oracle())
+def q_pq_adc(spark, sf_dir):
+    """Product-quantization ANN (operators.pq): train m=4 × ksub=8 L2
+    codebooks (one corpus pass per Lloyd's iteration, all subspaces at
+    once), then answer 5 queries by asymmetric distance computation —
+    candidates scored through their m codes via per-query lookup tables,
+    corpus never shuffled. Deterministic end-to-end (hash-sampled shared
+    seeds, fixed rounds, argmin ties to lowest cell, sorted partial
+    combine), so the oracle replays training + encoding + ADC in DuckDB
+    CTEs. Completes the quantization ladder next to ivf_topk_cosine and
+    quantized_embeddings."""
+    from parkour_spark.operators.pq import pq_adc_topk, pq_train
+
+    emb = _t(spark, sf_dir, "embeddings")
+    if sf_dir not in _PQ_CODEBOOKS:
+        _PQ_CODEBOOKS[sf_dir] = pq_train(emb, m=4, ksub=8, iters=2)
+    cbs = _PQ_CODEBOOKS[sf_dir]
+    qrows = (
+        emb.where(F.col("vec_id") < 5).select("vec_id", "embedding").collect()
+    )
+    queries = [
+        (int(r["vec_id"]), [float(x) for x in r["embedding"]]) for r in qrows
+    ]
+    return pq_adc_topk(emb, cbs, queries, k=10)
+
+
 @query(
     "corpus_prep",
     f"""
@@ -3899,6 +4014,290 @@ def q_q19(spark, sf_dir):
             "revenue"
         ),
         F.count("*").alias("n"),
+    )
+
+
+@query(
+    "q4_priority_check",
+    """
+    SELECT o_orderpriority, count(*) AS order_count
+    FROM orders
+    WHERE o_orderdate >= TIMESTAMP '1996-07-01 00:00:00'
+      AND o_orderdate < TIMESTAMP '1996-10-01 00:00:00'
+      AND EXISTS (SELECT 1 FROM lineitem
+                  WHERE l_orderkey = o_orderkey AND l_returnflag = 'R')
+    GROUP BY o_orderpriority
+    ORDER BY o_orderpriority
+    """,
+)
+def q_q4(spark, sf_dir):
+    """TPC-H Q4 shape (order priority checking): EXISTS against the fact
+    table planned as a LeftSemi join — lineitem is filtered (returnflag)
+    and projected to its join key BEFORE the semi-join, so the probe side
+    carries one bigint column; the date window pushes to the orders scan.
+    Distinct from q18: here the semi-join input is a filtered raw scan,
+    not a HAVING-derived aggregate."""
+    orders = _t(spark, sf_dir, "orders").where(
+        (F.col("o_orderdate") >= F.lit("1996-07-01").cast("timestamp"))
+        & (F.col("o_orderdate") < F.lit("1996-10-01").cast("timestamp"))
+    )
+    li = _t(spark, sf_dir, "lineitem").where(F.col("l_returnflag") == "R").select(
+        "l_orderkey"
+    )
+    return (
+        orders.join(li, orders.o_orderkey == li.l_orderkey, "left_semi")
+        .groupBy("o_orderpriority")
+        .agg(F.count("*").alias("order_count"))
+        .orderBy("o_orderpriority")
+    )
+
+
+@query(
+    "q13_order_count_distribution",
+    """
+    SELECT c_count, count(*) AS custdist
+    FROM (SELECT c_custkey, count(o_orderkey) AS c_count
+          FROM customer LEFT OUTER JOIN orders
+            ON c_custkey = o_custkey AND o_orderpriority <> '1-URGENT'
+          GROUP BY c_custkey)
+    GROUP BY c_count
+    ORDER BY custdist DESC, c_count DESC
+    """,
+)
+def q_q13(spark, sf_dir):
+    """TPC-H Q13 shape (customer order-count distribution): the filter
+    lives in the JOIN CONDITION of a left outer join — customers with
+    only urgent orders must still appear with c_count = 0, so the
+    predicate cannot move to a WHERE (that would turn the outer join
+    inner). count(o_orderkey) (not count(*)) makes the unmatched rows
+    count 0. Two stacked aggregations: per-customer, then the
+    distribution over counts (second groupBy input is customer-sized,
+    trivially small relative to the fact)."""
+    cust = _t(spark, sf_dir, "customer").select("c_custkey")
+    orders = _t(spark, sf_dir, "orders").select("o_custkey", "o_orderkey",
+                                                "o_orderpriority")
+    per_cust = (
+        cust.join(
+            orders,
+            (cust.c_custkey == orders.o_custkey)
+            & (orders.o_orderpriority != "1-URGENT"),
+            "left",
+        )
+        .groupBy("c_custkey")
+        .agg(F.count("o_orderkey").alias("c_count"))
+    )
+    return (
+        per_cust.groupBy("c_count")
+        .agg(F.count("*").alias("custdist"))
+        .orderBy(F.col("custdist").desc(), F.col("c_count").desc())
+    )
+
+
+@query(
+    "q15_top_supplier",
+    """
+    WITH rev AS (
+      SELECT l_suppkey,
+             sum(CAST(round(l_extendedprice * (1 - l_discount) * 100) AS BIGINT))
+               AS rev_c
+      FROM lineitem
+      WHERE l_shipdate >= TIMESTAMP '1996-01-01 00:00:00'
+        AND l_shipdate < TIMESTAMP '1996-04-01 00:00:00'
+      GROUP BY l_suppkey)
+    SELECT s_suppkey, s_name, round(rev_c / 100.0, 2) AS total_revenue
+    FROM supplier JOIN rev ON s_suppkey = l_suppkey
+    WHERE rev_c = (SELECT max(rev_c) FROM rev)
+    ORDER BY s_suppkey
+    """,
+)
+def q_q15(spark, sf_dir):
+    """TPC-H Q15 shape (top supplier): the revenue "view" is computed
+    once, and the max is a 1-row aggregate over it broadcast back as the
+    selection predicate — argmax-by-join, never a global sort. Revenue
+    accumulates in integer cents (per-row round before the sum) so the
+    max comparison is exact in both engines; a double-sum tie here is
+    the classic cross-engine flake."""
+    li = _t(spark, sf_dir, "lineitem").where(
+        (F.col("l_shipdate") >= F.lit("1996-01-01").cast("timestamp"))
+        & (F.col("l_shipdate") < F.lit("1996-04-01").cast("timestamp"))
+    )
+    rev = li.groupBy("l_suppkey").agg(
+        F.sum(
+            F.round(F.col("l_extendedprice") * (1 - F.col("l_discount")) * 100)
+            .cast("long")
+        ).alias("rev_c")
+    )
+    mx = rev.agg(F.max("rev_c").alias("__mx"))
+    sup = _t(spark, sf_dir, "supplier")
+    return (
+        rev.join(F.broadcast(mx), F.col("rev_c") == F.col("__mx"))
+        .join(sup, F.col("l_suppkey") == sup.s_suppkey)
+        .select(
+            "s_suppkey",
+            "s_name",
+            F.round(F.col("rev_c") / 100.0, 2).alias("total_revenue"),
+        )
+        .orderBy("s_suppkey")
+    )
+
+
+@query(
+    "q17_small_quantity_revenue",
+    """
+    WITH pavg AS (
+      SELECT l_partkey,
+             sum(CAST(l_quantity AS BIGINT)) AS sum_qty,
+             count(*) AS cnt
+      FROM lineitem GROUP BY l_partkey)
+    SELECT round(sum(l_extendedprice) / 7.0, 2) AS avg_yearly, count(*) AS n
+    FROM lineitem
+    JOIN part ON p_partkey = l_partkey
+    JOIN pavg USING (l_partkey)
+    WHERE p_brand = 'Brand#1'
+      AND CAST(l_quantity AS BIGINT) * 5 * cnt < sum_qty
+    """,
+)
+def q_q17(spark, sf_dir):
+    """TPC-H Q17 shape (small-quantity-order revenue): correlated scalar
+    subquery avg(l_quantity) per part, decorrelated as
+    aggregate-then-rejoin on the fact's own key. The threshold
+    l_quantity < 0.2 * avg is evaluated as the INTEGER cross-multiply
+    qty * 5 * cnt < sum_qty (quantities are integral in this corpus), so
+    the boundary can't flip on a last-ulp division difference between
+    engines. Part is a broadcast filter; the per-part aggregate shuffles
+    on the same key the rejoin uses, so AQE plans one exchange."""
+    li = _t(spark, sf_dir, "lineitem")
+    part = _t(spark, sf_dir, "part").where(F.col("p_brand") == "Brand#1").select(
+        "p_partkey"
+    )
+    pavg = li.groupBy("l_partkey").agg(
+        F.sum(F.col("l_quantity").cast("long")).alias("sum_qty"),
+        F.count("*").alias("cnt"),
+    ).withColumnRenamed("l_partkey", "__pk")
+    return (
+        li.join(F.broadcast(part), li.l_partkey == part.p_partkey)
+        .join(pavg, F.col("l_partkey") == F.col("__pk"))
+        .where(F.col("l_quantity").cast("long") * 5 * F.col("cnt") < F.col("sum_qty"))
+        .agg(
+            F.round(F.sum("l_extendedprice") / 7.0, 2).alias("avg_yearly"),
+            F.count("*").alias("n"),
+        )
+    )
+
+
+@query(
+    "q21_waiting_supplier",
+    """
+    SELECT s_name, count(*) AS numwait
+    FROM supplier
+    JOIN lineitem l1 ON s_suppkey = l1.l_suppkey
+    WHERE l1.l_returnflag = 'R'
+      AND EXISTS (SELECT 1 FROM lineitem l2
+                  WHERE l2.l_orderkey = l1.l_orderkey
+                    AND l2.l_suppkey <> l1.l_suppkey)
+      AND NOT EXISTS (SELECT 1 FROM lineitem l3
+                      WHERE l3.l_orderkey = l1.l_orderkey
+                        AND l3.l_suppkey <> l1.l_suppkey
+                        AND l3.l_returnflag = 'R')
+    GROUP BY s_name
+    ORDER BY numwait DESC, s_name
+    LIMIT 20
+    """,
+)
+def q_q21(spark, sf_dir):
+    """TPC-H Q21 shape (suppliers who kept orders waiting): EXISTS and
+    NOT EXISTS against the SAME fact table — a LeftSemi and a LeftAnti
+    self-join, both equi on l_orderkey with the inequality
+    (l2.l_suppkey <> l1.l_suppkey) as the residual join condition. The
+    probe sides project to (orderkey, suppkey) before joining; the anti
+    side additionally pre-filters to returnflag 'R'. Sized for scale:
+    three shuffles on the same key, no aggregation-derived key sets."""
+    sup = _t(spark, sf_dir, "supplier")
+    li = _t(spark, sf_dir, "lineitem").select("l_orderkey", "l_suppkey",
+                                              "l_returnflag")
+    l1 = li.where(F.col("l_returnflag") == "R")
+    l2 = li.select(F.col("l_orderkey").alias("l2_ok"),
+                   F.col("l_suppkey").alias("l2_sk"))
+    l3 = li.where(F.col("l_returnflag") == "R").select(
+        F.col("l_orderkey").alias("l3_ok"), F.col("l_suppkey").alias("l3_sk")
+    )
+    waiting = (
+        l1.join(
+            l2,
+            (F.col("l_orderkey") == F.col("l2_ok"))
+            & (F.col("l_suppkey") != F.col("l2_sk")),
+            "left_semi",
+        )
+        .join(
+            l3,
+            (F.col("l_orderkey") == F.col("l3_ok"))
+            & (F.col("l_suppkey") != F.col("l3_sk")),
+            "left_anti",
+        )
+    )
+    return (
+        waiting.join(F.broadcast(sup), F.col("l_suppkey") == sup.s_suppkey)
+        .groupBy("s_name")
+        .agg(F.count("*").alias("numwait"))
+        .orderBy(F.col("numwait").desc(), F.col("s_name"))
+        .limit(20)
+    )
+
+
+@query(
+    "q22_sales_opportunity",
+    """
+    WITH bal AS (
+      SELECT sum(CAST(round(c_acctbal * 100) AS BIGINT)) AS sum_c,
+             count(*) AS cnt
+      FROM customer WHERE c_acctbal > 0.0)
+    SELECT c_nationkey AS cntry, count(*) AS numcust,
+           round(sum(CAST(round(c_acctbal * 100) AS BIGINT)) / 100.0, 2)
+             AS totacctbal
+    FROM customer, bal
+    WHERE CAST(round(c_acctbal * 100) AS BIGINT) * cnt > sum_c
+      AND NOT EXISTS (SELECT 1 FROM orders
+                      WHERE o_custkey = c_custkey
+                        AND o_orderpriority = '1-URGENT')
+    GROUP BY c_nationkey
+    ORDER BY c_nationkey
+    """,
+)
+def q_q22(spark, sf_dir):
+    """TPC-H Q22 shape (global sales opportunity): a scalar aggregate
+    subquery (average positive balance) gates the outer scan, plus a
+    NOT EXISTS anti-join against a filtered orders projection (this
+    corpus has no order-less customers, so the lapse criterion is "no
+    urgent order" to keep the artifact non-trivial — 75 customers over
+    23 nations at sf0.01). The average test is the integer
+    cross-multiply cents * cnt > sum_cents — exact in both engines, no
+    division. The 1-row aggregate broadcasts; the anti-join is the only
+    shuffle."""
+    cust = _t(spark, sf_dir, "customer")
+    bal = cust.where(F.col("c_acctbal") > 0.0).agg(
+        F.sum(F.round(F.col("c_acctbal") * 100).cast("long")).alias("sum_c"),
+        F.count("*").alias("cnt"),
+    )
+    orders = (
+        _t(spark, sf_dir, "orders")
+        .where(F.col("o_orderpriority") == "1-URGENT")
+        .select("o_custkey")
+    )
+    return (
+        cust.join(F.broadcast(bal))
+        .where(
+            F.round(F.col("c_acctbal") * 100).cast("long") * F.col("cnt")
+            > F.col("sum_c")
+        )
+        .join(orders, cust.c_custkey == orders.o_custkey, "left_anti")
+        .groupBy(F.col("c_nationkey").alias("cntry"))
+        .agg(
+            F.count("*").alias("numcust"),
+            F.round(
+                F.sum(F.round(F.col("c_acctbal") * 100).cast("long")) / 100.0, 2
+            ).alias("totacctbal"),
+        )
+        .orderBy("cntry")
     )
 
 

@@ -227,3 +227,63 @@ def test_q19_derived_domain_predicates_pushed(spark, queries):
     assert any("l_quantity" in p for p in m), m
     assert any("p_brand" in p or "p_size" in p for p in m), m
     assert "BroadcastHashJoin" in plan, plan
+
+
+# --- TPC-H-adapted plan shapes, continued (q4/q13/q15/q17/q21/q22) ----------
+
+
+def test_q4_exists_is_semi_join_on_filtered_scan(spark, queries):
+    plan = _plan(queries["q4_priority_check"](spark, SF_DIR))
+    assert "LeftSemi" in plan, plan
+    # the EXISTS probe is a raw filtered scan: returnflag pushes to it,
+    # and the date window pushes to the orders scan
+    m = re.findall(r"PushedFilters: \[([^\]]*)", plan)
+    assert any("l_returnflag" in p for p in m), m
+    assert any("o_orderdate" in p for p in m), m
+
+
+def test_q13_filter_stays_in_outer_join_condition(spark, queries):
+    plan = _plan(queries["q13_order_count_distribution"](spark, SF_DIR))
+    # the priority predicate must NOT reach the orders scan as a
+    # pushed filter's post-scan Filter above the join — it lives in the
+    # join itself (pushing into the null-supplying side pre-join is
+    # fine and outer-join-preserving; a Filter ABOVE the join would
+    # silently drop the c_count=0 customers)
+    assert "LeftOuter" in plan, plan
+    above = plan.split("LeftOuter")[0]  # operators above the join
+    assert "1-URGENT" not in above.split("Join")[0], plan
+
+
+def test_q15_argmax_is_broadcast_not_sort(spark, queries):
+    plan = _plan(queries["q15_top_supplier"](spark, SF_DIR))
+    # revenue = max(revenue) via a broadcast 1-row aggregate — the plan
+    # must contain no global Sort at all (argmax-by-join, not order+limit)
+    assert "BroadcastHashJoin" in plan, plan
+    assert "TakeOrderedAndProject" in plan or plan.count("Sort ") <= 1, plan
+
+
+def test_q17_decorrelated_agg_rejoin(spark, queries):
+    plan = _plan(queries["q17_small_quantity_revenue"](spark, SF_DIR))
+    # the correlated avg decorrelates to aggregate-then-rejoin: two
+    # lineitem scans, the part filter broadcast, and the integer
+    # threshold evaluated post-join (no division anywhere)
+    assert plan.count("FileScan parquet") >= 2, plan
+    assert "BroadcastHashJoin" in plan, plan
+
+
+def test_q21_semi_and_anti_on_same_fact(spark, queries):
+    plan = _plan(queries["q21_waiting_supplier"](spark, SF_DIR))
+    assert "LeftSemi" in plan, plan
+    assert "LeftAnti" in plan, plan
+    # supplier decode broadcasts
+    assert "BroadcastHashJoin" in plan, plan
+
+
+def test_q22_scalar_gate_broadcast_anti_join(spark, queries):
+    plan = _plan(queries["q22_sales_opportunity"](spark, SF_DIR))
+    # the 1-row balance aggregate broadcasts (nested-loop over 1 row is
+    # fine); the NOT EXISTS is an anti join; the urgent-priority filter
+    # pushes to the orders scan so the anti probe side is pre-shrunk
+    assert "LeftAnti" in plan, plan
+    m = re.findall(r"PushedFilters: \[([^\]]*)", plan)
+    assert any("o_orderpriority" in p for p in m), m
