@@ -132,3 +132,83 @@ def bloom_prefilter(fact: DataFrame, bits: DataFrame, key: str,
             F.broadcast(pos_s), F.col("__pos") == pos_s.pos, "left_semi"
         )
     return out.drop("__pos")
+
+
+def hll_registers(df: DataFrame, key: str, p: int = 8) -> DataFrame:
+    """HyperLogLog registers (Flajolet et al. 2007) over `key`: m = 2**p
+    rows (bucket, rho), rho = max over the bucket's keys of
+    1 + leading-zero-bits of a 64-bit md5-derived value (0 for buckets
+    that saw no key). max() is associative, so the registers ride
+    Spark's partial aggregation exactly like count-min cells: each task
+    folds its partition into ≤m cells and only cells shuffle — the
+    constant-size answer to COUNT(DISTINCT) at 100 TB, and registers
+    from disjoint corpora merge by element-wise max.
+
+    Engine-exact by construction: bucket = first 8 md5 hex chars mod m
+    (hash_bucket arithmetic), and rho is computed by STRING ops on the
+    next 16 hex chars (leading '0' hex digits × 4 + a per-digit CASE),
+    so DuckDB replays the identical registers bit-for-bit — no reliance
+    on matching any engine's builtin HLL layout (Spark's
+    approx_count_distinct sketch and DuckDB's are mutually opaque)."""
+    m = 1 << p
+    h = F.md5(F.col(key).cast("string"))
+    bucket = F.conv(F.substring(h, 1, 8), 16, 10).cast("long") % m
+    w = F.substring(h, 9, 16)  # 16 hex chars = 64 bits
+    lz = F.length(F.regexp_extract(w, "^(0*)", 1))
+    first = F.substr(w, lz + 1, F.lit(1))  # '' when all 16 digits are 0
+    extra = (
+        F.when(first == "1", 3)
+        .when(first.isin("2", "3"), 2)
+        .when(first.isin("4", "5", "6", "7"), 1)
+        .otherwise(0)
+    )
+    rho = F.when(first == "", 65).otherwise(lz * 4 + extra + 1)
+    regs = (
+        df.select(bucket.alias("bucket"), rho.alias("rho"))
+        .groupBy("bucket")
+        .agg(F.max("rho").alias("rho"))
+    )
+    full = df.sparkSession.range(m).select(F.col("id").alias("bucket"))
+    return full.join(regs, "bucket", "left").select(
+        "bucket", F.coalesce("rho", F.lit(0)).alias("rho")
+    )
+
+
+def hll_estimate(regs: DataFrame, p: int = 8) -> DataFrame:
+    """One-row cardinality estimate from HLL registers: the harmonic
+    sum is accumulated EXACTLY — each term 2**(64-rho) is an exact
+    double (a power of two) cast to decimal(38,0), so the sum is
+    integer-exact and addition-order-independent; only the final
+    alpha·m²·2⁶⁴/S division happens in floating point, identically in
+    any engine. Small-range (linear-counting) correction applied when
+    raw ≤ 2.5m and empty buckets exist. Output: (m, n_zero_buckets,
+    registers_fp, estimate) with registers_fp = md5 over the full
+    register sequence — the whole sketch is hash-comparable, not just
+    the estimate."""
+    m = 1 << p
+    alpha_mm = (0.7213 / (1 + 1.079 / m)) * m * m
+    term = F.pow(F.lit(2.0), 64 - F.col("rho")).cast("decimal(38,0)")
+    agg = regs.agg(
+        F.sum(term).alias("__S"),
+        F.sum(F.when(F.col("rho") == 0, 1).otherwise(0)).alias("n_zero_buckets"),
+        F.md5(
+            F.array_join(
+                F.transform(
+                    F.array_sort(F.collect_list(F.struct("bucket", "rho"))),
+                    lambda s: s["rho"].cast("string"),
+                ),
+                ",",
+            )
+        ).alias("registers_fp"),
+    )
+    raw = F.lit(alpha_mm) * F.pow(F.lit(2.0), 64) / F.col("__S").cast("double")
+    est = F.when(
+        (raw <= 2.5 * m) & (F.col("n_zero_buckets") > 0),
+        F.lit(float(m)) * F.log(F.lit(float(m)) / F.col("n_zero_buckets")),
+    ).otherwise(raw)
+    return agg.select(
+        F.lit(m).alias("m"),
+        "n_zero_buckets",
+        "registers_fp",
+        F.round(est, 2).alias("estimate"),
+    )

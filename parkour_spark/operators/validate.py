@@ -200,3 +200,31 @@ def histogram(df: DataFrame, col: str, lo: float, hi: float,
             "hi", F.round(F.lit(lo) + (F.col("bucket") + 1) * (F.lit(hi) - F.lit(lo)) / n_buckets, 4)
         )
     )
+
+
+def skew_profile(df: DataFrame, key: str, top_n: int = 5) -> DataFrame:
+    """Key-distribution diagnostics for shuffle planning: the top-n
+    heaviest keys with exact counts and basis-point shares, plus
+    corpus-level totals and the max/mean skew ratio. This is the
+    pre-flight a 100 TB job runs BEFORE choosing a join strategy — a
+    skew_ratio_bp in the tens of thousands is the signal to salt
+    (operators.joins.salted_join) or isolate the hot keys.
+
+    One shuffle (the per-key count, partial-agg'd); the totals are a
+    1-row broadcast over the key-sized count table; all ratios are
+    exact integer division (div / //), never float."""
+    counts = df.groupBy(key).agg(F.count("*").alias("cnt"))
+    tot = counts.agg(
+        F.sum("cnt").alias("total_rows"),
+        F.count("*").alias("n_keys"),
+        F.max("cnt").alias("max_cnt"),
+    )
+    top = counts.orderBy(F.col("cnt").desc(), F.col(key)).limit(top_n)
+    return top.crossJoin(F.broadcast(tot)).select(
+        F.col(key).alias("key"),
+        "cnt",
+        F.expr("div(cnt * 10000, total_rows)").alias("share_bp"),
+        "n_keys",
+        "total_rows",
+        F.expr("div(max_cnt * n_keys * 10000, total_rows)").alias("skew_ratio_bp"),
+    )

@@ -4419,6 +4419,166 @@ def q_bloom_filtered_join(spark, sf_dir):
     )
 
 
+_HLL_P = 8
+_HLL_M = 1 << _HLL_P
+# Inlined with full double precision so neither engine re-derives it:
+# alpha_m * m^2 for m=256 (Flajolet et al. 2007).
+_HLL_ALPHA_MM = repr((0.7213 / (1 + 1.079 / _HLL_M)) * _HLL_M * _HLL_M)
+_HLL_RHO = """
+      CASE WHEN substr(w, lz + 1, 1) = '' THEN 65
+           ELSE 4 * lz
+                + CASE WHEN substr(w, lz + 1, 1) = '1' THEN 3
+                       WHEN substr(w, lz + 1, 1) IN ('2', '3') THEN 2
+                       WHEN substr(w, lz + 1, 1) IN ('4', '5', '6', '7') THEN 1
+                       ELSE 0 END
+                + 1
+      END"""
+
+
+@query(
+    "hll_distinct_orders",
+    f"""
+    WITH h AS (
+      SELECT ('0x' || substr(md5(l_orderkey::VARCHAR), 1, 8))::BIGINT % {_HLL_M}
+               AS bucket,
+             substr(md5(l_orderkey::VARCHAR), 9, 16) AS w
+      FROM lineitem),
+    lzs AS (
+      SELECT bucket, w, length(regexp_extract(w, '^(0*)', 1)) AS lz FROM h),
+    regs0 AS (
+      SELECT bucket, max({_HLL_RHO}) AS rho FROM lzs GROUP BY bucket),
+    regs AS (
+      SELECT r.range AS bucket, coalesce(regs0.rho, 0) AS rho
+      FROM range({_HLL_M}) r LEFT JOIN regs0 ON r.range = regs0.bucket),
+    agg AS (
+      SELECT sum(CAST(pow(2, 64 - rho) AS DECIMAL(38,0))) AS S,
+             sum(CASE WHEN rho = 0 THEN 1 ELSE 0 END) AS n_zero_buckets,
+             md5(string_agg(rho::VARCHAR, ',' ORDER BY bucket)) AS registers_fp
+      FROM regs),
+    est AS (
+      SELECT n_zero_buckets, registers_fp,
+             round(CASE WHEN ({_HLL_ALPHA_MM} * pow(2, 64) / CAST(S AS DOUBLE))
+                             <= 2.5 * {_HLL_M}
+                         AND n_zero_buckets > 0
+                        THEN {_HLL_M}.0 * ln({_HLL_M}.0 / n_zero_buckets)
+                        ELSE {_HLL_ALPHA_MM} * pow(2, 64) / CAST(S AS DOUBLE)
+                   END, 2) AS estimate
+      FROM agg)
+    SELECT {_HLL_M} AS m, n_zero_buckets, registers_fp, estimate,
+           (SELECT count(DISTINCT l_orderkey) FROM lineitem) AS exact_distinct,
+           abs(estimate - (SELECT count(DISTINCT l_orderkey) FROM lineitem))
+             <= 0.195 * (SELECT count(DISTINCT l_orderkey) FROM lineitem)
+             AS within_3sigma
+    FROM est
+    """,
+)
+def q_hll_distinct(spark, sf_dir):
+    """Engine-exact HyperLogLog over lineitem order keys
+    (operators.sketch.hll_registers/hll_estimate): m = 256 registers
+    built by md5 string arithmetic — bit-for-bit reproducible in any
+    engine, unlike builtin HLL sketches whose layouts are mutually
+    opaque (Spark's approx_count_distinct vs DuckDB's approx sketch;
+    the existing approx_user_counts entry can only pin a bounds flag).
+    Registers ride partial aggregation (max is associative) and merge
+    across corpora by element-wise max; the harmonic sum accumulates
+    exactly in decimal(38,0) so the estimate is identical cross-engine.
+    The artifact hash-compares the WHOLE sketch (registers_fp), the
+    estimate, the exact count, and a 3-sigma bound flag."""
+    from parkour_spark.operators.sketch import hll_estimate, hll_registers
+
+    li = _t(spark, sf_dir, "lineitem")
+    regs = hll_registers(li, "l_orderkey", p=_HLL_P)
+    est = hll_estimate(regs, p=_HLL_P)
+    exact = li.agg(
+        F.countDistinct("l_orderkey").alias("exact_distinct")
+    )
+    return (
+        est.crossJoin(F.broadcast(exact))
+        .select(
+            "m",
+            "n_zero_buckets",
+            "registers_fp",
+            "estimate",
+            "exact_distinct",
+            (
+                F.abs(F.col("estimate") - F.col("exact_distinct"))
+                <= 0.195 * F.col("exact_distinct")
+            ).alias("within_3sigma"),
+        )
+    )
+
+
+@query(
+    "incremental_hourly_rollup",
+    """
+    WITH m AS (
+      SELECT strftime(date_trunc('hour', ts), '%Y-%m-%d %H') AS hour,
+             CAST(round(value * 1000000) AS BIGINT) AS vm
+      FROM events)
+    SELECT hour, count(*) AS n,
+           round(sum(vm) / 1000000.0, 4) AS total,
+           round(sum(vm) / count(*) / 1000000.0, 6) AS avg,
+           round(min(vm) / 1000000.0, 4) AS vmin,
+           round(max(vm) / 1000000.0, 4) AS vmax
+    FROM m GROUP BY hour
+    """,
+)
+def q_incremental_rollup(spark, sf_dir):
+    """Incremental aggregate maintenance (operators.incremental): the
+    hourly rollup is maintained as a STATE table of algebraic partial
+    aggregates — history is sketched once, each new batch is sketched
+    at O(batch) and merged at O(state rows), never rescanning history.
+    The correctness claim IS the oracle comparison: state(days 1-26) ⊕
+    state(days 27+) finalizes to exactly the full recompute (integer
+    micro-unit measures make merged states bit-identical regardless of
+    batch boundaries). Same partial-agg contract Spark applies within a
+    job, lifted to storage."""
+    from parkour_spark.operators.incremental import (
+        agg_state,
+        finalize,
+        merge_states,
+    )
+
+    ev = _t(spark, sf_dir, "events")
+    cutoff = F.lit("2024-01-27 00:00:00").cast("timestamp")
+    hour = F.date_format(F.date_trunc("hour", "ts"), "yyyy-MM-dd HH").alias("hour")
+    hist = agg_state(ev.where(F.col("ts") < cutoff).select(hour, "value"),
+                     ["hour"], "value")
+    batch = agg_state(ev.where(F.col("ts") >= cutoff).select(hour, "value"),
+                      ["hour"], "value")
+    return finalize(merge_states(hist, batch, ["hour"]))
+
+
+@query(
+    "key_skew_profile",
+    """
+    WITH counts AS (
+      SELECT l_partkey AS key, count(*) AS cnt FROM lineitem GROUP BY 1),
+    tot AS (
+      SELECT sum(cnt) AS total_rows, count(*) AS n_keys, max(cnt) AS max_cnt
+      FROM counts)
+    SELECT key, cnt,
+           (cnt * 10000) // total_rows AS share_bp,
+           n_keys, total_rows,
+           (max_cnt * n_keys * 10000) // total_rows AS skew_ratio_bp
+    FROM counts, tot
+    ORDER BY cnt DESC, key
+    LIMIT 5
+    """,
+)
+def q_key_skew_profile(spark, sf_dir):
+    """Key-skew pre-flight (operators.validate.skew_profile) over
+    lineitem part keys: top-5 heaviest keys with exact counts and
+    basis-point shares plus the max/mean skew ratio — the diagnostic a
+    planner consults before choosing salting vs plain shuffle. One
+    partial-agg'd count shuffle; totals broadcast; ratios in exact
+    integer division."""
+    from parkour_spark.operators.validate import skew_profile
+
+    li = _t(spark, sf_dir, "lineitem")
+    return skew_profile(li, "l_partkey", top_n=5)
+
+
 # ===========================================================================
 # Data layout (operators/layout.py): z-order clustering + file skipping
 # ===========================================================================

@@ -82,3 +82,57 @@ def test_bloom_bits_table_is_small(spark, lineitem):
     dim = lineitem.select(F.col("l_partkey").alias("p_partkey")).distinct()
     bits = bloom_bits(dim, "p_partkey", m=256, k=3)
     assert bits.count() <= 256 * 3
+
+
+# --- HyperLogLog -----------------------------------------------------------
+
+
+def test_hll_estimate_within_bounds(spark, lineitem):
+    from parkour_spark.operators.sketch import hll_estimate, hll_registers
+
+    regs = hll_registers(lineitem, "l_orderkey", p=8)
+    assert regs.count() == 256
+    est = hll_estimate(regs, p=8).collect()[0]
+    exact = lineitem.select("l_orderkey").distinct().count()
+    # standard error 1.04/sqrt(256) = 6.5%; 3 sigma
+    assert abs(est["estimate"] - exact) <= 0.195 * exact, (est["estimate"], exact)
+
+
+def test_hll_registers_merge_by_max(spark, lineitem):
+    """The mergeability contract: registers of a union = element-wise
+    max of per-part registers — what lets disjoint corpora (or shards)
+    be sketched independently and combined."""
+    from parkour_spark.operators.sketch import hll_registers
+
+    a = lineitem.where(F.col("l_orderkey") % 2 == 0)
+    b = lineitem.where(F.col("l_orderkey") % 2 == 1)
+    whole = {
+        r["bucket"]: r["rho"]
+        for r in hll_registers(lineitem, "l_orderkey", p=6).collect()
+    }
+    ra = {r["bucket"]: r["rho"] for r in hll_registers(a, "l_orderkey", p=6).collect()}
+    rb = {r["bucket"]: r["rho"] for r in hll_registers(b, "l_orderkey", p=6).collect()}
+    merged = {k: max(ra[k], rb[k]) for k in ra}
+    assert merged == whole
+
+
+def test_hll_linear_counting_small_range(spark):
+    """Tiny cardinality lands in the linear-counting regime (raw ≤ 2.5m
+    with empty buckets) and must still estimate well there."""
+    from parkour_spark.operators.sketch import hll_estimate, hll_registers
+
+    small = spark.range(20).select(F.col("id").alias("k"))
+    est = hll_estimate(hll_registers(small, "k", p=8), p=8).collect()[0]
+    assert est["n_zero_buckets"] > 0
+    assert abs(est["estimate"] - 20) <= 3, est["estimate"]
+
+
+def test_hll_duplicates_dont_move_registers(spark, lineitem):
+    """COUNT(DISTINCT) semantics: replicating every row leaves the
+    sketch identical (max over identical hashes)."""
+    from parkour_spark.operators.sketch import hll_registers
+
+    tripled = lineitem.unionAll(lineitem).unionAll(lineitem)
+    a = sorted(map(tuple, hll_registers(lineitem, "l_orderkey", p=6).collect()))
+    b = sorted(map(tuple, hll_registers(tripled, "l_orderkey", p=6).collect()))
+    assert a == b
