@@ -575,3 +575,38 @@ def hashed_doc_vectors(
         ),
     )
     return packed.select(F.col(id_col), vec.alias("vec"))
+
+
+def resample_by_mixture(
+    docs: DataFrame,
+    source_col: str = "source",
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    alpha_num: int = 1,
+    alpha_den: int = 2,
+    micro: int = 1_000_000,
+) -> DataFrame:
+    """Temperature RESAMPLING — `source_mixture_weights` actually applied
+    to the corpus: each source is downsampled at rate
+    (n_tokens_min / n_tokens_s)^(1-α), which realizes token shares
+    ∝ tokens^α (the smallest source keeps everything; larger sources
+    shed their excess). Membership is per-doc content hash against the
+    source's integer micro-rate — reproducible across runs, engines,
+    and partitionings, and the rate table is source-sized so it
+    broadcasts at any corpus scale. Returns the kept rows with a
+    `rate_micro` column."""
+    per_src = docs.groupBy(source_col).agg(
+        F.sum(token_count(F.col(text_col))).alias("__n_tokens")
+    )
+    mn = per_src.agg(F.min("__n_tokens").alias("__mn"))
+    exp = 1.0 - alpha_num / alpha_den
+    rate = F.floor(
+        F.lit(float(micro))
+        * F.pow(F.col("__mn").cast("double") / F.col("__n_tokens"), F.lit(exp))
+    ).cast("long")
+    rates = per_src.crossJoin(F.broadcast(mn)).select(
+        source_col, rate.alias("rate_micro")
+    )
+    return docs.join(F.broadcast(rates), source_col).where(
+        hash_bucket(F.col(id_col), micro) < F.col("rate_micro")
+    )

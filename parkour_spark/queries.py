@@ -3256,6 +3256,85 @@ def q_vocab_head(spark, sf_dir):
     return C.vocab_head_coverage(_t(spark, sf_dir, "documents"), top_n=100)
 
 
+@query(
+    "mixture_resampled_counts",
+    f"""
+    WITH per AS (
+      SELECT source, count(*)::BIGINT AS n_before,
+             sum(len({_TOKS_SQL}))::BIGINT AS n_tokens
+      FROM documents GROUP BY source),
+    mn AS (SELECT min(n_tokens) AS m FROM per),
+    rates AS (
+      SELECT source, n_before,
+             floor(1e6 * pow((SELECT m FROM mn)::DOUBLE / n_tokens, 0.5))::BIGINT
+               AS rate_micro
+      FROM per),
+    kept AS (
+      SELECT d.source, r.n_before, r.rate_micro
+      FROM documents d JOIN rates r USING (source)
+      WHERE ('0x' || substr(md5(d.doc_id::VARCHAR), 1, 8))::BIGINT % 1000000
+              < r.rate_micro)
+    SELECT source, n_before, rate_micro, count(*) AS n_after
+    FROM kept GROUP BY source, n_before, rate_micro
+    """,
+)
+def q_mixture_resampled(spark, sf_dir):
+    """Temperature resampling applied (operators.corpus.
+    resample_by_mixture): source_mixture_weights turned into an actual
+    downsampled corpus — each source keeps rate (min_tokens/tokens)^0.5
+    of its docs by content hash, realizing token shares ∝ tokens^0.5.
+    The rate table is source-sized (broadcast at any scale); membership
+    is a scan-side hash test. Artifact: per-source before/after counts
+    and the integer micro-rate, all engine-exact."""
+    docs = _t(spark, sf_dir, "documents")
+    kept = C.resample_by_mixture(docs)
+    before = docs.groupBy("source").agg(F.count("*").alias("n_before"))
+    return (
+        kept.groupBy("source", "rate_micro")
+        .agg(F.count("*").alias("n_after"))
+        .join(F.broadcast(before), "source")
+        .select("source", "n_before", "rate_micro", "n_after")
+    )
+
+
+@query(
+    "leakage_safe_split_counts",
+    """
+    WITH b AS (
+      SELECT source,
+             ('0x' || substr(md5(source), 1, 8))::BIGINT % 100 AS bucket
+      FROM documents)
+    SELECT CASE WHEN bucket < 80 THEN 'train'
+                WHEN bucket < 90 THEN 'val' ELSE 'test' END AS split,
+           count(*) AS n_docs, count(DISTINCT source) AS n_sources
+    FROM b GROUP BY 1
+    """,
+)
+def q_leakage_safe_split(spark, sf_dir):
+    """Group-integrity train/val/test split: the hash runs on the GROUP
+    key (source), so every document of a source lands in the same split
+    — the leakage-safe variant of dataset_split_counts (near-duplicate
+    or same-origin docs straddling train/test is the classic eval
+    contamination). Scan-side expression; granularity is inherently
+    group-level (a source is atomic)."""
+    from parkour_spark.functions.sampling import split_assign
+
+    docs = _t(spark, sf_dir, "documents")
+    return (
+        docs.select(
+            split_assign("source", {"train": 0.8, "val": 0.1, "test": 0.1}).alias(
+                "split"
+            ),
+            "source",
+        )
+        .groupBy("split")
+        .agg(
+            F.count("*").alias("n_docs"),
+            F.countDistinct("source").alias("n_sources"),
+        )
+    )
+
+
 # ===========================================================================
 # Semantic dedup (SemDeDup-style: k-means cluster blocking)
 # ===========================================================================

@@ -125,3 +125,45 @@ def test_stratified_sample_fractions(spark, sf_dir):
     assert sorted(r.doc_id for r in again.select("doc_id").collect()) == sorted(
         r.doc_id for r in kept.select("doc_id").collect()
     )
+
+
+def test_resample_temperature_properties(spark):
+    """Skewed synthetic corpus: the dominant source sheds docs, the
+    smallest keeps everything, and membership is layout-independent."""
+    rows = []
+    for i in range(400):
+        rows.append(Row(doc_id=i, text="big source filler words " * 5, source="big"))
+    for i in range(40):
+        rows.append(Row(doc_id=1000 + i, text="medium words here", source="mid"))
+    for i in range(8):
+        rows.append(Row(doc_id=2000 + i, text="tiny", source="small"))
+    docs = spark.createDataFrame(rows)
+    kept = C.resample_by_mixture(docs)
+    counts = {r["source"]: r["n"] for r in
+              kept.groupBy("source").agg(F.count("*").alias("n")).collect()}
+    assert counts["small"] == 8                      # min-token source keeps all
+    assert counts["big"] < 400                       # dominant source downsampled
+    # realized keep RATE must fall with source size (temperature flattening)
+    assert counts["big"] / 400 < counts.get("mid", 0) / 40 + 0.25
+    again = {r["source"]: r["n"] for r in
+             C.resample_by_mixture(docs.repartition(7))
+             .groupBy("source").agg(F.count("*").alias("n")).collect()}
+    assert again == counts
+
+
+def test_leakage_safe_split_groups_atomic(spark, sf_dir):
+    """Every source must land in exactly ONE split — the property that
+    makes the split leakage-safe."""
+    from parkour_spark.dataset import load_table
+    from parkour_spark.functions.sampling import split_assign
+
+    docs = load_table(spark, sf_dir, "documents")
+    assigned = docs.select(
+        split_assign("source", {"train": 0.8, "val": 0.1, "test": 0.1}).alias("split"),
+        "source",
+    )
+    per_source = assigned.groupBy("source").agg(
+        F.countDistinct("split").alias("n_splits")
+    )
+    assert per_source.where(F.col("n_splits") > 1).count() == 0
+    assert assigned.count() == docs.count()
