@@ -316,6 +316,13 @@ def triangle_count(
         )
         .select(F.col("o.lo").alias("lo"), F.col("o.hi").alias("hi"))
     )
+    # Referenced three times below (both wedge sides + the closing
+    # semi-join); without this, the whole upstream edge derivation —
+    # for the registered query, the MinHash signature + band + verify
+    # pipeline — re-executes per reference. Edge-sized and deduped by
+    # the CacheManager across invocations (bounded session cache, same
+    # adjudication as the pmi/ngram-capped persists).
+    ranked = ranked.persist()
     w1 = ranked.select(F.col("lo").alias("a"), F.col("hi").alias("b"))
     w2 = ranked.select(F.col("lo").alias("a"), F.col("hi").alias("c"))
     wedges = w1.join(w2, "a").where(F.col("b") < F.col("c"))
