@@ -4629,6 +4629,49 @@ def q_incremental_rollup(spark, sf_dir):
 
 
 @query(
+    "streaming_incremental_rollup",
+    """
+    WITH m AS (
+      SELECT strftime(date_trunc('hour', ts), '%Y-%m-%d %H') AS hour,
+             CAST(round(value * 1000000) AS BIGINT) AS vm
+      FROM events)
+    SELECT hour, count(*) AS n,
+           round(sum(vm) / 1000000.0, 4) AS total,
+           round(sum(vm) / count(*) / 1000000.0, 6) AS avg,
+           round(min(vm) / 1000000.0, 4) AS vmin,
+           round(max(vm) / 1000000.0, 4) AS vmax
+    FROM m GROUP BY hour
+    """,
+)
+def q_streaming_incremental(spark, sf_dir):
+    """Streaming form of incremental_hourly_rollup
+    (streaming.windows.incremental_rollup_stream): the events replay
+    arrives in micro-batches; foreachBatch sketches each batch into an
+    algebraic partial state and merges it into a VERSIONED persisted
+    snapshot — per-batch cost O(batch)+O(state rows), history never
+    re-read, crash-resumable from the last snapshot. Over the finite
+    replay the final snapshot finalizes to exactly the batch recompute
+    (the oracle), whatever the batch boundaries were — the same
+    boundary-independence the batch operator's tests pin."""
+    import tempfile
+
+    from parkour_spark.streaming.windows import (
+        incremental_rollup_stream,
+        read_stream,
+    )
+
+    ev = _t(spark, sf_dir, "events")
+    src = tempfile.mkdtemp(prefix="parkour_incstream_src_")
+    state = tempfile.mkdtemp(prefix="parkour_incstream_state_")
+    ev.write.mode("overwrite").parquet(src)
+    stream = read_stream(spark, src, ev.schema, max_files=4)
+    hour = F.date_format(F.date_trunc("hour", "ts"), "yyyy-MM-dd HH").alias("hour")
+    return incremental_rollup_stream(
+        stream.select(hour, "value"), state, ["hour"], "value"
+    )
+
+
+@query(
     "key_skew_profile",
     """
     WITH counts AS (

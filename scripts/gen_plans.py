@@ -35,6 +35,11 @@ COMMENTARY = {
     "line_dedup_boiler": "Two shuffles total: groupBy(line).min(struct) resolves first occurrence with map-side partial aggregation (a boilerplate line in half the corpus ships one candidate per partition, never a hot window key), then one per-doc regroup rebuilds documents.",
     "decontaminate_ngram_overlap": "Eval n-grams distinct + broadcast; corpus 4-grams explode scan-side from a STAGED token array into the broadcast join — the only corpus shuffle is the per-doc hit count.",
     "semantic_dedup_kmeans": "SemDeDup: centroids ride the plan into an Arrow-matmul assignment scan (no shuffle); in-cluster candidates come from the single-shuffle bucket-pair shape with the cluster id as band key; exact cosine re-checks candidates only. k scales with corpus size to hold cluster pair work constant (soaked at k=n/250).",
+    "pq_adc_topk": "PQ-ADC serving plan (training runs as separate cached jobs): one MapInPandas scan encodes and scores every corpus row against the per-query lookup tables built in the closure — the corpus never shuffles; the only Exchange is the per-query top-k ranking window over (query, candidate, score) tuples.",
+    "hll_distinct_orders": "HLL registers: the md5 string arithmetic (bucket + leading-zero rho) is a pure scan-side projection; max(rho) rides partial aggregation, so the single wide Exchange moves at most m=256 cells per task — COUNT(DISTINCT) at a fixed shuffle size.",
+    "incremental_hourly_rollup": "Two state sketches (history, batch) each partial-agg before their exchange; the merge is a union + re-reduce over STATE ROWS only. In production the history state is a persisted table and only the batch side executes — the plan shows why the merge cost is O(state), not O(corpus).",
+    "triangle_counts_dedup_graph": "Degree-ordered orientation bounds wedge fan-out by ~sqrt(2m); the oriented edge list is cached (it feeds both wedge sides and the closing semi-join — without the cache the MinHash pair derivation upstream executes three times, measured 1.5x). Wedges close via LeftSemi on the (b,c) edge set.",
+    "key_skew_profile": "One partial-agg'd count shuffle over the key; totals are a 1-row broadcast over the key-sized count table; top-n runs as TakeOrderedAndProject. The ratios are exact integer division (div), never float.",
 }
 
 HEADER = """# PLANS — physical-plan evidence for the headline operators

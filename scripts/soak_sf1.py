@@ -54,6 +54,12 @@ SOAK_QUERIES = [
     "dedup_delta_ingest",
     "winnow_overlap_pairs",
     "bigram_lm_scores",
+    # r4 fourth session: PQ trains over the full corpus (one pass per
+    # Lloyd's round, all subspaces); triangle wedges are the
+    # fan-out-bounded-by-orientation claim — both belong in the decade-up
+    # measurement
+    "pq_adc_topk",
+    "triangle_counts_dedup_graph",
 ]
 
 

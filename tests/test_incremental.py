@@ -70,3 +70,27 @@ def test_skew_profile_exact_top_and_ratio(spark, events):
     one = spark.range(100).select(F.lit("k").alias("k"))
     r = skew_profile(one, "k", top_n=1).collect()[0]
     assert r["skew_ratio_bp"] == 10000
+
+
+def test_streaming_rollup_multi_batch_equals_batch(spark, events):
+    """The streaming merge must traverse MULTIPLE batches (versioned
+    snapshots) and still finalize to the batch recompute."""
+    import os
+    import tempfile
+
+    from parkour_spark.streaming.windows import (
+        incremental_rollup_stream,
+        read_stream,
+    )
+
+    src = tempfile.mkdtemp(prefix="t_incstream_src_")
+    state = tempfile.mkdtemp(prefix="t_incstream_state_")
+    # 4 files -> 4 micro-batches at max_files=1
+    events.repartition(4).write.mode("overwrite").parquet(src)
+    stream = read_stream(spark, src, events.schema, max_files=1)
+    hour = F.date_format(F.date_trunc("hour", "ts"), "yyyy-MM-dd HH").alias("h")
+    got = incremental_rollup_stream(stream.select(hour, "value"), state, ["h"], "value")
+    want = finalize(agg_state(events.select(hour, "value"), ["h"], "value"))
+    assert _rows(got) == _rows(want)
+    snaps = [d for d in os.listdir(state) if d.startswith("v")]
+    assert len(snaps) >= 2, snaps

@@ -136,3 +136,25 @@ def test_hll_duplicates_dont_move_registers(spark, lineitem):
     a = sorted(map(tuple, hll_registers(lineitem, "l_orderkey", p=6).collect()))
     b = sorted(map(tuple, hll_registers(tripled, "l_orderkey", p=6).collect()))
     assert a == b
+
+
+def test_hll_rho_matches_integer_reference(spark):
+    """The string-arithmetic rho (leading zero hex digits × 4 + CASE)
+    must equal the integer definition: 1 + leading-zero-bits of the
+    64-bit value in md5 hex chars 9..24, for every bucket's max."""
+    import hashlib
+
+    from parkour_spark.operators.sketch import hll_registers
+
+    n, p = 5000, 4
+    m = 1 << p
+    df = spark.range(n).select(F.col("id").alias("k"))
+    got = {r["bucket"]: r["rho"] for r in hll_registers(df, "k", p=p).collect()}
+    ref = {b: 0 for b in range(m)}
+    for i in range(n):
+        h = hashlib.md5(str(i).encode()).hexdigest()
+        bucket = int(h[:8], 16) % m
+        w = int(h[8:24], 16)
+        rho = 65 if w == 0 else (64 - w.bit_length()) + 1
+        ref[bucket] = max(ref[bucket], rho)
+    assert got == ref
