@@ -610,3 +610,39 @@ def resample_by_mixture(
     return docs.join(F.broadcast(rates), source_col).where(
         hash_bucket(F.col(id_col), micro) < F.col("rate_micro")
     )
+
+
+def linear_quality_scores(
+    docs: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    bias_micro: int = -6_000_000,
+    w_tok_micro: int = 50_000,
+    w_char_micro: int = 2_000,
+    w_distinct_micro: int = 300,
+) -> DataFrame:
+    """Model-based quality filtering PLUMBING: the deployment shape of a
+    trained quality classifier (fastText / logistic regression over doc
+    features) — the weight vector is a tiny constant that rides the
+    plan, feature extraction is scan-side, and the corpus never
+    shuffles. The score is the raw decision value z in integer
+    micro-units over integer features (token count, char count,
+    distinct-token basis points), so it is EXACT in any engine; the
+    sigmoid is monotone, so thresholding z > 0 is thresholding
+    p > 0.5 without ever evaluating exp() (whose last-ulp behavior
+    differs across libm implementations). Swapping in real trained
+    weights changes only the constants."""
+    from parkour_spark.functions.text import distinct_token_ratio_bp
+
+    staged = docs.select(
+        id_col, F.col(text_col).alias("__txt"), tokens(text_col).alias("__t")
+    )
+    z = (
+        F.lit(bias_micro)
+        + F.lit(w_tok_micro) * F.size("__t")
+        + F.lit(w_char_micro) * F.length("__txt")
+        + F.lit(w_distinct_micro) * distinct_token_ratio_bp(F.col("__t"))
+    ).cast("long")
+    return staged.select(
+        id_col, z.alias("z_micro"), (z > 0).alias("passes")
+    )

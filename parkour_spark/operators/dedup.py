@@ -260,6 +260,10 @@ def jaccard_verify(
     ts = _feature_sets(
         df.join(ids, id_col, "leftsemi"), text_col, id_col, ngram_n, widen=False
     ).persist()
+    # Eagerly materialized: consumed by concurrently-scheduled stages
+    # below, and an unpopulated in-memory cache is recomputed by each
+    # concurrent branch that reaches it first (see minhash_dedup_pairs).
+    ts.count()
     a = ts.select(F.col(id_col).alias("id_a"), F.col("toks").alias("toks_a"))
     bb = ts.select(F.col(id_col).alias("id_b"), F.col("toks").alias("toks_b"))
     jac = F.size(F.array_intersect("toks_a", "toks_b")) / F.size(
@@ -284,8 +288,17 @@ def minhash_dedup_pairs(
     """Full MinHash-LSH near-dup pipeline: LSH candidates → exact Jaccard
     verification → pairs over threshold. Candidates are persisted — the
     verify stage consumes them three times (two id projections + the
-    pair join) and the pair set is tiny relative to the corpus."""
+    pair join) and the pair set is tiny relative to the corpus.
+
+    The persist is MATERIALIZED eagerly (one count over the candidate
+    pairs): verify's three references run as concurrent stages, and
+    Spark's in-memory cache is populated per partition by whichever
+    stage gets there first — concurrent branches that find it
+    unpopulated each recompute the full signature+band upstream.
+    Measured on the 10× soak corpus: 28.7s lazy vs 16.6s materialized
+    for the identical result."""
     cand = minhash_candidates(df, text_col, id_col, num_hashes, bands, ngram_n).persist()
+    cand.count()
     return jaccard_verify(cand, df, text_col, id_col, threshold, ngram_n)
 
 
@@ -370,6 +383,10 @@ def ngram_jaccard_pairs_capped(
     # exploded stream twice more and needed two session-lifetime
     # persists to stop re-shingling (42s → 15s at the sf1 soak).
     cand = _bucket_pairs(exploded, id_col, max_bucket=max_df).persist()
+    # Eagerly materialized: consumed by concurrently-scheduled stages
+    # below, and an unpopulated in-memory cache is recomputed by each
+    # concurrent branch that reaches it first (see minhash_dedup_pairs).
+    cand.count()
     return jaccard_verify(cand, df, text_col, id_col, threshold, ngram_n)
 
 
@@ -437,6 +454,10 @@ def simhash_pairs(
         ]
     )
     bl = sig.select(id_col, "simhash", F.explode(blocks).alias("block_key")).persist()
+    # Eagerly materialized: consumed by concurrently-scheduled stages
+    # below, and an unpopulated in-memory cache is recomputed by each
+    # concurrent branch that reaches it first (see minhash_dedup_pairs).
+    bl.count()
     a = bl.select(F.col(id_col).alias("id_a"), F.col("simhash").alias("sig_a"), "block_key")
     b = bl.select(F.col(id_col).alias("id_b"), F.col("simhash").alias("sig_b"), "block_key")
     ham = F.bit_count(F.col("sig_a").bitwiseXOR(F.col("sig_b")))
@@ -682,6 +703,11 @@ def embedding_neardup_pairs(
         vecs = df.select(
             F.col(id_col), F.col(vec_col), norm(vec_col).alias("__n")
         ).persist()
+        # Eagerly materialized: consumed by concurrently-scheduled stages
+        # below, and an unpopulated in-memory cache is recomputed by each
+        # concurrent branch that reaches it first (see minhash_dedup_pairs).
+        cand.count()
+        vecs.count()
         a = vecs.select(
             F.col(id_col).alias("id_a"), F.col(vec_col).alias("vec_a"),
             F.col("__n").alias("__na"),
@@ -801,6 +827,11 @@ def semantic_dedup_pairs(
         assigned.select(F.col(id_col), F.col("band_key")), id_col, max_cluster
     ).persist()
     vecs = df.select(F.col(id_col), F.col(vec_col), norm(vec_col).alias("__n")).persist()
+    # Eagerly materialized: consumed by concurrently-scheduled stages
+    # below, and an unpopulated in-memory cache is recomputed by each
+    # concurrent branch that reaches it first (see minhash_dedup_pairs).
+    cand.count()
+    vecs.count()
     a = vecs.select(
         F.col(id_col).alias("id_a"), F.col(vec_col).alias("vec_a"),
         F.col("__n").alias("__na"),
@@ -854,6 +885,10 @@ def ngram_jaccard_delta(
         .where(F.size("__ids") <= max_df)
     )
     ts_new = _feature_sets(new_df, text_col, id_col, ngram_n).persist()
+    # Eagerly materialized: consumed by concurrently-scheduled stages
+    # below, and an unpopulated in-memory cache is recomputed by each
+    # concurrent branch that reaches it first (see minhash_dedup_pairs).
+    ts_new.count()
     ex_new = _explode_fast(ts_new, "toks", "tok", keep=[id_col])
     cand = (
         _explode_fast(
@@ -865,6 +900,7 @@ def ngram_jaccard_delta(
         .distinct()
         .persist()
     )
+    cand.count()
     a = ts_new.join(
         cand.select(F.col("id_new").alias(id_col)).distinct(), id_col, "leftsemi"
     ).select(F.col(id_col).alias("id_new"), F.col("toks").alias("toks_a"))

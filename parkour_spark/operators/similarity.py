@@ -362,3 +362,35 @@ def quantize_embeddings(
         ),
         F.floor(mse * 1e6).cast("long").alias("mse_micro"),
     )
+
+
+def max_cosine_vs_set(
+    df: DataFrame,
+    refs: list[tuple[int, list[float]]],
+    vec_col: str = "embedding",
+    cos_col: str = "max_cos",
+    ref_col: str = "nearest_ref",
+) -> DataFrame:
+    """Per-row maximum cosine against a SMALL reference set (plus the
+    argmax ref id, ties to the lowest id): the primitive behind
+    semantic benchmark decontamination — eval/benchmark sets are
+    thousands of vectors at most, so they inline as a plan literal and
+    the whole comparison rides the corpus scan (no join, no shuffle),
+    exactly like ivf_assign but keeping the score. For reference sets
+    too large to inline, the corpus side goes through the hyperplane-LSH
+    bucket join instead (embedding_neardup_pairs_auto)."""
+    ref_arr = _centroid_array(refs)
+    staged = df.withColumn("__vn", norm(vec_col))
+    scores = F.transform(
+        ref_arr,
+        lambda c: F.struct(
+            (dot(F.col(vec_col), c["v"]) / (F.col("__vn") * c["n"])).alias("cos"),
+            (-c["cid"]).alias("ncid"),
+        ),
+    )
+    best = F.array_max(scores)
+    return (
+        staged.withColumn(cos_col, F.round(best["cos"], 4))
+        .withColumn(ref_col, -best["ncid"])
+        .drop("__vn")
+    )

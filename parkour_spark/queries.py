@@ -4628,6 +4628,102 @@ def q_incremental_rollup(spark, sf_dir):
     return finalize(merge_states(hist, batch, ["hour"]))
 
 
+_SEMDECON_REFS: dict[str, list] = {}
+
+
+def _semdecon_refs(spark, sf_dir):
+    """Eval-set stand-in: perturbed copies (v + 0.15·rotate(v,1), the
+    planted-near-dup construction) of every 20th corpus vector — 25
+    refs at sf0.01. Driver-side fetch of the ref rows only (benchmark
+    sets are small by construction, same adjudication as the IVF probe
+    set); the perturbation is plain double arithmetic mirrored
+    exactly by the oracle's list_transform."""
+    if sf_dir not in _SEMDECON_REFS:
+        emb = _t(spark, sf_dir, "embeddings")
+        rows = (
+            emb.where(F.col("vec_id") % 20 == 0)
+            .select("vec_id", "embedding")
+            .collect()
+        )
+        refs = []
+        for r in rows:
+            v = [float(x) for x in r["embedding"]]
+            n = len(v)
+            refs.append(
+                (int(r["vec_id"]), [v[i] + 0.15 * v[(i + 1) % n] for i in range(n)])
+            )
+        _SEMDECON_REFS[sf_dir] = refs
+    return _SEMDECON_REFS[sf_dir]
+
+
+@query(
+    "semantic_decontamination",
+    f"""
+    WITH emb AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+    refs AS (
+      SELECT vec_id AS ref_id,
+             list_transform(range(1, len(v) + 1),
+                            i -> v[i] + 0.15 * v[(i % len(v)) + 1]) AS rv
+      FROM emb WHERE vec_id % 20 = 0),
+    ranked AS (
+      SELECT e.vec_id, r.ref_id, {_cos_sql('e.v', 'r.rv')} AS c,
+             row_number() OVER (PARTITION BY e.vec_id
+               ORDER BY {_cos_sql('e.v', 'r.rv')} DESC, r.ref_id) AS rn
+      FROM emb e CROSS JOIN refs r)
+    SELECT vec_id, ref_id AS nearest_ref, round(c, 4) AS max_cos
+    FROM ranked WHERE rn = 1 AND round(c, 4) >= 0.9
+    """,
+)
+def q_semantic_decontamination(spark, sf_dir):
+    """SEMANTIC benchmark decontamination (the embedding-space
+    complement to decontaminate_ngram_overlap): flag training vectors
+    whose cosine to ANY eval-set vector crosses the near-dup threshold.
+    The eval set is small by construction (benchmarks are thousands of
+    items), so it inlines as a plan literal and the whole comparison is
+    one corpus scan — no join, no shuffle
+    (similarity.max_cosine_vs_set); eval sets too large to inline go
+    through the LSH bucket join instead. Eval refs here are planted
+    perturbed copies (cos ≈ 0.989) of every 20th corpus vector, so
+    exactly their sources must flag — recall 25/25 with zero false
+    positives at sf0.01, pinned by the oracle replaying the identical
+    construction."""
+    emb = _t(spark, sf_dir, "embeddings")
+    refs = _semdecon_refs(spark, sf_dir)
+    flagged = SIM.max_cosine_vs_set(emb.select("vec_id", "embedding"), refs)
+    return flagged.where(F.col("max_cos") >= 0.9).select(
+        "vec_id", "nearest_ref", "max_cos"
+    )
+
+
+@query(
+    "model_quality_scores",
+    f"""
+    WITH tok AS (
+      SELECT doc_id, length(text) AS n_chars, {_TOKS_SQL} AS t FROM documents)
+    SELECT doc_id,
+           (-6000000 + 50000 * len(t) + 2000 * n_chars
+            + 300 * (CASE WHEN len(t) > 0
+                          THEN floor(10000.0 * len(list_distinct(t)) / len(t))
+                          ELSE 10000 END))::BIGINT AS z_micro,
+           (-6000000 + 50000 * len(t) + 2000 * n_chars
+            + 300 * (CASE WHEN len(t) > 0
+                          THEN floor(10000.0 * len(list_distinct(t)) / len(t))
+                          ELSE 10000 END)) > 0 AS passes
+    FROM tok
+    """,
+)
+def q_model_quality(spark, sf_dir):
+    """Model-based quality filtering plumbing
+    (operators.corpus.linear_quality_scores): a fixed linear model over
+    scan-side integer features — the deployment shape of a trained
+    quality classifier, where only the weight constants change. Scores
+    are the raw decision value z in integer micro-units (sigmoid is
+    monotone, so z > 0 ⟺ p > 0.5 without evaluating exp, whose
+    last-ulp behavior differs across libm implementations) — exact in
+    any engine. 94 of 500 docs pass at sf0.01."""
+    return C.linear_quality_scores(_t(spark, sf_dir, "documents"))
+
+
 @query(
     "streaming_incremental_rollup",
     """

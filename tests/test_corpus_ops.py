@@ -167,3 +167,39 @@ def test_leakage_safe_split_groups_atomic(spark, sf_dir):
     )
     assert per_source.where(F.col("n_splits") > 1).count() == 0
     assert assigned.count() == docs.count()
+
+
+def test_semantic_decontamination_exact_recall(spark):
+    """The registered construction: flagged vectors must be EXACTLY the
+    sources of the planted eval copies — full recall, zero false
+    positives."""
+    from parkour_spark.dataset import load_table
+    from parkour_spark.queries import QUERIES
+
+    got = QUERIES["semantic_decontamination"](spark, "/root/testdata/sf0.01")
+    flagged = {r["vec_id"] for r in got.collect()}
+    emb = load_table(spark, "/root/testdata/sf0.01", "embeddings")
+    expected = {
+        r["vec_id"] for r in emb.where(F.col("vec_id") % 20 == 0).collect()
+    }
+    assert flagged == expected
+    assert all(r["max_cos"] >= 0.9 for r in got.collect())
+
+
+def test_linear_quality_scores_match_python_reference(spark):
+    rows = [
+        Row(doc_id=1, text="one two three four five unique tokens here now"),
+        Row(doc_id=2, text="spam spam spam spam"),
+        Row(doc_id=3, text=""),
+    ]
+    docs = spark.createDataFrame(rows)
+    got = {r["doc_id"]: (r["z_micro"], r["passes"])
+           for r in C.linear_quality_scores(docs).collect()}
+    import math
+
+    for r in rows:
+        toks = [t for t in r.text.lower().strip().split() if t]
+        n = len(toks)
+        dbp = math.floor(10000 * len(set(toks)) / n) if n else 10000
+        z = -6_000_000 + 50_000 * n + 2_000 * len(r.text) + 300 * dbp
+        assert got[r.doc_id] == (z, z > 0), (r.doc_id, got[r.doc_id], z)
