@@ -34,13 +34,16 @@ def entry(spark: SparkSession) -> DataFrame:
 # Out-of-window entries are still verified every round by the local
 # gate replica (scripts/check_oracle.py, run over ALL entries).
 # Entries ADDED AFTER this window was pinned (the late-r4 families in
-# NOTES_r4.md §9-14: repetition/PII/line-dedup/semantic-dedup, delta
-# ingest, LM scoring, pagerank, TPC-H shapes, sketches, z-order, BPE,
-# validation, triangles) are NOT in this window: every slot is pinned
-# (36 entries whose newest driver row is r02 — demoting any would
-# break the ≤1-round-old rotation invariant — plus entries whose code
-# changed in r4). All are local-gate-verified (targeted
-# check_oracle.py runs green) and take window slots in r5.
+# NOTES_r4.md §9-17: repetition/PII/line-dedup/semantic-dedup, delta
+# ingest, LM scoring, pagerank, TPC-H shapes (both batches), sketches
+# incl. HLL, z-order, BPE, validation, triangles, intervals/k-core,
+# behavioral analytics, PQ, incremental rollups, mixture resampling,
+# semantic decontamination, model scoring, format roundtrip) are NOT
+# in this window: every slot is pinned (36 entries whose newest driver
+# row is r02 — demoting any would break the ≤1-round-old rotation
+# invariant — plus entries whose code changed in r4). All are
+# local-gate-verified (targeted check_oracle.py runs green) and take
+# window slots in r5.
 _R4_WINDOW = [
     # flagships
     "q1_pricing_summary", "word_count",

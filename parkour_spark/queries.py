@@ -4628,6 +4628,53 @@ def q_incremental_rollup(spark, sf_dir):
     return finalize(merge_states(hist, batch, ["hour"]))
 
 
+@query(
+    "format_roundtrip_orders",
+    """
+    SELECT o_orderpriority, count(*) AS n,
+           round(sum(CAST(round(o_totalprice * 100) AS BIGINT)) / 100.0, 2)
+             AS total
+    FROM orders GROUP BY o_orderpriority
+    """,
+)
+def q_format_roundtrip(spark, sf_dir):
+    """Interchange-format parity INSIDE the correctness gate (the
+    csv/json/orc roundtrips were previously test-only): orders is
+    written out as headered CSV (text/dsink) and read back through the
+    schema'd CSV reader (text/dseq + seqf surface, sources.readers.
+    read_any) with the timestamp format pinned; the aggregate over the
+    round-tripped rows must equal the oracle over the ORIGINAL parquet
+    — any row loss, type drift, or formatting asymmetry in the
+    format path breaks the hash. Integer-cents money so the proof is
+    exact."""
+    import tempfile
+
+    from parkour_spark.sources.readers import read_any
+
+    orders = _t(spark, sf_dir, "orders")
+    tmp = tempfile.mkdtemp(prefix="parkour_fmt_rt_")
+    (
+        orders.write.mode("overwrite")
+        .option("header", "true")
+        .option("timestampFormat", "yyyy-MM-dd HH:mm:ss.SSSSSS")
+        .csv(tmp)
+    )
+    back = read_any(
+        spark,
+        tmp,
+        fmt="csv",
+        header="true",
+        timestampFormat="yyyy-MM-dd HH:mm:ss.SSSSSS",
+        schema=orders.schema,
+    )
+    return back.groupBy("o_orderpriority").agg(
+        F.count("*").alias("n"),
+        F.round(
+            F.sum(F.round(F.col("o_totalprice") * 100).cast("long")) / 100.0, 2
+        ).alias("total"),
+    )
+
+
 _SEMDECON_REFS: dict[str, list] = {}
 
 

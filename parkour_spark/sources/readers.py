@@ -81,10 +81,15 @@ def sample_dseq(df: DataFrame, fraction: float, seed: int = 42) -> DataFrame:
     return df.sample(fraction=fraction, seed=seed)
 
 
-def read_any(spark: SparkSession, path: str, fmt: str = "parquet", **options) -> DataFrame:
+def read_any(spark: SparkSession, path: str, fmt: str = "parquet",
+             schema=None, **options) -> DataFrame:
     """Format-parametric reader (seqf/avro/cascading dseqs collapse to
-    this; Avro needs the spark-avro jar — import-gated at call time)."""
+    this; Avro needs the spark-avro jar — import-gated at call time).
+    `schema` (StructType or DDL string) pins the read schema for
+    formats that would otherwise infer (csv/json)."""
     reader = spark.read.format(fmt)
+    if schema is not None:
+        reader = reader.schema(schema)
     for k, v in options.items():
         reader = reader.option(k, v)
     return reader.load(path)
