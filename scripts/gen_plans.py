@@ -62,6 +62,12 @@ def main() -> None:
             spark._jvm.org.apache.spark.sql.execution.ExplainMode.fromString("formatted")
         )
         tree = plan.split("\n\n")[0]
+        # Cap pathological dumps: cached/multi-referenced subtrees print
+        # once per reference (triangle counting repeats the whole MinHash
+        # pipeline x3), which is noise — the evidence is the top of the
+        # tree plus the scan details.
+        if len(tree) > 6000:
+            tree = tree[:6000] + "\n... (tree truncated; full plan via .explain)"
         scans = "\n".join(
             line.strip()
             for line in plan.splitlines()
