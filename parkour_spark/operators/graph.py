@@ -22,7 +22,7 @@ Spark-first iterative shape:
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, functions as F
+from pyspark.sql import DataFrame, Window, functions as F
 
 
 def connected_components(
@@ -386,3 +386,65 @@ def kcore(
         .agg(F.count("*").alias("degree"))
     )
     return deg.where(F.col("degree") >= k)
+
+
+def label_propagation(
+    nodes: DataFrame,
+    edges: DataFrame,
+    node_col: str = "id",
+    src: str = "id_a",
+    dst: str = "id_b",
+    rounds: int = 4,
+) -> DataFrame:
+    """Synchronous label propagation (Raghavan et al. 2007) with
+    deterministic tie-breaking: every node starts labeled with its own
+    id; each round, every node adopts the label occurring MOST OFTEN
+    among its neighbors (ties → smallest label; isolated nodes keep
+    their own). Unlike connected components (pure reachability), LPA
+    splits a weakly-bridged graph at its sparse cuts — the community
+    view of a near-dup graph, where one accidental pair should not
+    merge two dense duplicate clusters.
+
+    Deterministic by construction: SYNCHRONOUS updates (classic LPA's
+    random asynchronous order is irreproducible), a FIXED round count,
+    and the (count DESC, label ASC) argmax — a pure function of the
+    input, so the oracle unrolls the rounds as CTEs. Each node also
+    votes for its OWN current label (a self-loop in the vote graph):
+    without the self-vote, synchronous LPA oscillates on bipartite
+    structures — a bare near-dup PAIR swaps labels every round and
+    lands back split after any even round count. Each round is one
+    shuffle (neighbor-label count) + one argmax window; labels are
+    checkpointed per round like connected_components."""
+    sym = (
+        edges.select(F.col(src).alias("a"), F.col(dst).alias("b"))
+        .union(edges.select(F.col(dst).alias("a"), F.col(src).alias("b")))
+        .union(
+            nodes.select(
+                F.col(node_col).alias("a"), F.col(node_col).alias("b")
+            )
+        )
+        .distinct()
+        .persist()
+    )
+    labels = nodes.select(
+        F.col(node_col).alias("n"), F.col(node_col).alias("lbl")
+    ).localCheckpoint()
+    w = Window.partitionBy("a").orderBy(F.col("cnt").desc(), F.col("lbl"))
+    for _ in range(rounds):
+        counts = (
+            sym.join(labels, sym.b == labels.n)
+            .groupBy("a", "lbl")
+            .agg(F.count("*").alias("cnt"))
+        )
+        best = (
+            counts.withColumn("__rn", F.row_number().over(w))
+            .where(F.col("__rn") == 1)
+            .select(F.col("a"), F.col("lbl").alias("__new"))
+        )
+        labels = (
+            labels.join(best, labels.n == best.a, "left")
+            .select("n", F.coalesce("__new", "lbl").alias("lbl"))
+            .localCheckpoint()
+        )
+    sym.unpersist()
+    return labels.select(F.col("n").alias(node_col), F.col("lbl").alias("label"))

@@ -5342,6 +5342,67 @@ def q_kcore(spark, sf_dir):
     return kcore(pairs, k=_KCORE_K, iters=_KCORE_ITERS)
 
 
+def _lpa_oracle(rounds: int = 4) -> str:
+    """Synchronous LPA unrolled: neighbor-label counts → (count DESC,
+    label ASC) argmax per node → coalesce to previous label, per round.
+    MATERIALIZED rounds for the same reason as the kcore oracle (each
+    round is referenced twice by the next)."""
+    parts = [
+        """e AS MATERIALIZED (
+      SELECT id_a AS a, id_b AS b FROM pairs WHERE id_a <> id_b
+      UNION
+      SELECT id_b AS a, id_a AS b FROM pairs WHERE id_a <> id_b
+      UNION
+      SELECT doc_id AS a, doc_id AS b FROM documents)""",
+        "l0 AS MATERIALIZED (SELECT doc_id AS n, doc_id AS lbl FROM documents)",
+    ]
+    for i in range(1, rounds + 1):
+        parts.append(
+            f"""b{i} AS MATERIALIZED (
+      SELECT a, lbl FROM (
+        SELECT a, lbl, row_number() OVER (PARTITION BY a
+          ORDER BY cnt DESC, lbl) AS rn
+        FROM (SELECT e.a, l.lbl, count(*) AS cnt
+              FROM e JOIN l{i-1} l ON e.b = l.n GROUP BY 1, 2))
+      WHERE rn = 1)"""
+        )
+        parts.append(
+            f"""l{i} AS MATERIALIZED (
+      SELECT l.n, coalesce(b.lbl, l.lbl) AS lbl
+      FROM l{i-1} l LEFT JOIN b{i} b ON l.n = b.a)"""
+        )
+    return (
+        f"WITH {_neardup_pairs_ctes()},\n    "
+        + ",\n    ".join(parts)
+        + f"""
+    SELECT lbl AS label, count(*) AS n_members
+    FROM l{rounds} GROUP BY lbl
+    """
+    )
+
+
+@query("label_propagation_communities", _lpa_oracle())
+def q_label_propagation(spark, sf_dir):
+    """Community detection over the near-dup graph
+    (operators.graph.label_propagation): synchronous LPA with
+    self-votes, 4 rounds, ties to the smallest label — splits
+    weakly-bridged duplicate clusters at sparse cuts where connected
+    components (pure reachability) would merge them through one
+    accidental pair. Deterministic (synchronous updates, fixed rounds,
+    (count, label) argmax), so the oracle unrolls the rounds over the
+    shared MinHash pair-graph CTE prefix. One shuffle + one argmax
+    window per round. Artifact: per-community member counts."""
+    from parkour_spark.operators.graph import label_propagation
+
+    docs = _t(spark, sf_dir, "documents")
+    pairs = D.minhash_dedup_pairs(docs, threshold=0.8)
+    labels = label_propagation(
+        docs.select("doc_id"), pairs, node_col="doc_id", rounds=4
+    )
+    return labels.groupBy("label").agg(F.count("*").alias("n_members"))
+
+
+
 @query(
     "sorted_neighborhood_candidates",
     """

@@ -92,3 +92,41 @@ def test_sorted_neighborhood_finds_adjacent_exact_dups(spark):
     assert (1, 2) in pairs
     # different blocks never pair ('aa' vs 'bb' vs 'zz' prefixes)
     assert (2, 3) not in pairs and (3, 4) not in pairs
+
+
+def test_label_propagation_splits_weak_bridge(spark):
+    """Barbell: two 4-cliques joined by ONE bridge edge. Connected
+    components merges everything; LPA keeps two communities because the
+    bridge carries one vote against three in-clique votes."""
+    from parkour_spark.operators.graph import connected_components, label_propagation
+
+    edges = []
+    for base in (0, 10):
+        ids = [base + i for i in range(4)]
+        edges += [(a, b) for a in ids for b in ids if a < b]
+    edges.append((3, 10))  # bridge
+    e = spark.createDataFrame(edges, "id_a long, id_b long")
+    nodes = spark.createDataFrame([(i,) for i in range(4)] + [(10 + i,) for i in range(4)],
+                                  "id long")
+    lpa = {r["id"]: r["label"] for r in label_propagation(nodes, e, rounds=4).collect()}
+    left = {lpa[i] for i in range(4)}
+    right = {lpa[10 + i] for i in range(4)}
+    assert len(left) == 1 and len(right) == 1
+    assert left != right
+    cc = {r["component"] for r in connected_components(nodes, e, node_col="id").collect()}
+    assert len(cc) == 1  # reachability merges the barbell
+
+
+def test_label_propagation_isolated_and_deterministic(spark):
+    from parkour_spark.operators.graph import label_propagation
+
+    e = spark.createDataFrame([(1, 2)], "id_a long, id_b long")
+    nodes = spark.createDataFrame([(1,), (2,), (99,)], "id long")
+    out = {r["id"]: r["label"] for r in label_propagation(nodes, e).collect()}
+    assert out[99] == 99             # isolated keeps its own label
+    # a bare pair must CONVERGE to one community (the self-vote kills
+    # synchronous LPA's bipartite oscillation) with the smaller label
+    assert out[1] == out[2] == 1
+    again = {r["id"]: r["label"]
+             for r in label_propagation(nodes.repartition(3), e.repartition(2)).collect()}
+    assert again == out
