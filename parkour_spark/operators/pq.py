@@ -272,3 +272,159 @@ def pq_adc_topk(
         .where(F.col("rank") <= k)
         .select("query_id", id_col, "rank", "adc_cos")
     )
+
+
+def kmeans_l2(
+    df: DataFrame,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+    k: int = 8,
+    iters: int = 2,
+) -> list[tuple[int, list[float]]]:
+    """Full-vector L2 Lloyd's = pq_train with a single subspace — the
+    coarse quantizer for IVF-PQ (operators.kmeans.kmeans_fit is the
+    cosine variant feeding the cosine IVF path)."""
+    return pq_train(df, vec_col, id_col, m=1, ksub=k, iters=iters)[0]
+
+
+def residual_df(
+    df: DataFrame,
+    coarse: list[tuple[int, list[float]]],
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+    cell_col: str = "cell",
+    res_col: str = "res",
+) -> DataFrame:
+    """(id, cell, residual): assign each vector to its nearest (L2)
+    coarse centroid and subtract it — scan-side Arrow pass, centroids in
+    the closure. Residuals concentrate near the origin, which is what
+    makes product codes over them much tighter than over raw vectors
+    (the IVF-PQ insight, Jégou et al. 2011 §III)."""
+    import numpy as np
+    from pyspark.sql import types as T
+
+    C = _np_codebooks([coarse])[0]
+
+    schema = T.StructType(
+        [
+            T.StructField(id_col, T.LongType()),
+            T.StructField(cell_col, T.LongType()),
+            T.StructField(res_col, T.ArrayType(T.DoubleType())),
+        ]
+    )
+
+    def compute(batches):
+        import pandas as pd
+
+        for pdf in batches:
+            if len(pdf) == 0:
+                continue
+            V = np.stack(pdf[vec_col].to_numpy()).astype(np.float64)
+            cells = _assign_codes(V, [C])[:, 0]
+            R = V - C[cells]
+            yield pd.DataFrame(
+                {id_col: pdf[id_col].to_numpy(), cell_col: cells, res_col: list(R)}
+            )
+
+    return widen_scan(df.select(id_col, vec_col)).mapInPandas(compute, schema=schema)
+
+
+def ivfpq_topk(
+    corpus: DataFrame,
+    coarse: list[tuple[int, list[float]]],
+    codebooks: Codebooks,
+    queries: list[tuple[int, list[float]]],
+    k: int = 10,
+    nprobe: int = 2,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+) -> DataFrame:
+    """IVF-PQ search (the FAISS IndexIVFPQ architecture): each query
+    probes its `nprobe` nearest coarse cells; candidates in those cells
+    are scored by ADC over their RESIDUAL codes —
+    d̂²(q, v) = Σ_s ‖(q − c_cell)_s − cb_{s,code_s(v)}‖², i.e. the
+    distance tables are built per (query, probed cell) because the
+    residual depends on the cell. One scan-side Arrow pass assigns,
+    encodes, and scores only rows whose cell is probed by some query;
+    the corpus never shuffles, and only (query, candidate, distance)
+    tuples reach the top-k window. Result: (query_id, vec_id, rank,
+    adc_d2) ranked by ascending approximate distance."""
+    import numpy as np
+
+    C = _np_codebooks([coarse])[0]
+    cbs = _np_codebooks(codebooks)
+    m = len(cbs)
+    dsub = cbs[0].shape[1]
+    Q = np.array([v for _, v in queries], dtype=np.float64)
+    qids = np.array([int(q) for q, _ in queries], dtype=np.int64)
+    # probes per query: nprobe nearest coarse cells by L2, ties to
+    # the lowest cell (argsort is stable; distances computed whole)
+    qd = ((Q * Q).sum(1)[:, None] - 2.0 * (Q @ C.T) + (C * C).sum(1)[None, :])
+    probe_cells = np.argsort(qd, axis=1, kind="stable")[:, :nprobe]
+    # per (query, probed cell): m distance tables of shape (ksub,)
+    tables: dict[tuple[int, int], list] = {}
+    for qi in range(len(qids)):
+        for cell in probe_cells[qi]:
+            qres = Q[qi] - C[cell]
+            tables[(qi, int(cell))] = [
+                ((qres[s * dsub : (s + 1) * dsub][None, :] - cbs[s]) ** 2).sum(1)
+                for s in range(m)
+            ]
+
+    from pyspark.sql import types as T
+
+    schema = T.StructType(
+        [
+            T.StructField("query_id", T.LongType()),
+            T.StructField(id_col, T.LongType()),
+            T.StructField("adc_d2", T.DoubleType()),
+        ]
+    )
+
+    def score(batches):
+        import pandas as pd
+
+        for pdf in batches:
+            if len(pdf) == 0:
+                continue
+            V = np.stack(pdf[vec_col].to_numpy()).astype(np.float64)
+            ids = pdf[id_col].to_numpy()
+            cells = _assign_codes(V, [C])[:, 0]
+            R = V - C[cells]
+            codes = _assign_codes(R, cbs)
+            out_q, out_i, out_d = [], [], []
+            for qi in range(len(qids)):
+                for cell in probe_cells[qi]:
+                    mask = cells == cell
+                    if not mask.any():
+                        continue
+                    t = tables[(qi, int(cell))]
+                    d = np.zeros(mask.sum())
+                    sub = codes[mask]
+                    for s in range(m):
+                        d += t[s][sub[:, s]]
+                    out_q.append(np.full(mask.sum(), qids[qi]))
+                    out_i.append(ids[mask])
+                    out_d.append(d)
+            if not out_q:
+                continue
+            yield pd.DataFrame(
+                {
+                    "query_id": np.concatenate(out_q),
+                    id_col: np.concatenate(out_i),
+                    "adc_d2": np.concatenate(out_d),
+                }
+            )
+
+    scored = widen_scan(corpus.select(id_col, vec_col)).mapInPandas(
+        score, schema=schema
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.round("adc_d2", 4).asc(), F.col(id_col)
+    )
+    return (
+        scored.withColumn("adc_d2", F.round("adc_d2", 4))
+        .withColumn("rank", F.row_number().over(w))
+        .where(F.col("rank") <= k)
+        .select("query_id", id_col, "rank", "adc_d2")
+    )

@@ -2182,9 +2182,152 @@ def _pq_oracle(m: int = 4, ksub: int = 8, iters: int = 2, dim: int = 64,
     )
 
 
+def _l2_lloyd_ctes(prefix: str, src: str, seeds: str, lo: int, hi: int,
+                   iters: int) -> str:
+    """L2 Lloyd's rounds over `src` (vec_id, v) sliced to [lo, hi],
+    seeded from `seeds` (same slice), keep-old on empty cells —
+    mirrors operators.pq's training exactly. Emits {prefix}_c{iters}
+    (codebook) and {prefix}_af (final assignment)."""
+    parts = [
+        f"{prefix}_e AS (SELECT vec_id, v[{lo}:{hi}] AS v FROM {src})",
+        f"{prefix}_c0 AS (SELECT cell, v[{lo}:{hi}] AS c FROM {seeds})",
+    ]
+    for i in range(1, iters + 1):
+        parts.append(
+            f"""{prefix}_a{i} AS MATERIALIZED (
+      SELECT vec_id, v, cell FROM (
+        SELECT e.vec_id, e.v, c.cell,
+               row_number() OVER (PARTITION BY e.vec_id
+                 ORDER BY list_distance(e.v, c.c) ASC, c.cell) AS rn
+        FROM {prefix}_e e CROSS JOIN {prefix}_c{i-1} c) WHERE rn = 1)"""
+        )
+        parts.append(
+            f"""{prefix}_c{i} AS MATERIALIZED (
+      SELECT cell, list(mv ORDER BY idx) AS c FROM (
+        SELECT cell, idx, avg(val) AS mv FROM (
+          SELECT cell, unnest(v) AS val, unnest(range(1, len(v)+1)) AS idx
+          FROM {prefix}_a{i})
+        GROUP BY cell, idx) GROUP BY cell
+      UNION ALL
+      SELECT cell, c FROM {prefix}_c{i-1}
+      WHERE cell NOT IN (SELECT DISTINCT cell FROM {prefix}_a{i}))"""
+        )
+    parts.append(
+        f"""{prefix}_af AS MATERIALIZED (
+      SELECT vec_id, cell FROM (
+        SELECT e.vec_id, c.cell,
+               row_number() OVER (PARTITION BY e.vec_id
+                 ORDER BY list_distance(e.v, c.c) ASC, c.cell) AS rn
+        FROM {prefix}_e e CROSS JOIN {prefix}_c{iters} c) WHERE rn = 1)"""
+    )
+    return ",\n    ".join(parts)
+
+
+def _ivfpq_oracle(k_coarse: int = 8, m: int = 4, ksub: int = 8, iters: int = 2,
+                  dim: int = 64, nprobe: int = 2, k: int = 10) -> str:
+    """Full IVF-PQ replay: L2 coarse Lloyd's over raw vectors →
+    residuals → per-subspace L2 Lloyd's over residuals → probe nprobe
+    nearest cells per query → ADC distance through residual codes."""
+    dsub = dim // m
+    parts = [
+        "emb AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings)",
+        f"""seeds AS (
+      SELECT row_number() OVER (ORDER BY md5(vec_id::VARCHAR), vec_id) - 1 AS cell, v
+      FROM (SELECT vec_id, v FROM emb
+            ORDER BY md5(vec_id::VARCHAR), vec_id LIMIT {k_coarse}))""",
+        _l2_lloyd_ctes("g", "emb", "seeds", 1, dim, iters),
+        f"""res AS MATERIALIZED (
+      SELECT e.vec_id, a.cell AS gcell,
+             list_transform(range(1, {dim} + 1), i -> e.v[i] - c.c[i]) AS v
+      FROM emb e JOIN g_af a ON e.vec_id = a.vec_id
+      JOIN g_c{iters} c ON a.cell = c.cell)""",
+        f"""rseeds AS (
+      SELECT row_number() OVER (ORDER BY md5(vec_id::VARCHAR), vec_id) - 1 AS cell, v
+      FROM (SELECT vec_id, v FROM res
+            ORDER BY md5(vec_id::VARCHAR), vec_id LIMIT {ksub}))""",
+    ]
+    for s in range(m):
+        parts.append(
+            _l2_lloyd_ctes(f"r{s}", "res", "rseeds",
+                           s * dsub + 1, (s + 1) * dsub, iters)
+        )
+    joins = " ".join(
+        f"JOIN r{s}_af a{s} ON e.vec_id = a{s}.vec_id "
+        f"JOIN r{s}_c{iters} cb{s} ON a{s}.cell = cb{s}.cell"
+        for s in range(m)
+    )
+    d2 = " + ".join(
+        f"""list_sum(list_transform(range(1, {dsub} + 1),
+          i -> (qr.qres[{s * dsub} + i] - cb{s}.c[i])
+             * (qr.qres[{s * dsub} + i] - cb{s}.c[i])))"""
+        for s in range(m)
+    )
+    return (
+        "WITH "
+        + ",\n    ".join(parts)
+        + f""",
+    q AS (SELECT vec_id AS query_id, v AS qv FROM emb WHERE vec_id < 5),
+    probes AS (
+      SELECT query_id, cell FROM (
+        SELECT q.query_id, c.cell,
+               row_number() OVER (PARTITION BY q.query_id
+                 ORDER BY list_distance(q.qv, c.c) ASC, c.cell) AS rn
+        FROM q CROSS JOIN g_c{iters} c) WHERE rn <= {nprobe}),
+    qres AS (
+      SELECT p.query_id, p.cell,
+             list_transform(range(1, {dim} + 1), i -> q.qv[i] - c.c[i]) AS qres
+      FROM probes p JOIN q USING (query_id)
+      JOIN g_c{iters} c ON p.cell = c.cell),
+    scored AS (
+      SELECT qr.query_id, e.vec_id, round({d2}, 4) AS adc_d2
+      FROM qres qr
+      JOIN g_af ga ON ga.cell = qr.cell
+      JOIN emb e ON e.vec_id = ga.vec_id
+      {joins})
+    SELECT query_id, vec_id, rank, adc_d2 FROM (
+      SELECT *, row_number() OVER (PARTITION BY query_id
+                                   ORDER BY adc_d2 ASC, vec_id) AS rank
+      FROM scored)
+    WHERE rank <= {k}
+    """
+    )
+
+
 # Trained-codebook cache, same rationale as _IVF_CENTS: a production PQ
 # index trains once, encodes once, then serves queries.
 _PQ_CODEBOOKS: dict[str, list] = {}
+_IVFPQ_INDEX: dict[str, tuple] = {}
+
+
+@query("ivfpq_topk_l2", _ivfpq_oracle())
+def q_ivfpq(spark, sf_dir):
+    """IVF-PQ search (operators.pq.ivfpq_topk — the FAISS IndexIVFPQ
+    architecture): L2 coarse quantizer (k=8) partitions the corpus into
+    inverted lists; product codes are learned over RESIDUALS (which
+    concentrate near the origin — far tighter than raw-vector codes);
+    queries probe nprobe=2 cells and score candidates by ADC with
+    per-(query, cell) distance tables. One scan-side Arrow pass
+    assigns+encodes+scores; the corpus never shuffles. Deterministic
+    end-to-end (shared hash-sampled seeds at both quantizer levels,
+    fixed rounds, argmin ties to lowest cell), so the oracle replays
+    coarse training → residuals → residual-PQ training → probe → ADC
+    as generated CTEs."""
+    from parkour_spark.operators.pq import ivfpq_topk, kmeans_l2, pq_train, residual_df
+
+    emb = _t(spark, sf_dir, "embeddings")
+    if sf_dir not in _IVFPQ_INDEX:
+        coarse = kmeans_l2(emb, k=8, iters=2)
+        res = residual_df(emb, coarse).select(
+            "vec_id", F.col("res").alias("embedding")
+        )
+        cbs = pq_train(res, m=4, ksub=8, iters=2)
+        _IVFPQ_INDEX[sf_dir] = (coarse, cbs)
+    coarse, cbs = _IVFPQ_INDEX[sf_dir]
+    queries = [
+        (int(r["vec_id"]), [float(x) for x in r["embedding"]])
+        for r in emb.where(F.col("vec_id") < 5).select("vec_id", "embedding").collect()
+    ]
+    return ivfpq_topk(emb, coarse, cbs, queries, k=10, nprobe=2)
 
 
 @query("pq_adc_topk", _pq_oracle())

@@ -105,3 +105,79 @@ def test_adc_beats_noise_floor(spark, emb, codebooks):
     a = {(r["query_id"], r["vec_id"]) for r in approx.collect()}
     e = {(r["query_id"], r["vec_id"]) for r in exact.collect()}
     assert len(a & e) / len(e) >= 0.1, len(a & e) / len(e)
+
+
+def test_ivfpq_finds_planted_neighbors(spark, emb):
+    """IVF-PQ through 4 residual bytes must surface a planted cos≈0.989
+    twin (small L2 distance after normalization differences) for most
+    queries — and never return a candidate outside the probed cells."""
+    from parkour_spark.operators.pq import (
+        ivfpq_topk,
+        kmeans_l2,
+        pq_train,
+        residual_df,
+    )
+
+    planted = emb.select(
+        (F.col("vec_id") + 100000).alias("vec_id"),
+        F.transform(
+            F.zip_with(
+                "embedding",
+                F.concat(F.slice("embedding", 2, 63), F.slice("embedding", 1, 1)),
+                lambda a, b: a + F.lit(0.05) * b,
+            ),
+            lambda x: x.cast("float"),
+        ).alias("embedding"),
+        "label",
+    )
+    corpus = emb.select("vec_id", "embedding", "label").unionByName(planted)
+    coarse = kmeans_l2(corpus, k=8, iters=2)
+    res = residual_df(corpus, coarse).select("vec_id", F.col("res").alias("embedding"))
+    cbs = pq_train(res, m=4, ksub=8, iters=2)
+    queries = [
+        (int(r["vec_id"]), [float(x) for x in r["embedding"]])
+        for r in emb.where(F.col("vec_id") < 5).collect()
+    ]
+    got = {}
+    for r in ivfpq_topk(corpus, coarse, cbs, queries, k=5, nprobe=2).collect():
+        got.setdefault(r["query_id"], set()).add(r["vec_id"])
+    hits = sum((q in got.get(q, ())) + (q + 100000 in got.get(q, ())) for q, _ in queries)
+    assert hits >= 6, {q: sorted(v) for q, v in got.items()}
+
+
+def test_ivfpq_residuals_tighter_than_raw(spark, emb, codebooks):
+    """The IVF-PQ justification: quantizing residuals gives lower
+    reconstruction error than quantizing raw vectors with the same
+    code budget."""
+    import numpy as np
+
+    from parkour_spark.operators.pq import (
+        _np_codebooks,
+        _assign_codes,
+        kmeans_l2,
+        pq_train,
+        residual_df,
+    )
+
+    V = np.stack([np.array(r["embedding"], dtype=np.float64)
+                  for r in emb.orderBy("vec_id").collect()])
+
+    def recon_err(vectors, cbs_list):
+        cbs = _np_codebooks(cbs_list)
+        codes = _assign_codes(vectors, cbs)
+        dsub = cbs[0].shape[1]
+        err = 0.0
+        for s, C in enumerate(cbs):
+            diff = vectors[:, s * dsub:(s + 1) * dsub] - C[codes[:, s]]
+            err += (diff ** 2).sum()
+        return err
+
+    raw_err = recon_err(V, codebooks)
+    coarse = kmeans_l2(emb, k=8, iters=2)
+    res_rows = residual_df(emb, coarse).orderBy("vec_id").collect()
+    R = np.stack([np.array(r["res"], dtype=np.float64) for r in res_rows])
+    res_cbs = pq_train(
+        residual_df(emb, coarse).select("vec_id", F.col("res").alias("embedding")),
+        m=4, ksub=8, iters=2,
+    )
+    assert recon_err(R, res_cbs) < raw_err
