@@ -65,3 +65,27 @@ def scd2_from_events(
         nxt.alias("valid_to"),
         nxt.isNull().alias("is_current"),
     )
+
+
+def snapshot_diff(
+    old: DataFrame,
+    new: DataFrame,
+    id_col: str,
+    content_col: str,
+) -> DataFrame:
+    """Classify every id across two corpus snapshots: added / removed /
+    changed / unchanged, comparing md5 content fingerprints (never the
+    payloads — at 100 TB the diff join carries two hashes per id, not
+    two documents). One full outer join on the id; the natural feeder
+    for incremental pipelines (changed ∪ added rows go to
+    dedup.ngram_jaccard_delta, removed ids to index cleanup)."""
+    o = old.select(F.col(id_col), F.md5(F.col(content_col)).alias("__fp_old"))
+    n = new.select(F.col(id_col), F.md5(F.col(content_col)).alias("__fp_new"))
+    j = o.join(n, id_col, "full_outer")
+    status = (
+        F.when(F.col("__fp_old").isNull(), "added")
+        .when(F.col("__fp_new").isNull(), "removed")
+        .when(F.col("__fp_old") != F.col("__fp_new"), "changed")
+        .otherwise("unchanged")
+    )
+    return j.select(F.col(id_col), status.alias("status"))

@@ -72,3 +72,43 @@ def coverage_stats(merged: DataFrame, key: str = "user_id",
         F.sum(F.col(end) - F.col(start)).alias("covered_s"),
         F.max(F.col(end) - F.col(start)).alias("longest_s"),
     )
+
+
+def fill_time_gaps(
+    df: DataFrame,
+    bucket_col: str,
+    keys: list[str],
+    agg_cols: dict[str, str],
+    step_seconds: int,
+) -> DataFrame:
+    """Gap-filling over integer-second time buckets (the hypertable
+    staple: a rollup with silent hours is a lying chart, and downstream
+    window math — moving averages, deltas — needs a dense spine): for
+    every key, generate the full bucket spine from the GLOBAL min to
+    max bucket and left-join the data onto it; missing buckets fill
+    with zero (counts/sums — the correct identity for additive
+    aggregates; carry-forward is a one-window variant).
+
+    Scale shape: the spine is keys × buckets rows, generated from a
+    broadcast 1-row (min, max) aggregate via sequence/explode — never a
+    driver loop — and the join key is (key, bucket), the same key the
+    rollup is already partitioned by."""
+    bounds = df.agg(
+        F.min(bucket_col).alias("__lo"), F.max(bucket_col).alias("__hi")
+    )
+    key_df = df.select(*keys).distinct()
+    spine = (
+        key_df.crossJoin(F.broadcast(bounds))
+        .select(
+            *keys,
+            F.explode(
+                F.sequence(F.col("__lo"), F.col("__hi"), F.lit(step_seconds))
+            ).alias(bucket_col),
+        )
+    )
+    out = spine.join(df, [*keys, bucket_col], "left")
+    return out.select(
+        *keys,
+        bucket_col,
+        *[F.coalesce(F.col(c), F.lit(0)).alias(c) for c in agg_cols],
+    )

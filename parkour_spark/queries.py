@@ -4818,6 +4818,106 @@ def q_format_roundtrip(spark, sf_dir):
     )
 
 
+@query(
+    "gapfilled_hourly_events",
+    """
+    WITH ev AS (
+      SELECT event_type,
+             (floor(epoch_us(ts) / 3600000000) * 3600)::BIGINT AS bucket,
+             CAST(round(value * 1000000) AS BIGINT) AS vm
+      FROM events),
+    agg AS (
+      SELECT event_type, bucket, count(*) AS n, sum(vm) AS vsum_micro
+      FROM ev GROUP BY 1, 2),
+    spine AS (
+      SELECT t.event_type,
+             unnest(generate_series(b.lo, b.hi, 3600)) AS bucket
+      FROM (SELECT DISTINCT event_type FROM ev) t,
+           (SELECT min(bucket) AS lo, max(bucket) AS hi FROM agg) b)
+    SELECT s.event_type, s.bucket,
+           coalesce(a.n, 0) AS n, coalesce(a.vsum_micro, 0) AS vsum_micro
+    FROM spine s LEFT JOIN agg a USING (event_type, bucket)
+    """,
+)
+def q_gapfilled_hourly(spark, sf_dir):
+    """Gap-filled hourly rollup (operators.intervals.fill_time_gaps):
+    every (event_type, hour) in the global span appears, silent hours
+    as explicit zeros — the dense spine downstream window math (moving
+    averages, deltas) requires. The spine generates from a broadcast
+    1-row (min, max) aggregate via sequence/explode — never a driver
+    loop — and joins on the key the rollup already shuffles by.
+    Integer-second buckets and micro-unit sums keep it engine-exact."""
+    from parkour_spark.functions.timeops import epoch_micros
+    from parkour_spark.operators.intervals import fill_time_gaps
+
+    ev = _t(spark, sf_dir, "events")
+    bucket = (F.floor(epoch_micros("ts") / 3_600_000_000) * 3600).cast("long")
+    agg = ev.groupBy("event_type", bucket.alias("bucket")).agg(
+        F.count("*").alias("n"),
+        F.sum(F.round(F.col("value") * 1_000_000).cast("long")).alias("vsum_micro"),
+    )
+    return fill_time_gaps(
+        agg, "bucket", ["event_type"], {"n": "zero", "vsum_micro": "zero"}, 3600
+    )
+
+
+@query(
+    "corpus_snapshot_diff",
+    """
+    WITH hb AS (
+      SELECT doc_id, text,
+             ('0x' || substr(md5(doc_id::VARCHAR), 1, 8))::BIGINT % 100 AS b
+      FROM documents),
+    new AS (
+      SELECT doc_id,
+             CASE WHEN b BETWEEN 5 AND 9 THEN text || ' v2' ELSE text END AS text
+      FROM hb WHERE b >= 5
+      UNION ALL
+      SELECT doc_id + 1000000 AS doc_id, text FROM hb WHERE b BETWEEN 10 AND 12),
+    o AS (SELECT doc_id, md5(text) AS fo FROM documents),
+    n AS (SELECT doc_id, md5(text) AS fn FROM new),
+    j AS (SELECT coalesce(o.doc_id, n.doc_id) AS doc_id, fo, fn
+          FROM o FULL OUTER JOIN n ON o.doc_id = n.doc_id)
+    SELECT CASE WHEN fo IS NULL THEN 'added'
+                WHEN fn IS NULL THEN 'removed'
+                WHEN fo <> fn THEN 'changed'
+                ELSE 'unchanged' END AS status,
+           count(*) AS n
+    FROM j GROUP BY 1
+    """,
+)
+def q_corpus_snapshot_diff(spark, sf_dir):
+    """Snapshot diff (operators.cdc.snapshot_diff): classify every doc
+    across two corpus versions as added/removed/changed/unchanged by
+    comparing md5 content fingerprints — the diff join carries two
+    hashes per id, never two documents, which is what makes it viable
+    at 100 TB. The synthetic v2 corpus drops a 5% hash slice, edits the
+    next 5%, and adds 3% new ids (deterministic content-hash slices,
+    mirrored in the oracle); the output feeds incremental pipelines
+    (changed ∪ added → ngram_jaccard_delta, removed → index cleanup)."""
+    from parkour_spark.functions.sampling import hash_bucket
+    from parkour_spark.operators.cdc import snapshot_diff
+
+    docs = _t(spark, sf_dir, "documents").select("doc_id", "text")
+    hb = hash_bucket(F.col("doc_id"), 100)
+    kept = docs.where(hb >= 5)
+    edited = kept.select(
+        "doc_id",
+        F.when(hb.between(5, 9), F.concat(F.col("text"), F.lit(" v2")))
+        .otherwise(F.col("text"))
+        .alias("text"),
+    )
+    added = docs.where(hb.between(10, 12)).select(
+        (F.col("doc_id") + 1000000).alias("doc_id"), "text"
+    )
+    new = edited.unionByName(added)
+    return (
+        snapshot_diff(docs, new, "doc_id", "text")
+        .groupBy("status")
+        .agg(F.count("*").alias("n"))
+    )
+
+
 _SEMDECON_REFS: dict[str, list] = {}
 
 

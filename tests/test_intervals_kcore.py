@@ -130,3 +130,32 @@ def test_label_propagation_isolated_and_deterministic(spark):
     again = {r["id"]: r["label"]
              for r in label_propagation(nodes.repartition(3), e.repartition(2)).collect()}
     assert again == out
+
+
+def test_fill_time_gaps_dense_spine_with_zeros(spark):
+    from parkour_spark.operators.intervals import fill_time_gaps
+
+    agg = spark.createDataFrame(
+        [("a", 0, 5), ("a", 7200, 2), ("b", 3600, 1)],
+        "k string, bucket long, n long",
+    )
+    out = fill_time_gaps(agg, "bucket", ["k"], {"n": "zero"}, 3600)
+    rows = {(r["k"], r["bucket"]): r["n"] for r in out.collect()}
+    # global span 0..7200 for BOTH keys, hourly
+    assert set(rows) == {(k, b) for k in ("a", "b") for b in (0, 3600, 7200)}
+    assert rows[("a", 3600)] == 0 and rows[("b", 0)] == 0
+    assert rows[("a", 0)] == 5 and rows[("b", 3600)] == 1
+
+
+def test_snapshot_diff_classifies_exactly(spark):
+    from parkour_spark.operators.cdc import snapshot_diff
+
+    old = spark.createDataFrame(
+        [(1, "x"), (2, "y"), (3, "z")], "id long, body string"
+    )
+    new = spark.createDataFrame(
+        [(2, "y"), (3, "z2"), (4, "w")], "id long, body string"
+    )
+    got = {r["id"]: r["status"]
+           for r in snapshot_diff(old, new, "id", "body").collect()}
+    assert got == {1: "removed", 2: "unchanged", 3: "changed", 4: "added"}
