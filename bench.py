@@ -58,8 +58,12 @@ HEADLINE = [
     "zorder_pruned_scan",
     "bpe_train_merges",
     "triangle_counts_dedup_graph",
-    # r4 fourth session: product-quantization ANN (train+encode+ADC)
+    # r4 fourth session: product-quantization ANN (train+encode+ADC),
+    # the IVF-PQ composite index, and community detection over the
+    # near-dup graph
     "pq_adc_topk",
+    "ivfpq_topk_l2",
+    "label_propagation_communities",
 ]
 
 

@@ -228,3 +228,45 @@ def skew_profile(df: DataFrame, key: str, top_n: int = 5) -> DataFrame:
         "total_rows",
         F.expr("div(max_cnt * n_keys * 10000, total_rows)").alias("skew_ratio_bp"),
     )
+
+
+def winsorize_bounds(
+    df: DataFrame, col: str, tie_col: str, lo_q: float = 0.05, hi_q: float = 0.95
+) -> DataFrame:
+    """1-row (lo, hi) bounds at exact rank-based quantiles (value at
+    rank ⌈q·n⌉ under (col, tie_col) order — the cross-engine-exact
+    form, same mechanism as the quantile queries). One sort-free
+    window pass; the result broadcasts."""
+    from pyspark.sql import Window
+
+    w = Window.orderBy(col, tie_col)
+    ranked = df.select(
+        F.col(col), F.row_number().over(w).alias("__rn"),
+        F.count("*").over(Window.partitionBy()).alias("__n"),
+    )
+    pick = lambda q: F.max(  # noqa: E731
+        F.when(
+            F.col("__rn") == F.ceil(F.lit(q) * F.col("__n")).cast("long"),
+            F.col(col),
+        )
+    )
+    return ranked.agg(pick(lo_q).alias("lo"), pick(hi_q).alias("hi"))
+
+
+def winsorize(
+    df: DataFrame, col: str, bounds: DataFrame, out_col: str | None = None
+) -> DataFrame:
+    """Clamp `col` into [lo, hi] (broadcast 1-row bounds) — the
+    outlier-robust normalization step before scaling/featurizing; adds
+    flags so the clamp rate is observable. Scan-side only."""
+    out = out_col or col
+    b = F.broadcast(bounds)
+    return (
+        df.crossJoin(b)
+        .withColumn("__lo_clamped", F.col(col) < F.col("lo"))
+        .withColumn("__hi_clamped", F.col(col) > F.col("hi"))
+        .withColumn(
+            out, F.least(F.greatest(F.col(col), F.col("lo")), F.col("hi"))
+        )
+        .drop("lo", "hi")
+    )

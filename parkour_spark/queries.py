@@ -4819,6 +4819,66 @@ def q_format_roundtrip(spark, sf_dir):
 
 
 @query(
+    "winsorized_price_stats",
+    """
+    WITH ranked AS (
+      SELECT o_totalprice,
+             row_number() OVER (ORDER BY o_totalprice, o_orderkey) AS rn,
+             count(*) OVER () AS n
+      FROM orders),
+    b AS (
+      SELECT max(CASE WHEN rn = CAST(ceil(0.05 * n) AS BIGINT)
+                      THEN o_totalprice END) AS lo,
+             max(CASE WHEN rn = CAST(ceil(0.95 * n) AS BIGINT)
+                      THEN o_totalprice END) AS hi
+      FROM ranked),
+    clamped AS (
+      SELECT least(greatest(o_totalprice, b.lo), b.hi) AS v,
+             o_totalprice < b.lo AS cl, o_totalprice > b.hi AS ch
+      FROM orders, b)
+    SELECT count(*) AS n,
+           sum(CASE WHEN cl THEN 1 ELSE 0 END) AS n_clamped_lo,
+           sum(CASE WHEN ch THEN 1 ELSE 0 END) AS n_clamped_hi,
+           round(sum(CAST(round(v * 100) AS BIGINT)) / 100.0, 2) AS total_clamped,
+           (SELECT round(lo, 2) FROM b) AS lo,
+           (SELECT round(hi, 2) FROM b) AS hi
+    FROM clamped
+    """,
+)
+def q_winsorized(spark, sf_dir):
+    """Outlier-robust normalization (operators.validate.winsorize):
+    bounds at exact rank-based p05/p95 (value at rank ⌈q·n⌉ — the
+    cross-engine-exact quantile form), then a scan-side clamp with
+    observable clamp rates. The bounds are a broadcast 1-row aggregate;
+    the clamp never shuffles. Clamped totals accumulate in integer
+    cents."""
+    from parkour_spark.operators.validate import winsorize, winsorize_bounds
+
+    orders = _t(spark, sf_dir, "orders")
+    bounds = winsorize_bounds(orders, "o_totalprice", "o_orderkey", 0.05, 0.95)
+    clamped = winsorize(orders, "o_totalprice", bounds, out_col="__v")
+    lo_hi = bounds.select(
+        F.round("lo", 2).alias("lo"), F.round("hi", 2).alias("hi")
+    )
+    return (
+        clamped.agg(
+            F.count("*").alias("n"),
+            F.sum(F.when(F.col("__lo_clamped"), 1).otherwise(0)).alias(
+                "n_clamped_lo"
+            ),
+            F.sum(F.when(F.col("__hi_clamped"), 1).otherwise(0)).alias(
+                "n_clamped_hi"
+            ),
+            F.round(
+                F.sum(F.round(F.col("__v") * 100).cast("long")) / 100.0, 2
+            ).alias("total_clamped"),
+        )
+        .crossJoin(F.broadcast(lo_hi))
+        .select("n", "n_clamped_lo", "n_clamped_hi", "total_clamped", "lo", "hi")
+    )
+
+
+@query(
     "gapfilled_hourly_events",
     """
     WITH ev AS (

@@ -78,3 +78,21 @@ def test_row_level_suite_is_single_scan(spark, frame):
     )
     plan = df._jdf.queryExecution().executedPlan().toString()
     assert plan.count("Scan ExistingRDD") <= 1, plan
+
+
+def test_winsorize_clamps_and_counts(spark):
+    from parkour_spark.operators.validate import winsorize, winsorize_bounds
+    from pyspark.sql import functions as F
+
+    df = spark.createDataFrame(
+        [(i, float(v)) for i, v in enumerate([1, 2, 3, 4, 5, 6, 7, 8, 9, 1000])],
+        "id long, v double",
+    )
+    bounds = winsorize_bounds(df, "v", "id", 0.1, 0.9)
+    b = bounds.collect()[0]
+    assert (b["lo"], b["hi"]) == (1.0, 9.0)  # rank ceil(0.1*10)=1, ceil(0.9*10)=9
+    out = winsorize(df, "v", bounds, out_col="w")
+    rows = {r["id"]: (r["w"], r["__hi_clamped"]) for r in out.collect()}
+    assert rows[9] == (9.0, True)       # the outlier clamps to hi
+    assert rows[4] == (5.0, False)      # interior untouched
+    assert sum(1 for w, c in rows.values() if c) == 1
