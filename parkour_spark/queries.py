@@ -4819,6 +4819,75 @@ def q_format_roundtrip(spark, sf_dir):
 
 
 @query(
+    "multimodal_resize",
+    """
+    SELECT doc_id AS media_id, 64 AS width, 64 AS height,
+           sha256(text || ':64x64') || sha256(text || ':64x64') AS payload_hex
+    FROM documents
+    """,
+)
+def q_multimodal_resize(spark, sf_dir):
+    """Image resize plumbing (operators.multimodal.resize_images): the
+    Arrow-batched mapInPandas shape — schema, null passthrough, no blob
+    shuffle — with the codec slot filled by the deterministic sha256
+    stub (no image library in this container; production passes
+    PIL/libvips). The stub makes it ORACLE-ABLE: the fake 64×64 output
+    is the payload's dim-keyed sha256 digest tiled to 64 bytes, which
+    DuckDB reproduces byte-for-byte (unhex of the doubled hex digest),
+    so the whole transform is hash-verified, not rows-counted."""
+    from parkour_spark.operators.multimodal import resize_images
+
+    blobs = _t(spark, sf_dir, "documents").select(
+        F.col("doc_id").alias("media_id"),
+        F.encode("text", "UTF-8").alias("payload"),
+    )
+    return resize_images(blobs, 64, 64).select(
+        "media_id", "width", "height",
+        F.lower(F.hex("payload")).alias("payload_hex"),
+    )
+
+
+@query(
+    "multimodal_frame_sample",
+    """
+    WITH v AS (
+      SELECT doc_id AS media_id, text,
+             (1 + doc_id % 5)::BIGINT AS n_frames
+      FROM documents),
+    f AS (
+      SELECT media_id, text, unnest(range(0, n_frames)) AS frame_idx FROM v)
+    SELECT media_id, frame_idx::INT AS frame_idx,
+           (frame_idx * 1000)::BIGINT AS frame_ms,
+           sha256(text || ':frame' || frame_idx::VARCHAR) AS frame_hex
+    FROM f
+    """,
+)
+def q_multimodal_frames(spark, sf_dir):
+    """Video frame-sampling plumbing
+    (operators.multimodal.sample_video_frames): the row-EXPANDING
+    (UDTF-shaped) Pandas transform — one output row per sampled frame,
+    emitted incrementally, frame count derived from typed metadata
+    (duration_ms = 1s..5s by doc id here, every_ms = 1000). The codec
+    slot is the deterministic sha256 stub (no video library; production
+    passes ffmpeg/pyav), so the DuckDB oracle replays the expansion and
+    every frame's bytes exactly."""
+    from parkour_spark.operators.multimodal import sample_video_frames
+
+    videos = _t(spark, sf_dir, "documents").select(
+        F.col("doc_id").alias("media_id"),
+        F.encode("text", "UTF-8").alias("payload"),
+        F.create_map(
+            F.lit("duration_ms"),
+            (1000 + (F.col("doc_id") % 5) * 1000).cast("long"),
+        ).alias("meta"),
+    )
+    return sample_video_frames(videos, every_ms=1000).select(
+        "media_id", "frame_idx", "frame_ms",
+        F.lower(F.hex("frame")).alias("frame_hex"),
+    )
+
+
+@query(
     "winsorized_price_stats",
     """
     WITH ranked AS (
