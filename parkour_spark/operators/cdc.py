@@ -78,14 +78,28 @@ def snapshot_diff(
     payloads — at 100 TB the diff join carries two hashes per id, not
     two documents). One full outer join on the id; the natural feeder
     for incremental pipelines (changed ∪ added rows go to
-    dedup.ngram_jaccard_delta, removed ids to index cleanup)."""
-    o = old.select(F.col(id_col), F.md5(F.col(content_col)).alias("__fp_old"))
-    n = new.select(F.col(id_col), F.md5(F.col(content_col)).alias("__fp_new"))
+    dedup.ngram_jaccard_delta, removed ids to index cleanup).
+
+    Presence is tracked by an explicit per-side marker, NOT by
+    fingerprint nullness: a row whose content is NULL has md5(NULL) =
+    NULL, and inferring presence from the fingerprint would misclassify
+    it as added/removed. Fingerprints compare with null-safe equality so
+    NULL content on both sides reads as unchanged."""
+    o = old.select(
+        F.col(id_col),
+        F.md5(F.col(content_col)).alias("__fp_old"),
+        F.lit(True).alias("__in_old"),
+    )
+    n = new.select(
+        F.col(id_col),
+        F.md5(F.col(content_col)).alias("__fp_new"),
+        F.lit(True).alias("__in_new"),
+    )
     j = o.join(n, id_col, "full_outer")
     status = (
-        F.when(F.col("__fp_old").isNull(), "added")
-        .when(F.col("__fp_new").isNull(), "removed")
-        .when(F.col("__fp_old") != F.col("__fp_new"), "changed")
-        .otherwise("unchanged")
+        F.when(F.col("__in_old").isNull(), "added")
+        .when(F.col("__in_new").isNull(), "removed")
+        .when(F.col("__fp_old").eqNullSafe(F.col("__fp_new")), "unchanged")
+        .otherwise("changed")
     )
     return j.select(F.col(id_col), status.alias("status"))

@@ -81,14 +81,16 @@ def _assign_codes(V, cbs):
     codes = np.empty((n, m), dtype=np.int64)
     for s, C in enumerate(cbs):
         Vs = V[:, s * dsub : (s + 1) * dsub]
-        # ||v - c||^2 = ||v||^2 - 2 v.c + ||c||^2 ; ||v||^2 is constant
-        # per row, so argmin over (-2 v.c + ||c||^2) suffices — but the
-        # full expression keeps ties identical to the oracle's
-        # list_distance ordering, so compute it whole.
-        d2 = (
-            (Vs * Vs).sum(axis=1)[:, None]
-            - 2.0 * (Vs @ C.T)
-            + (C * C).sum(axis=1)[None, :]
+        # Pairwise (v-c)^2 per centroid — the SAME float expression the
+        # oracle's list_distance evaluates — so near-equal centroid
+        # distances can't order differently across engines and flip a
+        # cell assignment that would cascade through training. (The
+        # expanded ||v||^2 - 2v.c + ||c||^2 form is faster via matmul
+        # but is NOT bit-identical to the pairwise sum.) k_sub is small
+        # (8-256), so the per-centroid loop costs k passes of n x dsub.
+        d2 = np.stack(
+            [((Vs - C[c]) ** 2).sum(axis=1) for c in range(C.shape[0])],
+            axis=1,
         )
         codes[:, s] = np.argmin(d2, axis=1)
     return codes
@@ -358,8 +360,11 @@ def ivfpq_topk(
     Q = np.array([v for _, v in queries], dtype=np.float64)
     qids = np.array([int(q) for q, _ in queries], dtype=np.int64)
     # probes per query: nprobe nearest coarse cells by L2, ties to
-    # the lowest cell (argsort is stable; distances computed whole)
-    qd = ((Q * Q).sum(1)[:, None] - 2.0 * (Q @ C.T) + (C * C).sum(1)[None, :])
+    # the lowest cell (argsort is stable; pairwise (q-c)^2 so the
+    # float expression matches the oracle's list_distance exactly)
+    qd = np.stack(
+        [((Q - C[c]) ** 2).sum(axis=1) for c in range(C.shape[0])], axis=1
+    )
     probe_cells = np.argsort(qd, axis=1, kind="stable")[:, :nprobe]
     # per (query, probed cell): m distance tables of shape (ksub,)
     tables: dict[tuple[int, int], list] = {}

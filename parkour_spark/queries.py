@@ -4371,7 +4371,9 @@ def q_q15(spark, sf_dir):
              sum(CAST(l_quantity AS BIGINT)) AS sum_qty,
              count(*) AS cnt
       FROM lineitem GROUP BY l_partkey)
-    SELECT round(sum(l_extendedprice) / 7.0, 2) AS avg_yearly, count(*) AS n
+    SELECT round(sum(CAST(round(l_extendedprice * 100) AS BIGINT)) / 700.0, 2)
+             AS avg_yearly,
+           count(*) AS n
     FROM lineitem
     JOIN part ON p_partkey = l_partkey
     JOIN pavg USING (l_partkey)
@@ -4386,8 +4388,11 @@ def q_q17(spark, sf_dir):
     l_quantity < 0.2 * avg is evaluated as the INTEGER cross-multiply
     qty * 5 * cnt < sum_qty (quantities are integral in this corpus), so
     the boundary can't flip on a last-ulp division difference between
-    engines. Part is a broadcast filter; the per-part aggregate shuffles
-    on the same key the rejoin uses, so AQE plans one exchange."""
+    engines. Revenue accumulates in integer cents (per-row round before
+    the sum, the q15/q22/q1 convention) so the order-dependent double
+    sum can't disagree at a half-cent rounding boundary either. Part is
+    a broadcast filter; the per-part aggregate shuffles on the same key
+    the rejoin uses, so AQE plans one exchange."""
     li = _t(spark, sf_dir, "lineitem")
     part = _t(spark, sf_dir, "part").where(F.col("p_brand") == "Brand#1").select(
         "p_partkey"
@@ -4401,7 +4406,10 @@ def q_q17(spark, sf_dir):
         .join(pavg, F.col("l_partkey") == F.col("__pk"))
         .where(F.col("l_quantity").cast("long") * 5 * F.col("cnt") < F.col("sum_qty"))
         .agg(
-            F.round(F.sum("l_extendedprice") / 7.0, 2).alias("avg_yearly"),
+            F.round(
+                F.sum(F.round(F.col("l_extendedprice") * 100).cast("long")) / 700.0,
+                2,
+            ).alias("avg_yearly"),
             F.count("*").alias("n"),
         )
     )
@@ -5005,12 +5013,14 @@ def q_gapfilled_hourly(spark, sf_dir):
       SELECT doc_id + 1000000 AS doc_id, text FROM hb WHERE b BETWEEN 10 AND 12),
     o AS (SELECT doc_id, md5(text) AS fo FROM documents),
     n AS (SELECT doc_id, md5(text) AS fn FROM new),
-    j AS (SELECT coalesce(o.doc_id, n.doc_id) AS doc_id, fo, fn
+    j AS (SELECT coalesce(o.doc_id, n.doc_id) AS doc_id,
+                 o.doc_id IS NULL AS absent_old, n.doc_id IS NULL AS absent_new,
+                 fo, fn
           FROM o FULL OUTER JOIN n ON o.doc_id = n.doc_id)
-    SELECT CASE WHEN fo IS NULL THEN 'added'
-                WHEN fn IS NULL THEN 'removed'
-                WHEN fo <> fn THEN 'changed'
-                ELSE 'unchanged' END AS status,
+    SELECT CASE WHEN absent_old THEN 'added'
+                WHEN absent_new THEN 'removed'
+                WHEN fo IS NOT DISTINCT FROM fn THEN 'unchanged'
+                ELSE 'changed' END AS status,
            count(*) AS n
     FROM j GROUP BY 1
     """,

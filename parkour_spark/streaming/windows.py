@@ -264,35 +264,80 @@ def incremental_rollup_stream(
     This is the production shape for "keep a 100 TB corpus's rollup
     current": per-batch cost is O(batch) + O(state rows), independent
     of history size, and a crash resumes from the last snapshot +
-    source offsets."""
-    import os
+    source offsets. Recovery is real, not aspirational:
 
+    - source offsets persist in a checkpoint under `state_base`
+      (`_checkpoint/`), so a restarted query continues from the next
+      unprocessed batch with CONTINUING batch ids (structured
+      streaming's checkpoint contract);
+    - on the first batch of a (re)started query, the merge base is
+      DISCOVERED from `state_base` — the highest committed `v{n}`
+      snapshot (committed = Hadoop `_SUCCESS` marker), not an
+      in-memory variable — so pre-crash history is never discarded;
+    - a REPLAYED batch (crash after snapshot write, before offset
+      commit) is idempotent: its `v{batch_id}` snapshot already exists
+      committed, so the merge is skipped instead of double-applied.
+      A torn snapshot (no `_SUCCESS`) is rewritten from its
+      predecessor."""
+    import os
+    import re
+
+    from parkour_spark import fs as pfs
     from parkour_spark.operators.incremental import (
         agg_state,
         finalize,
         merge_states,
     )
 
+    def committed_snaps(spark) -> list[tuple[int, str]]:
+        snaps = []
+        for p in pfs.glob_paths(spark, os.path.join(state_base, "v*")):
+            m = re.search(r"/v(\d+)$", p)
+            if m and pfs.exists(spark, os.path.join(p, "_SUCCESS")):
+                snaps.append((int(m.group(1)), p))
+        return sorted(snaps)
+
     latest: list[str] = []
 
     def upsert(batch_df: DataFrame, batch_id: int) -> None:
         spark = batch_df.sparkSession
+        snap = os.path.join(state_base, f"v{batch_id}")
+        if not latest:
+            # first batch after (re)start: discover durable state
+            done = committed_snaps(spark)
+            if any(n == batch_id for n, _ in done):
+                latest.append(snap)  # replay of an already-committed batch
+                return
+            prior = [p for n, p in done if n < batch_id]
+            if prior:
+                latest.append(prior[-1])
+        elif latest[-1] == snap:
+            return  # replay within this run
         batch_state = agg_state(batch_df, keys, value_col, micro=micro)
         if latest:
             old = spark.read.parquet(latest[-1])
             new = merge_states(old, batch_state, keys)
         else:
             new = batch_state
-        snap = os.path.join(state_base, f"v{batch_id}")
         new.write.mode("overwrite").parquet(snap)
         latest.append(snap)
 
-    q = stream_df.writeStream.foreachBatch(upsert).outputMode("update").start()
+    q = (
+        stream_df.writeStream.foreachBatch(upsert)
+        .outputMode("update")
+        .option("checkpointLocation", os.path.join(state_base, "_checkpoint"))
+        .start()
+    )
     try:
         q.processAllAvailable()
     finally:
         q.stop()
+        # fully release the checkpoint before returning — a follow-up
+        # query on the same state_base would otherwise hit Spark's
+        # concurrent-checkpoint-use guard
+        q.awaitTermination()
     spark = stream_df.sparkSession
-    if not latest:
+    snaps = committed_snaps(spark)
+    if not snaps:
         raise ValueError("stream produced no batches")
-    return finalize(spark.read.parquet(latest[-1]), micro=micro)
+    return finalize(spark.read.parquet(snaps[-1][1]), micro=micro)

@@ -94,3 +94,76 @@ def test_streaming_rollup_multi_batch_equals_batch(spark, events):
     assert _rows(got) == _rows(want)
     snaps = [d for d in os.listdir(state) if d.startswith("v")]
     assert len(snaps) >= 2, snaps
+
+
+def test_streaming_rollup_restart_resumes_from_snapshot(spark, events):
+    """A RESTARTED query (same state_base + checkpoint) must merge new
+    data into the discovered pre-crash snapshot, not start fresh: run
+    over half the files, then add the rest and run a NEW query — the
+    final rollup equals the full recompute, and the second run's
+    batch ids continue past the first run's snapshots."""
+    import os
+    import tempfile
+
+    from parkour_spark.streaming.windows import (
+        incremental_rollup_stream,
+        read_stream,
+    )
+
+    src = tempfile.mkdtemp(prefix="t_increstart_src_")
+    state = tempfile.mkdtemp(prefix="t_increstart_state_")
+    hour = F.date_format(F.date_trunc("hour", "ts"), "yyyy-MM-dd HH").alias("h")
+    first = events.where(F.col("event_id") % 2 == 0)
+    second = events.where(F.col("event_id") % 2 == 1)
+    first.repartition(2).write.mode("overwrite").parquet(src)
+    stream = read_stream(spark, src, events.schema, max_files=1)
+    incremental_rollup_stream(stream.select(hour, "value"), state, ["h"], "value")
+    snaps_before = {d for d in os.listdir(state) if d.startswith("v")}
+    assert snaps_before, "first run wrote no snapshots"
+    # "crash" over; more source files arrive, a fresh query restarts
+    # from the same checkpoint and must NOT reprocess the first files
+    second.repartition(2).write.mode("append").parquet(src)
+    stream2 = read_stream(spark, src, events.schema, max_files=1)
+    got = incremental_rollup_stream(
+        stream2.select(hour, "value"), state, ["h"], "value"
+    )
+    want = finalize(agg_state(events.select(hour, "value"), ["h"], "value"))
+    assert _rows(got) == _rows(want)
+    snaps_after = {d for d in os.listdir(state) if d.startswith("v")}
+    new = {int(s[1:]) for s in snaps_after - snaps_before}
+    assert new and min(new) > max(int(s[1:]) for s in snaps_before)
+
+
+def test_streaming_rollup_replayed_batch_not_double_merged(spark, events):
+    """Idempotence guard: if a batch's snapshot is already committed
+    (crash after write, before offset commit), replaying it must skip
+    the merge — totals stay exactly the full recompute, not doubled."""
+    import os
+    import shutil
+    import tempfile
+
+    from parkour_spark.streaming.windows import (
+        incremental_rollup_stream,
+        read_stream,
+    )
+
+    src = tempfile.mkdtemp(prefix="t_increplay_src_")
+    state = tempfile.mkdtemp(prefix="t_increplay_state_")
+    hour = F.date_format(F.date_trunc("hour", "ts"), "yyyy-MM-dd HH").alias("h")
+    events.repartition(2).write.mode("overwrite").parquet(src)
+    stream = read_stream(spark, src, events.schema, max_files=1)
+    incremental_rollup_stream(stream.select(hour, "value"), state, ["h"], "value")
+    # simulate crash-after-snapshot-before-offset-commit: drop the last
+    # batch's offset commit so a restarted query replays that batch
+    commits = os.path.join(state, "_checkpoint", "commits")
+    last = max((f for f in os.listdir(commits) if f.isdigit()), key=int)
+    os.remove(os.path.join(commits, last))
+    crc = os.path.join(commits, f".{last}.crc")
+    if os.path.exists(crc):
+        os.remove(crc)
+    stream2 = read_stream(spark, src, events.schema, max_files=1)
+    got = incremental_rollup_stream(
+        stream2.select(hour, "value"), state, ["h"], "value"
+    )
+    want = finalize(agg_state(events.select(hour, "value"), ["h"], "value"))
+    assert _rows(got) == _rows(want)
