@@ -44,6 +44,30 @@ QUERIES: dict[str, QueryFn] = {}
 ORACLES: dict[str, str] = {}
 
 
+class _SfLRU(dict):
+    """Per-sf_dir driver-side cache for fitted index artifacts
+    (centroids, codebooks, eval refs — all k×d-small), bounded so a
+    long-lived service process touching many corpora can't grow driver
+    memory without limit. LRU of 4: the gate/bench touch at most two
+    sf_dirs, so eviction never fires there and behavior is identical."""
+
+    MAX = 4
+
+    def __getitem__(self, key):
+        val = super().__getitem__(key)
+        # refresh recency (dict preserves insertion order)
+        super().__delitem__(key)
+        super().__setitem__(key, val)
+        return val
+
+    def __setitem__(self, key, val):
+        if key in self:
+            super().__delitem__(key)
+        super().__setitem__(key, val)
+        while len(self) > self.MAX:
+            super().__delitem__(next(iter(self)))
+
+
 def query(name: str, oracle: str | None = None):
     def deco(fn: QueryFn) -> QueryFn:
         QUERIES[name] = fn
@@ -1876,7 +1900,7 @@ def _ivf_oracle(n_cent: int = 16, nprobe: int = 4, k: int = 10) -> str:
 # Centroid cache: a production IVF index computes its coarse quantizer
 # once (k-means job), not per query — re-collecting 16 vectors per call
 # would charge every query one extra Spark job for static data.
-_IVF_CENTS: dict[str, list] = {}
+_IVF_CENTS: dict[str, list] = _SfLRU()
 
 
 def _ivf_centroids(spark, sf_dir):
@@ -2072,7 +2096,7 @@ _IVF_KMEANS_ORACLE = (
 
 # Fitted-quantizer cache, same rationale as _IVF_CENTS: a production IVF
 # index runs its k-means job once, not per query batch.
-_KMEANS_IVF_CENTS: dict[str, list] = {}
+_KMEANS_IVF_CENTS: dict[str, list] = _SfLRU()
 
 
 @query("ivf_kmeans_topk", _IVF_KMEANS_ORACLE)
@@ -2295,8 +2319,8 @@ def _ivfpq_oracle(k_coarse: int = 8, m: int = 4, ksub: int = 8, iters: int = 2,
 
 # Trained-codebook cache, same rationale as _IVF_CENTS: a production PQ
 # index trains once, encodes once, then serves queries.
-_PQ_CODEBOOKS: dict[str, list] = {}
-_IVFPQ_INDEX: dict[str, tuple] = {}
+_PQ_CODEBOOKS: dict[str, list] = _SfLRU()
+_IVFPQ_INDEX: dict[str, tuple] = _SfLRU()
 
 
 @query("ivfpq_topk_l2", _ivfpq_oracle())
@@ -5057,7 +5081,7 @@ def q_corpus_snapshot_diff(spark, sf_dir):
     )
 
 
-_SEMDECON_REFS: dict[str, list] = {}
+_SEMDECON_REFS: dict[str, list] = _SfLRU()
 
 
 def _semdecon_refs(spark, sf_dir):

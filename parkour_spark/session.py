@@ -93,6 +93,14 @@ def cluster_conf(
     - speculation on: the dedup/LSH family is straggler-sensitive
       (bucket skew is capped by design, but hardware stragglers
       remain).
+    - RocksDB state store: the streaming operators (stream dedup,
+      sessionization, stateful counts, stream-stream joins) default to
+      Spark's HDFS-backed IN-MEMORY state store, which holds every
+      state row on-heap per executor — fine for the local gate, fatal
+      for a 100 TB-corpus dedup stream whose key space exceeds executor
+      heap. RocksDB keeps state on local SSD with a block cache, plus
+      changelog checkpointing so a 100 GB state store doesn't re-upload
+      whole snapshots every commit.
 
     Returned as a dict so tests can assert the policy and deployments
     can layer site specifics on top."""
@@ -107,4 +115,11 @@ def cluster_conf(
         "spark.speculation": "true",
         "spark.speculation.multiplier": "3",
         "spark.sql.adaptive.advisoryPartitionSizeInBytes": "128m",
+        "spark.sql.streaming.stateStore.providerClass": (
+            "org.apache.spark.sql.execution.streaming."
+            "state.RocksDBStateStoreProvider"
+        ),
+        "spark.sql.streaming.stateStore.rocksdb.changelogCheckpointing.enabled": (
+            "true"
+        ),
     }

@@ -189,3 +189,39 @@ def test_cluster_conf_policy():
     assert conf["spark.sql.files.maxPartitionBytes"] == "128m"
     assert int(conf["spark.sql.autoBroadcastJoinThreshold"]) == 256 * 1024 * 1024
     assert conf["spark.speculation"] == "true"
+    # streaming state must be RocksDB-backed at cluster scale: the
+    # default in-memory provider holds every state row on-heap
+    assert conf["spark.sql.streaming.stateStore.providerClass"].endswith(
+        "RocksDBStateStoreProvider"
+    )
+
+
+def test_cluster_conf_state_store_round_trips(spark):
+    """The RocksDB provider conf is a runtime-settable SQL conf — it
+    must survive a set/get round-trip on a live session (i.e. the key
+    is real, not a typo'd no-op)."""
+    from parkour_spark.session import cluster_conf
+
+    key = "spark.sql.streaming.stateStore.providerClass"
+    prev = spark.conf.get(key)
+    try:
+        spark.conf.set(key, cluster_conf(total_cores=64)[key])
+        assert spark.conf.get(key).endswith("RocksDBStateStoreProvider")
+    finally:
+        spark.conf.set(key, prev)
+
+
+def test_sf_cache_lru_eviction():
+    """Driver-side index caches are bounded: LRU of 4, most recently
+    USED survives — a service touching many corpora can't grow driver
+    memory without limit."""
+    from parkour_spark.queries import _SfLRU
+
+    c = _SfLRU()
+    for i in range(4):
+        c[f"sf{i}"] = i
+    assert c["sf0"] == 0  # refresh sf0's recency
+    c["sf4"] = 4  # evicts sf1 (least recently used), not sf0
+    assert set(c) == {"sf0", "sf2", "sf3", "sf4"}
+    c["sf2"] = 22  # overwrite refreshes, no eviction
+    assert set(c) == {"sf0", "sf2", "sf3", "sf4"} and c["sf2"] == 22
