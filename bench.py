@@ -70,7 +70,30 @@ HEADLINE = [
 WARMUP_SF_DIR = os.environ.get("SPARK_GRAFT_WARMUP_SF_DIR", "/root/testdata/sf0.001")
 
 
+def machine_load() -> dict:
+    """Load context recorded into the bench JSON (r4 verdict #2: the r4
+    artifact was ~2x inflated by shared-machine load and only an idle
+    re-run caught it). Publishing 1-min loadavg + usable cores alongside
+    the timings makes a loaded run self-identifying instead of silently
+    poisoning round-over-round comparisons."""
+    cores = len(os.sched_getaffinity(0))
+    load1 = os.getloadavg()[0]
+    return {
+        "loadavg_1m": round(load1, 2),
+        "cpus": cores,
+        "loaded_machine": load1 > 0.5 * cores,
+    }
+
+
 def main() -> None:
+    start_load = machine_load()
+    if start_load["loaded_machine"]:
+        print(
+            f"# WARNING: 1-min load {start_load['loadavg_1m']} > 0.5x "
+            f"{start_load['cpus']} cores — timings will be inflated; "
+            "results are annotated loaded_machine=true",
+            file=sys.stderr,
+        )
     spark = build_session("parkour_spark_bench")
     # Warm-up pass: run every headline query once at the smallest scale
     # factor (sf0.001, ~6k lineitem rows) before timing. This warms JVM
@@ -124,6 +147,9 @@ def main() -> None:
                 "steady_total": round(sum(times.values()), 3),
                 "cold_total": round(sum(cold.values()), 3),
                 "queries_cold": cold,
+                # loaded_machine is only meaningful at START: by the
+                # end the bench itself has driven the loadavg up.
+                "load_start": start_load,
             }
         )
     )

@@ -166,6 +166,38 @@ def winnow_select(grams: Column, w: int = 8) -> Column:
     )
 
 
+def winnow_select_pos(grams: Column, w: int = 8) -> Column:
+    """Position-carrying variant of winnow_select — distinct
+    struct<fp,pos> per window minimum, where pos is the 1-based char
+    offset of the selected k-gram in the normalized text. The positions
+    are what upgrade winnowing from overlap COUNTING
+    (winnow_overlap_pairs) to overlap SPAN detection
+    (dedup.substring_overlap_spans): a verbatim shared substring shows
+    up as a run of shared fps whose positions advance in lock-step in
+    both docs.
+
+    Ties inside a window resolve to the FIRST minimum (array_position
+    semantics, identical to DuckDB list_position), so both engines
+    select the same (fp, pos). pos determines fp (one hash per
+    offset), so the struct distinct is a distinct on pos."""
+    n_windows = F.greatest(F.size(grams) - (w - 1), F.lit(1))
+    return F.array_distinct(
+        F.transform(
+            F.sequence(F.lit(1), n_windows),
+            lambda j: F.struct(
+                F.array_min(F.slice(grams, j, w)).alias("fp"),
+                (
+                    j
+                    - 1
+                    + F.array_position(
+                        F.slice(grams, j, w), F.array_min(F.slice(grams, j, w))
+                    )
+                ).alias("pos"),
+            ),
+        )
+    )
+
+
 def bigrams(toks: Column) -> Column:
     """Adjacent token pairs as array<struct<w1,w2>> (for PMI
     collocations). Guarded for 0/1-token docs: Spark's

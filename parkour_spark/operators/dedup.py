@@ -976,6 +976,129 @@ def winnow_overlap_pairs(
     )
 
 
+def substring_overlap_spans(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    k: int = 8,
+    w: int = 8,
+    max_df: int = 50,
+    min_span: int = 20,
+) -> DataFrame:
+    """EXACT-substring overlap spans — the distributed shape of
+    suffix-array substring dedup ("Deduplicating Training Data Makes
+    Language Models Better", Lee et al. 2022): instead of one global
+    suffix array (an inherently sequential, memory-bound structure),
+    detect long verbatim shared substrings as RUNS of shared winnowing
+    fingerprints at constant position offset.
+
+    Why it works: winnowing (functions.text.winnow_select_pos)
+    guarantees every substring of length ≥ k+w-1 shares a selected
+    fingerprint, and consecutive selected positions within a shared
+    region differ by ≤ w. A verbatim shared substring between docs a
+    and b therefore appears as shared (fp, pos_a, pos_b) occurrences
+    whose delta = pos_a - pos_b is CONSTANT; segmenting each (a, b,
+    delta) group at position gaps > w yields maximal runs, and each
+    run's [min_pos, max_pos + k - 1] char range is a flagged span.
+    Guarantee: any shared substring ≥ max(min_span, k+w-1) chars whose
+    fingerprints survive the df cap is found; boilerplate fps shared by
+    > max_df docs are dropped (they carry no pair signal and cost df²
+    fan-out), which can split — not silently extend — a span.
+
+    SCALE: candidates come from one fingerprint-bucket shuffle
+    (collect occurrences per fp, cap df, triangular in-bucket pairs) —
+    the same single-shuffle bucket-join shape as the capped Jaccard;
+    run segmentation is one window pass partitioned by (id_a, id_b,
+    delta). No global sort, no suffix array, no all-pairs. Returns
+    (id_a, id_b, a_start, a_end, b_start, span_len, n_fps), positions
+    1-based char offsets into the whitespace-NORMALIZED text."""
+    from pyspark.sql import Window
+
+    from parkour_spark.functions.text import (
+        kgram_hashes,
+        normalize_text,
+        winnow_select_pos,
+    )
+
+    base = _parallelize_scan(df.select(F.col(id_col), F.col(text_col)))
+    normed = base.select(F.col(id_col), normalize_text(text_col).alias("__nt"))
+    grams = normed.select(F.col(id_col), kgram_hashes("__nt", k=k).alias("__g"))
+    fpp = grams.select(
+        F.col(id_col), winnow_select_pos(F.col("__g"), w=w).alias("__fpp")
+    )
+    occ = _explode_fast(fpp, "__fpp", "__o", keep=[id_col]).select(
+        F.col(id_col), F.col("__o.fp").alias("fp"), F.col("__o.pos").alias("pos")
+    )
+    # one shuffle: occurrences per fingerprint; df cap on DISTINCT docs
+    buckets = (
+        occ.groupBy("fp")
+        .agg(
+            F.array_sort(
+                F.collect_list(F.struct(F.col(id_col).alias("id"), F.col("pos")))
+            ).alias("__occs")
+        )
+        .where(
+            (F.size(F.array_distinct(F.transform(F.col("__occs"), lambda s: s.id))) > 1)
+            & (
+                F.size(F.array_distinct(F.transform(F.col("__occs"), lambda s: s.id)))
+                <= max_df
+            )
+        )
+    )
+    occs = F.col("__occs")
+    pair_expr = F.filter(
+        F.flatten(
+            F.transform(
+                occs,
+                lambda x, i: F.transform(
+                    F.slice(occs, i + 2, F.size(occs)),
+                    lambda y: F.struct(
+                        x.id.alias("id_a"),
+                        y.id.alias("id_b"),
+                        x.pos.alias("pos_a"),
+                        y.pos.alias("pos_b"),
+                    ),
+                ),
+            )
+        ),
+        lambda p: p.id_a != p.id_b,  # sorted by id: triangular => id_a < id_b
+    )
+    pairs = _explode_fast(buckets, pair_expr, "__p").select(
+        F.col("__p.id_a").alias("id_a"),
+        F.col("__p.id_b").alias("id_b"),
+        F.col("__p.pos_a").alias("pos_a"),
+        (F.col("__p.pos_a") - F.col("__p.pos_b")).alias("delta"),
+    )
+    w1 = Window.partitionBy("id_a", "id_b", "delta").orderBy("pos_a")
+    runs = pairs.withColumn(
+        "__brk",
+        F.when(F.col("pos_a") - F.lag("pos_a").over(w1) <= w, F.lit(0)).otherwise(
+            F.lit(1)
+        ),
+    ).withColumn(
+        "__run",
+        F.sum("__brk").over(w1.rowsBetween(Window.unboundedPreceding, 0)),
+    )
+    spans = (
+        runs.groupBy("id_a", "id_b", "delta", "__run")
+        .agg(
+            F.min("pos_a").alias("a_start"),
+            (F.max("pos_a") + (k - 1)).alias("a_end"),
+            F.count("*").alias("n_fps"),
+        )
+        .where(F.col("a_end") - F.col("a_start") + 1 >= min_span)
+    )
+    return spans.select(
+        "id_a",
+        "id_b",
+        "a_start",
+        "a_end",
+        (F.col("a_start") - F.col("delta")).alias("b_start"),
+        (F.col("a_end") - F.col("a_start") + 1).alias("span_len"),
+        "n_fps",
+    )
+
+
 def sorted_neighborhood_pairs(
     docs,
     key_col,

@@ -3778,6 +3778,68 @@ def q_winnow_overlap(spark, sf_dir):
 
 
 @query(
+    "substring_dedup_spans",
+    """
+    WITH norm AS (
+      SELECT doc_id, regexp_replace(lower(trim(text)), '\\s+', ' ', 'g') AS nt
+      FROM documents),
+    grams AS (
+      SELECT doc_id,
+             list_transform(range(1, greatest(length(nt) - 7, 1) + 1),
+               i -> ('0x' || substr(md5(substr(nt, i, 8)), 1, 8))::BIGINT) AS g
+      FROM norm),
+    fpp AS (
+      SELECT doc_id,
+             list_transform(range(1, greatest(len(g) - 7, 1) + 1),
+               j -> {'fp': list_min(g[j:j+7]),
+                     'pos': j - 1 + list_position(g[j:j+7], list_min(g[j:j+7]))}) AS ps
+      FROM grams),
+    occ AS (
+      SELECT DISTINCT doc_id, u.fp AS fp, u.pos AS pos
+      FROM (SELECT doc_id, unnest(ps) AS u FROM fpp)),
+    capped AS (
+      SELECT fp FROM occ GROUP BY fp HAVING count(DISTINCT doc_id) BETWEEN 2 AND 50),
+    pairs AS (
+      SELECT a.doc_id AS id_a, b.doc_id AS id_b, a.pos AS pos_a,
+             a.pos - b.pos AS delta
+      FROM occ a JOIN capped USING (fp) JOIN occ b USING (fp)
+      WHERE a.doc_id < b.doc_id),
+    runs AS (
+      SELECT *, CASE WHEN pos_a - lag(pos_a) OVER
+                       (PARTITION BY id_a, id_b, delta ORDER BY pos_a) <= 8
+                     THEN 0 ELSE 1 END AS brk
+      FROM pairs),
+    runid AS (
+      SELECT *, sum(brk) OVER (PARTITION BY id_a, id_b, delta ORDER BY pos_a
+                               ROWS UNBOUNDED PRECEDING) AS run
+      FROM runs),
+    spans AS (
+      SELECT id_a, id_b, delta, run, min(pos_a) AS a_start,
+             max(pos_a) + 7 AS a_end, count(*) AS n_fps
+      FROM runid GROUP BY 1, 2, 3, 4)
+    SELECT id_a, id_b, a_start, a_end, a_start - delta AS b_start,
+           a_end - a_start + 1 AS span_len, n_fps
+    FROM spans
+    WHERE a_end - a_start + 1 >= 20
+    """,
+)
+def q_substring_spans(spark, sf_dir):
+    """EXACT-substring overlap spans (operators.dedup.
+    substring_overlap_spans) — the distributed stand-in for
+    suffix-array substring dedup (Lee et al. 2022): verbatim shared
+    substrings appear as runs of shared winnowing fingerprints at
+    constant position offset; runs segment at position gaps > w and
+    each run flags a [a_start, a_end] char span (and its b_start
+    mirror). Candidates come from ONE df-capped fingerprint-bucket
+    shuffle + a window pass — no suffix array, no global sort, no
+    all-pairs. The oracle replays the identical construction (same
+    tie-break: first minimum per window in both engines). 182 spans at
+    sf0.01 — real boilerplate overlap in the corpus, plus a planted
+    long-overlap recall test in tests/test_dedup_spans.py."""
+    return D.substring_overlap_spans(_t(spark, sf_dir, "documents"))
+
+
+@query(
     "quantized_embeddings",
     """
     WITH dims AS (

@@ -1,0 +1,84 @@
+"""Exact-substring overlap spans (dedup.substring_overlap_spans):
+planted-overlap recall, span verbatim-ness, and plan shape."""
+
+import re
+
+import pytest
+from pyspark.sql import functions as F
+
+from parkour_spark.operators.dedup import substring_overlap_spans
+
+SHARED = (
+    "the quick brown fox jumps over the lazy dog while carrying a basket "
+    "of fresh apples to the market before sunrise"
+)
+
+
+def _norm(s):
+    return re.sub(r"\s+", " ", s.lower().strip())
+
+
+@pytest.fixture(scope="module")
+def planted(spark):
+    docs = [
+        (1, "unique preamble alpha beta " + SHARED + " unique suffix one"),
+        (2, "totally different opening words " + SHARED + " and another ending"),
+        (3, "no overlap in this document at all just many filler words and "
+            "more filler words padding out the text to a realistic length"),
+        (4, "short unrelated doc"),
+    ]
+    return docs, spark.createDataFrame(docs, ["doc_id", "text"])
+
+
+def test_planted_long_overlap_found_and_verbatim(planted):
+    docs, df = planted
+    spans = substring_overlap_spans(df, min_span=40).collect()
+    hits = [r for r in spans if (r.id_a, r.id_b) == (1, 2)]
+    assert hits, "planted 100+ char overlap not detected"
+    n1, n2 = _norm(docs[0][1]), _norm(docs[1][1])
+    for r in hits:
+        # every flagged span must be VERBATIM shared text at the
+        # reported offsets in both normalized docs
+        sub_a = n1[r.a_start - 1 : r.a_end]
+        sub_b = n2[r.b_start - 1 : r.b_start - 1 + r.span_len]
+        assert sub_a == sub_b and len(sub_a) == r.span_len
+    # the longest hit must cover most of the planted region (winnowing
+    # trims <= k+w chars at each boundary)
+    best = max(hits, key=lambda r: r.span_len)
+    assert best.span_len >= len(SHARED) - 2 * 16
+
+
+def test_unrelated_docs_produce_no_spans(planted):
+    _, df = planted
+    spans = substring_overlap_spans(df, min_span=40).collect()
+    pairs = {(r.id_a, r.id_b) for r in spans}
+    assert pairs == {(1, 2)}
+
+
+def test_three_way_overlap_all_pairs(spark):
+    mid = "shared middle segment that is comfortably longer than the minimum span"
+    df = spark.createDataFrame(
+        [(i, f"intro number {i} distinct words here " + mid + f" outro {i}")
+         for i in range(1, 4)],
+        ["doc_id", "text"],
+    )
+    spans = substring_overlap_spans(df, min_span=40, max_df=50).collect()
+    assert {(r.id_a, r.id_b) for r in spans} == {(1, 2), (1, 3), (2, 3)}
+
+
+def test_boilerplate_df_cap_drops_common_fps(spark):
+    """A substring shared by MORE than max_df docs is boilerplate: its
+    fps are dropped and no pair explosion happens."""
+    boiler = "this exact boilerplate footer appears in every single document of the corpus"
+    df = spark.createDataFrame(
+        [(i, f"doc {i} individual content words " + boiler) for i in range(30)],
+        ["doc_id", "text"],
+    )
+    spans = substring_overlap_spans(df, min_span=40, max_df=5).collect()
+    assert spans == []
+
+
+def test_no_cartesian_in_plan(spark):
+    df = spark.createDataFrame([(1, "a b c"), (2, "d e f")], ["doc_id", "text"])
+    plan = substring_overlap_spans(df)._jdf.queryExecution().executedPlan().toString()
+    assert "Cartesian" not in plan and "BroadcastNestedLoop" not in plan
