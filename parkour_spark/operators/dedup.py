@@ -1099,6 +1099,84 @@ def substring_overlap_spans(
     )
 
 
+def substring_dedup_apply(
+    df: DataFrame,
+    spans: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """REMOVE flagged substring spans — the apply half of Lee et al.
+    2022 substring dedup (substring_overlap_spans is the detect half):
+    for every flagged span, the copy in the HIGHER doc id (the span's
+    b side) is cut, keeping the earliest doc's occurrence — the
+    keep-first-occurrence policy the exact/near-dup family already
+    uses. Returns one row per input doc: (doc_id, clean_md5,
+    clean_len, removed_chars, n_spans), where clean_md5 fingerprints
+    the NORMALIZED text with its spans removed (docs with no spans
+    pass through, removed_chars = 0).
+
+    Distributed shape: per-doc span lists merge by the classic
+    gaps-and-islands window (running-max-of-end → island ids → one
+    groupBy), cutting is a pure Column fold over the merged interval
+    list — no Python, and the only shuffles are the span groupBy and
+    the doc join, both on the doc id. Overlapping/adjacent spans merge
+    before cutting, so removal is well-defined regardless of how many
+    pairs flagged the same region."""
+    from pyspark.sql import Window
+
+    from parkour_spark.functions.text import normalize_text
+
+    iv = spans.select(
+        F.col("id_b").alias(id_col),
+        F.col("b_start").alias("s"),
+        (F.col("b_start") + F.col("span_len") - 1).alias("e"),
+    )
+    w = Window.partitionBy(id_col).orderBy("s", "e")
+    prev_max = F.max("e").over(w.rowsBetween(Window.unboundedPreceding, -1))
+    islands = iv.withColumn(
+        "__new", F.when(F.col("s") > prev_max + 1, 1).otherwise(0)
+    ).withColumn(
+        "__isl",
+        F.sum("__new").over(w.rowsBetween(Window.unboundedPreceding, 0)),
+    )
+    merged = islands.groupBy(id_col, "__isl").agg(
+        F.min("s").alias("s"), F.max("e").alias("e"), F.count("*").alias("n")
+    )
+    per_doc = merged.groupBy(id_col).agg(
+        F.array_sort(F.collect_list(F.struct("s", "e"))).alias("__ivs"),
+        F.sum(F.col("e") - F.col("s") + 1).alias("removed_chars"),
+        F.sum("n").alias("n_spans"),
+    )
+    norm = df.select(F.col(id_col), normalize_text(text_col).alias("__nt"))
+    j = norm.join(per_doc, id_col, "left")
+    ivs = F.col("__ivs")
+    nt = F.col("__nt")
+    # kept text = segments between merged intervals + tail
+    segs = F.concat_ws(
+        "",
+        F.transform(
+            ivs,
+            lambda cur, i: nt.substr(
+                F.when(i == 0, F.lit(1)).otherwise(F.element_at(ivs, i)["e"] + 1),
+                cur["s"]
+                - F.when(i == 0, F.lit(1)).otherwise(F.element_at(ivs, i)["e"] + 1),
+            ),
+        ),
+    )
+    tail = nt.substr(
+        F.element_at(ivs, -1)["e"] + 1,
+        F.greatest(F.length(nt) - F.element_at(ivs, -1)["e"], F.lit(0)),
+    )
+    clean = F.when(ivs.isNull(), nt).otherwise(F.concat(segs, tail))
+    return j.select(
+        F.col(id_col),
+        F.md5(clean).alias("clean_md5"),
+        F.length(clean).alias("clean_len"),
+        F.coalesce("removed_chars", F.lit(0)).alias("removed_chars"),
+        F.coalesce("n_spans", F.lit(0)).alias("n_spans"),
+    )
+
+
 def sorted_neighborhood_pairs(
     docs,
     key_col,

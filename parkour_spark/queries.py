@@ -3777,10 +3777,10 @@ def q_winnow_overlap(spark, sf_dir):
     return D.winnow_overlap_pairs(_t(spark, sf_dir, "documents"))
 
 
-@query(
-    "substring_dedup_spans",
-    """
-    WITH norm AS (
+# Shared CTE chain for the substring-dedup family: winnowed (fp, pos)
+# occurrences → df-capped fp-bucket pairs → constant-delta runs → spans.
+_SUBSTR_SPAN_CTES = """
+    norm AS (
       SELECT doc_id, regexp_replace(lower(trim(text)), '\\s+', ' ', 'g') AS nt
       FROM documents),
     grams AS (
@@ -3816,11 +3816,20 @@ def q_winnow_overlap(spark, sf_dir):
     spans AS (
       SELECT id_a, id_b, delta, run, min(pos_a) AS a_start,
              max(pos_a) + 7 AS a_end, count(*) AS n_fps
-      FROM runid GROUP BY 1, 2, 3, 4)
-    SELECT id_a, id_b, a_start, a_end, a_start - delta AS b_start,
-           a_end - a_start + 1 AS span_len, n_fps
-    FROM spans
-    WHERE a_end - a_start + 1 >= 20
+      FROM runid GROUP BY 1, 2, 3, 4),
+    spansout AS (
+      SELECT id_a, id_b, a_start, a_end, a_start - delta AS b_start,
+             a_end - a_start + 1 AS span_len, n_fps
+      FROM spans
+      WHERE a_end - a_start + 1 >= 20)
+"""
+
+
+@query(
+    "substring_dedup_spans",
+    f"""
+    WITH {_SUBSTR_SPAN_CTES}
+    SELECT * FROM spansout
     """,
 )
 def q_substring_spans(spark, sf_dir):
@@ -3837,6 +3846,68 @@ def q_substring_spans(spark, sf_dir):
     sf0.01 — real boilerplate overlap in the corpus, plus a planted
     long-overlap recall test in tests/test_dedup_spans.py."""
     return D.substring_overlap_spans(_t(spark, sf_dir, "documents"))
+
+
+@query(
+    "substring_dedup_clean",
+    f"""
+    WITH {_SUBSTR_SPAN_CTES},
+    iv AS (
+      SELECT id_b AS doc_id, b_start AS s, b_start + span_len - 1 AS e
+      FROM spansout),
+    isl AS (
+      SELECT *, CASE WHEN s > max(e) OVER (PARTITION BY doc_id ORDER BY s, e
+                       ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) + 1
+                     THEN 1 ELSE 0 END AS brk2
+      FROM iv),
+    isl2 AS (
+      SELECT *, sum(brk2) OVER (PARTITION BY doc_id ORDER BY s, e
+                                ROWS UNBOUNDED PRECEDING) AS isl
+      FROM isl),
+    merged AS (
+      SELECT doc_id, isl, min(s) AS s, max(e) AS e, count(*) AS n
+      FROM isl2 GROUP BY 1, 2),
+    segs AS (
+      SELECT doc_id, s, e,
+             coalesce(lag(e) OVER (PARTITION BY doc_id ORDER BY s) + 1, 1)
+               AS seg_start
+      FROM merged),
+    perdoc AS (
+      SELECT g.doc_id,
+             string_agg(substr(n.nt, g.seg_start::INT, (g.s - g.seg_start)::INT),
+                        '' ORDER BY g.s) AS head,
+             max(g.e) AS last_e
+      FROM segs g JOIN norm n USING (doc_id)
+      GROUP BY 1),
+    stats AS (
+      SELECT doc_id, sum(e - s + 1) AS removed_chars, sum(n) AS n_spans
+      FROM merged GROUP BY 1),
+    cleaned AS (
+      SELECT n.doc_id,
+             CASE WHEN p.doc_id IS NULL THEN n.nt
+                  ELSE p.head || substr(n.nt, (p.last_e + 1)::INT) END AS clean,
+             coalesce(st.removed_chars, 0) AS removed_chars,
+             coalesce(st.n_spans, 0) AS n_spans
+      FROM norm n
+      LEFT JOIN perdoc p USING (doc_id)
+      LEFT JOIN stats st USING (doc_id))
+    SELECT doc_id, md5(clean) AS clean_md5, length(clean) AS clean_len,
+           removed_chars, n_spans
+    FROM cleaned
+    """,
+)
+def q_substring_clean(spark, sf_dir):
+    """Apply half of substring dedup (operators.dedup.
+    substring_dedup_apply): every flagged span's higher-doc-id copy is
+    cut from the normalized text (keep-first-occurrence, matching the
+    exact/near-dup family's policy); overlapping spans merge via the
+    gaps-and-islands window before cutting so removal is well-defined.
+    Output fingerprints the cleaned text (md5) rather than carrying
+    it. The oracle replays detection + merge + cut end-to-end —
+    string surgery is exact across engines because both cut the same
+    normalized text at the same offsets."""
+    docs = _t(spark, sf_dir, "documents")
+    return D.substring_dedup_apply(docs, D.substring_overlap_spans(docs))
 
 
 @query(

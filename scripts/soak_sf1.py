@@ -60,6 +60,16 @@ SOAK_QUERIES = [
     # measurement
     "pq_adc_topk",
     "triangle_counts_dedup_graph",
+    # r5 (r4 verdict #6): the slowest steady headline (iteration count ×
+    # 10× edges), the composite IVF-PQ index, time-series gap fill over
+    # 10× events, and k-core peeling — plus the new exact-substring span
+    # detector, whose run-segmentation window rides the same df-capped
+    # bucket fan-out the Jaccard family soaks
+    "label_propagation_communities",
+    "ivfpq_topk_l2",
+    "gapfilled_hourly_events",
+    "kcore_dedup_graph",
+    "substring_dedup_spans",
 ]
 
 
@@ -137,6 +147,35 @@ def materialize(spark) -> None:
         )
     )
     big_emb.write.mode("overwrite").parquet(f"{DST}/embeddings.parquet")
+
+    # events: 10× rows AND a 10× timeline — each replica's timestamps
+    # shift by rep * (span + 1h), so the gap-fill spine (event_type ×
+    # hour, the scale-sensitive dimension) grows with the corpus
+    # instead of just densifying a fixed window; ids stride like docs
+    from parkour_spark.dataset import load_table
+
+    # NTZ → session-UTC timestamp so the epoch shift below is legal
+    ev = load_table(spark, SRC, "events").withColumn(
+        "ts", F.col("ts").cast("timestamp")
+    )
+    ev_stride = ev.agg(F.max("event_id")).first()[0] + 1
+    u_stride = ev.agg(F.max("user_id")).first()[0] + 1
+    span = ev.agg(
+        (F.unix_timestamp(F.max("ts")) - F.unix_timestamp(F.min("ts"))).alias("s")
+    ).first()["s"] + 3600
+    big_ev = (
+        ev.crossJoin(F.broadcast(reps))
+        .select(
+            (F.col("event_id") + F.col("rep") * F.lit(ev_stride)).alias("event_id"),
+            F.timestamp_micros(
+                F.unix_micros(F.col("ts"))
+                + F.col("rep") * F.lit(int(span) * 1_000_000)
+            ).alias("ts"),
+            (F.col("user_id") + F.col("rep") * F.lit(u_stride)).alias("user_id"),
+            *[c for c in ev.columns if c not in ("event_id", "ts", "user_id")],
+        )
+    )
+    big_ev.write.mode("overwrite").parquet(f"{DST}/events.parquet")
 
 
 def lsh_skew(spark) -> dict:

@@ -82,3 +82,57 @@ def test_no_cartesian_in_plan(spark):
     df = spark.createDataFrame([(1, "a b c"), (2, "d e f")], ["doc_id", "text"])
     plan = substring_overlap_spans(df)._jdf.queryExecution().executedPlan().toString()
     assert "Cartesian" not in plan and "BroadcastNestedLoop" not in plan
+
+
+def test_apply_cuts_exactly_the_merged_spans(spark, planted=None):
+    """substring_dedup_apply must equal a driver-side reference cut:
+    merge b-side intervals, splice them out of the normalized text."""
+    import hashlib
+
+    from parkour_spark.operators.dedup import substring_dedup_apply
+
+    docs = [
+        (1, "unique preamble alpha " + SHARED + " unique suffix one"),
+        (2, "totally different opening text " + SHARED + " and another end"),
+        (3, "no overlap here at all just random words and more random filler"),
+    ]
+    df = spark.createDataFrame(docs, ["doc_id", "text"])
+    spans_df = substring_overlap_spans(df, min_span=30)
+    got = {r.doc_id: r for r in substring_dedup_apply(df, spans_df).collect()}
+
+    spans = spans_df.collect()
+    n2 = _norm(docs[1][1])
+    ivs = sorted((r.b_start, r.b_start + r.span_len - 1) for r in spans if r.id_b == 2)
+    merged = []
+    for s, e in ivs:
+        if merged and s <= merged[-1][1] + 1:
+            merged[-1] = (merged[-1][0], max(merged[-1][1], e))
+        else:
+            merged.append((s, e))
+    clean, pos = "", 1
+    for s, e in merged:
+        clean += n2[pos - 1 : s - 1]
+        pos = e + 1
+    clean += n2[pos - 1 :]
+    assert got[2].clean_md5 == hashlib.md5(clean.encode()).hexdigest()
+    assert got[2].clean_len == len(clean)
+    assert got[2].removed_chars == sum(e - s + 1 for s, e in merged)
+    # docs that are only ever the a-side (or unflagged) pass through
+    for d in (1, 3):
+        nd = _norm(docs[d - 1][1])
+        assert got[d].clean_md5 == hashlib.md5(nd.encode()).hexdigest()
+        assert got[d].removed_chars == 0 and got[d].n_spans == 0
+
+
+def test_apply_keeps_first_occurrence(spark):
+    """After apply, the shared text survives in exactly one doc (the
+    lowest id): re-running span detection on cleaned docs finds
+    nothing. The detect→apply→detect fixpoint is the dedup contract."""
+    from parkour_spark.operators.dedup import substring_dedup_apply
+
+    docs = [(i, f"opening {i} words " + SHARED + f" closing {i}") for i in (1, 2, 3)]
+    df = spark.createDataFrame(docs, ["doc_id", "text"])
+    spans_df = substring_overlap_spans(df, min_span=40)
+    cleaned = substring_dedup_apply(df, spans_df).collect()
+    kept = {r.doc_id: r.removed_chars for r in cleaned}
+    assert kept[1] == 0 and kept[2] > 0 and kept[3] > 0
