@@ -136,3 +136,19 @@ def test_apply_keeps_first_occurrence(spark):
     cleaned = substring_dedup_apply(df, spans_df).collect()
     kept = {r.doc_id: r.removed_chars for r in cleaned}
     assert kept[1] == 0 and kept[2] > 0 and kept[3] > 0
+
+
+def test_span_plan_shuffle_budget(spark):
+    """The span detector's plan must hold its shuffle budget: the widen
+    repartition (no-op at scale), the fp-bucket groupBy, and ONE window
+    exchange for (id_a, id_b, delta) — run-segmentation's lag and
+    running-sum windows must share a single sort."""
+    df = spark.createDataFrame([(1, "a b c d e f g"), (2, "b c d e f g h")],
+                               ["doc_id", "text"])
+    plan = (
+        substring_overlap_spans(df)
+        ._jdf.queryExecution()
+        .executedPlan()
+        .toString()
+    )
+    assert plan.count("Exchange") <= 3, plan
