@@ -64,6 +64,10 @@ HEADLINE = [
     "pq_adc_topk",
     "ivfpq_topk_l2",
     "label_propagation_communities",
+    # r5: exact-substring span detection (the suffix-array stand-in) —
+    # the df-capped bucket + constant-delta window shape under round-
+    # over-round tracking like its Jaccard/LSH siblings
+    "substring_dedup_spans",
 ]
 
 

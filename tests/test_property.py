@@ -252,3 +252,45 @@ def test_repetition_stats_match_reference(spark, texts):
         bgs = Counter(zip(toks, toks[1:]))
         b = 10000 * max(bgs.values()) // (len(toks) - 1) if bgs else 0
         assert got[i] == (d, best, b), (i, t, got[i], (d, best, b))
+
+
+# --- substring spans: the verbatim invariant on randomized corpora ---------
+
+span_words = st.sampled_from(
+    ["alpha", "bravo", "charlie", "delta", "echo", "foxtrot", "golf",
+     "hotel", "india", "juliet"]
+)
+span_docs = st.lists(
+    st.lists(span_words, min_size=3, max_size=25).map(" ".join),
+    min_size=2,
+    max_size=6,
+)
+
+
+@given(texts=span_docs, shared=st.lists(span_words, min_size=8, max_size=14))
+@settings(**_SETTINGS)
+def test_substring_spans_verbatim_invariant(spark, texts, shared):
+    """EVERY reported span must be verbatim-shared text at the reported
+    offsets in BOTH docs' normalized text — the invariant that makes
+    the apply half's cut safe — and a planted ≥40-char overlap between
+    the first two docs must be detected. Runs over randomized corpora
+    (random docs can also share runs by chance; those must satisfy the
+    invariant too)."""
+    import re
+
+    from parkour_spark.operators.dedup import substring_overlap_spans
+
+    ins = " ".join(shared)
+    texts = list(texts)
+    texts[0] = texts[0] + " " + ins + " tail zero"
+    texts[1] = "head one " + texts[1] + " " + ins
+    rows = [(i + 1, t) for i, t in enumerate(texts)]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    spans = substring_overlap_spans(df, min_span=40, max_df=50).collect()
+    norm = {i: re.sub(r"\s+", " ", t.lower().strip()) for i, t in rows}
+    for r in spans:
+        a, b = norm[r.id_a], norm[r.id_b]
+        assert a[r.a_start - 1 : r.a_end] == b[r.b_start - 1 : r.b_start - 1 + r.span_len]
+        assert r.span_len >= 40
+    if len(ins) >= 40 + 2 * 16:
+        assert any((r.id_a, r.id_b) == (1, 2) for r in spans), "planted overlap missed"
