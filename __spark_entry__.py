@@ -21,22 +21,22 @@ def entry(spark: SparkSession) -> DataFrame:
 
 
 # The driver's correctness gate checks the first 50 registry entries;
-# the registry holds 152. ROTATION POLICY (restated in r5 per the r4
+# the registry holds 153. ROTATION POLICY (restated in r5 per the r4
 # verdict #1 — the old "every entry ≤1 round old" claim is
 # arithmetically impossible at this registry size): the window each
 # round = (a) entries ADDED this round, (b) entries whose code or
 # oracle CHANGED this round, (c) filled to 50 with the entries holding
 # the OLDEST driver rows (never-verified first). A full rotation takes
-# ⌈152/50⌉ = 3 rounds, so every entry's driver row is at most ~2
-# rounds stale; out-of-window entries are re-verified EVERY round by
+# ~⌈153/50⌉ = 4 rounds net of new/changed entries, so every entry's
+# driver row is at most ~3 rounds stale; out-of-window entries are re-verified EVERY round by
 # the local gate replica (scripts/check_oracle.py over ALL entries —
 # same compare: rows + columns + sorted value hash vs DuckDB).
 #
-# r5 window = the 2 new substring-dedup entries + 48 of the 58 entries
+# r5 window = the 3 new substring-dedup entries + 47 of the 58 entries
 # that have never had a driver row (which subsumes everything whose
 # code changed this round: q17 integer-cents, corpus_snapshot_diff
 # null-safety, pq_adc_topk/ivfpq_topk_l2 pairwise distances,
-# streaming_incremental_rollup recovery). The 10 deferred
+# streaming_incremental_rollup recovery). The 11 deferred
 # never-verified entries are each a close variant of an in-window or
 # r4-verified sibling and stay local-gate green; they take r6 slots
 # with the 42 r3-era entries:
@@ -49,10 +49,13 @@ def entry(spark: SparkSession) -> DataFrame:
 #   hashed_doc_knn (under knn_cosine, r4 row),
 #   q14_promo_effect (shape under q19), q7_volume_shipping (shape
 #   under q5/q21), streaming_quality_ingest (rows-only class; sibling
-#   streaming_incremental_rollup in window).
+#   streaming_incremental_rollup in window), price_histogram
+#   (single-scan validate aggregate under profile_order_columns /
+#   winsorized_price_stats, both in window).
 _R5_WINDOW = [
-    # NEW this round: exact-substring dedup, detect + apply
+    # NEW this round: exact-substring dedup — detect, apply, ingest
     "substring_dedup_spans", "substring_dedup_clean",
+    "substring_spans_delta",
     # oldest (never-verified) entries, incl. all r5 code changes
     "ivfpq_topk_l2", "pq_adc_topk", "repetition_profile", "pii_scrub",
     "line_dedup_boiler", "source_mixture_weights", "vocab_head_coverage",
@@ -72,7 +75,7 @@ _R5_WINDOW = [
     "profile_order_columns", "triangle_counts_dedup_graph",
     "merged_event_intervals", "kcore_dedup_graph",
     "label_propagation_communities", "sorted_neighborhood_candidates",
-    "price_histogram", "funnel_view_click_purchase",
+    "funnel_view_click_purchase",
     "retention_weekly_cohorts", "event_transition_matrix",
 ]
 

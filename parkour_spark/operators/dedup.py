@@ -1099,6 +1099,106 @@ def substring_overlap_spans(
     )
 
 
+def substring_spans_delta(
+    new_df: DataFrame,
+    corpus_df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    k: int = 8,
+    w: int = 8,
+    max_df: int = 50,
+    min_span: int = 20,
+) -> DataFrame:
+    """Exact-substring spans between an INCOMING batch and the EXISTING
+    corpus — the ingest shape of substring_overlap_spans, mirroring
+    ngram_jaccard_delta: the corpus side builds the df-capped
+    positioned-fingerprint index ONCE (at production scale precomputed
+    and persisted), the new batch probes it by equi-join on fp, and
+    run segmentation windows over (id_new, id_old, delta). Probe
+    fan-out ∝ |new-batch fingerprints| · min(df, cap) — independent of
+    corpus self-pair volume; the corpus is never compared with itself.
+
+    Returns (id_new, id_old, new_start, new_end, old_start, span_len,
+    n_fps): char offsets into each side's NORMALIZED text. Callers with
+    overlapping id namespaces (re-crawls) get self-matches — an
+    unchanged re-crawled page shows up as one full-length span, which
+    is the signal ingest pipelines want."""
+    from pyspark.sql import Window
+
+    from parkour_spark.functions.text import (
+        kgram_hashes,
+        normalize_text,
+        winnow_select_pos,
+    )
+
+    def occurrences(df: DataFrame) -> DataFrame:
+        base = _parallelize_scan(df.select(F.col(id_col), F.col(text_col)))
+        normed = base.select(F.col(id_col), normalize_text(text_col).alias("__nt"))
+        grams = normed.select(F.col(id_col), kgram_hashes("__nt", k=k).alias("__g"))
+        fpp = grams.select(
+            F.col(id_col), winnow_select_pos(F.col("__g"), w=w).alias("__fpp")
+        )
+        return _explode_fast(fpp, "__fpp", "__o", keep=[id_col]).select(
+            F.col(id_col), F.col("__o.fp").alias("fp"), F.col("__o.pos").alias("pos")
+        )
+
+    occ_old = occurrences(corpus_df)
+    # the index: corpus occurrences per fp, df-capped on CORPUS docs
+    # (boilerplate frequency is a corpus property, not a batch one)
+    index = (
+        occ_old.groupBy("fp")
+        .agg(
+            F.collect_list(
+                F.struct(F.col(id_col).alias("id_old"), F.col("pos").alias("pos_old"))
+            ).alias("__occs")
+        )
+        .where(
+            F.size(F.array_distinct(F.transform(F.col("__occs"), lambda s: s.id_old)))
+            <= max_df
+        )
+    )
+    occ_new = occurrences(new_df)
+    pairs = _explode_fast(
+        occ_new.join(index, "fp"),
+        "__occs",
+        "__o",
+        keep=[F.col(id_col).alias("id_new"), F.col("pos").alias("pos_new")],
+    ).select(
+        "id_new",
+        F.col("__o.id_old").alias("id_old"),
+        "pos_new",
+        (F.col("pos_new") - F.col("__o.pos_old")).alias("delta"),
+    )
+    w1 = Window.partitionBy("id_new", "id_old", "delta").orderBy("pos_new")
+    runs = pairs.withColumn(
+        "__brk",
+        F.when(F.col("pos_new") - F.lag("pos_new").over(w1) <= w, F.lit(0)).otherwise(
+            F.lit(1)
+        ),
+    ).withColumn(
+        "__run",
+        F.sum("__brk").over(w1.rowsBetween(Window.unboundedPreceding, 0)),
+    )
+    return (
+        runs.groupBy("id_new", "id_old", "delta", "__run")
+        .agg(
+            F.min("pos_new").alias("new_start"),
+            (F.max("pos_new") + (k - 1)).alias("new_end"),
+            F.count("*").alias("n_fps"),
+        )
+        .where(F.col("new_end") - F.col("new_start") + 1 >= min_span)
+        .select(
+            "id_new",
+            "id_old",
+            "new_start",
+            "new_end",
+            (F.col("new_start") - F.col("delta")).alias("old_start"),
+            (F.col("new_end") - F.col("new_start") + 1).alias("span_len"),
+            "n_fps",
+        )
+    )
+
+
 def substring_dedup_apply(
     df: DataFrame,
     spans: DataFrame,
@@ -1126,11 +1226,18 @@ def substring_dedup_apply(
 
     from parkour_spark.functions.text import normalize_text
 
+    # DISTINCT before the merge window: several a-side twins flag the
+    # same b-side interval, and duplicate (s, e) rows make the ROWS-
+    # frame running max order-ambiguous — DuckDB's parallel window
+    # execution was observed returning tie-dependent island splits.
+    # With unique intervals the (s, e) order is total in both engines
+    # and the gaps-and-islands sweep is fully deterministic. n_spans
+    # therefore counts DISTINCT flagged intervals.
     iv = spans.select(
         F.col("id_b").alias(id_col),
         F.col("b_start").alias("s"),
         (F.col("b_start") + F.col("span_len") - 1).alias("e"),
-    )
+    ).distinct()
     w = Window.partitionBy(id_col).orderBy("s", "e")
     prev_max = F.max("e").over(w.rowsBetween(Window.unboundedPreceding, -1))
     islands = iv.withColumn(

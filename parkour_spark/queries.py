@@ -3853,7 +3853,7 @@ def q_substring_spans(spark, sf_dir):
     f"""
     WITH {_SUBSTR_SPAN_CTES},
     iv AS (
-      SELECT id_b AS doc_id, b_start AS s, b_start + span_len - 1 AS e
+      SELECT DISTINCT id_b AS doc_id, b_start AS s, b_start + span_len - 1 AS e
       FROM spansout),
     isl AS (
       SELECT *, CASE WHEN s > max(e) OVER (PARTITION BY doc_id ORDER BY s, e
@@ -3908,6 +3908,72 @@ def q_substring_clean(spark, sf_dir):
     normalized text at the same offsets."""
     docs = _t(spark, sf_dir, "documents")
     return D.substring_dedup_apply(docs, D.substring_overlap_spans(docs))
+
+
+@query(
+    "substring_spans_delta",
+    f"""
+    WITH b AS (SELECT doc_id, text, {_HB_SQL} % 100 AS bkt FROM documents),
+    norm AS (
+      SELECT doc_id, bkt,
+             regexp_replace(lower(trim(text)), '\\s+', ' ', 'g') AS nt
+      FROM b),
+    grams AS (
+      SELECT doc_id, bkt,
+             list_transform(range(1, greatest(length(nt) - 7, 1) + 1),
+               i -> ('0x' || substr(md5(substr(nt, i, 8)), 1, 8))::BIGINT) AS g
+      FROM norm),
+    fpp AS (
+      SELECT doc_id, bkt,
+             list_transform(range(1, greatest(len(g) - 7, 1) + 1),
+               j -> {{'fp': list_min(g[j:j+7]),
+                      'pos': j - 1 + list_position(g[j:j+7], list_min(g[j:j+7]))}}) AS ps
+      FROM grams),
+    occ AS (
+      SELECT DISTINCT doc_id, bkt, u.fp AS fp, u.pos AS pos
+      FROM (SELECT doc_id, bkt, unnest(ps) AS u FROM fpp)),
+    occ_new AS (SELECT doc_id, fp, pos FROM occ WHERE bkt >= 90),
+    occ_old AS (SELECT doc_id, fp, pos FROM occ WHERE bkt < 90),
+    capped AS (
+      SELECT fp FROM occ_old GROUP BY fp HAVING count(DISTINCT doc_id) <= 50),
+    pairs AS (
+      SELECT n.doc_id AS id_new, o.doc_id AS id_old, n.pos AS pos_new,
+             n.pos - o.pos AS delta
+      FROM occ_new n
+      JOIN (SELECT * FROM occ_old JOIN capped USING (fp)) o USING (fp)),
+    runs AS (
+      SELECT *, CASE WHEN pos_new - lag(pos_new) OVER
+                       (PARTITION BY id_new, id_old, delta ORDER BY pos_new) <= 8
+                     THEN 0 ELSE 1 END AS brk
+      FROM pairs),
+    runid AS (
+      SELECT *, sum(brk) OVER (PARTITION BY id_new, id_old, delta ORDER BY pos_new
+                               ROWS UNBOUNDED PRECEDING) AS run
+      FROM runs),
+    spans AS (
+      SELECT id_new, id_old, delta, run, min(pos_new) AS new_start,
+             max(pos_new) + 7 AS new_end, count(*) AS n_fps
+      FROM runid GROUP BY 1, 2, 3, 4)
+    SELECT id_new, id_old, new_start, new_end, new_start - delta AS old_start,
+           new_end - new_start + 1 AS span_len, n_fps
+    FROM spans
+    WHERE new_end - new_start + 1 >= 20
+    """,
+)
+def q_substring_delta(spark, sf_dir):
+    """Ingest-shape substring spans (operators.dedup.
+    substring_spans_delta): the content-hash top-10% of documents plays
+    the incoming batch, the rest the corpus; the batch probes the
+    corpus's df-capped positioned-fingerprint index by equi-join —
+    probe fan-out ∝ batch fps · cap, the corpus never self-pairs. The
+    df cap is a CORPUS property (no lower bound: a fingerprint unique
+    to one corpus doc still serves probes). Same constant-delta run
+    segmentation as the in-batch detector."""
+    from parkour_spark.functions.sampling import hash_bucket
+
+    docs = _t(spark, sf_dir, "documents")
+    bkt = hash_bucket(F.col("doc_id"), 100)
+    return D.substring_spans_delta(docs.where(bkt >= 90), docs.where(bkt < 90))
 
 
 @query(

@@ -152,3 +152,33 @@ def test_span_plan_shuffle_budget(spark):
         .toString()
     )
     assert plan.count("Exchange") <= 3, plan
+
+
+def test_delta_probes_corpus_only(spark):
+    """Ingest shape: batch docs flag spans only against CORPUS docs
+    (never batch-batch or corpus-corpus here), offsets verbatim on both
+    sides' normalized text."""
+    from parkour_spark.operators.dedup import substring_spans_delta
+
+    corpus = [
+        (1, "corpus doc one preamble " + SHARED + " corpus tail"),
+        (2, "another corpus doc with words " + SHARED + " different tail"),
+        (3, "unrelated corpus doc full of plain filler words only here"),
+    ]
+    batch = [
+        (101, "new crawl page intro " + SHARED + " new page outro"),
+        (102, "fresh unrelated page about completely other topics entirely"),
+    ]
+    cdf = spark.createDataFrame(corpus, ["doc_id", "text"])
+    bdf = spark.createDataFrame(batch, ["doc_id", "text"])
+    spans = substring_spans_delta(bdf, cdf, min_span=40).collect()
+    assert {r.id_new for r in spans} == {101}
+    assert {r.id_old for r in spans} <= {1, 2}
+    assert {r.id_old for r in spans} == {1, 2}
+    nb = _norm(batch[0][1])
+    nc = {i: _norm(t) for i, t in corpus}
+    for r in spans:
+        assert (
+            nb[r.new_start - 1 : r.new_end]
+            == nc[r.id_old][r.old_start - 1 : r.old_start - 1 + r.span_len]
+        )
