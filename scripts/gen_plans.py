@@ -41,6 +41,7 @@ COMMENTARY = {
     "triangle_counts_dedup_graph": "Degree-ordered orientation bounds wedge fan-out by ~sqrt(2m); the oriented edge list is cached (it feeds both wedge sides and the closing semi-join — without the cache the MinHash pair derivation upstream executes three times, measured 1.5x). Wedges close via LeftSemi on the (b,c) edge set.",
     "key_skew_profile": "One partial-agg'd count shuffle over the key; totals are a 1-row broadcast over the key-sized count table; top-n runs as TakeOrderedAndProject. The ratios are exact integer division (div), never float.",
     "substring_dedup_spans": "Suffix-array-free exact-substring detection: positioned winnowing fingerprints compute scan-side; ONE groupBy(fp) shuffle builds df-capped occurrence buckets; in-bucket triangular pairs explode via explode_fast; run segmentation is a lag+sum window partitioned by (id_a, id_b, delta). No global sort, no cartesian, fan-out bounded by the df cap.",
+    "substring_spans_delta": "Ingest shape: the corpus side's positioned-fingerprint index builds with ONE groupBy(fp) (persisted in production); the batch probes it by equi-join on fp — no corpus self-pairs, fan-out bounded by the df cap; the same single-sort window segments runs per (id_new, id_old, delta).",
     "substring_dedup_clean": "Apply half: span intervals merge per doc via the gaps-and-islands window (one shuffle on the flagged-doc id), the cut is a pure Column fold over the merged interval array, and cleaned fingerprints join back to the corpus on the doc id. Only flagged docs carry interval state; unflagged docs stream through the left join untouched.",
 }
 

@@ -70,6 +70,7 @@ SOAK_QUERIES = [
     "gapfilled_hourly_events",
     "kcore_dedup_graph",
     "substring_dedup_spans",
+    "substring_spans_delta",
 ]
 
 
