@@ -55,6 +55,14 @@ def mkdirs(spark: SparkSession, path: str) -> bool:
     return bool(fs.mkdirs(jpath))
 
 
+def rename(spark: SparkSession, src: str, dst: str) -> bool:
+    """Atomic metadata rename (reference `path-move!` class of ops) —
+    same-filesystem only, O(1) on HDFS/local, O(copy) on some object
+    stores (use sparingly there)."""
+    fs, jsrc, jvm = _jfs(spark, src)
+    return bool(fs.rename(jsrc, jvm.org.apache.hadoop.fs.Path(dst)))
+
+
 @contextlib.contextmanager
 def temp_dir(spark: SparkSession, base: str | None = None) -> Iterator[str]:
     """Scoped scratch directory (reference `with-temp-dir` semantics,

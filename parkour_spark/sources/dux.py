@@ -3,7 +3,7 @@
 | reference | here |
 |---|---|
 | `dux/dsink` named outputs (io/dux.clj:54-62) | `write_named` — N writes off one cached intermediate |
-| `dux/prefix-*` data-derived routing (io/dux.clj:180-228) | `write_partitioned` — `partitionBy(route_col)`: directory-per-value routing (SURVEY §4.3 recommends accepting partitionBy semantics over exact file prefixes) |
+| `dux/prefix-*` data-derived routing (io/dux.clj:180-228) | `write_prefixed` — EXACT `{prefix}-m-NNNNN` file naming (partitionBy pass + driver-side FS rename); `write_partitioned` keeps directory-per-value semantics for object stores |
 | `dsink` read-back (io/dsink.clj:14-44) | every writer returns the re-reading Dataset |
 | `transient-path` (io/transient.clj:22-37) | `transient_sink` — temp dir, caller-scoped |
 
@@ -48,6 +48,57 @@ def write_partitioned(df: DataFrame, sink: Dataset, route_cols: list[str]) -> Da
     """Single-pass data-derived routing (dux/prefix-* analog): output
     files land under one directory per route-column value."""
     return sink.write(df, partition_by=route_cols)
+
+
+def write_prefixed(
+    df: DataFrame,
+    sink: Dataset,
+    prefix_col: str,
+    marker: str = "m",
+) -> Dataset:
+    """EXACT dux/prefix-* file naming (io/dux.clj:180-228, test
+    dux_test.clj:39-45): every output file is named
+    `{prefix}-{marker}-{NNNNN}` directly under the sink path, where the
+    prefix is DATA-DERIVED per record — the reference's first-letter
+    test expects exactly {a,b,c}-m-00000.
+
+    Plan: one `partitionBy(prefix_col)` pass routes rows (each task
+    writes its prefixes' files — the same single-pass shape the
+    reference gets from per-sink record writers), then a DRIVER-SIDE
+    Hadoop FS rename flattens `prefix=<v>/part-*` into
+    `<v>-{marker}-<seq>`. Renames are metadata ops: O(#files), zero
+    data movement on HDFS/local (object stores pay a copy — keep
+    partitionBy directories there, SURVEY §4.3's recommendation, via
+    write_partitioned).
+
+    partitionBy drops the prefix column from file CONTENTS — matching
+    the reference, where the prefix exists only in the file name.
+    Returns the re-reading Dataset over the flattened files."""
+    import re
+
+    from parkour_spark import fs as pfs
+
+    if sink.path is None:
+        raise ValueError("write_prefixed requires a path-backed Dataset")
+    spark = df.sparkSession
+    sink.write(df, partition_by=[prefix_col])
+    root = sink.path.rstrip("/")
+    for d in sorted(pfs.glob_paths(spark, f"{root}/{prefix_col}=*")):
+        val = re.search(r"=([^/]*)$", d).group(1)
+        parts = sorted(
+            p
+            for p in pfs.glob_paths(spark, f"{d}/*")
+            if not p.rsplit("/", 1)[-1].startswith(("_", "."))
+        )
+        for i, p in enumerate(parts):
+            pfs.rename(spark, p, f"{root}/{val}-{marker}-{i:05d}")
+        pfs.delete(spark, d)
+    return Dataset(
+        spark,
+        path=f"{root}/*-{marker}-*",
+        fmt=sink.fmt,
+        options=dict(sink.options),
+    )
 
 
 def transient_sink(spark, fmt: str = "parquet") -> Dataset:

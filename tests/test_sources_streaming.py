@@ -105,6 +105,42 @@ def test_dux_partitioned_routing(spark, tmp_path):
     assert sorted((r.k, r.v) for r in out.read().collect()) == [("a", 1), ("a", 3), ("b", 2)]
 
 
+def test_dux_prefix_exact_file_names(spark, tmp_path):
+    """EXACT dux/prefix-* naming (dux_test.clj:39-45 first-letter test):
+    the reference expects files {a,b,c}-m-00000 — prefix from the data,
+    task number suffixed — and the content reads back whole."""
+    words = ["apple", "banana", "apple", "carrot", "banana", "apple"]
+    df = (
+        spark.createDataFrame([(w,) for w in words], ["word"])
+        .withColumn("pfx", F.substring("word", 1, 1))
+        .coalesce(1)  # one task, like the reference's single-split input
+    )
+    sink = Dataset(spark, str(tmp_path / "fl"), fmt="csv")
+    out = dux.write_prefixed(df, sink, "pfx")
+    files = sorted(
+        f for f in os.listdir(tmp_path / "fl") if not f.startswith(("_", "."))
+    )
+    assert files == ["a-m-00000", "b-m-00000", "c-m-00000"]
+    got = sorted(r[0] for r in out.read().collect())
+    assert got == sorted(words)
+
+
+def test_dux_prefix_multi_task_numbering(spark, tmp_path):
+    """Several tasks writing the same prefix must yield consecutive
+    per-prefix file numbers, never collisions."""
+    df = (
+        spark.createDataFrame([(f"w{i}", "a") for i in range(8)], ["word", "pfx"])
+        .repartition(4)
+    )
+    sink = Dataset(spark, str(tmp_path / "mt"), fmt="csv")
+    out = dux.write_prefixed(df, sink, "pfx")
+    files = sorted(
+        f for f in os.listdir(tmp_path / "mt") if not f.startswith(("_", "."))
+    )
+    assert files == [f"a-m-{i:05d}" for i in range(len(files))] and len(files) >= 2
+    assert out.read().count() == 8
+
+
 def test_pipeline_end_to_end(spark, tmp_path):
     """pg/input→map→reduce→output→re-input round-trip (graph.clj)."""
     lines = spark.createDataFrame([("a b a",), ("b c",)], ["value"])
