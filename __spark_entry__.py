@@ -21,7 +21,7 @@ def entry(spark: SparkSession) -> DataFrame:
 
 
 # The driver's correctness gate checks the first 50 registry entries;
-# the registry holds 153. ROTATION POLICY (restated in r5 per the r4
+# the registry holds 154. ROTATION POLICY (restated in r5 per the r4
 # verdict #1 — the old "every entry ≤1 round old" claim is
 # arithmetically impossible at this registry size): the window each
 # round = (a) entries ADDED this round, (b) entries whose code or
@@ -32,11 +32,11 @@ def entry(spark: SparkSession) -> DataFrame:
 # the local gate replica (scripts/check_oracle.py over ALL entries —
 # same compare: rows + columns + sorted value hash vs DuckDB).
 #
-# r5 window = the 3 new substring-dedup entries + 47 of the 58 entries
+# r5 window = the 4 entries new this round + 46 of the 58 entries
 # that have never had a driver row (which subsumes everything whose
 # code changed this round: q17 integer-cents, corpus_snapshot_diff
 # null-safety, pq_adc_topk/ivfpq_topk_l2 pairwise distances,
-# streaming_incremental_rollup recovery). The 11 deferred
+# streaming_incremental_rollup recovery). The 12 deferred
 # never-verified entries are each a close variant of an in-window or
 # r4-verified sibling and stay local-gate green; they take r6 slots
 # with the 42 r3-era entries:
@@ -51,17 +51,20 @@ def entry(spark: SparkSession) -> DataFrame:
 #   under q5/q21), streaming_quality_ingest (rows-only class; sibling
 #   streaming_incremental_rollup in window), price_histogram
 #   (single-scan validate aggregate under profile_order_columns /
-#   winsorized_price_stats, both in window).
+#   winsorized_price_stats, both in window), q6_forecast_revenue (the
+#   scan-filter-agg shape under flagship q1, r4 row, + 9 TPC-H entries
+#   in window).
 _R5_WINDOW = [
-    # NEW this round: exact-substring dedup — detect, apply, ingest
+    # NEW this round: exact-substring dedup (detect, apply, ingest) +
+    # the in-container Avro OCF round-trip
     "substring_dedup_spans", "substring_dedup_clean",
-    "substring_spans_delta",
+    "substring_spans_delta", "avro_roundtrip_orders",
     # oldest (never-verified) entries, incl. all r5 code changes
     "ivfpq_topk_l2", "pq_adc_topk", "repetition_profile", "pii_scrub",
     "line_dedup_boiler", "source_mixture_weights", "vocab_head_coverage",
     "leakage_safe_split_counts", "semantic_dedup_kmeans",
     "dedup_delta_ingest", "quantized_embeddings", "pagerank_dedup_graph",
-    "q6_forecast_revenue", "q10_returned_items",
+    "q10_returned_items",
     "q18_large_volume_customers", "q19_disjunctive_predicates",
     "q4_priority_check", "q13_order_count_distribution", "q15_top_supplier",
     "q17_small_quantity_revenue", "q21_waiting_supplier",

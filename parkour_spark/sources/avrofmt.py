@@ -1,0 +1,571 @@
+"""Pure-Python Avro Object Container File source/sink — closes the one
+environment-forced gap (the container ships neither the spark-avro jar
+nor an avro Python lib): the reference's avro dseq/dsink
+(/root/reference/src/clojure/parkour/io/avro.clj:137-171) round-trips
+in-container through a PySpark Python DataSource implementing the Avro
+1.11 spec directly.
+
+Spec subset implemented (everything the engine's tables need):
+- primitives: null, boolean, int, long, float, double, bytes, string
+- logical types: timestamp-micros (long), date (int)
+- complex: record, array, union (only the 2-branch ["null", T]
+  nullability union Spark produces)
+- codecs: null, deflate (raw RFC-1951 via stdlib zlib)
+
+Layout per the spec: header = magic `Obj\\x01` + metadata map
+(avro.schema JSON + avro.codec) + 16-byte sync marker; then data
+blocks of (record count, payload size, payload, sync marker).
+
+SCALE: the writer emits one OCF file per task (the same
+file-per-reducer layout the reference's Hadoop Avro output produced),
+so write parallelism is the upstream partitioning; the reader plans
+one split per FILE (not per block — block-level splits via sync-marker
+scan are possible but pointless when files are already task-sized).
+Decoding is per-row Python — the interchange path, not a hot path; the
+engine's native format stays parquet. On a cluster, prefer the
+spark-avro jar when present (read_avro tries it first).
+
+A spec-compliance golden test (tests/test_avro.py) pins exact bytes
+for a hand-assembled file in BOTH directions — the reader parses a
+byte-literal OCF it didn't write, and the writer's output is decoded
+field-by-field against hand-computed zigzag/varint encodings — so the
+round-trip can't be self-consistently wrong.
+"""
+
+from __future__ import annotations
+
+import io
+import json
+import os
+import struct
+import uuid
+import zlib
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import types as T
+
+MAGIC = b"Obj\x01"
+SYNC = b"parkour-avro-synk"[:16]  # deterministic 16-byte marker
+
+try:  # the Python DataSource API (Spark 4)
+    from pyspark.sql.datasource import (
+        DataSource,
+        DataSourceReader,
+        DataSourceWriter,
+        InputPartition,
+        WriterCommitMessage,
+    )
+
+    _HAVE_DSAPI = True
+except ImportError:  # pragma: no cover
+    _HAVE_DSAPI = False
+    DataSource = DataSourceReader = DataSourceWriter = object  # type: ignore
+    InputPartition = WriterCommitMessage = object  # type: ignore
+
+
+# ---------------------------------------------------------------------------
+# Schema mapping: Spark StructType <-> Avro schema JSON
+# ---------------------------------------------------------------------------
+
+_PRIM = {
+    T.LongType: "long",
+    T.IntegerType: "int",
+    T.DoubleType: "double",
+    T.FloatType: "float",
+    T.StringType: "string",
+    T.BooleanType: "boolean",
+    T.BinaryType: "bytes",
+}
+
+
+def _avro_type(dt: T.DataType):
+    for cls, name in _PRIM.items():
+        if isinstance(dt, cls):
+            return name
+    if isinstance(dt, (T.TimestampType, T.TimestampNTZType)):
+        return {"type": "long", "logicalType": "timestamp-micros"}
+    if isinstance(dt, T.DateType):
+        return {"type": "int", "logicalType": "date"}
+    if isinstance(dt, T.ArrayType):
+        item = _avro_type(dt.elementType)
+        if dt.containsNull:
+            item = ["null", item]
+        return {"type": "array", "items": item}
+    raise ValueError(f"avrofmt: unsupported Spark type {dt}")
+
+
+def spark_to_avro_schema(schema: T.StructType, name: str = "spark_record") -> dict:
+    fields = []
+    for f in schema.fields:
+        at = _avro_type(f.dataType)
+        fields.append(
+            {"name": f.name, "type": ["null", at] if f.nullable else at}
+        )
+    return {"type": "record", "name": name, "fields": fields}
+
+
+def avro_to_spark_schema(avro: dict) -> T.StructType:
+    assert avro["type"] == "record", avro
+    return T.StructType(
+        [
+            T.StructField(f["name"], _spark_type(f["type"]), _is_nullable(f["type"]))
+            for f in avro["fields"]
+        ]
+    )
+
+
+def _is_nullable(at) -> bool:
+    return isinstance(at, list) and "null" in at
+
+
+def _strip_null(at):
+    if isinstance(at, list):
+        branches = [b for b in at if b != "null"]
+        if len(branches) != 1:
+            raise ValueError(f"avrofmt: only [null, T] unions supported, got {at}")
+        return branches[0]
+    return at
+
+
+def _spark_type(at) -> T.DataType:
+    at = _strip_null(at)
+    if isinstance(at, str):
+        return {
+            "long": T.LongType(),
+            "int": T.IntegerType(),
+            "double": T.DoubleType(),
+            "float": T.FloatType(),
+            "string": T.StringType(),
+            "boolean": T.BooleanType(),
+            "bytes": T.BinaryType(),
+        }[at]
+    if at.get("logicalType") == "timestamp-micros":
+        return T.TimestampNTZType()
+    if at.get("logicalType") == "date":
+        return T.DateType()
+    if at["type"] == "array":
+        item = at["items"]
+        return T.ArrayType(_spark_type(item), containsNull=_is_nullable(item))
+    raise ValueError(f"avrofmt: unsupported avro type {at}")
+
+
+# ---------------------------------------------------------------------------
+# Binary codec (Avro spec §1.11 "Binary Encoding")
+# ---------------------------------------------------------------------------
+
+
+def zigzag_encode(n: int) -> int:
+    return (n << 1) ^ (n >> 63)
+
+
+def zigzag_decode(u: int) -> int:
+    return (u >> 1) ^ -(u & 1)
+
+
+def write_long(buf: io.BytesIO, n: int) -> None:
+    u = zigzag_encode(n) & 0xFFFFFFFFFFFFFFFF
+    while True:
+        b = u & 0x7F
+        u >>= 7
+        if u:
+            buf.write(bytes([b | 0x80]))
+        else:
+            buf.write(bytes([b]))
+            return
+
+
+def read_long(f) -> int:
+    shift, u = 0, 0
+    while True:
+        (b,) = f.read(1)
+        u |= (b & 0x7F) << shift
+        if not b & 0x80:
+            return zigzag_decode(u)
+        shift += 7
+
+
+def _encoder(at):
+    """Value encoder for one avro type (nullability handled by caller)."""
+    at_bare = _strip_null(at) if isinstance(at, list) else at
+    if isinstance(at_bare, dict) and at_bare.get("type") == "array":
+        item_enc = _nullable_encoder(at_bare["items"])
+
+        def enc_array(buf, v):
+            if len(v):
+                write_long(buf, len(v))
+                for item in v:
+                    item_enc(buf, item)
+            write_long(buf, 0)
+
+        return enc_array
+    name = at_bare if isinstance(at_bare, str) else at_bare["type"]
+    logical = at_bare.get("logicalType") if isinstance(at_bare, dict) else None
+    if name == "long":
+        if logical == "timestamp-micros":
+
+            def enc_ts(buf, v):
+                import datetime
+
+                if isinstance(v, datetime.datetime):
+                    epoch = datetime.datetime(1970, 1, 1)
+                    if v.tzinfo is not None:
+                        epoch = epoch.replace(tzinfo=datetime.timezone.utc)
+                    v = round((v - epoch).total_seconds() * 1_000_000)
+                write_long(buf, int(v))
+
+            return enc_ts
+        return lambda buf, v: write_long(buf, int(v))
+    if name == "int":
+        if logical == "date":
+
+            def enc_date(buf, v):
+                import datetime
+
+                if isinstance(v, datetime.date):
+                    v = (v - datetime.date(1970, 1, 1)).days
+                write_long(buf, int(v))
+
+            return enc_date
+        return lambda buf, v: write_long(buf, int(v))
+    if name == "double":
+        return lambda buf, v: buf.write(struct.pack("<d", float(v)))
+    if name == "float":
+        return lambda buf, v: buf.write(struct.pack("<f", float(v)))
+    if name == "boolean":
+        return lambda buf, v: buf.write(b"\x01" if v else b"\x00")
+    if name == "string":
+
+        def enc_str(buf, v):
+            raw = v.encode("utf-8")
+            write_long(buf, len(raw))
+            buf.write(raw)
+
+        return enc_str
+    if name == "bytes":
+
+        def enc_bytes(buf, v):
+            raw = bytes(v)
+            write_long(buf, len(raw))
+            buf.write(raw)
+
+        return enc_bytes
+    raise ValueError(f"avrofmt: cannot encode {at}")
+
+
+def _nullable_encoder(at):
+    enc = _encoder(at)
+    if _is_nullable(at):
+
+        def enc_opt(buf, v):
+            if v is None:
+                write_long(buf, 0)
+            else:
+                write_long(buf, 1)
+                enc(buf, v)
+
+        return enc_opt
+    return enc
+
+
+def _decoder(at):
+    at_bare = _strip_null(at) if isinstance(at, list) else at
+    if isinstance(at_bare, dict) and at_bare.get("type") == "array":
+        item_dec = _nullable_decoder(at_bare["items"])
+
+        def dec_array(f):
+            out = []
+            while True:
+                n = read_long(f)
+                if n == 0:
+                    return out
+                if n < 0:  # block with byte size (spec allows)
+                    read_long(f)
+                    n = -n
+                for _ in range(n):
+                    out.append(item_dec(f))
+
+        return dec_array
+    name = at_bare if isinstance(at_bare, str) else at_bare["type"]
+    logical = at_bare.get("logicalType") if isinstance(at_bare, dict) else None
+    if name == "long":
+        if logical == "timestamp-micros":
+
+            def dec_ts(f):
+                import datetime
+
+                micros = read_long(f)
+                return datetime.datetime(1970, 1, 1) + datetime.timedelta(
+                    microseconds=micros
+                )
+
+            return dec_ts
+        return read_long
+    if name == "int":
+        if logical == "date":
+
+            def dec_date(f):
+                import datetime
+
+                return datetime.date(1970, 1, 1) + datetime.timedelta(
+                    days=read_long(f)
+                )
+
+            return dec_date
+        return read_long
+    if name == "double":
+        return lambda f: struct.unpack("<d", f.read(8))[0]
+    if name == "float":
+        return lambda f: struct.unpack("<f", f.read(4))[0]
+    if name == "boolean":
+        return lambda f: f.read(1) == b"\x01"
+    if name == "string":
+
+        def dec_str(f):
+            return f.read(read_long(f)).decode("utf-8")
+
+        return dec_str
+    if name == "bytes":
+        return lambda f: f.read(read_long(f))
+    raise ValueError(f"avrofmt: cannot decode {at}")
+
+
+def _nullable_decoder(at):
+    dec = _decoder(at)
+    if _is_nullable(at):
+        branches = list(at)
+
+        def dec_opt(f):
+            idx = read_long(f)
+            return None if branches[idx] == "null" else dec(f)
+
+        return dec_opt
+    return dec
+
+
+def _row_codec(avro_schema: dict):
+    encs = [_nullable_encoder(f["type"]) for f in avro_schema["fields"]]
+    decs = [_nullable_decoder(f["type"]) for f in avro_schema["fields"]]
+    return encs, decs
+
+
+# ---------------------------------------------------------------------------
+# OCF file read/write
+# ---------------------------------------------------------------------------
+
+
+def write_ocf(path: str, avro_schema: dict, rows, codec: str = "null") -> int:
+    """Serialize `rows` (iterables matching the record fields) into one
+    OCF file; returns the record count. Blocks of 4096 records."""
+    encs, _ = _row_codec(avro_schema)
+    n_fields = len(encs)
+    buf = io.BytesIO()
+    buf.write(MAGIC)
+    meta = {
+        "avro.schema": json.dumps(avro_schema).encode(),
+        "avro.codec": codec.encode(),
+    }
+    write_long(buf, len(meta))
+    for k, v in meta.items():
+        kb = k.encode()
+        write_long(buf, len(kb))
+        buf.write(kb)
+        write_long(buf, len(v))
+        buf.write(v)
+    write_long(buf, 0)
+    buf.write(SYNC)
+
+    total = 0
+    block: list = []
+
+    def flush():
+        nonlocal total
+        if not block:
+            return
+        payload = io.BytesIO()
+        for row in block:
+            for i in range(n_fields):
+                encs[i](payload, row[i])
+        data = payload.getvalue()
+        if codec == "deflate":
+            data = zlib.compress(data, 6)[2:-4]  # raw RFC-1951
+        elif codec != "null":
+            raise ValueError(f"avrofmt: unsupported codec {codec}")
+        write_long(buf, len(block))
+        write_long(buf, len(data))
+        buf.write(data)
+        buf.write(SYNC)
+        total += len(block)
+        block.clear()
+
+    for row in rows:
+        block.append(row)
+        if len(block) >= 4096:
+            flush()
+    flush()
+    with open(path, "wb") as f:
+        f.write(buf.getvalue())
+    return total
+
+
+def read_ocf_header(f) -> tuple[dict, str, bytes]:
+    if f.read(4) != MAGIC:
+        raise ValueError("not an Avro object container file")
+    meta = {}
+    while True:
+        n = read_long(f)
+        if n == 0:
+            break
+        if n < 0:
+            read_long(f)
+            n = -n
+        for _ in range(n):
+            k = f.read(read_long(f)).decode()
+            meta[k] = f.read(read_long(f))
+    sync = f.read(16)
+    schema = json.loads(meta["avro.schema"])
+    codec = meta.get("avro.codec", b"null").decode()
+    return schema, codec, sync
+
+
+def read_ocf(path: str):
+    """Yield decoded row tuples from one OCF file."""
+    with open(path, "rb") as f:
+        schema, codec, sync = read_ocf_header(f)
+        _, decs = _row_codec(schema)
+        while True:
+            head = f.read(1)
+            if not head:
+                return
+            f.seek(-1, os.SEEK_CUR)
+            n = read_long(f)
+            size = read_long(f)
+            data = f.read(size)
+            if codec == "deflate":
+                data = zlib.decompress(data, wbits=-15)
+            elif codec != "null":
+                raise ValueError(f"avrofmt: unsupported codec {codec}")
+            if f.read(16) != sync:
+                raise ValueError("avrofmt: sync marker mismatch (corrupt file)")
+            block = io.BytesIO(data)
+            for _ in range(n):
+                yield tuple(dec(block) for dec in decs)
+
+
+# ---------------------------------------------------------------------------
+# Python DataSource (reader + writer)
+# ---------------------------------------------------------------------------
+
+if _HAVE_DSAPI:
+
+    class _AvroFilePartition(InputPartition):
+        def __init__(self, path: str):
+            self.path = path
+
+    class AvroCommitMessage(WriterCommitMessage):
+        def __init__(self, path: str, count: int):
+            self.path = path
+            self.count = count
+
+    class AvroDataSource(DataSource):
+        """format name: parkour_avro. Options: path, codec (null|deflate)."""
+
+        @classmethod
+        def name(cls) -> str:
+            return "parkour_avro"
+
+        def schema(self):
+            files = _avro_files(self.options["path"])
+            if not files:
+                raise ValueError(f"no .avro files under {self.options['path']}")
+            with open(files[0], "rb") as f:
+                avro_schema, _, _ = read_ocf_header(f)
+            return avro_to_spark_schema(avro_schema)
+
+        def reader(self, schema):
+            return AvroReader(self.options)
+
+        def writer(self, schema, overwrite: bool):
+            return AvroWriter(self.options, schema, overwrite)
+
+    class AvroReader(DataSourceReader):
+        def __init__(self, options):
+            self.path = options["path"]
+
+        def partitions(self):
+            return [_AvroFilePartition(p) for p in _avro_files(self.path)]
+
+        def read(self, part):
+            yield from read_ocf(part.path)
+
+    class AvroWriter(DataSourceWriter):
+        def __init__(self, options, schema, overwrite):
+            self.path = options["path"]
+            self.codec = options.get("codec", "null")
+            self.avro_schema = spark_to_avro_schema(schema)
+            os.makedirs(self.path, exist_ok=True)
+            if overwrite:  # runs driver-side, before tasks launch
+                for f in os.listdir(self.path):
+                    if f.endswith(".avro") or f == "_SUCCESS":
+                        os.remove(os.path.join(self.path, f))
+
+        def write(self, rows):
+            out = os.path.join(self.path, f"part-{uuid.uuid4().hex}.avro")
+            n = write_ocf(out, self.avro_schema, rows, codec=self.codec)
+            return AvroCommitMessage(out, n)
+
+        def commit(self, messages):
+            with open(os.path.join(self.path, "_SUCCESS"), "w") as f:
+                f.write("")
+
+        def abort(self, messages):
+            for m in messages:
+                if m is not None and os.path.exists(m.path):
+                    os.remove(m.path)
+
+
+def _avro_files(path: str) -> list[str]:
+    if os.path.isfile(path):
+        return [path]
+    if os.path.isdir(path):
+        return sorted(
+            os.path.join(path, f) for f in os.listdir(path) if f.endswith(".avro")
+        )
+    import glob as _glob
+
+    return sorted(_glob.glob(path))
+
+
+def register_avro_source(spark: SparkSession) -> bool:
+    if not _HAVE_DSAPI:
+        return False
+    try:
+        spark.dataSource.register(AvroDataSource)
+        return True
+    except Exception:
+        return False
+
+
+def write_avro(df: DataFrame, path: str, codec: str = "null") -> None:
+    """Avro dsink (reference avro.clj:137-171). Tries the spark-avro
+    jar first (the cluster path — JVM-side, splittable); falls back to
+    the pure-Python OCF writer (one file per task)."""
+    try:
+        df.write.format("avro").mode("overwrite").save(path)
+        return
+    except Exception:
+        pass
+    register_avro_source(df.sparkSession)
+    df.write.format("parkour_avro").mode("overwrite").option(
+        "codec", codec
+    ).save(path)
+
+
+def read_avro(spark: SparkSession, path: str) -> DataFrame:
+    """Avro dseq. spark-avro jar when present, else the Python OCF
+    reader (schema from the first file's header)."""
+    try:
+        return spark.read.format("avro").load(path)
+    except Exception:
+        pass
+    register_avro_source(spark)
+    return spark.read.format("parkour_avro").option("path", path).load()
