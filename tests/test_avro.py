@@ -177,3 +177,43 @@ def test_corrupt_sync_marker_detected(tmp_path):
     p.write_bytes(bytes(raw))
     with pytest.raises(ValueError, match="sync marker"):
         list(A.read_ocf(str(p)))
+
+
+# --- randomized codec round-trip (pure python, no Spark) -------------------
+
+from hypothesis import given, settings, strategies as st
+
+_long = st.integers(min_value=-(2**63), max_value=2**63 - 1)
+_row = st.tuples(
+    _long,
+    st.one_of(st.none(), st.text(max_size=40)),  # unicode incl. astral
+    st.one_of(st.none(), st.floats(allow_nan=False, width=64)),
+    st.booleans(),
+    st.one_of(st.none(), st.lists(_long, max_size=5)),
+    st.binary(max_size=20),
+)
+_SCHEMA_P = {
+    "type": "record",
+    "name": "p",
+    "fields": [
+        {"name": "l", "type": "long"},
+        {"name": "s", "type": ["null", "string"]},
+        {"name": "d", "type": ["null", "double"]},
+        {"name": "b", "type": "boolean"},
+        {"name": "arr", "type": ["null", {"type": "array", "items": "long"}]},
+        {"name": "raw", "type": "bytes"},
+    ],
+}
+
+
+@given(rows=st.lists(_row, max_size=30))
+@settings(max_examples=50, deadline=None)
+def test_codec_roundtrip_property(tmp_path_factory, rows):
+    """Any row set — int64 boundaries, unicode (incl. astral planes),
+    ±inf doubles, empty arrays/bytes, nulls — must round-trip the OCF
+    codec bit-exactly, under both codecs."""
+    d = tmp_path_factory.mktemp("avroprop")
+    for codec in ("null", "deflate"):
+        p = str(d / f"p_{codec}.avro")
+        A.write_ocf(p, _SCHEMA_P, rows, codec=codec)
+        assert list(A.read_ocf(p)) == [tuple(r) for r in rows]
