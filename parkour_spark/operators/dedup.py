@@ -1003,7 +1003,13 @@ def substring_overlap_spans(
     Guarantee: any shared substring ≥ max(min_span, k+w-1) chars whose
     fingerprints survive the df cap is found; boilerplate fps shared by
     > max_df docs are dropped (they carry no pair signal and cost df²
-    fan-out), which can split — not silently extend — a span.
+    fan-out), which can split — not silently extend — a span. A second
+    guard caps total bucket OCCUPANCY at 4·max_df: df bounds docs, not
+    positions, so one pathologically self-repetitive doc (the same
+    fingerprint at thousands of positions) could otherwise explode a
+    single bucket into a straggler task; measured occupancy on real
+    corpora tracks df (≤1.5 positions/doc), so the guard never binds
+    off the pathological case.
 
     SCALE: candidates come from one fingerprint-bucket shuffle
     (collect occurrences per fp, cap df, triangular in-bucket pairs) —
@@ -1043,6 +1049,7 @@ def substring_overlap_spans(
                 F.size(F.array_distinct(F.transform(F.col("__occs"), lambda s: s.id)))
                 <= max_df
             )
+            & (F.size("__occs") <= 4 * max_df)
         )
     )
     occs = F.col("__occs")
@@ -1153,8 +1160,14 @@ def substring_spans_delta(
             ).alias("__occs")
         )
         .where(
-            F.size(F.array_distinct(F.transform(F.col("__occs"), lambda s: s.id_old)))
-            <= max_df
+            (
+                F.size(
+                    F.array_distinct(F.transform(F.col("__occs"), lambda s: s.id_old))
+                )
+                <= max_df
+            )
+            # occupancy guard, same rationale as substring_overlap_spans
+            & (F.size("__occs") <= 4 * max_df)
         )
     )
     occ_new = occurrences(new_df)

@@ -3798,7 +3798,8 @@ _SUBSTR_SPAN_CTES = """
       SELECT DISTINCT doc_id, u.fp AS fp, u.pos AS pos
       FROM (SELECT doc_id, unnest(ps) AS u FROM fpp)),
     capped AS (
-      SELECT fp FROM occ GROUP BY fp HAVING count(DISTINCT doc_id) BETWEEN 2 AND 50),
+      SELECT fp FROM occ GROUP BY fp
+      HAVING count(DISTINCT doc_id) BETWEEN 2 AND 50 AND count(*) <= 200),
     pairs AS (
       SELECT a.doc_id AS id_a, b.doc_id AS id_b, a.pos AS pos_a,
              a.pos - b.pos AS delta
@@ -3935,7 +3936,8 @@ def q_substring_clean(spark, sf_dir):
     occ_new AS (SELECT doc_id, fp, pos FROM occ WHERE bkt >= 90),
     occ_old AS (SELECT doc_id, fp, pos FROM occ WHERE bkt < 90),
     capped AS (
-      SELECT fp FROM occ_old GROUP BY fp HAVING count(DISTINCT doc_id) <= 50),
+      SELECT fp FROM occ_old GROUP BY fp
+      HAVING count(DISTINCT doc_id) <= 50 AND count(*) <= 200),
     pairs AS (
       SELECT n.doc_id AS id_new, o.doc_id AS id_old, n.pos AS pos_new,
              n.pos - o.pos AS delta

@@ -182,3 +182,25 @@ def test_delta_probes_corpus_only(spark):
             nb[r.new_start - 1 : r.new_end]
             == nc[r.id_old][r.old_start - 1 : r.old_start - 1 + r.span_len]
         )
+
+
+def test_pathological_self_repetitive_doc_bucket_dropped(spark):
+    """df caps docs, not POSITIONS: one doc repeating the same substring
+    thousands of times would explode a single fp bucket into a
+    straggler (occupancy² pair fan-out in one task). The 4·max_df
+    occupancy guard must drop such buckets — and leave normal docs'
+    spans intact."""
+    pathological = "repeat this exact boilerplate phrase " * 500
+    docs = [
+        (1, pathological),
+        (2, pathological + " trailing difference"),
+        (3, "ordinary document one with planted " + SHARED + " overlap"),
+        (4, "ordinary document two also having " + SHARED + " inside"),
+    ]
+    df = spark.createDataFrame(docs, ["doc_id", "text"])
+    spans = substring_overlap_spans(df, min_span=40, max_df=50).collect()
+    pairs = {(r.id_a, r.id_b) for r in spans}
+    # the self-repetitive twins' shared fps exceed the occupancy cap ->
+    # dropped; the ordinary planted pair must still be found
+    assert (3, 4) in pairs
+    assert not any(1 in p or 2 in p for p in pairs)
