@@ -1043,12 +1043,16 @@ def substring_overlap_spans(
                 F.collect_list(F.struct(F.col(id_col).alias("id"), F.col("pos")))
             ).alias("__occs")
         )
+        .select(  # stage df once; the filter reads it twice
+            "fp",
+            "__occs",
+            F.size(
+                F.array_distinct(F.transform(F.col("__occs"), lambda s: s.id))
+            ).alias("__df"),
+        )
         .where(
-            (F.size(F.array_distinct(F.transform(F.col("__occs"), lambda s: s.id))) > 1)
-            & (
-                F.size(F.array_distinct(F.transform(F.col("__occs"), lambda s: s.id)))
-                <= max_df
-            )
+            (F.col("__df") > 1)
+            & (F.col("__df") <= max_df)
             & (F.size("__occs") <= 4 * max_df)
         )
     )
@@ -1169,6 +1173,7 @@ def substring_spans_delta(
             # occupancy guard, same rationale as substring_overlap_spans
             & (F.size("__occs") <= 4 * max_df)
         )
+        .select("fp", "__occs")
     )
     occ_new = occurrences(new_df)
     pairs = _explode_fast(
