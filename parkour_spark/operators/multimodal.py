@@ -3,9 +3,11 @@ metadata (SURVEY §7.6, beyond-reference surface).
 
 Spark-side plumbing is real and tested: schema (`binary` payload +
 metadata struct), Arrow-batched decode/feature UDFs over `mapInPandas`,
-partition sizing for large blobs. The actual codec calls are STUBBED —
-image/audio libraries are not in this container — behind
-`NotImplementedError` or a deterministic fake, clearly marked.
+partition sizing for large blobs. The image codec slot is REAL for
+PNG/PPM/PGM/BMP (operators/imagecodec.py — pure numpy+zlib decode,
+bilinear resize, PNG encode, spec-golden tested); formats that need
+external libraries (JPEG/WEBP, video) fall back to clearly-marked
+deterministic fakes so every transform stays total and reproducible.
 
 SCALE:
 - Blobs ride in parquet binary columns; `rebatch_for_blobs` keeps Arrow
@@ -110,10 +112,12 @@ def binary_fingerprint(df: DataFrame, payload_col: str = "payload") -> DataFrame
 def decode_image_features(df: DataFrame, payload_col: str = "payload") -> DataFrame:
     """Image decode → feature vector via Arrow-batched mapInPandas.
 
-    STUB: the decode step uses a deterministic fake (sha256-seeded
-    pseudo-features) because no image codec ships in this container;
-    swap `_fake_decode` for PIL/libvips in production. The Spark-side
-    contract (schema, batching, null handling) is the real deliverable.
+    For decodable formats (PNG/PPM/PGM/BMP — operators/imagecodec.py,
+    pure numpy+zlib) the features are REAL per-channel mean/std + an
+    8-bin gray histogram; payloads needing an external codec
+    (JPEG/WEBP) fall back to a clearly-marked deterministic fake, so
+    the transform stays total and reproducible. Both paths emit 16
+    floats.
     """
     out_schema = T.StructType(
         [
@@ -126,10 +130,22 @@ def decode_image_features(df: DataFrame, payload_col: str = "payload") -> DataFr
         digest = hashlib.sha256(payload).digest()
         return [b / 255.0 for b in digest[:16]]
 
+    def _features(payload: bytes) -> list[float]:
+        # real per-channel stats + gray histogram for decodable formats
+        # (imagecodec.py); sha-derived fake otherwise — both 16 floats
+        from parkour_spark.operators import imagecodec as IC
+
+        if IC.sniff_format(payload) is not None:
+            try:
+                return [float(x) for x in IC.image_stats(payload, bins=8)]
+            except Exception:
+                pass  # sniffed magic on non-image bytes — never crash
+        return _fake_decode(payload)
+
     def decode(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
             feats = [
-                _fake_decode(p) if p is not None else None for p in pdf[payload_col]
+                _features(p) if p is not None else None for p in pdf[payload_col]
             ]
             yield pd.DataFrame({"media_id": pdf["media_id"], "features": feats})
 
@@ -139,10 +155,30 @@ def decode_image_features(df: DataFrame, payload_col: str = "payload") -> DataFr
 def _fake_resize(payload: bytes, width: int, height: int) -> bytes:
     """Deterministic stand-in for an image codec resize: sha256 keyed by
     payload+dims, tiled to a plausible output size. CLEARLY A STUB —
-    swap for PIL/libvips via the `codec` parameter in production."""
+    used only for formats the real codec can't decode (JPEG/WEBP need
+    libraries this container lacks)."""
     digest = hashlib.sha256(payload + f":{width}x{height}".encode()).digest()
     out_len = max(32, (width * height) // 64)
     return (digest * (out_len // len(digest) + 1))[:out_len]
+
+
+def default_resize(payload: bytes, width: int, height: int) -> bytes:
+    """Default image-resize codec: REAL decode → bilinear → PNG for the
+    formats operators/imagecodec.py implements in pure numpy+zlib (PNG,
+    PPM/PGM, 24-bit BMP); the deterministic fake only for payloads it
+    can't decode — so the gate's text-byte payloads stay exactly
+    reproducible while real images get a real resample."""
+    from parkour_spark.operators import imagecodec as IC
+
+    if IC.sniff_format(payload) is not None:
+        try:
+            return IC.resize_payload(payload, width, height)
+        except Exception:
+            # a sniffed magic on non-image bytes (text starting "BM"),
+            # or an unsupported variant (16-bit / interlaced PNG) —
+            # decode of ARBITRARY bytes must never sink the pipeline
+            pass
+    return _fake_resize(payload, width, height)
 
 
 def resize_images(
@@ -155,10 +191,13 @@ def resize_images(
     """Image resize over Arrow-batched mapInPandas: (media_id, payload,
     width, height) out, one row per input image. The Spark-side
     plumbing — schema, batch iteration, null passthrough, no shuffle —
-    is real; `codec` is `callable(bytes, w, h) -> bytes` (PIL/libvips in
-    production), defaulting to a deterministic fake because no image
-    library ships in this container."""
-    codec = codec or _fake_resize
+    is real; `codec` is `callable(bytes, w, h) -> bytes`. The default
+    (`default_resize`) does a REAL decode → bilinear → PNG re-encode
+    for PNG/PPM/PGM/BMP payloads via the pure-numpy codec in
+    operators/imagecodec.py, falling back to the deterministic fake
+    only for formats that genuinely need an external library
+    (JPEG/WEBP)."""
+    codec = codec or default_resize
     out_schema = T.StructType(
         [
             T.StructField("media_id", T.LongType(), False),
