@@ -152,6 +152,44 @@ def decode_image_features(df: DataFrame, payload_col: str = "payload") -> DataFr
     return df.mapInPandas(decode, schema=out_schema)
 
 
+def decode_audio_features(df: DataFrame, payload_col: str = "payload") -> DataFrame:
+    """Audio decode → feature vector via Arrow-batched mapInPandas: for
+    RIFF WAV PCM payloads (operators/audiocodec.py — pure struct+numpy)
+    the features are REAL [duration_s, rms, peak, zcr, 8 log-spaced
+    spectral band densities]; compressed formats (MP3/AAC) fall back to
+    the deterministic fake. Both paths emit 12 floats; nulls pass
+    through."""
+    out_schema = T.StructType(
+        [
+            T.StructField("media_id", T.LongType(), False),
+            T.StructField("features", T.ArrayType(T.FloatType()), True),
+        ]
+    )
+
+    def _fake(payload: bytes) -> list[float]:
+        digest = hashlib.sha256(b"audio:" + payload).digest()
+        return [b / 255.0 for b in digest[:12]]
+
+    def _features(payload: bytes) -> list[float]:
+        from parkour_spark.operators import audiocodec as AC
+
+        if AC.sniff_wav(payload):
+            try:
+                return [float(x) for x in AC.audio_stats(payload, bands=8)]
+            except Exception:
+                pass  # sniffed magic on garbage bytes — never crash
+        return _fake(payload)
+
+    def decode(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            feats = [
+                _features(p) if p is not None else None for p in pdf[payload_col]
+            ]
+            yield pd.DataFrame({"media_id": pdf["media_id"], "features": feats})
+
+    return df.mapInPandas(decode, schema=out_schema)
+
+
 def _fake_resize(payload: bytes, width: int, height: int) -> bytes:
     """Deterministic stand-in for an image codec resize: sha256 keyed by
     payload+dims, tiled to a plausible output size. CLEARLY A STUB —
