@@ -21,7 +21,7 @@ def entry(spark: SparkSession) -> DataFrame:
 
 
 # The driver's correctness gate checks the first 50 registry entries;
-# the registry holds 154. ROTATION POLICY (restated in r5 per the r4
+# the registry holds 156. ROTATION POLICY (restated in r5 per the r4
 # verdict #1 — the old "every entry ≤1 round old" claim is
 # arithmetically impossible at this registry size): the window each
 # round = (a) entries ADDED this round, (b) entries whose code or

@@ -5051,6 +5051,63 @@ def q_format_roundtrip(spark, sf_dir):
     )
 
 
+def _roundtrip_agg(back):
+    return back.groupBy("o_orderpriority").agg(
+        F.count("*").alias("n"),
+        F.round(
+            F.sum(F.round(F.col("o_totalprice") * 100).cast("long")) / 100.0, 2
+        ).alias("total"),
+        F.countDistinct("o_orderdate").alias("n_dates"),
+    )
+
+
+_RT_ORACLE = """
+    SELECT o_orderpriority, count(*) AS n,
+           round(sum(CAST(round(o_totalprice * 100) AS BIGINT)) / 100.0, 2)
+             AS total,
+           count(DISTINCT o_orderdate) AS n_dates
+    FROM orders GROUP BY o_orderpriority
+    """
+
+
+@query("orc_roundtrip_orders", _RT_ORACLE)
+def q_orc_roundtrip(spark, sf_dir):
+    """ORC interchange parity in the gate (read_any fmt=orc — the
+    columnar exchange format the Hadoop ecosystem the reference lived
+    in actually used): orders → ORC → read-back aggregate including a
+    DISTINCT over the round-tripped timestamps must hash-match the
+    oracle over the original parquet."""
+    import tempfile
+
+    from parkour_spark.sources.readers import read_any
+
+    orders = _t(spark, sf_dir, "orders")
+    tmp = tempfile.mkdtemp(prefix="parkour_orc_rt_")
+    orders.write.mode("overwrite").format("orc").save(tmp)
+    return _roundtrip_agg(read_any(spark, tmp, fmt="orc", schema=orders.schema))
+
+
+@query("json_roundtrip_orders", _RT_ORACLE)
+def q_json_roundtrip(spark, sf_dir):
+    """JSON-lines interchange parity in the gate: orders → JSONL with a
+    pinned timestamp format → schema'd read-back; the aggregate must
+    hash-match the oracle over the original parquet — any row loss,
+    type drift, or timestamp formatting asymmetry breaks the hash."""
+    import tempfile
+
+    from parkour_spark.sources.readers import read_any
+
+    fmt = "yyyy-MM-dd HH:mm:ss.SSSSSS"
+    orders = _t(spark, sf_dir, "orders")
+    tmp = tempfile.mkdtemp(prefix="parkour_json_rt_")
+    orders.write.mode("overwrite").option("timestampFormat", fmt).json(tmp)
+    return _roundtrip_agg(
+        read_any(
+            spark, tmp, fmt="json", schema=orders.schema, timestampFormat=fmt
+        )
+    )
+
+
 @query(
     "avro_roundtrip_orders",
     """
