@@ -140,23 +140,34 @@ def main() -> None:
         times[name] = round(best, 3)
         print(f"# {name}: {times[name]}s steady / {cold.get(name)}s cold ({n} rows)", file=sys.stderr)
     sf = SF_DIR.rstrip("/").split("sf")[-1]
-    print(
-        json.dumps(
-            {
-                "metric": "headline_queries_total",
-                "value": round(sum(times.values()), 3),
-                "unit": "sec",
-                "queries": times,
-                "sf": float(sf),
-                "steady_total": round(sum(times.values()), 3),
-                "cold_total": round(sum(cold.values()), 3),
-                "queries_cold": cold,
-                # loaded_machine is only meaningful at START: by the
-                # end the bench itself has driven the loadavg up.
-                "load_start": start_load,
-            }
-        )
-    )
+    payload = {
+        "metric": "headline_queries_total",
+        "value": round(sum(times.values()), 3),
+        "unit": "sec",
+        "queries": times,
+        "sf": float(sf),
+        "steady_total": round(sum(times.values()), 3),
+        "cold_total": round(sum(cold.values()), 3),
+        "queries_cold": cold,
+        # loaded_machine is only meaningful at START: by the
+        # end the bench itself has driven the loadavg up.
+        "load_start": start_load,
+    }
+    line = json.dumps(payload)
+    # BENCH_r05.json recorded "parsed": null — the driver's tail capture
+    # truncated the JSON line (stderr/stdout interleaving + post-JSON JVM
+    # shutdown noise). Three defenses: (a) the authoritative copy lives
+    # in-repo as BENCH_LAST.json, (b) the JVM is stopped and both streams
+    # flushed BEFORE the line prints so nothing follows it, (c) the line
+    # is printed flushed, alone, as the absolute final stdout output.
+    with open(os.path.join(os.path.dirname(os.path.abspath(__file__)),
+                           "BENCH_LAST.json"), "w") as f:
+        f.write(line + "\n")
+    sys.stderr.flush()
+    sys.stdout.flush()
+    spark.stop()
+    sys.stderr.flush()
+    print(line, flush=True)
 
 
 if __name__ == "__main__":

@@ -101,6 +101,8 @@ def audio_stats(payload: bytes, bands: int = 8) -> list[float]:
     rms = float(np.sqrt((mono**2).mean())) if n else 0.0
     peak = float(np.abs(mono).max()) if n else 0.0
     zcr = float((np.signbit(mono[1:]) != np.signbit(mono[:-1])).mean()) if n > 1 else 0.0
+    if n == 0:  # valid WAV, empty data chunk: rfft raises on length 0
+        return [dur, rms, peak, zcr] + [0.0] * bands
     spec = np.abs(np.fft.rfft(mono)) ** 2
     edges = np.unique(
         np.geomspace(1, max(2, len(spec) - 1), bands + 1).astype(np.int64)

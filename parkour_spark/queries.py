@@ -65,7 +65,23 @@ class _SfLRU(dict):
             super().__delitem__(key)
         super().__setitem__(key, val)
         while len(self) > self.MAX:
-            super().__delitem__(next(iter(self)))
+            old = next(iter(self))
+            old_val = dict.__getitem__(self, old)
+            super().__delitem__(old)
+            self._evicted(old, old_val)
+
+    def _evicted(self, key, val):  # hook for caches owning disk artifacts
+        pass
+
+
+class _SfLRUDirs(_SfLRU):
+    """_SfLRU whose values are temp directory paths: eviction removes
+    the directory so a long-lived process doesn't leak disk either."""
+
+    def _evicted(self, key, val):
+        import shutil
+
+        shutil.rmtree(val, ignore_errors=True)
 
 
 def query(name: str, oracle: str | None = None):
@@ -1427,7 +1443,9 @@ def q_multimodal_features(spark, sf_dir):
     return feats.select(
         "media_id",
         F.size("features").alias("n_features"),
-        F.round(F.col("features")[0], 6).alias("f0"),
+        # cast BEFORE round: round() on a raw float32 stays float32, whose
+        # repr ("0.00392200006172061") diverges from the oracle's double
+        F.round(F.col("features")[0].cast("double"), 6).alias("f0"),
         F.round(F.aggregate("features", F.lit(0.0), lambda a, x: a + x), 6).alias(
             "feature_sum"
         ),
@@ -3553,7 +3571,7 @@ _SEMDEDUP_ORACLE = (
 
 # Fitted-quantizer cache (same rationale as _KMEANS_IVF_CENTS: the
 # k-means job runs once per corpus, not once per invocation).
-_SEMDEDUP_CENTS: dict[str, list] = {}
+_SEMDEDUP_CENTS: dict[str, list] = _SfLRU()
 
 
 @query("semantic_dedup_kmeans", _SEMDEDUP_ORACLE)
@@ -3881,7 +3899,9 @@ def q_substring_spans(spark, sf_dir):
       FROM segs g JOIN norm n USING (doc_id)
       GROUP BY 1),
     stats AS (
-      SELECT doc_id, sum(e - s + 1) AS removed_chars, sum(n) AS n_spans
+      -- CASTs: HUGEINT sums -> float64 under the driver's pandas fetch
+      SELECT doc_id, CAST(sum(e - s + 1) AS BIGINT) AS removed_chars,
+             CAST(sum(n) AS BIGINT) AS n_spans
       FROM merged GROUP BY 1),
     cleaned AS (
       SELECT n.doc_id,
@@ -4907,7 +4927,10 @@ _HLL_RHO = """
       FROM range({_HLL_M}) r LEFT JOIN regs0 ON r.range = regs0.bucket),
     agg AS (
       SELECT sum(CAST(pow(2, 64 - rho) AS DECIMAL(38,0))) AS S,
-             sum(CASE WHEN rho = 0 THEN 1 ELSE 0 END) AS n_zero_buckets,
+             -- CAST: sum(int) is HUGEINT in DuckDB, which the driver's
+             -- pandas fetch coerces to float64 ("256.0" != Spark's "256")
+             CAST(sum(CASE WHEN rho = 0 THEN 1 ELSE 0 END) AS BIGINT)
+               AS n_zero_buckets,
              md5(string_agg(rho::VARCHAR, ',' ORDER BY bucket)) AS registers_fp
       FROM regs),
     est AS (
@@ -5234,8 +5257,12 @@ def q_multimodal_frames(spark, sf_dir):
              o_totalprice < b.lo AS cl, o_totalprice > b.hi AS ch
       FROM orders, b)
     SELECT count(*) AS n,
-           sum(CASE WHEN cl THEN 1 ELSE 0 END) AS n_clamped_lo,
-           sum(CASE WHEN ch THEN 1 ELSE 0 END) AS n_clamped_hi,
+           -- CASTs: sum(int) is HUGEINT in DuckDB -> float64 under the
+           -- driver's pandas fetch, mismatching Spark's int64 rendering
+           CAST(sum(CASE WHEN cl THEN 1 ELSE 0 END) AS BIGINT)
+             AS n_clamped_lo,
+           CAST(sum(CASE WHEN ch THEN 1 ELSE 0 END) AS BIGINT)
+             AS n_clamped_hi,
            round(sum(CAST(round(v * 100) AS BIGINT)) / 100.0, 2) AS total_clamped,
            (SELECT round(lo, 2) FROM b) AS lo,
            (SELECT round(hi, 2) FROM b) AS hi
@@ -5284,7 +5311,9 @@ def q_winsorized(spark, sf_dir):
              CAST(round(value * 1000000) AS BIGINT) AS vm
       FROM events),
     agg AS (
-      SELECT event_type, bucket, count(*) AS n, sum(vm) AS vsum_micro
+      SELECT event_type, bucket, count(*) AS n,
+             -- CAST: HUGEINT sum -> float64 under the driver's pandas fetch
+             CAST(sum(vm) AS BIGINT) AS vsum_micro
       FROM ev GROUP BY 1, 2),
     spine AS (
       SELECT t.event_type,
@@ -5522,7 +5551,10 @@ def q_streaming_incremental(spark, sf_dir):
     WITH counts AS (
       SELECT l_partkey AS key, count(*) AS cnt FROM lineitem GROUP BY 1),
     tot AS (
-      SELECT sum(cnt) AS total_rows, count(*) AS n_keys, max(cnt) AS max_cnt
+      -- CAST: sum(int) is HUGEINT in DuckDB -> float64 under the driver's
+      -- pandas fetch; BIGINT keeps total_rows and the // results int64
+      SELECT CAST(sum(cnt) AS BIGINT) AS total_rows, count(*) AS n_keys,
+             max(cnt) AS max_cnt
       FROM counts)
     SELECT key, cnt,
            (cnt * 10000) // total_rows AS share_bp,
@@ -5551,7 +5583,7 @@ def q_key_skew_profile(spark, sf_dir):
 # ===========================================================================
 
 # Written-layout cache: path of the z-ordered copy per corpus dir.
-_ZORDER_LAYOUTS: dict[str, str] = {}
+_ZORDER_LAYOUTS: dict[str, str] = _SfLRUDirs()
 
 
 @query(
@@ -5647,7 +5679,7 @@ def _bpe_rounds_sql(n_merges: int) -> tuple[str, str]:
     for i in range(1, n_merges + 1):
         parts.append(f"""
 p{i} AS (
-  SELECT syms[i] AS lhs, syms[i+1] AS rhs, sum(wc) AS c
+  SELECT syms[i] AS lhs, syms[i+1] AS rhs, CAST(sum(wc) AS BIGINT) AS c
   FROM (SELECT wc, string_split(trim(s, '<>'), '><') AS syms FROM {prev}),
        unnest(range(1, len(syms))) AS t(i)
   GROUP BY 1, 2),
@@ -5976,7 +6008,8 @@ def q_triangle_counts(spark, sf_dir):
       SELECT user_id, min(start_s) AS start_s, max(end_s) AS end_s
       FROM runs GROUP BY user_id, run)
     SELECT user_id, count(*) AS n_runs,
-           sum(end_s - start_s) AS covered_s,
+           -- CAST: HUGEINT sum -> float64 under the driver's pandas fetch
+           CAST(sum(end_s - start_s) AS BIGINT) AS covered_s,
            max(end_s - start_s) AS longest_s
     FROM merged GROUP BY user_id
     """,

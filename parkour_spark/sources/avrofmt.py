@@ -82,8 +82,13 @@ def _avro_type(dt: T.DataType):
     for cls, name in _PRIM.items():
         if isinstance(dt, cls):
             return name
-    if isinstance(dt, (T.TimestampType, T.TimestampNTZType)):
+    if isinstance(dt, T.TimestampType):
+        # instant semantics: UTC-adjusted micros (Avro spec §timestamp)
         return {"type": "long", "logicalType": "timestamp-micros"}
+    if isinstance(dt, T.TimestampNTZType):
+        # wall-clock semantics, no zone (Avro >= 1.10) — keeps a session-tz
+        # TimestampType from silently degrading to NTZ across a round-trip
+        return {"type": "long", "logicalType": "local-timestamp-micros"}
     if isinstance(dt, T.DateType):
         return {"type": "int", "logicalType": "date"}
     if isinstance(dt, T.ArrayType):
@@ -140,6 +145,8 @@ def _spark_type(at) -> T.DataType:
             "bytes": T.BinaryType(),
         }[at]
     if at.get("logicalType") == "timestamp-micros":
+        return T.TimestampType()
+    if at.get("logicalType") == "local-timestamp-micros":
         return T.TimestampNTZType()
     if at.get("logicalType") == "date":
         return T.DateType()
@@ -201,12 +208,17 @@ def _encoder(at):
     name = at_bare if isinstance(at_bare, str) else at_bare["type"]
     logical = at_bare.get("logicalType") if isinstance(at_bare, dict) else None
     if name == "long":
-        if logical == "timestamp-micros":
+        if logical in ("timestamp-micros", "local-timestamp-micros"):
 
             def enc_ts(buf, v):
                 import datetime
 
                 if isinstance(v, datetime.datetime):
+                    # timestamp-micros: aware datetimes convert exactly;
+                    # naive ones are taken as UTC wall time (correct under
+                    # the engine's pinned UTC session timezone — see
+                    # session.build_session). local-timestamp-micros:
+                    # naive wall-clock micros by definition.
                     epoch = datetime.datetime(1970, 1, 1)
                     if v.tzinfo is not None:
                         epoch = epoch.replace(tzinfo=datetime.timezone.utc)
@@ -288,15 +300,17 @@ def _decoder(at):
     name = at_bare if isinstance(at_bare, str) else at_bare["type"]
     logical = at_bare.get("logicalType") if isinstance(at_bare, dict) else None
     if name == "long":
-        if logical == "timestamp-micros":
+        if logical in ("timestamp-micros", "local-timestamp-micros"):
+            instant = logical == "timestamp-micros"
 
             def dec_ts(f):
                 import datetime
 
                 micros = read_long(f)
-                return datetime.datetime(1970, 1, 1) + datetime.timedelta(
-                    microseconds=micros
-                )
+                epoch = datetime.datetime(1970, 1, 1)
+                if instant:  # aware UTC datetime -> exact TimestampType
+                    epoch = epoch.replace(tzinfo=datetime.timezone.utc)
+                return epoch + datetime.timedelta(microseconds=micros)
 
             return dec_ts
         return read_long

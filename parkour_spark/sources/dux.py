@@ -18,6 +18,7 @@ from __future__ import annotations
 
 import tempfile
 from typing import Callable
+from urllib.parse import unquote
 
 from pyspark.sql import DataFrame
 
@@ -84,7 +85,23 @@ def write_prefixed(
     sink.write(df, partition_by=[prefix_col])
     root = sink.path.rstrip("/")
     for d in sorted(pfs.glob_paths(spark, f"{root}/{prefix_col}=*")):
-        val = re.search(r"=([^/]*)$", d).group(1)
+        raw = re.search(r"=([^/]*)$", d).group(1)
+        # Hive escapes partition-dir values (space, '/', '=', ... -> %XX)
+        # and writes NULL prefixes as a sentinel; file names must carry
+        # the DATA value. NULL prefixes are rejected loudly rather than
+        # silently producing a sentinel-named file.
+        if raw == "__HIVE_DEFAULT_PARTITION__":
+            raise ValueError(
+                f"write_prefixed: NULL value in prefix column "
+                f"'{prefix_col}' — prefixes must be non-null "
+                f"(filter or fillna before writing)"
+            )
+        val = unquote(raw)
+        if "/" in val:
+            raise ValueError(
+                f"write_prefixed: prefix value {val!r} contains '/' — "
+                f"cannot be used in a flat file name"
+            )
         parts = sorted(
             p
             for p in pfs.glob_paths(spark, f"{d}/*")

@@ -308,6 +308,20 @@ def incremental_rollup_stream(
             if any(n == batch_id for n, _ in done):
                 latest.append(snap)  # replay of an already-committed batch
                 return
+            ahead = [n for n, _ in done if n > batch_id]
+            if ahead:
+                # batch ids only move forward under one checkpoint; ids
+                # BEHIND existing snapshots mean the caller deleted or
+                # swapped the checkpoint while reusing state_base — the
+                # final snapshot lookup would silently return the stale
+                # pre-existing v{max} instead of this run's result.
+                raise ValueError(
+                    f"incremental_rollup_stream: batch id {batch_id} "
+                    f"regressed behind committed snapshots v{ahead} under "
+                    f"{state_base} — stale state from a different "
+                    f"checkpoint lineage; use a fresh state_base or "
+                    f"restore the original checkpoint"
+                )
             prior = [p for n, p in done if n < batch_id]
             if prior:
                 latest.append(prior[-1])

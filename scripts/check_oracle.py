@@ -2,12 +2,25 @@
 query in Spark AND its DuckDB oracle at sf0.01, compare row count, column
 names, and order-insensitive values.
 
+Two hardenings from the r5 postmortem (all 7 r5 driver hash failures were
+DuckDB HUGEINT output columns that the driver's pandas fetch coerces to
+float64, rendering "15000.0" vs Spark's "15000"):
+
+* values are compared at EXACT repr level — no float rounding — so
+  local-green implies driver-green up to environment;
+* any oracle whose DuckDB result includes a type that pandas coerces
+  asymmetrically (HUGEINT / UHUGEINT / DECIMAL — types Spark-side sums
+  never produce) is a hard FAIL even when values match, because the
+  driver's compare would mangle it.
+
 Usage: python scripts/check_oracle.py [query ...]
 """
 
 from __future__ import annotations
 
+import json
 import math
+import os
 import sys
 
 import duckdb
@@ -17,17 +30,19 @@ sys.path.insert(0, "/root/repo")
 from parkour_spark.queries import ORACLES, QUERIES  # noqa: E402
 from parkour_spark.session import build_session  # noqa: E402
 
-import os
-
 SF_DIR = os.environ.get("SPARK_GRAFT_ORACLE_SF_DIR", "/root/testdata/sf0.01")
 TABLES = "region nation customer supplier part orders lineitem events documents embeddings".split()
+
+# DuckDB result types the driver's pandas fetch renders differently from
+# the Spark side (int128/decimal -> float64). Oracles must cast these away.
+ASYMMETRIC_TYPES = ("HUGEINT", "UHUGEINT", "DECIMAL")
 
 
 def norm(v):
     if isinstance(v, float):
         if math.isnan(v):
             return "nan"
-        return round(v, 6)
+        return repr(v)  # exact: driver does not forgive last-ulp drift
     if hasattr(v, "isoformat"):
         return v.isoformat()
     return v
@@ -38,11 +53,36 @@ def rows_key(cols, rows):
     return sorted(tuple("∅" if r[i] is None else str(norm(r[i])) for i in order) for r in rows)
 
 
+def write_gate_env():
+    """Environment canary (r5 verdict #7): record the versions the gate
+    ran under so any future driver-vs-local divergence is diagnosable
+    from artifacts alone."""
+    import pyspark
+
+    env = {
+        "duckdb": duckdb.__version__,
+        "pyspark": pyspark.__version__,
+        "python": sys.version.split()[0],
+        "sf_dir": SF_DIR,
+        "asymmetric_types_rejected": list(ASYMMETRIC_TYPES),
+    }
+    try:
+        import pandas
+
+        env["pandas"] = pandas.__version__
+    except Exception:
+        pass
+    with open("/root/repo/GATE_ENV.json", "w") as f:
+        json.dump(env, f, indent=2)
+        f.write("\n")
+
+
 def main(names):
     con = duckdb.connect()
     for t in TABLES:
         con.execute(f"CREATE VIEW {t} AS SELECT * FROM '{SF_DIR}/{t}.parquet'")
     spark = build_session("oracle_check")
+    write_gate_env()
 
     failures = []
     for name in names:
@@ -59,6 +99,7 @@ def main(names):
             print(f"weak  {name}: rows={len(s_rows)} (no oracle)")
             continue
         try:
+            d_types = [str(t) for t in con.sql(ORACLES[name]).types]
             res = con.execute(ORACLES[name])
             d_cols = [d[0] for d in res.description]
             d_rows = res.fetchall()
@@ -67,6 +108,13 @@ def main(names):
             failures.append(name)
             continue
         problems = []
+        bad = [
+            f"{c}:{t}"
+            for c, t in zip(d_cols, d_types)
+            if any(t.startswith(a) for a in ASYMMETRIC_TYPES)
+        ]
+        if bad:
+            problems.append(f"pandas-asymmetric oracle types (cast to BIGINT/DOUBLE): {bad}")
         if sorted(s_cols) != sorted(d_cols):
             problems.append(f"cols spark={sorted(s_cols)} duck={sorted(d_cols)}")
         if len(s_rows) != len(d_rows):
