@@ -646,3 +646,58 @@ def linear_quality_scores(
     return staged.select(
         id_col, z.alias("z_micro"), (z > 0).alias("passes")
     )
+
+
+# --------------------------------------------------------------------------
+# Deterministic weighted sampling without replacement (A-ES)
+# --------------------------------------------------------------------------
+
+def weighted_sample(
+    df: DataFrame,
+    id_col: str,
+    weight_col: str,
+    k: int,
+    group_col: str | None = None,
+) -> DataFrame:
+    """Weighted sampling WITHOUT replacement, k rows (per group), by
+    the Efraimidis-Spirakis A-ES scheme: each row gets priority
+    ln(u) / w (monotone-equivalent to the textbook u^(1/w)) with u a
+    CONTENT-HASH uniform, and the k largest priorities win. Inclusion
+    probability is proportional to weight; the sample is reproducible
+    across runs, engines, and partitionings because u is a pure
+    function of the row id (hash_bucket), never an RNG.
+
+    Determinism across engines: u takes one of 1024 exactly-
+    representable dyadic values, so ln(u) differs across libm
+    implementations by at most 1 ulp; priorities of distinct (u, w)
+    pairs are separated by many orders of magnitude more than that,
+    and equal (u, w) pairs tie-break on the row id — so the selected
+    set is stable cross-engine (the DuckDB oracle replays it exactly).
+
+    SCALE: grouped -> one hash-partitioned window (rank within group,
+    k smallest survive); global -> orderBy+limit, which Spark executes
+    as TakeOrderedAndProject (per-partition heap + driver merge of
+    k-row heads, never a global sort). Weights must be > 0."""
+    u = (hash_bucket(F.col(id_col), 1024).cast("double") + F.lit(0.5)) / F.lit(
+        1024.0
+    )
+    pri = F.log(u) / F.col(weight_col).cast("double")
+    ranked = df.where(F.col(weight_col) > 0).withColumn("__pri", pri)
+    if group_col is None:
+        return (
+            ranked.orderBy(F.col("__pri").desc(), F.col(id_col))
+            .limit(k)
+            .withColumn(
+                "rank",
+                F.row_number().over(
+                    Window.orderBy(F.col("__pri").desc(), F.col(id_col))
+                ),
+            )
+            .drop("__pri")
+        )
+    w = Window.partitionBy(group_col).orderBy(F.col("__pri").desc(), F.col(id_col))
+    return (
+        ranked.withColumn("rank", F.row_number().over(w))
+        .where(F.col("rank") <= k)
+        .drop("__pri")
+    )

@@ -215,3 +215,73 @@ def salted_join(
         right.join(F.broadcast(hot_df), keys, "left_semi"),
     )
     return cold.unionByName(hot)
+
+
+def _min_gram_keys(s_col: str, ngram: int, probes: int):
+    """The `probes` smallest n-gram hashes of a string — its blocking
+    keys for fuzzy joins. Two strings within a small edit distance
+    share most n-grams, so with high probability they share their
+    MINIMUM gram hash (minhash on the gram set); extra probes cover
+    the case where an edit hits the minimal gram. Pure Column HOFs —
+    codegen'd, no Python. Hash = first 8 md5 hex chars (the engine's
+    cross-verifiable content hash, functions/sampling.hash_bucket)."""
+    n1 = ngram - 1
+    return F.expr(
+        f"slice(array_sort(array_distinct(transform("
+        f"sequence(1, greatest(length({s_col}) - {n1}, 1)),"
+        f" i -> cast(conv(substring(md5(substring({s_col}, i, {ngram})),"
+        f" 1, 8), 16, 10) as bigint)))), 1, {probes})"
+    )
+
+
+def fuzzy_join(
+    left: DataFrame,
+    right: DataFrame,
+    left_on: tuple[str, str],
+    right_on: tuple[str, str],
+    max_dist: int = 2,
+    ngram: int = 3,
+    probes: int = 2,
+    max_block: int = 1000,
+) -> DataFrame:
+    """Approximate string-equality join (entity resolution / record
+    linkage): `left_on`/`right_on` are (id_col, string_col) pairs;
+    returns (l_id, r_id, l_val, r_val, dist) for every candidate pair
+    within Levenshtein distance `max_dist`.
+
+    Distributed shape — the classic blocking design: candidates come
+    from an EQUI-join on min-gram blocking keys (each side emits its
+    `probes` smallest n-gram hashes), never an all-pairs comparison;
+    the exact Levenshtein filter (JVM built-in, codegen'd) runs only
+    inside blocks. `max_block` df-caps pathological blocks on the
+    right (registry) side — a gram that is minimal for thousands of
+    registry strings is boilerplate, same rationale as the dedup
+    family's df caps. At 100 TB: one shuffle per side on the block
+    key + the pair distinct; block occupancy, not |L|x|R|, bounds the
+    comparison count.
+
+    Approximation contract: a pair is missed only if every one of its
+    shared grams' hashes is displaced from BOTH probe sets by the
+    edits — recall rises with `probes` (probes >= max_dist + 1 makes
+    a miss require an adversarial hash layout)."""
+    l_id, l_col = left_on
+    r_id, r_col = right_on
+    from pyspark.sql import Window
+
+    lb = left.select(
+        F.col(l_id).alias("l_id"), F.col(l_col).alias("l_val")
+    ).withColumn("__block", F.explode(_min_gram_keys("l_val", ngram, probes)))
+    rb = right.select(
+        F.col(r_id).alias("r_id"), F.col(r_col).alias("r_val")
+    ).withColumn("__block", F.explode(_min_gram_keys("r_val", ngram, probes)))
+    rb = rb.withColumn(
+        "__occ", F.count("*").over(Window.partitionBy("__block"))
+    ).where(F.col("__occ") <= max_block).drop("__occ")
+    cand = (
+        lb.join(rb, "__block")
+        .select("l_id", "l_val", "r_id", "r_val")
+        .distinct()
+    )
+    return cand.withColumn("dist", F.levenshtein("l_val", "r_val")).where(
+        F.col("dist") <= max_dist
+    )

@@ -6465,3 +6465,103 @@ def q_transitions(spark, sf_dir):
 
     ev = _t(spark, sf_dir, "events")
     return transition_matrix(ev)
+
+
+@query(
+    "fuzzy_join_part_names",
+    """
+    WITH d0 AS (
+      SELECT p_partkey, p_name,
+             ('0x' || substr(md5(p_partkey::VARCHAR), 1, 8))::BIGINT
+               % (length(p_name) - 1) + 2 AS pos
+      FROM part),
+    dirty AS (
+      SELECT p_partkey,
+             substr(p_name, 1, pos - 1) || substr(p_name, pos + 1) AS dname
+      FROM d0),
+    reg AS (SELECT DISTINCT p_name AS rname FROM part),
+    lb AS (
+      SELECT p_partkey, dname, unnest(
+        list_sort(list_distinct(list_transform(
+          range(1, greatest(length(dname) - 2, 1) + 1),
+          i -> ('0x' || substr(md5(substr(dname, i, 3)), 1, 8))::BIGINT)))[1:2]
+        ) AS block
+      FROM dirty),
+    rb0 AS (
+      SELECT rname, unnest(
+        list_sort(list_distinct(list_transform(
+          range(1, greatest(length(rname) - 2, 1) + 1),
+          i -> ('0x' || substr(md5(substr(rname, i, 3)), 1, 8))::BIGINT)))[1:2]
+        ) AS block
+      FROM reg),
+    rb AS (SELECT * FROM rb0
+           QUALIFY count(*) OVER (PARTITION BY block) <= 1000),
+    cand AS (SELECT DISTINCT p_partkey, dname, rname
+             FROM lb JOIN rb USING (block))
+    SELECT p_partkey, dname AS dirty_name, rname AS match_name,
+           levenshtein(dname, rname) AS dist
+    FROM cand WHERE levenshtein(dname, rname) <= 1
+    """,
+)
+def q_fuzzy_join(spark, sf_dir):
+    """Blocked fuzzy join (operators.joins.fuzzy_join) — entity
+    resolution of a DIRTY name column against a clean registry: every
+    part name is deterministically corrupted (one char dropped at a
+    content-hash position), then matched back to the distinct-name
+    registry within Levenshtein distance 1. Candidates come from the
+    min-gram-hash blocking equi-join (2 probes), NEVER all-pairs, and
+    the oracle replays the blocking exactly — so the approximate
+    candidate generation itself is hash-verified, recall guaranteed by
+    construction (the true original is 1 deletion away)."""
+    part = _t(spark, sf_dir, "part")
+    hb = "cast(conv(substring(md5(cast(p_partkey as string)), 1, 8), 16, 10) as bigint)"
+    dirty = (
+        part.select("p_partkey", "p_name")
+        .withColumn("__pos", F.expr(f"{hb} % (length(p_name) - 1) + 2"))
+        .select(
+            "p_partkey",
+            F.expr(
+                "concat(substring(p_name, 1, __pos - 1),"
+                " substring(p_name, __pos + 1))"
+            ).alias("dname"),
+        )
+    )
+    reg = part.select(F.col("p_name").alias("rname")).distinct()
+    return J.fuzzy_join(
+        dirty, reg, ("p_partkey", "dname"), ("rname", "rname"), max_dist=1
+    ).select(
+        F.col("l_id").alias("p_partkey"),
+        F.col("l_val").alias("dirty_name"),
+        F.col("r_val").alias("match_name"),
+        "dist",
+    )
+
+
+@query(
+    "weighted_sample_by_source",
+    """
+    WITH k AS (
+      SELECT source, doc_id,
+             ln(((('0x' || substr(md5(doc_id::VARCHAR), 1, 8))::BIGINT % 1024)
+                 + 0.5) / 1024.0) / n_chars AS pri
+      FROM documents WHERE n_chars > 0)
+    SELECT source, doc_id, rank FROM (
+      SELECT source, doc_id,
+             row_number() OVER (PARTITION BY source
+                                ORDER BY pri DESC, doc_id) AS rank
+      FROM k)
+    WHERE rank <= 5
+    """,
+)
+def q_weighted_sample(spark, sf_dir):
+    """Deterministic A-ES weighted sampling (operators.corpus.
+    weighted_sample): 5 docs per source, inclusion probability
+    proportional to n_chars, priorities ln(u)/w with u a content-hash
+    dyadic uniform — reproducible across engines/partitionings (the
+    oracle replays the exact priorities; cross-libm 1-ulp drift cannot
+    reorder priorities separated by the 1024-level u grid; equal
+    (u, w) ties break on doc_id in both engines)."""
+    docs = _t(spark, sf_dir, "documents")
+    return C.weighted_sample(
+        docs, "doc_id", "n_chars", 5, group_col="source"
+    ).select("source", "doc_id", "rank")
