@@ -21,7 +21,7 @@ def entry(spark: SparkSession) -> DataFrame:
 
 
 # The driver's correctness gate checks the first 50 registry entries;
-# the registry holds 160. ROTATION POLICY (restated in r5 per the r4
+# the registry holds 161. ROTATION POLICY (restated in r5 per the r4
 # verdict #1 — the old "every entry ≤1 round old" claim is
 # arithmetically impossible at this registry size): the window each
 # round = (a) entries ADDED this round, (b) entries whose code or
@@ -32,8 +32,9 @@ def entry(spark: SparkSession) -> DataFrame:
 # the local gate replica (scripts/check_oracle.py over ALL entries —
 # same compare: rows + columns + sorted value hash vs DuckDB).
 #
-# r6 window = (a) the 4 entries new this round (lsh_topk_planted,
-# q8_market_share, fuzzy_join_part_names, weighted_sample_by_source),
+# r6 window = (a) the 5 entries new this round (lsh_topk_planted,
+# q8_market_share, fuzzy_join_part_names, weighted_sample_by_source,
+# dsir_importance_weights),
 # (b) the 9 entries whose code or oracle changed this round: the 7
 # r5 hash-mismatch oracles rewritten HUGEINT→BIGINT
 # (substring_dedup_clean, hll_distinct_orders, winsorized_price_stats,
@@ -41,19 +42,21 @@ def entry(spark: SparkSession) -> DataFrame:
 # merged_event_intervals), multimodal_features (float32→double cast
 # before round), substring_spans_delta (persisted-index refactor),
 # (c) ALL 14 remaining never-verified entries (backlog → 0 this
-# round), (d) filled to 50 with 23 of the 41 r3-era rows. The 18
+# round), (d) filled to 50 with 22 of the 41 r3-era rows. The 19
 # r3-era entries deferred to r7 are the 8 tuple-shape goldens
 # (shape_*, byte-golden-tested vs reference fixtures every round),
 # 8 single-scan aggregates/rollups (distinct_tokens, events_hourly,
 # events_user_counts, orders_per_quarter, region_customer_counts,
 # running_user_total, top_customers, time_bucket_rollup), and the
 # approx-sketch pair (approx_price_quantiles, approx_user_counts —
-# sibling hll_distinct_orders is in window) — all local-gate green;
+# sibling hll_distinct_orders is in window), and pmi_collocations
+# (text-stat shape under tfidf_top_terms, in window) — all local-gate
+# green;
 # r7 clears the rotation entirely.
 _R6_WINDOW = [
     # NEW this round
     "lsh_topk_planted", "q8_market_share", "fuzzy_join_part_names",
-    "weighted_sample_by_source",
+    "weighted_sample_by_source", "dsir_importance_weights",
     # changed this round: the 7 re-landed oracle fixes + 2 code changes
     "substring_dedup_clean", "hll_distinct_orders",
     "winsorized_price_stats", "gapfilled_hourly_events",
@@ -71,8 +74,7 @@ _R6_WINDOW = [
     "customers_without_urgent_orders", "grouping_sets_priority_status",
     "ivf_topk_cosine_column", "order_price_ranks",
     "ordered_positive_custkeys", "orders_above_customer_avg",
-    "parts_never_bulk_ordered", "pmi_collocations",
-    "price_quantiles_by_segment", "q3_shipping_priority",
+    "parts_never_bulk_ordered", "price_quantiles_by_segment", "q3_shipping_priority",
     "q5_local_supplier_revenue", "rollup_returnflag_status",
     "sql_correlated_subquery", "streaming_dedup",
     "streaming_enriched_counts", "streaming_events_hourly",

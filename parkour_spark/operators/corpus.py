@@ -701,3 +701,80 @@ def weighted_sample(
         .where(F.col("rank") <= k)
         .drop("__pri")
     )
+
+
+# --------------------------------------------------------------------------
+# DSIR — data selection via importance resampling (Xie et al. 2023)
+# --------------------------------------------------------------------------
+
+def dsir_importance(
+    docs: DataFrame,
+    target: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    n_buckets: int = 4096,
+) -> DataFrame:
+    """Per-document DSIR importance weights: log p_target(doc) -
+    log p_raw(doc) under hashed-unigram bag-of-words LMs with add-1
+    smoothing (the published hashed n-gram variant of Xie et al. 2023,
+    "Data Selection for Language Models via Importance Resampling").
+    Rank by the returned weight (or feed exp-weights to
+    weighted_sample) to select raw-corpus docs that look like the
+    target domain.
+
+    Returns (id_col, n_toks, logweight_micro): integer micro-nats, so
+    the per-doc additive aggregate is order-independent and
+    bit-identical across engines.
+
+    SCALE: two token-explode passes (raw corpus + the SMALL target —
+    targets are thousands of docs by construction); bucket counts are
+    bounded by n_buckets, so the log-ratio table is tiny and
+    BROADCASTS into the per-doc scoring join — the raw corpus shuffles
+    once, on doc id, for the final aggregate. The vocabulary never
+    drives a shuffle (hashing bounds the feature space, the same trick
+    as hashed_doc_vectors)."""
+    toks = tokens(F.lower(F.trim(F.col(text_col))))
+
+    def occurrences(df: DataFrame) -> DataFrame:
+        staged = df.select(F.col(id_col), toks.alias("__t"))
+        return explode_fast(staged, "__t", "__tok", keep=[id_col]).select(
+            F.col(id_col), hash_bucket(F.col("__tok"), n_buckets).alias("__b")
+        )
+
+    raw = occurrences(docs)
+    rc = raw.groupBy("__b").agg(F.count("*").alias("c_r"))
+    tc = occurrences(target).groupBy("__b").agg(F.count("*").alias("c_t"))
+    totals = rc.agg(F.sum("c_r").alias("n_r")).crossJoin(
+        tc.agg(F.coalesce(F.sum("c_t"), F.lit(0)).alias("n_t"))
+    )
+    lr = (
+        rc.join(tc, "__b", "left")
+        .na.fill({"c_t": 0})
+        .crossJoin(F.broadcast(totals))
+        .select(
+            "__b",
+            F.round(
+                (
+                    F.log(
+                        (F.col("c_t") + 1).cast("double")
+                        / (F.col("n_t") + n_buckets)
+                    )
+                    - F.log(
+                        (F.col("c_r") + 1).cast("double")
+                        / (F.col("n_r") + n_buckets)
+                    )
+                )
+                * 1e6
+            )
+            .cast("bigint")
+            .alias("lr_micro"),
+        )
+    )
+    return (
+        raw.join(F.broadcast(lr), "__b")
+        .groupBy(id_col)
+        .agg(
+            F.count("*").alias("n_toks"),
+            F.sum("lr_micro").alias("logweight_micro"),
+        )
+    )

@@ -6565,3 +6565,41 @@ def q_weighted_sample(spark, sf_dir):
     return C.weighted_sample(
         docs, "doc_id", "n_chars", 5, group_col="source"
     ).select("source", "doc_id", "rank")
+
+
+@query(
+    "dsir_importance_weights",
+    f"""
+    WITH toks AS (SELECT doc_id, unnest({_TOKS_SQL}) AS term FROM documents),
+    occ AS (SELECT doc_id,
+                   ('0x' || substr(md5(term), 1, 8))::BIGINT % 4096 AS b
+            FROM toks),
+    tocc AS (SELECT b FROM occ JOIN documents USING (doc_id)
+             WHERE source IN ('src0', 'src1')),
+    rc AS (SELECT b, count(*)::BIGINT AS c_r FROM occ GROUP BY b),
+    tc AS (SELECT b, count(*)::BIGINT AS c_t FROM tocc GROUP BY b),
+    tot AS (SELECT (SELECT sum(c_r) FROM rc)::BIGINT AS n_r,
+                   (SELECT coalesce(sum(c_t), 0) FROM tc)::BIGINT AS n_t),
+    lr AS (
+      SELECT rc.b,
+             round((ln((coalesce(tc.c_t, 0) + 1)::DOUBLE / (tot.n_t + 4096))
+                    - ln((rc.c_r + 1)::DOUBLE / (tot.n_r + 4096)))
+                   * 1e6)::BIGINT AS lr_micro
+      FROM rc LEFT JOIN tc USING (b) CROSS JOIN tot)
+    SELECT occ.doc_id, count(*)::BIGINT AS n_toks,
+           sum(lr.lr_micro)::BIGINT AS logweight_micro
+    FROM occ JOIN lr USING (b)
+    GROUP BY occ.doc_id
+    """,
+)
+def q_dsir(spark, sf_dir):
+    """DSIR importance weights (operators.corpus.dsir_importance, Xie
+    et al. 2023): hashed-unigram target-vs-raw LM log-ratio per doc,
+    target = the src0/src1 slice standing in for a high-quality
+    domain. Bucket log-ratios are integer micro-nats computed ONCE in
+    the 4096-row broadcast table; per-doc sums are integer — order-
+    independent under any partitioning. The raw corpus shuffles once
+    (the per-doc aggregate); the vocabulary never drives a shuffle."""
+    docs = _t(spark, sf_dir, "documents")
+    target = docs.where(F.col("source").isin("src0", "src1"))
+    return C.dsir_importance(docs, target)

@@ -117,3 +117,38 @@ def test_weighted_sample_zero_weight_excluded(spark):
     df = spark.createDataFrame([(1, 0), (2, 5), (3, 0)], ["rid", "wt"])
     got = weighted_sample(df, "rid", "wt", 3)
     assert {r.rid for r in got.collect()} == {2}
+
+
+# ------------------------------------------------------------------- DSIR
+
+def test_dsir_target_like_docs_score_higher(spark):
+    from parkour_spark.operators.corpus import dsir_importance
+
+    docs = spark.createDataFrame(
+        [
+            (1, "alpha alpha beta alpha alpha"),     # target-like
+            (2, "gamma delta epsilon zeta eta"),     # raw-only vocabulary
+            (3, "alpha beta alpha gamma alpha"),     # mixed
+        ],
+        ["doc_id", "text"],
+    )
+    target = spark.createDataFrame(
+        [(101, "alpha beta alpha alpha")], ["doc_id", "text"]
+    )
+    got = {r.doc_id: r for r in dsir_importance(docs, target).collect()}
+    # per-token normalization not needed here: equal lengths
+    assert got[1].logweight_micro > got[3].logweight_micro > got[2].logweight_micro
+    assert got[1].n_toks == 5
+
+
+def test_dsir_scoring_join_is_broadcast(spark):
+    from parkour_spark.operators.corpus import dsir_importance
+
+    docs = spark.createDataFrame([(1, "a b c")], ["doc_id", "text"])
+    plan = (
+        dsir_importance(docs, docs)
+        ._jdf.queryExecution().executedPlan().toString()
+    )
+    # the per-doc scoring join against the 4096-row log-ratio table
+    # must broadcast — the raw corpus must not shuffle on bucket
+    assert "BroadcastHashJoin" in plan
