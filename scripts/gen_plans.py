@@ -43,6 +43,11 @@ COMMENTARY = {
     "substring_dedup_spans": "Suffix-array-free exact-substring detection: positioned winnowing fingerprints compute scan-side; ONE groupBy(fp) shuffle builds df-capped occurrence buckets; in-bucket triangular pairs explode via explode_fast; run segmentation is a lag+sum window partitioned by (id_a, id_b, delta). No global sort, no cartesian, fan-out bounded by the df cap.",
     "substring_spans_delta": "Ingest shape: the corpus side's positioned-fingerprint index builds with ONE groupBy(fp) (persisted in production); the batch probes it by equi-join on fp — no corpus self-pairs, fan-out bounded by the df cap; the same single-sort window segments runs per (id_new, id_old, delta).",
     "substring_dedup_clean": "Apply half: span intervals merge per doc via the gaps-and-islands window (one shuffle on the flagged-doc id), the cut is a pure Column fold over the merged interval array, and cleaned fingerprints join back to the corpus on the doc id. Only flagged docs carry interval state; unflagged docs stream through the left join untouched.",
+    "q8_market_share": "TPC-H Q8 adapted: the selective p_type filter prunes the part build side BEFORE it broadcasts into the lineitem scan; customer/supplier nation decodes and the region gate are broadcast joins; the one wide exchange is orders-lineitem (AQE broadcasts it at small sf). Market share divides two exact integer-cent sums - deterministic at any parallelism.",
+    "fuzzy_join_part_names": "Blocked fuzzy join: each side explodes its 2 smallest trigram hashes as block keys (scan-side HOFs), candidates come from the equi-join on block (never a nested loop), the block-occupancy window caps boilerplate grams, and the exact levenshtein filter (JVM codegen) runs only inside blocks.",
+    "weighted_sample_by_source": "A-ES weighted sampling: priorities are a pure scan-side projection (md5-hash dyadic u, ln(u)/w); the ONLY exchange is the per-source ranking window; no RNG state, so the plan is replayable on any partition layout.",
+    "dsir_importance_weights": "DSIR: token bucket occurrences explode scan-side; the 4096-row smoothed log-ratio table builds from two bounded aggregates and BROADCASTS into the scoring join; the raw corpus shuffles exactly once - the per-doc integer micro-nat sum.",
+    "last_touch_attribution": "Attribution: the event scan collapses to 3 event types scan-side; ONE user-keyed window (running last_value IGNORE NULLS over (ts, event_id)) carries the last touch to each conversion - no self-join, no per-conversion probe.",
 }
 
 HEADER = """# PLANS — physical-plan evidence for the headline operators

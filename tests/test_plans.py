@@ -287,3 +287,15 @@ def test_q22_scalar_gate_broadcast_anti_join(spark, queries):
     assert "LeftAnti" in plan, plan
     m = re.findall(r"PushedFilters: \[([^\]]*)", plan)
     assert any("o_orderpriority" in p for p in m), m
+
+
+def test_q8_pruned_part_broadcasts_and_filters_push(spark, queries):
+    plan = _plan(queries["q8_market_share"](spark, SF_DIR))
+    # the selective p_type filter + date window push to their scans
+    m = re.findall(r"PushedFilters: \[([^\]]*)", plan)
+    assert any("p_type" in p for p in m), m
+    assert any("o_orderdate" in p for p in m), m
+    # part + both nation decodes + region + supplier broadcast; never a
+    # nested loop
+    assert plan.count("BroadcastHashJoin") >= 4, plan
+    assert "BroadcastNestedLoop" not in plan and "Cartesian" not in plan
