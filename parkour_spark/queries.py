@@ -6652,3 +6652,55 @@ def q_last_touch(spark, sf_dir):
         F.count("*").alias("conversions"),
         F.countDistinct("user_id").alias("n_users"),
     )
+
+
+@query(
+    "jl_projection_fingerprint",
+    """
+    WITH v AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+    p AS (
+      SELECT vec_id,
+             list_transform(range(0, 16), j ->
+               list_reduce(
+                 list_transform(range(1, len(v) + 1),
+                   i -> v[i] * (CASE WHEN ('0x' || substr(md5(j || ':' || (i - 1)),
+                                            1, 8))::BIGINT % 2 = 0
+                                THEN 1 ELSE -1 END)),
+                 (a, b) -> a + b) / sqrt(16.0)) AS proj
+      FROM v)
+    SELECT vec_id,
+           md5(array_to_string(list_transform(proj,
+                 x -> round(x * 10000)::BIGINT::VARCHAR), ',')) AS proj_md5,
+           round(list_reduce(list_transform(proj, x -> x * x),
+                             (a, b) -> a + b) * 1e6)::BIGINT AS norm2_micro
+    FROM p
+    """,
+)
+def q_jl_projection(spark, sf_dir):
+    """Johnson-Lindenstrauss random projection (operators.similarity.
+    random_projection): 64-d embeddings -> 16-d with a deterministic
+    content-hash Rademacher matrix (sign(j,i) = parity of md5("j:i") —
+    jl_matrix re-derives it in Python, the oracle in SQL, so the WHOLE
+    projection is hash-verified, not just its statistics). Output: the
+    projected vector fingerprinted in integer deci-milli units + its
+    squared norm in micro units. Pure scan-side Column math: the
+    matrix rides the plan as literals, zero shuffle."""
+    emb = _t(spark, sf_dir, "embeddings")
+    dim = len(emb.select("embedding").first()[0])
+    proj = SIM.random_projection(emb, SIM.jl_matrix(dim, 16))
+    return proj.select(
+        "vec_id",
+        F.md5(
+            F.concat_ws(
+                ",",
+                F.expr(
+                    "transform(proj, x -> cast(cast(round(x * 10000) as bigint)"
+                    " as string))"
+                ),
+            )
+        ).alias("proj_md5"),
+        F.expr(
+            "cast(round(aggregate(proj, 0D, (a, x) -> a + x * x) * 1e6)"
+            " as bigint)"
+        ).alias("norm2_micro"),
+    )

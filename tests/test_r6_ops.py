@@ -152,3 +152,57 @@ def test_dsir_scoring_join_is_broadcast(spark):
     # the per-doc scoring join against the 4096-row log-ratio table
     # must broadcast — the raw corpus must not shuffle on bucket
     assert "BroadcastHashJoin" in plan
+
+
+# --------------------------------------------------------- JL projection
+
+def test_jl_projection_matches_numpy_replica(spark):
+    import numpy as np
+
+    from parkour_spark.operators.similarity import jl_matrix, random_projection
+
+    vecs = [(i, [float((i * 7 + d * 3) % 11) - 5.0 for d in range(12)])
+            for i in range(6)]
+    df = spark.createDataFrame(vecs, ["vec_id", "embedding"])
+    m = jl_matrix(12, 4)
+    got = {r.vec_id: list(r.proj)
+           for r in random_projection(df, m).collect()}
+    M = np.array(m, dtype=float)
+    for i, v in vecs:
+        want = (M @ np.array(v)) / np.sqrt(4.0)
+        assert np.allclose(got[i], want, atol=1e-12), i
+
+
+def test_jl_projection_preserves_pairwise_distance(spark):
+    """JL contract: squared pairwise distances preserved within the
+    lemma's distortion at out_dim=32 (deterministic matrix + fixed
+    inputs => a fixed, replayable assertion, not a flaky sample)."""
+    import numpy as np
+
+    from parkour_spark.operators.similarity import jl_matrix, random_projection
+
+    rng_free = [
+        (i, [float(((i + 1) * (d + 3) * 2654435761) % 1000) / 500.0 - 1.0
+             for d in range(64)])
+        for i in range(8)
+    ]
+    df = spark.createDataFrame(rng_free, ["vec_id", "embedding"])
+    got = {r.vec_id: np.array(r.proj)
+           for r in random_projection(df, jl_matrix(64, 32)).collect()}
+    orig = {i: np.array(v) for i, v in rng_free}
+    for a in range(8):
+        for b in range(a + 1, 8):
+            d0 = float(np.sum((orig[a] - orig[b]) ** 2))
+            d1 = float(np.sum((got[a] - got[b]) ** 2))
+            assert 0.4 * d0 <= d1 <= 1.9 * d0, (a, b, d0, d1)
+
+
+def test_jl_projection_plan_is_scan_side(spark):
+    from parkour_spark.operators.similarity import jl_matrix, random_projection
+
+    df = spark.createDataFrame([(1, [1.0, 2.0])], ["vec_id", "embedding"])
+    plan = (
+        random_projection(df, jl_matrix(2, 2))
+        ._jdf.queryExecution().executedPlan().toString()
+    )
+    assert "Exchange" not in plan, plan
