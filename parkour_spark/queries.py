@@ -6704,3 +6704,85 @@ def q_jl_projection(spark, sf_dir):
             " as bigint)"
         ).alias("norm2_micro"),
     )
+
+
+@query(
+    "lsh_multiprobe_topk",
+    f"""
+    WITH pl AS (
+      SELECT vec_id - 5 AS pid, embedding::DOUBLE[] AS pv
+      FROM embeddings WHERE vec_id >= 5 AND vec_id < {5 + _LSH_N_PLANES}),
+    q0 AS (SELECT vec_id AS query_id, embedding::DOUBLE[] AS v
+           FROM embeddings WHERE vec_id < 5),
+    q AS (SELECT query_id,
+                 list_transform(range(1, len(v) + 1),
+                                j -> v[j] + 0.35 * v[(j % len(v)) + 1]) AS qvec
+          FROM q0),
+    c AS (SELECT vec_id, embedding::DOUBLE[] AS cvec
+          FROM embeddings WHERE vec_id >= 5),
+    cb AS (
+      SELECT vec_id, cvec,
+             CAST(sum(CASE WHEN list_dot_product(cvec, pv) >= 0
+                           THEN (1::BIGINT << ({_LSH_N_PLANES - 1} - pid))
+                           ELSE 0 END) AS BIGINT) AS bucket
+      FROM c CROSS JOIN pl GROUP BY vec_id, cvec),
+    qb0 AS (
+      SELECT query_id, qvec,
+             CAST(sum(CASE WHEN list_dot_product(qvec, pv) >= 0
+                           THEN (1::BIGINT << ({_LSH_N_PLANES - 1} - pid))
+                           ELSE 0 END) AS BIGINT) AS bucket
+      FROM q CROSS JOIN pl GROUP BY query_id, qvec),
+    qb AS (
+      SELECT query_id, qvec, unnest(
+        list_prepend(bucket,
+          list_transform(range(0, {_LSH_N_PLANES}),
+                         b -> xor(bucket, 1::BIGINT << b)))) AS bucket
+      FROM qb0),
+    scored AS (
+      SELECT qb.query_id, cb.vec_id,
+             round(list_dot_product(cb.cvec, qb.qvec)
+                   / (sqrt(list_dot_product(cb.cvec, cb.cvec))
+                      * sqrt(list_dot_product(qb.qvec, qb.qvec))), 4) AS cos
+      FROM qb JOIN cb USING (bucket))
+    SELECT query_id, vec_id, rank, cos FROM (
+      SELECT *, row_number() OVER (PARTITION BY query_id
+                                   ORDER BY cos DESC, vec_id) AS rank
+      FROM scored)
+    WHERE rank <= 10
+    """,
+)
+def q_lsh_multiprobe(spark, sf_dir):
+    """Multi-probe LSH ANN (operators.similarity.lsh_topk with
+    probe_bits=1, Lv et al. 2007): each query also probes all 8
+    Hamming-1 neighbor buckets — recall that a single flipped sign bit
+    would lose, WITHOUT a second hash table (the corpus stays bucketed
+    once; probe fan-out multiplies only the broadcast query side).
+    Queries are stronger perturbations (0.35, cos ≈ 0.95) than the
+    single-probe entry's, so bit flips actually occur; the oracle
+    replays bucketing + probing + rerank exactly."""
+    emb = _t(spark, sf_dir, "embeddings")
+    if sf_dir not in _LSH_PLANES:
+        rows = (
+            emb.where(
+                (F.col("vec_id") >= 5) & (F.col("vec_id") < 5 + _LSH_N_PLANES)
+            )
+            .orderBy("vec_id")
+            .select("embedding")
+            .collect()
+        )
+        _LSH_PLANES[sf_dir] = [[float(x) for x in r[0]] for r in rows]
+    queries = emb.where(F.col("vec_id") < 5).select(
+        F.col("vec_id").alias("query_id"),
+        F.expr(
+            "transform(sequence(0, size(embedding) - 1),"
+            " j -> cast(embedding[j] as double)"
+            "      + 0.35D * cast(embedding[(j + 1) % size(embedding)] as double))"
+        ).alias("query_vec"),
+    )
+    corpus = emb.where(F.col("vec_id") >= 5).select(
+        "vec_id",
+        F.expr("transform(embedding, x -> cast(x as double))").alias("embedding"),
+    )
+    return SIM.lsh_topk(
+        corpus, queries, _LSH_PLANES[sf_dir], k=10, probe_bits=1
+    ).select("query_id", "vec_id", "rank", "cos")

@@ -206,3 +206,28 @@ def test_jl_projection_plan_is_scan_side(spark):
         ._jdf.queryExecution().executedPlan().toString()
     )
     assert "Exchange" not in plan, plan
+
+
+# ------------------------------------------------------- multi-probe LSH
+
+def test_lsh_multiprobe_recovers_flipped_bit_neighbors(spark):
+    """A query whose signature differs from its true neighbor's by ONE
+    plane sign must miss at probe_bits=0 and hit at probe_bits=1."""
+    from parkour_spark.operators.similarity import lsh_topk
+
+    planes = [[1.0, 0.0], [0.0, 1.0]]
+    corpus = spark.createDataFrame(
+        [(1, [1.0, 0.05]), (2, [-1.0, -1.0])], ["vec_id", "embedding"]
+    )
+    # query is near vec 1 but its y-component sign flips plane 2
+    queries = spark.createDataFrame(
+        [(100, [1.0, -0.05])], ["query_id", "query_vec"]
+    )
+    single = lsh_topk(corpus, queries, planes, k=5)
+    multi = lsh_topk(corpus, queries, planes, k=5, probe_bits=1)
+    assert not [r for r in single.collect() if r.vec_id == 1]
+    hits = [r for r in multi.collect() if r.vec_id == 1]
+    assert hits and hits[0].rank == 1
+    # and multi-probe candidates are a superset: pairs stay unique
+    assert len(multi.collect()) == len({(r.query_id, r.vec_id)
+                                        for r in multi.collect()})
