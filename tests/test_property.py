@@ -294,3 +294,82 @@ def test_substring_spans_verbatim_invariant(spark, texts, shared):
         assert r.span_len >= 40
     if len(ins) >= 40 + 2 * 16:
         assert any((r.id_a, r.id_b) == (1, 2) for r in spans), "planted overlap missed"
+
+
+# ---------------------------------------------------------------- round 6
+
+@given(
+    rows=st.lists(
+        st.tuples(
+            st.integers(min_value=0, max_value=2),       # group
+            st.integers(min_value=0, max_value=10_000),  # id
+            st.integers(min_value=1, max_value=500),     # weight > 0
+        ),
+        min_size=1,
+        max_size=40,
+        unique_by=lambda t: t[1],
+    ),
+    k=st.integers(min_value=1, max_value=6),
+)
+@settings(**_SETTINGS)
+def test_weighted_sample_matches_aes_reference(spark, rows, k):
+    """weighted_sample == driver-side A-ES replica on random inputs:
+    same selected ids, same ranks, per group."""
+    import hashlib
+    import math
+
+    from parkour_spark.operators.corpus import weighted_sample
+
+    df = spark.createDataFrame(rows, ["grp", "rid", "wt"])
+    got = {
+        (r.grp, r.rank): r.rid
+        for r in weighted_sample(df, "rid", "wt", k, group_col="grp").collect()
+    }
+
+    def pri(i, w):
+        u = (int(hashlib.md5(str(i).encode()).hexdigest()[:8], 16) % 1024
+             + 0.5) / 1024.0
+        return math.log(u) / w
+
+    want = {}
+    groups: dict[int, list] = {}
+    for g, i, w in rows:
+        groups.setdefault(g, []).append((i, w))
+    for g, members in groups.items():
+        ranked = sorted(members, key=lambda t: (-pri(t[0], t[1]), t[0]))
+        for rank, (i, _) in enumerate(ranked[:k], start=1):
+            want[(g, rank)] = i
+    assert got == want
+
+
+_words = st.text(alphabet="abcdef ", min_size=3, max_size=16)
+
+
+@given(names=st.lists(_words, min_size=1, max_size=15, unique=True))
+@settings(**_SETTINGS)
+def test_fuzzy_join_sound_and_exact_complete(spark, names):
+    """Soundness: every returned pair is truly within max_dist (checked
+    against Python Levenshtein). Completeness at dist 0: identical
+    strings ALWAYS share their min-gram block, so every left string
+    present in the registry must match itself."""
+    from parkour_spark.operators.joins import fuzzy_join
+
+    def lev(a, b):
+        prev = list(range(len(b) + 1))
+        for i, ca in enumerate(a, 1):
+            cur = [i]
+            for j, cb in enumerate(b, 1):
+                cur.append(min(prev[j] + 1, cur[j - 1] + 1,
+                               prev[j - 1] + (ca != cb)))
+            prev = cur
+        return prev[-1]
+
+    reg = spark.createDataFrame([(n,) for n in names], ["rname"])
+    left = spark.createDataFrame(list(enumerate(names)), ["did", "dname"])
+    got = fuzzy_join(left, reg, ("did", "dname"), ("rname", "rname"),
+                     max_dist=2).collect()
+    for r in got:
+        assert lev(r.l_val, r.r_val) <= 2, (r.l_val, r.r_val)
+    self_hits = {(r.l_id, r.r_val) for r in got if r.dist == 0}
+    for i, n in enumerate(names):
+        assert (i, n) in self_hits, n
