@@ -32,10 +32,11 @@ def entry(spark: SparkSession) -> DataFrame:
 # the local gate replica (scripts/check_oracle.py over ALL entries —
 # same compare: rows + columns + sorted value hash vs DuckDB).
 #
-# r6 window = (a) the 8 entries new this round (lsh_topk_planted,
+# r6 window = (a) the 12 entries new this round (lsh_topk_planted,
 # q8_market_share, fuzzy_join_part_names, weighted_sample_by_source,
 # dsir_importance_weights, last_touch_attribution,
-# jl_projection_fingerprint, lsh_multiprobe_topk),
+# jl_projection_fingerprint, lsh_multiprobe_topk, hard_negative_mining,
+# per_source_quota, mg_heavy_tokens, linreg_moments_docstats),
 # (b) the 9 entries whose code or oracle changed this round: the 7
 # r5 hash-mismatch oracles rewritten HUGEINT→BIGINT
 # (substring_dedup_clean, hll_distinct_orders, winsorized_price_stats,
@@ -43,8 +44,12 @@ def entry(spark: SparkSession) -> DataFrame:
 # merged_event_intervals), multimodal_features (float32→double cast
 # before round), substring_spans_delta (persisted-index refactor),
 # (c) ALL 14 remaining never-verified entries (backlog → 0 this
-# round), (d) filled to 50 with 19 of the 41 r3-era rows. The 22
-# r3-era entries deferred to r7 are the 8 tuple-shape goldens
+# round), (d) filled to 50 with 15 of the 41 r3-era rows. The 26
+# r3-era entries deferred to r7 include streaming_enriched_counts,
+# streaming_events_hourly, streaming_sliding_30m,
+# streaming_stateful_user_counts (in-window siblings streaming_dedup,
+# streaming_session_30m, plus streaming_quality_ingest in the
+# never-verified block), and the 8 tuple-shape goldens
 # (shape_*, byte-golden-tested vs reference fixtures every round),
 # 8 single-scan aggregates/rollups (distinct_tokens, events_hourly,
 # events_user_counts, orders_per_quarter, region_customer_counts,
@@ -62,7 +67,8 @@ _R6_WINDOW = [
     "lsh_topk_planted", "q8_market_share", "fuzzy_join_part_names",
     "weighted_sample_by_source", "dsir_importance_weights",
     "last_touch_attribution", "jl_projection_fingerprint",
-    "lsh_multiprobe_topk",
+    "lsh_multiprobe_topk", "hard_negative_mining", "per_source_quota",
+    "mg_heavy_tokens", "linreg_moments_docstats",
     # changed this round: the 7 re-landed oracle fixes + 2 code changes
     "substring_dedup_clean", "hll_distinct_orders",
     "winsorized_price_stats", "gapfilled_hourly_events",
@@ -83,9 +89,7 @@ _R6_WINDOW = [
     "parts_never_bulk_ordered", "price_quantiles_by_segment", "q3_shipping_priority",
     "q5_local_supplier_revenue", "rollup_returnflag_status",
     "sql_correlated_subquery", "streaming_dedup",
-    "streaming_enriched_counts", "streaming_events_hourly",
-    "streaming_session_30m", "streaming_sliding_30m",
-    "streaming_stateful_user_counts", "tfidf_top_terms",
+    "streaming_session_30m", "tfidf_top_terms",
 ]
 
 

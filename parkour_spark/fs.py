@@ -34,6 +34,22 @@ def glob_paths(spark: SparkSession, pattern: str) -> list[str]:
     return [str(s.getPath()) for s in statuses]
 
 
+def list_status(spark: SparkSession, path: str) -> list[dict]:
+    """Directory listing with sizes (reference `path-list` class of ops,
+    fs.clj): one driver-side metadata call per entry, any scheme.
+    Returns [{path, len, is_dir}] sorted by path."""
+    fs, jpath, _ = _jfs(spark, path)
+    out = [
+        {
+            "path": str(s.getPath()),
+            "len": int(s.getLen()),
+            "is_dir": bool(s.isDirectory()),
+        }
+        for s in fs.listStatus(jpath)
+    ]
+    return sorted(out, key=lambda e: e["path"])
+
+
 def exists(spark: SparkSession, path: str) -> bool:
     fs, jpath, _ = _jfs(spark, path)
     return bool(fs.exists(jpath))

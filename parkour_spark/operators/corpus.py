@@ -323,6 +323,36 @@ def stratified_sample(
     return df.where(bucket < thresh)
 
 
+def quota_cap(
+    df: DataFrame,
+    group_col: str,
+    order_col: str,
+    id_col: str,
+    n: int,
+    descending: bool = True,
+) -> DataFrame:
+    """Cap each group at its n best rows — the web-corpus "domain cap"
+    (RefinedWeb/FineWeb keep at most N pages per registered domain so a
+    single boilerplate-heavy site cannot dominate the training mix).
+    Ranking is (order_col desc|asc, id_col asc): the id tie-break makes
+    the kept set deterministic across runs and engines.
+
+    SCALE: one hash shuffle on group_col, then a per-group row_number —
+    Spark plans this as TopNPerGroup-style windowed rank with partial
+    sort; only group keys shuffle rows, never a global sort. Domain
+    caps are the canonical skew case (one domain can be 1e8 pages): the
+    AQE skew-split handles the sort spill, and because the predicate is
+    rank <= n the excess rows die in the window stage — nothing
+    downstream ever sees more than n per key."""
+    ordc = F.col(order_col).desc() if descending else F.col(order_col).asc()
+    w = Window.partitionBy(group_col).orderBy(ordc, F.col(id_col).asc())
+    return (
+        df.withColumn("__rk", F.row_number().over(w))
+        .where(F.col("__rk") <= n)
+        .drop("__rk")
+    )
+
+
 # --------------------------------------------------------------------------
 # Corpus-level exact line dedup (C4-style boilerplate removal)
 # --------------------------------------------------------------------------

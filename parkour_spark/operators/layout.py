@@ -100,6 +100,57 @@ def write_zordered(
             spark.conf.set(key, old)
 
 
+def compact_small_files(
+    spark,
+    src: str,
+    dst: str,
+    target_bytes: int = 128 << 20,
+    preserve_order_col: str | None = None,
+) -> dict:
+    """Small-file compaction: rewrite a fragmented parquet directory
+    into ceil(total_bytes / target_bytes) right-sized files. The
+    classic maintenance op for streaming/micro-batch sinks — a table
+    that accumulated 100k 1 MB files costs every future scan 100k
+    footer reads, driver-side split planning over 100k entries, and
+    degenerate row groups; one compaction pass fixes all three.
+
+    Sizing is measured, not guessed: file bytes come from the
+    FileSystem listing (driver-side metadata only), so the output count
+    tracks actual on-disk compressed size rather than row counts.
+    `coalesce` (not repartition) merges inputs without a shuffle —
+    each output task reads several input files and streams them out;
+    with `preserve_order_col` set, a repartitionByRange on that column
+    re-establishes clustering instead (one range shuffle — use when the
+    source was z-ordered/sorted and the layout is worth preserving).
+
+    Returns {files_before, files_after, bytes, rows} so callers (and
+    tests) can assert the compaction actually happened."""
+    import math
+
+    from parkour_spark.fs import list_status
+
+    entries = [
+        e for e in list_status(spark, src) if e["path"].endswith(".parquet")
+    ]
+    total = sum(e["len"] for e in entries)
+    n_out = max(1, math.ceil(total / target_bytes))
+    df = spark.read.parquet(src)
+    if preserve_order_col is not None:
+        out = df.repartitionByRange(n_out, preserve_order_col)
+    else:
+        out = df.coalesce(n_out)
+    out.write.mode("overwrite").parquet(dst)
+    after = [
+        e for e in list_status(spark, dst) if e["path"].endswith(".parquet")
+    ]
+    return {
+        "files_before": len(entries),
+        "files_after": len(after),
+        "bytes": total,
+        "rows": spark.read.parquet(dst).count(),
+    }
+
+
 def files_hit_by_box(
     path: str, c1: str, lo1, hi1, c2: str, lo2, hi2
 ) -> tuple[int, int]:

@@ -100,6 +100,56 @@ def brute_force_topk(
     )
 
 
+def hard_negatives(
+    corpus: DataFrame,
+    queries: DataFrame,
+    k: int = 5,
+    corpus_id: str = "vec_id",
+    corpus_vec: str = "embedding",
+    corpus_label: str = "label",
+    query_id: str = "query_id",
+    query_vec: str = "query_vec",
+    query_label: str = "query_label",
+    positive_id: str | None = "positive_id",
+) -> DataFrame:
+    """Hard-negative mining for retrieval/contrastive training (the
+    DPR / Contriever recipe): for each query, the k corpus vectors most
+    similar by cosine that are NOT valid positives — excluding the
+    query's own gold document (`positive_id`) and any corpus row sharing
+    the query's label (in-batch false-negative filtering: same-label
+    items are presumed relevant, so surfacing them as "negatives" would
+    poison the contrastive loss).
+
+    Result: (query_id, vec_id, rank, cos), rank 1 = hardest negative.
+
+    SCALE: identical shape to brute_force_topk — the (small) query set
+    broadcasts, the corpus scans ONCE with JVM Column math, and only
+    (query, candidate, score) tuples shuffle for the per-query top-k
+    window (partition count = |queries|, never |corpus|). For corpora
+    where even one scan per mining round is too much, substitute the
+    IVF/LSH rungs of the ladder for the candidate step; the exclusion
+    predicate and ranking here are unchanged.
+    """
+    qcols = [F.col(query_id), F.col(query_vec), F.col(query_label)]
+    if positive_id is not None:
+        qcols.append(F.col(positive_id))
+    q = queries.select(*qcols).withColumn("__qn", norm(query_vec))
+    c = widen_scan(corpus).withColumn("__cn", norm(corpus_vec))
+    joined = c.crossJoin(F.broadcast(q))
+    keep = F.col(corpus_label) != F.col(query_label)
+    if positive_id is not None:
+        keep = keep & (F.col(corpus_id) != F.col(positive_id))
+    scored = joined.where(keep).select(
+        F.col(query_id),
+        F.col(corpus_id),
+        F.round(
+            dot(corpus_vec, query_vec) / (F.col("__cn") * F.col("__qn")), 4
+        ).alias("cos"),
+    )
+    w = Window.partitionBy(query_id).orderBy(F.col("cos").desc(), F.col(corpus_id))
+    return scored.withColumn("rank", F.row_number().over(w)).where(F.col("rank") <= k)
+
+
 def hyperplane_signature(
     df: DataFrame, planes: list[list[float]], vec_col: str = "embedding", out_col: str = "bucket"
 ) -> DataFrame:

@@ -105,6 +105,97 @@ def cms_heavy_hitters(df: DataFrame, key: str, width: int = 1024, depth: int = 3
     return exact.join(F.broadcast(est), key).select(key, "estimate", "n")
 
 
+def mg_summaries(df: DataFrame, key: str, k: int = 256) -> DataFrame:
+    """Per-partition mergeable Misra–Gries(k) summaries (Agarwal et al.
+    2012, "Mergeable Summaries"): each partition folds to at most k
+    (key, lower-bound count) rows plus one (NULL, n_partition) row
+    carrying the partition's item count. For every key,
+    true_count − lb ≤ n/(k+1), so any key with true count > n/(k+1) is
+    guaranteed present in the merged summary — the deterministic
+    counterpart to the CMS's probabilistic bound.
+
+    Arrow path: each batch is reduced with vectorized value_counts, then
+    merged into the running summary with the mergeable-MG rule (add
+    counts; if more than k keys remain, subtract the (k+1)-th largest
+    count from all and drop non-positives) — per-batch dict/numpy work,
+    never per-row Python."""
+    import pandas as pd
+
+    def fold(batches):
+        counters: dict[str, int] = {}
+        n = 0
+        for pdf in batches:
+            vc = pdf["key"].value_counts()
+            n += int(vc.sum())
+            for key_v, cnt in vc.items():
+                counters[key_v] = counters.get(key_v, 0) + int(cnt)
+            if len(counters) > k:
+                cut = sorted(counters.values(), reverse=True)[k]
+                counters = {
+                    kk: v - cut for kk, v in counters.items() if v - cut > 0
+                }
+        keys = list(counters) + [None]
+        cnts = list(counters.values()) + [n]
+        yield pd.DataFrame({"key": keys, "cnt_lb": cnts})
+
+    return df.select(F.col(key).cast("string").alias("key")).mapInPandas(
+        fold, "key string, cnt_lb long"
+    )
+
+
+def mg_heavy_hitters(
+    df: DataFrame, key: str, k: int = 256, threshold: int = 100
+) -> DataFrame:
+    """Exact heavy hitters — keys with true count ≥ threshold — without
+    ever shuffling the full key dictionary:
+
+    (1) per-partition Misra–Gries(k) summaries (mg_summaries) collapse
+        each partition to ≤ k+1 rows;
+    (2) the driver merges them with the same mergeable-MG rule — the
+        collect is ≤ (k+1) × partitions rows, small by construction;
+    (3) the merged candidate keys broadcast back as a semi-join filter,
+        and an exact count over the surviving rows applies the
+        threshold.
+
+    The MG guarantee (miss ⇒ count ≤ n/(k+1)) makes step 3's output
+    EXACTLY equal to `GROUP BY key HAVING count(*) ≥ threshold` when
+    threshold > n/(k+1); the operator verifies that precondition from
+    the summaries' own n and fails loudly instead of silently dropping
+    true heavy hitters when k is undersized. Output: (key, n), exact.
+
+    SCALE: the full-dictionary groupBy this replaces shuffles one row
+    per distinct key (billions at web scale); here the only full-width
+    shuffle carries candidate rows only, and candidates are ≤ k + the
+    collision-free survivors of the threshold."""
+    rows = mg_summaries(df, key, k).collect()
+    n_total = sum(r.cnt_lb for r in rows if r.key is None)
+    merged: dict[str, int] = {}
+    for r in rows:
+        if r.key is not None:
+            merged[r.key] = merged.get(r.key, 0) + r.cnt_lb
+    if len(merged) > k:
+        cut = sorted(merged.values(), reverse=True)[k]
+        merged = {kk: v - cut for kk, v in merged.items() if v - cut > 0}
+    if threshold <= n_total // (k + 1):
+        raise ValueError(
+            f"mg_heavy_hitters: threshold {threshold} <= n/(k+1) = "
+            f"{n_total // (k + 1)} — the MG(k={k}) guarantee cannot rule "
+            f"out missed heavy hitters; raise k or threshold"
+        )
+    base = df.select(F.col(key).cast("string").alias(key))
+    if not merged:  # nothing can reach any threshold ≥ 1
+        return base.where(F.lit(False)).groupBy(key).agg(
+            F.count("*").alias("n")
+        )
+    cand = F.array(*[F.lit(kk) for kk in sorted(merged)])
+    return (
+        base.where(F.array_contains(cand, F.col(key)))
+        .groupBy(key)
+        .agg(F.count("*").alias("n"))
+        .where(F.col("n") >= threshold)
+    )
+
+
 def bloom_bits(df: DataFrame, key: str, m: int = 1 << 16, k: int = 3) -> DataFrame:
     """Distinct bit positions set by hashing each key k ways into
     [0, m) — the bloom filter as a ≤m-row table (broadcastable even

@@ -6786,3 +6786,121 @@ def q_lsh_multiprobe(spark, sf_dir):
     return SIM.lsh_topk(
         corpus, queries, _LSH_PLANES[sf_dir], k=10, probe_bits=1
     ).select("query_id", "vec_id", "rank", "cos")
+
+
+# ===========================================================================
+# LLM-pipeline: hard-negative mining, domain caps, deterministic heavy
+# hitters, distributed least-squares (round 6 additions)
+# ===========================================================================
+
+
+@query(
+    "hard_negative_mining",
+    """
+    WITH q AS (SELECT vec_id AS query_id, embedding, label AS qlabel,
+                      vec_id AS pos
+               FROM embeddings WHERE vec_id < 8),
+    c AS (SELECT vec_id, embedding, label FROM embeddings),
+    scored AS (
+      SELECT q.query_id, c.vec_id,
+             round(list_dot_product(c.embedding::DOUBLE[], q.embedding::DOUBLE[])
+                   / (sqrt(list_dot_product(c.embedding::DOUBLE[], c.embedding::DOUBLE[]))
+                      * sqrt(list_dot_product(q.embedding::DOUBLE[], q.embedding::DOUBLE[]))), 4) AS cos
+      FROM c, q
+      WHERE c.label <> q.qlabel AND c.vec_id <> q.pos)
+    SELECT query_id, vec_id, rank, cos FROM (
+      SELECT *, row_number() OVER (PARTITION BY query_id ORDER BY cos DESC, vec_id) AS rank
+      FROM scored)
+    WHERE rank <= 5
+    """,
+)
+def q_hard_negative_mining(spark, sf_dir):
+    """Hard-negative mining (similarity.hard_negatives): per query, the
+    5 most-cosine-similar corpus vectors that are neither the gold
+    positive nor same-label (in-batch false-negative filtering) — the
+    DPR/Contriever negative-selection step, broadcast-query shape."""
+    emb = _t(spark, sf_dir, "embeddings")
+    queries = emb.where(F.col("vec_id") < 8).select(
+        F.col("vec_id").alias("query_id"),
+        F.col("embedding").alias("query_vec"),
+        F.col("label").alias("query_label"),
+        F.col("vec_id").alias("positive_id"),
+    )
+    return SIM.hard_negatives(emb, queries, k=5).select(
+        "query_id", "vec_id", "rank", "cos"
+    )
+
+
+@query(
+    "per_source_quota",
+    """
+    SELECT doc_id, source, n_chars FROM (
+      SELECT doc_id, source, n_chars,
+             row_number() OVER (PARTITION BY source
+                                ORDER BY n_chars DESC, doc_id) AS rk
+      FROM documents)
+    WHERE rk <= 20
+    """,
+)
+def q_per_source_quota(spark, sf_dir):
+    """Domain/source cap (corpus.quota_cap): at most 20 docs per source,
+    keeping the longest (deterministic doc_id tie-break) — the
+    RefinedWeb-style guard against one site dominating the mix."""
+    docs = _t(spark, sf_dir, "documents").select("doc_id", "source", "n_chars")
+    return C.quota_cap(docs, "source", "n_chars", "doc_id", n=20)
+
+
+@query(
+    "mg_heavy_tokens",
+    """
+    WITH toks AS (SELECT unnest(string_split_regex(trim(text), '\\s+')) AS token
+                  FROM documents),
+    tk AS (SELECT token FROM toks WHERE token <> '')
+    SELECT token, count(*)::BIGINT AS n
+    FROM tk
+    GROUP BY token
+    HAVING count(*) >= greatest(100, (SELECT count(*) FROM tk) // 100)
+    """,
+)
+def q_mg_heavy_tokens(spark, sf_dir):
+    """Deterministic heavy hitters via mergeable Misra-Gries summaries
+    (sketch.mg_heavy_hitters): per-partition MG(256) folds + driver
+    merge + exact broadcast-verify. The MG guarantee (miss => count <=
+    n/257) makes the output EXACTLY `HAVING count >= threshold` at
+    threshold = max(100, n//100) — the oracle states that equality."""
+    from parkour_spark.operators import sketch as SK
+
+    docs = _t(spark, sf_dir, "documents")
+    toks = docs.select(F.explode(tokens("text")).alias("token"))
+    n_total = toks.count()
+    thr = max(100, n_total // 100)
+    return SK.mg_heavy_hitters(toks, "token", k=256, threshold=thr).select(
+        "token", F.col("n").cast("long").alias("n")
+    )
+
+
+@query(
+    "linreg_moments_docstats",
+    """
+    WITH f AS (
+      SELECT len(list_filter(string_split_regex(trim(text), '\\s+'),
+                             t -> t <> '')) AS x,
+             length(text) AS y
+      FROM documents)
+    SELECT 0 AS i, -1 AS j, sum(y)::BIGINT AS s FROM f
+    UNION ALL SELECT 0, 0, count(*)::BIGINT FROM f
+    UNION ALL SELECT 0, 1, sum(x)::BIGINT FROM f
+    UNION ALL SELECT 1, -1, sum(x * y)::BIGINT FROM f
+    UNION ALL SELECT 1, 1, sum(x * x)::BIGINT FROM f
+    """,
+)
+def q_linreg_moments(spark, sf_dir):
+    """Distributed least-squares sufficient statistics
+    (regress.moment_matrix): exact int64 normal-equation moments for
+    chars ~ intercept + tokens, one scan, one 1-row shuffle; the d x d
+    solve itself is driver-side numpy (regress.fit_linear, pytest-pinned
+    against lstsq on the collected rows)."""
+    from parkour_spark.operators import regress as R
+
+    docs = _t(spark, sf_dir, "documents")
+    return R.moment_matrix(docs, [token_count("text")], F.length("text"))

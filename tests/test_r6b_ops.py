@@ -1,0 +1,208 @@
+"""Round-6 additions, batch 2: hard-negative mining, per-source quota
+caps, mergeable Misra-Gries heavy hitters, distributed least-squares
+moments, and small-file compaction."""
+
+import math
+
+import pytest
+from pyspark.sql import functions as F
+
+from parkour_spark.operators.corpus import quota_cap
+from parkour_spark.operators.layout import compact_small_files
+from parkour_spark.operators.regress import fit_linear, moment_matrix, predict
+from parkour_spark.operators.similarity import hard_negatives
+from parkour_spark.operators.sketch import mg_heavy_hitters, mg_summaries
+
+
+# ------------------------------------------------------- hard negatives
+
+def _emb_corpus(spark):
+    # 2-d vectors: angle encodes similarity exactly
+    rows = [
+        (0, [1.0, 0.0], "a"),
+        (1, [0.99, 0.14], "a"),   # same label: must be filtered
+        (2, [0.95, 0.31], "b"),   # nearest valid negative
+        (3, [0.7, 0.71], "b"),
+        (4, [0.0, 1.0], "c"),
+        (5, [-1.0, 0.0], "c"),
+    ]
+    return spark.createDataFrame(rows, ["vec_id", "embedding", "label"])
+
+
+def test_hard_negatives_excludes_positive_and_same_label(spark):
+    corpus = _emb_corpus(spark)
+    q = spark.createDataFrame(
+        [(0, [1.0, 0.0], "a", 0)],
+        ["query_id", "query_vec", "query_label", "positive_id"],
+    )
+    got = hard_negatives(corpus, q, k=10).collect()
+    ids = [r.vec_id for r in got]
+    assert 0 not in ids and 1 not in ids  # positive + same-label gone
+    assert ids == [2, 3, 4, 5]  # ranked by cosine desc
+    assert [r.rank for r in got] == [1, 2, 3, 4]
+    assert got[0].cos == pytest.approx(0.95, abs=1e-2)
+
+
+def test_hard_negatives_without_positive_column(spark):
+    corpus = _emb_corpus(spark)
+    q = spark.createDataFrame(
+        [(0, [1.0, 0.0], "a")], ["query_id", "query_vec", "query_label"]
+    )
+    got = hard_negatives(corpus, q, k=2, positive_id=None).collect()
+    assert [r.vec_id for r in got] == [2, 3]
+
+
+# ------------------------------------------------------------ quota cap
+
+def test_quota_cap_keeps_top_n_with_deterministic_ties(spark):
+    rows = [("s1", i, 100 if i < 4 else i) for i in range(10)] + [
+        ("s2", 100 + i, i) for i in range(3)
+    ]
+    df = spark.createDataFrame(rows, ["source", "doc_id", "score"])
+    got = quota_cap(df, "source", "score", "doc_id", n=3).collect()
+    by_src = {}
+    for r in got:
+        by_src.setdefault(r.source, []).append(r.doc_id)
+    # s1: four rows tie at score 100 -> lowest doc_ids win
+    assert sorted(by_src["s1"]) == [0, 1, 2]
+    # s2 has only 3 rows: all kept
+    assert sorted(by_src["s2"]) == [100, 101, 102]
+
+
+def test_quota_cap_single_shuffle(spark):
+    df = spark.range(100).select(
+        (F.col("id") % 5).alias("g"), F.col("id").alias("doc_id"),
+        (F.col("id") * 7 % 13).alias("score"),
+    )
+    out = quota_cap(df, "g", "score", "doc_id", n=2)
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    assert plan.count("Exchange") <= 1
+
+
+# ---------------------------------------------------------- Misra-Gries
+
+def test_mg_summary_guarantee_on_skewed_stream(spark):
+    # 1000 rows: 'hot' x400, 'warm' x100, 500 distinct cold keys
+    vals = ["hot"] * 400 + ["warm"] * 100 + [f"cold{i}" for i in range(500)]
+    df = spark.createDataFrame([(v,) for v in vals], ["k"]).repartition(4)
+    k = 16
+    rows = mg_summaries(df, "k", k=k).collect()
+    n = sum(r.cnt_lb for r in rows if r.key is None)
+    assert n == 1000
+    lb = {}
+    for r in rows:
+        if r.key is not None:
+            lb[r.key] = lb.get(r.key, 0) + r.cnt_lb
+    true = {"hot": 400, "warm": 100}
+    for key_v, t in true.items():
+        # mergeable-MG bound: true - lb <= n/(k+1)
+        assert t - lb.get(key_v, 0) <= math.ceil(n / (k + 1))
+    # per-partition summaries stay bounded
+    import collections
+    per_part = collections.Counter()
+    # (cannot see partition ids post-collect; bound the total instead)
+    assert len(lb) <= (k + 1) * 4
+
+
+def test_mg_heavy_hitters_equals_exact_groupby(spark):
+    vals = (["a"] * 50 + ["b"] * 30 + ["c"] * 10
+            + [f"z{i}" for i in range(200)])
+    df = spark.createDataFrame([(v,) for v in vals], ["k"]).repartition(4)
+    got = {(r.k, r.n) for r in mg_heavy_hitters(df, "k", k=64, threshold=25).collect()}
+    assert got == {("a", 50), ("b", 30)}
+
+
+def test_mg_heavy_hitters_rejects_undersized_k(spark):
+    df = spark.createDataFrame([(str(i % 3),) for i in range(300)], ["k"])
+    with pytest.raises(ValueError, match="threshold"):
+        # n=300, k=2 -> n/(k+1)=100 >= threshold 50: guarantee broken
+        mg_heavy_hitters(df, "k", k=2, threshold=50)
+
+
+# -------------------------------------------------- least-squares moments
+
+def test_moment_matrix_exact_integer_sums(spark):
+    data = [(1, 3), (2, 5), (3, 7), (4, 9)]  # y = 2x + 1 exactly
+    df = spark.createDataFrame(data, ["x", "y"])
+    cells = {(r.i, r.j): r.s for r in moment_matrix(df, ["x"], "y").collect()}
+    assert cells[(0, 0)] == 4          # n
+    assert cells[(0, 1)] == 10         # sum x
+    assert cells[(1, 1)] == 30         # sum x^2
+    assert cells[(0, -1)] == 24        # sum y
+    assert cells[(1, -1)] == 70        # sum x*y
+
+
+def test_moment_matrix_single_aggregate_no_extra_shuffle(spark):
+    df = spark.range(1000).select(
+        F.col("id").alias("x"), (F.col("id") * 3).alias("y")
+    )
+    out = moment_matrix(df, ["x"], "y")
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    # global agg = one partial + one single-partition exchange
+    assert plan.count("Exchange") <= 1
+
+
+def test_fit_linear_matches_numpy_lstsq(spark):
+    import numpy as np
+
+    rows = [(i, 17 + 3 * i + (i % 5) - 2) for i in range(50)]
+    df = spark.createDataFrame(rows, ["x", "y"])
+    coef = fit_linear(df, ["x"], "y")
+    x = np.array([[1.0, float(r[0])] for r in rows])
+    y = np.array([float(r[1]) for r in rows])
+    want, *_ = np.linalg.lstsq(x, y, rcond=None)
+    assert coef == pytest.approx(list(want), rel=1e-9)
+
+
+def test_predict_is_scan_side_and_exact_on_linear_data(spark):
+    df = spark.createDataFrame([(i, 2 * i + 1) for i in range(10)], ["x", "y"])
+    coef = fit_linear(df, ["x"], "y")
+    out = predict(df, ["x"], coef)
+    assert "Exchange" not in out._jdf.queryExecution().executedPlan().toString()
+    for r in out.collect():
+        assert r.pred == pytest.approx(r.y, abs=1e-8)
+
+
+# ------------------------------------------------------------- compaction
+
+def stats_src_bytes(spark, path):
+    from parkour_spark.fs import content_size
+
+    return content_size(spark, path)
+
+
+def test_compact_small_files_merges_and_preserves_rows(spark, tmp_path):
+    src = str(tmp_path / "frag")
+    dst = str(tmp_path / "compact")
+    spark.range(10_000).repartition(20).write.parquet(src)
+    stats = compact_small_files(spark, src, dst, target_bytes=1 << 30)
+    assert stats["files_before"] == 20
+    assert stats["files_after"] == 1
+    assert stats["rows"] == 10_000
+    got = {r.id for r in spark.read.parquet(dst).collect()}
+    assert got == set(range(10_000))
+
+
+def test_compact_preserving_range_order(spark, tmp_path):
+    src = str(tmp_path / "frag2")
+    dst = str(tmp_path / "compact2")
+    spark.range(9_000).repartition(18).write.parquet(src)
+    stats = compact_small_files(
+        spark, src, dst, target_bytes=stats_src_bytes(spark, src) // 3 + 1,
+        preserve_order_col="id",
+    )
+    # ~3 output files whose id ranges are disjoint (footer min/max)
+    assert stats["rows"] == 9_000
+    assert stats["files_after"] < stats["files_before"]
+    import pyarrow.parquet as pq
+    import glob, os
+    spans = []
+    for p in sorted(glob.glob(os.path.join(dst, "*.parquet"))):
+        md = pq.ParquetFile(p).metadata
+        if not md.num_rows:
+            continue
+        st = md.row_group(0).column(0).statistics
+        spans.append((st.min, st.max))
+    spans.sort()
+    for (alo, ahi), (blo, bhi) in zip(spans, spans[1:]):
+        assert ahi < blo  # disjoint, ordered ranges
