@@ -32,11 +32,12 @@ def entry(spark: SparkSession) -> DataFrame:
 # the local gate replica (scripts/check_oracle.py over ALL entries —
 # same compare: rows + columns + sorted value hash vs DuckDB).
 #
-# r6 window = (a) the 12 entries new this round (lsh_topk_planted,
+# r6 window = (a) the 14 entries new this round (lsh_topk_planted,
 # q8_market_share, fuzzy_join_part_names, weighted_sample_by_source,
 # dsir_importance_weights, last_touch_attribution,
 # jl_projection_fingerprint, lsh_multiprobe_topk, hard_negative_mining,
-# per_source_quota, mg_heavy_tokens, linreg_moments_docstats),
+# per_source_quota, mg_heavy_tokens, linreg_moments_docstats,
+# training_shards_manifest, label_centroid_sums),
 # (b) the 9 entries whose code or oracle changed this round: the 7
 # r5 hash-mismatch oracles rewritten HUGEINT→BIGINT
 # (substring_dedup_clean, hll_distinct_orders, winsorized_price_stats,
@@ -44,12 +45,15 @@ def entry(spark: SparkSession) -> DataFrame:
 # merged_event_intervals), multimodal_features (float32→double cast
 # before round), substring_spans_delta (persisted-index refactor),
 # (c) ALL 14 remaining never-verified entries (backlog → 0 this
-# round), (d) filled to 50 with 15 of the 41 r3-era rows. The 26
+# round), (d) filled to 50 with 13 of the 41 r3-era rows. The 28
 # r3-era entries deferred to r7 include streaming_enriched_counts,
 # streaming_events_hourly, streaming_sliding_30m,
 # streaming_stateful_user_counts (in-window siblings streaming_dedup,
 # streaming_session_30m, plus streaming_quality_ingest in the
-# never-verified block), and the 8 tuple-shape goldens
+# never-verified block), order_price_ranks and ordered_positive_custkeys
+# (window-rank/sort shapes with in-window siblings
+# top3_orders_per_customer-class entries and secondary_sort goldens in
+# the local gate), and the 8 tuple-shape goldens
 # (shape_*, byte-golden-tested vs reference fixtures every round),
 # 8 single-scan aggregates/rollups (distinct_tokens, events_hourly,
 # events_user_counts, orders_per_quarter, region_customer_counts,
@@ -69,6 +73,7 @@ _R6_WINDOW = [
     "last_touch_attribution", "jl_projection_fingerprint",
     "lsh_multiprobe_topk", "hard_negative_mining", "per_source_quota",
     "mg_heavy_tokens", "linreg_moments_docstats",
+    "training_shards_manifest", "label_centroid_sums",
     # changed this round: the 7 re-landed oracle fixes + 2 code changes
     "substring_dedup_clean", "hll_distinct_orders",
     "winsorized_price_stats", "gapfilled_hourly_events",
@@ -84,8 +89,7 @@ _R6_WINDOW = [
     # oldest (r3-era) driver rows
     "asof_purchase_view",
     "customers_without_urgent_orders",
-    "ivf_topk_cosine_column", "order_price_ranks",
-    "ordered_positive_custkeys", "orders_above_customer_avg",
+    "ivf_topk_cosine_column", "orders_above_customer_avg",
     "parts_never_bulk_ordered", "price_quantiles_by_segment", "q3_shipping_priority",
     "q5_local_supplier_revenue", "rollup_returnflag_status",
     "sql_correlated_subquery", "streaming_dedup",

@@ -323,6 +323,50 @@ def stratified_sample(
     return df.where(bucket < thresh)
 
 
+def shard_manifest(
+    docs: DataFrame,
+    n_shards: int = 64,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """Training-shard assignment + manifest: each doc lands in shard
+    hash(id) % n_shards (content-addressed — stable across runs,
+    engines, and partitionings, so a re-run never reshuffles shard
+    membership under a data loader), and the manifest row per shard
+    carries (n_docs, n_tokens, content_fp) — the contract a training
+    job checks before consuming the shard.
+
+    content_fp is the XOR of per-doc 60-bit content hashes
+    (md5(id:text)): order-independent and CONSTANT-width, so it rides
+    partial aggregation and never overflows — the associative
+    fingerprint that works where concat-of-sorted-ids (unbounded
+    string) or sum-of-hashes (int64 overflow) break at corpus scale.
+
+    ONE scan, ONE shuffle of n_shards×partitions partial cells."""
+    doc_fp = F.conv(
+        F.substring(
+            F.md5(F.concat_ws(":", F.col(id_col).cast("string"), F.col(text_col))),
+            1,
+            15,
+        ),
+        16,
+        10,
+    ).cast("long")
+    return (
+        docs.select(
+            hash_bucket(F.col(id_col), n_shards).alias("shard"),
+            token_count(text_col).cast("long").alias("__nt"),
+            doc_fp.alias("__fp"),
+        )
+        .groupBy("shard")
+        .agg(
+            F.count("*").alias("n_docs"),
+            F.sum("__nt").alias("n_tokens"),
+            F.expr("bit_xor(__fp)").alias("content_fp"),
+        )
+    )
+
+
 def quota_cap(
     df: DataFrame,
     group_col: str,

@@ -129,3 +129,37 @@ def kmeans_inertia(
     )
     row = assigned.select(F.sum(1 - cos).alias("inertia")).first()
     return float(row["inertia"])
+
+
+def grouped_centroids(
+    df: DataFrame,
+    group_col: str = "label",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Per-group centroid SUFFICIENT STATISTICS in exact integer
+    micro-units: one row per (group, pos) with (sum_micro, n); the
+    centroid itself is sum_micro / (n * 1e6), left to the caller so the
+    distributed output stays integer-exact (float vector sums are
+    partition-order-dependent; integer sums are associative — the same
+    discipline as regress.moment_matrix). The nearest-class-mean /
+    class-prototype primitive: feeds per-class SemDeDup, prototype
+    classifiers, and drift monitors.
+
+    SCALE: scan-side posexplode + partial agg — the shuffle carries
+    groups × dims × partitions cells, never the corpus. Element
+    quantization is floor(v * 1e6) on the double-cast value, the
+    cross-engine-exact form (floor avoids the half-even/half-up rounding
+    split)."""
+    return (
+        df.select(
+            F.col(group_col).alias("grp"),
+            F.posexplode(F.expr(f"transform({vec_col}, x -> cast(x as double))")).alias(
+                "pos", "v"
+            ),
+        )
+        .groupBy("grp", "pos")
+        .agg(
+            F.sum(F.floor(F.col("v") * 1e6).cast("long")).alias("sum_micro"),
+            F.count("*").alias("n"),
+        )
+    )

@@ -6904,3 +6904,53 @@ def q_linreg_moments(spark, sf_dir):
 
     docs = _t(spark, sf_dir, "documents")
     return R.moment_matrix(docs, [token_count("text")], F.length("text"))
+
+
+@query(
+    "training_shards_manifest",
+    """
+    WITH d AS (
+      SELECT ('0x' || substr(md5(doc_id::VARCHAR), 1, 8))::BIGINT % 16 AS shard,
+             len(list_filter(string_split_regex(trim(text), '\\s+'),
+                             t -> t <> ''))::BIGINT AS nt,
+             ('0x' || substr(md5(doc_id::VARCHAR || ':' || text), 1, 15))::BIGINT AS fp
+      FROM documents)
+    SELECT shard, count(*)::BIGINT AS n_docs, sum(nt)::BIGINT AS n_tokens,
+           bit_xor(fp)::BIGINT AS content_fp
+    FROM d GROUP BY shard
+    """,
+)
+def q_training_shards_manifest(spark, sf_dir):
+    """Training-shard manifest (corpus.shard_manifest): content-hash
+    shard assignment + per-shard doc/token counts and an XOR content
+    fingerprint — order-independent, constant-width, partial-agg-safe.
+    The data-loader contract for serving a prepared corpus."""
+    docs = _t(spark, sf_dir, "documents")
+    return C.shard_manifest(docs, n_shards=16)
+
+
+@query(
+    "label_centroid_sums",
+    """
+    WITH e AS (SELECT label, list_transform(embedding, x -> x::DOUBLE) AS v
+               FROM embeddings),
+    x AS (SELECT label, unnest(v) AS val, unnest(range(len(v))) AS pos FROM e)
+    SELECT label, pos, sum(floor(val * 1e6)::BIGINT)::BIGINT AS sum_micro,
+           count(*)::BIGINT AS n
+    FROM x GROUP BY label, pos
+    """,
+)
+def q_label_centroid_sums(spark, sf_dir):
+    """Per-class centroid sufficient statistics
+    (kmeans.grouped_centroids): exact integer micro-unit element sums
+    per (label, position) — associative, so the only shuffle carries
+    labels x dims x partitions cells. The class-prototype primitive."""
+    from parkour_spark.operators import kmeans as K
+
+    emb = _t(spark, sf_dir, "embeddings")
+    return K.grouped_centroids(emb, "label", "embedding").select(
+        F.col("grp").alias("label"),
+        F.col("pos").cast("long").alias("pos"),
+        "sum_micro",
+        "n",
+    )

@@ -206,3 +206,52 @@ def test_compact_preserving_range_order(spark, tmp_path):
     spans.sort()
     for (alo, ahi), (blo, bhi) in zip(spans, spans[1:]):
         assert ahi < blo  # disjoint, ordered ranges
+
+
+# ------------------------------------------------------- shard manifest
+
+def test_shard_manifest_matches_python_replica_and_is_layout_stable(spark):
+    import hashlib
+
+    from parkour_spark.operators.corpus import shard_manifest
+
+    rows = [(i, f"doc {i} has some tokens here x{i}") for i in range(40)]
+    df = spark.createDataFrame(rows, ["doc_id", "text"])
+    got = {r.shard: (r.n_docs, r.n_tokens, r.content_fp)
+           for r in shard_manifest(df, n_shards=4).collect()}
+    want = {}
+    for i, txt in rows:
+        shard = int(hashlib.md5(str(i).encode()).hexdigest()[:8], 16) % 4
+        fp = int(hashlib.md5(f"{i}:{txt}".encode()).hexdigest()[:15], 16)
+        nd, nt, x = want.get(shard, (0, 0, 0))
+        want[shard] = (nd + 1, nt + len(txt.split()), x ^ fp)
+    assert got == want
+    # content-addressed: any partition layout produces the same manifest
+    got2 = {r.shard: (r.n_docs, r.n_tokens, r.content_fp)
+            for r in shard_manifest(df.repartition(7), n_shards=4).collect()}
+    assert got2 == got
+
+
+# ----------------------------------------------------- grouped centroids
+
+def test_grouped_centroids_exact_sums_and_mean_reconstruction(spark):
+    import math
+
+    from parkour_spark.operators.kmeans import grouped_centroids
+
+    rows = [
+        ("a", [1.0, 2.0]), ("a", [3.0, 4.0]),
+        ("b", [-1.25, 0.5]),
+    ]
+    df = spark.createDataFrame(rows, ["label", "embedding"])
+    got = {(r.grp, r.pos): (r.sum_micro, r.n)
+           for r in grouped_centroids(df, "label", "embedding").collect()}
+    want = {}
+    for lbl, v in rows:
+        for p, x in enumerate(v):
+            s, n = want.get((lbl, p), (0, 0))
+            want[(lbl, p)] = (s + math.floor(x * 1e6), n + 1)
+    assert got == want
+    # centroid reconstruction: sum_micro/(n*1e6) ~= mean within 1e-6
+    s, n = got[("a", 0)]
+    assert abs(s / (n * 1e6) - 2.0) <= 1e-6
