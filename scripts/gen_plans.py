@@ -48,6 +48,12 @@ COMMENTARY = {
     "weighted_sample_by_source": "A-ES weighted sampling: priorities are a pure scan-side projection (md5-hash dyadic u, ln(u)/w); the ONLY exchange is the per-source ranking window; no RNG state, so the plan is replayable on any partition layout.",
     "dsir_importance_weights": "DSIR: token bucket occurrences explode scan-side; the 4096-row smoothed log-ratio table builds from two bounded aggregates and BROADCASTS into the scoring join; the raw corpus shuffles exactly once - the per-doc integer micro-nat sum.",
     "last_touch_attribution": "Attribution: the event scan collapses to 3 event types scan-side; ONE user-keyed window (running last_value IGNORE NULLS over (ts, event_id)) carries the last touch to each conversion - no self-join, no per-conversion probe.",
+    "hard_negative_mining": "Hard-negative mining: the query set (with labels + gold ids) BROADCASTS into one corpus scan; the exclusion predicate (label mismatch, not-the-positive) filters before scoring, norms are hoisted to one fold per row, and the only Exchange is the per-query ranking window - (query, candidate, score) tuples, never the corpus.",
+    "per_source_quota": "Domain cap: ONE hash Exchange on source, and Catalyst inserts a map-side WindowGroupLimit BEFORE it - each task pre-prunes to the top N per key, so the shuffle itself carries at most N x keys x partitions rows (the partial-agg analog for window ranks); the post-shuffle window + rank<=N filter finishes the job.",
+    "mg_heavy_tokens": "Misra-Gries heavy hitters: tokens explode scan-side into per-partition Arrow MG folds (<=k+1 rows out per partition); the driver-merged candidate set returns as an array-literal filter, so the only full-width Exchange aggregates candidate rows only - the token dictionary itself never shuffles.",
+    "linreg_moments_docstats": "Least-squares moments: token counts and char lengths are scan-side projections; all d(d+1)/2+d moment cells ride ONE partial aggregate to a single-row Exchange, then explode to long form - the normal-equation statistics at the cost of one scan.",
+    "training_shards_manifest": "Shard manifest: shard id, token count, and the 60-bit doc hash are one scan-side projection; the XOR/count/sum manifest aggregates with map-side partials, so the Exchange carries n_shards x partitions cells.",
+    "label_centroid_sums": "Class centroids: posexplode runs in the scan projection; the (label, pos) aggregate partial-aggs each partition to labels x dims cells before its single Exchange - integer micro-unit sums keep the merge associative and exact.",
 }
 
 HEADER = """# PLANS — physical-plan evidence for the headline operators

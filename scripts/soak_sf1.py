@@ -71,6 +71,15 @@ SOAK_QUERIES = [
     "kcore_dedup_graph",
     "substring_dedup_spans",
     "substring_spans_delta",
+    # r6 second batch: MG heavy hitters (per-partition fold count and the
+    # candidate-set size are the scale claims), hard-negative mining (one
+    # corpus scan + query-keyed window), shard manifest (pure partial-agg
+    # manifest at 10x docs), and the domain cap whose map-side
+    # WindowGroupLimit should keep the shuffle ~N x sources
+    "mg_heavy_tokens",
+    "hard_negative_mining",
+    "training_shards_manifest",
+    "per_source_quota",
 ]
 
 

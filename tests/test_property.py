@@ -373,3 +373,57 @@ def test_fuzzy_join_sound_and_exact_complete(spark, names):
     self_hits = {(r.l_id, r.r_val) for r in got if r.dist == 0}
     for i, n in enumerate(names):
         assert (i, n) in self_hits, n
+
+
+@given(
+    hot=st.lists(st.integers(min_value=20, max_value=60), min_size=0, max_size=3),
+    cold=st.integers(min_value=0, max_value=80),
+    threshold=st.integers(min_value=8, max_value=30),
+)
+@settings(**_SETTINGS)
+def test_mg_heavy_hitters_equals_exact_on_random_skew(spark, hot, cold, threshold):
+    """mg_heavy_hitters == GROUP BY HAVING count >= T whenever the MG
+    precondition holds, on randomized skew shapes (hot keys of random
+    multiplicity + a random cold tail)."""
+    from parkour_spark.operators.sketch import mg_heavy_hitters
+
+    vals = [f"h{i}" for i, m in enumerate(hot) for _ in range(m)]
+    vals += [f"c{i}" for i in range(cold)]
+    if not vals:
+        return
+    df = spark.createDataFrame([(v,) for v in vals], ["k"]).repartition(3)
+    n = len(vals)
+    k = 64
+    if threshold <= n // (k + 1):  # precondition the operator enforces
+        return
+    got = {(r.k, r.n) for r in
+           mg_heavy_hitters(df, "k", k=k, threshold=threshold).collect()}
+    import collections
+    cnt = collections.Counter(vals)
+    want = {(kk, c) for kk, c in cnt.items() if c >= threshold}
+    assert got == want
+
+
+@given(
+    rows=st.lists(
+        st.tuples(st.integers(0, 2), st.integers(0, 9)), min_size=1, max_size=30
+    ),
+    n=st.integers(min_value=1, max_value=4),
+)
+@settings(**_SETTINGS)
+def test_quota_cap_matches_reference(spark, rows, n):
+    """quota_cap == per-group sort by (score desc, id) truncated to n."""
+    from parkour_spark.operators.corpus import quota_cap
+
+    data = [(f"g{g}", i, s) for i, (g, s) in enumerate(rows)]
+    df = spark.createDataFrame(data, ["src", "doc_id", "score"])
+    got = {(r.src, r.doc_id) for r in
+           quota_cap(df, "src", "score", "doc_id", n=n).collect()}
+    by_g: dict[str, list] = {}
+    for g, i, s in data:
+        by_g.setdefault(g, []).append((-s, i))
+    want = set()
+    for g, lst in by_g.items():
+        for negs, i in sorted(lst)[:n]:
+            want.add((g, i))
+    assert got == want
