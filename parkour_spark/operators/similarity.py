@@ -304,6 +304,83 @@ def ivf_topk(
     return scored.withColumn("rank", F.row_number().over(w)).where(F.col("rank") <= k)
 
 
+def ivf_index_build(
+    corpus: DataFrame,
+    centroids: list[tuple[int, list[float]]],
+    path: str,
+    corpus_vec: str = "embedding",
+) -> None:
+    """Build and PERSIST the IVF index: one Arrow/BLAS assignment scan,
+    the norm precomputed (the same sequential fold the probe-side cosine
+    uses, so stored-and-read-back doubles are bit-identical to
+    recomputing), written `partitionBy(cell)` — each inverted list is
+    its own partition directory, which is what makes probe-time
+    PARTITION PRUNING possible. Built once per corpus version; query
+    batches then pay only probed-cell reads (ivf_probe_topk), the
+    embedding analog of `substring_fp_index` for text."""
+    assigned = ivf_assign_arrow(widen_scan(corpus), centroids, corpus_vec, "cell")
+    (
+        assigned.withColumn("cnorm", norm(corpus_vec))
+        .write.mode("overwrite")
+        .partitionBy("cell")
+        .parquet(path)
+    )
+
+
+def ivf_probe_topk(
+    spark,
+    index_path: str,
+    queries: DataFrame,
+    centroids: list[tuple[int, list[float]]],
+    k: int = 10,
+    nprobe: int = 4,
+    corpus_id: str = "vec_id",
+    corpus_vec: str = "embedding",
+    query_id: str = "query_id",
+    query_vec: str = "query_vec",
+) -> DataFrame:
+    """Probe-only IVF top-k against a PERSISTED index (ivf_index_build):
+    the ingest/serving path where the corpus assignment is already paid.
+    The union of probed cells is collected driver-side (≤ |queries| ×
+    nprobe ints — small by construction) and applied as a STATIC
+    partition filter, so the scan opens only the probed cells' files —
+    at 1000 inverted lists and nprobe=4, a query batch touching 30
+    distinct cells reads 3% of the index. Results are identical to
+    ivf_topk over the same corpus/centroids: assignment was the same
+    Arrow argmax, and the stored `cnorm` is the same fold the in-line
+    path computes."""
+    cent_arr = _centroid_array(centroids)
+    qn = norm(query_vec)
+    scores = F.transform(
+        cent_arr,
+        lambda cc: F.struct(
+            (dot(F.col(query_vec), cc["v"]) / (qn * cc["n"])).alias("cos"),
+            (-cc["cid"]).alias("ncid"),
+        ),
+    )
+    probes = explode_fast(
+        queries,
+        F.transform(
+            F.slice(F.reverse(F.array_sort(scores)), 1, nprobe),
+            lambda s: -s["ncid"],
+        ),
+        "cell",
+        keep=[query_id, query_vec],
+    ).withColumn("__qn", norm(query_vec))
+    cells = sorted(int(r["cell"]) for r in probes.select("cell").distinct().collect())
+    c = spark.read.parquet(index_path).where(F.col("cell").isin(cells))
+    joined = c.join(F.broadcast(probes), "cell")
+    scored = joined.select(
+        F.col(query_id),
+        F.col(corpus_id),
+        F.round(
+            dot(corpus_vec, query_vec) / (F.col("cnorm") * F.col("__qn")), 4
+        ).alias("cos"),
+    )
+    w = Window.partitionBy(query_id).orderBy(F.col("cos").desc(), F.col(corpus_id))
+    return scored.withColumn("rank", F.row_number().over(w)).where(F.col("rank") <= k)
+
+
 def lsh_topk(
     corpus: DataFrame,
     queries: DataFrame,

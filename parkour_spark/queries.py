@@ -6954,3 +6954,32 @@ def q_label_centroid_sums(spark, sf_dir):
         "sum_micro",
         "n",
     )
+
+
+_IVF_INDEX_DIRS: dict[str, str] = _SfLRUDirs()
+
+
+@query("ivf_probe_persisted_topk", _ivf_oracle())
+def q_ivf_probe_persisted(spark, sf_dir):
+    """Probe-only IVF against a PERSISTED index
+    (similarity.ivf_index_build / ivf_probe_topk): the ingest/serving
+    path. The index is built once per corpus version (cached here like
+    the z-order layout — rebuilding per call would bill the amortized
+    cost as recurring), written partitionBy(cell); the query batch's
+    probed cells apply as a STATIC partition filter so the scan opens
+    only those cells' files. Same oracle as ivf_topk_cosine: the
+    persisted path must return the identical result set."""
+    import tempfile
+
+    emb = _t(spark, sf_dir, "embeddings")
+    cents = _ivf_centroids(spark, sf_dir)
+    if sf_dir not in _IVF_INDEX_DIRS:
+        tmp = tempfile.mkdtemp(prefix="parkour_ivfidx_")
+        SIM.ivf_index_build(emb.where(F.col("vec_id") >= 5), cents, tmp)
+        _IVF_INDEX_DIRS[sf_dir] = tmp
+    queries = emb.where(F.col("vec_id") < 5).select(
+        F.col("vec_id").alias("query_id"), F.col("embedding").alias("query_vec")
+    )
+    return SIM.ivf_probe_topk(
+        spark, _IVF_INDEX_DIRS[sf_dir], queries, cents, k=10, nprobe=4
+    ).select("query_id", "vec_id", "rank", "cos")

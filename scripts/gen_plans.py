@@ -54,6 +54,7 @@ COMMENTARY = {
     "linreg_moments_docstats": "Least-squares moments: token counts and char lengths are scan-side projections; all d(d+1)/2+d moment cells ride ONE partial aggregate to a single-row Exchange, then explode to long form - the normal-equation statistics at the cost of one scan.",
     "training_shards_manifest": "Shard manifest: shard id, token count, and the 60-bit doc hash are one scan-side projection; the XOR/count/sum manifest aggregates with map-side partials, so the Exchange carries n_shards x partitions cells.",
     "label_centroid_sums": "Class centroids: posexplode runs in the scan projection; the (label, pos) aggregate partial-aggs each partition to labels x dims cells before its single Exchange - integer micro-unit sums keep the merge associative and exact.",
+    "ivf_probe_persisted_topk": "Probe-only IVF over the PERSISTED partitioned index: the scan line shows PartitionFilters on cell (the probed-cell set applied statically - only those directories open); the probe side broadcasts, and the only Exchange is the per-query ranking window. Build cost is paid once per corpus version, not per query batch.",
 }
 
 HEADER = """# PLANS — physical-plan evidence for the headline operators
@@ -85,7 +86,7 @@ def main() -> None:
         scans = "\n".join(
             line.strip()
             for line in plan.splitlines()
-            if re.search(r"PushedFilters|ReadSchema|Location", line)
+            if re.search(r"PushedFilters|PartitionFilters|ReadSchema|Location", line)
         )
         out.write(f"## {name}\n\n{note}\n\n```\n{tree}\n")
         if scans:

@@ -148,10 +148,48 @@ def _soak_substring_probe_only(spark):
 # Scale-parameterized variants that the fixed-parameter registered
 # queries (pinned by their sf0.01 oracles) cannot express. Insertion
 # order is execution order: the index build must precede the probe.
+def _soak_ivf_index_build(spark):
+    """Build + PERSIST the partitioned IVF index once over the 10×
+    embedding corpus (similarity.ivf_index_build) — the same
+    build-once/probe-many split the substring pair above measures, for
+    the embedding family."""
+    from parkour_spark.operators.similarity import ivf_index_build
+
+    emb = spark.read.parquet(f"{DST}/embeddings.parquet")
+    cents = [
+        (i, [float(x) for x in r[0]])
+        for i, r in enumerate(
+            emb.where(F.col("vec_id") < 16).orderBy("vec_id")
+            .select("embedding").collect()
+        )
+    ]
+    globals()["_SOAK_IVF_CENTS"] = cents
+    ivf_index_build(emb, cents, f"{DST}/ivf_index.parquet")
+    return spark.read.parquet(f"{DST}/ivf_index.parquet").select("vec_id")
+
+
+def _soak_ivf_probe_only(spark):
+    """Query batch probes the PERSISTED index with static partition
+    pruning — probe cost should be ≪ build cost and scale with probed
+    cells, not corpus size."""
+    from parkour_spark.operators.similarity import ivf_probe_topk
+
+    emb = spark.read.parquet(f"{DST}/embeddings.parquet")
+    queries = emb.where(F.col("vec_id").between(100, 131)).select(
+        F.col("vec_id").alias("query_id"), F.col("embedding").alias("query_vec")
+    )
+    return ivf_probe_topk(
+        spark, f"{DST}/ivf_index.parquet", queries,
+        globals()["_SOAK_IVF_CENTS"], k=10, nprobe=4,
+    )
+
+
 SOAK_CUSTOM = {
     "semantic_dedup_k_scaled": _soak_semantic_dedup,
     "substring_index_build": _soak_substring_index_build,
     "substring_delta_probe_only": _soak_substring_probe_only,
+    "ivf_index_build": _soak_ivf_index_build,
+    "ivf_delta_probe_only": _soak_ivf_probe_only,
 }
 
 

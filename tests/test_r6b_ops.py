@@ -255,3 +255,53 @@ def test_grouped_centroids_exact_sums_and_mean_reconstruction(spark):
     # centroid reconstruction: sum_micro/(n*1e6) ~= mean within 1e-6
     s, n = got[("a", 0)]
     assert abs(s / (n * 1e6) - 2.0) <= 1e-6
+
+
+# ------------------------------------------------------ persisted IVF index
+
+def test_ivf_probe_persisted_equals_inline_and_prunes_partitions(spark, tmp_path):
+    import math
+
+    from parkour_spark.operators.similarity import (
+        ivf_index_build, ivf_probe_topk, ivf_topk,
+    )
+
+    # 3 well-separated clusters near the axes of R^2
+    def ring(cx, cy, n, base):
+        return [
+            (base + i, [cx + 0.01 * i, cy + 0.005 * i]) for i in range(n)
+        ]
+
+    corpus_rows = ring(1.0, 0.0, 5, 0) + ring(0.0, 1.0, 5, 10) + ring(-1.0, -1.0, 5, 20)
+    corpus = spark.createDataFrame(corpus_rows, ["vec_id", "embedding"])
+    cents = [(0, [1.0, 0.0]), (1, [0.0, 1.0]), (2, [-1.0, -1.0])]
+    queries = spark.createDataFrame(
+        [(100, [0.9, 0.1]), (101, [0.1, 0.9])], ["query_id", "query_vec"]
+    )
+    idx = str(tmp_path / "ivfidx")
+    ivf_index_build(corpus, cents, idx)
+
+    got = ivf_probe_topk(spark, idx, queries, cents, k=3, nprobe=1)
+    want = ivf_topk(corpus, queries, cents, k=3, nprobe=1)
+    as_set = lambda df: {(r.query_id, r.vec_id, r.rank, r.cos) for r in df.collect()}
+    assert as_set(got) == as_set(want)
+
+    # partition pruning: with nprobe=1 both queries probe 2 of 3 cells;
+    # the probed-cell filter must reach the scan as a PartitionFilter
+    # (directory-level pruning, not a post-scan row filter)
+    plan = got._jdf.queryExecution().executedPlan().toString()
+    m = [ln for ln in plan.splitlines() if "PartitionFilters" in ln]
+    assert m and "cell" in m[0] and " IN " in m[0].upper().replace("IN(", "IN (")
+    # and the pruned scan reports fewer partitions than the full index
+    import re as _re
+
+    def n_parts(p):
+        mm = _re.search(r"(\d+) parts", p)
+        return int(mm.group(1)) if mm else None
+
+    full_plan = (
+        spark.read.parquet(idx)._jdf.queryExecution().executedPlan().toString()
+    )
+    np_, nf = n_parts(plan), n_parts(full_plan)
+    if np_ is not None and nf is not None:
+        assert np_ < nf
