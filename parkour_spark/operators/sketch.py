@@ -225,6 +225,26 @@ def bloom_prefilter(fact: DataFrame, bits: DataFrame, key: str,
     return out.drop("__pos")
 
 
+def _hll_bucket_rho(key: str, m: int) -> tuple[Column, Column]:
+    """The engine-exact (bucket, rho) expressions shared by the global
+    and grouped register builders: bucket from the first 8 md5 hex
+    chars, rho from string ops on the next 16 (leading '0' hex digits
+    × 4 + a per-digit CASE) — replayable bit-for-bit in ANSI SQL."""
+    h = F.md5(F.col(key).cast("string"))
+    bucket = F.conv(F.substring(h, 1, 8), 16, 10).cast("long") % m
+    w = F.substring(h, 9, 16)  # 16 hex chars = 64 bits
+    lz = F.length(F.regexp_extract(w, "^(0*)", 1))
+    first = F.substr(w, lz + 1, F.lit(1))  # '' when all 16 digits are 0
+    extra = (
+        F.when(first == "1", 3)
+        .when(first.isin("2", "3"), 2)
+        .when(first.isin("4", "5", "6", "7"), 1)
+        .otherwise(0)
+    )
+    rho = F.when(first == "", 65).otherwise(lz * 4 + extra + 1)
+    return bucket, rho
+
+
 def hll_registers(df: DataFrame, key: str, p: int = 8) -> DataFrame:
     """HyperLogLog registers (Flajolet et al. 2007) over `key`: m = 2**p
     rows (bucket, rho), rho = max over the bucket's keys of
@@ -242,18 +262,7 @@ def hll_registers(df: DataFrame, key: str, p: int = 8) -> DataFrame:
     on matching any engine's builtin HLL layout (Spark's
     approx_count_distinct sketch and DuckDB's are mutually opaque)."""
     m = 1 << p
-    h = F.md5(F.col(key).cast("string"))
-    bucket = F.conv(F.substring(h, 1, 8), 16, 10).cast("long") % m
-    w = F.substring(h, 9, 16)  # 16 hex chars = 64 bits
-    lz = F.length(F.regexp_extract(w, "^(0*)", 1))
-    first = F.substr(w, lz + 1, F.lit(1))  # '' when all 16 digits are 0
-    extra = (
-        F.when(first == "1", 3)
-        .when(first.isin("2", "3"), 2)
-        .when(first.isin("4", "5", "6", "7"), 1)
-        .otherwise(0)
-    )
-    rho = F.when(first == "", 65).otherwise(lz * 4 + extra + 1)
+    bucket, rho = _hll_bucket_rho(key, m)
     regs = (
         df.select(bucket.alias("bucket"), rho.alias("rho"))
         .groupBy("bucket")
@@ -298,6 +307,70 @@ def hll_estimate(regs: DataFrame, p: int = 8) -> DataFrame:
         F.lit(float(m)) * F.log(F.lit(float(m)) / F.col("n_zero_buckets")),
     ).otherwise(raw)
     return agg.select(
+        F.lit(m).alias("m"),
+        "n_zero_buckets",
+        "registers_fp",
+        F.round(est, 2).alias("estimate"),
+    )
+
+
+def hll_registers_by(
+    df: DataFrame, group_col: str, key: str, p: int = 8
+) -> DataFrame:
+    """Per-group HLL registers: (grp, bucket, rho), dense — m = 2**p
+    rows per observed group. The COUNT(DISTINCT key) GROUP BY grp
+    killer at 100 TB is the per-group distinct shuffle (one row per
+    (group, key) pair); here each task folds its partition into ≤
+    groups × m cells and ONLY CELLS SHUFFLE — per-group distinct
+    counts at a fixed per-group cost, and registers for the same group
+    from disjoint corpora merge by element-wise max.
+
+    Assumes group cardinality is bounded (dimension-like: event types,
+    languages, sources — the cases where per-group distincts are
+    asked); the dense frame is groups × m rows."""
+    m = 1 << p
+    bucket, rho = _hll_bucket_rho(key, m)
+    regs = (
+        df.select(F.col(group_col).alias("grp"), bucket.alias("bucket"), rho.alias("rho"))
+        .groupBy("grp", "bucket")
+        .agg(F.max("rho").alias("rho"))
+    )
+    groups = df.select(F.col(group_col).alias("grp")).distinct()
+    full = groups.crossJoin(
+        df.sparkSession.range(m).select(F.col("id").alias("bucket"))
+    )
+    return full.join(regs, ["grp", "bucket"], "left").select(
+        "grp", "bucket", F.coalesce("rho", F.lit(0)).alias("rho")
+    )
+
+
+def hll_estimate_by(regs: DataFrame, p: int = 8) -> DataFrame:
+    """Per-group cardinality estimates from grouped registers — the same
+    exact decimal(38,0) harmonic sum, registers_fp, and small-range
+    correction as hll_estimate, one output row per group."""
+    m = 1 << p
+    alpha_mm = (0.7213 / (1 + 1.079 / m)) * m * m
+    term = F.pow(F.lit(2.0), 64 - F.col("rho")).cast("decimal(38,0)")
+    agg = regs.groupBy("grp").agg(
+        F.sum(term).alias("__S"),
+        F.sum(F.when(F.col("rho") == 0, 1).otherwise(0)).alias("n_zero_buckets"),
+        F.md5(
+            F.array_join(
+                F.transform(
+                    F.array_sort(F.collect_list(F.struct("bucket", "rho"))),
+                    lambda s: s["rho"].cast("string"),
+                ),
+                ",",
+            )
+        ).alias("registers_fp"),
+    )
+    raw = F.lit(alpha_mm) * F.pow(F.lit(2.0), 64) / F.col("__S").cast("double")
+    est = F.when(
+        (raw <= 2.5 * m) & (F.col("n_zero_buckets") > 0),
+        F.lit(float(m)) * F.log(F.lit(float(m)) / F.col("n_zero_buckets")),
+    ).otherwise(raw)
+    return agg.select(
+        "grp",
         F.lit(m).alias("m"),
         "n_zero_buckets",
         "registers_fp",

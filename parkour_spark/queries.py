@@ -6983,3 +6983,72 @@ def q_ivf_probe_persisted(spark, sf_dir):
     return SIM.ivf_probe_topk(
         spark, _IVF_INDEX_DIRS[sf_dir], queries, cents, k=10, nprobe=4
     ).select("query_id", "vec_id", "rank", "cos")
+
+
+@query(
+    "hll_distinct_users_by_type",
+    f"""
+    WITH h AS (
+      SELECT event_type AS grp,
+             ('0x' || substr(md5(user_id::VARCHAR), 1, 8))::BIGINT % {_HLL_M}
+               AS bucket,
+             substr(md5(user_id::VARCHAR), 9, 16) AS w
+      FROM events),
+    lzs AS (
+      SELECT grp, bucket, w, length(regexp_extract(w, '^(0*)', 1)) AS lz FROM h),
+    regs0 AS (
+      SELECT grp, bucket, max({_HLL_RHO}) AS rho FROM lzs GROUP BY grp, bucket),
+    grps AS (SELECT DISTINCT event_type AS grp FROM events),
+    regs AS (
+      SELECT g.grp, r.range AS bucket, coalesce(regs0.rho, 0) AS rho
+      FROM grps g CROSS JOIN range({_HLL_M}) r
+      LEFT JOIN regs0 ON regs0.grp = g.grp AND r.range = regs0.bucket),
+    agg AS (
+      SELECT grp,
+             sum(CAST(pow(2, 64 - rho) AS DECIMAL(38,0))) AS S,
+             CAST(sum(CASE WHEN rho = 0 THEN 1 ELSE 0 END) AS BIGINT)
+               AS n_zero_buckets,
+             md5(string_agg(rho::VARCHAR, ',' ORDER BY bucket)) AS registers_fp
+      FROM regs GROUP BY grp),
+    ex AS (SELECT event_type AS grp, count(DISTINCT user_id) AS exact_distinct
+           FROM events GROUP BY event_type),
+    est AS (
+      SELECT grp, n_zero_buckets, registers_fp,
+             round(CASE WHEN ({_HLL_ALPHA_MM} * pow(2, 64) / CAST(S AS DOUBLE))
+                             <= 2.5 * {_HLL_M}
+                         AND n_zero_buckets > 0
+                        THEN {_HLL_M}.0 * ln({_HLL_M}.0 / n_zero_buckets)
+                        ELSE {_HLL_ALPHA_MM} * pow(2, 64) / CAST(S AS DOUBLE)
+                   END, 2) AS estimate
+      FROM agg)
+    SELECT est.grp, {_HLL_M} AS m, n_zero_buckets, registers_fp, estimate,
+           ex.exact_distinct,
+           abs(estimate - ex.exact_distinct) <= 0.195 * ex.exact_distinct
+             AS within_3sigma
+    FROM est JOIN ex ON est.grp = ex.grp
+    """,
+)
+def q_hll_by_type(spark, sf_dir):
+    """Per-group engine-exact HyperLogLog
+    (sketch.hll_registers_by/hll_estimate_by): distinct users per event
+    type at a FIXED per-group cost — the COUNT(DISTINCT ...) GROUP BY
+    killer replaced by groups x m register cells that ride partial
+    aggregation and merge by element-wise max across corpora. The whole
+    per-group sketch hash-compares (registers_fp), plus the exact count
+    and a 3-sigma bound flag computed identically in both engines."""
+    from parkour_spark.operators.sketch import hll_estimate_by, hll_registers_by
+
+    ev = _t(spark, sf_dir, "events")
+    regs = hll_registers_by(ev, "event_type", "user_id", p=_HLL_P)
+    est = hll_estimate_by(regs, p=_HLL_P)
+    exact = ev.groupBy(F.col("event_type").alias("grp")).agg(
+        F.countDistinct("user_id").alias("exact_distinct")
+    )
+    return est.join(exact, "grp").select(
+        "grp", "m", "n_zero_buckets", "registers_fp", "estimate",
+        "exact_distinct",
+        (
+            F.abs(F.col("estimate") - F.col("exact_distinct"))
+            <= 0.195 * F.col("exact_distinct")
+        ).alias("within_3sigma"),
+    )

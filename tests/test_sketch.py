@@ -158,3 +158,44 @@ def test_hll_rho_matches_integer_reference(spark):
         rho = 65 if w == 0 else (64 - w.bit_length()) + 1
         ref[bucket] = max(ref[bucket], rho)
     assert got == ref
+
+
+def test_hll_by_group_merges_and_matches_global_per_group(spark):
+    """Grouped registers for group g == global registers over g's rows,
+    and registers from disjoint halves merge by element-wise max."""
+    from parkour_spark.operators.sketch import (
+        hll_estimate_by, hll_registers, hll_registers_by,
+    )
+
+    rows = [(f"g{i % 2}", f"u{i % 37}") for i in range(200)]
+    df = spark.createDataFrame(rows, ["g", "u"])
+    grouped = hll_registers_by(df, "g", "u", p=4)
+    for g in ("g0", "g1"):
+        sub = hll_registers(df.where(F.col("g") == g), "u", p=4)
+        want = {(r.bucket, r.rho) for r in sub.collect()}
+        got = {(r.bucket, r.rho)
+               for r in grouped.where(F.col("grp") == g).collect()}
+        assert got == want
+    # mergeability: max-merge of half registers == full registers
+    h1 = hll_registers_by(df.where(F.col("u") < "u2"), "g", "u", p=4)
+    h2 = hll_registers_by(df.where(~(F.col("u") < "u2")), "g", "u", p=4)
+    merged = {
+        (r.grp, r.bucket): r.rho
+        for r in h1.unionByName(h2)
+        .groupBy("grp", "bucket")
+        .agg(F.max("rho").alias("rho"))
+        .collect()
+    }
+    full = {(r.grp, r.bucket): r.rho for r in grouped.collect()}
+    assert merged == full
+
+
+def test_hll_by_group_estimates_reasonable(spark):
+    from parkour_spark.operators.sketch import hll_estimate_by, hll_registers_by
+
+    rows = [("a", f"u{i}") for i in range(300)] + [("b", f"v{i}") for i in range(30)]
+    df = spark.createDataFrame(rows, ["g", "u"])
+    est = {r.grp: (r.estimate, r.n_zero_buckets)
+           for r in hll_estimate_by(hll_registers_by(df, "g", "u", p=8), p=8).collect()}
+    assert abs(est["a"][0] - 300) <= 0.2 * 300
+    assert abs(est["b"][0] - 30) <= 0.2 * 30
