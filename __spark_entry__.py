@@ -32,13 +32,14 @@ def entry(spark: SparkSession) -> DataFrame:
 # the local gate replica (scripts/check_oracle.py over ALL entries —
 # same compare: rows + columns + sorted value hash vs DuckDB).
 #
-# r6 window = (a) the 16 entries new this round (lsh_topk_planted,
+# r6 window = (a) the 17 entries new this round (lsh_topk_planted,
 # q8_market_share, fuzzy_join_part_names, weighted_sample_by_source,
 # dsir_importance_weights, last_touch_attribution,
 # jl_projection_fingerprint, lsh_multiprobe_topk, hard_negative_mining,
 # per_source_quota, mg_heavy_tokens, linreg_moments_docstats,
 # training_shards_manifest, label_centroid_sums,
-# ivf_probe_persisted_topk, hll_distinct_users_by_type),
+# ivf_probe_persisted_topk, hll_distinct_users_by_type,
+# token_drift_sources),
 # (b) the 9 entries whose code or oracle changed this round: the 7
 # r5 hash-mismatch oracles rewritten HUGEINT→BIGINT
 # (substring_dedup_clean, hll_distinct_orders, winsorized_price_stats,
@@ -46,11 +47,12 @@ def entry(spark: SparkSession) -> DataFrame:
 # merged_event_intervals), multimodal_features (float32→double cast
 # before round), substring_spans_delta (persisted-index refactor),
 # (c) ALL 14 remaining never-verified entries (backlog → 0 this
-# round), (d) filled to 50 with 11 of the 41 r3-era rows. The 30
+# round), (d) filled to 50 with 10 of the 41 r3-era rows. The 31
 # r3-era entries deferred to r7 include orders_above_customer_avg
 # (decorrelation sibling sql_correlated_subquery in window),
 # parts_never_bulk_ordered (anti-join sibling
-# customers_without_urgent_orders in window),
+# customers_without_urgent_orders in window), ivf_topk_cosine_column
+# (ivf_probe_persisted_topk in window shares its EXACT oracle),
 # streaming_enriched_counts,
 # streaming_events_hourly, streaming_sliding_30m,
 # streaming_stateful_user_counts (in-window siblings streaming_dedup,
@@ -80,6 +82,7 @@ _R6_WINDOW = [
     "mg_heavy_tokens", "linreg_moments_docstats",
     "training_shards_manifest", "label_centroid_sums",
     "ivf_probe_persisted_topk", "hll_distinct_users_by_type",
+    "token_drift_sources",
     # changed this round: the 7 re-landed oracle fixes + 2 code changes
     "substring_dedup_clean", "hll_distinct_orders",
     "winsorized_price_stats", "gapfilled_hourly_events",
@@ -95,7 +98,6 @@ _R6_WINDOW = [
     # oldest (r3-era) driver rows
     "asof_purchase_view",
     "customers_without_urgent_orders",
-    "ivf_topk_cosine_column",
     "price_quantiles_by_segment", "q3_shipping_priority",
     "q5_local_supplier_revenue", "rollup_returnflag_status",
     "sql_correlated_subquery", "streaming_dedup",

@@ -852,3 +852,76 @@ def dsir_importance(
             F.sum("lr_micro").alias("logweight_micro"),
         )
     )
+
+
+def token_drift(
+    docs_a: DataFrame,
+    docs_b: DataFrame,
+    text_col: str = "text",
+    n_buckets: int = 4096,
+) -> DataFrame:
+    """Distribution drift between two corpus snapshots/slices: smoothed
+    KL divergences (both directions) and total-variation distance
+    between their hashed-unigram token distributions — the monitoring
+    primitive that catches a scraper change, a source mix shift, or a
+    bad ingest batch BEFORE it trains. One summary row:
+    (n_toks_a, n_toks_b, n_buckets_obs, kl_ab_nano, kl_ba_nano,
+    tv_nano) — integer nano-nats / nano-TV so the distributed sums are
+    order-independent and cross-engine exact (dsir_importance's
+    micro-nat discipline, one scale finer because per-bucket terms are
+    ~1e-4).
+
+    Hashing bounds the feature space exactly as in dsir_importance: the
+    bucket table is ≤ n_buckets rows however large the vocabulary, the
+    per-side shuffles carry bucket cells only, and the final arithmetic
+    happens on a bucket-count-sized frame. Buckets observed in neither
+    side contribute the same closed-form smoothed term on both engines
+    (added once via the observed-bucket count, not by materializing
+    empty buckets)."""
+    toks = tokens(F.lower(F.trim(F.col(text_col))))
+
+    def occ(df: DataFrame) -> DataFrame:
+        staged = df.select(toks.alias("__t"))
+        return explode_fast(staged, "__t", "__tok", keep=[]).select(
+            hash_bucket(F.col("__tok"), n_buckets).alias("__b")
+        )
+
+    ca = occ(docs_a).groupBy("__b").agg(F.count("*").alias("c_a"))
+    cb = occ(docs_b).groupBy("__b").agg(F.count("*").alias("c_b"))
+    tot = (
+        ca.agg(F.coalesce(F.sum("c_a"), F.lit(0)).alias("n_a"))
+        .crossJoin(cb.agg(F.coalesce(F.sum("c_b"), F.lit(0)).alias("n_b")))
+    )
+    both = (
+        ca.join(cb, "__b", "full")
+        .na.fill({"c_a": 0, "c_b": 0})
+        .crossJoin(F.broadcast(tot))
+    )
+    v = F.lit(n_buckets)
+    p = (F.col("c_a") + 1).cast("double") / (F.col("n_a") + v)
+    q = (F.col("c_b") + 1).cast("double") / (F.col("n_b") + v)
+    terms = both.select(
+        F.round(p * F.log(p / q) * 1e9).cast("long").alias("__kab"),
+        F.round(q * F.log(q / p) * 1e9).cast("long").alias("__kba"),
+        F.round(F.abs(p - q) * 0.5 * 1e9).cast("long").alias("__tv"),
+    )
+    agg = terms.agg(
+        F.sum("__kab").alias("__skab"),
+        F.sum("__kba").alias("__skba"),
+        F.sum("__tv").alias("__stv"),
+        F.count("*").alias("n_buckets_obs"),
+    ).crossJoin(F.broadcast(tot))
+    p0 = F.lit(1.0) / (F.col("n_a") + v)
+    q0 = F.lit(1.0) / (F.col("n_b") + v)
+    miss = (v - F.col("n_buckets_obs")).cast("long")
+    return agg.select(
+        F.col("n_a").cast("long").alias("n_toks_a"),
+        F.col("n_b").cast("long").alias("n_toks_b"),
+        F.col("n_buckets_obs").cast("long").alias("n_buckets_obs"),
+        (F.col("__skab") + miss * F.round(p0 * F.log(p0 / q0) * 1e9).cast("long"))
+        .alias("kl_ab_nano"),
+        (F.col("__skba") + miss * F.round(q0 * F.log(q0 / p0) * 1e9).cast("long"))
+        .alias("kl_ba_nano"),
+        (F.col("__stv") + miss * F.round(F.abs(p0 - q0) * 0.5 * 1e9).cast("long"))
+        .alias("tv_nano"),
+    )

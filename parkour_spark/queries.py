@@ -7052,3 +7052,66 @@ def q_hll_by_type(spark, sf_dir):
             <= 0.195 * F.col("exact_distinct")
         ).alias("within_3sigma"),
     )
+
+
+@query(
+    "token_drift_sources",
+    f"""
+    WITH ta AS (SELECT unnest({_TOKS_SQL}) AS tok FROM documents
+                WHERE length(source) = 4),
+    tb AS (SELECT unnest({_TOKS_SQL}) AS tok FROM documents
+           WHERE length(source) = 5),
+    ca AS (SELECT ('0x' || substr(md5(tok), 1, 8))::BIGINT % 4096 AS b,
+                  count(*)::BIGINT AS c_a
+           FROM ta GROUP BY 1),
+    cb AS (SELECT ('0x' || substr(md5(tok), 1, 8))::BIGINT % 4096 AS b,
+                  count(*)::BIGINT AS c_b
+           FROM tb GROUP BY 1),
+    tot AS (SELECT (SELECT coalesce(sum(c_a), 0) FROM ca)::BIGINT AS n_a,
+                   (SELECT coalesce(sum(c_b), 0) FROM cb)::BIGINT AS n_b),
+    joined AS (
+      SELECT coalesce(ca.b, cb.b) AS b, coalesce(c_a, 0) AS c_a,
+             coalesce(c_b, 0) AS c_b
+      FROM ca FULL JOIN cb ON ca.b = cb.b),
+    terms AS (
+      SELECT
+        round(((c_a + 1)::DOUBLE / (tot.n_a + 4096))
+              * ln(((c_a + 1)::DOUBLE / (tot.n_a + 4096))
+                   / ((c_b + 1)::DOUBLE / (tot.n_b + 4096))) * 1e9)::BIGINT AS kab,
+        round(((c_b + 1)::DOUBLE / (tot.n_b + 4096))
+              * ln(((c_b + 1)::DOUBLE / (tot.n_b + 4096))
+                   / ((c_a + 1)::DOUBLE / (tot.n_a + 4096))) * 1e9)::BIGINT AS kba,
+        round(abs(((c_a + 1)::DOUBLE / (tot.n_a + 4096))
+                  - ((c_b + 1)::DOUBLE / (tot.n_b + 4096))) * 0.5 * 1e9)::BIGINT AS tv
+      FROM joined CROSS JOIN tot),
+    agg AS (SELECT sum(kab)::BIGINT AS skab, sum(kba)::BIGINT AS skba,
+                   sum(tv)::BIGINT AS stv, count(*)::BIGINT AS n_obs
+            FROM terms)
+    SELECT tot.n_a AS n_toks_a, tot.n_b AS n_toks_b,
+           agg.n_obs AS n_buckets_obs,
+           (skab + (4096 - n_obs)
+              * round((1.0 / (tot.n_a + 4096))
+                      * ln((1.0 / (tot.n_a + 4096)) / (1.0 / (tot.n_b + 4096)))
+                      * 1e9)::BIGINT)::BIGINT AS kl_ab_nano,
+           (skba + (4096 - n_obs)
+              * round((1.0 / (tot.n_b + 4096))
+                      * ln((1.0 / (tot.n_b + 4096)) / (1.0 / (tot.n_a + 4096)))
+                      * 1e9)::BIGINT)::BIGINT AS kl_ba_nano,
+           (stv + (4096 - n_obs)
+              * round(abs((1.0 / (tot.n_a + 4096)) - (1.0 / (tot.n_b + 4096)))
+                      * 0.5 * 1e9)::BIGINT)::BIGINT AS tv_nano
+    FROM agg CROSS JOIN tot
+    """,
+)
+def q_token_drift(spark, sf_dir):
+    """Corpus distribution drift (corpus.token_drift): smoothed
+    KL (both directions) + total variation between the hashed-unigram
+    token distributions of two corpus slices (sources src0-9 vs
+    src10-19 standing in for two snapshots) — integer nano-nat sums
+    over a bounded 4096-bucket table, the ingest-monitoring primitive.
+    Unobserved buckets contribute the closed-form smoothed term once
+    via the observed count; both engines add it identically."""
+    docs = _t(spark, sf_dir, "documents")
+    a = docs.where(F.length("source") == 4)
+    b = docs.where(F.length("source") == 5)
+    return C.token_drift(a, b)

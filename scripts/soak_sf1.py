@@ -152,14 +152,16 @@ def _soak_ivf_index_build(spark):
     """Build + PERSIST the partitioned IVF index once over the 10×
     embedding corpus (similarity.ivf_index_build) — the same
     build-once/probe-many split the substring pair above measures, for
-    the embedding family."""
+    the embedding family. 64 inverted lists: enough that a realistic
+    query batch probes a strict subset (with 16 lists any 8-query batch
+    touches everything and partition pruning can't show)."""
     from parkour_spark.operators.similarity import ivf_index_build
 
     emb = spark.read.parquet(f"{DST}/embeddings.parquet")
     cents = [
         (i, [float(x) for x in r[0]])
         for i, r in enumerate(
-            emb.where(F.col("vec_id") < 16).orderBy("vec_id")
+            emb.where(F.col("vec_id") < 64).orderBy("vec_id")
             .select("embedding").collect()
         )
     ]
@@ -168,19 +170,36 @@ def _soak_ivf_index_build(spark):
     return spark.read.parquet(f"{DST}/ivf_index.parquet").select("vec_id")
 
 
+def _soak_queries(spark):
+    emb = spark.read.parquet(f"{DST}/embeddings.parquet")
+    return emb.where(F.col("vec_id").between(100, 107)).select(
+        F.col("vec_id").alias("query_id"), F.col("embedding").alias("query_vec")
+    )
+
+
 def _soak_ivf_probe_only(spark):
     """Query batch probes the PERSISTED index with static partition
-    pruning — probe cost should be ≪ build cost and scale with probed
+    pruning (≤ 32 of 64 cells open) — probe cost should sit well under
+    both the build and the inline path below, and scale with probed
     cells, not corpus size."""
     from parkour_spark.operators.similarity import ivf_probe_topk
 
-    emb = spark.read.parquet(f"{DST}/embeddings.parquet")
-    queries = emb.where(F.col("vec_id").between(100, 131)).select(
-        F.col("vec_id").alias("query_id"), F.col("embedding").alias("query_vec")
-    )
     return ivf_probe_topk(
-        spark, f"{DST}/ivf_index.parquet", queries,
+        spark, f"{DST}/ivf_index.parquet", _soak_queries(spark),
         globals()["_SOAK_IVF_CENTS"], k=10, nprobe=4,
+    )
+
+
+def _soak_ivf_inline_same_batch(spark):
+    """The SAME query batch served inline (ivf_topk re-assigns the whole
+    corpus scan-side) — the per-batch cost the persisted index
+    amortizes away; the probe/inline gap is the measured claim."""
+    from parkour_spark.operators.similarity import ivf_topk
+
+    emb = spark.read.parquet(f"{DST}/embeddings.parquet")
+    return ivf_topk(
+        emb, _soak_queries(spark), globals()["_SOAK_IVF_CENTS"],
+        k=10, nprobe=4,
     )
 
 
@@ -190,6 +209,7 @@ SOAK_CUSTOM = {
     "substring_delta_probe_only": _soak_substring_probe_only,
     "ivf_index_build": _soak_ivf_index_build,
     "ivf_delta_probe_only": _soak_ivf_probe_only,
+    "ivf_inline_same_batch": _soak_ivf_inline_same_batch,
 }
 
 

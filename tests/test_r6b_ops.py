@@ -305,3 +305,65 @@ def test_ivf_probe_persisted_equals_inline_and_prunes_partitions(spark, tmp_path
     np_, nf = n_parts(plan), n_parts(full_plan)
     if np_ is not None and nf is not None:
         assert np_ < nf
+
+
+# ------------------------------------------------------------ token drift
+
+def test_token_drift_zero_on_identical_slices(spark):
+    from parkour_spark.operators.corpus import token_drift
+
+    docs = spark.createDataFrame(
+        [(i, f"alpha beta gamma doc{i % 3}") for i in range(12)],
+        ["doc_id", "text"],
+    )
+    r = token_drift(docs, docs).collect()[0]
+    assert r.n_toks_a == r.n_toks_b == 48
+    assert r.kl_ab_nano == 0 and r.kl_ba_nano == 0 and r.tv_nano == 0
+
+
+def test_token_drift_detects_shift_and_matches_replica(spark):
+    import hashlib
+    import math
+
+    from parkour_spark.operators.corpus import token_drift
+
+    a_rows = [(i, "common words here") for i in range(10)]
+    b_rows = [(i, "common words here") for i in range(5)] + [
+        (i, "novel vocabulary appears") for i in range(5, 10)
+    ]
+    da = spark.createDataFrame(a_rows, ["doc_id", "text"])
+    db = spark.createDataFrame(b_rows, ["doc_id", "text"])
+    got = token_drift(da, db, n_buckets=64).collect()[0]
+    assert got.kl_ab_nano > 0 and got.kl_ba_nano > 0 and got.tv_nano > 0
+
+    # python replica
+    V = 64
+
+    def bucket(tok):
+        return int(hashlib.md5(tok.encode()).hexdigest()[:8], 16) % V
+
+    def counts(rows):
+        c = {}
+        for _, t in rows:
+            for tok in t.lower().split():
+                b = bucket(tok)
+                c[b] = c.get(b, 0) + 1
+        return c
+
+    ca, cb = counts(a_rows), counts(b_rows)
+    na, nb = sum(ca.values()), sum(cb.values())
+    obs = set(ca) | set(cb)
+    kab = kba = tv = 0
+    for b in obs:
+        p = (ca.get(b, 0) + 1) / (na + V)
+        q = (cb.get(b, 0) + 1) / (nb + V)
+        kab += round(p * math.log(p / q) * 1e9)
+        kba += round(q * math.log(q / p) * 1e9)
+        tv += round(abs(p - q) * 0.5 * 1e9)
+    p0, q0 = 1.0 / (na + V), 1.0 / (nb + V)
+    miss = V - len(obs)
+    kab += miss * round(p0 * math.log(p0 / q0) * 1e9)
+    kba += miss * round(q0 * math.log(q0 / p0) * 1e9)
+    tv += miss * round(abs(p0 - q0) * 0.5 * 1e9)
+    assert (got.kl_ab_nano, got.kl_ba_nano, got.tv_nano) == (kab, kba, tv)
+    assert got.n_buckets_obs == len(obs)
