@@ -321,6 +321,13 @@ def ivf_index_build(
     assigned = ivf_assign_arrow(widen_scan(corpus), centroids, corpus_vec, "cell")
     (
         assigned.withColumn("cnorm", norm(corpus_vec))
+        # co-locate each inverted list before the partitioned write: ONE
+        # file per cell instead of (cells × input-partitions) shards.
+        # At 1000 lists × 1000 input partitions the un-repartitioned
+        # layout is 1e6 tiny files — footer reads and driver split
+        # planning per probe batch; this hash shuffle is paid once at
+        # build time.
+        .repartition("cell")
         .write.mode("overwrite")
         .partitionBy("cell")
         .parquet(path)

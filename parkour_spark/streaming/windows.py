@@ -355,3 +355,64 @@ def incremental_rollup_stream(
     if not snaps:
         raise ValueError("stream produced no batches")
     return finalize(spark.read.parquet(snaps[-1][1]), micro=micro)
+
+
+def streaming_heavy_hitters(
+    events: DataFrame,
+    group_col: str,
+    key_col: str,
+    k: int = 64,
+    emit_top: int = 10,
+) -> DataFrame:
+    """Stateful streaming heavy hitters: one mergeable Misra–Gries(k)
+    summary per group maintained across micro-batches
+    (applyInPandasWithState) — the unbounded-stream form of
+    sketch.mg_heavy_hitters. State is FIXED-size per group (≤ k keys +
+    counts + n), so it never grows with stream length — the property
+    that makes per-key top-k trackable on an unbounded stream where an
+    exact per-key count table would not be. Each trigger emits the
+    group's current top `emit_top` candidates with their lower-bound
+    counts and the group's item count n; the MG bound (true − lb ≤
+    n/(k+1)) holds at every emission because batch folds use the same
+    mergeable rule as the batch operator.
+
+    Per-batch work is vectorized value_counts + a dict merge — no
+    per-row Python."""
+    output_schema = (
+        f"{group_col} string, key string, cnt_lb long, n long"
+    )
+    state_schema = "keys array<string>, cnts array<long>, n long"
+
+    def fn(key, pdf_iter, state):
+        import pandas as pd
+
+        if state.exists:
+            s_keys, s_cnts, n = state.get
+            counters = dict(zip(list(s_keys), [int(c) for c in s_cnts]))
+            n = int(n)
+        else:
+            counters, n = {}, 0
+        for pdf in pdf_iter:
+            vc = pdf[key_col].astype(str).value_counts()
+            n += int(vc.sum())
+            for kk, c in vc.items():
+                counters[kk] = counters.get(kk, 0) + int(c)
+            if len(counters) > k:
+                cut = sorted(counters.values(), reverse=True)[k]
+                counters = {
+                    kk: v - cut for kk, v in counters.items() if v - cut > 0
+                }
+        state.update((list(counters), [counters[kk] for kk in counters], n))
+        top = sorted(counters.items(), key=lambda kv: (-kv[1], kv[0]))[:emit_top]
+        yield pd.DataFrame(
+            {
+                group_col: [str(key[0])] * len(top),
+                "key": [t[0] for t in top],
+                "cnt_lb": [t[1] for t in top],
+                "n": [n] * len(top),
+            }
+        )
+
+    return stateful_apply(
+        events, [group_col], fn, output_schema, state_schema, "update"
+    )

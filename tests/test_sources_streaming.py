@@ -320,3 +320,55 @@ def test_write_observe_custom_counters(spark, tmp_path):
 
     pl = Pipeline.input(df).output(Dataset(spark, str(tmp_path / "obs2")))
     assert pl.metrics["rows_written"] == 10
+
+
+def test_streaming_heavy_hitters_mg_state(spark):
+    """Stateful streaming Misra-Gries: hot keys surface with the MG
+    lower-bound guarantee after a multi-batch replay, state stays
+    fixed-size."""
+    import tempfile
+
+    from parkour_spark.streaming.windows import read_stream, streaming_heavy_hitters
+
+    rows = (
+        [("g1", "hot") for _ in range(60)]
+        + [("g1", f"cold{i}") for i in range(100)]
+        + [("g2", "other") for _ in range(40)]
+        + [("g2", f"z{i}") for i in range(50)]
+    )
+    df = spark.createDataFrame(rows, ["grp", "k"])
+    tmp = tempfile.mkdtemp(prefix="stream_mg_")
+    # several files -> several micro-batches with max_files=1
+    df.repartition(4).write.mode("overwrite").parquet(tmp)
+
+    stream = read_stream(spark, tmp, df.schema, max_files=1)
+    out = streaming_heavy_hitters(stream, "grp", "k", k=16, emit_top=5)
+    q = (
+        out.writeStream.outputMode("update").format("memory")
+        .queryName("mg_stream_t").start()
+    )
+    try:
+        q.processAllAvailable()
+    finally:
+        q.stop()
+    # last emission per group = rows from the final batch that touched it
+    import collections
+
+    final = spark.sql(
+        "SELECT grp, key, cnt_lb, n FROM mg_stream_t"
+    ).collect()
+    # take the emission with the max n per group (the latest fold)
+    best = {}
+    for r in final:
+        if r.grp not in best or r.n > best[r.grp][1]:
+            best[r.grp] = ({}, r.n)
+    for r in final:
+        if r.n == best[r.grp][1]:
+            best[r.grp][0][r.key] = r.cnt_lb
+    g1, n1 = best["g1"]
+    assert n1 == 160
+    # MG bound: true(hot)=60, lb >= 60 - ceil(160/17)
+    assert "hot" in g1 and g1["hot"] >= 60 - (160 // 17 + 1)
+    g2, n2 = best["g2"]
+    assert n2 == 90 and "other" in g2
+    assert g2["other"] >= 40 - (90 // 17 + 1)
