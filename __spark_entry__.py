@@ -32,7 +32,8 @@ def entry(spark: SparkSession) -> DataFrame:
 # the local gate replica (scripts/check_oracle.py over ALL entries —
 # same compare: rows + columns + sorted value hash vs DuckDB).
 #
-# r6 window = (a) the 17 entries new this round (lsh_topk_planted,
+# r6 window = (a) the 18 entries new this round (minhash_probe_persisted,
+# lsh_topk_planted,
 # q8_market_share, fuzzy_join_part_names, weighted_sample_by_source,
 # dsir_importance_weights, last_touch_attribution,
 # jl_projection_fingerprint, lsh_multiprobe_topk, hard_negative_mining,
@@ -47,7 +48,10 @@ def entry(spark: SparkSession) -> DataFrame:
 # merged_event_intervals), multimodal_features (float32→double cast
 # before round), substring_spans_delta (persisted-index refactor),
 # (c) ALL 14 remaining never-verified entries (backlog → 0 this
-# round), (d) filled to 50 with 10 of the 41 r3-era rows. The 31
+# round), (d) filled to 50 with 9 of the 41 r3-era rows (the late
+# addition minhash_probe_persisted — new this round, so in-window by
+# rule (a) — displaced q3_shipping_priority, whose TPC-H shape has
+# in-window siblings q5/q6/q7/q8/q14). The 32
 # r3-era entries deferred to r7 include orders_above_customer_avg
 # (decorrelation sibling sql_correlated_subquery in window),
 # parts_never_bulk_ordered (anti-join sibling
@@ -96,9 +100,10 @@ _R6_WINDOW = [
     "json_roundtrip_orders", "multimodal_frame_sample",
     "bpe_vocab_segmentation", "price_histogram",
     # oldest (r3-era) driver rows
+    "minhash_probe_persisted",
     "asof_purchase_view",
     "customers_without_urgent_orders",
-    "price_quantiles_by_segment", "q3_shipping_priority",
+    "price_quantiles_by_segment",
     "q5_local_supplier_revenue", "rollup_returnflag_status",
     "sql_correlated_subquery", "streaming_dedup",
     "streaming_session_30m", "tfidf_top_terms",

@@ -1385,3 +1385,143 @@ def sorted_neighborhood_pairs(
         .distinct()
     )
     return pairs
+
+
+# ---------------------------------------------------------------------------
+# Persisted MinHash/LSH index (build once, probe per ingest batch)
+# ---------------------------------------------------------------------------
+
+
+def minhash_index_build(
+    corpus_df: DataFrame,
+    path: str,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    num_hashes: int = 12,
+    bands: int = 4,
+    ngram_n: int = 3,
+    max_bucket: int = 200,
+) -> None:
+    """Build and PERSIST the MinHash/LSH near-dup index — the document
+    analog of `similarity.ivf_index_build`, completing the
+    persisted-index trio (text substring fps, embedding IVF, document
+    minhash). Two tables under `path`:
+
+      sigs/  — (id, sigs array<long>): the full signature, so probe-time
+               verification runs on SIGNATURES alone; corpus text is
+               never re-read or re-shingled after build.
+      bands/ — (band_key, id): the inverted band index. Overfull band
+               keys (> max_bucket members — a band key shared that
+               widely carries no discriminating signal, and is the
+               classic LSH straggler bucket) are dropped at BUILD time,
+               so no probe can ever fan out past the cap.
+               Range-partitioned + sorted on band_key: every file gets
+               tight min/max footer stats, so a future selective probe
+               can skip files, and band buckets are physically
+               contiguous.
+
+    Built once per corpus version (one signature scan + one band-count
+    shuffle); every ingest batch then pays only its OWN signatures plus
+    one broadcast equi-join probe (`minhash_probe_delta`) — cost
+    independent of corpus size in everything but the index scan."""
+    spark = corpus_df.sparkSession
+    sig = minhash_signature(corpus_df, text_col, id_col, num_hashes, ngram_n)
+    sig.select(
+        F.col(id_col),
+        F.array(*[F.col(f"sig_{i}") for i in range(num_hashes)]).alias("sigs"),
+    ).write.mode("overwrite").parquet(path + "/sigs")
+    # band keys re-derived from the STORED longs: bit-identical to the
+    # probe side's view of the index and no second pass over the text
+    stored = spark.read.parquet(path + "/sigs")
+    sig_cols = stored.select(
+        F.col(id_col),
+        *[F.col("sigs")[i].alias(f"sig_{i}") for i in range(num_hashes)],
+    )
+    b = lsh_bands(sig_cols, id_col, num_hashes, bands)
+    ok = (
+        b.groupBy("band_key")
+        .count()
+        .where(F.col("count") <= max_bucket)
+        .select("band_key")
+    )
+    (
+        b.join(ok, "band_key")
+        .repartitionByRange(F.col("band_key"))
+        .sortWithinPartitions("band_key")
+        .write.mode("overwrite")
+        .parquet(path + "/bands")
+    )
+
+
+def minhash_probe_delta(
+    spark,
+    new_df: DataFrame,
+    index_path: str,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    num_hashes: int = 12,
+    bands: int = 4,
+    ngram_n: int = 3,
+    threshold: float = 0.8,
+) -> DataFrame:
+    """Probe an INCOMING batch against a persisted MinHash index
+    (`minhash_index_build`): (id_new, id_old, sig_matches, est_jaccard)
+    for cross pairs sharing ≥1 surviving band bucket whose signature
+    agreement reaches ⌈threshold·k⌉ of k hashes. The production ingest
+    path where the corpus is NEVER re-read: candidates come from ONE
+    equi-join of the batch's band keys (broadcast — an ingest batch is
+    small by definition) against the inverted band table, and the
+    verify is the signature-agreement fraction (E[agreement] = true
+    Jaccard — the standard MinHash estimator) over stored longs.
+    Estimated, not exact, Jaccard by design; run `ngram_jaccard_delta`
+    on the survivors when the exact value is worth re-shingling the
+    candidate docs.
+
+    Plan shape: two index scans, both joined via BROADCAST (the batch
+    side, then the candidate-pair side) — the only shuffle is the
+    candidate `distinct()`, which is batch-sized and build-capped."""
+    import math
+
+    min_matches = math.ceil(threshold * num_hashes - 1e-9)
+    sig_new = minhash_signature(new_df, text_col, id_col, num_hashes, ngram_n)
+    sigs_a = sig_new.select(
+        F.col(id_col).alias("id_new"),
+        F.array(*[F.col(f"sig_{i}") for i in range(num_hashes)]).alias("__sa"),
+    ).persist()
+    sigs_a.count()  # materialized once: band derivation + verify both consume it
+    bands_new = lsh_bands(
+        sigs_a.select(
+            F.col("id_new").alias(id_col),
+            *[F.col("__sa")[i].alias(f"sig_{i}") for i in range(num_hashes)],
+        ),
+        id_col,
+        num_hashes,
+        bands,
+    ).select(F.col(id_col).alias("id_new"), "band_key")
+    idx_b = spark.read.parquet(index_path + "/bands")
+    cand = (
+        idx_b.join(F.broadcast(bands_new), "band_key")
+        .select("id_new", F.col(id_col).alias("id_old"))
+        .distinct()
+    )
+    # (pair, batch-signature) rides the broadcast into the big sigs scan
+    probe = cand.join(F.broadcast(sigs_a), "id_new")
+    idx_s = spark.read.parquet(index_path + "/sigs").select(
+        F.col(id_col).alias("id_old"), F.col("sigs").alias("__sb")
+    )
+    matches = F.aggregate(
+        F.zip_with("__sa", "__sb", lambda x, y: (x == y).cast("int")),
+        F.lit(0),
+        lambda acc, x: acc + x,
+    )
+    scored = (
+        idx_s.join(F.broadcast(probe), "id_old")
+        .select("id_new", "id_old", matches.cast("long").alias("sig_matches"))
+        .where(F.col("sig_matches") >= min_matches)
+    )
+    return scored.select(
+        "id_new",
+        "id_old",
+        "sig_matches",
+        F.round(F.col("sig_matches") / float(num_hashes), 4).alias("est_jaccard"),
+    )

@@ -3797,6 +3797,83 @@ def q_dedup_delta(spark, sf_dir):
     )
 
 
+_MINHASH_INDEX_DIRS: dict[str, str] = _SfLRUDirs()
+
+
+def _minhash_probe_oracle(
+    num_hashes: int = 12, bands: int = 4, threshold: float = 0.8, cap: int = 200
+) -> str:
+    import math
+
+    from parkour_spark.operators.dedup import MINHASH_P, minhash_params
+
+    rpb = num_hashes // bands
+    min_matches = math.ceil(threshold * num_hashes - 1e-9)
+    # signature chain identical to _minhash_oracle (hash-green since r2)
+    x = f"(('0x' || substr(md5(x), 1, 8))::BIGINT % {MINHASH_P})"
+    sig_cols = ",\n       ".join(
+        f"list_min(list_transform(t, x -> ({a} * {x} + {b}) % {MINHASH_P})) AS sig_{i}"
+        for i, (a, b) in enumerate(minhash_params(num_hashes))
+    )
+    band_keys = ", ".join(
+        "'" + str(b) + "|' || " + " || '|' || ".join(f"sig_{b * rpb + r}" for r in range(rpb))
+        for b in range(bands)
+    )
+    match_sum = " + ".join(
+        f"CASE WHEN sa.sig_{i} = sb.sig_{i} THEN 1 ELSE 0 END"
+        for i in range(num_hashes)
+    )
+    return f"""
+    WITH b AS (SELECT doc_id, text, {_HB_SQL} % 100 AS bkt FROM documents),
+    toks AS (SELECT doc_id, bkt, {_SHINGLES_SQL} AS t FROM b),
+    sigs AS (SELECT doc_id, bkt, {sig_cols} FROM toks),
+    bandx AS (SELECT doc_id, bkt, unnest([{band_keys}]) AS band_key FROM sigs),
+    oldb AS (SELECT doc_id, band_key FROM bandx WHERE bkt < 90),
+    ok AS (SELECT band_key FROM oldb GROUP BY band_key HAVING count(*) <= {cap}),
+    newb AS (SELECT doc_id, band_key FROM bandx WHERE bkt >= 90),
+    cand AS (
+      SELECT DISTINCT n.doc_id AS id_new, o.doc_id AS id_old
+      FROM newb n
+      JOIN (SELECT oldb.doc_id, oldb.band_key
+            FROM oldb JOIN ok USING (band_key)) o
+      USING (band_key)),
+    m AS (
+      SELECT id_new, id_old, ({match_sum})::BIGINT AS sig_matches
+      FROM cand
+      JOIN sigs sa ON sa.doc_id = cand.id_new
+      JOIN sigs sb ON sb.doc_id = cand.id_old)
+    SELECT id_new, id_old, sig_matches,
+           round(sig_matches / {float(num_hashes)}, 4) AS est_jaccard
+    FROM m WHERE sig_matches >= {min_matches}
+    """
+
+
+@query("minhash_probe_persisted", _minhash_probe_oracle())
+def q_minhash_probe_persisted(spark, sf_dir):
+    """Probe-only MinHash near-dup against a PERSISTED band index
+    (dedup.minhash_index_build / minhash_probe_delta) — completes the
+    persisted-index trio (substring fps, embedding IVF, document
+    minhash). The content-hash top-10% of documents plays the incoming
+    batch, the rest the indexed corpus; verification is SIGNATURE-only
+    (agreement fraction, the unbiased MinHash Jaccard estimator), so
+    corpus text is read exactly once — at build. The index is cached
+    per corpus version like the IVF/z-order layouts: rebuilding per
+    call would bill the amortized build as recurring probe cost."""
+    import tempfile
+
+    from parkour_spark.functions.sampling import hash_bucket
+
+    docs = _t(spark, sf_dir, "documents")
+    bkt = hash_bucket(F.col("doc_id"), 100)
+    if sf_dir not in _MINHASH_INDEX_DIRS:
+        tmp = tempfile.mkdtemp(prefix="parkour_mhidx_")
+        D.minhash_index_build(docs.where(bkt < 90), tmp, max_bucket=200)
+        _MINHASH_INDEX_DIRS[sf_dir] = tmp
+    return D.minhash_probe_delta(
+        spark, docs.where(bkt >= 90), _MINHASH_INDEX_DIRS[sf_dir], threshold=0.8
+    )
+
+
 @query(
     "streaming_quality_ingest",
     f"""

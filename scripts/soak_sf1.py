@@ -203,6 +203,35 @@ def _soak_ivf_inline_same_batch(spark):
     )
 
 
+def _soak_minhash_index_build(spark):
+    """Build + PERSIST the MinHash band index once over the 10× corpus
+    (dedup.minhash_index_build) — third member of the persisted-index
+    trio; one signature scan + one band-count shuffle, paid per corpus
+    version."""
+    from parkour_spark.operators.dedup import minhash_index_build
+
+    docs = spark.read.parquet(f"{DST}/documents.parquet")
+    minhash_index_build(docs, f"{DST}/minhash_index", max_bucket=200)
+    return spark.read.parquet(f"{DST}/minhash_index/sigs").select("doc_id")
+
+
+def _soak_minhash_probe_only(spark):
+    """A 1-replica ingest batch (sf0.1 docs, near-copies of 10 corpus
+    replicas each — worst-case hit density) probes the PERSISTED band
+    index with signature-only verify: the corpus text is never touched.
+    Measured claim: probe ≪ full in-corpus detection
+    (dedup_minhash_lsh above)."""
+    from parkour_spark.operators.dedup import minhash_probe_delta
+
+    batch = spark.read.parquet(f"{SRC}/documents.parquet").select(
+        (F.col("doc_id") + F.lit(900_000_000)).alias("doc_id"),
+        F.concat(F.col("text"), F.lit(" repQ")).alias("text"),
+    )
+    return minhash_probe_delta(
+        spark, batch, f"{DST}/minhash_index", threshold=0.8
+    )
+
+
 SOAK_CUSTOM = {
     "semantic_dedup_k_scaled": _soak_semantic_dedup,
     "substring_index_build": _soak_substring_index_build,
@@ -210,6 +239,8 @@ SOAK_CUSTOM = {
     "ivf_index_build": _soak_ivf_index_build,
     "ivf_delta_probe_only": _soak_ivf_probe_only,
     "ivf_inline_same_batch": _soak_ivf_inline_same_batch,
+    "minhash_index_build": _soak_minhash_index_build,
+    "minhash_delta_probe_only": _soak_minhash_probe_only,
 }
 
 

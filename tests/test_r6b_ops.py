@@ -367,3 +367,69 @@ def test_token_drift_detects_shift_and_matches_replica(spark):
     tv += miss * round(abs(p0 - q0) * 0.5 * 1e9)
     assert (got.kl_ab_nano, got.kl_ba_nano, got.tv_nano) == (kab, kba, tv)
     assert got.n_buckets_obs == len(obs)
+
+
+# ------------------------------------------ persisted MinHash band index
+
+def _dup_docs(spark):
+    base = "the quick brown fox jumps over the lazy dog again and again today"
+    rows = [
+        (0, base),
+        (1, base + " with a tiny tail change"),
+        (2, "completely different content about distributed query engines"),
+        (3, "another unrelated document mentioning spark catalyst tungsten"),
+    ]
+    return spark.createDataFrame(rows, ["doc_id", "text"])
+
+
+def test_minhash_index_probe_finds_cross_dups_signature_only(spark, tmp_path):
+    """A batch doc that near-copies an indexed corpus doc surfaces with
+    high signature agreement; novel batch docs surface nothing."""
+    from parkour_spark.operators.dedup import minhash_index_build, minhash_probe_delta
+
+    corpus = _dup_docs(spark)
+    minhash_index_build(corpus, str(tmp_path / "idx"))
+    batch = spark.createDataFrame(
+        [
+            (100, "the quick brown fox jumps over the lazy dog again and again today"),
+            (101, "a brand new never seen before piece of text entirely"),
+        ],
+        ["doc_id", "text"],
+    )
+    got = minhash_probe_delta(
+        spark, batch, str(tmp_path / "idx"), threshold=0.8
+    ).collect()
+    pairs = {(r.id_new, r.id_old): r for r in got}
+    assert (100, 0) in pairs
+    r = pairs[(100, 0)]
+    assert r.sig_matches == 12 and r.est_jaccard == 1.0  # verbatim copy
+    assert all(p[0] != 101 for p in pairs)  # novel doc matches nothing
+
+
+def test_minhash_index_build_drops_overfull_buckets(spark, tmp_path):
+    """max_bucket=1 at build time: every band bucket shared by the two
+    identical corpus docs is dropped, so even a verbatim probe finds no
+    candidates — the cap is enforced at BUILD, not probe."""
+    from parkour_spark.operators.dedup import minhash_index_build, minhash_probe_delta
+
+    base = "repeated corpus document text that appears twice verbatim here"
+    corpus = spark.createDataFrame([(0, base), (1, base)], ["doc_id", "text"])
+    minhash_index_build(corpus, str(tmp_path / "idx"), max_bucket=1)
+    batch = spark.createDataFrame([(100, base)], ["doc_id", "text"])
+    got = minhash_probe_delta(spark, batch, str(tmp_path / "idx")).collect()
+    assert got == []
+
+
+def test_minhash_probe_no_shuffle_on_index_sigs_scan(spark, tmp_path):
+    """The signature-verify join must reach the big sigs table as a
+    BroadcastHashJoin — a SortMergeJoin there would shuffle the whole
+    index per ingest batch."""
+    from parkour_spark.operators.dedup import minhash_index_build, minhash_probe_delta
+
+    corpus = _dup_docs(spark)
+    minhash_index_build(corpus, str(tmp_path / "idx"))
+    batch = spark.createDataFrame([(100, "the quick brown fox")], ["doc_id", "text"])
+    plan = minhash_probe_delta(
+        spark, batch, str(tmp_path / "idx")
+    )._jdf.queryExecution().executedPlan().toString()
+    assert "SortMergeJoin" not in plan
