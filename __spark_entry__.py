@@ -48,10 +48,11 @@ def entry(spark: SparkSession) -> DataFrame:
 # merged_event_intervals), multimodal_features (float32→double cast
 # before round), substring_spans_delta (persisted-index refactor),
 # (c) ALL 14 remaining never-verified entries (backlog → 0 this
-# round), (d) filled to 50 with 9 of the 41 r3-era rows (the late
-# addition minhash_probe_persisted — new this round, so in-window by
-# rule (a) — displaced q3_shipping_priority, whose TPC-H shape has
-# in-window siblings q5/q6/q7/q8/q14). The 32
+# round), (d) filled to 50 with 8 of the 41 r3-era rows (the late
+# additions minhash_probe_persisted and class_top_terms_source — new
+# this round, so in-window by rule (a) — displaced q3_shipping_priority
+# and q5_local_supplier_revenue, whose TPC-H shapes have in-window
+# siblings q6/q7/q8/q14). The 33
 # r3-era entries deferred to r7 include orders_above_customer_avg
 # (decorrelation sibling sql_correlated_subquery in window),
 # parts_never_bulk_ordered (anti-join sibling
@@ -100,11 +101,11 @@ _R6_WINDOW = [
     "json_roundtrip_orders", "multimodal_frame_sample",
     "bpe_vocab_segmentation", "price_histogram",
     # oldest (r3-era) driver rows
-    "minhash_probe_persisted",
+    "minhash_probe_persisted", "class_top_terms_source",
     "asof_purchase_view",
     "customers_without_urgent_orders",
     "price_quantiles_by_segment",
-    "q5_local_supplier_revenue", "rollup_returnflag_status",
+    "rollup_returnflag_status",
     "sql_correlated_subquery", "streaming_dedup",
     "streaming_session_30m", "tfidf_top_terms",
 ]

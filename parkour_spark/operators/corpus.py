@@ -925,3 +925,60 @@ def token_drift(
         (F.col("__stv") + miss * F.round(F.abs(p0 - q0) * 0.5 * 1e9).cast("long"))
         .alias("tv_nano"),
     )
+
+
+def class_top_terms(
+    df: DataFrame,
+    class_col: str = "source",
+    text_col: str = "text",
+    k: int = 5,
+) -> DataFrame:
+    """Class-based TF-IDF (c-TF-IDF, the BERTopic cluster/slice-labeling
+    primitive, Grootendorst 2022): treat each class (source, cluster,
+    language bucket, ...) as ONE concatenated pseudo-document and score
+    each term by  ctf(t,c) · ln(1 + A / f(t))  — ctf = term count in
+    the class, f(t) = corpus-wide term count, A = average tokens per
+    class — keeping the top-k most DISTINCTIVE terms per class.
+    Per-doc TF-IDF (tfidf_top_terms) says what distinguishes a
+    document; this says what distinguishes a slice — the corpus
+    exploration/labeling step after clustering or source ingest.
+
+    Plan: one tokenize+explode and ONE shuffle (to (class, term)
+    counts). f(t) rides a term-keyed window over that same table (the
+    single-pass trick proven on tfidf_top_terms — the vocabulary never
+    drives a second corpus shuffle); A is a broadcast 1-row aggregate
+    over the counts table; top-k per class is a ranking window the
+    optimizer pre-prunes map-side (WindowGroupLimit), classes × k rows
+    out. ln() is IEEE-identical across engines (tfidf precedent)."""
+    terms = explode_fast(
+        df, tokens(F.lower(F.col(text_col))), "term", keep=[class_col]
+    )
+    # persisted + eagerly materialized: BOTH the broadcast 1-row A
+    # aggregate and the scoring pass consume this table; without the
+    # persist each branch re-tokenizes the corpus (a second full scan)
+    ctf = terms.groupBy(class_col, "term").agg(F.count("*").alias("ctf")).persist()
+    ctf.count()
+    totals = ctf.agg(
+        (F.sum("ctf") / F.countDistinct(class_col)).alias("__avg_class_toks")
+    )
+    scored = (
+        ctf.withColumn("__ft", F.sum("ctf").over(Window.partitionBy("term")))
+        .crossJoin(F.broadcast(totals))
+        .select(
+            class_col,
+            "term",
+            F.round(
+                F.col("ctf")
+                * F.log(F.lit(1.0) + F.col("__avg_class_toks") / F.col("__ft")),
+                6,
+            ).alias("ctfidf"),
+        )
+    )
+    w = Window.partitionBy(class_col).orderBy(F.col("ctfidf").desc(), "term")
+    return (
+        scored.withColumn("__rk", F.row_number().over(w))
+        .where(F.col("__rk") <= k)
+        .select(
+            class_col, "term", "ctfidf", F.col("__rk").cast("long").alias("rank")
+        )
+    )

@@ -7192,3 +7192,36 @@ def q_token_drift(spark, sf_dir):
     a = docs.where(F.length("source") == 4)
     b = docs.where(F.length("source") == 5)
     return C.token_drift(a, b)
+
+
+@query(
+    "class_top_terms_source",
+    f"""
+    WITH t AS (SELECT source, unnest({_TOKS_SQL}) AS term FROM documents),
+    ctf AS (SELECT source, term, count(*)::BIGINT AS c
+            FROM t GROUP BY source, term),
+    ft AS (SELECT term, sum(c)::BIGINT AS ft FROM ctf GROUP BY term),
+    a AS (SELECT sum(c)::BIGINT::DOUBLE / count(DISTINCT source) AS avg_toks
+          FROM ctf),
+    scored AS (
+      SELECT ctf.source, ctf.term,
+             round(ctf.c * ln(1.0 + (SELECT avg_toks FROM a) / ft.ft::DOUBLE),
+                   6) AS ctfidf
+      FROM ctf JOIN ft USING (term))
+    SELECT source, term, ctfidf, rank FROM (
+      SELECT *, row_number() OVER (PARTITION BY source
+                ORDER BY ctfidf DESC, term) AS rank
+      FROM scored)
+    WHERE rank <= 5
+    """,
+)
+def q_class_top_terms(spark, sf_dir):
+    """c-TF-IDF slice labeling (corpus.class_top_terms, Grootendorst
+    2022): each source scored as one concatenated pseudo-document,
+    top-5 most distinctive terms per source by
+    ctf · ln(1 + avg_class_tokens / global_term_count). One corpus
+    explode, one (class, term) shuffle; the global term-frequency table
+    rides a window over that same aggregate (single-pass trick), never
+    a second corpus shuffle."""
+    docs = _t(spark, sf_dir, "documents")
+    return C.class_top_terms(docs, class_col="source", k=5)

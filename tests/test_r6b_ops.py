@@ -433,3 +433,45 @@ def test_minhash_probe_no_shuffle_on_index_sigs_scan(spark, tmp_path):
         spark, batch, str(tmp_path / "idx")
     )._jdf.queryExecution().executedPlan().toString()
     assert "SortMergeJoin" not in plan
+
+
+# --------------------------------------------------- c-TF-IDF labeling
+
+def test_class_top_terms_surfaces_distinctive_not_common_terms(spark):
+    """A term shared by every class scores low (ln(1 + A/f) shrinks as
+    f grows); a class-exclusive term tops its class."""
+    from parkour_spark.operators.corpus import class_top_terms
+
+    rows = [
+        (0, "shared shared quantum physics entangle", "sci"),
+        (1, "shared shared quantum relativity", "sci"),
+        (2, "shared shared recipe butter flour", "cook"),
+        (3, "shared shared recipe oven flour", "cook"),
+    ]
+    df = spark.createDataFrame(rows, ["doc_id", "text", "source"])
+    got = class_top_terms(df, class_col="source", k=2).collect()
+    top = {r.source: [] for r in got}
+    for r in sorted(got, key=lambda r: (r.source, r.rank)):
+        top[r.source].append(r.term)
+    # the class-exclusive term outranks the everywhere-term in BOTH
+    # classes: ln(1 + A/f) shrinks with global frequency f
+    assert top["sci"][0] == "quantum"
+    assert top["cook"][0] in ("recipe", "flour")
+    assert top["sci"][0] != "shared" and top["cook"][0] != "shared"
+
+
+def test_class_top_terms_single_corpus_shuffle(spark):
+    """Vocabulary stats must NOT re-shuffle the corpus: the plan reads
+    the token explode once (single Exchange feeding the (class, term)
+    aggregate; f(t) and A derive from that aggregate)."""
+    from parkour_spark.operators.corpus import class_top_terms
+
+    df = spark.createDataFrame(
+        [(0, "a b c", "x"), (1, "b c d", "y")], ["doc_id", "text", "source"]
+    )
+    plan = class_top_terms(df)._jdf.queryExecution().executedPlan().toString()
+    # both consumers (the 1-row A aggregate and the scoring pass) read
+    # the CACHED counts table — neither re-tokenizes the corpus.
+    # (InMemoryRelation.toString embeds its child plan, so counting raw
+    # scan strings over-counts; the cache hits are the real signal.)
+    assert plan.count("InMemoryTableScan") >= 2
