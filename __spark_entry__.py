@@ -48,11 +48,13 @@ def entry(spark: SparkSession) -> DataFrame:
 # merged_event_intervals), multimodal_features (float32→double cast
 # before round), substring_spans_delta (persisted-index refactor),
 # (c) ALL 14 remaining never-verified entries (backlog → 0 this
-# round), (d) filled to 50 with 8 of the 41 r3-era rows (the late
-# additions minhash_probe_persisted and class_top_terms_source — new
-# this round, so in-window by rule (a) — displaced q3_shipping_priority
-# and q5_local_supplier_revenue, whose TPC-H shapes have in-window
-# siblings q6/q7/q8/q14). The 33
+# round), (d) filled to 50 with 7 of the 41 r3-era rows (the late
+# additions minhash_probe_persisted, class_top_terms_source and
+# quality_auc_langid — new this round, so in-window by rule (a) —
+# displaced q3_shipping_priority and q5_local_supplier_revenue (TPC-H
+# shapes, in-window siblings q6/q7/q8/q14) and
+# price_quantiles_by_segment (distribution shape, in-window sibling
+# price_histogram). The 34
 # r3-era entries deferred to r7 include orders_above_customer_avg
 # (decorrelation sibling sql_correlated_subquery in window),
 # parts_never_bulk_ordered (anti-join sibling
@@ -87,7 +89,8 @@ _R6_WINDOW = [
     "mg_heavy_tokens", "linreg_moments_docstats",
     "training_shards_manifest", "label_centroid_sums",
     "ivf_probe_persisted_topk", "hll_distinct_users_by_type",
-    "token_drift_sources",
+    "token_drift_sources", "minhash_probe_persisted",
+    "class_top_terms_source", "quality_auc_langid",
     # changed this round: the 7 re-landed oracle fixes + 2 code changes
     "substring_dedup_clean", "hll_distinct_orders",
     "winsorized_price_stats", "gapfilled_hourly_events",
@@ -101,10 +104,8 @@ _R6_WINDOW = [
     "json_roundtrip_orders", "multimodal_frame_sample",
     "bpe_vocab_segmentation", "price_histogram",
     # oldest (r3-era) driver rows
-    "minhash_probe_persisted", "class_top_terms_source",
     "asof_purchase_view",
     "customers_without_urgent_orders",
-    "price_quantiles_by_segment",
     "rollup_returnflag_status",
     "sql_correlated_subquery", "streaming_dedup",
     "streaming_session_30m", "tfidf_top_terms",

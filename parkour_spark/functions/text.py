@@ -41,16 +41,21 @@ def char_count(text: Column | str) -> Column:
 
 
 def avg_token_len(text: Column | str) -> Column:
-    """Mean token length — a standard quality signal."""
+    """Mean token length — a standard quality signal. NULL on tokenless
+    text (ANSI division would otherwise fail the whole task on one
+    empty doc; NULL matches SQL-engine x/0 semantics, and every
+    downstream band/threshold check routes NULL to its else-branch)."""
     t = tokens(text)
-    return F.aggregate(t, F.lit(0).cast("double"), lambda acc, x: acc + F.length(x)) / F.size(t)
+    s = F.aggregate(t, F.lit(0).cast("double"), lambda acc, x: acc + F.length(x))
+    return F.when(F.size(t) > 0, s / F.size(t))
 
 
 def stopword_ratio(text: Column | str) -> Column:
-    """Fraction of tokens in the fixed English stopword list."""
+    """Fraction of tokens in the fixed English stopword list. NULL on
+    tokenless text (see avg_token_len)."""
     t = tokens(F.lower(F.col(text) if isinstance(text, str) else text))
     n_stop = F.size(F.filter(t, lambda x: x.isin(*EN_STOPWORDS)))
-    return n_stop.cast("double") / F.size(t)
+    return F.when(F.size(t) > 0, n_stop.cast("double") / F.size(t))
 
 
 def langid_en(text: Column | str, threshold: float = 0.05) -> Column:
@@ -72,6 +77,14 @@ def quality_score(text: Column | str) -> Column:
     half-up on the exact decimal expansion vs multiply-round-divide
     disagreed at 1 ulp on 1 doc in 5000 at sf0.1). Integer arithmetic +
     identical-order float ops are bit-identical everywhere."""
+    return quality_bp(text) / F.lit(10000.0)
+
+
+def quality_bp(text: Column | str) -> Column:
+    """quality_score's integer BASIS-POINT numerator (0..10000), exposed
+    for consumers that need an exactly-discrete score — e.g. the
+    rank-sum AUC, whose distinct-score table stays bounded because this
+    is an integer."""
     c = F.col(text) if isinstance(text, str) else text
     t = tokens(F.lower(c))
     n_tok = F.size(t)
@@ -83,7 +96,7 @@ def quality_score(text: Column | str) -> Column:
     ).otherwise(F.lit(0))
     atl = avg_token_len(c)
     atl_bp = F.when((atl >= 3.0) & (atl <= 10.0), F.lit(3000)).otherwise(F.lit(0))
-    return (len_bp + stop_bp + atl_bp) / F.lit(10000.0)
+    return (len_bp + stop_bp + atl_bp).cast("long")
 
 
 def fingerprint(text: Column | str) -> Column:

@@ -270,3 +270,50 @@ def winsorize(
         )
         .drop("lo", "hi")
     )
+
+
+def auc_rank_sum(
+    df: DataFrame, score_col: str, label_col: str
+) -> DataFrame:
+    """Exact ROC AUC at corpus scale via the Mann–Whitney U rank-sum
+    identity — the "did my quality filter actually separate the
+    classes" evaluation primitive:
+
+        AUC = [ Σ_s npos(s)·cumneg(<s) + ½·npos(s)·nneg(s) ] / (npos·nneg)
+
+    summed over DISTINCT score values s (ties get the ½ midrank credit
+    exactly). No global row sort: one shuffle reduces the corpus to
+    per-distinct-score (npos, nneg) cells, and the only ordered pass is
+    a window over that DISTINCT-SCORE table — bounded for quantized
+    scores (quality basis points: ≤10⁴ rows regardless of corpus size),
+    which is why the caller should pass an integer/quantized score for
+    unbounded-cardinality inputs. All rank arithmetic is integer (u2 =
+    2·U stays exact); the single division happens once at the end.
+
+    Returns one row: n_pos, n_neg, u2 (exact 2·U), auc (round 6).
+    label_col must be boolean/0-1."""
+    from pyspark.sql import Window
+
+    lbl = F.col(label_col).cast("int")
+    cells = df.groupBy(F.col(score_col).alias("__s")).agg(
+        F.sum(lbl).alias("__np"), F.sum(1 - lbl).alias("__nn")
+    )
+    w = Window.orderBy("__s").rowsBetween(Window.unboundedPreceding, -1)
+    return (
+        cells.withColumn("__cnb", F.coalesce(F.sum("__nn").over(w), F.lit(0)))
+        .select(
+            F.sum("__np").cast("long").alias("n_pos"),
+            F.sum("__nn").cast("long").alias("n_neg"),
+            F.sum(F.col("__np") * (2 * F.col("__cnb") + F.col("__nn")))
+            .cast("long")
+            .alias("u2"),
+        )
+        .select(
+            "n_pos",
+            "n_neg",
+            "u2",
+            F.round(
+                F.col("u2") / (2.0 * F.col("n_pos") * F.col("n_neg")), 6
+            ).alias("auc"),
+        )
+    )

@@ -7225,3 +7225,55 @@ def q_class_top_terms(spark, sf_dir):
     a second corpus shuffle."""
     docs = _t(spark, sf_dir, "documents")
     return C.class_top_terms(docs, class_col="source", k=5)
+
+
+@query(
+    "quality_auc_langid",
+    f"""
+    WITH q AS (
+      SELECT (least(length(text) * 8, 4000)
+              + CASE WHEN len({_TOKS_SQL}) > 0
+                     THEN floor(3000.0 * least(len(list_filter({_TOKS_SQL},
+                                  x -> x IN ({_STOP_SQL}))) * 10, len({_TOKS_SQL}))
+                                / len({_TOKS_SQL}))
+                     ELSE 0 END
+              + CASE WHEN list_sum(list_transform({_TOKS_SQL}, t -> length(t)))::DOUBLE
+                          / len({_TOKS_SQL}) BETWEEN 3.0 AND 10.0
+                     THEN 3000 ELSE 0 END)::BIGINT AS s,
+             CASE WHEN lang = 'en' THEN 1 ELSE 0 END AS y
+      FROM documents),
+    cells AS (SELECT s, sum(y)::BIGINT AS np, sum(1 - y)::BIGINT AS nn
+              FROM q GROUP BY s),
+    cum AS (
+      SELECT s, np, nn,
+             coalesce(sum(nn) OVER (ORDER BY s
+               ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS cnb
+      FROM cells),
+    agg AS (
+      SELECT sum(np)::BIGINT AS n_pos, sum(nn)::BIGINT AS n_neg,
+             sum(np * (2 * cnb + nn))::BIGINT AS u2
+      FROM cum)
+    SELECT n_pos, n_neg, u2,
+           round(u2 / (2.0 * n_pos * n_neg), 6) AS auc
+    FROM agg
+    """,
+)
+def q_quality_auc(spark, sf_dir):
+    """Exact ROC AUC of the composite quality score as a predictor of
+    lang='en' (validate.auc_rank_sum): the quality-filter evaluation
+    primitive, via the Mann–Whitney rank-sum identity with exact ½
+    midrank tie credit. No global row sort — the corpus reduces to
+    per-distinct-basis-point (npos, nneg) cells in one shuffle
+    (≤10⁴ rows regardless of corpus size, because quality_bp is an
+    integer), and the only ordered pass windows over that tiny table.
+    All rank arithmetic integer (u2 = 2·U exact); one division at the
+    end."""
+    from parkour_spark.functions.text import quality_bp
+    from parkour_spark.operators import validate as V
+
+    docs = _t(spark, sf_dir, "documents")
+    scored = docs.select(
+        quality_bp(F.col("text")).alias("score_bp"),
+        (F.col("lang") == "en").alias("is_en"),
+    )
+    return V.auc_rank_sum(scored, "score_bp", "is_en")

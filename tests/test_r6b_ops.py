@@ -475,3 +475,51 @@ def test_class_top_terms_single_corpus_shuffle(spark):
     # (InMemoryRelation.toString embeds its child plan, so counting raw
     # scan strings over-counts; the cache hits are the real signal.)
     assert plan.count("InMemoryTableScan") >= 2
+
+
+# ----------------------------------------------------- rank-sum AUC
+
+def test_auc_rank_sum_perfect_and_chance_and_ties(spark):
+    from parkour_spark.operators.validate import auc_rank_sum
+
+    # perfect separation
+    df = spark.createDataFrame(
+        [(1, 0), (2, 0), (3, 1), (4, 1)], ["s", "y"]
+    )
+    r = auc_rank_sum(df, "s", "y").collect()[0]
+    assert (r.n_pos, r.n_neg, r.auc) == (2, 2, 1.0)
+    # all tied → exactly 0.5 via midrank credit
+    df = spark.createDataFrame([(7, 0), (7, 1), (7, 0), (7, 1)], ["s", "y"])
+    assert auc_rank_sum(df, "s", "y").collect()[0].auc == 0.5
+    # hand-computed mixed case: scores 1,2,2,3 labels 0,1,0,1
+    # pairs (pos>neg): (2>1)=1, (3>1)=1, (3>2)=1; ties: (2==2)=0.5
+    # U = 3.5 of 4 → AUC = 0.875
+    df = spark.createDataFrame([(1, 0), (2, 1), (2, 0), (3, 1)], ["s", "y"])
+    r = auc_rank_sum(df, "s", "y").collect()[0]
+    assert r.u2 == 7 and r.auc == 0.875
+
+
+def test_auc_rank_sum_inverted_scores_give_complement(spark):
+    from parkour_spark.operators.validate import auc_rank_sum
+
+    rows = [(i, 1 if i >= 6 else 0) for i in range(10)]
+    df = spark.createDataFrame(rows, ["s", "y"])
+    a = auc_rank_sum(df, "s", "y").collect()[0].auc
+    inv = df.select((-F.col("s")).alias("s"), "y")
+    b = auc_rank_sum(inv, "s", "y").collect()[0].auc
+    assert a == 1.0 and b == 0.0
+
+
+def test_quality_bp_is_integer_numerator_of_quality_score(spark):
+    from parkour_spark.functions.text import quality_bp, quality_score
+
+    df = spark.createDataFrame(
+        [(0, "the quick brown fox is here today"), (1, "x"), (2, "")],
+        ["i", "text"],
+    )
+    got = df.select(
+        quality_bp("text").alias("bp"), quality_score("text").alias("q")
+    ).collect()
+    for r in got:
+        assert isinstance(r.bp, int) and 0 <= r.bp <= 10000
+        assert r.q == r.bp / 10000.0
