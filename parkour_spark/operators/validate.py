@@ -317,3 +317,84 @@ def auc_rank_sum(
             ).alias("auc"),
         )
     )
+
+
+def calibration_bins(
+    df: DataFrame, score_col: str, label_col: str, bins: int = 10,
+    lo: float = 0.0, hi: float = 1.0,
+) -> DataFrame:
+    """Reliability-diagram data for a [lo, hi) score against a 0/1
+    label: equal-width bins with n, n_pos, and the mean score/positive
+    rate per bin — the calibration complement to `auc_rank_sum` (AUC
+    measures ranking, this measures probability faithfulness). One
+    scan, one `bins`-row shuffle; means are emitted from exact integer
+    sums (score summed in micro-units per row BEFORE the aggregate) so
+    results are order-independent and engine-exact. Scores at hi land
+    in the last bin (closed top edge, half-open interior)."""
+    s = F.col(score_col).cast("double")
+    width = (hi - lo) / bins
+    b = F.least(
+        F.greatest(F.floor((s - lo) / width).cast("long"), F.lit(0)),
+        F.lit(bins - 1),
+    )
+    lbl = F.col(label_col).cast("int")
+    return (
+        df.select(
+            b.alias("bin"),
+            lbl.alias("__y"),
+            F.round(s * 1e6).cast("long").alias("__s_micro"),
+        )
+        .groupBy("bin")
+        .agg(
+            F.count("*").cast("long").alias("n"),
+            F.sum("__y").cast("long").alias("n_pos"),
+            F.sum("__s_micro").cast("long").alias("sum_score_micro"),
+        )
+        .select(
+            "bin",
+            "n",
+            "n_pos",
+            "sum_score_micro",
+            F.round(F.col("n_pos") / F.col("n"), 6).alias("pos_rate"),
+            F.round(F.col("sum_score_micro") / (F.col("n") * 1e6), 6).alias(
+                "mean_score"
+            ),
+        )
+    )
+
+
+def kappa_agreement(
+    df: DataFrame, pred_col: str, truth_col: str
+) -> DataFrame:
+    """Cohen's kappa between two binary (0/1 castable) columns — the
+    label-QA primitive for "does my heuristic agree with ground truth
+    beyond chance" (annotator-vs-annotator, classifier-vs-gold, ...).
+    Returns ONE row: the exact integer confusion cells (tp, fp, fn, tn),
+    observed agreement po, chance agreement pe, kappa (round 6). A
+    single partial-agg scan — four conditional counts — then driver-free
+    scalar arithmetic; nothing shuffles but one row."""
+    p = F.col(pred_col).cast("int")
+    t = F.col(truth_col).cast("int")
+    cells = df.agg(
+        F.sum(p * t).cast("long").alias("tp"),
+        F.sum(p * (1 - t)).cast("long").alias("fp"),
+        F.sum((1 - p) * t).cast("long").alias("fn"),
+        F.sum((1 - p) * (1 - t)).cast("long").alias("tn"),
+    )
+    n = (F.col("tp") + F.col("fp") + F.col("fn") + F.col("tn")).cast("double")
+    po = (F.col("tp") + F.col("tn")) / n
+    # marginal products in DOUBLE: long×long overflows past ~3e9 rows
+    # per cell pair (n² at corpus scale), and kappa is a float metric
+    # anyway — same expression order both engines keeps it bit-stable
+    pe = (
+        (F.col("tp") + F.col("fp")).cast("double")
+        * (F.col("tp") + F.col("fn")).cast("double")
+        + (F.col("fn") + F.col("tn")).cast("double")
+        * (F.col("fp") + F.col("tn")).cast("double")
+    ) / (n * n)
+    return cells.select(
+        "tp", "fp", "fn", "tn",
+        F.round(po, 6).alias("po"),
+        F.round(pe, 6).alias("pe"),
+        F.round((po - pe) / (1 - pe), 6).alias("kappa"),
+    )

@@ -7277,3 +7277,97 @@ def q_quality_auc(spark, sf_dir):
         (F.col("lang") == "en").alias("is_en"),
     )
     return V.auc_rank_sum(scored, "score_bp", "is_en")
+
+
+@query(
+    "quality_calibration_bins",
+    f"""
+    WITH q AS (
+      SELECT (least(length(text) * 8, 4000)
+              + CASE WHEN len({_TOKS_SQL}) > 0
+                     THEN floor(3000.0 * least(len(list_filter({_TOKS_SQL},
+                                  x -> x IN ({_STOP_SQL}))) * 10, len({_TOKS_SQL}))
+                                / len({_TOKS_SQL}))
+                     ELSE 0 END
+              + CASE WHEN list_sum(list_transform({_TOKS_SQL}, t -> length(t)))::DOUBLE
+                          / len({_TOKS_SQL}) BETWEEN 3.0 AND 10.0
+                     THEN 3000 ELSE 0 END) / 10000.0 AS s,
+             CASE WHEN lang = 'en' THEN 1 ELSE 0 END AS y
+      FROM documents),
+    rows_b AS (
+      SELECT least(greatest(floor((s - 0.0) / 0.1)::BIGINT, 0), 9) AS bin,
+             y, round(s * 1000000.0)::BIGINT AS s_micro
+      FROM q)
+    SELECT bin, count(*)::BIGINT AS n, sum(y)::BIGINT AS n_pos,
+           sum(s_micro)::BIGINT AS sum_score_micro,
+           round(sum(y) / count(*)::DOUBLE, 6) AS pos_rate,
+           round(sum(s_micro)::BIGINT / (count(*) * 1000000.0), 6) AS mean_score
+    FROM rows_b GROUP BY bin
+    """,
+)
+def q_quality_calibration(spark, sf_dir):
+    """Reliability-diagram bins for the quality score against lang='en'
+    (validate.calibration_bins): the calibration complement to
+    quality_auc_langid — AUC measures ranking, this measures whether
+    the score's magnitude is probability-faithful. One scan, a 10-row
+    shuffle; per-bin means from exact integer micro-unit sums (order-
+    independent, engine-exact)."""
+    from parkour_spark.functions.text import quality_score
+    from parkour_spark.operators import validate as V
+
+    docs = _t(spark, sf_dir, "documents")
+    scored = docs.select(
+        quality_score(F.col("text")).alias("q"),
+        (F.col("lang") == "en").alias("is_en"),
+    )
+    return V.calibration_bins(scored, "q", "is_en", bins=10)
+
+
+@query(
+    "langid_kappa_agreement",
+    f"""
+    WITH j AS (
+      SELECT CASE WHEN len({_TOKS_SQL}) > 0
+                   AND len(list_filter({_TOKS_SQL}, x -> x IN ({_STOP_SQL})))::DOUBLE
+                       / len({_TOKS_SQL}) >= 0.05
+                  THEN 1 ELSE 0 END AS p,
+             CASE WHEN lang = 'en' THEN 1 ELSE 0 END AS t
+      FROM documents),
+    cells AS (
+      SELECT sum(p * t)::BIGINT AS tp, sum(p * (1 - t))::BIGINT AS fp,
+             sum((1 - p) * t)::BIGINT AS fn, sum((1 - p) * (1 - t))::BIGINT AS tn
+      FROM j)
+    SELECT tp, fp, fn, tn,
+           round((tp + tn) / (tp + fp + fn + tn)::DOUBLE, 6) AS po,
+           round(((tp + fp)::DOUBLE * (tp + fn)::DOUBLE
+                  + (fn + tn)::DOUBLE * (fp + tn)::DOUBLE)
+                 / ((tp + fp + fn + tn)::DOUBLE * (tp + fp + fn + tn)::DOUBLE),
+                 6) AS pe,
+           round(((tp + tn) / (tp + fp + fn + tn)::DOUBLE
+                  - ((tp + fp)::DOUBLE * (tp + fn)::DOUBLE
+                     + (fn + tn)::DOUBLE * (fp + tn)::DOUBLE)
+                    / ((tp + fp + fn + tn)::DOUBLE
+                       * (tp + fp + fn + tn)::DOUBLE))
+                 / (1 - ((tp + fp)::DOUBLE * (tp + fn)::DOUBLE
+                         + (fn + tn)::DOUBLE * (fp + tn)::DOUBLE)
+                        / ((tp + fp + fn + tn)::DOUBLE
+                           * (tp + fp + fn + tn)::DOUBLE)),
+                 6) AS kappa
+    FROM cells
+    """,
+)
+def q_langid_kappa(spark, sf_dir):
+    """Cohen's kappa between the stopword-ratio language heuristic
+    (langid_en) and the ground-truth lang column
+    (validate.kappa_agreement): the label-QA primitive — agreement
+    beyond chance, with the exact integer confusion matrix alongside.
+    One partial-agg scan; a single row shuffles."""
+    from parkour_spark.functions.text import langid_en
+    from parkour_spark.operators import validate as V
+
+    docs = _t(spark, sf_dir, "documents")
+    j = docs.select(
+        (langid_en(F.col("text")) == "en").alias("pred_en"),
+        (F.col("lang") == "en").alias("is_en"),
+    )
+    return V.kappa_agreement(j, "pred_en", "is_en")

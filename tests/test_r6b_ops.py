@@ -523,3 +523,42 @@ def test_quality_bp_is_integer_numerator_of_quality_score(spark):
     for r in got:
         assert isinstance(r.bp, int) and 0 <= r.bp <= 10000
         assert r.q == r.bp / 10000.0
+
+
+# --------------------------------------- calibration bins + Cohen's kappa
+
+def test_calibration_bins_exact_counts_and_edges(spark):
+    from parkour_spark.operators.validate import calibration_bins
+
+    rows = [
+        (0.05, 1), (0.05, 0),          # bin 0
+        (0.95, 1), (1.0, 1),           # bin 9 (closed top edge)
+        (-0.2, 0),                     # clamps into bin 0
+        (0.55, 1),                     # bin 5
+    ]
+    df = spark.createDataFrame(rows, ["s", "y"])
+    got = {r.bin: r for r in calibration_bins(df, "s", "y", bins=10).collect()}
+    assert got[0].n == 3 and got[0].n_pos == 1
+    assert got[9].n == 2 and got[9].n_pos == 2 and got[9].pos_rate == 1.0
+    assert got[5].n == 1 and got[5].mean_score == 0.55
+    assert set(got) == {0, 5, 9}
+
+
+def test_kappa_perfect_chance_and_known_value(spark):
+    from parkour_spark.operators.validate import kappa_agreement
+
+    # perfect agreement → kappa 1
+    df = spark.createDataFrame([(1, 1), (0, 0), (1, 1)], ["p", "t"])
+    assert kappa_agreement(df, "p", "t").collect()[0].kappa == 1.0
+    # independence at 50/50 marginals → kappa 0
+    df = spark.createDataFrame(
+        [(1, 1), (1, 0), (0, 1), (0, 0)], ["p", "t"]
+    )
+    r = kappa_agreement(df, "p", "t").collect()[0]
+    assert r.kappa == 0.0 and r.po == 0.5 and r.pe == 0.5
+    # textbook: tp=20 fp=5 fn=10 tn=15 → po=.7, pe=.5, kappa=.4
+    rows = [(1, 1)] * 20 + [(1, 0)] * 5 + [(0, 1)] * 10 + [(0, 0)] * 15
+    r = kappa_agreement(spark.createDataFrame(rows, ["p", "t"]).repartition(8),
+                        "p", "t").collect()[0]
+    assert (r.tp, r.fp, r.fn, r.tn) == (20, 5, 10, 15)
+    assert r.po == 0.7 and r.pe == 0.5 and r.kappa == 0.4
