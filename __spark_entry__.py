@@ -32,9 +32,9 @@ def entry(spark: SparkSession) -> DataFrame:
 # the local gate replica (scripts/check_oracle.py over ALL entries —
 # same compare: rows + columns + sorted value hash vs DuckDB).
 #
-# r6 window = (a) the 23 entries new this round (minhash_probe_persisted,
+# r6 window = (a) the 24 entries new this round (minhash_probe_persisted,
 # class_top_terms_source, quality_auc_langid, quality_calibration_bins,
-# langid_kappa_agreement, lsh_topk_planted,
+# langid_kappa_agreement, hll_overlap_orderkeys, lsh_topk_planted,
 # q8_market_share, fuzzy_join_part_names, weighted_sample_by_source,
 # dsir_importance_weights, last_touch_attribution,
 # jl_projection_fingerprint, lsh_multiprobe_topk, hard_negative_mining,
@@ -51,14 +51,16 @@ def entry(spark: SparkSession) -> DataFrame:
 # (c) ALL 14 remaining never-verified entries (backlog → 0 this
 # round), (d) filled to 50 with 5 of the 41 r3-era rows (the late
 # additions minhash_probe_persisted, class_top_terms_source,
-# quality_auc_langid, quality_calibration_bins and
-# langid_kappa_agreement — new this round, so in-window by rule (a) —
+# quality_auc_langid, quality_calibration_bins,
+# langid_kappa_agreement and hll_overlap_orderkeys — new this round,
+# so in-window by rule (a) —
 # displaced q3_shipping_priority and q5_local_supplier_revenue (TPC-H
 # shapes, in-window siblings q6/q7/q8/q14),
 # price_quantiles_by_segment (distribution shape, in-window sibling
 # price_histogram), asof_purchase_view (oldest non-anchor row), and
-# streaming_session_30m (the streaming family keeps TWO in-window
-# anchors: streaming_dedup + streaming_quality_ingest)). The 36
+# streaming_session_30m and streaming_dedup (the streaming family
+# keeps streaming_quality_ingest — in the never-verified block, which
+# cannot defer — as its in-window anchor)). The 37
 # r3-era entries deferred to r7 include orders_above_customer_avg
 # (decorrelation sibling sql_correlated_subquery in window),
 # parts_never_bulk_ordered (anti-join sibling
@@ -96,6 +98,7 @@ _R6_WINDOW = [
     "token_drift_sources", "minhash_probe_persisted",
     "class_top_terms_source", "quality_auc_langid",
     "quality_calibration_bins", "langid_kappa_agreement",
+    "hll_overlap_orderkeys",
     # changed this round: the 7 re-landed oracle fixes + 2 code changes
     "substring_dedup_clean", "hll_distinct_orders",
     "winsorized_price_stats", "gapfilled_hourly_events",
@@ -111,7 +114,7 @@ _R6_WINDOW = [
     # oldest (r3-era) driver rows
     "customers_without_urgent_orders",
     "rollup_returnflag_status",
-    "sql_correlated_subquery", "streaming_dedup",
+    "sql_correlated_subquery",
     "tfidf_top_terms",
 ]
 

@@ -376,3 +376,49 @@ def hll_estimate_by(regs: DataFrame, p: int = 8) -> DataFrame:
         "registers_fp",
         F.round(est, 2).alias("estimate"),
     )
+
+
+def hll_merge(regs_a: DataFrame, regs_b: DataFrame) -> DataFrame:
+    """Union sketch: element-wise register max — the merge property
+    that makes HLL composable (shards, corpora, snapshots). Both
+    inputs must be dense same-m register frames (hll_registers)."""
+    a = regs_a.select("bucket", F.col("rho").alias("__ra"))
+    b = regs_b.select("bucket", F.col("rho").alias("__rb"))
+    return a.join(b, "bucket").select(
+        "bucket", F.greatest("__ra", "__rb").alias("rho")
+    )
+
+
+def hll_intersect_estimate(
+    df_a: DataFrame, df_b: DataFrame, key: str, p: int = 8
+) -> DataFrame:
+    """Sketch set algebra — audience overlap WITHOUT a distinct-join:
+    |A∩B| ≈ est(A) + est(B) − est(A∪B), the inclusion–exclusion
+    estimator over mergeable HLL sketches (union = element-wise max,
+    exact on sketches; the subtraction is where the approximation
+    compounds — error grows with |A∪B|/|A∩B|, the standard IE-on-HLL
+    caveat, so small overlaps of huge sets need bigger m or a theta
+    sketch). Each side costs one scan into m = 2**p register cells;
+    nothing keyed ever shuffles or joins — the COUNT(DISTINCT a JOIN b)
+    at 100 TB becomes three constant-size estimates.
+
+    One row: est_a, est_b, est_union, est_intersect (round 2)."""
+    ra = hll_registers(df_a, key, p)
+    rb = hll_registers(df_b, key, p)
+    ea = hll_estimate(ra, p).select(F.col("estimate").alias("est_a"))
+    eb = hll_estimate(rb, p).select(F.col("estimate").alias("est_b"))
+    eu = hll_estimate(hll_merge(ra, rb), p).select(
+        F.col("estimate").alias("est_union")
+    )
+    return (
+        ea.crossJoin(eb)
+        .crossJoin(eu)
+        .select(
+            "est_a",
+            "est_b",
+            "est_union",
+            F.round(
+                F.col("est_a") + F.col("est_b") - F.col("est_union"), 2
+            ).alias("est_intersect"),
+        )
+    )

@@ -7371,3 +7371,89 @@ def q_langid_kappa(spark, sf_dir):
         (F.col("lang") == "en").alias("is_en"),
     )
     return V.kappa_agreement(j, "pred_en", "is_en")
+
+
+def _hll_regs_sql(src: str) -> str:
+    """Dense m-register CTE body over `src` (a CTE providing column k)."""
+    return f"""(
+      SELECT r.range AS bucket, coalesce(mx.rho, 0) AS rho
+      FROM range({_HLL_M}) r LEFT JOIN (
+        SELECT bucket, max({_HLL_RHO}) AS rho FROM (
+          SELECT bucket, w, length(regexp_extract(w, '^(0*)', 1)) AS lz
+          FROM (
+            SELECT ('0x' || substr(md5(k::VARCHAR), 1, 8))::BIGINT % {_HLL_M}
+                     AS bucket,
+                   substr(md5(k::VARCHAR), 9, 16) AS w
+            FROM {src})) GROUP BY bucket) mx
+      ON r.range = mx.bucket)"""
+
+
+_HLL_EST_SQL = f"""(
+      SELECT round(CASE WHEN ({_HLL_ALPHA_MM} * pow(2, 64)
+                              / CAST(sum(CAST(pow(2, 64 - rho) AS DECIMAL(38,0)))
+                                     AS DOUBLE)) <= 2.5 * {_HLL_M}
+                          AND sum(CASE WHEN rho = 0 THEN 1 ELSE 0 END) > 0
+                         THEN {_HLL_M}.0
+                              * ln({_HLL_M}.0
+                                   / sum(CASE WHEN rho = 0 THEN 1 ELSE 0 END))
+                         ELSE {_HLL_ALPHA_MM} * pow(2, 64)
+                              / CAST(sum(CAST(pow(2, 64 - rho) AS DECIMAL(38,0)))
+                                     AS DOUBLE)
+                    END, 2) AS estimate
+      FROM REGS)"""
+
+
+@query(
+    "hll_overlap_orderkeys",
+    f"""
+    WITH ka AS (SELECT l_orderkey AS k FROM lineitem WHERE l_orderkey % 2 = 0),
+    kb AS (SELECT l_orderkey AS k FROM lineitem WHERE l_orderkey % 3 = 0),
+    ra AS {_hll_regs_sql('ka')},
+    rb AS {_hll_regs_sql('kb')},
+    ru AS (
+      SELECT ra.bucket, greatest(ra.rho, rb.rho) AS rho
+      FROM ra JOIN rb ON ra.bucket = rb.bucket),
+    ea AS {_HLL_EST_SQL.replace('REGS', 'ra')},
+    eb AS {_HLL_EST_SQL.replace('REGS', 'rb')},
+    eu AS {_HLL_EST_SQL.replace('REGS', 'ru')}
+    SELECT ea.estimate AS est_a, eb.estimate AS est_b,
+           eu.estimate AS est_union,
+           round(ea.estimate + eb.estimate - eu.estimate, 2) AS est_intersect,
+           (SELECT count(DISTINCT l_orderkey) FROM lineitem
+            WHERE l_orderkey % 6 = 0)::BIGINT AS exact_intersect,
+           abs(ea.estimate + eb.estimate - eu.estimate
+               - (SELECT count(DISTINCT l_orderkey) FROM lineitem
+                  WHERE l_orderkey % 6 = 0))
+             <= 0.2 * eu.estimate AS within_bound
+    FROM ea CROSS JOIN eb CROSS JOIN eu
+    """,
+)
+def q_hll_overlap(spark, sf_dir):
+    """Sketch set algebra (sketch.hll_merge / hll_intersect_estimate):
+    |A∩B| by inclusion–exclusion over engine-exact HLL registers —
+    audience overlap with NO distinct-join; each side is one scan into
+    256 mergeable cells (union = element-wise max, exact on sketches).
+    A = even order keys, B = multiples of 3 (true overlap = multiples
+    of 6), alongside the exact count and the IE error-bound flag
+    (error compounds with |A∪B|/|A∩B| — the standard IE caveat the
+    bound documents)."""
+    from parkour_spark.operators.sketch import hll_intersect_estimate
+
+    li = _t(spark, sf_dir, "lineitem")
+    a = li.where(F.col("l_orderkey") % 2 == 0)
+    b = li.where(F.col("l_orderkey") % 3 == 0)
+    est = hll_intersect_estimate(a, b, "l_orderkey", p=_HLL_P)
+    exact = li.where(F.col("l_orderkey") % 6 == 0).agg(
+        F.countDistinct("l_orderkey").alias("exact_intersect")
+    )
+    return est.crossJoin(F.broadcast(exact)).select(
+        "est_a",
+        "est_b",
+        "est_union",
+        "est_intersect",
+        "exact_intersect",
+        (
+            F.abs(F.col("est_intersect") - F.col("exact_intersect"))
+            <= 0.2 * F.col("est_union")
+        ).alias("within_bound"),
+    )

@@ -562,3 +562,31 @@ def test_kappa_perfect_chance_and_known_value(spark):
                         "p", "t").collect()[0]
     assert (r.tp, r.fp, r.fn, r.tn) == (20, 5, 10, 15)
     assert r.po == 0.7 and r.pe == 0.5 and r.kappa == 0.4
+
+
+# ------------------------------------------------- HLL set algebra
+
+def test_hll_merge_equals_registers_of_concatenation(spark):
+    """Mergeability: max-merge of two sketches == the sketch of the
+    concatenated input (the property that makes HLL shard-safe)."""
+    from parkour_spark.operators.sketch import hll_merge, hll_registers
+
+    a = spark.range(0, 400).select(F.col("id").alias("k"))
+    b = spark.range(300, 700).select(F.col("id").alias("k"))
+    merged = hll_merge(hll_registers(a, "k"), hll_registers(b, "k"))
+    direct = hll_registers(a.unionByName(b), "k")
+    assert sorted((r.bucket, r.rho) for r in merged.collect()) == sorted(
+        (r.bucket, r.rho) for r in direct.collect()
+    )
+
+
+def test_hll_intersect_disjoint_near_zero_overlapping_near_truth(spark):
+    from parkour_spark.operators.sketch import hll_intersect_estimate
+
+    a = spark.range(0, 2000).select(F.col("id").alias("k"))
+    b = spark.range(1000, 3000).select(F.col("id").alias("k"))  # 1000 shared
+    r = hll_intersect_estimate(a, b, "k").collect()[0]
+    assert abs(r.est_intersect - 1000) <= 0.2 * r.est_union
+    disj = spark.range(50000, 52000).select(F.col("id").alias("k"))
+    r2 = hll_intersect_estimate(a, disj, "k").collect()[0]
+    assert abs(r2.est_intersect) <= 0.2 * r2.est_union
