@@ -55,6 +55,12 @@ COMMENTARY = {
     "training_shards_manifest": "Shard manifest: shard id, token count, and the 60-bit doc hash are one scan-side projection; the XOR/count/sum manifest aggregates with map-side partials, so the Exchange carries n_shards x partitions cells.",
     "label_centroid_sums": "Class centroids: posexplode runs in the scan projection; the (label, pos) aggregate partial-aggs each partition to labels x dims cells before its single Exchange - integer micro-unit sums keep the merge associative and exact.",
     "ivf_probe_persisted_topk": "Probe-only IVF over the PERSISTED partitioned index: the scan line shows PartitionFilters on cell (the probed-cell set applied statically - only those directories open); the probe side broadcasts, and the only Exchange is the per-query ranking window. Build cost is paid once per corpus version, not per query batch.",
+    "minhash_probe_persisted": "Probe-only MinHash against the PERSISTED band index: the batch's band keys BROADCAST into the inverted-band scan, the (pair, batch-signature) candidate set broadcasts into the sigs scan - both index joins are BroadcastHashJoin, and the only shuffle is the batch-sized candidate distinct. Verification is the signature-agreement fold over stored longs; the corpus text appears NOWHERE in this plan (read once, at build).",
+    "class_top_terms_source": "c-TF-IDF: one tokenize+explode feeds ONE (class, term) aggregate, which is CACHED - the broadcast 1-row A aggregate and the scoring pass both read InMemoryTableScan, never a second corpus scan; f(t) is a term-keyed window over that same table; the per-class top-k window prunes map-side (WindowGroupLimit).",
+    "quality_auc_langid": "Rank-sum AUC: quality basis points + the label are one scan-side projection; ONE shuffle reduces the corpus to per-distinct-score cells (<=10^4 rows at any corpus size since the score is an integer), and the ordered window runs over that bounded table only - the plan contains no global row sort.",
+    "quality_calibration_bins": "Calibration bins: bin id and micro-unit score are scan-side projections; the only Exchange is the 10-row bin aggregate with map-side partials; all means derive from exact integer sums after the shuffle.",
+    "langid_kappa_agreement": "Cohen's kappa: the confusion matrix is FOUR conditional sums in one partial aggregate - a single scan collapsing to one row before the 1-row Exchange; po/pe/kappa are scalar arithmetic on that row.",
+    "hll_overlap_orderkeys": "HLL set algebra: each side's registers are a scan-side md5 projection + a partial-agg'd max into m=256 cells; union is an element-wise greatest join of two 256-row frames; the three estimates and the inclusion-exclusion subtraction are 1-row arithmetic. No distinct-join on keys anywhere in the plan.",
 }
 
 HEADER = """# PLANS — physical-plan evidence for the headline operators
