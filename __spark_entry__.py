@@ -34,7 +34,8 @@ def entry(spark: SparkSession) -> DataFrame:
 #
 # r6 window = (a) the 24 entries new this round (minhash_probe_persisted,
 # class_top_terms_source, quality_auc_langid, quality_calibration_bins,
-# langid_kappa_agreement, hll_overlap_orderkeys, lsh_topk_planted,
+# langid_kappa_agreement, hll_overlap_orderkeys,
+# ks_price_urgent_vs_rest, lsh_topk_planted,
 # q8_market_share, fuzzy_join_part_names, weighted_sample_by_source,
 # dsir_importance_weights, last_touch_attribution,
 # jl_projection_fingerprint, lsh_multiprobe_topk, hard_negative_mining,
@@ -60,7 +61,9 @@ def entry(spark: SparkSession) -> DataFrame:
 # price_histogram), asof_purchase_view (oldest non-anchor row), and
 # streaming_session_30m and streaming_dedup (the streaming family
 # keeps streaming_quality_ingest — in the never-verified block, which
-# cannot defer — as its in-window anchor)). The 37
+# cannot defer — as its in-window anchor), and tfidf_top_terms (its
+# single-pass tokenize→tf→window machinery has the in-window sibling
+# class_top_terms_source)). The 38
 # r3-era entries deferred to r7 include orders_above_customer_avg
 # (decorrelation sibling sql_correlated_subquery in window),
 # parts_never_bulk_ordered (anti-join sibling
@@ -80,7 +83,7 @@ def entry(spark: SparkSession) -> DataFrame:
 # running_user_total, top_customers, time_bucket_rollup), and the
 # approx-sketch pair (approx_price_quantiles, approx_user_counts —
 # sibling hll_distinct_orders is in window), pmi_collocations
-# (text-stat shape under tfidf_top_terms, in window), and
+# (text-stat shape under class_top_terms_source, in window), and
 # active_automobile_customers (scan-filter under
 # customers_without_urgent_orders, in window), cube_priority_status
 # and grouping_sets_priority_status (sibling rollup_returnflag_status
@@ -98,7 +101,7 @@ _R6_WINDOW = [
     "token_drift_sources", "minhash_probe_persisted",
     "class_top_terms_source", "quality_auc_langid",
     "quality_calibration_bins", "langid_kappa_agreement",
-    "hll_overlap_orderkeys",
+    "hll_overlap_orderkeys", "ks_price_urgent_vs_rest",
     # changed this round: the 7 re-landed oracle fixes + 2 code changes
     "substring_dedup_clean", "hll_distinct_orders",
     "winsorized_price_stats", "gapfilled_hourly_events",
@@ -115,7 +118,6 @@ _R6_WINDOW = [
     "customers_without_urgent_orders",
     "rollup_returnflag_status",
     "sql_correlated_subquery",
-    "tfidf_top_terms",
 ]
 
 

@@ -398,3 +398,70 @@ def kappa_agreement(
         F.round(pe, 6).alias("pe"),
         F.round((po - pe) / (1 - pe), 6).alias("kappa"),
     )
+
+
+def ks_statistic(
+    df_a: DataFrame, df_b: DataFrame, col: str
+) -> DataFrame:
+    """EXACT two-sample Kolmogorov–Smirnov statistic — numeric-column
+    drift between two slices/snapshots (the continuous-column
+    complement to corpus.token_drift's token distributions):
+
+        D = max over observed x of |F_a(x) − F_b(x)|
+
+    computed with INTEGER arithmetic: per-distinct-value counts from
+    each side outer-merge, cumulative sums give n_b·cumA and n_a·cumB
+    (both exact longs), and D's numerator max|n_b·cumA − n_a·cumB| is
+    exact — the single division by n_a·n_b happens once at the end, so
+    two engines cannot disagree on WHERE the supremum lands. One
+    shuffle per side to distinct-value cells; the ordered pass windows
+    over the merged DISTINCT-VALUE table — bounded for discrete/
+    quantized columns (prices in cents, integer scores); quantize
+    continuous doubles first, as with auc_rank_sum.
+
+    Returns one row: n_a, n_b, ks_num (the exact integer numerator),
+    ks (round 6)."""
+    from pyspark.sql import Window
+
+    ca = (
+        df_a.groupBy(F.col(col).alias("__x"))
+        .agg(F.count("*").alias("__ca"))
+    )
+    cb = (
+        df_b.groupBy(F.col(col).alias("__x"))
+        .agg(F.count("*").alias("__cb"))
+    )
+    merged = ca.join(cb, "__x", "full_outer").select(
+        "__x",
+        F.coalesce("__ca", F.lit(0)).alias("__ca"),
+        F.coalesce("__cb", F.lit(0)).alias("__cb"),
+    )
+    w = Window.orderBy("__x").rowsBetween(Window.unboundedPreceding, 0)
+    wg = Window.partitionBy()
+    cums = merged.select(
+        F.sum("__ca").over(w).alias("__cumA"),
+        F.sum("__cb").over(w).alias("__cumB"),
+    ).select(
+        "__cumA",
+        "__cumB",
+        F.max("__cumA").over(wg).alias("__na"),
+        F.max("__cumB").over(wg).alias("__nb"),
+    )
+    return (
+        cums.agg(
+            F.max("__na").cast("long").alias("n_a"),
+            F.max("__nb").cast("long").alias("n_b"),
+            F.max(
+                F.abs(F.col("__cumA") * F.col("__nb") - F.col("__cumB") * F.col("__na"))
+            )
+            .cast("long")
+            .alias("ks_num"),
+        )
+        .select(
+            "n_a",
+            "n_b",
+            "ks_num",
+            F.round(F.col("ks_num") / (F.col("n_a") * F.col("n_b")).cast("double"), 6)
+            .alias("ks"),
+        )
+    )

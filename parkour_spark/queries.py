@@ -7457,3 +7457,50 @@ def q_hll_overlap(spark, sf_dir):
             <= 0.2 * F.col("est_union")
         ).alias("within_bound"),
     )
+
+
+@query(
+    "ks_price_urgent_vs_rest",
+    """
+    WITH a AS (SELECT o_totalprice AS x FROM orders
+               WHERE o_orderpriority = '1-URGENT'),
+    b AS (SELECT o_totalprice AS x FROM orders
+          WHERE o_orderpriority <> '1-URGENT'),
+    ca AS (SELECT x, count(*)::BIGINT AS c FROM a GROUP BY x),
+    cb AS (SELECT x, count(*)::BIGINT AS c FROM b GROUP BY x),
+    m AS (
+      SELECT coalesce(ca.x, cb.x) AS x,
+             coalesce(ca.c, 0) AS cca, coalesce(cb.c, 0) AS ccb
+      FROM ca FULL OUTER JOIN cb ON ca.x = cb.x),
+    cums AS (
+      SELECT sum(cca) OVER (ORDER BY x ROWS BETWEEN UNBOUNDED PRECEDING
+                            AND CURRENT ROW) AS cumA,
+             sum(ccb) OVER (ORDER BY x ROWS BETWEEN UNBOUNDED PRECEDING
+                            AND CURRENT ROW) AS cumB
+      FROM m),
+    tot AS (
+      SELECT cumA, cumB, max(cumA) OVER () AS na, max(cumB) OVER () AS nb
+      FROM cums)
+    SELECT max(na)::BIGINT AS n_a, max(nb)::BIGINT AS n_b,
+           max(abs(cumA * nb - cumB * na))::BIGINT AS ks_num,
+           round(max(abs(cumA * nb - cumB * na))::BIGINT
+                 / (max(na) * max(nb))::DOUBLE, 6) AS ks
+    FROM tot
+    """,
+)
+def q_ks_price(spark, sf_dir):
+    """Exact two-sample Kolmogorov–Smirnov drift statistic
+    (validate.ks_statistic) between urgent and non-urgent order price
+    distributions — the numeric-column complement to
+    token_drift_sources. All-integer supremum arithmetic (D's numerator
+    max|cumA·n_b − cumB·n_a| is exact, division once at the end), so
+    both engines agree on where the supremum lands; one shuffle per
+    side to distinct-value cells, ordered window over the merged
+    distinct-value table only. Quantize continuous columns first at
+    unbounded cardinality (same guidance as auc_rank_sum)."""
+    from parkour_spark.operators import validate as V
+
+    orders = _t(spark, sf_dir, "orders")
+    a = orders.where(F.col("o_orderpriority") == "1-URGENT").select("o_totalprice")
+    b = orders.where(F.col("o_orderpriority") != "1-URGENT").select("o_totalprice")
+    return V.ks_statistic(a, b, "o_totalprice")

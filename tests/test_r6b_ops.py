@@ -590,3 +590,35 @@ def test_hll_intersect_disjoint_near_zero_overlapping_near_truth(spark):
     disj = spark.range(50000, 52000).select(F.col("id").alias("k"))
     r2 = hll_intersect_estimate(a, disj, "k").collect()[0]
     assert abs(r2.est_intersect) <= 0.2 * r2.est_union
+
+
+# ---------------------------------------------- two-sample KS statistic
+
+def test_ks_statistic_identical_zero_disjoint_one(spark):
+    from parkour_spark.operators.validate import ks_statistic
+
+    a = spark.range(0, 100).select(F.col("id").alias("x"))
+    r = ks_statistic(a, a, "x").collect()[0]
+    assert r.ks == 0.0 and r.n_a == 100 and r.n_b == 100
+    b = spark.range(1000, 1100).select(F.col("id").alias("x"))
+    assert ks_statistic(a, b, "x").collect()[0].ks == 1.0
+
+
+def test_ks_statistic_matches_scipy_free_replica(spark):
+    """Hand replica over unsorted duplicated data with ties across
+    sides — the supremum and its exact integer numerator must match."""
+    from parkour_spark.operators.validate import ks_statistic
+
+    xs_a = [1, 3, 3, 5, 9, 9, 9, 2]
+    xs_b = [2, 3, 4, 4, 10, 1]
+    da = spark.createDataFrame([(x,) for x in xs_a], ["x"])
+    db = spark.createDataFrame([(x,) for x in xs_b], ["x"])
+    got = ks_statistic(da, db, "x").collect()[0]
+    na, nb = len(xs_a), len(xs_b)
+    best = 0
+    for x in sorted(set(xs_a) | set(xs_b)):
+        ca = sum(1 for v in xs_a if v <= x)
+        cb = sum(1 for v in xs_b if v <= x)
+        best = max(best, abs(ca * nb - cb * na))
+    assert (got.n_a, got.n_b, got.ks_num) == (na, nb, best)
+    assert got.ks == round(best / (na * nb), 6)
