@@ -427,3 +427,73 @@ def test_quota_cap_matches_reference(spark, rows, n):
         for negs, i in sorted(lst)[:n]:
             want.add((g, i))
     assert got == want
+
+
+@given(
+    rows=st.lists(
+        st.tuples(st.integers(min_value=0, max_value=20),
+                  st.booleans()),
+        min_size=2, max_size=60,
+    ).filter(lambda r: any(y for _, y in r) and any(not y for _, y in r)),
+)
+@settings(**_SETTINGS)
+def test_auc_rank_sum_matches_pairwise_reference(spark, rows):
+    """AUC == (wins + 0.5·ties) / (n_pos·n_neg) over ALL pos/neg pairs —
+    the O(n²) definition the rank-sum identity must reproduce exactly."""
+    from parkour_spark.operators.validate import auc_rank_sum
+
+    df = spark.createDataFrame(
+        [(s, 1 if y else 0) for s, y in rows], ["s", "y"]
+    )
+    got = auc_rank_sum(df, "s", "y").collect()[0]
+    pos = [s for s, y in rows if y]
+    neg = [s for s, y in rows if not y]
+    u2 = sum(2 if p > n else (1 if p == n else 0) for p in pos for n in neg)
+    assert got.u2 == u2
+    assert got.auc == round(u2 / (2.0 * len(pos) * len(neg)), 6)
+
+
+@given(
+    xs_a=st.lists(st.integers(min_value=0, max_value=30), min_size=1, max_size=50),
+    xs_b=st.lists(st.integers(min_value=0, max_value=30), min_size=1, max_size=50),
+)
+@settings(**_SETTINGS)
+def test_ks_statistic_matches_reference(spark, xs_a, xs_b):
+    from parkour_spark.operators.validate import ks_statistic
+
+    da = spark.createDataFrame([(x,) for x in xs_a], ["x"])
+    db = spark.createDataFrame([(x,) for x in xs_b], ["x"])
+    got = ks_statistic(da, db, "x").collect()[0]
+    na, nb = len(xs_a), len(xs_b)
+    best = max(
+        abs(sum(1 for v in xs_a if v <= x) * nb
+            - sum(1 for v in xs_b if v <= x) * na)
+        for x in set(xs_a) | set(xs_b)
+    )
+    assert (got.n_a, got.n_b, got.ks_num) == (na, nb, best)
+
+
+@given(
+    rows=st.lists(st.tuples(st.booleans(), st.booleans()),
+                  min_size=2, max_size=60)
+    .filter(lambda r: len({(p, t) for p, t in r}) > 1),
+)
+@settings(**_SETTINGS)
+def test_kappa_matches_reference(spark, rows):
+    from parkour_spark.operators.validate import kappa_agreement
+
+    df = spark.createDataFrame(
+        [(1 if p else 0, 1 if t else 0) for p, t in rows], ["p", "t"]
+    )
+    got = kappa_agreement(df, "p", "t").collect()[0]
+    tp = sum(1 for p, t in rows if p and t)
+    fp = sum(1 for p, t in rows if p and not t)
+    fn = sum(1 for p, t in rows if not p and t)
+    tn = sum(1 for p, t in rows if not p and not t)
+    n = float(len(rows))
+    po = (tp + tn) / n
+    pe = ((tp + fp) * (tp + fn) + (fn + tn) * (fp + tn)) / (n * n)
+    assert (got.tp, got.fp, got.fn, got.tn) == (tp, fp, fn, tn)
+    assert got.po == round(po, 6)
+    if pe != 1.0:
+        assert abs(got.kappa - (po - pe) / (1 - pe)) < 1e-6
