@@ -32,10 +32,10 @@ def entry(spark: SparkSession) -> DataFrame:
 # the local gate replica (scripts/check_oracle.py over ALL entries —
 # same compare: rows + columns + sorted value hash vs DuckDB).
 #
-# r6 window = (a) the 24 entries new this round (minhash_probe_persisted,
+# r6 window = (a) the 25 entries new this round (minhash_probe_persisted,
 # class_top_terms_source, quality_auc_langid, quality_calibration_bins,
 # langid_kappa_agreement, hll_overlap_orderkeys,
-# ks_price_urgent_vs_rest, lsh_topk_planted,
+# ks_price_urgent_vs_rest, bootstrap_ci_order_price, lsh_topk_planted,
 # q8_market_share, fuzzy_join_part_names, weighted_sample_by_source,
 # dsir_importance_weights, last_touch_attribution,
 # jl_projection_fingerprint, lsh_multiprobe_topk, hard_negative_mining,
@@ -63,7 +63,9 @@ def entry(spark: SparkSession) -> DataFrame:
 # keeps streaming_quality_ingest — in the never-verified block, which
 # cannot defer — as its in-window anchor), and tfidf_top_terms (its
 # single-pass tokenize→tf→window machinery has the in-window sibling
-# class_top_terms_source)). The 38
+# class_top_terms_source), and rollup_returnflag_status (its
+# cube/grouping-sets siblings defer with it — same Expand machinery,
+# all three local-gate green every round)). The 39
 # r3-era entries deferred to r7 include orders_above_customer_avg
 # (decorrelation sibling sql_correlated_subquery in window),
 # parts_never_bulk_ordered (anti-join sibling
@@ -85,9 +87,9 @@ def entry(spark: SparkSession) -> DataFrame:
 # sibling hll_distinct_orders is in window), pmi_collocations
 # (text-stat shape under class_top_terms_source, in window), and
 # active_automobile_customers (scan-filter under
-# customers_without_urgent_orders, in window), cube_priority_status
-# and grouping_sets_priority_status (sibling rollup_returnflag_status
-# in window) — all local-gate green;
+# customers_without_urgent_orders, in window), and the
+# rollup/cube/grouping-sets trio (deferred together; Expand-machinery
+# coverage holds via the local gate every round) — all local-gate green;
 # r7 clears the rotation entirely.
 _R6_WINDOW = [
     # NEW this round
@@ -102,6 +104,7 @@ _R6_WINDOW = [
     "class_top_terms_source", "quality_auc_langid",
     "quality_calibration_bins", "langid_kappa_agreement",
     "hll_overlap_orderkeys", "ks_price_urgent_vs_rest",
+    "bootstrap_ci_order_price",
     # changed this round: the 7 re-landed oracle fixes + 2 code changes
     "substring_dedup_clean", "hll_distinct_orders",
     "winsorized_price_stats", "gapfilled_hourly_events",
@@ -116,7 +119,6 @@ _R6_WINDOW = [
     "bpe_vocab_segmentation", "price_histogram",
     # oldest (r3-era) driver rows
     "customers_without_urgent_orders",
-    "rollup_returnflag_status",
     "sql_correlated_subquery",
 ]
 

@@ -465,3 +465,91 @@ def ks_statistic(
             .alias("ks"),
         )
     )
+
+
+def bootstrap_ci(
+    df: DataFrame,
+    col: str,
+    id_col: str,
+    b: int = 50,
+    lo_q: float = 0.025,
+    hi_q: float = 0.975,
+) -> DataFrame:
+    """Error bars on a corpus mean in ONE scan — the deterministic
+    Poisson bootstrap (Chamandy et al. 2012, "Estimating Uncertainty
+    for Massive Data Streams"): classic bootstrap resampling is
+    impossible distributed (a resample of n rows needs global
+    coordination), but Poisson(1) per-row replicate weights are iid
+    BY ROW, so each row independently computes its weight in every one
+    of `b` replicates scan-side and only b partial-agg cells shuffle.
+    The weight is DERIVED, not drawn: u = md5(id:replicate)/2³² through
+    the Poisson(1) inverse CDF (a fixed threshold ladder) — replayable
+    on any engine and any partition layout, no RNG state.
+
+    Replicate means use exact integer micro-unit sums; the CI is
+    rank-based over the b replicate estimates (no interpolation), so
+    the whole artifact is engine-exact. Cost: b× scan-side weight
+    evaluations (one md5 each), zero extra corpus shuffles.
+
+    Returns one row: n, point_mean, ci_lo, ci_hi, b."""
+    import math
+
+    from pyspark.sql import Window
+
+    # Poisson(1) CDF thresholds, embedded as identical literals on both
+    # engines; k capped at 6 (P(X>6) < 1e-4 — bias far below CI width)
+    cdf = [math.exp(-1) * sum(1 / math.factorial(i) for i in range(k + 1))
+           for k in range(6)]
+    x_micro = F.round(F.col(col).cast("double") * 1e6).cast("long")
+    rows = df.select(F.col(id_col).alias("__id"), x_micro.alias("__xm"))
+    reps = rows.select(
+        "__id", "__xm", F.explode(F.sequence(F.lit(0), F.lit(b - 1))).alias("__r")
+    ).select(
+        "__r",
+        "__xm",
+        # weight hash keys on the ROW ID, never the value: equal values
+        # hashed alike would move together across replicates and
+        # correlate the resamples
+        (
+            F.conv(
+                F.substring(F.md5(F.concat_ws(":", "__id", "__r")), 1, 8), 16, 10
+            ).cast("double")
+            / F.lit(float(1 << 32))
+        ).alias("__u"),
+    )
+    k = F.lit(6)
+    for i in range(5, -1, -1):
+        k = F.when(F.col("__u") < cdf[i], F.lit(i)).otherwise(k)
+    ests = (
+        reps.select("__r", "__xm", k.alias("__k"))
+        .groupBy("__r")
+        .agg(
+            F.sum(F.col("__k") * F.col("__xm")).alias("__s"),
+            F.sum("__k").alias("__n"),
+        )
+        .select(
+            F.col("__r"),
+            (F.col("__s") / (F.col("__n") * 1e6)).alias("__est"),
+        )
+    )
+    lo_rank = max(1, math.ceil(lo_q * b))
+    hi_rank = min(b, math.ceil(hi_q * b))
+    w = Window.orderBy("__est", "__r")
+    ranked = ests.select(
+        "__est", F.row_number().over(w).alias("__rk")
+    )
+    ci = ranked.agg(
+        F.max(F.when(F.col("__rk") == lo_rank, F.col("__est"))).alias("__lo"),
+        F.max(F.when(F.col("__rk") == hi_rank, F.col("__est"))).alias("__hi"),
+    )
+    point = rows.agg(
+        F.count("*").cast("long").alias("n"),
+        (F.sum("__xm") / (F.count("*") * 1e6)).alias("__pm"),
+    )
+    return point.crossJoin(F.broadcast(ci)).select(
+        "n",
+        F.round("__pm", 6).alias("point_mean"),
+        F.round("__lo", 6).alias("ci_lo"),
+        F.round("__hi", 6).alias("ci_hi"),
+        F.lit(b).cast("long").alias("b"),
+    )

@@ -7504,3 +7504,50 @@ def q_ks_price(spark, sf_dir):
     a = orders.where(F.col("o_orderpriority") == "1-URGENT").select("o_totalprice")
     b = orders.where(F.col("o_orderpriority") != "1-URGENT").select("o_totalprice")
     return V.ks_statistic(a, b, "o_totalprice")
+
+
+@query(
+    "bootstrap_ci_order_price",
+    """
+    WITH rows_x AS (
+      SELECT o_orderkey AS id,
+             round(o_totalprice * 1000000.0)::BIGINT AS xm
+      FROM orders),
+    reps AS (
+      SELECT r.range AS r, xm,
+             (('0x' || substr(md5(id::VARCHAR || ':' || r.range::VARCHAR),
+                              1, 8))::BIGINT)::DOUBLE / 4294967296.0 AS u
+      FROM rows_x CROSS JOIN range(50) r),
+    ks AS (SELECT r, xm, CASE WHEN u < 0.36787944117144233 THEN 0 WHEN u < 0.7357588823428847 THEN 1 WHEN u < 0.9196986029286058 THEN 2 WHEN u < 0.9810118431238462 THEN 3 WHEN u < 0.9963401531726562 THEN 4 WHEN u < 0.9994058151824182 THEN 5 ELSE 6 END AS k FROM reps),
+    ests AS (
+      SELECT r, sum(k * xm)::BIGINT::DOUBLE
+                / (sum(k)::BIGINT * 1000000.0) AS est
+      FROM ks GROUP BY r),
+    ranked AS (
+      SELECT est, row_number() OVER (ORDER BY est, r) AS rk FROM ests),
+    ci AS (
+      SELECT max(CASE WHEN rk = 2 THEN est END) AS lo,
+             max(CASE WHEN rk = 49 THEN est END) AS hi
+      FROM ranked),
+    pt AS (
+      SELECT count(*)::BIGINT AS n,
+             sum(xm)::BIGINT::DOUBLE / (count(*) * 1000000.0) AS pm
+      FROM rows_x)
+    SELECT n, round(pm, 6) AS point_mean, round(lo, 6) AS ci_lo,
+           round(hi, 6) AS ci_hi, 50::BIGINT AS b
+    FROM pt CROSS JOIN ci
+    """,
+)
+def q_bootstrap_ci(spark, sf_dir):
+    """Deterministic Poisson-bootstrap CI on the mean order price
+    (validate.bootstrap_ci, Chamandy et al. 2012): per-row Poisson(1)
+    replicate weights DERIVED from md5(id:replicate) through the fixed
+    inverse-CDF ladder — error bars on a corpus metric in one scan with
+    only b=50 partial-agg cells shuffling, replayable on any engine or
+    partition layout. Rank-based CI over the replicate means (no
+    interpolation); replicate means from exact integer micro-unit
+    sums."""
+    from parkour_spark.operators import validate as V
+
+    orders = _t(spark, sf_dir, "orders")
+    return V.bootstrap_ci(orders, "o_totalprice", "o_orderkey", b=50)

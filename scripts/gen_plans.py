@@ -62,6 +62,7 @@ COMMENTARY = {
     "langid_kappa_agreement": "Cohen's kappa: the confusion matrix is FOUR conditional sums in one partial aggregate - a single scan collapsing to one row before the 1-row Exchange; po/pe/kappa are scalar arithmetic on that row.",
     "hll_overlap_orderkeys": "HLL set algebra: each side's registers are a scan-side md5 projection + a partial-agg'd max into m=256 cells; union is an element-wise greatest join of two 256-row frames; the three estimates and the inclusion-exclusion subtraction are 1-row arithmetic. No distinct-join on keys anywhere in the plan.",
     "ks_price_urgent_vs_rest": "Two-sample KS: each side partial-aggs to distinct-value counts (one Exchange per side); the full-outer merge and the cumulative/supremum windows run over the merged DISTINCT-VALUE table only - the plan never globally sorts rows, and the supremum numerator is integer arithmetic.",
+    "bootstrap_ci_order_price": "Poisson bootstrap: the b-replicate explode, weight hash, and inverse-CDF ladder are ALL scan-side projections; the only corpus-width Exchange is the b-cell partial aggregate (replicate sums), and the CI rank window runs over b=50 rows. Error bars at the cost of one scan.",
 }
 
 HEADER = """# PLANS — physical-plan evidence for the headline operators

@@ -622,3 +622,34 @@ def test_ks_statistic_matches_scipy_free_replica(spark):
         best = max(best, abs(ca * nb - cb * na))
     assert (got.n_a, got.n_b, got.ks_num) == (na, nb, best)
     assert got.ks == round(best / (na * nb), 6)
+
+
+# ------------------------------------------------ Poisson bootstrap CI
+
+def test_bootstrap_ci_constant_column_is_degenerate_and_exact(spark):
+    """All values equal c → every replicate mean is exactly c → the CI
+    collapses to [c, c]."""
+    from parkour_spark.operators.validate import bootstrap_ci
+
+    df = spark.range(0, 500).select(
+        F.col("id"), F.lit(42.5).alias("x")
+    )
+    r = bootstrap_ci(df, "x", "id", b=50).collect()[0]
+    assert (r.point_mean, r.ci_lo, r.ci_hi) == (42.5, 42.5, 42.5)
+    assert r.n == 500 and r.b == 50
+
+
+def test_bootstrap_ci_brackets_mean_and_is_layout_invariant(spark):
+    """The CI brackets the sample mean, and the whole artifact is
+    identical under a different partition layout (weights are derived
+    from ids, not drawn from partition-seeded RNG)."""
+    from parkour_spark.operators.validate import bootstrap_ci
+
+    df = spark.range(0, 2000).select(
+        F.col("id"), (F.col("id") % 100).cast("double").alias("x")
+    )
+    r1 = bootstrap_ci(df, "x", "id", b=40).collect()[0]
+    r2 = bootstrap_ci(df.repartition(13), "x", "id", b=40).collect()[0]
+    assert r1 == r2
+    assert r1.ci_lo <= r1.point_mean <= r1.ci_hi
+    assert r1.ci_lo < r1.ci_hi  # non-degenerate on varying data
