@@ -21,7 +21,7 @@ def entry(spark: SparkSession) -> DataFrame:
 
 
 # The driver's correctness gate checks the first 50 registry entries;
-# the registry holds 178. ROTATION POLICY (restated in r5 per the r4
+# the registry holds 183. ROTATION POLICY (restated in r5 per the r4
 # verdict #1 — the old "every entry ≤1 round old" claim is
 # arithmetically impossible at this registry size): the window each
 # round = (a) entries ADDED this round, (b) entries whose code or
@@ -117,9 +117,13 @@ _R6_WINDOW = [
     "q7_volume_shipping", "q14_promo_effect", "orc_roundtrip_orders",
     "json_roundtrip_orders", "multimodal_frame_sample",
     "bpe_vocab_segmentation", "price_histogram",
-    # oldest (r3-era) driver rows
-    "customers_without_urgent_orders",
-    "sql_correlated_subquery",
+    # NEW (late round): the exact prefix-filtering similarity join and
+    # the Gopher rule set — in-window by rule (a), displacing the two
+    # r3-era fills (customers_without_urgent_orders and
+    # sql_correlated_subquery; their anti-join/decorrelation shapes
+    # keep local-gate coverage and rejoin the rotation in r7)
+    "dedup_prefix_filter",
+    "gopher_quality_flags",
 ]
 
 

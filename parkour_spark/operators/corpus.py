@@ -982,3 +982,100 @@ def class_top_terms(
             class_col, "term", "ctfidf", F.col("__rk").cast("long").alias("rank")
         )
     )
+
+
+# --------------------------------------------------------------------------
+# Gopher quality rules (Rae et al. 2021, Table A1)
+# --------------------------------------------------------------------------
+
+# The stop-word rule's fixed set, verbatim from the paper: a document
+# must contain at least two of these to pass.
+GOPHER_STOPWORDS = ("the", "be", "to", "of", "and", "that", "have", "with")
+
+
+def gopher_quality(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    min_words: int = 50,
+    max_words: int = 100_000,
+) -> DataFrame:
+    """The Gopher quality-filter rule set (Rae et al. 2021, §A1.1) as
+    pure Column expressions — the standard pre-training heuristic
+    filter, one scan, ZERO shuffles:
+
+    - word count in [min_words, max_words];
+    - mean word length in [3, 10];
+    - symbol-to-word ratio ('#' and '...') ≤ 0.1;
+    - ≥ 80% of words contain an alphabetic character;
+    - ≤ 90% of lines start with a bullet, ≤ 30% end with an ellipsis
+      (computed on '\\n' splits; single-line docs trivially pass,
+      which matches the paper's intent for unwrapped text);
+    - at least 2 distinct words from the fixed 8-word stop set.
+
+    Every threshold is evaluated in SCALED-INTEGER form (e.g. mean word
+    length in [3,10] ⇔ 3·n_words ≤ word_chars ≤ 10·n_words), so no
+    float division or rounding exists anywhere — flags are bit-identical
+    across engines and partition layouts by construction. Counts are
+    emitted alongside the flags so downstream triage can re-band without
+    re-scanning."""
+    c = F.col(text_col)
+    raw_toks = tokens(c)
+    lo_toks = F.array_distinct(tokens(F.lower(c)))
+    n_words = F.size(raw_toks).cast("long")
+    word_chars = F.length(F.regexp_replace(F.trim(c), r"\s+", "")).cast("long")
+    n_alpha = F.size(F.filter(raw_toks, lambda t: t.rlike("[a-zA-Z]"))).cast("long")
+    n_hash = (F.length(c) - F.length(F.expr(f"replace({text_col}, '#', '')"))).cast(
+        "long"
+    )
+    n_ellipsis = (
+        (F.length(c) - F.length(F.expr(f"replace({text_col}, '...', '')"))) / 3
+    ).cast("long")
+    n_symbols = n_hash + n_ellipsis
+    lines = F.split(c, "\n")
+    n_lines = F.size(lines).cast("long")
+    n_bullet = F.size(
+        F.filter(
+            lines,
+            lambda l: F.ltrim(l).startswith("-")
+            | F.ltrim(l).startswith("*")
+            | F.ltrim(l).startswith("•"),
+        )
+    ).cast("long")
+    n_ellipsis_end = F.size(
+        F.filter(lines, lambda l: F.rtrim(l).endswith("..."))
+    ).cast("long")
+    stop_arr = F.array(*[F.lit(w) for w in GOPHER_STOPWORDS])
+    n_stop = F.size(F.array_intersect(lo_toks, stop_arr)).cast("long")
+
+    ok_words = (n_words >= min_words) & (n_words <= max_words)
+    ok_mean_len = (3 * n_words <= word_chars) & (word_chars <= 10 * n_words)
+    ok_symbols = 10 * n_symbols <= n_words
+    ok_alpha = 5 * n_alpha >= 4 * n_words
+    ok_bullets = 10 * n_bullet <= 9 * n_lines
+    ok_ellipsis = 10 * n_ellipsis_end <= 3 * n_lines
+    ok_stop = n_stop >= 2
+    return df.select(
+        F.col(id_col),
+        n_words.alias("n_words"),
+        word_chars.alias("word_chars"),
+        n_alpha.alias("n_alpha_words"),
+        n_symbols.alias("n_symbols"),
+        n_stop.alias("n_stop_hits"),
+        ok_words.alias("ok_words"),
+        ok_mean_len.alias("ok_mean_len"),
+        ok_symbols.alias("ok_symbols"),
+        ok_alpha.alias("ok_alpha"),
+        ok_bullets.alias("ok_bullets"),
+        ok_ellipsis.alias("ok_ellipsis"),
+        ok_stop.alias("ok_stop"),
+        (
+            ok_words
+            & ok_mean_len
+            & ok_symbols
+            & ok_alpha
+            & ok_bullets
+            & ok_ellipsis
+            & ok_stop
+        ).alias("passes"),
+    )

@@ -390,6 +390,77 @@ def ngram_jaccard_pairs_capped(
     return jaccard_verify(cand, df, text_col, id_col, threshold, ngram_n)
 
 
+def prefix_filter_pairs(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    threshold_num: int = 4,
+    threshold_den: int = 5,
+    ngram_n: int = 3,
+) -> DataFrame:
+    """EXACT shingle-set Jaccard ≥ num/den via prefix filtering — the
+    SSJoin/PPJoin candidate scheme (Chaudhuri et al., ICDE 2006; Xiao
+    et al., WWW 2008), the completeness-guaranteed alternative to the
+    df-capped index:
+
+    1. One global doc-frequency aggregate orders the token universe
+       rarest-first; (df, tok) is a TOTAL order (tokens are distinct
+       per doc), so the per-doc ranking is deterministic cross-engine.
+    2. Each doc keeps only its PREFIX — the first
+       |X| − ⌈t·|X|⌉ + 1 tokens under that order. Lemma (the prefix
+       filter): if J(A,B) ≥ t then |A∩B| ≥ ⌈t·max(|A|,|B|)⌉, and two
+       sets whose overlap is ≥ α must share a token among the first
+       |X| − α + 1 of each under any common total order — so every
+       qualifying pair shares a PREFIX token. No recall caveat.
+    3. Candidates = pairs sharing a prefix-token bucket (the same
+       single-shuffle `_bucket_pairs` shape as the LSH/df-capped
+       paths, uncapped — exactness forbids dropping buckets), then
+       exact verify on full sets (`jaccard_verify`).
+
+    The threshold is a RATIONAL (num/den) so the prefix length
+    n − ⌈t·n⌉ + 1 is pure integer arithmetic — both engines agree on
+    every prefix boundary; no float·int ceil at any point.
+
+    SCALE: fan-out is Σ_{t∈prefixes} df_t² over PREFIX memberships
+    only — prefixes hold each doc's globally rarest (1−t)·|X|+1
+    shingles, so the quadratic term concentrates on low-df tokens by
+    construction (rarest-first is exactly the PPJoin ordering
+    heuristic). Four exchanges: df agg, df join, per-doc rank window,
+    bucket groupBy; verify joins touch candidate docs only. Unlike
+    `ngram_jaccard_pairs_capped` there is no dropped-shingle recall
+    condition to monitor — this is the path when missed boilerplate
+    pairs are not acceptable."""
+    if not (0 < threshold_num <= threshold_den):
+        raise ValueError("threshold must be a rational in (0, 1]")
+    from pyspark.sql import Window
+
+    ts = _feature_sets(df, text_col, id_col, ngram_n).withColumn(
+        "__n", F.size("toks")
+    )
+    ex = _explode_fast(ts, "toks", "tok", keep=[id_col, "__n"])
+    dfs = ex.groupBy("tok").agg(F.count("*").alias("__df"))
+    # prefix_len = n − ceil(num·n/den) + 1, all-integer
+    ceil_tn = F.expr(
+        f"({threshold_num} * __n + {threshold_den - 1}) div {threshold_den}"
+    )
+    pref = (
+        ex.join(dfs, "tok")
+        .withColumn(
+            "__pos",
+            F.row_number().over(Window.partitionBy(id_col).orderBy("__df", "tok")),
+        )
+        .where(F.col("__pos") <= F.col("__n") - ceil_tn + 1)
+        .select(F.col(id_col), F.col("tok").alias("band_key"))
+    )
+    cand = _bucket_pairs(pref, id_col, max_bucket=None).persist()
+    # Eagerly materialized: verify consumes it three times (see
+    # minhash_dedup_pairs).
+    cand.count()
+    return jaccard_verify(
+        cand, df, text_col, id_col, threshold_num / threshold_den, ngram_n
+    )
+
+
 # ---------------------------------------------------------------------------
 # SimHash
 # ---------------------------------------------------------------------------

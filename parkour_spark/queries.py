@@ -1739,6 +1739,45 @@ def q_ngram_jaccard_capped(spark, sf_dir):
     )
 
 
+@query(
+    "dedup_prefix_filter",
+    f"""
+    WITH toks AS (SELECT doc_id, {_SHINGLES_SQL} AS t FROM documents),
+    ex AS (SELECT doc_id, len(t) AS n, unnest(t) AS tok FROM toks),
+    dfs AS (SELECT tok, count(*)::BIGINT AS df FROM ex GROUP BY tok),
+    ranked AS (
+      SELECT doc_id, n, tok,
+             row_number() OVER (PARTITION BY doc_id ORDER BY df, tok) AS pos
+      FROM ex JOIN dfs USING (tok)),
+    pref AS (SELECT doc_id, tok FROM ranked
+             WHERE pos <= n - ((4 * n + 4) // 5) + 1),
+    cand AS (SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
+             FROM pref a JOIN pref b USING (tok) WHERE a.doc_id < b.doc_id),
+    scored AS (
+      SELECT id_a, id_b,
+             len(list_intersect(ta.t, tb.t))::DOUBLE
+               / len(list_distinct(list_concat(ta.t, tb.t))) AS jac
+      FROM cand
+      JOIN toks ta ON cand.id_a = ta.doc_id
+      JOIN toks tb ON cand.id_b = tb.doc_id)
+    SELECT id_a, id_b, round(jac, 4) AS jaccard FROM scored WHERE jac >= 0.8
+    """,
+)
+def q_prefix_filter(spark, sf_dir):
+    """EXACT prefix-filtering similarity self-join (SSJoin/PPJoin
+    class, dedup.prefix_filter_pairs): candidates must share a token
+    within each doc's rarest-first PREFIX of length n − ⌈0.8·n⌉ + 1 —
+    provably complete (no recall caveat, unlike the df-capped path)
+    while the quadratic join fan-out concentrates on each doc's
+    globally rarest shingles. Threshold is the rational 4/5, so every
+    prefix boundary is integer arithmetic in both engines; output
+    equals the uncapped inverted-index join exactly (asserted in
+    tests/test_prefix_filter.py)."""
+    return D.prefix_filter_pairs(
+        _t(spark, sf_dir, "documents"), threshold_num=4, threshold_den=5
+    )
+
+
 def _simhash_oracle(bits: int = 16, max_hamming: int = 3) -> str:
     hexpos = "0123456789abcdef"
     nib = lambda i: f"(strpos('{hexpos}', substr(md5(t), {i}, 1)) - 1)"
@@ -7551,3 +7590,68 @@ def q_bootstrap_ci(spark, sf_dir):
 
     orders = _t(spark, sf_dir, "orders")
     return V.bootstrap_ci(orders, "o_totalprice", "o_orderkey", b=50)
+
+
+@query(
+    "gopher_quality_flags",
+    f"""
+    WITH base AS (
+      SELECT doc_id,
+             list_filter(string_split_regex(trim(text), '\\s+'),
+                         x -> x <> '') AS w,
+             list_distinct({_TOKS_SQL}) AS lw,
+             length(regexp_replace(trim(text), '\\s+', '', 'g'))::BIGINT
+               AS word_chars,
+             (length(text) - length(replace(text, '#', '')))::BIGINT
+               + ((length(text) - length(replace(text, '...', ''))) // 3)
+                 ::BIGINT AS n_symbols,
+             string_split(text, chr(10)) AS lines
+      FROM documents),
+    m AS (
+      SELECT doc_id,
+             len(w)::BIGINT AS n_words,
+             word_chars,
+             len(list_filter(w, t -> regexp_matches(t, '[a-zA-Z]')))::BIGINT
+               AS n_alpha_words,
+             n_symbols,
+             len(list_intersect(lw, ['the','be','to','of','and','that',
+                                     'have','with']))::BIGINT AS n_stop_hits,
+             len(lines)::BIGINT AS n_lines,
+             len(list_filter(lines, l -> starts_with(ltrim(l), '-')
+                 OR starts_with(ltrim(l), '*')
+                 OR starts_with(ltrim(l), '•')))::BIGINT AS n_bullet,
+             len(list_filter(lines, l -> rtrim(l) LIKE '%...'))::BIGINT
+               AS n_ellipsis_end
+      FROM base)
+    SELECT doc_id, n_words, word_chars, n_alpha_words, n_symbols,
+           n_stop_hits,
+           (n_words >= 50 AND n_words <= 100000) AS ok_words,
+           (3 * n_words <= word_chars AND word_chars <= 10 * n_words)
+             AS ok_mean_len,
+           (10 * n_symbols <= n_words) AS ok_symbols,
+           (5 * n_alpha_words >= 4 * n_words) AS ok_alpha,
+           (10 * n_bullet <= 9 * n_lines) AS ok_bullets,
+           (10 * n_ellipsis_end <= 3 * n_lines) AS ok_ellipsis,
+           (n_stop_hits >= 2) AS ok_stop,
+           ((n_words >= 50 AND n_words <= 100000)
+            AND (3 * n_words <= word_chars AND word_chars <= 10 * n_words)
+            AND (10 * n_symbols <= n_words)
+            AND (5 * n_alpha_words >= 4 * n_words)
+            AND (10 * n_bullet <= 9 * n_lines)
+            AND (10 * n_ellipsis_end <= 3 * n_lines)
+            AND (n_stop_hits >= 2)) AS passes
+    FROM m
+    """,
+)
+def q_gopher_quality(spark, sf_dir):
+    """The Gopher quality-filter rule set (Rae et al. 2021 §A1.1,
+    corpus.gopher_quality): word-count band, mean-word-length band,
+    symbol-to-word ratio, alphabetic-word fraction, bullet/ellipsis
+    line fractions, and the 8-word stop-set rule — the standard
+    pre-training heuristic filter, one scan, zero shuffles. Every
+    threshold is a SCALED-INTEGER comparison (3·n ≤ chars ≤ 10·n etc.),
+    so no float exists anywhere in the flags; the oracle replays every
+    rule including the line splits."""
+    from parkour_spark.operators.corpus import gopher_quality
+
+    return gopher_quality(_t(spark, sf_dir, "documents"))
