@@ -21,7 +21,7 @@ def entry(spark: SparkSession) -> DataFrame:
 
 
 # The driver's correctness gate checks the first 50 registry entries;
-# the registry holds 183. ROTATION POLICY (restated in r5 per the r4
+# the registry holds 184. ROTATION POLICY (restated in r5 per the r4
 # verdict #1 — the old "every entry ≤1 round old" claim is
 # arithmetically impossible at this registry size): the window each
 # round = (a) entries ADDED this round, (b) entries whose code or
@@ -121,7 +121,10 @@ _R6_WINDOW = [
     # the Gopher rule set — in-window by rule (a), displacing the two
     # r3-era fills (customers_without_urgent_orders and
     # sql_correlated_subquery; their anti-join/decorrelation shapes
-    # keep local-gate coverage and rejoin the rotation in r7)
+    # keep local-gate coverage and rejoin the rotation in r7).
+    # robust_outlier_profile (also new, added after the window filled)
+    # waits for r7 with in-window siblings winsorized_price_stats and
+    # key_skew_profile — the same distinct-cell/rank machinery.
     "dedup_prefix_filter",
     "gopher_quality_flags",
 ]

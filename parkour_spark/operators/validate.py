@@ -553,3 +553,84 @@ def bootstrap_ci(
         F.round("__hi", 6).alias("ci_hi"),
         F.lit(b).cast("long").alias("b"),
     )
+
+
+def mad_profile(
+    df: DataFrame, col: str, group_col: str, k: int = 3
+) -> DataFrame:
+    """Per-group ROBUST outlier profile via the median absolute
+    deviation: lower median m, MAD = lower-median of |x − m|, and the
+    count of rows with |x − m| > k·MAD — the outlier detector that a
+    single corrupt ingest batch cannot drag (unlike mean/stddev
+    z-scores, which the outliers themselves inflate; winsorize_bounds
+    trims by rank, this SCORES by deviation).
+
+    All-integer when `col` is integer (pass prices as cents): medians
+    are the value at rank ⌈(n+1)/2⌉ under the per-group value order
+    (lower median — a DEFINED, interpolation-free statistic both
+    engines agree on), and the outlier test k·MAD is an integer
+    comparison. No float exists anywhere.
+
+    SCALE: rows reduce to per-group DISTINCT-VALUE cells in one
+    partial-agg shuffle (bounded by the value domain — cents, scores —
+    not row count, same guidance as ks_statistic); both median passes
+    window over cells only, and every join is group-keyed."""
+    from pyspark.sql import Window
+
+    cells = df.groupBy(
+        F.col(group_col).alias("__g"), F.col(col).alias("__x")
+    ).agg(F.count("*").alias("__c"))
+
+    def _median(cs: DataFrame) -> DataFrame:
+        wo = (
+            Window.partitionBy("__g")
+            .orderBy("__x")
+            .rowsBetween(Window.unboundedPreceding, 0)
+        )
+        wg = Window.partitionBy("__g")
+        z = cs.select(
+            "__g",
+            "__x",
+            F.sum("__c").over(wo).alias("__cum"),
+            F.sum("__c").over(wg).alias("__n"),
+        )
+        return z.groupBy("__g").agg(
+            F.max("__n").cast("long").alias("__n"),
+            F.min(
+                F.when(F.col("__cum") >= F.expr("(__n + 1) div 2"), F.col("__x"))
+            ).alias("__med"),
+        )
+
+    med = _median(cells)
+    dev = (
+        cells.join(med, "__g")
+        .groupBy("__g", F.abs(F.col("__x") - F.col("__med")).alias("__x"))
+        .agg(F.sum("__c").alias("__c"))
+    )
+    mad = _median(dev).select("__g", F.col("__med").alias("__mad"))
+    out = (
+        cells.join(med, "__g")
+        .join(mad, "__g")
+        .groupBy("__g")
+        .agg(
+            F.sum(
+                F.when(
+                    F.abs(F.col("__x") - F.col("__med")) > k * F.col("__mad"),
+                    F.col("__c"),
+                ).otherwise(F.lit(0))
+            )
+            .cast("long")
+            .alias("__n_out")
+        )
+    )
+    return (
+        med.join(mad, "__g")
+        .join(out, "__g")
+        .select(
+            F.col("__g").alias(group_col),
+            F.col("__n").alias("n"),
+            F.col("__med").alias("median"),
+            F.col("__mad").alias("mad"),
+            F.col("__n_out").alias("n_outliers"),
+        )
+    )

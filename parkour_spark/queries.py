@@ -7655,3 +7655,62 @@ def q_gopher_quality(spark, sf_dir):
     from parkour_spark.operators.corpus import gopher_quality
 
     return gopher_quality(_t(spark, sf_dir, "documents"))
+
+
+@query(
+    "robust_outlier_profile",
+    """
+    WITH cells AS (
+      SELECT o_orderpriority AS g, round(o_totalprice * 100)::BIGINT AS x,
+             count(*)::BIGINT AS c
+      FROM orders GROUP BY 1, 2),
+    z AS (
+      SELECT g, x,
+             sum(c) OVER (PARTITION BY g ORDER BY x
+                          ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+               AS cum,
+             sum(c) OVER (PARTITION BY g) AS n
+      FROM cells),
+    med AS (
+      SELECT g, max(n)::BIGINT AS n,
+             min(CASE WHEN cum >= (n + 1) // 2 THEN x END)::BIGINT AS med
+      FROM z GROUP BY g),
+    dev AS (
+      SELECT cells.g, abs(x - med) AS dx, sum(c)::BIGINT AS c
+      FROM cells JOIN med ON cells.g = med.g GROUP BY 1, 2),
+    dz AS (
+      SELECT g, dx,
+             sum(c) OVER (PARTITION BY g ORDER BY dx
+                          ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+               AS cum,
+             sum(c) OVER (PARTITION BY g) AS n
+      FROM dev),
+    mad AS (
+      SELECT g, min(CASE WHEN cum >= (n + 1) // 2 THEN dx END)::BIGINT AS mad
+      FROM dz GROUP BY g),
+    outl AS (
+      SELECT cells.g,
+             sum(CASE WHEN abs(x - med) > 3 * mad THEN c ELSE 0 END)::BIGINT
+               AS n_out
+      FROM cells JOIN med ON cells.g = med.g JOIN mad ON cells.g = mad.g
+      GROUP BY 1)
+    SELECT med.g AS o_orderpriority, med.n AS n, med.med AS median,
+           mad.mad AS mad, outl.n_out AS n_outliers
+    FROM med JOIN mad ON med.g = mad.g JOIN outl ON med.g = outl.g
+    """,
+)
+def q_robust_outliers(spark, sf_dir):
+    """Per-priority MAD robust outlier profile (validate.mad_profile)
+    on order prices in integer cents: lower median, median absolute
+    deviation, and |x − med| > 3·MAD outlier counts — the
+    corrupt-batch-proof complement to winsorized_price_stats (rank
+    trim) and key_skew_profile (count skew). All-integer medians at
+    rank ⌈(n+1)/2⌉ over per-group distinct-value cells; both engines
+    agree on every median and every outlier by construction."""
+    from parkour_spark.operators.validate import mad_profile
+
+    orders = _t(spark, sf_dir, "orders").select(
+        "o_orderpriority",
+        F.round(F.col("o_totalprice") * 100).cast("long").alias("cents"),
+    )
+    return mad_profile(orders, "cents", "o_orderpriority", k=3)

@@ -96,3 +96,37 @@ def test_winsorize_clamps_and_counts(spark):
     assert rows[9] == (9.0, True)       # the outlier clamps to hi
     assert rows[4] == (5.0, False)      # interior untouched
     assert sum(1 for w, c in rows.values() if c) == 1
+
+
+# ---------------------------------------------------------------------------
+# mad_profile
+# ---------------------------------------------------------------------------
+
+
+def test_mad_profile_hand_computed(spark):
+    from parkour_spark.operators.validate import mad_profile
+
+    # group a: values 1..9 plus outlier 1000 → n=10, lower median at
+    # rank (10+1)//2 = 5 → 5; |x-5| = 4,3,2,1,0,1,2,3,4,995 → sorted
+    # devs 0,1,1,2,2,3,3,4,4,995, lower median rank 5 → 2; outliers
+    # |x-5| > 6 → only 1000.
+    rows = [("a", v) for v in list(range(1, 10)) + [1000]]
+    # group b: constant column → median=7, MAD=0, every row ties, no
+    # outliers (0 > 0 false).
+    rows += [("b", 7)] * 4
+    df = spark.createDataFrame(rows, ["g", "x"])
+    out = {r.g: r for r in mad_profile(df, "x", "g", k=3).collect()}
+    a = out["a"]
+    assert (a.n, a.median, a.mad, a.n_outliers) == (10, 5, 2, 1)
+    b = out["b"]
+    assert (b.n, b.median, b.mad, b.n_outliers) == (4, 7, 0, 0)
+
+
+def test_mad_profile_layout_invariant(spark):
+    from parkour_spark.operators.validate import mad_profile
+
+    rows = [("g", (i * 37) % 101) for i in range(200)]
+    df = spark.createDataFrame(rows, ["g", "x"])
+    r1 = mad_profile(df, "x", "g").collect()
+    r2 = mad_profile(df.repartition(13), "x", "g").collect()
+    assert sorted(map(tuple, r1)) == sorted(map(tuple, r2))
