@@ -448,3 +448,37 @@ def label_propagation(
         )
     sym.unpersist()
     return labels.select(F.col("n").alias(node_col), F.col("lbl").alias("label"))
+
+
+def dedup_survivors_by(
+    nodes: DataFrame,
+    pairs: DataFrame,
+    node_col: str = "doc_id",
+    score_col: str = "score",
+    src: str = "id_a",
+    dst: str = "id_b",
+) -> DataFrame:
+    """(node, component, score, is_survivor) with the KEEP-BEST policy:
+    the survivor of each near-dup component is its highest-`score_col`
+    member (ties broken by min node id — a total order, so the choice
+    is deterministic on any engine or layout). `dedup_survivors`'s
+    min-id policy discards quality information; production pipelines
+    keep the best-quality member of each duplicate cluster (e.g.
+    quality_bp from functions.text), which this implements with ONE
+    extra component-keyed window over the component table — no extra
+    corpus scan (`nodes` already carries the score)."""
+    from pyspark.sql import Window
+
+    cc = connected_components(
+        nodes.select(node_col), pairs, node_col, src, dst
+    )
+    j = cc.join(nodes.withColumnRenamed(node_col, "n"), "n")
+    w = Window.partitionBy("component").orderBy(
+        F.col(score_col).desc(), F.col("n")
+    )
+    return j.select(
+        F.col("n").alias(node_col),
+        "component",
+        F.col(score_col),
+        (F.row_number().over(w) == 1).alias("is_survivor"),
+    )

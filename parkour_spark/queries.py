@@ -2601,7 +2601,16 @@ def q_corpus_prep(spark, sf_dir):
     )
 
 
-def _dedup_groups_oracle(threshold: float = 0.8) -> str:
+_DEDUP_GROUPS_TAIL = """
+    SELECT n AS doc_id, min(m) AS component,
+           (n = min(m)) AS is_survivor
+    FROM reach GROUP BY n
+    """
+
+
+def _dedup_groups_oracle(
+    threshold: float = 0.8, tail: str = _DEDUP_GROUPS_TAIL
+) -> str:
     from parkour_spark.operators.dedup import MINHASH_P, minhash_params
 
     # pairs CTE = the dedup_minhash_lsh oracle's candidate+verify chain
@@ -2639,10 +2648,7 @@ def _dedup_groups_oracle(threshold: float = 0.8) -> str:
       UNION
       SELECT r.n, e.b FROM reach r JOIN edges e ON r.m = e.a
     )
-    SELECT n AS doc_id, min(m) AS component,
-           (n = min(m)) AS is_survivor
-    FROM reach GROUP BY n
-    """
+    {tail}"""
 
 
 @query("dedup_groups", _dedup_groups_oracle())
@@ -7714,3 +7720,48 @@ def q_robust_outliers(spark, sf_dir):
         F.round(F.col("o_totalprice") * 100).cast("long").alias("cents"),
     )
     return mad_profile(orders, "cents", "o_orderpriority", k=3)
+
+
+_QBP_SQL = (
+    f"(least(length(text) * 8, 4000)"
+    f" + CASE WHEN len({_TOKS_SQL}) > 0"
+    f" THEN floor(3000.0 * least(len(list_filter({_TOKS_SQL},"
+    f" x -> x IN ({_STOP_SQL}))) * 10, len({_TOKS_SQL}))"
+    f" / len({_TOKS_SQL})) ELSE 0 END"
+    f" + CASE WHEN list_sum(list_transform({_TOKS_SQL}, t -> length(t)))::DOUBLE"
+    f" / len({_TOKS_SQL}) BETWEEN 3.0 AND 10.0"
+    f" THEN 3000 ELSE 0 END)::BIGINT"
+)
+
+
+@query(
+    "dedup_keep_best",
+    _dedup_groups_oracle(
+        tail=f"""
+    , comp AS (SELECT n AS doc_id, min(m) AS component FROM reach GROUP BY n),
+    q AS (SELECT doc_id, {_QBP_SQL} AS quality_bp FROM documents),
+    r AS (
+      SELECT comp.doc_id, component, quality_bp,
+             row_number() OVER (PARTITION BY component
+                                ORDER BY quality_bp DESC, comp.doc_id) AS rk
+      FROM comp JOIN q USING (doc_id))
+    SELECT doc_id, component, quality_bp, (rk = 1) AS is_survivor FROM r
+    """
+    ),
+)
+def q_dedup_keep_best(spark, sf_dir):
+    """Keep-BEST near-dup survivor policy (graph.dedup_survivors_by):
+    MinHash-LSH pairs → connected components → survivor = the
+    highest-quality_bp member per component (min-id tie break — a total
+    order). The production alternative to dedup_groups' min-id policy:
+    duplicate clusters keep their best-quality member, at the cost of
+    one component-keyed window — no extra corpus scan. Oracle replays
+    the full chain: signatures, bands, verify, recursive-CTE closure,
+    quality basis points, and the argmax."""
+    from parkour_spark.functions.text import quality_bp
+    from parkour_spark.operators.graph import dedup_survivors_by
+
+    docs = _t(spark, sf_dir, "documents")
+    pairs = D.minhash_dedup_pairs(docs, threshold=0.8)
+    scored = docs.select("doc_id", quality_bp(F.col("text")).alias("quality_bp"))
+    return dedup_survivors_by(scored, pairs, "doc_id", "quality_bp")

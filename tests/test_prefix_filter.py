@@ -89,3 +89,31 @@ def test_invalid_threshold_rejected(docs):
         D.prefix_filter_pairs(docs, threshold_num=0, threshold_den=5)
     with pytest.raises(ValueError):
         D.prefix_filter_pairs(docs, threshold_num=6, threshold_den=5)
+
+
+# ---------------------------------------------------------------------------
+# keep-best survivor policy (graph.dedup_survivors_by)
+# ---------------------------------------------------------------------------
+
+
+def test_keep_best_picks_highest_score_not_min_id(spark):
+    from parkour_spark.operators.graph import dedup_survivors_by
+
+    nodes = spark.createDataFrame(
+        [(1, 10), (2, 99), (3, 50), (7, 5), (9, 5)],
+        ["doc_id", "score"],
+    )
+    pairs = spark.createDataFrame(
+        [(1, 2), (2, 3), (7, 9)], ["id_a", "id_b"]
+    )
+    out = {r.doc_id: r for r in dedup_survivors_by(nodes, pairs).collect()}
+    # cluster {1,2,3}: best score 99 → id 2 survives, NOT min-id 1
+    assert out[2].is_survivor and not out[1].is_survivor and not out[3].is_survivor
+    # cluster {7,9}: tied scores → min id 7 survives
+    assert out[7].is_survivor and not out[9].is_survivor
+    # exactly one survivor per component
+    comps = {}
+    for r in out.values():
+        comps.setdefault(r.component, 0)
+        comps[r.component] += r.is_survivor
+    assert all(v == 1 for v in comps.values())
