@@ -21,7 +21,7 @@ def entry(spark: SparkSession) -> DataFrame:
 
 
 # The driver's correctness gate checks the first 50 registry entries;
-# the registry holds 185. ROTATION POLICY (restated in r5 per the r4
+# the registry holds 188. ROTATION POLICY (restated in r5 per the r4
 # verdict #1 — the old "every entry ≤1 round old" claim is
 # arithmetically impossible at this registry size): the window each
 # round = (a) entries ADDED this round, (b) entries whose code or
@@ -122,12 +122,17 @@ _R6_WINDOW = [
     # r3-era fills (customers_without_urgent_orders and
     # sql_correlated_subquery; their anti-join/decorrelation shapes
     # keep local-gate coverage and rejoin the rotation in r7).
-    # robust_outlier_profile and dedup_keep_best (also new, added
-    # after the window filled) wait for r7 with in-window siblings:
-    # winsorized_price_stats + key_skew_profile (the same
-    # distinct-cell/rank machinery) and substring_dedup_clean +
-    # the minhash/CC chain entries (dedup_keep_best's whole pipeline
-    # minus the final argmax window).
+    # Five more late additions (robust_outlier_profile,
+    # dedup_keep_best, corpus_shuffle_order, token_budget_sample,
+    # quality_avg_precision) were registered after the window filled
+    # and wait for r7 — within the agreed ≤8 never-verified bar — each
+    # with in-window siblings: winsorized_price_stats +
+    # key_skew_profile (distinct-cell/rank machinery),
+    # substring_dedup_clean + the minhash/CC chain (dedup_keep_best's
+    # pipeline minus the argmax window), weighted_sample_by_source +
+    # training_shards_manifest (md5-derived deterministic
+    # selection/ordering), and quality_auc_langid (the same
+    # quality_bp-vs-lang ranking machinery as quality_avg_precision).
     "dedup_prefix_filter",
     "gopher_quality_flags",
 ]

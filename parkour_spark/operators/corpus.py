@@ -1079,3 +1079,71 @@ def gopher_quality(
             & ok_stop
         ).alias("passes"),
     )
+
+
+# --------------------------------------------------------------------------
+# Deterministic corpus shuffle + token-budget sampling
+# --------------------------------------------------------------------------
+
+
+def shuffle_order(
+    df: DataFrame, id_col: str = "doc_id", seed: str = "shuffle-v1"
+) -> DataFrame:
+    """Deterministic global training order: every row gets a dense
+    0-based `shuffle_pos` equal to its rank under md5(seed:id) — a
+    reproducible pseudo-random permutation of the corpus that any
+    engine, run, or partition layout derives identically (the data-
+    ordering reproducibility requirement for training runs; change
+    `seed` to re-shuffle between epochs without materializing anything
+    random).
+
+    SCALE: rank assignment is the two-phase matrixify pattern
+    (sort.zip_with_index): range-partition sort on the hash key, per-
+    partition counts, driver prefix-sum, offset add — never a single-
+    partition row_number window over the corpus."""
+    from parkour_spark.operators.sort import zip_with_index
+
+    key = F.md5(F.concat(F.lit(seed + ":"), F.col(id_col).cast("string")))
+    keyed = df.select(F.col(id_col), key.alias("__k"))
+    return zip_with_index(
+        keyed, "shuffle_pos", order=[F.col("__k"), F.col(id_col)]
+    ).select(id_col, F.col("shuffle_pos").cast("long").alias("shuffle_pos"))
+
+
+def token_budget_sample(
+    df: DataFrame,
+    budget_tokens: int,
+    group_col: str = "source",
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    seed: str = "budget-v1",
+) -> DataFrame:
+    """Per-group token-budget subsampling: within each group, take the
+    maximal PREFIX of the deterministic md5(seed:id) order whose
+    cumulative whitespace-token count stays ≤ budget_tokens — "give me
+    N tokens per source", the mixture-construction primitive, with a
+    layout-independent and re-runnable doc selection (same seed → same
+    docs; no RNG state anywhere).
+
+    Returns the kept rows with their `cum_tokens` running total.
+    SCALE: token counts are scan-side Column folds; the single shuffle
+    is the group-keyed window (one pass; groups are sources — few and
+    fat, so skew lives INSIDE a group's sort, which range-partitioning
+    handles). Prefix-truncation semantics are intentional: a greedy
+    skip-over-big-docs variant is order-dependent state and buys
+    little at corpus scale."""
+    key = F.md5(F.concat(F.lit(seed + ":"), F.col(id_col).cast("string")))
+    w = (
+        Window.partitionBy(group_col)
+        .orderBy("__k", id_col)
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    scored = df.select(
+        F.col(group_col),
+        F.col(id_col),
+        key.alias("__k"),
+        token_count(F.col(text_col)).cast("long").alias("__toks"),
+    ).withColumn("cum_tokens", F.sum("__toks").over(w).cast("long"))
+    return scored.where(F.col("cum_tokens") <= budget_tokens).select(
+        group_col, id_col, F.col("__toks").alias("n_tokens"), "cum_tokens"
+    )

@@ -634,3 +634,52 @@ def mad_profile(
             F.col("__n_out").alias("n_outliers"),
         )
     )
+
+
+def average_precision(
+    df: DataFrame, score_col: str, label_col: str, tie_col: str
+) -> DataFrame:
+    """Exact average precision (the PR-curve summary — the ranking
+    metric that, unlike ROC AUC, does not reward a filter for its
+    behavior on the easy majority class):
+
+        AP = (1/P) Σ_{k : rel(k)} precision@k
+
+    under the DEFINED total order (score desc, tie_col asc) — ties are
+    resolved deterministically, not averaged, so the statistic is
+    replayable on any engine. Every per-position term is the INTEGER
+    (10⁶ · cum_pos) div rank (exact integer division, no float round
+    anywhere), so the additive aggregate is order-independent; the one
+    float division happens at the end.
+
+    SCALE: this ranks the WHOLE input (one global sort window) — run it
+    on evaluation slices, which are small by construction; corpus-scale
+    ranking quality is auc_rank_sum's job (distinct-score cells, no
+    global sort)."""
+    from pyspark.sql import Window
+
+    w = Window.orderBy(F.col(score_col).desc(), F.col(tie_col))
+    wc = w.rowsBetween(Window.unboundedPreceding, 0)
+    ranked = df.select(
+        F.col(label_col).cast("long").alias("__y"),
+        F.row_number().over(w).alias("__rk"),
+        F.sum(F.col(label_col).cast("long")).over(wc).alias("__cum"),
+    )
+    terms = ranked.where(F.col("__y") == 1).select(
+        F.expr("(1000000 * __cum) div __rk").alias("__term")
+    )
+    agg = ranked.agg(
+        F.sum("__y").cast("long").alias("n_pos"),
+        F.count("*").cast("long").alias("n"),
+    )
+    tsum = terms.agg(F.sum("__term").cast("long").alias("ap_micro_sum"))
+    return agg.crossJoin(F.broadcast(tsum)).select(
+        "n_pos",
+        "n",
+        "ap_micro_sum",
+        F.round(
+            F.col("ap_micro_sum")
+            / (F.col("n_pos") * F.lit(1_000_000)).cast("double"),
+            6,
+        ).alias("ap"),
+    )

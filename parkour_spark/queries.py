@@ -7765,3 +7765,99 @@ def q_dedup_keep_best(spark, sf_dir):
     pairs = D.minhash_dedup_pairs(docs, threshold=0.8)
     scored = docs.select("doc_id", quality_bp(F.col("text")).alias("quality_bp"))
     return dedup_survivors_by(scored, pairs, "doc_id", "quality_bp")
+
+
+@query(
+    "corpus_shuffle_order",
+    """
+    SELECT doc_id,
+           (row_number() OVER (
+              ORDER BY md5('shuffle-v1:' || doc_id::VARCHAR), doc_id)
+            - 1)::BIGINT AS shuffle_pos
+    FROM documents
+    """,
+)
+def q_shuffle_order(spark, sf_dir):
+    """Deterministic global training order (corpus.shuffle_order):
+    dense 0-based rank under md5(seed:id) — a reproducible
+    pseudo-random permutation any engine derives identically (epoch
+    reshuffle = change the seed). Spark side uses the two-phase
+    matrixify rank (range-partition sort + per-partition counts +
+    driver prefix-sum), never a single-partition window; the oracle's
+    row_number is the semantic spec."""
+    from parkour_spark.operators.corpus import shuffle_order
+
+    return shuffle_order(_t(spark, sf_dir, "documents"))
+
+
+@query(
+    "token_budget_sample",
+    f"""
+    WITH scored AS (
+      SELECT source, doc_id,
+             md5('budget-v1:' || doc_id::VARCHAR) AS k,
+             len({_TOKS_SQL})::BIGINT AS n_tokens
+      FROM documents),
+    cum AS (
+      SELECT source, doc_id, n_tokens,
+             sum(n_tokens) OVER (PARTITION BY source ORDER BY k, doc_id
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)::BIGINT
+               AS cum_tokens
+      FROM scored)
+    SELECT source, doc_id, n_tokens, cum_tokens
+    FROM cum WHERE cum_tokens <= 2000
+    """,
+)
+def q_token_budget(spark, sf_dir):
+    """Per-source token-budget subsampling (corpus.token_budget_sample):
+    the maximal prefix of the deterministic md5(seed:id) order whose
+    cumulative token count stays ≤ 2000 per source — "give me N tokens
+    per source" with a layout-independent, re-runnable doc selection.
+    Scan-side token counts; one group-keyed window shuffle."""
+    from parkour_spark.operators.corpus import token_budget_sample
+
+    return token_budget_sample(
+        _t(spark, sf_dir, "documents"), budget_tokens=2000
+    )
+
+
+@query(
+    "quality_avg_precision",
+    f"""
+    WITH q AS (
+      SELECT doc_id, {_QBP_SQL} AS s,
+             CASE WHEN lang = 'en' THEN 1 ELSE 0 END AS y
+      FROM documents),
+    ranked AS (
+      SELECT y, row_number() OVER (ORDER BY s DESC, doc_id) AS rk,
+             sum(y) OVER (ORDER BY s DESC, doc_id
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum
+      FROM q),
+    t AS (SELECT sum(CASE WHEN y = 1
+                          THEN (1000000 * cum) // rk ELSE 0 END)::BIGINT
+            AS ap_micro_sum
+          FROM ranked),
+    a AS (SELECT sum(y)::BIGINT AS n_pos, count(*)::BIGINT AS n FROM ranked)
+    SELECT n_pos, n, ap_micro_sum,
+           round(ap_micro_sum / (n_pos * 1000000)::DOUBLE, 6) AS ap
+    FROM a CROSS JOIN t
+    """,
+)
+def q_avg_precision(spark, sf_dir):
+    """Exact average precision of the quality score predicting
+    lang='en' (validate.average_precision) — the PR-side evaluation
+    complement to quality_auc_langid: AP penalizes false positives at
+    the top of the ranking, which ROC AUC hides on imbalanced corpora.
+    Deterministic (score desc, doc_id) total order; every per-position
+    term is the integer (10⁶·cum_pos) div rank, so the sum is
+    order-independent and engine-exact. Runs on evaluation slices by
+    design (one global sort window — see docstring)."""
+    from parkour_spark.functions.text import quality_bp
+    from parkour_spark.operators.validate import average_precision
+
+    docs = _t(spark, sf_dir, "documents").select(
+        "doc_id",
+        quality_bp(F.col("text")).alias("s"),
+        (F.col("lang") == "en").cast("int").alias("y"),
+    )
+    return average_precision(docs, "s", "y", "doc_id")

@@ -203,3 +203,86 @@ def test_linear_quality_scores_match_python_reference(spark):
         dbp = math.floor(10000 * len(set(toks)) / n) if n else 10000
         z = -6_000_000 + 50_000 * n + 2_000 * len(r.text) + 300 * dbp
         assert got[r.doc_id] == (z, z > 0), (r.doc_id, got[r.doc_id], z)
+
+
+# ---------------------------------------------------------------------------
+# shuffle_order / token_budget_sample / average_precision
+# ---------------------------------------------------------------------------
+
+
+def test_shuffle_order_is_permutation_and_seeded(spark):
+    from parkour_spark.operators.corpus import shuffle_order
+
+    df = spark.createDataFrame([(i,) for i in range(97)], ["doc_id"])
+    out = shuffle_order(df, seed="s1").collect()
+    pos = sorted(r.shuffle_pos for r in out)
+    assert pos == list(range(97))  # dense 0-based permutation
+    again = {r.doc_id: r.shuffle_pos for r in shuffle_order(df, seed="s1").collect()}
+    first = {r.doc_id: r.shuffle_pos for r in out}
+    assert again == first  # same seed, same order
+    other = {r.doc_id: r.shuffle_pos for r in shuffle_order(df, seed="s2").collect()}
+    assert other != first  # different seed reshuffles
+    # layout-invariant
+    repart = {
+        r.doc_id: r.shuffle_pos
+        for r in shuffle_order(df.repartition(7), seed="s1").collect()
+    }
+    assert repart == first
+
+
+def test_token_budget_sample_prefix_semantics(spark):
+    from parkour_spark.operators.corpus import token_budget_sample
+
+    rows = [("a", i, "w " * 10) for i in range(20)] + [
+        ("b", 100 + i, "x " * 3) for i in range(4)
+    ]
+    df = spark.createDataFrame(rows, ["source", "doc_id", "text"])
+    out = token_budget_sample(df, budget_tokens=35, group_col="source")
+    by_src = {}
+    for r in out.collect():
+        by_src.setdefault(r.source, []).append(r)
+    # source a: docs are 10 tokens each → exactly 3 fit in 35
+    assert len(by_src["a"]) == 3
+    assert max(r.cum_tokens for r in by_src["a"]) == 30
+    # source b: all 4 docs (12 tokens) fit
+    assert len(by_src["b"]) == 4
+    # the kept set is a PREFIX of the hash order: cum_tokens of kept
+    # rows are the first k partial sums
+    for rs in by_src.values():
+        cums = sorted(r.cum_tokens for r in rs)
+        toks = [r.n_tokens for r in sorted(rs, key=lambda r: r.cum_tokens)]
+        run = 0
+        for c, t in zip(cums, toks):
+            run += t
+            assert c == run
+
+
+def test_average_precision_hand_computed(spark):
+    from parkour_spark.operators.validate import average_precision
+
+    # scores rank docs 1..5 as 50,40,30,20,10; labels 1,0,1,0,1
+    # precision at positive ranks: 1/1, 2/3, 3/5 → AP = (1 + 2/3 + 3/5)/3
+    df = spark.createDataFrame(
+        [(1, 50, 1), (2, 40, 0), (3, 30, 1), (4, 20, 0), (5, 10, 1)],
+        ["doc_id", "s", "y"],
+    )
+    r = average_precision(df, "s", "y", "doc_id").collect()[0]
+    assert (r.n_pos, r.n) == (3, 5)
+    # integer terms: 1000000, (2000000 div 3)=666666, (3000000 div 5)=600000
+    assert r.ap_micro_sum == 1000000 + 666666 + 600000
+    assert abs(r.ap - round((1 + 2 / 3 + 3 / 5) / 3, 6)) < 2e-6
+
+
+def test_average_precision_perfect_and_worst(spark):
+    from parkour_spark.operators.validate import average_precision
+
+    perfect = spark.createDataFrame(
+        [(1, 9, 1), (2, 8, 1), (3, 2, 0), (4, 1, 0)], ["id", "s", "y"]
+    )
+    r = average_precision(perfect, "s", "y", "id").collect()[0]
+    assert r.ap == 1.0
+    worst = spark.createDataFrame(
+        [(1, 9, 0), (2, 8, 0), (3, 2, 1)], ["id", "s", "y"]
+    )
+    r = average_precision(worst, "s", "y", "id").collect()[0]
+    assert abs(r.ap - round(1 / 3, 6)) < 2e-6
