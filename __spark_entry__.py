@@ -21,7 +21,7 @@ def entry(spark: SparkSession) -> DataFrame:
 
 
 # The driver's correctness gate checks the first 50 registry entries;
-# the registry holds 188. ROTATION POLICY (restated in r5 per the r4
+# the registry holds 189. ROTATION POLICY (restated in r5 per the r4
 # verdict #1 — the old "every entry ≤1 round old" claim is
 # arithmetically impossible at this registry size): the window each
 # round = (a) entries ADDED this round, (b) entries whose code or
@@ -132,7 +132,11 @@ _R6_WINDOW = [
     # pipeline minus the argmax window), weighted_sample_by_source +
     # training_shards_manifest (md5-derived deterministic
     # selection/ordering), and quality_auc_langid (the same
-    # quality_bp-vs-lang ranking machinery as quality_avg_precision).
+    # quality_bp-vs-lang ranking machinery as quality_avg_precision),
+    # and mutual_knn_components (knn_cosine + the CC closure, both
+    # in-window families via hashed_doc_knn and semantic_dedup_groups).
+    # That is 6 of the agreed ≤8 never-verified slots; all six are
+    # local-gate green and lead the r7 window by rule (c).
     "dedup_prefix_filter",
     "gopher_quality_flags",
 ]

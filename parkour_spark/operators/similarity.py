@@ -600,3 +600,44 @@ def random_projection(
         for j, row in enumerate(matrix)
     ]
     return df.select(F.col(id_col), F.array(*comps).alias(out_col))
+
+
+def mutual_knn_edges(
+    df: DataFrame,
+    k: int = 5,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """MUTUAL k-nearest-neighbor edges (id_a < id_b): a pair is an edge
+    iff each vector is in the other's cosine top-k (self excluded) —
+    the graph whose connected components are the standard
+    embedding-space clustering for semantic grouping (mutual-kNN
+    clustering; the symmetric requirement prunes hub vectors that
+    appear in everyone's top-k but reciprocate none).
+
+    Built on brute_force_topk with the corpus as its own query set:
+    EXACT, and therefore the eval-scale baseline — the all-pairs scan
+    is O(n²·d) like every exact self-kNN. At corpus scale substitute
+    the IVF probe (`ivf_topk` / the persisted-index path) for the
+    top-k stage; the mutual join and the component step are unchanged
+    (both are top-k-output-sized, never corpus²)."""
+    q = df.select(
+        F.col(id_col).alias("query_id"), F.col(vec_col).alias("query_vec")
+    )
+    topk = brute_force_topk(
+        df, q, k=k + 1, corpus_id=id_col, corpus_vec=vec_col
+    ).where(F.col("query_id") != F.col(id_col))
+    # re-rank after dropping self (self is rank 1 at cos 1.0 unless ties)
+    w = Window.partitionBy("query_id").orderBy(
+        F.col("cos").desc(), F.col(id_col)
+    )
+    topk = topk.withColumn("__rk", F.row_number().over(w)).where(
+        F.col("__rk") <= k
+    )
+    a = topk.select(
+        F.col("query_id").alias("id_a"), F.col(id_col).alias("id_b"), "cos"
+    ).where(F.col("id_a") < F.col("id_b"))
+    b = topk.select(
+        F.col(id_col).alias("id_a"), F.col("query_id").alias("id_b")
+    ).where(F.col("id_a") < F.col("id_b"))
+    return a.join(b, ["id_a", "id_b"]).select("id_a", "id_b", "cos")

@@ -7861,3 +7861,56 @@ def q_avg_precision(spark, sf_dir):
         (F.col("lang") == "en").cast("int").alias("y"),
     )
     return average_precision(docs, "s", "y", "doc_id")
+
+
+@query(
+    "mutual_knn_components",
+    f"""
+    WITH RECURSIVE e AS (SELECT vec_id, embedding FROM embeddings),
+    scored AS (
+      SELECT a.vec_id AS q, b.vec_id AS n,
+             round({_cos_sql('a.embedding', 'b.embedding')}, 4) AS cos
+      FROM e a JOIN e b ON a.vec_id <> b.vec_id),
+    topk AS (
+      SELECT q, n, cos FROM (
+        SELECT *, row_number() OVER (PARTITION BY q
+                                     ORDER BY cos DESC, n) AS rk
+        FROM scored)
+      WHERE rk <= 5),
+    mut AS (
+      SELECT t1.q AS id_a, t1.n AS id_b
+      FROM topk t1 JOIN topk t2 ON t1.q = t2.n AND t1.n = t2.q
+      WHERE t1.q < t1.n),
+    edges AS (SELECT id_a AS a, id_b AS b FROM mut
+              UNION SELECT id_b, id_a FROM mut),
+    reach(x, m) AS (
+      SELECT vec_id, vec_id FROM embeddings
+      UNION
+      SELECT r.x, ed.b FROM reach r JOIN edges ed ON r.m = ed.a
+    )
+    SELECT x AS vec_id, min(m) AS component,
+           (x = min(m)) AS is_rep
+    FROM reach GROUP BY x
+    """,
+)
+def q_mutual_knn(spark, sf_dir):
+    """Mutual-kNN clustering (similarity.mutual_knn_edges →
+    graph.connected_components): a pair is an edge iff EACH vector is
+    in the other's cosine top-5 (the symmetric requirement prunes
+    non-reciprocating hub vectors), then components give the semantic
+    clusters. Exact top-k here is the eval-scale baseline (all-pairs);
+    at corpus scale the top-k stage swaps for the IVF probe while the
+    mutual join and closure — both top-k-output-sized — are unchanged.
+    Oracle replays scoring, ranking, the mutual join, and the
+    recursive closure."""
+    from parkour_spark.operators.graph import connected_components
+    from parkour_spark.operators.similarity import mutual_knn_edges
+
+    emb = _t(spark, sf_dir, "embeddings")
+    edges = mutual_knn_edges(emb, k=5)
+    cc = connected_components(emb.select("vec_id"), edges, node_col="vec_id")
+    return cc.select(
+        F.col("n").alias("vec_id"),
+        "component",
+        (F.col("n") == F.col("component")).alias("is_rep"),
+    )

@@ -93,3 +93,36 @@ def test_winnow_short_doc_single_window(spark):
     grams = normed.select("doc_id", kgram_hashes("nt", k=8).alias("g"))
     fps = grams.select("doc_id", winnow_select(F.col("g"), w=8).alias("fps"))
     assert len(fps.first()["fps"]) == 1
+
+
+# ---------------------------------------------------------------------------
+# mutual_knn_edges
+# ---------------------------------------------------------------------------
+
+
+def test_mutual_knn_symmetry_and_hub_pruning(spark):
+    from parkour_spark.operators.similarity import mutual_knn_edges
+
+    # Two tight pairs far apart, plus a "hub" vector equidistant-ish
+    # from both pairs: with k=1 each tight pair is mutual; the hub's
+    # top-1 choice is not reciprocated → no hub edges.
+    rows = [
+        (1, [1.0, 0.0, 0.0]),
+        (2, [0.999, 0.01, 0.0]),
+        (3, [0.0, 1.0, 0.0]),
+        (4, [0.01, 0.999, 0.0]),
+        (5, [0.5, 0.5, 0.0]),  # hub
+    ]
+    df = spark.createDataFrame(rows, ["vec_id", "embedding"])
+    edges = {(r.id_a, r.id_b) for r in mutual_knn_edges(df, k=1).collect()}
+    assert edges == {(1, 2), (3, 4)}
+
+
+def test_mutual_knn_self_excluded_even_with_exact_duplicates(spark):
+    from parkour_spark.operators.similarity import mutual_knn_edges
+
+    rows = [(i, [1.0, 0.0]) for i in range(4)]  # 4 identical vectors
+    df = spark.createDataFrame(rows, ["vec_id", "embedding"])
+    edges = {(r.id_a, r.id_b) for r in mutual_knn_edges(df, k=3).collect()}
+    # all 6 unordered pairs mutual, none is a self-loop
+    assert edges == {(a, b) for a in range(4) for b in range(4) if a < b}
