@@ -68,6 +68,10 @@ HEADLINE = [
     # the df-capped bucket + constant-delta window shape under round-
     # over-round tracking like its Jaccard/LSH siblings
     "substring_dedup_spans",
+    # r6: the exactness-guaranteed prefix-filter similarity join —
+    # tracked alongside its df-capped sibling so the cost of "no recall
+    # caveat" is a measured round-over-round number, not a claim
+    "dedup_prefix_filter",
 ]
 
 

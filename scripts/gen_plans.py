@@ -63,6 +63,14 @@ COMMENTARY = {
     "hll_overlap_orderkeys": "HLL set algebra: each side's registers are a scan-side md5 projection + a partial-agg'd max into m=256 cells; union is an element-wise greatest join of two 256-row frames; the three estimates and the inclusion-exclusion subtraction are 1-row arithmetic. No distinct-join on keys anywhere in the plan.",
     "ks_price_urgent_vs_rest": "Two-sample KS: each side partial-aggs to distinct-value counts (one Exchange per side); the full-outer merge and the cumulative/supremum windows run over the merged DISTINCT-VALUE table only - the plan never globally sorts rows, and the supremum numerator is integer arithmetic.",
     "bootstrap_ci_order_price": "Poisson bootstrap: the b-replicate explode, weight hash, and inverse-CDF ladder are ALL scan-side projections; the only corpus-width Exchange is the b-cell partial aggregate (replicate sums), and the CI rank window runs over b=50 rows. Error bars at the cost of one scan.",
+    "dedup_prefix_filter": "EXACT prefix-filter similarity join: one df aggregate orders the token universe rarest-first, a per-doc rank window keeps the n - ceil(t*n) + 1 prefix, and candidates come from the SAME single-shuffle bucket-pair shape as the LSH path — uncapped, because the prefix lemma guarantees completeness. The quadratic in-bucket term concentrates on each doc's rarest shingles by construction.",
+    "gopher_quality_flags": "The Gopher rule set: every rule (word band, mean-length band, symbol ratio, alpha fraction, line fractions, stop set) is a scaled-integer Column comparison in ONE scan-side projection — the plan has zero Exchange and zero Generate; throughput is parquet-scan-bound.",
+    "robust_outlier_profile": "MAD outliers: rows partial-agg to per-group distinct-value cells (one Exchange bounded by the cents domain); both median passes and the deviation re-bucket window/shuffle over CELLS only, and every join is group-keyed. No float anywhere — medians are rank picks, the outlier test is integer.",
+    "dedup_keep_best": "Keep-best survivors: the MinHash chain and CC rounds are unchanged; the policy adds one component-keyed row_number window over the component table joined to scan-side quality basis points — no extra corpus scan, no new corpus-width shuffle.",
+    "corpus_shuffle_order": "Deterministic shuffle order: md5 key is a scan-side projection; the global rank is the two-phase matrixify pattern — one range-partition sort Exchange, per-partition counts (tiny job), offset add as a literal map. Never a single-partition window over the corpus.",
+    "token_budget_sample": "Token-budget prefix sampling: token counts fold scan-side; the single Exchange is the group-keyed window sort (sources are few and fat — skew lives inside a group's range-partitioned sort, not across keys); the budget cut is a post-window filter.",
+    "quality_avg_precision": "Average precision: scan-side score/label projection, then ONE global sort window — intentionally: AP is an evaluation-slice statistic (eval sets are small by construction); corpus-scale ranking quality is the rank-sum AUC's cell-based plan.",
+    "mutual_knn_components": "Mutual-kNN clusters: the exact top-k stage broadcasts the query set over one corpus scan (eval-scale baseline; the IVF probe substitutes at corpus scale); the mutual check and CC rounds join top-k-OUTPUT-sized tables only.",
 }
 
 HEADER = """# PLANS — physical-plan evidence for the headline operators

@@ -80,6 +80,17 @@ SOAK_QUERIES = [
     "hard_negative_mining",
     "training_shards_manifest",
     "per_source_quota",
+    # r6 third batch: the EXACT prefix-filter similarity join — the
+    # measured cost of "no recall caveat" vs the df-capped sibling at
+    # the same decade; the Gopher rule set (pure scan, the 10× number
+    # pins 'zero shuffles' as throughput, not just a plan assertion);
+    # the keep-best survivor policy (minhash chain + one component
+    # window); and the deterministic corpus shuffle (two-phase global
+    # rank at 10× rows)
+    "dedup_prefix_filter",
+    "gopher_quality_flags",
+    "dedup_keep_best",
+    "corpus_shuffle_order",
 ]
 
 
