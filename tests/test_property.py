@@ -497,3 +497,46 @@ def test_kappa_matches_reference(spark, rows):
     assert got.po == round(po, 6)
     if pe != 1.0:
         assert abs(got.kappa - (po - pe) / (1 - pe)) < 1e-6
+
+
+# ---------------------------------------------------------------------------
+# prefix-filter exactness: random corpora, reference Jaccard replica
+# ---------------------------------------------------------------------------
+
+_WORDS = ["alpha", "beta", "gamma", "delta", "zeta", "omega", "kappa", "tau"]
+
+
+@given(
+    docs=st.lists(
+        st.lists(st.sampled_from(_WORDS), min_size=1, max_size=6),
+        min_size=2,
+        max_size=10,
+    ),
+    tnum=st.sampled_from([1, 2, 3]),
+)
+@settings(**_SETTINGS)
+def test_prefix_filter_matches_bruteforce_jaccard(spark, docs, tnum):
+    """prefix_filter_pairs (ngram_n=1, threshold tnum/4) == brute-force
+    token-set Jaccard over all pairs — the completeness lemma checked
+    on randomized corpora, including all-identical and disjoint docs."""
+    from parkour_spark.operators.dedup import prefix_filter_pairs
+
+    df = spark.createDataFrame(
+        [(i, " ".join(ws)) for i, ws in enumerate(docs)], ["doc_id", "text"]
+    )
+    got = {
+        (r.id_a, r.id_b): r.jaccard
+        for r in prefix_filter_pairs(
+            df, threshold_num=tnum, threshold_den=4, ngram_n=1
+        ).collect()
+    }
+    sets = [set(ws) for ws in docs]
+    expect = {}
+    for a in range(len(docs)):
+        for b in range(a + 1, len(docs)):
+            inter = len(sets[a] & sets[b])
+            union = len(sets[a] | sets[b])
+            j = inter / union
+            if j >= tnum / 4:
+                expect[(a, b)] = round(j, 4)
+    assert got == expect, (got, expect)
