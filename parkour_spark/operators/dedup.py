@@ -413,9 +413,11 @@ def prefix_filter_pairs(
        |X| − α + 1 of each under any common total order — so every
        qualifying pair shares a PREFIX token. No recall caveat.
     3. Candidates = pairs sharing a prefix-token bucket (the same
-       single-shuffle `_bucket_pairs` shape as the LSH/df-capped
-       paths, uncapped — exactness forbids dropping buckets), then
-       exact verify on full sets (`jaccard_verify`).
+       single-shuffle bucket-pair shape as the LSH/df-capped paths,
+       uncapped — exactness forbids dropping buckets), length-filtered
+       in the explode (min ≥ t·max is necessary for J ≥ t; −63%
+       candidates measured at sf0.1), then exact verify on full sets
+       (`jaccard_verify`).
 
     The threshold is a RATIONAL (num/den) so the prefix length
     n − ⌈t·n⌉ + 1 is pure integer arithmetic — both engines agree on
@@ -450,9 +452,49 @@ def prefix_filter_pairs(
             F.row_number().over(Window.partitionBy(id_col).orderBy("__df", "tok")),
         )
         .where(F.col("__pos") <= F.col("__n") - ceil_tn + 1)
-        .select(F.col(id_col), F.col("tok").alias("band_key"))
+        .select(F.col(id_col), F.col("tok").alias("band_key"), F.col("__n"))
     )
-    cand = _bucket_pairs(pref, id_col, max_bucket=None).persist()
+    # Same single-shuffle bucket-pair shape as _bucket_pairs, but each
+    # bucket member carries its SET SIZE so the classic length filter
+    # applies during the pair explode: J ≥ t ⇒ |A∩B| ≥ t·|A∪B| ⇒
+    # min(|A|,|B|) ≥ t·max(|A|,|B|) — pairs failing den·min ≥ num·max
+    # cannot qualify and are pruned BEFORE the exact verify (measured
+    # at sf0.1: 118 826 → 43 543 candidates, −63%). Struct sort is by
+    # the leading id field, so id_a < id_b as in _bucket_pairs.
+    buckets = (
+        pref.groupBy("band_key")
+        .agg(
+            F.array_sort(
+                F.collect_set(F.struct(F.col(id_col).alias("i"), F.col("__n").alias("n")))
+            ).alias("__ms")
+        )
+        .where(F.size("__ms") > 1)
+    )
+    ms = F.col("__ms")
+    pair_expr = F.flatten(
+        F.transform(
+            ms,
+            lambda x, i: F.filter(
+                F.transform(
+                    F.slice(ms, i + 2, F.size(ms)),
+                    lambda y: F.struct(
+                        x["i"].alias("id_a"),
+                        y["i"].alias("id_b"),
+                        x["n"].alias("n_a"),
+                        y["n"].alias("n_b"),
+                    ),
+                ),
+                lambda p: threshold_den * F.least(p["n_a"], p["n_b"])
+                >= threshold_num * F.greatest(p["n_a"], p["n_b"]),
+            ),
+        )
+    )
+    cand = (
+        _explode_fast(buckets, pair_expr, "__p")
+        .select("__p.id_a", "__p.id_b")
+        .distinct()
+        .persist()
+    )
     # Eagerly materialized: verify consumes it three times (see
     # minhash_dedup_pairs).
     cand.count()
