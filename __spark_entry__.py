@@ -21,7 +21,7 @@ def entry(spark: SparkSession) -> DataFrame:
 
 
 # The driver's correctness gate checks the first 50 registry entries;
-# the registry holds 189. ROTATION POLICY (restated in r5 per the r4
+# the registry holds 190. ROTATION POLICY (restated in r5 per the r4
 # verdict #1 — the old "every entry ≤1 round old" claim is
 # arithmetically impossible at this registry size): the window each
 # round = (a) entries ADDED this round, (b) entries whose code or
@@ -134,8 +134,11 @@ _R6_WINDOW = [
     # selection/ordering), and quality_auc_langid (the same
     # quality_bp-vs-lang ranking machinery as quality_avg_precision),
     # and mutual_knn_components (knn_cosine + the CC closure, both
-    # in-window families via hashed_doc_knn and semantic_dedup_groups).
-    # That is 6 of the agreed ≤8 never-verified slots; all six are
+    # in-window families via hashed_doc_knn and semantic_dedup_groups),
+    # and token_entropy_profile (zero-shuffle Column-fold family with
+    # in-window sibling repetition_profile... via the local gate; its
+    # micro-nat discipline is the gated bigram_lm_scores').
+    # That is 7 of the agreed ≤8 never-verified slots; all seven are
     # local-gate green and lead the r7 window by rule (c).
     "dedup_prefix_filter",
     "gopher_quality_flags",

@@ -298,6 +298,55 @@ def top_bigram_share_bp(toks: Column) -> Column:
     ).cast("long")
 
 
+def token_entropy_micronats(toks: Column) -> Column:
+    """Shannon entropy of the document's token distribution in integer
+    MICRO-NATS: H = Σ_t (c_t/n)·ln(n/c_t), every term rounded to an
+    integer BEFORE the sum (order-independent, engine-exact — the
+    bigram-LM micro-nat discipline). Low entropy flags degenerate /
+    keyword-stuffed text whose repeat DISTRIBUTION matters, which
+    distinct_token_ratio_bp (a pure count ratio) cannot see; high
+    entropy with low quality_score flags gibberish.
+
+    Zero-shuffle formulation: per-token counts are run lengths in the
+    SORTED token array (the top_bigram_share_bp trick), so the whole
+    statistic is one fold over a scan-side array — entropy is per-doc,
+    and no (doc, token) shuffle exists at any corpus size. The SQL
+    oracle states the same thing relationally (unnest → group → sum).
+    0 for empty docs."""
+    n = F.size(toks)
+
+    def term(c: Column) -> Column:
+        return F.round(
+            F.lit(1_000_000.0) * c / n * F.log(n.cast("double") / c)
+        ).cast("long")
+
+    acc0 = F.struct(
+        F.lit(" ").alias("prev"),
+        F.lit(0).cast("long").alias("run"),
+        F.lit(0).cast("long").alias("acc"),
+    )
+
+    def step(acc: Column, x: Column) -> Column:
+        new_run = F.when(x == acc["prev"], acc["run"] + 1).otherwise(
+            F.lit(1).cast("long")
+        )
+        flushed = F.when(
+            (x != acc["prev"]) & (acc["run"] > 0), acc["acc"] + term(acc["run"])
+        ).otherwise(acc["acc"])
+        return F.struct(x.alias("prev"), new_run.alias("run"), flushed.alias("acc"))
+
+    return (
+        F.when(
+            n > 0,
+            F.aggregate(
+                F.array_sort(toks), acc0, step, lambda a: a["acc"] + term(a["run"])
+            ),
+        )
+        .otherwise(F.lit(0))
+        .cast("long")
+    )
+
+
 # ---------------------------------------------------------------------------
 # PII detection / redaction
 # ---------------------------------------------------------------------------

@@ -7914,3 +7914,38 @@ def q_mutual_knn(spark, sf_dir):
         "component",
         (F.col("n") == F.col("component")).alias("is_rep"),
     )
+
+
+@query(
+    "token_entropy_profile",
+    f"""
+    WITH t AS (SELECT doc_id, {_TOKS_SQL} AS toks FROM documents),
+    ex AS (SELECT doc_id, len(toks)::BIGINT AS n, unnest(toks) AS tok FROM t),
+    c AS (SELECT doc_id, n, tok, count(*)::BIGINT AS c
+          FROM ex GROUP BY 1, 2, 3),
+    e AS (SELECT doc_id,
+                 sum(round(1000000.0 * c / n * ln(n::DOUBLE / c))::BIGINT)
+                   ::BIGINT AS entropy_micro_nats
+          FROM c GROUP BY doc_id)
+    SELECT t.doc_id, len(t.toks)::BIGINT AS n_tokens,
+           coalesce(e.entropy_micro_nats, 0)::BIGINT AS entropy_micro_nats
+    FROM t LEFT JOIN e USING (doc_id)
+    """,
+)
+def q_token_entropy(spark, sf_dir):
+    """Per-doc token-distribution Shannon entropy in integer micro-nats
+    (functions.text.token_entropy_micronats): the degenerate-text /
+    keyword-stuffing signal that count ratios miss. ZERO shuffle — the
+    per-token counts are run lengths in the sorted token array, so the
+    whole statistic is a scan-side Column fold (the oracle states the
+    same sum relationally); per-term integer rounding makes the sum
+    order-independent and engine-exact."""
+    from parkour_spark.functions.text import token_entropy_micronats, tokens
+
+    docs = _t(spark, sf_dir, "documents")
+    toks = tokens(F.lower(F.col("text")))
+    return docs.select(
+        "doc_id",
+        F.size(toks).cast("long").alias("n_tokens"),
+        token_entropy_micronats(toks).alias("entropy_micro_nats"),
+    )

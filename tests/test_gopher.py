@@ -82,3 +82,48 @@ def test_zero_shuffle_plan(spark):
     df = spark.createDataFrame([(1, GOOD)], ["doc_id", "text"])
     plan = gopher_quality(df)._jdf.queryExecution().executedPlan().toString()
     assert "Exchange" not in plan
+
+
+# ---------------------------------------------------------------------------
+# token_entropy_micronats
+# ---------------------------------------------------------------------------
+
+
+def test_token_entropy_hand_computed(spark):
+    import math
+
+    from parkour_spark.functions.text import token_entropy_micronats, tokens
+    from pyspark.sql import functions as F
+
+    rows = [
+        (1, "a a a a"),          # H = 0 (one symbol)
+        (2, "a b c d"),          # H = ln 4, uniform
+        (3, "a a b"),            # H = (2/3)ln(3/2) + (1/3)ln 3
+        (4, ""),                 # empty → 0
+    ]
+    df = spark.createDataFrame(rows, ["doc_id", "text"])
+    out = {
+        r.doc_id: r.e
+        for r in df.select(
+            "doc_id",
+            token_entropy_micronats(tokens(F.lower(F.col("text")))).alias("e"),
+        ).collect()
+    }
+    assert out[1] == 0
+    assert out[4] == 0
+    # uniform over 4: four terms of round(1e6 * (1/4) * ln 4)
+    assert out[2] == 4 * round(1e6 * 0.25 * math.log(4))
+    expect3 = round(1e6 * 2 / 3 * math.log(3 / 2)) + round(1e6 * 1 / 3 * math.log(3))
+    assert out[3] == expect3
+
+
+def test_token_entropy_zero_shuffle_plan(spark):
+    from parkour_spark.functions.text import token_entropy_micronats, tokens
+    from pyspark.sql import functions as F
+
+    df = spark.createDataFrame([(1, "a b a c")], ["doc_id", "text"])
+    q = df.select(
+        "doc_id", token_entropy_micronats(tokens(F.col("text"))).alias("e")
+    )
+    plan = q._jdf.queryExecution().executedPlan().toString()
+    assert "Exchange" not in plan and "Generate" not in plan
