@@ -135,9 +135,10 @@ _R6_WINDOW = [
     # quality_bp-vs-lang ranking machinery as quality_avg_precision),
     # and mutual_knn_components (knn_cosine + the CC closure, both
     # in-window families via hashed_doc_knn and semantic_dedup_groups),
-    # and token_entropy_profile (zero-shuffle Column-fold family with
-    # in-window sibling repetition_profile... via the local gate; its
-    # micro-nat discipline is the gated bigram_lm_scores').
+    # and token_entropy_profile (the zero-shuffle Column-fold family
+    # whose in-window sibling is bigram_lm_scores — same per-term
+    # integer micro-nat discipline; repetition_profile anchors the
+    # fold idiom in the local gate).
     # That is 7 of the agreed ≤8 never-verified slots; all seven are
     # local-gate green and lead the r7 window by rule (c).
     "dedup_prefix_filter",
