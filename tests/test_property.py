@@ -540,3 +540,66 @@ def test_prefix_filter_matches_bruteforce_jaccard(spark, docs, tnum):
             if j >= tnum / 4:
                 expect[(a, b)] = round(j, 4)
     assert got == expect, (got, expect)
+
+
+# ---------------------------------------------------------------------------
+# mad_profile vs a driver-side reference
+# ---------------------------------------------------------------------------
+
+
+@given(
+    vals=st.lists(st.integers(min_value=-50, max_value=50), min_size=1, max_size=40),
+    k=st.sampled_from([1, 3]),
+)
+@settings(**_SETTINGS)
+def test_mad_profile_matches_reference(spark, vals, k):
+    """mad_profile == lower-median/lower-MAD reference replica."""
+    from parkour_spark.operators.validate import mad_profile
+
+    df = spark.createDataFrame([("g", v) for v in vals], ["g", "x"])
+    r = mad_profile(df, "x", "g", k=k).collect()[0]
+
+    def lower_median(xs):
+        xs = sorted(xs)
+        return xs[(len(xs) + 1) // 2 - 1]
+
+    med = lower_median(vals)
+    mad = lower_median([abs(v - med) for v in vals])
+    n_out = sum(1 for v in vals if abs(v - med) > k * mad)
+    assert (r.n, r.median, r.mad, r.n_outliers) == (len(vals), med, mad, n_out)
+
+
+# ---------------------------------------------------------------------------
+# token_budget_sample vs a driver-side replica
+# ---------------------------------------------------------------------------
+
+
+@given(
+    sizes=st.lists(st.integers(min_value=1, max_value=12), min_size=1, max_size=20),
+    budget=st.integers(min_value=1, max_value=60),
+)
+@settings(**_SETTINGS)
+def test_token_budget_matches_reference(spark, sizes, budget):
+    """token_budget_sample == greedy prefix of the md5 order, replayed
+    driver-side with hashlib."""
+    import hashlib
+
+    from parkour_spark.operators.corpus import token_budget_sample
+
+    rows = [("s", i, "w " * sz) for i, sz in enumerate(sizes)]
+    df = spark.createDataFrame(rows, ["source", "doc_id", "text"])
+    got = sorted(
+        (r.doc_id, r.cum_tokens)
+        for r in token_budget_sample(df, budget, seed="budget-v1").collect()
+    )
+    order = sorted(
+        range(len(sizes)),
+        key=lambda i: (hashlib.md5(f"budget-v1:{i}".encode()).hexdigest(), i),
+    )
+    expect, run = [], 0
+    for i in order:
+        run += sizes[i]
+        if run > budget:
+            break
+        expect.append((i, run))
+    assert got == sorted(expect), (got, expect)
