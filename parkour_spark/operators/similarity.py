@@ -607,6 +607,7 @@ def mutual_knn_edges(
     k: int = 5,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
+    topk: DataFrame | None = None,
 ) -> DataFrame:
     """MUTUAL k-nearest-neighbor edges (id_a < id_b): a pair is an edge
     iff each vector is in the other's cosine top-k (self excluded) —
@@ -615,18 +616,24 @@ def mutual_knn_edges(
     clustering; the symmetric requirement prunes hub vectors that
     appear in everyone's top-k but reciprocate none).
 
-    Built on brute_force_topk with the corpus as its own query set:
-    EXACT, and therefore the eval-scale baseline — the all-pairs scan
-    is O(n²·d) like every exact self-kNN. At corpus scale substitute
-    the IVF probe (`ivf_topk` / the persisted-index path) for the
-    top-k stage; the mutual join and the component step are unchanged
-    (both are top-k-output-sized, never corpus²)."""
-    q = df.select(
-        F.col(id_col).alias("query_id"), F.col(vec_col).alias("query_vec")
-    )
-    topk = brute_force_topk(
-        df, q, k=k + 1, corpus_id=id_col, corpus_vec=vec_col
-    ).where(F.col("query_id") != F.col(id_col))
+    Default top-k is brute_force_topk with the corpus as its own query
+    set: EXACT, and therefore the eval-scale baseline — the all-pairs
+    scan is O(n²·d) like every exact self-kNN. At corpus scale pass
+    `topk` — any precomputed (query_id, {id_col}, cos) neighbor table,
+    e.g. `ivf_topk(corpus, corpus-as-queries, centroids)` or the
+    persisted-index probe — and ONLY the top-k stage changes; the
+    mutual join and the component step are unchanged (both are
+    top-k-output-sized, never corpus²). Supply ≥ k+1 neighbors per
+    query when the table may contain self-matches (self rows are
+    dropped and ranks recomputed here)."""
+    if topk is None:
+        q = df.select(
+            F.col(id_col).alias("query_id"), F.col(vec_col).alias("query_vec")
+        )
+        topk = brute_force_topk(
+            df, q, k=k + 1, corpus_id=id_col, corpus_vec=vec_col
+        )
+    topk = topk.where(F.col("query_id") != F.col(id_col))
     # re-rank after dropping self (self is rank 1 at cos 1.0 unless ties)
     w = Window.partitionBy("query_id").orderBy(
         F.col("cos").desc(), F.col(id_col)

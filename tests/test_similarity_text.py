@@ -126,3 +126,33 @@ def test_mutual_knn_self_excluded_even_with_exact_duplicates(spark):
     edges = {(r.id_a, r.id_b) for r in mutual_knn_edges(df, k=3).collect()}
     # all 6 unordered pairs mutual, none is a self-loop
     assert edges == {(a, b) for a in range(4) for b in range(4) if a < b}
+
+
+def test_mutual_knn_accepts_precomputed_ivf_topk(spark):
+    """The corpus-scale path the docstring promises: an IVF-produced
+    neighbor table plugs into the mutual stage and, with nprobe
+    covering all cells, reproduces the brute-force mutual edges."""
+    from parkour_spark.operators.kmeans import kmeans_fit
+    from parkour_spark.operators.similarity import ivf_topk, mutual_knn_edges
+
+    emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    emb = emb.select(
+        "vec_id",
+        __import__("pyspark.sql.functions", fromlist=["expr"]).expr(
+            "transform(embedding, x -> cast(x as double))"
+        ).alias("embedding"),
+    )
+    exact = {
+        (r.id_a, r.id_b) for r in mutual_knn_edges(emb, k=3).collect()
+    }
+    cents = kmeans_fit(emb, k=4, max_iters=2)
+    q = emb.select(
+        emb.vec_id.alias("query_id"), emb.embedding.alias("query_vec")
+    )
+    ivf_tab = ivf_topk(emb, q, cents, k=4, nprobe=4)  # nprobe=all cells
+    via_ivf = {
+        (r.id_a, r.id_b)
+        for r in mutual_knn_edges(emb, k=3, topk=ivf_tab).collect()
+    }
+    assert via_ivf == exact
+    assert exact, "no mutual edges in fixture; test is vacuous"
