@@ -414,10 +414,11 @@ def prefix_filter_pairs(
        qualifying pair shares a PREFIX token. No recall caveat.
     3. Candidates = pairs sharing a prefix-token bucket (the same
        single-shuffle bucket-pair shape as the LSH/df-capped paths,
-       uncapped — exactness forbids dropping buckets), length-filtered
-       in the explode (min ≥ t·max is necessary for J ≥ t; −63%
-       candidates measured at sf0.1), then exact verify on full sets
-       (`jaccard_verify`).
+       uncapped — exactness forbids dropping buckets), pruned in the
+       explode by the PPJoin length filter (min ≥ t·max) AND
+       positional filter (overlap upper bound from prefix positions)
+       — −89% candidates measured at sf0.1 — then exact verify on
+       full sets (`jaccard_verify`).
 
     The threshold is a RATIONAL (num/den) so the prefix length
     n − ⌈t·n⌉ + 1 is pure integer arithmetic — both engines agree on
@@ -452,25 +453,46 @@ def prefix_filter_pairs(
             F.row_number().over(Window.partitionBy(id_col).orderBy("__df", "tok")),
         )
         .where(F.col("__pos") <= F.col("__n") - ceil_tn + 1)
-        .select(F.col(id_col), F.col("tok").alias("band_key"), F.col("__n"))
+        .select(
+            F.col(id_col),
+            F.col("tok").alias("band_key"),
+            F.col("__n"),
+            F.col("__pos"),
+        )
     )
     # Same single-shuffle bucket-pair shape as _bucket_pairs, but each
-    # bucket member carries its SET SIZE so the classic length filter
-    # applies during the pair explode: J ≥ t ⇒ |A∩B| ≥ t·|A∪B| ⇒
-    # min(|A|,|B|) ≥ t·max(|A|,|B|) — pairs failing den·min ≥ num·max
-    # cannot qualify and are pruned BEFORE the exact verify (measured
-    # at sf0.1: 118 826 → 43 543 candidates, −63%). Struct sort is by
-    # the leading id field, so id_a < id_b as in _bucket_pairs.
+    # bucket member carries its SET SIZE and PREFIX POSITION so both
+    # classic PPJoin prunes apply during the pair explode:
+    # - length filter: J ≥ t ⇒ |A∩B| ≥ t·|A∪B| ⇒ den·min(|A|,|B|) ≥
+    #   num·max(|A|,|B|);
+    # - positional filter (Xiao et al. 2008): a qualifying pair needs
+    #   overlap α = ⌈t/(1+t)·(|A|+|B|)⌉, and an occurrence at prefix
+    #   positions (i, j) bounds it by 1 + min(|A|−i, |B|−j) — complete
+    #   because the pair's FIRST shared token (which the prefix lemma
+    #   puts in both prefixes) attains the bound; pruning is
+    #   per-occurrence, the pair survives via any passing occurrence.
+    # Both prunes are integer arithmetic (α test cross-multiplied by
+    # num+den). Measured at sf0.1: 118 826 raw → 43 543 after length
+    # → 12 784 after positional (−89% total) before the exact verify.
+    # Struct sort is by the leading id field, so id_a < id_b as in
+    # _bucket_pairs.
     buckets = (
         pref.groupBy("band_key")
         .agg(
             F.array_sort(
-                F.collect_set(F.struct(F.col(id_col).alias("i"), F.col("__n").alias("n")))
+                F.collect_set(
+                    F.struct(
+                        F.col(id_col).alias("i"),
+                        F.col("__n").alias("n"),
+                        F.col("__pos").alias("p"),
+                    )
+                )
             ).alias("__ms")
         )
         .where(F.size("__ms") > 1)
     )
     ms = F.col("__ms")
+    ts_sum = threshold_num + threshold_den
     pair_expr = F.flatten(
         F.transform(
             ms,
@@ -482,10 +504,19 @@ def prefix_filter_pairs(
                         y["i"].alias("id_b"),
                         x["n"].alias("n_a"),
                         y["n"].alias("n_b"),
+                        x["p"].alias("p_a"),
+                        y["p"].alias("p_b"),
                     ),
                 ),
-                lambda p: threshold_den * F.least(p["n_a"], p["n_b"])
-                >= threshold_num * F.greatest(p["n_a"], p["n_b"]),
+                lambda p: (
+                    threshold_den * F.least(p["n_a"], p["n_b"])
+                    >= threshold_num * F.greatest(p["n_a"], p["n_b"])
+                )
+                & (
+                    (F.lit(1) + F.least(p["n_a"] - p["p_a"], p["n_b"] - p["p_b"]))
+                    * ts_sum
+                    >= threshold_num * (p["n_a"] + p["n_b"])
+                ),
             ),
         )
     )
