@@ -21,7 +21,7 @@ def entry(spark: SparkSession) -> DataFrame:
 
 
 # The driver's correctness gate checks the first 50 registry entries;
-# the registry holds 190. ROTATION POLICY (restated in r5 per the r4
+# the registry holds 191. ROTATION POLICY (restated in r5 per the r4
 # verdict #1 — the old "every entry ≤1 round old" claim is
 # arithmetically impossible at this registry size): the window each
 # round = (a) entries ADDED this round, (b) entries whose code or
@@ -139,8 +139,11 @@ _R6_WINDOW = [
     # whose in-window sibling is bigram_lm_scores — same per-term
     # integer micro-nat discipline; repetition_profile anchors the
     # fold idiom in the local gate).
-    # That is 7 of the agreed ≤8 never-verified slots; all seven are
-    # local-gate green and lead the r7 window by rule (c).
+    # and event_rate_spikes (mad_profile composed over the
+    # events_hourly tumbling count — siblings of both halves hold
+    # local-gate coverage). That is 8 of the agreed ≤8 never-verified
+    # slots; all eight are local-gate green and lead the r7 window by
+    # rule (c).
     "dedup_prefix_filter",
     "gopher_quality_flags",
 ]

@@ -7949,3 +7949,65 @@ def q_token_entropy(spark, sf_dir):
         F.size(toks).cast("long").alias("n_tokens"),
         token_entropy_micronats(toks).alias("entropy_micro_nats"),
     )
+
+
+@query(
+    "event_rate_spikes",
+    """
+    WITH hourly AS (
+      SELECT event_type AS g, date_trunc('hour', ts) AS h,
+             count(*)::BIGINT AS x
+      FROM events GROUP BY 1, 2),
+    cells AS (SELECT g, x, count(*)::BIGINT AS c FROM hourly GROUP BY 1, 2),
+    z AS (
+      SELECT g, x,
+             sum(c) OVER (PARTITION BY g ORDER BY x
+                          ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+               AS cum,
+             sum(c) OVER (PARTITION BY g) AS n
+      FROM cells),
+    med AS (
+      SELECT g, max(n)::BIGINT AS n,
+             min(CASE WHEN cum >= (n + 1) // 2 THEN x END)::BIGINT AS med
+      FROM z GROUP BY g),
+    dev AS (
+      SELECT cells.g, abs(x - med) AS dx, sum(c)::BIGINT AS c
+      FROM cells JOIN med ON cells.g = med.g GROUP BY 1, 2),
+    dz AS (
+      SELECT g, dx,
+             sum(c) OVER (PARTITION BY g ORDER BY dx
+                          ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+               AS cum,
+             sum(c) OVER (PARTITION BY g) AS n
+      FROM dev),
+    mad AS (
+      SELECT g, min(CASE WHEN cum >= (n + 1) // 2 THEN dx END)::BIGINT AS mad
+      FROM dz GROUP BY g),
+    outl AS (
+      SELECT cells.g,
+             sum(CASE WHEN abs(x - med) > 3 * mad THEN c ELSE 0 END)::BIGINT
+               AS n_out
+      FROM cells JOIN med ON cells.g = med.g JOIN mad ON cells.g = mad.g
+      GROUP BY 1)
+    SELECT med.g AS event_type, med.n AS n, med.med AS median,
+           mad.mad AS mad, outl.n_out AS n_outliers
+    FROM med JOIN mad ON med.g = mad.g JOIN outl ON med.g = outl.g
+    """,
+)
+def q_event_rate_spikes(spark, sf_dir):
+    """Ingest-rate spike detection (validate.mad_profile over hourly
+    event counts, per event_type): hours whose count deviates more
+    than 3·MAD from the per-type median hourly rate — the robust
+    monitor that a spike itself cannot drag (a mean/σ detector's
+    threshold inflates with the anomaly it is hunting). Pure
+    composition: the tumbling-window count feeds the same all-integer
+    distinct-cell median machinery as robust_outlier_profile; the
+    hourly-count table is already tiny, so every downstream pass is
+    cells-sized."""
+    from parkour_spark.operators.validate import mad_profile
+
+    ev = _t(spark, sf_dir, "events")
+    hourly = ev.groupBy(
+        F.col("event_type"), F.date_trunc("hour", "ts").alias("h")
+    ).agg(F.count("*").alias("cnt"))
+    return mad_profile(hourly, "cnt", "event_type", k=3)

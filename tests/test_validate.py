@@ -130,3 +130,18 @@ def test_mad_profile_layout_invariant(spark):
     r1 = mad_profile(df, "x", "g").collect()
     r2 = mad_profile(df.repartition(13), "x", "g").collect()
     assert sorted(map(tuple, r1)) == sorted(map(tuple, r2))
+
+
+def test_mad_profile_detects_planted_rate_spike(spark):
+    """Spike-detection composition: a planted 100x hour is the only
+    outlier, and the spike does NOT drag the median/MAD thresholds
+    (the robustness property a mean/stddev detector lacks)."""
+    from parkour_spark.operators.validate import mad_profile
+
+    # 23 normal hours at counts 9..11, one spike hour at 1000
+    rows = [("click", h, 9 + (h % 3)) for h in range(23)] + [("click", 23, 1000)]
+    hourly = spark.createDataFrame(rows, ["event_type", "h", "cnt"])
+    r = mad_profile(hourly, "cnt", "event_type", k=3).collect()[0]
+    assert r.n == 24
+    assert r.median == 10 and r.mad == 1  # untouched by the spike
+    assert r.n_outliers == 1
