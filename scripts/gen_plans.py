@@ -72,6 +72,7 @@ COMMENTARY = {
     "quality_avg_precision": "Average precision: scan-side score/label projection, then ONE global sort window — intentionally: AP is an evaluation-slice statistic (eval sets are small by construction); corpus-scale ranking quality is the rank-sum AUC's cell-based plan.",
     "mutual_knn_components": "Mutual-kNN clusters: the exact top-k stage broadcasts the query set over one corpus scan (eval-scale baseline; the IVF probe substitutes at corpus scale); the mutual check and CC rounds join top-k-OUTPUT-sized tables only.",
     "token_entropy_profile": "Token entropy: the per-token counts are run lengths in the SORTED token array, so the whole statistic is one scan-side Column fold — no Exchange, no Generate anywhere in the plan; per-term integer micro-nat rounding keeps the sum order-independent.",
+    "event_rate_spikes": "Rate-spike monitor: the hourly tumbling count is one partial-agg shuffle; everything downstream (both median passes, the deviation re-bucket, the outlier sum) shuffles/windows over the HOURLY-COUNT cell table — hours x types, not events.",
 }
 
 HEADER = """# PLANS — physical-plan evidence for the headline operators

@@ -117,3 +117,22 @@ def test_keep_best_picks_highest_score_not_min_id(spark):
         comps.setdefault(r.component, 0)
         comps[r.component] += r.is_survivor
     assert all(v == 1 for v in comps.values())
+
+
+def test_prefix_filter_plan_shape(spark, docs):
+    """Plan guards: candidates must come from bucket collection (an
+    aggregate building collect_set buckets), and the plan may contain
+    no nested-loop or cartesian join anywhere — the exactness must not
+    be bought with an all-pairs physical plan. (The printed tree
+    repeats the persisted candidate lineage per consumer, so exchange
+    COUNTS are pinned on the spans/capped siblings whose plans are
+    linear; here we pin the join strategy.)"""
+    plan = (
+        D.prefix_filter_pairs(docs)
+        ._jdf.queryExecution()
+        .executedPlan()
+        .toString()
+    )
+    assert "BroadcastNestedLoopJoin" not in plan
+    assert "CartesianProduct" not in plan
+    assert "collect_set" in plan
