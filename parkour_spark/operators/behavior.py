@@ -23,6 +23,8 @@ from __future__ import annotations
 
 from pyspark.sql import DataFrame, Window, functions as F
 
+from parkour_spark.functions.timeops import epoch_micros
+
 
 def funnel(
     events: DataFrame,
@@ -170,4 +172,63 @@ def last_touch_attribution(
         F.col(ts_col),
         touch_ty.alias("touch_type"),
         touch_t.alias("touch_ts"),
+    )
+
+
+def time_weighted_value(
+    events: DataFrame,
+    value_col: str = "value",
+    ts_col: str = "ts",
+    user_col: str = "user_id",
+    id_col: str = "event_id",
+) -> DataFrame:
+    """Per-user time-weighted average of a last-observation-held value
+    (TWAP / metering semantics): each event's value is held until the
+    user's next event; the final event holds nothing (no closing
+    interval exists in the data, so inventing one would be a lie).
+
+    Returns (user_col, n_events, held_us, vsum_centi_us, twa_centi):
+    held_us = Σ holding-interval micros, vsum_centi_us = Σ round(100·v)
+    · interval_us, twa_centi = vsum/held as a double (NULL for
+    single-event users — nothing was ever held).
+
+    Engine-exactness: timestamps enter as EXACT integer epoch micros
+    (no epoch()-double round-trip, whose fractional-second rounding is
+    engine-dependent); values are integer centi-units rounded per row
+    BEFORE the multiply, so both aggregates are order-independent
+    integer sums and the single trailing division is IEEE-exact on both
+    engines. Interval order is the total order (ts, id) — equal
+    timestamps cannot flip results. Magnitudes: |100·v| ≤ ~5e4 here and
+    a holding interval is ≤ the table's time span (~months = ~1e13 us),
+    so each product and per-user sum sits ≤ ~1e18 < int64 max; callers
+    with wider value ranges scale the unit down.
+
+    SCALE: ONE user-keyed window (lead) feeding a partial aggregate —
+    the event table shuffles exactly once, on user_col, and nothing
+    downstream is bigger than the user dimension."""
+    w = Window.partitionBy(user_col).orderBy(
+        F.col("__us").asc(), F.col(id_col).asc()
+    )
+    staged = events.select(
+        F.col(user_col),
+        F.col(id_col),
+        epoch_micros(F.col(ts_col)).alias("__us"),
+        F.round(F.col(value_col) * 100).cast("long").alias("__vc"),
+    )
+    spans = staged.withColumn(
+        "__dur", F.lead("__us").over(w) - F.col("__us")
+    )
+    out = spans.groupBy(user_col).agg(
+        F.count("*").cast("long").alias("n_events"),
+        F.coalesce(F.sum("__dur"), F.lit(0)).cast("long").alias("held_us"),
+        F.coalesce(F.sum(F.col("__vc") * F.col("__dur")), F.lit(0))
+        .cast("long")
+        .alias("vsum_centi_us"),
+    )
+    return out.withColumn(
+        "twa_centi",
+        F.when(
+            F.col("held_us") > 0,
+            F.col("vsum_centi_us").cast("double") / F.col("held_us"),
+        ),
     )

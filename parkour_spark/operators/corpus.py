@@ -1147,3 +1147,107 @@ def token_budget_sample(
     return scored.where(F.col("cum_tokens") <= budget_tokens).select(
         group_col, id_col, F.col("__toks").alias("n_tokens"), "cum_tokens"
     )
+
+
+def top_percent_by(
+    df: DataFrame,
+    group_col: str,
+    order_col: str,
+    id_col: str,
+    p_num: int,
+    p_den: int,
+    descending: bool = True,
+) -> DataFrame:
+    """Keep the top ceil(p·n) rows of each group under the total order
+    (order_col desc|asc, id_col asc), with p the RATIONAL p_num/p_den —
+    the CCNet-style per-bucket adaptive filter ("keep the best 20% of
+    every source/domain by quality score"), the relative counterpart to
+    quota_cap's absolute N. A rational threshold means both engines
+    agree on every ceil boundary: row kept ⟺ rk·p_den ≤ n·p_num +
+    p_den − 1 — pure integer arithmetic, no float percentile anywhere.
+
+    Returns the kept rows plus their per-group rank `rk` and group size
+    `n` (so the selection is auditable without a second pass).
+
+    SCALE: one hash shuffle on group_col; rank and group count share
+    the same window partitioning (one Exchange, plan-asserted in
+    tests). Same skew posture as quota_cap: a monster domain's sort is
+    AQE-split, and everything past rank ceil(p·n) dies in the window
+    stage."""
+    ordc = F.col(order_col).desc() if descending else F.col(order_col).asc()
+    w = Window.partitionBy(group_col).orderBy(ordc, F.col(id_col).asc())
+    wn = Window.partitionBy(group_col)
+    return (
+        df.withColumn("rk", F.row_number().over(w).cast("long"))
+        .withColumn("n", F.count("*").over(wn).cast("long"))
+        .where(F.col("rk") * p_den <= F.col("n") * p_num + (p_den - 1))
+    )
+
+
+def source_overlap(
+    docs: DataFrame,
+    k: int = 5,
+    group_col: str = "source",
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    max_groups_per_gram: int | None = None,
+) -> DataFrame:
+    """Pairwise cross-group contamination matrix: for every unordered
+    group pair (a < b), the number of distinct k-token shingles (md5-
+    hashed to 32-bit ids) present in BOTH groups, plus each side's
+    distinct-shingle total — the "which sources share boilerplate /
+    leaked content" diagnostic behind mixture design and dedup
+    triage. Jaccard is a division away (shared / (n_a + n_b − shared));
+    the output stays all-integer so it is engine-exact.
+
+    Hash collisions (32-bit id space) are deterministic and identical
+    in any engine computing the same md5 prefix, so results are exact
+    replays even where collisions occur.
+
+    SCALE: the corpus collapses scan-side to DISTINCT (group, gram_id)
+    — bounded by groups × distinct-shingles, with the text itself never
+    shuffling — then one gram-keyed self-join whose per-gram fanout is
+    at most groups² (groups are sources/domains: small by construction;
+    the pair table, group'd down, is ≤ groups²). For web-domain-sized
+    group sets, `max_groups_per_gram` is the df-cap analog: grams
+    shared by more groups than the cap (universal boilerplate — exactly
+    the grams that say nothing about PAIRWISE contamination) are
+    dropped before the join, bounding fanout the same way the capped
+    Jaccard join bounds df."""
+    staged = docs.select(
+        F.col(group_col).alias("g"),
+        shingles_of(tokens(F.lower(F.trim(F.col(text_col)))), k).alias("__sh"),
+    )
+    grams = (
+        explode_fast(staged, "__sh", "__s", keep=["g"])
+        .select(
+            "g",
+            F.conv(F.substring(F.md5("__s"), 1, 8), 16, 10)
+            .cast("long")
+            .alias("gram"),
+        )
+        .distinct()
+    )
+    if max_groups_per_gram is not None:
+        dfc = grams.groupBy("gram").agg(F.count("*").alias("__df"))
+        grams = grams.join(
+            dfc.where(F.col("__df") <= max_groups_per_gram).select("gram"),
+            "gram",
+        )
+    totals = grams.groupBy("g").agg(F.count("*").alias("n_grams"))
+    a, b = grams.alias("a"), grams.alias("b")
+    pairs = (
+        a.join(b, "gram")
+        .where(F.col("a.g") < F.col("b.g"))
+        .groupBy(F.col("a.g").alias("src_a"), F.col("b.g").alias("src_b"))
+        .agg(F.count("*").alias("shared"))
+    )
+    return (
+        pairs.join(
+            F.broadcast(totals.withColumnRenamed("g", "src_a")), "src_a"
+        )
+        .withColumnRenamed("n_grams", "n_a")
+        .join(F.broadcast(totals.withColumnRenamed("g", "src_b")), "src_b")
+        .withColumnRenamed("n_grams", "n_b")
+        .select("src_a", "src_b", "shared", "n_a", "n_b")
+    )

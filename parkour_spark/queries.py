@@ -8011,3 +8011,212 @@ def q_event_rate_spikes(spark, sf_dir):
         F.col("event_type"), F.date_trunc("hour", "ts").alias("h")
     ).agg(F.count("*").alias("cnt"))
     return mad_profile(hourly, "cnt", "event_type", k=3)
+
+
+# shared by the two Naive Bayes entries: hashed-unigram occurrence +
+# the full label × bucket smoothed log-likelihood grid (mirrors
+# operators.classify.nb_train at n_buckets=256, alpha=1 on `lang`)
+_NB_MODEL_CTES = f"""
+    tr AS (SELECT lang AS label,
+                  ('0x' || substr(md5(tok), 1, 8))::BIGINT % 256 AS bucket
+           FROM (SELECT lang, unnest({_TOKS_SQL}) AS tok FROM documents)),
+    nbc AS (SELECT label, bucket, count(*)::BIGINT AS cnt
+            FROM tr GROUP BY 1, 2),
+    nbt AS (SELECT label, sum(cnt)::BIGINT AS n_tok FROM nbc GROUP BY 1),
+    nbgrid AS (SELECT nbt.label, nbt.n_tok, r.range::BIGINT AS bucket
+               FROM nbt, range(256) r),
+    nbmodel AS (
+      SELECT g.label, g.bucket, coalesce(nbc.cnt, 0)::BIGINT AS cnt,
+             round(ln((coalesce(nbc.cnt, 0) + 1)::DOUBLE / (g.n_tok + 256))
+                   * 1000000.0)::BIGINT AS ll_micro
+      FROM nbgrid g LEFT JOIN nbc
+        ON g.label = nbc.label AND g.bucket = nbc.bucket)
+"""
+
+
+@query(
+    "nb_lang_model",
+    f"""
+    WITH {_NB_MODEL_CTES}
+    SELECT label, bucket, cnt, ll_micro FROM nbmodel
+    """,
+)
+def q_nb_lang_model(spark, sf_dir):
+    """Multinomial Naive Bayes TRAIN over hashed unigrams
+    (operators.classify.nb_train): the fastText-style learned
+    quality/domain classifier slot of a data pipeline, here fit on the
+    `lang` label. The model is the FULL label × 256-bucket grid of
+    smoothed log-likelihoods in integer micro-nats — labels × n_buckets
+    rows NO MATTER the corpus size (the hashing trick bounds the
+    feature space; the vocabulary never drives a shuffle), so it
+    broadcasts into any scoring pass. Oracle replays tokenize → bucket
+    hash → counts → grid → add-1-smoothed ln cells."""
+    from parkour_spark.operators.classify import nb_train
+
+    docs = _t(spark, sf_dir, "documents")
+    model, _ = nb_train(docs, "lang", n_buckets=256, alpha=1)
+    return model
+
+
+@query(
+    "nb_lang_scores",
+    f"""
+    WITH {_NB_MODEL_CTES},
+    nbocc AS (SELECT doc_id,
+                     ('0x' || substr(md5(tok), 1, 8))::BIGINT % 256 AS bucket
+              FROM (SELECT doc_id, unnest({_TOKS_SQL}) AS tok
+                    FROM documents)),
+    nbdb AS (SELECT doc_id, bucket, count(*)::BIGINT AS c
+             FROM nbocc GROUP BY 1, 2),
+    nbpri0 AS (SELECT lang AS label, count(*)::BIGINT AS n_docs
+               FROM documents GROUP BY 1),
+    nbpri AS (SELECT label,
+                     round(ln(n_docs::DOUBLE / (SELECT sum(n_docs)
+                                                FROM nbpri0))
+                           * 1000000.0)::BIGINT AS prior_micro
+              FROM nbpri0),
+    nbper AS (SELECT nbdb.doc_id, m.label,
+                     sum(nbdb.c * m.ll_micro)::BIGINT AS s
+              FROM nbdb JOIN nbmodel m USING (bucket) GROUP BY 1, 2),
+    nbbase AS (SELECT d.doc_id, p.label, p.prior_micro
+               FROM (SELECT doc_id FROM documents) d, nbpri p),
+    nbsc AS (SELECT b.doc_id, b.label,
+                    (b.prior_micro + coalesce(nbper.s, 0))::BIGINT
+                      AS score_micro
+             FROM nbbase b LEFT JOIN nbper
+               ON b.doc_id = nbper.doc_id AND b.label = nbper.label),
+    nbr AS (SELECT doc_id, label, score_micro,
+                   row_number() OVER (PARTITION BY doc_id
+                                      ORDER BY score_micro DESC, label)
+                     AS rn
+            FROM nbsc)
+    SELECT doc_id, label AS pred_label, score_micro FROM nbr WHERE rn = 1
+    """,
+)
+def q_nb_lang_scores(spark, sf_dir):
+    """Multinomial Naive Bayes SCORE (operators.classify.nb_score):
+    every document classified against the lang model trained by
+    nb_lang_model — argmax label under the total order (score desc,
+    label asc) plus its integer micro-nat log-posterior, so the
+    prediction is deterministic and engine-exact (per-cell micro-nat
+    rounding BEFORE the additive aggregates; zero-token docs score on
+    the prior alone). SCALE: the model broadcasts; the corpus explode
+    collapses scan-side to per-doc bucket counts; the only corpus-keyed
+    exchanges are two partial aggs and the doc-keyed argmax window.
+    Train and score share the corpus here (the gate checks the
+    computation, not generalization — same honesty note as
+    quality_auc_langid)."""
+    from parkour_spark.operators.classify import nb_score, nb_train
+
+    docs = _t(spark, sf_dir, "documents")
+    model, priors = nb_train(docs, "lang", n_buckets=256, alpha=1)
+    return nb_score(docs, model, priors, n_buckets=256)
+
+
+@query(
+    "per_source_top_percent",
+    f"""
+    WITH q AS (SELECT source, doc_id, {_QBP_SQL} AS quality_bp
+               FROM documents),
+    r AS (SELECT source, doc_id, quality_bp,
+                 row_number() OVER (PARTITION BY source
+                                    ORDER BY quality_bp DESC, doc_id)
+                   ::BIGINT AS rk,
+                 count(*) OVER (PARTITION BY source)::BIGINT AS n
+          FROM q)
+    SELECT source, doc_id, quality_bp, rk, n
+    FROM r WHERE rk * 5 <= n * 1 + 4
+    """,
+)
+def q_per_source_top_percent(spark, sf_dir):
+    """Per-source adaptive top-20% quality filter
+    (corpus.top_percent_by): keep the best ceil(n/5) docs of EACH
+    source by (quality_bp desc, doc_id) — the CCNet-style per-bucket
+    relative cut, the complement to per_source_quota's absolute cap.
+    The threshold is the RATIONAL 1/5 applied in integer arithmetic
+    (kept ⟺ rk·5 ≤ n·1 + 4), so every ceil boundary is engine-exact —
+    no float percentile anywhere. One source-keyed window shuffle;
+    rank and group count share the partitioning."""
+    from parkour_spark.functions.text import quality_bp
+    from parkour_spark.operators.corpus import top_percent_by
+
+    docs = _t(spark, sf_dir, "documents").select(
+        "source", "doc_id", quality_bp(F.col("text")).alias("quality_bp")
+    )
+    return top_percent_by(
+        docs, "source", "quality_bp", "doc_id", p_num=1, p_den=5
+    )
+
+
+@query(
+    "source_overlap_matrix",
+    f"""
+    WITH sh AS (SELECT source AS g, unnest({_SHINGLES_SQL}) AS s
+                FROM documents),
+    g1 AS (SELECT DISTINCT g,
+                  ('0x' || substr(md5(s), 1, 8))::BIGINT AS gram
+           FROM sh),
+    dfc AS (SELECT gram FROM g1 GROUP BY gram HAVING count(*) <= 15),
+    g2 AS (SELECT g1.g, g1.gram FROM g1 JOIN dfc USING (gram)),
+    tot AS (SELECT g, count(*)::BIGINT AS n_grams FROM g2 GROUP BY g),
+    p AS (SELECT a.g AS src_a, b.g AS src_b, count(*)::BIGINT AS shared
+          FROM g2 a JOIN g2 b ON a.gram = b.gram AND a.g < b.g
+          GROUP BY 1, 2)
+    SELECT p.src_a, p.src_b, p.shared, ta.n_grams AS n_a,
+           tb.n_grams AS n_b
+    FROM p JOIN tot ta ON p.src_a = ta.g JOIN tot tb ON p.src_b = tb.g
+    """,
+)
+def q_source_overlap_matrix(spark, sf_dir):
+    """Cross-source contamination matrix (corpus.source_overlap): for
+    every source pair, the count of distinct 3-token shingles present
+    in both, plus each side's distinct total (Jaccard is one division
+    away; output stays all-integer and engine-exact). The "which
+    sources share boilerplate / leaked content" diagnostic behind
+    mixture design and dedup triage. The max_groups_per_gram=15 cap is
+    the df-cap analog: shingles in >15 of the 20 sources are universal
+    boilerplate that says nothing about PAIRWISE contamination, and
+    dropping them bounds per-gram join fanout. SCALE: text collapses
+    scan-side to distinct (source, gram32) — the corpus never shuffles
+    its text; the gram-keyed self-join fans out at most groups² per
+    gram."""
+    from parkour_spark.operators.corpus import source_overlap
+
+    docs = _t(spark, sf_dir, "documents")
+    return source_overlap(docs, k=3, max_groups_per_gram=15)
+
+
+@query(
+    "time_weighted_value_user",
+    """
+    WITH s AS (SELECT user_id, event_id, epoch_us(ts)::BIGINT AS us,
+                      round(value * 100)::BIGINT AS vc
+               FROM events),
+    d AS (SELECT user_id, us, vc,
+                 lead(us) OVER (PARTITION BY user_id
+                                ORDER BY us, event_id) - us AS dur
+          FROM s)
+    SELECT user_id, count(*)::BIGINT AS n_events,
+           coalesce(sum(dur), 0)::BIGINT AS held_us,
+           coalesce(sum(vc * dur), 0)::BIGINT AS vsum_centi_us,
+           CASE WHEN coalesce(sum(dur), 0) > 0
+                THEN coalesce(sum(vc * dur), 0)::DOUBLE
+                     / coalesce(sum(dur), 0)
+           END AS twa_centi
+    FROM d GROUP BY user_id
+    """,
+)
+def q_time_weighted_value(spark, sf_dir):
+    """Per-user time-weighted average of a last-observation-held value
+    (behavior.time_weighted_value — TWAP/metering semantics): each
+    event's value held until the user's next event, the final event
+    holding nothing. Exact integer arithmetic end-to-end: epoch MICROS
+    (no epoch()-double rounding), per-row centi-unit values rounded
+    BEFORE the multiply, order-independent integer sums, one IEEE
+    division at the end; interval order is the total order (ts,
+    event_id). SCALE: ONE user-keyed shuffle (the lead window) feeding
+    a partial aggregate — nothing downstream exceeds the user
+    dimension."""
+    from parkour_spark.operators.behavior import time_weighted_value
+
+    return time_weighted_value(_t(spark, sf_dir, "events"))

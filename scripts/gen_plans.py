@@ -73,6 +73,10 @@ COMMENTARY = {
     "mutual_knn_components": "Mutual-kNN clusters: the exact top-k stage broadcasts the query set over one corpus scan (eval-scale baseline; the IVF probe substitutes at corpus scale); the mutual check and CC rounds join top-k-OUTPUT-sized tables only.",
     "token_entropy_profile": "Token entropy: the per-token counts are run lengths in the SORTED token array, so the whole statistic is one scan-side Column fold — no Exchange, no Generate anywhere in the plan; per-term integer micro-nat rounding keeps the sum order-independent.",
     "event_rate_spikes": "Rate-spike monitor: the hourly tumbling count is one partial-agg shuffle; everything downstream (both median passes, the deviation re-bucket, the outlier sum) shuffles/windows over the HOURLY-COUNT cell table — hours x types, not events.",
+    "nb_lang_scores": "Naive Bayes train+score in one plan: the model subtree collapses to labels x 256 rows before BOTH broadcast joins (the grid generates scan-side from the per-label totals); the corpus explode partial-aggs to per-doc bucket counts before touching the model; the only corpus-keyed Exchanges are the two partial aggs and the doc-keyed argmax window. The vocabulary never drives a shuffle.",
+    "per_source_top_percent": "Adaptive top-p% filter: ONE Exchange — rank and group count share the source partitioning (plan-asserted single Exchange in tests); the rational-threshold filter is integer arithmetic after the window, so everything past ceil(p*n) dies in the window stage.",
+    "source_overlap_matrix": "Contamination matrix: text collapses scan-side to DISTINCT (source, gram32) — the corpus never shuffles its text; the df-cap aggregate drops universal boilerplate grams BEFORE the gram-keyed self-join, bounding per-gram fanout; totals broadcast back onto the groups^2-sized pair table.",
+    "time_weighted_value_user": "Time-weighted average: epoch micros and centi-unit values are scan-side projections; ONE user-keyed Exchange serves both the lead window and the final aggregate (plan-asserted); nothing downstream exceeds the user dimension.",
 }
 
 HEADER = """# PLANS — physical-plan evidence for the headline operators

@@ -91,6 +91,14 @@ SOAK_QUERIES = [
     "gopher_quality_flags",
     "dedup_keep_best",
     "corpus_shuffle_order",
+    # r6 fifth batch: NB classifier train+score over 10× docs (the
+    # model stays labels × 256 — the claim is corpus-size-independent
+    # model cost), the gram-keyed self-join contamination matrix (per-
+    # gram fanout bounded by the df cap), and the one-window TWA over
+    # 10× events
+    "nb_lang_scores",
+    "source_overlap_matrix",
+    "time_weighted_value_user",
 ]
 
 

@@ -1,0 +1,234 @@
+"""Round-6 third-batch operators: Naive Bayes classifier, per-group
+top-percent filter, cross-source overlap matrix, time-weighted value."""
+
+import math
+
+import pytest
+
+from pyspark.sql import Row, functions as F
+
+from parkour_spark.operators.behavior import time_weighted_value
+from parkour_spark.operators.classify import nb_score, nb_train
+from parkour_spark.operators.corpus import source_overlap, top_percent_by
+
+
+# --------------------------------------------------------------------------
+# Naive Bayes
+# --------------------------------------------------------------------------
+
+def _nb_docs(spark):
+    # two classes with disjoint vocabulary — NB must separate perfectly
+    rows = []
+    for i in range(8):
+        rows.append(Row(doc_id=i, label="sport", text="goal match team goal"))
+    for i in range(8, 12):
+        rows.append(Row(doc_id=i, label="math", text="lemma proof theorem"))
+    rows.append(Row(doc_id=12, label="sport", text="   "))  # tokenless
+    return spark.createDataFrame(rows)
+
+
+def test_nb_model_is_full_grid(spark):
+    docs = _nb_docs(spark)
+    model, priors = nb_train(docs, "label", n_buckets=32)
+    rows = model.collect()
+    assert len(rows) == 2 * 32  # full label × bucket grid, zeros included
+    assert {r.label for r in rows} == {"sport", "math"}
+    # smoothing floor: zero-count cells all share ln(1 / (n_tok + 32))
+    by_label_floor = {}
+    for r in rows:
+        if r.cnt == 0:
+            by_label_floor.setdefault(r.label, set()).add(r.ll_micro)
+    assert all(len(v) == 1 for v in by_label_floor.values())
+    pri = {r.label: r.n_docs for r in priors.collect()}
+    assert pri == {"sport": 9, "math": 4}
+
+
+def test_nb_score_separates_disjoint_vocab(spark):
+    docs = _nb_docs(spark)
+    model, priors = nb_train(docs, "label", n_buckets=32)
+    pred = {
+        r.doc_id: r.pred_label
+        for r in nb_score(docs, model, priors, n_buckets=32).collect()
+    }
+    assert len(pred) == 13  # tokenless doc is kept
+    for i in range(8):
+        assert pred[i] == "sport"
+    for i in range(8, 12):
+        assert pred[i] == "math"
+    # zero-token doc falls back to the larger prior
+    assert pred[12] == "sport"
+
+
+def test_nb_score_micro_nats_match_replica(spark):
+    """Exact integer cross-check of one doc's score against a driver
+    replica of the same hashed-count arithmetic."""
+    import hashlib
+
+    docs = _nb_docs(spark)
+    n_b = 32
+    model, priors = nb_train(docs, "label", n_buckets=n_b)
+    got = {
+        (r.doc_id, r.pred_label): r.score_micro
+        for r in nb_score(docs, model, priors, n_buckets=n_b).collect()
+    }
+
+    def bucket(tok):
+        return int(hashlib.md5(tok.encode()).hexdigest()[:8], 16) % n_b
+
+    # replica for doc 0 under label "sport"
+    toks = "goal match team goal".split()
+    counts = {"goal": 0, "match": 0, "team": 0, "lemma": 0, "proof": 0,
+              "theorem": 0}
+    for i in range(8):
+        for t in ["goal", "match", "team", "goal"]:
+            counts[t] += 1
+    n_tok = sum(v for k, v in counts.items() if k in ("goal", "match", "team"))
+    score = round(math.log(9 / 13) * 1e6)
+    for t in toks:
+        cell = round(math.log((counts[t] + 1) / (n_tok + n_b)) * 1e6)
+        score += cell
+    assert got[(0, "sport")] == score
+
+
+def test_nb_score_layout_invariant(spark):
+    docs = _nb_docs(spark)
+    model, priors = nb_train(docs, "label", n_buckets=32)
+    a = sorted(map(tuple, nb_score(docs, model, priors, n_buckets=32).collect()))
+    b = sorted(
+        map(
+            tuple,
+            nb_score(docs.repartition(7), model, priors, n_buckets=32).collect(),
+        )
+    )
+    assert a == b
+
+
+# --------------------------------------------------------------------------
+# top_percent_by
+# --------------------------------------------------------------------------
+
+def test_top_percent_ceil_boundaries(spark):
+    rows = [Row(g="a", id=i, score=100 - i) for i in range(5)]  # n=5 → keep 1
+    rows += [Row(g="b", id=i, score=50 + i) for i in range(4)]  # n=4 → keep 1
+    rows += [Row(g="c", id=i, score=i) for i in range(11)]      # n=11 → keep 3
+    df = spark.createDataFrame(rows)
+    kept = top_percent_by(df, "g", "score", "id", p_num=1, p_den=5).collect()
+    by_g = {}
+    for r in kept:
+        by_g.setdefault(r.g, []).append(r)
+    assert len(by_g["a"]) == 1 and by_g["a"][0].id == 0  # best score=100
+    assert len(by_g["b"]) == 1 and by_g["b"][0].id == 3  # best score=53
+    assert len(by_g["c"]) == 3  # ceil(11/5) = 3: scores 10, 9, 8
+    assert sorted(r.id for r in by_g["c"]) == [8, 9, 10]
+
+
+def test_top_percent_tie_breaks_on_id(spark):
+    rows = [Row(g="a", id=i, score=7) for i in range(10)]  # all tied
+    df = spark.createDataFrame(rows)
+    kept = top_percent_by(df, "g", "score", "id", p_num=1, p_den=5)
+    assert sorted(r.id for r in kept.collect()) == [0, 1]  # lowest ids win
+
+
+def test_top_percent_single_exchange(spark):
+    rows = [Row(g="a", id=i, score=i) for i in range(10)]
+    df = spark.createDataFrame(rows)
+    plan = top_percent_by(df, "g", "score", "id", 1, 5)._jdf.queryExecution(
+    ).executedPlan().toString()
+    assert plan.count("Exchange") == 1  # rank + count share the partitioning
+
+
+# --------------------------------------------------------------------------
+# source_overlap
+# --------------------------------------------------------------------------
+
+def test_source_overlap_counts(spark):
+    # 3-token docs → one shingle each; a∩b = {x}, a∩c = {}, b∩c = {y}
+    rows = [
+        Row(doc_id=0, source="a", text="x x x"),
+        Row(doc_id=1, source="a", text="q q q"),
+        Row(doc_id=2, source="b", text="x x x"),
+        Row(doc_id=3, source="b", text="y y y"),
+        Row(doc_id=4, source="c", text="y y y"),
+        Row(doc_id=5, source="c", text="z z z"),
+    ]
+    df = spark.createDataFrame(rows)
+    got = {
+        (r.src_a, r.src_b): (r.shared, r.n_a, r.n_b)
+        for r in source_overlap(df, k=3).collect()
+    }
+    assert got[("a", "b")] == (1, 2, 2)
+    assert got[("b", "c")] == (1, 2, 2)
+    assert ("a", "c") not in got  # no shared grams → no row
+
+
+def test_source_overlap_cap_drops_universal_grams(spark):
+    # gram "w w w" is in all 3 sources; cap=2 must drop it everywhere
+    rows = []
+    for i, s in enumerate(["a", "b", "c"]):
+        rows.append(Row(doc_id=2 * i, source=s, text="w w w"))
+    rows.append(Row(doc_id=6, source="a", text="x x x"))
+    rows.append(Row(doc_id=7, source="b", text="x x x"))
+    df = spark.createDataFrame(rows)
+    got = {
+        (r.src_a, r.src_b): (r.shared, r.n_a, r.n_b)
+        for r in source_overlap(df, k=3, max_groups_per_gram=2).collect()
+    }
+    # only the x-gram survives; totals count capped grams only
+    assert got == {("a", "b"): (1, 1, 1)}
+
+
+# --------------------------------------------------------------------------
+# time_weighted_value
+# --------------------------------------------------------------------------
+
+def test_time_weighted_value_hand_computed(spark):
+    rows = [
+        # user 1: 10.00 held 2s, then 30.00 held 1s → twa = (1000*2e6
+        # + 3000*1e6) / 3e6 = 5e9/3e6
+        Row(event_id=1, user_id=1, ts="2024-01-01 00:00:00", value=10.0),
+        Row(event_id=2, user_id=1, ts="2024-01-01 00:00:02", value=30.0),
+        Row(event_id=3, user_id=1, ts="2024-01-01 00:00:03", value=99.0),
+        # user 2: single event — nothing held
+        Row(event_id=4, user_id=2, ts="2024-01-01 00:00:00", value=5.0),
+    ]
+    df = spark.createDataFrame(rows).withColumn(
+        "ts", F.col("ts").cast("timestamp_ntz")
+    )
+    got = {r.user_id: r for r in time_weighted_value(df).collect()}
+    u1 = got[1]
+    assert u1.n_events == 3
+    assert u1.held_us == 3_000_000
+    assert u1.vsum_centi_us == 1000 * 2_000_000 + 3000 * 1_000_000
+    assert u1.twa_centi == pytest.approx(u1.vsum_centi_us / u1.held_us)
+    u2 = got[2]
+    assert u2.n_events == 1 and u2.held_us == 0 and u2.twa_centi is None
+
+
+def test_time_weighted_value_equal_ts_orders_by_id(spark):
+    # two events at the same instant: order must follow event_id, so
+    # the value held across the 5s gap is the HIGHER id's value
+    rows = [
+        Row(event_id=2, user_id=1, ts="2024-01-01 00:00:00", value=7.0),
+        Row(event_id=1, user_id=1, ts="2024-01-01 00:00:00", value=3.0),
+        Row(event_id=3, user_id=1, ts="2024-01-01 00:00:05", value=1.0),
+    ]
+    df = spark.createDataFrame(rows).withColumn(
+        "ts", F.col("ts").cast("timestamp_ntz")
+    )
+    r = time_weighted_value(df).collect()[0]
+    assert r.vsum_centi_us == 700 * 5_000_000  # id=2's value holds the gap
+    assert r.held_us == 5_000_000
+
+
+def test_time_weighted_value_single_shuffle(spark):
+    rows = [
+        Row(event_id=i, user_id=i % 3, ts="2024-01-01 00:00:0%d" % (i % 10),
+            value=float(i))
+        for i in range(12)
+    ]
+    df = spark.createDataFrame(rows).withColumn(
+        "ts", F.col("ts").cast("timestamp_ntz")
+    )
+    plan = time_weighted_value(df)._jdf.queryExecution().executedPlan(
+    ).toString()
+    assert plan.count("Exchange") == 1  # window and agg share user keying
