@@ -144,11 +144,11 @@ _R6_WINDOW = [
     # local-gate coverage). That is 8 of the agreed ≤8 never-verified
     # slots; all eight are local-gate green and lead the r7 window by
     # rule (c).
-    # Fifth-session additions (registry 191 → 196) also wait for r7 —
+    # Fifth-session additions (registry 191 → 198) also wait for r7 —
     # the window was full, and displacing the re-landed r5 oracle fixes
     # or the old never-verified backlog would defeat the round's #1 and
-    # #4 items. The never-verified count therefore ends at 13, above
-    # the agreed 8 by exactly the 5 new entries (new entries always
+    # #4 items. The never-verified count therefore ends at 15, above
+    # the agreed 8 by exactly the 7 new entries (new entries always
     # start unverified; the alternative was not building them). Each is
     # local-gate green with in-window siblings: nb_lang_model +
     # nb_lang_scores (hashed-bucket micro-nat machinery — in-window
@@ -156,9 +156,15 @@ _R6_WINDOW = [
     # the hash, smoothing, and integer-log discipline),
     # per_source_top_percent (rank-window sibling per_source_quota is
     # in window), source_overlap_matrix (df-capped gram-bucket shape —
-    # in-window sibling winnow_overlap_pairs), and
+    # in-window sibling winnow_overlap_pairs),
     # time_weighted_value_user (lead-window + partial-agg shape whose
-    # sibling merged_event_intervals is in window). All 13 lead the r7
+    # sibling merged_event_intervals is in window),
+    # rrf_hybrid_retrieval (fusing two in-window retrieval families:
+    # the bm25 chain's sibling machinery via class_top_terms_source and
+    # the hashed-vector cosine via hashed_doc_knn, which IS in window),
+    # and embedding_label_outliers (grouped_centroids sibling
+    # label_centroid_sums and the MAD machinery's event_rate_spikes
+    # shape — label_centroid_sums is in window). All 15 lead the r7
     # window by rule (c).
     "dedup_prefix_filter",
     "gopher_quality_flags",

@@ -648,3 +648,50 @@ def mutual_knn_edges(
         F.col(id_col).alias("id_a"), F.col("query_id").alias("id_b")
     ).where(F.col("id_a") < F.col("id_b"))
     return a.join(b, ["id_a", "id_b"]).select("id_a", "id_b", "cos")
+
+
+def rrf_fuse(
+    rankings: dict[str, DataFrame],
+    id_col: str = "doc_id",
+    rank_col: str = "rank",
+    k_rrf: int = 60,
+    topk: int = 10,
+) -> DataFrame:
+    """Reciprocal-rank fusion (Cormack/Clarke/Buettcher 2009): merge
+    top-k lists from heterogeneous retrievers (BM25, dense cosine, …)
+    by score(d) = Σ_systems 1/(k_rrf + rank_s(d)) — the standard hybrid
+    -search combiner, robust to incomparable raw score scales because
+    it consumes only RANKS.
+
+    Per-system contributions are integer NANO-units
+    (round(1e9/(k_rrf + rank)) — ranks are small integers, so both
+    engines compute the identical double before the one rounding), so
+    the fused score is an order-independent integer sum; the fused
+    order is the total order (rrf_nano desc, id asc). Returns
+    (id_col, n_systems, rrf_nano, fused_rank) for fused_rank ≤ topk.
+
+    SCALE: inputs are top-k lists — Σk rows by construction — so the
+    union, the per-doc aggregate, and the single unpartitioned ranking
+    window all run over a few hundred rows no matter the corpus size;
+    the heavy lifting stays in the upstream retrievers."""
+    from functools import reduce
+
+    tagged = [
+        df.select(F.col(id_col), F.col(rank_col).cast("long").alias("__r"))
+        for df in rankings.values()
+    ]
+    u = reduce(lambda a, b: a.unionByName(b), tagged)
+    contrib = F.round(F.lit(1e9) / (F.lit(k_rrf) + F.col("__r"))).cast("long")
+    agg = (
+        u.select(F.col(id_col), contrib.alias("__c"))
+        .groupBy(id_col)
+        .agg(
+            F.count("*").cast("long").alias("n_systems"),
+            F.sum("__c").cast("long").alias("rrf_nano"),
+        )
+    )
+    w = Window.orderBy(F.col("rrf_nano").desc(), F.col(id_col))
+    return (
+        agg.withColumn("fused_rank", F.row_number().over(w).cast("long"))
+        .where(F.col("fused_rank") <= topk)
+    )

@@ -8220,3 +8220,212 @@ def q_time_weighted_value(spark, sf_dir):
     from parkour_spark.operators.behavior import time_weighted_value
 
     return time_weighted_value(_t(spark, sf_dir, "events"))
+
+
+@query(
+    "rrf_hybrid_retrieval",
+    f"""
+    WITH base AS (
+      SELECT doc_id, len({_TOKS_SQL})::BIGINT AS dl,
+             unnest({_TOKS_SQL}) AS term
+      FROM documents),
+    tf AS (SELECT doc_id, dl, term, count(*) AS tf FROM base
+           WHERE term IN ('hash', 'join', 'scan') GROUP BY doc_id, dl, term),
+    wdf AS (SELECT *, count(*) OVER (PARTITION BY term) AS df FROM tf),
+    tot AS (SELECT count(*) AS n_docs,
+                   (SELECT sum(len({_TOKS_SQL}))::BIGINT FROM documents)
+                     AS n_total
+            FROM documents),
+    bm_sc AS (
+      SELECT doc_id,
+             sum(round(ln(1 + (n_docs - df + 0.5) / (df + 0.5))
+                   * ((tf * 2.2) / (tf + 1.2 * (0.25 + 0.75 * dl
+                        / (n_total::DOUBLE / n_docs)))) * 1e6)::BIGINT)
+               ::BIGINT AS score_micro
+      FROM wdf, tot GROUP BY doc_id),
+    bm AS (SELECT doc_id,
+                  row_number() OVER (ORDER BY score_micro DESC, doc_id)
+                    ::BIGINT AS rank
+           FROM bm_sc QUALIFY rank <= 20),
+    terms AS (SELECT doc_id, unnest({_TOKS_SQL}) AS term FROM documents),
+    dimmed AS (SELECT doc_id,
+                      ('0x' || substr(md5(term), 1, 8))::BIGINT % 64 AS dim
+               FROM terms),
+    counts AS (SELECT doc_id, dim, count(*) AS cnt FROM dimmed
+               GROUP BY 1, 2),
+    grid AS (SELECT d.doc_id, r.dim FROM (SELECT doc_id FROM documents) d,
+             (SELECT unnest(range(0, 64)) AS dim) r),
+    filled AS (SELECT g.doc_id, g.dim, coalesce(c.cnt, 0)::DOUBLE AS v
+               FROM grid g LEFT JOIN counts c USING (doc_id, dim)),
+    vecs AS (SELECT doc_id, list(v ORDER BY dim) AS vec FROM filled
+             GROUP BY doc_id),
+    qterms AS (SELECT unnest(['hash', 'join', 'scan']) AS term),
+    qdim AS (SELECT ('0x' || substr(md5(term), 1, 8))::BIGINT % 64 AS dim,
+                    count(*)::DOUBLE AS c
+             FROM qterms GROUP BY 1),
+    qfill AS (SELECT r.dim, coalesce(q.c, 0) AS c
+              FROM (SELECT unnest(range(0, 64)) AS dim) r
+              LEFT JOIN qdim q USING (dim)),
+    qvec AS (SELECT list(c ORDER BY dim) AS qv FROM qfill),
+    vsc AS (SELECT doc_id, round({_cos_sql('vec', 'qv')}, 4) AS cos
+            FROM vecs, qvec),
+    vr AS (SELECT doc_id,
+                  row_number() OVER (ORDER BY cos DESC, doc_id)::BIGINT
+                    AS rank
+           FROM vsc QUALIFY rank <= 20),
+    fused AS (
+      SELECT doc_id, count(*)::BIGINT AS n_systems,
+             sum(round(1000000000.0 / (60 + rank))::BIGINT)::BIGINT
+               AS rrf_nano
+      FROM (SELECT * FROM bm UNION ALL SELECT * FROM vr)
+      GROUP BY doc_id)
+    SELECT doc_id, n_systems, rrf_nano,
+           row_number() OVER (ORDER BY rrf_nano DESC, doc_id)::BIGINT
+             AS fused_rank
+    FROM fused QUALIFY fused_rank <= 10
+    """,
+)
+def q_rrf_hybrid(spark, sf_dir):
+    """Hybrid retrieval via reciprocal-rank fusion
+    (similarity.rrf_fuse, Cormack et al. 2009): BM25 top-20 for the
+    literal query terms fused with dense top-20 cosine over the
+    feature-hashed doc vectors (the same model-free vectors as
+    hashed_doc_knn; the query embeds by hashing its own terms) —
+    score(d) = Σ 1/(60 + rank_s(d)) in integer nano-units, argsorted
+    under (rrf_nano desc, doc_id). The standard lexical+dense
+    hybrid-search combiner, consuming only RANKS so incomparable score
+    scales cannot skew the blend. SCALE: both retrievers do the corpus
+    work; everything downstream of them is Σk rows. Oracle replays
+    both retrieval chains and the fusion end-to-end."""
+    import hashlib
+
+    from parkour_spark.operators.similarity import rrf_fuse
+
+    docs = _t(spark, sf_dir, "documents")
+    bm = C.bm25_topk(docs, _BM25_TERMS, k=20)
+    bm_ranked = bm.select(
+        "doc_id",
+        F.row_number()
+        .over(Window.orderBy(F.col("score_micro").desc(), F.col("doc_id")))
+        .alias("rank"),
+    )
+    buckets: dict[int, float] = {}
+    for t in _BM25_TERMS:
+        d = int(hashlib.md5(t.encode()).hexdigest()[:8], 16) % 64
+        buckets[d] = buckets.get(d, 0.0) + 1.0
+    qvec = [buckets.get(d, 0.0) for d in range(64)]
+    queries = spark.createDataFrame(
+        [(0, qvec)], "query_id long, query_vec array<double>"
+    )
+    vecs = C.hashed_doc_vectors(docs, dims=64)
+    vr = SIM.brute_force_topk(
+        vecs, queries, k=20, corpus_id="doc_id", corpus_vec="vec"
+    ).select("doc_id", "rank")
+    return rrf_fuse(
+        {"bm25": bm_ranked, "dense": vr}, id_col="doc_id", topk=10
+    )
+
+
+@query(
+    "embedding_label_outliers",
+    """
+    WITH el AS (SELECT label, vec_id,
+                       generate_subscripts(embedding, 1) AS pos,
+                       unnest(CAST(embedding AS DOUBLE[])) AS v
+                FROM embeddings),
+    qm AS (SELECT label, vec_id, pos, floor(v * 1000000.0)::BIGINT AS qm
+           FROM el),
+    s AS (SELECT label, pos, sum(qm)::BIGINT AS sum_micro,
+                 count(*)::BIGINT AS n
+          FROM qm GROUP BY 1, 2),
+    c AS (SELECT label, pos,
+                 round(sum_micro::DOUBLE / n)::BIGINT AS cm
+          FROM s),
+    d AS (SELECT qm.label, qm.vec_id,
+                 sum((qm.qm - c.cm) * (qm.qm - c.cm))::BIGINT AS d2
+          FROM qm JOIN c ON qm.label = c.label AND qm.pos = c.pos
+          GROUP BY 1, 2),
+    hourly AS (SELECT label AS g, (d2 // 100000000)::BIGINT AS x FROM d),
+    cells AS (SELECT g, x, count(*)::BIGINT AS c FROM hourly GROUP BY 1, 2),
+    z AS (
+      SELECT g, x,
+             sum(c) OVER (PARTITION BY g ORDER BY x
+                          ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+               AS cum,
+             sum(c) OVER (PARTITION BY g) AS n
+      FROM cells),
+    med AS (
+      SELECT g, max(n)::BIGINT AS n,
+             min(CASE WHEN cum >= (n + 1) // 2 THEN x END)::BIGINT AS med
+      FROM z GROUP BY g),
+    dev AS (
+      SELECT cells.g, abs(x - med) AS dx, sum(c)::BIGINT AS c
+      FROM cells JOIN med ON cells.g = med.g GROUP BY 1, 2),
+    dz AS (
+      SELECT g, dx,
+             sum(c) OVER (PARTITION BY g ORDER BY dx
+                          ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+               AS cum,
+             sum(c) OVER (PARTITION BY g) AS n
+      FROM dev),
+    mad AS (
+      SELECT g, min(CASE WHEN cum >= (n + 1) // 2 THEN dx END)::BIGINT AS mad
+      FROM dz GROUP BY g),
+    outl AS (
+      SELECT cells.g,
+             sum(CASE WHEN abs(x - med) > 3 * mad THEN c ELSE 0 END)::BIGINT
+               AS n_out
+      FROM cells JOIN med ON cells.g = med.g JOIN mad ON cells.g = mad.g
+      GROUP BY 1)
+    SELECT med.g AS label, med.n AS n, med.med AS median,
+           mad.mad AS mad, outl.n_out AS n_outliers
+    FROM med JOIN mad ON med.g = mad.g JOIN outl ON med.g = outl.g
+    """,
+)
+def q_embedding_label_outliers(spark, sf_dir):
+    """Per-label embedding outlier profile — the mislabeled-point /
+    corrupt-vector detector: distance of every embedding to its OWN
+    label centroid, robust-profiled per label (kmeans.grouped_centroids
+    → integer scaled distances → validate.mad_profile). Exactness
+    chain: per-element floor(v·1e6) micro-units, integer-exact centroid
+    sufficient statistics, micro-unit centroid via ONE rounded
+    division, then d2 = Σ(q−c)² and the all-integer MAD machinery over
+    d2 div 1e8 (quantized so the distinct-cell table stays bounded —
+    the ks_statistic/auc guidance applied to distances). SCALE: one
+    posexplode partial-agg for the sums (labels × dims cells), the
+    centroid table broadcasts, the per-vec distance is one (label,
+    vec) partial agg, and MAD windows over distance cells only."""
+    from parkour_spark.operators.kmeans import grouped_centroids
+    from parkour_spark.operators.validate import mad_profile
+
+    emb = _t(spark, sf_dir, "embeddings")
+    sums = grouped_centroids(emb, "label", "embedding")
+    cents = sums.select(
+        F.col("grp").alias("label"),
+        "pos",
+        F.round(F.col("sum_micro").cast("double") / F.col("n"))
+        .cast("long")
+        .alias("cm"),
+    )
+    qm = emb.select(
+        "label",
+        "vec_id",
+        F.posexplode(
+            F.expr("transform(embedding, x -> cast(x as double))")
+        ).alias("pos", "v"),
+    ).select(
+        "label",
+        "vec_id",
+        "pos",
+        F.floor(F.col("v") * 1e6).cast("long").alias("qm"),
+    )
+    d = (
+        qm.join(F.broadcast(cents), ["label", "pos"])
+        .groupBy("label", "vec_id")
+        .agg(
+            F.sum((F.col("qm") - F.col("cm")) * (F.col("qm") - F.col("cm")))
+            .alias("d2")
+        )
+    )
+    x = d.select("label", F.expr("d2 div 100000000").alias("dist_q"))
+    return mad_profile(x, "dist_q", "label", k=3)

@@ -77,6 +77,8 @@ COMMENTARY = {
     "per_source_top_percent": "Adaptive top-p% filter: ONE Exchange — rank and group count share the source partitioning (plan-asserted single Exchange in tests); the rational-threshold filter is integer arithmetic after the window, so everything past ceil(p*n) dies in the window stage.",
     "source_overlap_matrix": "Contamination matrix: text collapses scan-side to DISTINCT (source, gram32) — the corpus never shuffles its text; the df-cap aggregate drops universal boilerplate grams BEFORE the gram-keyed self-join, bounding per-gram fanout; totals broadcast back onto the groups^2-sized pair table.",
     "time_weighted_value_user": "Time-weighted average: epoch micros and centi-unit values are scan-side projections; ONE user-keyed Exchange serves both the lead window and the final aggregate (plan-asserted); nothing downstream exceeds the user dimension.",
+    "rrf_hybrid_retrieval": "Hybrid retrieval fusion: the BM25 branch filters to query-term postings scan-side (only query-term rows shuffle); the dense branch broadcasts the 1-row query vector over one corpus scan; the union/aggregate/rank after the retrievers runs over Sigma-k rows — fusion itself is corpus-size-independent.",
+    "embedding_label_outliers": "Embedding outliers: one posexplode partial-agg produces labels x dims centroid cells which BROADCAST back into the per-vector distance aggregate; the MAD stage windows over quantized distance CELLS only. The corpus explodes once and shuffles only as (label, vec) partials.",
 }
 
 HEADER = """# PLANS — physical-plan evidence for the headline operators

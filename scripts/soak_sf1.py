@@ -99,6 +99,11 @@ SOAK_QUERIES = [
     "nb_lang_scores",
     "source_overlap_matrix",
     "time_weighted_value_user",
+    # hybrid fusion at 10×: both retriever branches do corpus work,
+    # fusion stays Σk; the outlier profile is the posexplode + broadcast
+    # + distance-cell MAD chain over 10× vectors
+    "rrf_hybrid_retrieval",
+    "embedding_label_outliers",
 ]
 
 

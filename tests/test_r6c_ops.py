@@ -232,3 +232,79 @@ def test_time_weighted_value_single_shuffle(spark):
     plan = time_weighted_value(df)._jdf.queryExecution().executedPlan(
     ).toString()
     assert plan.count("Exchange") == 1  # window and agg share user keying
+
+
+# --------------------------------------------------------------------------
+# rrf_fuse
+# --------------------------------------------------------------------------
+
+def test_rrf_fuse_hand_computed(spark):
+    from parkour_spark.operators.similarity import rrf_fuse
+
+    a = spark.createDataFrame(
+        [(10, 1), (11, 2), (12, 3)], "doc_id long, rank long"
+    )
+    b = spark.createDataFrame(
+        [(11, 1), (10, 2), (13, 3)], "doc_id long, rank long"
+    )
+    got = {r.doc_id: r for r in rrf_fuse({"a": a, "b": b}).collect()}
+    r61 = round(1e9 / 61)
+    r62 = round(1e9 / 62)
+    r63 = round(1e9 / 63)
+    assert got[10].rrf_nano == r61 + r62 and got[10].n_systems == 2
+    assert got[11].rrf_nano == r62 + r61
+    assert got[12].rrf_nano == r63 and got[12].n_systems == 1
+    # 10 and 11 tie exactly; id breaks the tie
+    assert got[10].fused_rank == 1 and got[11].fused_rank == 2
+    assert {got[12].fused_rank, got[13].fused_rank} == {3, 4}
+
+
+def test_rrf_fuse_topk_cut(spark):
+    from parkour_spark.operators.similarity import rrf_fuse
+
+    a = spark.createDataFrame(
+        [(i, i + 1) for i in range(30)], "doc_id long, rank long"
+    )
+    out = rrf_fuse({"a": a}, topk=5).collect()
+    assert sorted(r.doc_id for r in out) == [0, 1, 2, 3, 4]
+
+
+# --------------------------------------------------------------------------
+# embedding_label_outliers composition (planted outlier)
+# --------------------------------------------------------------------------
+
+def test_embedding_outlier_planted(spark):
+    from parkour_spark.operators.kmeans import grouped_centroids
+    from parkour_spark.operators.validate import mad_profile
+
+    rows = [(i, [1.0, 1.0], 0) for i in range(9)]
+    rows.append((9, [50.0, -50.0], 0))  # the planted corruption
+    emb = spark.createDataFrame(
+        rows, "vec_id long, embedding array<double>, label int"
+    )
+    sums = grouped_centroids(emb, "label", "embedding")
+    cents = sums.select(
+        F.col("grp").alias("label"), "pos",
+        F.round(F.col("sum_micro").cast("double") / F.col("n"))
+        .cast("long").alias("cm"),
+    )
+    qm = emb.select(
+        "label", "vec_id",
+        F.posexplode(F.expr("transform(embedding, x -> cast(x as double))"))
+        .alias("pos", "v"),
+    ).select(
+        "label", "vec_id", "pos",
+        F.floor(F.col("v") * 1e6).cast("long").alias("qm"),
+    )
+    d = (
+        qm.join(F.broadcast(cents), ["label", "pos"])
+        .groupBy("label", "vec_id")
+        .agg(F.sum((F.col("qm") - F.col("cm"))
+                   * (F.col("qm") - F.col("cm"))).alias("d2"))
+    )
+    x = d.select("label", F.expr("d2 div 100000000").alias("dist_q"))
+    prof = mad_profile(x, "dist_q", "label", k=3).collect()[0]
+    # 9 identical vectors pin median/MAD near the inlier distance; the
+    # planted vector's distance is astronomically past 3*MAD
+    assert prof.n == 10
+    assert prof.n_outliers == 1
