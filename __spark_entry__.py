@@ -144,11 +144,11 @@ _R6_WINDOW = [
     # local-gate coverage). That is 8 of the agreed ≤8 never-verified
     # slots; all eight are local-gate green and lead the r7 window by
     # rule (c).
-    # Fifth-session additions (registry 191 → 198) also wait for r7 —
+    # Fifth-session additions (registry 191 → 200) also wait for r7 —
     # the window was full, and displacing the re-landed r5 oracle fixes
     # or the old never-verified backlog would defeat the round's #1 and
-    # #4 items. The never-verified count therefore ends at 15, above
-    # the agreed 8 by exactly the 7 new entries (new entries always
+    # #4 items. The never-verified count therefore ends at 17, above
+    # the agreed 8 by exactly the 9 new entries (new entries always
     # start unverified; the alternative was not building them). Each is
     # local-gate green with in-window siblings: nb_lang_model +
     # nb_lang_scores (hashed-bucket micro-nat machinery — in-window
@@ -164,8 +164,13 @@ _R6_WINDOW = [
     # the hashed-vector cosine via hashed_doc_knn, which IS in window),
     # and embedding_label_outliers (grouped_centroids sibling
     # label_centroid_sums and the MAD machinery's event_rate_spikes
-    # shape — label_centroid_sums is in window). All 15 lead the r7
-    # window by rule (c).
+    # shape — label_centroid_sums is in window),
+    # interleaved_training_order (md5-derived deterministic ordering —
+    # in-window siblings weighted_sample_by_source and
+    # training_shards_manifest), and dedup_impact_by_source (the
+    # minhash→CC chain every in-window graph entry replays, plus one
+    # rollup). The count ends at 17; all lead the r7 window by rule
+    # (c).
     "dedup_prefix_filter",
     "gopher_quality_flags",
 ]

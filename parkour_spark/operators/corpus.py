@@ -1251,3 +1251,59 @@ def source_overlap(
         .withColumnRenamed("n_grams", "n_b")
         .select("src_a", "src_b", "shared", "n_a", "n_b")
     )
+
+
+def interleave_by_group(
+    df: DataFrame,
+    group_col: str = "source",
+    id_col: str = "doc_id",
+    seed: str = "interleave-v1",
+) -> DataFrame:
+    """Mixture-balanced deterministic training order: round-robin
+    interleave across groups — position i of EVERY group orders before
+    position i+1 of any group, so no source clumps anywhere in the
+    epoch (the failure mode of a plain global shuffle on a corpus where
+    one source dominates a hash range). Within a group the order is
+    md5(seed:id) — reshuffle an epoch by changing the seed.
+
+    Returns the rows plus (pos_in_group, group_rank, order_key) where
+    order_key = pos_in_group · n_groups + group_rank — injective and
+    round-robin-total-ordered BY ARITHMETIC, not by a global sort:
+    after groups exhaust, their slots are simply holes in the key
+    space (consumers sort by order_key; a dense rank would buy nothing
+    but a corpus-wide exchange).
+
+    SCALE: ONE group-keyed window (the in-group position); group count
+    and group ranks come from a groups-sized aggregate that broadcasts.
+    No global sort, no single-partition window — the two-phase dense
+    alternative (shuffle_order) exists when a dense 0..n−1 rank is the
+    contract."""
+    key = F.md5(F.concat(F.lit(seed + ":"), F.col(id_col).cast("string")))
+    w = Window.partitionBy(group_col).orderBy("__k", id_col)
+    groups = (
+        df.select(F.col(group_col).alias("__g"))
+        .distinct()
+        .select(
+            "__g",
+            (F.row_number().over(Window.orderBy("__g")) - 1)
+            .cast("long")
+            .alias("group_rank"),
+        )
+    )
+    n_groups = groups.agg(F.count("*").alias("__ng"))
+    staged = df.withColumn("__k", key).withColumn(
+        "pos_in_group", (F.row_number().over(w) - 1).cast("long")
+    )
+    return (
+        staged.join(
+            F.broadcast(groups), staged[group_col] == groups["__g"]
+        )
+        .drop("__g", "__k")
+        .crossJoin(F.broadcast(n_groups))
+        .withColumn(
+            "order_key",
+            (F.col("pos_in_group") * F.col("__ng") + F.col("group_rank"))
+            .cast("long"),
+        )
+        .drop("__ng")
+    )

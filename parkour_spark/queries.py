@@ -8429,3 +8429,100 @@ def q_embedding_label_outliers(spark, sf_dir):
     )
     x = d.select("label", F.expr("d2 div 100000000").alias("dist_q"))
     return mad_profile(x, "dist_q", "label", k=3)
+
+
+@query(
+    "interleaved_training_order",
+    """
+    WITH g AS (SELECT source,
+                      (row_number() OVER (ORDER BY source) - 1)::BIGINT
+                        AS group_rank
+               FROM (SELECT DISTINCT source FROM documents)),
+    ng AS (SELECT count(*)::BIGINT AS n FROM g),
+    p AS (SELECT doc_id, source,
+                 (row_number() OVER (
+                    PARTITION BY source
+                    ORDER BY md5('interleave-v1:' || doc_id::VARCHAR),
+                             doc_id) - 1)::BIGINT AS pos_in_group
+          FROM documents)
+    SELECT p.doc_id, p.source, p.pos_in_group, g.group_rank,
+           (p.pos_in_group * ng.n + g.group_rank)::BIGINT AS order_key
+    FROM p JOIN g USING (source), ng
+    """,
+)
+def q_interleaved_order(spark, sf_dir):
+    """Mixture-balanced epoch construction (corpus.interleave_by_group):
+    round-robin interleave across sources — position i of EVERY source
+    orders before position i+1 of any source, so no source clumps
+    anywhere in the training stream; within a source the order is
+    md5(seed:id) (epoch reshuffle = new seed). The order key is
+    ARITHMETIC (pos·n_groups + group_rank): one source-keyed window +
+    a broadcast groups table — no global sort anywhere (shuffle_order
+    is the dense-rank alternative when 0..n−1 is the contract)."""
+    from parkour_spark.operators.corpus import interleave_by_group
+
+    docs = _t(spark, sf_dir, "documents").select("doc_id", "source")
+    return interleave_by_group(docs).select(
+        "doc_id", "source", "pos_in_group", "group_rank", "order_key"
+    )
+
+
+@query(
+    "dedup_impact_by_source",
+    _dedup_groups_oracle(
+        tail="""
+    , comp AS (SELECT n AS doc_id, min(m) AS component FROM reach GROUP BY n),
+    csize AS (SELECT component, count(*)::BIGINT AS sz
+              FROM comp GROUP BY component),
+    j AS (SELECT d.source, d.n_chars, comp.doc_id, comp.component, csize.sz
+          FROM comp JOIN documents d USING (doc_id)
+          JOIN csize USING (component))
+    SELECT source,
+           count(*)::BIGINT AS n_docs,
+           sum(CASE WHEN sz > 1 THEN 1 ELSE 0 END)::BIGINT AS n_dup_docs,
+           sum(CASE WHEN doc_id <> component THEN 1 ELSE 0 END)::BIGINT
+             AS n_removed,
+           sum(CASE WHEN doc_id <> component THEN n_chars ELSE 0 END)
+             ::BIGINT AS chars_removed
+    FROM j GROUP BY source
+    """
+    ),
+)
+def q_dedup_impact(spark, sf_dir):
+    """Dedup impact report (the audit table a dedup run ships with):
+    per source — docs, docs in any near-dup cluster, docs a keep-first
+    policy removes (non-minimum members), and the chars that removal
+    reclaims. Pure composition over the MinHash-LSH pair graph and its
+    connected components (min-id survivor = the component id itself),
+    joined back to scan-side source/n_chars; cluster sizes come from a
+    component-keyed aggregate, never a corpus re-scan. Oracle replays
+    the full chain: signatures → bands → verify → recursive closure →
+    sizes → per-source rollup."""
+    from parkour_spark.operators.graph import connected_components
+
+    docs = _t(spark, sf_dir, "documents")
+    pairs = D.minhash_dedup_pairs(docs, threshold=0.8)
+    cc = connected_components(
+        docs.select("doc_id"), pairs, node_col="doc_id"
+    ).select(F.col("n").alias("doc_id"), "component")
+    csize = cc.groupBy("component").agg(F.count("*").alias("sz"))
+    j = (
+        cc.join(csize, "component")
+        .join(docs.select("doc_id", "source", "n_chars"), "doc_id")
+    )
+    return j.groupBy("source").agg(
+        F.count("*").cast("long").alias("n_docs"),
+        F.sum(F.when(F.col("sz") > 1, 1).otherwise(0))
+        .cast("long")
+        .alias("n_dup_docs"),
+        F.sum(F.when(F.col("doc_id") != F.col("component"), 1).otherwise(0))
+        .cast("long")
+        .alias("n_removed"),
+        F.sum(
+            F.when(
+                F.col("doc_id") != F.col("component"), F.col("n_chars")
+            ).otherwise(0)
+        )
+        .cast("long")
+        .alias("chars_removed"),
+    )

@@ -79,6 +79,8 @@ COMMENTARY = {
     "time_weighted_value_user": "Time-weighted average: epoch micros and centi-unit values are scan-side projections; ONE user-keyed Exchange serves both the lead window and the final aggregate (plan-asserted); nothing downstream exceeds the user dimension.",
     "rrf_hybrid_retrieval": "Hybrid retrieval fusion: the BM25 branch filters to query-term postings scan-side (only query-term rows shuffle); the dense branch broadcasts the 1-row query vector over one corpus scan; the union/aggregate/rank after the retrievers runs over Sigma-k rows — fusion itself is corpus-size-independent.",
     "embedding_label_outliers": "Embedding outliers: one posexplode partial-agg produces labels x dims centroid cells which BROADCAST back into the per-vector distance aggregate; the MAD stage windows over quantized distance CELLS only. The corpus explodes once and shuffles only as (label, vec) partials.",
+    "interleaved_training_order": "Round-robin epoch order: ONE source-keyed window (in-group position); the groups table and its count are a tiny aggregate that BROADCASTS into the arithmetic key — no global sort, no single-partition window anywhere in the plan.",
+    "dedup_impact_by_source": "Dedup audit rollup: the MinHash+CC chain is unchanged; impact adds a component-keyed size aggregate and one broadcast-joined per-source rollup — no corpus re-scan beyond the scan-side source/n_chars projection.",
 }
 
 HEADER = """# PLANS — physical-plan evidence for the headline operators

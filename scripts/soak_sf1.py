@@ -104,6 +104,9 @@ SOAK_QUERIES = [
     # + distance-cell MAD chain over 10× vectors
     "rrf_hybrid_retrieval",
     "embedding_label_outliers",
+    # the dedup audit rollup rides the full minhash+CC chain at 10× —
+    # its premium over dedup_groups_bigstar is the impact claim
+    "dedup_impact_by_source",
 ]
 
 

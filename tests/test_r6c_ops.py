@@ -308,3 +308,58 @@ def test_embedding_outlier_planted(spark):
     # planted vector's distance is astronomically past 3*MAD
     assert prof.n == 10
     assert prof.n_outliers == 1
+
+
+# --------------------------------------------------------------------------
+# interleave_by_group
+# --------------------------------------------------------------------------
+
+def test_interleave_round_robin_property(spark):
+    from parkour_spark.operators.corpus import interleave_by_group
+
+    rows = [Row(doc_id=i, source=f"s{i % 3}") for i in range(30)]
+    df = spark.createDataFrame(rows)
+    out = interleave_by_group(df).collect()
+    assert len(out) == 30
+    # order keys are unique and round-robin: sorted by order_key, every
+    # consecutive block of 3 holds all 3 sources
+    by_key = sorted(out, key=lambda r: r.order_key)
+    assert len({r.order_key for r in out}) == 30
+    for blk in range(10):
+        srcs = {r.source for r in by_key[3 * blk: 3 * blk + 3]}
+        assert srcs == {"s0", "s1", "s2"}
+    # arithmetic key structure
+    for r in out:
+        assert r.order_key == r.pos_in_group * 3 + r.group_rank
+
+
+def test_interleave_seed_reshuffles_and_layout_invariant(spark):
+    from parkour_spark.operators.corpus import interleave_by_group
+
+    rows = [Row(doc_id=i, source=f"s{i % 3}") for i in range(30)]
+    df = spark.createDataFrame(rows)
+    a = {r.doc_id: r.order_key for r in interleave_by_group(df).collect()}
+    b = {
+        r.doc_id: r.order_key
+        for r in interleave_by_group(df.repartition(7)).collect()
+    }
+    c = {
+        r.doc_id: r.order_key
+        for r in interleave_by_group(df, seed="epoch-2").collect()
+    }
+    assert a == b          # layout-independent
+    assert a != c          # new seed permutes within groups
+    assert sorted(a.values()) == sorted(c.values())  # same key space
+
+
+def test_interleave_uneven_groups_leave_holes_not_collisions(spark):
+    from parkour_spark.operators.corpus import interleave_by_group
+
+    rows = [Row(doc_id=i, source="big") for i in range(8)]
+    rows += [Row(doc_id=100, source="small")]
+    df = spark.createDataFrame(rows)
+    out = interleave_by_group(df).collect()
+    keys = [r.order_key for r in out]
+    assert len(set(keys)) == len(keys)  # injective despite uneven sizes
+    small = [r for r in out if r.source == "small"][0]
+    assert small.pos_in_group == 0  # the lone doc sits in round 0
