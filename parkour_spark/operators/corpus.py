@@ -1307,3 +1307,94 @@ def interleave_by_group(
         )
         .drop("__ng")
     )
+
+
+def water_filling_allocation(
+    counts: DataFrame,
+    budget_tokens: int | None = None,
+    budget_num: int | None = None,
+    budget_den: int | None = None,
+    group_col: str = "source",
+    n_col: str = "n_tokens",
+) -> DataFrame:
+    """Water-filling budget allocation — the mixture-design primitive
+    behind "cap over-represented sources": find the maximal uniform
+    level τ with Σ min(n_i, τ) ≤ budget and allocate min(n_i, τ)
+    tokens to each group. Small groups keep everything; big groups are
+    capped at the common water line, which is exactly the allocation
+    that maximizes the minimum share.
+
+    `counts` is the per-group token-count table (one row per group).
+    The budget is either absolute (`budget_tokens`) or the RATIONAL
+    fraction budget_num/budget_den of the total (integer arithmetic —
+    both engines agree on every boundary).
+
+    Exactness: with groups sorted (n asc, group asc), feasibility of
+    level n_k (cost p_{k−1} + (S−k+1)·n_k ≤ B) is monotone in k, so
+    k* = count of feasible rows; τ = (B − p_{k*}) div (S − k*) — all
+    integer; τ ∈ [n_{k*}, n_{k*+1}) by construction. B ≥ Σn degrades
+    to full allocation. Up to S − k* budget tokens stay unassigned
+    (floor division) — intentional; distributing a sub-S remainder
+    buys nothing at corpus scale.
+
+    SCALE: every window and aggregate here runs over the GROUPS table
+    (sources/domains — small by construction; produce it with one
+    corpus partial-agg scan). The one ordered window is over that
+    table, never the corpus."""
+    if budget_tokens is None and (budget_num is None or budget_den is None):
+        raise ValueError("pass budget_tokens or budget_num/budget_den")
+    w = Window.orderBy(F.col("__n").asc(), F.col(group_col).asc())
+    wp = w.rowsBetween(Window.unboundedPreceding, 0)
+    tot = counts.agg(
+        F.count("*").cast("long").alias("__s"),
+        F.sum(n_col).cast("long").alias("__total"),
+        F.max(n_col).cast("long").alias("__nmax"),
+    )
+    if budget_tokens is not None:
+        tot = tot.withColumn("__b", F.lit(int(budget_tokens)).cast("long"))
+    else:
+        tot = tot.withColumn(
+            "__b", F.expr(f"(__total * {budget_num}) div {budget_den}")
+        )
+    ranked = (
+        counts.select(F.col(group_col), F.col(n_col).cast("long").alias("__n"))
+        .withColumn("__r", F.row_number().over(w).cast("long"))
+        .withColumn("__p", F.sum("__n").over(wp).cast("long"))
+        .crossJoin(F.broadcast(tot))
+        .withColumn(
+            "__ok",
+            (
+                (F.col("__p") - F.col("__n"))
+                + (F.col("__s") - F.col("__r") + 1) * F.col("__n")
+                <= F.col("__b")
+            ).cast("int"),
+        )
+    )
+    kagg = ranked.agg(
+        F.sum("__ok").cast("long").alias("__k"),
+        F.coalesce(
+            F.max(F.when(F.col("__ok") == 1, F.col("__p"))), F.lit(0)
+        )
+        .cast("long")
+        .alias("__pk"),
+    )
+    level = (
+        kagg.crossJoin(F.broadcast(tot))
+        .select(
+            F.when(F.col("__k") >= F.col("__s"), F.col("__nmax"))
+            .otherwise(
+                F.expr("(__b - __pk) div (__s - __k)")
+            )
+            .cast("long")
+            .alias("__tau")
+        )
+    )
+    return (
+        counts.select(F.col(group_col), F.col(n_col).cast("long").alias(n_col))
+        .crossJoin(F.broadcast(level))
+        .select(
+            group_col,
+            n_col,
+            F.least(F.col(n_col), F.col("__tau")).cast("long").alias("allocated"),
+        )
+    )

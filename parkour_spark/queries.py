@@ -8526,3 +8526,55 @@ def q_dedup_impact(spark, sf_dir):
         .cast("long")
         .alias("chars_removed"),
     )
+
+
+@query(
+    "token_budget_waterfill",
+    f"""
+    WITH c AS (SELECT source, sum(len({_TOKS_SQL}))::BIGINT AS n
+               FROM documents GROUP BY source),
+    t AS (SELECT count(*)::BIGINT AS s, sum(n)::BIGINT AS total,
+                 max(n)::BIGINT AS nmax
+          FROM c),
+    b AS (SELECT s, total, nmax, (total * 1) // 3 AS b FROM t),
+    w AS (SELECT source, n,
+                 row_number() OVER (ORDER BY n, source)::BIGINT AS r,
+                 sum(n) OVER (ORDER BY n, source
+                              ROWS BETWEEN UNBOUNDED PRECEDING
+                              AND CURRENT ROW)::BIGINT AS p
+          FROM c),
+    f AS (SELECT w.*, b.s, b.b,
+                 CASE WHEN (p - n) + (s - r + 1) * n <= b
+                      THEN 1 ELSE 0 END AS ok
+          FROM w, b),
+    agg AS (SELECT sum(ok)::BIGINT AS k,
+                   coalesce(max(CASE WHEN ok = 1 THEN p END), 0)::BIGINT
+                     AS pk
+            FROM f),
+    lvl AS (SELECT CASE WHEN agg.k >= b.s THEN b.nmax
+                        ELSE (b.b - agg.pk) // (b.s - agg.k)
+                   END::BIGINT AS tau
+            FROM agg, b)
+    SELECT c.source, c.n AS n_tokens,
+           least(c.n, lvl.tau)::BIGINT AS allocated
+    FROM c, lvl
+    """,
+)
+def q_waterfill(spark, sf_dir):
+    """Water-filling token-budget allocation
+    (corpus.water_filling_allocation) at budget = 1/3 of total corpus
+    tokens: the max-min-fair per-source cap — small sources keep
+    everything, over-represented sources are cut at the common water
+    line τ. All-integer: feasibility of each level is monotone, so
+    k* = a conditional count, τ = one integer division, every boundary
+    engine-exact. SCALE: one corpus partial-agg scan produces the
+    groups table; every window and aggregate after that is
+    groups-sized. Feeds quota_cap / token_budget_sample as the
+    per-source budget input."""
+    from parkour_spark.operators.corpus import water_filling_allocation
+
+    docs = _t(spark, sf_dir, "documents")
+    counts = docs.groupBy("source").agg(
+        F.sum(token_count(F.col("text"))).cast("long").alias("n_tokens")
+    )
+    return water_filling_allocation(counts, budget_num=1, budget_den=3)

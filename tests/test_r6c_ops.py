@@ -363,3 +363,61 @@ def test_interleave_uneven_groups_leave_holes_not_collisions(spark):
     assert len(set(keys)) == len(keys)  # injective despite uneven sizes
     small = [r for r in out if r.source == "small"][0]
     assert small.pos_in_group == 0  # the lone doc sits in round 0
+
+
+# --------------------------------------------------------------------------
+# water_filling_allocation
+# --------------------------------------------------------------------------
+
+def _waterfill_ref(ns, budget):
+    """Driver replica: max integer tau with sum(min(n, tau)) <= budget."""
+    if sum(ns) <= budget:
+        return {i: n for i, n in enumerate(ns)}
+    lo, hi = 0, max(ns)
+    while lo < hi:
+        mid = (lo + hi + 1) // 2
+        if sum(min(n, mid) for n in ns) <= budget:
+            lo = mid
+        else:
+            hi = mid - 1
+    return {i: min(n, lo) for i, n in enumerate(ns)}
+
+
+def test_waterfill_matches_binary_search_replica(spark):
+    from parkour_spark.operators.corpus import water_filling_allocation
+
+    cases = [
+        ([10, 20, 30, 100], 60),
+        ([10, 20, 30, 100], 5),      # below even the uniform floor
+        ([10, 20, 30, 100], 1000),   # budget >= total: full allocation
+        ([7], 3),
+        ([5, 5, 5, 5], 11),
+        ([1, 2, 3, 4, 5, 6, 7, 8, 9], 20),
+        ([1000000, 1, 1, 1], 50),
+    ]
+    for ns, b in cases:
+        df = spark.createDataFrame(
+            [(f"g{i}", n) for i, n in enumerate(ns)],
+            "source string, n_tokens long",
+        )
+        got = {
+            r.source: r.allocated
+            for r in water_filling_allocation(df, budget_tokens=b).collect()
+        }
+        ref = _waterfill_ref(ns, b)
+        want = {f"g{i}": v for i, v in ref.items()}
+        assert got == want, (ns, b, got, want)
+        assert sum(got.values()) <= b or sum(ns) <= b
+
+
+def test_waterfill_small_groups_keep_everything(spark):
+    from parkour_spark.operators.corpus import water_filling_allocation
+
+    df = spark.createDataFrame(
+        [("tiny", 3), ("huge", 10_000)], "source string, n_tokens long"
+    )
+    got = {
+        r.source: r.allocated
+        for r in water_filling_allocation(df, budget_tokens=103).collect()
+    }
+    assert got == {"tiny": 3, "huge": 100}
