@@ -683,3 +683,84 @@ def average_precision(
             6,
         ).alias("ap"),
     )
+
+
+def fd_violations(
+    df: DataFrame, lhs: str, rhs: str
+) -> DataFrame:
+    """Approximate-functional-dependency violation report: for each lhs
+    value, the majority rhs (ties broken by rhs asc — a total order),
+    its support, and how many rows deviate — "does X (almost) determine
+    Y, and where does it break" (schema-drift / entity-resolution /
+    ingest-corruption triage; an exact FD shows n_violations = 0).
+
+    Returns (lhs, n, majority_rhs, n_majority, n_violations).
+
+    SCALE: rows partial-agg to DISTINCT (lhs, rhs) cells in one
+    shuffle — bounded by the pair domain, not row count; the majority
+    pick and the per-lhs total are one window over cells sharing a
+    single lhs-keyed Exchange."""
+    from pyspark.sql import Window
+
+    cells = df.groupBy(F.col(lhs), F.col(rhs)).agg(F.count("*").alias("__c"))
+    w = Window.partitionBy(lhs).orderBy(F.col("__c").desc(), F.col(rhs).asc())
+    wn = Window.partitionBy(lhs)
+    return (
+        cells.withColumn("__rn", F.row_number().over(w))
+        .withColumn("__n", F.sum("__c").over(wn))
+        .where(F.col("__rn") == 1)
+        .select(
+            F.col(lhs),
+            F.col("__n").cast("long").alias("n"),
+            F.col(rhs).alias("majority_rhs"),
+            F.col("__c").cast("long").alias("n_majority"),
+            (F.col("__n") - F.col("__c")).cast("long").alias("n_violations"),
+        )
+    )
+
+
+def benford_profile(
+    df: DataFrame, col: str, unit: int = 100
+) -> DataFrame:
+    """First-significant-digit profile against Benford's law — the
+    classic fabricated-data / unit-corruption screen for naturally
+    spanning positive amounts. Returns one row per digit 1..9:
+    observed count and round(1e6 · n_total · log10(1 + 1/d)) — the
+    expected Benford count in integer micro-rows, so the comparison
+    ships engine-exact and the caller picks its own distance.
+
+    Exactness: the value is scaled to integer units (round(x · unit))
+    and the leading digit is the first character of the INTEGER's
+    decimal rendering — integer-to-string is exact in every engine,
+    where a float log10 at exact powers of ten is not. Rows with
+    non-positive scaled value are excluded (no leading digit exists).
+
+    SCALE: one scan projecting the digit + one 9-cell partial
+    aggregate; the expected side is arithmetic on the 9-row result."""
+    scaled = df.select(
+        F.round(F.col(col) * unit).cast("long").alias("__v")
+    ).where(F.col("__v") > 0)
+    obs = (
+        scaled.select(
+            F.substring(F.col("__v").cast("string"), 1, 1)
+            .cast("long")
+            .alias("digit")
+        )
+        .groupBy("digit")
+        .agg(F.count("*").cast("long").alias("n_obs"))
+    )
+    tot = obs.agg(F.sum("n_obs").alias("__t"))
+    return (
+        obs.crossJoin(F.broadcast(tot))
+        .select(
+            "digit",
+            "n_obs",
+            F.round(
+                F.col("__t")
+                * F.log10(1.0 + 1.0 / F.col("digit"))
+                * 1e6
+            )
+            .cast("long")
+            .alias("expected_micro"),
+        )
+    )

@@ -8578,3 +8578,59 @@ def q_waterfill(spark, sf_dir):
         F.sum(token_count(F.col("text"))).cast("long").alias("n_tokens")
     )
     return water_filling_allocation(counts, budget_num=1, budget_den=3)
+
+
+@query(
+    "fd_violation_report",
+    """
+    WITH cells AS (SELECT source, lang, count(*)::BIGINT AS c
+                   FROM documents GROUP BY 1, 2),
+    r AS (SELECT source, lang, c,
+                 row_number() OVER (PARTITION BY source
+                                    ORDER BY c DESC, lang) AS rn,
+                 sum(c) OVER (PARTITION BY source)::BIGINT AS n
+          FROM cells)
+    SELECT source, n, lang AS majority_rhs, c AS n_majority,
+           (n - c)::BIGINT AS n_violations
+    FROM r WHERE rn = 1
+    """,
+)
+def q_fd_violations(spark, sf_dir):
+    """Approximate-FD violation report (validate.fd_violations) for
+    source → lang: per source, the majority language, its support, and
+    the deviating rows — the schema-drift / ingest-corruption triage
+    table (an exact dependency reads n_violations = 0 everywhere).
+    SCALE: rows partial-agg to distinct (lhs, rhs) cells in ONE
+    shuffle; majority pick and per-lhs total share a single cell-table
+    window."""
+    from parkour_spark.operators.validate import fd_violations
+
+    return fd_violations(_t(spark, sf_dir, "documents"), "source", "lang")
+
+
+@query(
+    "benford_price_profile",
+    """
+    WITH v AS (SELECT round(o_totalprice * 100)::BIGINT AS v
+               FROM orders),
+    d AS (SELECT substr(v::VARCHAR, 1, 1)::BIGINT AS digit
+          FROM v WHERE v > 0),
+    obs AS (SELECT digit, count(*)::BIGINT AS n_obs FROM d GROUP BY digit),
+    t AS (SELECT sum(n_obs)::BIGINT AS t FROM obs)
+    SELECT digit, n_obs,
+           round(t * log10(1.0 + 1.0 / digit) * 1000000.0)::BIGINT
+             AS expected_micro
+    FROM obs, t
+    """,
+)
+def q_benford(spark, sf_dir):
+    """Benford first-digit profile (validate.benford_profile) over
+    order totals — the fabricated-data / unit-corruption screen.
+    Leading digit comes from the INTEGER cent value's decimal
+    rendering (integer-to-string is exact in every engine; float
+    log10 at powers of ten is not); the expected Benford count ships
+    as integer micro-rows next to the observed count. One scan + one
+    9-cell aggregate."""
+    from parkour_spark.operators.validate import benford_profile
+
+    return benford_profile(_t(spark, sf_dir, "orders"), "o_totalprice")

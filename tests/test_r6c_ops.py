@@ -421,3 +421,48 @@ def test_waterfill_small_groups_keep_everything(spark):
         for r in water_filling_allocation(df, budget_tokens=103).collect()
     }
     assert got == {"tiny": 3, "huge": 100}
+
+
+# --------------------------------------------------------------------------
+# fd_violations / benford_profile
+# --------------------------------------------------------------------------
+
+def test_fd_violations_counts_and_ties(spark):
+    from parkour_spark.operators.validate import fd_violations
+
+    rows = [Row(x="a", y="en")] * 3 + [Row(x="a", y="fr")]
+    rows += [Row(x="b", y="de")] * 2 + [Row(x="b", y="zh")] * 2  # tie
+    rows += [Row(x="c", y="es")]  # exact FD
+    df = spark.createDataFrame(rows)
+    got = {r.x: r for r in fd_violations(df, "x", "y").collect()}
+    assert (got["a"].majority_rhs, got["a"].n_majority,
+            got["a"].n_violations) == ("en", 3, 1)
+    # tie broken by rhs asc: "de" < "zh"
+    assert (got["b"].majority_rhs, got["b"].n_violations) == ("de", 2)
+    assert got["c"].n_violations == 0 and got["c"].n == 1
+
+
+def test_benford_digits_and_expected(spark):
+    import math
+
+    from parkour_spark.operators.validate import benford_profile
+
+    # values 1.00..9.00 → one per digit; 0 and negatives excluded
+    rows = [Row(v=float(i)) for i in range(10)] + [Row(v=-5.0)]
+    df = spark.createDataFrame(rows)
+    got = {r.digit: r for r in benford_profile(df, "v").collect()}
+    assert sorted(got) == list(range(1, 10))
+    assert all(got[d].n_obs == 1 for d in got)
+    for d in range(1, 10):
+        assert got[d].expected_micro == round(
+            9 * math.log10(1 + 1 / d) * 1e6
+        )
+
+
+def test_benford_leading_digit_of_cents(spark):
+    from parkour_spark.operators.validate import benford_profile
+
+    # 0.07 → 7 cents → digit 7; 123.45 → 12345 → digit 1
+    df = spark.createDataFrame([Row(v=0.07), Row(v=123.45)])
+    got = {r.digit: r.n_obs for r in benford_profile(df, "v").collect()}
+    assert got == {7: 1, 1: 1}
