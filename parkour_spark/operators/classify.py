@@ -126,9 +126,9 @@ def nb_score(
     counts (≤ min(n_tokens, n_buckets) rows per doc) before the
     broadcast model join; the only corpus-keyed exchanges are the
     (doc, bucket) partial agg, the (doc, label) partial agg, and the
-    doc-keyed argmax window. Zero-token docs are kept — they score on
-    the prior alone (the doc × label base is built from the corpus ×
-    broadcast priors, not from the token table)."""
+    doc-keyed argmax window — priors attach by broadcast join, never a
+    corpus-keyed join. Zero-token docs are kept: they are found
+    scan-side (size(tokens) == 0) and score on the prior alone."""
     toks = tokens(F.lower(F.trim(F.col(text_col))))
     staged = docs.select(F.col(id_col), toks.alias("__t"))
     occ = explode_fast(staged, "__t", "__tok", keep=[id_col]).select(
@@ -140,20 +140,30 @@ def nb_score(
         .groupBy(id_col, "label")
         .agg(F.sum(F.col("c") * F.col("ll_micro")).alias("__s"))
     )
-    base = docs.select(id_col).crossJoin(
-        F.broadcast(priors.select("label", "prior_micro"))
+    # The model grid is FULL, so every doc with ≥1 token already holds a
+    # row for every label in `per` — priors attach by broadcast join (no
+    # corpus-keyed exchange). Only zero-token docs are missing; they are
+    # found scan-side (size(tokens) == 0 — no shuffle, no anti-join) and
+    # score on the prior alone.
+    pri = F.broadcast(priors.select("label", "prior_micro"))
+    scored_t = per.join(pri, "label").select(
+        id_col,
+        "label",
+        (F.col("prior_micro") + F.col("__s")).cast("long").alias(
+            "score_micro"
+        ),
     )
-    scored = (
-        base.join(per, [id_col, "label"], "left")
-        .na.fill({"__s": 0})
+    tokenless = (
+        docs.where(F.size(toks) == 0)
+        .select(id_col)
+        .crossJoin(pri)
         .select(
             id_col,
             "label",
-            (F.col("prior_micro") + F.col("__s")).cast("long").alias(
-                "score_micro"
-            ),
+            F.col("prior_micro").cast("long").alias("score_micro"),
         )
     )
+    scored = scored_t.unionByName(tokenless)
     w = Window.partitionBy(id_col).orderBy(
         F.col("score_micro").desc(), F.col("label").asc()
     )

@@ -81,6 +81,9 @@ COMMENTARY = {
     "embedding_label_outliers": "Embedding outliers: one posexplode partial-agg produces labels x dims centroid cells which BROADCAST back into the per-vector distance aggregate; the MAD stage windows over quantized distance CELLS only. The corpus explodes once and shuffles only as (label, vec) partials.",
     "interleaved_training_order": "Round-robin epoch order: ONE source-keyed window (in-group position); the groups table and its count are a tiny aggregate that BROADCASTS into the arithmetic key — no global sort, no single-partition window anywhere in the plan.",
     "dedup_impact_by_source": "Dedup audit rollup: the MinHash+CC chain is unchanged; impact adds a component-keyed size aggregate and one broadcast-joined per-source rollup — no corpus re-scan beyond the scan-side source/n_chars projection.",
+    "fd_violation_report": "Approximate-FD triage: rows partial-agg to distinct (lhs, rhs) cells in ONE shuffle; the majority pick and the per-lhs total share a single cell-table window Exchange.",
+    "benford_price_profile": "Benford screen: the leading digit is a scan-side integer-string projection; one 9-cell partial aggregate, expected counts as arithmetic on the result. Scan-bound by construction.",
+    "token_budget_waterfill": "Water-filling: one corpus partial-agg scan produces the groups table; every window/aggregate after it is groups-sized (the ordered window runs over sources, never rows).",
 }
 
 HEADER = """# PLANS — physical-plan evidence for the headline operators
