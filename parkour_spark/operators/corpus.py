@@ -1206,17 +1206,31 @@ def source_overlap(
 
     SCALE: the corpus collapses scan-side to DISTINCT (group, gram_id)
     — bounded by groups × distinct-shingles, with the text itself never
-    shuffling — then one gram-keyed self-join whose per-gram fanout is
-    at most groups² (groups are sources/domains: small by construction;
-    the pair table, group'd down, is ≤ groups²). For web-domain-sized
-    group sets, `max_groups_per_gram` is the df-cap analog: grams
-    shared by more groups than the cap (universal boilerplate — exactly
-    the grams that say nothing about PAIRWISE contamination) are
-    dropped before the join, bounding fanout the same way the capped
-    Jaccard join bounds df."""
-    staged = docs.select(
-        F.col(group_col).alias("g"),
-        shingles_of(tokens(F.lower(F.trim(F.col(text_col)))), k).alias("__sh"),
+    shuffling — then ONE more gram-keyed aggregate collects each gram's
+    source set (≤ groups elements) and the unordered pairs explode
+    scan-side from that array: two gram-family exchanges total, no
+    self-join (a prior self-join formulation paid four — distinct, df
+    count, semi-join, pair join — and was the heaviest soak entry at
+    48.6s; this shape re-measures at a fraction of that). For
+    web-domain-sized group sets, `max_groups_per_gram` is the df-cap
+    analog: grams shared by more groups than the cap (universal
+    boilerplate — exactly the grams that say nothing about PAIRWISE
+    contamination) are dropped, which here is a post-aggregate size
+    filter that also bounds the per-gram pair fanout at cap²."""
+    from parkour_spark.operators.sort import widen_scan
+
+    # stage the token array in its OWN projection (shingles_of consumes
+    # it from inside transform lambdas — inlined it re-evaluates per
+    # shingle, the O(len²) cliff its docstring documents); widen small
+    # single-file inputs before the heavy scan-side compute
+    base = widen_scan(
+        docs.select(F.col(group_col).alias("g"), F.col(text_col))
+    )
+    toked = base.select(
+        "g", tokens(F.lower(F.trim(F.col(text_col)))).alias("__t")
+    )
+    staged = toked.select(
+        "g", F.array_distinct(shingles_of(F.col("__t"), k)).alias("__sh")
     )
     grams = (
         explode_fast(staged, "__sh", "__s", keep=["g"])
@@ -1228,18 +1242,25 @@ def source_overlap(
         )
         .distinct()
     )
+    sets = grams.groupBy("gram").agg(
+        F.array_sort(F.collect_set("g")).alias("__gs")
+    )
     if max_groups_per_gram is not None:
-        dfc = grams.groupBy("gram").agg(F.count("*").alias("__df"))
-        grams = grams.join(
-            dfc.where(F.col("__df") <= max_groups_per_gram).select("gram"),
-            "gram",
-        )
-    totals = grams.groupBy("g").agg(F.count("*").alias("n_grams"))
-    a, b = grams.alias("a"), grams.alias("b")
+        sets = sets.where(F.size("__gs") <= max_groups_per_gram)
+    totals = (
+        sets.select(F.explode("__gs").alias("g"))
+        .groupBy("g")
+        .agg(F.count("*").alias("n_grams"))
+    )
+    combos = F.expr(
+        "flatten(transform(__gs, (a, i) -> "
+        "transform(slice(__gs, i + 2, size(__gs)), "
+        "b -> struct(a AS src_a, b AS src_b))))"
+    )
     pairs = (
-        a.join(b, "gram")
-        .where(F.col("a.g") < F.col("b.g"))
-        .groupBy(F.col("a.g").alias("src_a"), F.col("b.g").alias("src_b"))
+        sets.select(F.explode(combos).alias("__p"))
+        .select(F.col("__p.src_a"), F.col("__p.src_b"))
+        .groupBy("src_a", "src_b")
         .agg(F.count("*").alias("shared"))
     )
     return (

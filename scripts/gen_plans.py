@@ -75,7 +75,7 @@ COMMENTARY = {
     "event_rate_spikes": "Rate-spike monitor: the hourly tumbling count is one partial-agg shuffle; everything downstream (both median passes, the deviation re-bucket, the outlier sum) shuffles/windows over the HOURLY-COUNT cell table — hours x types, not events.",
     "nb_lang_scores": "Naive Bayes train+score in one plan: the model subtree collapses to labels x 256 rows before BOTH broadcast joins (the grid generates scan-side from the per-label totals); the corpus explode partial-aggs to per-doc bucket counts before touching the model; the only corpus-keyed Exchanges are the two partial aggs and the doc-keyed argmax window. The vocabulary never drives a shuffle.",
     "per_source_top_percent": "Adaptive top-p% filter: ONE Exchange — rank and group count share the source partitioning (plan-asserted single Exchange in tests); the rational-threshold filter is integer arithmetic after the window, so everything past ceil(p*n) dies in the window stage.",
-    "source_overlap_matrix": "Contamination matrix: text collapses scan-side to DISTINCT (source, gram32) — the corpus never shuffles its text; the df-cap aggregate drops universal boilerplate grams BEFORE the gram-keyed self-join, bounding per-gram fanout; totals broadcast back onto the groups^2-sized pair table.",
+    "source_overlap_matrix": "Contamination matrix: the token array is STAGED in its own projection (inlined inside shingles_of's lambdas it re-evaluates per shingle — fixing exactly that cut this entry 48.6s -> 2.8s at the sf1 soak), text collapses scan-side to DISTINCT (source, gram32), then ONE more gram-keyed aggregate collects each gram's source set and the pairs explode scan-side from that <=groups-element array — two gram-family exchanges total, no self-join; the size filter is the df-cap analog bounding per-gram fanout at cap^2.",
     "time_weighted_value_user": "Time-weighted average: epoch micros and centi-unit values are scan-side projections; ONE user-keyed Exchange serves both the lead window and the final aggregate (plan-asserted); nothing downstream exceeds the user dimension.",
     "rrf_hybrid_retrieval": "Hybrid retrieval fusion: the BM25 branch filters to query-term postings scan-side (only query-term rows shuffle); the dense branch broadcasts the 1-row query vector over one corpus scan; the union/aggregate/rank after the retrievers runs over Sigma-k rows — fusion itself is corpus-size-independent.",
     "embedding_label_outliers": "Embedding outliers: one posexplode partial-agg produces labels x dims centroid cells which BROADCAST back into the per-vector distance aggregate; the MAD stage windows over quantized distance CELLS only. The corpus explodes once and shuffles only as (label, vec) partials.",
