@@ -466,3 +466,50 @@ def test_benford_leading_digit_of_cents(spark):
     df = spark.createDataFrame([Row(v=0.07), Row(v=123.45)])
     got = {r.digit: r.n_obs for r in benford_profile(df, "v").collect()}
     assert got == {7: 1, 1: 1}
+
+
+# --------------------------------------------------------------------------
+# plan-shape guards for the new operators
+# --------------------------------------------------------------------------
+
+def test_source_overlap_plan_has_no_join_on_grams(spark):
+    """The pair stage must be the collect_set + scan-side combo explode,
+    never a gram-keyed self-join (and never a cartesian product)."""
+    from parkour_spark.operators.corpus import source_overlap
+
+    rows = [Row(doc_id=i, source=f"s{i % 3}", text="a b c d e")
+            for i in range(9)]
+    df = spark.createDataFrame(rows)
+    plan = source_overlap(df, k=3)._jdf.queryExecution().executedPlan(
+    ).toString()
+    assert "SortMergeJoin" not in plan
+    assert "CartesianProduct" not in plan
+    # the only joins left are the two broadcast totals attachments
+    assert plan.count("BroadcastHashJoin") == 2
+
+
+def test_nb_score_plan_no_cartesian_and_model_broadcasts(spark):
+    from parkour_spark.operators.classify import nb_score, nb_train
+
+    docs = _nb_docs(spark)
+    model, priors = nb_train(docs, "label", n_buckets=32)
+    plan = nb_score(docs, model, priors, n_buckets=32)._jdf.queryExecution(
+    ).executedPlan().toString()
+    assert "CartesianProduct" not in plan
+    # the model join into per-doc bucket counts is a broadcast, never a
+    # shuffle join keyed on the corpus
+    assert "BroadcastHashJoin" in plan
+
+
+def test_interleave_plan_no_corpus_global_sort(spark):
+    """The corpus-side window must be source-partitioned; only the tiny
+    distinct-groups table may pass through a single partition."""
+    from parkour_spark.operators.corpus import interleave_by_group
+
+    rows = [Row(doc_id=i, source=f"s{i % 3}") for i in range(30)]
+    df = spark.createDataFrame(rows)
+    plan = interleave_by_group(df)._jdf.queryExecution().executedPlan(
+    ).toString()
+    # the in-group position window partitions by source
+    assert "partitionBy=[source" in plan.replace(" ", "")[:100000] or \
+        "hashpartitioning(source" in plan
