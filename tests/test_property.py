@@ -603,3 +603,102 @@ def test_token_budget_matches_reference(spark, sizes, budget):
             break
         expect.append((i, run))
     assert got == sorted(expect), (got, expect)
+
+
+_words = st.sampled_from(["alpha", "beta", "gamma", "delta", "kappa", "zz"])
+_labels = st.sampled_from(["L0", "L1"])
+
+
+@given(
+    docs=st.lists(
+        st.tuples(_labels, st.lists(_words, min_size=0, max_size=6)),
+        min_size=2,
+        max_size=15,
+    ).filter(lambda d: len({l for l, _ in d}) == 2),
+)
+@settings(**_SETTINGS)
+def test_nb_scores_match_pure_python_replica(spark, docs):
+    """nb_train + nb_score == an independent driver-side NB replica
+    (same hashed buckets, same per-cell micro-nat rounding, same
+    (score desc, label asc) argmax) on randomized tiny corpora —
+    including zero-token docs, which must score on the prior alone."""
+    import hashlib
+    import math
+
+    from parkour_spark.operators.classify import nb_score, nb_train
+
+    n_b = 16
+    rows = [(i, lab, " ".join(toks)) for i, (lab, toks) in enumerate(docs)]
+    df = spark.createDataFrame(rows, ["doc_id", "label", "text"])
+    model, priors = nb_train(df, "label", text_col="text", n_buckets=n_b)
+    got = {
+        r.doc_id: (r.pred_label, r.score_micro)
+        for r in nb_score(df, model, priors, n_buckets=n_b).collect()
+    }
+
+    def bucket(tok):
+        return int(hashlib.md5(tok.encode()).hexdigest()[:8], 16) % n_b
+
+    labels = sorted({lab for _, (lab, _) in zip(range(len(docs)), docs)})
+    cnt = {lab: {} for lab in labels}
+    ndocs = {lab: 0 for lab in labels}
+    for lab, toks in docs:
+        ndocs[lab] += 1
+        for t in toks:
+            b = bucket(t)
+            cnt[lab][b] = cnt[lab].get(b, 0) + 1
+    ntok = {lab: sum(cnt[lab].values()) for lab in labels}
+    total = sum(ndocs.values())
+    prior = {
+        lab: round(math.log(ndocs[lab] / total) * 1e6) for lab in labels
+    }
+    cell = {
+        (lab, b): round(
+            math.log((cnt[lab].get(b, 0) + 1) / (ntok[lab] + n_b)) * 1e6
+        )
+        for lab in labels
+        for b in range(n_b)
+    }
+    for i, (lab, toks) in enumerate(docs):
+        scores = {}
+        for L in labels:
+            s = prior[L]
+            for t in toks:
+                s += cell[(L, bucket(t))]
+            scores[L] = s
+        best = sorted(scores.items(), key=lambda kv: (-kv[1], kv[0]))[0]
+        assert got[i] == (best[0], best[1]), (i, docs)
+
+
+@given(
+    lists=st.lists(
+        st.lists(
+            st.integers(min_value=0, max_value=30), min_size=1, max_size=12,
+            unique=True,
+        ),
+        min_size=1,
+        max_size=4,
+    ),
+)
+@settings(**_SETTINGS)
+def test_rrf_fuse_matches_reference(spark, lists):
+    """rrf_fuse == the textbook RRF formula computed driver-side, with
+    the (score desc, id asc) tie order, over randomized rank lists."""
+    from parkour_spark.operators.similarity import rrf_fuse
+
+    rankings = {}
+    ref = {}
+    for si, ids in enumerate(lists):
+        rankings[f"s{si}"] = spark.createDataFrame(
+            [(d, r + 1) for r, d in enumerate(ids)], ["doc_id", "rank"]
+        )
+        for r, d in enumerate(ids):
+            ref[d] = ref.get(d, 0) + round(1e9 / (60 + r + 1))
+    order = sorted(ref.items(), key=lambda kv: (-kv[1], kv[0]))[:10]
+    got = {
+        r.doc_id: (r.rrf_nano, r.fused_rank)
+        for r in rrf_fuse(rankings, topk=10).collect()
+    }
+    assert len(got) == len(order)
+    for rank, (d, score) in enumerate(order, start=1):
+        assert got[d] == (score, rank)
