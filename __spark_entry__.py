@@ -144,11 +144,11 @@ _R6_WINDOW = [
     # local-gate coverage). That is 8 of the agreed ≤8 never-verified
     # slots; all eight are local-gate green and lead the r7 window by
     # rule (c).
-    # Fifth-session additions (registry 191 → 203) also wait for r7 —
+    # Fifth-session additions (registry 191 → 204) also wait for r7 —
     # the window was full, and displacing the re-landed r5 oracle fixes
     # or the old never-verified backlog would defeat the round's #1 and
-    # #4 items. The never-verified count therefore ends at 20, above
-    # the agreed 8 by exactly the 12 new entries (new entries always
+    # #4 items. The never-verified count therefore ends at 21, above
+    # the agreed 8 by exactly the 13 new entries (new entries always
     # start unverified; the alternative was not building them). Each is
     # local-gate green with in-window siblings: nb_lang_model +
     # nb_lang_scores (hashed-bucket micro-nat machinery — in-window
@@ -173,10 +173,13 @@ _R6_WINDOW = [
     # arithmetic — in-window siblings source_mixture_weights and
     # per_source_quota cover the per-source budget family),
     # fd_violation_report (distinct-cell window machinery — in-window
-    # sibling key_skew_profile), and benford_price_profile (scan-side
+    # sibling key_skew_profile), benford_price_profile (scan-side
     # integer projection + 9-cell aggregate — the
-    # validate_orders_constraints family, in window). The count ends
-    # at 20; all lead the r7 window by rule (c).
+    # validate_orders_constraints family, in window), and
+    # streaming_time_weighted (the stateful-apply replay-parity
+    # pattern whose sibling streaming_quality_ingest is in the
+    # never-verified block of this window). The count ends at 21; all
+    # lead the r7 window by rule (c).
     "dedup_prefix_filter",
     "gopher_quality_flags",
 ]

@@ -8634,3 +8634,69 @@ def q_benford(spark, sf_dir):
     from parkour_spark.operators.validate import benford_profile
 
     return benford_profile(_t(spark, sf_dir, "orders"), "o_totalprice")
+
+
+@query(
+    "streaming_time_weighted",
+    """
+    WITH s AS (SELECT user_id, event_id, epoch_us(ts)::BIGINT AS us,
+                      round(value * 100)::BIGINT AS vc
+               FROM events),
+    d AS (SELECT user_id, us, vc,
+                 lead(us) OVER (PARTITION BY user_id
+                                ORDER BY us, event_id) - us AS dur
+          FROM s)
+    SELECT user_id, count(*)::BIGINT AS n_events,
+           coalesce(sum(dur), 0)::BIGINT AS held_us,
+           coalesce(sum(vc * dur), 0)::BIGINT AS vsum_centi_us,
+           CASE WHEN coalesce(sum(dur), 0) > 0
+                THEN coalesce(sum(vc * dur), 0)::DOUBLE
+                     / coalesce(sum(dur), 0)
+           END AS twa_centi
+    FROM d GROUP BY user_id
+    """,
+)
+def q_streaming_twa(spark, sf_dir):
+    """Streaming TWAP (streaming.windows.streaming_time_weighted): the
+    per-user time-weighted value maintained as FIVE LONGS of state per
+    key across micro-batches (applyInPandasWithState) — live metering
+    on an unbounded stream with state that never grows. The finite
+    time-ordered replay's final emission equals the batch operator
+    bit-for-bit (same integer micro/centi arithmetic), so the batch SQL
+    is the oracle — the same promotion pattern as
+    streaming_stateful_user_counts."""
+    import tempfile
+
+    from parkour_spark.streaming.windows import (
+        read_stream,
+        run_to_completion,
+        streaming_time_weighted,
+        write_time_ordered_replay,
+    )
+
+    ev = _t(spark, sf_dir, "events")
+    tmp = tempfile.mkdtemp(prefix="parkour_stream_twa_")
+    write_time_ordered_replay(ev, "ts", tmp, n_slices=8)
+    stream = read_stream(spark, tmp, ev.schema, max_files=1)
+    out = run_to_completion(
+        streaming_time_weighted(stream), output_mode="update"
+    )
+    # update-mode memory sink keeps every emission; the final state per
+    # user is the row with the largest n_events (emissions are monotone)
+    final = (
+        out.groupBy("user_id")
+        .agg(
+            F.max(
+                F.struct("n_events", "held_us", "vsum_centi_us")
+            ).alias("__f")
+        )
+        .select("user_id", "__f.n_events", "__f.held_us",
+                "__f.vsum_centi_us")
+    )
+    return final.withColumn(
+        "twa_centi",
+        F.when(
+            F.col("held_us") > 0,
+            F.col("vsum_centi_us").cast("double") / F.col("held_us"),
+        ),
+    )

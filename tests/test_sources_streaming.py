@@ -372,3 +372,45 @@ def test_streaming_heavy_hitters_mg_state(spark):
     g2, n2 = best["g2"]
     assert n2 == 90 and "other" in g2
     assert g2["other"] >= 40 - (90 // 17 + 1)
+
+
+def test_streaming_time_weighted_matches_batch(spark, tmp_path):
+    """Multi-batch stateful TWAP replay == the batch operator, with
+    state bounded by the user dimension."""
+    from parkour_spark.operators.behavior import time_weighted_value
+    from parkour_spark.streaming.windows import (
+        read_stream,
+        run_to_completion,
+        streaming_time_weighted,
+        write_time_ordered_replay,
+    )
+
+    ev = spark.createDataFrame(
+        [
+            (i, 1 + i % 3, f"2024-01-01 00:00:{i:02d}.25", float(i + 1))
+            for i in range(30)
+        ],
+        "event_id long, user_id long, ts string, value double",
+    ).withColumn("ts", F.col("ts").cast("timestamp_ntz"))
+    path = str(tmp_path / "twa_replay")
+    write_time_ordered_replay(ev, "ts", path, n_slices=5)
+    stream = read_stream(spark, path, ev.schema, max_files=1)
+    metrics = {}
+    out = run_to_completion(
+        streaming_time_weighted(stream), output_mode="update",
+        metrics_out=metrics,
+    )
+    final = {
+        r.user_id: (r.n_events, r.held_us, r.vsum_centi_us)
+        for r in out.groupBy("user_id")
+        .agg(F.max(F.struct("n_events", "held_us", "vsum_centi_us")).alias("f"))
+        .select("user_id", "f.*")
+        .collect()
+    }
+    batch = {
+        r.user_id: (r.n_events, r.held_us, r.vsum_centi_us)
+        for r in time_weighted_value(ev).collect()
+    }
+    assert final == batch
+    assert len(metrics["progress"]) >= 3  # genuinely multi-batch
+    assert metrics["max_state_rows"] == 3  # one state row per user
