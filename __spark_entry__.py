@@ -144,11 +144,11 @@ _R6_WINDOW = [
     # local-gate coverage). That is 8 of the agreed ≤8 never-verified
     # slots; all eight are local-gate green and lead the r7 window by
     # rule (c).
-    # Fifth-session additions (registry 191 → 204) also wait for r7 —
+    # Fifth-session additions (registry 191 → 205) also wait for r7 —
     # the window was full, and displacing the re-landed r5 oracle fixes
     # or the old never-verified backlog would defeat the round's #1 and
-    # #4 items. The never-verified count therefore ends at 21, above
-    # the agreed 8 by exactly the 13 new entries (new entries always
+    # #4 items. The never-verified count therefore ends at 22, above
+    # the agreed 8 by exactly the 14 new entries (new entries always
     # start unverified; the alternative was not building them). Each is
     # local-gate green with in-window siblings: nb_lang_model +
     # nb_lang_scores (hashed-bucket micro-nat machinery — in-window
@@ -178,7 +178,11 @@ _R6_WINDOW = [
     # validate_orders_constraints family, in window), and
     # streaming_time_weighted (the stateful-apply replay-parity
     # pattern whose sibling streaming_quality_ingest is in the
-    # never-verified block of this window). The count ends at 21; all
+    # never-verified block of this window), and copurchase_part_pairs
+    # (the collect_set + scan-side combo-explode shape shared with
+    # source_overlap_matrix, itself a fifth-session r7 lead; the
+    # group-shuffle machinery is anchored in-window by
+    # cogroup_order_stats-class entries). The count ends at 22; all
     # lead the r7 window by rule (c).
     "dedup_prefix_filter",
     "gopher_quality_flags",

@@ -87,3 +87,45 @@ def counted(df: DataFrame, name: str, *metrics: Column) -> tuple[DataFrame, Obse
     as a side effect of the next action on the returned DataFrame."""
     obs = Observation(name)
     return df.observe(obs, *metrics), obs
+
+
+def cooccurrence_pairs(
+    df: DataFrame,
+    group_col: str,
+    item_col: str,
+    min_count: int = 2,
+    max_items_per_group: int | None = None,
+) -> DataFrame:
+    """Frequent co-occurrence mining (the market-basket / co-purchase /
+    co-click primitive): unordered item pairs appearing together in at
+    least `min_count` groups. Returns (item_a, item_b, n_groups) with
+    item_a < item_b.
+
+    SCALE: one group-keyed aggregate collects each group's DISTINCT
+    item set (sorted — a deterministic array), pairs explode SCAN-SIDE
+    from that array (fanout |items|²/2 per group — baskets are small by
+    nature), and the pair partial-agg is the only other shuffle. No
+    self-join. `max_items_per_group` is the df-cap analog for
+    crawler/bot baskets: a group with more items than the cap is
+    dropped whole (its pairs say nothing about preference and its
+    quadratic fanout dominates everything), same discipline as the
+    Jaccard df cap and source_overlap's group cap."""
+    sets = (
+        df.select(F.col(group_col).alias("__g"), F.col(item_col).alias("__i"))
+        .groupBy("__g")
+        .agg(F.array_sort(F.collect_set("__i")).alias("__is"))
+    )
+    if max_items_per_group is not None:
+        sets = sets.where(F.size("__is") <= max_items_per_group)
+    combos = F.expr(
+        "flatten(transform(__is, (a, i) -> "
+        "transform(slice(__is, i + 2, size(__is)), "
+        "b -> struct(a AS item_a, b AS item_b))))"
+    )
+    return (
+        sets.select(F.explode(combos).alias("__p"))
+        .select(F.col("__p.item_a"), F.col("__p.item_b"))
+        .groupBy("item_a", "item_b")
+        .agg(F.count("*").cast("long").alias("n_groups"))
+        .where(F.col("n_groups") >= min_count)
+    )

@@ -8700,3 +8700,34 @@ def q_streaming_twa(spark, sf_dir):
             F.col("vsum_centi_us").cast("double") / F.col("held_us"),
         ),
     )
+
+
+@query(
+    "copurchase_part_pairs",
+    """
+    WITH s AS (SELECT l_orderkey,
+                      list_sort(list_distinct(list(l_partkey))) AS its
+               FROM lineitem GROUP BY l_orderkey),
+    e AS (SELECT l_orderkey, unnest(its) AS i FROM s),
+    p AS (SELECT a.i AS item_a, b.i AS item_b
+          FROM e a JOIN e b
+            ON a.l_orderkey = b.l_orderkey AND a.i < b.i)
+    SELECT item_a, item_b, count(*)::BIGINT AS n_groups
+    FROM p GROUP BY 1, 2 HAVING count(*) >= 2
+    """,
+)
+def q_copurchase(spark, sf_dir):
+    """Frequent co-purchase mining (agg.cooccurrence_pairs over
+    lineitem baskets): unordered part pairs bought together in ≥2
+    orders — the market-basket primitive behind "customers also
+    bought". One order-keyed collect_set aggregate; pairs explode
+    SCAN-SIDE from each basket's sorted distinct-item array (baskets
+    are ≤7 items in this schema — fanout bounded per group, no
+    self-join); the pair partial-agg is the only other shuffle. The
+    oracle replays the same pair semantics relationally."""
+    from parkour_spark.operators.agg import cooccurrence_pairs
+
+    li = _t(spark, sf_dir, "lineitem")
+    return cooccurrence_pairs(
+        li, "l_orderkey", "l_partkey", min_count=2
+    )

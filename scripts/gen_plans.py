@@ -84,6 +84,7 @@ COMMENTARY = {
     "fd_violation_report": "Approximate-FD triage: rows partial-agg to distinct (lhs, rhs) cells in ONE shuffle; the majority pick and the per-lhs total share a single cell-table window Exchange.",
     "benford_price_profile": "Benford screen: the leading digit is a scan-side integer-string projection; one 9-cell partial aggregate, expected counts as arithmetic on the result. Scan-bound by construction.",
     "token_budget_waterfill": "Water-filling: one corpus partial-agg scan produces the groups table; every window/aggregate after it is groups-sized (the ordered window runs over sources, never rows).",
+    "copurchase_part_pairs": "Market-basket mining: one order-keyed collect_set aggregate; pairs explode SCAN-SIDE from each basket's sorted distinct-item array (no self-join anywhere in the plan — test-asserted); the pair partial-agg is the only other Exchange.",
 }
 
 HEADER = """# PLANS — physical-plan evidence for the headline operators

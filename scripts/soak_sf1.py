@@ -107,6 +107,8 @@ SOAK_QUERIES = [
     # the dedup audit rollup rides the full minhash+CC chain at 10× —
     # its premium over dedup_groups_bigstar is the impact claim
     "dedup_impact_by_source",
+    # basket mining at 10× lineitem: the per-basket combo fanout claim
+    "copurchase_part_pairs",
 ]
 
 

@@ -513,3 +513,42 @@ def test_interleave_plan_no_corpus_global_sort(spark):
     # the in-group position window partitions by source
     assert "partitionBy=[source" in plan.replace(" ", "")[:100000] or \
         "hashpartitioning(source" in plan
+
+
+# --------------------------------------------------------------------------
+# cooccurrence_pairs
+# --------------------------------------------------------------------------
+
+def test_cooccurrence_hand_computed_and_cap(spark):
+    from parkour_spark.operators.agg import cooccurrence_pairs
+
+    rows = [
+        Row(g=1, i="a"), Row(g=1, i="b"), Row(g=1, i="c"),
+        Row(g=2, i="a"), Row(g=2, i="b"),
+        Row(g=3, i="a"), Row(g=3, i="b"), Row(g=3, i="a"),  # dup item
+        Row(g=4, i="x"), Row(g=4, i="y"),
+    ]
+    df = spark.createDataFrame(rows)
+    got = {
+        (r.item_a, r.item_b): r.n_groups
+        for r in cooccurrence_pairs(df, "g", "i", min_count=2).collect()
+    }
+    assert got == {("a", "b"): 3}  # (a,c),(b,c),(x,y) appear once only
+    # cap drops oversized baskets whole
+    capped = {
+        (r.item_a, r.item_b): r.n_groups
+        for r in cooccurrence_pairs(
+            df, "g", "i", min_count=2, max_items_per_group=2
+        ).collect()
+    }
+    assert capped == {("a", "b"): 2}  # basket 1 (3 items) dropped
+
+
+def test_cooccurrence_plan_no_self_join(spark):
+    from parkour_spark.operators.agg import cooccurrence_pairs
+
+    rows = [Row(g=i % 4, i=f"p{i % 5}") for i in range(20)]
+    df = spark.createDataFrame(rows)
+    plan = cooccurrence_pairs(df, "g", "i")._jdf.queryExecution(
+    ).executedPlan().toString()
+    assert "SortMergeJoin" not in plan and "Join" not in plan
