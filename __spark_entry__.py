@@ -144,11 +144,11 @@ _R6_WINDOW = [
     # local-gate coverage). That is 8 of the agreed ≤8 never-verified
     # slots; all eight are local-gate green and lead the r7 window by
     # rule (c).
-    # Fifth-session additions (registry 191 → 205) also wait for r7 —
+    # Fifth-session additions (registry 191 → 206) also wait for r7 —
     # the window was full, and displacing the re-landed r5 oracle fixes
     # or the old never-verified backlog would defeat the round's #1 and
-    # #4 items. The never-verified count therefore ends at 22, above
-    # the agreed 8 by exactly the 14 new entries (new entries always
+    # #4 items. The never-verified count therefore ends at 23, above
+    # the agreed 8 by exactly the 15 new entries (new entries always
     # start unverified; the alternative was not building them). Each is
     # local-gate green with in-window siblings: nb_lang_model +
     # nb_lang_scores (hashed-bucket micro-nat machinery — in-window
@@ -182,8 +182,10 @@ _R6_WINDOW = [
     # (the collect_set + scan-side combo-explode shape shared with
     # source_overlap_matrix, itself a fifth-session r7 lead; the
     # group-shuffle machinery is anchored in-window by
-    # cogroup_order_stats-class entries). The count ends at 22; all
-    # lead the r7 window by rule (c).
+    # cogroup_order_stats-class entries), and cusum_event_drift (the
+    # same hourly-cell + MAD machinery as event_rate_spikes, itself an
+    # r7 lead, with two added prefix windows). The count ends at 23;
+    # all lead the r7 window by rule (c).
     "dedup_prefix_filter",
     "gopher_quality_flags",
 ]

@@ -764,3 +764,55 @@ def benford_profile(
             .alias("expected_micro"),
         )
     )
+
+
+def cusum_profile(
+    df: DataFrame,
+    value_col: str,
+    order_col: str,
+    group_col: str,
+    ref: DataFrame,
+) -> DataFrame:
+    """Per-group one-sided CUSUM drift detection over an ordered
+    integer series — the SUSTAINED-shift monitor complementing
+    mad_profile's point-spike detector (a 20% rate creep never crosses
+    a 3·MAD point threshold but accumulates linearly in the CUSUM).
+
+    `ref` carries one row per group: (group_col, k, h) — the reference
+    level subtracted each step and the alarm threshold, both integers
+    in the value's own unit (derive them robustly, e.g. k = the MAD
+    median, h = a MAD multiple).
+
+    Exactness: the recurrence S_i = max(0, S_{i−1} + x_i − k) has the
+    closed form S_i = P_i − min(0, min_{j≤i} P_j) with P the prefix sum
+    of (x − k) under the (order_col) total order — two windows over the
+    same per-group ordering, ALL integer, no sequential state. Returns
+    (group_col, n_points, max_cusum, n_alarm_points) where alarm is
+    S_i > h.
+
+    SCALE: intended for SERIES tables (hourly/daily cells per group —
+    already aggregated), so the ordered windows run over cells, never
+    raw rows; one group-keyed Exchange shared by both windows and the
+    final aggregate."""
+    from pyspark.sql import Window
+
+    wo = Window.partitionBy(group_col).orderBy(order_col)
+    wp = wo.rowsBetween(Window.unboundedPreceding, 0)
+    staged = df.join(F.broadcast(ref), group_col).select(
+        F.col(group_col),
+        F.col(order_col),
+        (F.col(value_col) - F.col("k")).cast("long").alias("__d"),
+        F.col("h").cast("long").alias("__h"),
+    )
+    p = staged.withColumn("__p", F.sum("__d").over(wp))
+    s = p.withColumn(
+        "__s",
+        F.col("__p") - F.least(F.lit(0), F.min("__p").over(wp)),
+    )
+    return s.groupBy(group_col).agg(
+        F.count("*").cast("long").alias("n_points"),
+        F.max("__s").cast("long").alias("max_cusum"),
+        F.sum(F.when(F.col("__s") > F.col("__h"), 1).otherwise(0))
+        .cast("long")
+        .alias("n_alarm_points"),
+    )

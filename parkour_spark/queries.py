@@ -8731,3 +8731,80 @@ def q_copurchase(spark, sf_dir):
     return cooccurrence_pairs(
         li, "l_orderkey", "l_partkey", min_count=2
     )
+
+
+@query(
+    "cusum_event_drift",
+    """
+    WITH hourly AS (
+      SELECT event_type AS g, date_trunc('hour', ts) AS hr,
+             count(*)::BIGINT AS x
+      FROM events GROUP BY 1, 2),
+    cells AS (SELECT g, x, count(*)::BIGINT AS c FROM hourly GROUP BY 1, 2),
+    z AS (
+      SELECT g, x,
+             sum(c) OVER (PARTITION BY g ORDER BY x
+                          ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+               AS cum,
+             sum(c) OVER (PARTITION BY g) AS n
+      FROM cells),
+    med AS (
+      SELECT g, min(CASE WHEN cum >= (n + 1) // 2 THEN x END)::BIGINT AS med
+      FROM z GROUP BY g),
+    dev AS (
+      SELECT cells.g, abs(x - med) AS dx, sum(c)::BIGINT AS c
+      FROM cells JOIN med ON cells.g = med.g GROUP BY 1, 2),
+    dz AS (
+      SELECT g, dx,
+             sum(c) OVER (PARTITION BY g ORDER BY dx
+                          ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+               AS cum,
+             sum(c) OVER (PARTITION BY g) AS n
+      FROM dev),
+    mad AS (
+      SELECT g, min(CASE WHEN cum >= (n + 1) // 2 THEN dx END)::BIGINT AS mad
+      FROM dz GROUP BY g),
+    ref AS (SELECT med.g, med.med AS k, (5 * mad.mad)::BIGINT AS thr
+            FROM med JOIN mad ON med.g = mad.g),
+    p AS (
+      SELECT hourly.g, hr, thr,
+             sum(x - k) OVER (PARTITION BY hourly.g ORDER BY hr
+                              ROWS BETWEEN UNBOUNDED PRECEDING
+                              AND CURRENT ROW)::BIGINT AS p
+      FROM hourly JOIN ref ON hourly.g = ref.g),
+    s AS (
+      SELECT g, thr,
+             (p - least(0, min(p) OVER (PARTITION BY g ORDER BY hr
+                        ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)))
+               ::BIGINT AS s
+      FROM p)
+    SELECT g AS event_type, count(*)::BIGINT AS n_points,
+           max(s)::BIGINT AS max_cusum,
+           sum(CASE WHEN s > thr THEN 1 ELSE 0 END)::BIGINT
+             AS n_alarm_points
+    FROM s GROUP BY g
+    """,
+)
+def q_cusum_drift(spark, sf_dir):
+    """CUSUM rate-drift detection (validate.cusum_profile over hourly
+    per-type event counts): the SUSTAINED-shift monitor — a 20% rate
+    creep never crosses event_rate_spikes' 3·MAD point threshold but
+    accumulates linearly here. Reference k = the robust hourly median,
+    threshold h = 5·MAD (both from the same all-integer cell
+    machinery); the sequential recurrence max(0, S+x−k) is computed
+    closed-form as P − min(0, running-min P) — two windows over the
+    same per-type hourly ordering, no state, every value integer.
+    SCALE: the ordered windows run over HOURLY cells, never events."""
+    from parkour_spark.operators.validate import cusum_profile, mad_profile
+
+    ev = _t(spark, sf_dir, "events")
+    hourly = ev.groupBy(
+        F.col("event_type"), F.date_trunc("hour", "ts").alias("hr")
+    ).agg(F.count("*").cast("long").alias("x"))
+    prof = mad_profile(hourly, "x", "event_type", k=3)
+    ref = prof.select(
+        "event_type",
+        F.col("median").alias("k"),
+        (F.lit(5) * F.col("mad")).cast("long").alias("h"),
+    )
+    return cusum_profile(hourly, "x", "hr", "event_type", ref)

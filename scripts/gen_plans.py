@@ -85,6 +85,7 @@ COMMENTARY = {
     "benford_price_profile": "Benford screen: the leading digit is a scan-side integer-string projection; one 9-cell partial aggregate, expected counts as arithmetic on the result. Scan-bound by construction.",
     "token_budget_waterfill": "Water-filling: one corpus partial-agg scan produces the groups table; every window/aggregate after it is groups-sized (the ordered window runs over sources, never rows).",
     "copurchase_part_pairs": "Market-basket mining: one order-keyed collect_set aggregate; pairs explode SCAN-SIDE from each basket's sorted distinct-item array (no self-join anywhere in the plan — test-asserted); the pair partial-agg is the only other Exchange.",
+    "cusum_event_drift": "CUSUM drift: the sequential recurrence is closed-form (prefix sum minus clamped running min) — two windows sharing one per-type ordering over HOURLY cells; the reference level and threshold ride the same MAD cell machinery as event_rate_spikes. Events shuffle once, into the hourly count.",
 }
 
 HEADER = """# PLANS — physical-plan evidence for the headline operators

@@ -552,3 +552,55 @@ def test_cooccurrence_plan_no_self_join(spark):
     plan = cooccurrence_pairs(df, "g", "i")._jdf.queryExecution(
     ).executedPlan().toString()
     assert "SortMergeJoin" not in plan and "Join" not in plan
+
+
+# --------------------------------------------------------------------------
+# cusum_profile
+# --------------------------------------------------------------------------
+
+def test_cusum_matches_sequential_recurrence(spark):
+    from parkour_spark.operators.validate import cusum_profile
+
+    series = {
+        "a": [5, 5, 6, 9, 9, 9, 5, 5],   # sustained +4 shift mid-way
+        "b": [5, 5, 5, 5, 5, 5, 5, 5],   # flat: S stays 0
+    }
+    rows = [
+        Row(g=g, t=i, x=v)
+        for g, vs in series.items()
+        for i, v in enumerate(vs)
+    ]
+    df = spark.createDataFrame(rows)
+    ref = spark.createDataFrame(
+        [("a", 5, 6), ("b", 5, 6)], "g string, k long, h long"
+    )
+    got = {r.g: r for r in cusum_profile(df, "x", "t", "g", ref).collect()}
+
+    def seq(vs, k, h):
+        s, mx, alarms = 0, 0, 0
+        for v in vs:
+            s = max(0, s + v - k)
+            mx = max(mx, s)
+            alarms += s > h
+        return mx, alarms
+
+    for g in series:
+        mx, al = seq(series[g], 5, 6)
+        assert (got[g].max_cusum, got[g].n_alarm_points) == (mx, al), g
+    # the drift case actually alarms; the flat case never does
+    assert got["a"].n_alarm_points > 0
+    assert got["b"].max_cusum == 0 and got["b"].n_alarm_points == 0
+
+
+def test_cusum_resets_after_excess_drains(spark):
+    from parkour_spark.operators.validate import cusum_profile
+
+    # spike then long drought: max(0, ...) must clamp at zero, so the
+    # closed form (P - min(0, running-min P)) must not go negative
+    rows = [Row(g="a", t=i, x=v)
+            for i, v in enumerate([20, 0, 0, 0, 0, 10])]
+    df = spark.createDataFrame(rows)
+    ref = spark.createDataFrame([("a", 5, 100)], "g string, k long, h long")
+    r = cusum_profile(df, "x", "t", "g", ref).collect()[0]
+    # sequential: 15, 10, 5, 0, 0, 5 -> max 15, never negative
+    assert r.max_cusum == 15 and r.n_alarm_points == 0
