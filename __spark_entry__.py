@@ -144,11 +144,11 @@ _R6_WINDOW = [
     # local-gate coverage). That is 8 of the agreed ≤8 never-verified
     # slots; all eight are local-gate green and lead the r7 window by
     # rule (c).
-    # Fifth-session additions (registry 191 → 206) also wait for r7 —
+    # Fifth-session additions (registry 191 → 207) also wait for r7 —
     # the window was full, and displacing the re-landed r5 oracle fixes
     # or the old never-verified backlog would defeat the round's #1 and
-    # #4 items. The never-verified count therefore ends at 23, above
-    # the agreed 8 by exactly the 15 new entries (new entries always
+    # #4 items. The never-verified count therefore ends at 24, above
+    # the agreed 8 by exactly the 16 new entries (new entries always
     # start unverified; the alternative was not building them). Each is
     # local-gate green with in-window siblings: nb_lang_model +
     # nb_lang_scores (hashed-bucket micro-nat machinery — in-window
@@ -184,8 +184,10 @@ _R6_WINDOW = [
     # group-shuffle machinery is anchored in-window by
     # cogroup_order_stats-class entries), and cusum_event_drift (the
     # same hourly-cell + MAD machinery as event_rate_spikes, itself an
-    # r7 lead, with two added prefix windows). The count ends at 23;
-    # all lead the r7 window by rule (c).
+    # r7 lead, with two added prefix windows), and
+    # linear_attribution_credits (the behavioral family whose sibling
+    # last_touch_attribution is in window). The count ends at 24; all
+    # lead the r7 window by rule (c).
     "dedup_prefix_filter",
     "gopher_quality_flags",
 ]

@@ -232,3 +232,51 @@ def time_weighted_value(
             F.col("vsum_centi_us").cast("double") / F.col("held_us"),
         ),
     )
+
+
+def linear_attribution(
+    events: DataFrame,
+    conversion_type: str,
+    touch_types: list[str],
+    lookback_s: int,
+    user_col: str = "user_id",
+    id_col: str = "event_id",
+    type_col: str = "event_type",
+    ts_col: str = "ts",
+) -> DataFrame:
+    """Equal-credit (linear) multi-touch attribution — the companion to
+    last_touch_attribution: every touch inside a conversion's lookback
+    window shares that conversion's credit equally. Returns one row per
+    touch type: (type_col, n_touchpoints, credit_micro) with
+    credit_micro = Σ round(1e6 / n_touches(conversion)) — per-pair
+    integer rounding BEFORE the sum, so totals are order-independent
+    and engine-exact (a conversion's credit may differ from exactly 1e6
+    by sub-micro rounding; that is the documented trade for exactness).
+
+    SCALE: touches and conversions are type-filtered SCAN-SIDE, so the
+    user-keyed equi-join moves only the attribution-relevant slice; the
+    per-conversion touch count is one window over the PAIR table
+    (bounded by per-user activity within the lookback, the same fanout
+    class as the funnel operators); the final aggregate is
+    touch-type-sized."""
+    cus = epoch_micros(F.col(ts_col))
+    convs = events.where(F.col(type_col) == conversion_type).select(
+        F.col(user_col), F.col(id_col).alias("__conv"), cus.alias("__cus")
+    )
+    touches = events.where(F.col(type_col).isin(list(touch_types))).select(
+        F.col(user_col), F.col(type_col), cus.alias("__tus")
+    )
+    lb = int(lookback_s) * 1_000_000
+    pairs = touches.join(convs, user_col).where(
+        (F.col("__tus") > F.col("__cus") - lb)
+        & (F.col("__tus") <= F.col("__cus"))
+    )
+    w = Window.partitionBy("__conv")
+    credited = pairs.withColumn("__n", F.count("*").over(w)).select(
+        type_col,
+        F.round(F.lit(1e6) / F.col("__n")).cast("long").alias("__credit"),
+    )
+    return credited.groupBy(type_col).agg(
+        F.count("*").cast("long").alias("n_touchpoints"),
+        F.sum("__credit").cast("long").alias("credit_micro"),
+    )

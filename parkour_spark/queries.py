@@ -8808,3 +8808,46 @@ def q_cusum_drift(spark, sf_dir):
         (F.lit(5) * F.col("mad")).cast("long").alias("h"),
     )
     return cusum_profile(hourly, "x", "hr", "event_type", ref)
+
+
+@query(
+    "linear_attribution_credits",
+    """
+    WITH convs AS (
+      SELECT user_id, event_id AS conv, epoch_us(ts)::BIGINT AS cus
+      FROM events WHERE event_type = 'purchase'),
+    touches AS (
+      SELECT user_id, event_type, epoch_us(ts)::BIGINT AS tus
+      FROM events WHERE event_type IN ('view', 'click')),
+    pairs AS (
+      SELECT t.event_type, c.conv
+      FROM touches t JOIN convs c ON t.user_id = c.user_id
+      WHERE t.tus > c.cus - 21600000000 AND t.tus <= c.cus),
+    credited AS (
+      SELECT event_type,
+             round(1000000.0 / count(*) OVER (PARTITION BY conv))::BIGINT
+               AS credit
+      FROM pairs)
+    SELECT event_type, count(*)::BIGINT AS n_touchpoints,
+           sum(credit)::BIGINT AS credit_micro
+    FROM credited GROUP BY event_type
+    """,
+)
+def q_linear_attribution(spark, sf_dir):
+    """Equal-credit multi-touch attribution
+    (behavior.linear_attribution): views/clicks inside each purchase's
+    6-hour lookback split that conversion's credit equally — the
+    companion to last_touch_attribution (one winner) for budget
+    allocation across channels. Per-pair integer micro-credits rounded
+    BEFORE the sum keep totals engine-exact. SCALE: both sides are
+    type-filtered scan-side; the user-keyed join moves only the
+    attribution slice; the conversion-keyed count windows over the
+    PAIR table."""
+    from parkour_spark.operators.behavior import linear_attribution
+
+    return linear_attribution(
+        _t(spark, sf_dir, "events"),
+        conversion_type="purchase",
+        touch_types=["view", "click"],
+        lookback_s=21600,
+    )

@@ -604,3 +604,43 @@ def test_cusum_resets_after_excess_drains(spark):
     r = cusum_profile(df, "x", "t", "g", ref).collect()[0]
     # sequential: 15, 10, 5, 0, 0, 5 -> max 15, never negative
     assert r.max_cusum == 15 and r.n_alarm_points == 0
+
+
+# --------------------------------------------------------------------------
+# linear_attribution
+# --------------------------------------------------------------------------
+
+def test_linear_attribution_hand_computed(spark):
+    from parkour_spark.operators.behavior import linear_attribution
+
+    rows = [
+        # user 1: view@0s, click@10s, purchase@20s -> each touch 1/2
+        Row(event_id=1, user_id=1, event_type="view",
+            ts="2024-01-01 00:00:00", value=0.0),
+        Row(event_id=2, user_id=1, event_type="click",
+            ts="2024-01-01 00:00:10", value=0.0),
+        Row(event_id=3, user_id=1, event_type="purchase",
+            ts="2024-01-01 00:00:20", value=1.0),
+        # user 2: one view inside, one view OUTSIDE the 60s lookback
+        Row(event_id=4, user_id=2, event_type="view",
+            ts="2024-01-01 00:00:00", value=0.0),
+        Row(event_id=5, user_id=2, event_type="view",
+            ts="2024-01-01 00:10:00", value=0.0),
+        Row(event_id=6, user_id=2, event_type="purchase",
+            ts="2024-01-01 00:10:30", value=1.0),
+        # user 3: conversion with no touches -> contributes nothing
+        Row(event_id=7, user_id=3, event_type="purchase",
+            ts="2024-01-01 00:00:00", value=1.0),
+    ]
+    df = spark.createDataFrame(rows).withColumn(
+        "ts", F.col("ts").cast("timestamp_ntz")
+    )
+    got = {
+        r.event_type: (r.n_touchpoints, r.credit_micro)
+        for r in linear_attribution(
+            df, "purchase", ["view", "click"], lookback_s=60
+        ).collect()
+    }
+    # user 1's two touches split 1e6; user 2's in-window view gets 1e6
+    assert got["view"] == (2, 500000 + 1000000)
+    assert got["click"] == (1, 500000)
