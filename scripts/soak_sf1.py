@@ -311,6 +311,19 @@ def materialize(spark) -> None:
     )
     big_emb.write.mode("overwrite").parquet(f"{DST}/embeddings.parquet")
 
+    # lineitem: baskets replicate WHOLE (order keys stride-shifted,
+    # part keys unchanged), so per-pair co-occurrence counts scale ×10
+    # while basket sizes — the fanout driver — stay realistic
+    li = spark.read.parquet(f"{SRC}/lineitem.parquet")
+    ok_stride = li.agg(F.max("l_orderkey")).first()[0] + 1
+    big_li = li.crossJoin(F.broadcast(reps)).select(
+        (F.col("l_orderkey") + F.col("rep") * F.lit(ok_stride)).alias(
+            "l_orderkey"
+        ),
+        *[c for c in li.columns if c != "l_orderkey"],
+    )
+    big_li.write.mode("overwrite").parquet(f"{DST}/lineitem.parquet")
+
     # events: 10× rows AND a 10× timeline — each replica's timestamps
     # shift by rep * (span + 1h), so the gap-fill spine (event_type ×
     # hour, the scale-sensitive dimension) grows with the corpus
@@ -367,7 +380,13 @@ def lsh_skew(spark) -> dict:
 def main() -> None:
     spark = build_session("soak_sf1")
     t0 = time.perf_counter()
-    if not os.path.exists(f"{DST}/documents.parquet") or "--fresh" in sys.argv:
+    if (
+        any(
+            not os.path.exists(f"{DST}/{t}.parquet")
+            for t in ("documents", "embeddings", "events", "lineitem")
+        )
+        or "--fresh" in sys.argv
+    ):
         materialize(spark)
     gen_s = round(time.perf_counter() - t0, 1)
 
