@@ -144,11 +144,11 @@ _R6_WINDOW = [
     # local-gate coverage). That is 8 of the agreed ≤8 never-verified
     # slots; all eight are local-gate green and lead the r7 window by
     # rule (c).
-    # Fifth-session additions (registry 191 → 207) also wait for r7 —
+    # Fifth-session additions (registry 191 → 208) also wait for r7 —
     # the window was full, and displacing the re-landed r5 oracle fixes
     # or the old never-verified backlog would defeat the round's #1 and
-    # #4 items. The never-verified count therefore ends at 24, above
-    # the agreed 8 by exactly the 16 new entries (new entries always
+    # #4 items. The never-verified count therefore ends at 25, above
+    # the agreed 8 by exactly the 17 new entries (new entries always
     # start unverified; the alternative was not building them). Each is
     # local-gate green with in-window siblings: nb_lang_model +
     # nb_lang_scores (hashed-bucket micro-nat machinery — in-window
@@ -186,8 +186,11 @@ _R6_WINDOW = [
     # same hourly-cell + MAD machinery as event_rate_spikes, itself an
     # r7 lead, with two added prefix windows), and
     # linear_attribution_credits (the behavioral family whose sibling
-    # last_touch_attribution is in window). The count ends at 24; all
-    # lead the r7 window by rule (c).
+    # last_touch_attribution is in window), and pit_enriched_purchases
+    # (scd2 lead-window + key-equi-join machinery — in-window sibling
+    # merged_event_intervals anchors the window class, and the scd2
+    # builder itself is gate-anchored by scd2_customer_orders). The
+    # count ends at 25; all lead the r7 window by rule (c).
     "dedup_prefix_filter",
     "gopher_quality_flags",
 ]

@@ -103,3 +103,45 @@ def snapshot_diff(
         .otherwise("changed")
     )
     return j.select(F.col(id_col), status.alias("status"))
+
+
+def pit_enrich(
+    facts: DataFrame,
+    dim: DataFrame,
+    key_cols: Sequence[str],
+    fact_ts: str,
+    valid_from: str = "valid_from",
+    valid_to: str = "valid_to",
+) -> DataFrame:
+    """Point-in-time (PIT) enrichment against an SCD2 dimension: each
+    fact joins the dimension VERSION in force at its own timestamp —
+    valid_from ≤ ts < valid_to, with a NULL valid_to meaning open —
+    the temporal-correctness join behind feature stores and
+    leakage-free training joins ("no attribute from the future").
+    LEFT join: facts predating every version keep NULL dimension
+    columns rather than silently dropping.
+
+    The explicit [from, to) predicate (rather than an as-of carry) is
+    deliberate: it stays correct when version history has GAPS (key
+    deleted then re-created) where last-version-forward would extend a
+    dead version. For gap-free tiled histories the asof.asof_join
+    union-sort shape computes the same answer with no version fanout.
+
+    SCALE: an equi-join on the business key bounds fanout at each
+    key's VERSION COUNT (small by SCD nature — versions are change
+    events, not rows); the range predicate filters inside the join.
+    One shuffle per side on the key."""
+    f = facts.alias("f")
+    d = dim.alias("d")
+    on = [F.col(f"f.{k}") == F.col(f"d.{k}") for k in key_cols]
+    in_force = (F.col(f"f.{fact_ts}") >= F.col(f"d.{valid_from}")) & (
+        F.col(f"d.{valid_to}").isNull()
+        | (F.col(f"f.{fact_ts}") < F.col(f"d.{valid_to}"))
+    )
+    cond = on[0]
+    for c in on[1:]:
+        cond = cond & c
+    dim_cols = [c for c in dim.columns if c not in key_cols]
+    return f.join(d, cond & in_force, "left").select(
+        "f.*", *[F.col(f"d.{c}").alias(c) for c in dim_cols]
+    )

@@ -8851,3 +8851,64 @@ def q_linear_attribution(spark, sf_dir):
         touch_types=["view", "click"],
         lookback_s=21600,
     )
+
+
+@query(
+    "pit_enriched_purchases",
+    """
+    WITH dim AS (
+      SELECT user_id, value AS plan_value,
+             epoch_us(ts)::BIGINT AS vfrom,
+             lead(epoch_us(ts)::BIGINT) OVER (
+               PARTITION BY user_id ORDER BY ts, event_id) AS vto
+      FROM events WHERE event_type = 'signup'),
+    facts AS (
+      SELECT event_id, user_id, epoch_us(ts)::BIGINT AS fus
+      FROM events WHERE event_type = 'purchase')
+    SELECT f.event_id, f.user_id, f.fus AS purchase_us,
+           d.plan_value, d.vfrom AS valid_from_us
+    FROM facts f LEFT JOIN dim d
+      ON f.user_id = d.user_id
+     AND f.fus >= d.vfrom AND (d.vto IS NULL OR f.fus < d.vto)
+    """,
+)
+def q_pit_enrich(spark, sf_dir):
+    """Point-in-time enrichment (cdc.pit_enrich): each purchase joined
+    to the signup-stream SCD2 version (cdc.scd2_from_events) in force
+    AT ITS OWN TIMESTAMP — the feature-store / leakage-free-training
+    temporal join ("no attribute from the future"; purchases before a
+    user's first version keep NULLs instead of silently dropping).
+    Timestamps compare as exact integer epoch micros. SCALE: the
+    business-key equi-join bounds fanout at each key's version count;
+    one key shuffle per side."""
+    from parkour_spark.functions.timeops import epoch_micros
+    from parkour_spark.operators.cdc import pit_enrich, scd2_from_events
+
+    ev = _t(spark, sf_dir, "events")
+    dim = scd2_from_events(
+        ev.where(F.col("event_type") == "signup").select(
+            "user_id",
+            "event_id",
+            F.col("value").alias("plan_value"),
+            epoch_micros(F.col("ts")).alias("us"),
+        ),
+        key_cols=["user_id"],
+        ts_col="us",
+        attr_cols=["plan_value"],
+        order_tiebreak=["event_id"],
+    ).select(
+        "user_id", "plan_value",
+        F.col("valid_from").alias("vfrom"),
+        F.col("valid_to").alias("vto"),
+    )
+    facts = ev.where(F.col("event_type") == "purchase").select(
+        "event_id", "user_id", epoch_micros(F.col("ts")).alias("purchase_us")
+    )
+    out = pit_enrich(
+        facts, dim, ["user_id"], "purchase_us",
+        valid_from="vfrom", valid_to="vto",
+    )
+    return out.select(
+        "event_id", "user_id", "purchase_us", "plan_value",
+        F.col("vfrom").alias("valid_from_us"),
+    )

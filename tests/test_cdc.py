@@ -47,3 +47,41 @@ def test_scd2_versions_and_current_flag(spark):
     assert hist[(1, "silver")] == ("2024-03-01", "2024-06-01", False)
     assert hist[(1, "gold")] == ("2024-06-01", None, True)
     assert hist[(2, "bronze")] == ("2024-02-01", None, True)
+
+
+def test_pit_enrich_versions_gaps_and_pre_history(spark):
+    """PIT semantics: version in force at the fact ts; NULL past the
+    open version's start; facts inside a GAP (deleted key) get NULL
+    rather than a dead version carried forward."""
+    from pyspark.sql import functions as F
+
+    from parkour_spark.operators.cdc import pit_enrich
+
+    dim = spark.createDataFrame(
+        [
+            (1, "v1", 100, 200),
+            (1, "v2", 200, 300),   # [200, 300) then a GAP
+            (1, "v3", 400, None),  # open
+            (2, "w1", 50, None),
+        ],
+        "k int, attr string, vfrom long, vto long",
+    )
+    facts = spark.createDataFrame(
+        [(10, 1, 150), (11, 1, 200), (12, 1, 350), (13, 1, 400),
+         (14, 1, 99), (15, 2, 1000), (16, 3, 10)],
+        "fid int, k int, ts long",
+    )
+    got = {
+        r.fid: r.attr
+        for r in pit_enrich(
+            facts, dim, ["k"], "ts", valid_from="vfrom", valid_to="vto"
+        ).collect()
+    }
+    assert got[10] == "v1"      # mid-interval
+    assert got[11] == "v2"      # boundary: from inclusive, to exclusive
+    assert got[12] is None      # inside the gap — no dead-version carry
+    assert got[13] == "v3"      # open version start
+    assert got[14] is None      # before history
+    assert got[15] == "w1"      # open version, other key
+    assert got[16] is None      # unknown key survives (left join)
+    assert len(got) == 7
