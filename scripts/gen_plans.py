@@ -86,6 +86,8 @@ COMMENTARY = {
     "token_budget_waterfill": "Water-filling: one corpus partial-agg scan produces the groups table; every window/aggregate after it is groups-sized (the ordered window runs over sources, never rows).",
     "copurchase_part_pairs": "Market-basket mining: one order-keyed collect_set aggregate; pairs explode SCAN-SIDE from each basket's sorted distinct-item array (no self-join anywhere in the plan — test-asserted); the pair partial-agg is the only other Exchange.",
     "cusum_event_drift": "CUSUM drift: the sequential recurrence is closed-form (prefix sum minus clamped running min) — two windows sharing one per-type ordering over HOURLY cells; the reference level and threshold ride the same MAD cell machinery as event_rate_spikes. Events shuffle once, into the hourly count.",
+    "linear_attribution_credits": "Linear attribution: type filters push to the scan on BOTH sides, so the user-keyed join moves only the attribution slice; the per-conversion count windows over the PAIR table (bounded by per-user lookback activity); the final aggregate is touch-type-sized.",
+    "pit_enriched_purchases": "PIT enrichment: the SCD2 build is one lead window on the signup slice; the temporal join is a business-key equi-join (fanout = per-key version count) with the [from, to) predicate filtering inside the join — no BroadcastNestedLoop, no as-of carry across gaps.",
 }
 
 HEADER = """# PLANS — physical-plan evidence for the headline operators
