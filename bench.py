@@ -158,20 +158,36 @@ def main() -> None:
         "load_start": start_load,
     }
     line = json.dumps(payload)
-    # BENCH_r05.json recorded "parsed": null — the driver's tail capture
-    # truncated the JSON line (stderr/stdout interleaving + post-JSON JVM
-    # shutdown noise). Three defenses: (a) the authoritative copy lives
-    # in-repo as BENCH_LAST.json, (b) the JVM is stopped and both streams
-    # flushed BEFORE the line prints so nothing follows it, (c) the line
-    # is printed flushed, alone, as the absolute final stdout output.
+    # BENCH_r05/r06.json recorded "parsed": null — the full JSON line
+    # (~2.2 KB with per-query dicts) exceeds the driver's tail-capture
+    # window. Fix per the r6 verdict: stdout gets a SHORT summary line
+    # (metric/value/unit contract intact, no per-query dicts); the
+    # complete payload lives in-repo as BENCH_LAST.json. The JVM is
+    # stopped and both streams flushed BEFORE the line prints so
+    # nothing follows it.
     with open(os.path.join(os.path.dirname(os.path.abspath(__file__)),
                            "BENCH_LAST.json"), "w") as f:
         f.write(line + "\n")
+    short = json.dumps({
+        "metric": "headline_queries_total",
+        "value": payload["value"],
+        "unit": "sec",
+        "sf": payload["sf"],
+        "n_queries": len(times),
+        "steady_total": payload["steady_total"],
+        "cold_total": payload["cold_total"],
+        "load_start": start_load,
+        # keep the dict type for the driver's contract; the per-query
+        # values are in BENCH_LAST.json (they are what overflowed the
+        # tail window)
+        "queries": {},
+        "queries_file": "BENCH_LAST.json",
+    })
     sys.stderr.flush()
     sys.stdout.flush()
     spark.stop()
     sys.stderr.flush()
-    print(line, flush=True)
+    print(short, flush=True)
 
 
 if __name__ == "__main__":

@@ -258,7 +258,10 @@ def linear_attribution(
     per-conversion touch count is one window over the PAIR table
     (bounded by per-user activity within the lookback, the same fanout
     class as the funnel operators); the final aggregate is
-    touch-type-sized."""
+    touch-type-sized. The credit window partitions by (user_col,
+    __conv) — NOT by the conversion id alone — so conversion ids only
+    need to be unique per user; two users reusing an event id can
+    never merge windows and mis-split credit (r6 ADVICE)."""
     cus = epoch_micros(F.col(ts_col))
     convs = events.where(F.col(type_col) == conversion_type).select(
         F.col(user_col), F.col(id_col).alias("__conv"), cus.alias("__cus")
@@ -271,7 +274,7 @@ def linear_attribution(
         (F.col("__tus") > F.col("__cus") - lb)
         & (F.col("__tus") <= F.col("__cus"))
     )
-    w = Window.partitionBy("__conv")
+    w = Window.partitionBy(user_col, "__conv")
     credited = pairs.withColumn("__n", F.count("*").over(w)).select(
         type_col,
         F.round(F.lit(1e6) / F.col("__n")).cast("long").alias("__credit"),

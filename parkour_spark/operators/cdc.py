@@ -130,7 +130,13 @@ def pit_enrich(
     SCALE: an equi-join on the business key bounds fanout at each
     key's VERSION COUNT (small by SCD nature — versions are change
     events, not rows); the range predicate filters inside the join.
-    One shuffle per side on the key."""
+    One shuffle per side on the key.
+
+    Dimension attribute columns keep their original names; a fact
+    column sharing a name with a dim attribute would silently produce
+    duplicate output columns (ambiguous downstream selects), so name
+    collisions raise instead (r6 ADVICE) — rename or pre-select on
+    either side."""
     f = facts.alias("f")
     d = dim.alias("d")
     on = [F.col(f"f.{k}") == F.col(f"d.{k}") for k in key_cols]
@@ -142,6 +148,13 @@ def pit_enrich(
     for c in on[1:]:
         cond = cond & c
     dim_cols = [c for c in dim.columns if c not in key_cols]
+    clash = sorted(set(dim_cols) & set(facts.columns))
+    if clash:
+        raise ValueError(
+            f"pit_enrich: dim attribute column(s) {clash} collide with "
+            "fact columns — the output would carry duplicate names; "
+            "rename or pre-select on either side"
+        )
     return f.join(d, cond & in_force, "left").select(
         "f.*", *[F.col(f"d.{c}").alias(c) for c in dim_cols]
     )

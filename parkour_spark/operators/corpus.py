@@ -520,23 +520,22 @@ def vocab_head_coverage(
     of ranks ≤ r) / total tokens) — the Zipf-head profile that decides
     tokenizer vocabulary sizing and stopword cutoffs. Ties rank by term.
 
-    One tokenize pass + one vocabulary-sized aggregate; ranking and the
-    cumulative sum run on the top-n rows only (integer arithmetic, no
-    float accumulation)."""
+    One tokenize pass + one vocabulary-sized aggregate; the head is
+    extracted with `orderBy(...).limit(top_n)` — TakeOrderedAndProject,
+    per-partition top-n heaps, so NO full-vocabulary sort or
+    single-partition window ever runs (at web scale the vocabulary is
+    hundreds of millions of terms). Ranking and the cumulative sum run
+    on the `top_n` surviving rows only (integer arithmetic, no float
+    accumulation)."""
     terms = explode_fast(docs, tokens(F.lower(F.col(text_col))), "term")
     vocab = terms.groupBy("term").agg(F.count("*").alias("cnt"))
     total = vocab.agg(F.sum("cnt").alias("__total"))
+    head = vocab.orderBy(F.col("cnt").desc(), F.col("term")).limit(top_n)
     w = Window.orderBy(F.col("cnt").desc(), F.col("term"))
-    head = (
-        vocab.withColumn("rank", F.row_number().over(w))
-        .where(F.col("rank") <= top_n)
-    )
-    wc = (
-        Window.orderBy(F.col("cnt").desc(), F.col("term"))
-        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
-    )
+    wc = w.rowsBetween(Window.unboundedPreceding, Window.currentRow)
     return (
-        head.withColumn("cum", F.sum("cnt").over(wc))
+        head.withColumn("rank", F.row_number().over(w))
+        .withColumn("cum", F.sum("cnt").over(wc))
         .crossJoin(F.broadcast(total))
         .select(
             "rank",
@@ -949,7 +948,14 @@ def class_top_terms(
     drives a second corpus shuffle); A is a broadcast 1-row aggregate
     over the counts table; top-k per class is a ranking window the
     optimizer pre-prunes map-side (WindowGroupLimit), classes × k rows
-    out. ln() is IEEE-identical across engines (tfidf precedent)."""
+    out. ln() is IEEE-identical across engines (tfidf precedent).
+
+    Cache lifetime (r6 ADVICE): the (class, term) counts table stays
+    `.persist()`-ed because BOTH the broadcast A aggregate and the
+    lazily-returned scoring pass consume it — the CALLER owns the
+    blocks and should `spark.catalog.clearCache()` (or rebuild the
+    session) between unrelated long-lived-session calls; within one
+    job the LRU evicts them after the consuming action."""
     terms = explode_fast(
         df, tokens(F.lower(F.col(text_col))), "term", keep=[class_col]
     )

@@ -432,7 +432,13 @@ def prefix_filter_pairs(
     bucket groupBy; verify joins touch candidate docs only. Unlike
     `ngram_jaccard_pairs_capped` there is no dropped-shingle recall
     condition to monitor — this is the path when missed boilerplate
-    pairs are not acceptable."""
+    pairs are not acceptable.
+
+    Cache lifetime (r6 ADVICE): the candidate and feature-set persists
+    back the lazily-returned verify join, so they cannot unpersist
+    here — the CALLER owns the blocks (clearCache() between unrelated
+    calls in a long-lived session; jaccard_verify's documented
+    contract)."""
     if not (0 < threshold_num <= threshold_den):
         raise ValueError("threshold must be a rational in (0, 1]")
     from pyspark.sql import Window
@@ -1623,7 +1629,12 @@ def minhash_probe_delta(
 
     Plan shape: two index scans, both joined via BROADCAST (the batch
     side, then the candidate-pair side) — the only shuffle is the
-    candidate `distinct()`, which is batch-sized and build-capped."""
+    candidate `distinct()`, which is batch-sized and build-capped.
+
+    Cache lifetime (r6 ADVICE): the batch-signature persist (batch-
+    sized by definition) backs the lazily-returned verify join — the
+    CALLER owns the blocks; clearCache() between unrelated calls in a
+    long-lived ingest session."""
     import math
 
     min_matches = math.ceil(threshold * num_hashes - 1e-9)

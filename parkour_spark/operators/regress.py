@@ -94,6 +94,14 @@ def fit_linear(
     import numpy as np
 
     rows = moment_matrix(df, feature_cols, target_col, intercept).collect()
+    # F.sum over zero rows yields NULL moment cells; catching that here
+    # turns an opaque numpy TypeError into a clear contract error
+    # (r6 ADVICE)
+    if any(r.s is None for r in rows):
+        raise ValueError(
+            "fit_linear: empty input (all moment sums are NULL) — "
+            "a least-squares fit needs at least one row"
+        )
     d = max(r.i for r in rows) + 1
     xtx = np.zeros((d, d))
     xty = np.zeros(d)

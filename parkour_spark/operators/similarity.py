@@ -136,9 +136,13 @@ def hard_negatives(
     q = queries.select(*qcols).withColumn("__qn", norm(query_vec))
     c = widen_scan(corpus).withColumn("__cn", norm(corpus_vec))
     joined = c.crossJoin(F.broadcast(q))
-    keep = F.col(corpus_label) != F.col(query_label)
+    # null-safe (r6 ADVICE): a plain != evaluates to NULL for unlabeled
+    # corpus rows and silently drops them, even though "label unknown"
+    # is not "known positive" — eqNullSafe keeps them eligible as
+    # negatives (a NULL corpus label never equals any query label)
+    keep = ~F.col(corpus_label).eqNullSafe(F.col(query_label))
     if positive_id is not None:
-        keep = keep & (F.col(corpus_id) != F.col(positive_id))
+        keep = keep & ~F.col(corpus_id).eqNullSafe(F.col(positive_id))
     scored = joined.where(keep).select(
         F.col(query_id),
         F.col(corpus_id),

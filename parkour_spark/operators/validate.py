@@ -233,24 +233,38 @@ def skew_profile(df: DataFrame, key: str, top_n: int = 5) -> DataFrame:
 def winsorize_bounds(
     df: DataFrame, col: str, tie_col: str, lo_q: float = 0.05, hi_q: float = 0.95
 ) -> DataFrame:
-    """1-row (lo, hi) bounds at exact rank-based quantiles (value at
-    rank ⌈q·n⌉ under (col, tie_col) order — the cross-engine-exact
-    form, same mechanism as the quantile queries). One sort-free
-    window pass; the result broadcasts."""
+    """1-row (lo, hi) bounds at exact rank-based quantiles: the value
+    at rank ⌈q·n⌉ in (col, tie_col) order. The value at rank k is
+    independent of the tie order (ties share a value by definition),
+    so the computation never ranks rows: one shuffle reduces the
+    corpus to per-DISTINCT-VALUE (value, cnt) cells, and the only
+    ordered pass is a cumulative-count window over that cell table —
+    `auc_rank_sum`'s discipline. The cell table is bounded by the
+    value domain (prices, quantized scores), not the row count, so
+    the plan survives a 100× scale-up where the old full-table
+    row_number window would single-partition the corpus. NULL values
+    are excluded from the rank domain (pass a pre-filtered df if a
+    different NULL policy is needed). `tie_col` is kept for signature
+    compatibility; it cannot affect the picked values. The 1-row
+    result broadcasts."""
     from pyspark.sql import Window
 
-    w = Window.orderBy(col, tie_col)
-    ranked = df.select(
-        F.col(col), F.row_number().over(w).alias("__rn"),
-        F.count("*").over(Window.partitionBy()).alias("__n"),
+    cells = (
+        df.where(F.col(col).isNotNull())
+        .groupBy(F.col(col).alias("__v"))
+        .agg(F.count("*").alias("__c"))
     )
-    pick = lambda q: F.max(  # noqa: E731
+    w = Window.orderBy("__v").rowsBetween(Window.unboundedPreceding, 0)
+    cum = cells.withColumn("__cum", F.sum("__c").over(w))
+    tot = cells.agg(F.sum("__c").alias("__n"))
+    picked = cum.crossJoin(F.broadcast(tot))
+    pick = lambda q: F.min(  # noqa: E731
         F.when(
-            F.col("__rn") == F.ceil(F.lit(q) * F.col("__n")).cast("long"),
-            F.col(col),
+            F.col("__cum") >= F.ceil(F.lit(q) * F.col("__n")).cast("long"),
+            F.col("__v"),
         )
     )
-    return ranked.agg(pick(lo_q).alias("lo"), pick(hi_q).alias("hi"))
+    return picked.agg(pick(lo_q).alias("lo"), pick(hi_q).alias("hi"))
 
 
 def winsorize(

