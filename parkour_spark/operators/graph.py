@@ -482,3 +482,67 @@ def dedup_survivors_by(
         F.col(score_col),
         (F.row_number().over(w) == 1).alias("is_survivor"),
     )
+
+
+def clustering_coefficient(
+    edges: DataFrame,
+    src: str = "id_a",
+    dst: str = "id_b",
+) -> DataFrame:
+    """Per-node local clustering coefficient over an undirected graph:
+
+        lcc(v) = 2·triangles(v) / (deg(v)·(deg(v)−1))
+
+    — the cluster-cohesion signal on a near-dup graph: a node whose
+    neighbors all match EACH OTHER (lcc → 1) sits in a true duplicate
+    clique; a high-degree node with lcc → 0 is a hub stitching
+    unrelated docs together (boilerplate / template contamination) and
+    a candidate for edge-cutting before `dedup_groups` merges its
+    whole neighborhood.
+
+    Composes `triangle_count` (degree-ordered orientation — wedge
+    fan-out stays ~sqrt(2m)-bounded) with the degree table; the ratio
+    is exact integer arithmetic: lcc_micro = (2·10⁶·t) div (d·(d−1)),
+    0 for degree-1 nodes. Returns (node, degree, n_triangles,
+    lcc_micro) for every node of the edge set.
+
+    SCALE: the canonical edge table is persisted ONCE here and feeds
+    both the triangle pipeline and the degree aggregate — without it
+    the upstream pair-generation (e.g. the whole MinHash detect) would
+    re-execute per consumer. Caller-owned cache lifetime (the
+    jaccard_verify contract). Everything downstream of the first
+    groupBy is node-sized."""
+    e = (
+        edges.select(F.col(src).alias("a"), F.col(dst).alias("b"))
+        .where(F.col("a") != F.col("b"))
+        .select(
+            F.least("a", "b").alias("a"), F.greatest("a", "b").alias("b")
+        )
+        .distinct()
+        .persist()
+    )
+    deg = (
+        e.select(F.col("a").alias("node"))
+        .union(e.select(F.col("b").alias("node")))
+        .groupBy("node")
+        .agg(F.count("*").cast("long").alias("degree"))
+    )
+    tri = triangle_count(e, "a", "b")
+    return (
+        deg.join(tri, "node", "left")
+        .select(
+            "node",
+            "degree",
+            F.coalesce("n_triangles", F.lit(0)).cast("long").alias("n_triangles"),
+            F.when(
+                F.col("degree") >= 2,
+                F.expr(
+                    "div(2000000 * coalesce(n_triangles, 0), "
+                    "degree * (degree - 1))"
+                ),
+            )
+            .otherwise(F.lit(0))
+            .cast("long")
+            .alias("lcc_micro"),
+        )
+    )

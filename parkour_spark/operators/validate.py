@@ -830,3 +830,182 @@ def cusum_profile(
         .cast("long")
         .alias("n_alarm_points"),
     )
+
+
+def psi_stat(
+    df_a: DataFrame,
+    df_b: DataFrame,
+    col: str,
+    lo: float,
+    hi: float,
+    n_buckets: int = 20,
+) -> DataFrame:
+    """Population Stability Index between two slices of the same
+    numeric column — the standard "did this feature's distribution
+    drift" gate between a reference corpus and an incoming batch
+    (rule of thumb: PSI < 0.1 stable, > 0.25 action):
+
+        PSI = Σ_b (p_b − q_b) · ln(p_b / q_b)
+
+    over the shared equi-width buckets of `histogram` (out-of-range
+    values clamp into the edge buckets; a drift check that silently
+    drops outliers lies). Zero-count buckets get add-1 smoothing on
+    BOTH sides (p_b = (c_b + 1)/(n + n_buckets)), the standard fix
+    that also keeps ln finite.
+
+    Returns ONE row: (n_a, n_b, psi_micro, psi) — each bucket's term
+    is rounded to integer micro-units BEFORE the sum (order-
+    independent, engine-exact; ln is IEEE-identical across engines —
+    the tfidf precedent). The sum runs over the FULL bucket spine:
+    with smoothing, a bucket empty on both sides still contributes
+    (1/(n_a+B) − 1/(n_b+B))·ln(·) ≠ 0 whenever the sample sizes
+    differ — dropping unobserved buckets would bias the statistic.
+
+    SCALE: two `histogram`-shaped partial-agg scans reduce each side
+    to ≤ n_buckets cells; everything after runs on the n_buckets-row
+    spine. No row ever moves for the comparison."""
+    ha = histogram(df_a, col, lo, hi, n_buckets).select(
+        "bucket", F.col("n").alias("__ca")
+    )
+    hb = histogram(df_b, col, lo, hi, n_buckets).select(
+        "bucket", F.col("n").alias("__cb")
+    )
+    spine = df_a.sparkSession.range(n_buckets).select(
+        F.col("id").cast("int").alias("bucket")
+    )
+    cells = (
+        spine.join(ha, "bucket", "left")
+        .join(hb, "bucket", "left")
+        .select(
+            F.coalesce("__ca", F.lit(0)).alias("__ca"),
+            F.coalesce("__cb", F.lit(0)).alias("__cb"),
+        )
+    )
+    tot = cells.agg(
+        F.sum("__ca").cast("long").alias("__na"),
+        F.sum("__cb").cast("long").alias("__nb"),
+    )
+    pa = (F.col("__ca") + 1) / (F.col("__na") + n_buckets)
+    pb = (F.col("__cb") + 1) / (F.col("__nb") + n_buckets)
+    term = F.round((pa - pb) * F.log(pa / pb) * 1e6).cast("long")
+    return (
+        cells.crossJoin(F.broadcast(tot))
+        .agg(
+            F.max("__na").alias("n_a"),
+            F.max("__nb").alias("n_b"),
+            F.sum(term).cast("long").alias("psi_micro"),
+        )
+        .select(
+            "n_a",
+            "n_b",
+            "psi_micro",
+            F.round(F.col("psi_micro") / 1e6, 6).alias("psi"),
+        )
+    )
+
+
+def ndcg_at_k(
+    df: DataFrame, score_col: str, label_col: str, tie_col: str, k: int = 100
+) -> DataFrame:
+    """Exact binary nDCG@k under the DEFINED total order (score desc,
+    tie_col asc) — the graded companion to `average_precision` (AP
+    integrates precision; nDCG discounts by position, the retrieval
+    -leaderboard standard):
+
+        DCG@k  = Σ_{r ≤ k, rel(r)} 1/log2(r+1)
+        IDCG@k = Σ_{r ≤ min(k, n_pos)} 1/log2(r+1)
+
+    Each position's gain is round(10⁶ / log2(r+1)) — integer BEFORE
+    the sums, so both totals are order-independent and engine-exact.
+    Returns one row: (k, n, n_pos, dcg_micro, idcg_micro, ndcg).
+
+    SCALE: ranks the WHOLE input (one global sort window) — the
+    `average_precision` contract: run it on evaluation slices, small
+    by construction; corpus-scale ranking quality is auc_rank_sum's
+    job. The IDCG arm is a sequence explode over min(k, n_pos) rows."""
+    from pyspark.sql import Window
+
+    w = Window.orderBy(F.col(score_col).desc(), F.col(tie_col))
+    gain = lambda r: F.round(F.lit(1e6) / F.log2(r + 1)).cast("long")  # noqa: E731
+    ranked = df.select(
+        F.col(label_col).cast("int").alias("__y"),
+        F.row_number().over(w).alias("__r"),
+    )
+    agg = ranked.agg(
+        F.count("*").cast("long").alias("n"),
+        F.sum("__y").cast("long").alias("n_pos"),
+        F.sum(
+            F.when((F.col("__y") == 1) & (F.col("__r") <= k), gain(F.col("__r")))
+        )
+        .cast("long")
+        .alias("dcg_micro"),
+    )
+    ideal = agg.select(
+        "n",
+        "n_pos",
+        "dcg_micro",
+        F.aggregate(
+            F.sequence(F.lit(1), F.least(F.lit(k), F.col("n_pos")).cast("int")),
+            F.lit(0).cast("long"),
+            lambda acc, r: acc + gain(r),
+        ).alias("idcg_micro"),
+    )
+    return ideal.select(
+        F.lit(k).cast("long").alias("k"),
+        "n",
+        "n_pos",
+        F.coalesce("dcg_micro", F.lit(0)).alias("dcg_micro"),
+        "idcg_micro",
+        F.round(F.coalesce("dcg_micro", F.lit(0)) / F.col("idcg_micro"), 6).alias(
+            "ndcg"
+        ),
+    )
+
+
+def mutual_information(df: DataFrame, x_col: str, y_col: str) -> DataFrame:
+    """Exact mutual information between two categorical columns from
+    the contingency table — the slice-diagnostics primitive ("how much
+    does source predict language / quality flag / label?" — 0 nats =
+    independent; high MI on a split column = leakage smell):
+
+        MI = Σ_{x,y} p(x,y) · ln( p(x,y) / (p(x)·p(y)) )
+
+    computed as Σ round(10⁶ · (c/n) · ln(c·n / (cx·cy))) over the
+    OBSERVED cells (absent cells contribute 0 exactly), integer
+    micro-nats per cell before the sum — order-independent,
+    engine-exact. Returns one row: (n, n_cells, mi_micro, mi).
+
+    SCALE: one partial-agg shuffle to the (x, y) contingency cells;
+    the margins are two aggregates OVER THE CELL TABLE (broadcast
+    back); nothing after the first groupBy touches a raw row. NULL
+    categories count as regular values via groupBy semantics."""
+    cells = df.groupBy(
+        F.col(x_col).alias("__x"), F.col(y_col).alias("__y")
+    ).agg(F.count("*").alias("__c"))
+    mx = cells.groupBy("__x").agg(F.sum("__c").alias("__cx"))
+    my = cells.groupBy("__y").agg(F.sum("__c").alias("__cy"))
+    tot = cells.agg(F.sum("__c").cast("long").alias("__n"))
+    term = F.round(
+        (F.col("__c") / F.col("__n"))
+        * F.log(
+            (F.col("__c").cast("double") * F.col("__n"))
+            / (F.col("__cx").cast("double") * F.col("__cy"))
+        )
+        * 1e6
+    ).cast("long")
+    return (
+        cells.join(F.broadcast(mx), "__x")
+        .join(F.broadcast(my), "__y")
+        .crossJoin(F.broadcast(tot))
+        .agg(
+            F.max("__n").alias("n"),
+            F.count("*").cast("long").alias("n_cells"),
+            F.sum(term).cast("long").alias("mi_micro"),
+        )
+        .select(
+            "n",
+            "n_cells",
+            "mi_micro",
+            F.round(F.col("mi_micro") / 1e6, 6).alias("mi"),
+        )
+    )

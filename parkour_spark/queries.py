@@ -8912,3 +8912,299 @@ def q_pit_enrich(spark, sf_dir):
         "event_id", "user_id", "purchase_us", "plan_value",
         F.col("vfrom").alias("valid_from_us"),
     )
+
+
+# ===========================================================================
+# Round 7: PCA moments, drift/eval statistics, privacy, graph cohesion
+# ===========================================================================
+
+
+@query(
+    "embedding_covariance_cells",
+    """
+    WITH q AS (
+      SELECT vec_id,
+             list_transform(CAST(embedding AS DOUBLE[]),
+                            x -> CAST(floor(x * 1000) AS BIGINT)) AS q
+      FROM embeddings
+      WHERE embedding IS NOT NULL AND len(embedding) > 0),
+    d AS (SELECT vec_id, generate_subscripts(q, 1) AS k, unnest(q) AS v
+          FROM q),
+    xx AS (
+      SELECT CAST(a.k - 1 AS INT) AS i, CAST(b.k - 1 AS INT) AS j,
+             CAST(sum(a.v * b.v) AS BIGINT) AS s
+      FROM d a JOIN d b ON a.vec_id = b.vec_id AND a.k <= b.k
+      GROUP BY 1, 2),
+    sums AS (
+      SELECT CAST(k - 1 AS INT) AS i, CAST(-1 AS INT) AS j,
+             CAST(sum(v) AS BIGINT) AS s
+      FROM d GROUP BY 1),
+    cnt AS (SELECT CAST(-1 AS INT) AS i, CAST(-1 AS INT) AS j,
+                   count(*)::BIGINT AS s FROM q)
+    SELECT i, j, s FROM xx
+    UNION ALL SELECT i, j, s FROM sums
+    UNION ALL SELECT i, j, s FROM cnt
+    """,
+)
+def q_covariance_cells(spark, sf_dir):
+    """Exact integer second-moment cells of the embedding corpus
+    (operators.pca.covariance_cells) — the PCA/whitening prerequisite.
+    X'X = Σ_partitions (X_p)'(X_p), so each Arrow batch folds to one
+    d×d NumPy int64 matmul inside mapInPandas and only batches×O(d²)
+    cells ever shuffle; the groupBy is the single Exchange. Components
+    quantize with floor(double(x)·1000) — no rounding tie exists, both
+    engines agree bit-for-bit."""
+    from parkour_spark.operators.pca import covariance_cells
+
+    return covariance_cells(_t(spark, sf_dir, "embeddings"), "embedding")
+
+
+@query(
+    "psi_price_drift",
+    """
+    WITH a AS (SELECT o_totalprice AS x FROM orders
+               WHERE o_orderpriority = '1-URGENT'),
+    b AS (SELECT o_totalprice AS x FROM orders
+          WHERE o_orderpriority <> '1-URGENT'),
+    ca AS (
+      SELECT CAST(least(greatest(floor((x - 0.0) * 20 / (400000.0 - 0.0)),
+                                 0), 19) AS INT) AS bucket,
+             count(*) AS n
+      FROM a WHERE x IS NOT NULL GROUP BY 1),
+    cb AS (
+      SELECT CAST(least(greatest(floor((x - 0.0) * 20 / (400000.0 - 0.0)),
+                                 0), 19) AS INT) AS bucket,
+             count(*) AS n
+      FROM b WHERE x IS NOT NULL GROUP BY 1),
+    spine AS (SELECT unnest(range(0, 20)) AS bucket),
+    cells AS (
+      SELECT coalesce(ca.n, 0) AS na, coalesce(cb.n, 0) AS nb
+      FROM spine LEFT JOIN ca USING (bucket) LEFT JOIN cb USING (bucket)),
+    tot AS (SELECT CAST(sum(na) AS BIGINT) AS n_a,
+                   CAST(sum(nb) AS BIGINT) AS n_b FROM cells),
+    terms AS (
+      SELECT n_a, n_b,
+             CAST(round(((na + 1) / (n_a + 20) - (nb + 1) / (n_b + 20))
+                        * ln(((na + 1) / (n_a + 20))
+                             / ((nb + 1) / (n_b + 20))) * 1e6) AS BIGINT)
+               AS term
+      FROM cells, tot)
+    SELECT max(n_a) AS n_a, max(n_b) AS n_b,
+           CAST(sum(term) AS BIGINT) AS psi_micro,
+           round(CAST(sum(term) AS BIGINT) / 1e6, 6) AS psi
+    FROM terms
+    """,
+)
+def q_psi_drift(spark, sf_dir):
+    """Population Stability Index (operators.validate.psi_stat)
+    between urgent and non-urgent order prices — the drift gate a
+    100 TB ingest runs between the reference corpus and each batch.
+    Two histogram-shaped partial-agg scans reduce both sides to ≤20
+    cells; the add-1-smoothed terms round to micro-units before the
+    sum over the FULL bucket spine (empty-both buckets still
+    contribute when sample sizes differ). No row moves for the
+    comparison."""
+    from parkour_spark.operators import validate as V
+
+    orders = _t(spark, sf_dir, "orders")
+    a = orders.where(F.col("o_orderpriority") == "1-URGENT")
+    b = orders.where(F.col("o_orderpriority") != "1-URGENT")
+    return V.psi_stat(a, b, "o_totalprice", 0.0, 400000.0, 20)
+
+
+@query(
+    "quality_ndcg_langid",
+    f"""
+    WITH scored AS (
+      SELECT doc_id, {_QBP_SQL} AS s,
+             CASE WHEN lang = 'en' THEN 1 ELSE 0 END AS y
+      FROM documents),
+    ranked AS (
+      SELECT y, row_number() OVER (ORDER BY s DESC, doc_id) AS r
+      FROM scored),
+    agg AS (
+      SELECT count(*)::BIGINT AS n, CAST(sum(y) AS BIGINT) AS n_pos,
+             CAST(coalesce(sum(CASE WHEN y = 1 AND r <= 100
+               THEN CAST(round(1e6 / log2(r + 1)) AS BIGINT) END), 0)
+               AS BIGINT) AS dcg_micro
+      FROM ranked),
+    ideal AS (
+      SELECT CAST(sum(CAST(round(1e6 / log2(r + 1)) AS BIGINT)) AS BIGINT)
+               AS idcg_micro
+      FROM (SELECT unnest(range(1, least(100, (SELECT n_pos FROM agg))
+                                   + 1)) AS r))
+    SELECT 100::BIGINT AS k, n, n_pos, dcg_micro, idcg_micro,
+           round(dcg_micro / CAST(idcg_micro AS DOUBLE), 6) AS ndcg
+    FROM agg, ideal
+    """,
+)
+def q_ndcg_langid(spark, sf_dir):
+    """Exact binary nDCG@100 of the composite quality score against
+    lang='en' (operators.validate.ndcg_at_k) — the position-discounted
+    companion to quality_auc_langid/quality_avg_precision. Per-position
+    gains round to integer micro-units before both sums
+    (order-independent, engine-exact); the ideal arm is a sequence
+    explode over min(k, n_pos) rows. Eval-slice contract: the ranking
+    window is the documented average_precision shape."""
+    from parkour_spark.functions.text import quality_bp
+    from parkour_spark.operators import validate as V
+
+    docs = _t(spark, sf_dir, "documents")
+    scored = docs.select(
+        "doc_id",
+        quality_bp(F.col("text")).alias("score_bp"),
+        (F.col("lang") == "en").alias("is_en"),
+    )
+    return V.ndcg_at_k(scored, "score_bp", "is_en", "doc_id", k=100)
+
+
+@query(
+    "mi_source_lang",
+    """
+    WITH cells AS (
+      SELECT source AS x, lang AS y, count(*) AS c
+      FROM documents GROUP BY 1, 2),
+    mx AS (SELECT x, sum(c) AS cx FROM cells GROUP BY 1),
+    my AS (SELECT y, sum(c) AS cy FROM cells GROUP BY 1),
+    tot AS (SELECT CAST(sum(c) AS BIGINT) AS n FROM cells)
+    SELECT max(n) AS n, count(*)::BIGINT AS n_cells,
+           CAST(sum(CAST(round((c / n)
+             * ln((CAST(c AS DOUBLE) * n)
+                  / (CAST(cx AS DOUBLE) * cy)) * 1e6) AS BIGINT))
+             AS BIGINT) AS mi_micro,
+           round(CAST(sum(CAST(round((c / n)
+             * ln((CAST(c AS DOUBLE) * n)
+                  / (CAST(cx AS DOUBLE) * cy)) * 1e6) AS BIGINT))
+             AS BIGINT) / 1e6, 6) AS mi
+    FROM cells JOIN mx USING (x) JOIN my USING (y), tot
+    """,
+)
+def q_mi_source_lang(spark, sf_dir):
+    """Mutual information between source and language
+    (operators.validate.mutual_information) — the slice-diagnostics
+    primitive: high MI on a split/sample column is a leakage smell;
+    near-zero MI says the mixture is balanced. One partial-agg shuffle
+    to the contingency cells; margins are aggregates OVER the cell
+    table; integer micro-nat terms before the sum."""
+    from parkour_spark.operators import validate as V
+
+    return V.mutual_information(
+        _t(spark, sf_dir, "documents"), "source", "lang"
+    )
+
+
+@query(
+    "pseudonymized_user_counts",
+    """
+    SELECT substr(md5('r7-salt:' || user_id::VARCHAR), 1, 16) AS pseudo_id,
+           count(*)::BIGINT AS n_events,
+           count(DISTINCT event_type)::BIGINT AS n_types,
+           CAST(sum(CAST(round(value * 1000000) AS BIGINT)) AS BIGINT)
+             AS value_micro
+    FROM events
+    GROUP BY 1
+    """,
+)
+def q_pseudonymized_users(spark, sf_dir):
+    """Per-user activity rollup under salted pseudonymization
+    (functions.text.pseudonymize): the raw user id never leaves the
+    scan — analytics join/group on the stable salted token, and
+    rotating the salt unlinks releases. Pure Column md5 (JVM-side,
+    zero Python); the rollup is one partial-agg'd shuffle keyed by
+    the pseudonym (same cardinality as user_id — no skew change)."""
+    from parkour_spark.functions.text import pseudonymize
+
+    ev = _t(spark, sf_dir, "events")
+    return (
+        ev.select(
+            pseudonymize(F.col("user_id"), "r7-salt", 16).alias("pseudo_id"),
+            "event_type",
+            F.round(F.col("value") * 1000000).cast("long").alias("__vm"),
+        )
+        .groupBy("pseudo_id")
+        .agg(
+            F.count("*").cast("long").alias("n_events"),
+            F.countDistinct("event_type").cast("long").alias("n_types"),
+            F.sum("__vm").cast("long").alias("value_micro"),
+        )
+    )
+
+
+@query(
+    "negative_sampling_vocab",
+    f"""
+    WITH terms AS (SELECT unnest({_TOKS_SQL}) AS term FROM documents),
+    vocab AS (SELECT term, count(*)::BIGINT AS cnt FROM terms GROUP BY 1),
+    mx AS (SELECT max(cnt) AS mx FROM vocab),
+    top AS (SELECT term, cnt FROM vocab ORDER BY cnt DESC, term LIMIT 200)
+    SELECT term, cnt,
+           CAST(floor(1e6 * pow(CAST(cnt AS DOUBLE) / mx, 0.75)) AS BIGINT)
+             AS weight_micro
+    FROM top, mx
+    """,
+)
+def q_negative_sampling(spark, sf_dir):
+    """word2vec unigram^(3/4) negative-sampling table
+    (operators.corpus.negative_sampling_weights), top-200 terms:
+    MAX-normalized (integer max, never a float sum normalizer — the
+    source_mixture_weights discipline) so the table replays
+    bit-for-bit; the head extraction is orderBy+limit
+    (TakeOrderedAndProject), never a full-vocabulary rank."""
+    return C.negative_sampling_weights(
+        _t(spark, sf_dir, "documents"),
+        alpha_num=3,
+        alpha_den=4,
+        top_n=200,
+    )
+
+
+@query(
+    "clustering_coefficient_dedup",
+    f"""
+    WITH {_neardup_pairs_ctes()},
+    e AS (SELECT DISTINCT least(id_a, id_b) AS a, greatest(id_a, id_b) AS b
+          FROM pairs WHERE id_a <> id_b),
+    deg AS (SELECT n AS node, count(*)::BIGINT AS degree FROM (
+      SELECT a AS n FROM e UNION ALL SELECT b FROM e) GROUP BY n),
+    ranked AS (
+      SELECT CASE WHEN (da.degree < db.degree)
+                    OR (da.degree = db.degree AND e.a < e.b)
+                  THEN e.a ELSE e.b END AS lo,
+             CASE WHEN (da.degree < db.degree)
+                    OR (da.degree = db.degree AND e.a < e.b)
+                  THEN e.b ELSE e.a END AS hi
+      FROM e JOIN deg da ON e.a = da.node JOIN deg db ON e.b = db.node),
+    wedges AS (
+      SELECT w1.lo AS a, w1.hi AS b, w2.hi AS c
+      FROM ranked w1 JOIN ranked w2 ON w1.lo = w2.lo
+      WHERE w1.hi < w2.hi),
+    tri AS (
+      SELECT a, b, c FROM wedges
+      WHERE EXISTS (SELECT 1 FROM ranked r
+                    WHERE least(r.lo, r.hi) = wedges.b
+                      AND greatest(r.lo, r.hi) = wedges.c)),
+    tcount AS (
+      SELECT node, count(*)::BIGINT AS t FROM (
+        SELECT unnest([a, b, c]) AS node FROM tri) GROUP BY node)
+    SELECT deg.node, deg.degree,
+           coalesce(t, 0)::BIGINT AS n_triangles,
+           CASE WHEN deg.degree >= 2
+                THEN CAST((2000000 * coalesce(t, 0))
+                          // (deg.degree * (deg.degree - 1)) AS BIGINT)
+                ELSE 0 END AS lcc_micro
+    FROM deg LEFT JOIN tcount USING (node)
+    """,
+)
+def q_clustering_coefficient(spark, sf_dir):
+    """Per-node local clustering coefficient over the MinHash near-dup
+    graph (operators.graph.clustering_coefficient): lcc → 1 marks true
+    duplicate cliques, a high-degree node with lcc → 0 is boilerplate
+    stitching unrelated docs — the edge-cut signal before dedup_groups
+    merges its whole neighborhood. Degree-ordered triangle counting
+    (wedge fan-out ~sqrt(2m)-bounded) + one node-sized join; the ratio
+    is exact integer div in micro-units."""
+    from parkour_spark.operators.graph import clustering_coefficient
+
+    docs = _t(spark, sf_dir, "documents")
+    pairs = D.minhash_dedup_pairs(docs, threshold=0.8)
+    return clustering_coefficient(pairs)

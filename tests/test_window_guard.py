@@ -44,6 +44,10 @@ ALLOWED = {
         "ranks the whole input BY CONTRACT — the docstring restricts "
         "it to evaluation slices; corpus-scale ranking is "
         "auc_rank_sum's job",
+    ("operators/validate.py", "ndcg_at_k"):
+        "ranks the whole input BY CONTRACT (the average_precision "
+        "eval-slice contract, stated in its docstring); corpus-scale "
+        "ranking quality is auc_rank_sum's job",
     ("operators/corpus.py", "vocab_head_coverage"):
         "rank/cumsum over the top_n survivors of an "
         "orderBy(...).limit(top_n) (TakeOrderedAndProject — "
