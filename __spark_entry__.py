@@ -34,10 +34,11 @@ def entry(spark: SparkSession) -> DataFrame:
 #
 # r7 window (the r6 verdict's #1 item: clear the never-driver-verified
 # backlog) =
-# (a) the 7 entries NEW this round (embedding_covariance_cells,
+# (a) the 10 entries NEW this round (embedding_covariance_cells,
 #     psi_price_drift, quality_ndcg_langid, mi_source_lang,
 #     pseudonymized_user_counts, negative_sampling_vocab,
-#     clustering_coefficient_dedup),
+#     clustering_coefficient_dedup, contrastive_pairs_dedup,
+#     quality_percentile_docs, streaming_psi_by_slice),
 # (b) the 3 entries whose CODE changed this round:
 #     winsorized_price_stats (winsorize_bounds rewritten from a
 #     full-table rank window to the distinct-cell cumulative pick),
@@ -63,14 +64,15 @@ def entry(spark: SparkSession) -> DataFrame:
 #     pit_enriched_purchases — the never-verified backlog is ZERO
 #     after this window (modulo the 7 new entries, which are in the
 #     window too);
-# (d) filled to 50 with 15 of the oldest (r3-era) driver rows, the
+# (d) filled to 50 with 12 of the oldest (r3-era) driver rows, the
 #     families the r6 verdict named: the 8 tuple-shape goldens
-#     (shape_*), the rollup/cube/grouping-sets trio, and the 4 oldest
-#     streaming rows (streaming_dedup, streaming_enriched_counts,
-#     streaming_events_hourly, streaming_session_30m).
-# 26 r3-era rows remain deferred to r8 (TPC-H siblings q3/q5 under
+#     (shape_*), the rollup/cube/grouping-sets trio, and
+#     streaming_dedup (the oldest streaming row; the late batch-2
+#     additions displaced the other three streaming fills —
+#     streaming_psi_by_slice keeps a fresh streaming row in-window).
+# 29 r3-era rows remain deferred to r8 (TPC-H siblings q3/q5 under
 # in-window q-family coverage, scan/agg singletons, the remaining
-# streaming trio, approx-sketch pair, rank/sort shapes) — all
+# streaming rows, approx-sketch pair, rank/sort shapes) — all
 # local-gate green EVERY round via scripts/check_oracle.py over the
 # full registry; r8's fills clear them.
 _R7_WINDOW = [
@@ -78,7 +80,8 @@ _R7_WINDOW = [
     "embedding_covariance_cells", "psi_price_drift",
     "quality_ndcg_langid", "mi_source_lang",
     "pseudonymized_user_counts", "negative_sampling_vocab",
-    "clustering_coefficient_dedup",
+    "clustering_coefficient_dedup", "contrastive_pairs_dedup",
+    "quality_percentile_docs", "streaming_psi_by_slice",
     # (b) code changed this round
     "winsorized_price_stats", "vocab_head_coverage",
     "hard_negative_mining",
@@ -101,8 +104,7 @@ _R7_WINDOW = [
     "shape_valgroups", "shape_vals",
     "rollup_returnflag_status", "cube_priority_status",
     "grouping_sets_priority_status",
-    "streaming_dedup", "streaming_enriched_counts",
-    "streaming_events_hourly", "streaming_session_30m",
+    "streaming_dedup",
 ]
 
 

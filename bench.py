@@ -72,6 +72,11 @@ HEADLINE = [
     # tracked alongside its df-capped sibling so the cost of "no recall
     # caveat" is a measured round-over-round number, not a claim
     "dedup_prefix_filter",
+    # r7: the Arrow-matmul moment-cell aggregation — a genuinely new
+    # compute shape (per-batch NumPy X'X fold, O(d²)-cell shuffle)
+    # whose throughput should be tracked round-over-round like the
+    # other mapInPandas families
+    "embedding_covariance_cells",
 ]
 
 

@@ -546,3 +546,31 @@ def clustering_coefficient(
             .alias("lcc_micro"),
         )
     )
+
+
+def contrastive_pairs(
+    survivors: DataFrame,
+    node_col: str = "doc_id",
+) -> DataFrame:
+    """(anchor_id, positive_id, component) training pairs from a
+    keep-best dedup run (`dedup_survivors_by` output): every
+    non-survivor member anchors one pair with its component's
+    best-quality survivor — near-duplicates are natural positives for
+    contrastive/retrieval training (same content, organic paraphrase
+    and boilerplate variation), and the survivor is the cleanest
+    exemplar of each cluster. Singleton components contribute nothing
+    (no duplicate ⇒ no organic positive).
+
+    SCALE: one component-keyed equi-join over the component table
+    (node-sized, never a corpus re-scan); fan-out per component =
+    members − 1 exactly, because the positive side holds ONE row per
+    component by the keep-best argmax."""
+    pos = survivors.where(F.col("is_survivor")).select(
+        "component", F.col(node_col).alias("positive_id")
+    )
+    anchors = survivors.where(~F.col("is_survivor")).select(
+        "component", F.col(node_col).alias("anchor_id")
+    )
+    return anchors.join(pos, "component").select(
+        "anchor_id", "positive_id", "component"
+    )

@@ -1009,3 +1009,38 @@ def mutual_information(df: DataFrame, x_col: str, y_col: str) -> DataFrame:
             F.round(F.col("mi_micro") / 1e6, 6).alias("mi"),
         )
     )
+
+
+def percentile_rank_bp(
+    df: DataFrame, col: str, out_col: str = "percentile_bp"
+) -> DataFrame:
+    """Annotate every row with the percentile rank of its `col` value
+    in basis points: floor(10⁴ · |rows ≤ value| / n) — the
+    corpus-relative normalization that turns a raw quality score into
+    a mixture-invariant filter knob ("keep the top 20%" stays the top
+    20% as the corpus grows; a fixed threshold does not).
+
+    NO global row sort: one partial-agg shuffle reduces the corpus to
+    per-DISTINCT-VALUE (value, cnt) cells; the cumulative count is a
+    window over that cell table (the winsorize_bounds/auc_rank_sum
+    discipline — pass a quantized/integer score so the cell table is
+    domain-bounded), and the annotated result is a BROADCAST join of
+    the cell table back onto the scan. Rows with NULL `col` get NULL
+    percentile."""
+    from pyspark.sql import Window
+
+    cells = (
+        df.where(F.col(col).isNotNull())
+        .groupBy(F.col(col).alias("__v"))
+        .agg(F.count("*").alias("__c"))
+    )
+    w = Window.orderBy("__v").rowsBetween(Window.unboundedPreceding, 0)
+    cum = cells.withColumn("__cum", F.sum("__c").over(w))
+    tot = cells.agg(F.sum("__c").alias("__n"))
+    ranked = cum.crossJoin(F.broadcast(tot)).select(
+        "__v",
+        F.expr("div(10000 * __cum, __n)").cast("long").alias(out_col),
+    )
+    return df.join(
+        F.broadcast(ranked), df[col] == ranked["__v"], "left"
+    ).drop("__v")

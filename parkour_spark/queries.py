@@ -9208,3 +9208,150 @@ def q_clustering_coefficient(spark, sf_dir):
     docs = _t(spark, sf_dir, "documents")
     pairs = D.minhash_dedup_pairs(docs, threshold=0.8)
     return clustering_coefficient(pairs)
+
+
+@query(
+    "contrastive_pairs_dedup",
+    _dedup_groups_oracle(
+        tail=f"""
+    , comp AS (SELECT n AS doc_id, min(m) AS component FROM reach GROUP BY n),
+    q AS (SELECT doc_id, {_QBP_SQL} AS quality_bp FROM documents),
+    r AS (
+      SELECT comp.doc_id, component, quality_bp,
+             row_number() OVER (PARTITION BY component
+                                ORDER BY quality_bp DESC, comp.doc_id) AS rk
+      FROM comp JOIN q USING (doc_id))
+    SELECT a.doc_id AS anchor_id, p.doc_id AS positive_id, a.component
+    FROM r a JOIN r p ON a.component = p.component
+    WHERE a.rk > 1 AND p.rk = 1
+    """
+    ),
+)
+def q_contrastive_pairs(spark, sf_dir):
+    """(anchor, positive) contrastive-training pairs from the
+    keep-best dedup chain (graph.contrastive_pairs): near-duplicates
+    are organic positives, and each cluster's highest-quality survivor
+    is the cleanest exemplar — so every non-survivor anchors exactly
+    one pair with its component's survivor. One component-keyed join
+    over the node-sized component table on top of dedup_keep_best's
+    chain; fan-out per component = members − 1 by construction. Oracle
+    replays signatures → bands → verify → recursive closure →
+    quality argmax → the pair join."""
+    from parkour_spark.functions.text import quality_bp
+    from parkour_spark.operators.graph import contrastive_pairs, dedup_survivors_by
+
+    docs = _t(spark, sf_dir, "documents")
+    pairs = D.minhash_dedup_pairs(docs, threshold=0.8)
+    scored = docs.select("doc_id", quality_bp(F.col("text")).alias("quality_bp"))
+    return contrastive_pairs(dedup_survivors_by(scored, pairs, "doc_id", "quality_bp"))
+
+
+@query(
+    "quality_percentile_docs",
+    f"""
+    WITH q AS (SELECT doc_id, {_QBP_SQL} AS score_bp FROM documents),
+    cells AS (SELECT score_bp, count(*) AS c FROM q GROUP BY 1),
+    cum AS (
+      SELECT score_bp,
+             sum(c) OVER (ORDER BY score_bp
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum
+      FROM cells),
+    tot AS (SELECT count(*)::BIGINT AS n FROM q)
+    SELECT doc_id, score_bp,
+           CAST((10000 * cum) // n AS BIGINT) AS percentile_bp
+    FROM q JOIN cum USING (score_bp), tot
+    """,
+)
+def q_quality_percentile(spark, sf_dir):
+    """Percentile-rank normalization of the quality score
+    (validate.percentile_rank_bp): floor(10⁴·|rows ≤ score|/n) per doc
+    — the mixture-invariant filter knob ("top 20%" survives corpus
+    growth; a fixed threshold does not). NO global row sort: the
+    corpus reduces to per-distinct-basis-point cells (≤10⁴ rows by
+    quality_bp's integer construction), the cumulative window runs
+    over that cell table, and rows get their percentile via a
+    broadcast join back onto the scan."""
+    from parkour_spark.functions.text import quality_bp
+    from parkour_spark.operators.validate import percentile_rank_bp
+
+    docs = _t(spark, sf_dir, "documents")
+    scored = docs.select("doc_id", quality_bp(F.col("text")).alias("score_bp"))
+    return percentile_rank_bp(scored, "score_bp")
+
+
+@query(
+    "streaming_psi_by_slice",
+    """
+    WITH sliced AS (
+      SELECT value,
+             ntile(6) OVER (ORDER BY ts, event_id) AS slice_id
+      FROM events),
+    bexpr AS (
+      SELECT slice_id,
+             CAST(least(greatest(floor((value - 0.0) * 20
+                                       / (500.0 - 0.0)), 0), 19) AS INT)
+               AS b
+      FROM sliced WHERE value IS NOT NULL),
+    bh AS (SELECT slice_id, b, count(*) AS n FROM bexpr GROUP BY 1, 2),
+    bt AS (SELECT slice_id, CAST(sum(n) AS BIGINT) AS nb
+           FROM bh GROUP BY 1),
+    refh AS (
+      SELECT CAST(least(greatest(floor((value - 0.0) * 20
+                                       / (500.0 - 0.0)), 0), 19) AS INT)
+               AS b,
+             count(*) AS n
+      FROM events WHERE value IS NOT NULL GROUP BY 1),
+    reft AS (SELECT CAST(sum(n) AS BIGINT) AS nr FROM refh),
+    spine AS (
+      SELECT s.slice_id, t.b
+      FROM (SELECT DISTINCT slice_id FROM sliced) s,
+           unnest(range(0, 20)) AS t(b)),
+    cells AS (
+      SELECT spine.slice_id,
+             coalesce(bh.n, 0) AS cb, coalesce(refh.n, 0) AS cr
+      FROM spine
+      LEFT JOIN bh ON spine.slice_id = bh.slice_id AND spine.b = bh.b
+      LEFT JOIN refh ON spine.b = refh.b),
+    terms AS (
+      SELECT cells.slice_id, bt.nb,
+             CAST(round(((cb + 1) / (nb + 20) - (cr + 1) / (nr + 20))
+                        * ln(((cb + 1) / (nb + 20))
+                             / ((cr + 1) / (nr + 20))) * 1e6) AS BIGINT)
+               AS term
+      FROM cells JOIN bt USING (slice_id), reft)
+    SELECT slice_id, max(nb) AS n,
+           CAST(sum(term) AS BIGINT) AS psi_micro
+    FROM terms GROUP BY slice_id
+    """,
+)
+def q_streaming_psi(spark, sf_dir):
+    """Streaming distribution-drift monitor
+    (streaming.windows.streaming_psi_monitor): the events table
+    replayed as 6 time-ordered micro-batches, each scoring its
+    value-histogram PSI against the full-corpus reference histogram —
+    one (slice, n, psi_micro) alert row per batch, NO state store (the
+    reference is a broadcast-constant artifact). A streaming entry
+    with a FULL SQL oracle: the total (ts, event_id) replay order
+    makes the slice assignment itself replayable (ntile), and the
+    per-bucket micro-unit terms match psi_stat bit-for-bit."""
+    import tempfile
+
+    from parkour_spark.operators.validate import histogram
+    from parkour_spark.streaming.windows import (
+        streaming_psi_monitor,
+        write_time_ordered_replay,
+    )
+
+    ev = _t(spark, sf_dir, "events").select("event_id", "ts", "value")
+    tmp = tempfile.mkdtemp(prefix="parkour_stream_psi_")
+    write_time_ordered_replay(
+        ev, ["ts", "event_id"], tmp, n_slices=6, slice_col="slice_id"
+    )
+    ref = {
+        r["bucket"]: r["n"]
+        for r in histogram(ev, "value", 0.0, 500.0, 20).collect()
+    }
+    schema = spark.read.parquet(tmp).schema
+    return streaming_psi_monitor(
+        spark, tmp, schema, ref, "value", 0.0, 500.0, 20
+    )

@@ -109,6 +109,17 @@ SOAK_QUERIES = [
     "dedup_impact_by_source",
     # basket mining at 10× lineitem: the per-basket combo fanout claim
     "copurchase_part_pairs",
+    # r7 batch: the PCA moment cells (per-batch Arrow matmul — the
+    # batches×O(d²)-cells-shuffle claim at 10× vectors), the local
+    # clustering coefficient (minhash chain + oriented triangles + one
+    # node-sized join), the negative-sampling vocab (tokenize + vocab
+    # partial-agg + TakeOrdered head at 10× docs), and nDCG@100 whose
+    # global rank window is the eval-slice-contract shape — its 10×
+    # cost is measured, not hidden
+    "embedding_covariance_cells",
+    "clustering_coefficient_dedup",
+    "negative_sampling_vocab",
+    "quality_ndcg_langid",
 ]
 
 

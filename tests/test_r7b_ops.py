@@ -1,0 +1,201 @@
+"""Round-7 second batch: contrastive pairs from dedup components,
+percentile-rank normalization, streaming PSI drift monitor."""
+
+import math
+
+import pytest
+from pyspark.sql import functions as F
+
+
+# ------------------------------------------------------------------
+# contrastive_pairs
+# ------------------------------------------------------------------
+
+def _survivors(spark):
+    # component 1: docs 1,2,3 (best = 2); component 2: docs 4,5
+    # (best = 5); singleton: 6
+    rows = [
+        (1, 10, 50, False),
+        (2, 10, 90, True),
+        (3, 10, 70, False),
+        (4, 40, 80, True),
+        (5, 40, 60, False),
+        (6, 60, 99, True),
+    ]
+    return spark.createDataFrame(
+        rows, "doc_id long, component long, quality_bp long, is_survivor boolean"
+    )
+
+
+def test_contrastive_pairs_anchor_every_nonsurvivor(spark):
+    from parkour_spark.operators.graph import contrastive_pairs
+
+    got = {
+        (r.anchor_id, r.positive_id, r.component)
+        for r in contrastive_pairs(_survivors(spark)).collect()
+    }
+    assert got == {(1, 2, 10), (3, 2, 10), (5, 4, 40)}
+
+
+def test_contrastive_pairs_singletons_contribute_nothing(spark):
+    from parkour_spark.operators.graph import contrastive_pairs
+
+    anchors = [r.anchor_id for r in contrastive_pairs(_survivors(spark)).collect()]
+    assert 6 not in anchors
+
+
+def test_contrastive_pairs_end_to_end_from_dedup(spark):
+    from parkour_spark.operators.dedup import minhash_dedup_pairs
+    from parkour_spark.operators.graph import contrastive_pairs, dedup_survivors_by
+
+    base = "the quick brown fox jumps over the lazy dog again and again"
+    docs = spark.createDataFrame(
+        [
+            (1, base + " alpha"),
+            (2, base + " beta"),
+            (3, "completely different text about spark partitions and shuffles"),
+        ],
+        "doc_id long, text string",
+    )
+    pairs = minhash_dedup_pairs(docs, threshold=0.5)
+    scored = docs.select(
+        "doc_id", (F.length("text")).cast("long").alias("quality")
+    )
+    out = contrastive_pairs(
+        dedup_survivors_by(scored, pairs, "doc_id", "quality")
+    ).collect()
+    # docs 1 and 2 are near-dups; doc 2's text sorts after but scores
+    # equal length? lengths differ: " alpha"=6 vs " beta"=5 -> doc 1 best
+    assert {(r.anchor_id, r.positive_id) for r in out} == {(2, 1)}
+
+
+# ------------------------------------------------------------------
+# percentile_rank_bp
+# ------------------------------------------------------------------
+
+def test_percentile_rank_bp_values(spark):
+    from parkour_spark.operators.validate import percentile_rank_bp
+
+    df = spark.createDataFrame(
+        [(i, s) for i, s in enumerate([10, 10, 20, 30])], "id long, s long"
+    )
+    got = {r.id: r.percentile_bp for r in percentile_rank_bp(df, "s").collect()}
+    # cum: 10->2, 20->3, 30->4 of n=4
+    assert got == {0: 5000, 1: 5000, 2: 7500, 3: 10000}
+
+
+def test_percentile_rank_bp_null_passthrough_and_plan(spark):
+    from parkour_spark.operators.validate import percentile_rank_bp
+
+    df = spark.createDataFrame([(0, None), (1, 5)], "id long, s long")
+    out = percentile_rank_bp(df, "s")
+    got = {r.id: r.percentile_bp for r in out.collect()}
+    assert got == {0: None, 1: 10000}
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    assert "row_number" not in plan
+    assert "BroadcastHashJoin" in plan or "BroadcastNestedLoopJoin" in plan
+
+
+# ------------------------------------------------------------------
+# streaming PSI monitor
+# ------------------------------------------------------------------
+
+def _replayed(spark, tmp_path, values_by_slice):
+    import datetime
+
+    rows = []
+    t0 = datetime.datetime(2024, 1, 1)
+    i = 0
+    for vals in values_by_slice:
+        for v in vals:
+            rows.append((i, t0 + datetime.timedelta(seconds=i), float(v)))
+            i += 1
+    df = spark.createDataFrame(rows, "event_id long, ts timestamp, value double")
+    from parkour_spark.streaming.windows import write_time_ordered_replay
+
+    path = str(tmp_path / "psi_replay")
+    write_time_ordered_replay(
+        df, ["ts", "event_id"], path, n_slices=len(values_by_slice),
+        slice_col="slice_id",
+    )
+    return path, spark.read.parquet(path).schema
+
+
+def test_streaming_psi_flags_drifted_slice(spark, tmp_path):
+    from parkour_spark.streaming.windows import streaming_psi_monitor
+
+    # reference: uniform over [0, 10); slice 1 matches, slice 2 is all
+    # mass at the top bucket — drifted
+    ref = {b: 10 for b in range(10)}
+    path, schema = _replayed(
+        spark, tmp_path,
+        [[b + 0.5 for b in range(10)] * 2, [9.5] * 20],
+    )
+    rows = {
+        r.slice_id: r.psi_micro
+        for r in streaming_psi_monitor(
+            spark, path, schema, ref, "value", 0.0, 10.0, 10
+        ).collect()
+    }
+    assert set(rows) == {1, 2}
+    assert rows[1] == 0  # identical shape to reference
+    assert rows[2] > 500_000  # way past the 0.25 action threshold
+
+
+def test_streaming_psi_matches_batch_psi_stat(spark, tmp_path):
+    from parkour_spark.operators.validate import histogram, psi_stat
+    from parkour_spark.streaming.windows import streaming_psi_monitor
+
+    vals_a = [1.0, 2.0, 2.0, 7.0, 8.0] * 4
+    vals_b = [0.5, 0.5, 3.0, 9.0] * 5
+    ref_vals = [float(v % 10) for v in range(40)]
+    ref_df = spark.createDataFrame([(v,) for v in ref_vals], "value double")
+    ref = {
+        r["bucket"]: r["n"]
+        for r in histogram(ref_df, "value", 0.0, 10.0, 10).collect()
+    }
+    path, schema = _replayed(spark, tmp_path, [vals_a, vals_b])
+    got = {
+        r.slice_id: r.psi_micro
+        for r in streaming_psi_monitor(
+            spark, path, schema, ref, "value", 0.0, 10.0, 10
+        ).collect()
+    }
+    for sid, vals in ((1, vals_a), (2, vals_b)):
+        batch_df = spark.createDataFrame([(v,) for v in vals], "value double")
+        want = psi_stat(batch_df, ref_df, "value", 0.0, 10.0, 10).collect()[0]
+        assert got[sid] == want["psi_micro"], sid
+
+
+def test_streaming_psi_rejects_slice_bleed(spark, tmp_path):
+    from parkour_spark.streaming.windows import streaming_psi_monitor
+
+    path, schema = _replayed(spark, tmp_path, [[1.0] * 5, [2.0] * 5])
+    with pytest.raises(Exception, match="slice bleed"):
+        # max_files=2 pulls both slice files into one micro-batch
+        streaming_psi_monitor(
+            spark, path, schema, {0: 1}, "value", 0.0, 10.0, 10, max_files=2
+        ).collect()
+
+
+def test_replay_writer_keeps_slice_column(spark, tmp_path):
+    from parkour_spark.streaming.windows import write_time_ordered_replay
+
+    df = spark.range(12).select(
+        F.col("id").alias("event_id"),
+        F.timestamp_seconds(F.col("id")).alias("ts"),
+    )
+    path = str(tmp_path / "slices")
+    write_time_ordered_replay(df, ["ts", "event_id"], path, 3, slice_col="slice_id")
+    back = spark.read.parquet(path)
+    counts = {
+        r.slice_id: r.n
+        for r in back.groupBy("slice_id").agg(F.count("*").alias("n")).collect()
+    }
+    assert counts == {1: 4, 2: 4, 3: 4}
+    # slices are contiguous in event time
+    spans = back.groupBy("slice_id").agg(
+        F.min("event_id").alias("lo"), F.max("event_id").alias("hi")
+    ).collect()
+    spans = sorted((r.slice_id, r.lo, r.hi) for r in spans)
+    assert spans == [(1, 0, 3), (2, 4, 7), (3, 8, 11)]

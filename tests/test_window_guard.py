@@ -48,6 +48,11 @@ ALLOWED = {
         "ranks the whole input BY CONTRACT (the average_precision "
         "eval-slice contract, stated in its docstring); corpus-scale "
         "ranking quality is auc_rank_sum's job",
+    ("operators/validate.py", "percentile_rank_bp"):
+        "cumulative count over DISTINCT-VALUE (value, cnt) cells — "
+        "domain-bounded for the quantized/integer scores the "
+        "docstring requires; the corpus is reduced by a partial-agg "
+        "groupBy first and rows get the result via a broadcast join",
     ("operators/corpus.py", "vocab_head_coverage"):
         "rank/cumsum over the top_n survivors of an "
         "orderBy(...).limit(top_n) (TakeOrderedAndProject — "
