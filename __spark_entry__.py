@@ -21,7 +21,7 @@ def entry(spark: SparkSession) -> DataFrame:
 
 
 # The driver's correctness gate checks the first 50 registry entries;
-# the registry holds 215. ROTATION POLICY (restated in r5 per the r4
+# the registry holds 219. ROTATION POLICY (restated in r5 per the r4
 # verdict #1 — the old "every entry ≤1 round old" claim is
 # arithmetically impossible at this registry size): the window each
 # round = (a) entries ADDED this round, (b) entries whose code or
@@ -34,11 +34,12 @@ def entry(spark: SparkSession) -> DataFrame:
 #
 # r7 window (the r6 verdict's #1 item: clear the never-driver-verified
 # backlog) =
-# (a) the 10 entries NEW this round (embedding_covariance_cells,
+# (a) the 11 entries NEW this round (embedding_covariance_cells,
 #     psi_price_drift, quality_ndcg_langid, mi_source_lang,
 #     pseudonymized_user_counts, negative_sampling_vocab,
 #     clustering_coefficient_dedup, contrastive_pairs_dedup,
-#     quality_percentile_docs, streaming_psi_by_slice),
+#     quality_percentile_docs, streaming_psi_by_slice,
+#     streaming_covariance_cells),
 # (b) the 3 entries whose CODE changed this round:
 #     winsorized_price_stats (winsorize_bounds rewritten from a
 #     full-table rank window to the distinct-cell cumulative pick),
@@ -62,15 +63,15 @@ def entry(spark: SparkSession) -> DataFrame:
 #     streaming_time_weighted, copurchase_part_pairs,
 #     cusum_event_drift, linear_attribution_credits,
 #     pit_enriched_purchases — the never-verified backlog is ZERO
-#     after this window (modulo the 7 new entries, which are in the
+#     after this window (modulo the 11 new entries, which are in the
 #     window too);
-# (d) filled to 50 with 12 of the oldest (r3-era) driver rows, the
+# (d) filled to 50 with 11 of the oldest (r3-era) driver rows, the
 #     families the r6 verdict named: the 8 tuple-shape goldens
-#     (shape_*), the rollup/cube/grouping-sets trio, and
-#     streaming_dedup (the oldest streaming row; the late batch-2
-#     additions displaced the other three streaming fills —
-#     streaming_psi_by_slice keeps a fresh streaming row in-window).
-# 29 r3-era rows remain deferred to r8 (TPC-H siblings q3/q5 under
+#     (shape_*) and the rollup/cube/grouping-sets trio (the late
+#     batch-2/3 additions displaced the four streaming fills —
+#     streaming_psi_by_slice and streaming_covariance_cells keep
+#     fresh streaming rows in-window).
+# 30 r3-era rows remain deferred to r8 (TPC-H siblings q3/q5 under
 # in-window q-family coverage, scan/agg singletons, the remaining
 # streaming rows, approx-sketch pair, rank/sort shapes) — all
 # local-gate green EVERY round via scripts/check_oracle.py over the
@@ -82,6 +83,7 @@ _R7_WINDOW = [
     "pseudonymized_user_counts", "negative_sampling_vocab",
     "clustering_coefficient_dedup", "contrastive_pairs_dedup",
     "quality_percentile_docs", "streaming_psi_by_slice",
+    "streaming_covariance_cells",
     # (b) code changed this round
     "winsorized_price_stats", "vocab_head_coverage",
     "hard_negative_mining",
@@ -104,7 +106,6 @@ _R7_WINDOW = [
     "shape_valgroups", "shape_vals",
     "rollup_returnflag_status", "cube_priority_status",
     "grouping_sets_priority_status",
-    "streaming_dedup",
 ]
 
 

@@ -9355,3 +9355,32 @@ def q_streaming_psi(spark, sf_dir):
     return streaming_psi_monitor(
         spark, tmp, schema, ref, "value", 0.0, 500.0, 20
     )
+
+
+# The streaming covariance entry reuses the batch covariance oracle
+# verbatim: integer cell addition is associative, so the incremental
+# index over the replayed stream must equal the batch computation
+# bit-for-bit.
+_COVARIANCE_ORACLE = ORACLES["embedding_covariance_cells"]
+
+
+@query("streaming_covariance_cells", _COVARIANCE_ORACLE)
+def q_streaming_covariance(spark, sf_dir):
+    """Incrementally-maintained PCA moment cells
+    (streaming.windows.streaming_covariance_cells): the embedding
+    corpus replayed as 4 micro-batches, each folding to its own O(d²)
+    integer cell block merged into ONE carried d×d grid — the
+    streaming index-maintenance form of embedding_covariance_cells
+    (refresh whitening/PCA as the corpus grows, never re-reading it).
+    Exactness is structural: integer cell addition is associative, so
+    the final emission equals the batch operator — the SAME DuckDB
+    oracle gates both entries."""
+    import tempfile
+
+    from parkour_spark.streaming.windows import streaming_covariance_cells
+
+    emb = _t(spark, sf_dir, "embeddings")
+    tmp = tempfile.mkdtemp(prefix="parkour_stream_cov_")
+    emb.repartition(4).write.mode("overwrite").parquet(tmp)
+    schema = spark.read.parquet(tmp).schema
+    return streaming_covariance_cells(spark, tmp, schema, "embedding")

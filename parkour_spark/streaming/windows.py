@@ -577,3 +577,46 @@ def streaming_psi_monitor(
     return spark.createDataFrame(
         sorted(out), "slice_id int, n long, psi_micro long"
     )
+
+
+def streaming_covariance_cells(
+    spark,
+    path: str,
+    schema,
+    vec_col: str = "embedding",
+    scale: int = 1000,
+    max_files: int = 1,
+) -> DataFrame:
+    """Second-moment cells maintained INCREMENTALLY over a vector
+    stream: X'X, the column sums, and the row count are all additive,
+    so each micro-batch folds to its own O(d²) integer cell block
+    (`operators.pca.covariance_cells` on the batch) and the running
+    index is element-wise integer addition — the streaming form of
+    PCA/whitening-index maintenance (refresh projections as the corpus
+    grows without ever re-reading it).
+
+    Per batch: one Arrow-matmul pass + an O(d²) driver merge; carried
+    state is ONE d×d integer grid regardless of stream length or batch
+    count. The final emission over a finite replay equals the batch
+    operator on the full corpus exactly (integer addition is
+    associative — that batch SQL is the oracle). Returns the (i, j, s)
+    cell table."""
+    from parkour_spark.operators.pca import covariance_cells
+
+    totals: dict[tuple[int, int], int] = {}
+
+    def handle(batch_df: DataFrame, _bid: int) -> None:
+        for r in covariance_cells(batch_df, vec_col, scale).collect():
+            key = (r["i"], r["j"])
+            totals[key] = totals.get(key, 0) + r["s"]
+
+    stream = read_stream(spark, path, schema, max_files=max_files)
+    q = stream.writeStream.foreachBatch(handle).outputMode("update").start()
+    try:
+        q.processAllAvailable()
+    finally:
+        q.stop()
+    return spark.createDataFrame(
+        [(i, j, s) for (i, j), s in sorted(totals.items())],
+        "i int, j int, s long",
+    )

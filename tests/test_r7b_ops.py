@@ -199,3 +199,33 @@ def test_replay_writer_keeps_slice_column(spark, tmp_path):
     ).collect()
     spans = sorted((r.slice_id, r.lo, r.hi) for r in spans)
     assert spans == [(1, 0, 3), (2, 4, 7), (3, 8, 11)]
+
+
+# ------------------------------------------------------------------
+# streaming covariance cells
+# ------------------------------------------------------------------
+
+def test_streaming_covariance_equals_batch(spark, tmp_path):
+    import numpy as np
+
+    from parkour_spark.operators.pca import covariance_cells
+    from parkour_spark.streaming.windows import streaming_covariance_cells
+
+    rng = np.random.default_rng(11)
+    x = rng.normal(size=(30, 4)).astype(np.float32)
+    df = spark.createDataFrame(
+        [(i, [float(v) for v in row]) for i, row in enumerate(x)],
+        "vec_id long, embedding array<float>",
+    )
+    path = str(tmp_path / "cov_stream")
+    df.repartition(3).write.mode("overwrite").parquet(path)
+    want = {
+        (r.i, r.j): r.s for r in covariance_cells(df, "embedding").collect()
+    }
+    got = {
+        (r.i, r.j): r.s
+        for r in streaming_covariance_cells(
+            spark, path, spark.read.parquet(path).schema, "embedding"
+        ).collect()
+    }
+    assert got == want
