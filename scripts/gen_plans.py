@@ -88,6 +88,12 @@ COMMENTARY = {
     "cusum_event_drift": "CUSUM drift: the sequential recurrence is closed-form (prefix sum minus clamped running min) — two windows sharing one per-type ordering over HOURLY cells; the reference level and threshold ride the same MAD cell machinery as event_rate_spikes. Events shuffle once, into the hourly count.",
     "linear_attribution_credits": "Linear attribution: type filters push to the scan on BOTH sides, so the user-keyed join moves only the attribution slice; the per-conversion count windows over the PAIR table (bounded by per-user lookback activity); the final aggregate is touch-type-sized.",
     "pit_enriched_purchases": "PIT enrichment: the SCD2 build is one lead window on the signup slice; the temporal join is a business-key equi-join (fanout = per-key version count) with the [from, to) predicate filtering inside the join — no BroadcastNestedLoop, no as-of carry across gaps.",
+    "embedding_covariance_cells": "PCA moment cells: one scan; each Arrow batch folds to a d×d NumPy int64 matmul inside mapInPandas, so the only Exchange is the O(d²)-cell groupBy — rows never shuffle, and the shuffle size is independent of corpus size.",
+    "winsorized_price_stats": "Winsorization (r7 rewrite): the bounds reduce the corpus to DISTINCT-VALUE cells in one partial-agg Exchange; the cumulative window runs over the cell table (domain-bounded), never rows — no row_number anywhere in the plan. The clamp is a broadcast 1-row crossJoin on the scan.",
+    "vocab_head_coverage": "Zipf head (r7 rewrite): the vocabulary aggregate feeds TakeOrderedAndProject (per-partition top-n heaps) — the rank/cumsum window sees only the top_n survivors, never the full vocabulary.",
+    "clustering_coefficient_dedup": "Local clustering coefficient: the canonical edge table persists once and feeds both the degree aggregate and the oriented wedge join; everything after the edge derivation is node-sized; the lcc ratio is scan-side integer div.",
+    "quality_percentile_docs": "Percentile normalization: distinct-score cells + cumulative cell window + BROADCAST join back onto the scan — no global row sort, no row_number (test-asserted).",
+    "psi_price_drift": "PSI drift: two histogram-shaped partial-agg scans reduce both slices to ≤20 cells; the spine join, smoothing, and term sum all run on the cell table. No row moves for the comparison.",
 }
 
 HEADER = """# PLANS — physical-plan evidence for the headline operators
