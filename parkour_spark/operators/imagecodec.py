@@ -264,3 +264,36 @@ def image_stats(payload: bytes, bins: int = 8) -> list[float]:
     hist, _ = np.histogram(gray, bins=bins, range=(0, 255.0))
     dens = (hist / max(1, gray.size)).tolist()
     return means + stds + [float(x) for x in dens]
+
+
+def grayscale_int(img: np.ndarray) -> np.ndarray:
+    """Integer ITU-R 601 luma: (299·R + 587·G + 114·B) // 1000 — exact
+    integer arithmetic so a SQL oracle can replicate every gray value
+    bit-for-bit (a float dot product could differ in the last ulp)."""
+    if img.ndim == 2:
+        return img.astype(np.int64)
+    if img.shape[2] == 1:
+        return img[:, :, 0].astype(np.int64)
+    r = img[:, :, 0].astype(np.int64)
+    g = img[:, :, 1].astype(np.int64)
+    b = img[:, :, 2].astype(np.int64)
+    return (299 * r + 587 * g + 114 * b) // 1000
+
+
+def dhash64(payload: bytes) -> int:
+    """64-bit difference hash (dHash, the standard cheap perceptual
+    image fingerprint): decode → bilinear 9×8 (identity-exact when the
+    source is already 9×8) → integer grayscale → bit(r, c) =
+    gray(r, c+1) > gray(r, c), packed row-major MSB-first into a
+    SIGNED 64-bit int (Spark LongType). Near-duplicate images differ
+    in a few gradient signs — Hamming distance on this hash is the
+    image analog of SimHash on text."""
+    img = decode_image(payload)
+    if img.shape[:2] != (8, 9):
+        img = resize_bilinear(img, 9, 8)
+    gray = grayscale_int(img)
+    bits = (gray[:, 1:] > gray[:, :-1]).reshape(-1)
+    val = 0
+    for b in bits:
+        val = (val << 1) | int(b)
+    return val - (1 << 64) if val >= (1 << 63) else val

@@ -310,3 +310,136 @@ def sample_video_frames(
             )
 
     return df.mapInPandas(work, schema=out_schema)
+
+
+def perceptual_dhash(df: DataFrame, payload_col: str = "payload") -> DataFrame:
+    """(media_id, dhash, decodable) — 64-bit perceptual difference hash
+    per image blob, the image analog of SimHash: near-duplicate images
+    (recompressed, slightly edited, re-rendered) land within a few
+    Hamming bits, so image-level near-dedup becomes integer Hamming
+    machinery instead of pixel comparison.
+
+    REAL decode → 9×8 bilinear → integer-luma gradient signs for the
+    formats operators/imagecodec.py decodes (PNG/PPM/PGM/BMP);
+    undecodable payloads get a DETERMINISTIC content-hash stand-in
+    (sha256-derived signed long, decodable=false) so the pipeline
+    never sinks and exact copies of opaque formats still collide.
+
+    SCALE: Arrow-batched mapInPandas over the blob scan — hashes (one
+    long per image) leave the scan, blobs never shuffle."""
+    import hashlib
+    import struct
+
+    from parkour_spark.operators import imagecodec as IC
+
+    def one(payload: bytes) -> tuple[int, bool]:
+        if payload is not None and IC.sniff_format(payload) is not None:
+            try:
+                return IC.dhash64(payload), True
+            except Exception:
+                pass
+        digest = hashlib.sha256(payload if payload is not None else b"").digest()
+        return struct.unpack(">q", digest[:8])[0], False
+
+    out_schema = T.StructType(
+        [
+            T.StructField("media_id", T.LongType(), False),
+            T.StructField("dhash", T.LongType(), True),
+            T.StructField("decodable", T.BooleanType(), False),
+        ]
+    )
+
+    def work(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            hashes, flags = [], []
+            for p in pdf[payload_col]:
+                h, ok = one(p)
+                hashes.append(h)
+                flags.append(ok)
+            yield pd.DataFrame(
+                {"media_id": pdf["media_id"], "dhash": hashes, "decodable": flags}
+            )
+
+    return df.mapInPandas(work, schema=out_schema)
+
+
+def dhash_near_dup(
+    hashes: DataFrame,
+    max_hamming: int = 8,
+    bands: int = 4,
+    id_col: str = "media_id",
+    hash_col: str = "dhash",
+    max_bucket: int | None = 1000,
+) -> DataFrame:
+    """(id_a, id_b, hamming) image near-dup pairs by banded Hamming
+    join — the SimHash block scheme on the 64-bit perceptual hash:
+    split into `bands` 16-bit keys; two hashes within Hamming r share
+    ≥1 exact band whenever r < bands (pigeonhole — r ≤ bands−1 bit
+    flips cannot touch every band); for r ≥ bands the bands are a
+    recall-bounded blocking like the text SimHash path. Candidates =
+    same (band_idx, band_value) bucket, NEVER all pairs; verify =
+    bit_count(xor) — pure integer Columns.
+
+    SCALE: one scan-side band explode (bands rows per image), one
+    bucket shuffle with the df-cap analog (`max_bucket` drops
+    degenerate buckets — e.g. the all-zero band of flat images), and
+    the verify join moves only candidate hash pairs."""
+    width = 64 // bands
+    mask = (1 << width) - 1
+    bexpr = F.array(
+        *[
+            F.struct(
+                F.lit(i).alias("band_idx"),
+                F.expr(f"shiftrightunsigned({hash_col}, {i * width})")
+                .bitwiseAND(F.lit(mask))
+                .alias("band_val"),
+            )
+            for i in range(bands)
+        ]
+    )
+    exploded = (
+        hashes.select(F.col(id_col), F.col(hash_col), F.explode(bexpr).alias("b"))
+        .select(
+            id_col,
+            hash_col,
+            F.concat_ws("|", F.col("b.band_idx"), F.col("b.band_val")).alias(
+                "band_key"
+            ),
+        )
+    )
+    buckets = (
+        exploded.groupBy("band_key")
+        .agg(
+            F.array_sort(
+                F.collect_set(F.struct(F.col(id_col).alias("i"), F.col(hash_col).alias("h")))
+            ).alias("__ms")
+        )
+        .where(F.size("__ms") > 1)
+    )
+    if max_bucket is not None:
+        buckets = buckets.where(F.size("__ms") <= max_bucket)
+    ms = F.col("__ms")
+    pair_expr = F.flatten(
+        F.transform(
+            ms,
+            lambda x, i: F.transform(
+                F.slice(ms, i + 2, F.size(ms)),
+                lambda y: F.struct(
+                    x["i"].alias("id_a"),
+                    y["i"].alias("id_b"),
+                    x["h"].alias("ha"),
+                    y["h"].alias("hb"),
+                ),
+            ),
+        )
+    )
+    cand = (
+        buckets.select(F.explode(pair_expr).alias("p"))
+        .select("p.id_a", "p.id_b", "p.ha", "p.hb")
+        .distinct()
+    )
+    ham = F.bit_count(F.col("ha").bitwiseXOR(F.col("hb")))
+    return (
+        cand.select("id_a", "id_b", ham.cast("long").alias("hamming"))
+        .where(F.col("hamming") <= max_hamming)
+    )

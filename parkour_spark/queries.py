@@ -9384,3 +9384,133 @@ def q_streaming_covariance(spark, sf_dir):
     emb.repartition(4).write.mode("overwrite").parquet(tmp)
     schema = spark.read.parquet(tmp).schema
     return streaming_covariance_cells(spark, tmp, schema, "embedding")
+
+
+def _ppm_9x8(mid: int) -> bytes:
+    """Deterministic 9×8 P6 test image for media id `mid`: 40 base
+    templates (mid % 40) with a 3-level single-pixel perturbation
+    (mid // 40 % 3 — shifts ≤2 of the 64 gradient bits), so
+    same-template images are planted near-duplicates under dHash and
+    cross-template images are far. Pure integer arithmetic — the
+    DuckDB oracle recomputes every gray value from this formula, which
+    makes the REAL decode→resize→luma→gradient path hash-verifiable
+    without a SQL image decoder."""
+    t, j = mid % 40, (mid // 40) % 3
+    px = bytearray()
+    for k in range(72):
+        for ch in range(3):
+            v = (t * 2654435761 + k * 40503 + ch * 97) % 256
+            if ch == 0 and k == 31:
+                v = (v + j * 8) % 256
+            px.append(v)
+    return b"P6 9 8 255\n" + bytes(px)
+
+
+def _dhash_blobs(spark, sf_dir):
+    import pandas as _pd
+
+    docs = _t(spark, sf_dir, "documents").select(
+        F.col("doc_id").alias("media_id")
+    )
+
+    def build(batches):
+        for pdf in batches:
+            yield _pd.DataFrame(
+                {
+                    "media_id": pdf["media_id"],
+                    "payload": [_ppm_9x8(int(m)) for m in pdf["media_id"]],
+                }
+            )
+
+    return SRT.widen_scan(docs).mapInPandas(
+        build, "media_id long, payload binary"
+    )
+
+
+_DHASH_SQL = """
+    ids AS (SELECT doc_id AS media_id, doc_id % 40 AS t,
+                   (doc_id // 40) % 3 AS j
+            FROM documents),
+    px AS (
+      SELECT media_id, r.r, c.c,
+             (299 * (CASE WHEN r.r * 9 + c.c = 31
+                          THEN ((t * 2654435761 + (r.r*9 + c.c) * 40503)
+                                % 256 + j * 8) % 256
+                          ELSE (t * 2654435761 + (r.r*9 + c.c) * 40503) % 256
+                     END)
+              + 587 * ((t * 2654435761 + (r.r*9 + c.c) * 40503 + 97) % 256)
+              + 114 * ((t * 2654435761 + (r.r*9 + c.c) * 40503 + 194) % 256))
+             // 1000 AS gray
+      FROM ids, unnest(range(0, 8)) AS r(r), unnest(range(0, 9)) AS c(c)),
+    bits AS (
+      SELECT a.media_id, a.r * 8 + a.c AS idx,
+             CASE WHEN b.gray > a.gray THEN 1 ELSE 0 END AS bit
+      FROM px a JOIN px b ON a.media_id = b.media_id AND a.r = b.r
+                         AND b.c = a.c + 1
+      WHERE a.c < 8),
+    hash AS (
+      SELECT media_id,
+             CAST(sum(CASE WHEN idx = 0 AND bit = 1
+                           THEN -9223372036854775808
+                           WHEN idx > 0
+                           THEN bit * (1::BIGINT << (63 - idx))
+                           ELSE 0 END) AS BIGINT) AS dhash
+      FROM bits GROUP BY media_id)"""
+
+
+@query(
+    "multimodal_dhash",
+    f"""
+    WITH {_DHASH_SQL}
+    SELECT media_id, dhash, TRUE AS decodable FROM hash
+    """,
+)
+def q_multimodal_dhash(spark, sf_dir):
+    """Perceptual image hashing (multimodal.perceptual_dhash): REAL
+    P6 decode → identity-exact 9×8 bilinear → integer ITU-601 luma →
+    gradient-sign bits packed into a signed long, Arrow-batched over
+    the blob scan (hashes leave the scan; blobs never shuffle). The
+    test images are formula-generated, so the oracle recomputes every
+    gray value and the packed hash arithmetically — the whole codec
+    path is hash-verified, not trusted."""
+    from parkour_spark.operators.multimodal import perceptual_dhash
+
+    return perceptual_dhash(_dhash_blobs(spark, sf_dir))
+
+
+@query(
+    "multimodal_dhash_neardup",
+    f"""
+    WITH {_DHASH_SQL},
+    bandtab AS (
+      SELECT media_id, dhash, t.i,
+             (dhash >> (16 * t.i)) & 65535 AS bv
+      FROM hash, unnest(range(0, 4)) AS t(i)),
+    okband AS (
+      SELECT i, bv FROM bandtab GROUP BY i, bv
+      HAVING count(*) > 1 AND count(*) <= 1000),
+    cand AS (
+      SELECT DISTINCT a.media_id AS id_a, b.media_id AS id_b,
+                      a.dhash AS ha, b.dhash AS hb
+      FROM bandtab a
+      JOIN okband o ON o.i = a.i AND o.bv = a.bv
+      JOIN bandtab b ON a.i = b.i AND a.bv = b.bv
+                    AND a.media_id < b.media_id)
+    SELECT id_a, id_b,
+           CAST(bit_count(xor(ha, hb)) AS BIGINT) AS hamming
+    FROM cand WHERE bit_count(xor(ha, hb)) <= 8
+    """,
+)
+def q_multimodal_dhash_neardup(spark, sf_dir):
+    """Image near-duplicate pairs (multimodal.dhash_near_dup): the
+    SimHash band scheme on the 64-bit perceptual hash — 4 × 16-bit
+    band keys (pigeonhole-complete for Hamming ≤ 3, recall-bounded
+    blocking above), same-bucket candidates with the df-cap analog,
+    verify = bit_count(xor) ≤ 8. Planted structure: 40 image
+    templates × 3 single-pixel variants ⇒ same-template pairs sit
+    within Hamming 4, cross-template pairs are far. Candidates come
+    from the band buckets — never all pairs; blobs never shuffle."""
+    from parkour_spark.operators.multimodal import dhash_near_dup, perceptual_dhash
+
+    hashes = perceptual_dhash(_dhash_blobs(spark, sf_dir))
+    return dhash_near_dup(hashes, max_hamming=8, bands=4)

@@ -708,3 +708,108 @@ def test_rrf_fuse_matches_reference(spark, lists):
     assert len(got) == len(order)
     for rank, (d, score) in enumerate(order, start=1):
         assert got[d] == (score, rank)
+
+
+@given(
+    xs_a=st.lists(st.floats(min_value=0.0, max_value=9.99, allow_nan=False),
+                  min_size=1, max_size=40),
+    xs_b=st.lists(st.floats(min_value=0.0, max_value=9.99, allow_nan=False),
+                  min_size=1, max_size=40),
+)
+@settings(**_SETTINGS)
+def test_psi_stat_matches_reference(spark, xs_a, xs_b):
+    """psi_stat == the hand-rolled smoothed PSI over the same clamped
+    equi-width buckets (full spine, HALF-UP micro terms)."""
+    import math
+
+    from parkour_spark.operators.validate import psi_stat
+
+    nb, lo, hi = 5, 0.0, 10.0
+    da = spark.createDataFrame([(float(x),) for x in xs_a], "x double")
+    db = spark.createDataFrame([(float(x),) for x in xs_b], "x double")
+    got = psi_stat(da, db, "x", lo, hi, nb).collect()[0]
+
+    def buckets(xs):
+        out = [0] * nb
+        for x in xs:
+            b = int(math.floor((x - lo) * nb / (hi - lo)))
+            out[max(0, min(nb - 1, b))] += 1
+        return out
+
+    ca, cb = buckets(xs_a), buckets(xs_b)
+    na, nbt = len(xs_a), len(xs_b)
+    want = 0
+    for b in range(nb):
+        pa = (ca[b] + 1) / (na + nb)
+        pb = (cb[b] + 1) / (nbt + nb)
+        # terms are >= 0, so floor(x + 0.5) is HALF-UP == both engines
+        want += math.floor((pa - pb) * math.log(pa / pb) * 1e6 + 0.5)
+    assert (got["n_a"], got["n_b"], got["psi_micro"]) == (na, nbt, want)
+    assert got["psi_micro"] >= 0  # PSI is a sum of non-negative terms
+
+
+@given(
+    rows=st.lists(
+        st.tuples(st.integers(min_value=0, max_value=20), st.booleans()),
+        min_size=2, max_size=40,
+    ),
+    k=st.integers(min_value=1, max_value=10),
+)
+@settings(**_SETTINGS)
+def test_ndcg_matches_reference(spark, rows, k):
+    """ndcg_at_k == the definition computed over the explicit sorted
+    order (score desc, id asc), with integer micro gains."""
+    import math
+
+    from hypothesis import assume
+
+    from parkour_spark.operators.validate import ndcg_at_k
+
+    assume(any(y for _, y in rows))
+    df = spark.createDataFrame(
+        [(i, s, y) for i, (s, y) in enumerate(rows)], "id long, s long, y boolean"
+    )
+    got = ndcg_at_k(df, "s", "y", "id", k=k).collect()[0]
+    order = sorted(range(len(rows)), key=lambda i: (-rows[i][0], i))
+    g = lambda r: math.floor(1e6 / math.log2(r + 1) + 0.5)  # noqa: E731
+    dcg = sum(
+        g(r + 1) for r, i in enumerate(order) if r < k and rows[i][1]
+    )
+    npos = sum(1 for _, y in rows if y)
+    idcg = sum(g(r) for r in range(1, min(k, npos) + 1))
+    assert got["dcg_micro"] == dcg
+    assert got["idcg_micro"] == idcg
+    assert 0.0 <= got["ndcg"] <= 1.0
+
+
+@given(
+    rows=st.lists(
+        st.tuples(st.integers(min_value=0, max_value=3),
+                  st.integers(min_value=0, max_value=3)),
+        min_size=1, max_size=60,
+    ),
+)
+@settings(**_SETTINGS)
+def test_mutual_information_matches_reference(spark, rows):
+    """mutual_information == the definition over observed cells with
+    per-cell HALF-UP micro-nat rounding; MI(X, X) sanity included via
+    generated duplicates."""
+    import math
+    from collections import Counter
+
+    from parkour_spark.operators.validate import mutual_information
+
+    df = spark.createDataFrame(
+        [(str(x), str(y)) for x, y in rows], "x string, y string"
+    )
+    got = mutual_information(df, "x", "y").collect()[0]
+    n = len(rows)
+    cxy = Counter(rows)
+    cx = Counter(x for x, _ in rows)
+    cy = Counter(y for _, y in rows)
+    want = 0
+    for (x, y), c in cxy.items():
+        t = (c / n) * math.log((c * n) / (cx[x] * cy[y])) * 1e6
+        # terms can be negative: HALF-AWAY-FROM-ZERO like both engines
+        want += math.floor(abs(t) + 0.5) * (1 if t >= 0 else -1)
+    assert (got["n"], got["n_cells"], got["mi_micro"]) == (n, len(cxy), want)

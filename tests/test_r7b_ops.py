@@ -229,3 +229,72 @@ def test_streaming_covariance_equals_batch(spark, tmp_path):
         ).collect()
     }
     assert got == want
+
+
+# ------------------------------------------------------------------
+# perceptual dHash
+# ------------------------------------------------------------------
+
+def _ppm(pixels):
+    # pixels: 8 rows x 9 cols of (r, g, b)
+    flat = bytearray()
+    for row in pixels:
+        for (r, g, b) in row:
+            flat += bytes([r, g, b])
+    return b"P6 9 8 255\n" + bytes(flat)
+
+
+def test_dhash64_matches_hand_bits():
+    from parkour_spark.operators.imagecodec import dhash64
+
+    # gray strictly increasing along each row -> every gradient bit 1
+    pixels = [[(c * 20, c * 20, c * 20) for c in range(9)] for _ in range(8)]
+    assert dhash64(_ppm(pixels)) == -1  # all 64 bits set, signed
+    # strictly decreasing -> all bits 0
+    pixels = [[(200 - c * 20,) * 3 for c in range(9)] for _ in range(8)]
+    assert dhash64(_ppm(pixels)) == 0
+
+
+def test_dhash64_stable_under_upscale():
+    from parkour_spark.operators.imagecodec import (
+        dhash64, decode_image, encode_png, resize_bilinear,
+    )
+
+    import numpy as np
+
+    rng = np.random.default_rng(3)
+    img = rng.integers(0, 256, size=(8, 9, 3), dtype=np.uint8)
+    base = _ppm([[tuple(int(v) for v in img[r, c]) for c in range(9)] for r in range(8)])
+    up = encode_png(resize_bilinear(decode_image(base), 36, 32))
+    h0, h1 = dhash64(base), dhash64(up)
+    ham = bin((h0 ^ h1) & (2**64 - 1)).count("1")
+    assert ham <= 8  # perceptually identical content stays close
+
+
+def test_perceptual_dhash_fallback_is_deterministic(spark):
+    from parkour_spark.operators.multimodal import perceptual_dhash
+
+    blobs = spark.createDataFrame(
+        [(1, b"not an image"), (2, b"not an image"), (3, None)],
+        "media_id long, payload binary",
+    )
+    rows = {r.media_id: (r.dhash, r.decodable) for r in perceptual_dhash(blobs).collect()}
+    assert rows[1] == rows[2]  # same bytes, same stand-in hash
+    assert not rows[1][1] and not rows[3][1]
+    assert rows[3][0] is not None
+
+
+def test_dhash_near_dup_finds_planted_and_no_join_in_plan(spark):
+    from parkour_spark.operators.multimodal import dhash_near_dup
+
+    # 0/1 differ in 2 bits; 2 shares a band with nothing within radius
+    h0 = 0x1111_2222_3333_4444
+    h1 = h0 ^ 0b11  # hamming 2
+    h2 = 0x1111_9999_AAAA_CCCC  # shares band 3 (0x1111) with h0/h1, ham >> 8
+    hashes = spark.createDataFrame(
+        [(0, h0), (1, h1), (2, h2)], "media_id long, dhash long"
+    )
+    out = dhash_near_dup(hashes, max_hamming=8, bands=4)
+    assert {(r.id_a, r.id_b, r.hamming) for r in out.collect()} == {(0, 1, 2)}
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    assert "SortMergeJoin" not in plan and "Cartesian" not in plan, plan
