@@ -443,3 +443,48 @@ def dhash_near_dup(
         cand.select("id_a", "id_b", ham.cast("long").alias("hamming"))
         .where(F.col("hamming") <= max_hamming)
     )
+
+
+def audio_fingerprint(df: DataFrame, payload_col: str = "payload") -> DataFrame:
+    """(media_id, afp, decodable) — 64-bit frame-energy fingerprint per
+    audio blob (audiocodec.energy_fingerprint64): the audio analog of
+    `perceptual_dhash`, and `dhash_near_dup` consumes its output
+    unchanged for banded-Hamming audio near-dedup (the band machinery
+    is hash-agnostic). REAL RIFF/WAV PCM decode; non-WAV payloads get
+    the deterministic sha256 stand-in with decodable=false. Arrow-
+    batched over the blob scan — longs leave the scan, blobs never
+    shuffle."""
+    import hashlib
+    import struct
+
+    from parkour_spark.operators import audiocodec as AC
+
+    def one(payload: bytes) -> tuple[int, bool]:
+        if payload is not None and AC.sniff_wav(payload):
+            try:
+                return AC.energy_fingerprint64(payload), True
+            except Exception:
+                pass
+        digest = hashlib.sha256(payload if payload is not None else b"").digest()
+        return struct.unpack(">q", digest[:8])[0], False
+
+    out_schema = T.StructType(
+        [
+            T.StructField("media_id", T.LongType(), False),
+            T.StructField("afp", T.LongType(), True),
+            T.StructField("decodable", T.BooleanType(), False),
+        ]
+    )
+
+    def work(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            fps, flags = [], []
+            for p in pdf[payload_col]:
+                h, ok = one(p)
+                fps.append(h)
+                flags.append(ok)
+            yield pd.DataFrame(
+                {"media_id": pdf["media_id"], "afp": fps, "decodable": flags}
+            )
+
+    return df.mapInPandas(work, schema=out_schema)

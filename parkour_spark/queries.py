@@ -9514,3 +9514,94 @@ def q_multimodal_dhash_neardup(spark, sf_dir):
 
     hashes = perceptual_dhash(_dhash_blobs(spark, sf_dir))
     return dhash_near_dup(hashes, max_hamming=8, bands=4)
+
+
+def _wav_650(mid: int) -> bytes:
+    """Deterministic 650-sample 16-bit mono PCM WAV for media id
+    `mid`: 30 loudness-contour templates (mid % 30) with a 3-level
+    single-sample perturbation (mid // 30 % 3) — the audio analog of
+    `_ppm_9x8`, pure integer arithmetic so the oracle recomputes every
+    frame energy and the packed fingerprint."""
+    import struct as _struct
+
+    t, j = mid % 30, (mid // 30) % 3
+    s = []
+    for k in range(650):
+        u = (t * 7919 + k * 2654435761) % 65536
+        if k == 7:
+            u = (u + j * 20411) % 65536
+        s.append(u - 32768)
+    pcm = _struct.pack("<650h", *s)
+    fmt = _struct.pack("<HHIIHH", 1, 1, 8000, 16000, 2, 16)
+    body = (
+        b"WAVE"
+        + b"fmt " + _struct.pack("<I", len(fmt)) + fmt
+        + b"data" + _struct.pack("<I", len(pcm)) + pcm
+    )
+    return b"RIFF" + _struct.pack("<I", len(body)) + body
+
+
+@query(
+    "multimodal_audio_fingerprint",
+    """
+    WITH ids AS (SELECT doc_id AS media_id, doc_id % 30 AS t,
+                        (doc_id // 30) % 3 AS j
+                 FROM documents),
+    samples AS (
+      SELECT media_id, k.k, k.k // 10 AS f,
+             (CASE WHEN k.k = 7
+                   THEN ((t * 7919 + k.k * 2654435761) % 65536
+                         + j * 20411) % 65536
+                   ELSE (t * 7919 + k.k * 2654435761) % 65536
+              END - 32768) AS s
+      FROM ids, unnest(range(0, 650)) AS k(k)),
+    energies AS (
+      SELECT media_id, f, CAST(sum(s * s) AS BIGINT) AS e
+      FROM samples GROUP BY 1, 2),
+    bits AS (
+      SELECT a.media_id, a.f AS idx,
+             CASE WHEN b.e > a.e THEN 1 ELSE 0 END AS bit
+      FROM energies a JOIN energies b
+        ON a.media_id = b.media_id AND b.f = a.f + 1
+      WHERE a.f < 64),
+    fp AS (
+      SELECT media_id,
+             CAST(sum(CASE WHEN idx = 0 AND bit = 1
+                           THEN -9223372036854775808
+                           WHEN idx > 0
+                           THEN bit * (1::BIGINT << (63 - idx))
+                           ELSE 0 END) AS BIGINT) AS afp
+      FROM bits GROUP BY media_id)
+    SELECT media_id, afp, TRUE AS decodable FROM fp
+    """,
+)
+def q_multimodal_audio_fp(spark, sf_dir):
+    """Audio fingerprinting (multimodal.audio_fingerprint): REAL
+    RIFF/WAV PCM decode → exact integer sample recovery → 65
+    frame-energy cells → 64 delta-sign bits packed signed, Arrow-
+    batched over the blob scan. FFT-free on purpose: the whole path is
+    integer arithmetic, so the oracle recomputes every frame energy
+    from the generating formula — the codec path is hash-verified like
+    `multimodal_dhash`, and `dhash_near_dup` consumes the output
+    unchanged for banded-Hamming audio near-dedup."""
+    import pandas as _pd
+
+    from parkour_spark.operators.multimodal import audio_fingerprint
+
+    docs = _t(spark, sf_dir, "documents").select(
+        F.col("doc_id").alias("media_id")
+    )
+
+    def build(batches):
+        for pdf in batches:
+            yield _pd.DataFrame(
+                {
+                    "media_id": pdf["media_id"],
+                    "payload": [_wav_650(int(m)) for m in pdf["media_id"]],
+                }
+            )
+
+    blobs = SRT.widen_scan(docs).mapInPandas(
+        build, "media_id long, payload binary"
+    )
+    return audio_fingerprint(blobs)

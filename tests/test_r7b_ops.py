@@ -298,3 +298,62 @@ def test_dhash_near_dup_finds_planted_and_no_join_in_plan(spark):
     assert {(r.id_a, r.id_b, r.hamming) for r in out.collect()} == {(0, 1, 2)}
     plan = out._jdf.queryExecution().executedPlan().toString()
     assert "SortMergeJoin" not in plan and "Cartesian" not in plan, plan
+
+
+# ------------------------------------------------------------------
+# audio fingerprint
+# ------------------------------------------------------------------
+
+def _wav(samples, rate=8000):
+    import struct
+
+    pcm = struct.pack(f"<{len(samples)}h", *samples)
+    fmt = struct.pack("<HHIIHH", 1, 1, rate, rate * 2, 2, 16)
+    body = (b"WAVE" + b"fmt " + struct.pack("<I", len(fmt)) + fmt
+            + b"data" + struct.pack("<I", len(pcm)) + pcm)
+    return b"RIFF" + struct.pack("<I", len(body)) + body
+
+
+def test_energy_fingerprint_monotone_contours():
+    from parkour_spark.operators.audiocodec import energy_fingerprint64
+
+    # strictly rising loudness -> every delta bit 1; falling -> 0
+    rising = [((f * 100) + 50) * s for f in range(65) for s in ([1, -1] * 5)]
+    falling = [(6500 - f * 100 + 50) * s for f in range(65) for s in ([1, -1] * 5)]
+    assert energy_fingerprint64(_wav(rising)) == -1
+    assert energy_fingerprint64(_wav(falling)) == 0
+
+
+def test_energy_fingerprint_gain_invariant_ordering():
+    from parkour_spark.operators.audiocodec import energy_fingerprint64
+
+    import numpy as np
+
+    rng = np.random.default_rng(5)
+    base = rng.integers(-8000, 8000, size=650).tolist()
+    doubled = [max(-32768, min(32767, 2 * v)) for v in base]
+    # a clean 2x gain preserves every energy ordering -> same bits
+    assert energy_fingerprint64(_wav(base)) == energy_fingerprint64(_wav(doubled))
+
+
+def test_audio_fingerprint_fallback_and_near_dup_reuse(spark):
+    from parkour_spark.operators.multimodal import audio_fingerprint, dhash_near_dup
+
+    import numpy as np
+
+    rng = np.random.default_rng(9)
+    base = rng.integers(-8000, 8000, size=650).tolist()
+    tweaked = list(base)
+    tweaked[7] += 5  # tiny edit: energies barely move
+    blobs = spark.createDataFrame(
+        [(1, _wav(base)), (2, _wav(tweaked)), (3, b"mp3 junk")],
+        "media_id long, payload binary",
+    )
+    fps = audio_fingerprint(blobs)
+    rows = {r.media_id: (r.afp, r.decodable) for r in fps.collect()}
+    assert rows[1][1] and rows[2][1] and not rows[3][1]
+    pairs = dhash_near_dup(
+        fps.select("media_id", F.col("afp").alias("dhash")),
+        max_hamming=8, bands=4,
+    ).collect()
+    assert {(r.id_a, r.id_b) for r in pairs} == {(1, 2)}
