@@ -9605,3 +9605,54 @@ def q_multimodal_audio_fp(spark, sf_dir):
         build, "media_id long, payload binary"
     )
     return audio_fingerprint(blobs)
+
+
+@query(
+    "component_safe_split_counts",
+    _dedup_groups_oracle(
+        tail="""
+    , comp AS (SELECT n AS doc_id, min(m) AS component FROM reach GROUP BY n),
+    b AS (
+      SELECT doc_id, component,
+             ('0x' || substr(md5(component::VARCHAR), 1, 8))::BIGINT % 100
+               AS bucket
+      FROM comp)
+    SELECT CASE WHEN bucket < 80 THEN 'train'
+                WHEN bucket < 90 THEN 'val' ELSE 'test' END AS split,
+           count(*)::BIGINT AS n_docs,
+           count(DISTINCT component)::BIGINT AS n_components
+    FROM b GROUP BY 1
+    """
+    ),
+)
+def q_component_safe_split(spark, sf_dir):
+    """NEAR-DUP-leakage-safe train/val/test split: the split hash runs
+    on the connected-component id of the MinHash near-dup graph, so a
+    document and ALL its near-duplicates land in the same split —
+    `leakage_safe_split_counts` protects same-SOURCE leakage, this
+    protects same-CONTENT leakage (near-copies straddling train/test
+    inflate eval, the memorization-measurement bug). Singleton docs are
+    their own component, so unaffected rows split exactly like a plain
+    doc-hash split. One CC pass over the pair graph + a scan-side
+    split expression; the oracle replays signatures → bands → verify →
+    recursive closure → the hash split."""
+    from parkour_spark.functions.sampling import split_assign
+
+    docs = _t(spark, sf_dir, "documents")
+    pairs = D.minhash_dedup_pairs(docs, threshold=0.8)
+    from parkour_spark.operators.graph import connected_components
+
+    cc = connected_components(docs.select("doc_id"), pairs, "doc_id")
+    split = split_assign(
+        F.col("component").cast("string"),
+        {"train": 0.8, "val": 0.1, "test": 0.1},
+    )
+    return (
+        cc.select(F.col("n").alias("doc_id"), "component")
+        .select("doc_id", "component", split.alias("split"))
+        .groupBy("split")
+        .agg(
+            F.count("*").cast("long").alias("n_docs"),
+            F.countDistinct("component").cast("long").alias("n_components"),
+        )
+    )

@@ -357,3 +357,34 @@ def test_audio_fingerprint_fallback_and_near_dup_reuse(spark):
         max_hamming=8, bands=4,
     ).collect()
     assert {(r.id_a, r.id_b) for r in pairs} == {(1, 2)}
+
+
+# ------------------------------------------------------------------
+# component-safe split (near-dup leakage)
+# ------------------------------------------------------------------
+
+def test_component_safe_split_keeps_dups_together(spark, sf_dir):
+    from parkour_spark.queries import QUERIES
+    from parkour_spark.operators.dedup import minhash_dedup_pairs
+    from parkour_spark.operators.graph import connected_components
+    from parkour_spark.functions.sampling import split_assign
+    from parkour_spark.dataset import load_table
+
+    docs = load_table(spark, sf_dir, "documents")
+    pairs = minhash_dedup_pairs(docs, threshold=0.8)
+    cc = connected_components(docs.select("doc_id"), pairs, "doc_id")
+    split = split_assign(
+        F.col("component").cast("string"),
+        {"train": 0.8, "val": 0.1, "test": 0.1},
+    )
+    per_comp = (
+        cc.select(F.col("component"), split.alias("split"))
+        .groupBy("component")
+        .agg(F.countDistinct("split").alias("n_splits"))
+        .agg(F.max("n_splits").alias("mx"))
+        .collect()[0]["mx"]
+    )
+    assert per_comp == 1  # no component straddles a split boundary
+    # and the registry entry's totals cover every doc exactly once
+    out = QUERIES["component_safe_split_counts"](spark, sf_dir).collect()
+    assert sum(r.n_docs for r in out) == docs.count()
