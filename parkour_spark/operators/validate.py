@@ -1044,3 +1044,72 @@ def percentile_rank_bp(
     return df.join(
         F.broadcast(ranked), df[col] == ranked["__v"], "left"
     ).drop("__v")
+
+
+def join_size_preflight(
+    df_a: DataFrame, key_a: str, df_b: DataFrame, key_b: str, top_n: int = 5
+) -> DataFrame:
+    """EXACT inner-equi-join output size WITHOUT running the join —
+    the pre-flight a 100 TB pipeline runs before committing shuffle
+    budget: |A ⋈ B| = Σ_k cnt_A(k)·cnt_B(k), computed by joining the
+    two KEY-COUNT tables (key-sized, not row-sized). Returns one row:
+
+      (n_a, n_b, matched_keys, join_rows, max_key_rows, top_keys)
+
+    join_rows is the exact output cardinality; max_key_rows is the
+    largest single key's contribution (the straggler bound — if one
+    key carries most of join_rows, use joins.salted_join);
+    top_keys is the top-`top_n` contributors as 'key:rows' strings.
+
+    SCALE: one partial-agg shuffle per side down to distinct keys, a
+    key-keyed join of the two count tables, and a 1-row aggregate.
+    skew_profile answers "is ONE side skewed"; this answers "what does
+    the JOIN multiply that skew into" — products, not counts, decide
+    the shuffle bill."""
+    ca = df_a.groupBy(F.col(key_a).alias("__k")).agg(
+        F.count("*").alias("__ca")
+    )
+    cb = df_b.groupBy(F.col(key_b).alias("__k")).agg(
+        F.count("*").alias("__cb")
+    )
+    prod = ca.join(cb, "__k").select(
+        "__k", (F.col("__ca") * F.col("__cb")).cast("long").alias("__rows")
+    )
+    tot_a = df_a.agg(F.count("*").cast("long").alias("n_a"))
+    tot_b = df_b.agg(F.count("*").cast("long").alias("n_b"))
+    top = prod.orderBy(F.col("__rows").desc(), F.col("__k")).limit(top_n)
+    # deterministic ordering INSIDE the aggregate: collect_list order
+    # after a shuffle is not contractual, so sort the collected structs
+    # by (rows desc, key) rather than trusting arrival order
+    top_str = top.agg(
+        F.array_join(
+            F.transform(
+                F.array_sort(
+                    F.collect_list(
+                        F.struct(
+                            (-F.col("__rows")).alias("nr"),
+                            F.col("__k").cast("string").alias("k"),
+                            F.col("__rows").alias("r"),
+                        )
+                    )
+                ),
+                lambda s: F.concat_ws(
+                    ":", s["k"], s["r"].cast("string")
+                ),
+            ),
+            ",",
+        ).alias("top_keys")
+    )
+    return (
+        prod.agg(
+            F.count("*").cast("long").alias("matched_keys"),
+            F.coalesce(F.sum("__rows"), F.lit(0)).cast("long").alias("join_rows"),
+            F.coalesce(F.max("__rows"), F.lit(0)).cast("long").alias("max_key_rows"),
+        )
+        .crossJoin(F.broadcast(tot_a))
+        .crossJoin(F.broadcast(tot_b))
+        .crossJoin(F.broadcast(top_str))
+        .select(
+            "n_a", "n_b", "matched_keys", "join_rows", "max_key_rows", "top_keys"
+        )
+    )

@@ -9656,3 +9656,42 @@ def q_component_safe_split(spark, sf_dir):
             F.countDistinct("component").cast("long").alias("n_components"),
         )
     )
+
+
+@query(
+    "join_size_preflight_orders",
+    """
+    WITH ca AS (SELECT o_orderkey AS k, count(*) AS ca
+                FROM orders GROUP BY 1),
+    cb AS (SELECT l_orderkey AS k, count(*) AS cb
+           FROM lineitem GROUP BY 1),
+    prod AS (SELECT ca.k, CAST(ca.ca * cb.cb AS BIGINT) AS rows_
+             FROM ca JOIN cb ON ca.k = cb.k),
+    top AS (SELECT k, rows_ FROM prod
+            ORDER BY rows_ DESC, k LIMIT 5),
+    tops AS (SELECT string_agg(k::VARCHAR || ':' || rows_::VARCHAR, ','
+                               ORDER BY rows_ DESC, k::VARCHAR) AS top_keys
+             FROM top)
+    SELECT (SELECT count(*) FROM orders)::BIGINT AS n_a,
+           (SELECT count(*) FROM lineitem)::BIGINT AS n_b,
+           count(*)::BIGINT AS matched_keys,
+           CAST(coalesce(sum(rows_), 0) AS BIGINT) AS join_rows,
+           CAST(coalesce(max(rows_), 0) AS BIGINT) AS max_key_rows,
+           (SELECT top_keys FROM tops) AS top_keys
+    FROM prod
+    """,
+)
+def q_join_preflight(spark, sf_dir):
+    """Join-size pre-flight (validate.join_size_preflight): the EXACT
+    orders ⋈ lineitem output cardinality from the two key-count tables
+    — Σ_k cnt_A(k)·cnt_B(k) — plus the largest single key's
+    contribution (the straggler bound that decides whether to salt)
+    and the top contributors. skew_profile says whether ONE side is
+    skewed; this says what the JOIN multiplies that skew into, before
+    any row-sized shuffle is spent. Key-sized tables only."""
+    from parkour_spark.operators.validate import join_size_preflight
+
+    return join_size_preflight(
+        _t(spark, sf_dir, "orders"), "o_orderkey",
+        _t(spark, sf_dir, "lineitem"), "l_orderkey",
+    )

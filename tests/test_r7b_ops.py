@@ -388,3 +388,35 @@ def test_component_safe_split_keeps_dups_together(spark, sf_dir):
     # and the registry entry's totals cover every doc exactly once
     out = QUERIES["component_safe_split_counts"](spark, sf_dir).collect()
     assert sum(r.n_docs for r in out) == docs.count()
+
+
+# ------------------------------------------------------------------
+# join-size preflight
+# ------------------------------------------------------------------
+
+def test_join_size_preflight_exact_cardinality(spark):
+    from parkour_spark.operators.validate import join_size_preflight
+
+    a = spark.createDataFrame(
+        [(1,), (1,), (2,), (3,)], "k long"
+    )
+    b = spark.createDataFrame(
+        [(1,), (1,), (1,), (3,), (9,)], "k long"
+    )
+    row = join_size_preflight(a, "k", b, "k").collect()[0]
+    # key 1: 2*3=6, key 3: 1*1=1; key 2/9 unmatched
+    assert (row.n_a, row.n_b) == (4, 5)
+    assert (row.matched_keys, row.join_rows, row.max_key_rows) == (2, 7, 6)
+    assert row.top_keys == "1:6,3:1"
+    # exactness: matches the actual join
+    assert a.join(b, "k").count() == row.join_rows
+
+
+def test_join_size_preflight_disjoint_keys(spark):
+    from parkour_spark.operators.validate import join_size_preflight
+
+    a = spark.createDataFrame([(1,)], "k long")
+    b = spark.createDataFrame([(2,)], "k long")
+    row = join_size_preflight(a, "k", b, "k").collect()[0]
+    assert (row.matched_keys, row.join_rows, row.max_key_rows) == (0, 0, 0)
+    assert row.top_keys == ""
