@@ -94,6 +94,8 @@ COMMENTARY = {
     "clustering_coefficient_dedup": "Local clustering coefficient: the canonical edge table persists once and feeds both the degree aggregate and the oriented wedge join; everything after the edge derivation is node-sized; the lcc ratio is scan-side integer div.",
     "quality_percentile_docs": "Percentile normalization: distinct-score cells + cumulative cell window + BROADCAST join back onto the scan — no global row sort, no row_number (test-asserted).",
     "psi_price_drift": "PSI drift: two histogram-shaped partial-agg scans reduce both slices to ≤20 cells; the spine join, smoothing, and term sum all run on the cell table. No row moves for the comparison.",
+    "multimodal_dhash_neardup": "Banded Hamming near-dup: band keys explode scan-side from the hash longs (4 rows per image), ONE bucket groupBy with in-bucket pair explosion and the occupancy cap — no join operator anywhere (test-asserted); the verify is scan-side bit_count(xor). Blobs never enter the plan at all — only 64-bit hashes.",
+    "join_size_preflight_orders": "Join pre-flight: two partial-agg scans to key-count tables, a key-keyed join of COUNTS (never rows), and 1-row aggregates — the whole plan is key-sized, which is the point.",
 }
 
 HEADER = """# PLANS — physical-plan evidence for the headline operators

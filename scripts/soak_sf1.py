@@ -120,6 +120,17 @@ SOAK_QUERIES = [
     "clustering_coefficient_dedup",
     "negative_sampling_vocab",
     "quality_ndcg_langid",
+    # r7 late batch: the perceptual-hash blob scans (one long per blob
+    # leaves the scan — the claim is linear scan cost at 10× docs; the
+    # banded near-dup is deliberately NOT soaked on the formula corpus,
+    # whose 40-template structure creates 1500-member cliques the
+    # bucket cap correctly drops — boilerplate-clique behavior, see the
+    # operator docstring), and the join-size pre-flight at 10× lineitem
+    # (key-count tables only — the claim is that the pre-flight costs
+    # two partial aggs, not a row shuffle)
+    "multimodal_dhash",
+    "multimodal_audio_fingerprint",
+    "join_size_preflight_orders",
 ]
 
 
@@ -322,11 +333,21 @@ def materialize(spark) -> None:
     )
     big_emb.write.mode("overwrite").parquet(f"{DST}/embeddings.parquet")
 
-    # lineitem: baskets replicate WHOLE (order keys stride-shifted,
-    # part keys unchanged), so per-pair co-occurrence counts scale ×10
-    # while basket sizes — the fanout driver — stay realistic
+    # lineitem + orders: baskets replicate WHOLE (order keys
+    # stride-shifted, part keys unchanged), so per-pair co-occurrence
+    # counts scale ×10 while basket sizes — the fanout driver — stay
+    # realistic. The stride is SHARED between the two tables so the
+    # orders ⋈ lineitem key relation survives replication (the join
+    # pre-flight soaks against it).
     li = spark.read.parquet(f"{SRC}/lineitem.parquet")
-    ok_stride = li.agg(F.max("l_orderkey")).first()[0] + 1
+    orders = spark.read.parquet(f"{SRC}/orders.parquet")
+    ok_stride = (
+        max(
+            li.agg(F.max("l_orderkey")).first()[0],
+            orders.agg(F.max("o_orderkey")).first()[0],
+        )
+        + 1
+    )
     big_li = li.crossJoin(F.broadcast(reps)).select(
         (F.col("l_orderkey") + F.col("rep") * F.lit(ok_stride)).alias(
             "l_orderkey"
@@ -334,6 +355,13 @@ def materialize(spark) -> None:
         *[c for c in li.columns if c != "l_orderkey"],
     )
     big_li.write.mode("overwrite").parquet(f"{DST}/lineitem.parquet")
+    big_orders = orders.crossJoin(F.broadcast(reps)).select(
+        (F.col("o_orderkey") + F.col("rep") * F.lit(ok_stride)).alias(
+            "o_orderkey"
+        ),
+        *[c for c in orders.columns if c != "o_orderkey"],
+    )
+    big_orders.write.mode("overwrite").parquet(f"{DST}/orders.parquet")
 
     # events: 10× rows AND a 10× timeline — each replica's timestamps
     # shift by rep * (span + 1h), so the gap-fill spine (event_type ×
@@ -394,7 +422,7 @@ def main() -> None:
     if (
         any(
             not os.path.exists(f"{DST}/{t}.parquet")
-            for t in ("documents", "embeddings", "events", "lineitem")
+            for t in ("documents", "embeddings", "events", "lineitem", "orders")
         )
         or "--fresh" in sys.argv
     ):
