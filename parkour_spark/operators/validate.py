@@ -1113,3 +1113,102 @@ def join_size_preflight(
             "n_a", "n_b", "matched_keys", "join_rows", "max_key_rows", "top_keys"
         )
     )
+
+
+def quantile_bounds(
+    df: DataFrame, col: str, qs: list[float]
+) -> DataFrame:
+    """1-row exact rank-based quantile values (value at rank ⌈q·n⌉)
+    for a LIST of quantiles — `winsorize_bounds` generalized: same
+    distinct-value-cell reduction, same single cumulative window over
+    the domain-bounded cell table, k picks in one aggregate. Columns
+    are q_<q·100 with dots stripped> (q_25, q_50, q_975). The 1-row
+    result broadcasts — it is the edge artifact equal-frequency
+    binning and robust scaling consume."""
+    from pyspark.sql import Window
+
+    cells = (
+        df.where(F.col(col).isNotNull())
+        .groupBy(F.col(col).alias("__v"))
+        .agg(F.count("*").alias("__c"))
+    )
+    w = Window.orderBy("__v").rowsBetween(Window.unboundedPreceding, 0)
+    cum = cells.withColumn("__cum", F.sum("__c").over(w))
+    tot = cells.agg(F.sum("__c").alias("__n"))
+    picked = cum.crossJoin(F.broadcast(tot))
+
+    def pick(q: float):
+        name = f"q_{str(q * 100).rstrip('0').rstrip('.').replace('.', '_')}"
+        return F.min(
+            F.when(
+                F.col("__cum") >= F.ceil(F.lit(q) * F.col("__n")).cast("long"),
+                F.col("__v"),
+            )
+        ).alias(name)
+
+    return picked.agg(*[pick(q) for q in qs])
+
+
+def equifreq_bins(
+    df: DataFrame, col: str, n_bins: int = 10, out_col: str = "bin"
+) -> DataFrame:
+    """Equal-frequency (quantile) binning: rows annotated with the
+    0-based bin whose exact rank-quantile edges come from
+    `quantile_bounds` — the feature-engineering discretization that
+    stays balanced under any skew (equi-WIDTH histograms collapse on
+    heavy-tailed prices; equi-frequency bins hold ~n/k rows each by
+    construction, up to ties). bin = #edges strictly below the value
+    (edges at q = i/k for i in 1..k−1), so ties share a bin
+    deterministically. One cell-table pass for the edges (broadcast
+    1-row) + a scan-side comparison fold; NULL values get NULL bins."""
+    edges = quantile_bounds(df, col, [i / n_bins for i in range(1, n_bins)])
+    names = edges.columns
+    b = F.lit(0)
+    for name in names:
+        b = b + F.when(F.col(col) > F.col(name), 1).otherwise(0)
+    return (
+        df.crossJoin(F.broadcast(edges))
+        .withColumn(
+            out_col,
+            F.when(F.col(col).isNotNull(), b.cast("int")),
+        )
+        .drop(*names)
+    )
+
+
+def target_encoding(
+    df: DataFrame,
+    key_col: str,
+    target_col: str,
+    m: int = 20,
+) -> DataFrame:
+    """Smoothed target encoding table — the categorical-feature
+    workhorse: enc(k) = (Σ_k target + m·prior) / (cnt_k + m), the
+    Bayesian-average shrinkage that keeps rare categories from
+    memorizing their few labels (m = the pseudo-count weight of the
+    global prior). Returns one row per category: (key, n, sum_micro,
+    enc_micro) with the target accumulated in integer micro-units
+    BEFORE any division (order-independent, engine-exact) and enc in
+    micro-units rounded once at the end.
+
+    SCALE: one partial-agg shuffle to the category table; the global
+    prior is a broadcast 1-row aggregate over it. The result is
+    category-sized — the broadcast artifact a training pipeline joins
+    back onto the scan (leave-one-out per-row variants derive from
+    the same sums: (sum − y_i)/(n − 1 + m) scan-side)."""
+    vm = F.round(F.col(target_col) * 1e6).cast("long")
+    cat = df.groupBy(F.col(key_col).alias("key")).agg(
+        F.count("*").cast("long").alias("n"),
+        F.sum(vm).cast("long").alias("sum_micro"),
+    )
+    tot = cat.agg(
+        F.sum("n").alias("__tn"), F.sum("sum_micro").alias("__ts")
+    )
+    enc = F.round(
+        (F.col("sum_micro") + F.lit(m) * (F.col("__ts") / F.col("__tn")))
+        / (F.col("n") + F.lit(m))
+    ).cast("long")
+    return (
+        cat.crossJoin(F.broadcast(tot))
+        .select("key", "n", "sum_micro", enc.alias("enc_micro"))
+    )

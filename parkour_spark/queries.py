@@ -9695,3 +9695,78 @@ def q_join_preflight(spark, sf_dir):
         _t(spark, sf_dir, "orders"), "o_orderkey",
         _t(spark, sf_dir, "lineitem"), "l_orderkey",
     )
+
+
+@query(
+    "equifreq_price_bins",
+    """
+    WITH cells AS (
+      SELECT o_totalprice AS v, count(*) AS c FROM orders
+      WHERE o_totalprice IS NOT NULL GROUP BY 1),
+    cum AS (
+      SELECT v, sum(c) OVER (ORDER BY v
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum
+      FROM cells),
+    tot AS (SELECT CAST(sum(c) AS BIGINT) AS n FROM cells),
+    edges AS (
+      SELECT t.q,
+             min(CASE WHEN cum >= CAST(ceil(t.q * n / 10.0) AS BIGINT)
+                      THEN v END) AS edge
+      FROM cum, tot, unnest(range(1, 10)) AS t(q)
+      GROUP BY 1),
+    binned AS (
+      SELECT o_orderkey,
+             (SELECT count(*) FROM edges
+              WHERE o_totalprice > edge)::INT AS bin
+      FROM orders WHERE o_totalprice IS NOT NULL)
+    SELECT bin, count(*)::BIGINT AS n_rows
+    FROM binned GROUP BY bin
+    """,
+)
+def q_equifreq_bins(spark, sf_dir):
+    """Equal-frequency price binning (validate.equifreq_bins /
+    quantile_bounds): exact rank-quantile decile edges from the
+    distinct-value cell table (one cumulative cell window — the
+    winsorize_bounds machinery generalized to k picks in one
+    aggregate), broadcast as a 1-row artifact, then a scan-side
+    comparison fold assigns bins. Equi-WIDTH histograms collapse on
+    heavy-tailed prices; these bins hold ~n/10 rows each by
+    construction. Output: per-bin counts (the balance check)."""
+    from parkour_spark.operators.validate import equifreq_bins
+
+    orders = _t(spark, sf_dir, "orders")
+    return (
+        equifreq_bins(orders, "o_totalprice", 10)
+        .groupBy("bin")
+        .agg(F.count("*").cast("long").alias("n_rows"))
+    )
+
+
+@query(
+    "target_encoding_event_value",
+    """
+    WITH cat AS (
+      SELECT event_type AS key, count(*)::BIGINT AS n,
+             CAST(sum(CAST(round(value * 1000000) AS BIGINT)) AS BIGINT)
+               AS sum_micro
+      FROM events GROUP BY 1),
+    tot AS (SELECT CAST(sum(n) AS BIGINT) AS tn,
+                   CAST(sum(sum_micro) AS BIGINT) AS ts
+            FROM cat)
+    SELECT key, n, sum_micro,
+           CAST(round((sum_micro + 20 * (ts / CAST(tn AS DOUBLE)))
+                      / (n + 20)) AS BIGINT) AS enc_micro
+    FROM cat, tot
+    """,
+)
+def q_target_encoding(spark, sf_dir):
+    """Smoothed target-encoding table (validate.target_encoding):
+    enc(type) = (Σ value + m·prior)/(n + m), m = 20 — the Bayesian-
+    average shrinkage that stops rare categories from memorizing their
+    few labels. Targets accumulate in integer micro-units BEFORE any
+    division; one partial-agg shuffle to the category table, the prior
+    a broadcast 1-row aggregate over it; the category-sized result is
+    the broadcast artifact training joins back onto the scan."""
+    from parkour_spark.operators.validate import target_encoding
+
+    return target_encoding(_t(spark, sf_dir, "events"), "event_type", "value", 20)

@@ -420,3 +420,51 @@ def test_join_size_preflight_disjoint_keys(spark):
     row = join_size_preflight(a, "k", b, "k").collect()[0]
     assert (row.matched_keys, row.join_rows, row.max_key_rows) == (0, 0, 0)
     assert row.top_keys == ""
+
+
+# ------------------------------------------------------------------
+# equal-frequency binning + target encoding
+# ------------------------------------------------------------------
+
+def test_quantile_bounds_and_equifreq_bins(spark):
+    from parkour_spark.operators.validate import equifreq_bins, quantile_bounds
+
+    df = spark.createDataFrame([(float(i),) for i in range(1, 101)], "v double")
+    row = quantile_bounds(df, "v", [0.25, 0.5, 0.975]).collect()[0]
+    assert (row["q_25"], row["q_50"], row["q_97_5"]) == (25.0, 50.0, 98.0)
+    out = equifreq_bins(df, "v", 4)
+    counts = {
+        r.bin: r.n for r in
+        out.groupBy("bin").agg(F.count("*").alias("n")).collect()
+    }
+    assert counts == {0: 25, 1: 25, 2: 25, 3: 25}
+
+
+def test_equifreq_bins_ties_share_a_bin_and_nulls_pass(spark):
+    from parkour_spark.operators.validate import equifreq_bins
+
+    df = spark.createDataFrame(
+        [(1.0,)] * 90 + [(2.0,)] * 10 + [(None,)], "v double"
+    )
+    rows = equifreq_bins(df, "v", 10).collect()
+    bins = {r.v: r.bin for r in rows}
+    assert bins[1.0] == 0 and bins[2.0] == 9 and bins[None] is None
+
+
+def test_target_encoding_shrinks_rare_categories(spark):
+    from parkour_spark.operators.validate import target_encoding
+
+    rows = [("common", 10.0)] * 100 + [("rare", 1000.0)]
+    df = spark.createDataFrame(rows, "k string, v double")
+    out = {r.key: r for r in target_encoding(df, "k", "v", m=20).collect()}
+    prior = (100 * 10_000_000 + 1_000_000_000) / 101
+    want_rare = round((1_000_000_000 + 20 * prior) / 21)
+    want_common = round((1_000_000_000 + 20 * prior) / 120)
+    assert out["rare"].enc_micro == want_rare
+    assert out["common"].enc_micro == want_common
+    # shrinkage pulls BOTH toward the prior, the rare one much harder:
+    # rare moves ~68% of the way from its raw mean to the prior, the
+    # common one ~17%
+    raw_rare, raw_common = 1_000_000_000, 10_000_000
+    assert abs(out["rare"].enc_micro - prior) < abs(raw_rare - prior) / 2
+    assert abs(out["common"].enc_micro - raw_common) < abs(prior - raw_common) / 4

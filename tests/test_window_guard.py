@@ -48,6 +48,9 @@ ALLOWED = {
         "ranks the whole input BY CONTRACT (the average_precision "
         "eval-slice contract, stated in its docstring); corpus-scale "
         "ranking quality is auc_rank_sum's job",
+    ("operators/validate.py", "quantile_bounds"):
+        "k rank picks over DISTINCT-VALUE (value, cnt) cells — "
+        "domain-bounded; the winsorize_bounds machinery generalized",
     ("operators/validate.py", "percentile_rank_bp"):
         "cumulative count over DISTINCT-VALUE (value, cnt) cells — "
         "domain-bounded for the quantized/integer scores the "
