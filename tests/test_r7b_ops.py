@@ -468,3 +468,60 @@ def test_target_encoding_shrinks_rare_categories(spark):
     raw_rare, raw_common = 1_000_000_000, 10_000_000
     assert abs(out["rare"].enc_micro - prior) < abs(raw_rare - prior) / 2
     assert abs(out["common"].enc_micro - raw_common) < abs(prior - raw_common) / 4
+
+
+# ------------------------------------------------------------------
+# minhash index append
+# ------------------------------------------------------------------
+
+def test_minhash_index_append_equals_combined_build(spark, tmp_path):
+    from parkour_spark.operators.dedup import (
+        minhash_index_append, minhash_index_build,
+    )
+
+    texts = [
+        (i, f"doc number {i} about spark shuffles and partitions topic {i % 4}")
+        for i in range(30)
+    ]
+    docs = spark.createDataFrame(texts, "doc_id long, text string")
+    a = docs.where(F.col("doc_id") < 20)
+    b = docs.where(F.col("doc_id") >= 20)
+
+    p_inc = str(tmp_path / "inc")
+    minhash_index_build(a, p_inc, max_bucket=200)
+    minhash_index_append(b, p_inc, max_bucket=200)
+    p_full = str(tmp_path / "full")
+    minhash_index_build(docs, p_full, max_bucket=200)
+
+    for table in ("sigs", "bands"):
+        inc = sorted(
+            map(tuple, spark.read.parquet(f"{p_inc}/{table}").collect())
+        )
+        full = sorted(
+            map(tuple, spark.read.parquet(f"{p_full}/{table}").collect())
+        )
+        assert inc == full, table
+
+
+def test_minhash_index_append_reapplies_cap_globally(spark, tmp_path):
+    from parkour_spark.operators.dedup import (
+        minhash_index_append, minhash_index_build,
+    )
+
+    # identical texts share every band key; cap=3: ok at 3 members,
+    # overfull (dropped) once the append pushes membership to 5
+    same = "exactly the same boilerplate text shared by every document here"
+    a = spark.createDataFrame(
+        [(i, same) for i in range(3)], "doc_id long, text string"
+    )
+    b = spark.createDataFrame(
+        [(i, same) for i in range(3, 5)], "doc_id long, text string"
+    )
+    path = str(tmp_path / "cap")
+    minhash_index_build(a, path, max_bucket=3)
+    assert spark.read.parquet(f"{path}/bands").count() > 0
+    minhash_index_append(b, path, max_bucket=3)
+    # all five docs share the buckets -> every bucket now overfull
+    assert spark.read.parquet(f"{path}/bands").count() == 0
+    # the signatures themselves are all retained
+    assert spark.read.parquet(f"{path}/sigs").count() == 5
