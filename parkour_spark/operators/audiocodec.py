@@ -129,6 +129,11 @@ def energy_fingerprint64(payload: bytes, frames: int = 65) -> int:
     signed 64-bit int. Two clips with the same loudness CONTOUR match
     within a few Hamming bits regardless of absolute gain steps that
     preserve ordering."""
+    if not (2 <= frames <= 65):
+        raise ValueError(
+            f"energy_fingerprint64: frames must be in [2, 65] (the hash "
+            f"packs frames-1 <= 64 bits), got {frames}"
+        )
     x, _rate = decode_wav(payload)
     s = np.rint(x[:, 0] * 32768.0).astype(np.int64)
     per = len(s) // frames

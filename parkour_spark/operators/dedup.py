@@ -1637,7 +1637,12 @@ def minhash_index_append(
     cheaper but WRONG: the build-time bucket cap is a property of a
     band key's FULL membership, and a batch can push a previously-ok
     bucket over the cap — the rebuild re-applies the cap globally so
-    no probe can ever fan out past it, exactly as build guarantees."""
+    no probe can ever fan out past it, exactly as build guarantees.
+
+    Contract: batch ids must be DISJOINT from the index's (appending a
+    duplicate id double-counts its bands against the cap and yields
+    duplicate signature rows) — the same new-ids contract every delta
+    operator in this module carries."""
     spark = new_df.sparkSession
     sig = minhash_signature(new_df, text_col, id_col, num_hashes, ngram_n)
     sig.select(

@@ -384,6 +384,10 @@ def dhash_near_dup(
     bucket shuffle with the df-cap analog (`max_bucket` drops
     degenerate buckets — e.g. the all-zero band of flat images), and
     the verify join moves only candidate hash pairs."""
+    if bands <= 0 or 64 % bands != 0:
+        raise ValueError(
+            f"dhash_near_dup: bands must divide 64, got {bands}"
+        )
     width = 64 // bands
     mask = (1 << width) - 1
     bexpr = F.array(

@@ -117,7 +117,9 @@ def pca_components(
     import numpy as np
 
     rows = covariance_cells(df, vec_col, scale).collect()
-    n = next(r.s for r in rows if r.i == -1 and r.j == -1)
+    # empty input yields an empty cell table; a bare next() would raise
+    # an opaque StopIteration (the fit_linear ADVICE class)
+    n = next((r.s for r in rows if r.i == -1 and r.j == -1), 0)
     if n < 2:
         raise ValueError("pca_components: need at least 2 rows")
     d = max(r.i for r in rows) + 1

@@ -940,14 +940,24 @@ def ndcg_at_k(
         .cast("long")
         .alias("dcg_micro"),
     )
+    # n_pos = 0 guard: Spark's sequence(1, 0) generates the DESCENDING
+    # [1, 0], whose r = 0 term divides by log2(1) = 0 — so the
+    # zero-positive case must short-circuit to NULL (nDCG is undefined
+    # with no relevant items; the SQL oracle's empty range() sums to
+    # NULL the same way)
     ideal = agg.select(
         "n",
         "n_pos",
         "dcg_micro",
-        F.aggregate(
-            F.sequence(F.lit(1), F.least(F.lit(k), F.col("n_pos")).cast("int")),
-            F.lit(0).cast("long"),
-            lambda acc, r: acc + gain(r),
+        F.when(
+            F.col("n_pos") > 0,
+            F.aggregate(
+                F.sequence(
+                    F.lit(1), F.least(F.lit(k), F.col("n_pos")).cast("int")
+                ),
+                F.lit(0).cast("long"),
+                lambda acc, r: acc + gain(r),
+            ),
         ).alias("idcg_micro"),
     )
     return ideal.select(
@@ -1029,6 +1039,11 @@ def percentile_rank_bp(
     percentile."""
     from pyspark.sql import Window
 
+    if out_col in df.columns:
+        raise ValueError(
+            f"percentile_rank_bp: output column {out_col!r} already "
+            "exists on the input"
+        )
     cells = (
         df.where(F.col(col).isNotNull())
         .groupBy(F.col(col).alias("__v"))
@@ -1127,6 +1142,12 @@ def quantile_bounds(
     binning and robust scaling consume."""
     from pyspark.sql import Window
 
+    if not qs:
+        raise ValueError("quantile_bounds: qs must be non-empty")
+    if len(set(qs)) != len(qs) or any(not (0 < q <= 1) for q in qs):
+        raise ValueError(
+            f"quantile_bounds: qs must be distinct values in (0, 1]: {qs}"
+        )
     cells = (
         df.where(F.col(col).isNotNull())
         .groupBy(F.col(col).alias("__v"))
@@ -1161,6 +1182,8 @@ def equifreq_bins(
     (edges at q = i/k for i in 1..k−1), so ties share a bin
     deterministically. One cell-table pass for the edges (broadcast
     1-row) + a scan-side comparison fold; NULL values get NULL bins."""
+    if n_bins < 2:
+        raise ValueError("equifreq_bins: n_bins must be >= 2")
     edges = quantile_bounds(df, col, [i / n_bins for i in range(1, n_bins)])
     names = edges.columns
     b = F.lit(0)

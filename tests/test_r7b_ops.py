@@ -525,3 +525,64 @@ def test_minhash_index_append_reapplies_cap_globally(spark, tmp_path):
     assert spark.read.parquet(f"{path}/bands").count() == 0
     # the signatures themselves are all retained
     assert spark.read.parquet(f"{path}/sigs").count() == 5
+
+
+# ------------------------------------------------------------------
+# round-7 self-review edge guards
+# ------------------------------------------------------------------
+
+def test_ndcg_no_positives_yields_null_not_div_by_zero(spark):
+    from parkour_spark.operators.validate import ndcg_at_k
+
+    df = spark.createDataFrame(
+        [(i, 10 - i, False) for i in range(5)], "id long, s long, y boolean"
+    )
+    r = ndcg_at_k(df, "s", "y", "id", k=3).collect()[0]
+    # Spark's sequence(1, 0) is the DESCENDING [1, 0]; without the
+    # guard the r=0 term divides by log2(1) = 0
+    assert r["n_pos"] == 0
+    assert r["idcg_micro"] is None and r["ndcg"] is None
+    assert r["dcg_micro"] == 0
+
+
+def test_pca_components_empty_raises_clearly(spark):
+    from parkour_spark.operators.pca import pca_components
+
+    df = spark.createDataFrame([], "vec_id long, embedding array<float>")
+    with pytest.raises(ValueError, match="at least 2 rows"):
+        pca_components(df, "embedding")
+
+
+def test_quantile_bounds_rejects_bad_qs(spark):
+    from parkour_spark.operators.validate import equifreq_bins, quantile_bounds
+
+    df = spark.createDataFrame([(1.0,)], "v double")
+    with pytest.raises(ValueError, match="non-empty"):
+        quantile_bounds(df, "v", [])
+    with pytest.raises(ValueError, match="distinct"):
+        quantile_bounds(df, "v", [0.5, 0.5])
+    with pytest.raises(ValueError, match="n_bins"):
+        equifreq_bins(df, "v", 1)
+
+
+def test_percentile_rank_bp_rejects_column_clash(spark):
+    from parkour_spark.operators.validate import percentile_rank_bp
+
+    df = spark.createDataFrame([(1, 2)], "s long, percentile_bp long")
+    with pytest.raises(ValueError, match="already"):
+        percentile_rank_bp(df, "s")
+
+
+def test_dhash_near_dup_rejects_non_divisor_bands(spark):
+    from parkour_spark.operators.multimodal import dhash_near_dup
+
+    hashes = spark.createDataFrame([(1, 7)], "media_id long, dhash long")
+    with pytest.raises(ValueError, match="divide 64"):
+        dhash_near_dup(hashes, bands=5)
+
+
+def test_energy_fingerprint_rejects_bad_frames():
+    from parkour_spark.operators.audiocodec import energy_fingerprint64
+
+    with pytest.raises(ValueError, match="frames"):
+        energy_fingerprint64(b"RIFF", frames=100)
