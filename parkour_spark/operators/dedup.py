@@ -1580,7 +1580,53 @@ def minhash_index_build(
         F.col(id_col),
         F.array(*[F.col(f"sig_{i}") for i in range(num_hashes)]).alias("sigs"),
     ).write.mode("overwrite").parquet(path + "/sigs")
+    _write_index_meta(spark, path, num_hashes, bands, ngram_n, max_bucket)
     _write_band_index(spark, path, id_col, num_hashes, bands, max_bucket)
+
+
+_INDEX_META_SCHEMA = (
+    "num_hashes int, bands int, ngram_n int, max_bucket int"
+)
+
+
+def _write_index_meta(
+    spark, path: str, num_hashes: int, bands: int, ngram_n: int,
+    max_bucket: int,
+) -> None:
+    """Persist the index's build parameters as a 1-row parquet under
+    `path`/meta — the hash family (num_hashes, ngram_n) and band layout
+    (bands, max_bucket) are properties of the STORED bytes, so append
+    and probe must use the same values or read garbage."""
+    spark.createDataFrame(
+        [(num_hashes, bands, ngram_n, max_bucket)], _INDEX_META_SCHEMA
+    ).coalesce(1).write.mode("overwrite").parquet(path + "/meta")
+
+
+def _check_index_meta(
+    spark, path: str, num_hashes: int, bands: int, ngram_n: int,
+    max_bucket: int | None,
+) -> None:
+    """Raise if the caller's parameters disagree with the persisted
+    build parameters (r7 ADVICE: a mismatched append writes signature
+    rows of a different length/hash family and silently corrupts the
+    band table, breaking append(B) ≡ build(A∪B)). max_bucket=None
+    skips that field (probe does not apply the cap). Indexes written
+    before meta/ existed skip the check — they carry no record to
+    check against."""
+    try:
+        row = spark.read.parquet(path + "/meta").collect()[0]
+    except Exception:
+        return  # pre-meta index: nothing recorded to validate against
+    got = {"num_hashes": num_hashes, "bands": bands, "ngram_n": ngram_n}
+    if max_bucket is not None:
+        got["max_bucket"] = max_bucket
+    bad = {k: (row[k], v) for k, v in got.items() if row[k] != v}
+    if bad:
+        detail = ", ".join(
+            f"{k}: index built with {b} but called with {c}"
+            for k, (b, c) in sorted(bad.items())
+        )
+        raise ValueError(f"minhash index parameter mismatch — {detail}")
 
 
 def _write_band_index(
@@ -1642,8 +1688,12 @@ def minhash_index_append(
     Contract: batch ids must be DISJOINT from the index's (appending a
     duplicate id double-counts its bands against the cap and yields
     duplicate signature rows) — the same new-ids contract every delta
-    operator in this module carries."""
+    operator in this module carries. Parameters are validated against
+    the persisted build parameters (`meta/`) — a mismatched hash
+    family or band layout raises instead of silently corrupting the
+    index (r7 ADVICE)."""
     spark = new_df.sparkSession
+    _check_index_meta(spark, path, num_hashes, bands, ngram_n, max_bucket)
     sig = minhash_signature(new_df, text_col, id_col, num_hashes, ngram_n)
     sig.select(
         F.col(id_col),
@@ -1683,9 +1733,15 @@ def minhash_probe_delta(
     Cache lifetime (r6 ADVICE): the batch-signature persist (batch-
     sized by definition) backs the lazily-returned verify join — the
     CALLER owns the blocks; clearCache() between unrelated calls in a
-    long-lived ingest session."""
+    long-lived ingest session.
+
+    Parameters are validated against the persisted build parameters
+    (`meta/`; max_bucket excluded — the cap is applied at build, not
+    probe) — a mismatched hash family raises instead of silently
+    probing with the wrong signature length (r7 ADVICE)."""
     import math
 
+    _check_index_meta(spark, index_path, num_hashes, bands, ngram_n, None)
     min_matches = math.ceil(threshold * num_hashes - 1e-9)
     sig_new = minhash_signature(new_df, text_col, id_col, num_hashes, ngram_n)
     sigs_a = sig_new.select(

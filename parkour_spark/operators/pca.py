@@ -57,8 +57,10 @@ def covariance_cells(
       - (-1, -1)      : s = n                (row count)
 
     From these, mean/covariance/correlation are driver-side arithmetic:
-    cov_ij = (s_ij − s_i·s_j/n) / (n·scale²) up to the quantization
-    step — see `pca_components`.
+    sample covariance cov_ij = (s_ij − s_i·s_j/n) / ((n−1)·scale²) up
+    to the quantization step — see `pca_components` (which uses the
+    conventional n−1 normalizer; divide by n·scale² instead for the
+    population form).
 
     SCALE: ONE scan. Each Arrow batch collapses to d(d+1)/2 + d + 1
     cells via a NumPy int64 matmul inside `mapInPandas`; the only

@@ -988,12 +988,19 @@ def mutual_information(df: DataFrame, x_col: str, y_col: str) -> DataFrame:
     SCALE: one partial-agg shuffle to the (x, y) contingency cells;
     the margins are two aggregates OVER THE CELL TABLE (broadcast
     back); nothing after the first groupBy touches a raw row. NULL
-    categories count as regular values via groupBy semantics."""
+    categories count as regular values: groupBy keeps a NULL cell,
+    and the margin joins are NULL-SAFE equality (a plain equi-join
+    would silently drop NULL-keyed cells while n still counted their
+    rows — r7 ADVICE)."""
     cells = df.groupBy(
         F.col(x_col).alias("__x"), F.col(y_col).alias("__y")
     ).agg(F.count("*").alias("__c"))
-    mx = cells.groupBy("__x").agg(F.sum("__c").alias("__cx"))
-    my = cells.groupBy("__y").agg(F.sum("__c").alias("__cy"))
+    mx = cells.groupBy(F.col("__x").alias("__mxk")).agg(
+        F.sum("__c").alias("__cx")
+    )
+    my = cells.groupBy(F.col("__y").alias("__myk")).agg(
+        F.sum("__c").alias("__cy")
+    )
     tot = cells.agg(F.sum("__c").cast("long").alias("__n"))
     term = F.round(
         (F.col("__c") / F.col("__n"))
@@ -1004,8 +1011,10 @@ def mutual_information(df: DataFrame, x_col: str, y_col: str) -> DataFrame:
         * 1e6
     ).cast("long")
     return (
-        cells.join(F.broadcast(mx), "__x")
-        .join(F.broadcast(my), "__y")
+        cells.join(
+            F.broadcast(mx), F.col("__x").eqNullSafe(F.col("__mxk"))
+        )
+        .join(F.broadcast(my), F.col("__y").eqNullSafe(F.col("__myk")))
         .crossJoin(F.broadcast(tot))
         .agg(
             F.max("__n").alias("n"),

@@ -9386,6 +9386,101 @@ def q_streaming_covariance(spark, sf_dir):
     return streaming_covariance_cells(spark, tmp, schema, "embedding")
 
 
+def _mg_replay_sql(n_slices: int, k: int, emit_top: int) -> str:
+    """Unroll the streaming Misra-Gries fold as DuckDB CTE stages — one
+    (sum ∪ batch → rank → subtract (k+1)-th largest → keep positive)
+    block per replay slice, emitting each slice's top `emit_top` for
+    the groups PRESENT in that slice (the state op only fires for
+    groups the trigger delivered). Exactly replayable because the
+    operator's fold is a pure function of each batch's multiset and
+    the (ts, event_id) total order pins the slice assignment."""
+    nine = k + 1
+    stages, emits = [], []
+    prev = (
+        "s0 AS (SELECT NULL::VARCHAR AS g, NULL::VARCHAR AS key,"
+        " NULL::BIGINT AS c WHERE false)"
+    )
+    stages.append(prev)
+    for t in range(1, n_slices + 1):
+        stages.append(
+            f"""
+    b{t} AS (SELECT g, key, count(*)::BIGINT AS c
+             FROM sliced WHERE t = {t} GROUP BY 1, 2),
+    p{t} AS (SELECT g, key, sum(c)::BIGINT AS c FROM (
+               SELECT g, key, c FROM s{t - 1}
+               UNION ALL SELECT g, key, c FROM b{t}) GROUP BY 1, 2),
+    r{t} AS (SELECT g, key, c, row_number() OVER (
+               PARTITION BY g ORDER BY c DESC, key) AS rk FROM p{t}),
+    c{t} AS (SELECT g, coalesce(max(CASE WHEN rk = {nine} THEN c END),
+                                0)::BIGINT AS cut
+             FROM r{t} GROUP BY g),
+    s{t} AS (SELECT r{t}.g, r{t}.key, (r{t}.c - cut)::BIGINT AS c
+             FROM r{t} JOIN c{t} ON r{t}.g = c{t}.g
+             WHERE r{t}.c - cut > 0),
+    n{t} AS (SELECT g, count(*)::BIGINT AS n
+             FROM sliced WHERE t <= {t} GROUP BY 1),
+    e{t} AS (SELECT s{t}.g, s{t}.key, s{t}.c AS cnt_lb, n{t}.n,
+                    row_number() OVER (PARTITION BY s{t}.g
+                                       ORDER BY s{t}.c DESC, s{t}.key)
+                      AS rk
+             FROM s{t} JOIN n{t} ON s{t}.g = n{t}.g
+             WHERE s{t}.g IN (SELECT g FROM b{t}))"""
+        )
+        emits.append(
+            f"SELECT g AS event_type, key, cnt_lb, n FROM e{t}"
+            f" WHERE rk <= {emit_top}"
+        )
+    return (
+        """
+    WITH sliced AS (
+      SELECT event_type AS g, user_id::VARCHAR AS key,
+             ntile("""
+        + str(n_slices)
+        + """) OVER (ORDER BY ts, event_id) AS t
+      FROM events),
+    """
+        + ",".join(stages)
+        + "\n    "
+        + "\n    UNION ALL ".join(emits)
+    )
+
+
+@query("streaming_heavy_hitters", _mg_replay_sql(4, 8, 5))
+def q_streaming_heavy_hitters(spark, sf_dir):
+    """Stateful streaming heavy hitters
+    (streaming.windows.streaming_heavy_hitters): one mergeable
+    Misra-Gries(8) summary per event_type maintained across 4
+    time-ordered micro-batches (applyInPandasWithState — fixed-size
+    state on an unbounded stream), each trigger emitting its groups'
+    top-5 candidates with MG lower-bound counts. A streaming entry
+    with a FULL SQL oracle over the complete emission TRACE: the fold
+    is decrement-once-per-batch (a pure function of each batch's
+    multiset — chunk/row-order independent), the (ts, event_id) total
+    replay order pins the slice assignment, and the oracle unrolls the
+    identical fold per slice (r6/r7 verdict: the batch
+    `mg_heavy_tokens` sibling's oracle promotion, completed)."""
+    import tempfile
+
+    from parkour_spark.streaming.windows import (
+        read_stream,
+        run_to_completion,
+        streaming_heavy_hitters,
+        write_time_ordered_replay,
+    )
+
+    ev = _t(spark, sf_dir, "events").select(
+        "event_id", "ts", "event_type", "user_id"
+    )
+    tmp = tempfile.mkdtemp(prefix="parkour_stream_hh_")
+    write_time_ordered_replay(ev, ["ts", "event_id"], tmp, n_slices=4)
+    schema = spark.read.parquet(tmp).schema
+    stream = read_stream(spark, tmp, schema, max_files=1)
+    hh = streaming_heavy_hitters(
+        stream, "event_type", "user_id", k=8, emit_top=5
+    )
+    return run_to_completion(hh, output_mode="update")
+
+
 def _ppm_9x8(mid: int) -> bytes:
     """Deterministic 9×8 P6 test image for media id `mid`: 40 base
     templates (mid % 40) with a 3-level single-pixel perturbation
@@ -9677,7 +9772,7 @@ def q_component_safe_split(spark, sf_dir):
            count(*)::BIGINT AS matched_keys,
            CAST(coalesce(sum(rows_), 0) AS BIGINT) AS join_rows,
            CAST(coalesce(max(rows_), 0) AS BIGINT) AS max_key_rows,
-           (SELECT top_keys FROM tops) AS top_keys
+           coalesce((SELECT top_keys FROM tops), '') AS top_keys
     FROM prod
     """,
 )
