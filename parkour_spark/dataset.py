@@ -96,6 +96,17 @@ class Dataset:
             metrics=dict(obs.get),
         )
 
+    # -- SQL surface -------------------------------------------------------
+    def view(self, name: str) -> str:
+        """Register this dataset as a temp view so USER datasets — not
+        just the pre-registered test tables — are addressable from
+        `spark.sql(...)` (r7 verdict #7: the SQL surface as a user
+        affordance). A view is pure metadata: scans, pushdown, and
+        partition pruning are identical to the DataFrame path. Returns
+        `name` so it can be used inline in the SQL string."""
+        self.read().createOrReplaceTempView(name)
+        return name
+
     # -- constructors ------------------------------------------------------
     @staticmethod
     def from_df(df: DataFrame) -> "Dataset":

@@ -1009,6 +1009,82 @@ def q_sql_correlated(spark, sf_dir):
     return spark.sql(_SQL_CORRELATED)
 
 
+_SQL_WINDOW_TOPK = """
+    SELECT c_mktsegment, c_custkey, c_acctbal, rk FROM (
+      SELECT c_mktsegment, c_custkey, c_acctbal,
+             CAST(row_number() OVER (PARTITION BY c_mktsegment
+                                     ORDER BY c_acctbal DESC, c_custkey)
+                  AS BIGINT) AS rk
+      FROM customer) t
+    WHERE rk <= 3
+"""
+
+
+@query("sql_window_topk", _SQL_WINDOW_TOPK)
+def q_sql_window_topk(spark, sf_dir):
+    """Identical-ANSI window function through the USER SQL affordance
+    (Pipeline.sql — r7 verdict #7): the pipeline's own DataFrame is
+    registered as the view the SQL names, and the SAME string runs on
+    DuckDB. Partitioned rank (no global window), total-order
+    tie-break, BIGINT-cast rank per the oracle-determinism rules."""
+    from parkour_spark.plans.pipeline import Pipeline
+
+    return (
+        Pipeline.input(_t(spark, sf_dir, "customer"))
+        .sql(_SQL_WINDOW_TOPK, name="customer")
+        .df
+    )
+
+
+_SQL_GROUPING_SETS = """
+    SELECT coalesce(o_orderpriority, 'ALL') AS priority,
+           coalesce(o_orderstatus, 'ALL') AS status,
+           count(*) AS n,
+           CAST(sum(CAST(round(o_totalprice * 100) AS BIGINT)) AS BIGINT)
+             AS total_cents
+    FROM orders
+    GROUP BY GROUPING SETS ((o_orderpriority, o_orderstatus),
+                            (o_orderpriority), ())
+"""
+
+
+@query("sql_grouping_sets", _SQL_GROUPING_SETS)
+def q_sql_grouping_sets(spark, sf_dir):
+    """Identical-ANSI GROUPING SETS through the USER SQL affordance
+    (Dataset.view — r7 verdict #7): a path-backed user Dataset becomes
+    SQL-addressable with one call, and the SAME string (multi-grain
+    rollup in one shuffle via Catalyst's Expand) runs on DuckDB.
+    Integer cents per the oracle-determinism rules; both columns are
+    non-null so the coalesce labels are unambiguous."""
+    from parkour_spark.dataset import Dataset
+
+    Dataset(spark, path=f"{sf_dir}/orders.parquet").view("orders")
+    return spark.sql(_SQL_GROUPING_SETS)
+
+
+_SQL_RUNNING_TOTAL = """
+    SELECT user_id, event_id,
+           CAST(sum(CAST(floor(value) AS BIGINT)) OVER (
+             PARTITION BY user_id ORDER BY ts, event_id
+             ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+             AS BIGINT) AS running_floor_value
+    FROM events
+"""
+
+
+@query("sql_running_total", _SQL_RUNNING_TOTAL)
+def q_sql_running_total(spark, sf_dir):
+    """Identical-ANSI running-total window frame (register_views +
+    spark.sql): per-user cumulative sum with an explicit ROWS frame and
+    a (ts, event_id) total order — integer-exact (floored values) so
+    the cumulative sums hash identically on both engines. Partitioned
+    by user_id: no global window, scales with the user dimension."""
+    from parkour_spark.dataset import register_views
+
+    register_views(spark, sf_dir, ("events",))
+    return spark.sql(_SQL_RUNNING_TOTAL)
+
+
 @query(
     "approx_user_counts",
     """

@@ -123,3 +123,58 @@ def test_minhash_legacy_index_without_meta_skips_check(spark, tmp_path):
     minhash_index_append(batch, str(idx))
     n = spark.read.parquet(str(idx / "sigs")).count()
     assert n == 3
+
+
+# ------------------------------------------------------------------
+# SQL surface as a user affordance (r7 verdict #7)
+# ------------------------------------------------------------------
+
+def test_dataset_view_makes_user_data_sql_addressable(spark, tmp_path):
+    from parkour_spark.dataset import Dataset
+
+    df = spark.createDataFrame(
+        [(1, "a"), (2, "b"), (3, "a")], "id long, grp string"
+    )
+    ds = Dataset(spark, str(tmp_path / "t")).write(df)
+    name = ds.view("user_table")
+    assert name == "user_table"
+    got = spark.sql(
+        "SELECT grp, count(*) AS n FROM user_table GROUP BY grp"
+    ).collect()
+    assert {(r.grp, r.n) for r in got} == {("a", 2), ("b", 1)}
+
+
+def test_pipeline_sql_stage_with_keyword_views(spark):
+    from parkour_spark.dataset import Dataset
+    from parkour_spark.plans.pipeline import Pipeline
+
+    facts = spark.createDataFrame(
+        [(1, 10), (2, 20), (1, 5)], "k long, v long"
+    )
+    dim = Dataset.from_df(
+        spark.createDataFrame([(1, "one"), (2, "two")], "k long, label string")
+    )
+    out = Pipeline.input(facts).sql(
+        "SELECT d.label, sum(t.v) AS total "
+        "FROM this t JOIN d ON t.k = d.k GROUP BY d.label",
+        d=dim,
+    )
+    assert {(r.label, r.total) for r in out.df.collect()} == {
+        ("one", 15),
+        ("two", 20),
+    }
+    # the SQL stage composes with further fluent stages
+    assert out.sort("label").collect()[0].label == "one"
+
+
+def test_pipeline_sql_accepts_pipeline_and_dataframe_views(spark):
+    from parkour_spark.plans.pipeline import Pipeline
+
+    a = Pipeline.input(spark.createDataFrame([(1,)], "x long"))
+    b = spark.createDataFrame([(1, "hit")], "x long, tag string")
+    out = a.sql(
+        "SELECT t.x, other.tag FROM this t JOIN other ON t.x = other.x",
+        other=b,
+    )
+    rows = out.collect()
+    assert len(rows) == 1 and rows[0].tag == "hit"
