@@ -109,6 +109,48 @@ def binary_fingerprint(df: DataFrame, payload_col: str = "payload") -> DataFrame
     return df.withColumn("fp", F.md5(F.col(payload_col)))
 
 
+def decode_distinct(
+    df: DataFrame,
+    decode_fn,
+    payload_col: str = "payload",
+    id_col: str = "media_id",
+) -> DataFrame:
+    """Exact-duplicate short-circuit for Python codec paths (r7 verdict
+    #8): fingerprint every blob JVM-side (md5 — `binary_fingerprint`),
+    decode each DISTINCT payload ONCE, and fan the decoded columns back
+    to every id by fingerprint. Web-scale media corpora are heavy with
+    byte-identical payloads (mirrors, hotlinks, re-crawls); the Python
+    decode is the expensive stage, so paying it per distinct blob
+    instead of per row is a direct multiplier on codec throughput.
+
+    `decode_fn` is any of this module's codec operators — a function
+    DataFrame[(id, payload)] → DataFrame[(id, ...decoded)] whose output
+    is a PURE function of the payload (true of every codec here:
+    features/hashes/fingerprints never depend on the id). The result is
+    row-for-row identical to `decode_fn(df)` — the gate entry pins that
+    hash-equality against the per-row path's own oracle.
+
+    SCALE: one blob scan → per-fingerprint partial-agg dedup
+    (dropDuplicates: map-side First() combine, so the shuffle carries
+    roughly per-partition-distinct blobs, never the raw corpus) →
+    decode over the distinct set → two KEY-SIZED joins ((id, fp) ⋈
+    (fp, decoded) — 32-hex strings + decoded scalars, no payload
+    bytes). NULL payloads fingerprint to a sentinel so they flow
+    through the same path (the codecs already handle None)."""
+    fp = F.coalesce(F.md5(F.col(payload_col)), F.lit("__null__"))
+    fp_df = df.select(
+        F.col(id_col), F.col(payload_col), fp.alias("__fp")
+    )
+    ids = fp_df.select(id_col, "__fp")
+    reps = fp_df.dropDuplicates(["__fp"])
+    decoded = decode_fn(reps.drop("__fp"))
+    by_fp = decoded.withColumnRenamed(id_col, "__rep").join(
+        reps.select(F.col(id_col).alias("__rep"), "__fp"), "__rep"
+    ).drop("__rep")
+    out_cols = [c for c in decoded.columns if c != id_col]
+    return ids.join(by_fp, "__fp").select(id_col, *out_cols)
+
+
 def decode_image_features(df: DataFrame, payload_col: str = "payload") -> DataFrame:
     """Image decode → feature vector via Arrow-batched mapInPandas.
 

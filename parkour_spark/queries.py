@@ -9650,6 +9650,30 @@ def q_multimodal_dhash(spark, sf_dir):
 
 
 @query(
+    "multimodal_dhash_dedup_decode",
+    f"""
+    WITH {_DHASH_SQL}
+    SELECT media_id, dhash, TRUE AS decodable FROM hash
+    """,
+)
+def q_multimodal_dhash_dedup_decode(spark, sf_dir):
+    """Dedup-first codec fast path (multimodal.decode_distinct — r7
+    verdict #8): md5-fingerprint every blob JVM-side, run the REAL
+    dHash decode ONCE per DISTINCT payload, fan results back by
+    fingerprint. The blob fixture has only 120 distinct images
+    (40 templates × 3 perturbations) across the whole corpus, so this
+    path decodes 120 payloads where `multimodal_dhash` decodes one per
+    row — and the oracle is the SAME arithmetic hash check, pinning
+    row-for-row equality of the two paths."""
+    from parkour_spark.operators.multimodal import (
+        decode_distinct,
+        perceptual_dhash,
+    )
+
+    return decode_distinct(_dhash_blobs(spark, sf_dir), perceptual_dhash)
+
+
+@query(
     "multimodal_dhash_neardup",
     f"""
     WITH {_DHASH_SQL},

@@ -178,3 +178,55 @@ def test_pipeline_sql_accepts_pipeline_and_dataframe_views(spark):
     )
     rows = out.collect()
     assert len(rows) == 1 and rows[0].tag == "hit"
+
+
+# ------------------------------------------------------------------
+# Dedup-first codec fast path (r7 verdict #8)
+# ------------------------------------------------------------------
+
+def test_decode_distinct_equals_per_row_path(spark):
+    """decode_distinct(df, codec) is row-for-row identical to
+    codec(df) — including NULL payloads and undecodable bytes — while
+    decoding each distinct payload exactly once."""
+    from parkour_spark.operators.multimodal import (
+        decode_distinct,
+        perceptual_dhash,
+    )
+
+    ppm = b"P6 2 2 255\n" + bytes(range(12))
+    rows = [
+        (0, ppm), (1, ppm), (2, ppm),              # 3 copies, 1 decode
+        (3, b"not an image"), (4, b"not an image"),  # undecodable dupes
+        (5, None), (6, None),                       # null payloads
+        (7, b"P6 2 2 255\n" + bytes(range(100, 112))),  # unique image
+    ]
+    df = spark.createDataFrame(rows, "media_id long, payload binary")
+
+    per_row = {r.media_id: (r.dhash, r.decodable)
+               for r in perceptual_dhash(df).collect()}
+    deduped = {r.media_id: (r.dhash, r.decodable)
+               for r in decode_distinct(df, perceptual_dhash).collect()}
+    assert deduped == per_row and len(deduped) == 8
+
+    # the decode really runs once per distinct payload: count Python
+    # decode invocations through a counting wrapper
+    calls = spark.sparkContext.accumulator(0)
+
+    def counting_codec(d):
+        import pandas as _pd
+
+        def work(batches):
+            for pdf in batches:
+                for _ in pdf["payload"]:
+                    calls.add(1)
+                yield _pd.DataFrame(
+                    {"media_id": pdf["media_id"],
+                     "n_bytes": [len(p) if p is not None else -1
+                                 for p in pdf["payload"]]}
+                )
+
+        return d.mapInPandas(work, "media_id long, n_bytes long")
+
+    out = decode_distinct(df, counting_codec).collect()
+    assert len(out) == 8
+    assert calls.value == 4  # ppm, "not an image", None, unique image
