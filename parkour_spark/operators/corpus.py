@@ -1472,3 +1472,68 @@ def negative_sampling_weights(
         vocab.crossJoin(F.broadcast(mx))
         .select("term", "cnt", w.alias("weight_micro"))
     )
+
+
+def zipf_slope(
+    docs: DataFrame, top_n: int = 100, text_col: str = "text"
+) -> DataFrame:
+    """Zipf-law fit over the vocabulary head: least-squares slope of
+    ln(freq) against ln(rank) for the top-`top_n` terms — the one-row
+    corpus-health number behind "is this corpus natural text?"
+    (natural language sits near slope −1; templated/boilerplate
+    corpora flatten, deduplicated-to-death corpora steepen). Returns
+    (n_terms, sx, sy, sxx, sxy, slope_micro, intercept_micro):
+    x = round(10⁶·ln rank), y = round(10⁶·ln cnt) — integer micro-log
+    per TERM before any sum, so the five moments are exact int64 and
+    the closed-form solve
+
+        slope     = (n·Sxy − Sx·Sy) / (n·Sxx − Sx²)
+        intercept = (Sy·Sxx − Sx·Sxy) / (n·Sxx − Sx²)
+
+    is two double divisions over exact integers (intercept in micro
+    ln-units). Ties in cnt permute which tied term takes which rank,
+    but tied terms share y, so the (x, y) multiset — and the fit — is
+    permutation-invariant.
+
+    SCALE: rides `vocab_head_coverage` — one tokenize pass, one
+    vocabulary-sized partial agg, TakeOrdered head; the regression
+    runs on `top_n` rows."""
+    head = vocab_head_coverage(docs, top_n, text_col)
+    pts = head.select(
+        F.round(F.log(F.col("rank").cast("double")) * 1e6)
+        .cast("long")
+        .alias("x"),
+        F.round(F.log(F.col("cnt").cast("double")) * 1e6)
+        .cast("long")
+        .alias("y"),
+    )
+    m = pts.agg(
+        F.count("*").cast("long").alias("n_terms"),
+        F.sum("x").cast("long").alias("sx"),
+        F.sum("y").cast("long").alias("sy"),
+        F.sum(F.col("x") * F.col("x")).cast("long").alias("sxx"),
+        F.sum(F.col("x") * F.col("y")).cast("long").alias("sxy"),
+    )
+    # combinations in DOUBLE: Sy·Sxx-scale products overflow int64 (and
+    # DuckDB would promote to HUGEINT — the asymmetric-dtype trap)
+    det = (
+        F.col("n_terms").cast("double") * F.col("sxx")
+        - F.col("sx").cast("double") * F.col("sx")
+    )
+    slope = (
+        F.col("n_terms").cast("double") * F.col("sxy")
+        - F.col("sx").cast("double") * F.col("sy")
+    ) / F.nullif(det, F.lit(0.0))
+    intercept = (
+        F.col("sy").cast("double") * F.col("sxx")
+        - F.col("sx").cast("double") * F.col("sxy")
+    ) / F.nullif(det, F.lit(0.0))
+    return m.select(
+        "n_terms",
+        "sx",
+        "sy",
+        "sxx",
+        "sxy",
+        F.round(slope * 1e6).cast("long").alias("slope_micro"),
+        F.round(intercept).cast("long").alias("intercept_micro"),
+    )

@@ -1244,3 +1244,203 @@ def target_encoding(
         cat.crossJoin(F.broadcast(tot))
         .select("key", "n", "sum_micro", enc.alias("enc_micro"))
     )
+
+
+def cohens_kappa(df: DataFrame, a_col: str, b_col: str) -> DataFrame:
+    """Cohen's kappa between two categorical columns — the
+    inter-annotator-agreement statistic for label QA (two labeling
+    runs, a heuristic vs a model, human vs synthetic): chance-corrected
+    agreement
+
+        κ = (p_o − p_e) / (1 − p_e)
+          = (agree·n − S) / (n² − S),   S = Σ_k row_k · col_k
+
+    computed from three EXACT int64 aggregates (n, agree, S) — the one
+    division happens once at the end, so the statistic is
+    engine-deterministic. NULL labels count as a regular category
+    (groupBy semantics + NULL-SAFE margin joins — the
+    `mutual_information` r7-ADVICE discipline). Returns one row:
+    (n, agree, s_chance, kappa_micro, kappa); kappa is NULL when the
+    table is a single category on both sides (n² = S — chance
+    agreement is total, κ undefined).
+
+    Exactness bound: agree·n and n² must fit int64 — exact for
+    n ≤ ~3·10⁹ rows; beyond that run per-slice (the statistic is for
+    evaluation slices, not raw-corpus scans).
+
+    SCALE: one partial-agg shuffle to the (a, b) contingency cells;
+    margins and the product sum are aggregates over the CELL table."""
+    cells = df.groupBy(
+        F.col(a_col).alias("__a"), F.col(b_col).alias("__b")
+    ).agg(F.count("*").alias("__c"))
+    ra = cells.groupBy(F.col("__a").alias("__ka")).agg(
+        F.sum("__c").cast("long").alias("__ra")
+    )
+    rb = cells.groupBy(F.col("__b").alias("__kb")).agg(
+        F.sum("__c").cast("long").alias("__rb")
+    )
+    s = (
+        ra.join(rb, F.col("__ka").eqNullSafe(F.col("__kb")))
+        .agg(
+            F.coalesce(F.sum(F.col("__ra") * F.col("__rb")), F.lit(0))
+            .cast("long")
+            .alias("__s")
+        )
+    )
+    base = cells.agg(
+        F.sum("__c").cast("long").alias("n"),
+        F.coalesce(
+            F.sum(
+                F.when(F.col("__a").eqNullSafe(F.col("__b")), F.col("__c"))
+            ),
+            F.lit(0),
+        )
+        .cast("long")
+        .alias("agree"),
+    )
+    kappa_micro = F.round(
+        (F.col("agree").cast("double") * F.col("n") - F.col("__s"))
+        / F.nullif(
+            F.col("n").cast("double") * F.col("n") - F.col("__s"), F.lit(0.0)
+        )
+        * 1e6
+    ).cast("long")
+    return base.crossJoin(F.broadcast(s)).select(
+        "n",
+        "agree",
+        F.col("__s").alias("s_chance"),
+        kappa_micro.alias("kappa_micro"),
+        F.round(kappa_micro / 1e6, 6).alias("kappa"),
+    )
+
+
+def calibration_bins(
+    df: DataFrame,
+    score_col,
+    label_col,
+    n_bins: int = 10,
+) -> DataFrame:
+    """Reliability-diagram cells for a [0, 1] score against a binary
+    label — the calibration check behind every model-scored quality
+    filter ("documents scored 0.9 should be good 90% of the time"):
+    per equal-width score bin, (bin, n, n_pos, conf_sum_micro) where
+    conf_sum_micro sums per-row round(10⁶·score) — integer before the
+    sum, order-independent. `score_col`/`label_col` may be column
+    names or Column expressions (label is cast to 1/0). Rows with NULL
+    score are excluded; bin = min(⌊score·bins⌋, bins−1) so score = 1.0
+    lands in the last bin.
+
+    SCALE: one partial-agg shuffle to ≤ n_bins cells. From these
+    cells, accuracy (n_pos/n), confidence (conf_sum/10⁶/n), and ECE
+    are arithmetic — see `expected_calibration_error`."""
+    sc = F.col(score_col) if isinstance(score_col, str) else score_col
+    lb = F.col(label_col) if isinstance(label_col, str) else label_col
+    bin_ = F.least(
+        F.floor(sc * n_bins).cast("int"), F.lit(n_bins - 1)
+    )
+    return (
+        df.where(sc.isNotNull())
+        .groupBy(bin_.alias("bin"))
+        .agg(
+            F.count("*").cast("long").alias("n"),
+            F.sum(lb.cast("int")).cast("long").alias("n_pos"),
+            F.sum(F.round(sc * 1e6).cast("long"))
+            .cast("long")
+            .alias("conf_sum_micro"),
+        )
+    )
+
+
+def expected_calibration_error(
+    df: DataFrame,
+    score_col,
+    label_col,
+    n_bins: int = 10,
+) -> DataFrame:
+    """One-row ECE from the calibration cells:
+
+        ECE = (1/n) · Σ_bins |n_pos_b − conf_sum_b/10⁶|
+            (= Σ (n_b/n) · |accuracy_b − confidence_b|)
+
+    computed as round(Σ_b |10⁶·n_pos_b − conf_sum_micro_b| / n) in
+    micro-units — every term is an exact int64; the single division
+    happens once. Returns (n, n_bins_used, ece_micro, ece).
+
+    SCALE: rides `calibration_bins` — one partial-agg shuffle to
+    ≤ n_bins cells, then a 1-row aggregate over the cells."""
+    cells = calibration_bins(df, score_col, label_col, n_bins)
+    term = F.abs(
+        F.lit(1000000) * F.col("n_pos") - F.col("conf_sum_micro")
+    )
+    out = cells.agg(
+        F.sum("n").cast("long").alias("n"),
+        F.count("*").cast("long").alias("n_bins_used"),
+        F.round(
+            F.sum(term) / F.nullif(F.sum("n").cast("double"), F.lit(0.0))
+        )
+        .cast("long")
+        .alias("ece_micro"),
+    )
+    return out.select(
+        "n",
+        "n_bins_used",
+        "ece_micro",
+        F.round(F.col("ece_micro") / 1e6, 6).alias("ece"),
+    )
+
+
+def importance_ess(
+    df: DataFrame, weight_col: str, group_col: str
+) -> DataFrame:
+    """Effective sample size of an importance-weighted mixture, per
+    group — the diagnostic that tells a data-mixture reweighting
+    whether a slice's weights have collapsed onto a few rows
+    (ESS ≪ n ⇒ the reweighted slice behaves like a tiny sample and
+    its gradient/statistics are high-variance):
+
+        ESS = (Σw)² / Σw²      (Kish effective sample size)
+
+    Weights are quantized to MILLI-units (floor — identical on every
+    engine) so both sums are exact int64; the final ratio is one
+    double division. Returns (group, n, s1_milli, s2_milli2,
+    ess_milli, ess_ratio_micro) where ess_ratio_micro =
+    round(10⁶·ESS/n) (1e6 = unweighted). NULL weights are excluded;
+    weights must be ≥ 0 (importance weights by definition — negative
+    inputs raise downstream of the exactness bound:
+    n·(1000·w_max)² < 2⁶³, i.e. milli-exactness to ~10⁹ rows of
+    weights ≤ 2000).
+
+    SCALE: ONE partial-agg shuffle to per-group sums; nothing after
+    the groupBy touches a raw row."""
+    wm = F.floor(F.col(weight_col) * 1000).cast("long")
+    g = (
+        df.where(F.col(weight_col).isNotNull())
+        .groupBy(F.col(group_col).alias("group"))
+        .agg(
+            F.count("*").cast("long").alias("n"),
+            F.sum(wm).cast("long").alias("s1_milli"),
+            F.sum(wm * wm).cast("long").alias("s2_milli2"),
+        )
+    )
+    ess_milli = F.round(
+        F.lit(1000.0)
+        * F.col("s1_milli")
+        * F.col("s1_milli")
+        / F.nullif(F.col("s2_milli2").cast("double"), F.lit(0.0))
+    ).cast("long")
+    return g.select(
+        "group",
+        "n",
+        "s1_milli",
+        "s2_milli2",
+        ess_milli.alias("ess_milli"),
+        F.round(
+            F.lit(1000000.0)
+            * F.col("s1_milli")
+            * F.col("s1_milli")
+            / F.nullif(F.col("s2_milli2").cast("double"), F.lit(0.0))
+            / F.col("n")
+        )
+        .cast("long")
+        .alias("ess_ratio_micro"),
+    )

@@ -9995,3 +9995,212 @@ def q_minhash_probe_after_append(spark, sf_dir):
     return D.minhash_probe_delta(
         spark, docs.where(bkt >= 90), _MINHASH_INDEX_DIRS[key], threshold=0.8
     )
+
+
+# ===========================================================================
+# Round-8 evaluation/mixture primitives: inter-annotator agreement,
+# score calibration, importance-weight effective sample size, Zipf fit.
+# ===========================================================================
+
+_KAPPA_SQL = """
+    WITH pairs AS (
+      SELECT lang AS a,
+             CASE WHEN doc_id % 10 = 0 THEN 'xx' ELSE lang END AS b
+      FROM documents),
+    cells AS (SELECT a, b, count(*)::BIGINT AS c FROM pairs GROUP BY 1, 2),
+    ra AS (SELECT a, sum(c)::BIGINT AS r FROM cells GROUP BY 1),
+    rb AS (SELECT b, sum(c)::BIGINT AS r FROM cells GROUP BY 1),
+    s AS (SELECT coalesce(sum(ra.r * rb.r), 0)::BIGINT AS s
+          FROM ra JOIN rb ON ra.a = rb.b),
+    base AS (SELECT sum(c)::BIGINT AS n,
+                    coalesce(sum(CASE WHEN a = b THEN c END), 0)::BIGINT
+                      AS agree
+             FROM cells)
+    SELECT n, agree, s AS s_chance,
+           CAST(round((agree::DOUBLE * n - s)
+                      / nullif(n::DOUBLE * n - s, 0) * 1e6) AS BIGINT)
+             AS kappa_micro,
+           round(CAST(round((agree::DOUBLE * n - s)
+                            / nullif(n::DOUBLE * n - s, 0) * 1e6) AS BIGINT)
+                 / 1e6, 6) AS kappa
+    FROM base, s
+"""
+
+
+@query("kappa_lang_annotators", _KAPPA_SQL)
+def q_kappa_lang(spark, sf_dir):
+    """Inter-annotator agreement (validate.cohens_kappa): the corpus
+    lang labels against a synthetic second annotator that disagrees on
+    every 10th doc — chance-corrected agreement from three exact int64
+    aggregates over the contingency cells (n, agree, Σ row·col), one
+    division at the end. The label-QA primitive for comparing two
+    labeling runs / heuristic-vs-model taggers."""
+    from parkour_spark.operators.validate import cohens_kappa
+
+    docs = _t(spark, sf_dir, "documents").select(
+        F.col("lang").alias("a"),
+        F.when(F.col("doc_id") % 10 == 0, F.lit("xx"))
+        .otherwise(F.col("lang"))
+        .alias("b"),
+    )
+    return cohens_kappa(docs, "a", "b")
+
+
+_CALIB_SRC_SQL = """
+      SELECT least(value / 500.0, 1.0) AS sc,
+             CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END AS lb
+      FROM events WHERE value IS NOT NULL
+"""
+
+
+@query(
+    "calibration_purchase_value",
+    f"""
+    WITH s AS ({_CALIB_SRC_SQL})
+    SELECT least(floor(sc * 10), 9)::INT AS bin,
+           count(*)::BIGINT AS n,
+           sum(lb)::BIGINT AS n_pos,
+           CAST(sum(CAST(round(sc * 1e6) AS BIGINT)) AS BIGINT)
+             AS conf_sum_micro
+    FROM s GROUP BY 1
+    """,
+)
+def q_calibration_bins(spark, sf_dir):
+    """Reliability-diagram cells (validate.calibration_bins): event
+    value rescaled to a [0, 1] "purchase-propensity score" against the
+    actual purchase label, 10 equal-width bins — (bin, n, n_pos,
+    conf_sum_micro) with per-row micro-rounding before the sum. The
+    calibration check behind every model-scored quality filter; one
+    partial-agg shuffle to ≤ 10 cells."""
+    from parkour_spark.operators.validate import calibration_bins
+
+    ev = _t(spark, sf_dir, "events")
+    return calibration_bins(
+        ev,
+        F.least(F.col("value") / 500.0, F.lit(1.0)),
+        F.col("event_type") == "purchase",
+        n_bins=10,
+    )
+
+
+@query(
+    "ece_purchase_value",
+    f"""
+    WITH s AS ({_CALIB_SRC_SQL}),
+    cells AS (
+      SELECT least(floor(sc * 10), 9)::INT AS bin,
+             count(*)::BIGINT AS n,
+             sum(lb)::BIGINT AS n_pos,
+             CAST(sum(CAST(round(sc * 1e6) AS BIGINT)) AS BIGINT)
+               AS conf_sum_micro
+      FROM s GROUP BY 1)
+    SELECT CAST(sum(n) AS BIGINT) AS n,
+           count(*)::BIGINT AS n_bins_used,
+           CAST(round(sum(abs(1000000 * n_pos - conf_sum_micro))
+                      / nullif(CAST(sum(n) AS DOUBLE), 0)) AS BIGINT)
+             AS ece_micro,
+           round(CAST(round(sum(abs(1000000 * n_pos - conf_sum_micro))
+                            / nullif(CAST(sum(n) AS DOUBLE), 0)) AS BIGINT)
+                 / 1e6, 6) AS ece
+    FROM cells
+    """,
+)
+def q_ece(spark, sf_dir):
+    """One-row expected calibration error
+    (validate.expected_calibration_error): Σ_bins |10⁶·pos_b −
+    conf_sum_micro_b| / n over the reliability cells — every term an
+    exact int64, one division. Rides the calibration_bins cells."""
+    from parkour_spark.operators.validate import expected_calibration_error
+
+    ev = _t(spark, sf_dir, "events")
+    return expected_calibration_error(
+        ev,
+        F.least(F.col("value") / 500.0, F.lit(1.0)),
+        F.col("event_type") == "purchase",
+        n_bins=10,
+    )
+
+
+@query(
+    "ess_event_value_by_type",
+    """
+    SELECT event_type AS "group",
+           count(*)::BIGINT AS n,
+           CAST(sum(CAST(floor(value * 1000) AS BIGINT)) AS BIGINT)
+             AS s1_milli,
+           CAST(sum(CAST(floor(value * 1000) AS BIGINT)
+                    * CAST(floor(value * 1000) AS BIGINT)) AS BIGINT)
+             AS s2_milli2,
+           CAST(round(1000.0 * CAST(sum(CAST(floor(value * 1000) AS BIGINT))
+                                    AS BIGINT)
+                      * CAST(sum(CAST(floor(value * 1000) AS BIGINT))
+                             AS BIGINT)
+                      / nullif(CAST(CAST(sum(CAST(floor(value * 1000)
+                                               AS BIGINT)
+                                           * CAST(floor(value * 1000)
+                                                  AS BIGINT)) AS BIGINT)
+                                    AS DOUBLE), 0)) AS BIGINT) AS ess_milli,
+           CAST(round(1000000.0 * CAST(sum(CAST(floor(value * 1000)
+                                             AS BIGINT)) AS BIGINT)
+                      * CAST(sum(CAST(floor(value * 1000) AS BIGINT))
+                             AS BIGINT)
+                      / nullif(CAST(CAST(sum(CAST(floor(value * 1000)
+                                               AS BIGINT)
+                                           * CAST(floor(value * 1000)
+                                                  AS BIGINT)) AS BIGINT)
+                                    AS DOUBLE), 0)
+                      / count(*)) AS BIGINT) AS ess_ratio_micro
+    FROM events WHERE value IS NOT NULL
+    GROUP BY event_type
+    """,
+)
+def q_ess_by_type(spark, sf_dir):
+    """Importance-weight effective sample size (validate.importance_ess):
+    Kish ESS = (Σw)²/Σw² per event_type with event value as the weight
+    — the mixture-reweighting diagnostic that flags a slice whose
+    weights collapsed onto a few rows. Milli-quantized exact integer
+    sums, one double division; one partial-agg shuffle."""
+    from parkour_spark.operators.validate import importance_ess
+
+    ev = _t(spark, sf_dir, "events")
+    return importance_ess(ev, "value", "event_type")
+
+
+_ZIPF_SQL = f"""
+    WITH terms AS (SELECT unnest({_TOKS_SQL}) AS term FROM documents),
+    vocab AS (SELECT term, count(*)::BIGINT AS cnt FROM terms
+              GROUP BY term),
+    ranked AS (SELECT cnt, row_number() OVER (ORDER BY cnt DESC, term)
+                      AS rank
+               FROM vocab),
+    pts AS (SELECT CAST(round(ln(rank::DOUBLE) * 1e6) AS BIGINT) AS x,
+                   CAST(round(ln(cnt::DOUBLE) * 1e6) AS BIGINT) AS y
+            FROM ranked WHERE rank <= 100),
+    m AS (SELECT count(*)::BIGINT AS n_terms,
+                 CAST(sum(x) AS BIGINT) AS sx,
+                 CAST(sum(y) AS BIGINT) AS sy,
+                 CAST(sum(x * x) AS BIGINT) AS sxx,
+                 CAST(sum(x * y) AS BIGINT) AS sxy
+          FROM pts)
+    SELECT n_terms, sx, sy, sxx, sxy,
+           CAST(round((n_terms::DOUBLE * sxy - sx::DOUBLE * sy)
+                      / nullif(n_terms::DOUBLE * sxx - sx::DOUBLE * sx, 0)
+                      * 1e6) AS BIGINT) AS slope_micro,
+           CAST(round((sy::DOUBLE * sxx - sx::DOUBLE * sxy)
+                      / nullif(n_terms::DOUBLE * sxx - sx::DOUBLE * sx, 0))
+                AS BIGINT) AS intercept_micro
+    FROM m
+"""
+
+
+@query("zipf_slope_docs", _ZIPF_SQL)
+def q_zipf_slope(spark, sf_dir):
+    """Zipf-law fit (corpus.zipf_slope): least-squares slope of
+    ln(freq) vs ln(rank) over the top-100 vocabulary head — integer
+    micro-log per term, five exact int64 moments, closed-form solve in
+    two double divisions. Natural corpora sit near −1; boilerplate
+    flattens the head. Rides vocab_head_coverage's TakeOrdered head —
+    no full-vocabulary sort."""
+    from parkour_spark.operators.corpus import zipf_slope
+
+    return zipf_slope(_t(spark, sf_dir, "documents"), top_n=100)

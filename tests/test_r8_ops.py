@@ -1,0 +1,165 @@
+"""Round-8 operators: Cohen's kappa, calibration bins + ECE,
+importance-weight ESS, Zipf slope."""
+
+import math
+
+import pytest
+from pyspark.sql import functions as F
+
+
+# ------------------------------------------------------------------
+# Cohen's kappa
+# ------------------------------------------------------------------
+
+def test_kappa_perfect_agreement_is_one(spark):
+    from parkour_spark.operators.validate import cohens_kappa
+
+    rows = [("a", "a")] * 30 + [("b", "b")] * 20
+    df = spark.createDataFrame(rows, "x string, y string")
+    r = cohens_kappa(df, "x", "y").collect()[0]
+    assert r["n"] == 50 and r["agree"] == 50
+    assert r["kappa_micro"] == 1000000 and r["kappa"] == 1.0
+
+
+def test_kappa_hand_computed_with_disagreement(spark):
+    from parkour_spark.operators.validate import cohens_kappa
+
+    # classic 2x2: cells aa=20, ab=5, ba=10, bb=15
+    rows = (
+        [("a", "a")] * 20 + [("a", "b")] * 5
+        + [("b", "a")] * 10 + [("b", "b")] * 15
+    )
+    df = spark.createDataFrame(rows, "x string, y string")
+    r = cohens_kappa(df, "x", "y").collect()[0]
+    n, agree = 50, 35
+    s = 25 * 30 + 25 * 20  # row_a*col_a + row_b*col_b
+    want = round((agree * n - s) / (n * n - s) * 1e6)
+    assert (r["n"], r["agree"], r["s_chance"]) == (n, agree, s)
+    assert r["kappa_micro"] == want
+
+
+def test_kappa_null_category_counts(spark):
+    from parkour_spark.operators.validate import cohens_kappa
+
+    # NULL agrees with NULL (it is a category, not a missing cell)
+    rows = [(None, None)] * 10 + [("a", "a")] * 10 + [("a", None)] * 5
+    df = spark.createDataFrame(rows, "x string, y string")
+    r = cohens_kappa(df, "x", "y").collect()[0]
+    assert r["n"] == 25 and r["agree"] == 20
+    # margins: row(None)=10,row(a)=15; col(None)=15,col(a)=10
+    assert r["s_chance"] == 10 * 15 + 15 * 10
+
+
+def test_kappa_degenerate_single_category_is_null(spark):
+    from parkour_spark.operators.validate import cohens_kappa
+
+    df = spark.createDataFrame([("a", "a")] * 9, "x string, y string")
+    r = cohens_kappa(df, "x", "y").collect()[0]
+    assert r["kappa_micro"] is None and r["kappa"] is None
+
+
+# ------------------------------------------------------------------
+# Calibration bins + ECE
+# ------------------------------------------------------------------
+
+def test_calibration_bins_hand_case_and_edge(spark):
+    from parkour_spark.operators.validate import calibration_bins
+
+    rows = [
+        (0.05, 0), (0.05, 0),       # bin 0
+        (0.95, 1), (0.95, 1), (0.95, 0),  # bin 9
+        (1.0, 1),                   # score 1.0 clamps into bin 9
+        (None, 1),                  # excluded
+    ]
+    df = spark.createDataFrame(rows, "score double, label int")
+    got = {r.bin: (r.n, r.n_pos, r.conf_sum_micro)
+           for r in calibration_bins(df, "score", "label").collect()}
+    assert got == {
+        0: (2, 0, 100000),
+        9: (4, 3, 3 * 950000 + 1000000),
+    }
+
+
+def test_ece_perfectly_calibrated_vs_off(spark):
+    from parkour_spark.operators.validate import (
+        expected_calibration_error,
+    )
+
+    # bin 7 (scores .75): 4 rows, 3 positive -> conf 750k/row,
+    # |4*750000 - 3*1e6| = 0 ... exactly calibrated
+    good = [(0.75, 1)] * 3 + [(0.75, 0)]
+    r = expected_calibration_error(
+        spark.createDataFrame(good, "score double, label int"),
+        "score", "label",
+    ).collect()[0]
+    assert r["ece_micro"] == 0 and r["n"] == 4 and r["n_bins_used"] == 1
+
+    # all-confident, all-wrong: ECE = 0.95 exactly
+    bad = [(0.95, 0)] * 10
+    r = expected_calibration_error(
+        spark.createDataFrame(bad, "score double, label int"),
+        "score", "label",
+    ).collect()[0]
+    assert r["ece_micro"] == 950000
+
+
+# ------------------------------------------------------------------
+# Importance-weight ESS
+# ------------------------------------------------------------------
+
+def test_ess_equal_weights_equals_n(spark):
+    from parkour_spark.operators.validate import importance_ess
+
+    df = spark.createDataFrame(
+        [("g", 2.5)] * 40, "grp string, w double"
+    )
+    r = importance_ess(df, "w", "grp").collect()[0]
+    assert r["n"] == 40
+    assert r["ess_milli"] == 40000  # ESS == n
+    assert r["ess_ratio_micro"] == 1000000
+
+
+def test_ess_collapsed_weights_near_one(spark):
+    from parkour_spark.operators.validate import importance_ess
+
+    rows = [("g", 1000.0)] + [("g", 0.001)] * 99
+    df = spark.createDataFrame(rows, "grp string, w double")
+    r = importance_ess(df, "w", "grp").collect()[0]
+    s1 = 1000000 + 99  # milli
+    s2 = 1000000**2 + 99
+    assert r["s1_milli"] == s1 and r["s2_milli2"] == s2
+    assert r["ess_milli"] == round(1000.0 * s1 * s1 / s2)
+    assert r["ess_milli"] < 1100  # collapsed: ~1 effective row
+
+
+# ------------------------------------------------------------------
+# Zipf slope
+# ------------------------------------------------------------------
+
+def test_zipf_slope_matches_hand_fit(spark):
+    from parkour_spark.operators.corpus import zipf_slope
+
+    # construct exact counts: term_r appears c_r times
+    counts = {"aa": 64, "bb": 32, "cc": 16, "dd": 8, "ee": 4}
+    text = " ".join(t for t, c in counts.items() for _ in range(c))
+    df = spark.createDataFrame([(1, text)], "doc_id long, text string")
+    r = zipf_slope(df, top_n=5).collect()[0]
+    ranked = sorted(counts.values(), reverse=True)
+    pts = [
+        (round(math.log(i + 1) * 1e6), round(math.log(c) * 1e6))
+        for i, c in enumerate(ranked)
+    ]
+    n = len(pts)
+    sx = sum(x for x, _ in pts)
+    sy = sum(y for _, y in pts)
+    sxx = sum(x * x for x, _ in pts)
+    sxy = sum(x * y for x, y in pts)
+    det = n * sxx - sx * sx
+    assert (r["n_terms"], r["sx"], r["sy"], r["sxx"], r["sxy"]) == (
+        n, sx, sy, sxx, sxy,
+    )
+    assert r["slope_micro"] == round((n * sxy - sx * sy) / det * 1e6)
+    assert r["intercept_micro"] == round((sy * sxx - sx * sxy) / det)
+    # counts halve per rank step; ln2/ln spacing is not linear in
+    # ln(rank), but the fitted slope must be steeply negative
+    assert r["slope_micro"] < -1000000
