@@ -9462,6 +9462,34 @@ def q_streaming_covariance(spark, sf_dir):
     return streaming_covariance_cells(spark, tmp, schema, "embedding")
 
 
+@query("streaming_covariance_snapshots", _COVARIANCE_ORACLE)
+def q_streaming_covariance_snapshots(spark, sf_dir):
+    """PERSISTED-state covariance maintainer
+    (streaming.windows.streaming_covariance_snapshots — r7 verdict
+    #5's snapshot variant): the same 4-batch replay folded into
+    durable versioned parquet snapshots through the
+    incremental_rollup_stream recovery skeleton (checkpointed offsets,
+    merge base discovered from the highest committed snapshot,
+    idempotent replays). Integer cell addition is associative, so the
+    final snapshot equals the batch operator — the SAME DuckDB oracle
+    now gates the batch, driver-local-stream, and durable-snapshot
+    forms."""
+    import tempfile
+
+    from parkour_spark.streaming.windows import (
+        streaming_covariance_snapshots,
+    )
+
+    emb = _t(spark, sf_dir, "embeddings")
+    tmp = tempfile.mkdtemp(prefix="parkour_stream_covsnap_")
+    emb.repartition(4).write.mode("overwrite").parquet(tmp)
+    schema = spark.read.parquet(tmp).schema
+    state = tempfile.mkdtemp(prefix="parkour_covsnap_state_")
+    return streaming_covariance_snapshots(
+        spark, tmp, schema, state, "embedding"
+    )
+
+
 def _mg_replay_sql(n_slices: int, k: int, emit_top: int) -> str:
     """Unroll the streaming Misra-Gries fold as DuckDB CTE stages — one
     (sum ∪ batch → rank → subtract (k+1)-th largest → keep positive)

@@ -292,15 +292,44 @@ def incremental_rollup_stream(
       committed, so the merge is skipped instead of double-applied.
       A torn snapshot (no `_SUCCESS`) is rewritten from its
       predecessor."""
-    import os
-    import re
-
-    from parkour_spark import fs as pfs
     from parkour_spark.operators.incremental import (
         agg_state,
         finalize,
         merge_states,
     )
+
+    final = _snapshot_fold_stream(
+        stream_df,
+        state_base,
+        lambda b: agg_state(b, keys, value_col, micro=micro),
+        lambda old, new: merge_states(old, new, keys),
+    )
+    return finalize(
+        stream_df.sparkSession.read.parquet(final), micro=micro
+    )
+
+
+def _snapshot_fold_stream(
+    stream_df: DataFrame,
+    state_base: str,
+    batch_state_fn,
+    merge_fn,
+) -> str:
+    """The durable-snapshot foreachBatch skeleton shared by every
+    persisted-state maintainer (`incremental_rollup_stream`,
+    `streaming_covariance_snapshots`): fold each micro-batch into a
+    state table (`batch_state_fn`), merge it into the last committed
+    snapshot (`merge_fn(old_state_df, batch_state_df)`), write the
+    result as a versioned `v{batch_id}` directory. Carries the full
+    recovery contract documented on `incremental_rollup_stream`
+    (checkpointed offsets; merge base discovered from the highest
+    committed snapshot on (re)start; replayed batches skipped
+    idempotently; regressed batch ids rejected loudly). Drains the
+    (finite) source and returns the final committed snapshot path."""
+    import os
+    import re
+
+    from parkour_spark import fs as pfs
 
     def committed_snaps(spark) -> list[tuple[int, str]]:
         snaps = []
@@ -329,8 +358,8 @@ def incremental_rollup_stream(
                 # final snapshot lookup would silently return the stale
                 # pre-existing v{max} instead of this run's result.
                 raise ValueError(
-                    f"incremental_rollup_stream: batch id {batch_id} "
-                    f"regressed behind committed snapshots v{ahead} under "
+                    f"snapshot fold: batch id {batch_id} regressed "
+                    f"behind committed snapshots v{ahead} under "
                     f"{state_base} — stale state from a different "
                     f"checkpoint lineage; use a fresh state_base or "
                     f"restore the original checkpoint"
@@ -340,10 +369,10 @@ def incremental_rollup_stream(
                 latest.append(prior[-1])
         elif latest[-1] == snap:
             return  # replay within this run
-        batch_state = agg_state(batch_df, keys, value_col, micro=micro)
+        batch_state = batch_state_fn(batch_df)
         if latest:
             old = spark.read.parquet(latest[-1])
-            new = merge_states(old, batch_state, keys)
+            new = merge_fn(old, batch_state)
         else:
             new = batch_state
         new.write.mode("overwrite").parquet(snap)
@@ -363,11 +392,10 @@ def incremental_rollup_stream(
         # query on the same state_base would otherwise hit Spark's
         # concurrent-checkpoint-use guard
         q.awaitTermination()
-    spark = stream_df.sparkSession
-    snaps = committed_snaps(spark)
+    snaps = committed_snaps(stream_df.sparkSession)
     if not snaps:
         raise ValueError("stream produced no batches")
-    return finalize(spark.read.parquet(snaps[-1][1]), micro=micro)
+    return snaps[-1][1]
 
 
 def streaming_heavy_hitters(
@@ -653,3 +681,41 @@ def streaming_covariance_cells(
         [(i, j, s) for (i, j), s in sorted(totals.items())],
         "i int, j int, s long",
     )
+
+
+def streaming_covariance_snapshots(
+    spark,
+    path: str,
+    schema,
+    state_base: str,
+    vec_col: str = "embedding",
+    scale: int = 1000,
+    max_files: int = 1,
+) -> DataFrame:
+    """PERSISTED-state variant of `streaming_covariance_cells` (r7
+    verdict #5): the running second-moment cell grid is maintained as
+    durable versioned parquet snapshots via the
+    `incremental_rollup_stream` skeleton (`_snapshot_fold_stream`) —
+    checkpointed source offsets, merge base discovered from the
+    highest committed snapshot on (re)start, idempotent replays — so a
+    restarted maintainer resumes instead of re-folding the stream.
+
+    The merge is element-wise integer cell addition
+    (union → groupBy(i, j) → sum — the same associativity that makes
+    the driver-local variant exact), so the final snapshot equals the
+    batch `covariance_cells` on the full corpus bit-for-bit and the
+    SAME DuckDB oracle gates all three forms. Per batch: one Arrow
+    matmul + an O(d²) snapshot merge; state is d×d cells regardless of
+    stream length."""
+    from parkour_spark.operators.pca import covariance_cells
+
+    stream = read_stream(spark, path, schema, max_files=max_files)
+    final = _snapshot_fold_stream(
+        stream,
+        state_base,
+        lambda b: covariance_cells(b, vec_col, scale),
+        lambda old, new: old.unionByName(new)
+        .groupBy("i", "j")
+        .agg(F.sum("s").cast("long").alias("s")),
+    )
+    return spark.read.parquet(final)
