@@ -1247,10 +1247,11 @@ def target_encoding(
 
 
 def cohens_kappa(df: DataFrame, a_col: str, b_col: str) -> DataFrame:
-    """Cohen's kappa between two categorical columns — the
-    inter-annotator-agreement statistic for label QA (two labeling
-    runs, a heuristic vs a model, human vs synthetic): chance-corrected
-    agreement
+    """Cohen's kappa between two MULTI-CLASS categorical columns — the
+    k-category generalization of the binary `kappa_agreement` above
+    (that one is a single 4-cell conditional-count pass; this one
+    needs the full contingency table because the chance term sums over
+    every category's margin product): chance-corrected agreement
 
         κ = (p_o − p_e) / (1 − p_e)
           = (agree·n − S) / (n² − S),   S = Σ_k row_k · col_k
@@ -1314,74 +1315,46 @@ def cohens_kappa(df: DataFrame, a_col: str, b_col: str) -> DataFrame:
     )
 
 
-def calibration_bins(
-    df: DataFrame,
-    score_col,
-    label_col,
-    n_bins: int = 10,
-) -> DataFrame:
-    """Reliability-diagram cells for a [0, 1] score against a binary
-    label — the calibration check behind every model-scored quality
-    filter ("documents scored 0.9 should be good 90% of the time"):
-    per equal-width score bin, (bin, n, n_pos, conf_sum_micro) where
-    conf_sum_micro sums per-row round(10⁶·score) — integer before the
-    sum, order-independent. `score_col`/`label_col` may be column
-    names or Column expressions (label is cast to 1/0). Rows with NULL
-    score are excluded; bin = min(⌊score·bins⌋, bins−1) so score = 1.0
-    lands in the last bin.
-
-    SCALE: one partial-agg shuffle to ≤ n_bins cells. From these
-    cells, accuracy (n_pos/n), confidence (conf_sum/10⁶/n), and ECE
-    are arithmetic — see `expected_calibration_error`."""
-    sc = F.col(score_col) if isinstance(score_col, str) else score_col
-    lb = F.col(label_col) if isinstance(label_col, str) else label_col
-    bin_ = F.least(
-        F.floor(sc * n_bins).cast("int"), F.lit(n_bins - 1)
-    )
-    return (
-        df.where(sc.isNotNull())
-        .groupBy(bin_.alias("bin"))
-        .agg(
-            F.count("*").cast("long").alias("n"),
-            F.sum(lb.cast("int")).cast("long").alias("n_pos"),
-            F.sum(F.round(sc * 1e6).cast("long"))
-            .cast("long")
-            .alias("conf_sum_micro"),
-        )
-    )
-
-
 def expected_calibration_error(
     df: DataFrame,
-    score_col,
-    label_col,
-    n_bins: int = 10,
+    score_col: str,
+    label_col: str,
+    bins: int = 10,
+    lo: float = 0.0,
+    hi: float = 1.0,
 ) -> DataFrame:
-    """One-row ECE from the calibration cells:
+    """One-row ECE over the `calibration_bins` cells (rides the
+    existing operator — same bin arithmetic, same micro-unit sums):
 
-        ECE = (1/n) · Σ_bins |n_pos_b − conf_sum_b/10⁶|
+        ECE = (1/n) · Σ_bins |n_pos_b − sum_score_b/10⁶|
             (= Σ (n_b/n) · |accuracy_b − confidence_b|)
 
-    computed as round(Σ_b |10⁶·n_pos_b − conf_sum_micro_b| / n) in
+    computed as round(Σ_b |10⁶·n_pos_b − sum_score_micro_b| / n) in
     micro-units — every term is an exact int64; the single division
-    happens once. Returns (n, n_bins_used, ece_micro, ece).
+    happens once. Returns (n, n_bins_used, ece_micro, ece). Rows with
+    NULL score are excluded (they have no bin).
 
-    SCALE: rides `calibration_bins` — one partial-agg shuffle to
-    ≤ n_bins cells, then a 1-row aggregate over the cells."""
-    cells = calibration_bins(df, score_col, label_col, n_bins)
-    term = F.abs(
-        F.lit(1000000) * F.col("n_pos") - F.col("conf_sum_micro")
+    SCALE: one partial-agg shuffle to ≤ bins cells, then a 1-row
+    aggregate over the cells."""
+    cells = calibration_bins(
+        df.where(F.col(score_col).isNotNull()),
+        score_col,
+        label_col,
+        bins,
+        lo,
+        hi,
     )
-    out = cells.agg(
+    term = F.abs(
+        F.lit(1000000) * F.col("n_pos") - F.col("sum_score_micro")
+    )
+    ece_micro = F.round(
+        F.sum(term) / F.nullif(F.sum("n").cast("double"), F.lit(0.0))
+    ).cast("long")
+    return cells.agg(
         F.sum("n").cast("long").alias("n"),
         F.count("*").cast("long").alias("n_bins_used"),
-        F.round(
-            F.sum(term) / F.nullif(F.sum("n").cast("double"), F.lit(0.0))
-        )
-        .cast("long")
-        .alias("ece_micro"),
-    )
-    return out.select(
+        ece_micro.alias("ece_micro"),
+    ).select(
         "n",
         "n_bins_used",
         "ece_micro",

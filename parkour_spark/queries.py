@@ -10082,52 +10082,23 @@ _CALIB_SRC_SQL = """
 
 
 @query(
-    "calibration_purchase_value",
-    f"""
-    WITH s AS ({_CALIB_SRC_SQL})
-    SELECT least(floor(sc * 10), 9)::INT AS bin,
-           count(*)::BIGINT AS n,
-           sum(lb)::BIGINT AS n_pos,
-           CAST(sum(CAST(round(sc * 1e6) AS BIGINT)) AS BIGINT)
-             AS conf_sum_micro
-    FROM s GROUP BY 1
-    """,
-)
-def q_calibration_bins(spark, sf_dir):
-    """Reliability-diagram cells (validate.calibration_bins): event
-    value rescaled to a [0, 1] "purchase-propensity score" against the
-    actual purchase label, 10 equal-width bins — (bin, n, n_pos,
-    conf_sum_micro) with per-row micro-rounding before the sum. The
-    calibration check behind every model-scored quality filter; one
-    partial-agg shuffle to ≤ 10 cells."""
-    from parkour_spark.operators.validate import calibration_bins
-
-    ev = _t(spark, sf_dir, "events")
-    return calibration_bins(
-        ev,
-        F.least(F.col("value") / 500.0, F.lit(1.0)),
-        F.col("event_type") == "purchase",
-        n_bins=10,
-    )
-
-
-@query(
     "ece_purchase_value",
     f"""
     WITH s AS ({_CALIB_SRC_SQL}),
     cells AS (
-      SELECT least(floor(sc * 10), 9)::INT AS bin,
+      SELECT least(greatest(floor((sc - 0.0) / 0.1)::BIGINT, 0), 9)
+               AS bin,
              count(*)::BIGINT AS n,
              sum(lb)::BIGINT AS n_pos,
              CAST(sum(CAST(round(sc * 1e6) AS BIGINT)) AS BIGINT)
-               AS conf_sum_micro
+               AS sum_score_micro
       FROM s GROUP BY 1)
     SELECT CAST(sum(n) AS BIGINT) AS n,
            count(*)::BIGINT AS n_bins_used,
-           CAST(round(sum(abs(1000000 * n_pos - conf_sum_micro))
+           CAST(round(sum(abs(1000000 * n_pos - sum_score_micro))
                       / nullif(CAST(sum(n) AS DOUBLE), 0)) AS BIGINT)
              AS ece_micro,
-           round(CAST(round(sum(abs(1000000 * n_pos - conf_sum_micro))
+           round(CAST(round(sum(abs(1000000 * n_pos - sum_score_micro))
                             / nullif(CAST(sum(n) AS DOUBLE), 0)) AS BIGINT)
                  / 1e6, 6) AS ece
     FROM cells
@@ -10135,18 +10106,23 @@ def q_calibration_bins(spark, sf_dir):
 )
 def q_ece(spark, sf_dir):
     """One-row expected calibration error
-    (validate.expected_calibration_error): Σ_bins |10⁶·pos_b −
-    conf_sum_micro_b| / n over the reliability cells — every term an
-    exact int64, one division. Rides the calibration_bins cells."""
+    (validate.expected_calibration_error — rides the EXISTING
+    calibration_bins cells, the quality_calibration_bins machinery):
+    Σ_bins |10⁶·pos_b − sum_score_micro_b| / n, every term an exact
+    int64, one division. Event value rescaled to a [0, 1]
+    "purchase-propensity score" against the actual purchase label —
+    the one-number summary the reliability diagram rolls up to."""
     from parkour_spark.operators.validate import expected_calibration_error
 
-    ev = _t(spark, sf_dir, "events")
-    return expected_calibration_error(
-        ev,
-        F.least(F.col("value") / 500.0, F.lit(1.0)),
-        F.col("event_type") == "purchase",
-        n_bins=10,
+    ev = (
+        _t(spark, sf_dir, "events")
+        .where(F.col("value").isNotNull())
+        .select(
+            F.least(F.col("value") / 500.0, F.lit(1.0)).alias("sc"),
+            (F.col("event_type") == "purchase").alias("lb"),
+        )
     )
+    return expected_calibration_error(ev, "sc", "lb", bins=10)
 
 
 @query(

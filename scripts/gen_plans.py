@@ -96,6 +96,13 @@ COMMENTARY = {
     "psi_price_drift": "PSI drift: two histogram-shaped partial-agg scans reduce both slices to ≤20 cells; the spine join, smoothing, and term sum all run on the cell table. No row moves for the comparison.",
     "multimodal_dhash_neardup": "Banded Hamming near-dup: band keys explode scan-side from the hash longs (4 rows per image), ONE bucket groupBy with in-bucket pair explosion and the occupancy cap — no join operator anywhere (test-asserted); the verify is scan-side bit_count(xor). Blobs never enter the plan at all — only 64-bit hashes.",
     "join_size_preflight_orders": "Join pre-flight: two partial-agg scans to key-count tables, a key-keyed join of COUNTS (never rows), and 1-row aggregates — the whole plan is key-sized, which is the point.",
+    "kappa_lang_annotators": "Cohen's kappa: ONE partial-agg shuffle to the (a, b) contingency cells; margins and the chance-product sum are broadcast aggregates over the CELL table (null-safe joins), and the kappa division is a 1-row projection.",
+    "ece_purchase_value": "ECE: scan with score/label projected, one partial-agg shuffle to <= bins cells (bin key scan-side), then a 1-row aggregate over the cells. Rides the existing calibration_bins.",
+    "ess_event_value_by_type": "Kish ESS: scan (IsNotNull pushed) -> partial HashAggregate of the three integer moments -> ONE exchange -> per-group 1-row arithmetic. The canonical single-shuffle moments shape.",
+    "zipf_slope_docs": "Zipf fit: tokenize-explode scan -> vocabulary partial agg -> TakeOrdered(100) head (per-partition heaps, no full sort) -> rank window + five-moment aggregate on 100 rows -> closed-form solve in a 1-row projection.",
+    "multimodal_dhash_dedup_decode": "Dedup-first decode: md5 fingerprints ride the blob scan; dropDuplicates(fp) partial-aggs map-side so the shuffle carries per-partition-distinct blobs; the Python dHash decode sees only the distinct set; fan-out back is two KEY-sized joins (fp strings + hashes, no payload bytes).",
+    "sql_grouping_sets": "Identical-ANSI GROUPING SETS through Dataset.view: Catalyst plans the three grains as one Expand + single aggregate exchange — multi-grain rollup in one shuffle, same text DuckDB runs.",
+    "sql_running_total": "Identical-ANSI window frame through register_views: partitioned by user_id (hash exchange + in-partition sort), cumulative frame runs per partition — no global window, no extra shuffle.",
 }
 
 HEADER = """# PLANS — physical-plan evidence for the headline operators

@@ -62,31 +62,14 @@ def test_kappa_degenerate_single_category_is_null(spark):
 # Calibration bins + ECE
 # ------------------------------------------------------------------
 
-def test_calibration_bins_hand_case_and_edge(spark):
-    from parkour_spark.operators.validate import calibration_bins
-
-    rows = [
-        (0.05, 0), (0.05, 0),       # bin 0
-        (0.95, 1), (0.95, 1), (0.95, 0),  # bin 9
-        (1.0, 1),                   # score 1.0 clamps into bin 9
-        (None, 1),                  # excluded
-    ]
-    df = spark.createDataFrame(rows, "score double, label int")
-    got = {r.bin: (r.n, r.n_pos, r.conf_sum_micro)
-           for r in calibration_bins(df, "score", "label").collect()}
-    assert got == {
-        0: (2, 0, 100000),
-        9: (4, 3, 3 * 950000 + 1000000),
-    }
-
-
 def test_ece_perfectly_calibrated_vs_off(spark):
+    """ECE rides the EXISTING calibration_bins cells (same bin
+    arithmetic, same micro-unit sums)."""
     from parkour_spark.operators.validate import (
         expected_calibration_error,
     )
 
-    # bin 7 (scores .75): 4 rows, 3 positive -> conf 750k/row,
-    # |4*750000 - 3*1e6| = 0 ... exactly calibrated
+    # scores .75: 4 rows, 3 positive -> |4*750000 - 3*1e6| = 0
     good = [(0.75, 1)] * 3 + [(0.75, 0)]
     r = expected_calibration_error(
         spark.createDataFrame(good, "score double, label int"),
@@ -94,13 +77,13 @@ def test_ece_perfectly_calibrated_vs_off(spark):
     ).collect()[0]
     assert r["ece_micro"] == 0 and r["n"] == 4 and r["n_bins_used"] == 1
 
-    # all-confident, all-wrong: ECE = 0.95 exactly
-    bad = [(0.95, 0)] * 10
+    # all-confident, all-wrong: ECE = 0.95 exactly; NULL scores excluded
+    bad = [(0.95, 0)] * 10 + [(None, 1)]
     r = expected_calibration_error(
         spark.createDataFrame(bad, "score double, label int"),
         "score", "label",
     ).collect()[0]
-    assert r["ece_micro"] == 950000
+    assert r["ece_micro"] == 950000 and r["n"] == 10
 
 
 # ------------------------------------------------------------------
