@@ -131,6 +131,23 @@ SOAK_QUERIES = [
     "multimodal_dhash",
     "multimodal_audio_fingerprint",
     "join_size_preflight_orders",
+    # r8 batch: the dedup-first decode path (distinct-blob set is 120
+    # templates REGARDLESS of corpus size — its decade-up cost should
+    # be fingerprint-scan-bound, not decode-bound; the gap vs
+    # multimodal_dhash above is the measured claim), the identical-ANSI
+    # running-total window over 10× events (partitioned window — the
+    # claim is no global sort), the Zipf fit (tokenize + vocab partial
+    # agg at 10× docs, regression on 100 rows), the streaming MG
+    # heavy-hitters replay at 10× events (stateful fold cost per
+    # trigger), and the three cell-table statistics whose 10× cost
+    # should be scan-bound (kappa contingency, ECE bins, ESS moments)
+    "multimodal_dhash_dedup_decode",
+    "sql_running_total",
+    "zipf_slope_docs",
+    "streaming_heavy_hitters",
+    "kappa_lang_annotators",
+    "ece_purchase_value",
+    "ess_event_value_by_type",
 ]
 
 
@@ -416,7 +433,73 @@ def lsh_skew(spark) -> dict:
     }
 
 
+def codec_throughput(spark) -> dict:
+    """Honest Python-codec throughput at soak scale (r7 verdict #8):
+    decode EVERY blob (the per-row path — no dedup short-circuit) and
+    report blobs/s and MB/s, total and per-core. The fixture blobs are
+    small (227-byte PPM images, ~1.3 KB WAVs), so per-blob Python
+    overhead dominates MB/s — report BOTH rates so neither number
+    oversells the other. The dedup-decode gap lives in the main query
+    table (multimodal_dhash vs multimodal_dhash_dedup_decode)."""
+    from parkour_spark.operators.multimodal import (
+        audio_fingerprint,
+        perceptual_dhash,
+    )
+    from parkour_spark.queries import _dhash_blobs, _wav_650
+
+    out = {}
+    cores = spark.sparkContext.defaultParallelism
+
+    def measure(tag, blobs_df):
+        stats = blobs_df.agg(
+            F.count("*").alias("n"),
+            F.sum(F.length("payload")).alias("b"),
+        ).first()
+        t0 = time.perf_counter()
+        if tag == "dhash":
+            perceptual_dhash(blobs_df).count()
+        else:
+            audio_fingerprint(blobs_df).count()
+        secs = time.perf_counter() - t0
+        mb = stats["b"] / 1e6
+        out[tag] = {
+            "n_blobs": int(stats["n"]),
+            "payload_mb": round(mb, 2),
+            "seconds": round(secs, 3),
+            "blobs_per_s": round(stats["n"] / secs, 1),
+            "mb_per_s": round(mb / secs, 2),
+            "blobs_per_s_per_core": round(stats["n"] / secs / cores, 1),
+            "mb_per_s_per_core": round(mb / secs / cores, 4),
+        }
+
+    measure("dhash", _dhash_blobs(spark, DST))
+
+    import pandas as _pd
+
+    from parkour_spark.operators.sort import widen_scan
+
+    docs = spark.read.parquet(f"{DST}/documents.parquet").select(
+        F.col("doc_id").alias("media_id")
+    )
+
+    def build(batches):
+        for pdf in batches:
+            yield _pd.DataFrame(
+                {
+                    "media_id": pdf["media_id"],
+                    "payload": [_wav_650(int(m)) for m in pdf["media_id"]],
+                }
+            )
+
+    measure(
+        "audio_wav",
+        widen_scan(docs).mapInPandas(build, "media_id long, payload binary"),
+    )
+    return out
+
+
 def main() -> None:
+    start_load = round(os.getloadavg()[0], 2)
     spark = build_session("soak_sf1")
     t0 = time.perf_counter()
     if (
@@ -439,6 +522,17 @@ def main() -> None:
         print(f"# soak {name}: {times[name]}s ({n} rows)", file=sys.stderr)
 
     skew = lsh_skew(spark)
+    codec = codec_throughput(spark)
+    # provenance (r7 verdict #3): stamp the producing commit so NOTES
+    # and this artifact can never silently diverge again
+    import subprocess
+
+    commit = subprocess.run(
+        ["git", "rev-parse", "--short", "HEAD"],
+        cwd=os.path.dirname(os.path.dirname(os.path.abspath(__file__))),
+        capture_output=True,
+        text=True,
+    ).stdout.strip()
     out = {
         "metric": "soak_sf1_total",
         "value": round(sum(times.values()), 3),
@@ -448,6 +542,9 @@ def main() -> None:
         "replicas": REPLICAS,
         "gen_seconds": gen_s,
         "lsh_skew": skew,
+        "codec_throughput": codec,
+        "git_commit": commit,
+        "load_start": {"loadavg_1m": start_load},
     }
     print(json.dumps(out))
     with open(os.path.join(os.path.dirname(__file__), "..", "BENCH_sf1.json"), "w") as f:
