@@ -1351,7 +1351,9 @@ def expected_calibration_error(
         F.sum(term) / F.nullif(F.sum("n").cast("double"), F.lit(0.0))
     ).cast("long")
     return cells.agg(
-        F.sum("n").cast("long").alias("n"),
+        # empty cell table (every score NULL / empty input) → n = 0
+        # with NULL ece, not a NULL-n row
+        F.coalesce(F.sum("n"), F.lit(0)).cast("long").alias("n"),
         F.count("*").cast("long").alias("n_bins_used"),
         ece_micro.alias("ece_micro"),
     ).select(
@@ -1377,11 +1379,12 @@ def importance_ess(
     engine) so both sums are exact int64; the final ratio is one
     double division. Returns (group, n, s1_milli, s2_milli2,
     ess_milli, ess_ratio_micro) where ess_ratio_micro =
-    round(10⁶·ESS/n) (1e6 = unweighted). NULL weights are excluded;
-    weights must be ≥ 0 (importance weights by definition — negative
-    inputs raise downstream of the exactness bound:
-    n·(1000·w_max)² < 2⁶³, i.e. milli-exactness to ~10⁹ rows of
-    weights ≤ 2000).
+    round(10⁶·ESS/n) (1e6 = unweighted). NULL weights are excluded.
+    Weights are assumed ≥ 0 (importance weights by definition);
+    negative weights are not rejected — the formula still evaluates —
+    but the ESS interpretation does not apply to them. Exactness
+    bound: n·(1000·w_max)² < 2⁶³, i.e. milli-exactness to ~10⁹ rows
+    of weights ≤ 2000; shard larger slices or rescale first.
 
     SCALE: ONE partial-agg shuffle to per-group sums; nothing after
     the groupBy touches a raw row."""

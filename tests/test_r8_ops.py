@@ -209,3 +209,16 @@ def test_covariance_snapshots_resume_after_restart(spark, tmp_path):
         for r in covariance_cells(a.unionByName(b)).collect()
     }
     assert {(r.i, r.j): r.s for r in got.collect()} == want
+
+
+def test_ece_empty_and_all_null_scores(spark):
+    from parkour_spark.operators.validate import (
+        expected_calibration_error,
+    )
+
+    df = spark.createDataFrame(
+        [(None, 1), (None, 0)], "score double, label int"
+    )
+    r = expected_calibration_error(df, "score", "label").collect()[0]
+    assert r["n"] == 0 and r["n_bins_used"] == 0
+    assert r["ece_micro"] is None and r["ece"] is None
