@@ -77,6 +77,13 @@ HEADLINE = [
     # whose throughput should be tracked round-over-round like the
     # other mapInPandas families
     "embedding_covariance_cells",
+    # r8 (r7 verdict #9): the two heaviest new oracle entries — the
+    # dedup-first codec path (blob fingerprint scan + partial-agg
+    # blob dedup + distinct-set decode + key-sized fan-back) and the
+    # Zipf head fit (tokenize + vocab partial agg + TakeOrdered) —
+    # tracked round-over-round like their families
+    "multimodal_dhash_dedup_decode",
+    "zipf_slope_docs",
 ]
 
 

@@ -1612,11 +1612,14 @@ def _check_index_meta(
     band table, breaking append(B) ≡ build(A∪B)). max_bucket=None
     skips that field (probe does not apply the cap). Indexes written
     before meta/ existed skip the check — they carry no record to
-    check against."""
-    try:
-        row = spark.read.parquet(path + "/meta").collect()[0]
-    except Exception:
+    check against; a PRESENT-but-unreadable meta is NOT skipped (a
+    corrupt record must not silently disable the guard it exists
+    for)."""
+    from parkour_spark import fs as pfs
+
+    if not pfs.exists(spark, path + "/meta"):
         return  # pre-meta index: nothing recorded to validate against
+    row = spark.read.parquet(path + "/meta").collect()[0]
     got = {"num_hashes": num_hashes, "bands": bands, "ngram_n": ngram_n}
     if max_bucket is not None:
         got["max_bucket"] = max_bucket

@@ -230,3 +230,29 @@ def test_decode_distinct_equals_per_row_path(spark):
     out = decode_distinct(df, counting_codec).collect()
     assert len(out) == 8
     assert calls.value == 4  # ppm, "not an image", None, unique image
+
+
+def test_minhash_corrupt_meta_is_not_silently_skipped(spark, tmp_path):
+    """A PRESENT-but-unreadable meta/ must raise, not silently disable
+    the parameter guard (only a MISSING meta — a pre-guard index —
+    skips)."""
+    import pathlib
+
+    from parkour_spark.operators.dedup import (
+        minhash_index_append,
+        minhash_index_build,
+    )
+
+    idx = tmp_path / "idx"
+    minhash_index_build(_corpus(spark), str(idx))
+    for f in (idx / "meta").iterdir():
+        f.unlink()
+    pathlib.Path(idx / "meta" / "part-corrupt.parquet").write_bytes(
+        b"not parquet at all"
+    )
+    batch = spark.createDataFrame(
+        [(100, "a fresh batch document that shares nothing")],
+        ["doc_id", "text"],
+    )
+    with pytest.raises(Exception):
+        minhash_index_append(batch, str(idx))
