@@ -204,6 +204,108 @@ def dedup_survivors(
     )
 
 
+def cc_delta_update(
+    components: DataFrame,
+    new_nodes: DataFrame,
+    new_edges: DataFrame,
+    node_col: str = "id",
+    src: str = "id_a",
+    dst: str = "id_b",
+    max_iters: int = 20,
+) -> DataFrame:
+    """Incremental connected components: fold an ingest batch's nodes
+    and edges into an EXISTING (node, component) table without
+    recomputing the corpus graph — the graph-index lifecycle step that
+    keeps near-dup components current as a 100 TB corpus grows (the
+    `minhash_index_append` of the component world, with the same
+    result-identity guarantee: `delta(CC(A), B) ≡ CC(A ∪ B)`).
+
+    Requires the min-id labeling this module's CC operators produce
+    (component = min reachable node id). That convention is what makes
+    contraction sound: each existing component participates as ONE
+    super-node — its component id — and since that id is the min of
+    its members, the min over merged super-nodes equals the min over
+    all underlying nodes, so the delta result is bit-identical to a
+    full recompute (the registered gate entry pins this against the
+    full-closure oracle).
+
+    `new_edges` must carry EVERY pair with at least one endpoint
+    outside `components` (new↔new and new↔old; old↔old edges were
+    already folded into the labels and may be omitted). Endpoints
+    found in neither table are treated as new nodes. `new_nodes` ids
+    must be disjoint from `components` (the standard delta contract).
+
+    SCALE — the corpus-sized component table is NEVER shuffled:
+      1. restrict it to the batch's endpoints (broadcast semi-join —
+         one scan, batch-sized output);
+      2. contract batch edges through that mapping and run CC on the
+         contracted graph — batch edges + touched components, never
+         corpus-sized;
+      3. fan the new labels back with a broadcast join keyed on the
+         OLD component id (one more scan; only touched components'
+         rows change, untouched rows pass through a left anti join).
+    Per-batch cost ∝ batch + touched components + 2 corpus scans;
+    zero corpus shuffles (test-asserted: no SortMergeJoin)."""
+    c = components.select(
+        F.col(node_col).alias("__n"), F.col("component").alias("__c")
+    )
+    e = new_edges.select(F.col(src).alias("__a"), F.col(dst).alias("__b"))
+    eps = (
+        e.select(F.col("__a").alias("__p"))
+        .union(e.select(F.col("__b").alias("__p")))
+        .distinct()
+    )
+    touched = c.join(
+        F.broadcast(eps), F.col("__n") == F.col("__p")
+    ).select("__n", "__c")
+    ma = touched.select(
+        F.col("__n").alias("__ka"), F.col("__c").alias("__ca")
+    )
+    mb = touched.select(
+        F.col("__n").alias("__kb"), F.col("__c").alias("__cb")
+    )
+    contracted_edges = (
+        e.join(F.broadcast(ma), F.col("__a") == F.col("__ka"), "left")
+        .join(F.broadcast(mb), F.col("__b") == F.col("__kb"), "left")
+        .select(
+            F.coalesce("__ca", "__a").alias("id_a"),
+            F.coalesce("__cb", "__b").alias("id_b"),
+        )
+    )
+    # "new" = declared batch nodes ∪ edge endpoints known to neither
+    # table (treated as new nodes per the docstring contract)
+    nn = (
+        new_nodes.select(F.col(new_nodes.columns[0]).alias("id"))
+        .union(
+            eps.join(
+                F.broadcast(touched), F.col("__p") == F.col("__n"),
+                "left_anti",
+            ).select(F.col("__p").alias("id"))
+        )
+        .distinct()
+    )
+    contracted_nodes = (
+        nn.select("id")
+        .union(touched.select(F.col("__c").alias("id")))
+        .union(contracted_edges.select(F.col("id_a").alias("id")))
+        .union(contracted_edges.select(F.col("id_b").alias("id")))
+        .distinct()
+    )
+    res = connected_components(
+        contracted_nodes, contracted_edges, "id", max_iters=max_iters
+    ).select(F.col("n").alias("__super"), F.col("component").alias("__new"))
+    updated = c.join(
+        F.broadcast(res), F.col("__c") == F.col("__super")
+    ).select(F.col("__n").alias("n"), F.col("__new").alias("component"))
+    untouched = c.join(
+        F.broadcast(res), F.col("__c") == F.col("__super"), "left_anti"
+    ).select(F.col("__n").alias("n"), F.col("__c").alias("component"))
+    fresh = nn.join(
+        F.broadcast(res), nn.id == F.col("__super")
+    ).select(F.col("id").alias("n"), F.col("__new").alias("component"))
+    return untouched.unionByName(updated).unionByName(fresh)
+
+
 def pagerank(
     nodes: DataFrame,
     edges: DataFrame,

@@ -1420,3 +1420,70 @@ def importance_ess(
         .cast("long")
         .alias("ess_ratio_micro"),
     )
+
+
+def filter_attrition(
+    df: DataFrame, stages: list[tuple[str, Column]]
+) -> DataFrame:
+    """Pipeline attrition report for an ORDERED filter chain — the
+    per-stage survival table every corpus-prep run publishes ("raw →
+    length gate → lang gate → quality gate" with counts), computed in
+    ONE aggregate pass (the `validate` discipline: each stage is two
+    conditional sums, so N stages cost one scan + one 1-row merge,
+    never N scans).
+
+    `stages` is [(name, keep_predicate_Column)] in pipeline order.
+    Output is tall, one row per stage plus a stage-0 'input' row:
+
+      (stage_idx, stage, n_pass, n_surviving, retained_bp)
+
+    where n_pass counts rows passing THIS predicate alone (the
+    stage's standalone selectivity — reorder diagnostics), n_surviving
+    counts rows passing ALL stages up to and including this one (the
+    actual pipeline attrition; predicates short-circuit in order), and
+    retained_bp = floor(10⁴ · n_surviving / n_rows). NULL predicate
+    values count as False (a filter that cannot decide drops the
+    row — the conservative corpus-prep reading)."""
+    if not stages:
+        raise ValueError("filter_attrition: need at least one stage")
+    aggs = [F.count(F.lit(1)).alias("__n")]
+    cum = None
+    for i, (_, pred) in enumerate(stages):
+        p = F.coalesce(pred, F.lit(False))
+        cum = p if cum is None else (cum & p)
+        aggs.append(
+            F.sum(F.when(p, 1).otherwise(0)).cast("long").alias(f"__p{i}")
+        )
+        aggs.append(
+            F.sum(F.when(cum, 1).otherwise(0)).cast("long").alias(f"__s{i}")
+        )
+    wide = df.agg(*aggs)
+    rows = [
+        F.struct(
+            F.lit(0).alias("stage_idx"),
+            F.lit("input").alias("stage"),
+            F.col("__n").cast("long").alias("n_pass"),
+            F.col("__n").cast("long").alias("n_surviving"),
+        )
+    ] + [
+        F.struct(
+            F.lit(i + 1).alias("stage_idx"),
+            F.lit(name).alias("stage"),
+            F.col(f"__p{i}").alias("n_pass"),
+            F.col(f"__s{i}").alias("n_surviving"),
+        )
+        for i, (name, _) in enumerate(stages)
+    ]
+    tall = F.explode(F.array(*rows)).alias("r")
+    return wide.select(tall, F.col("__n").alias("__nr")).select(
+        F.col("r.stage_idx").alias("stage_idx"),
+        F.col("r.stage").alias("stage"),
+        F.col("r.n_pass").alias("n_pass"),
+        F.col("r.n_surviving").alias("n_surviving"),
+        F.floor(
+            F.lit(10000) * F.col("r.n_surviving")
+            / F.nullif(F.col("__nr").cast("double"), F.lit(0.0))
+        )
+        .cast("long")
+        .alias("retained_bp"),
+    )

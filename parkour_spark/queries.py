@@ -2763,6 +2763,48 @@ def q_dedup_groups_bigstar(spark, sf_dir):
     )
 
 
+@query("cc_delta_update_groups", _dedup_groups_oracle())
+def q_cc_delta_update(spark, sf_dir):
+    """Incremental component maintenance (graph.cc_delta_update): the
+    near-dup components are built on the content-hash bottom 80% of
+    docs, then the top 20% arrives as an ingest batch — its nodes and
+    every pair touching it fold into the EXISTING labels through a
+    batch-sized contracted CC (existing components participate as one
+    super-node each; the corpus-sized component table is never
+    shuffled, only scanned through broadcast joins). The oracle is the
+    full-corpus transitive closure — the same oracle as dedup_groups —
+    so a green row IS the proof that delta(CC(A), B) ≡ CC(A ∪ B),
+    exactly the minhash_probe_after_append pattern for the graph
+    index."""
+    from parkour_spark.functions.sampling import hash_bucket
+    from parkour_spark.operators.graph import (
+        cc_delta_update,
+        connected_components,
+    )
+
+    docs = _t(spark, sf_dir, "documents")
+    pairs = D.minhash_dedup_pairs(docs, threshold=0.8)
+    ba = hash_bucket(F.col("id_a"), 100)
+    bb = hash_bucket(F.col("id_b"), 100)
+    bkt = hash_bucket(F.col("doc_id"), 100)
+    comps_a = connected_components(
+        docs.where(bkt < 80).select("doc_id"),
+        pairs.where((ba < 80) & (bb < 80)),
+        node_col="doc_id",
+    ).select(F.col("n").alias("doc_id"), "component")
+    cc = cc_delta_update(
+        comps_a,
+        docs.where(bkt >= 80).select("doc_id"),
+        pairs.where((ba >= 80) | (bb >= 80)),
+        node_col="doc_id",
+    )
+    return cc.select(
+        F.col("n").alias("doc_id"),
+        "component",
+        (F.col("n") == F.col("component")).alias("is_survivor"),
+    )
+
+
 @query(
     "rolling_30d_spend",
     """
@@ -10208,3 +10250,58 @@ def q_zipf_slope(spark, sf_dir):
     from parkour_spark.operators.corpus import zipf_slope
 
     return zipf_slope(_t(spark, sf_dir, "documents"), top_n=100)
+
+
+@query(
+    "attrition_docs_pipeline",
+    f"""
+    WITH d AS (
+      SELECT n_chars >= 100 AS p0,
+             lang = 'en' AS p1,
+             n_chars <= 20000 AS p2,
+             len({_TOKS_SQL}) >= 10 AS p3
+      FROM documents),
+    w AS (
+      SELECT count(*)::BIGINT AS n,
+             sum(CASE WHEN p0 THEN 1 ELSE 0 END)::BIGINT AS a0,
+             sum(CASE WHEN p0 THEN 1 ELSE 0 END)::BIGINT AS s0,
+             sum(CASE WHEN p1 THEN 1 ELSE 0 END)::BIGINT AS a1,
+             sum(CASE WHEN p0 AND p1 THEN 1 ELSE 0 END)::BIGINT AS s1,
+             sum(CASE WHEN p2 THEN 1 ELSE 0 END)::BIGINT AS a2,
+             sum(CASE WHEN p0 AND p1 AND p2 THEN 1 ELSE 0 END)::BIGINT AS s2,
+             sum(CASE WHEN p3 THEN 1 ELSE 0 END)::BIGINT AS a3,
+             sum(CASE WHEN p0 AND p1 AND p2 AND p3 THEN 1 ELSE 0 END)::BIGINT
+               AS s3
+      FROM d)
+    SELECT 0 AS stage_idx, 'input' AS stage, n AS n_pass, n AS n_surviving,
+           10000::BIGINT AS retained_bp FROM w
+    UNION ALL SELECT 1, 'min_chars', a0, s0,
+           CAST(floor(10000 * s0 / CAST(n AS DOUBLE)) AS BIGINT) FROM w
+    UNION ALL SELECT 2, 'lang_en', a1, s1,
+           CAST(floor(10000 * s1 / CAST(n AS DOUBLE)) AS BIGINT) FROM w
+    UNION ALL SELECT 3, 'max_chars', a2, s2,
+           CAST(floor(10000 * s2 / CAST(n AS DOUBLE)) AS BIGINT) FROM w
+    UNION ALL SELECT 4, 'min_tokens', a3, s3,
+           CAST(floor(10000 * s3 / CAST(n AS DOUBLE)) AS BIGINT) FROM w
+    """,
+)
+def q_attrition(spark, sf_dir):
+    """Corpus-prep attrition report (validate.filter_attrition): the
+    ordered length → language → length-cap → token-count filter chain
+    over documents, ONE aggregate pass emitting per-stage standalone
+    selectivity (n_pass) and cumulative survival (n_surviving,
+    retained_bp) — the table every data-prep run publishes so a
+    mixture change is a diff, not a mystery."""
+    from parkour_spark.functions.text import token_count
+    from parkour_spark.operators.validate import filter_attrition
+
+    docs = _t(spark, sf_dir, "documents")
+    return filter_attrition(
+        docs,
+        [
+            ("min_chars", F.col("n_chars") >= 100),
+            ("lang_en", F.col("lang") == "en"),
+            ("max_chars", F.col("n_chars") <= 20000),
+            ("min_tokens", token_count("text") >= 10),
+        ],
+    )

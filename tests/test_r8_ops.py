@@ -222,3 +222,128 @@ def test_ece_empty_and_all_null_scores(spark):
     r = expected_calibration_error(df, "score", "label").collect()[0]
     assert r["n"] == 0 and r["n_bins_used"] == 0
     assert r["ece_micro"] is None and r["ece"] is None
+
+
+# ------------------------------------------------------------------
+# Incremental connected components (delta ≡ full recompute)
+# ------------------------------------------------------------------
+
+def test_cc_delta_equals_full_recompute(spark):
+    from parkour_spark.operators.graph import (
+        cc_delta_update,
+        connected_components,
+    )
+
+    old_nodes = spark.createDataFrame([(i,) for i in [1, 2, 3, 5, 7]], "id long")
+    old_edges = spark.createDataFrame([(1, 2), (2, 3)], "id_a long, id_b long")
+    comps = connected_components(old_nodes, old_edges)
+    comps = comps.select(F.col("n").alias("id"), "component")
+
+    new_nodes = spark.createDataFrame([(10,), (11,), (12,)], "id long")
+    # 10 joins the {1,2,3} component; 11 bridges old singletons 5 and 7;
+    # 12 stays isolated
+    new_edges = spark.createDataFrame(
+        [(10, 3), (11, 7), (11, 5)], "id_a long, id_b long"
+    )
+    got = {
+        (r.n, r.component)
+        for r in cc_delta_update(comps, new_nodes, new_edges).collect()
+    }
+    all_nodes = old_nodes.unionByName(new_nodes)
+    all_edges = old_edges.unionByName(new_edges)
+    want = {
+        (r.n, r.component)
+        for r in connected_components(all_nodes, all_edges).collect()
+    }
+    assert got == want
+    assert (10, 1) in got and (11, 5) in got and (12, 12) in got
+
+
+def test_cc_delta_untouched_components_pass_through(spark):
+    from parkour_spark.operators.graph import cc_delta_update
+
+    comps = spark.createDataFrame(
+        [(1, 1), (2, 1), (9, 9)], "id long, component long"
+    )
+    got = {
+        (r.n, r.component)
+        for r in cc_delta_update(
+            comps,
+            spark.createDataFrame([(20,)], "id long"),
+            spark.createDataFrame([], "id_a long, id_b long"),
+        ).collect()
+    }
+    assert got == {(1, 1), (2, 1), (9, 9), (20, 20)}
+
+
+def test_cc_delta_merges_two_old_components_via_new_node(spark):
+    """A batch node can BRIDGE two existing components; both collapse
+    to the global min id, exactly as a full recompute would."""
+    from parkour_spark.operators.graph import cc_delta_update
+
+    comps = spark.createDataFrame(
+        [(3, 3), (4, 3), (6, 6), (8, 6)], "id long, component long"
+    )
+    got = {
+        (r.n, r.component)
+        for r in cc_delta_update(
+            comps,
+            spark.createDataFrame([(50,)], "id long"),
+            spark.createDataFrame([(50, 4), (50, 8)], "id_a long, id_b long"),
+        ).collect()
+    }
+    assert got == {(3, 3), (4, 3), (6, 3), (8, 3), (50, 3)}
+
+
+def test_cc_delta_never_shuffles_the_component_table(spark):
+    """The corpus-sized table flows only through broadcast joins —
+    a SortMergeJoin anywhere means the delta degraded to a corpus
+    shuffle."""
+    from parkour_spark.operators.graph import cc_delta_update
+
+    comps = spark.createDataFrame(
+        [(i, i - i % 2) for i in range(100)], "id long, component long"
+    )
+    out = cc_delta_update(
+        comps,
+        spark.createDataFrame([(1000,)], "id long"),
+        spark.createDataFrame([(1000, 3)], "id_a long, id_b long"),
+    )
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    assert "SortMergeJoin" not in plan
+
+
+# ------------------------------------------------------------------
+# Filter attrition report
+# ------------------------------------------------------------------
+
+def test_filter_attrition_hand_case(spark):
+    from parkour_spark.operators.validate import filter_attrition
+
+    rows = [
+        (1, 10, "en"), (2, 300, "en"), (3, 300, "fr"),
+        (4, 300, "en"), (5, 50000, "en"), (6, 300, None),
+    ]
+    df = spark.createDataFrame(rows, "id long, n long, lang string")
+    got = {
+        r.stage: (r.stage_idx, r.n_pass, r.n_surviving, r.retained_bp)
+        for r in filter_attrition(
+            df,
+            [
+                ("len_ok", (F.col("n") >= 100) & (F.col("n") <= 20000)),
+                ("lang_en", F.col("lang") == "en"),  # NULL counts False
+            ],
+        ).collect()
+    }
+    assert got == {
+        "input": (0, 6, 6, 10000),
+        "len_ok": (1, 4, 4, 6666),       # rows 2,3,4,6
+        "lang_en": (2, 4, 2, 3333),      # alone: 1,2,4,5; cumulative: 2,4
+    }
+
+
+def test_filter_attrition_requires_stages(spark):
+    from parkour_spark.operators.validate import filter_attrition
+
+    with pytest.raises(ValueError):
+        filter_attrition(spark.range(3), [])
