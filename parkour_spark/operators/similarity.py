@@ -336,6 +336,82 @@ def ivf_index_build(
         .partitionBy("cell")
         .parquet(path)
     )
+    _write_ivf_meta(corpus.sparkSession, path, centroids)
+
+
+def _write_ivf_meta(spark, path: str, centroids) -> None:
+    """Persist the quantizer under `path`/_ivf_meta (the underscore
+    prefix keeps it out of the partitioned dataset's discovery, like
+    _SUCCESS): the inverted-list layout is a pure function of these
+    centroids, so append/probe with a DIFFERENT quantizer reads/writes
+    the wrong lists — the minhash meta/ discipline for the embedding
+    index."""
+    spark.createDataFrame(
+        [(int(cid), [float(x) for x in v]) for cid, v in centroids],
+        "cid int, v array<double>",
+    ).coalesce(1).write.mode("overwrite").parquet(path + "/_ivf_meta")
+
+
+def _check_ivf_meta(spark, path: str, centroids) -> None:
+    """Raise if the caller's centroids differ from the persisted build
+    quantizer. Indexes written before _ivf_meta existed skip the check
+    (nothing recorded); a present-but-different quantizer raises with
+    the first mismatching cell id."""
+    from parkour_spark import fs as pfs
+
+    if not pfs.exists(spark, path + "/_ivf_meta"):
+        return
+    stored = {
+        r["cid"]: list(r["v"])
+        for r in spark.read.parquet(path + "/_ivf_meta").collect()
+    }
+    ours = {int(cid): [float(x) for x in v] for cid, v in centroids}
+    if stored != ours:
+        bad = sorted(
+            set(stored) ^ set(ours)
+            | {c for c in set(stored) & set(ours) if stored[c] != ours[c]}
+        )
+        raise ValueError(
+            "ivf index quantizer mismatch — centroids differ from the "
+            f"persisted build quantizer at cell id(s) {bad[:5]} "
+            f"(stored {len(stored)} cells, called with {len(ours)})"
+        )
+
+
+def ivf_index_append(
+    new_df: DataFrame,
+    centroids: list[tuple[int, list[float]]],
+    path: str,
+    corpus_vec: str = "embedding",
+) -> None:
+    """Append an ingest batch to a PERSISTED IVF index — the
+    index-lifecycle step between `ivf_index_build` and
+    `ivf_probe_topk`, completing the build/append/probe cycle for the
+    embedding index exactly as `minhash_index_append` does for the
+    document index. The batch pays only its OWN assignment scan (one
+    Arrow matmul pass); rows land under their cell partitions via
+    append, so existing inverted lists are never rewritten.
+
+    `append(B) onto build(A)` is RESULT-IDENTICAL to `build(A ∪ B)`:
+    cell assignment is a pure function of (vector, centroids), cnorm
+    is the same fold, and the partitioned layout is
+    row-location-agnostic — the registered gate entry pins
+    probe-after-append against the combined-build oracle. Centroids
+    are validated against the persisted build quantizer (_ivf_meta) —
+    a different quantizer would scatter the batch into the wrong
+    lists and silently break probe recall, so a mismatch raises.
+    Batch ids must be disjoint from the index's (the standard delta
+    contract)."""
+    spark = new_df.sparkSession
+    _check_ivf_meta(spark, path, centroids)
+    assigned = ivf_assign_arrow(widen_scan(new_df), centroids, corpus_vec, "cell")
+    (
+        assigned.withColumn("cnorm", norm(corpus_vec))
+        .repartition("cell")
+        .write.mode("append")
+        .partitionBy("cell")
+        .parquet(path)
+    )
 
 
 def ivf_probe_topk(
@@ -359,7 +435,12 @@ def ivf_probe_topk(
     distinct cells reads 3% of the index. Results are identical to
     ivf_topk over the same corpus/centroids: assignment was the same
     Arrow argmax, and the stored `cnorm` is the same fold the in-line
-    path computes."""
+    path computes.
+
+    The quantizer is validated against the persisted build centroids
+    (_ivf_meta, r8) — probing with a different quantizer ranks the
+    wrong cells and silently loses recall, so a mismatch raises."""
+    _check_ivf_meta(spark, index_path, centroids)
     cent_arr = _centroid_array(centroids)
     qn = norm(query_vec)
     scores = F.transform(

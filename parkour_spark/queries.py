@@ -10305,3 +10305,46 @@ def q_attrition(spark, sf_dir):
             ("min_tokens", token_count("text") >= 10),
         ],
     )
+
+
+_IVF_APPEND_DIRS: dict[str, str] = _SfLRUDirs()
+
+
+@query("ivf_probe_after_append", _ivf_oracle())
+def q_ivf_probe_after_append(spark, sf_dir):
+    """IVF index-lifecycle equivalence, gate-pinned
+    (similarity.ivf_index_append): build the partitioned inverted-list
+    index on the content-hash bottom 80% of the corpus, APPEND the
+    remaining 20% (the batch pays only its own Arrow assignment scan;
+    existing lists are never rewritten; the persisted _ivf_meta
+    quantizer guard rejects a different centroid set), then probe with
+    the standard query batch. The oracle is the full-corpus IVF
+    replay — the same oracle as ivf_topk_cosine — so a green row IS
+    the proof that append(B) onto build(A) ≡ build(A ∪ B) for the
+    embedding index, completing the build/append/probe trio
+    (substring, minhash, IVF) with an append leg each."""
+    import tempfile
+
+    from parkour_spark.functions.sampling import hash_bucket
+    from parkour_spark.operators.similarity import (
+        ivf_index_append,
+        ivf_index_build,
+        ivf_probe_topk,
+    )
+
+    emb = _t(spark, sf_dir, "embeddings")
+    cents = _ivf_centroids(spark, sf_dir)
+    queries = emb.where(F.col("vec_id") < 5).select(
+        F.col("vec_id").alias("query_id"),
+        F.col("embedding").alias("query_vec"),
+    )
+    corpus = emb.where(F.col("vec_id") >= 5)
+    bkt = hash_bucket(F.col("vec_id"), 100)
+    if sf_dir not in _IVF_APPEND_DIRS:
+        tmp = tempfile.mkdtemp(prefix="parkour_ivfidx_app_")
+        ivf_index_build(corpus.where(bkt < 80), cents, tmp)
+        ivf_index_append(corpus.where(bkt >= 80), cents, tmp)
+        _IVF_APPEND_DIRS[sf_dir] = tmp
+    return ivf_probe_topk(
+        spark, _IVF_APPEND_DIRS[sf_dir], queries, cents, k=10, nprobe=4
+    ).select("query_id", "vec_id", "rank", "cos")

@@ -347,3 +347,75 @@ def test_filter_attrition_requires_stages(spark):
 
     with pytest.raises(ValueError):
         filter_attrition(spark.range(3), [])
+
+
+# ------------------------------------------------------------------
+# IVF index append + quantizer guard
+# ------------------------------------------------------------------
+
+def test_ivf_append_equals_combined_build(spark, tmp_path):
+    import numpy as np
+
+    from parkour_spark.operators.similarity import (
+        ivf_index_append,
+        ivf_index_build,
+        ivf_probe_topk,
+    )
+
+    rng = np.random.default_rng(3)
+    x = rng.normal(size=(60, 6))
+    df = spark.createDataFrame(
+        [(i, [float(v) for v in r]) for i, r in enumerate(x)],
+        "vec_id long, embedding array<float>",
+    )
+    cents = [(i, [float(v) for v in x[i]]) for i in range(4)]
+    queries = df.where(F.col("vec_id") < 3).select(
+        F.col("vec_id").alias("query_id"),
+        F.col("embedding").alias("query_vec"),
+    )
+    a = str(tmp_path / "combined")
+    ivf_index_build(df, cents, a)
+    b = str(tmp_path / "delta")
+    ivf_index_build(df.where(F.col("vec_id") < 40), cents, b)
+    ivf_index_append(df.where(F.col("vec_id") >= 40), cents, b)
+
+    ra = {(r.query_id, r.vec_id, r.rank, r.cos)
+          for r in ivf_probe_topk(spark, a, queries, cents, k=5).collect()}
+    rb = {(r.query_id, r.vec_id, r.rank, r.cos)
+          for r in ivf_probe_topk(spark, b, queries, cents, k=5).collect()}
+    assert ra == rb and len(ra) >= 10
+
+
+def test_ivf_quantizer_mismatch_raises(spark, tmp_path):
+    import numpy as np
+
+    import pytest as _pytest
+
+    from parkour_spark.operators.similarity import (
+        ivf_index_append,
+        ivf_index_build,
+        ivf_probe_topk,
+    )
+
+    rng = np.random.default_rng(4)
+    x = rng.normal(size=(20, 4))
+    df = spark.createDataFrame(
+        [(i, [float(v) for v in r]) for i, r in enumerate(x)],
+        "vec_id long, embedding array<float>",
+    )
+    cents = [(i, [float(v) for v in x[i]]) for i in range(3)]
+    other = [(i, [float(v) + 0.5 for v in x[i]]) for i in range(3)]
+    idx = str(tmp_path / "idx")
+    ivf_index_build(df, cents, idx)
+    batch = df.where(F.col("vec_id") >= 18)
+    with _pytest.raises(ValueError, match="quantizer mismatch"):
+        ivf_index_append(batch, other, idx)
+    q = df.limit(1).select(
+        F.col("vec_id").alias("query_id"),
+        F.col("embedding").alias("query_vec"),
+    )
+    with _pytest.raises(ValueError, match="quantizer mismatch"):
+        ivf_probe_topk(spark, idx, q, other, k=3).collect()
+    # matching quantizer still appends + probes fine
+    ivf_index_append(batch, cents, idx)
+    assert ivf_probe_topk(spark, idx, q, cents, k=3).count() > 0
