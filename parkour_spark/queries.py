@@ -10348,3 +10348,46 @@ def q_ivf_probe_after_append(spark, sf_dir):
     return ivf_probe_topk(
         spark, _IVF_APPEND_DIRS[sf_dir], queries, cents, k=10, nprobe=4
     ).select("query_id", "vec_id", "rank", "cos")
+
+
+@query("streaming_component_stream", _dedup_groups_oracle())
+def q_streaming_components(spark, sf_dir):
+    """Streaming near-dup component maintenance
+    (streaming.windows.streaming_component_maintainer): the corpus's
+    MinHash candidate pairs replayed as 4 micro-batches of edges, each
+    folding into the PERSISTED (node, component) snapshot through a
+    batch-sized contracted CC (cc_delta_update on the
+    incremental_rollup_stream recovery skeleton). Exactness is
+    ORDER-INSENSITIVE — components of a union of edge sets do not
+    depend on arrival order and each fold preserves connectivity — so
+    the final table equals batch CC over all pairs and the SAME
+    full-closure oracle as dedup_groups gates the entry. Isolated docs
+    join back as singletons, exactly the batch keep-policy shape."""
+    import tempfile
+
+    from parkour_spark.streaming.windows import (
+        streaming_component_maintainer,
+    )
+
+    docs = _t(spark, sf_dir, "documents")
+    pairs = D.minhash_dedup_pairs(docs, threshold=0.8).select(
+        "id_a", "id_b"
+    )
+    tmp = tempfile.mkdtemp(prefix="parkour_stream_cc_")
+    pairs.repartition(4).write.mode("overwrite").parquet(tmp)
+    schema = spark.read.parquet(tmp).schema
+    state = tempfile.mkdtemp(prefix="parkour_cc_state_")
+    comps = streaming_component_maintainer(spark, tmp, schema, state)
+    return (
+        docs.select("doc_id")
+        # no broadcast hint: the component table is node-sized (could be
+        # corpus-scale in production) — let AQE pick the join strategy
+        .join(comps.withColumnRenamed("id", "doc_id"), "doc_id", "left")
+        .select(
+            "doc_id",
+            F.coalesce("component", F.col("doc_id")).alias("component"),
+            (
+                F.coalesce("component", F.col("doc_id")) == F.col("doc_id")
+            ).alias("is_survivor"),
+        )
+    )

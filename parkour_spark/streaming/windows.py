@@ -719,3 +719,65 @@ def streaming_covariance_snapshots(
         .agg(F.sum("s").cast("long").alias("s")),
     )
     return spark.read.parquet(final)
+
+
+def streaming_component_maintainer(
+    spark,
+    path: str,
+    schema,
+    state_base: str,
+    src: str = "id_a",
+    dst: str = "id_b",
+    max_files: int = 1,
+) -> DataFrame:
+    """Near-dup COMPONENTS maintained over an unbounded EDGE stream —
+    `graph.cc_delta_update` composed with the durable-snapshot skeleton
+    (`_snapshot_fold_stream`): each micro-batch of candidate pairs
+    folds into the persisted (node, component) table through a
+    batch-sized contracted CC, and the table itself is the versioned
+    snapshot (checkpointed offsets, committed-snapshot discovery on
+    restart, idempotent replays). The production shape for "keep the
+    dedup graph current as pairs arrive from the ingest probes":
+    per-batch cost ∝ batch edges + touched components, never corpus.
+
+    Exactness is ORDER-INSENSITIVE, not just replay-exact: connected
+    components of a union of edge sets do not depend on arrival order,
+    and each fold preserves connectivity (a batch's own CC enters the
+    merge as spanning-star edges node→component, which connect exactly
+    the same node set), so the final table equals batch CC over ALL
+    edges — the same full-closure oracle as dedup_groups gates the
+    registered entry. Nodes that never appear in any edge are absent
+    (join the node table with coalesce(component, id) for singleton
+    semantics, as the gate entry does)."""
+    from parkour_spark.operators.graph import (
+        cc_delta_update,
+        connected_components,
+    )
+
+    def batch_state(edges: DataFrame) -> DataFrame:
+        nodes = (
+            edges.select(F.col(src).alias("id"))
+            .union(edges.select(F.col(dst).alias("id")))
+            .distinct()
+        )
+        return connected_components(nodes, edges, "id", src, dst).select(
+            F.col("n").alias("id"), "component"
+        )
+
+    def merge(old: DataFrame, new_state: DataFrame) -> DataFrame:
+        # the batch's own CC re-enters as spanning-star edges — same
+        # connectivity, batch-sized, and already deduplicated
+        star = new_state.select(
+            F.col("id").alias(src), F.col("component").alias(dst)
+        )
+        # no separately-declared new nodes: every batch node is an edge
+        # endpoint of its own star, and cc_delta_update treats unknown
+        # endpoints as new
+        no_new = old.limit(0).select("id")
+        return cc_delta_update(
+            old, no_new, star, node_col="id", src=src, dst=dst
+        ).select(F.col("n").alias("id"), "component")
+
+    stream = read_stream(spark, path, schema, max_files=max_files)
+    final = _snapshot_fold_stream(stream, state_base, batch_state, merge)
+    return spark.read.parquet(final)

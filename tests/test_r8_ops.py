@@ -419,3 +419,38 @@ def test_ivf_quantizer_mismatch_raises(spark, tmp_path):
     # matching quantizer still appends + probes fine
     ivf_index_append(batch, cents, idx)
     assert ivf_probe_topk(spark, idx, q, cents, k=3).count() > 0
+
+
+# ------------------------------------------------------------------
+# Streaming component maintainer
+# ------------------------------------------------------------------
+
+def test_streaming_components_equal_batch_cc(spark, tmp_path):
+    from parkour_spark.operators.graph import connected_components
+    from parkour_spark.streaming.windows import (
+        streaming_component_maintainer,
+    )
+
+    edges = [(1, 2), (2, 3), (5, 6), (7, 8), (3, 7), (9, 10)]
+    edf = spark.createDataFrame(edges, "id_a long, id_b long")
+    src = str(tmp_path / "edges")
+    edf.repartition(3).write.mode("overwrite").parquet(src)
+    schema = spark.read.parquet(src).schema
+    got = {
+        (r.id, r.component)
+        for r in streaming_component_maintainer(
+            spark, src, schema, str(tmp_path / "state")
+        ).collect()
+    }
+    nodes = edf.select(F.col("id_a").alias("id")).union(
+        edf.select("id_b")
+    ).distinct()
+    want = {
+        (r.n, r.component)
+        for r in connected_components(nodes, edf).collect()
+    }
+    assert got == want
+    # the bridge (3,7) merges {1,2,3} with {7,8} and (from batch order,
+    # whichever) {5,6} stays separate
+    comp_of = dict(got)
+    assert comp_of[8] == 1 and comp_of[5] == 5 and comp_of[9] == 9
