@@ -300,6 +300,73 @@ def _soak_minhash_probe_only(spark):
     )
 
 
+def _soak_ivf_append_only(spark):
+    """Append a 1-replica batch (sf0.1 embeddings, ids offset, vectors
+    rotated one extra step) to the PERSISTED 10× IVF index — the
+    append leg's measured claim: cost ∝ batch assignment scan + the
+    batch's partitioned write, independent of index size (existing
+    inverted lists are never rewritten)."""
+    from parkour_spark.operators.similarity import ivf_index_append
+
+    emb = spark.read.parquet(f"{SRC}/embeddings.parquet")
+    dim = len(emb.select("embedding").first()["embedding"])
+    batch = emb.select(
+        (F.col("vec_id") + F.lit(900_000_000)).alias("vec_id"),
+        F.expr(
+            "transform(sequence(0, {d}), i -> embedding[(i + 3) % {n}])".format(
+                d=dim - 1, n=dim
+            )
+        ).alias("embedding"),
+    )
+    ivf_index_append(
+        batch, globals()["_SOAK_IVF_CENTS"], f"{DST}/ivf_index.parquet"
+    )
+    return batch.select("vec_id")
+
+
+def _soak_cc_components_build(spark):
+    """Build + PERSIST the near-dup component table on the content-hash
+    bottom 80% of the 10× corpus — the base the delta below folds
+    into. Timed separately so the delta entry is fold-only."""
+    from parkour_spark.functions.sampling import hash_bucket
+    from parkour_spark.operators.dedup import minhash_dedup_pairs
+    from parkour_spark.operators.graph import connected_components
+
+    docs = spark.read.parquet(f"{DST}/documents.parquet")
+    pairs = minhash_dedup_pairs(docs, threshold=0.8)
+    ba = hash_bucket(F.col("id_a"), 100)
+    bb = hash_bucket(F.col("id_b"), 100)
+    bkt = hash_bucket(F.col("doc_id"), 100)
+    pairs.where((ba >= 80) | (bb >= 80)).write.mode("overwrite").parquet(
+        f"{DST}/cc_delta_edges.parquet"
+    )
+    comps = connected_components(
+        docs.where(bkt < 80).select("doc_id"),
+        pairs.where((ba < 80) & (bb < 80)),
+        node_col="doc_id",
+    ).select(F.col("n").alias("id"), "component")
+    comps.write.mode("overwrite").parquet(f"{DST}/cc_components.parquet")
+    return spark.read.parquet(f"{DST}/cc_components.parquet")
+
+
+def _soak_cc_delta_fold_only(spark):
+    """Fold the 20% batch's edges into the PERSISTED component table
+    (graph.cc_delta_update) — the measured claim: the delta costs a
+    batch-sized contracted CC + two broadcast-join scans of the
+    component table, a fraction of the full-graph CC it replaces
+    (dedup_groups_bigstar above is the full-rebuild yardstick)."""
+    from parkour_spark.functions.sampling import hash_bucket
+    from parkour_spark.operators.graph import cc_delta_update
+
+    docs = spark.read.parquet(f"{DST}/documents.parquet")
+    bkt = hash_bucket(F.col("doc_id"), 100)
+    comps = spark.read.parquet(f"{DST}/cc_components.parquet")
+    edges = spark.read.parquet(f"{DST}/cc_delta_edges.parquet")
+    return cc_delta_update(
+        comps, docs.where(bkt >= 80).select("doc_id"), edges, node_col="id"
+    )
+
+
 SOAK_CUSTOM = {
     "semantic_dedup_k_scaled": _soak_semantic_dedup,
     "substring_index_build": _soak_substring_index_build,
@@ -307,8 +374,11 @@ SOAK_CUSTOM = {
     "ivf_index_build": _soak_ivf_index_build,
     "ivf_delta_probe_only": _soak_ivf_probe_only,
     "ivf_inline_same_batch": _soak_ivf_inline_same_batch,
+    "ivf_index_append_only": _soak_ivf_append_only,
     "minhash_index_build": _soak_minhash_index_build,
     "minhash_delta_probe_only": _soak_minhash_probe_only,
+    "cc_components_build": _soak_cc_components_build,
+    "cc_delta_fold_only": _soak_cc_delta_fold_only,
 }
 
 
