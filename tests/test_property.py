@@ -813,3 +813,63 @@ def test_mutual_information_matches_reference(spark, rows):
         # terms can be negative: HALF-AWAY-FROM-ZERO like both engines
         want += math.floor(abs(t) + 0.5) * (1 if t >= 0 else -1)
     assert (got["n"], got["n_cells"], got["mi_micro"]) == (n, len(cxy), want)
+
+
+@given(
+    edges=st.lists(
+        st.tuples(
+            st.integers(min_value=0, max_value=14),
+            st.integers(min_value=0, max_value=14),
+        ),
+        min_size=0,
+        max_size=12,
+    ),
+    batch_cut=st.integers(min_value=0, max_value=14),
+)
+@settings(max_examples=8, deadline=None,
+          suppress_health_check=[HealthCheck.function_scoped_fixture,
+                                 HealthCheck.too_slow])
+def test_cc_delta_equals_full_on_random_graphs(spark, edges, batch_cut):
+    """delta(CC(A), B) == CC(A ∪ B) for RANDOM edge sets and an
+    arbitrary old/new node split: edges whose endpoints are both <
+    batch_cut belong to the old graph, everything else arrives as the
+    batch — including batch edges that BRIDGE old components and
+    batch-only nodes the old table never saw."""
+    from parkour_spark.operators.graph import (
+        cc_delta_update,
+        connected_components,
+    )
+
+    all_nodes = sorted(
+        {n for e in edges for n in e} | set(range(0, 15, 5))
+    )
+    nodes_df = spark.createDataFrame([(n,) for n in all_nodes], "id long")
+    old_nodes = [n for n in all_nodes if n < batch_cut]
+    new_nodes = [n for n in all_nodes if n >= batch_cut]
+    old_edges = [e for e in edges if e[0] < batch_cut and e[1] < batch_cut]
+    new_edges = [e for e in edges if e not in old_edges]
+
+    def df_edges(es):
+        return spark.createDataFrame(
+            es or [], "id_a long, id_b long"
+        ) if es else spark.createDataFrame([], "id_a long, id_b long")
+
+    comps = connected_components(
+        spark.createDataFrame([(n,) for n in old_nodes] or [(None,)],
+                              "id long").where(F.col("id").isNotNull()),
+        df_edges(old_edges),
+    ).select(F.col("n").alias("id"), "component")
+    got = {
+        (r.n, r.component)
+        for r in cc_delta_update(
+            comps,
+            spark.createDataFrame([(n,) for n in new_nodes] or [(None,)],
+                                  "id long").where(F.col("id").isNotNull()),
+            df_edges(new_edges),
+        ).collect()
+    }
+    want = {
+        (r.n, r.component)
+        for r in connected_components(nodes_df, df_edges(edges)).collect()
+    }
+    assert got == want

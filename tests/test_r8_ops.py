@@ -454,3 +454,49 @@ def test_streaming_components_equal_batch_cc(spark, tmp_path):
     # whichever) {5,6} stays separate
     comp_of = dict(got)
     assert comp_of[8] == 1 and comp_of[5] == 5 and comp_of[9] == 9
+
+
+# ------------------------------------------------------------------
+# Dunning G^2 collocations
+# ------------------------------------------------------------------
+
+def test_llr_collocations_hand_case(spark):
+    """3-bigram toy corpus: 'a b' twice, 'b a' once -> hand-computed
+    G^2 per pair, glued pair ranks first."""
+    import math as m
+
+    from parkour_spark.operators.corpus import llr_collocations
+
+    df = spark.createDataFrame(
+        [(1, "a b"), (2, "a b"), (3, "b a")], "doc_id long, text string"
+    )
+    got = llr_collocations(df, min_count=1, top_n=10).collect()
+    rows = {(r.w1, r.w2): (r.c12, r.llr_micro) for r in got}
+
+    def g2(k11, r1, c1, n):
+        k12, k21, k22 = r1 - k11, c1 - k11, n - r1 - c1 + k11
+        r2, c2 = n - r1, n - c1
+        tot = 0
+        for k, rt, ct in [(k11, r1, c1), (k12, r1, c2),
+                          (k21, r2, c1), (k22, r2, c2)]:
+            if k > 0:
+                tot += round(2.0 * k * m.log((k * n) / (rt * ct)) * 1e6)
+        return tot
+
+    # cells: (a,b)=2, (b,a)=1; R(a)=2, R(b)=1; C(b)=2, C(a)=1; N=3
+    assert rows[("a", "b")] == (2, g2(2, 2, 2, 3))
+    assert rows[("b", "a")] == (1, g2(1, 1, 1, 3))
+    assert got[0].w1 == "a"  # the doubly-observed pair ranks first
+
+
+def test_llr_zero_for_independent_fourway(spark):
+    """Perfectly independent 2x2 (all four bigrams equally likely):
+    every cell's observed == expected, G^2 == 0 for each pair."""
+    from parkour_spark.operators.corpus import llr_collocations
+
+    text = "a a a b b a b b"
+    # bigrams: aa ab ab bb ba ab bb ... build explicitly instead:
+    docs = [(i, t) for i, t in enumerate(["a a", "a b", "b a", "b b"])]
+    df = spark.createDataFrame(docs, "doc_id long, text string")
+    got = llr_collocations(df, min_count=1, top_n=10).collect()
+    assert {r.llr_micro for r in got} == {0}
