@@ -158,3 +158,42 @@ def pit_enrich(
     return f.join(d, cond & in_force, "left").select(
         "f.*", *[F.col(f"d.{c}").alias(c) for c in dim_cols]
     )
+
+
+def golden_record(
+    df: DataFrame,
+    entity_col: str,
+    order_col: str,
+    tiebreak_col: str,
+    fields: list[str],
+) -> DataFrame:
+    """Survivorship / golden-record merge — the MDM step after entity
+    resolution: one row per entity whose every field carries that
+    entity's BEST value independently (latest non-null by
+    (`order_col`, `tiebreak_col`) — a field missing on the newest
+    record falls back to the newest record that HAS it, which is
+    exactly what row-level "keep latest" gets wrong). Returns
+    (entity, n_records, <field>_golden ...).
+
+    Determinism: per field the winner is max over the orderable struct
+    (is_not_null, order, tiebreak, value) — lexicographic, so the
+    non-null flag dominates, then recency, then the unique tiebreak;
+    no ties remain, and the struct max is a plain aggregate both
+    engines sort identically.
+
+    SCALE: ONE partial-agg shuffle to per-entity rows (k fields = k
+    struct-max aggregates in the same pass); no window, no self-join,
+    no per-entity sort."""
+    aggs = [F.count("*").cast("long").alias("n_records")]
+    for f in fields:
+        aggs.append(
+            F.max(
+                F.struct(
+                    F.col(f).isNotNull().alias("h"),
+                    F.col(order_col).alias("o"),
+                    F.col(tiebreak_col).alias("k"),
+                    F.col(f).alias("v"),
+                )
+            )["v"].alias(f"{f}_golden")
+        )
+    return df.groupBy(F.col(entity_col).alias("entity")).agg(*aggs)

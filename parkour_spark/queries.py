@@ -10444,3 +10444,47 @@ def q_llr_collocations(spark, sf_dir):
     from parkour_spark.operators.corpus import llr_collocations
 
     return llr_collocations(_t(spark, sf_dir, "documents"))
+
+
+@query(
+    "golden_record_customers",
+    """
+    WITH src AS (
+      SELECT o_custkey, o_orderdate, o_orderkey, o_orderstatus,
+             CASE WHEN o_orderkey % 3 = 0 THEN NULL
+                  ELSE o_orderpriority END AS prio
+      FROM orders),
+    g AS (
+      SELECT o_custkey AS entity, count(*)::BIGINT AS n_records,
+             max({'h': o_orderstatus IS NOT NULL, 'o': o_orderdate,
+                  'k': o_orderkey, 'v': o_orderstatus}).v
+               AS o_orderstatus_golden,
+             max({'h': prio IS NOT NULL, 'o': o_orderdate,
+                  'k': o_orderkey, 'v': prio}).v AS prio_golden
+      FROM src GROUP BY 1)
+    SELECT entity, n_records, o_orderstatus_golden, prio_golden FROM g
+    """,
+)
+def q_golden_record(spark, sf_dir):
+    """Survivorship / golden-record merge (cdc.golden_record): per
+    customer, each field independently carries the latest NON-NULL
+    value by (o_orderdate, o_orderkey) — the priority field is
+    deterministically sparsified (every 3rd order) so the gate
+    actually exercises the fall-back-past-null behavior row-level
+    keep-latest gets wrong. One partial-agg shuffle, k struct-max
+    aggregates in the same pass, no window."""
+    from parkour_spark.operators.cdc import golden_record
+
+    orders = _t(spark, sf_dir, "orders").select(
+        "o_custkey",
+        "o_orderdate",
+        "o_orderkey",
+        "o_orderstatus",
+        F.when(F.col("o_orderkey") % 3 == 0, F.lit(None))
+        .otherwise(F.col("o_orderpriority"))
+        .alias("prio"),
+    )
+    return golden_record(
+        orders, "o_custkey", "o_orderdate", "o_orderkey",
+        ["o_orderstatus", "prio"],
+    )

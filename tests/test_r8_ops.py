@@ -500,3 +500,40 @@ def test_llr_zero_for_independent_fourway(spark):
     df = spark.createDataFrame(docs, "doc_id long, text string")
     got = llr_collocations(df, min_count=1, top_n=10).collect()
     assert {r.llr_micro for r in got} == {0}
+
+
+# ------------------------------------------------------------------
+# Golden-record survivorship
+# ------------------------------------------------------------------
+
+def test_golden_record_per_field_nonnull_latest(spark):
+    from parkour_spark.operators.cdc import golden_record
+
+    rows = [
+        # entity 1: newest row (t=3) has NULL email -> email falls back
+        # to t=2's; phone comes from t=3
+        (1, 1, "a@x", "111"),
+        (1, 2, "b@x", None),
+        (1, 3, None, "333"),
+        # entity 2: single all-null field stays NULL
+        (2, 1, None, "999"),
+    ]
+    df = spark.createDataFrame(
+        rows, "ent long, ts long, email string, phone string"
+    )
+    got = {
+        r.entity: (r.n_records, r.email_golden, r.phone_golden)
+        for r in golden_record(
+            df, "ent", "ts", "ts", ["email", "phone"]
+        ).collect()
+    }
+    assert got == {1: (3, "b@x", "333"), 2: (1, None, "999")}
+
+
+def test_golden_record_tiebreak_is_total(spark):
+    from parkour_spark.operators.cdc import golden_record
+
+    rows = [(1, 5, 10, "lo"), (1, 5, 20, "hi")]  # same ts, key breaks
+    df = spark.createDataFrame(rows, "ent long, ts long, k long, v string")
+    r = golden_record(df, "ent", "ts", "k", ["v"]).collect()[0]
+    assert r.v_golden == "hi"
