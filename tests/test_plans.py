@@ -299,3 +299,55 @@ def test_q8_pruned_part_broadcasts_and_filters_push(spark, queries):
     # nested loop
     assert plan.count("BroadcastHashJoin") >= 4, plan
     assert "BroadcastNestedLoop" not in plan and "Cartesian" not in plan
+
+
+# ------------------------------------------------------------------
+# Round-8 operators: single-pass / TakeOrdered / no-corpus-shuffle
+# ------------------------------------------------------------------
+
+def test_golden_record_single_shuffle_partial_agg(spark, queries):
+    """k struct-max fields ride ONE aggregate pass: one exchange,
+    partial + final HashAggregate (or objectagg), no window/join."""
+    plan = _plan(queries["golden_record_customers"](spark, SF_DIR))
+    assert _shuffles(plan) == 1, plan
+    assert "Window" not in plan and "Join" not in plan, plan
+
+
+def test_attrition_single_aggregate_pass(spark, queries):
+    """All stages' conditional sums compile into one scan + one 1-row
+    merge — N stages must never mean N scans."""
+    plan = _plan(queries["attrition_docs_pipeline"](spark, SF_DIR))
+    assert plan.count("Scan parquet") == 1, plan
+    assert "Join" not in plan, plan
+
+
+def test_ess_single_shuffle_with_pushdown(spark, queries):
+    plan = _plan(queries["ess_event_value_by_type"](spark, SF_DIR))
+    assert _shuffles(plan) == 1, plan
+
+
+def test_kappa_margins_broadcast_over_cells(spark, queries):
+    """Margins and the chance-product sum join the CELL table via
+    broadcast — a SortMergeJoin would shuffle margin tables keyed on
+    category values."""
+    plan = _plan(queries["kappa_lang_annotators"](spark, SF_DIR))
+    assert "SortMergeJoin" not in plan, plan
+    assert "BroadcastHashJoin" in plan, plan
+
+
+def test_zipf_head_is_takeordered_no_global_sort(spark, queries):
+    plan = _plan(queries["zipf_slope_docs"](spark, SF_DIR))
+    assert "TakeOrderedAndProject" in plan, plan
+
+
+def test_llr_head_is_takeordered_margins_broadcast(spark, queries):
+    plan = _plan(queries["llr_collocations_docs"](spark, SF_DIR))
+    assert "TakeOrderedAndProject" in plan, plan
+    assert "SortMergeJoin" not in plan, plan
+
+
+def test_dedup_decode_fanback_joins_are_key_sized_broadcast(spark, queries):
+    """The decoded-columns fan-back must reach the (id, fp) table as
+    broadcast hash joins — payload bytes never enter a shuffle."""
+    plan = _plan(queries["multimodal_dhash_dedup_decode"](spark, SF_DIR))
+    assert "SortMergeJoin" not in plan, plan
