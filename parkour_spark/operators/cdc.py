@@ -179,7 +179,10 @@ def golden_record(
     (is_not_null, order, tiebreak, value) — lexicographic, so the
     non-null flag dominates, then recency, then the unique tiebreak;
     no ties remain, and the struct max is a plain aggregate both
-    engines sort identically.
+    engines sort identically. `order_col` and `tiebreak_col` must be
+    NON-NULL (engines disagree on NULL placement inside struct
+    comparisons — coalesce them to a sentinel first if they can be
+    missing) and (order, tiebreak) must be unique per entity.
 
     SCALE: ONE partial-agg shuffle to per-entity rows (k fields = k
     struct-max aggregates in the same pass); no window, no self-join,

@@ -126,9 +126,13 @@ def decode_distinct(
     `decode_fn` is any of this module's codec operators — a function
     DataFrame[(id, payload)] → DataFrame[(id, ...decoded)] whose output
     is a PURE function of the payload (true of every codec here:
-    features/hashes/fingerprints never depend on the id). The result is
-    row-for-row identical to `decode_fn(df)` — the gate entry pins that
-    hash-equality against the per-row path's own oracle.
+    features/hashes/fingerprints never depend on the id) and
+    ROW-PRESERVING (one output row per input row — a codec that drops
+    undecodable rows instead of emitting a fallback would silently
+    drop every duplicate of those payloads here; this module's codecs
+    all emit fallbacks). The result is row-for-row identical to
+    `decode_fn(df)` — the gate entry pins that hash-equality against
+    the per-row path's own oracle.
 
     SCALE: one blob scan → per-fingerprint partial-agg dedup
     (dropDuplicates: map-side First() combine, so the shuffle carries

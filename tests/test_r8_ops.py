@@ -537,3 +537,20 @@ def test_golden_record_tiebreak_is_total(spark):
     df = spark.createDataFrame(rows, "ent long, ts long, k long, v string")
     r = golden_record(df, "ent", "ts", "k", ["v"]).collect()[0]
     assert r.v_golden == "hi"
+
+
+def test_cc_delta_from_empty_components(spark):
+    """Bootstrap case: an empty component table + a first batch of
+    edges behaves exactly like plain CC (every endpoint is 'new')."""
+    from parkour_spark.operators.graph import cc_delta_update
+
+    comps = spark.createDataFrame([], "id long, component long")
+    got = {
+        (r.n, r.component)
+        for r in cc_delta_update(
+            comps,
+            spark.createDataFrame([(9,)], "id long"),
+            spark.createDataFrame([(1, 2), (2, 3)], "id_a long, id_b long"),
+        ).collect()
+    }
+    assert got == {(1, 1), (2, 1), (3, 1), (9, 9)}
