@@ -21,7 +21,7 @@ def entry(spark: SparkSession) -> DataFrame:
 
 
 # The driver's correctness gate checks the first 50 registry entries;
-# the registry holds 243. ROTATION POLICY (restated in r5 per the r4
+# the registry holds 244. ROTATION POLICY (restated in r5 per the r4
 # verdict #1 — the old "every entry ≤1 round old" claim is
 # arithmetically impossible at this registry size): the window each
 # round = (a) entries ADDED this round, (b) entries whose code or
@@ -35,7 +35,7 @@ def entry(spark: SparkSession) -> DataFrame:
 #
 # r8 window (the r7 verdict's #2 item: clear the r3-era stale cohort)
 # =
-# (a) the 16 entries NEW this round: the oracle-promoted
+# (a) the 17 entries NEW this round: the oracle-promoted
 #     streaming_heavy_hitters (r6/r7 verdict #1 — full emission-trace
 #     SQL replay of the per-batch Misra-Gries fold), the SQL-surface
 #     trio (identical-ANSI through Pipeline.sql / Dataset.view /
@@ -54,7 +54,9 @@ def entry(spark: SparkSession) -> DataFrame:
 #     snapshot skeleton; order-insensitive, full-closure oracle), and
 #     Dunning G² collocations (the significance-tested PMI complement,
 #     integer micro-units per contingency cell), and golden-record
-#     survivorship (per-field latest-non-null struct-max merge);
+#     survivorship (per-field latest-non-null struct-max merge), and
+#     the corpus version diff (added/removed/changed/unchanged per
+#     source from (id, md5) projections — text never shuffles);
 # (b) the 4 entries whose CODE or ORACLE changed this round:
 #     mi_source_lang (NULL-safe margins, r7 ADVICE),
 #     join_size_preflight_orders (empty-match oracle coalesce),
@@ -63,10 +65,10 @@ def entry(spark: SparkSession) -> DataFrame:
 #     snapshot-fold skeleton refactor). Docstring-only edits
 #     (streaming_psi_by_slice / streaming_covariance_cells state
 #     contracts, pca covariance normalizer) do not trigger rule (b).
-# (c) 30 of the 38 LIVE entries whose latest driver row is r3-era
+# (c) 29 of the 38 LIVE entries whose latest driver row is r3-era
 #     (ivf_topk_cosine_arrow, the one r2 row, was superseded and is no
 #     longer in the registry — sql_correlated_subquery takes its
-#     slot). The 8 deferred to r9 — grouping_sets_priority_status
+#     slot). The 9 deferred to r9 — grouping_sets_priority_status
 #     and cube_priority_status (Expand family:
 #     rollup_returnflag_status + sql_grouping_sets in-window),
 #     running_user_total (running-total family: sql_running_total
@@ -77,7 +79,9 @@ def entry(spark: SparkSession) -> DataFrame:
 #     same groupBy shape), distinct_tokens (tokenize+vocab family:
 #     zipf_slope_docs, llr_collocations_docs AND pmi_collocations all
 #     in-window), top_customers (scan+agg+limit family: q1 +
-#     sql_window_topk in-window) — stay local-gate green every round. After this window the oldest driver evidence anywhere is
+#     sql_window_topk in-window), region_customer_counts (broadcast
+#     star-join family: q3/q5 in-window) — stay local-gate green every
+#     round. After this window the oldest driver evidence anywhere is
 #     r4 (50 entries — they lead the r9 fills; full ≤3-round freshness
 #     needs 89 fills and is a two-round arithmetic, not a one-round
 #     one).
@@ -90,11 +94,11 @@ _R8_WINDOW = [
     "streaming_covariance_snapshots", "cc_delta_update_groups",
     "attrition_docs_pipeline", "ivf_probe_after_append",
     "streaming_component_stream", "llr_collocations_docs",
-    "golden_record_customers",
+    "golden_record_customers", "corpus_diff_versions",
     # (b) code/oracle changed this round
     "mi_source_lang", "join_size_preflight_orders",
     "minhash_probe_after_append", "streaming_incremental_rollup",
-    # (c) the r3-era stale cohort (30 of 38 live)
+    # (c) the r3-era stale cohort (29 of 38 live)
     "sql_correlated_subquery", "active_automobile_customers",
     "approx_price_quantiles", "approx_user_counts",
     "asof_purchase_view", "customers_without_urgent_orders",
@@ -103,7 +107,7 @@ _R8_WINDOW = [
     "parts_never_bulk_ordered",
     "pmi_collocations", "price_quantiles_by_segment",
     "q3_shipping_priority", "q5_local_supplier_revenue",
-    "region_customer_counts", "rollup_returnflag_status",
+    "rollup_returnflag_status",
     "shape_keys", "shape_keysgroups",
     "shape_keyvalgroups", "shape_valgroups", "shape_vals",
     "streaming_dedup", "streaming_enriched_counts",

@@ -1627,3 +1627,62 @@ def llr_collocations(
         .orderBy(F.col("llr_micro").desc(), "w1", "w2")
         .limit(top_n)
     )
+
+
+def corpus_diff(
+    old_df: DataFrame,
+    new_df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    group_col: str | None = "source",
+) -> DataFrame:
+    """Content-level diff between two corpus versions — the
+    data-versioning primitive behind "what did this pipeline change
+    ACTUALLY do": per group (optional), counts of docs added, removed,
+    changed (same id, different content hash), and unchanged. A
+    mixture shift, an over-aggressive filter, or an id collision shows
+    up here as a diff table, not a downstream eval mystery.
+
+    Returns (group, status, n_docs) — status ∈
+    {added, removed, changed, unchanged}; `group_col=None` emits one
+    'all' group. Group values come from whichever side has the row
+    (new wins for changed rows — the diff describes the NEW corpus).
+
+    SCALE: both sides reduce to (id, md5(text), group) PROJECTIONS
+    scan-side — corpus text is hashed in place and never shuffles;
+    ONE full-outer join keyed on id; one partial-agg count. Ids must
+    be unique per side (the standard corpus contract)."""
+    def fp(df):
+        cols = [
+            F.col(id_col).alias("__id"),
+            F.md5(F.col(text_col)).alias("__fp"),
+        ]
+        if group_col is not None:
+            cols.append(F.col(group_col).alias("__g"))
+        else:
+            cols.append(F.lit("all").alias("__g"))
+        return df.select(*cols)
+
+    o = fp(old_df)
+    n = fp(new_df)
+    j = o.withColumnsRenamed(
+        {"__fp": "__ofp", "__g": "__og"}
+    ).join(
+        n.withColumnsRenamed({"__fp": "__nfp", "__g": "__ng"}),
+        "__id",
+        "full_outer",
+    )
+    status = (
+        F.when(F.col("__ofp").isNull(), F.lit("added"))
+        .when(F.col("__nfp").isNull(), F.lit("removed"))
+        .when(F.col("__ofp") == F.col("__nfp"), F.lit("unchanged"))
+        .otherwise(F.lit("changed"))
+    )
+    return (
+        j.select(
+            F.coalesce("__ng", "__og").alias("group"),
+            status.alias("status"),
+        )
+        .groupBy("group", "status")
+        .agg(F.count("*").cast("long").alias("n_docs"))
+    )

@@ -10488,3 +10488,61 @@ def q_golden_record(spark, sf_dir):
         orders, "o_custkey", "o_orderdate", "o_orderkey",
         ["o_orderstatus", "prio"],
     )
+
+
+@query(
+    "corpus_diff_versions",
+    """
+    WITH old AS (
+      SELECT doc_id, md5(text) AS fp, source FROM documents
+      WHERE doc_id % 13 <> 0),
+    new AS (
+      SELECT doc_id,
+             md5(CASE WHEN doc_id % 7 = 0 THEN text || ' v2' ELSE text END)
+               AS fp,
+             source
+      FROM documents
+      UNION ALL
+      SELECT doc_id + (SELECT max(doc_id) + 1 FROM documents),
+             md5(text || ' clone'), source
+      FROM documents WHERE doc_id % 11 = 0),
+    j AS (
+      SELECT coalesce(new.source, old.source) AS "group",
+             CASE WHEN old.fp IS NULL THEN 'added'
+                  WHEN new.fp IS NULL THEN 'removed'
+                  WHEN old.fp = new.fp THEN 'unchanged'
+                  ELSE 'changed' END AS status
+      FROM old FULL OUTER JOIN new ON old.doc_id = new.doc_id)
+    SELECT "group", status, count(*)::BIGINT AS n_docs
+    FROM j GROUP BY 1, 2
+    """,
+)
+def q_corpus_diff(spark, sf_dir):
+    """Corpus version diff (corpus.corpus_diff): the OLD version drops
+    every 13th doc, the NEW version rewrites every 7th doc's text and
+    clones every 11th doc under fresh ids — per source, exact counts
+    of added / removed / changed / unchanged. Both sides reduce to
+    (id, md5, source) projections scan-side (text never shuffles), one
+    full-outer id join, one partial-agg count — the data-versioning
+    report a pipeline change ships with."""
+    from parkour_spark.operators.corpus import corpus_diff
+
+    docs = _t(spark, sf_dir, "documents")
+    max_id = docs.agg(F.max("doc_id")).first()[0] + 1
+    old = docs.where(F.col("doc_id") % 13 != 0)
+    new = docs.select(
+        "doc_id",
+        F.when(
+            F.col("doc_id") % 7 == 0, F.concat(F.col("text"), F.lit(" v2"))
+        )
+        .otherwise(F.col("text"))
+        .alias("text"),
+        "source",
+    ).unionByName(
+        docs.where(F.col("doc_id") % 11 == 0).select(
+            (F.col("doc_id") + F.lit(max_id)).alias("doc_id"),
+            F.concat(F.col("text"), F.lit(" clone")).alias("text"),
+            "source",
+        )
+    )
+    return corpus_diff(old, new)

@@ -554,3 +554,39 @@ def test_cc_delta_from_empty_components(spark):
         ).collect()
     }
     assert got == {(1, 1), (2, 1), (3, 1), (9, 9)}
+
+
+# ------------------------------------------------------------------
+# Corpus version diff
+# ------------------------------------------------------------------
+
+def test_corpus_diff_all_statuses(spark):
+    from parkour_spark.operators.corpus import corpus_diff
+
+    old = spark.createDataFrame(
+        [(1, "a", "s1"), (2, "b", "s1"), (3, "c", "s2")],
+        "doc_id long, text string, source string",
+    )
+    new = spark.createDataFrame(
+        [(1, "a", "s1"), (2, "B", "s1"), (4, "d", "s2")],
+        "doc_id long, text string, source string",
+    )
+    got = {(r.group, r.status): r.n_docs
+           for r in corpus_diff(old, new).collect()}
+    assert got == {
+        ("s1", "unchanged"): 1,
+        ("s1", "changed"): 1,
+        ("s2", "removed"): 1,
+        ("s2", "added"): 1,
+    }
+
+
+def test_corpus_diff_ungrouped(spark):
+    from parkour_spark.operators.corpus import corpus_diff
+
+    old = spark.createDataFrame(
+        [(1, "a", "s")], "doc_id long, text string, source string"
+    )
+    got = {(r.group, r.status): r.n_docs
+           for r in corpus_diff(old, old, group_col=None).collect()}
+    assert got == {("all", "unchanged"): 1}
