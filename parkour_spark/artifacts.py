@@ -1,0 +1,200 @@
+"""Unified commit contract for PERSISTED index/state artifacts.
+
+Every long-lived artifact this engine writes beside the data — the
+MinHash document index (sigs/ + bands/ + meta/), the IVF inverted-list
+quantizer (_ivf_meta), the substring fingerprint index (occ/ + lists/ +
+meta/), and the durable streaming snapshots (v{N}/ dirs) — needs the
+same three guarantees, previously hand-rolled per artifact (r8 verdict
+#3):
+
+1. **Atomic publish** (`publish_dir` / `publish_swap`): data is written
+   to a sibling temp directory and RENAMED into place, so a crash
+   mid-write can never leave a committed-looking partial directory
+   under the final name. Rename is an O(1) metadata op on HDFS/local
+   (fs.rename); _SUCCESS travels inside the directory contents.
+2. **Parameter guard** (`write_params` / `check_params`): the build
+   parameters that define the stored BYTES (hash family, band layout,
+   quantizer centroids, fingerprint window) are recorded at build time
+   as a 1-row JSON parquet; append/delete/probe validate their own
+   parameters against the record and raise on mismatch instead of
+   silently reading/writing garbage. A MISSING record (pre-guard
+   artifact) skips the check; a PRESENT-but-unreadable record raises —
+   corruption must not disable the guard it exists for.
+3. **Committed-version discovery** (`committed_versions` /
+   `latest_version`): versioned artifacts (v{N} snapshot dirs) are
+   discovered by glob + _SUCCESS marker, so readers only ever see
+   fully-committed versions and a torn write is invisible.
+
+Spark-first rationale: all of this is driver-side Hadoop FS metadata
+work (parkour_spark.fs) — it runs identically on local disk, HDFS, and
+object stores, and never moves data through the driver.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import re
+import uuid
+from typing import Callable
+
+from pyspark.sql import SparkSession
+
+from parkour_spark import fs as pfs
+
+PARAMS_SCHEMA = "params string"
+
+
+def write_params(spark: SparkSession, path: str, params: dict) -> None:
+    """Record an artifact's build parameters as a 1-row JSON parquet at
+    `path` (e.g. `<index>/meta`). JSON keeps the record kind-agnostic —
+    ints, strings, and float lists (quantizer centroids) round-trip
+    exactly (json emits repr-precision doubles)."""
+    spark.createDataFrame(
+        [(json.dumps(params, sort_keys=True),)], PARAMS_SCHEMA
+    ).coalesce(1).write.mode("overwrite").parquet(path)
+
+
+def read_params(spark: SparkSession, path: str) -> dict | None:
+    """The stored parameter record, or None if the artifact predates
+    the guard (nothing recorded). An unreadable record RAISES — see
+    check_params."""
+    if not pfs.exists(spark, path):
+        return None
+    row = spark.read.parquet(path).collect()[0]
+    return json.loads(row["params"])
+
+
+def check_params(
+    spark: SparkSession,
+    path: str,
+    called: dict,
+    kind: str = "artifact",
+    skip: frozenset | set = frozenset(),
+) -> None:
+    """Raise if the caller's parameters disagree with the persisted
+    build record. `skip` names fields the caller does not apply (e.g.
+    max_bucket at probe time — the cap is a build-time property).
+    Missing record → skipped (legacy artifact, nothing to check);
+    corrupt record → the read raises (never silently skipped)."""
+    stored = read_params(spark, path)
+    if stored is None:
+        return
+    bad = {
+        k: (stored.get(k), v)
+        for k, v in called.items()
+        if k not in skip and stored.get(k) != v
+    }
+    if bad:
+        detail = ", ".join(
+            f"{k}: built with {b!r} but called with {c!r}"
+            for k, (b, c) in sorted(bad.items())
+        )
+        raise ValueError(f"{kind} parameter mismatch — {detail}")
+
+
+def publish_dir(
+    spark: SparkSession, final_path: str, write_fn: Callable[[str], None]
+) -> str:
+    """Atomic publish of a NEW directory: `write_fn(tmp)` writes the
+    full contents to a sibling temp dir, which is then renamed to
+    `final_path`. A crash inside write_fn leaves only the temp dir —
+    the final name never exists partially written. `final_path` must
+    not already exist (versioned dirs get fresh names; for swap-in-
+    place artifacts use publish_swap)."""
+    tmp = _tmp_sibling(final_path)
+    try:
+        write_fn(tmp)
+        if pfs.exists(spark, final_path):
+            raise FileExistsError(
+                f"publish_dir target already exists: {final_path}"
+            )
+        if not pfs.rename(spark, tmp, final_path):
+            raise IOError(f"rename {tmp} -> {final_path} failed")
+    finally:
+        if pfs.exists(spark, tmp):
+            pfs.delete(spark, tmp)
+    return final_path
+
+
+def publish_swap(
+    spark: SparkSession, final_path: str, write_fn: Callable[[str], None]
+) -> str:
+    """Replace an EXISTING artifact directory with freshly-written
+    contents: write to a temp sibling (all the expensive work — a crash
+    here leaves the old version untouched), then delete-old + rename-new.
+    The unavailability window is two metadata ops, not the whole write
+    — the property the old in-place mode("overwrite") rewrites lacked."""
+    tmp = _tmp_sibling(final_path)
+    try:
+        write_fn(tmp)
+        if pfs.exists(spark, final_path):
+            pfs.delete(spark, final_path)
+        if not pfs.rename(spark, tmp, final_path):
+            raise IOError(f"rename {tmp} -> {final_path} failed")
+    finally:
+        if pfs.exists(spark, tmp):
+            pfs.delete(spark, tmp)
+    return final_path
+
+
+def _tmp_sibling(final_path: str) -> str:
+    base = final_path.rstrip("/")
+    return f"{base}.__publish-{uuid.uuid4().hex}__"
+
+
+_VERSION_RE = re.compile(r"/v(\d+)$")
+
+
+def committed_versions(
+    spark: SparkSession, base: str
+) -> list[tuple[int, str]]:
+    """All fully-committed versioned directories `base/v{N}`, sorted by
+    N ascending. Committed = the directory carries Spark's _SUCCESS
+    marker; torn writes (no marker) and publish temp dirs are invisible
+    to readers by construction."""
+    out = []
+    for p in pfs.glob_paths(spark, os.path.join(base, "v*")):
+        m = _VERSION_RE.search(p)
+        if m and pfs.exists(spark, os.path.join(p, "_SUCCESS")):
+            out.append((int(m.group(1)), p))
+    return sorted(out)
+
+
+def latest_version(
+    spark: SparkSession, base: str
+) -> tuple[int, str] | None:
+    snaps = committed_versions(spark, base)
+    return snaps[-1] if snaps else None
+
+
+def publish_version(
+    spark: SparkSession,
+    base: str,
+    write_fn: Callable[[str], None],
+    version: int | None = None,
+) -> tuple[int, str]:
+    """Publish the next version of a versioned artifact: pick
+    max(committed)+1 (or the explicit `version`), write via publish_dir
+    (temp + rename), return (n, path). Readers using latest_version see
+    either the old or the new version, never a partial one."""
+    if version is None:
+        cur = latest_version(spark, base)
+        version = (cur[0] + 1) if cur else 1
+    path = publish_dir(
+        spark, os.path.join(base, f"v{version}"), write_fn
+    )
+    return version, path
+
+
+def prune_versions(
+    spark: SparkSession, base: str, keep: int = 2
+) -> list[str]:
+    """Drop all but the newest `keep` committed versions (bounded
+    storage for swap-style artifacts that version every mutation).
+    Returns the deleted paths."""
+    snaps = committed_versions(spark, base)
+    dead = [p for _, p in snaps[:-keep]] if keep > 0 else [p for _, p in snaps]
+    for p in dead:
+        pfs.delete(spark, p)
+    return dead

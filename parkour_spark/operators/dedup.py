@@ -1298,8 +1298,20 @@ def substring_fp_index(
     probes it by fp equi-join, paying only |batch| · min(df, cap) —
     scripts/soak_sf1.py measures probe-vs-rebuild at sf1."""
     occ_old = _positioned_occurrences(corpus_df, text_col, id_col, k, w)
+    return _fp_lists_from_occurrences(occ_old, id_col, max_df)
+
+
+def _fp_lists_from_occurrences(
+    occ: DataFrame, id_col: str, max_df: int
+) -> DataFrame:
+    """(fp, __occs) per-fp occurrence lists from raw (id, fp, pos)
+    occurrences, df-capped + occupancy-guarded — the probe-side shape
+    of the substring index, shared by the in-line build
+    (substring_fp_index) and the persisted lifecycle
+    (substring_index_build/append/delete, which re-derive the lists
+    from stored occurrences)."""
     return (
-        occ_old.groupBy("fp")
+        occ.groupBy("fp")
         .agg(
             F.collect_list(
                 F.struct(F.col(id_col).alias("id_old"), F.col("pos").alias("pos_old"))
@@ -1316,6 +1328,178 @@ def substring_fp_index(
             & (F.size("__occs") <= 4 * max_df)
         )
         .select("fp", "__occs")
+    )
+
+
+def substring_index_build(
+    corpus_df: DataFrame,
+    path: str,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    k: int = 8,
+    w: int = 8,
+    max_df: int = 50,
+) -> None:
+    """Build and PERSIST the substring fingerprint index — the text
+    analog of `minhash_index_build` / `similarity.ivf_index_build`,
+    giving the substring-dedup family the same full
+    build/append/delete/probe lifecycle (r8 verdict #2). Two tables
+    under `path` plus the shared parameter record:
+
+      occ/   — (id, fp, pos): the raw positioned winnowing
+               fingerprints, UNCAPPED. Storage is bounded by winnowing
+               itself (≈1/w of k-gram positions), not by pair fan-out
+               — the df cap exists to bound JOIN fan-out, not bytes.
+               Retaining overfull fps is what makes delete exact: a
+               boilerplate fp dropped from the probe lists at build
+               time RESURRECTS when deletions bring its document
+               frequency back under the cap.
+      lists/ — (fp, __occs): the df-capped per-fp occurrence lists the
+               probe equi-joins (substring_fp_index's output shape),
+               RE-derived from stored occ/ after every mutation so the
+               cap is always a property of the FULL current membership.
+      meta/  — (k, w, max_df, id_col) via the shared artifact contract
+               (parkour_spark.artifacts): the fingerprint family is a
+               property of the stored bytes, so append/delete/probe
+               with different k/w would join garbage.
+
+    Built once per corpus version (one winnowed text scan + one
+    group-by); every ingest batch then pays only its own fingerprint
+    scan (`substring_index_append` / `substring_probe_persisted`)."""
+    from parkour_spark.artifacts import write_params
+
+    spark = corpus_df.sparkSession
+    occ = _positioned_occurrences(corpus_df, text_col, id_col, k, w)
+    occ.write.mode("overwrite").parquet(path + "/occ")
+    write_params(
+        spark,
+        path + "/meta",
+        {"k": k, "w": w, "max_df": max_df, "id_col": id_col},
+    )
+    _write_substring_lists(spark, path, id_col, max_df)
+
+
+def _check_substring_meta(
+    spark, path: str, k: int, w: int, max_df: int | None, id_col: str
+) -> None:
+    from parkour_spark.artifacts import check_params
+
+    called = {"k": k, "w": w, "id_col": id_col}
+    if max_df is not None:
+        called["max_df"] = max_df
+    check_params(spark, path + "/meta", called, kind="substring index")
+
+
+def _write_substring_lists(spark, path: str, id_col: str, max_df: int) -> None:
+    """(Re)derive the probe lists from STORED occurrences — never a
+    second pass over corpus text; published atomically
+    (artifacts.publish_swap) so a crash mid-rewrite leaves the previous
+    committed lists intact."""
+    from parkour_spark.artifacts import publish_swap
+
+    occ = spark.read.parquet(path + "/occ")
+    lists = _fp_lists_from_occurrences(occ, id_col, max_df)
+    publish_swap(
+        spark,
+        path + "/lists",
+        lambda tmp: lists.write.mode("overwrite").parquet(tmp),
+    )
+
+
+def substring_index_append(
+    new_df: DataFrame,
+    path: str,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    k: int = 8,
+    w: int = 8,
+    max_df: int = 50,
+) -> None:
+    """Append an ingest batch to a persisted substring index:
+    `append(B) onto build(A)` is RESULT-IDENTICAL to `build(A ∪ B)` —
+    occurrences are per-doc (winnowing never looks across documents),
+    and the probe lists re-derive from the stored occurrence union
+    with the df cap re-applied globally (a batch can push a
+    previously-ok fp over the cap; a pure list-append would miss
+    that). The batch pays only its OWN winnowed text scan plus the
+    occ-sized list re-derivation (longs, no corpus text re-read).
+    Batch ids must be disjoint from the index's (the standard delta
+    contract). Parameters are validated against the persisted build
+    record (meta/)."""
+    spark = new_df.sparkSession
+    _check_substring_meta(spark, path, k, w, max_df, id_col)
+    occ_new = _positioned_occurrences(new_df, text_col, id_col, k, w)
+    occ_new.write.mode("append").parquet(path + "/occ")
+    _write_substring_lists(spark, path, id_col, max_df)
+
+
+def substring_index_delete(
+    spark,
+    ids: DataFrame,
+    path: str,
+    id_col: str = "doc_id",
+    k: int = 8,
+    w: int = 8,
+    max_df: int = 50,
+) -> None:
+    """DELETE documents from a persisted substring index — the retire
+    leg (right-to-be-forgotten, dedup-after-removal). `delete(B) from
+    build(A)` is RESULT-IDENTICAL to `build(A ∖ B)`: occurrences are
+    per-doc, and because occ/ retains even OVERFULL fps, the re-derived
+    probe lists resurrect any fp whose document frequency falls back
+    under the cap — exactly what a fresh build of the survivors
+    produces (the property a lists-only artifact could not provide;
+    the registered gate entry pins probe-after-delete against the
+    survivors-only-build oracle).
+
+    Cost: one broadcast anti-join rewrite of occ/ (positioned longs —
+    corpus TEXT is never re-read or re-winnowed) plus the same list
+    re-derivation append pays. Physical removal, not tombstones; both
+    rewrites publish atomically (artifacts.publish_swap)."""
+    from parkour_spark.artifacts import publish_swap
+
+    _check_substring_meta(spark, path, k, w, max_df, id_col)
+    ids_only = F.broadcast(ids.select(F.col(ids.columns[0]).alias(id_col)))
+    survivors = spark.read.parquet(path + "/occ").join(
+        ids_only, id_col, "left_anti"
+    )
+    publish_swap(
+        spark,
+        path + "/occ",
+        lambda tmp: survivors.write.mode("overwrite").parquet(tmp),
+    )
+    _write_substring_lists(spark, path, id_col, max_df)
+
+
+def substring_probe_persisted(
+    spark,
+    new_df: DataFrame,
+    index_path: str,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    k: int = 8,
+    w: int = 8,
+    min_span: int = 20,
+) -> DataFrame:
+    """Probe an incoming batch against a persisted substring index
+    (`substring_index_build`): exact-substring overlap spans between
+    batch docs and indexed corpus docs, without re-reading corpus text
+    — the production ingest path. The probe equi-joins the committed
+    lists/ table (df-capped, so fan-out ∝ |batch fps| · min(df, cap));
+    span segmentation is the same window pass as
+    `substring_spans_delta`. Parameters are validated against the
+    persisted build record (max_df excluded — the cap is applied at
+    list derivation, not probe)."""
+    _check_substring_meta(spark, index_path, k, w, None, id_col)
+    lists = spark.read.parquet(index_path + "/lists")
+    return substring_spans_delta(
+        new_df,
+        text_col=text_col,
+        id_col=id_col,
+        k=k,
+        w=w,
+        min_span=min_span,
+        index=lists,
     )
 
 
@@ -1584,22 +1768,27 @@ def minhash_index_build(
     _write_band_index(spark, path, id_col, num_hashes, bands, max_bucket)
 
 
-_INDEX_META_SCHEMA = (
-    "num_hashes int, bands int, ngram_n int, max_bucket int"
-)
-
-
 def _write_index_meta(
     spark, path: str, num_hashes: int, bands: int, ngram_n: int,
     max_bucket: int,
 ) -> None:
-    """Persist the index's build parameters as a 1-row parquet under
-    `path`/meta — the hash family (num_hashes, ngram_n) and band layout
-    (bands, max_bucket) are properties of the STORED bytes, so append
+    """Persist the index's build parameters under `path`/meta via the
+    shared artifact contract (parkour_spark.artifacts, r8 verdict #3) —
+    the hash family (num_hashes, ngram_n) and band layout (bands,
+    max_bucket) are properties of the STORED bytes, so append, delete,
     and probe must use the same values or read garbage."""
-    spark.createDataFrame(
-        [(num_hashes, bands, ngram_n, max_bucket)], _INDEX_META_SCHEMA
-    ).coalesce(1).write.mode("overwrite").parquet(path + "/meta")
+    from parkour_spark.artifacts import write_params
+
+    write_params(
+        spark,
+        path + "/meta",
+        {
+            "num_hashes": num_hashes,
+            "bands": bands,
+            "ngram_n": ngram_n,
+            "max_bucket": max_bucket,
+        },
+    )
 
 
 def _check_index_meta(
@@ -1614,22 +1803,13 @@ def _check_index_meta(
     before meta/ existed skip the check — they carry no record to
     check against; a PRESENT-but-unreadable meta is NOT skipped (a
     corrupt record must not silently disable the guard it exists
-    for)."""
-    from parkour_spark import fs as pfs
+    for). Shared guard: parkour_spark.artifacts.check_params."""
+    from parkour_spark.artifacts import check_params
 
-    if not pfs.exists(spark, path + "/meta"):
-        return  # pre-meta index: nothing recorded to validate against
-    row = spark.read.parquet(path + "/meta").collect()[0]
-    got = {"num_hashes": num_hashes, "bands": bands, "ngram_n": ngram_n}
+    called = {"num_hashes": num_hashes, "bands": bands, "ngram_n": ngram_n}
     if max_bucket is not None:
-        got["max_bucket"] = max_bucket
-    bad = {k: (row[k], v) for k, v in got.items() if row[k] != v}
-    if bad:
-        detail = ", ".join(
-            f"{k}: index built with {b} but called with {c}"
-            for k, (b, c) in sorted(bad.items())
-        )
-        raise ValueError(f"minhash index parameter mismatch — {detail}")
+        called["max_bucket"] = max_bucket
+    check_params(spark, path + "/meta", called, kind="minhash index")
 
 
 def _write_band_index(
@@ -1651,12 +1831,22 @@ def _write_band_index(
         .where(F.col("count") <= max_bucket)
         .select("band_key")
     )
-    (
-        b.join(ok, "band_key")
-        .repartitionByRange(F.col("band_key"))
-        .sortWithinPartitions("band_key")
-        .write.mode("overwrite")
-        .parquet(path + "/bands")
+    from parkour_spark.artifacts import publish_swap
+
+    # atomic swap (artifacts.publish_swap): the re-derivation writes to
+    # a temp sibling and renames into place, so a crash mid-rewrite
+    # leaves the PREVIOUS band table intact — probes never see a
+    # partial index (r8 verdict #3).
+    publish_swap(
+        spark,
+        path + "/bands",
+        lambda tmp: (
+            b.join(ok, "band_key")
+            .repartitionByRange(F.col("band_key"))
+            .sortWithinPartitions("band_key")
+            .write.mode("overwrite")
+            .parquet(tmp)
+        ),
     )
 
 
@@ -1702,6 +1892,62 @@ def minhash_index_append(
         F.col(id_col),
         F.array(*[F.col(f"sig_{i}") for i in range(num_hashes)]).alias("sigs"),
     ).write.mode("append").parquet(path + "/sigs")
+    _write_band_index(spark, path, id_col, num_hashes, bands, max_bucket)
+
+
+def minhash_index_delete(
+    spark,
+    ids: DataFrame,
+    path: str,
+    id_col: str = "doc_id",
+    num_hashes: int = 12,
+    bands: int = 4,
+    ngram_n: int = 3,
+    max_bucket: int = 200,
+) -> None:
+    """DELETE documents from a persisted MinHash index — the retire leg
+    that completes the build/append/delete/probe lifecycle (r8 verdict
+    #2: right-to-be-forgotten, dedup-after-removal, corpus_diff's
+    `removed` rows feeding index cleanup). `ids` is a DataFrame holding
+    the doc ids to retire (one column, matched on `id_col`).
+
+    `delete(B) from build(A)` is RESULT-IDENTICAL to `build(A ∖ B)`:
+    signatures are per-doc (removing a row never perturbs another
+    doc's signature), and the band table is RE-derived from the
+    surviving stored longs with the bucket cap re-applied to the full
+    surviving membership — so a band key that was overfull (dropped)
+    at build time RESURRECTS when the deletion brings it back under
+    the cap, exactly as a fresh build of the survivors would produce.
+    The registered gate entry pins probe-after-delete against the
+    survivors-only-build oracle.
+
+    Cost model: one anti-join rewrite of sigs/ (signature LONGS — the
+    expensive text shingling is never re-run and corpus text is never
+    re-read) plus the same band re-derivation append pays. The delete
+    set is broadcast (a retire batch is small by definition). Physical
+    removal, not tombstones: after this call the retired docs' bytes
+    are gone from both tables — the right-to-be-forgotten contract.
+    Both rewrites publish atomically (artifacts.publish_swap): a crash
+    mid-delete leaves the previous committed index intact.
+
+    Parameters are validated against the persisted build record
+    (meta/); deleting with a mismatched hash family would re-derive a
+    garbage band table, so a mismatch raises."""
+    from parkour_spark.artifacts import publish_swap
+
+    _check_index_meta(spark, path, num_hashes, bands, ngram_n, max_bucket)
+    ids_only = F.broadcast(ids.select(F.col(ids.columns[0]).alias(id_col)))
+    survivors = spark.read.parquet(path + "/sigs").join(
+        ids_only, id_col, "left_anti"
+    )
+    # materialize the survivor rows BEFORE swapping sigs/ out from
+    # under the lazy plan that reads it: publish_swap's write_fn runs
+    # against the old committed dir, then renames over it.
+    publish_swap(
+        spark,
+        path + "/sigs",
+        lambda tmp: survivors.write.mode("overwrite").parquet(tmp),
+    )
     _write_band_index(spark, path, id_col, num_hashes, bands, max_bucket)
 
 

@@ -342,29 +342,38 @@ def ivf_index_build(
 def _write_ivf_meta(spark, path: str, centroids) -> None:
     """Persist the quantizer under `path`/_ivf_meta (the underscore
     prefix keeps it out of the partitioned dataset's discovery, like
-    _SUCCESS): the inverted-list layout is a pure function of these
-    centroids, so append/probe with a DIFFERENT quantizer reads/writes
-    the wrong lists — the minhash meta/ discipline for the embedding
+    _SUCCESS) via the shared artifact contract (parkour_spark.artifacts,
+    r8 verdict #3; JSON round-trips every double exactly): the
+    inverted-list layout is a pure function of these centroids, so
+    append/delete/probe with a DIFFERENT quantizer reads/writes the
+    wrong lists — the minhash meta/ discipline for the embedding
     index."""
-    spark.createDataFrame(
-        [(int(cid), [float(x) for x in v]) for cid, v in centroids],
-        "cid int, v array<double>",
-    ).coalesce(1).write.mode("overwrite").parquet(path + "/_ivf_meta")
+    from parkour_spark.artifacts import write_params
+
+    write_params(
+        spark,
+        path + "/_ivf_meta",
+        {
+            "centroids": [
+                [int(cid), [float(x) for x in v]] for cid, v in centroids
+            ]
+        },
+    )
 
 
 def _check_ivf_meta(spark, path: str, centroids) -> None:
     """Raise if the caller's centroids differ from the persisted build
     quantizer. Indexes written before _ivf_meta existed skip the check
     (nothing recorded); a present-but-different quantizer raises with
-    the first mismatching cell id."""
-    from parkour_spark import fs as pfs
+    the first mismatching cell id. (The generic
+    artifacts.check_params message would dump whole centroid arrays;
+    this keeps the per-cell diagnostic.)"""
+    from parkour_spark.artifacts import read_params
 
-    if not pfs.exists(spark, path + "/_ivf_meta"):
+    rec = read_params(spark, path + "/_ivf_meta")
+    if rec is None:
         return
-    stored = {
-        r["cid"]: list(r["v"])
-        for r in spark.read.parquet(path + "/_ivf_meta").collect()
-    }
+    stored = {int(cid): [float(x) for x in v] for cid, v in rec["centroids"]}
     ours = {int(cid): [float(x) for x in v] for cid, v in centroids}
     if stored != ours:
         bad = sorted(
@@ -412,6 +421,80 @@ def ivf_index_append(
         .partitionBy("cell")
         .parquet(path)
     )
+
+
+def ivf_index_delete(
+    del_df: DataFrame,
+    centroids: list[tuple[int, list[float]]],
+    path: str,
+    corpus_id: str = "vec_id",
+    corpus_vec: str = "embedding",
+) -> None:
+    """DELETE vectors from a persisted IVF index — the retire leg that
+    completes the build/append/delete/probe lifecycle for the embedding
+    index (r8 verdict #2: right-to-be-forgotten and corpus-removal
+    flows shrink indexes; they don't just grow them). `del_df` carries
+    the rows to retire WITH their vectors (`corpus_id`, `corpus_vec`) —
+    the same rows the ingest/removal pipeline already holds — because
+    cell assignment is a pure function of (vector, quantizer): knowing
+    the vector tells us exactly which inverted lists to touch WITHOUT
+    scanning the index.
+
+    Cost ∝ affected lists, not corpus: the batch pays one Arrow
+    assignment scan of ITSELF, the affected cells are collected
+    driver-side (≤ |batch| ints), and ONLY those cells' partitions are
+    read (partition-pruned), anti-joined against the broadcast id set,
+    and rewritten via dynamic partition overwrite — untouched inverted
+    lists are never read or rewritten. A cell whose list empties out is
+    removed outright (dynamic overwrite only replaces partitions
+    present in the written data, so an emptied cell must be deleted
+    explicitly — the silent-stale-partition pitfall).
+
+    `delete(B) from build(A)` is RESULT-IDENTICAL to `build(A ∖ B)`:
+    rows are independent (per-row cell + cnorm), so removing B's rows
+    from their lists leaves exactly the survivors' build. The
+    registered gate entry pins probe-after-delete against the
+    survivors-only-build oracle. Physical removal, not tombstones —
+    after this call the retired vectors' bytes are gone. Each cell
+    partition is replaced atomically by the committer (a crash
+    mid-delete leaves every cell either old or new, never partial);
+    ids absent from the index are a no-op. The quantizer is validated
+    against the persisted build record (_ivf_meta) — a different
+    quantizer would prune the wrong cells and silently miss rows."""
+    from parkour_spark import fs as pfs
+
+    spark = del_df.sparkSession
+    _check_ivf_meta(spark, path, centroids)
+    assigned = ivf_assign_arrow(del_df, centroids, corpus_vec, "cell")
+    cells = sorted(
+        int(r["cell"])
+        for r in assigned.select("cell").distinct().collect()
+    )
+    if not cells:
+        return
+    ids = F.broadcast(del_df.select(corpus_id).distinct())
+    affected = spark.read.parquet(path).where(F.col("cell").isin(cells))
+    survivors = affected.join(ids, corpus_id, "left_anti")
+    # survivor cells BEFORE the write: dynamic overwrite only replaces
+    # partitions present in the written data, so an emptied cell's OLD
+    # dir survives the write — reading back afterwards would see the
+    # stale rows and mistake them for survivors. (Both jobs are
+    # partition-pruned to the affected cells.)
+    kept = {
+        int(r["cell"])
+        for r in survivors.select("cell").distinct().collect()
+    }
+    if kept:
+        (
+            survivors.repartition("cell")
+            .write.mode("overwrite")
+            .option("partitionOverwriteMode", "dynamic")
+            .partitionBy("cell")
+            .parquet(path)
+        )
+    for c in cells:
+        if c not in kept:
+            pfs.delete(spark, f"{path}/cell={c}")
 
 
 def ivf_probe_topk(

@@ -327,17 +327,14 @@ def _snapshot_fold_stream(
     idempotently; regressed batch ids rejected loudly). Drains the
     (finite) source and returns the final committed snapshot path."""
     import os
-    import re
 
-    from parkour_spark import fs as pfs
+    from parkour_spark.artifacts import committed_versions, publish_swap
 
     def committed_snaps(spark) -> list[tuple[int, str]]:
-        snaps = []
-        for p in pfs.glob_paths(spark, os.path.join(state_base, "v*")):
-            m = re.search(r"/v(\d+)$", p)
-            if m and pfs.exists(spark, os.path.join(p, "_SUCCESS")):
-                snaps.append((int(m.group(1)), p))
-        return sorted(snaps)
+        # shared committed-version discovery (parkour_spark.artifacts,
+        # r8 verdict #3): glob + _SUCCESS marker — torn writes and
+        # publish temp dirs are invisible to readers.
+        return committed_versions(spark, state_base)
 
     latest: list[str] = []
 
@@ -375,7 +372,15 @@ def _snapshot_fold_stream(
             new = merge_fn(old, batch_state)
         else:
             new = batch_state
-        new.write.mode("overwrite").parquet(snap)
+        # atomic publish (artifacts.publish_swap): the merge is written
+        # to a temp sibling and renamed into place, so a crash
+        # mid-write never leaves a committed-looking partial snapshot
+        # under v{batch_id} — recovery re-derives it from the
+        # predecessor (swap, not dir: a torn PRE-contract directory at
+        # this name must not block the replay).
+        publish_swap(
+            spark, snap, lambda tmp: new.write.mode("overwrite").parquet(tmp)
+        )
         latest.append(snap)
 
     q = (
