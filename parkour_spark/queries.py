@@ -10546,3 +10546,140 @@ def q_corpus_diff(spark, sf_dir):
         )
     )
     return corpus_diff(old, new)
+
+
+# ===========================================================================
+# Round-9: index DELETE legs — probe-after-delete ≡ build(A ∖ B) for all
+# three persisted indexes (r8 verdict #2), completing the
+# build/append/delete/probe lifecycle. Each entry builds the index on
+# (corpus ∪ junk) where the junk docs/vectors are near-identical copies
+# of corpus rows — guaranteed to pollute probe results if the delete
+# failed to remove them — then deletes the junk and probes. The oracle
+# is the SURVIVORS-ONLY build (the same oracle the plain persisted-probe
+# entry uses), so a green row IS the identity proof.
+# ===========================================================================
+
+_MINHASH_DELETE_DIRS: dict[str, str] = _SfLRUDirs()
+
+
+@query("minhash_probe_after_delete", _minhash_probe_oracle())
+def q_minhash_probe_after_delete(spark, sf_dir):
+    """Index-lifecycle DELETE leg, gate-pinned
+    (dedup.minhash_index_delete): build the MinHash index on the
+    content-hash bottom 90% of documents PLUS exact-copy junk docs
+    (bkt < 10 re-idded — identical signatures, so they would
+    certainly surface as extra id_old matches and can push shared band
+    buckets over the cap), DELETE the junk ids (physical sigs/ rewrite
+    + band re-derivation from surviving longs, caps re-applied
+    globally), then probe with the top 10%. The oracle is the
+    junk-free build — green ⇒ delete(B) from build(A ∪ B) ≡ build(A),
+    the right-to-be-forgotten guarantee for the document index."""
+    import tempfile
+
+    from parkour_spark.functions.sampling import hash_bucket
+
+    docs = _t(spark, sf_dir, "documents")
+    bkt = hash_bucket(F.col("doc_id"), 100)
+    junk = docs.where(bkt < 10).select(
+        (F.col("doc_id") + F.lit(900_000_000)).alias("doc_id"), "text"
+    )
+    if sf_dir not in _MINHASH_DELETE_DIRS:
+        tmp = tempfile.mkdtemp(prefix="parkour_mhidx_del_")
+        D.minhash_index_build(
+            docs.where(bkt < 90).select("doc_id", "text").unionByName(junk),
+            tmp,
+            max_bucket=200,
+        )
+        D.minhash_index_delete(
+            spark, junk.select("doc_id"), tmp, max_bucket=200
+        )
+        _MINHASH_DELETE_DIRS[sf_dir] = tmp
+    return D.minhash_probe_delta(
+        spark, docs.where(bkt >= 90), _MINHASH_DELETE_DIRS[sf_dir],
+        threshold=0.8,
+    )
+
+
+_IVF_DELETE_DIRS: dict[str, str] = _SfLRUDirs()
+
+
+@query("ivf_probe_after_delete", _ivf_oracle())
+def q_ivf_probe_after_delete(spark, sf_dir):
+    """IVF index-lifecycle DELETE leg, gate-pinned
+    (similarity.ivf_index_delete): build the partitioned inverted-list
+    index on the corpus PLUS exact-copy junk vectors (100 corpus
+    embeddings re-idded — identical cosines, so they would displace
+    genuine top-k rows), DELETE the junk (partition-pruned rewrite of
+    ONLY the affected cells via dynamic overwrite; emptied cells
+    removed outright), then probe the standard query batch. The oracle
+    is the full-corpus IVF replay — the same oracle as ivf_topk — so a
+    green row proves delete(B) from build(A ∪ B) ≡ build(A) for the
+    embedding index."""
+    import tempfile
+
+    from parkour_spark.operators.similarity import (
+        ivf_index_build,
+        ivf_index_delete,
+        ivf_probe_topk,
+    )
+
+    emb = _t(spark, sf_dir, "embeddings")
+    cents = _ivf_centroids(spark, sf_dir)
+    queries = emb.where(F.col("vec_id") < 5).select(
+        F.col("vec_id").alias("query_id"),
+        F.col("embedding").alias("query_vec"),
+    )
+    corpus = emb.where(F.col("vec_id") >= 5)
+    junk = corpus.where(F.col("vec_id") < 105).select(
+        (F.col("vec_id") + F.lit(1_000_000)).alias("vec_id"),
+        "embedding",
+        "label",
+    )
+    if sf_dir not in _IVF_DELETE_DIRS:
+        tmp = tempfile.mkdtemp(prefix="parkour_ivfidx_del_")
+        ivf_index_build(corpus.unionByName(junk), cents, tmp)
+        ivf_index_delete(junk, cents, tmp)
+        _IVF_DELETE_DIRS[sf_dir] = tmp
+    return ivf_probe_topk(
+        spark, _IVF_DELETE_DIRS[sf_dir], queries, cents, k=10, nprobe=4
+    ).select("query_id", "vec_id", "rank", "cos")
+
+
+_SUBSTR_DELETE_DIRS: dict[str, str] = _SfLRUDirs()
+
+
+@query("substring_probe_after_delete", ORACLES["substring_spans_delta"])
+def q_substring_probe_after_delete(spark, sf_dir):
+    """Substring index-lifecycle DELETE leg, gate-pinned
+    (dedup.substring_index_delete): build the persisted fingerprint
+    index (occ/ + lists/ + meta/) on the content-hash bottom 90% of
+    documents PLUS exact-copy junk docs (bkt < 10 re-idded — identical
+    fingerprints, so they would surface as extra id_old spans and push
+    shared fps over the df cap), DELETE the junk ids (anti-join rewrite
+    of stored occurrences — corpus text is never re-winnowed — then
+    list re-derivation, which RESURRECTS fps whose df fell back under
+    the cap), then probe with the top 10% through
+    substring_probe_persisted. The oracle is the junk-free delta
+    replay (same as substring_spans_delta) — green ⇒ delete(B) from
+    build(A ∪ B) ≡ build(A) for the text index, completing
+    build/append/delete/probe across all three persisted indexes."""
+    import tempfile
+
+    from parkour_spark.functions.sampling import hash_bucket
+
+    docs = _t(spark, sf_dir, "documents")
+    bkt = hash_bucket(F.col("doc_id"), 100)
+    junk = docs.where(bkt < 10).select(
+        (F.col("doc_id") + F.lit(900_000_000)).alias("doc_id"), "text"
+    )
+    if sf_dir not in _SUBSTR_DELETE_DIRS:
+        tmp = tempfile.mkdtemp(prefix="parkour_subidx_del_")
+        D.substring_index_build(
+            docs.where(bkt < 90).select("doc_id", "text").unionByName(junk),
+            tmp,
+        )
+        D.substring_index_delete(spark, junk.select("doc_id"), tmp)
+        _SUBSTR_DELETE_DIRS[sf_dir] = tmp
+    return D.substring_probe_persisted(
+        spark, docs.where(bkt >= 90), _SUBSTR_DELETE_DIRS[sf_dir]
+    )

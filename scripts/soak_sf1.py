@@ -182,19 +182,17 @@ def _soak_semantic_dedup(spark):
 
 
 def _soak_substring_index_build(spark):
-    """Build + PERSIST the corpus-side df-capped fingerprint index once
-    (operators.dedup.substring_fp_index) — the production artifact the
-    delta detector's docstring promises. Timed separately so the probe
-    entry below is probe-only (r5 verdict #5: the plain
-    substring_spans_delta soak rebuilds this per call, hiding the
-    fan-out ∝ batch claim)."""
-    from parkour_spark.operators.dedup import substring_fp_index
+    """Build + PERSIST the substring fingerprint index once
+    (operators.dedup.substring_index_build — the r9 lifecycle module:
+    occ/ + lists/ + meta/) — the production artifact the delta
+    detector's docstring promises. Timed separately so the probe entry
+    below is probe-only (r5 verdict #5: the plain substring_spans_delta
+    soak rebuilds this per call, hiding the fan-out ∝ batch claim)."""
+    from parkour_spark.operators.dedup import substring_index_build
 
     docs = spark.read.parquet(f"{DST}/documents.parquet")
-    substring_fp_index(docs).write.mode("overwrite").parquet(
-        f"{DST}/substring_fp_index.parquet"
-    )
-    return spark.read.parquet(f"{DST}/substring_fp_index.parquet")
+    substring_index_build(docs, f"{DST}/substring_index")
+    return spark.read.parquet(f"{DST}/substring_index/lists")
 
 
 def _soak_substring_probe_only(spark):
@@ -203,14 +201,34 @@ def _soak_substring_probe_only(spark):
     corpus replicas — worst-case realistic hit density) probes without
     re-fingerprinting the corpus. The measured claim: probe cost ≪
     detect/index cost, fan-out ∝ |batch| · min(df, cap)."""
-    from parkour_spark.operators.dedup import substring_spans_delta
+    from parkour_spark.operators.dedup import substring_probe_persisted
 
     batch = spark.read.parquet(f"{SRC}/documents.parquet").select(
         (F.col("doc_id") + F.lit(900_000_000)).alias("doc_id"),
         F.concat(F.col("text"), F.lit(" repQ")).alias("text"),
     )
-    idx = spark.read.parquet(f"{DST}/substring_fp_index.parquet")
-    return substring_spans_delta(batch, index=idx)
+    return substring_probe_persisted(
+        spark, batch, f"{DST}/substring_index"
+    )
+
+
+def _soak_substring_delete_only(spark):
+    """DELETE one replica's ids (10% of the corpus) from the PERSISTED
+    substring index (dedup.substring_index_delete) — the r9 retire
+    leg's measured claim: one anti-join rewrite of stored occurrence
+    longs + the list re-derivation, a fraction of the full build above
+    (corpus TEXT is never re-winnowed)."""
+    from parkour_spark.operators.dedup import substring_index_delete
+
+    docs = spark.read.parquet(f"{DST}/documents.parquet")
+    stride = spark.read.parquet(f"{SRC}/documents.parquet").agg(
+        F.max("doc_id")
+    ).first()[0] + 1
+    victims = docs.where(
+        F.col("doc_id") >= (REPLICAS - 1) * stride
+    ).select("doc_id")
+    substring_index_delete(spark, victims, f"{DST}/substring_index")
+    return spark.read.parquet(f"{DST}/substring_index/lists")
 
 
 # Scale-parameterized variants that the fixed-parameter registered
@@ -324,6 +342,50 @@ def _soak_ivf_append_only(spark):
     return batch.select("vec_id")
 
 
+def _soak_ivf_delete_only(spark):
+    """DELETE the just-appended batch (ids ≥ 900M, vectors in hand —
+    the standard retire flow) from the PERSISTED 10× IVF index
+    (similarity.ivf_index_delete) — the r9 retire leg's measured
+    claim: one batch assignment scan + partition-pruned rewrite of
+    ONLY the affected inverted lists, independent of index size."""
+    from parkour_spark.operators.similarity import ivf_index_delete
+
+    emb = spark.read.parquet(f"{SRC}/embeddings.parquet")
+    dim = len(emb.select("embedding").first()["embedding"])
+    batch = emb.select(
+        (F.col("vec_id") + F.lit(900_000_000)).alias("vec_id"),
+        F.expr(
+            "transform(sequence(0, {d}), i -> embedding[(i + 3) % {n}])".format(
+                d=dim - 1, n=dim
+            )
+        ).alias("embedding"),
+    )
+    ivf_index_delete(
+        batch, globals()["_SOAK_IVF_CENTS"], f"{DST}/ivf_index.parquet"
+    )
+    return batch.select("vec_id")
+
+
+def _soak_minhash_delete_only(spark):
+    """DELETE one replica's ids (10% of the corpus) from the PERSISTED
+    MinHash index (dedup.minhash_index_delete) — the r9 retire leg's
+    measured claim: one anti-join rewrite of signature LONGS + the
+    band re-derivation append already pays, a fraction of the full
+    build above (corpus text is never re-shingled)."""
+    from parkour_spark.operators.dedup import minhash_index_delete
+
+    stride = spark.read.parquet(f"{SRC}/documents.parquet").agg(
+        F.max("doc_id")
+    ).first()[0] + 1
+    victims = spark.read.parquet(f"{DST}/documents.parquet").where(
+        F.col("doc_id") >= (REPLICAS - 1) * stride
+    ).select("doc_id")
+    minhash_index_delete(
+        spark, victims, f"{DST}/minhash_index", max_bucket=200
+    )
+    return spark.read.parquet(f"{DST}/minhash_index/sigs").select("doc_id")
+
+
 def _soak_cc_components_build(spark):
     """Build + PERSIST the near-dup component table on the content-hash
     bottom 80% of the 10× corpus — the base the delta below folds
@@ -375,8 +437,13 @@ SOAK_CUSTOM = {
     "ivf_delta_probe_only": _soak_ivf_probe_only,
     "ivf_inline_same_batch": _soak_ivf_inline_same_batch,
     "ivf_index_append_only": _soak_ivf_append_only,
+    # delete AFTER append: retires exactly the appended batch, so the
+    # index returns to its built state for any later probe
+    "ivf_index_delete_only": _soak_ivf_delete_only,
     "minhash_index_build": _soak_minhash_index_build,
     "minhash_delta_probe_only": _soak_minhash_probe_only,
+    "minhash_index_delete_only": _soak_minhash_delete_only,
+    "substring_index_delete_only": _soak_substring_delete_only,
     "cc_components_build": _soak_cc_components_build,
     "cc_delta_fold_only": _soak_cc_delta_fold_only,
 }
