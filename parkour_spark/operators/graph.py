@@ -9,11 +9,12 @@ Spark-first iterative shape:
   clusters are shallow (diameter a few hops), so a handful of rounds.
 - Each round is one equi-join + one aggregation; lineage is truncated
   with localCheckpoint every round (an iterative self-join otherwise
-  compounds the plan). At cluster scale swap localCheckpoint for a
-  reliable checkpoint dir; for billion-edge graphs use the
-  large-star/small-star alternation (Kiveris et al., "Connected
-  Components in MapReduce and Beyond") — same join primitive, fewer
-  rounds.
+  compounds the plan). At cluster scale pass checkpoint="reliable"
+  (every iterative operator takes the knob; see _truncate) to swap in
+  fault-tolerant df.checkpoint() against the session's checkpoint dir;
+  for billion-edge graphs use the large-star/small-star alternation
+  (Kiveris et al., "Connected Components in MapReduce and Beyond") —
+  same join primitive, fewer rounds.
 - Convergence checks are EXACT in both variants (changed-row early-out
   for propagation; count + anti-join set equality for big-star) — one
   or two tiny scalar actions per round, type-generic, no probabilistic
@@ -25,6 +26,40 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, Window, functions as F
 
 
+def _truncate(df: DataFrame, checkpoint: str, eager: bool = True) -> DataFrame:
+    """Per-round lineage truncation for the iterative operators — the
+    cluster-scale knob the module docstring promised in prose (r8
+    verdict #6 made it API).
+
+    - "local" (default): `localCheckpoint` — blocks pinned to
+      executors, no I/O beyond block manager. Fast, and right for
+      local[32]/stable clusters, but NOT fault-tolerant: losing an
+      executor loses lineage-truncated blocks and fails the job.
+    - "reliable": `df.checkpoint()` to the session's configured
+      checkpoint directory (`spark.sparkContext.setCheckpointDir` — an
+      HDFS/object-store path at cluster scale). Survives executor
+      loss; the right mode for 100 TB runs on preemptible nodes.
+      Raises up front with instructions if no directory is set, rather
+      than failing rounds deep with Spark's internal error.
+
+    Both modes are RESULT-identical (gate-pinned by the result-identity
+    test): checkpointing only truncates lineage, never changes rows."""
+    if checkpoint == "local":
+        return df.localCheckpoint(eager=eager)
+    if checkpoint == "reliable":
+        sc = df.sparkSession.sparkContext
+        if sc.getCheckpointDir() is None:
+            raise ValueError(
+                "checkpoint='reliable' needs a checkpoint directory — "
+                "call spark.sparkContext.setCheckpointDir(<hdfs/s3/local"
+                " path>) first"
+            )
+        return df.checkpoint(eager=eager)
+    raise ValueError(
+        f"checkpoint must be 'local' or 'reliable', got {checkpoint!r}"
+    )
+
+
 def connected_components(
     nodes: DataFrame,
     edges: DataFrame,
@@ -32,9 +67,11 @@ def connected_components(
     src: str = "id_a",
     dst: str = "id_b",
     max_iters: int = 20,
+    checkpoint: str = "local",
 ) -> DataFrame:
     """(node, component) where component = min node id reachable.
-    Isolated nodes are their own component."""
+    Isolated nodes are their own component. `checkpoint="reliable"` is
+    the fault-tolerant cluster mode (see _truncate)."""
     sym = (
         edges.select(F.col(src).alias("a"), F.col(dst).alias("b"))
         .union(edges.select(F.col(dst).alias("a"), F.col(src).alias("b")))
@@ -46,7 +83,7 @@ def connected_components(
     # every string comp NULL and broke convergence silently — r2 advice).
     labels = nodes.select(
         F.col(node_col).alias("n"), F.col(node_col).alias("comp")
-    ).localCheckpoint()
+    ).transform(lambda d: _truncate(d, checkpoint))
     for _ in range(max_iters):
         nb_min = (
             sym.join(labels, sym.b == labels.n)
@@ -60,7 +97,7 @@ def connected_components(
                 F.col("comp").alias("__old"),
                 F.least(F.col("comp"), F.coalesce("nb_min", "comp")).alias("comp"),
             )
-            .localCheckpoint()
+            .transform(lambda d: _truncate(d, checkpoint))
         )
         # Convergence = no label moved this round. Checked type-
         # generically against the checkpointed frame (one tiny action
@@ -93,6 +130,7 @@ def connected_components_bigstar(
     dst: str = "id_b",
     max_iters: int = 30,
     return_rounds: bool = False,
+    checkpoint: str = "local",
 ) -> DataFrame | tuple[DataFrame, int]:
     """(node, component) via large-star/small-star alternation (Kiveris
     et al., "Connected Components in MapReduce and Beyond", §3 — the
@@ -123,7 +161,7 @@ def connected_components_bigstar(
             F.greatest("x", "y").alias("a"), F.least("x", "y").alias("b")
         )
         .distinct()
-        .localCheckpoint()
+        .transform(lambda d: _truncate(d, checkpoint))
     )
 
     n_prev = e.count()
@@ -154,7 +192,7 @@ def connected_components_bigstar(
             .union(joined.select("a", F.col("m").alias("b")))
             .where(F.col("a") != F.col("b"))
             .distinct()
-            .localCheckpoint()
+            .transform(lambda d: _truncate(d, checkpoint))
         )
         n_new = small.count()
         # Both sides are canonical DISTINCT (child, parent) sets, so
@@ -314,6 +352,7 @@ def pagerank(
     dst: str = "id_b",
     iters: int = 3,
     damping_micro: int = 850_000,
+    checkpoint: str = "local",
 ) -> DataFrame:
     """PageRank over an undirected pair list (each pair contributes both
     directions), run a FIXED number of iterations in integer MICRO-rank
@@ -346,7 +385,7 @@ def pagerank(
     base = 1_000_000 - damping_micro
     ranks = nodes.select(
         F.col(node_col).alias("n"), F.lit(1_000_000).cast("long").alias("r")
-    ).localCheckpoint()
+    ).transform(lambda d: _truncate(d, checkpoint))
     for _ in range(iters):
         contribs = (
             sym.join(ranks, sym.a == ranks.n)
@@ -368,7 +407,7 @@ def pagerank(
                 .cast("long")
                 .alias("r"),
             )
-            .localCheckpoint()
+            .transform(lambda d: _truncate(d, checkpoint))
         )
     return ranks.select(F.col("n").alias(node_col), F.col("r").alias("rank_micro"))
 
@@ -447,6 +486,7 @@ def kcore(
     iters: int = 8,
     src: str = "id_a",
     dst: str = "id_b",
+    checkpoint: str = "local",
 ) -> DataFrame:
     """k-core decomposition by fixed-iteration peeling: repeatedly drop
     nodes with degree < k (and their edges) until stable. Each round is
@@ -479,7 +519,7 @@ def kcore(
             e.join(keep.withColumnRenamed("n", "a"), "a", "left_semi")
             .join(keep.withColumnRenamed("n", "b"), "b", "left_semi")
             .select("a", "b")
-            .localCheckpoint(eager=False)
+            .transform(lambda d: _truncate(d, checkpoint, eager=False))
         )
     deg = (
         e.select(F.col("a").alias("node"))
@@ -497,6 +537,7 @@ def label_propagation(
     src: str = "id_a",
     dst: str = "id_b",
     rounds: int = 4,
+    checkpoint: str = "local",
 ) -> DataFrame:
     """Synchronous label propagation (Raghavan et al. 2007) with
     deterministic tie-breaking: every node starts labeled with its own
@@ -530,7 +571,7 @@ def label_propagation(
     )
     labels = nodes.select(
         F.col(node_col).alias("n"), F.col(node_col).alias("lbl")
-    ).localCheckpoint()
+    ).transform(lambda d: _truncate(d, checkpoint))
     w = Window.partitionBy("a").orderBy(F.col("cnt").desc(), F.col("lbl"))
     for _ in range(rounds):
         counts = (
@@ -546,7 +587,7 @@ def label_propagation(
         labels = (
             labels.join(best, labels.n == best.a, "left")
             .select("n", F.coalesce("__new", "lbl").alias("lbl"))
-            .localCheckpoint()
+            .transform(lambda d: _truncate(d, checkpoint))
         )
     sym.unpersist()
     return labels.select(F.col("n").alias(node_col), F.col("lbl").alias("label"))

@@ -401,3 +401,84 @@ def test_substring_probe_param_mismatch_raises(spark, tmp_path):
     substring_index_build(docs, path, k=8, w=8)
     with pytest.raises(ValueError, match="parameter mismatch"):
         substring_probe_persisted(spark, docs, path, k=6).collect()
+
+
+# ------------------------------------------------------------------
+# checkpoint knob on iterative graph operators (r8 verdict #6)
+# ------------------------------------------------------------------
+
+
+def _chain_graph(spark, n=40):
+    nodes = spark.range(n).select(F.col("id"))
+    edges = spark.createDataFrame(
+        [(i, i + 1) for i in range(n - 1) if i % 7 != 3],
+        "id_a long, id_b long",
+    )
+    return nodes, edges
+
+
+def test_reliable_checkpoint_result_identical(spark, tmp_path):
+    """checkpoint='reliable' must change zero rows vs 'local' on every
+    iterative operator — the knob only swaps lineage-truncation
+    storage, never semantics (the docstring promise made API)."""
+    from parkour_spark.operators.graph import (
+        connected_components,
+        connected_components_bigstar,
+        kcore,
+        label_propagation,
+        pagerank,
+    )
+
+    nodes, edges = _chain_graph(spark)
+    spark.sparkContext.setCheckpointDir(str(tmp_path / "ckpt"))
+
+    def run(mode):
+        return [
+            sorted(map(tuple, connected_components(
+                nodes, edges, checkpoint=mode).collect())),
+            sorted(map(tuple, connected_components_bigstar(
+                nodes, edges, checkpoint=mode).collect())),
+            sorted(map(tuple, pagerank(
+                nodes, edges, iters=2, checkpoint=mode).collect())),
+            sorted(map(tuple, kcore(
+                edges, k=2, iters=3, checkpoint=mode).collect())),
+            sorted(map(tuple, label_propagation(
+                nodes, edges, rounds=2, checkpoint=mode).collect())),
+        ]
+
+    local = run("local")
+    reliable = run("reliable")
+    assert local == reliable
+    # and the components are actually non-trivial (multiple chains)
+    comps = {c for _, c in local[0]}
+    assert len(comps) > 1
+
+
+def test_reliable_checkpoint_without_dir_raises(spark_nockpt=None):
+    """Requesting 'reliable' without a configured checkpoint dir must
+    raise up front with instructions, not fail rounds deep."""
+    import pytest as _pytest
+
+    from parkour_spark.operators.graph import connected_components
+    from parkour_spark.session import build_session
+
+    spark = build_session(
+        "parkour_spark_tests", master="local[4]", shuffle_partitions=4
+    )
+    if spark.sparkContext.getCheckpointDir() is not None:
+        _pytest.skip("session already has a checkpoint dir (test order)")
+    nodes = spark.range(4).select(F.col("id"))
+    edges = spark.createDataFrame([(0, 1)], "id_a long, id_b long")
+    with _pytest.raises(ValueError, match="setCheckpointDir"):
+        connected_components(nodes, edges, checkpoint="reliable")
+
+
+def test_unknown_checkpoint_mode_raises(spark):
+    import pytest as _pytest
+
+    from parkour_spark.operators.graph import connected_components
+
+    nodes = spark.range(3).select(F.col("id"))
+    edges = spark.createDataFrame([(0, 1)], "id_a long, id_b long")
+    with _pytest.raises(ValueError, match="checkpoint must be"):
+        connected_components(nodes, edges, checkpoint="ram")
