@@ -482,3 +482,39 @@ def test_unknown_checkpoint_mode_raises(spark):
     edges = spark.createDataFrame([(0, 1)], "id_a long, id_b long")
     with _pytest.raises(ValueError, match="checkpoint must be"):
         connected_components(nodes, edges, checkpoint="ram")
+
+
+# ------------------------------------------------------------------
+# SQL join surface plan shapes (r8 verdict #8)
+# ------------------------------------------------------------------
+
+
+def test_sql_star_join_broadcasts_all_dims(spark, sf_dir):
+    """The star join must stream the fact scan through broadcast hash
+    joins — a SortMergeJoin here means a fact-side shuffle that
+    becomes the bottleneck at 100 TB."""
+    from parkour_spark.queries import QUERIES
+
+    df = QUERIES["sql_star_join"](spark, sf_dir)
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert plan.count("BroadcastHashJoin") >= 3
+    assert "SortMergeJoin" not in plan
+    assert df.count() > 0
+
+
+def test_sql_exists_polarity_plans(spark, sf_dir):
+    """EXISTS must decorrelate to LeftSemi, NOT EXISTS to LeftAnti —
+    and the two row-counts partition the customer table."""
+    from parkour_spark.queries import QUERIES
+
+    semi = QUERIES["sql_exists_semi"](spark, sf_dir)
+    anti = QUERIES["sql_not_exists_anti"](spark, sf_dir)
+    p_semi = semi._jdf.queryExecution().executedPlan().toString()
+    p_anti = anti._jdf.queryExecution().executedPlan().toString()
+    assert "LeftSemi" in p_semi
+    assert "LeftAnti" in p_anti
+    n_cust = spark.read.parquet(f"{sf_dir}/customer.parquet").count()
+    total = sum(r.n_customers for r in semi.collect()) + sum(
+        r.n_customers for r in anti.collect()
+    )
+    assert total == n_cust
