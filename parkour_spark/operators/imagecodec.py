@@ -8,10 +8,12 @@ the uncompressed/zlib formats the standard library can carry:
 - PPM/PGM (P6/P5 binary) and BMP (24-bit BI_RGB) decode.
 - Bilinear resize, fully vectorized numpy (no per-pixel Python loop).
 
-JPEG/WEBP/video stay honestly out of scope (they need entropy coders /
-DCT libraries that don't ship here); `sniff_format` lets callers route
-those to a library codec in production while this module serves the
-formats it genuinely implements. Everything is deterministic, so the
+Baseline JPEG (sequential DCT + Huffman) lives in the sibling
+jpegcodec module (r9, from the public T.81/JFIF specs) and is routed
+through `decode_image` here; progressive JPEG / WEBP / video stay
+honestly out of scope — `sniff_format` lets callers route those to a
+library codec in production while these modules serve the formats they
+genuinely implement. Everything is deterministic, so the
 multimodal gate entries remain exactly reproducible.
 
 SCALE: decode/resize runs inside Arrow-batched `mapInPandas`
@@ -32,9 +34,11 @@ _CHANNELS = {0: 1, 2: 3, 4: 2, 6: 4}  # PNG color type -> samples/pixel
 
 
 def sniff_format(payload: bytes) -> str | None:
-    """'png' | 'ppm' | 'pgm' | 'bmp' | None (unsupported/undecodable)."""
+    """'png' | 'jpeg' | 'ppm' | 'pgm' | 'bmp' | None (unsupported)."""
     if payload[:8] == PNG_MAGIC:
         return "png"
+    if payload[:2] == b"\xff\xd8":
+        return "jpeg"
     if payload[:2] == b"P6":
         return "ppm"
     if payload[:2] == b"P5":
@@ -211,6 +215,10 @@ def decode_image(payload: bytes) -> np.ndarray:
     fmt = sniff_format(payload)
     if fmt == "png":
         return decode_png(payload)
+    if fmt == "jpeg":
+        from parkour_spark.operators.jpegcodec import decode_jpeg
+
+        return decode_jpeg(payload)
     if fmt in ("ppm", "pgm"):
         return decode_pnm(payload)
     if fmt == "bmp":

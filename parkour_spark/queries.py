@@ -10774,3 +10774,180 @@ def q_substring_probe_after_delete(spark, sf_dir):
     return D.substring_probe_persisted(
         spark, docs.where(bkt >= 90), _SUBSTR_DELETE_DIRS[sf_dir]
     )
+
+
+# ===========================================================================
+# Round-9: baseline JPEG as the REAL expensive codec (r8 verdict #5) —
+# operators/jpegcodec.py, from the public T.81/JFIF specs. The corpus
+# maps every document to one of 120 distinct 16×16 JPEG payloads
+# (deterministic LCG pattern, encoded once per pattern), the exact
+# mirror/hotlink duplication shape web media corpora show — the setting
+# where decode_distinct's decode-once-per-distinct-blob economics pay.
+# ===========================================================================
+
+_JPEG_PATTERNS = 120
+
+
+def _jpeg_pattern(seed: int):
+    """Deterministic 16×16 RGB test image: per-seed low-frequency
+    sinusoid mixture (frequency/phase/amplitude derived from the seed)
+    — smooth like real photographs, so baseline JPEG at q85
+    reconstructs it within a tight MAE bound (pure per-pixel noise
+    would be the codec's pathological worst case, not its workload),
+    while the 120 seeds still produce 120 byte-distinct payloads
+    (pinned in tests/test_jpegcodec.py)."""
+    import numpy as _np
+
+    fx = 1 + seed % 3
+    fy = 1 + (seed // 3) % 4
+    amp = 60.0 + ((seed // 12) % 5) * 12.0
+    phase = (seed // 60) * _np.pi / 2 + seed * 0.05
+    y, x = _np.mgrid[0:16, 0:16].astype(_np.float64)
+    r = 127.5 + amp * _np.sin(2 * _np.pi * (fx * x + fy * y) / 16 + phase)
+    g = 127.5 + amp * _np.sin(2 * _np.pi * (fy * x - fx * y) / 16 - phase)
+    b = 127.5 + (x + y - 15.0) * (4.0 + fx)
+    return (
+        _np.clip(_np.stack([r, g, b], axis=-1), 0, 255)
+        .round()
+        .astype(_np.uint8)
+    )
+
+
+def _jpeg_payload_cached():
+    """Per-process encode cache: the payload is a pure function of the
+    pattern seed, so each executor encodes each of the 120 patterns at
+    most once regardless of corpus size."""
+    import functools
+
+    from parkour_spark.operators.jpegcodec import encode_jpeg
+
+    @functools.lru_cache(maxsize=_JPEG_PATTERNS)
+    def enc(seed: int) -> bytes:
+        return encode_jpeg(_jpeg_pattern(seed), quality=85)
+
+    return enc
+
+
+def _jpeg_blobs(spark, sf_dir):
+    import pandas as _pd
+
+    docs = _t(spark, sf_dir, "documents").select(
+        F.col("doc_id").alias("media_id")
+    )
+
+    def build(batches):
+        enc = _jpeg_payload_cached()
+        for pdf in batches:
+            yield _pd.DataFrame(
+                {
+                    "media_id": pdf["media_id"],
+                    "payload": [
+                        enc(int(m) % _JPEG_PATTERNS)
+                        for m in pdf["media_id"]
+                    ],
+                }
+            )
+
+    return SRT.widen_scan(docs).mapInPandas(
+        build, "media_id long, payload binary"
+    )
+
+
+@query(
+    "multimodal_jpeg_roundtrip",
+    """
+    SELECT doc_id AS media_id, doc_id % 120 AS pattern,
+           16 AS width, 16 AS height, TRUE AS ok
+    FROM documents
+    """,
+)
+def q_multimodal_jpeg_roundtrip(spark, sf_dir):
+    """Baseline-JPEG encode→decode roundtrip over the whole corpus
+    (operators/jpegcodec.py — sequential DCT + Annex-K Huffman, built
+    from the public T.81 spec): every row's payload is DECODED with the
+    real entropy decoder + IDCT, and `ok` pins dims AND mean absolute
+    error vs the regenerated original ≤ 8 (lossy-codec bound at q85).
+    DCT/Huffman aren't SQL-expressible, so the oracle checks the
+    SQL-derivable fields exactly and the codec invariants as pinned
+    booleans (the approx_user_counts bound-check pattern); the codec's
+    bit-level behavior is separately golden-pinned in
+    tests/test_jpegcodec.py. Arrow-batched mapInPandas, blobs never
+    shuffle."""
+    import pandas as _pd
+
+    from parkour_spark.operators.multimodal import rebatch_for_blobs
+
+    blobs = _jpeg_blobs(spark, sf_dir)
+
+    def work(batches):
+        import numpy as _np
+
+        from parkour_spark.operators.jpegcodec import decode_jpeg
+
+        for pdf in batches:
+            out = {"media_id": [], "pattern": [], "width": [],
+                   "height": [], "ok": []}
+            for mid, payload in zip(pdf["media_id"], pdf["payload"]):
+                seed = int(mid) % _JPEG_PATTERNS
+                try:
+                    img = decode_jpeg(bytes(payload))
+                    orig = _jpeg_pattern(seed)
+                    mae = float(
+                        _np.abs(
+                            img.astype(_np.int64)
+                            - orig.astype(_np.int64)
+                        ).mean()
+                    )
+                    ok = img.shape == (16, 16, 3) and mae <= 8.0
+                    h, w = img.shape[0], img.shape[1]
+                except ValueError:
+                    ok, h, w = False, -1, -1
+                out["media_id"].append(int(mid))
+                out["pattern"].append(seed)
+                out["width"].append(w)
+                out["height"].append(h)
+                out["ok"].append(ok)
+            yield _pd.DataFrame(out)
+
+    return rebatch_for_blobs(blobs).mapInPandas(
+        work,
+        "media_id long, pattern long, width int, height int, ok boolean",
+    )
+
+
+@query(
+    "multimodal_jpeg_dedup_agree",
+    """
+    SELECT doc_id AS media_id, doc_id % 120 AS pattern, TRUE AS paths_agree
+    FROM documents
+    """,
+)
+def q_multimodal_jpeg_dedup_agree(spark, sf_dir):
+    """Dedup-first JPEG decode identity, gate-pinned: the per-row dhash
+    path (every payload decoded — 1 expensive JPEG decode per ROW) and
+    the dedup-first path (decode_distinct — 1 decode per DISTINCT
+    payload, 120 here) must agree on every row's hash; `paths_agree` is
+    the null-safe equality, pinned TRUE across the corpus. This is the
+    wall-clock-relevant codec for the dedup-first economics (r8 verdict
+    #5 — the PNG/PPM codecs were too cheap for the decode-count win to
+    show as time; scripts/soak_sf1.py measures the ratio at 10×)."""
+    from parkour_spark.operators.multimodal import (
+        decode_distinct,
+        perceptual_dhash,
+    )
+
+    blobs = _jpeg_blobs(spark, sf_dir).persist()
+    per_row = perceptual_dhash(blobs).select(
+        "media_id", F.col("dhash").alias("__h1")
+    )
+    dedup = decode_distinct(blobs, perceptual_dhash).select(
+        "media_id", F.col("dhash").alias("__h2")
+    )
+    return (
+        per_row.join(dedup, "media_id")
+        .select(
+            "media_id",
+            (F.col("media_id") % _JPEG_PATTERNS).alias("pattern"),
+            F.col("__h1").eqNullSafe(F.col("__h2")).alias("paths_agree"),
+        )
+    )

@@ -386,6 +386,60 @@ def _soak_minhash_delete_only(spark):
     return spark.read.parquet(f"{DST}/minhash_index/sigs").select("doc_id")
 
 
+def _jpeg_soak_blobs(spark):
+    """10×-corpus JPEG payloads: every doc maps to one of 120 distinct
+    baseline JPEGs (queries._jpeg_blobs over the soak corpus) — the
+    mirror/hotlink duplication shape of web media."""
+    import pandas as pd
+
+    from parkour_spark.operators.sort import widen_scan
+    from parkour_spark.queries import _JPEG_PATTERNS, _jpeg_payload_cached
+
+    docs = spark.read.parquet(f"{DST}/documents.parquet").select(
+        F.col("doc_id").alias("media_id")
+    )
+
+    def build(batches):
+        enc = _jpeg_payload_cached()
+        for pdf in batches:
+            yield pd.DataFrame(
+                {
+                    "media_id": pdf["media_id"],
+                    "payload": [
+                        enc(int(m) % _JPEG_PATTERNS)
+                        for m in pdf["media_id"]
+                    ],
+                }
+            )
+
+    return widen_scan(docs).mapInPandas(
+        build, "media_id long, payload binary"
+    )
+
+
+def _soak_jpeg_dhash_perrow(spark):
+    """Per-row JPEG dhash: one REAL baseline-JPEG decode (entropy +
+    IDCT, operators/jpegcodec.py) per ROW — the naive codec path, the
+    yardstick for the dedup-first entry below (r8 verdict #5)."""
+    from parkour_spark.operators.multimodal import perceptual_dhash
+
+    return perceptual_dhash(_jpeg_soak_blobs(spark))
+
+
+def _soak_jpeg_dhash_dedup_first(spark):
+    """Dedup-first JPEG dhash: decode_distinct pays one decode per
+    DISTINCT payload (120 here) + two key-sized joins. The measured
+    claim: ≥2× faster than the per-row entry above on the expensive
+    codec — the wall-clock form of the decode-count win the r8 notes
+    could only show in accumulator counts on cheap codecs."""
+    from parkour_spark.operators.multimodal import (
+        decode_distinct,
+        perceptual_dhash,
+    )
+
+    return decode_distinct(_jpeg_soak_blobs(spark), perceptual_dhash)
+
+
 def _soak_cc_components_build(spark):
     """Build + PERSIST the near-dup component table on the content-hash
     bottom 80% of the 10× corpus — the base the delta below folds
@@ -444,6 +498,8 @@ SOAK_CUSTOM = {
     "minhash_delta_probe_only": _soak_minhash_probe_only,
     "minhash_index_delete_only": _soak_minhash_delete_only,
     "substring_index_delete_only": _soak_substring_delete_only,
+    "jpeg_dhash_perrow": _soak_jpeg_dhash_perrow,
+    "jpeg_dhash_dedup_first": _soak_jpeg_dhash_dedup_first,
     "cc_components_build": _soak_cc_components_build,
     "cc_delta_fold_only": _soak_cc_delta_fold_only,
 }
