@@ -84,6 +84,18 @@ HEADLINE = [
     # tracked round-over-round like their families
     "multimodal_dhash_dedup_decode",
     "zipf_slope_docs",
+    # r9 (r8 verdict #7): the heaviest r8 additions join the tracked
+    # set — golden-record survivorship (k struct-max aggregates, one
+    # shuffle), G² collocations (bigram + unigram partial aggs over the
+    # token stream), and the incremental-CC delta fold (contracted
+    # batch CC + broadcast component join)
+    "golden_record_customers",
+    "llr_collocations_docs",
+    "cc_delta_update_groups",
+    # r9: the expensive-codec dedup-first path — one REAL baseline-JPEG
+    # decode per distinct payload vs per row; tracking it keeps the
+    # decode-economics claim a measured number round-over-round
+    "multimodal_jpeg_dedup_agree",
 ]
 
 
