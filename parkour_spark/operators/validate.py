@@ -1487,3 +1487,80 @@ def filter_attrition(
         .cast("long")
         .alias("retained_bp"),
     )
+
+
+def k_anonymity_report(
+    df: DataFrame,
+    quasi_cols: list[str],
+    k: int = 5,
+    sensitive_col: str | None = None,
+    l_threshold: int | None = None,
+) -> DataFrame:
+    """Privacy audit before a corpus/table leaves the pipeline
+    (Sweeney 2002 k-anonymity; Machanavajjhala et al. 2007
+    l-diversity): every row's quasi-identifier combination
+    (`quasi_cols`) defines an equivalence class; a class smaller than
+    `k` re-identifies its members by linkage, and — when
+    `sensitive_col` is given — a class with fewer than `l_threshold`
+    distinct sensitive values leaks the sensitive attribute even at
+    size ≥ k (the homogeneity attack k-anonymity alone misses;
+    l_threshold defaults to k).
+
+    One-row exact report:
+      (n_rows, n_classes, min_class_size, n_violating_classes,
+       rows_at_risk[, min_l_diversity, n_low_diversity_classes,
+       rows_low_diversity])
+
+    NULL quasi-identifier values group together (NULL zip is itself a
+    linkable value — the conservative reading, matching groupBy
+    semantics on both engines).
+
+    SCALE: one partial-agg shuffle to the CLASS table (distinct
+    quasi-combinations — bounded by the identifier domain, not row
+    count), then a 1-row aggregate over it; the l-diversity variant
+    groups by (class, sensitive) first, still class-domain-sized.
+    Emitting the aggregate report instead of the violating-class list
+    keeps the output driver-safe at any scale; joining the class table
+    back to rows for suppression is one broadcast join away."""
+    if not quasi_cols:
+        raise ValueError("k_anonymity_report: need at least one quasi col")
+    if sensitive_col is None:
+        classes = df.groupBy(*quasi_cols).agg(
+            F.count(F.lit(1)).alias("__n")
+        )
+        return classes.agg(
+            F.sum("__n").cast("long").alias("n_rows"),
+            F.count(F.lit(1)).cast("long").alias("n_classes"),
+            F.min("__n").cast("long").alias("min_class_size"),
+            F.sum(F.when(F.col("__n") < k, 1).otherwise(0))
+            .cast("long")
+            .alias("n_violating_classes"),
+            F.sum(F.when(F.col("__n") < k, F.col("__n")).otherwise(0))
+            .cast("long")
+            .alias("rows_at_risk"),
+        )
+    l_min = k if l_threshold is None else l_threshold
+    cells = df.groupBy(*quasi_cols, sensitive_col).agg(
+        F.count(F.lit(1)).alias("__c")
+    )
+    classes = cells.groupBy(*quasi_cols).agg(
+        F.sum("__c").alias("__n"), F.count(F.lit(1)).alias("__l")
+    )
+    return classes.agg(
+        F.sum("__n").cast("long").alias("n_rows"),
+        F.count(F.lit(1)).cast("long").alias("n_classes"),
+        F.min("__n").cast("long").alias("min_class_size"),
+        F.sum(F.when(F.col("__n") < k, 1).otherwise(0))
+        .cast("long")
+        .alias("n_violating_classes"),
+        F.sum(F.when(F.col("__n") < k, F.col("__n")).otherwise(0))
+        .cast("long")
+        .alias("rows_at_risk"),
+        F.min("__l").cast("long").alias("min_l_diversity"),
+        F.sum(F.when(F.col("__l") < l_min, 1).otherwise(0))
+        .cast("long")
+        .alias("n_low_diversity_classes"),
+        F.sum(F.when(F.col("__l") < l_min, F.col("__n")).otherwise(0))
+        .cast("long")
+        .alias("rows_low_diversity"),
+    )

@@ -10951,3 +10951,222 @@ def q_multimodal_jpeg_dedup_agree(spark, sf_dir):
             F.col("__h1").eqNullSafe(F.col("__h2")).alias("paths_agree"),
         )
     )
+
+
+# ===========================================================================
+# Round-9 additions (second wave): privacy audit, probabilistic record
+# linkage, ANN recall evaluation — the release-gate operators a corpus
+# publishes alongside its content (SURVEY §7.6 MDM/eval families).
+# ===========================================================================
+
+
+@query(
+    "k_anonymity_docs",
+    """
+    WITH base AS (
+      SELECT lang, source, doc_id % 7 AS sens FROM documents),
+    cells AS (
+      SELECT lang, source, sens, count(*) AS c
+      FROM base GROUP BY 1, 2, 3),
+    classes AS (
+      SELECT lang, source, sum(c) AS n, count(*) AS l
+      FROM cells GROUP BY 1, 2)
+    SELECT sum(n)::BIGINT AS n_rows,
+           count(*)::BIGINT AS n_classes,
+           min(n)::BIGINT AS min_class_size,
+           sum(CASE WHEN n < 5 THEN 1 ELSE 0 END)::BIGINT
+             AS n_violating_classes,
+           sum(CASE WHEN n < 5 THEN n ELSE 0 END)::BIGINT AS rows_at_risk,
+           min(l)::BIGINT AS min_l_diversity,
+           sum(CASE WHEN l < 3 THEN 1 ELSE 0 END)::BIGINT
+             AS n_low_diversity_classes,
+           sum(CASE WHEN l < 3 THEN n ELSE 0 END)::BIGINT
+             AS rows_low_diversity
+    FROM classes
+    """,
+)
+def q_k_anonymity(spark, sf_dir):
+    """k-anonymity + l-diversity audit (validate.k_anonymity_report,
+    Sweeney 2002 / Machanavajjhala 2007): (lang, source) as the
+    quasi-identifier, a synthetic 7-way category as the sensitive
+    attribute — the privacy release-gate a corpus export runs before
+    leaving the pipeline. Exact one-row report; the class table
+    (distinct quasi-combinations) is the only shuffle, identifier-
+    domain-sized, never row-sized."""
+    from parkour_spark.operators.validate import k_anonymity_report
+
+    base = _t(spark, sf_dir, "documents").select(
+        "lang", "source", (F.col("doc_id") % 7).alias("sens")
+    )
+    return k_anonymity_report(
+        base, ["lang", "source"], k=5, sensitive_col="sens", l_threshold=3
+    )
+
+
+def _fs_oracle() -> str:
+    from parkour_spark.operators.linkage import fs_weights_micro
+
+    wn_a, wn_d = fs_weights_micro(0.9, 0.001)
+    wp_a, wp_d = fs_weights_micro(0.95, 0.2)
+    wb_a, wb_d = fs_weights_micro(0.9, 0.01)
+    hi, lo = 5_000_000, 0
+    return f"""
+    WITH a AS (
+      SELECT c_custkey AS id_a, c_nationkey AS blk,
+             c_name AS name_a, c_mktsegment AS phone_a,
+             CAST(round(c_acctbal * 100) AS BIGINT) AS bal_a
+      FROM customer),
+    blocks_ok AS (
+      SELECT blk FROM a GROUP BY blk HAVING count(*) <= 1000),
+    b AS (
+      SELECT c_custkey + 10000000 AS id_b, c_nationkey AS blk,
+             CASE WHEN c_custkey % 3 = 0 THEN c_name || ' jr'
+                  ELSE c_name END AS name_b,
+             CASE WHEN c_custkey % 4 = 0 THEN NULL
+                  ELSE c_mktsegment END AS phone_b,
+             CAST(round(c_acctbal * 100) AS BIGINT)
+               + CASE WHEN c_custkey % 5 = 0 THEN 1 ELSE 0 END AS bal_b
+      FROM customer),
+    pairs AS (
+      SELECT id_a, id_b, name_a, name_b, phone_a, phone_b, bal_a, bal_b
+      FROM (SELECT a.* FROM a JOIN blocks_ok USING (blk)) a
+      JOIN b USING (blk)),
+    scored AS (
+      SELECT id_a, id_b,
+             (CASE WHEN name_a IS NULL OR name_b IS NULL THEN 0
+                   WHEN name_a = name_b THEN {wn_a} ELSE {wn_d} END
+              + CASE WHEN phone_a IS NULL OR phone_b IS NULL THEN 0
+                     WHEN phone_a = phone_b THEN {wp_a} ELSE {wp_d} END
+              + CASE WHEN bal_a IS NULL OR bal_b IS NULL THEN 0
+                     WHEN bal_a = bal_b THEN {wb_a} ELSE {wb_d} END
+             )::BIGINT AS score_micro
+      FROM pairs)
+    SELECT id_a, id_b, score_micro,
+           CASE WHEN score_micro >= {hi} THEN 'match'
+                WHEN score_micro <= {lo} THEN 'non_match'
+                ELSE 'possible' END AS decision
+    FROM scored
+    WHERE score_micro > {lo}
+    """
+
+
+@query("fs_linkage_customers", _fs_oracle())
+def q_fs_linkage(spark, sf_dir):
+    """Fellegi–Sunter probabilistic record linkage
+    (operators.linkage, JASA 1969 — the model behind Splink/Zingg):
+    the customer table linked against a deterministically-corrupted
+    re-crawl of itself (every 3rd name suffixed, every 4th segment
+    dropped, every 5th balance off by a cent), blocked on nationkey,
+    scored with integer micro-nat log-likelihood weights and
+    classified match/possible/non_match. Output keeps pairs above the
+    non-match floor (the review queue + auto-links; the quadratic
+    rejected mass stays unsent). Engine-exact by the inlined-integer-
+    weight discipline; blocking bounds candidates at Σ_b |A_b|·|B_b|,
+    with the hot-block cap every candidate generator here carries."""
+    from parkour_spark.operators.linkage import blocked_pairs, fs_score
+
+    cust = _t(spark, sf_dir, "customer")
+    a = cust.select(
+        F.col("c_custkey").alias("id"),
+        F.col("c_nationkey").alias("blk"),
+        F.col("c_name").alias("name"),
+        F.col("c_mktsegment").alias("seg"),
+        F.round(F.col("c_acctbal") * 100).cast("long").alias("bal"),
+    )
+    b = cust.select(
+        (F.col("c_custkey") + 10_000_000).alias("id"),
+        F.col("c_nationkey").alias("blk"),
+        F.when(
+            F.col("c_custkey") % 3 == 0, F.concat(F.col("c_name"), F.lit(" jr"))
+        )
+        .otherwise(F.col("c_name"))
+        .alias("name"),
+        F.when(F.col("c_custkey") % 4 == 0, F.lit(None).cast("string"))
+        .otherwise(F.col("c_mktsegment"))
+        .alias("seg"),
+        (
+            F.round(F.col("c_acctbal") * 100).cast("long")
+            + F.when(F.col("c_custkey") % 5 == 0, 1).otherwise(0)
+        ).alias("bal"),
+    )
+    pairs = blocked_pairs(a, b, "blk", id_col="id", max_block=1000)
+    scored = fs_score(
+        pairs,
+        {"name": (0.9, 0.001), "seg": (0.95, 0.2), "bal": (0.9, 0.01)},
+        match_threshold_micro=5_000_000,
+        non_match_threshold_micro=0,
+    )
+    return scored.where(F.col("score_micro") > 0).select(
+        "id_a", "id_b", "score_micro", "decision"
+    )
+
+
+def _ivf_recall_oracle() -> str:
+    from textwrap import dedent
+
+    ivf = _ivf_oracle()
+    exact = """
+    WITH q AS (SELECT vec_id AS query_id, embedding FROM embeddings WHERE vec_id < 5),
+    c AS (SELECT vec_id, embedding FROM embeddings WHERE vec_id >= 5),
+    scored AS (
+      SELECT q.query_id, c.vec_id,
+             round(list_dot_product(c.embedding::DOUBLE[], q.embedding::DOUBLE[])
+                   / (sqrt(list_dot_product(c.embedding::DOUBLE[], c.embedding::DOUBLE[]))
+                      * sqrt(list_dot_product(q.embedding::DOUBLE[], q.embedding::DOUBLE[]))), 4) AS cos
+      FROM c, q)
+    SELECT query_id, vec_id FROM (
+      SELECT *, row_number() OVER (PARTITION BY query_id ORDER BY cos DESC, vec_id) AS rank
+      FROM scored)
+    WHERE rank <= 10
+    """
+    return dedent(f"""
+    SELECT e.query_id,
+           count(i.vec_id)::BIGINT AS n_hits,
+           CAST(floor(10000.0 * count(i.vec_id) / count(*)) AS BIGINT)
+             AS recall_bp
+    FROM ({exact}) e
+    LEFT JOIN ({ivf}) i
+      ON e.query_id = i.query_id AND e.vec_id = i.vec_id
+    GROUP BY e.query_id
+    """)
+
+
+@query("ivf_recall_at_k", _ivf_recall_oracle())
+def q_ivf_recall(spark, sf_dir):
+    """ANN quality evaluation: per-query recall@10 of the IVF probe
+    path against the brute-force exact top-10 — the number an ANN
+    deployment tracks when tuning nprobe/cells (recall_bp in exact
+    basis points, so the comparison is integer-exact). Both arms are
+    the engine's own operators; the join is top-k-output-sized (the
+    corpus is scanned once per arm, nothing row-sized shuffles). At
+    100 TB the exact arm runs on an evaluation SAMPLE of queries —
+    the standard recall-estimation protocol — while the IVF arm is
+    the production path."""
+    emb = _t(spark, sf_dir, "embeddings")
+    cents = _ivf_centroids(spark, sf_dir)
+    queries = emb.where(F.col("vec_id") < 5).select(
+        F.col("vec_id").alias("query_id"),
+        F.col("embedding").alias("query_vec"),
+    )
+    corpus = emb.where(F.col("vec_id") >= 5)
+    exact = SIM.brute_force_topk(corpus, queries, k=10).select(
+        "query_id", "vec_id"
+    )
+    approx = SIM.ivf_topk(
+        corpus, queries, cents, k=10, nprobe=4, assign_engine="arrow"
+    ).select("query_id", "vec_id", F.lit(1).alias("__hit"))
+    return (
+        exact.join(approx, ["query_id", "vec_id"], "left")
+        .groupBy("query_id")
+        .agg(
+            F.sum(F.coalesce("__hit", F.lit(0))).cast("long").alias("n_hits"),
+            F.count(F.lit(1)).alias("__k"),
+        )
+        .select(
+            "query_id",
+            "n_hits",
+            F.floor(F.lit(10000.0) * F.col("n_hits") / F.col("__k"))
+            .cast("long")
+            .alias("recall_bp"),
+        )
+    )
