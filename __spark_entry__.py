@@ -36,18 +36,19 @@ def entry(spark: SparkSession) -> DataFrame:
 # deferred 9 r3-era entries; CORRECTNESS_r01–r08 confirm those nine's
 # latest rows are r3): entering r9 the ledger reads 9×r3, 50×r4,
 # 40×r5, 48×r6, 47×r7, 50×r8, 8×never (this round's additions). This
-# window takes ALL NINE r3 deferrals plus 21 of the 50 r4 rows (two of
+# window takes ALL NINE r3 deferrals plus 20 of the 50 r4 rows (two of
 # them via rule (b)); after it lands, the oldest evidence anywhere is
-# r4 (29 rows), which fits inside the r10 fill budget — so the
+# r4 (30 rows), which fits inside the r10 fill budget — so the
 # two-round arithmetic stated in r8 completes in r10 with every
 # entry's latest driver row ≤4 rounds old and the policy sustaining
 # ≤3–4 from then on.
 #
 # r9 window =
-# (a) the 8 entries NEW this round: the three index DELETE legs
+# (a) the 9 entries NEW this round: the three index DELETE legs
 #     (minhash/ivf/substring probe-after-delete vs the survivors-only
-#     build oracle — build/append/delete/probe now closed for all
-#     three persisted indexes), the three join-family identical-ANSI
+#     build oracle) plus the substring APPEND leg — build/append/
+#     delete/probe now gate-pinned for all three persisted indexes —
+#     the three join-family identical-ANSI
 #     SQL entries (broadcast star join, EXISTS→LeftSemi,
 #     NOT EXISTS→LeftAnti), and the two baseline-JPEG entries
 #     (full-corpus roundtrip bound-check; per-row ≡ dedup-first hash
@@ -65,11 +66,15 @@ def entry(spark: SparkSession) -> DataFrame:
 #     kcore_dedup_graph, cc_delta_update_groups — lineage truncation
 #     now routes through the checkpoint-mode knob);
 # (c) the NINE r3-era deferrals lead the fills (r8 verdict #1), then
-#     the 19 alphabetically-first r4 rows not already in (b).
+#     the 18 alphabetically-first r4 rows not already in (b).
+#     (Second-wave additions k_anonymity_docs / fs_linkage_customers /
+#     ivf_recall_at_k landed after the window filled; they hold local
+#     252+4/256 gate evidence this round and lead the r10 (a) class.)
 _R9_WINDOW = [
     # (a) new this round
     "minhash_probe_after_delete", "ivf_probe_after_delete",
-    "substring_probe_after_delete", "sql_star_join", "sql_exists_semi",
+    "substring_probe_after_delete", "substring_probe_after_append",
+    "sql_star_join", "sql_exists_semi",
     "sql_not_exists_anti", "multimodal_jpeg_roundtrip",
     "multimodal_jpeg_dedup_agree",
     # (b) code changed this round
@@ -92,7 +97,6 @@ _R9_WINDOW = [
     "dedup_simhash", "doc_chunks", "doc_fingerprints",
     "embedding_neardup", "embedding_neardup_blocked",
     "ivf_kmeans_topk", "ivf_topk_cosine", "json_props_sum",
-    "kmeans_centroids",
 ]
 
 

@@ -11170,3 +11170,41 @@ def q_ivf_recall(spark, sf_dir):
             .alias("recall_bp"),
         )
     )
+
+
+_SUBSTR_APPEND_DIRS: dict[str, str] = _SfLRUDirs()
+
+
+@query("substring_probe_after_append", ORACLES["substring_spans_delta"])
+def q_substring_probe_after_append(spark, sf_dir):
+    """Substring index-lifecycle APPEND leg, gate-pinned
+    (dedup.substring_index_append): build the persisted fingerprint
+    index on the content-hash bottom 80% of documents, APPEND the next
+    10% (the batch pays only its own winnowed scan; the probe lists
+    re-derive from stored occurrences with the df cap re-applied
+    globally — a batch pushing a fp over the cap drops it exactly as a
+    fresh build would), then probe with the top 10% through
+    substring_probe_persisted. The oracle is the combined-build delta
+    replay (index = bkt < 90), so a green row IS the proof that
+    append(B) onto build(A) ≡ build(A ∪ B) for the text index —
+    matching the minhash/IVF append legs, so all three persisted
+    indexes now gate-pin BOTH lifecycle mutations."""
+    import tempfile
+
+    from parkour_spark.functions.sampling import hash_bucket
+
+    docs = _t(spark, sf_dir, "documents")
+    bkt = hash_bucket(F.col("doc_id"), 100)
+    if sf_dir not in _SUBSTR_APPEND_DIRS:
+        tmp = tempfile.mkdtemp(prefix="parkour_subidx_app_")
+        D.substring_index_build(
+            docs.where(bkt < 80).select("doc_id", "text"), tmp
+        )
+        D.substring_index_append(
+            docs.where((bkt >= 80) & (bkt < 90)).select("doc_id", "text"),
+            tmp,
+        )
+        _SUBSTR_APPEND_DIRS[sf_dir] = tmp
+    return D.substring_probe_persisted(
+        spark, docs.where(bkt >= 90), _SUBSTR_APPEND_DIRS[sf_dir]
+    )

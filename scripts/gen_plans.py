@@ -103,6 +103,13 @@ COMMENTARY = {
     "multimodal_dhash_dedup_decode": "Dedup-first decode: md5 fingerprints ride the blob scan; dropDuplicates(fp) partial-aggs map-side so the shuffle carries per-partition-distinct blobs; the Python dHash decode sees only the distinct set; fan-out back is two KEY-sized joins (fp strings + hashes, no payload bytes).",
     "sql_grouping_sets": "Identical-ANSI GROUPING SETS through Dataset.view: Catalyst plans the three grains as one Expand + single aggregate exchange — multi-grain rollup in one shuffle, same text DuckDB runs.",
     "sql_running_total": "Identical-ANSI window frame through register_views: partitioned by user_id (hash exchange + in-partition sort), cumulative frame runs per partition — no global window, no extra shuffle.",
+    "sql_star_join": "Identical-ANSI star join: the orders fact streams through three BroadcastHashJoins (customer, nation, region all under the broadcast threshold) — zero fact-side shuffle before the (region, nation) partial aggregate; SortMergeJoin absent, plan-asserted.",
+    "sql_exists_semi": "Correlated EXISTS decorrelated by RewritePredicateSubquery into a LEFT SEMI BroadcastHashJoin — the user's declarative subquery compiles to the same plan as the fluent semi-join operator; the priority filter is pushed into the orders scan.",
+    "k_anonymity_docs": "Two partial-agg shuffles, both CLASS-domain-sized: rows collapse to (quasi, sensitive) cells scan-side, cells to classes, and the report is a 1-row aggregate over the class table — output size is independent of corpus size by construction.",
+    "fs_linkage_customers": "Fellegi-Sunter over blocked candidates: both sides project to (id, block, fields) scan-side, the hot-block cap filters the block spine before the equi-join, and the integer micro-nat score is a pure Column fold over the candidate table — zero shuffles after the join.",
+    "ivf_recall_at_k": "Both retrieval arms share the corpus scan shape (broadcast queries, per-query ranking window); the recall join is top-k-output-sized (50 rows vs 50 rows), so the evaluation costs two corpus scans and nothing more.",
+    "multimodal_jpeg_dedup_agree": "The economics identity plan: one blob scan feeds BOTH arms (persisted), the per-row arm decodes inside mapInPandas, the dedup-first arm dedups fingerprints with a map-side partial agg BEFORE its decode — the join back is md5-key-sized, blobs never shuffle.",
+    "substring_probe_after_delete": "Probe-only plan against the persisted lists/ artifact: the batch fingerprint scan equi-joins the committed df-capped lists, span segmentation is one (id_new, id_old, delta)-keyed window — the corpus occ/ table is not in the plan at all (deletes already folded in at publish time).",
 }
 
 HEADER = """# PLANS — physical-plan evidence for the headline operators
