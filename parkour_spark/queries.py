@@ -10788,24 +10788,31 @@ def q_substring_probe_after_delete(spark, sf_dir):
 _JPEG_PATTERNS = 120
 
 
-def _jpeg_pattern(seed: int):
-    """Deterministic 16×16 RGB test image: per-seed low-frequency
+def _jpeg_pattern(seed: int, size: int = 16):
+    """Deterministic size×size RGB test image: per-seed low-frequency
     sinusoid mixture (frequency/phase/amplitude derived from the seed)
     — smooth like real photographs, so baseline JPEG at q85
     reconstructs it within a tight MAE bound (pure per-pixel noise
     would be the codec's pathological worst case, not its workload),
     while the 120 seeds still produce 120 byte-distinct payloads
-    (pinned in tests/test_jpegcodec.py)."""
+    (pinned in tests/test_jpegcodec.py). The gate entries use the
+    16×16 default; the sf1 soak uses 48×48 thumbnails for realistic
+    per-payload decode work (frequencies scale with size, so the
+    image CONTENT is resolution-scaled, not higher-frequency)."""
     import numpy as _np
 
     fx = 1 + seed % 3
     fy = 1 + (seed // 3) % 4
     amp = 60.0 + ((seed // 12) % 5) * 12.0
     phase = (seed // 60) * _np.pi / 2 + seed * 0.05
-    y, x = _np.mgrid[0:16, 0:16].astype(_np.float64)
-    r = 127.5 + amp * _np.sin(2 * _np.pi * (fx * x + fy * y) / 16 + phase)
-    g = 127.5 + amp * _np.sin(2 * _np.pi * (fy * x - fx * y) / 16 - phase)
-    b = 127.5 + (x + y - 15.0) * (4.0 + fx)
+    y, x = _np.mgrid[0:size, 0:size].astype(_np.float64)
+    r = 127.5 + amp * _np.sin(
+        2 * _np.pi * (fx * x + fy * y) / size + phase
+    )
+    g = 127.5 + amp * _np.sin(
+        2 * _np.pi * (fy * x - fx * y) / size - phase
+    )
+    b = 127.5 + (x + y - (size - 1.0)) * (4.0 + fx) * 16.0 / size
     return (
         _np.clip(_np.stack([r, g, b], axis=-1), 0, 255)
         .round()
@@ -10813,7 +10820,7 @@ def _jpeg_pattern(seed: int):
     )
 
 
-def _jpeg_payload_cached():
+def _jpeg_payload_cached(size: int = 16):
     """Per-process encode cache: the payload is a pure function of the
     pattern seed, so each executor encodes each of the 120 patterns at
     most once regardless of corpus size."""
@@ -10823,7 +10830,7 @@ def _jpeg_payload_cached():
 
     @functools.lru_cache(maxsize=_JPEG_PATTERNS)
     def enc(seed: int) -> bytes:
-        return encode_jpeg(_jpeg_pattern(seed), quality=85)
+        return encode_jpeg(_jpeg_pattern(seed, size), quality=85)
 
     return enc
 
@@ -11207,4 +11214,145 @@ def q_substring_probe_after_append(spark, sf_dir):
         _SUBSTR_APPEND_DIRS[sf_dir] = tmp
     return D.substring_probe_persisted(
         spark, docs.where(bkt >= 90), _SUBSTR_APPEND_DIRS[sf_dir]
+    )
+
+
+def _mdm_oracle() -> str:
+    from parkour_spark.operators.linkage import fs_weights_micro
+
+    wn_a, wn_d = fs_weights_micro(0.9, 0.001)
+    wp_a, wp_d = fs_weights_micro(0.95, 0.2)
+    wb_a, wb_d = fs_weights_micro(0.9, 0.01)
+    hi = 5_000_000
+    return f"""
+    WITH RECURSIVE recs AS (
+      SELECT c_custkey AS rid, c_nationkey AS blk, c_name AS name,
+             c_mktsegment AS seg,
+             CAST(round(c_acctbal * 100) AS BIGINT) AS bal, 1 AS version
+      FROM customer
+      UNION ALL
+      SELECT c_custkey + 10000000, c_nationkey,
+             CASE WHEN c_custkey % 3 = 0 THEN c_name || ' jr'
+                  ELSE c_name END,
+             CASE WHEN c_custkey % 4 = 0 THEN NULL
+                  ELSE c_mktsegment END,
+             CAST(round(c_acctbal * 100) AS BIGINT)
+               + CASE WHEN c_custkey % 5 = 0 THEN 1 ELSE 0 END, 2
+      FROM customer),
+    blocks_ok AS (
+      SELECT blk FROM recs WHERE version = 1
+      GROUP BY blk HAVING count(*) <= 1000),
+    scored AS (
+      SELECT a.rid AS id_a, b.rid AS id_b,
+             (CASE WHEN a.name IS NULL OR b.name IS NULL THEN 0
+                   WHEN a.name = b.name THEN {wn_a} ELSE {wn_d} END
+              + CASE WHEN a.seg IS NULL OR b.seg IS NULL THEN 0
+                     WHEN a.seg = b.seg THEN {wp_a} ELSE {wp_d} END
+              + CASE WHEN a.bal IS NULL OR b.bal IS NULL THEN 0
+                     WHEN a.bal = b.bal THEN {wb_a} ELSE {wb_d} END
+             )::BIGINT AS score_micro
+      FROM (SELECT recs.* FROM recs JOIN blocks_ok USING (blk)
+            WHERE version = 1) a
+      JOIN (SELECT * FROM recs WHERE version = 2) b USING (blk)),
+    matches AS (SELECT id_a, id_b FROM scored
+                WHERE score_micro >= {hi}),
+    edges AS (SELECT id_a AS a, id_b AS b FROM matches
+              UNION SELECT id_b, id_a FROM matches),
+    reach(n, m) AS (
+      SELECT rid, rid FROM recs
+      UNION
+      SELECT r.n, e.b FROM reach r JOIN edges e ON r.m = e.a),
+    comp AS (SELECT n AS rid, min(m) AS entity FROM reach GROUP BY n),
+    j AS (SELECT comp.entity, recs.* FROM recs JOIN comp USING (rid))
+    SELECT entity, count(*)::BIGINT AS n_records,
+           (max(struct_pack(h := name IS NOT NULL, o := version,
+                            k := rid, v := name))).v AS name_golden,
+           (max(struct_pack(h := seg IS NOT NULL, o := version,
+                            k := rid, v := seg))).v AS seg_golden,
+           (max(struct_pack(h := bal IS NOT NULL, o := version,
+                            k := rid, v := bal))).v AS bal_golden
+    FROM j GROUP BY entity
+    """
+
+
+@query("mdm_golden_pipeline", _mdm_oracle())
+def q_mdm_golden_pipeline(spark, sf_dir):
+    """End-to-end MDM: Fellegi–Sunter linkage (operators.linkage) →
+    connected components over the auto-link matches (operators.graph)
+    → golden-record survivorship per resolved entity
+    (operators.cdc.golden_record) — the full entity-resolution
+    pipeline a master-data system runs, composed from three
+    already-gated operators and gated AS A WHOLE against a recursive-
+    closure SQL replay (the composition is where subtle contract
+    mismatches hide — id namespaces, NULL-field fallback, singleton
+    handling — so the chain gets its own oracle). The corrupted twins
+    link to their originals (except the custkey%15 double-corruptions,
+    which stay singleton entities on BOTH sides); the golden record
+    takes the newest non-null per FIELD, so a twin's dropped segment
+    falls back to the original's value while its newer name wins —
+    exactly what row-level keep-latest gets wrong.
+
+    SCALE: linkage candidates are block-bounded, the component table
+    is node-sized, and survivorship is ONE partial-agg shuffle of k
+    struct-max aggregates — no stage touches row-pair volume beyond
+    the blocked candidates."""
+    from parkour_spark.operators.cdc import golden_record
+    from parkour_spark.operators.graph import connected_components
+    from parkour_spark.operators.linkage import blocked_pairs, fs_score
+
+    cust = _t(spark, sf_dir, "customer")
+    a = cust.select(
+        F.col("c_custkey").alias("id"),
+        F.col("c_nationkey").alias("blk"),
+        F.col("c_name").alias("name"),
+        F.col("c_mktsegment").alias("seg"),
+        F.round(F.col("c_acctbal") * 100).cast("long").alias("bal"),
+    )
+    b = cust.select(
+        (F.col("c_custkey") + 10_000_000).alias("id"),
+        F.col("c_nationkey").alias("blk"),
+        F.when(
+            F.col("c_custkey") % 3 == 0,
+            F.concat(F.col("c_name"), F.lit(" jr")),
+        )
+        .otherwise(F.col("c_name"))
+        .alias("name"),
+        F.when(F.col("c_custkey") % 4 == 0, F.lit(None).cast("string"))
+        .otherwise(F.col("c_mktsegment"))
+        .alias("seg"),
+        (
+            F.round(F.col("c_acctbal") * 100).cast("long")
+            + F.when(F.col("c_custkey") % 5 == 0, 1).otherwise(0)
+        ).alias("bal"),
+    )
+    matches = fs_score(
+        blocked_pairs(a, b, "blk", id_col="id", max_block=1000),
+        {"name": (0.9, 0.001), "seg": (0.95, 0.2), "bal": (0.9, 0.01)},
+        match_threshold_micro=5_000_000,
+        non_match_threshold_micro=0,
+    ).where(F.col("decision") == "match").select("id_a", "id_b")
+    records = a.withColumn("version", F.lit(1)).unionByName(
+        b.withColumn("version", F.lit(2))
+    )
+    comps = connected_components(
+        records.select("id"), matches, node_col="id"
+    )
+    merged = records.join(
+        comps.withColumnRenamed("n", "id"), "id"
+    ).withColumnRenamed("component", "ent")
+    return (
+        golden_record(
+            merged.withColumnRenamed("ent", "entity_key"),
+            "entity_key",
+            "version",
+            "id",
+            ["name", "seg", "bal"],
+        )
+        .select(
+            F.col("entity").alias("entity"),
+            "n_records",
+            "name_golden",
+            "seg_golden",
+            "bal_golden",
+        )
     )

@@ -166,3 +166,6 @@ def test_jpeg_corpus_patterns_distinct_and_within_bound():
         )
     assert len(payloads) == _JPEG_PATTERNS
     assert worst <= 8.0
+    # the soak's 48x48 thumbnail variant stays byte-distinct too
+    big = {encode_jpeg(_jpeg_pattern(s, 48), 85) for s in range(_JPEG_PATTERNS)}
+    assert len(big) == _JPEG_PATTERNS

@@ -175,3 +175,50 @@ def test_ivf_recall_bounds_and_exactness(spark, sf_dir):
     # sf0.001 corpus scatters neighbors across more cells, so the bound
     # here is deliberately loose)
     assert sum(r.n_hits for r in rows) >= 10
+
+
+# ------------------------------------------------------------------
+# end-to-end MDM pipeline (linkage → CC → golden record)
+# ------------------------------------------------------------------
+
+
+def test_mdm_golden_field_level_survivorship(spark, sf_dir):
+    """Per-FIELD survivorship across the resolved entity: the newer
+    twin's name wins where corrupted (' jr'), but its dropped segment
+    falls back to the original's value — the behavior row-level
+    keep-latest gets wrong."""
+    from parkour_spark.queries import QUERIES
+
+    golden = {
+        r.entity: r for r in QUERIES["mdm_golden_pipeline"](spark, sf_dir).collect()
+    }
+    cust = {
+        r.c_custkey: r
+        for r in spark.read.parquet(f"{sf_dir}/customer.parquet").collect()
+    }
+    # FALLBACK: twin links (name+bal agree) but dropped its segment —
+    # the golden segment falls back past the newer NULL to v1's value
+    fallback = [k for k in cust if k % 4 == 0 and k % 3 != 0 and k % 20 != 0]
+    assert fallback
+    for k in fallback[:5]:
+        g = golden[k]  # entity id = min(rid) = original custkey
+        assert g.n_records == 2
+        assert g.name_golden == cust[k].c_name
+        assert g.seg_golden == cust[k].c_mktsegment     # fallback past NULL
+    # NEWEST WINS: twin links (name+seg agree) with a corrected balance
+    # — the golden balance is the newer version's value
+    newest = [
+        k for k in cust if k % 5 == 0 and k % 3 != 0 and k % 4 != 0
+    ]
+    assert newest
+    for k in newest[:5]:
+        g = golden[k]
+        assert g.n_records == 2
+        assert g.bal_golden == round(cust[k].c_acctbal * 100) + 1
+    # a name-corrupted twin scores below the auto-match threshold
+    # (possible, not match) and stays its own singleton entity —
+    # clerical-review territory, never silently merged
+    lonely = [k for k in cust if k % 3 == 0]
+    for k in lonely[:3]:
+        assert golden[k].n_records == 1
+        assert golden[k + 10_000_000].n_records == 1
