@@ -198,3 +198,40 @@ def prune_versions(
     for p in dead:
         pfs.delete(spark, p)
     return dead
+
+
+def ids_remaining(
+    spark: SparkSession, data_path: str, id_col: str, ids, limit: int = 100
+) -> list:
+    """Right-to-be-forgotten AUDIT for physical deletes: scan the
+    artifact table under `data_path` and return (up to `limit`) ids
+    from `ids` that STILL appear — the verification pass a compliance
+    flow runs after `minhash_index_delete` / `ivf_index_delete` /
+    `substring_index_delete`.
+
+    Why it exists as a separate full scan: the delete legs are
+    batch-∝ by design (they prune to the partitions/rows the batch
+    addresses), so a caller error that mis-addresses a row — the
+    classic case is `ivf_index_delete` handed a STALE VECTOR for an
+    id, which prunes to the wrong cell and silently deletes nothing —
+    is invisible to the delete itself. This audit pays one honest
+    full scan (semi-join against the broadcast id set, nothing else
+    moves) and returns the lingering ids, so "deleted" can be a
+    verified claim instead of an assumed one. Empty list ⇒ clean."""
+    from pyspark.sql import DataFrame, functions as F
+
+    if isinstance(ids, DataFrame):
+        ids_df = ids.select(F.col(ids.columns[0]).alias(id_col))
+    else:
+        ids_df = spark.createDataFrame(
+            [(i,) for i in ids], f"{id_col} long"
+        )
+    hits = (
+        spark.read.parquet(data_path)
+        .join(F.broadcast(ids_df), id_col, "left_semi")
+        .select(id_col)
+        .distinct()
+        .limit(limit)
+        .collect()
+    )
+    return sorted(r[id_col] for r in hits)

@@ -518,3 +518,55 @@ def test_sql_exists_polarity_plans(spark, sf_dir):
         r.n_customers for r in anti.collect()
     )
     assert total == n_cust
+
+
+def test_ids_remaining_audits_physical_deletes(spark, tmp_path):
+    """The compliance audit catches the silent-miss case the batch-∝
+    delete cannot see: an IVF delete handed a STALE vector prunes to
+    the wrong cell and removes nothing — ids_remaining reports the
+    lingering id, while a correct delete audits clean."""
+    from parkour_spark.artifacts import ids_remaining
+    from parkour_spark.operators.similarity import ivf_index_delete
+
+    corpus, cents, path = _ivf_fixture(spark, tmp_path)
+    victim = corpus.where(F.col("vec_id") == 3)
+    # stale vector: same id, wrong embedding -> wrong cell pruned
+    stale = victim.select(
+        "vec_id",
+        F.expr("transform(embedding, x -> -x)").alias("embedding"),
+    )
+    ivf_index_delete(stale, cents, path)
+    assert ids_remaining(spark, path, "vec_id", [3]) == [3]
+    # correct delete audits clean
+    ivf_index_delete(victim, cents, path)
+    assert ids_remaining(spark, path, "vec_id", [3]) == []
+
+
+def test_ids_remaining_on_minhash_and_substring_tables(spark, tmp_path):
+    from parkour_spark.artifacts import ids_remaining
+    from parkour_spark.operators.dedup import (
+        minhash_index_build,
+        minhash_index_delete,
+        substring_index_build,
+        substring_index_delete,
+    )
+
+    docs = _docs(
+        spark, [(i, f"document body number {i} with shared words") for i in range(6)]
+    )
+    mh = str(tmp_path / "mh")
+    minhash_index_build(docs, mh)
+    drop = spark.createDataFrame([(2,), (4,)], "doc_id long")
+    minhash_index_delete(spark, drop, mh)
+    assert ids_remaining(spark, f"{mh}/sigs", "doc_id", drop) == []
+    # querying a mixed set reports exactly the members still present
+    assert ids_remaining(spark, f"{mh}/sigs", "doc_id", [1, 2, 3]) == [1, 3]
+    assert ids_remaining(spark, f"{mh}/sigs", "doc_id", [5]) == [5]
+
+    sub = str(tmp_path / "sub")
+    substring_index_build(_sub_docs(spark), sub)
+    substring_index_delete(
+        spark, spark.createDataFrame([(0,)], "doc_id long"), sub
+    )
+    assert ids_remaining(spark, f"{sub}/occ", "doc_id", [0]) == []
+    assert ids_remaining(spark, f"{sub}/occ", "doc_id", [1]) == [1]
