@@ -68,8 +68,10 @@ def entry(spark: SparkSession) -> DataFrame:
 # (c) the NINE r3-era deferrals lead the fills (r8 verdict #1), then
 #     the 18 alphabetically-first r4 rows not already in (b).
 #     (Second-wave additions k_anonymity_docs / fs_linkage_customers /
-#     ivf_recall_at_k landed after the window filled; they hold local
-#     252+4/256 gate evidence this round and lead the r10 (a) class.)
+#     ivf_recall_at_k / mdm_golden_pipeline landed after the window
+#     filled; each holds local full-gate evidence this round — the
+#     257/257 replica in NOTES_r9 §8 — and they lead the r10 (a)
+#     class.)
 _R9_WINDOW = [
     # (a) new this round
     "minhash_probe_after_delete", "ivf_probe_after_delete",
