@@ -105,6 +105,7 @@ def fs_score(
     match_threshold_micro: int,
     non_match_threshold_micro: int,
     agree: dict[str, Column] | None = None,
+    tf_weights: dict[str, DataFrame] | None = None,
 ) -> DataFrame:
     """Score candidate pairs with the Fellegi–Sunter log-likelihood
     ratio and classify by thresholds. `fields` maps a field name to its
@@ -119,22 +120,49 @@ def fs_score(
     with score_micro an exact int64 sum of inlined integer constants —
     the engine-exact property that lets a SQL oracle replay every pair
     bit-for-bit. Thresholds are in the same micro-nat units
-    (`fs_weights_micro` converts from probabilities)."""
+    (`fs_weights_micro` converts from probabilities).
+
+    `tf_weights` maps a field to its per-VALUE agreement-weight table
+    (`fs_tf_weights`): for those fields, AGREEMENT scores the value's
+    own weight — rare-value agreement counts for more — joined in via
+    broadcast on the agreeing side's value (one broadcast hash join
+    per TF field, nothing row-sized shuffles); an agreeing value
+    absent from the reference table falls back to the field's global
+    agreement weight. Disagreement keeps the field's global
+    disagreement weight (term frequency conditions on the AGREEMENT
+    event only)."""
     if match_threshold_micro <= non_match_threshold_micro:
         raise ValueError(
             "match threshold must exceed the non-match threshold"
         )
     agree = agree or {}
+    tf_weights = tf_weights or {}
+    scored = pairs
     total = F.lit(0).cast("long")
     for f, (m, u) in fields.items():
         wa, wd = fs_weights_micro(m, u)
         cmp_ab = agree.get(f, F.col(f"{f}_a").eqNullSafe(F.col(f"{f}_b")))
         both = F.col(f"{f}_a").isNotNull() & F.col(f"{f}_b").isNotNull()
+        if f in tf_weights:
+            w = tf_weights[f].select(
+                F.col("value").alias(f"__tfv_{f}"),
+                F.col("w_micro").alias(f"__tfw_{f}"),
+            )
+            scored = scored.join(
+                F.broadcast(w),
+                scored[f"{f}_a"] == w[f"__tfv_{f}"],
+                "left",
+            ).drop(f"__tfv_{f}")
+            agree_w = F.coalesce(F.col(f"__tfw_{f}"), F.lit(wa))
+        else:
+            agree_w = F.lit(wa)
         term = F.when(~both, F.lit(0)).when(
-            cmp_ab, F.lit(wa)
+            cmp_ab, agree_w
         ).otherwise(F.lit(wd))
         total = total + term.cast("long")
-    scored = pairs.withColumn("score_micro", total)
+    scored = scored.withColumn("score_micro", total).drop(
+        *[f"__tfw_{f}" for f in tf_weights]
+    )
     return scored.withColumn(
         "decision",
         F.when(
@@ -145,4 +173,44 @@ def fs_score(
             F.lit("non_match"),
         )
         .otherwise(F.lit("possible")),
+    )
+
+
+def fs_tf_weights(
+    records: DataFrame, field: str, m: float
+) -> DataFrame:
+    """Per-VALUE agreement weights — the term-frequency adjustment that
+    is Splink's headline refinement of plain Fellegi–Sunter: agreeing
+    on "John Smith" is weak evidence, agreeing on a one-of-a-kind name
+    is near-conclusive. Under the non-match hypothesis two random
+    records agree on value v with probability p_v = cnt_v / n (its
+    term frequency), so the per-value Bayes factor for agreement ON v
+    is m / p_v and
+
+        w_micro(v) = round(1e6 · ln(m · n / cnt_v))
+
+    Returns (value, w_micro): a value-domain-sized table that
+    BROADCASTS into the scorer (fs_score's tf_weights) — computed once
+    per reference corpus from one partial-agg count, like every other
+    broadcast artifact here. NULLs are excluded (no agreement can
+    happen on them). F.log rounded to integer micro-nats is the
+    cross-engine-exact discipline the NB classifier established
+    (classify.nb_train)."""
+    if not (0.0 < m < 1.0):
+        raise ValueError(f"m must be in (0, 1), got {m}")
+    nn = records.where(F.col(field).isNotNull())
+    counts = nn.groupBy(F.col(field).alias("value")).count()
+    total = nn.agg(F.count(F.lit(1)).alias("__n"))
+    return counts.crossJoin(F.broadcast(total)).select(
+        "value",
+        F.round(
+            F.log(
+                F.lit(float(m))
+                * F.col("__n").cast("double")
+                / F.col("count")
+            )
+            * 1e6
+        )
+        .cast("long")
+        .alias("w_micro"),
     )

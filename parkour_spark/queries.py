@@ -11376,3 +11376,126 @@ def q_mdm_golden_pipeline(spark, sf_dir):
             "bal_golden",
         )
     )
+
+
+def _fs_tf_oracle() -> str:
+    from parkour_spark.operators.linkage import fs_weights_micro
+
+    _, wn_d = fs_weights_micro(0.9, 0.001)
+    _, wp_d = fs_weights_micro(0.95, 0.2)
+    wb_a, wb_d = fs_weights_micro(0.9, 0.01)
+    hi, lo = 5_000_000, 0
+    return f"""
+    WITH n_ref AS (SELECT count(*)::DOUBLE AS n FROM customer),
+    wname AS (
+      SELECT c_name AS value,
+             CAST(round(1e6 * ln(0.9 * n / count(*))) AS BIGINT) AS w
+      FROM customer, n_ref GROUP BY c_name, n),
+    wseg AS (
+      SELECT c_mktsegment AS value,
+             CAST(round(1e6 * ln(0.95 * n / count(*))) AS BIGINT) AS w
+      FROM customer, n_ref GROUP BY c_mktsegment, n),
+    a AS (
+      SELECT c_custkey AS id_a, c_nationkey AS blk,
+             c_name AS name_a, c_mktsegment AS seg_a,
+             CAST(round(c_acctbal * 100) AS BIGINT) AS bal_a
+      FROM customer),
+    blocks_ok AS (
+      SELECT blk FROM a GROUP BY blk HAVING count(*) <= 1000),
+    b AS (
+      SELECT c_custkey + 10000000 AS id_b, c_nationkey AS blk,
+             CASE WHEN c_custkey % 3 = 0 THEN c_name || ' jr'
+                  ELSE c_name END AS name_b,
+             CASE WHEN c_custkey % 4 = 0 THEN NULL
+                  ELSE c_mktsegment END AS seg_b,
+             CAST(round(c_acctbal * 100) AS BIGINT)
+               + CASE WHEN c_custkey % 5 = 0 THEN 1 ELSE 0 END AS bal_b
+      FROM customer),
+    pairs AS (
+      SELECT id_a, id_b, name_a, name_b, seg_a, seg_b, bal_a, bal_b
+      FROM (SELECT a.* FROM a JOIN blocks_ok USING (blk)) a
+      JOIN b USING (blk)),
+    scored AS (
+      SELECT id_a, id_b,
+             (CASE WHEN name_a IS NULL OR name_b IS NULL THEN 0
+                   WHEN name_a = name_b
+                   THEN coalesce((SELECT w FROM wname
+                                  WHERE wname.value = name_a), 6802395)
+                   ELSE {wn_d} END
+              + CASE WHEN seg_a IS NULL OR seg_b IS NULL THEN 0
+                     WHEN seg_a = seg_b
+                     THEN coalesce((SELECT w FROM wseg
+                                    WHERE wseg.value = seg_a), 1558145)
+                     ELSE {wp_d} END
+              + CASE WHEN bal_a IS NULL OR bal_b IS NULL THEN 0
+                     WHEN bal_a = bal_b THEN {wb_a} ELSE {wb_d} END
+             )::BIGINT AS score_micro
+      FROM pairs)
+    SELECT id_a, id_b, score_micro,
+           CASE WHEN score_micro >= {hi} THEN 'match'
+                WHEN score_micro <= {lo} THEN 'non_match'
+                ELSE 'possible' END AS decision
+    FROM scored
+    WHERE score_micro > {lo}
+    """
+
+
+@query("fs_linkage_tf_customers", _fs_tf_oracle())
+def q_fs_linkage_tf(spark, sf_dir):
+    """Term-frequency-adjusted Fellegi–Sunter linkage
+    (operators.linkage.fs_tf_weights — Splink's headline refinement):
+    the same corrupted-twin corpus as fs_linkage_customers, but
+    agreement on name and segment scores the VALUE's own weight —
+    round(1e6·ln(m·n/cnt_v)) from the master table's term frequencies
+    — so agreeing on a unique name is near-conclusive (≈7.21 vs the
+    global 6.80 micro-nats) while agreeing on one of five common
+    segments stays weak, each segment by its actual share. The weight
+    tables are value-domain-sized broadcast artifacts; the scorer adds
+    one broadcast hash join per TF field and keeps the exact-int64
+    score, so the oracle replays every pair bit-for-bit (F.log →
+    micro-round is the nb_train cross-engine discipline)."""
+    from parkour_spark.operators.linkage import (
+        blocked_pairs,
+        fs_score,
+        fs_tf_weights,
+    )
+
+    cust = _t(spark, sf_dir, "customer")
+    a = cust.select(
+        F.col("c_custkey").alias("id"),
+        F.col("c_nationkey").alias("blk"),
+        F.col("c_name").alias("name"),
+        F.col("c_mktsegment").alias("seg"),
+        F.round(F.col("c_acctbal") * 100).cast("long").alias("bal"),
+    )
+    b = cust.select(
+        (F.col("c_custkey") + 10_000_000).alias("id"),
+        F.col("c_nationkey").alias("blk"),
+        F.when(
+            F.col("c_custkey") % 3 == 0,
+            F.concat(F.col("c_name"), F.lit(" jr")),
+        )
+        .otherwise(F.col("c_name"))
+        .alias("name"),
+        F.when(F.col("c_custkey") % 4 == 0, F.lit(None).cast("string"))
+        .otherwise(F.col("c_mktsegment"))
+        .alias("seg"),
+        (
+            F.round(F.col("c_acctbal") * 100).cast("long")
+            + F.when(F.col("c_custkey") % 5 == 0, 1).otherwise(0)
+        ).alias("bal"),
+    )
+    tf = {
+        "name": fs_tf_weights(cust.select(F.col("c_name").alias("name")), "name", 0.9),
+        "seg": fs_tf_weights(cust.select(F.col("c_mktsegment").alias("seg")), "seg", 0.95),
+    }
+    scored = fs_score(
+        blocked_pairs(a, b, "blk", id_col="id", max_block=1000),
+        {"name": (0.9, 0.001), "seg": (0.95, 0.2), "bal": (0.9, 0.01)},
+        match_threshold_micro=5_000_000,
+        non_match_threshold_micro=0,
+        tf_weights=tf,
+    )
+    return scored.where(F.col("score_micro") > 0).select(
+        "id_a", "id_b", "score_micro", "decision"
+    )

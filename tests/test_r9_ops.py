@@ -222,3 +222,63 @@ def test_mdm_golden_field_level_survivorship(spark, sf_dir):
     for k in lonely[:3]:
         assert golden[k].n_records == 1
         assert golden[k + 10_000_000].n_records == 1
+
+
+# ------------------------------------------------------------------
+# term-frequency-adjusted linkage (linkage.fs_tf_weights)
+# ------------------------------------------------------------------
+
+
+def test_fs_tf_weights_values(spark):
+    import math
+
+    from parkour_spark.operators.linkage import fs_tf_weights
+
+    recs = spark.createDataFrame(
+        [("ann",), ("ann",), ("ann",), ("zoe",), (None,)], "name string"
+    )
+    w = {r.value: r.w_micro for r in fs_tf_weights(recs, "name", 0.9).collect()}
+    # NULLs excluded from both counts and total (n = 4)
+    assert w["ann"] == round(1e6 * math.log(0.9 * 4 / 3))
+    assert w["zoe"] == round(1e6 * math.log(0.9 * 4 / 1))
+    assert w["zoe"] > w["ann"]  # rare-value agreement counts for more
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError, match="in \\(0, 1\\)"):
+        fs_tf_weights(recs, "name", 1.5)
+
+
+def test_fs_score_tf_rare_vs_common_and_fallback(spark):
+    import math
+
+    from parkour_spark.operators.linkage import (
+        blocked_pairs,
+        fs_score,
+        fs_tf_weights,
+        fs_weights_micro,
+    )
+
+    ref = spark.createDataFrame(
+        [("ann",)] * 9 + [("zoe",)], "name string"
+    )
+    tf = fs_tf_weights(ref, "name", 0.9)
+    a = spark.createDataFrame(
+        [(1, "b", "ann"), (2, "b", "zoe"), (3, "b", "new")],
+        "id long, blk string, name string",
+    )
+    pairs = blocked_pairs(a, a, "blk")
+    scored = {
+        (r.id_a, r.id_b): r.score_micro
+        for r in fs_score(
+            pairs, {"name": (0.9, 0.001)}, 10_000_000, -10_000_000,
+            tf_weights={"name": tf},
+        ).collect()
+    }
+    w_ann = round(1e6 * math.log(0.9 * 10 / 9))
+    w_zoe = round(1e6 * math.log(0.9 * 10 / 1))
+    wa, wd = fs_weights_micro(0.9, 0.001)
+    assert scored[(1, 1)] == w_ann      # common value: weak agreement
+    assert scored[(2, 2)] == w_zoe      # rare value: strong agreement
+    assert scored[(3, 3)] == wa         # unseen value: global fallback
+    assert scored[(1, 2)] == wd         # disagreement: global weight
+    assert w_zoe > w_ann  # rarity orders the TF weights
