@@ -34,11 +34,13 @@ _CHANNELS = {0: 1, 2: 3, 4: 2, 6: 4}  # PNG color type -> samples/pixel
 
 
 def sniff_format(payload: bytes) -> str | None:
-    """'png' | 'jpeg' | 'ppm' | 'pgm' | 'bmp' | None (unsupported)."""
+    """'png' | 'jpeg' | 'gif' | 'ppm' | 'pgm' | 'bmp' | None."""
     if payload[:8] == PNG_MAGIC:
         return "png"
     if payload[:2] == b"\xff\xd8":
         return "jpeg"
+    if payload[:6] in (b"GIF89a", b"GIF87a"):
+        return "gif"
     if payload[:2] == b"P6":
         return "ppm"
     if payload[:2] == b"P5":
@@ -219,6 +221,11 @@ def decode_image(payload: bytes) -> np.ndarray:
         from parkour_spark.operators.jpegcodec import decode_jpeg
 
         return decode_jpeg(payload)
+    if fmt == "gif":
+        # first frame — the still-image view of an animated container
+        from parkour_spark.operators.gifcodec import gif_frame
+
+        return gif_frame(payload, 0)
     if fmt in ("ppm", "pgm"):
         return decode_pnm(payload)
     if fmt == "bmp":

@@ -314,19 +314,38 @@ def _fake_frame(payload: bytes, frame_idx: int) -> bytes:
     return hashlib.sha256(payload + f":frame{frame_idx}".encode()).digest()
 
 
+def gif_frame_codec(payload: bytes, frame_idx: int) -> bytes:
+    """REAL frame-extraction codec for animated GIF payloads
+    (operators.gifcodec, from-scratch LZW — r9): extracts the frame
+    losslessly and returns it PNG-encoded, so every downstream image
+    operator (dhash, stats, resize) composes unchanged. The first
+    codec slot in this module that is real for a genuinely MULTI-frame
+    container; mp4/webm stay behind `codec=` (ffmpeg/pyav in
+    production)."""
+    from parkour_spark.operators.gifcodec import gif_frame
+    from parkour_spark.operators.imagecodec import encode_png
+
+    return encode_png(gif_frame(payload, frame_idx))
+
+
 def sample_video_frames(
     df: DataFrame,
     every_ms: int = 1000,
     payload_col: str = "payload",
     codec=None,
+    duration_fn=None,
 ) -> DataFrame:
     """Frame sampling over mapInPandas: one output row per sampled frame
     (media_id, frame_idx, frame_ms, frame). Frame count derives from
     meta.duration_ms — a row-expanding (UDTF-shaped) Pandas transform,
     the streaming-friendly batch shape: frames for one video are emitted
     incrementally, never materialized per-video. `codec` is
-    `callable(bytes, frame_idx) -> bytes` (ffmpeg/pyav in production);
-    the default is a deterministic fake (no video library here)."""
+    `callable(bytes, frame_idx) -> bytes` (gif_frame_codec for animated
+    GIFs — real, from-scratch; ffmpeg/pyav for mp4/webm in production);
+    the default is a deterministic fake. `duration_fn`
+    (`callable(bytes) -> ms`, e.g. gifcodec.gif_duration_ms) derives
+    the duration from the CONTAINER BYTES instead of trusting metadata
+    — crawled media metadata lies; the container doesn't."""
     codec = codec or _fake_frame
     out_schema = T.StructType(
         [
@@ -343,7 +362,13 @@ def sample_video_frames(
             for mid, payload, meta in zip(
                 pdf["media_id"], pdf[payload_col], pdf["meta"]
             ):
-                duration = (meta or {}).get("duration_ms") or 0
+                if duration_fn is not None and payload is not None:
+                    try:
+                        duration = duration_fn(bytes(payload))
+                    except ValueError:
+                        continue  # undecodable container: no frames
+                else:
+                    duration = (meta or {}).get("duration_ms") or 0
                 if payload is None or duration <= 0:
                     continue
                 for i, ms in enumerate(range(0, int(duration), every_ms)):

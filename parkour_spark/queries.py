@@ -11499,3 +11499,111 @@ def q_fs_linkage_tf(spark, sf_dir):
     return scored.where(F.col("score_micro") > 0).select(
         "id_a", "id_b", "score_micro", "decision"
     )
+
+
+@query(
+    "multimodal_gif_frames",
+    """
+    WITH v AS (SELECT doc_id AS media_id, 1 + doc_id % 5 AS n_frames
+               FROM documents),
+    fr AS (SELECT media_id, unnest(range(0, n_frames)) AS frame_idx FROM v),
+    px AS (SELECT media_id, frame_idx, unnest(range(0, 72)) AS p FROM fr),
+    s AS (SELECT media_id, frame_idx,
+                 sum((media_id * 2654435761 + frame_idx * 97 + p * 40503)
+                     % 256)::BIGINT AS gray_sum
+          FROM px GROUP BY 1, 2)
+    SELECT media_id, frame_idx::INT AS frame_idx,
+           (frame_idx * 1000)::BIGINT AS frame_ms, gray_sum
+    FROM s
+    """,
+)
+def q_multimodal_gif_frames(spark, sf_dir):
+    """REAL video-frame sampling end to end (operators.gifcodec — a
+    from-scratch GIF89a LZW codec — through
+    multimodal.sample_video_frames): every doc becomes an animated GIF
+    of 1 + doc_id%5 formula frames; the row-expanding UDTF-shaped
+    transform derives the duration from the CONTAINER BYTES
+    (gif_duration_ms — crawled metadata lies, the container doesn't),
+    extracts each sampled frame with the real LZW decoder
+    (gif_frame_codec → PNG), and the per-frame gray sums are computed
+    from the DECODED pixels. GIF is lossless (palette indices decode
+    bit-exactly), so the oracle recomputes every pixel arithmetically —
+    the whole encode → LZW → sub-blocks → decode → PNG → decode chain
+    is hash-verified, not trusted. Blobs never shuffle; frames emit
+    incrementally inside the scan."""
+    import pandas as _pd
+
+    from parkour_spark.operators.multimodal import (
+        gif_frame_codec,
+        rebatch_for_blobs,
+        sample_video_frames,
+    )
+
+    docs = _t(spark, sf_dir, "documents").select(
+        F.col("doc_id").alias("media_id")
+    )
+
+    def build(batches):
+        import numpy as _np
+
+        from parkour_spark.operators.gifcodec import encode_gif
+
+        pal = _np.stack([_np.arange(256)] * 3, axis=1).astype(_np.uint8)
+        for pdf in batches:
+            payloads = []
+            for mid in pdf["media_id"]:
+                mid = int(mid)
+                n = 1 + mid % 5
+                frames = [
+                    (
+                        (
+                            mid * 2654435761
+                            + k * 97
+                            + _np.arange(72, dtype=_np.int64) * 40503
+                        )
+                        % 256
+                    )
+                    .astype(_np.uint8)
+                    .reshape(8, 9)
+                    for k in range(n)
+                ]
+                payloads.append(encode_gif(frames, pal, delay_cs=100))
+            yield _pd.DataFrame(
+                {"media_id": pdf["media_id"], "payload": payloads}
+            )
+
+    blobs = SRT.widen_scan(docs).mapInPandas(
+        build, "media_id long, payload binary"
+    ).withColumn("meta", F.lit(None).cast("map<string,long>"))
+
+    from parkour_spark.operators.gifcodec import gif_duration_ms
+
+    frames = sample_video_frames(
+        rebatch_for_blobs(blobs),
+        every_ms=1000,
+        codec=gif_frame_codec,
+        duration_fn=gif_duration_ms,
+    )
+
+    def gray_sum(batches):
+        import numpy as _np
+
+        from parkour_spark.operators.imagecodec import decode_image
+
+        for pdf in batches:
+            sums = [
+                int(
+                    decode_image(bytes(fr))[:, :, 0]
+                    .astype(_np.int64)
+                    .sum()
+                )
+                for fr in pdf["frame"]
+            ]
+            out = pdf[["media_id", "frame_idx", "frame_ms"]].copy()
+            out["gray_sum"] = sums
+            yield out
+
+    return frames.mapInPandas(
+        gray_sum,
+        "media_id long, frame_idx int, frame_ms long, gray_sum long",
+    )
