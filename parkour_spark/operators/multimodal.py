@@ -5,9 +5,14 @@ Spark-side plumbing is real and tested: schema (`binary` payload +
 metadata struct), Arrow-batched decode/feature UDFs over `mapInPandas`,
 partition sizing for large blobs. The image codec slot is REAL for
 PNG/PPM/PGM/BMP (operators/imagecodec.py — pure numpy+zlib decode,
-bilinear resize, PNG encode, spec-golden tested); formats that need
-external libraries (JPEG/WEBP, video) fall back to clearly-marked
-deterministic fakes so every transform stays total and reproducible.
+bilinear resize, PNG encode, spec-golden tested), baseline JPEG
+(operators/jpegcodec.py — from-scratch T.81 sequential DCT + Huffman,
+r9), and animated GIF (operators/gifcodec.py — from-scratch LZW, r9;
+`gif_frame_codec` makes frame sampling a real extraction path with the
+duration read from the container bytes). Formats that need external
+libraries (WEBP, mp4/webm video, compressed audio) fall back to
+clearly-marked deterministic fakes so every transform stays total and
+reproducible.
 
 SCALE:
 - Blobs ride in parquet binary columns; `rebatch_for_blobs` keeps Arrow
