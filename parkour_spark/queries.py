@@ -11607,3 +11607,43 @@ def q_multimodal_gif_frames(spark, sf_dir):
         gray_sum,
         "media_id long, frame_idx int, frame_ms long, gray_sum long",
     )
+
+
+_STREAM_MH_DIRS: dict[str, str] = _SfLRUDirs()
+
+
+@query("streaming_minhash_ingest_probe", _minhash_probe_oracle())
+def q_streaming_minhash_ingest(spark, sf_dir):
+    """EXACTLY-ONCE streaming index ingestion, gate-pinned
+    (streaming.windows.streaming_minhash_ingest): the content-hash
+    bottom 90% of documents replays as a 4-batch file stream, each
+    micro-batch's signatures landing as an atomically-published
+    `sigs/batch=<id>/` partition (the directory IS the commit marker —
+    a replayed batch skips, a torn write never occupies the name; the
+    r9 artifact contract applied to an index instead of a snapshot),
+    with the band table re-derived per batch. The probe (top 10%) runs
+    against the drained index and the oracle is the COMBINED-BUILD
+    probe — a green row proves ingest(Σ batches) ≡ build(all), the
+    streaming analog of the append-leg identity, which is what makes
+    continuous index maintenance safe to operate."""
+    import tempfile
+
+    from parkour_spark.functions.sampling import hash_bucket
+    from parkour_spark.streaming.windows import streaming_minhash_ingest
+
+    docs = _t(spark, sf_dir, "documents")
+    bkt = hash_bucket(F.col("doc_id"), 100)
+    if sf_dir not in _STREAM_MH_DIRS:
+        src = tempfile.mkdtemp(prefix="parkour_mh_stream_src_")
+        corpus = docs.where(bkt < 90).select("doc_id", "text")
+        corpus.repartition(4).write.mode("overwrite").parquet(src)
+        schema = spark.read.parquet(src).schema
+        idx = tempfile.mkdtemp(prefix="parkour_mh_stream_idx_")
+        streaming_minhash_ingest(
+            spark, src, schema, idx, max_bucket=200
+        )
+        _STREAM_MH_DIRS[sf_dir] = idx
+    return D.minhash_probe_delta(
+        spark, docs.where(bkt >= 90), _STREAM_MH_DIRS[sf_dir],
+        threshold=0.8,
+    )

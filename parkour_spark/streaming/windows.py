@@ -786,3 +786,101 @@ def streaming_component_maintainer(
     stream = read_stream(spark, path, schema, max_files=max_files)
     final = _snapshot_fold_stream(stream, state_base, batch_state, merge)
     return spark.read.parquet(final)
+
+
+def streaming_minhash_ingest(
+    spark,
+    source_path: str,
+    schema,
+    index_path: str,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    num_hashes: int = 12,
+    bands: int = 4,
+    ngram_n: int = 3,
+    max_bucket: int = 200,
+    max_files: int = 1,
+) -> str:
+    """EXACTLY-ONCE streaming ingestion into a persisted MinHash index —
+    the streaming form of `dedup.minhash_index_build/append`, built on
+    the shared artifact commit contract (parkour_spark.artifacts, r9):
+    each micro-batch's signatures land as their own PARTITION directory
+    `sigs/batch=<id>/`, published atomically (temp-dir + rename, with
+    _SUCCESS inside), and the inverted band table re-derives from ALL
+    stored signature longs after each batch (bucket cap re-applied
+    globally, exactly as batch build/append guarantee).
+
+    Why this is exactly-once where a plain foreachBatch append is not:
+    a replayed batch (crash after the index write, before the offset
+    commit) would DOUBLE-APPEND with mode("append") — duplicate
+    signature rows that silently double-count bands against the cap.
+    Here the batch directory IS the commit marker: a replay whose
+    `sigs/batch=<id>/_SUCCESS` exists is skipped idempotently, and a
+    torn write never occupies the batch directory name at all
+    (publish_dir renames only after the full write), so the retry is
+    clean. Same recovery discipline as `_snapshot_fold_stream`, applied
+    to an INDEX instead of a snapshot.
+
+    After draining: ingest(Σ batches) ≡ build(all docs) — the
+    registered gate entry pins the probe against the combined-build
+    oracle. Returns `index_path`. Probe with
+    `dedup.minhash_probe_delta` (the partition column `batch` rides the
+    sigs schema and is ignored by the probe's projections)."""
+    import os
+
+    from parkour_spark import fs as pfs
+    from parkour_spark.artifacts import publish_dir, write_params
+    from parkour_spark.operators.dedup import (
+        _write_band_index,
+        minhash_signature,
+    )
+
+    def ingest(batch_df, batch_id: int) -> None:
+        bdir = os.path.join(index_path, "sigs", f"batch={batch_id}")
+        if pfs.exists(spark, os.path.join(bdir, "_SUCCESS")):
+            return  # replayed batch: already committed, skip
+        if pfs.exists(spark, bdir):
+            pfs.delete(spark, bdir)  # pre-contract torn dir: clean retry
+        if not pfs.exists(spark, os.path.join(index_path, "meta")):
+            write_params(
+                spark,
+                os.path.join(index_path, "meta"),
+                {
+                    "num_hashes": num_hashes,
+                    "bands": bands,
+                    "ngram_n": ngram_n,
+                    "max_bucket": max_bucket,
+                },
+            )
+        sig = minhash_signature(
+            batch_df, text_col, id_col, num_hashes, ngram_n
+        )
+        rows = sig.select(
+            F.col(id_col),
+            F.array(
+                *[F.col(f"sig_{i}") for i in range(num_hashes)]
+            ).alias("sigs"),
+        )
+        publish_dir(
+            spark,
+            bdir,
+            lambda tmp: rows.write.mode("overwrite").parquet(tmp),
+        )
+        _write_band_index(
+            spark, index_path, id_col, num_hashes, bands, max_bucket
+        )
+
+    stream = read_stream(spark, source_path, schema, max_files=max_files)
+    q = (
+        stream.writeStream.foreachBatch(ingest)
+        .option(
+            "checkpointLocation", os.path.join(index_path, "_checkpoint")
+        )
+        .start()
+    )
+    try:
+        q.processAllAvailable()
+    finally:
+        q.stop()
+        q.awaitTermination()
+    return index_path

@@ -570,3 +570,72 @@ def test_ids_remaining_on_minhash_and_substring_tables(spark, tmp_path):
     )
     assert ids_remaining(spark, f"{sub}/occ", "doc_id", [0]) == []
     assert ids_remaining(spark, f"{sub}/occ", "doc_id", [1]) == [1]
+
+
+# ------------------------------------------------------------------
+# exactly-once streaming index ingestion
+# ------------------------------------------------------------------
+
+
+def test_streaming_minhash_ingest_equals_batch_build(spark, tmp_path):
+    """Drained stream index ≡ batch build of the same docs (sigs modulo
+    the batch partition column, bands exactly)."""
+    from parkour_spark.operators.dedup import minhash_index_build
+    from parkour_spark.streaming.windows import streaming_minhash_ingest
+
+    docs = _docs(
+        spark,
+        [(i, f"streamed document {i} with some shared words here")
+         for i in range(24)],
+    )
+    src = str(tmp_path / "src")
+    docs.repartition(3).write.parquet(src)
+    schema = spark.read.parquet(src).schema
+    idx = str(tmp_path / "stream_idx")
+    streaming_minhash_ingest(spark, src, schema, idx)
+    ref = str(tmp_path / "batch_idx")
+    minhash_index_build(docs, ref)
+
+    got_sigs = sorted(
+        (r.doc_id, tuple(r.sigs))
+        for r in spark.read.parquet(f"{idx}/sigs").collect()
+    )
+    ref_sigs = sorted(
+        (r.doc_id, tuple(r.sigs))
+        for r in spark.read.parquet(f"{ref}/sigs").collect()
+    )
+    assert got_sigs == ref_sigs
+    got_bands = sorted(
+        map(tuple, spark.read.parquet(f"{idx}/bands").collect())
+    )
+    ref_bands = sorted(
+        map(tuple, spark.read.parquet(f"{ref}/bands").collect())
+    )
+    assert got_bands == ref_bands
+
+
+def test_streaming_minhash_ingest_replay_is_idempotent(spark, tmp_path):
+    """A replayed batch (its sigs/batch=<id>/_SUCCESS already exists)
+    must be skipped, not double-appended — the exactly-once property
+    the per-batch atomic publish provides. Simulated by draining the
+    same source twice against a FRESH checkpoint (forcing every batch
+    id to replay)."""
+    import shutil
+
+    from parkour_spark.streaming.windows import streaming_minhash_ingest
+
+    docs = _docs(
+        spark,
+        [(i, f"replayed document {i} body text") for i in range(8)],
+    )
+    src = str(tmp_path / "src")
+    docs.repartition(2).write.parquet(src)
+    schema = spark.read.parquet(src).schema
+    idx = str(tmp_path / "idx")
+    streaming_minhash_ingest(spark, src, schema, idx)
+    n1 = spark.read.parquet(f"{idx}/sigs").count()
+    # wipe the checkpoint: the second drain replays every batch id
+    shutil.rmtree(f"{idx}/_checkpoint")
+    streaming_minhash_ingest(spark, src, schema, idx)
+    n2 = spark.read.parquet(f"{idx}/sigs").count()
+    assert n1 == n2 == 8  # no duplicate signature rows
