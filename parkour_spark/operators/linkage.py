@@ -214,3 +214,49 @@ def fs_tf_weights(
         .cast("long")
         .alias("w_micro"),
     )
+
+
+def blocking_quality(
+    cand: DataFrame,
+    truth: DataFrame,
+    n_a: int,
+    n_b: int,
+) -> DataFrame:
+    """The two numbers every blocking scheme is tuned by (standard
+    record-linkage evaluation, e.g. Christen's *Data Matching*):
+
+      pair completeness  PC = |cand ∩ truth| / |truth|
+          — the RECALL of blocking: what fraction of true matches
+            survive into the candidate set (a missed block is a match
+            the scorer never sees);
+      reduction ratio    RR = 1 − |cand| / (n_a · n_b)
+          — how much of the quadratic comparison space blocking
+            eliminated.
+
+    `cand` and `truth` are (id_a, id_b) pair tables; `n_a`/`n_b` the
+    full table sizes. One-row exact report (counts + basis points —
+    floor(10⁴·x), integer-exact): (n_candidates, n_true, n_found,
+    pc_bp, rr_bp). The PC join is truth-sized (truth is small by
+    definition — a labeled evaluation set); candidate counting is one
+    partial agg. Tuning loop: raise PC with a second, finer blocking
+    pass; raise RR with tighter keys — this report prices the trade."""
+    c = cand.select("id_a", "id_b").distinct()
+    t = truth.select("id_a", "id_b").distinct()
+    found = c.join(t, ["id_a", "id_b"], "left_semi")
+    n_cand = c.count()
+    n_true = t.count()
+    n_found = found.count()
+    total = n_a * n_b
+    spark = cand.sparkSession
+    return spark.createDataFrame(
+        [
+            (
+                n_cand,
+                n_true,
+                n_found,
+                (10000 * n_found) // n_true if n_true else None,
+                (10000 * (total - n_cand)) // total if total else None,
+            )
+        ],
+        "n_candidates long, n_true long, n_found long, pc_bp long, rr_bp long",
+    )

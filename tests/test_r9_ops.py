@@ -282,3 +282,37 @@ def test_fs_score_tf_rare_vs_common_and_fallback(spark):
     assert scored[(3, 3)] == wa         # unseen value: global fallback
     assert scored[(1, 2)] == wd         # disagreement: global weight
     assert w_zoe > w_ann  # rarity orders the TF weights
+
+
+def test_blocking_quality_hand_computed(spark):
+    from parkour_spark.operators.linkage import blocking_quality
+
+    cand = spark.createDataFrame(
+        [(1, 11), (2, 12), (3, 99), (3, 99)], "id_a long, id_b long"
+    )
+    truth = spark.createDataFrame(
+        [(1, 11), (2, 12), (4, 14), (5, 15)], "id_a long, id_b long"
+    )
+    r = blocking_quality(cand, truth, 10, 10).collect()[0]
+    assert r.n_candidates == 3   # duplicates collapse
+    assert r.n_true == 4 and r.n_found == 2
+    assert r.pc_bp == 5000       # half the true matches survive blocking
+    assert r.rr_bp == (10000 * 97) // 100
+
+
+def test_blocking_quality_gate_entry_values(spark, sf_dir):
+    from parkour_spark.queries import QUERIES
+
+    r = QUERIES["blocking_quality_customers"](spark, sf_dir).collect()[0]
+    keys = [
+        x.c_custkey
+        for x in spark.read.parquet(f"{sf_dir}/customer.parquet")
+        .select("c_custkey")
+        .collect()
+    ]
+    # a twin is blocked out exactly when its segment was NULLed
+    expected_found = sum(1 for k in keys if k % 4 != 0)
+    assert r.n_true == len(keys)
+    assert r.n_found == expected_found
+    assert r.pc_bp == (10000 * expected_found) // len(keys)
+    assert 0 < r.rr_bp < 10000
