@@ -454,6 +454,69 @@ def _soak_jpeg_dhash_dedup_first(spark):
     )
 
 
+def _soak_gif_corpus_build(spark):
+    """Materialize the 10× animated-GIF corpus ONCE to parquet: every
+    doc becomes a 24×24 GIF of 1 + doc_id%5 formula frames (real LZW
+    encode, operators/gifcodec.py) — stored like the JPEG corpus above
+    so the frame-sampling entry measures EXTRACTION, not synthesis."""
+    import numpy as np
+    import pandas as pd
+
+    from parkour_spark.operators.gifcodec import encode_gif
+    from parkour_spark.operators.sort import widen_scan
+
+    docs = spark.read.parquet(f"{DST}/documents.parquet").select(
+        F.col("doc_id").alias("media_id")
+    )
+    pal = np.stack([np.arange(256)] * 3, axis=1).astype(np.uint8)
+
+    def build(batches):
+        for pdf in batches:
+            payloads = []
+            for mid in pdf["media_id"]:
+                mid = int(mid)
+                n = 1 + mid % 5
+                frames = [
+                    (
+                        (mid * 2654435761 + k * 97
+                         + np.arange(576, dtype=np.int64) * 40503) % 256
+                    ).astype(np.uint8).reshape(24, 24)
+                    for k in range(n)
+                ]
+                payloads.append(encode_gif(frames, pal, delay_cs=100))
+            yield pd.DataFrame(
+                {"media_id": pdf["media_id"], "payload": payloads}
+            )
+
+    blobs = widen_scan(docs).mapInPandas(
+        build, "media_id long, payload binary"
+    ).withColumn("meta", F.lit(None).cast("map<string,long>"))
+    blobs.write.mode("overwrite").parquet(f"{DST}/gif_corpus.parquet")
+    return spark.read.parquet(f"{DST}/gif_corpus.parquet").select("media_id")
+
+
+def _soak_gif_frame_sample(spark):
+    """REAL frame sampling over the stored 10× GIF corpus: the
+    row-expanding UDTF shape with the from-scratch LZW codec and the
+    container-derived duration — ~150k frames extracted from 50k
+    containers, the measured claim being linear scan-side cost with
+    zero shuffles."""
+    from parkour_spark.operators.gifcodec import gif_duration_ms
+    from parkour_spark.operators.multimodal import (
+        gif_frame_codec,
+        rebatch_for_blobs,
+        sample_video_frames,
+    )
+
+    blobs = spark.read.parquet(f"{DST}/gif_corpus.parquet")
+    return sample_video_frames(
+        rebatch_for_blobs(blobs),
+        every_ms=1000,
+        codec=gif_frame_codec,
+        duration_fn=gif_duration_ms,
+    ).select("media_id", "frame_idx")
+
+
 def _soak_cc_components_build(spark):
     """Build + PERSIST the near-dup component table on the content-hash
     bottom 80% of the 10× corpus — the base the delta below folds
@@ -515,6 +578,8 @@ SOAK_CUSTOM = {
     "jpeg_corpus_build": _soak_jpeg_corpus_build,
     "jpeg_dhash_perrow": _soak_jpeg_dhash_perrow,
     "jpeg_dhash_dedup_first": _soak_jpeg_dhash_dedup_first,
+    "gif_corpus_build": _soak_gif_corpus_build,
+    "gif_frame_sample": _soak_gif_frame_sample,
     "cc_components_build": _soak_cc_components_build,
     "cc_delta_fold_only": _soak_cc_delta_fold_only,
 }
