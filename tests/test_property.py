@@ -873,3 +873,74 @@ def test_cc_delta_equals_full_on_random_graphs(spark, edges, batch_cut):
         for r in connected_components(nodes_df, df_edges(edges)).collect()
     }
     assert got == want
+
+
+# ---------------------------------------------------------------------------
+# r9 codec properties: pure-Python references are the codecs themselves,
+# so the properties are roundtrip identities over randomized inputs —
+# the complement of the fixed-golden tests in test_jpegcodec/test_gifcodec.
+# ---------------------------------------------------------------------------
+
+
+@given(
+    data=st.binary(min_size=0, max_size=4096),
+    mcs=st.integers(min_value=2, max_value=8),
+)
+@settings(**_SETTINGS)
+def test_prop_gif_lzw_roundtrip(data, mcs):
+    """LZW decode(encode(x)) == x for any byte string whose symbols fit
+    the code size — across code widths, dict growth, and resets."""
+    from parkour_spark.operators.gifcodec import lzw_decode, lzw_encode
+
+    limit = 1 << mcs
+    clipped = bytes(b % limit for b in data)
+    assert lzw_decode(lzw_encode(clipped, mcs), mcs) == clipped
+
+
+@given(
+    h=st.integers(min_value=1, max_value=21),
+    w=st.integers(min_value=1, max_value=21),
+    n=st.integers(min_value=1, max_value=4),
+    seed=st.integers(min_value=0, max_value=2**31),
+)
+@settings(**_SETTINGS)
+def test_prop_gif_frames_lossless(h, w, n, seed):
+    import numpy as np
+
+    from parkour_spark.operators.gifcodec import encode_gif, gif_frame
+
+    rng = np.random.default_rng(seed)
+    pal = rng.integers(0, 256, (256, 3), dtype=np.uint8)
+    frames = [
+        rng.integers(0, 256, (h, w), dtype=np.uint8) for _ in range(n)
+    ]
+    g = encode_gif(frames, pal)
+    for k, fr in enumerate(frames):
+        assert (gif_frame(g, k) == pal[fr]).all()
+
+
+@given(
+    h=st.integers(min_value=1, max_value=24),
+    w=st.integers(min_value=1, max_value=24),
+    gray=st.booleans(),
+    seed=st.integers(min_value=0, max_value=2**31),
+)
+@settings(**_SETTINGS)
+def test_prop_jpeg_q100_near_lossless(h, w, gray, seed):
+    """At q100 every quant entry is 1, so the only loss is DCT float
+    rounding + chroma transform — bounded by a couple of levels for ANY
+    image, including adversarial noise (the regime where the decoder's
+    dequantization bug of r9 was invisible; this property pins the
+    fixed behavior across arbitrary shapes incl. non-multiple-of-8)."""
+    import numpy as np
+
+    from parkour_spark.operators.jpegcodec import decode_jpeg, encode_jpeg
+
+    rng = np.random.default_rng(seed)
+    shape = (h, w) if gray else (h, w, 3)
+    img = rng.integers(0, 256, shape, dtype=np.uint8)
+    dec = decode_jpeg(encode_jpeg(img, quality=100))
+    ref = img[..., None] if gray else img
+    assert dec.shape == ref.shape
+    err = np.abs(dec.astype(int) - ref.astype(int))
+    assert err.max() <= (2 if gray else 4)
