@@ -2034,3 +2034,46 @@ def minhash_probe_delta(
         "sig_matches",
         F.round(F.col("sig_matches") / float(num_hashes), 4).alias("est_jaccard"),
     )
+
+
+def minhash_index_compact(
+    spark, path: str, id_col: str = "doc_id", n_files: int = 8
+) -> None:
+    """Compact the signature table — the small-files leg of the index
+    lifecycle: append and streaming ingest each land their own files
+    (streaming: one `batch=N` directory per micro-batch), and at
+    ingest rates of many batches/hour the sigs scan degrades into
+    footer-read soup long before it degrades in bytes. Compaction
+    rewrites the stored signature LONGS (corpus text is never
+    re-read) into `n_files` files, dropping any `batch` partition
+    column — row content is EXACTLY preserved (identity test-pinned),
+    so probes and band re-derivations are unaffected; published
+    atomically (artifacts.publish_swap), so a crash mid-compact
+    leaves the previous committed table intact. The band table does
+    not need re-deriving: it is already derived state, rewritten
+    wholesale on every mutation."""
+    from parkour_spark.artifacts import publish_swap
+
+    sigs = spark.read.parquet(path + "/sigs").select(id_col, "sigs")
+    publish_swap(
+        spark,
+        path + "/sigs",
+        lambda tmp: sigs.repartition(n_files).write.mode("overwrite").parquet(tmp),
+    )
+
+
+def substring_index_compact(
+    spark, path: str, id_col: str = "doc_id", n_files: int = 8
+) -> None:
+    """Compact the substring index's occurrence table (occ/ grows one
+    file set per append) — same contract as `minhash_index_compact`:
+    exact row preservation, atomic publish, no text re-read; lists/
+    stays untouched (wholesale-rewritten derived state)."""
+    from parkour_spark.artifacts import publish_swap
+
+    occ = spark.read.parquet(path + "/occ").select(id_col, "fp", "pos")
+    publish_swap(
+        spark,
+        path + "/occ",
+        lambda tmp: occ.repartition(n_files).write.mode("overwrite").parquet(tmp),
+    )

@@ -11712,3 +11712,76 @@ def q_blocking_quality(spark, sf_dir):
     )
     n = cust.count()
     return blocking_quality(cand, truth, n, n)
+
+
+_STREAM_IVF_DIRS: dict[str, str] = _SfLRUDirs()
+
+
+@query("streaming_ivf_ingest_probe", _ivf_oracle())
+def q_streaming_ivf_ingest(spark, sf_dir):
+    """EXACTLY-ONCE streaming IVF ingestion, gate-pinned
+    (streaming.windows.streaming_ivf_ingest): the embedding corpus
+    replays as a 4-batch file stream, each batch's assigned vectors
+    landing as an atomically-published batch=<id>/cell=<c> partition
+    tree (the batch directory is the commit marker — replays skip,
+    torn writes never occupy the name). The probe is the UNCHANGED
+    ivf_probe_topk over the same root: underscore paths are invisible,
+    and the static cell filter prunes files across batch directories —
+    partition pruning composes with the ingest layout. The oracle is
+    the full-corpus IVF replay, so a green row proves
+    ingest(Σ batches) ≡ build(all) for the embedding index — the
+    streaming leg that completes the lifecycle symmetry with the
+    document index."""
+    import tempfile
+
+    from parkour_spark.operators.similarity import ivf_probe_topk
+    from parkour_spark.streaming.windows import streaming_ivf_ingest
+
+    emb = _t(spark, sf_dir, "embeddings")
+    cents = _ivf_centroids(spark, sf_dir)
+    queries = emb.where(F.col("vec_id") < 5).select(
+        F.col("vec_id").alias("query_id"),
+        F.col("embedding").alias("query_vec"),
+    )
+    corpus = emb.where(F.col("vec_id") >= 5)
+    if sf_dir not in _STREAM_IVF_DIRS:
+        src = tempfile.mkdtemp(prefix="parkour_ivf_stream_src_")
+        corpus.repartition(4).write.mode("overwrite").parquet(src)
+        schema = spark.read.parquet(src).schema
+        idx = tempfile.mkdtemp(prefix="parkour_ivf_stream_idx_")
+        streaming_ivf_ingest(spark, src, schema, idx, cents)
+        _STREAM_IVF_DIRS[sf_dir] = idx
+    return ivf_probe_topk(
+        spark, _STREAM_IVF_DIRS[sf_dir], queries, cents, k=10, nprobe=4
+    ).select("query_id", "vec_id", "rank", "cos")
+
+
+@query("minhash_probe_after_compact", _minhash_probe_oracle())
+def q_minhash_probe_after_compact(spark, sf_dir):
+    """Compaction identity, gate-pinned (dedup.minhash_index_compact):
+    build the index on the content-hash bottom 80%, append the next
+    10% (two file sets in sigs/), COMPACT the signature table into a
+    handful of files, then probe with the top 10%. The oracle is the
+    combined-build probe — a green row proves compaction changes ZERO
+    rows while fixing the small-files growth that append/streaming
+    ingest accumulate (the footer-read soup concern at ingest rates of
+    many batches per hour)."""
+    import tempfile
+
+    from parkour_spark.functions.sampling import hash_bucket
+
+    docs = _t(spark, sf_dir, "documents")
+    bkt = hash_bucket(F.col("doc_id"), 100)
+    key = (sf_dir, "compact")
+    if key not in _MINHASH_INDEX_DIRS:
+        tmp = tempfile.mkdtemp(prefix="parkour_mhidx_cmp_")
+        D.minhash_index_build(docs.where(bkt < 80), tmp, max_bucket=200)
+        D.minhash_index_append(
+            docs.where((bkt >= 80) & (bkt < 90)), tmp, max_bucket=200
+        )
+        D.minhash_index_compact(spark, tmp, n_files=4)
+        _MINHASH_INDEX_DIRS[key] = tmp
+    return D.minhash_probe_delta(
+        spark, docs.where(bkt >= 90), _MINHASH_INDEX_DIRS[key],
+        threshold=0.8,
+    )

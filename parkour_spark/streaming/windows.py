@@ -884,3 +884,85 @@ def streaming_minhash_ingest(
         q.stop()
         q.awaitTermination()
     return index_path
+
+
+def streaming_ivf_ingest(
+    spark,
+    source_path: str,
+    schema,
+    index_path: str,
+    centroids: list,
+    corpus_vec: str = "embedding",
+    max_files: int = 1,
+) -> str:
+    """EXACTLY-ONCE streaming ingestion into a persisted IVF index —
+    the embedding analog of `streaming_minhash_ingest`: each
+    micro-batch pays its own Arrow assignment scan and lands as an
+    atomically-published `batch=<id>/cell=<c>/` partition tree (the
+    batch directory IS the commit marker: a replay whose _SUCCESS
+    exists skips; a torn write never occupies the name), with the
+    quantizer recorded under _ivf_meta on the first batch and
+    validated implicitly by construction thereafter (one writer, one
+    centroid set — a different quantizer would require a different
+    index root).
+
+    `ivf_probe_topk` reads the same root unchanged: underscore paths
+    (_ivf_meta, _checkpoint) are invisible to the file index, `batch`
+    and `cell` are both partition columns, and the probe's static
+    cell filter prunes files ACROSS batch directories — partition
+    pruning composes. After draining, probe ≡ probe(build(all rows)):
+    cell assignment and cnorm are per-row pure functions, and the
+    layout is row-location-agnostic (the registered gate entry pins
+    this against the full-replay oracle). Periodic compaction of many
+    small batch trees is a rebuild (`ivf_index_build`) — cheap
+    relative to the corpus scan it already pays."""
+    import os
+
+    from parkour_spark import fs as pfs
+    from parkour_spark.operators.similarity import (
+        _check_ivf_meta,
+        _write_ivf_meta,
+        ivf_assign_arrow,
+        norm,
+    )
+    from parkour_spark.artifacts import publish_dir
+
+    def ingest(batch_df, batch_id: int) -> None:
+        bdir = os.path.join(index_path, f"batch={batch_id}")
+        if pfs.exists(spark, os.path.join(bdir, "_SUCCESS")):
+            return  # replayed batch: already committed
+        if pfs.exists(spark, bdir):
+            pfs.delete(spark, bdir)  # torn pre-contract dir: clean retry
+        if not pfs.exists(spark, os.path.join(index_path, "_ivf_meta")):
+            _write_ivf_meta(spark, index_path, centroids)
+        else:
+            _check_ivf_meta(spark, index_path, centroids)
+        assigned = ivf_assign_arrow(batch_df, centroids, corpus_vec, "cell")
+        rows = assigned.withColumn("cnorm", norm(corpus_vec))
+
+        def write(tmp: str) -> None:
+            (
+                rows.repartition("cell")
+                .write.mode("overwrite")
+                .partitionBy("cell")
+                .parquet(tmp)
+            )
+            # partitioned writes leave _SUCCESS at the tree root — it
+            # rides the rename and becomes the batch commit marker
+
+        publish_dir(spark, bdir, write)
+
+    stream = read_stream(spark, source_path, schema, max_files=max_files)
+    q = (
+        stream.writeStream.foreachBatch(ingest)
+        .option(
+            "checkpointLocation", os.path.join(index_path, "_checkpoint")
+        )
+        .start()
+    )
+    try:
+        q.processAllAvailable()
+    finally:
+        q.stop()
+        q.awaitTermination()
+    return index_path

@@ -639,3 +639,82 @@ def test_streaming_minhash_ingest_replay_is_idempotent(spark, tmp_path):
     streaming_minhash_ingest(spark, src, schema, idx)
     n2 = spark.read.parquet(f"{idx}/sigs").count()
     assert n1 == n2 == 8  # no duplicate signature rows
+
+
+def test_streaming_ivf_ingest_equals_batch_build(spark, tmp_path):
+    """Drained stream index serves probes identically to the batch
+    build of the same rows, and a forced full replay (fresh checkpoint)
+    appends nothing."""
+    import shutil
+
+    from parkour_spark.operators.similarity import (
+        ivf_index_build,
+        ivf_probe_topk,
+    )
+    from parkour_spark.streaming.windows import streaming_ivf_ingest
+
+    corpus, cents, ref_path = _ivf_fixture(spark, tmp_path)
+    src = str(tmp_path / "src")
+    corpus.repartition(3).write.parquet(src)
+    schema = spark.read.parquet(src).schema
+    idx = str(tmp_path / "stream_ivf")
+    streaming_ivf_ingest(spark, src, schema, idx, cents)
+
+    queries = corpus.limit(3).select(
+        F.col("vec_id").alias("query_id"),
+        F.col("embedding").alias("query_vec"),
+    )
+    got = sorted(map(tuple, ivf_probe_topk(
+        spark, idx, queries, cents, k=5, nprobe=2).collect()))
+    ref = sorted(map(tuple, ivf_probe_topk(
+        spark, ref_path, queries, cents, k=5, nprobe=2).collect()))
+    assert got == ref and len(got) > 0
+
+    n1 = spark.read.parquet(idx).count()
+    shutil.rmtree(f"{idx}/_checkpoint")
+    streaming_ivf_ingest(spark, src, schema, idx, cents)
+    assert spark.read.parquet(idx).count() == n1  # replay appended nothing
+
+
+def test_compaction_preserves_rows_and_reduces_files(spark, tmp_path):
+    import pathlib
+
+    from parkour_spark.operators.dedup import (
+        minhash_index_append,
+        minhash_index_build,
+        minhash_index_compact,
+        substring_index_append,
+        substring_index_build,
+        substring_index_compact,
+    )
+
+    docs = _docs(
+        spark,
+        [(i, f"compactable document {i} with words to shingle") for i in range(20)],
+    )
+    mh = str(tmp_path / "mh")
+    minhash_index_build(docs.where(F.col("doc_id") < 12), mh)
+    minhash_index_append(docs.where(F.col("doc_id") >= 12), mh)
+    before = sorted(
+        (r.doc_id, tuple(r.sigs))
+        for r in spark.read.parquet(f"{mh}/sigs").collect()
+    )
+    minhash_index_compact(spark, mh, n_files=1)
+    after = sorted(
+        (r.doc_id, tuple(r.sigs))
+        for r in spark.read.parquet(f"{mh}/sigs").collect()
+    )
+    assert before == after
+    files = [
+        p for p in pathlib.Path(f"{mh}/sigs").iterdir()
+        if p.name.endswith(".parquet")
+    ]
+    assert len(files) == 1
+
+    sub = str(tmp_path / "sub")
+    substring_index_build(_sub_docs(spark).where(F.col("doc_id") <= 1), sub)
+    substring_index_append(_sub_docs(spark).where(F.col("doc_id") >= 2), sub)
+    occ_before = sorted(map(tuple, spark.read.parquet(f"{sub}/occ").collect()))
+    substring_index_compact(spark, sub, n_files=1)
+    occ_after = sorted(map(tuple, spark.read.parquet(f"{sub}/occ").collect()))
+    assert occ_before == occ_after
