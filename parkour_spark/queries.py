@@ -11785,3 +11785,40 @@ def q_minhash_probe_after_compact(spark, sf_dir):
         spark, docs.where(bkt >= 90), _MINHASH_INDEX_DIRS[key],
         threshold=0.8,
     )
+
+
+_STREAM_SUB_DIRS: dict[str, str] = _SfLRUDirs()
+
+
+@query("streaming_substring_ingest_probe", ORACLES["substring_spans_delta"])
+def q_streaming_substring_ingest(spark, sf_dir):
+    """EXACTLY-ONCE streaming substring-index ingestion, gate-pinned
+    (streaming.windows.streaming_substring_ingest): the content-hash
+    bottom 90% of documents replays as a 4-batch file stream, each
+    batch's positioned fingerprints landing as an atomically-published
+    occ/batch=<id> partition with the probe lists re-derived per batch
+    (cap applied to the full membership). The probe (top 10%) runs
+    through the unchanged substring_probe_persisted and the oracle is
+    the combined-build delta replay — ingest(Σ batches) ≡ build(all),
+    closing the streaming leg for ALL THREE persisted indexes."""
+    import tempfile
+
+    from parkour_spark.functions.sampling import hash_bucket
+    from parkour_spark.streaming.windows import (
+        streaming_substring_ingest,
+    )
+
+    docs = _t(spark, sf_dir, "documents")
+    bkt = hash_bucket(F.col("doc_id"), 100)
+    if sf_dir not in _STREAM_SUB_DIRS:
+        src = tempfile.mkdtemp(prefix="parkour_sub_stream_src_")
+        docs.where(bkt < 90).select("doc_id", "text").repartition(
+            4
+        ).write.mode("overwrite").parquet(src)
+        schema = spark.read.parquet(src).schema
+        idx = tempfile.mkdtemp(prefix="parkour_sub_stream_idx_")
+        streaming_substring_ingest(spark, src, schema, idx)
+        _STREAM_SUB_DIRS[sf_dir] = idx
+    return D.substring_probe_persisted(
+        spark, docs.where(bkt >= 90), _STREAM_SUB_DIRS[sf_dir]
+    )

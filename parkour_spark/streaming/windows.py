@@ -966,3 +966,73 @@ def streaming_ivf_ingest(
         q.stop()
         q.awaitTermination()
     return index_path
+
+
+def streaming_substring_ingest(
+    spark,
+    source_path: str,
+    schema,
+    index_path: str,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    k: int = 8,
+    w: int = 8,
+    max_df: int = 50,
+    max_files: int = 1,
+) -> str:
+    """EXACTLY-ONCE streaming ingestion into the persisted substring
+    index — completes the streaming leg for all THREE persisted
+    indexes (minhash, IVF, substring): each micro-batch pays its own
+    winnowed text scan, its positioned fingerprints land as an
+    atomically-published `occ/batch=<id>/` partition (the commit-
+    marker discipline of `streaming_minhash_ingest`), and the
+    df-capped probe lists re-derive from ALL stored occurrences after
+    each batch — the cap stays a property of the full current
+    membership, exactly as batch build/append guarantee. After
+    draining, probe ≡ probe(build(all docs)) (gate-pinned against the
+    combined-build delta oracle). Parameters are recorded under meta/
+    on the first batch; `substring_probe_persisted` reads the same
+    root unchanged."""
+    import os
+
+    from parkour_spark import fs as pfs
+    from parkour_spark.artifacts import publish_dir, write_params
+    from parkour_spark.operators.dedup import (
+        _positioned_occurrences,
+        _write_substring_lists,
+    )
+
+    def ingest(batch_df, batch_id: int) -> None:
+        bdir = os.path.join(index_path, "occ", f"batch={batch_id}")
+        if pfs.exists(spark, os.path.join(bdir, "_SUCCESS")):
+            return  # replayed batch: already committed
+        if pfs.exists(spark, bdir):
+            pfs.delete(spark, bdir)
+        if not pfs.exists(spark, os.path.join(index_path, "meta")):
+            write_params(
+                spark,
+                os.path.join(index_path, "meta"),
+                {"k": k, "w": w, "max_df": max_df, "id_col": id_col},
+            )
+        occ = _positioned_occurrences(batch_df, text_col, id_col, k, w)
+        publish_dir(
+            spark,
+            bdir,
+            lambda tmp: occ.write.mode("overwrite").parquet(tmp),
+        )
+        _write_substring_lists(spark, index_path, id_col, max_df)
+
+    stream = read_stream(spark, source_path, schema, max_files=max_files)
+    q = (
+        stream.writeStream.foreachBatch(ingest)
+        .option(
+            "checkpointLocation", os.path.join(index_path, "_checkpoint")
+        )
+        .start()
+    )
+    try:
+        q.processAllAvailable()
+    finally:
+        q.stop()
+        q.awaitTermination()
+    return index_path

@@ -718,3 +718,34 @@ def test_compaction_preserves_rows_and_reduces_files(spark, tmp_path):
     substring_index_compact(spark, sub, n_files=1)
     occ_after = sorted(map(tuple, spark.read.parquet(f"{sub}/occ").collect()))
     assert occ_before == occ_after
+
+
+def test_streaming_substring_ingest_equals_batch_build(spark, tmp_path):
+    import shutil
+
+    from parkour_spark.operators.dedup import (
+        substring_index_build,
+        substring_probe_persisted,
+    )
+    from parkour_spark.streaming.windows import streaming_substring_ingest
+
+    docs = _sub_docs(spark).where(F.col("doc_id") <= 2)
+    batch = _sub_docs(spark).where(F.col("doc_id") == 3).select(
+        (F.col("doc_id") + 100).alias("doc_id"), "text"
+    )
+    src = str(tmp_path / "src")
+    docs.repartition(2).write.parquet(src)
+    schema = spark.read.parquet(src).schema
+    idx = str(tmp_path / "stream_sub")
+    streaming_substring_ingest(spark, src, schema, idx, max_df=10)
+    ref = str(tmp_path / "batch_sub")
+    substring_index_build(docs, ref, max_df=10)
+
+    got = sorted(map(tuple, substring_probe_persisted(spark, batch, idx).collect()))
+    want = sorted(map(tuple, substring_probe_persisted(spark, batch, ref).collect()))
+    assert got == want and len(got) > 0
+
+    n1 = spark.read.parquet(f"{idx}/occ").count()
+    shutil.rmtree(f"{idx}/_checkpoint")
+    streaming_substring_ingest(spark, src, schema, idx, max_df=10)
+    assert spark.read.parquet(f"{idx}/occ").count() == n1  # replay: no-op
