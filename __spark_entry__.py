@@ -67,12 +67,14 @@ def entry(spark: SparkSession) -> DataFrame:
 #     now routes through the checkpoint-mode knob);
 # (c) the NINE r3-era deferrals lead the fills (r8 verdict #1), then
 #     the 18 alphabetically-first r4 rows not already in (b).
-#     (Second-wave additions landed after the window filled:
+#     (Late additions landed after the window filled:
 #     k_anonymity_docs, fs_linkage_customers, fs_linkage_tf_customers,
 #     ivf_recall_at_k, mdm_golden_pipeline, multimodal_gif_frames,
-#     streaming_minhash_ingest_probe, blocking_quality_customers.
-#     Each holds local full-gate evidence this round — the 261/261
-#     replica in NOTES_r9 §8 — and they lead the r10 (a) class.)
+#     streaming_minhash_ingest_probe, blocking_quality_customers,
+#     streaming_ivf_ingest_probe, minhash_probe_after_compact,
+#     streaming_substring_ingest_probe. Each holds local full-gate
+#     evidence this round — the 264/264 replica in NOTES_r9 §8 — and
+#     they lead the r10 (a) class.)
 _R9_WINDOW = [
     # (a) new this round
     "minhash_probe_after_delete", "ivf_probe_after_delete",
