@@ -122,19 +122,50 @@ def publish_swap(
 ) -> str:
     """Replace an EXISTING artifact directory with freshly-written
     contents: write to a temp sibling (all the expensive work — a crash
-    here leaves the old version untouched), then delete-old + rename-new.
-    The unavailability window is two metadata ops, not the whole write
-    — the property the old in-place mode("overwrite") rewrites lacked."""
+    here leaves the old version untouched), then rename-old-aside →
+    rename-new-in → delete-old. The unavailability window is two
+    metadata ops, not the whole write — the property the old in-place
+    mode("overwrite") rewrites lacked.
+
+    Failure safety (r9 ADVICE — the earlier delete-old-then-rename
+    order destroyed BOTH copies when the rename failed, because the
+    finally-cleanup also removed the temp): a committed copy of the
+    data now exists at every point of the protocol. write_fn failure →
+    partial temp deleted, old artifact untouched. rename-old-aside
+    failure → temp deleted, old artifact untouched. rename-new-in
+    failure → old artifact renamed back into place (or, if even that
+    restore fails, left at its aside name) and the fully-written temp
+    is LEFT ON DISK for recovery — never deleted on a failed swap."""
     tmp = _tmp_sibling(final_path)
     try:
         write_fn(tmp)
-        if pfs.exists(spark, final_path):
-            pfs.delete(spark, final_path)
-        if not pfs.rename(spark, tmp, final_path):
-            raise IOError(f"rename {tmp} -> {final_path} failed")
-    finally:
+    except BaseException:
         if pfs.exists(spark, tmp):
-            pfs.delete(spark, tmp)
+            pfs.delete(spark, tmp)  # partial write; old copy untouched
+        raise
+    old = None
+    if pfs.exists(spark, final_path):
+        old = f"{final_path.rstrip('/')}.__retired-{uuid.uuid4().hex}__"
+        if not pfs.rename(spark, final_path, old):
+            pfs.delete(spark, tmp)  # old copy still committed in place
+            raise IOError(
+                f"rename {final_path} -> {old} failed; artifact unchanged"
+            )
+    if not pfs.rename(spark, tmp, final_path):
+        restored = old is not None and pfs.rename(spark, old, final_path)
+        where = (
+            "previous version restored"
+            if restored
+            else f"previous version left at {old}"
+            if old is not None
+            else "no previous version existed"
+        )
+        raise IOError(
+            f"rename {tmp} -> {final_path} failed; {where}; new "
+            f"contents left at {tmp} for recovery"
+        )
+    if old is not None:
+        pfs.delete(spark, old)
     return final_path
 
 

@@ -422,11 +422,18 @@ class _BitReader:
             v = (v << 1) | self.read_bit()
         return v
 
+    def at_restart(self) -> bool:
+        """True when an RSTn marker sits at the current byte position
+        (any partial-byte padding bits already consumed into acc are
+        exactly what an encoder discards before a restart)."""
+        d, p = self.data, self.pos
+        return p + 1 < len(d) and d[p] == 0xFF and 0xD0 <= d[p + 1] <= 0xD7
+
     def skip_restart(self) -> None:
         """Consume an RSTn marker and realign to a byte boundary."""
         self.acc = 0
         self.nbits = 0
-        assert self.data[self.pos] == 0xFF and 0xD0 <= self.data[self.pos + 1] <= 0xD7
+        assert self.at_restart()
         self.pos += 2
 
 
@@ -447,7 +454,21 @@ def _read_symbol(r: _BitReader, table: dict[tuple[int, int], int]) -> int:
 def decode_jpeg(payload: bytes) -> np.ndarray:
     """Baseline JFIF bytes → uint8 array (H, W, 3) RGB or (H, W, 1)
     grayscale. Sequential DCT / Huffman / 8-bit / 4:4:4 or single
-    component only (SOF0; anything else raises ValueError)."""
+    component only (SOF0; anything else raises ValueError).
+
+    Every malformed-input failure mode surfaces as ValueError: a
+    truncated payload hits a bytes-index or struct bound internally
+    (IndexError / struct.error), which would escape the `except
+    ValueError` undecodable-row handlers in the multimodal operators
+    and fail a whole task on one bad external blob (r9 ADVICE) — so
+    they are normalized here, at the decode boundary."""
+    try:
+        return _decode_jpeg(payload)
+    except (IndexError, struct.error) as exc:
+        raise ValueError(f"truncated or malformed JPEG: {exc}") from exc
+
+
+def _decode_jpeg(payload: bytes) -> np.ndarray:
     if payload[:2] != b"\xff\xd8":
         raise ValueError("not a JPEG (missing SOI)")
     pos = 2
@@ -460,6 +481,12 @@ def decode_jpeg(payload: bytes) -> np.ndarray:
     while True:
         if payload[pos] != 0xFF:
             raise ValueError(f"expected marker at byte {pos}")
+        # T.81 B.1.1.2: a marker may be preceded by any number of 0xFF
+        # fill bytes, and some encoders emit them — skip the fill so
+        # the byte after the LAST 0xFF is read as the marker code
+        # (r9 ADVICE; previously 0xFFFF here raised).
+        while payload[pos + 1] == 0xFF:
+            pos += 1
         marker = payload[pos + 1]
         pos += 2
         if marker == 0xD9:  # EOI
@@ -541,8 +568,14 @@ def _decode_scan(
     i = 0
     while i < n_mcu:
         if restart_interval and i and i % restart_interval == 0:
-            r.skip_restart()
-            pred = [0] * ncomp
+            # consume the expected marker ONLY if it is actually there
+            # — a foreign stream whose restart placement diverges from
+            # its DRI header simply continues with entropy data here,
+            # and its early restarts reach the _RestartMarker retry
+            # below instead (r9 ADVICE)
+            if r.at_restart():
+                r.skip_restart()
+                pred = [0] * ncomp
         try:
             for c in range(ncomp):
                 cid, _tq = comps[c]
@@ -568,8 +601,17 @@ def _decode_scan(
                     k += 1
             i += 1
         except _RestartMarker:
-            # encoder emitted RSTn exactly at the interval boundary;
-            # loop re-enters skip_restart on the next iteration
+            # Foreign encoder placed RSTn where our DRI arithmetic did
+            # not expect one. The aborted parse may already have
+            # written DC/AC coefficients into this MCU's rows — zero
+            # them before re-decoding, or stale nonzero ACs would
+            # survive wherever the re-decoded MCU has zeros (the AC
+            # loop writes only nonzero positions; r9 ADVICE). pred is
+            # fully reset below, which IS the post-restart state —
+            # partial pred updates from the aborted parse are
+            # overwritten, not accumulated.
+            for c in range(ncomp):
+                zz[c][i, :] = 0
             r.skip_restart()
             pred = [0] * ncomp
 

@@ -838,7 +838,16 @@ def streaming_minhash_ingest(
     def ingest(batch_df, batch_id: int) -> None:
         bdir = os.path.join(index_path, "sigs", f"batch={batch_id}")
         if pfs.exists(spark, os.path.join(bdir, "_SUCCESS")):
-            return  # replayed batch: already committed, skip
+            # Replayed batch: the sigs are committed, but a crash
+            # BETWEEN the sigs publish and the band rewrite would have
+            # left bands/ permanently lagging this batch (r9 ADVICE —
+            # probes would silently never see its docs). The rewrite is
+            # idempotent (re-derives from ALL stored rows), so re-run
+            # it instead of trusting it happened.
+            _write_band_index(
+                spark, index_path, id_col, num_hashes, bands, max_bucket
+            )
+            return
         if pfs.exists(spark, bdir):
             pfs.delete(spark, bdir)  # pre-contract torn dir: clean retry
         if not pfs.exists(spark, os.path.join(index_path, "meta")):
@@ -930,7 +939,11 @@ def streaming_ivf_ingest(
     def ingest(batch_df, batch_id: int) -> None:
         bdir = os.path.join(index_path, f"batch={batch_id}")
         if pfs.exists(spark, os.path.join(bdir, "_SUCCESS")):
-            return  # replayed batch: already committed
+            # replayed batch: already committed. No derived-table
+            # catch-up needed here (unlike minhash/substring): the
+            # probe reads the partition tree directly — the batch dir
+            # IS the only state.
+            return
         if pfs.exists(spark, bdir):
             pfs.delete(spark, bdir)  # torn pre-contract dir: clean retry
         if not pfs.exists(spark, os.path.join(index_path, "_ivf_meta")):
@@ -1005,7 +1018,11 @@ def streaming_substring_ingest(
     def ingest(batch_df, batch_id: int) -> None:
         bdir = os.path.join(index_path, "occ", f"batch={batch_id}")
         if pfs.exists(spark, os.path.join(bdir, "_SUCCESS")):
-            return  # replayed batch: already committed
+            # replayed batch: occ/ is committed, but lists/ may lag it
+            # if the crash hit between the two writes (r9 ADVICE) —
+            # the rewrite is idempotent, so re-run it on the skip path
+            _write_substring_lists(spark, index_path, id_col, max_df)
+            return
         if pfs.exists(spark, bdir):
             pfs.delete(spark, bdir)
         if not pfs.exists(spark, os.path.join(index_path, "meta")):
