@@ -2430,12 +2430,17 @@ def q_ivf_kmeans(spark, sf_dir):
 
 
 def _pq_oracle(m: int = 4, ksub: int = 8, iters: int = 2, dim: int = 64,
-               k: int = 10) -> str:
+               k: int = 10, corpus_where: str | None = None) -> str:
     """Full PQ pipeline replay: shared hash-sampled seeds, per-subspace
     L2 Lloyd's unrolled (assignment = row_number argmin over
     list_distance with ties to the lowest cell; update = per-dim avg,
     cells that empty keep their previous centroid — exactly
-    operators.pq.pq_train), then ADC scoring through the learned codes."""
+    operators.pq.pq_train), then ADC scoring through the learned codes.
+
+    `corpus_where` restricts the SCORED corpus only (training always
+    runs over the full table) — the r10 persisted-index delete leg:
+    codebooks are fixed at build, delete(B) scores exactly the
+    survivors, so the oracle is the same replay with `e` filtered."""
     dsub = dim // m
     parts = [
         "emb AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings)",
@@ -2503,7 +2508,7 @@ def _pq_oracle(m: int = 4, ksub: int = 8, iters: int = 2, dim: int = 64,
       SELECT q.query_id, e.vec_id,
              round(({dots}) / (q.qn * sqrt({norms})), 4) AS adc_cos
       FROM emb e {joins}
-      CROSS JOIN q)
+      CROSS JOIN q{" WHERE " + corpus_where if corpus_where else ""})
     SELECT query_id, vec_id, rank, adc_cos FROM (
       SELECT *, row_number() OVER (PARTITION BY query_id
                                    ORDER BY adc_cos DESC, vec_id) AS rank
@@ -11822,3 +11827,126 @@ def q_streaming_substring_ingest(spark, sf_dir):
     return D.substring_probe_persisted(
         spark, docs.where(bkt >= 90), _STREAM_SUB_DIRS[sf_dir]
     )
+
+
+# ===========================================================================
+# r10: persisted PQ index lifecycle (operators/pq.py) — r9 verdict #2:
+# bring PQ up to the house standard the other three persisted indexes
+# set (build/append/delete/probe, codebooks + codes persisted via the
+# artifacts contract; reference anchor: the dseq/dsink write-then-read-
+# back contract, /root/reference/src/clojure/parkour/io/dsink.clj:14-44)
+# ===========================================================================
+
+
+_PQ_INDEX_DIRS: dict = _SfLRUDirs()
+
+
+def _pq_queries(spark, sf_dir):
+    emb = _t(spark, sf_dir, "embeddings")
+    return [
+        (int(r["vec_id"]), [float(x) for x in r["embedding"]])
+        for r in emb.where(F.col("vec_id") < 5)
+        .select("vec_id", "embedding")
+        .collect()
+    ]
+
+
+def _pq_trained(spark, sf_dir):
+    from parkour_spark.operators.pq import pq_train
+
+    if sf_dir not in _PQ_CODEBOOKS:
+        _PQ_CODEBOOKS[sf_dir] = pq_train(
+            _t(spark, sf_dir, "embeddings"), m=4, ksub=8, iters=2
+        )
+    return _PQ_CODEBOOKS[sf_dir]
+
+
+@query("pq_probe_persisted", _pq_oracle())
+def q_pq_probe_persisted(spark, sf_dir):
+    """ADC top-k served ENTIRELY from the persisted PQ index
+    (pq.pq_index_build + pq_probe_adc): codebooks train once (the
+    cached quantizer every PQ entry shares), build persists codes/ +
+    meta/, and the probe reads ONLY the stored m-longs-per-row codes —
+    vectors are never re-read at query time, which is the point of PQ
+    at 100 TB (the corpus serves from ~m bytes/vector of I/O). Probe
+    arithmetic is exactly pq_adc_topk's on exactly pq_encode's codes,
+    so the same full-replay oracle gates both: a green row proves
+    probe(build(A)) ≡ in-line ADC over A."""
+    import tempfile
+
+    from parkour_spark.operators.pq import pq_index_build, pq_probe_adc
+
+    emb = _t(spark, sf_dir, "embeddings")
+    cbs = _pq_trained(spark, sf_dir)
+    key = (sf_dir, "pq")
+    if key not in _PQ_INDEX_DIRS:
+        tmp = tempfile.mkdtemp(prefix="parkour_pqidx_")
+        pq_index_build(emb, cbs, tmp)
+        _PQ_INDEX_DIRS[key] = tmp
+    return pq_probe_adc(spark, _PQ_INDEX_DIRS[key], _pq_queries(spark, sf_dir), k=10)
+
+
+@query("pq_probe_after_append", _pq_oracle())
+def q_pq_probe_after_append(spark, sf_dir):
+    """Append identity for the PQ index: build on vec_id % 10 != 7,
+    append the rest (encoded with the PERSISTED codebooks — the batch
+    pays only its own encode scan), probe. Codes are per-row pure
+    given the stored quantizer, so append(B) onto build(A) ≡
+    build(A ∪ B) — the oracle is the full-corpus replay, same as the
+    build leg. A green row is the license to run continuous ingest
+    against the compressed index without rebuilds."""
+    import tempfile
+
+    from parkour_spark.operators.pq import (
+        pq_index_append,
+        pq_index_build,
+        pq_probe_adc,
+    )
+
+    emb = _t(spark, sf_dir, "embeddings")
+    cbs = _pq_trained(spark, sf_dir)
+    key = (sf_dir, "pq_append")
+    if key not in _PQ_INDEX_DIRS:
+        tmp = tempfile.mkdtemp(prefix="parkour_pqidx_app_")
+        pq_index_build(emb.where(F.col("vec_id") % 10 != 7), cbs, tmp)
+        pq_index_append(
+            emb.where(F.col("vec_id") % 10 == 7), tmp, codebooks=cbs
+        )
+        _PQ_INDEX_DIRS[key] = tmp
+    return pq_probe_adc(spark, _PQ_INDEX_DIRS[key], _pq_queries(spark, sf_dir), k=10)
+
+
+@query(
+    "pq_probe_after_delete",
+    _pq_oracle(corpus_where="e.vec_id % 10 <> 7"),
+)
+def q_pq_probe_after_delete(spark, sf_dir):
+    """Delete identity for the PQ index (the retire leg): build on the
+    full corpus, physically remove vec_id % 10 == 7 (one broadcast
+    anti-join rewrite of the codes table — vectors never re-read,
+    published atomically), probe. delete(B) from build(A) ≡
+    build(A ∖ B) because codes are per-row pure and the codebooks are
+    fixed at build — the oracle is the same replay with the SCORED
+    corpus filtered to the survivors (training unfiltered, exactly as
+    the persisted quantizer behaves). Query ids (vec_id < 5) are not
+    in the delete set, so every query still scores the surviving
+    corpus."""
+    import tempfile
+
+    from parkour_spark.operators.pq import (
+        pq_index_build,
+        pq_index_delete,
+        pq_probe_adc,
+    )
+
+    emb = _t(spark, sf_dir, "embeddings")
+    cbs = _pq_trained(spark, sf_dir)
+    key = (sf_dir, "pq_delete")
+    if key not in _PQ_INDEX_DIRS:
+        tmp = tempfile.mkdtemp(prefix="parkour_pqidx_del_")
+        pq_index_build(emb, cbs, tmp)
+        pq_index_delete(
+            spark, emb.where(F.col("vec_id") % 10 == 7).select("vec_id"), tmp
+        )
+        _PQ_INDEX_DIRS[key] = tmp
+    return pq_probe_adc(spark, _PQ_INDEX_DIRS[key], _pq_queries(spark, sf_dir), k=10)
