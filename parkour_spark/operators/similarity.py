@@ -497,6 +497,64 @@ def ivf_index_delete(
             pfs.delete(spark, f"{path}/cell={c}")
 
 
+def ivf_index_compact(
+    spark,
+    path: str,
+    corpus_id: str = "vec_id",
+    corpus_vec: str = "embedding",
+) -> None:
+    """Compact a persisted IVF index into the canonical build layout —
+    the small-files leg that closes the compaction symmetry across all
+    four persisted indexes (r9 verdict #3). Two growth modes feed it:
+    `ivf_index_append` lands each batch as extra files inside the
+    cell=<c> partitions, and `streaming_ivf_ingest` lands each
+    micro-batch as its own batch=<id>/cell=<c> subtree — at ingest
+    rates of many batches/hour either way degrades the probe scan into
+    footer-read soup long before it degrades in bytes.
+
+    The fold rewrites the stored rows (id, vector, cnorm, cell) —
+    assignment is NEVER recomputed, so the result is row-identical to
+    the pre-compact index — into one co-located file set per cell
+    partition, the exact layout `ivf_index_build` produces, and
+    carries the persisted quantizer record (_ivf_meta) into the new
+    root. Published atomically via the whole-root swap
+    (artifacts.publish_swap): probes see the old tree or the new one,
+    never a mix, and a crash mid-compact leaves the previous committed
+    index intact.
+
+    Streaming contract: run with the ingest query drained and stopped
+    (the ingest entrypoint drains before returning). Compaction is the
+    TERMINAL fold of a streaming run — the batch commit markers and
+    any in-root _checkpoint do not survive the swap, and the
+    canonical cell= layout cannot host further batch=<id> subtrees
+    (mixed partition depths are unreadable) — so continue ingesting
+    via `ivf_index_append`, or start a fresh streaming root and fold
+    it in at the next compaction. After compacting, the index is
+    indistinguishable from a freshly-built one: append, delete, and
+    probe all compose."""
+    from parkour_spark.artifacts import publish_swap, read_params, write_params
+
+    rec = read_params(spark, path + "/_ivf_meta")
+    if rec is None:
+        raise ValueError(
+            f"ivf_index_compact: no _ivf_meta quantizer record under {path}"
+        )
+    rows = spark.read.parquet(path).select(
+        corpus_id, corpus_vec, "cnorm", "cell"
+    )
+
+    def write(tmp: str) -> None:
+        (
+            rows.repartition("cell")
+            .write.mode("overwrite")
+            .partitionBy("cell")
+            .parquet(tmp)
+        )
+        write_params(spark, tmp + "/_ivf_meta", rec)
+
+    publish_swap(spark, path, write)
+
+
 def ivf_probe_topk(
     spark,
     index_path: str,

@@ -11838,7 +11838,7 @@ def q_streaming_substring_ingest(spark, sf_dir):
 # ===========================================================================
 
 
-_PQ_INDEX_DIRS: dict = _SfLRUDirs()
+_R10_INDEX_DIRS: dict = _SfLRUDirs()
 
 
 def _pq_queries(spark, sf_dir):
@@ -11879,11 +11879,11 @@ def q_pq_probe_persisted(spark, sf_dir):
     emb = _t(spark, sf_dir, "embeddings")
     cbs = _pq_trained(spark, sf_dir)
     key = (sf_dir, "pq")
-    if key not in _PQ_INDEX_DIRS:
+    if key not in _R10_INDEX_DIRS:
         tmp = tempfile.mkdtemp(prefix="parkour_pqidx_")
         pq_index_build(emb, cbs, tmp)
-        _PQ_INDEX_DIRS[key] = tmp
-    return pq_probe_adc(spark, _PQ_INDEX_DIRS[key], _pq_queries(spark, sf_dir), k=10)
+        _R10_INDEX_DIRS[key] = tmp
+    return pq_probe_adc(spark, _R10_INDEX_DIRS[key], _pq_queries(spark, sf_dir), k=10)
 
 
 @query("pq_probe_after_append", _pq_oracle())
@@ -11906,14 +11906,14 @@ def q_pq_probe_after_append(spark, sf_dir):
     emb = _t(spark, sf_dir, "embeddings")
     cbs = _pq_trained(spark, sf_dir)
     key = (sf_dir, "pq_append")
-    if key not in _PQ_INDEX_DIRS:
+    if key not in _R10_INDEX_DIRS:
         tmp = tempfile.mkdtemp(prefix="parkour_pqidx_app_")
         pq_index_build(emb.where(F.col("vec_id") % 10 != 7), cbs, tmp)
         pq_index_append(
             emb.where(F.col("vec_id") % 10 == 7), tmp, codebooks=cbs
         )
-        _PQ_INDEX_DIRS[key] = tmp
-    return pq_probe_adc(spark, _PQ_INDEX_DIRS[key], _pq_queries(spark, sf_dir), k=10)
+        _R10_INDEX_DIRS[key] = tmp
+    return pq_probe_adc(spark, _R10_INDEX_DIRS[key], _pq_queries(spark, sf_dir), k=10)
 
 
 @query(
@@ -11942,11 +11942,94 @@ def q_pq_probe_after_delete(spark, sf_dir):
     emb = _t(spark, sf_dir, "embeddings")
     cbs = _pq_trained(spark, sf_dir)
     key = (sf_dir, "pq_delete")
-    if key not in _PQ_INDEX_DIRS:
+    if key not in _R10_INDEX_DIRS:
         tmp = tempfile.mkdtemp(prefix="parkour_pqidx_del_")
         pq_index_build(emb, cbs, tmp)
         pq_index_delete(
             spark, emb.where(F.col("vec_id") % 10 == 7).select("vec_id"), tmp
         )
-        _PQ_INDEX_DIRS[key] = tmp
-    return pq_probe_adc(spark, _PQ_INDEX_DIRS[key], _pq_queries(spark, sf_dir), k=10)
+        _R10_INDEX_DIRS[key] = tmp
+    return pq_probe_adc(spark, _R10_INDEX_DIRS[key], _pq_queries(spark, sf_dir), k=10)
+
+
+# ===========================================================================
+# r10: compaction symmetry (r9 verdict #3) — every persisted index now
+# gate-pins probe-after-compact ≡ probe-before
+# ===========================================================================
+
+
+@query("ivf_probe_after_compact", _ivf_oracle())
+def q_ivf_probe_after_compact(spark, sf_dir):
+    """IVF compaction identity, gate-pinned (similarity.
+    ivf_index_compact): build the inverted-list index on the
+    content-hash bottom 80% of the corpus, append the rest (extra file
+    sets inside the cell partitions), COMPACT into the canonical
+    one-file-set-per-cell build layout (stored rows rewritten;
+    assignment never recomputed; quantizer record carried across the
+    atomic whole-root swap), then probe. The oracle is the full-corpus
+    IVF replay — a green row proves compaction changes ZERO rows while
+    restoring the layout that keeps probe-time partition pruning
+    opening O(probed cells) files instead of O(probed cells × ingest
+    batches)."""
+    import tempfile
+
+    from parkour_spark.functions.sampling import hash_bucket
+    from parkour_spark.operators.similarity import (
+        ivf_index_append,
+        ivf_index_build,
+        ivf_index_compact,
+        ivf_probe_topk,
+    )
+
+    emb = _t(spark, sf_dir, "embeddings")
+    cents = _ivf_centroids(spark, sf_dir)
+    queries = emb.where(F.col("vec_id") < 5).select(
+        F.col("vec_id").alias("query_id"),
+        F.col("embedding").alias("query_vec"),
+    )
+    corpus = emb.where(F.col("vec_id") >= 5)
+    bkt = hash_bucket(F.col("vec_id"), 100)
+    key = (sf_dir, "ivf_compact")
+    if key not in _R10_INDEX_DIRS:
+        tmp = tempfile.mkdtemp(prefix="parkour_ivfidx_cmp_")
+        ivf_index_build(corpus.where(bkt < 80), cents, tmp)
+        ivf_index_append(corpus.where(bkt >= 80), cents, tmp)
+        ivf_index_compact(spark, tmp)
+        _R10_INDEX_DIRS[key] = tmp
+    return ivf_probe_topk(
+        spark, _R10_INDEX_DIRS[key], queries, cents, k=10, nprobe=4
+    ).select("query_id", "vec_id", "rank", "cos")
+
+
+@query("substring_probe_after_compact", ORACLES["substring_spans_delta"])
+def q_substring_probe_after_compact(spark, sf_dir):
+    """Substring-index compaction identity, gate-pinned
+    (dedup.substring_index_compact — implemented in r9, tests only;
+    this entry closes the r9 verdict's 'not gate-pinned' gap): build
+    on the content-hash bottom 80% of documents, append the next 10%
+    (second file set in occ/), COMPACT the occurrence table into a
+    handful of files (exact row preservation, atomic publish; lists/
+    is derived state and stays valid), then probe the top 10% through
+    substring_probe_persisted. The oracle is the combined-build delta
+    replay — a green row proves probe-after-compact ≡ probe-before."""
+    import tempfile
+
+    from parkour_spark.functions.sampling import hash_bucket
+
+    docs = _t(spark, sf_dir, "documents")
+    bkt = hash_bucket(F.col("doc_id"), 100)
+    key = (sf_dir, "sub_compact")
+    if key not in _R10_INDEX_DIRS:
+        tmp = tempfile.mkdtemp(prefix="parkour_subidx_cmp_")
+        D.substring_index_build(
+            docs.where(bkt < 80).select("doc_id", "text"), tmp
+        )
+        D.substring_index_append(
+            docs.where((bkt >= 80) & (bkt < 90)).select("doc_id", "text"),
+            tmp,
+        )
+        D.substring_index_compact(spark, tmp, n_files=4)
+        _R10_INDEX_DIRS[key] = tmp
+    return D.substring_probe_persisted(
+        spark, docs.where(bkt >= 90), _R10_INDEX_DIRS[key]
+    )
