@@ -12033,3 +12033,122 @@ def q_substring_probe_after_compact(spark, sf_dir):
     return D.substring_probe_persisted(
         spark, docs.where(bkt >= 90), _R10_INDEX_DIRS[key]
     )
+
+
+# ===========================================================================
+# r10: streaming ingest → compact → probe, end-to-end (r9 verdict #4) —
+# the full five-leg lifecycle (build/append/delete/ingest/compact) is
+# what a production index actually runs; one gated entry per index
+# pins the whole pipeline against the batch-build oracle
+# ===========================================================================
+
+
+@query("minhash_ingest_compact_probe", _minhash_probe_oracle())
+def q_minhash_ingest_compact_probe(spark, sf_dir):
+    """END-TO-END index pipeline for the document MinHash index: the
+    content-hash bottom 90% of documents streams in as a 4-batch
+    exactly-once ingest (one atomically-published sigs/batch=<id>
+    partition per micro-batch), the drained index is COMPACTED (the
+    per-batch file sets fold into 4 files, batch column dropped, band
+    table untouched — it is wholesale-derived state), and the top 10%
+    probes the result. The oracle is the combined-build probe, so ONE
+    green row proves the composition ingest(Σ batches) → compact ≡
+    build(all) — the operating loop a continuously-maintained index
+    actually runs, not just its legs in isolation."""
+    import tempfile
+
+    from parkour_spark.functions.sampling import hash_bucket
+    from parkour_spark.streaming.windows import streaming_minhash_ingest
+
+    docs = _t(spark, sf_dir, "documents")
+    bkt = hash_bucket(F.col("doc_id"), 100)
+    key = (sf_dir, "mh_icp")
+    if key not in _R10_INDEX_DIRS:
+        src = tempfile.mkdtemp(prefix="parkour_mh_icp_src_")
+        docs.where(bkt < 90).select("doc_id", "text").repartition(
+            4
+        ).write.mode("overwrite").parquet(src)
+        schema = spark.read.parquet(src).schema
+        idx = tempfile.mkdtemp(prefix="parkour_mh_icp_idx_")
+        streaming_minhash_ingest(spark, src, schema, idx, max_bucket=200)
+        D.minhash_index_compact(spark, idx, n_files=4)
+        _R10_INDEX_DIRS[key] = idx
+    return D.minhash_probe_delta(
+        spark, docs.where(bkt >= 90), _R10_INDEX_DIRS[key], threshold=0.8
+    )
+
+
+@query("ivf_ingest_compact_probe", _ivf_oracle())
+def q_ivf_ingest_compact_probe(spark, sf_dir):
+    """END-TO-END pipeline for the embedding IVF index: the corpus
+    streams in as a 4-batch exactly-once ingest (one published
+    batch=<id>/cell=<c> subtree per micro-batch), the drained root is
+    COMPACTED into the canonical one-file-set-per-cell build layout
+    (ivf_index_compact — rows rewritten, assignment never recomputed,
+    quantizer carried), and the standard query batch probes the
+    result. Oracle = the full-corpus IVF replay: one green row proves
+    ingest → compact ≡ build for the embedding index, with the
+    compacted layout restoring O(probed cells) file opens per query
+    batch."""
+    import tempfile
+
+    from parkour_spark.operators.similarity import (
+        ivf_index_compact,
+        ivf_probe_topk,
+    )
+    from parkour_spark.streaming.windows import streaming_ivf_ingest
+
+    emb = _t(spark, sf_dir, "embeddings")
+    cents = _ivf_centroids(spark, sf_dir)
+    queries = emb.where(F.col("vec_id") < 5).select(
+        F.col("vec_id").alias("query_id"),
+        F.col("embedding").alias("query_vec"),
+    )
+    corpus = emb.where(F.col("vec_id") >= 5)
+    key = (sf_dir, "ivf_icp")
+    if key not in _R10_INDEX_DIRS:
+        src = tempfile.mkdtemp(prefix="parkour_ivf_icp_src_")
+        corpus.repartition(4).write.mode("overwrite").parquet(src)
+        schema = spark.read.parquet(src).schema
+        idx = tempfile.mkdtemp(prefix="parkour_ivf_icp_idx_")
+        streaming_ivf_ingest(spark, src, schema, idx, cents)
+        ivf_index_compact(spark, idx)
+        _R10_INDEX_DIRS[key] = idx
+    return ivf_probe_topk(
+        spark, _R10_INDEX_DIRS[key], queries, cents, k=10, nprobe=4
+    ).select("query_id", "vec_id", "rank", "cos")
+
+
+@query("substring_ingest_compact_probe", ORACLES["substring_spans_delta"])
+def q_substring_ingest_compact_probe(spark, sf_dir):
+    """END-TO-END pipeline for the substring fingerprint index: 4-batch
+    exactly-once ingest of the content-hash bottom 90% (one published
+    occ/batch=<id> partition per micro-batch, probe lists re-derived
+    per batch), COMPACT the occurrence table (batch file sets fold
+    into 4 files; lists/ is wholesale-derived state and stays valid),
+    probe the top 10% through substring_probe_persisted. Oracle = the
+    combined-build delta replay: ingest → compact ≡ build for the text
+    index, completing the five-leg lifecycle
+    (build/append/delete/ingest/compact) symmetry across all three
+    streaming-fed indexes."""
+    import tempfile
+
+    from parkour_spark.functions.sampling import hash_bucket
+    from parkour_spark.streaming.windows import streaming_substring_ingest
+
+    docs = _t(spark, sf_dir, "documents")
+    bkt = hash_bucket(F.col("doc_id"), 100)
+    key = (sf_dir, "sub_icp")
+    if key not in _R10_INDEX_DIRS:
+        src = tempfile.mkdtemp(prefix="parkour_sub_icp_src_")
+        docs.where(bkt < 90).select("doc_id", "text").repartition(
+            4
+        ).write.mode("overwrite").parquet(src)
+        schema = spark.read.parquet(src).schema
+        idx = tempfile.mkdtemp(prefix="parkour_sub_icp_idx_")
+        streaming_substring_ingest(spark, src, schema, idx)
+        D.substring_index_compact(spark, idx, n_files=4)
+        _R10_INDEX_DIRS[key] = idx
+    return D.substring_probe_persisted(
+        spark, docs.where(bkt >= 90), _R10_INDEX_DIRS[key]
+    )
