@@ -125,3 +125,88 @@ def bpe_segment(vocab: DataFrame, merges: list[tuple[str, str]]) -> DataFrame:
 
 def _sql_str(s: str) -> str:
     return "'" + s.replace("'", "''") + "'"
+
+
+def bpe_train_batched(
+    words: DataFrame,
+    n_rounds: int = 3,
+    batch: int = 8,
+    word_col: str = "word",
+    count_col: str = "wc",
+) -> DataFrame:
+    """BATCH-GREEDY BPE training — the scale path for large merge
+    counts (r9 verdict #5: `bpe_train`'s one-merge-per-round driver
+    loop is right for the gated small n but not a 30k-merge production
+    trainer; at one corpus-scan-sized round per merge, 30k merges is
+    30k rounds). Each round here learns UP TO `batch` merges from ONE
+    pair-count pass, so the round count — the number of vocab-sized
+    shuffles and the only driver round-trips — is ~n_merges/batch
+    instead of n_merges.
+
+    Batch selection rule (deterministic AND engine-replayable): rank
+    the round's pairs by (count DESC, lhs, rhs), keep the top `batch`,
+    and select a pair iff it shares NO symbol with any higher-ranked
+    pair of that top slice. The selected set is therefore pairwise
+    symbol-disjoint: applying its merges cannot consume each other's
+    occurrences, so all counts measured at the round start stay valid
+    for every selected pair, and the round's replaces are applied in
+    rank order (sentinel-string `replace` — the same left-to-right
+    non-overlapping semantics in Spark and ANSI SQL that make
+    `bpe_train` engine-exact, so the whole batched trajectory replays
+    in DuckDB as unrolled CTEs: top-slice, NOT-EXISTS conflict filter,
+    recursive-CTE replace chain).
+
+    Semantics vs sequential greedy: within a round, later merges are
+    chosen WITHOUT recounting after earlier ones — the standard
+    batch-greedy trade (pair counts are exact as of the round start).
+    Rule-of-thumb: sequential `bpe_train` for exact-greedy small
+    vocabularies; this for production merge counts.
+
+    Returns (step, round, rk, lhs, rhs, pair_count): `step` is the
+    global merge index in applied order, `rk` the rank within the
+    round's selection, `pair_count` the round-start count. Driver
+    traffic per round is `batch` rows; the vocabulary itself is never
+    collected."""
+    spark = words.sparkSession
+    vocab = vocab_from_words(words, word_col, count_col).persist()
+    vocab.count()
+    out, step = [], 0
+    for rnd in range(1, n_rounds + 1):
+        top = (
+            _pair_counts(vocab)
+            .orderBy(F.col("c").desc(), F.col("l"), F.col("r"))
+            .limit(batch)
+            .collect()
+        )
+        sel = []
+        for i, t in enumerate(top):
+            t_syms = {t["l"], t["r"]}
+            if any(
+                u["l"] in t_syms or u["r"] in t_syms for u in top[:i]
+            ):
+                continue  # conflicts with a higher-ranked top-slice pair
+            sel.append(t)
+        if not sel:
+            break
+        nxt = vocab
+        for rk, t in enumerate(sel, 1):
+            step += 1
+            out.append((step, rnd, rk, t["l"], t["r"], int(t["c"])))
+            nxt = nxt.withColumn(
+                "s",
+                F.expr(
+                    "replace(s, {}, {})".format(
+                        _sql_str(f"{_L}{t['l']}{_R}{_L}{t['r']}{_R}"),
+                        _sql_str(f"{_L}{t['l']}{t['r']}{_R}"),
+                    )
+                ),
+            )
+        nxt = nxt.persist()
+        nxt.count()
+        vocab.unpersist()
+        vocab = nxt
+    vocab.unpersist()
+    return spark.createDataFrame(
+        out,
+        "step int, round int, rk int, lhs string, rhs string, pair_count long",
+    )
