@@ -96,6 +96,12 @@ HEADLINE = [
     # decode per distinct payload vs per row; tracking it keeps the
     # decode-economics claim a measured number round-over-round
     "multimodal_jpeg_dedup_agree",
+    # r10: the persisted-PQ serving path (codes-only ADC probe — the
+    # compressed-index read pattern that matters at 100 TB) and the
+    # batch-greedy BPE trainer (rounds ∝ merges/batch — the scale-path
+    # variant tracked next to its sequential sibling bpe_train_merges)
+    "pq_probe_persisted",
+    "bpe_train_merges_scaled",
 ]
 
 

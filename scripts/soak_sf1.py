@@ -560,6 +560,174 @@ def _soak_cc_delta_fold_only(spark):
     )
 
 
+def _soak_lpa_reliable_checkpoint(spark):
+    """LPA over the 10× near-dup graph with checkpoint="reliable" —
+    measured evidence for the cluster-mode lineage-truncation path
+    (r9 verdict #7): each round's label table checkpoints to the
+    configured fault-tolerant directory instead of executor-local
+    block storage. The claim: the reliable path's per-round write is
+    node-table-sized (bounded), so its premium over the local-mode
+    `label_propagation_communities` row above is a constant I/O
+    factor, not a scaling change — and the community histogram is
+    identical (checkpointing truncates lineage, never changes rows)."""
+    from parkour_spark.operators.dedup import minhash_dedup_pairs
+    from parkour_spark.operators.graph import label_propagation
+
+    spark.sparkContext.setCheckpointDir(f"{DST}/_reliable_ckpt")
+    docs = spark.read.parquet(f"{DST}/documents.parquet")
+    pairs = minhash_dedup_pairs(docs, threshold=0.8)
+    labels = label_propagation(
+        docs.select("doc_id"), pairs, node_col="doc_id", rounds=4,
+        checkpoint="reliable",
+    )
+    return labels.groupBy("label").agg(F.count("*").alias("n_members"))
+
+
+def _soak_pq_index_build(spark):
+    """Train (fixed Lloyd's passes over the 10× corpus) + encode +
+    PERSIST the PQ index (pq.pq_index_build, r10) — the fourth member
+    of the persisted-index family. Codebooks train here ONCE and every
+    PQ leg below reuses them, exactly the production split (train
+    once, build per corpus version, serve probes from codes)."""
+    from parkour_spark.operators.pq import pq_index_build, pq_train
+
+    emb = spark.read.parquet(f"{DST}/embeddings.parquet")
+    cbs = pq_train(emb, m=4, ksub=8, iters=2)
+    globals()["_SOAK_PQ_CBS"] = cbs
+    pq_index_build(emb, cbs, f"{DST}/pq_index")
+    return spark.read.parquet(f"{DST}/pq_index/codes").select("vec_id")
+
+
+def _soak_pq_probe_only(spark):
+    """ADC top-k served from the PERSISTED codes (pq.pq_probe_adc):
+    the scan reads m longs per corpus row — vectors are never touched.
+    Measured claims: probe ≪ build (the train+encode cost is
+    amortized), and probe ≪ the inline pq_adc_topk row above (which
+    re-encodes the corpus per query batch)."""
+    from parkour_spark.operators.pq import pq_probe_adc
+
+    emb = spark.read.parquet(f"{DST}/embeddings.parquet")
+    queries = [
+        (int(r["vec_id"]), [float(x) for x in r["embedding"]])
+        for r in emb.where(F.col("vec_id").between(100, 107))
+        .select("vec_id", "embedding")
+        .collect()
+    ]
+    return pq_probe_adc(spark, f"{DST}/pq_index", queries, k=10)
+
+
+def _pq_soak_batch(spark):
+    emb = spark.read.parquet(f"{SRC}/embeddings.parquet")
+    dim = len(emb.select("embedding").first()["embedding"])
+    return emb.select(
+        (F.col("vec_id") + F.lit(900_000_000)).alias("vec_id"),
+        F.expr(
+            "transform(sequence(0, {d}), i -> embedding[(i + 3) % {n}])".format(
+                d=dim - 1, n=dim
+            )
+        ).alias("embedding"),
+    )
+
+
+def _soak_pq_append_only(spark):
+    """Append a 1-replica batch to the PERSISTED PQ index — cost ∝ the
+    batch's own encode scan with the STORED codebooks (index size
+    never re-read), the append ≪ rebuild claim for the fourth index."""
+    from parkour_spark.operators.pq import pq_index_append
+
+    pq_index_append(_pq_soak_batch(spark), f"{DST}/pq_index")
+    return _pq_soak_batch(spark).select("vec_id")
+
+
+def _soak_pq_delete_only(spark):
+    """DELETE the just-appended batch ids from the PERSISTED PQ index:
+    one broadcast anti-join rewrite of the m-longs-per-row codes table
+    — delete ≪ rebuild (the build row above re-trains AND re-encodes;
+    this touches only stored codes)."""
+    from parkour_spark.operators.pq import pq_index_delete
+
+    pq_index_delete(
+        spark, _pq_soak_batch(spark).select("vec_id"), f"{DST}/pq_index"
+    )
+    return spark.read.parquet(f"{DST}/pq_index/codes").select("vec_id")
+
+
+def _soak_pq_compact_only(spark):
+    """Compact the PQ codes table after the append/delete churn —
+    exact row preservation, cost ∝ stored codes (the smallest table in
+    the index family), compaction ≪ rebuild."""
+    from parkour_spark.operators.pq import pq_index_compact
+
+    pq_index_compact(spark, f"{DST}/pq_index", n_files=8)
+    return spark.read.parquet(f"{DST}/pq_index/codes").select("vec_id")
+
+
+def _soak_minhash_compact_only(spark):
+    """Compact the minhash signature table after the delete-leg churn
+    (dedup.minhash_index_compact): signature LONGS rewritten into 8
+    files, text never re-shingled — compaction ≪ rebuild is the
+    measured claim that makes it affordable at many-batches/hour
+    ingest rates (r9 verdict #3)."""
+    from parkour_spark.operators.dedup import minhash_index_compact
+
+    minhash_index_compact(spark, f"{DST}/minhash_index", n_files=8)
+    return spark.read.parquet(f"{DST}/minhash_index/sigs").select("doc_id")
+
+
+def _soak_substring_compact_only(spark):
+    """Compact the substring occurrence table (dedup.
+    substring_index_compact): stored fingerprint rows rewritten, text
+    never re-winnowed — compaction ≪ rebuild for the text index."""
+    from parkour_spark.operators.dedup import substring_index_compact
+
+    substring_index_compact(spark, f"{DST}/substring_index", n_files=8)
+    return spark.read.parquet(f"{DST}/substring_index/occ").select("doc_id")
+
+
+def _soak_ivf_compact_only(spark):
+    """Compact the 10× IVF index (similarity.ivf_index_compact, r10):
+    the whole-root fold into the canonical one-file-set-per-cell
+    layout — stored rows rewritten, assignment never recomputed —
+    compaction ≪ rebuild (the build row above pays the full Arrow
+    assignment scan; this is a row shuffle of stored (id, vec, cnorm,
+    cell))."""
+    from parkour_spark.operators.similarity import ivf_index_compact
+
+    ivf_index_compact(spark, f"{DST}/ivf_index.parquet")
+    return spark.read.parquet(f"{DST}/ivf_index.parquet").select("vec_id")
+
+
+def _soak_words(spark):
+    docs = spark.read.parquet(f"{DST}/documents.parquet")
+    return (
+        docs.select(F.explode(F.split(F.trim("text"), r"\s+")).alias("word"))
+        .where(F.col("word") != "")
+        .groupBy("word")
+        .agg(F.count("*").alias("wc"))
+    )
+
+
+def _soak_bpe_seq16(spark):
+    """Sequential greedy BPE, 16 merges = 16 vocab-sized shuffle
+    rounds over the 10× vocabulary — the yardstick for the batched
+    trainer below (r9 verdict #5)."""
+    from parkour_spark.operators.bpe import bpe_train
+
+    return bpe_train(_soak_words(spark), n_merges=16)
+
+
+def _soak_bpe_batched16(spark):
+    """Batch-greedy BPE, 4 rounds × up-to-8 merges over the SAME 10×
+    vocabulary: the sub-linear-rounds claim measured — wall clock
+    scales with ROUNDS (each round = one pair-count shuffle + one
+    batch-row driver fetch), so seconds-per-merge-learned should drop
+    by roughly the per-round selection size vs the sequential row
+    above (the row counts in the soak log are the merges learned)."""
+    from parkour_spark.operators.bpe import bpe_train_batched
+
+    return bpe_train_batched(_soak_words(spark), n_rounds=4, batch=8)
+
+
 SOAK_CUSTOM = {
     "semantic_dedup_k_scaled": _soak_semantic_dedup,
     "substring_index_build": _soak_substring_index_build,
@@ -582,6 +750,22 @@ SOAK_CUSTOM = {
     "gif_frame_sample": _soak_gif_frame_sample,
     "cc_components_build": _soak_cc_components_build,
     "cc_delta_fold_only": _soak_cc_delta_fold_only,
+    # r10: reliable-checkpoint graph evidence, the persisted PQ index
+    # legs, the compaction legs for all four indexes, and the batched
+    # BPE scaling pair. Order matters: compacts run after the
+    # build/append/delete churn above has grown each index's file
+    # count the way a production ingest would.
+    "lpa_reliable_checkpoint": _soak_lpa_reliable_checkpoint,
+    "pq_index_build": _soak_pq_index_build,
+    "pq_probe_only": _soak_pq_probe_only,
+    "pq_index_append_only": _soak_pq_append_only,
+    "pq_index_delete_only": _soak_pq_delete_only,
+    "pq_index_compact_only": _soak_pq_compact_only,
+    "minhash_index_compact_only": _soak_minhash_compact_only,
+    "substring_index_compact_only": _soak_substring_compact_only,
+    "ivf_index_compact_only": _soak_ivf_compact_only,
+    "bpe_train_seq16": _soak_bpe_seq16,
+    "bpe_train_batched16": _soak_bpe_batched16,
 }
 
 
