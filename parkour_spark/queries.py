@@ -12242,3 +12242,110 @@ def q_bpe_train_batched(spark, sf_dir):
     return bpe_train_batched(
         words, n_rounds=_BPE_BATCH_ROUNDS, batch=_BPE_BATCH_M
     )
+
+
+# ===========================================================================
+# r10 late additions (lead the r11 (a) class): PQ streaming ingest +
+# compaction legs — the fourth index reaches full five-leg ×
+# end-to-end symmetry with the other three
+# ===========================================================================
+
+
+@query("pq_probe_after_compact", _pq_oracle())
+def q_pq_probe_after_compact(spark, sf_dir):
+    """PQ compaction identity, gate-pinned (pq.pq_index_compact):
+    build on vec_id % 10 != 7 with the shared trained codebooks,
+    append the rest (second file set in codes/), COMPACT the codes
+    table into 4 files (exact row preservation, atomic publish), then
+    probe. Oracle = the full-corpus PQ replay — compaction changes
+    ZERO rows, matching the minhash/ivf/substring compaction
+    guarantees for the fourth index."""
+    import tempfile
+
+    from parkour_spark.operators.pq import (
+        pq_index_append,
+        pq_index_build,
+        pq_index_compact,
+        pq_probe_adc,
+    )
+
+    emb = _t(spark, sf_dir, "embeddings")
+    cbs = _pq_trained(spark, sf_dir)
+    key = (sf_dir, "pq_compact")
+    if key not in _R10_INDEX_DIRS:
+        tmp = tempfile.mkdtemp(prefix="parkour_pqidx_cmp_")
+        pq_index_build(emb.where(F.col("vec_id") % 10 != 7), cbs, tmp)
+        pq_index_append(emb.where(F.col("vec_id") % 10 == 7), tmp)
+        pq_index_compact(spark, tmp, n_files=4)
+        _R10_INDEX_DIRS[key] = tmp
+    return pq_probe_adc(
+        spark, _R10_INDEX_DIRS[key], _pq_queries(spark, sf_dir), k=10
+    )
+
+
+@query("streaming_pq_ingest_probe", _pq_oracle())
+def q_streaming_pq_ingest(spark, sf_dir):
+    """EXACTLY-ONCE streaming PQ ingestion, gate-pinned
+    (streaming.windows.streaming_pq_ingest): the embedding corpus
+    replays as a 4-batch file stream, each batch Arrow-encoded against
+    the FIXED persisted codebooks and landing as an
+    atomically-published codes/batch=<id> partition (the directory is
+    the commit marker — replays skip, torn writes never occupy the
+    name; codes are the index's ONLY state, so — like IVF and unlike
+    minhash/substring — the skip path has no derived table to catch
+    up). The probe is the unchanged pq_probe_adc over the same root
+    (the batch column rides the schema, ignored by the probe), and the
+    oracle is the full-corpus PQ replay: ingest(Σ batches) ≡
+    build(all) for the fourth persisted index — streaming-leg symmetry
+    complete across the whole index family."""
+    import tempfile
+
+    from parkour_spark.operators.pq import pq_probe_adc
+    from parkour_spark.streaming.windows import streaming_pq_ingest
+
+    emb = _t(spark, sf_dir, "embeddings")
+    cbs = _pq_trained(spark, sf_dir)
+    key = (sf_dir, "pq_stream")
+    if key not in _R10_INDEX_DIRS:
+        src = tempfile.mkdtemp(prefix="parkour_pq_stream_src_")
+        emb.select("vec_id", "embedding").repartition(4).write.mode(
+            "overwrite"
+        ).parquet(src)
+        schema = spark.read.parquet(src).schema
+        idx = tempfile.mkdtemp(prefix="parkour_pq_stream_idx_")
+        streaming_pq_ingest(spark, src, schema, idx, cbs)
+        _R10_INDEX_DIRS[key] = idx
+    return pq_probe_adc(
+        spark, _R10_INDEX_DIRS[key], _pq_queries(spark, sf_dir), k=10
+    )
+
+
+@query("pq_ingest_compact_probe", _pq_oracle())
+def q_pq_ingest_compact_probe(spark, sf_dir):
+    """END-TO-END pipeline for the PQ index: 4-batch exactly-once
+    streaming ingest (codes/batch=<id> commit-marker dirs), drain,
+    COMPACT into the canonical flat codes table, probe from stored
+    codes. Oracle = the full-corpus PQ replay: ingest → compact ≡
+    build for the fourth index — all four persisted indexes now gate
+    the composed operating loop, not just its legs."""
+    import tempfile
+
+    from parkour_spark.operators.pq import pq_index_compact, pq_probe_adc
+    from parkour_spark.streaming.windows import streaming_pq_ingest
+
+    emb = _t(spark, sf_dir, "embeddings")
+    cbs = _pq_trained(spark, sf_dir)
+    key = (sf_dir, "pq_icp")
+    if key not in _R10_INDEX_DIRS:
+        src = tempfile.mkdtemp(prefix="parkour_pq_icp_src_")
+        emb.select("vec_id", "embedding").repartition(4).write.mode(
+            "overwrite"
+        ).parquet(src)
+        schema = spark.read.parquet(src).schema
+        idx = tempfile.mkdtemp(prefix="parkour_pq_icp_idx_")
+        streaming_pq_ingest(spark, src, schema, idx, cbs)
+        pq_index_compact(spark, idx, n_files=4)
+        _R10_INDEX_DIRS[key] = idx
+    return pq_probe_adc(
+        spark, _R10_INDEX_DIRS[key], _pq_queries(spark, sf_dir), k=10
+    )

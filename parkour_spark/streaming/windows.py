@@ -1053,3 +1053,85 @@ def streaming_substring_ingest(
         q.stop()
         q.awaitTermination()
     return index_path
+
+
+def streaming_pq_ingest(
+    spark,
+    source_path: str,
+    schema,
+    index_path: str,
+    codebooks,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+    max_files: int = 1,
+) -> str:
+    """EXACTLY-ONCE streaming ingestion into a persisted PQ index
+    (r10) — completes the streaming leg for ALL FOUR persisted indexes
+    (minhash, IVF, substring, PQ): each micro-batch pays its own Arrow
+    encode scan against the FIXED codebooks (recorded under meta/ on
+    the first batch, validated thereafter — one writer, one quantizer)
+    and lands as an atomically-published `codes/batch=<id>/` partition
+    (the directory IS the commit marker: a replay whose _SUCCESS
+    exists skips idempotently; a torn write never occupies the name).
+
+    Like IVF — and unlike minhash/substring — PQ has no derived table
+    to catch up on the replay-skip path: the codes ARE the only state,
+    and `pq_probe_adc` reads the partition tree directly (the `batch`
+    column rides the schema and is ignored by the probe's column
+    accesses). After draining, probe ≡ probe(build(all rows)): codes
+    are a per-row pure function of (vector, codebooks), and the ADC
+    scan is row-location-agnostic. `pq_index_compact` folds the batch
+    tree into the canonical flat codes table (the terminal fold of a
+    drained run — continue via `pq_index_append` afterwards, the same
+    house contract as the other three indexes)."""
+    import os
+
+    from parkour_spark import fs as pfs
+    from parkour_spark.artifacts import publish_dir, write_params
+    from parkour_spark.operators.pq import (
+        _check_pq_codebooks,
+        _codebooks_record,
+        pq_encode,
+    )
+
+    def ingest(batch_df, batch_id: int) -> None:
+        bdir = os.path.join(index_path, "codes", f"batch={batch_id}")
+        if pfs.exists(spark, os.path.join(bdir, "_SUCCESS")):
+            return  # replayed batch: committed, and codes are the only state
+        if pfs.exists(spark, bdir):
+            pfs.delete(spark, bdir)  # torn pre-contract dir: clean retry
+        if not pfs.exists(spark, os.path.join(index_path, "meta")):
+            write_params(
+                spark,
+                os.path.join(index_path, "meta"),
+                {
+                    "m": len(codebooks),
+                    "ksub": len(codebooks[0]),
+                    "dsub": len(codebooks[0][0][1]),
+                    "id_col": id_col,
+                    "codebooks": _codebooks_record(codebooks),
+                },
+            )
+        else:
+            _check_pq_codebooks(spark, index_path, codebooks)
+        codes = pq_encode(batch_df, codebooks, vec_col, id_col)
+        publish_dir(
+            spark,
+            bdir,
+            lambda tmp: codes.write.mode("overwrite").parquet(tmp),
+        )
+
+    stream = read_stream(spark, source_path, schema, max_files=max_files)
+    q = (
+        stream.writeStream.foreachBatch(ingest)
+        .option(
+            "checkpointLocation", os.path.join(index_path, "_checkpoint")
+        )
+        .start()
+    )
+    try:
+        q.processAllAvailable()
+    finally:
+        q.stop()
+        q.awaitTermination()
+    return index_path

@@ -126,3 +126,72 @@ def test_missing_meta_raises(spark, setup):
     empty = str(tf.mktemp("pq") / "nothing")
     with pytest.raises(ValueError, match="no PQ index meta"):
         pq_probe_adc(spark, empty, queries, k=5)
+
+
+def test_streaming_ingest_then_compact_equals_build(spark, setup, tmp_path):
+    """The streaming leg for the fourth index: 2-batch exactly-once
+    ingest ≡ build (probe identity), and the terminal compact folds
+    the batch tree into the canonical flat codes table with the probe
+    unchanged — the same five-leg contract as the other indexes."""
+    import os
+
+    from parkour_spark.operators.pq import pq_index_compact
+    from parkour_spark.streaming.windows import streaming_pq_ingest
+
+    emb, cbs, queries, _tf = setup
+    src = str(tmp_path / "src")
+    emb.repartition(2).write.parquet(src)
+    schema = spark.read.parquet(src).schema
+    idx = str(tmp_path / "idx")
+    streaming_pq_ingest(spark, src, schema, idx, cbs)
+    assert any(
+        d.startswith("batch=") for d in os.listdir(idx + "/codes")
+    )
+    full = str(tmp_path / "full")
+    pq_index_build(emb, cbs, full)
+    want = _rows(pq_probe_adc(spark, full, queries, k=5))
+    assert _rows(pq_probe_adc(spark, idx, queries, k=5)) == want
+    pq_index_compact(spark, idx, n_files=2)
+    assert not any(
+        d.startswith("batch=") for d in os.listdir(idx + "/codes")
+    )
+    assert _rows(pq_probe_adc(spark, idx, queries, k=5)) == want
+
+
+def test_streaming_ingest_replay_batch_skips(spark, setup, tmp_path):
+    """A committed codes/batch=0 dir wins over the replayed batch's
+    rows (exactly-once): the stream's own data for that id is
+    discarded, and later batches still land."""
+    from parkour_spark.operators.pq import pq_encode
+    from parkour_spark.streaming.windows import streaming_pq_ingest
+
+    emb, cbs, queries, _tf = setup
+    committed = emb.where(F.col("vec_id") < 10)
+    idx = str(tmp_path / "idx")
+    pq_encode(committed, cbs).write.parquet(idx + "/codes/batch=0")
+    src = str(tmp_path / "src")
+    # one file => one batch (id 0), carrying DIFFERENT rows
+    emb.where(F.col("vec_id").between(20, 29)).coalesce(1).write.parquet(src)
+    schema = spark.read.parquet(src).schema
+    streaming_pq_ingest(spark, src, schema, idx, cbs)
+    stored = {
+        r.vec_id for r in spark.read.parquet(idx + "/codes").collect()
+    }
+    assert stored == set(range(10)), "committed batch dir won"
+
+
+def test_streaming_ingest_codebook_mismatch_raises(spark, setup, tmp_path):
+    from parkour_spark.streaming.windows import streaming_pq_ingest
+
+    emb, cbs, queries, _tf = setup
+    src = str(tmp_path / "src")
+    emb.coalesce(1).write.parquet(src)
+    schema = spark.read.parquet(src).schema
+    idx = str(tmp_path / "idx")
+    pq_index_build(emb.limit(5), cbs, idx)
+    other = pq_train(emb, m=4, ksub=4, iters=1)
+    assert other != cbs
+    # the guard raises inside foreachBatch; Spark surfaces it as a
+    # StreamingQueryException wrapping the original message
+    with pytest.raises(Exception, match="codebook mismatch"):
+        streaming_pq_ingest(spark, src, schema, idx, other)
