@@ -351,3 +351,31 @@ def test_dedup_decode_fanback_joins_are_key_sized_broadcast(spark, queries):
     broadcast hash joins — payload bytes never enter a shuffle."""
     plan = _plan(queries["multimodal_dhash_dedup_decode"](spark, SF_DIR))
     assert "SortMergeJoin" not in plan, plan
+
+
+def test_pq_probe_reads_only_codes_no_join(spark, queries):
+    """The persisted-PQ serving path (pq_probe_adc): the plan must be
+    codes-scan → Arrow score → window top-k — NO join of any kind (the
+    query tables live in the closure) and exactly the one final-rank
+    shuffle. A corpus-side join or extra shuffle here is the
+    100 TB-scale bug this entry exists to prevent."""
+    plan = _plan(queries["pq_probe_persisted"](spark, SF_DIR))
+    assert "Join" not in plan, plan
+    # codes scan only: the vector column never reaches the probe scan
+    m = re.findall(r"FileScan parquet \[([^\]]*)\]", plan)
+    assert m, plan
+    for cols in m:
+        assert "embedding" not in cols, plan
+    # one exchange for the per-query rank window (+ the widen_scan
+    # round-robin rebalance, which is not a hash/range shuffle)
+    assert _shuffles(plan) <= 1, plan
+
+
+def test_ivf_probe_after_compact_keeps_partition_pruning(spark, queries):
+    """Compaction restores the canonical cell= layout — the probe's
+    static cell filter must still prune partitions (PartitionFilters
+    non-empty), and the probe side stays broadcast."""
+    plan = _plan(queries["ivf_probe_after_compact"](spark, SF_DIR))
+    assert re.search(r"PartitionFilters: \[[^\]]*cell", plan), plan
+    assert "BroadcastHashJoin" in plan, plan
+    assert "SortMergeJoin" not in plan, plan
