@@ -55,6 +55,8 @@ COMMENTARY = {
     "training_shards_manifest": "Shard manifest: shard id, token count, and the 60-bit doc hash are one scan-side projection; the XOR/count/sum manifest aggregates with map-side partials, so the Exchange carries n_shards x partitions cells.",
     "label_centroid_sums": "Class centroids: posexplode runs in the scan projection; the (label, pos) aggregate partial-aggs each partition to labels x dims cells before its single Exchange - integer micro-unit sums keep the merge associative and exact.",
     "ivf_probe_persisted_topk": "Probe-only IVF over the PERSISTED partitioned index: the scan line shows PartitionFilters on cell (the probed-cell set applied statically - only those directories open); the probe side broadcasts, and the only Exchange is the per-query ranking window. Build cost is paid once per corpus version, not per query batch.",
+    "pq_probe_persisted": "ADC serving from the PERSISTED PQ index (r10): the scan reads ONLY (vec_id, codes) - m longs per row, the vector column never appears in any scan - scoring is a NumPy gather per Arrow batch against lookup tables built once in the closure, and the plan contains NO join of any kind; the only hash Exchange is the per-query rank window. This is the ~m-bytes-per-vector read pattern that makes a compressed 100 TB corpus servable.",
+    "ivf_probe_after_compact": "IVF probe on a COMPACTED root (r10): compaction folded the per-append file sets back into one file set per cell partition, and the plan is bit-identical in shape to the fresh-build probe - PartitionFilters on cell still prune statically, the probe side still broadcasts, the only Exchange is the ranking window. The compaction claim (layout restored, zero row changes) is visible right here.",
     "minhash_probe_persisted": "Probe-only MinHash against the PERSISTED band index: the batch's band keys BROADCAST into the inverted-band scan, the (pair, batch-signature) candidate set broadcasts into the sigs scan - both index joins are BroadcastHashJoin, and the only shuffle is the batch-sized candidate distinct. Verification is the signature-agreement fold over stored longs; the corpus text appears NOWHERE in this plan (read once, at build).",
     "class_top_terms_source": "c-TF-IDF: one tokenize+explode feeds ONE (class, term) aggregate, which is CACHED - the broadcast 1-row A aggregate and the scoring pass both read InMemoryTableScan, never a second corpus scan; f(t) is a term-keyed window over that same table; the per-class top-k window prunes map-side (WindowGroupLimit).",
     "quality_auc_langid": "Rank-sum AUC: quality basis points + the label are one scan-side projection; ONE shuffle reduces the corpus to per-distinct-score cells (<=10^4 rows at any corpus size since the score is an integer), and the ordered window runs over that bounded table only - the plan contains no global row sort.",
