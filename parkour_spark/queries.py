@@ -2560,10 +2560,16 @@ def _l2_lloyd_ctes(prefix: str, src: str, seeds: str, lo: int, hi: int,
 
 
 def _ivfpq_oracle(k_coarse: int = 8, m: int = 4, ksub: int = 8, iters: int = 2,
-                  dim: int = 64, nprobe: int = 2, k: int = 10) -> str:
+                  dim: int = 64, nprobe: int = 2, k: int = 10,
+                  corpus_where: str | None = None) -> str:
     """Full IVF-PQ replay: L2 coarse Lloyd's over raw vectors →
     residuals → per-subspace L2 Lloyd's over residuals → probe nprobe
-    nearest cells per query → ADC distance through residual codes."""
+    nearest cells per query → ADC distance through residual codes.
+
+    `corpus_where` restricts the SCORED corpus only (both quantizer
+    trainings replay over the full table) — the r10 persisted-index
+    delete leg: quantizers are fixed at build, delete(B) scores
+    exactly the survivors."""
     dsub = dim // m
     parts = [
         "emb AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings)",
@@ -2619,7 +2625,7 @@ def _ivfpq_oracle(k_coarse: int = 8, m: int = 4, ksub: int = 8, iters: int = 2,
       FROM qres qr
       JOIN g_af ga ON ga.cell = qr.cell
       JOIN emb e ON e.vec_id = ga.vec_id
-      {joins})
+      {joins}{" WHERE " + corpus_where if corpus_where else ""})
     SELECT query_id, vec_id, rank, adc_d2 FROM (
       SELECT *, row_number() OVER (PARTITION BY query_id
                                    ORDER BY adc_d2 ASC, vec_id) AS rank
@@ -12348,4 +12354,144 @@ def q_pq_ingest_compact_probe(spark, sf_dir):
         _R10_INDEX_DIRS[key] = idx
     return pq_probe_adc(
         spark, _R10_INDEX_DIRS[key], _pq_queries(spark, sf_dir), k=10
+    )
+
+
+# ===========================================================================
+# r10 late additions: persisted IVF-PQ composite index (operators/pq.py)
+# — the FAISS IndexIVFPQ serving architecture as an artifact: partition
+# pruning from the coarse quantizer × m-byte candidates from the codes
+# ===========================================================================
+
+
+def _ivfpq_quantizers(spark, sf_dir):
+    from parkour_spark.operators.pq import kmeans_l2, pq_train, residual_df
+
+    emb = _t(spark, sf_dir, "embeddings")
+    if sf_dir not in _IVFPQ_INDEX:
+        coarse = kmeans_l2(emb, k=8, iters=2)
+        res = residual_df(emb, coarse).select(
+            "vec_id", F.col("res").alias("embedding")
+        )
+        cbs = pq_train(res, m=4, ksub=8, iters=2)
+        _IVFPQ_INDEX[sf_dir] = (coarse, cbs)
+    return _IVFPQ_INDEX[sf_dir]
+
+
+@query("ivfpq_probe_persisted", _ivfpq_oracle())
+def q_ivfpq_probe_persisted(spark, sf_dir):
+    """IVF-PQ served ENTIRELY from the persisted composite index
+    (pq.ivfpq_index_build + ivfpq_probe_topk): both quantizers train
+    once (the cached pair ivfpq_topk_l2 shares), ONE assign+encode
+    scan persists residual codes partitionBy(cell), and the probe
+    opens ONLY the nprobe probed cells' code files (static partition
+    filter from the persisted coarse centroids) scoring candidates
+    through stored codes — vectors are never read at query time. The
+    two scale levers compose: partition pruning cuts the candidate set
+    to probed lists, PQ cuts each candidate to m longs of I/O.
+    Arithmetic is exactly ivfpq_topk's on exactly its codes, so the
+    same full-replay oracle gates both."""
+    import tempfile
+
+    from parkour_spark.operators.pq import ivfpq_index_build, ivfpq_probe_topk
+
+    emb = _t(spark, sf_dir, "embeddings")
+    coarse, cbs = _ivfpq_quantizers(spark, sf_dir)
+    key = (sf_dir, "ivfpq")
+    if key not in _R10_INDEX_DIRS:
+        tmp = tempfile.mkdtemp(prefix="parkour_ivfpqidx_")
+        ivfpq_index_build(emb, coarse, cbs, tmp)
+        _R10_INDEX_DIRS[key] = tmp
+    queries = [
+        (int(r["vec_id"]), [float(x) for x in r["embedding"]])
+        for r in emb.where(F.col("vec_id") < 5)
+        .select("vec_id", "embedding")
+        .collect()
+    ]
+    return ivfpq_probe_topk(
+        spark, _R10_INDEX_DIRS[key], queries, k=10, nprobe=2
+    )
+
+
+@query("ivfpq_probe_after_append", _ivfpq_oracle())
+def q_ivfpq_probe_after_append(spark, sf_dir):
+    """Append identity for the composite index: build on
+    vec_id % 10 != 7 (quantizers fixed), append the rest — encoded
+    with the PERSISTED quantizers in one batch-sized scan — then
+    probe. Codes are per-row pure given both quantizers, so
+    append(B) ≡ build(A ∪ B); the oracle is the full-corpus replay."""
+    import tempfile
+
+    from parkour_spark.operators.pq import (
+        ivfpq_index_append,
+        ivfpq_index_build,
+        ivfpq_probe_topk,
+    )
+
+    emb = _t(spark, sf_dir, "embeddings")
+    coarse, cbs = _ivfpq_quantizers(spark, sf_dir)
+    key = (sf_dir, "ivfpq_append")
+    if key not in _R10_INDEX_DIRS:
+        tmp = tempfile.mkdtemp(prefix="parkour_ivfpqidx_app_")
+        ivfpq_index_build(
+            emb.where(F.col("vec_id") % 10 != 7), coarse, cbs, tmp
+        )
+        ivfpq_index_append(
+            emb.where(F.col("vec_id") % 10 == 7), tmp,
+            coarse=coarse, codebooks=cbs,
+        )
+        _R10_INDEX_DIRS[key] = tmp
+    queries = [
+        (int(r["vec_id"]), [float(x) for x in r["embedding"]])
+        for r in emb.where(F.col("vec_id") < 5)
+        .select("vec_id", "embedding")
+        .collect()
+    ]
+    return ivfpq_probe_topk(
+        spark, _R10_INDEX_DIRS[key], queries, k=10, nprobe=2
+    )
+
+
+@query(
+    "ivfpq_probe_after_delete",
+    _ivfpq_oracle(corpus_where="e.vec_id % 10 <> 7"),
+)
+def q_ivfpq_probe_after_delete(spark, sf_dir):
+    """Delete identity for the composite index: build on the full
+    corpus, physically retire vec_id % 10 == 7 (rows with their
+    vectors — coarse assignment addresses exactly the affected lists,
+    partition-pruned dynamic-overwrite rewrite, emptied cells
+    removed), probe. delete(B) ≡ build(A ∖ B); the oracle filters the
+    SCORED corpus to the survivors while both quantizer trainings
+    replay unfiltered — exactly how fixed persisted quantizers behave.
+    Query ids (vec_id < 5) are outside the delete set."""
+    import tempfile
+
+    from parkour_spark.operators.pq import (
+        ivfpq_index_build,
+        ivfpq_index_delete,
+        ivfpq_probe_topk,
+    )
+
+    emb = _t(spark, sf_dir, "embeddings")
+    coarse, cbs = _ivfpq_quantizers(spark, sf_dir)
+    key = (sf_dir, "ivfpq_delete")
+    if key not in _R10_INDEX_DIRS:
+        tmp = tempfile.mkdtemp(prefix="parkour_ivfpqidx_del_")
+        ivfpq_index_build(emb, coarse, cbs, tmp)
+        ivfpq_index_delete(
+            emb.where(F.col("vec_id") % 10 == 7).select(
+                "vec_id", "embedding"
+            ),
+            tmp,
+        )
+        _R10_INDEX_DIRS[key] = tmp
+    queries = [
+        (int(r["vec_id"]), [float(x) for x in r["embedding"]])
+        for r in emb.where(F.col("vec_id") < 5)
+        .select("vec_id", "embedding")
+        .collect()
+    ]
+    return ivfpq_probe_topk(
+        spark, _R10_INDEX_DIRS[key], queries, k=10, nprobe=2
     )

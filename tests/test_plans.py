@@ -379,3 +379,17 @@ def test_ivf_probe_after_compact_keeps_partition_pruning(spark, queries):
     assert re.search(r"PartitionFilters: \[[^\]]*cell", plan), plan
     assert "BroadcastHashJoin" in plan, plan
     assert "SortMergeJoin" not in plan, plan
+
+
+def test_ivfpq_probe_prunes_partitions_no_join(spark, queries):
+    """The persisted composite index's serving plan: static cell
+    PartitionFilters (only probed lists' files open), NO join (tables
+    live in the closure), vectors never scanned, one rank shuffle."""
+    plan = _plan(queries["ivfpq_probe_persisted"](spark, SF_DIR))
+    assert re.search(r"PartitionFilters: \[[^\]]*cell", plan), plan
+    assert "Join" not in plan, plan
+    m = re.findall(r"FileScan parquet \[([^\]]*)\]", plan)
+    assert m, plan
+    for cols in m:
+        assert "embedding" not in cols, plan
+    assert _shuffles(plan) <= 1, plan
