@@ -66,6 +66,14 @@ def entry(spark: SparkSession) -> DataFrame:
 #     freshness arithmetic promised in r8/r9. The streaming-ingest
 #     replay fix's entries ARE in-window (part of the 11).
 # (c) the 30 r4-era rows, verbatim (alphabetical).
+#
+# LATE ADDITIONS (landed after this window filled; each holds green
+# local full-gate evidence this round and they lead the r11 (a)
+# class): pq_probe_after_compact, streaming_pq_ingest_probe,
+# pq_ingest_compact_probe (the PQ streaming/compaction symmetry legs)
+# and ivfpq_probe_persisted, ivfpq_probe_after_append,
+# ivfpq_probe_after_delete (the persisted IVF-PQ composite index).
+# Registry at freeze: 279.
 _R10_WINDOW = [
     # (a) r9 late additions — zero driver rows until now
     "k_anonymity_docs", "fs_linkage_customers", "fs_linkage_tf_customers",

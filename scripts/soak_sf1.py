@@ -697,6 +697,49 @@ def _soak_ivf_compact_only(spark):
     return spark.read.parquet(f"{DST}/ivf_index.parquet").select("vec_id")
 
 
+def _soak_ivfpq_index_build(spark):
+    """Train both quantizer levels over the 10× corpus (coarse k=8 L2
+    Lloyd's + residual PQ m=4×ksub=8) and PERSIST the composite index
+    (pq.ivfpq_index_build, r10) — one assign+encode scan, residual
+    codes partitioned by coarse cell."""
+    from parkour_spark.operators.pq import (
+        ivfpq_index_build,
+        kmeans_l2,
+        pq_train,
+        residual_df,
+    )
+
+    emb = spark.read.parquet(f"{DST}/embeddings.parquet")
+    coarse = kmeans_l2(emb, k=8, iters=2)
+    res = residual_df(emb, coarse).select(
+        "vec_id", F.col("res").alias("embedding")
+    )
+    cbs = pq_train(res, m=4, ksub=8, iters=2)
+    globals()["_SOAK_IVFPQ_Q"] = (coarse, cbs)
+    ivfpq_index_build(emb, coarse, cbs, f"{DST}/ivfpq_index")
+    return spark.read.parquet(f"{DST}/ivfpq_index").select("vec_id")
+
+
+def _soak_ivfpq_probe_only(spark):
+    """Composite-index serving: the query batch opens only its nprobe
+    probed cells' CODE files (partition pruning × m-longs-per-candidate
+    compression). Measured claims: probe ≪ build, and probe ≪ the
+    inline ivfpq_topk_l2 row above (which re-assigns + re-encodes the
+    corpus per query batch)."""
+    from parkour_spark.operators.pq import ivfpq_probe_topk
+
+    emb = spark.read.parquet(f"{DST}/embeddings.parquet")
+    queries = [
+        (int(r["vec_id"]), [float(x) for x in r["embedding"]])
+        for r in emb.where(F.col("vec_id").between(100, 107))
+        .select("vec_id", "embedding")
+        .collect()
+    ]
+    return ivfpq_probe_topk(
+        spark, f"{DST}/ivfpq_index", queries, k=10, nprobe=2
+    )
+
+
 def _soak_words(spark):
     docs = spark.read.parquet(f"{DST}/documents.parquet")
     return (
@@ -764,6 +807,8 @@ SOAK_CUSTOM = {
     "minhash_index_compact_only": _soak_minhash_compact_only,
     "substring_index_compact_only": _soak_substring_compact_only,
     "ivf_index_compact_only": _soak_ivf_compact_only,
+    "ivfpq_index_build": _soak_ivfpq_index_build,
+    "ivfpq_probe_only": _soak_ivfpq_probe_only,
     "bpe_train_seq16": _soak_bpe_seq16,
     "bpe_train_batched16": _soak_bpe_batched16,
 }
