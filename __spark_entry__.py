@@ -70,10 +70,13 @@ def entry(spark: SparkSession) -> DataFrame:
 # LATE ADDITIONS (landed after this window filled; each holds green
 # local full-gate evidence this round and they lead the r11 (a)
 # class): pq_probe_after_compact, streaming_pq_ingest_probe,
-# pq_ingest_compact_probe (the PQ streaming/compaction symmetry legs)
-# and ivfpq_probe_persisted, ivfpq_probe_after_append,
-# ivfpq_probe_after_delete (the persisted IVF-PQ composite index).
-# Registry at freeze: 279.
+# pq_ingest_compact_probe (the PQ streaming/compaction symmetry legs);
+# ivfpq_probe_persisted, ivfpq_probe_after_append,
+# ivfpq_probe_after_delete (the persisted IVF-PQ composite index);
+# text_probe_persisted, text_probe_after_append,
+# text_probe_after_delete, text_ingest_compact_probe (the persisted
+# full-text retrieval index — the fifth index family).
+# Registry at freeze: 283.
 _R10_WINDOW = [
     # (a) r9 late additions — zero driver rows until now
     "k_anonymity_docs", "fs_linkage_customers", "fs_linkage_tf_customers",

@@ -1,0 +1,304 @@
+"""Persisted full-text retrieval index (inverted postings + BM25
+probe) — the FIFTH persisted-index family (r10).
+
+`corpus.bm25_topk` re-tokenizes the whole corpus per query batch —
+right for one-shot jobs, wrong for serving: a retrieval deployment
+over 100 TB tokenizes ONCE and serves every query from stored
+postings. Layout under `path` (the dseq/dsink write-then-read-back
+contract, /root/reference/src/clojure/parkour/io/dsink.clj:14-44 —
+an index is this engine's dsink):
+
+  postings/ — (term, doc_id, tf, dl) partitioned by
+              tbucket = hash_bucket(term, n_buckets): the inverted
+              file. The bucket is the text analog of an IVF cell — a
+              query's terms hash to a handful of buckets, which apply
+              as a STATIC partition filter so the probe opens only
+              those buckets' files (plus sortWithinPartitions(term)
+              → tight term min/max footer stats for row-group skip).
+              dl is denormalized onto each posting so probing never
+              joins a doc-length table.
+  doclen/   — (doc_id, dl), one row per doc INCLUDING dl=0 docs (they
+              carry no postings but belong in N and avgdl — dropping
+              them would silently shift every idf).
+  stats/    — 1-row (n_docs, n_total) derived from doclen/, rewritten
+              wholesale on every mutation via the artifacts swap (the
+              bands/lists discipline: derived state is recomputed from
+              stored rows, never incrementally patched).
+  meta/     — {n_buckets, id_col} via the shared parameter guard: the
+              bucket layout is a property of the stored bytes, so a
+              probe/append with a different bucket count would read or
+              write the wrong partitions — mismatch raises.
+
+df_t is NOT stored: it equals the number of postings rows for t, so
+the probe derives it with a window over its (tiny, query-term-sized)
+postings slice — exactly how the inline bm25_topk computes it, which
+is what makes probe ≡ inline an identity rather than an
+approximation.
+
+Lifecycle identities (each gate-pinned): probe(build(A)) ≡
+bm25_topk(A); append(B) ≡ build(A∪B) — postings/doclen are per-doc
+pure, stats re-derive from full membership; delete(B) ≡ build(A∖B) —
+physical removal, df/idf shift exactly as a survivor build because df
+is probe-derived; ingest(Σ batches) ≡ build(all) — exactly-once
+commit-marker batch dirs; compact changes zero rows.
+
+SCALE: build pays the one corpus tokenize + one (term, doc) shuffle.
+A probe's cost is Σ_t df_t postings rows read from ≤|terms| buckets —
+independent of corpus size for selective terms; a stopword term costs
+its full postings list (one partition-pruned columnar scan, never a
+corpus re-tokenize). Impact-ordering/WAND-style early termination
+would cut the stopword case further; documented as future work, not
+claimed.
+"""
+
+from __future__ import annotations
+
+import hashlib
+import os
+from typing import Iterable
+
+from pyspark.sql import DataFrame, Window, functions as F
+
+from parkour_spark.functions.sampling import hash_bucket
+from parkour_spark.functions.text import token_count, tokens
+from parkour_spark.operators.sort import explode_fast, widen_scan
+
+
+def _py_bucket(term: str, n_buckets: int) -> int:
+    """Driver-side replica of functions.sampling.hash_bucket — the
+    probe computes its query terms' buckets without a Spark job."""
+    return int(hashlib.md5(term.encode()).hexdigest()[:8], 16) % n_buckets
+
+
+def _postings(
+    docs: DataFrame, text_col: str, id_col: str, n_buckets: int
+) -> DataFrame:
+    base = explode_fast(
+        widen_scan(docs),
+        tokens(F.lower(F.col(text_col))),
+        "term",
+        keep=[F.col(id_col), token_count(F.col(text_col)).alias("dl")],
+    )
+    return (
+        base.groupBy("term", id_col, "dl")
+        .agg(F.count("*").alias("tf"))
+        .withColumn("tbucket", hash_bucket(F.col("term"), n_buckets))
+    )
+
+
+def _doclen(docs: DataFrame, text_col: str, id_col: str) -> DataFrame:
+    return docs.select(
+        F.col(id_col), token_count(F.col(text_col)).alias("dl")
+    )
+
+
+def _write_stats(spark, path: str) -> None:
+    """(Re)derive the 1-row corpus stats from the stored doclen table —
+    wholesale-rewritten derived state, atomic swap."""
+    from parkour_spark.artifacts import publish_swap
+
+    stats = spark.read.parquet(path + "/doclen").agg(
+        F.count("*").alias("n_docs"),
+        F.coalesce(F.sum("dl"), F.lit(0)).cast("long").alias("n_total"),
+    )
+    publish_swap(
+        spark,
+        path + "/stats",
+        lambda tmp: stats.coalesce(1).write.mode("overwrite").parquet(tmp),
+    )
+
+
+def _check_text_meta(spark, path: str, n_buckets: int | None) -> None:
+    from parkour_spark.artifacts import check_params
+
+    called = {} if n_buckets is None else {"n_buckets": n_buckets}
+    check_params(spark, path + "/meta", called, kind="text index")
+
+
+def _read_meta(spark, path: str) -> dict:
+    from parkour_spark.artifacts import read_params
+
+    rec = read_params(spark, path + "/meta")
+    if rec is None:
+        raise ValueError(f"no text index meta under {path}")
+    return rec
+
+
+def text_index_build(
+    docs: DataFrame,
+    path: str,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    n_buckets: int = 16,
+) -> None:
+    """Build and PERSIST the inverted index: ONE corpus tokenize + one
+    (term, doc) shuffle writes term-bucketed postings (co-located, one
+    file set per bucket, term-sorted within files), the doc-length
+    table, the derived stats row, and the layout record."""
+    from parkour_spark.artifacts import write_params
+
+    spark = docs.sparkSession
+    (
+        _postings(docs, text_col, id_col, n_buckets)
+        .repartition("tbucket")
+        .sortWithinPartitions("term", id_col)
+        .write.mode("overwrite")
+        .partitionBy("tbucket")
+        .parquet(path + "/postings")
+    )
+    _doclen(docs, text_col, id_col).write.mode("overwrite").parquet(
+        path + "/doclen"
+    )
+    write_params(
+        spark, path + "/meta", {"n_buckets": n_buckets, "id_col": id_col}
+    )
+    _write_stats(spark, path)
+
+
+def text_index_append(
+    new_docs: DataFrame,
+    path: str,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    n_buckets: int | None = None,
+) -> None:
+    """Append an ingest batch: the batch pays ONLY its own tokenize +
+    batch-sized shuffle (the old corpus is never re-read); stats
+    re-derive from the full stored membership. Passing `n_buckets`
+    validates it against the persisted layout (mismatch raises — rows
+    would land in the wrong partitions). Batch ids must be disjoint
+    from the index's (the standard delta contract — a duplicate id
+    would double-count its postings)."""
+    spark = new_docs.sparkSession
+    _check_text_meta(spark, path, n_buckets)
+    nb = int(_read_meta(spark, path)["n_buckets"])
+    (
+        _postings(new_docs, text_col, id_col, nb)
+        .repartition("tbucket")
+        .sortWithinPartitions("term", id_col)
+        .write.mode("append")
+        .partitionBy("tbucket")
+        .parquet(path + "/postings")
+    )
+    _doclen(new_docs, text_col, id_col).write.mode("append").parquet(
+        path + "/doclen"
+    )
+    _write_stats(spark, path)
+
+
+def text_index_delete(spark, ids: DataFrame, path: str) -> None:
+    """DELETE documents: physical anti-join rewrites of postings/ and
+    doclen/ (published atomically), stats re-derived. df_t shrinks
+    exactly as a survivor build because df is probe-derived from the
+    stored rows — delete(B) ≡ build(A∖B) with idf shifts included
+    (gate-pinned). The broadcast delete set touches every bucket's
+    postings once; corpus text is never re-tokenized."""
+    from parkour_spark.artifacts import publish_swap
+
+    id_col = _read_meta(spark, path)["id_col"]
+    ids_only = F.broadcast(ids.select(F.col(ids.columns[0]).alias(id_col)))
+    surv_post = spark.read.parquet(path + "/postings").join(
+        ids_only, id_col, "left_anti"
+    )
+    publish_swap(
+        spark,
+        path + "/postings",
+        lambda tmp: surv_post.repartition("tbucket")
+        .sortWithinPartitions("term", id_col)
+        .write.mode("overwrite")
+        .partitionBy("tbucket")
+        .parquet(tmp),
+    )
+    surv_len = spark.read.parquet(path + "/doclen").join(
+        ids_only, id_col, "left_anti"
+    )
+    publish_swap(
+        spark,
+        path + "/doclen",
+        lambda tmp: surv_len.write.mode("overwrite").parquet(tmp),
+    )
+    _write_stats(spark, path)
+
+
+def text_index_compact(spark, path: str) -> None:
+    """Fold per-append/per-batch file sets back into one co-located,
+    term-sorted file set per bucket — exact row preservation, atomic
+    swap, text never re-tokenized; any streaming `batch` partition
+    column is dropped (the terminal-fold contract the other indexes
+    share). doclen/ compacts with it; stats/ is 1 row and needs
+    nothing."""
+    from parkour_spark.artifacts import publish_swap
+
+    id_col = _read_meta(spark, path)["id_col"]
+    post = spark.read.parquet(path + "/postings").select(
+        "term", id_col, "dl", "tf", "tbucket"
+    )
+    publish_swap(
+        spark,
+        path + "/postings",
+        lambda tmp: post.repartition("tbucket")
+        .sortWithinPartitions("term", id_col)
+        .write.mode("overwrite")
+        .partitionBy("tbucket")
+        .parquet(tmp),
+    )
+    dlen = spark.read.parquet(path + "/doclen").select(id_col, "dl")
+    publish_swap(
+        spark,
+        path + "/doclen",
+        lambda tmp: dlen.repartition(4)
+        .write.mode("overwrite")
+        .parquet(tmp),
+    )
+
+
+def text_index_probe_bm25(
+    spark,
+    path: str,
+    query_terms: Iterable[str],
+    k: int = 10,
+    k1: float = 1.2,
+    b: float = 0.75,
+) -> DataFrame:
+    """Okapi BM25 top-k served ENTIRELY from the persisted index: the
+    query terms' buckets (computed driver-side with the same md5
+    bucket fn) apply as a STATIC partition filter, the term IN-list
+    pushes into the pruned scan, df derives from the query-term
+    postings slice via a window, and the corpus stats ride in as a
+    broadcast 1-row table. Identical float/rounding expressions to
+    `corpus.bm25_topk` on identical (tf, dl, df, N, total) inputs, so
+    probe(build(A)) ≡ inline BM25 over A — the gate pins it against
+    the same ANSI oracle. The corpus text appears NOWHERE in this
+    plan: tokenization was paid once, at build."""
+    meta = _read_meta(spark, path)
+    id_col, nb = meta["id_col"], int(meta["n_buckets"])
+    qlist = sorted(set(query_terms))
+    buckets = sorted({_py_bucket(t, nb) for t in qlist})
+    tf = (
+        spark.read.parquet(path + "/postings")
+        .where(F.col("tbucket").isin(buckets))
+        .where(F.col("term").isin(qlist))
+        .select(id_col, "dl", "term", "tf")
+    )
+    tf = tf.withColumn("df", F.count("*").over(Window.partitionBy("term")))
+    totals = spark.read.parquet(path + "/stats")
+    avgdl = F.col("n_total").cast("double") / F.col("n_docs")
+    idf = F.log(
+        1 + (F.col("n_docs") - F.col("df") + 0.5) / (F.col("df") + 0.5)
+    )
+    tfn = (F.col("tf") * (k1 + 1)) / (
+        F.col("tf") + k1 * ((1 - b) + b * F.col("dl") / avgdl)
+    )
+    scored = (
+        tf.crossJoin(F.broadcast(totals))
+        .select(
+            F.col(id_col),
+            F.round(idf * tfn * 1e6).cast("long").alias("term_micro"),
+        )
+        .groupBy(id_col)
+        .agg(
+            F.count("*").alias("n_qterms"),
+            F.sum("term_micro").alias("score_micro"),
+        )
+    )
+    return scored.orderBy(F.col("score_micro").desc(), F.col(id_col)).limit(k)

@@ -12495,3 +12495,166 @@ def q_ivfpq_probe_after_delete(spark, sf_dir):
     return ivfpq_probe_topk(
         spark, _R10_INDEX_DIRS[key], queries, k=10, nprobe=2
     )
+
+
+# ===========================================================================
+# r10 late additions: persisted full-text retrieval index
+# (operators/textindex.py) — the FIFTH persisted-index family: build
+# once (one corpus tokenize), serve BM25 from term-bucketed postings
+# ===========================================================================
+
+
+def _bm25_idx_oracle(where: str | None = None, k: int = 10) -> str:
+    """The bm25_search replay, parameterized with an optional document
+    filter — the delete leg scores exactly the survivor corpus (df, N,
+    and avgdl all shift as a survivor build, because the index derives
+    them from stored membership)."""
+    w = f"WHERE {where}" if where else ""
+    return f"""
+    WITH docs_f AS (SELECT * FROM documents {w}),
+    base AS (
+      SELECT doc_id, len({_TOKS_SQL})::BIGINT AS dl, unnest({_TOKS_SQL}) AS term
+      FROM docs_f),
+    tf AS (SELECT doc_id, dl, term, count(*) AS tf FROM base
+           WHERE term IN ('hash', 'join', 'scan') GROUP BY doc_id, dl, term),
+    wdf AS (SELECT *, count(*) OVER (PARTITION BY term) AS df FROM tf),
+    tot AS (SELECT count(*) AS n_docs,
+                   (SELECT sum(len({_TOKS_SQL}))::BIGINT FROM docs_f) AS n_total
+            FROM docs_f),
+    scored AS (
+      SELECT doc_id,
+             round(ln(1 + (n_docs - df + 0.5) / (df + 0.5))
+                   * ((tf * 2.2) / (tf + 1.2 * (0.25 + 0.75 * dl / (n_total::DOUBLE / n_docs))))
+                   * 1e6)::BIGINT AS term_micro
+      FROM wdf, tot)
+    SELECT doc_id, count(*)::BIGINT AS n_qterms, sum(term_micro)::BIGINT AS score_micro
+    FROM scored GROUP BY doc_id
+    ORDER BY score_micro DESC, doc_id LIMIT {k}
+    """
+
+
+@query("text_probe_persisted", _bm25_idx_oracle())
+def q_text_probe_persisted(spark, sf_dir):
+    """BM25 served ENTIRELY from the persisted inverted index
+    (textindex.text_index_build + text_index_probe_bm25): one corpus
+    tokenize at build writes term-bucketed postings with denormalized
+    doc lengths; the probe's terms hash to their buckets DRIVER-SIDE
+    and apply as a static partition filter, df derives from the
+    query-term postings slice, stats ride in as a broadcast 1-row
+    table — the corpus text appears nowhere in the probe plan.
+    Identical scoring expressions to the inline bm25_topk on identical
+    inputs, so the SAME ANSI oracle gates both (probe ≡ inline, an
+    identity — the bm25_search entry is the inline twin)."""
+    import tempfile
+
+    from parkour_spark.operators.textindex import (
+        text_index_build,
+        text_index_probe_bm25,
+    )
+
+    docs = _t(spark, sf_dir, "documents")
+    key = (sf_dir, "text")
+    if key not in _R10_INDEX_DIRS:
+        tmp = tempfile.mkdtemp(prefix="parkour_textidx_")
+        text_index_build(docs, tmp, n_buckets=16)
+        _R10_INDEX_DIRS[key] = tmp
+    return text_index_probe_bm25(
+        spark, _R10_INDEX_DIRS[key], _BM25_TERMS, k=10
+    )
+
+
+@query("text_probe_after_append", _bm25_idx_oracle())
+def q_text_probe_after_append(spark, sf_dir):
+    """Append identity for the text index: build on the content-hash
+    bottom 80% of documents, append the rest (the batch pays only its
+    own tokenize; stats re-derive from full stored membership; df is
+    probe-derived so there is no inverted-table rebuild at all), then
+    probe. append(B) ≡ build(A∪B) — the oracle is the full-corpus
+    replay."""
+    import tempfile
+
+    from parkour_spark.functions.sampling import hash_bucket
+    from parkour_spark.operators.textindex import (
+        text_index_append,
+        text_index_build,
+        text_index_probe_bm25,
+    )
+
+    docs = _t(spark, sf_dir, "documents")
+    bkt = hash_bucket(F.col("doc_id"), 100)
+    key = (sf_dir, "text_append")
+    if key not in _R10_INDEX_DIRS:
+        tmp = tempfile.mkdtemp(prefix="parkour_textidx_app_")
+        text_index_build(docs.where(bkt < 80), tmp, n_buckets=16)
+        text_index_append(docs.where(bkt >= 80), tmp, n_buckets=16)
+        _R10_INDEX_DIRS[key] = tmp
+    return text_index_probe_bm25(
+        spark, _R10_INDEX_DIRS[key], _BM25_TERMS, k=10
+    )
+
+
+@query(
+    "text_probe_after_delete",
+    _bm25_idx_oracle(where="doc_id % 10 <> 7"),
+)
+def q_text_probe_after_delete(spark, sf_dir):
+    """Delete identity for the text index: build on the full corpus,
+    physically retire doc_id % 10 == 7 (anti-join rewrites of postings
+    and doclen, stats re-derived), probe. The oracle replays BM25 over
+    the SURVIVORS ONLY — df, N, and avgdl all shift exactly as a
+    survivor build would, because the index derives every statistic
+    from stored membership rather than caching scores. delete(B) ≡
+    build(A∖B), idf shifts included."""
+    import tempfile
+
+    from parkour_spark.operators.textindex import (
+        text_index_build,
+        text_index_delete,
+        text_index_probe_bm25,
+    )
+
+    docs = _t(spark, sf_dir, "documents")
+    key = (sf_dir, "text_delete")
+    if key not in _R10_INDEX_DIRS:
+        tmp = tempfile.mkdtemp(prefix="parkour_textidx_del_")
+        text_index_build(docs, tmp, n_buckets=16)
+        text_index_delete(
+            spark, docs.where(F.col("doc_id") % 10 == 7).select("doc_id"), tmp
+        )
+        _R10_INDEX_DIRS[key] = tmp
+    return text_index_probe_bm25(
+        spark, _R10_INDEX_DIRS[key], _BM25_TERMS, k=10
+    )
+
+
+@query("text_ingest_compact_probe", _bm25_idx_oracle())
+def q_text_ingest_compact_probe(spark, sf_dir):
+    """END-TO-END pipeline for the text index: 4-batch exactly-once
+    streaming ingest (the doclen+postings pair commits on the postings
+    marker; stats re-derive per batch), drain, COMPACT back to one
+    term-sorted file set per bucket, probe. Oracle = the full-corpus
+    BM25 replay: ingest → compact ≡ build for the fifth index family —
+    all five persisted indexes now gate the composed operating loop."""
+    import tempfile
+
+    from parkour_spark.operators.textindex import (
+        text_index_compact,
+        text_index_probe_bm25,
+    )
+    from parkour_spark.streaming.windows import streaming_text_ingest
+
+    docs = _t(spark, sf_dir, "documents")
+    key = (sf_dir, "text_icp")
+    if key not in _R10_INDEX_DIRS:
+        src = tempfile.mkdtemp(prefix="parkour_text_icp_src_")
+        docs.select("doc_id", "text").repartition(4).write.mode(
+            "overwrite"
+        ).parquet(src)
+        schema = spark.read.parquet(src).schema
+        idx = tempfile.mkdtemp(prefix="parkour_text_icp_idx_")
+        streaming_text_ingest(spark, src, schema, idx, n_buckets=16)
+        text_index_compact(spark, idx)
+        _R10_INDEX_DIRS[key] = idx
+    return text_index_probe_bm25(
+        spark, _R10_INDEX_DIRS[key], _BM25_TERMS, k=10
+    )

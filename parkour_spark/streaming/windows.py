@@ -1135,3 +1135,96 @@ def streaming_pq_ingest(
         q.stop()
         q.awaitTermination()
     return index_path
+
+
+def streaming_text_ingest(
+    spark,
+    source_path: str,
+    schema,
+    index_path: str,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    n_buckets: int = 16,
+    max_files: int = 1,
+) -> str:
+    """EXACTLY-ONCE streaming ingestion into the persisted full-text
+    index (r10) — the fifth index family's streaming leg: each
+    micro-batch pays its own tokenize + batch-sized shuffle, landing
+    as atomically-published `doclen/batch=<id>/` and
+    `postings/batch=<id>/tbucket=<b>/` partitions, with the 1-row
+    stats table re-derived from the full stored doclen after each
+    batch (derived state, the bands/lists discipline).
+
+    Two directories per batch form ONE commit unit: doclen publishes
+    FIRST, postings second, and the POSTINGS marker is the commit
+    point. A replay whose postings marker exists skips (and re-runs
+    the idempotent stats rewrite — the r9-ADVICE catch-up rule, since
+    a crash can land between the postings publish and the stats
+    rewrite); a replay that finds doclen committed but postings not is
+    the torn middle state — both dirs are rebuilt, so the pair commits
+    or neither does. After draining: probe ≡ probe(build(all)),
+    gate-pinned; `text_index_compact` is the terminal fold."""
+    import os
+
+    from parkour_spark import fs as pfs
+    from parkour_spark.artifacts import publish_dir, write_params
+    from parkour_spark.operators.textindex import (
+        _check_text_meta,
+        _doclen,
+        _postings,
+        _write_stats,
+    )
+
+    def ingest(batch_df, batch_id: int) -> None:
+        pdir = os.path.join(index_path, "postings", f"batch={batch_id}")
+        ldir = os.path.join(index_path, "doclen", f"batch={batch_id}")
+        if pfs.exists(spark, os.path.join(pdir, "_SUCCESS")):
+            # replayed batch: the pair is committed, but stats/ may lag
+            # it — the rewrite is idempotent, re-run it (r9 ADVICE)
+            _write_stats(spark, index_path)
+            return
+        if pfs.exists(spark, pdir):
+            pfs.delete(spark, pdir)  # torn pre-contract dir
+        if pfs.exists(spark, ldir):
+            pfs.delete(spark, ldir)  # torn pair: doclen without postings
+        if not pfs.exists(spark, os.path.join(index_path, "meta")):
+            write_params(
+                spark,
+                os.path.join(index_path, "meta"),
+                {"n_buckets": n_buckets, "id_col": id_col},
+            )
+        else:
+            _check_text_meta(spark, index_path, n_buckets)
+        publish_dir(
+            spark,
+            ldir,
+            lambda tmp: _doclen(batch_df, text_col, id_col)
+            .write.mode("overwrite")
+            .parquet(tmp),
+        )
+        publish_dir(
+            spark,
+            pdir,
+            lambda tmp: _postings(batch_df, text_col, id_col, n_buckets)
+            .repartition("tbucket")
+            .sortWithinPartitions("term", id_col)
+            .write.mode("overwrite")
+            .partitionBy("tbucket")
+            .parquet(tmp),
+        )
+        _write_stats(spark, index_path)
+
+    stream = read_stream(spark, source_path, schema, max_files=max_files)
+    q = (
+        stream.writeStream.foreachBatch(ingest)
+        .option(
+            "checkpointLocation", os.path.join(index_path, "_checkpoint")
+        )
+        .start()
+    )
+    try:
+        q.processAllAvailable()
+    finally:
+        q.stop()
+        q.awaitTermination()
+    return index_path

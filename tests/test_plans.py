@@ -393,3 +393,20 @@ def test_ivfpq_probe_prunes_partitions_no_join(spark, queries):
     for cols in m:
         assert "embedding" not in cols, plan
     assert _shuffles(plan) <= 1, plan
+
+
+def test_text_probe_prunes_buckets_and_pushes_terms(spark, queries):
+    """The persisted text index's serving plan: static tbucket
+    PartitionFilters (only the query terms' buckets open), the term
+    IN-list pushed to the postings scan, the 1-row stats side
+    broadcast, and NO scan of the documents table (tokenization was
+    paid at build)."""
+    plan = _plan(queries["text_probe_persisted"](spark, SF_DIR))
+    assert re.search(r"PartitionFilters: \[[^\]]*tbucket", plan), plan
+    assert re.search(r"PushedFilters: \[[^\]]*In\(term", plan), plan
+    assert "BroadcastNestedLoopJoin" in plan or "BroadcastExchange" in plan, plan
+    assert "SortMergeJoin" not in plan, plan
+    m = re.findall(r"FileScan parquet \[([^\]]*)\]", plan)
+    assert m, plan
+    for cols in m:
+        assert "text" not in cols.split(","), plan

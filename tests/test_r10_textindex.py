@@ -1,0 +1,171 @@
+"""Round-10: persisted full-text retrieval index
+(operators/textindex.py — the fifth index family). Gate entries pin
+the lifecycle against the ANSI BM25 replay at sf0.01; these tests pin
+the mechanics: probe ≡ inline bm25_topk, append/delete identity with
+df/idf shifts, zero-length docs in the stats, compact identity,
+streaming pair-commit semantics, and the layout guard."""
+
+import os
+
+import pytest
+from pyspark.sql import functions as F
+
+from parkour_spark.operators.corpus import bm25_topk
+from parkour_spark.operators.textindex import (
+    _py_bucket,
+    text_index_append,
+    text_index_build,
+    text_index_compact,
+    text_index_delete,
+    text_index_probe_bm25,
+)
+
+TERMS = ("spark", "shuffle", "scan")
+
+
+def _docs(spark, rows):
+    return spark.createDataFrame(rows, "doc_id long, text string")
+
+
+@pytest.fixture(scope="module")
+def corpus(spark):
+    rows = []
+    words = ["spark", "shuffle", "scan", "join", "agg", "read", "write"]
+    for i in range(30):
+        body = " ".join(words[j % len(words)] for j in range(i, i + 5 + i % 7))
+        rows.append((i, body))
+    rows.append((98, ""))  # zero-length doc: no postings, but in N/avgdl
+    rows.append((99, "spark spark spark shuffle"))
+    return _docs(spark, rows)
+
+
+def _rows(df):
+    return sorted(
+        (r.doc_id, r.n_qterms, r.score_micro) for r in df.collect()
+    )
+
+
+def test_probe_equals_inline_bm25(spark, corpus, tmp_path):
+    idx = str(tmp_path / "idx")
+    text_index_build(corpus, idx, n_buckets=8)
+    probe = text_index_probe_bm25(spark, idx, TERMS, k=8)
+    inline = bm25_topk(corpus, TERMS, k=8)
+    assert _rows(probe) == _rows(inline)
+    # the zero-length doc is in the persisted stats (N, avgdl)
+    st = spark.read.parquet(idx + "/stats").collect()[0]
+    assert st.n_docs == corpus.count()
+
+
+def test_append_equals_combined_build(spark, corpus, tmp_path):
+    inc, full = str(tmp_path / "inc"), str(tmp_path / "full")
+    text_index_build(corpus.where(F.col("doc_id") % 3 != 0), inc, n_buckets=8)
+    text_index_append(corpus.where(F.col("doc_id") % 3 == 0), inc, n_buckets=8)
+    text_index_build(corpus, full, n_buckets=8)
+    assert _rows(text_index_probe_bm25(spark, inc, TERMS, k=8)) == _rows(
+        text_index_probe_bm25(spark, full, TERMS, k=8)
+    )
+
+
+def test_delete_shifts_df_like_survivor_build(spark, corpus, tmp_path):
+    """The sharp delete property: removing docs that CONTAIN a query
+    term must shift that term's df (and so every survivor's idf)
+    exactly as a fresh build of the survivors — a cached-score index
+    would get this wrong."""
+    idx, surv = str(tmp_path / "idx"), str(tmp_path / "surv")
+    dead = corpus.where(F.col("doc_id") % 4 == 1)
+    text_index_build(corpus, idx, n_buckets=8)
+    text_index_delete(spark, dead.select("doc_id"), idx)
+    text_index_build(corpus.where(F.col("doc_id") % 4 != 1), surv, n_buckets=8)
+    got = _rows(text_index_probe_bm25(spark, idx, TERMS, k=8))
+    assert got == _rows(text_index_probe_bm25(spark, surv, TERMS, k=8))
+    # physical removal from both tables
+    for sub in ("postings", "doclen"):
+        stored = {
+            r.doc_id for r in spark.read.parquet(f"{idx}/{sub}").collect()
+        }
+        assert stored.isdisjoint({r.doc_id for r in dead.collect()})
+
+
+def test_compact_preserves_rows_probe_and_layout(spark, corpus, tmp_path):
+    idx = str(tmp_path / "idx")
+    text_index_build(corpus.where(F.col("doc_id") % 3 != 0), idx, n_buckets=4)
+    text_index_append(corpus.where(F.col("doc_id") % 3 == 0), idx)
+    before = _rows(text_index_probe_bm25(spark, idx, TERMS, k=8))
+    stored_before = sorted(
+        (r.term, r.doc_id, r.tf, r.dl, int(r.tbucket))
+        for r in spark.read.parquet(idx + "/postings").collect()
+    )
+    text_index_compact(spark, idx)
+    buckets = [
+        d for d in os.listdir(idx + "/postings") if d.startswith("tbucket=")
+    ]
+    assert buckets
+    for bdir in buckets:
+        files = [
+            f
+            for f in os.listdir(os.path.join(idx, "postings", bdir))
+            if f.endswith(".parquet")
+        ]
+        assert len(files) == 1, (bdir, files)
+    stored_after = sorted(
+        (r.term, r.doc_id, r.tf, r.dl, int(r.tbucket))
+        for r in spark.read.parquet(idx + "/postings").collect()
+    )
+    assert stored_before == stored_after
+    assert _rows(text_index_probe_bm25(spark, idx, TERMS, k=8)) == before
+
+
+def test_bucket_fn_matches_spark_side(spark, corpus, tmp_path):
+    """The driver-side bucket replica must agree with the Spark-side
+    hash_bucket for every stored term — a drift here silently prunes
+    the WRONG partitions and loses postings."""
+    idx = str(tmp_path / "idx")
+    text_index_build(corpus, idx, n_buckets=8)
+    rows = (
+        spark.read.parquet(idx + "/postings")
+        .select("term", "tbucket")
+        .distinct()
+        .collect()
+    )
+    assert rows
+    for r in rows:
+        assert _py_bucket(r.term, 8) == int(r.tbucket), r.term
+
+
+def test_streaming_ingest_pair_commit_and_equality(spark, corpus, tmp_path):
+    """2-batch exactly-once ingest ≡ build; a pre-staged TORN PAIR
+    (doclen committed, postings not) is rebuilt — the pair commits on
+    the postings marker or not at all."""
+    from parkour_spark.operators.textindex import _doclen
+    from parkour_spark.streaming.windows import streaming_text_ingest
+
+    src = str(tmp_path / "src")
+    corpus.repartition(2).write.parquet(src)
+    schema = spark.read.parquet(src).schema
+    idx = str(tmp_path / "idx")
+    # torn middle state from a "crashed" run: doclen/batch=0 committed
+    # with WRONG rows, postings/batch=0 absent
+    _doclen(_docs(spark, [(777, "junk")]), "text", "doc_id").write.parquet(
+        idx + "/doclen/batch=0"
+    )
+    streaming_text_ingest(spark, src, schema, idx, n_buckets=8)
+    full = str(tmp_path / "full")
+    text_index_build(corpus, full, n_buckets=8)
+    assert _rows(text_index_probe_bm25(spark, idx, TERMS, k=8)) == _rows(
+        text_index_probe_bm25(spark, full, TERMS, k=8)
+    )
+    lens = {r.doc_id for r in spark.read.parquet(idx + "/doclen").collect()}
+    assert 777 not in lens, "torn doclen dir was rebuilt, not trusted"
+    text_index_compact(spark, idx)
+    assert _rows(text_index_probe_bm25(spark, idx, TERMS, k=8)) == _rows(
+        text_index_probe_bm25(spark, full, TERMS, k=8)
+    )
+
+
+def test_meta_guard_raises(spark, corpus, tmp_path):
+    idx = str(tmp_path / "idx")
+    text_index_build(corpus, idx, n_buckets=8)
+    with pytest.raises(ValueError, match="parameter mismatch"):
+        text_index_append(corpus.limit(1), idx, n_buckets=4)
+    with pytest.raises(ValueError, match="no text index meta"):
+        text_index_probe_bm25(spark, str(tmp_path / "nope"), TERMS)
