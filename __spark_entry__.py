@@ -21,7 +21,7 @@ def entry(spark: SparkSession) -> DataFrame:
 
 
 # The driver's correctness gate checks the first 50 registry entries;
-# the registry holds 273. ROTATION POLICY (restated each round since
+# the registry holds 285. ROTATION POLICY (restated each round since
 # r5): the window each round = (a) entries ADDED this round (plus any
 # prior-round late additions still holding zero driver rows), (b)
 # entries whose code or oracle CHANGED this round, (c) filled to 50
@@ -37,9 +37,9 @@ def entry(spark: SparkSession) -> DataFrame:
 # and ALL 30 remaining r4-era rows — exactly the rotation the r9
 # ledger promised — so after it lands no entry anywhere is older than
 # r5, and the r11 fill budget (the 37 r5 rows + the oldest r6 rows)
-# continues the cycle: at 273 entries and 50 rows/round the steady
+# continues the cycle: at 285 entries and 50 rows/round the steady
 # state keeps every entry's latest driver row ≤ ~5 rounds old, with
-# the local 273-entry replica re-proving ALL entries every round.
+# the local full-registry replica re-proving ALL entries every round.
 #
 # r10 window =
 # (a) the 11 r9 late additions with zero driver rows (k_anonymity,
@@ -61,7 +61,7 @@ def entry(spark: SparkSession) -> DataFrame:
 #     tests/test_r10_fixes.py pins each). The affected entries
 #     (minhash/ivf/substring persisted legs, multimodal_jpeg_*) all
 #     hold GREEN r9 driver rows — the freshest evidence possible —
-#     plus green rows in this round's local 273-entry replica;
+#     plus green rows in this round's local full replica;
 #     displacing the r4-era fills for them would break the two-round
 #     freshness arithmetic promised in r8/r9. The streaming-ingest
 #     replay fix's entries ARE in-window (part of the 11).
@@ -75,8 +75,10 @@ def entry(spark: SparkSession) -> DataFrame:
 # ivfpq_probe_after_delete (the persisted IVF-PQ composite index);
 # text_probe_persisted, text_probe_after_append,
 # text_probe_after_delete, text_ingest_compact_probe (the persisted
-# full-text retrieval index — the fifth index family).
-# Registry at freeze: 283.
+# full-text retrieval index — the fifth index family);
+# ivfpq_probe_after_compact, ivfpq_ingest_compact_probe (the
+# composite index's compaction + end-to-end streaming legs).
+# Registry at freeze: 285.
 _R10_WINDOW = [
     # (a) r9 late additions — zero driver rows until now
     "k_anonymity_docs", "fs_linkage_customers", "fs_linkage_tf_customers",

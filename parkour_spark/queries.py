@@ -12658,3 +12658,83 @@ def q_text_ingest_compact_probe(spark, sf_dir):
     return text_index_probe_bm25(
         spark, _R10_INDEX_DIRS[key], _BM25_TERMS, k=10
     )
+
+
+@query("ivfpq_probe_after_compact", _ivfpq_oracle())
+def q_ivfpq_probe_after_compact(spark, sf_dir):
+    """IVF-PQ compaction identity: build on vec_id % 10 != 7, append
+    the rest (extra file sets inside the cell partitions), COMPACT
+    back to one co-located file set per cell (rows rewritten, never
+    re-encoded, quantizer pair carried across the atomic whole-root
+    swap), probe. Oracle = the full-corpus two-level replay —
+    compaction changes ZERO rows for the composite index too."""
+    import tempfile
+
+    from parkour_spark.operators.pq import (
+        ivfpq_index_append,
+        ivfpq_index_build,
+        ivfpq_index_compact,
+        ivfpq_probe_topk,
+    )
+
+    emb = _t(spark, sf_dir, "embeddings")
+    coarse, cbs = _ivfpq_quantizers(spark, sf_dir)
+    key = (sf_dir, "ivfpq_compact")
+    if key not in _R10_INDEX_DIRS:
+        tmp = tempfile.mkdtemp(prefix="parkour_ivfpqidx_cmp_")
+        ivfpq_index_build(
+            emb.where(F.col("vec_id") % 10 != 7), coarse, cbs, tmp
+        )
+        ivfpq_index_append(emb.where(F.col("vec_id") % 10 == 7), tmp)
+        ivfpq_index_compact(spark, tmp)
+        _R10_INDEX_DIRS[key] = tmp
+    queries = [
+        (int(r["vec_id"]), [float(x) for x in r["embedding"]])
+        for r in emb.where(F.col("vec_id") < 5)
+        .select("vec_id", "embedding")
+        .collect()
+    ]
+    return ivfpq_probe_topk(
+        spark, _R10_INDEX_DIRS[key], queries, k=10, nprobe=2
+    )
+
+
+@query("ivfpq_ingest_compact_probe", _ivfpq_oracle())
+def q_ivfpq_ingest_compact_probe(spark, sf_dir):
+    """END-TO-END pipeline for the composite index: 4-batch
+    exactly-once streaming ingest (residual codes, batch=<id>/cell=<c>
+    commit-marker trees, quantizer pair fixed), drain, COMPACT into
+    the canonical cell= layout, probe from stored codes with static
+    cell pruning. Oracle = the full two-level-training replay: ingest
+    → compact ≡ build for the sixth index family — every persisted
+    index now gates the composed operating loop."""
+    import tempfile
+
+    from parkour_spark.operators.pq import (
+        ivfpq_index_compact,
+        ivfpq_probe_topk,
+    )
+    from parkour_spark.streaming.windows import streaming_ivfpq_ingest
+
+    emb = _t(spark, sf_dir, "embeddings")
+    coarse, cbs = _ivfpq_quantizers(spark, sf_dir)
+    key = (sf_dir, "ivfpq_icp")
+    if key not in _R10_INDEX_DIRS:
+        src = tempfile.mkdtemp(prefix="parkour_ivfpq_icp_src_")
+        emb.select("vec_id", "embedding").repartition(4).write.mode(
+            "overwrite"
+        ).parquet(src)
+        schema = spark.read.parquet(src).schema
+        idx = tempfile.mkdtemp(prefix="parkour_ivfpq_icp_idx_")
+        streaming_ivfpq_ingest(spark, src, schema, idx, coarse, cbs)
+        ivfpq_index_compact(spark, idx)
+        _R10_INDEX_DIRS[key] = idx
+    queries = [
+        (int(r["vec_id"]), [float(x) for x in r["embedding"]])
+        for r in emb.where(F.col("vec_id") < 5)
+        .select("vec_id", "embedding")
+        .collect()
+    ]
+    return ivfpq_probe_topk(
+        spark, _R10_INDEX_DIRS[key], queries, k=10, nprobe=2
+    )

@@ -1228,3 +1228,77 @@ def streaming_text_ingest(
         q.stop()
         q.awaitTermination()
     return index_path
+
+
+def streaming_ivfpq_ingest(
+    spark,
+    source_path: str,
+    schema,
+    index_path: str,
+    coarse,
+    codebooks,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+    max_files: int = 1,
+) -> str:
+    """EXACTLY-ONCE streaming ingestion into the persisted IVF-PQ
+    composite index (r10): each micro-batch pays one assign+encode
+    Arrow pass against the FIXED persisted quantizer pair (recorded
+    under _ivfpq_meta on the first batch, validated thereafter) and
+    lands as an atomically-published batch=<id>/cell=<c> partition
+    tree — the IVF commit-marker discipline applied to residual codes.
+    Codes are the only state (no derived table to catch up on the
+    replay-skip path), and `ivfpq_probe_topk` reads the same root
+    unchanged: the static cell filter prunes files ACROSS batch
+    directories. After draining, probe ≡ probe(build(all rows));
+    `ivfpq_index_compact` is the terminal fold into the canonical
+    cell= layout (continue via ivfpq_index_append afterwards — the
+    house contract)."""
+    import os
+
+    from parkour_spark import fs as pfs
+    from parkour_spark.artifacts import publish_dir, write_params
+    from parkour_spark.operators.pq import (
+        _check_ivfpq_meta,
+        _ivfpq_encode_rows,
+        _ivfpq_meta_record,
+    )
+
+    def ingest(batch_df, batch_id: int) -> None:
+        bdir = os.path.join(index_path, f"batch={batch_id}")
+        if pfs.exists(spark, os.path.join(bdir, "_SUCCESS")):
+            return  # replayed batch: committed; codes are the only state
+        if pfs.exists(spark, bdir):
+            pfs.delete(spark, bdir)  # torn pre-contract dir: clean retry
+        if not pfs.exists(spark, os.path.join(index_path, "_ivfpq_meta")):
+            write_params(
+                spark,
+                os.path.join(index_path, "_ivfpq_meta"),
+                _ivfpq_meta_record(coarse, codebooks, id_col),
+            )
+        else:
+            _check_ivfpq_meta(spark, index_path, coarse, codebooks)
+        rows = _ivfpq_encode_rows(batch_df, coarse, codebooks, vec_col, id_col)
+        publish_dir(
+            spark,
+            bdir,
+            lambda tmp: rows.repartition("cell")
+            .write.mode("overwrite")
+            .partitionBy("cell")
+            .parquet(tmp),
+        )
+
+    stream = read_stream(spark, source_path, schema, max_files=max_files)
+    q = (
+        stream.writeStream.foreachBatch(ingest)
+        .option(
+            "checkpointLocation", os.path.join(index_path, "_checkpoint")
+        )
+        .start()
+    )
+    try:
+        q.processAllAvailable()
+    finally:
+        q.stop()
+        q.awaitTermination()
+    return index_path

@@ -142,3 +142,26 @@ def test_quantizer_guards_raise(spark, setup, tmp_path):
                            codebooks=other_cbs)
     with pytest.raises(ValueError, match="no IVF-PQ index meta"):
         ivfpq_probe_topk(spark, str(tmp_path / "nope"), queries)
+
+
+def test_streaming_ingest_then_compact_equals_build(spark, setup, tmp_path):
+    """2-batch exactly-once ingest of residual codes ≡ build (probe
+    identity); the terminal compact folds the batch tree into the
+    canonical cell= layout with the probe unchanged."""
+    from parkour_spark.operators.pq import ivfpq_index_compact
+    from parkour_spark.streaming.windows import streaming_ivfpq_ingest
+
+    emb, coarse, cbs, queries = setup
+    src = str(tmp_path / "src")
+    emb.repartition(2).write.parquet(src)
+    schema = spark.read.parquet(src).schema
+    idx = str(tmp_path / "idx")
+    streaming_ivfpq_ingest(spark, src, schema, idx, coarse, cbs)
+    assert any(d.startswith("batch=") for d in os.listdir(idx))
+    full = str(tmp_path / "full")
+    ivfpq_index_build(emb, coarse, cbs, full)
+    want = _rows(ivfpq_probe_topk(spark, full, queries, k=5))
+    assert _rows(ivfpq_probe_topk(spark, idx, queries, k=5)) == want
+    ivfpq_index_compact(spark, idx)
+    assert not any(d.startswith("batch=") for d in os.listdir(idx))
+    assert _rows(ivfpq_probe_topk(spark, idx, queries, k=5)) == want
