@@ -740,6 +740,67 @@ def _soak_ivfpq_probe_only(spark):
     )
 
 
+def _soak_text_index_build(spark):
+    """Build + PERSIST the full-text inverted index over the 10×
+    corpus (textindex.text_index_build, r10 — the fifth index family):
+    ONE corpus tokenize + one (term, doc) shuffle into term-bucketed,
+    term-sorted postings. The build-once cost every probe below
+    amortizes."""
+    from parkour_spark.operators.textindex import text_index_build
+
+    docs = spark.read.parquet(f"{DST}/documents.parquet")
+    text_index_build(docs, f"{DST}/text_index", n_buckets=16)
+    return spark.read.parquet(f"{DST}/text_index/doclen").select("doc_id")
+
+
+def _soak_text_probe_only(spark):
+    """BM25 served from the persisted postings: the query terms'
+    buckets apply as a static partition filter and df derives from the
+    query-term postings slice — the corpus text appears nowhere.
+    Measured claims: probe ≪ build, and probe ≪ the inline bm25 path
+    (which re-tokenizes the corpus per query set)."""
+    from parkour_spark.operators.textindex import text_index_probe_bm25
+
+    return text_index_probe_bm25(
+        spark, f"{DST}/text_index", ("hash", "join", "scan"), k=10
+    )
+
+
+def _soak_text_inline_same_query(spark):
+    """The SAME query served inline (corpus.bm25_topk re-tokenizes the
+    10× corpus) — the per-query cost the persisted index amortizes;
+    the probe/inline gap is the measured claim."""
+    from parkour_spark.operators.corpus import bm25_topk
+
+    docs = spark.read.parquet(f"{DST}/documents.parquet")
+    return bm25_topk(docs, ("hash", "join", "scan"), k=10)
+
+
+def _soak_text_delete_only(spark):
+    """DELETE one replica's ids (10% of the corpus) from the persisted
+    text index: anti-join rewrites of postings+doclen + the stats
+    re-derivation — text never re-tokenized, delete ≪ rebuild."""
+    from parkour_spark.operators.textindex import text_index_delete
+
+    stride = spark.read.parquet(f"{SRC}/documents.parquet").agg(
+        F.max("doc_id")
+    ).first()[0] + 1
+    victims = spark.read.parquet(f"{DST}/documents.parquet").where(
+        F.col("doc_id") >= (REPLICAS - 1) * stride
+    ).select("doc_id")
+    text_index_delete(spark, victims, f"{DST}/text_index")
+    return spark.read.parquet(f"{DST}/text_index/doclen").select("doc_id")
+
+
+def _soak_text_compact_only(spark):
+    """Compact the survivor text index back to one term-sorted file
+    set per bucket — exact row preservation, compaction ≪ rebuild."""
+    from parkour_spark.operators.textindex import text_index_compact
+
+    text_index_compact(spark, f"{DST}/text_index")
+    return spark.read.parquet(f"{DST}/text_index/doclen").select("doc_id")
+
+
 def _soak_words(spark):
     docs = spark.read.parquet(f"{DST}/documents.parquet")
     return (
@@ -809,6 +870,11 @@ SOAK_CUSTOM = {
     "ivf_index_compact_only": _soak_ivf_compact_only,
     "ivfpq_index_build": _soak_ivfpq_index_build,
     "ivfpq_probe_only": _soak_ivfpq_probe_only,
+    "text_index_build": _soak_text_index_build,
+    "text_probe_only": _soak_text_probe_only,
+    "text_inline_same_query": _soak_text_inline_same_query,
+    "text_index_delete_only": _soak_text_delete_only,
+    "text_index_compact_only": _soak_text_compact_only,
     "bpe_train_seq16": _soak_bpe_seq16,
     "bpe_train_batched16": _soak_bpe_batched16,
 }

@@ -195,3 +195,23 @@ def test_streaming_ingest_codebook_mismatch_raises(spark, setup, tmp_path):
     # StreamingQueryException wrapping the original message
     with pytest.raises(Exception, match="codebook mismatch"):
         streaming_pq_ingest(spark, src, schema, idx, other)
+
+
+def test_delete_audit_verifies_removal(spark, setup, tmp_path):
+    """artifacts.ids_remaining audits the PQ codes table like the
+    other index tables: lingering before, clean after."""
+    from parkour_spark.artifacts import ids_remaining
+
+    emb, cbs, queries, _tf = setup
+    idx = str(tmp_path / "idx")
+    pq_index_build(emb, cbs, idx)
+    victims = [2, 6, 10]
+    assert set(
+        ids_remaining(spark, idx + "/codes", "vec_id", victims)
+    ) == set(victims)
+    pq_index_delete(
+        spark,
+        emb.where(F.col("vec_id").isin(victims)).select("vec_id"),
+        idx,
+    )
+    assert ids_remaining(spark, idx + "/codes", "vec_id", victims) == []

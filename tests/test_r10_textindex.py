@@ -169,3 +169,22 @@ def test_meta_guard_raises(spark, corpus, tmp_path):
         text_index_append(corpus.limit(1), idx, n_buckets=4)
     with pytest.raises(ValueError, match="no text index meta"):
         text_index_probe_bm25(spark, str(tmp_path / "nope"), TERMS)
+
+
+def test_delete_audit_verifies_removal(spark, corpus, tmp_path):
+    """The right-to-be-forgotten audit (artifacts.ids_remaining) works
+    unchanged on the fifth index family's tables: lingering ids show
+    before the delete, both tables audit clean after."""
+    from parkour_spark.artifacts import ids_remaining
+
+    idx = str(tmp_path / "idx")
+    text_index_build(corpus, idx, n_buckets=8)
+    victims = [1, 5, 9]
+    assert set(
+        ids_remaining(spark, idx + "/doclen", "doc_id", victims)
+    ) == set(victims)
+    text_index_delete(
+        spark, _docs(spark, [(v, "") for v in victims]).select("doc_id"), idx
+    )
+    assert ids_remaining(spark, idx + "/doclen", "doc_id", victims) == []
+    assert ids_remaining(spark, idx + "/postings", "doc_id", victims) == []
