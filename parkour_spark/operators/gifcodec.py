@@ -57,27 +57,45 @@ def lzw_encode(indices: bytes, min_code_size: int = 8) -> bytes:
     width = min_code_size + 1
     table: dict[bytes, int] = {bytes([i]): i for i in range(clear)}
     next_code = eoi + 1
-    emit(clear, width)
+
+    def emit_code(code: int) -> None:
+        # GIF width discipline (giflib's EGifCompressOutput): after
+        # WRITING any code, widen if the next code to assign no longer
+        # fits. Checking only after table adds (the r9 bug, found by
+        # the hypothesis roundtrip property) desyncs the codes emitted
+        # WITHOUT an intervening add — the final flush and EOI — from
+        # the decoder, whose table reaches 2^width one append earlier:
+        # a stream whose dictionary crossed the boundary right at the
+        # flush emitted EOI one bit narrower than the decoder reads it.
+        # Data-code emissions are bit-identical under both rules; only
+        # those boundary flush/EOI codes (previously undecodable by
+        # our own decoder and giflib alike) change.
+        nonlocal width
+        emit(code, width)
+        if next_code >= (1 << width) and width < 12:
+            width += 1
+
+    emit_code(clear)
     w = b""
     for ch in indices:
         wk = w + bytes([ch])
         if wk in table:
             w = wk
             continue
-        emit(table[w], width)
+        emit_code(table[w])
         table[wk] = next_code
         next_code += 1
-        if next_code > (1 << width) and width < 12:
-            width += 1
-        elif next_code == (1 << 12) + 1:
-            emit(clear, width)
+        if next_code == (1 << 12) + 1:
+            # 12-bit code space exhausted: clear and restart (the just-
+            # assigned overflow entry is discarded unemitted)
+            emit_code(clear)
             table = {bytes([i]): i for i in range(clear)}
             next_code = eoi + 1
             width = min_code_size + 1
         w = bytes([ch])
     if w:
-        emit(table[w], width)
-    emit(eoi, width)
+        emit_code(table[w])
+    emit_code(eoi)
     if nbits:
         out.append(acc & 0xFF)
     return bytes(out)

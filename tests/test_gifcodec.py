@@ -130,3 +130,24 @@ def test_sample_video_frames_with_real_codec(spark):
         ).count()
         == 0
     )
+
+
+def test_lzw_flush_at_width_boundary_roundtrips():
+    """r10 regression (hypothesis-found): a stream whose dictionary
+    crosses 2^width exactly at the final flush must emit EOI at the
+    WIDENED width (giflib's after-every-code check) — the r9 encoder
+    widened only after table adds, so the decoder (correctly already
+    at the wider code size) read EOI past the end of the stream."""
+    from parkour_spark.operators.gifcodec import lzw_decode, lzw_encode
+
+    # the minimal falsifying example: 11 symbols, mcs=2 — ten novel
+    # pairs put the table at exactly 16 entries when the flush emits
+    data = bytes([0, 2, 1, 1, 0, 0, 3, 2, 0, 1, 2])
+    assert lzw_decode(lzw_encode(data, 2), 2) == data
+    # neighborhood sweep: every flush offset around the boundary, all
+    # small code sizes
+    for mcs in (2, 3, 4):
+        lim = 1 << mcs
+        for n in range(0, 64):
+            seq = bytes((i * 7 + 3) % lim for i in range(n))
+            assert lzw_decode(lzw_encode(seq, mcs), mcs) == seq, (mcs, n)
