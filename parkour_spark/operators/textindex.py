@@ -124,6 +124,23 @@ def _read_meta(spark, path: str) -> dict:
     return rec
 
 
+def _read_postings(spark, path: str) -> DataFrame | None:
+    """The stored postings, or None when the index holds ZERO postings
+    rows — a partitioned parquet write of an empty frame leaves no
+    data files, so a plain read fails schema inference. Real case, not
+    just pathological: every doc empty/whitespace-only (or everything
+    deleted) is a valid corpus state, and probes must return empty
+    results, not crash (r10, hypothesis-found)."""
+    from pyspark.errors import AnalysisException
+
+    try:
+        return spark.read.parquet(path + "/postings")
+    except AnalysisException as exc:
+        if "UNABLE_TO_INFER_SCHEMA" in str(exc):
+            return None
+        raise
+
+
 def text_index_build(
     docs: DataFrame,
     path: str,
@@ -197,18 +214,18 @@ def text_index_delete(spark, ids: DataFrame, path: str) -> None:
 
     id_col = _read_meta(spark, path)["id_col"]
     ids_only = F.broadcast(ids.select(F.col(ids.columns[0]).alias(id_col)))
-    surv_post = spark.read.parquet(path + "/postings").join(
-        ids_only, id_col, "left_anti"
-    )
-    publish_swap(
-        spark,
-        path + "/postings",
-        lambda tmp: surv_post.repartition("tbucket")
-        .sortWithinPartitions("term", id_col)
-        .write.mode("overwrite")
-        .partitionBy("tbucket")
-        .parquet(tmp),
-    )
+    post = _read_postings(spark, path)
+    if post is not None:
+        surv_post = post.join(ids_only, id_col, "left_anti")
+        publish_swap(
+            spark,
+            path + "/postings",
+            lambda tmp: surv_post.repartition("tbucket")
+            .sortWithinPartitions("term", id_col)
+            .write.mode("overwrite")
+            .partitionBy("tbucket")
+            .parquet(tmp),
+        )
     surv_len = spark.read.parquet(path + "/doclen").join(
         ids_only, id_col, "left_anti"
     )
@@ -230,18 +247,18 @@ def text_index_compact(spark, path: str) -> None:
     from parkour_spark.artifacts import publish_swap
 
     id_col = _read_meta(spark, path)["id_col"]
-    post = spark.read.parquet(path + "/postings").select(
-        "term", id_col, "dl", "tf", "tbucket"
-    )
-    publish_swap(
-        spark,
-        path + "/postings",
-        lambda tmp: post.repartition("tbucket")
-        .sortWithinPartitions("term", id_col)
-        .write.mode("overwrite")
-        .partitionBy("tbucket")
-        .parquet(tmp),
-    )
+    stored = _read_postings(spark, path)
+    if stored is not None:
+        post = stored.select("term", id_col, "dl", "tf", "tbucket")
+        publish_swap(
+            spark,
+            path + "/postings",
+            lambda tmp: post.repartition("tbucket")
+            .sortWithinPartitions("term", id_col)
+            .write.mode("overwrite")
+            .partitionBy("tbucket")
+            .parquet(tmp),
+        )
     dlen = spark.read.parquet(path + "/doclen").select(id_col, "dl")
     publish_swap(
         spark,
@@ -274,9 +291,13 @@ def text_index_probe_bm25(
     id_col, nb = meta["id_col"], int(meta["n_buckets"])
     qlist = sorted(set(query_terms))
     buckets = sorted({_py_bucket(t, nb) for t in qlist})
+    stored = _read_postings(spark, path)
+    if stored is None:
+        return spark.createDataFrame(
+            [], f"{id_col} long, n_qterms long, score_micro long"
+        )
     tf = (
-        spark.read.parquet(path + "/postings")
-        .where(F.col("tbucket").isin(buckets))
+        stored.where(F.col("tbucket").isin(buckets))
         .where(F.col("term").isin(qlist))
         .select(id_col, "dl", "term", "tf")
     )

@@ -188,3 +188,38 @@ def test_delete_audit_verifies_removal(spark, corpus, tmp_path):
     )
     assert ids_remaining(spark, idx + "/doclen", "doc_id", victims) == []
     assert ids_remaining(spark, idx + "/postings", "doc_id", victims) == []
+
+
+def test_zero_postings_corpus_probes_empty(spark, tmp_path):
+    """A corpus of only empty/whitespace docs builds an index with
+    ZERO postings rows (hypothesis-found: the partitioned write leaves
+    no data files and a plain read fails schema inference). Probe must
+    return an empty result with the right schema, delete and compact
+    must be no-op-safe, and appending real docs afterwards brings the
+    index to the combined-build state."""
+    from parkour_spark.operators.textindex import text_index_append
+
+    empty_docs = _docs(spark, [(1, ""), (2, "   ")])
+    idx = str(tmp_path / "idx")
+    text_index_build(empty_docs, idx, n_buckets=4)
+    got = text_index_probe_bm25(spark, idx, TERMS, k=5)
+    assert got.collect() == []
+    assert got.columns == ["doc_id", "n_qterms", "score_micro"]
+    # stats still count the empty docs (N=2, total=0)
+    st = spark.read.parquet(idx + "/stats").collect()[0]
+    assert (st.n_docs, st.n_total) == (2, 0)
+    text_index_delete(
+        spark, spark.createDataFrame([(1,)], "doc_id long"), idx
+    )
+    text_index_compact(spark, idx)
+    assert text_index_probe_bm25(spark, idx, TERMS, k=5).collect() == []
+    real = _docs(spark, [(10, "spark shuffle spark")])
+    text_index_append(real, idx)
+    full = str(tmp_path / "full")
+    text_index_build(
+        _docs(spark, [(2, "   "), (10, "spark shuffle spark")]), full,
+        n_buckets=4,
+    )
+    assert _rows(text_index_probe_bm25(spark, idx, TERMS, k=5)) == _rows(
+        text_index_probe_bm25(spark, full, TERMS, k=5)
+    )
