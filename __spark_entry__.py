@@ -64,7 +64,13 @@ def entry(spark: SparkSession) -> DataFrame:
 #     plus green rows in this round's local full replica;
 #     displacing the r4-era fills for them would break the two-round
 #     freshness arithmetic promised in r8/r9. The streaming-ingest
-#     replay fix's entries ARE in-window (part of the 11).
+#     replay fix's entries ARE in-window (part of the 11). Same
+#     reasoning covers the late empty-tree tolerance (probes/deletes/
+#     compacts of an index whose every row was deleted return empty /
+#     no-op instead of crashing on schema inference): non-empty-path
+#     plans are unchanged, the affected families were re-verified 11/11
+#     in the local replica after the change, and the emptied-state
+#     behavior is pinned by dedicated unit tests.
 # (c) the 30 r4-era rows, verbatim (alphabetical).
 #
 # LATE ADDITIONS (landed after this window filled; each holds green

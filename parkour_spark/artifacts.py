@@ -266,3 +266,23 @@ def ids_remaining(
         .collect()
     )
     return sorted(r[id_col] for r in hits)
+
+
+def read_parquet_or_none(spark: SparkSession, path: str):
+    """`spark.read.parquet(path)`, or None when the path holds NO data
+    files — the state of a partitioned index tree after every row was
+    deleted (right-to-be-forgotten everything) or a build over a
+    zero-row corpus: partitioned writes of empty frames leave no part
+    files, so a plain read fails schema inference. Callers treat None
+    as the empty index (probes return empty results, rewrites skip)
+    instead of crashing (r10, hypothesis-found on the text index)."""
+    from pyspark.errors import AnalysisException
+
+    try:
+        return spark.read.parquet(path)
+    except AnalysisException as exc:
+        if "UNABLE_TO_INFER_SCHEMA" in str(exc) or "PATH_NOT_FOUND" in str(
+            exc
+        ):
+            return None
+        raise

@@ -884,8 +884,13 @@ def ivfpq_index_delete(
     )
     if not cells:
         return
+    from parkour_spark.artifacts import read_parquet_or_none
+
+    stored = read_parquet_or_none(spark, path)
+    if stored is None:
+        return  # already-empty index: nothing to delete
     ids = _F.broadcast(del_df.select(id_col).distinct())
-    affected = spark.read.parquet(path).where(_F.col("cell").isin(cells))
+    affected = stored.where(_F.col("cell").isin(cells))
     survivors = affected.join(ids, id_col, "left_anti")
     kept = {
         int(r["cell"])
@@ -914,7 +919,12 @@ def ivfpq_index_compact(spark, path: str) -> None:
     rec = read_params(spark, path + "/_ivfpq_meta")
     if rec is None:
         raise ValueError(f"no IVF-PQ index meta under {path}")
-    rows = spark.read.parquet(path).select(rec["id_col"], "codes", "cell")
+    from parkour_spark.artifacts import read_parquet_or_none
+
+    stored = read_parquet_or_none(spark, path)
+    if stored is None:
+        return  # emptied index: nothing to fold, meta stays
+    rows = stored.select(rec["id_col"], "codes", "cell")
 
     def write(tmp: str) -> None:
         (
@@ -947,7 +957,16 @@ def ivfpq_probe_topk(
     read at probe time."""
     import numpy as np
 
+    from parkour_spark.artifacts import read_parquet_or_none
+
     coarse, codebooks, id_col = read_ivfpq_meta(spark, path)
+    stored_tree = read_parquet_or_none(spark, path)
+    if stored_tree is None:
+        # emptied index (everything deleted / zero-row build): empty
+        # result with the probe schema, not a schema-inference crash
+        return spark.createDataFrame(
+            [], f"query_id long, {id_col} long, rank int, adc_d2 double"
+        )
     C = _np_codebooks([coarse])[0]
     cbs = _np_codebooks(codebooks)
     m = len(cbs)
@@ -1009,7 +1028,7 @@ def ivfpq_probe_topk(
                 }
             )
 
-    stored = spark.read.parquet(path).where(F.col("cell").isin(probed))
+    stored = stored_tree.where(F.col("cell").isin(probed))
     scored = stored.mapInPandas(score, schema=schema)
     w = Window.partitionBy("query_id").orderBy(
         F.round("adc_d2", 4).asc(), F.col(id_col)

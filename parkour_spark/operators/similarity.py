@@ -472,8 +472,13 @@ def ivf_index_delete(
     )
     if not cells:
         return
+    from parkour_spark.artifacts import read_parquet_or_none
+
     ids = F.broadcast(del_df.select(corpus_id).distinct())
-    affected = spark.read.parquet(path).where(F.col("cell").isin(cells))
+    stored = read_parquet_or_none(spark, path)
+    if stored is None:
+        return  # already-empty index: nothing to delete
+    affected = stored.where(F.col("cell").isin(cells))
     survivors = affected.join(ids, corpus_id, "left_anti")
     # survivor cells BEFORE the write: dynamic overwrite only replaces
     # partitions present in the written data, so an emptied cell's OLD
@@ -539,9 +544,12 @@ def ivf_index_compact(
         raise ValueError(
             f"ivf_index_compact: no _ivf_meta quantizer record under {path}"
         )
-    rows = spark.read.parquet(path).select(
-        corpus_id, corpus_vec, "cnorm", "cell"
-    )
+    from parkour_spark.artifacts import read_parquet_or_none
+
+    stored = read_parquet_or_none(spark, path)
+    if stored is None:
+        return  # emptied index: nothing to fold, meta stays
+    rows = stored.select(corpus_id, corpus_vec, "cnorm", "cell")
 
     def write(tmp: str) -> None:
         (
@@ -581,7 +589,16 @@ def ivf_probe_topk(
     The quantizer is validated against the persisted build centroids
     (_ivf_meta, r8) — probing with a different quantizer ranks the
     wrong cells and silently loses recall, so a mismatch raises."""
+    from parkour_spark.artifacts import read_parquet_or_none
+
     _check_ivf_meta(spark, index_path, centroids)
+    stored = read_parquet_or_none(spark, index_path)
+    if stored is None:
+        # emptied index (everything deleted / zero-row build): empty
+        # result with the probe schema, not a schema-inference crash
+        return spark.createDataFrame(
+            [], f"{query_id} long, {corpus_id} long, cos double, rank int"
+        )
     cent_arr = _centroid_array(centroids)
     qn = norm(query_vec)
     scores = F.transform(
@@ -601,7 +618,7 @@ def ivf_probe_topk(
         keep=[query_id, query_vec],
     ).withColumn("__qn", norm(query_vec))
     cells = sorted(int(r["cell"]) for r in probes.select("cell").distinct().collect())
-    c = spark.read.parquet(index_path).where(F.col("cell").isin(cells))
+    c = stored.where(F.col("cell").isin(cells))
     joined = c.join(F.broadcast(probes), "cell")
     scored = joined.select(
         F.col(query_id),

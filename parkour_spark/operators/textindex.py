@@ -131,14 +131,9 @@ def _read_postings(spark, path: str) -> DataFrame | None:
     just pathological: every doc empty/whitespace-only (or everything
     deleted) is a valid corpus state, and probes must return empty
     results, not crash (r10, hypothesis-found)."""
-    from pyspark.errors import AnalysisException
+    from parkour_spark.artifacts import read_parquet_or_none
 
-    try:
-        return spark.read.parquet(path + "/postings")
-    except AnalysisException as exc:
-        if "UNABLE_TO_INFER_SCHEMA" in str(exc):
-            return None
-        raise
+    return read_parquet_or_none(spark, path + "/postings")
 
 
 def text_index_build(

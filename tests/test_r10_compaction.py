@@ -122,3 +122,30 @@ def test_compact_without_meta_raises(spark, tmp_path):
     _emb(spark, range(5)).write.parquet(bare)
     with pytest.raises(ValueError, match="no _ivf_meta"):
         ivf_index_compact(spark, bare)
+
+
+def test_ivf_delete_everything_probes_empty(spark, tmp_path, queries_df):
+    """Retiring EVERY vector leaves a tree with only _ivf_meta — the
+    probe must return an empty result with the probe schema (not a
+    schema-inference crash), delete/compact must be no-op-safe, and an
+    append brings the index back to a fresh-build state (r10,
+    generalized from the hypothesis-found text-index case)."""
+    cents = _cents()
+    idx = str(tmp_path / "idx")
+    corpus = _emb(spark, range(3, 20))
+    ivf_index_build(corpus, cents, idx)
+    ivf_index_delete(corpus, cents, idx)
+    got = ivf_probe_topk(spark, idx, queries_df, cents, k=5, nprobe=2)
+    assert got.collect() == []
+    assert got.columns == ["query_id", "vec_id", "cos", "rank"]
+    # idempotent on the emptied tree
+    ivf_index_delete(corpus.limit(2), cents, idx)
+    ivf_index_compact(spark, idx)
+    # refill via append == fresh build
+    refill = _emb(spark, range(30, 40))
+    ivf_index_append(refill, cents, idx)
+    ref = str(tmp_path / "ref")
+    ivf_index_build(refill, cents, ref)
+    assert _probe(spark, idx, queries_df, cents) == _probe(
+        spark, ref, queries_df, cents
+    )

@@ -165,3 +165,26 @@ def test_streaming_ingest_then_compact_equals_build(spark, setup, tmp_path):
     ivfpq_index_compact(spark, idx)
     assert not any(d.startswith("batch=") for d in os.listdir(idx))
     assert _rows(ivfpq_probe_topk(spark, idx, queries, k=5)) == want
+
+
+def test_delete_everything_probes_empty(spark, setup, tmp_path):
+    """The emptied-tree state for the composite index: probe returns
+    empty with the right schema, delete/compact are no-op-safe, and
+    append restores a fresh-build state."""
+    emb, coarse, cbs, queries = setup
+    idx = str(tmp_path / "idx")
+    sub = emb.where(F.col("vec_id") >= 10)
+    ivfpq_index_build(sub, coarse, cbs, idx)
+    ivfpq_index_delete(sub.select("vec_id", "embedding"), idx)
+    got = ivfpq_probe_topk(spark, idx, queries, k=5)
+    assert got.collect() == []
+    assert got.columns == ["query_id", "vec_id", "rank", "adc_d2"]
+    ivfpq_index_delete(sub.limit(2).select("vec_id", "embedding"), idx)
+    ivfpq_index_compact(spark, idx)
+    refill = emb.where(F.col("vec_id") < 10)
+    ivfpq_index_append(refill, idx)
+    ref = str(tmp_path / "ref")
+    ivfpq_index_build(refill, coarse, cbs, ref)
+    assert _rows(ivfpq_probe_topk(spark, idx, queries, k=5)) == _rows(
+        ivfpq_probe_topk(spark, ref, queries, k=5)
+    )
