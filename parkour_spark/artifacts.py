@@ -257,9 +257,11 @@ def ids_remaining(
         ids_df = spark.createDataFrame(
             [(i,) for i in ids], f"{id_col} long"
         )
+    stored = read_parquet_or_none(spark, data_path)
+    if stored is None:
+        return []  # emptied table: nothing can linger
     hits = (
-        spark.read.parquet(data_path)
-        .join(F.broadcast(ids_df), id_col, "left_semi")
+        stored.join(F.broadcast(ids_df), id_col, "left_semi")
         .select(id_col)
         .distinct()
         .limit(limit)

@@ -159,6 +159,8 @@ def bm25_topk(
     b: float = 0.75,
     text_col: str = "text",
     id_col: str = "doc_id",
+    require_all: bool = False,
+    max_df: int | None = None,
 ) -> DataFrame:
     """Okapi BM25 top-k retrieval for a literal query-term set.
 
@@ -170,6 +172,15 @@ def bm25_topk(
     rank k broken by id. Doc length dl is computed in the scan
     projection; terms are filtered to the broadcast query set scan-side,
     so the only corpus shuffle carries query-term postings.
+
+    `max_df` (r10) drops query terms whose document frequency exceeds
+    it BEFORE scoring — the stopword guard: a term in most of the
+    corpus carries ~zero idf signal but costs a df-sized postings
+    read, the same degenerate-bucket economics every dedup family
+    caps. `require_all` (r10) keeps only docs matching EVERY scored
+    term (conjunctive AND — applied after the cap, so a capped
+    stopword can't make conjunctive queries unanswerable). Defaults
+    preserve the original disjunctive uncapped semantics bit-for-bit.
     """
     qlist = sorted(set(query_terms))
     base = explode_fast(
@@ -180,6 +191,22 @@ def bm25_topk(
     ).where(F.col("term").isin(qlist))
     tf = base.groupBy(id_col, "dl", "term").agg(F.count("*").alias("tf"))
     tf = tf.withColumn("df", F.count("*").over(Window.partitionBy("term")))
+    n_required = None
+    if require_all:
+        # classic AND: every requested-and-uncapped term must match —
+        # a term absent from the whole corpus is still required, so
+        # the result is empty (it is not in tf and cannot be capped).
+        # The capped-term count is a query-term-sized driver action.
+        n_required = len(qlist)
+        if max_df is not None:
+            n_required -= (
+                tf.select("term", "df")
+                .distinct()
+                .where(F.col("df") > max_df)
+                .count()
+            )
+    if max_df is not None:
+        tf = tf.where(F.col("df") <= max_df)
     totals = docs.agg(
         F.count("*").alias("n_docs"),
         F.sum(token_count(F.col(text_col))).alias("n_total"),
@@ -204,6 +231,8 @@ def bm25_topk(
             F.sum("term_micro").alias("score_micro"),
         )
     )
+    if require_all:
+        scored = scored.where(F.col("n_qterms") == n_required)
     return scored.orderBy(F.col("score_micro").desc(), F.col(id_col)).limit(k)
 
 

@@ -271,6 +271,8 @@ def text_index_probe_bm25(
     k: int = 10,
     k1: float = 1.2,
     b: float = 0.75,
+    require_all: bool = False,
+    max_df: int | None = None,
 ) -> DataFrame:
     """Okapi BM25 top-k served ENTIRELY from the persisted index: the
     query terms' buckets (computed driver-side with the same md5
@@ -297,6 +299,26 @@ def text_index_probe_bm25(
         .select(id_col, "dl", "term", "tf")
     )
     tf = tf.withColumn("df", F.count("*").over(Window.partitionBy("term")))
+    n_required = None
+    if require_all:
+        # classic AND over the requested-and-uncapped terms — same
+        # semantics as corpus.bm25_topk(require_all=True): an
+        # absent-from-corpus term empties the result, a df-capped
+        # stopword stops being required (probe ≡ inline under both
+        # options, test-pinned)
+        n_required = len(qlist)
+        if max_df is not None:
+            n_required -= (
+                tf.select("term", "df")
+                .distinct()
+                .where(F.col("df") > max_df)
+                .count()
+            )
+    if max_df is not None:
+        # the stopword guard: a term in most of the corpus carries
+        # ~zero idf but costs a df-sized postings read — cap it out
+        # before scoring, exactly the dedup families' bucket economics
+        tf = tf.where(F.col("df") <= max_df)
     totals = spark.read.parquet(path + "/stats")
     avgdl = F.col("n_total").cast("double") / F.col("n_docs")
     idf = F.log(
@@ -317,4 +339,6 @@ def text_index_probe_bm25(
             F.sum("term_micro").alias("score_micro"),
         )
     )
+    if require_all:
+        scored = scored.where(F.col("n_qterms") == n_required)
     return scored.orderBy(F.col("score_micro").desc(), F.col(id_col)).limit(k)

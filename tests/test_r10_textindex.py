@@ -223,3 +223,76 @@ def test_zero_postings_corpus_probes_empty(spark, tmp_path):
     assert _rows(text_index_probe_bm25(spark, idx, TERMS, k=5)) == _rows(
         text_index_probe_bm25(spark, full, TERMS, k=5)
     )
+
+
+def test_conjunctive_and_df_cap_options(spark, corpus, tmp_path):
+    """require_all / max_df (r10): probe ≡ inline under every option
+    combination; conjunctive keeps only all-term docs and empties on
+    an absent term; the df cap silences a corpus-wide stopword and
+    stops requiring it."""
+    idx = str(tmp_path / "idx")
+    text_index_build(corpus, idx, n_buckets=8)
+
+    for kwargs in (
+        {"require_all": True},
+        {"max_df": 10},
+        {"require_all": True, "max_df": 10},
+    ):
+        assert _rows(
+            text_index_probe_bm25(spark, idx, TERMS, k=30, **kwargs)
+        ) == _rows(bm25_topk(corpus, TERMS, k=30, **kwargs)), kwargs
+
+    # conjunctive: every hit contains ALL query terms
+    hits = text_index_probe_bm25(
+        spark, idx, TERMS, k=30, require_all=True
+    ).collect()
+    assert hits and all(r.n_qterms == len(TERMS) for r in hits)
+    # looser than disjunctive
+    assert len(hits) <= text_index_probe_bm25(spark, idx, TERMS, k=30).count()
+
+    # absent term under AND => empty (classic conjunctive)
+    assert (
+        text_index_probe_bm25(
+            spark, idx, ("spark", "zzz_not_there"), k=30, require_all=True
+        ).collect()
+        == []
+    )
+
+    # df cap: "spark" appears corpus-wide; capping below its df drops
+    # its contribution but keeps the other terms' scores
+    df_spark = (
+        spark.read.parquet(idx + "/postings")
+        .where(F.col("term") == "spark")
+        .count()
+    )
+    capped = text_index_probe_bm25(
+        spark, idx, TERMS, k=30, max_df=df_spark - 1
+    )
+    assert capped.where(F.col("n_qterms") >= len(TERMS)).count() == 0
+    assert _rows(capped) == _rows(
+        bm25_topk(corpus, TERMS, k=30, max_df=df_spark - 1)
+    )
+    # capped term is no longer REQUIRED under AND — controlled dfs:
+    # "the" in all 4 docs (capped at 3), "spark shuffle" in 2
+    ctl = _docs(
+        spark,
+        [(1, "the spark shuffle"), (2, "the spark shuffle x"),
+         (3, "the y"), (4, "the z")],
+    )
+    cidx = str(tmp_path / "ctl")
+    text_index_build(ctl, cidx, n_buckets=4)
+    both = text_index_probe_bm25(
+        spark, cidx, ("the", "spark", "shuffle"), k=10,
+        require_all=True, max_df=3,
+    ).collect()
+    assert sorted(r.doc_id for r in both) == [1, 2]
+    assert all(r.n_qterms == 2 for r in both), "capped 'the' not required"
+    assert _rows(
+        text_index_probe_bm25(
+            spark, cidx, ("the", "spark", "shuffle"), k=10,
+            require_all=True, max_df=3,
+        )
+    ) == _rows(
+        bm25_topk(ctl, ("the", "spark", "shuffle"), k=10,
+                  require_all=True, max_df=3)
+    )
