@@ -145,12 +145,14 @@ def bpe_train_batched(
 
     Batch selection rule (deterministic AND engine-replayable): rank
     the round's pairs by (count DESC, lhs, rhs), keep the top `batch`,
-    and select a pair iff it shares NO symbol with any higher-ranked
-    pair of that top slice. The selected set is therefore pairwise
-    symbol-disjoint: applying its merges cannot consume each other's
-    occurrences, so all counts measured at the round start stay valid
-    for every selected pair, and the round's replaces are applied in
-    rank order (sentinel-string `replace` — the same left-to-right
+    and select a pair iff no higher-ranked pair of that top slice
+    shares a symbol with it OR produces one of its symbols (merged
+    u.lhs+u.rhs equal to the pair's lhs/rhs — applying u first would
+    CREATE occurrences of the pattern and stale its count). The
+    selected set's merges therefore neither consume nor create each
+    other's occurrences, so all counts measured at the round start
+    stay valid for every selected pair, and the round's replaces are
+    applied in rank order (sentinel-string `replace` — the same left-to-right
     non-overlapping semantics in Spark and ANSI SQL that make
     `bpe_train` engine-exact, so the whole batched trajectory replays
     in DuckDB as unrolled CTEs: top-slice, NOT-EXISTS conflict filter,
@@ -182,7 +184,15 @@ def bpe_train_batched(
         for i, t in enumerate(top):
             t_syms = {t["l"], t["r"]}
             if any(
-                u["l"] in t_syms or u["r"] in t_syms for u in top[:i]
+                u["l"] in t_syms
+                or u["r"] in t_syms
+                # the PRODUCED symbol matters too (r10 review): if a
+                # higher-ranked pair merges into one of t's source
+                # symbols (u.l+u.r == t.l or t.r), applying u first
+                # CREATES occurrences of t's pattern, so t's
+                # round-start count would be stale — exclude it
+                or (u["l"] + u["r"]) in t_syms
+                for u in top[:i]
             ):
                 continue  # conflicts with a higher-ranked top-slice pair
             sel.append(t)

@@ -191,20 +191,22 @@ def bm25_topk(
     ).where(F.col("term").isin(qlist))
     tf = base.groupBy(id_col, "dl", "term").agg(F.count("*").alias("tf"))
     tf = tf.withColumn("df", F.count("*").over(Window.partitionBy("term")))
-    n_required = None
+    req = None
     if require_all:
         # classic AND: every requested-and-uncapped term must match —
         # a term absent from the whole corpus is still required, so
         # the result is empty (it is not in tf and cannot be capped).
-        # The capped-term count is a query-term-sized driver action.
-        n_required = len(qlist)
-        if max_df is not None:
-            n_required -= (
-                tf.select("term", "df")
-                .distinct()
-                .where(F.col("df") > max_df)
-                .count()
-            )
+        # The capped-term count rides IN-PLAN as a broadcast 1-row
+        # aggregate (r10 review: a driver-side .count() here was a
+        # second full scan of the tf lineage before the real query)
+        capped = (
+            tf.select("term", "df").distinct().where(F.col("df") > max_df)
+            if max_df is not None
+            else tf.limit(0)
+        )
+        req = capped.agg(
+            (F.lit(len(qlist)) - F.count("*")).alias("__nreq")
+        )
     if max_df is not None:
         tf = tf.where(F.col("df") <= max_df)
     totals = docs.agg(
@@ -232,7 +234,11 @@ def bm25_topk(
         )
     )
     if require_all:
-        scored = scored.where(F.col("n_qterms") == n_required)
+        scored = (
+            scored.crossJoin(F.broadcast(req))
+            .where(F.col("n_qterms") == F.col("__nreq"))
+            .drop("__nreq")
+        )
     return scored.orderBy(F.col("score_micro").desc(), F.col(id_col)).limit(k)
 
 

@@ -464,7 +464,10 @@ def decode_jpeg(payload: bytes) -> np.ndarray:
     they are normalized here, at the decode boundary."""
     try:
         return _decode_jpeg(payload)
-    except (IndexError, struct.error) as exc:
+    except (IndexError, KeyError, struct.error) as exc:
+        # KeyError (r10 review): a scan referencing an undeclared
+        # Huffman/quant table or a component absent from SOF0 indexes
+        # into the table dicts — malformed input, same contract
         raise ValueError(f"truncated or malformed JPEG: {exc}") from exc
 
 

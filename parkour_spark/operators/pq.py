@@ -623,11 +623,13 @@ def pq_probe_adc(
     query-partitioned top-k window of scored tuples."""
     import numpy as np
 
-    rec_cbs = read_pq_codebooks(spark, path)
     from parkour_spark.artifacts import read_params
 
-    id_col = read_params(spark, path + "/meta")["id_col"]
-    cbs = _np_codebooks(rec_cbs)
+    rec = read_params(spark, path + "/meta")
+    if rec is None:
+        raise ValueError(f"no PQ index meta under {path}")
+    id_col = rec["id_col"]
+    cbs = _np_codebooks(_record_codebooks(rec["codebooks"]))
     m = len(cbs)
     dsub = cbs[0].shape[1]
     Q = np.array([v for _, v in queries], dtype=np.float64)
@@ -858,8 +860,13 @@ def ivfpq_index_delete(
 
     from parkour_spark import fs as pfs
 
+    from parkour_spark.artifacts import read_parquet_or_none
+
     spark = del_df.sparkSession
     coarse, _cbs, id_col = read_ivfpq_meta(spark, path)
+    stored = read_parquet_or_none(spark, path)
+    if stored is None:
+        return  # already-empty index: skip the batch scan entirely
     C = _np_codebooks([coarse])[0]
     # the residual codebooks are irrelevant for addressing: one
     # batch-sized Arrow pass assigns coarse cells with the same
@@ -884,11 +891,6 @@ def ivfpq_index_delete(
     )
     if not cells:
         return
-    from parkour_spark.artifacts import read_parquet_or_none
-
-    stored = read_parquet_or_none(spark, path)
-    if stored is None:
-        return  # already-empty index: nothing to delete
     ids = _F.broadcast(del_df.select(id_col).distinct())
     affected = stored.where(_F.col("cell").isin(cells))
     survivors = affected.join(ids, id_col, "left_anti")

@@ -299,21 +299,22 @@ def text_index_probe_bm25(
         .select(id_col, "dl", "term", "tf")
     )
     tf = tf.withColumn("df", F.count("*").over(Window.partitionBy("term")))
-    n_required = None
+    req = None
     if require_all:
-        # classic AND over the requested-and-uncapped terms — same
-        # semantics as corpus.bm25_topk(require_all=True): an
-        # absent-from-corpus term empties the result, a df-capped
-        # stopword stops being required (probe ≡ inline under both
-        # options, test-pinned)
-        n_required = len(qlist)
-        if max_df is not None:
-            n_required -= (
-                tf.select("term", "df")
-                .distinct()
-                .where(F.col("df") > max_df)
-                .count()
-            )
+        # classic AND: every requested-and-uncapped term must match —
+        # a term absent from the whole corpus is still required, so
+        # the result is empty (it is not in tf and cannot be capped).
+        # The capped-term count rides IN-PLAN as a broadcast 1-row
+        # aggregate (r10 review: a driver-side .count() here was a
+        # second full scan of the tf lineage before the real query)
+        capped = (
+            tf.select("term", "df").distinct().where(F.col("df") > max_df)
+            if max_df is not None
+            else tf.limit(0)
+        )
+        req = capped.agg(
+            (F.lit(len(qlist)) - F.count("*")).alias("__nreq")
+        )
     if max_df is not None:
         # the stopword guard: a term in most of the corpus carries
         # ~zero idf but costs a df-sized postings read — cap it out
@@ -340,5 +341,9 @@ def text_index_probe_bm25(
         )
     )
     if require_all:
-        scored = scored.where(F.col("n_qterms") == n_required)
+        scored = (
+            scored.crossJoin(F.broadcast(req))
+            .where(F.col("n_qterms") == F.col("__nreq"))
+            .drop("__nreq")
+        )
     return scored.orderBy(F.col("score_micro").desc(), F.col(id_col)).limit(k)

@@ -11844,7 +11844,19 @@ def q_streaming_substring_ingest(spark, sf_dir):
 # ===========================================================================
 
 
-_R10_INDEX_DIRS: dict = _SfLRUDirs()
+class _SfLRUDirsWide(_SfLRUDirs):
+    """_SfLRUDirs sized for the r10 index-entry family: ~24 (sf_dir,
+    tag) keys live in ONE process during a full-registry gate run, and
+    the default MAX=4 would evict (rmtree) an index dir after four
+    later entries ran — forcing rebuilds on any re-invocation and
+    leaving a latent hazard for not-yet-materialized DataFrames that
+    still reference the dir (r10 review). 48 bounds disk at two
+    sf_dirs x 24 tags while never evicting mid-run."""
+
+    MAX = 48
+
+
+_R10_INDEX_DIRS: dict = _SfLRUDirsWide()
 
 
 def _pq_queries(spark, sf_dir):
@@ -12190,7 +12202,8 @@ s{r} AS (
   FROM t{r} t
   WHERE NOT EXISTS (
     SELECT 1 FROM t{r} u WHERE u.rk < t.rk
-      AND (u.lhs IN (t.lhs, t.rhs) OR u.rhs IN (t.lhs, t.rhs)))),
+      AND (u.lhs IN (t.lhs, t.rhs) OR u.rhs IN (t.lhs, t.rhs)
+           OR (u.lhs || u.rhs) IN (t.lhs, t.rhs)))),
 a{r} AS (
   SELECT word, wc, s, 0 AS j FROM {prev}
   UNION ALL
@@ -12402,12 +12415,7 @@ def q_ivfpq_probe_persisted(spark, sf_dir):
         tmp = tempfile.mkdtemp(prefix="parkour_ivfpqidx_")
         ivfpq_index_build(emb, coarse, cbs, tmp)
         _R10_INDEX_DIRS[key] = tmp
-    queries = [
-        (int(r["vec_id"]), [float(x) for x in r["embedding"]])
-        for r in emb.where(F.col("vec_id") < 5)
-        .select("vec_id", "embedding")
-        .collect()
-    ]
+    queries = _pq_queries(spark, sf_dir)
     return ivfpq_probe_topk(
         spark, _R10_INDEX_DIRS[key], queries, k=10, nprobe=2
     )
@@ -12441,12 +12449,7 @@ def q_ivfpq_probe_after_append(spark, sf_dir):
             coarse=coarse, codebooks=cbs,
         )
         _R10_INDEX_DIRS[key] = tmp
-    queries = [
-        (int(r["vec_id"]), [float(x) for x in r["embedding"]])
-        for r in emb.where(F.col("vec_id") < 5)
-        .select("vec_id", "embedding")
-        .collect()
-    ]
+    queries = _pq_queries(spark, sf_dir)
     return ivfpq_probe_topk(
         spark, _R10_INDEX_DIRS[key], queries, k=10, nprobe=2
     )
@@ -12486,12 +12489,7 @@ def q_ivfpq_probe_after_delete(spark, sf_dir):
             tmp,
         )
         _R10_INDEX_DIRS[key] = tmp
-    queries = [
-        (int(r["vec_id"]), [float(x) for x in r["embedding"]])
-        for r in emb.where(F.col("vec_id") < 5)
-        .select("vec_id", "embedding")
-        .collect()
-    ]
+    queries = _pq_queries(spark, sf_dir)
     return ivfpq_probe_topk(
         spark, _R10_INDEX_DIRS[key], queries, k=10, nprobe=2
     )
@@ -12688,12 +12686,7 @@ def q_ivfpq_probe_after_compact(spark, sf_dir):
         ivfpq_index_append(emb.where(F.col("vec_id") % 10 == 7), tmp)
         ivfpq_index_compact(spark, tmp)
         _R10_INDEX_DIRS[key] = tmp
-    queries = [
-        (int(r["vec_id"]), [float(x) for x in r["embedding"]])
-        for r in emb.where(F.col("vec_id") < 5)
-        .select("vec_id", "embedding")
-        .collect()
-    ]
+    queries = _pq_queries(spark, sf_dir)
     return ivfpq_probe_topk(
         spark, _R10_INDEX_DIRS[key], queries, k=10, nprobe=2
     )
@@ -12729,12 +12722,7 @@ def q_ivfpq_ingest_compact_probe(spark, sf_dir):
         streaming_ivfpq_ingest(spark, src, schema, idx, coarse, cbs)
         ivfpq_index_compact(spark, idx)
         _R10_INDEX_DIRS[key] = idx
-    queries = [
-        (int(r["vec_id"]), [float(x) for x in r["embedding"]])
-        for r in emb.where(F.col("vec_id") < 5)
-        .select("vec_id", "embedding")
-        .collect()
-    ]
+    queries = _pq_queries(spark, sf_dir)
     return ivfpq_probe_topk(
         spark, _R10_INDEX_DIRS[key], queries, k=10, nprobe=2
     )

@@ -843,7 +843,11 @@ def streaming_minhash_ingest(
             # left bands/ permanently lagging this batch (r9 ADVICE —
             # probes would silently never see its docs). The rewrite is
             # idempotent (re-derives from ALL stored rows), so re-run
-            # it instead of trusting it happened.
+            # it instead of trusting it happened. Cost note (r10
+            # review): Structured Streaming re-delivers only batches
+            # past the last committed offset — normally exactly one —
+            # so this catch-up rewrite runs O(1) times per restart,
+            # not once per historical batch.
             _write_band_index(
                 spark, index_path, id_col, num_hashes, bands, max_bucket
             )

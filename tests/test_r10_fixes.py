@@ -240,3 +240,22 @@ def test_foreign_restart_placement_decodes_exactly():
             + enc[at + 6 :]
         )
         assert (decode_jpeg(patched) == base).all(), claimed
+
+
+def test_undeclared_table_references_raise_value_error():
+    """r10 review: a scan referencing an undeclared Huffman table (or
+    a component absent from SOF0) hits a dict lookup — must surface as
+    ValueError for the undecodable-row handlers, not KeyError."""
+    good = encode_jpeg(_gradient_rgb(16, 16), 90)
+    # SOS component spec: [ns, (cs, dc<<4|ac) x ns, ...] — point the
+    # first component at DC/AC table 3, which no DHT declared
+    at = good.index(b"\xff\xda")
+    cs_tab_at = at + 2 + 2 + 1 + 1  # marker, len, ns, cs
+    patched = good[:cs_tab_at] + b"\x33" + good[cs_tab_at + 1:]
+    with pytest.raises(ValueError):
+        decode_jpeg(patched)
+    # component id in SOS absent from SOF0
+    cs_at = at + 2 + 2 + 1
+    patched2 = good[:cs_at] + b"\x77" + good[cs_at + 1:]
+    with pytest.raises(ValueError):
+        decode_jpeg(patched2)
