@@ -22,7 +22,14 @@ from pyspark.sql import Column, DataFrame, functions as F
 def hash_bucket(key: Column | str, buckets: int = 100) -> Column:
     """Deterministic bucket in [0, buckets): first 8 md5 hex chars of
     the key, mod buckets. Cross-engine: DuckDB computes the identical
-    value as ('0x' || substr(md5(key), 1, 8))::BIGINT % buckets."""
+    value as ('0x' || substr(md5(key), 1, 8))::BIGINT % buckets.
+
+    CONTRACT: `operators.textindex._py_bucket` is a driver-side Python
+    replica of this exact formula (md5 hex [:8] as int, mod buckets) —
+    persisted text-index probes hash their query terms with it to pick
+    partition buckets WITHOUT a Spark job. Any change here must change
+    _py_bucket identically (tests/test_textindex.py pins term-by-term
+    agreement), or probes would silently read the wrong buckets."""
     c = F.col(key) if isinstance(key, str) else key
     return (
         F.conv(F.substring(F.md5(c.cast("string")), 1, 8), 16, 10).cast("long")

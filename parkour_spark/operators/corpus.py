@@ -190,6 +190,40 @@ def bm25_topk(
         keep=[F.col(id_col), token_count(F.col(text_col)).alias("dl")],
     ).where(F.col("term").isin(qlist))
     tf = base.groupBy(id_col, "dl", "term").agg(F.count("*").alias("tf"))
+    totals = docs.agg(
+        F.count("*").alias("n_docs"),
+        F.sum(token_count(F.col(text_col))).alias("n_total"),
+    )
+    return bm25_score_topk(
+        tf, totals, qlist, k=k, k1=k1, b=b, id_col=id_col,
+        require_all=require_all, max_df=max_df,
+    )
+
+
+def bm25_score_topk(
+    tf: DataFrame,
+    totals: DataFrame,
+    qlist: list[str],
+    k: int,
+    k1: float,
+    b: float,
+    id_col: str,
+    require_all: bool = False,
+    max_df: int | None = None,
+) -> DataFrame:
+    """The shared BM25 scoring tail — ONE implementation for both the
+    inline path (`bm25_topk`, tf derived by tokenizing the corpus) and
+    the persisted-index probe (`textindex.text_index_probe_bm25`, tf
+    read from stored postings). probe ≡ inline is a gate-pinned
+    IDENTITY, which only stays true while both paths score through the
+    same expressions — so the require_all/max_df/scoring block lives
+    here once instead of as two verbatim copies (r10 ADVICE: an edit to
+    one copy would silently break the identity).
+
+    `tf` carries (id_col, dl, term, tf); `totals` is a 1-row
+    (n_docs, n_total) aggregate broadcast into the plan. df derives
+    from the query-term slice via a window — never stored, so the
+    identity holds across appends/deletes."""
     tf = tf.withColumn("df", F.count("*").over(Window.partitionBy("term")))
     req = None
     if require_all:
@@ -208,11 +242,10 @@ def bm25_topk(
             (F.lit(len(qlist)) - F.count("*")).alias("__nreq")
         )
     if max_df is not None:
+        # the stopword guard: a term in most of the corpus carries
+        # ~zero idf but costs a df-sized postings read — cap it out
+        # before scoring, exactly the dedup families' bucket economics
         tf = tf.where(F.col("df") <= max_df)
-    totals = docs.agg(
-        F.count("*").alias("n_docs"),
-        F.sum(token_count(F.col(text_col))).alias("n_total"),
-    )
     avgdl = F.col("n_total").cast("double") / F.col("n_docs")
     idf = F.log(
         1

@@ -54,10 +54,9 @@ claimed.
 from __future__ import annotations
 
 import hashlib
-import os
 from typing import Iterable
 
-from pyspark.sql import DataFrame, Window, functions as F
+from pyspark.sql import DataFrame, functions as F
 
 from parkour_spark.functions.sampling import hash_bucket
 from parkour_spark.functions.text import token_count, tokens
@@ -298,52 +297,12 @@ def text_index_probe_bm25(
         .where(F.col("term").isin(qlist))
         .select(id_col, "dl", "term", "tf")
     )
-    tf = tf.withColumn("df", F.count("*").over(Window.partitionBy("term")))
-    req = None
-    if require_all:
-        # classic AND: every requested-and-uncapped term must match —
-        # a term absent from the whole corpus is still required, so
-        # the result is empty (it is not in tf and cannot be capped).
-        # The capped-term count rides IN-PLAN as a broadcast 1-row
-        # aggregate (r10 review: a driver-side .count() here was a
-        # second full scan of the tf lineage before the real query)
-        capped = (
-            tf.select("term", "df").distinct().where(F.col("df") > max_df)
-            if max_df is not None
-            else tf.limit(0)
-        )
-        req = capped.agg(
-            (F.lit(len(qlist)) - F.count("*")).alias("__nreq")
-        )
-    if max_df is not None:
-        # the stopword guard: a term in most of the corpus carries
-        # ~zero idf but costs a df-sized postings read — cap it out
-        # before scoring, exactly the dedup families' bucket economics
-        tf = tf.where(F.col("df") <= max_df)
     totals = spark.read.parquet(path + "/stats")
-    avgdl = F.col("n_total").cast("double") / F.col("n_docs")
-    idf = F.log(
-        1 + (F.col("n_docs") - F.col("df") + 0.5) / (F.col("df") + 0.5)
+    # the scoring tail is SHARED with corpus.bm25_topk (one copy — the
+    # probe ≡ inline identity is gate-pinned and must not drift)
+    from parkour_spark.operators.corpus import bm25_score_topk
+
+    return bm25_score_topk(
+        tf, totals, qlist, k=k, k1=k1, b=b, id_col=id_col,
+        require_all=require_all, max_df=max_df,
     )
-    tfn = (F.col("tf") * (k1 + 1)) / (
-        F.col("tf") + k1 * ((1 - b) + b * F.col("dl") / avgdl)
-    )
-    scored = (
-        tf.crossJoin(F.broadcast(totals))
-        .select(
-            F.col(id_col),
-            F.round(idf * tfn * 1e6).cast("long").alias("term_micro"),
-        )
-        .groupBy(id_col)
-        .agg(
-            F.count("*").alias("n_qterms"),
-            F.sum("term_micro").alias("score_micro"),
-        )
-    )
-    if require_all:
-        scored = (
-            scored.crossJoin(F.broadcast(req))
-            .where(F.col("n_qterms") == F.col("__nreq"))
-            .drop("__nreq")
-        )
-    return scored.orderBy(F.col("score_micro").desc(), F.col(id_col)).limit(k)
