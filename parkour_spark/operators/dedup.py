@@ -1394,10 +1394,15 @@ def _write_substring_lists(spark, path: str, id_col: str, max_df: int) -> None:
     """(Re)derive the probe lists from STORED occurrences — never a
     second pass over corpus text; published atomically
     (artifacts.publish_swap) so a crash mid-rewrite leaves the previous
-    committed lists intact."""
+    committed lists intact. Pending tombstones are excluded, so any
+    post-delete mutation restores the exact survivor-build lists
+    (df caps, resurrection and all)."""
     from parkour_spark.artifacts import publish_swap
+    from parkour_spark.operators.indexcommon import exclude_tombstoned
 
-    occ = spark.read.parquet(path + "/occ")
+    occ = exclude_tombstoned(
+        spark, path, spark.read.parquet(path + "/occ"), id_col
+    )
     lists = _fp_lists_from_occurrences(occ, id_col, max_df)
     publish_swap(
         spark,
@@ -1424,10 +1429,14 @@ def substring_index_append(
     that). The batch pays only its OWN winnowed text scan plus the
     occ-sized list re-derivation (longs, no corpus text re-read).
     Batch ids must be disjoint from the index's (the standard delta
-    contract). Parameters are validated against the persisted build
-    record (meta/)."""
+    contract — pending tombstoned ids included: checked, compact
+    first to re-add a retired id). Parameters are validated against
+    the persisted build record (meta/)."""
+    from parkour_spark.operators.indexcommon import check_ids_not_tombstoned
+
     spark = new_df.sparkSession
     _check_substring_meta(spark, path, k, w, max_df, id_col)
+    check_ids_not_tombstoned(spark, path, new_df.select(id_col), id_col)
     occ_new = _positioned_occurrences(new_df, text_col, id_col, k, w)
     occ_new.write.mode("append").parquet(path + "/occ")
     _write_substring_lists(spark, path, id_col, max_df)
@@ -1452,23 +1461,24 @@ def substring_index_delete(
     the registered gate entry pins probe-after-delete against the
     survivors-only-build oracle).
 
-    Cost: one broadcast anti-join rewrite of occ/ (positioned longs —
-    corpus TEXT is never re-read or re-winnowed) plus the same list
-    re-derivation append pays. Physical removal, not tombstones; both
-    rewrites publish atomically (artifacts.publish_swap)."""
-    from parkour_spark.artifacts import publish_swap
+    Cost (r11, r10 verdict #2): O(|delete set|) — the retired ids land
+    on the index's tombstone ledger (one atomic |B|-row write,
+    operators.indexcommon); occ/ and lists/ are NOT rewritten and
+    corpus TEXT is never re-read or re-winnowed. Probes anti-join the
+    ledger (read repair), and `substring_index_compact` physically
+    reconciles the rows later. Staleness window, stated honestly:
+    lists/ keeps its pre-delete df caps until the next mutation or
+    compaction re-derives it net of the ledger — an fp dropped as
+    overfull cannot resurrect inside that window (the cap is a fan-out
+    bound, not a correctness guarantee; compaction restores the exact
+    survivor-build state, unit-pinned — which is what keeps the
+    delete ≡ survivor-build gate identity exact). Audit:
+    `indexcommon.ids_probe_visible` immediately;
+    `artifacts.ids_remaining` after compaction."""
+    from parkour_spark.operators.indexcommon import append_tombstones
 
     _check_substring_meta(spark, path, k, w, max_df, id_col)
-    ids_only = F.broadcast(ids.select(F.col(ids.columns[0]).alias(id_col)))
-    survivors = spark.read.parquet(path + "/occ").join(
-        ids_only, id_col, "left_anti"
-    )
-    publish_swap(
-        spark,
-        path + "/occ",
-        lambda tmp: survivors.write.mode("overwrite").parquet(tmp),
-    )
-    _write_substring_lists(spark, path, id_col, max_df)
+    append_tombstones(spark, path, ids, id_col)
 
 
 def substring_probe_persisted(
@@ -1489,7 +1499,11 @@ def substring_probe_persisted(
     span segmentation is the same window pass as
     `substring_spans_delta`. Parameters are validated against the
     persisted build record (max_df excluded — the cap is applied at
-    list derivation, not probe)."""
+    list derivation, not probe). Pending tombstoned docs are excluded
+    from the matched pairs (read repair — the occurrence lists embed
+    ids inside arrays, so the anti-join applies post-explode)."""
+    from parkour_spark.operators.indexcommon import read_tombstones
+
     _check_substring_meta(spark, index_path, k, w, None, id_col)
     lists = spark.read.parquet(index_path + "/lists")
     return substring_spans_delta(
@@ -1500,6 +1514,7 @@ def substring_probe_persisted(
         w=w,
         min_span=min_span,
         index=lists,
+        exclude_old_ids=read_tombstones(spark, index_path),
     )
 
 
@@ -1513,6 +1528,7 @@ def substring_spans_delta(
     max_df: int = 50,
     min_span: int = 20,
     index: DataFrame | None = None,
+    exclude_old_ids: DataFrame | None = None,
 ) -> DataFrame:
     """Exact-substring spans between an INCOMING batch and the EXISTING
     corpus — the ingest shape of substring_overlap_spans, mirroring
@@ -1548,6 +1564,19 @@ def substring_spans_delta(
         "pos_new",
         (F.col("pos_new") - F.col("__o.pos_old")).alias("delta"),
     )
+    if exclude_old_ids is not None:
+        # persisted-index read repair (tombstoned corpus docs): the
+        # lists embed ids inside occurrence arrays, so the broadcast
+        # anti-join applies here, right after the explode
+        pairs = pairs.join(
+            F.broadcast(
+                exclude_old_ids.select(
+                    F.col(exclude_old_ids.columns[0]).alias("id_old")
+                )
+            ),
+            "id_old",
+            "left_anti",
+        )
     w1 = Window.partitionBy("id_new", "id_old", "delta").orderBy("pos_new")
     runs = pairs.withColumn(
         "__brk",
@@ -1818,8 +1847,14 @@ def _write_band_index(
     """(Re)derive the inverted band table from the STORED signature
     longs — bit-identical to the probe side's view of the index and no
     second pass over corpus text; the build-time bucket cap applies to
-    the FULL current membership."""
-    stored = spark.read.parquet(path + "/sigs")
+    the FULL current LIVE membership (pending tombstones excluded, so
+    any post-delete mutation restores the exact survivor-build band
+    table — caps, resurrection and all)."""
+    from parkour_spark.operators.indexcommon import exclude_tombstoned
+
+    stored = exclude_tombstoned(
+        spark, path, spark.read.parquet(path + "/sigs"), id_col
+    )
     sig_cols = stored.select(
         F.col(id_col),
         *[F.col("sigs")[i].alias(f"sig_{i}") for i in range(num_hashes)],
@@ -1884,9 +1919,14 @@ def minhash_index_append(
     operator in this module carries. Parameters are validated against
     the persisted build parameters (`meta/`) — a mismatched hash
     family or band layout raises instead of silently corrupting the
-    index (r7 ADVICE)."""
+    index (r7 ADVICE). Batch ids must also avoid the PENDING tombstone
+    ledger (checked — a pending delete would silently hide the
+    re-inserted rows; compact first, then re-add)."""
+    from parkour_spark.operators.indexcommon import check_ids_not_tombstoned
+
     spark = new_df.sparkSession
     _check_index_meta(spark, path, num_hashes, bands, ngram_n, max_bucket)
+    check_ids_not_tombstoned(spark, path, new_df.select(id_col), id_col)
     sig = minhash_signature(new_df, text_col, id_col, num_hashes, ngram_n)
     sig.select(
         F.col(id_col),
@@ -1911,44 +1951,32 @@ def minhash_index_delete(
     `removed` rows feeding index cleanup). `ids` is a DataFrame holding
     the doc ids to retire (one column, matched on `id_col`).
 
-    `delete(B) from build(A)` is RESULT-IDENTICAL to `build(A ∖ B)`:
-    signatures are per-doc (removing a row never perturbs another
-    doc's signature), and the band table is RE-derived from the
-    surviving stored longs with the bucket cap re-applied to the full
-    surviving membership — so a band key that was overfull (dropped)
-    at build time RESURRECTS when the deletion brings it back under
-    the cap, exactly as a fresh build of the survivors would produce.
-    The registered gate entry pins probe-after-delete against the
-    survivors-only-build oracle.
+    `delete(B) from build(A)` probes RESULT-IDENTICAL to `build(A ∖ B)`
+    (gate-pinned against the survivors-only-build oracle), in
+    O(|delete set|) — r10 verdict #2, replacing the O(index) anti-join
+    rewrite: the retired ids land on the index's tombstone ledger (one
+    atomic |B|-row write, operators.indexcommon); probes anti-join the
+    ledger (read repair) and `minhash_index_compact` physically
+    reconciles the rows later. sigs/ and bands/ are NOT rewritten
+    here; corpus text is never re-read.
 
-    Cost model: one anti-join rewrite of sigs/ (signature LONGS — the
-    expensive text shingling is never re-run and corpus text is never
-    re-read) plus the same band re-derivation append pays. The delete
-    set is broadcast (a retire batch is small by definition). Physical
-    removal, not tombstones: after this call the retired docs' bytes
-    are gone from both tables — the right-to-be-forgotten contract.
-    Both rewrites publish atomically (artifacts.publish_swap): a crash
-    mid-delete leaves the previous committed index intact.
+    Staleness window, stated honestly: bands/ keeps its pre-delete
+    bucket caps until the next mutation or compaction re-derives it
+    (net of the ledger) — a bucket dropped as overfull at build cannot
+    RESURRECT (re-enter the probe lists because deletions brought it
+    under the cap) inside that window. The cap is a fan-out bound on
+    an approximate-recall candidate generator, not a correctness
+    guarantee; compaction (unit-pinned) restores the exact
+    survivor-build state including resurrection.
 
-    Parameters are validated against the persisted build record
-    (meta/); deleting with a mismatched hash family would re-derive a
-    garbage band table, so a mismatch raises."""
-    from parkour_spark.artifacts import publish_swap
+    Audit: `indexcommon.ids_probe_visible` is clean immediately after
+    this call; `artifacts.ids_remaining` (physical absence) is clean
+    after compaction. Parameters are validated against the persisted
+    build record (meta/)."""
+    from parkour_spark.operators.indexcommon import append_tombstones
 
     _check_index_meta(spark, path, num_hashes, bands, ngram_n, max_bucket)
-    ids_only = F.broadcast(ids.select(F.col(ids.columns[0]).alias(id_col)))
-    survivors = spark.read.parquet(path + "/sigs").join(
-        ids_only, id_col, "left_anti"
-    )
-    # materialize the survivor rows BEFORE swapping sigs/ out from
-    # under the lazy plan that reads it: publish_swap's write_fn runs
-    # against the old committed dir, then renames over it.
-    publish_swap(
-        spark,
-        path + "/sigs",
-        lambda tmp: survivors.write.mode("overwrite").parquet(tmp),
-    )
-    _write_band_index(spark, path, id_col, num_hashes, bands, max_bucket)
+    append_tombstones(spark, path, ids, id_col)
 
 
 def minhash_probe_delta(
@@ -2007,7 +2035,13 @@ def minhash_probe_delta(
         num_hashes,
         bands,
     ).select(F.col(id_col).alias("id_new"), "band_key")
-    idx_b = spark.read.parquet(index_path + "/bands")
+    from parkour_spark.operators.indexcommon import exclude_tombstoned
+
+    # pending-delete read repair: retired docs drop from the candidate
+    # stream scan-side (broadcast anti-join; no-op with no ledger)
+    idx_b = exclude_tombstoned(
+        spark, index_path, spark.read.parquet(index_path + "/bands"), id_col
+    )
     cand = (
         idx_b.join(F.broadcast(bands_new), "band_key")
         .select("id_new", F.col(id_col).alias("id_old"))
@@ -2048,17 +2082,36 @@ def minhash_index_compact(
     re-read) into `n_files` files, dropping any `batch` partition
     column — row content is EXACTLY preserved (identity test-pinned),
     so probes and band re-derivations are unaffected; published
-    atomically (artifacts.publish_swap), so a crash mid-compact
-    leaves the previous committed table intact. The band table does
-    not need re-deriving: it is already derived state, rewritten
-    wholesale on every mutation."""
-    from parkour_spark.artifacts import publish_swap
+    atomically, so a crash mid-compact leaves the previous committed
+    table intact — and PHYSICALLY RECONCILES the tombstone ledger
+    (r11): retired rows anti-join out of sigs/, the band table
+    re-derives from the survivors (restoring cap resurrection — the
+    one probe property the delete's staleness window defers), and the
+    ledger clears LAST, every step idempotent (the shared indexcommon
+    contract)."""
+    from parkour_spark.artifacts import read_params
+    from parkour_spark.operators.indexcommon import (
+        TableSpec,
+        reconcile_tombstones,
+    )
 
-    sigs = spark.read.parquet(path + "/sigs").select(id_col, "sigs")
-    publish_swap(
+    meta = read_params(spark, path + "/meta") or {}
+    rederive = None
+    if meta:
+        rederive = lambda: _write_band_index(  # noqa: E731
+            spark,
+            path,
+            id_col,
+            int(meta["num_hashes"]),
+            int(meta["bands"]),
+            int(meta["max_bucket"]),
+        )
+    reconcile_tombstones(
         spark,
-        path + "/sigs",
-        lambda tmp: sigs.repartition(n_files).write.mode("overwrite").parquet(tmp),
+        path,
+        [TableSpec("sigs", (id_col, "sigs"), n_files=n_files)],
+        id_col,
+        rederive=rederive,
     )
 
 
@@ -2067,13 +2120,27 @@ def substring_index_compact(
 ) -> None:
     """Compact the substring index's occurrence table (occ/ grows one
     file set per append) — same contract as `minhash_index_compact`:
-    exact row preservation, atomic publish, no text re-read; lists/
-    stays untouched (wholesale-rewritten derived state)."""
-    from parkour_spark.artifacts import publish_swap
+    exact survivor-row preservation, atomic publish, no text re-read —
+    and physically reconcile the tombstone ledger (r11): retired rows
+    anti-join out of occ/, lists/ re-derives from the survivors
+    (restoring df-cap resurrection), ledger clears last (the shared
+    indexcommon contract; every step idempotent)."""
+    from parkour_spark.artifacts import read_params
+    from parkour_spark.operators.indexcommon import (
+        TableSpec,
+        reconcile_tombstones,
+    )
 
-    occ = spark.read.parquet(path + "/occ").select(id_col, "fp", "pos")
-    publish_swap(
+    meta = read_params(spark, path + "/meta") or {}
+    rederive = None
+    if meta:
+        rederive = lambda: _write_substring_lists(  # noqa: E731
+            spark, path, id_col, int(meta["max_df"])
+        )
+    reconcile_tombstones(
         spark,
-        path + "/occ",
-        lambda tmp: occ.repartition(n_files).write.mode("overwrite").parquet(tmp),
+        path,
+        [TableSpec("occ", (id_col, "fp", "pos"), n_files=n_files)],
+        id_col,
+        rederive=rederive,
     )

@@ -35,12 +35,19 @@ postings slice — exactly how the inline bm25_topk computes it, which
 is what makes probe ≡ inline an identity rather than an
 approximation.
 
+  tombstones/ — the pending retired-id ledger (r11,
+              operators.indexcommon): deletes are O(|delete set|)
+              appends here, probes anti-join it, compaction
+              physically reconciles it.
+
 Lifecycle identities (each gate-pinned): probe(build(A)) ≡
 bm25_topk(A); append(B) ≡ build(A∪B) — postings/doclen are per-doc
 pure, stats re-derive from full membership; delete(B) ≡ build(A∖B) —
-physical removal, df/idf shift exactly as a survivor build because df
-is probe-derived; ingest(Σ batches) ≡ build(all) — exactly-once
-commit-marker batch dirs; compact changes zero rows.
+O(|B|) tombstone append + stats net of the ledger, df/idf shift
+exactly as a survivor build because df is probe-derived AFTER the
+ledger anti-join; ingest(Σ batches) ≡ build(all) — exactly-once
+commit-marker batch dirs; compact changes zero surviving rows and
+physically reconciles the ledger.
 
 SCALE: build pays the one corpus tokenize + one (term, doc) shuffle.
 A probe's cost is Σ_t df_t postings rows read from ≤|terms| buckets —
@@ -91,12 +98,37 @@ def _doclen(docs: DataFrame, text_col: str, id_col: str) -> DataFrame:
     )
 
 
-def _write_stats(spark, path: str) -> None:
-    """(Re)derive the 1-row corpus stats from the stored doclen table —
-    wholesale-rewritten derived state, atomic swap."""
-    from parkour_spark.artifacts import publish_swap
+def _specs(id_col: str) -> list:
+    """The index's primary tables in their canonical layouts (the
+    shared lifecycle contract, operators.indexcommon)."""
+    from parkour_spark.operators.indexcommon import TableSpec
 
-    stats = spark.read.parquet(path + "/doclen").agg(
+    return [
+        TableSpec(
+            "postings",
+            ("term", id_col, "dl", "tf", "tbucket"),
+            partition_by="tbucket",
+            sort_within=("term", id_col),
+        ),
+        TableSpec("doclen", (id_col, "dl"), n_files=4),
+    ]
+
+
+def _write_stats(spark, path: str) -> None:
+    """(Re)derive the 1-row corpus stats from the stored doclen table
+    NET OF pending tombstones — wholesale-rewritten derived state,
+    atomic swap. Subtracting the ledger here is what keeps N and avgdl
+    (and therefore every BM25 score) shifting EXACTLY as a survivor
+    build after an O(|B|) tombstone delete; df needs no such care
+    because probes derive it after their own tombstone anti-join."""
+    from parkour_spark.artifacts import publish_swap
+    from parkour_spark.operators.indexcommon import exclude_tombstoned
+
+    id_col = _read_meta(spark, path)["id_col"]
+    live = exclude_tombstoned(
+        spark, path, spark.read.parquet(path + "/doclen"), id_col
+    )
+    stats = live.agg(
         F.count("*").alias("n_docs"),
         F.coalesce(F.sum("dl"), F.lit(0)).cast("long").alias("n_total"),
     )
@@ -179,10 +211,15 @@ def text_index_append(
     validates it against the persisted layout (mismatch raises — rows
     would land in the wrong partitions). Batch ids must be disjoint
     from the index's (the standard delta contract — a duplicate id
-    would double-count its postings)."""
+    would double-count its postings) AND from the pending tombstone
+    ledger (checked — a pending delete would silently hide the
+    re-inserted rows; compact first, then re-add)."""
+    from parkour_spark.operators.indexcommon import check_ids_not_tombstoned
+
     spark = new_docs.sparkSession
     _check_text_meta(spark, path, n_buckets)
     nb = int(_read_meta(spark, path)["n_buckets"])
+    check_ids_not_tombstoned(spark, path, new_docs.select(id_col), id_col)
     (
         _postings(new_docs, text_col, id_col, nb)
         .repartition("tbucket")
@@ -198,68 +235,42 @@ def text_index_append(
 
 
 def text_index_delete(spark, ids: DataFrame, path: str) -> None:
-    """DELETE documents: physical anti-join rewrites of postings/ and
-    doclen/ (published atomically), stats re-derived. df_t shrinks
-    exactly as a survivor build because df is probe-derived from the
-    stored rows — delete(B) ≡ build(A∖B) with idf shifts included
-    (gate-pinned). The broadcast delete set touches every bucket's
-    postings once; corpus text is never re-tokenized."""
-    from parkour_spark.artifacts import publish_swap
+    """DELETE documents in O(|delete set|): the retired ids land on
+    the index's tombstone ledger (one atomic |B|-row write — postings/
+    and doclen/ are NOT rewritten; r10 verdict #2, replacing the
+    O(index) anti-join rewrite), and the 1-row stats re-derive net of
+    the ledger. Probes anti-join the ledger and derive df after it, so
+    delete(B) ≡ build(A∖B) EXACTLY — N, avgdl, and every idf shift as
+    a survivor build (gate-pinned) — while `text_index_compact`
+    physically reconciles the rows later. Corpus text is never
+    re-tokenized; audit visibility with
+    `indexcommon.ids_probe_visible` (and `artifacts.ids_remaining`
+    for physical absence after compaction)."""
+    from parkour_spark.operators.indexcommon import append_tombstones
 
     id_col = _read_meta(spark, path)["id_col"]
-    ids_only = F.broadcast(ids.select(F.col(ids.columns[0]).alias(id_col)))
-    post = _read_postings(spark, path)
-    if post is not None:
-        surv_post = post.join(ids_only, id_col, "left_anti")
-        publish_swap(
-            spark,
-            path + "/postings",
-            lambda tmp: surv_post.repartition("tbucket")
-            .sortWithinPartitions("term", id_col)
-            .write.mode("overwrite")
-            .partitionBy("tbucket")
-            .parquet(tmp),
-        )
-    surv_len = spark.read.parquet(path + "/doclen").join(
-        ids_only, id_col, "left_anti"
-    )
-    publish_swap(
-        spark,
-        path + "/doclen",
-        lambda tmp: surv_len.write.mode("overwrite").parquet(tmp),
-    )
+    append_tombstones(spark, path, ids, id_col)
     _write_stats(spark, path)
 
 
 def text_index_compact(spark, path: str) -> None:
     """Fold per-append/per-batch file sets back into one co-located,
-    term-sorted file set per bucket — exact row preservation, atomic
-    swap, text never re-tokenized; any streaming `batch` partition
-    column is dropped (the terminal-fold contract the other indexes
-    share). doclen/ compacts with it; stats/ is 1 row and needs
-    nothing."""
-    from parkour_spark.artifacts import publish_swap
+    term-sorted file set per bucket AND physically reconcile the
+    tombstone ledger (retired rows anti-joined out of postings/ and
+    doclen/, ledger cleared last — idempotent, crash-healable; the
+    shared indexcommon contract). Exact survivor-row preservation,
+    atomic swaps, text never re-tokenized; any streaming `batch`
+    partition column is dropped. stats/ re-derives (a no-op shift:
+    delete already maintained it net of the ledger)."""
+    from parkour_spark.operators.indexcommon import reconcile_tombstones
 
     id_col = _read_meta(spark, path)["id_col"]
-    stored = _read_postings(spark, path)
-    if stored is not None:
-        post = stored.select("term", id_col, "dl", "tf", "tbucket")
-        publish_swap(
-            spark,
-            path + "/postings",
-            lambda tmp: post.repartition("tbucket")
-            .sortWithinPartitions("term", id_col)
-            .write.mode("overwrite")
-            .partitionBy("tbucket")
-            .parquet(tmp),
-        )
-    dlen = spark.read.parquet(path + "/doclen").select(id_col, "dl")
-    publish_swap(
+    reconcile_tombstones(
         spark,
-        path + "/doclen",
-        lambda tmp: dlen.repartition(4)
-        .write.mode("overwrite")
-        .parquet(tmp),
+        path,
+        _specs(id_col),
+        id_col,
+        rederive=lambda: _write_stats(spark, path),
     )
 
 
@@ -292,11 +303,17 @@ def text_index_probe_bm25(
         return spark.createDataFrame(
             [], f"{id_col} long, n_qterms long, score_micro long"
         )
+    from parkour_spark.operators.indexcommon import exclude_tombstoned
+
     tf = (
         stored.where(F.col("tbucket").isin(buckets))
         .where(F.col("term").isin(qlist))
         .select(id_col, "dl", "term", "tf")
     )
+    # pending-delete read repair BEFORE the df window: df, and through
+    # it every idf, derives from the surviving postings only — exactly
+    # the survivor build's values (no-op when no delete is pending)
+    tf = exclude_tombstoned(spark, path, tf, id_col)
     totals = spark.read.parquet(path + "/stats")
     # the scoring tail is SHARED with corpus.bm25_topk (one copy — the
     # probe ≡ inline identity is gate-pinned and must not drift)

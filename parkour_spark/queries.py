@@ -4376,9 +4376,14 @@ def q_substring_clean(spark, sf_dir):
     return D.substring_dedup_apply(docs, D.substring_overlap_spans(docs))
 
 
-@query(
-    "substring_spans_delta",
-    f"""
+def _substring_delta_oracle(max_df: int = 50) -> str:
+    """The substring-delta DuckDB replay (winnow → df-capped corpus
+    lists → fp equi-join → constant-delta run segmentation),
+    parameterized on the df cap so the persisted-index entries can
+    replay non-default builds (the read-repair entry builds with an
+    ample cap to isolate the tombstone mechanism from cap
+    resurrection)."""
+    return f"""
     WITH b AS (SELECT doc_id, text, {_HB_SQL} % 100 AS bkt FROM documents),
     norm AS (
       SELECT doc_id, bkt,
@@ -4402,7 +4407,8 @@ def q_substring_clean(spark, sf_dir):
     occ_old AS (SELECT doc_id, fp, pos FROM occ WHERE bkt < 90),
     capped AS (
       SELECT fp FROM occ_old GROUP BY fp
-      HAVING count(DISTINCT doc_id) <= 50 AND count(*) <= 200),
+      HAVING count(DISTINCT doc_id) <= {max_df}
+         AND count(*) <= {4 * max_df}),
     pairs AS (
       SELECT n.doc_id AS id_new, o.doc_id AS id_old, n.pos AS pos_new,
              n.pos - o.pos AS delta
@@ -4425,8 +4431,10 @@ def q_substring_clean(spark, sf_dir):
            new_end - new_start + 1 AS span_len, n_fps
     FROM spans
     WHERE new_end - new_start + 1 >= 20
-    """,
-)
+    """
+
+
+@query("substring_spans_delta", _substring_delta_oracle())
 def q_substring_delta(spark, sf_dir):
     """Ingest-shape substring spans (operators.dedup.
     substring_spans_delta): the content-hash top-10% of documents plays
@@ -10691,11 +10699,12 @@ def q_minhash_probe_after_delete(spark, sf_dir):
     content-hash bottom 90% of documents PLUS exact-copy junk docs
     (bkt < 10 re-idded — identical signatures, so they would
     certainly surface as extra id_old matches and can push shared band
-    buckets over the cap), DELETE the junk ids (physical sigs/ rewrite
-    + band re-derivation from surviving longs, caps re-applied
-    globally), then probe with the top 10%. The oracle is the
-    junk-free build — green ⇒ delete(B) from build(A ∪ B) ≡ build(A),
-    the right-to-be-forgotten guarantee for the document index."""
+    buckets over the cap), DELETE the junk ids (r11: an O(|B|)
+    tombstone-ledger append — probes anti-join the ledger, compaction
+    reconciles physically), then probe with the top 10%. The oracle is
+    the junk-free build — green ⇒ delete(B) from build(A ∪ B) ≡
+    build(A) through the read-repair path, the right-to-be-forgotten
+    guarantee for the document index."""
     import tempfile
 
     from parkour_spark.functions.sampling import hash_bucket
@@ -10773,18 +10782,21 @@ _SUBSTR_DELETE_DIRS: dict[str, str] = _SfLRUDirs()
 @query("substring_probe_after_delete", ORACLES["substring_spans_delta"])
 def q_substring_probe_after_delete(spark, sf_dir):
     """Substring index-lifecycle DELETE leg, gate-pinned
-    (dedup.substring_index_delete): build the persisted fingerprint
-    index (occ/ + lists/ + meta/) on the content-hash bottom 90% of
-    documents PLUS exact-copy junk docs (bkt < 10 re-idded — identical
-    fingerprints, so they would surface as extra id_old spans and push
-    shared fps over the df cap), DELETE the junk ids (anti-join rewrite
-    of stored occurrences — corpus text is never re-winnowed — then
-    list re-derivation, which RESURRECTS fps whose df fell back under
-    the cap), then probe with the top 10% through
-    substring_probe_persisted. The oracle is the junk-free delta
-    replay (same as substring_spans_delta) — green ⇒ delete(B) from
-    build(A ∪ B) ≡ build(A) for the text index, completing
-    build/append/delete/probe across all three persisted indexes."""
+    (dedup.substring_index_delete + substring_index_compact): build
+    the persisted fingerprint index (occ/ + lists/ + meta/) on the
+    content-hash bottom 90% of documents PLUS exact-copy junk docs
+    (bkt < 10 re-idded — identical fingerprints, so they would surface
+    as extra id_old spans AND push shared fps over the df cap), DELETE
+    the junk ids (r11: O(|B|) tombstone-ledger append), COMPACT (the
+    physical reconciliation that re-derives the df-capped lists from
+    the survivors — which RESURRECTS fps whose df fell back under the
+    cap; under the ledger contract resurrection is a compaction
+    property, the documented staleness window), then probe with the
+    top 10% through substring_probe_persisted. The oracle is the
+    junk-free delta replay — green ⇒ delete(B)+compact from
+    build(A ∪ B) ≡ build(A) INCLUDING cap resurrection. The pure
+    read-repair window (delete, no compact) is gate-pinned by
+    `substring_probe_delete_readrepair` on cap-safe data."""
     import tempfile
 
     from parkour_spark.functions.sampling import hash_bucket
@@ -10801,9 +10813,51 @@ def q_substring_probe_after_delete(spark, sf_dir):
             tmp,
         )
         D.substring_index_delete(spark, junk.select("doc_id"), tmp)
+        D.substring_index_compact(spark, tmp)
         _SUBSTR_DELETE_DIRS[sf_dir] = tmp
     return D.substring_probe_persisted(
         spark, docs.where(bkt >= 90), _SUBSTR_DELETE_DIRS[sf_dir]
+    )
+
+
+@query(
+    "substring_probe_delete_readrepair", _substring_delta_oracle(5000)
+)
+def q_substring_probe_delete_readrepair(spark, sf_dir):
+    """The substring PURE READ-REPAIR window, gate-pinned (r11): build
+    the index with an AMPLE df cap (5000 — nothing organic crosses it,
+    so cap resurrection cannot confound what this entry isolates) on
+    the bottom-90% docs PLUS exact-copy junk (bkt<10 re-idded — their
+    fingerprints would surface as extra id_old spans), tombstone-DELETE
+    the junk, and probe WITHOUT compacting: the ledger anti-join alone
+    must make the probe ≡ the junk-free build (the oracle replays the
+    junk-free corpus with the same ample cap). This is the O(|B|)
+    delete's everyday serving state — the cap-resurrection window that
+    `substring_probe_after_delete` closes with compaction is the ONLY
+    delta between the two entries."""
+    import tempfile
+
+    from parkour_spark.functions.sampling import hash_bucket
+
+    docs = _t(spark, sf_dir, "documents")
+    bkt = hash_bucket(F.col("doc_id"), 100)
+    junk = docs.where(bkt < 10).select(
+        (F.col("doc_id") + F.lit(900_000_000)).alias("doc_id"), "text"
+    )
+    key = (sf_dir, "sub_readrepair")
+    if key not in _R10_INDEX_DIRS:
+        tmp = tempfile.mkdtemp(prefix="parkour_subidx_rr_")
+        D.substring_index_build(
+            docs.where(bkt < 90).select("doc_id", "text").unionByName(junk),
+            tmp,
+            max_df=5000,
+        )
+        D.substring_index_delete(
+            spark, junk.select("doc_id"), tmp, max_df=5000
+        )
+        _R10_INDEX_DIRS[key] = tmp
+    return D.substring_probe_persisted(
+        spark, docs.where(bkt >= 90), _R10_INDEX_DIRS[key]
     )
 
 
@@ -12597,12 +12651,13 @@ def q_text_probe_after_append(spark, sf_dir):
 )
 def q_text_probe_after_delete(spark, sf_dir):
     """Delete identity for the text index: build on the full corpus,
-    physically retire doc_id % 10 == 7 (anti-join rewrites of postings
-    and doclen, stats re-derived), probe. The oracle replays BM25 over
-    the SURVIVORS ONLY — df, N, and avgdl all shift exactly as a
-    survivor build would, because the index derives every statistic
-    from stored membership rather than caching scores. delete(B) ≡
-    build(A∖B), idf shifts included."""
+    retire doc_id % 10 == 7 via the r11 O(|B|) tombstone ledger
+    (postings/doclen untouched; stats re-derived net of the ledger),
+    probe through the read-repair anti-join. The oracle replays BM25
+    over the SURVIVORS ONLY — df, N, and avgdl all shift exactly as a
+    survivor build would, because df derives AFTER the ledger
+    anti-join and stats subtract it. delete(B) ≡ build(A∖B), idf
+    shifts included, with no table rewrite anywhere."""
     import tempfile
 
     from parkour_spark.operators.textindex import (

@@ -78,12 +78,21 @@ def test_delete_shifts_df_like_survivor_build(spark, corpus, tmp_path):
     text_index_build(corpus.where(F.col("doc_id") % 4 != 1), surv, n_buckets=8)
     got = _rows(text_index_probe_bm25(spark, idx, TERMS, k=8))
     assert got == _rows(text_index_probe_bm25(spark, surv, TERMS, k=8))
-    # physical removal from both tables
+    # r11 contract: delete is an O(|B|) tombstone append — retired ids
+    # are invisible to probes immediately (ids_probe_visible) but
+    # physically removed only by compaction (ids_remaining)
+    from parkour_spark.artifacts import ids_remaining
+    from parkour_spark.operators.indexcommon import ids_probe_visible
+
+    dead_ids = [r.doc_id for r in dead.collect()]
     for sub in ("postings", "doclen"):
-        stored = {
-            r.doc_id for r in spark.read.parquet(f"{idx}/{sub}").collect()
-        }
-        assert stored.isdisjoint({r.doc_id for r in dead.collect()})
+        assert ids_probe_visible(spark, idx, sub, "doc_id", dead_ids) == []
+        assert ids_remaining(spark, f"{idx}/{sub}", "doc_id", dead_ids)
+    text_index_compact(spark, idx)
+    for sub in ("postings", "doclen"):
+        assert ids_remaining(spark, f"{idx}/{sub}", "doc_id", dead_ids) == []
+    # the reconciled index still probes like the survivor build
+    assert got == _rows(text_index_probe_bm25(spark, idx, TERMS, k=8))
 
 
 def test_compact_preserves_rows_probe_and_layout(spark, corpus, tmp_path):
@@ -172,10 +181,12 @@ def test_meta_guard_raises(spark, corpus, tmp_path):
 
 
 def test_delete_audit_verifies_removal(spark, corpus, tmp_path):
-    """The right-to-be-forgotten audit (artifacts.ids_remaining) works
-    unchanged on the fifth index family's tables: lingering ids show
-    before the delete, both tables audit clean after."""
+    """The right-to-be-forgotten audit on the tombstone contract (r11):
+    probe-visibility (indexcommon.ids_probe_visible) is clean right
+    after the O(|B|) delete; physical absence (artifacts.ids_remaining)
+    is clean after compaction reconciles the ledger."""
     from parkour_spark.artifacts import ids_remaining
+    from parkour_spark.operators.indexcommon import ids_probe_visible
 
     idx = str(tmp_path / "idx")
     text_index_build(corpus, idx, n_buckets=8)
@@ -186,6 +197,9 @@ def test_delete_audit_verifies_removal(spark, corpus, tmp_path):
     text_index_delete(
         spark, _docs(spark, [(v, "") for v in victims]).select("doc_id"), idx
     )
+    assert ids_probe_visible(spark, idx, "doclen", "doc_id", victims) == []
+    assert ids_probe_visible(spark, idx, "postings", "doc_id", victims) == []
+    text_index_compact(spark, idx)
     assert ids_remaining(spark, idx + "/doclen", "doc_id", victims) == []
     assert ids_remaining(spark, idx + "/postings", "doc_id", victims) == []
 

@@ -145,9 +145,21 @@ def test_minhash_delete_equals_build_of_survivors(spark, tmp_path):
     p_ref = str(tmp_path / "survivors")
     minhash_index_build(keep, p_ref, max_bucket=200)
 
+    # r11: delete is an O(|B|) tombstone append — retired ids are
+    # probe-invisible immediately; COMPACTION physically reconciles
+    from parkour_spark.operators.dedup import minhash_index_compact
+    from parkour_spark.operators.indexcommon import ids_probe_visible
+
+    dead = [r.doc_id for r in drop_ids.collect()]
+    assert ids_probe_visible(spark, p_del, "sigs", "doc_id", dead) == []
+    minhash_index_compact(spark, p_del)
     for table in ("sigs", "bands"):
-        got = sorted(map(tuple, spark.read.parquet(f"{p_del}/{table}").collect()))
-        ref = sorted(map(tuple, spark.read.parquet(f"{p_ref}/{table}").collect()))
+        got = sorted(
+            map(tuple, spark.read.parquet(f"{p_del}/{table}").collect())
+        )
+        ref = sorted(
+            map(tuple, spark.read.parquet(f"{p_ref}/{table}").collect())
+        )
         assert got == ref, table
 
 
@@ -169,6 +181,12 @@ def test_minhash_delete_resurrects_previously_overfull_bucket(spark, tmp_path):
     assert spark.read.parquet(f"{path}/bands").count() == 0
     drop = spark.createDataFrame([(3,), (4,)], "doc_id long")
     minhash_index_delete(spark, drop, path, max_bucket=3)
+    # r11 staleness window: bands/ keeps its pre-delete caps until the
+    # ledger is reconciled — resurrection is compaction's job
+    assert spark.read.parquet(f"{path}/bands").count() == 0
+    from parkour_spark.operators.dedup import minhash_index_compact
+
+    minhash_index_compact(spark, path)
     bands = spark.read.parquet(f"{path}/bands")
     assert bands.count() > 0  # resurrected
     sigs = spark.read.parquet(f"{path}/sigs")
@@ -379,6 +397,12 @@ def test_substring_index_delete_resurrects_capped_fp(spark, tmp_path):
         path,
         max_df=2,
     )
+    # r11 staleness window: lists/ keeps its pre-delete df caps until
+    # the ledger is reconciled — resurrection is compaction's job
+    assert spark.read.parquet(f"{path}/lists").count() == 0
+    from parkour_spark.operators.dedup import substring_index_compact
+
+    substring_index_compact(spark, path)
     assert spark.read.parquet(f"{path}/lists").count() > 0
     ids_left = {
         r.id_old
@@ -554,10 +578,20 @@ def test_ids_remaining_on_minhash_and_substring_tables(spark, tmp_path):
     docs = _docs(
         spark, [(i, f"document body number {i} with shared words") for i in range(6)]
     )
+    from parkour_spark.operators.dedup import (
+        minhash_index_compact,
+        substring_index_compact,
+    )
+    from parkour_spark.operators.indexcommon import ids_probe_visible
+
     mh = str(tmp_path / "mh")
     minhash_index_build(docs, mh)
     drop = spark.createDataFrame([(2,), (4,)], "doc_id long")
     minhash_index_delete(spark, drop, mh)
+    # pending ledger: probe-invisible now, physically present until compact
+    assert ids_probe_visible(spark, mh, "sigs", "doc_id", drop) == []
+    assert ids_remaining(spark, f"{mh}/sigs", "doc_id", drop) == [2, 4]
+    minhash_index_compact(spark, mh)
     assert ids_remaining(spark, f"{mh}/sigs", "doc_id", drop) == []
     # querying a mixed set reports exactly the members still present
     assert ids_remaining(spark, f"{mh}/sigs", "doc_id", [1, 2, 3]) == [1, 3]
@@ -568,6 +602,8 @@ def test_ids_remaining_on_minhash_and_substring_tables(spark, tmp_path):
     substring_index_delete(
         spark, spark.createDataFrame([(0,)], "doc_id long"), sub
     )
+    assert ids_probe_visible(spark, sub, "occ", "doc_id", [0]) == []
+    substring_index_compact(spark, sub)
     assert ids_remaining(spark, f"{sub}/occ", "doc_id", [0]) == []
     assert ids_remaining(spark, f"{sub}/occ", "doc_id", [1]) == [1]
 
