@@ -605,24 +605,18 @@ def pq_index_delete(spark, ids: DataFrame, path: str) -> None:
 def pq_index_compact(spark, path: str, n_files: int = 8) -> None:
     """Compact the codes table (append/streaming land their own file
     sets) — same contract as dedup.minhash_index_compact: exact row
-    preservation, atomic publish, vectors never re-read."""
-    from parkour_spark.artifacts import publish_swap, read_params
-
-    from parkour_spark.artifacts import read_parquet_or_none
+    preservation, atomic publish, vectors never re-read; an emptied or
+    zero-batch codes tree is a no-op (the shared indexcommon layer)."""
+    from parkour_spark.artifacts import read_params
+    from parkour_spark.operators.indexcommon import TableSpec, compact_table
 
     rec = read_params(spark, path + "/meta")
     if rec is None:
         raise ValueError(f"no PQ index meta under {path}")
-    stored = read_parquet_or_none(spark, path + "/codes")
-    if stored is None:
-        return  # emptied/zero-batch codes tree: nothing to fold, meta stays
-    codes = stored.select(rec["id_col"], "codes")
-    publish_swap(
+    compact_table(
         spark,
-        path + "/codes",
-        lambda tmp: codes.repartition(n_files)
-        .write.mode("overwrite")
-        .parquet(tmp),
+        path,
+        TableSpec("codes", (rec["id_col"], "codes"), n_files=n_files),
     )
 
 

@@ -12556,12 +12556,30 @@ def q_ivfpq_probe_after_delete(spark, sf_dir):
 # ===========================================================================
 
 
-def _bm25_idx_oracle(where: str | None = None, k: int = 10) -> str:
+def _bm25_idx_oracle(
+    where: str | None = None,
+    k: int = 10,
+    require_all: bool = False,
+    max_df: int | None = None,
+) -> str:
     """The bm25_search replay, parameterized with an optional document
-    filter — the delete leg scores exactly the survivor corpus (df, N,
+    filter (the delete leg scores exactly the survivor corpus — df, N,
     and avgdl all shift as a survivor build, because the index derives
-    them from stored membership)."""
+    them from stored membership) and the r10 retrieval options:
+    `max_df` drops query terms whose df exceeds it BEFORE scoring (the
+    stopword guard), `require_all` keeps only docs matching every
+    requested-and-uncapped term (classic conjunctive AND)."""
     w = f"WHERE {where}" if where else ""
+    cap = f"WHERE df <= {max_df}" if max_df is not None else ""
+    nreq = (
+        f"(SELECT 3 - count(*) FROM (SELECT DISTINCT term FROM wdf "
+        f"WHERE df > {max_df}))"
+        if max_df is not None
+        else "3"
+    )
+    having = (
+        f"HAVING count(*) = {nreq}" if require_all else ""
+    )
     return f"""
     WITH docs_f AS (SELECT * FROM documents {w}),
     base AS (
@@ -12570,6 +12588,7 @@ def _bm25_idx_oracle(where: str | None = None, k: int = 10) -> str:
     tf AS (SELECT doc_id, dl, term, count(*) AS tf FROM base
            WHERE term IN ('hash', 'join', 'scan') GROUP BY doc_id, dl, term),
     wdf AS (SELECT *, count(*) OVER (PARTITION BY term) AS df FROM tf),
+    wdf_c AS (SELECT * FROM wdf {cap}),
     tot AS (SELECT count(*) AS n_docs,
                    (SELECT sum(len({_TOKS_SQL}))::BIGINT FROM docs_f) AS n_total
             FROM docs_f),
@@ -12578,9 +12597,9 @@ def _bm25_idx_oracle(where: str | None = None, k: int = 10) -> str:
              round(ln(1 + (n_docs - df + 0.5) / (df + 0.5))
                    * ((tf * 2.2) / (tf + 1.2 * (0.25 + 0.75 * dl / (n_total::DOUBLE / n_docs))))
                    * 1e6)::BIGINT AS term_micro
-      FROM wdf, tot)
+      FROM wdf_c, tot)
     SELECT doc_id, count(*)::BIGINT AS n_qterms, sum(term_micro)::BIGINT AS score_micro
-    FROM scored GROUP BY doc_id
+    FROM scored GROUP BY doc_id {having}
     ORDER BY score_micro DESC, doc_id LIMIT {k}
     """
 
@@ -12612,6 +12631,63 @@ def q_text_probe_persisted(spark, sf_dir):
         _R10_INDEX_DIRS[key] = tmp
     return text_index_probe_bm25(
         spark, _R10_INDEX_DIRS[key], _BM25_TERMS, k=10
+    )
+
+
+@query(
+    "bm25_conjunctive_capped",
+    _bm25_idx_oracle(require_all=True, max_df=395),
+)
+def q_bm25_conjunctive_capped(spark, sf_dir):
+    """The r10 retrieval options, registry-gated on the INLINE path
+    (r10 verdict #4): `max_df=395` caps the highest-df query term out
+    of scoring (the stopword guard — chosen so it BITES on this corpus:
+    one of the three terms exceeds it, two do not), and
+    `require_all=True` then keeps only docs matching every surviving
+    term (classic conjunctive AND; the required count excludes capped
+    terms, so a capped stopword cannot make conjunctive queries
+    unanswerable). The oracle replays both options in SQL."""
+    return C.bm25_topk(
+        _t(spark, sf_dir, "documents"),
+        _BM25_TERMS,
+        k=10,
+        require_all=True,
+        max_df=395,
+    )
+
+
+@query(
+    "text_probe_conjunctive_capped",
+    _bm25_idx_oracle(require_all=True, max_df=395),
+)
+def q_text_probe_conjunctive_capped(spark, sf_dir):
+    """The same conjunctive+capped options served from the PERSISTED
+    index (probe ≡ inline is an identity under every option
+    combination — both paths score through the one shared
+    corpus.bm25_score_topk tail, so this entry and
+    `bm25_conjunctive_capped` share their oracle verbatim). Reuses the
+    full-corpus index `text_probe_persisted` builds; df for the cap
+    derives from the query-term postings slice exactly as inline."""
+    import tempfile
+
+    from parkour_spark.operators.textindex import (
+        text_index_build,
+        text_index_probe_bm25,
+    )
+
+    docs = _t(spark, sf_dir, "documents")
+    key = (sf_dir, "text")
+    if key not in _R10_INDEX_DIRS:
+        tmp = tempfile.mkdtemp(prefix="parkour_textidx_")
+        text_index_build(docs, tmp, n_buckets=16)
+        _R10_INDEX_DIRS[key] = tmp
+    return text_index_probe_bm25(
+        spark,
+        _R10_INDEX_DIRS[key],
+        _BM25_TERMS,
+        k=10,
+        require_all=True,
+        max_df=395,
     )
 
 

@@ -788,6 +788,53 @@ def streaming_component_maintainer(
     return spark.read.parquet(final)
 
 
+def _drain_ingest(spark, source_path, schema, index_path, ingest, max_files):
+    """The one-shot exactly-once ingest harness every persisted-index
+    streaming leg shares (r11, the indexcommon unification):
+    foreachBatch(ingest) with the checkpoint under the index root,
+    drained with processAllAvailable, stopped, index root returned."""
+    import os
+
+    stream = read_stream(spark, source_path, schema, max_files=max_files)
+    q = (
+        stream.writeStream.foreachBatch(ingest)
+        .option(
+            "checkpointLocation", os.path.join(index_path, "_checkpoint")
+        )
+        .start()
+    )
+    try:
+        q.processAllAvailable()
+    finally:
+        q.stop()
+        q.awaitTermination()
+    return index_path
+
+
+def _batch_commit_gate(spark, bdir, rederive=None, caught_up=None):
+    """The commit-marker discipline every index ingest shares: the
+    batch directory IS the commit marker. Returns True when the batch
+    is already committed (a REPLAY — after running the once-per-run
+    derived-table catch-up, r9 ADVICE + r10 latch: a crash between a
+    batch publish and its derived-table rewrite must not leave probes
+    blind, and a rebuilt checkpoint replaying many batches must pay
+    ONE idempotent rewrite, not one per batch). Otherwise any torn
+    pre-contract directory is cleaned for a fresh retry and False is
+    returned."""
+    import os
+
+    from parkour_spark import fs as pfs
+
+    if pfs.exists(spark, os.path.join(bdir, "_SUCCESS")):
+        if rederive is not None and not caught_up[0]:
+            rederive()
+            caught_up[0] = True
+        return True
+    if pfs.exists(spark, bdir):
+        pfs.delete(spark, bdir)
+    return False
+
+
 def streaming_minhash_ingest(
     spark,
     source_path: str,
@@ -835,31 +882,15 @@ def streaming_minhash_ingest(
         minhash_signature,
     )
 
-    # once-per-RUN catch-up latch (r10 ADVICE): Structured Streaming
-    # normally re-delivers one batch per restart, but a wiped/rebuilt
-    # checkpoint replays MANY committed batches — each skip re-running
-    # the full derived-table rewrite would pay O(batches) rewrites for
-    # one recovery. The rewrite re-derives from ALL stored rows, so ONE
-    # run covers every replayed batch; any fresh batch rewrites again.
     caught_up = [False]
+    rederive = lambda: _write_band_index(  # noqa: E731
+        spark, index_path, id_col, num_hashes, bands, max_bucket
+    )
 
     def ingest(batch_df, batch_id: int) -> None:
         bdir = os.path.join(index_path, "sigs", f"batch={batch_id}")
-        if pfs.exists(spark, os.path.join(bdir, "_SUCCESS")):
-            # Replayed batch: the sigs are committed, but a crash
-            # BETWEEN the sigs publish and the band rewrite would have
-            # left bands/ permanently lagging this batch (r9 ADVICE —
-            # probes would silently never see its docs). The rewrite is
-            # idempotent (re-derives from ALL stored rows), so re-run
-            # it instead of trusting it happened — once per ingest run.
-            if not caught_up[0]:
-                _write_band_index(
-                    spark, index_path, id_col, num_hashes, bands, max_bucket
-                )
-                caught_up[0] = True
+        if _batch_commit_gate(spark, bdir, rederive, caught_up):
             return
-        if pfs.exists(spark, bdir):
-            pfs.delete(spark, bdir)  # pre-contract torn dir: clean retry
         if not pfs.exists(spark, os.path.join(index_path, "meta")):
             write_params(
                 spark,
@@ -885,25 +916,12 @@ def streaming_minhash_ingest(
             bdir,
             lambda tmp: rows.write.mode("overwrite").parquet(tmp),
         )
-        _write_band_index(
-            spark, index_path, id_col, num_hashes, bands, max_bucket
-        )
+        rederive()
         caught_up[0] = True  # derived state now covers all stored rows
 
-    stream = read_stream(spark, source_path, schema, max_files=max_files)
-    q = (
-        stream.writeStream.foreachBatch(ingest)
-        .option(
-            "checkpointLocation", os.path.join(index_path, "_checkpoint")
-        )
-        .start()
+    return _drain_ingest(
+        spark, source_path, schema, index_path, ingest, max_files
     )
-    try:
-        q.processAllAvailable()
-    finally:
-        q.stop()
-        q.awaitTermination()
-    return index_path
 
 
 def streaming_ivf_ingest(
@@ -949,14 +967,11 @@ def streaming_ivf_ingest(
 
     def ingest(batch_df, batch_id: int) -> None:
         bdir = os.path.join(index_path, f"batch={batch_id}")
-        if pfs.exists(spark, os.path.join(bdir, "_SUCCESS")):
-            # replayed batch: already committed. No derived-table
-            # catch-up needed here (unlike minhash/substring): the
-            # probe reads the partition tree directly — the batch dir
-            # IS the only state.
+        # no derived-table catch-up here (unlike minhash/substring):
+        # the probe reads the partition tree directly — the batch dir
+        # IS the only state
+        if _batch_commit_gate(spark, bdir):
             return
-        if pfs.exists(spark, bdir):
-            pfs.delete(spark, bdir)  # torn pre-contract dir: clean retry
         if not pfs.exists(spark, os.path.join(index_path, "_ivf_meta")):
             _write_ivf_meta(spark, index_path, centroids)
         else:
@@ -976,20 +991,9 @@ def streaming_ivf_ingest(
 
         publish_dir(spark, bdir, write)
 
-    stream = read_stream(spark, source_path, schema, max_files=max_files)
-    q = (
-        stream.writeStream.foreachBatch(ingest)
-        .option(
-            "checkpointLocation", os.path.join(index_path, "_checkpoint")
-        )
-        .start()
+    return _drain_ingest(
+        spark, source_path, schema, index_path, ingest, max_files
     )
-    try:
-        q.processAllAvailable()
-    finally:
-        q.stop()
-        q.awaitTermination()
-    return index_path
 
 
 def streaming_substring_ingest(
@@ -1026,23 +1030,15 @@ def streaming_substring_ingest(
         _write_substring_lists,
     )
 
-    # once-per-RUN catch-up latch (r10 ADVICE; see
-    # streaming_minhash_ingest): one idempotent rewrite covers every
-    # replayed batch — a rebuilt checkpoint must not pay O(batches)
     caught_up = [False]
+    rederive = lambda: _write_substring_lists(  # noqa: E731
+        spark, index_path, id_col, max_df
+    )
 
     def ingest(batch_df, batch_id: int) -> None:
         bdir = os.path.join(index_path, "occ", f"batch={batch_id}")
-        if pfs.exists(spark, os.path.join(bdir, "_SUCCESS")):
-            # replayed batch: occ/ is committed, but lists/ may lag it
-            # if the crash hit between the two writes (r9 ADVICE) —
-            # the rewrite is idempotent, so re-run it on the skip path
-            if not caught_up[0]:
-                _write_substring_lists(spark, index_path, id_col, max_df)
-                caught_up[0] = True
+        if _batch_commit_gate(spark, bdir, rederive, caught_up):
             return
-        if pfs.exists(spark, bdir):
-            pfs.delete(spark, bdir)
         if not pfs.exists(spark, os.path.join(index_path, "meta")):
             write_params(
                 spark,
@@ -1055,23 +1051,12 @@ def streaming_substring_ingest(
             bdir,
             lambda tmp: occ.write.mode("overwrite").parquet(tmp),
         )
-        _write_substring_lists(spark, index_path, id_col, max_df)
+        rederive()
         caught_up[0] = True  # derived state now covers all stored rows
 
-    stream = read_stream(spark, source_path, schema, max_files=max_files)
-    q = (
-        stream.writeStream.foreachBatch(ingest)
-        .option(
-            "checkpointLocation", os.path.join(index_path, "_checkpoint")
-        )
-        .start()
+    return _drain_ingest(
+        spark, source_path, schema, index_path, ingest, max_files
     )
-    try:
-        q.processAllAvailable()
-    finally:
-        q.stop()
-        q.awaitTermination()
-    return index_path
 
 
 def streaming_pq_ingest(
@@ -1115,10 +1100,8 @@ def streaming_pq_ingest(
 
     def ingest(batch_df, batch_id: int) -> None:
         bdir = os.path.join(index_path, "codes", f"batch={batch_id}")
-        if pfs.exists(spark, os.path.join(bdir, "_SUCCESS")):
+        if _batch_commit_gate(spark, bdir):
             return  # replayed batch: committed, and codes are the only state
-        if pfs.exists(spark, bdir):
-            pfs.delete(spark, bdir)  # torn pre-contract dir: clean retry
         if not pfs.exists(spark, os.path.join(index_path, "meta")):
             write_params(
                 spark,
@@ -1140,20 +1123,9 @@ def streaming_pq_ingest(
             lambda tmp: codes.write.mode("overwrite").parquet(tmp),
         )
 
-    stream = read_stream(spark, source_path, schema, max_files=max_files)
-    q = (
-        stream.writeStream.foreachBatch(ingest)
-        .option(
-            "checkpointLocation", os.path.join(index_path, "_checkpoint")
-        )
-        .start()
+    return _drain_ingest(
+        spark, source_path, schema, index_path, ingest, max_files
     )
-    try:
-        q.processAllAvailable()
-    finally:
-        q.stop()
-        q.awaitTermination()
-    return index_path
 
 
 def streaming_text_ingest(
@@ -1194,23 +1166,15 @@ def streaming_text_ingest(
         _write_stats,
     )
 
-    # once-per-RUN catch-up latch (r10 ADVICE; see
-    # streaming_minhash_ingest): one idempotent rewrite covers every
-    # replayed batch — a rebuilt checkpoint must not pay O(batches)
     caught_up = [False]
+    rederive = lambda: _write_stats(spark, index_path)  # noqa: E731
 
     def ingest(batch_df, batch_id: int) -> None:
         pdir = os.path.join(index_path, "postings", f"batch={batch_id}")
         ldir = os.path.join(index_path, "doclen", f"batch={batch_id}")
-        if pfs.exists(spark, os.path.join(pdir, "_SUCCESS")):
-            # replayed batch: the pair is committed, but stats/ may lag
-            # it — the rewrite is idempotent, re-run it (r9 ADVICE)
-            if not caught_up[0]:
-                _write_stats(spark, index_path)
-                caught_up[0] = True
+        # the POSTINGS marker is the pair's commit point
+        if _batch_commit_gate(spark, pdir, rederive, caught_up):
             return
-        if pfs.exists(spark, pdir):
-            pfs.delete(spark, pdir)  # torn pre-contract dir
         if pfs.exists(spark, ldir):
             pfs.delete(spark, ldir)  # torn pair: doclen without postings
         if not pfs.exists(spark, os.path.join(index_path, "meta")):
@@ -1238,23 +1202,12 @@ def streaming_text_ingest(
             .partitionBy("tbucket")
             .parquet(tmp),
         )
-        _write_stats(spark, index_path)
+        rederive()
         caught_up[0] = True  # derived state now covers all stored rows
 
-    stream = read_stream(spark, source_path, schema, max_files=max_files)
-    q = (
-        stream.writeStream.foreachBatch(ingest)
-        .option(
-            "checkpointLocation", os.path.join(index_path, "_checkpoint")
-        )
-        .start()
+    return _drain_ingest(
+        spark, source_path, schema, index_path, ingest, max_files
     )
-    try:
-        q.processAllAvailable()
-    finally:
-        q.stop()
-        q.awaitTermination()
-    return index_path
 
 
 def streaming_ivfpq_ingest(
@@ -1293,10 +1246,8 @@ def streaming_ivfpq_ingest(
 
     def ingest(batch_df, batch_id: int) -> None:
         bdir = os.path.join(index_path, f"batch={batch_id}")
-        if pfs.exists(spark, os.path.join(bdir, "_SUCCESS")):
+        if _batch_commit_gate(spark, bdir):
             return  # replayed batch: committed; codes are the only state
-        if pfs.exists(spark, bdir):
-            pfs.delete(spark, bdir)  # torn pre-contract dir: clean retry
         if not pfs.exists(spark, os.path.join(index_path, "_ivfpq_meta")):
             write_params(
                 spark,
@@ -1315,17 +1266,6 @@ def streaming_ivfpq_ingest(
             .parquet(tmp),
         )
 
-    stream = read_stream(spark, source_path, schema, max_files=max_files)
-    q = (
-        stream.writeStream.foreachBatch(ingest)
-        .option(
-            "checkpointLocation", os.path.join(index_path, "_checkpoint")
-        )
-        .start()
+    return _drain_ingest(
+        spark, source_path, schema, index_path, ingest, max_files
     )
-    try:
-        q.processAllAvailable()
-    finally:
-        q.stop()
-        q.awaitTermination()
-    return index_path
