@@ -39,6 +39,11 @@ approximation.
               operators.indexcommon): deletes are O(|delete set|)
               appends here, probes anti-join it, compaction
               physically reconciles it.
+  termstats/ — (term, df, max_tf, min_dl) per term, bucket-partitioned
+              (r11): the MaxScore upper-bound table, written at
+              build/compact and INVALIDATED by append/delete (its df
+              must be exact), consumed by
+              text_index_probe_bm25_maxscore.
 
 Lifecycle identities (each gate-pinned): probe(build(A)) ≡
 bm25_topk(A); append(B) ≡ build(A∪B) — postings/doclen are per-doc
@@ -53,9 +58,11 @@ SCALE: build pays the one corpus tokenize + one (term, doc) shuffle.
 A probe's cost is Σ_t df_t postings rows read from ≤|terms| buckets —
 independent of corpus size for selective terms; a stopword term costs
 its full postings list (one partition-pruned columnar scan, never a
-corpus re-tokenize). Impact-ordering/WAND-style early termination
-would cut the stopword case further; documented as future work, not
-claimed.
+corpus re-tokenize) — unless served through
+`text_index_probe_bm25_maxscore` (r11), which scores non-essential
+high-df terms only for candidate documents (exact, with provable
+row-skip counts and automatic fallback) — the r10 future-work note,
+implemented.
 """
 
 from __future__ import annotations
@@ -167,6 +174,48 @@ def _read_postings(spark, path: str) -> DataFrame | None:
     return read_parquet_or_none(spark, path + "/postings")
 
 
+def _write_termstats(spark, path: str) -> None:
+    """(term, df, max_tf, min_dl) per stored term, bucket-partitioned
+    like the postings — the MaxScore upper-bound table (r11, r10
+    verdict #4). df is the exact per-term postings count (one row per
+    (term, doc)); max_tf/min_dl bound the tf-normalization for ANY
+    (k1, b), since tfn increases in tf and decreases in dl. Written at
+    build and compact ONLY; append and delete INVALIDATE it (remove
+    the directory) — a stale df would mis-score, so the MaxScore probe
+    falls back to the plain probe whenever the table is absent or a
+    delete is pending. Real impact-ordered indexes are maintained at
+    merge time for exactly this reason (Turtle & Flood 1995)."""
+    from parkour_spark import fs as pfs
+    from parkour_spark.artifacts import publish_swap
+
+    post = _read_postings(spark, path)
+    if post is None:
+        if pfs.exists(spark, path + "/termstats"):
+            pfs.delete(spark, path + "/termstats")
+        return
+    ts = post.groupBy("term", "tbucket").agg(
+        F.count("*").alias("df"),
+        F.max("tf").alias("max_tf"),
+        F.min("dl").alias("min_dl"),
+    )
+    publish_swap(
+        spark,
+        path + "/termstats",
+        lambda tmp: ts.repartition("tbucket")
+        .sortWithinPartitions("term")
+        .write.mode("overwrite")
+        .partitionBy("tbucket")
+        .parquet(tmp),
+    )
+
+
+def _invalidate_termstats(spark, path: str) -> None:
+    from parkour_spark import fs as pfs
+
+    if pfs.exists(spark, path + "/termstats"):
+        pfs.delete(spark, path + "/termstats")
+
+
 def text_index_build(
     docs: DataFrame,
     path: str,
@@ -196,6 +245,7 @@ def text_index_build(
         spark, path + "/meta", {"n_buckets": n_buckets, "id_col": id_col}
     )
     _write_stats(spark, path)
+    _write_termstats(spark, path)
 
 
 def text_index_append(
@@ -232,6 +282,7 @@ def text_index_append(
         path + "/doclen"
     )
     _write_stats(spark, path)
+    _invalidate_termstats(spark, path)  # MaxScore table: rebuilt at compact
 
 
 def text_index_delete(spark, ids: DataFrame, path: str) -> None:
@@ -249,6 +300,9 @@ def text_index_delete(spark, ids: DataFrame, path: str) -> None:
     from parkour_spark.operators.indexcommon import append_tombstones
 
     id_col = _read_meta(spark, path)["id_col"]
+    _invalidate_termstats(spark, path)  # first: a stale df must never
+    # outlive the ledger write (either crash order leaves the MaxScore
+    # probe falling back, never mis-scoring)
     append_tombstones(spark, path, ids, id_col)
     _write_stats(spark, path)
 
@@ -272,6 +326,8 @@ def text_index_compact(spark, path: str) -> None:
         id_col,
         rederive=lambda: _write_stats(spark, path),
     )
+    _write_termstats(spark, path)  # the MaxScore table is (re)derived
+    # from the reconciled survivors — compaction restores serving state
 
 
 def text_index_probe_bm25(
@@ -322,4 +378,160 @@ def text_index_probe_bm25(
     return bm25_score_topk(
         tf, totals, qlist, k=k, k1=k1, b=b, id_col=id_col,
         require_all=require_all, max_df=max_df,
+    )
+
+
+def text_index_probe_bm25_maxscore(
+    spark,
+    path: str,
+    query_terms: Iterable[str],
+    k: int = 10,
+    k1: float = 1.2,
+    b: float = 0.75,
+    stats_out: dict | None = None,
+) -> DataFrame:
+    """BM25 top-k with MaxScore-family early termination (Turtle &
+    Flood 1995; the WAND/block-max line of work, Broder et al. 2003)
+    — EXACT: always returns the identical top-k to
+    `text_index_probe_bm25` (gate-pinned against the same full-scoring
+    oracle), but scores high-df NON-ESSENTIAL terms' postings only for
+    candidate documents instead of reading-and-scoring their full
+    lists. The textindex.py:49 future-work note, implemented.
+
+    How: the persisted `termstats/` table (df, max_tf, min_dl per
+    term — written at build/compact, INVALIDATED by append/delete)
+    gives each term a per-document score upper bound
+    ub_t = idf(df_t) · tfn(max_tf_t, min_dl_t). Terms are taken in
+    descending-ub order into the ESSENTIAL set E until the k-th best
+    partial score over E alone (θ, a valid lower bound on the true
+    k-th best) exceeds Σ ub over the rest — then any document matching
+    ONLY non-essential terms is bounded below θ and cannot reach the
+    top-k, so the final pass scores E's postings fully but the rest
+    only semi-joined to E's candidates. df comes from termstats (exact
+    while the table is fresh — which its invalidation contract
+    guarantees) so the scoring tail is bit-identical to the plain
+    probe's window-derived df.
+
+    Scale shape: the win is Σ_{t∉E} (df_t − |candidates ∩ postings_t|)
+    rows never scored — for a query mixing one rare term with
+    stopword-adjacent terms that is nearly the whole stopword list.
+    Fallbacks (always exact, never wrong): termstats absent (index
+    mutated since last build/compact), a pending tombstone ledger, or
+    θ never clearing the bound (uniform-ub queries) → the plain probe.
+    Pass `stats_out={}` to receive {essential, theta_micro,
+    rest_ub_micro, rows_skipped_lower_bound, fallback}."""
+    import math
+
+    from parkour_spark.artifacts import read_parquet_or_none
+    from parkour_spark.operators.corpus import _bm25_rank_filtered
+    from parkour_spark.operators.indexcommon import read_tombstones
+
+    out = stats_out if stats_out is not None else {}
+
+    def plain(reason: str) -> DataFrame:
+        out["fallback"] = reason
+        return text_index_probe_bm25(spark, path, query_terms, k, k1, b)
+
+    meta = _read_meta(spark, path)
+    id_col, nb = meta["id_col"], int(meta["n_buckets"])
+    qlist = sorted(set(query_terms))
+    ts_df = read_parquet_or_none(spark, path + "/termstats")
+    if ts_df is None:
+        return plain("no_termstats")
+    if read_tombstones(spark, path) is not None:
+        return plain("pending_tombstones")
+    stored = _read_postings(spark, path)
+    if stored is None:
+        return plain("empty_index")
+    buckets = sorted({_py_bucket(t, nb) for t in qlist})
+    ts_rows = (
+        ts_df.where(F.col("tbucket").isin(buckets))
+        .where(F.col("term").isin(qlist))
+        .collect()
+    )
+    st = spark.read.parquet(path + "/stats").collect()[0]
+    n_docs, n_total = int(st["n_docs"]), int(st["n_total"])
+    if n_docs == 0 or not ts_rows:
+        return plain("no_matching_terms")
+    avgdl = n_total / n_docs
+
+    def ub(r) -> float:
+        idf = math.log(1 + (n_docs - r["df"] + 0.5) / (r["df"] + 0.5))
+        tfn = (r["max_tf"] * (k1 + 1)) / (
+            r["max_tf"] + k1 * ((1 - b) + b * r["min_dl"] / avgdl)
+        )
+        return idf * tfn
+
+    ubs = {r["term"]: ub(r) for r in ts_rows}
+    dfs = {r["term"]: int(r["df"]) for r in ts_rows}
+    order = sorted(ubs, key=lambda t: (-ubs[t], t))
+    totals = spark.createDataFrame(
+        [(n_docs, n_total)], "n_docs long, n_total long"
+    )
+    df_table = spark.createDataFrame(
+        [(t, dfs[t]) for t in order], "term string, df long"
+    )
+
+    def slice_terms(terms: list[str]) -> DataFrame:
+        bks = sorted({_py_bucket(t, nb) for t in terms})
+        return (
+            stored.where(F.col("tbucket").isin(bks))
+            .where(F.col("term").isin(terms))
+            .select(id_col, "dl", "term", "tf")
+        )
+
+    def with_df(tf: DataFrame) -> DataFrame:
+        return tf.join(F.broadcast(df_table), "term")
+
+    # grow the essential prefix until θ (k-th best partial score over
+    # E, in micro units — a lower bound on the true k-th best) clears
+    # the non-essential upper bound; each check is one partition-pruned
+    # pass over E's postings only
+    n_ess = len(order)
+    theta = None
+    for i in range(1, len(order)):
+        rest_ub_micro = math.ceil(
+            sum(ubs[t] for t in order[i:]) * 1e6
+        ) + len(order[i:])  # +1 micro/term slack for per-term rounding
+        part = _bm25_rank_filtered(
+            with_df(slice_terms(order[:i])), totals, qlist,
+            k=k, k1=k1, b=b, id_col=id_col,
+            require_all=False, max_df=None,
+        ).collect()
+        if len(part) < k:
+            continue  # too few candidates: θ unbounded below, grow E
+        theta = int(part[k - 1]["score_micro"])
+        if theta > rest_ub_micro:
+            n_ess = i
+            break
+    out["essential"] = order[:n_ess]
+    out["theta_micro"] = theta
+    if n_ess == len(order):
+        # every term essential (uniform ubs / tiny corpus): this IS
+        # full scoring with termstats-df — identical to the plain
+        # probe, no skip to claim
+        out["fallback"] = "all_essential"
+        out["rows_skipped_lower_bound"] = 0
+        return _bm25_rank_filtered(
+            with_df(slice_terms(order)), totals, qlist,
+            k=k, k1=k1, b=b, id_col=id_col,
+            require_all=False, max_df=None,
+        )
+    out["rest_ub_micro"] = math.ceil(
+        sum(ubs[t] for t in order[n_ess:]) * 1e6
+    ) + len(order[n_ess:])
+    ess_rows = slice_terms(order[:n_ess])
+    cand = ess_rows.select(id_col).distinct()
+    rest_rows = slice_terms(order[n_ess:]).join(cand, id_col, "left_semi")
+    if stats_out is not None:
+        # the provable skip: non-essential rows scored vs their full
+        # postings length (extra jobs — only when the caller asks)
+        scored_rest = rest_rows.count()
+        full_rest = sum(dfs[t] for t in order[n_ess:])
+        out["rows_skipped_lower_bound"] = full_rest - scored_rest
+        out["fallback"] = None
+    return _bm25_rank_filtered(
+        with_df(ess_rows.unionByName(rest_rows)), totals, qlist,
+        k=k, k1=k1, b=b, id_col=id_col,
+        require_all=False, max_df=None,
     )

@@ -12561,6 +12561,7 @@ def _bm25_idx_oracle(
     k: int = 10,
     require_all: bool = False,
     max_df: int | None = None,
+    terms: tuple = ("hash", "join", "scan"),
 ) -> str:
     """The bm25_search replay, parameterized with an optional document
     filter (the delete leg scores exactly the survivor corpus — df, N,
@@ -12571,11 +12572,12 @@ def _bm25_idx_oracle(
     requested-and-uncapped term (classic conjunctive AND)."""
     w = f"WHERE {where}" if where else ""
     cap = f"WHERE df <= {max_df}" if max_df is not None else ""
+    tlist = ", ".join(f"'{t}'" for t in sorted(terms))
     nreq = (
-        f"(SELECT 3 - count(*) FROM (SELECT DISTINCT term FROM wdf "
-        f"WHERE df > {max_df}))"
+        f"(SELECT {len(terms)} - count(*) FROM (SELECT DISTINCT term "
+        f"FROM wdf WHERE df > {max_df}))"
         if max_df is not None
-        else "3"
+        else str(len(terms))
     )
     having = (
         f"HAVING count(*) = {nreq}" if require_all else ""
@@ -12586,7 +12588,7 @@ def _bm25_idx_oracle(
       SELECT doc_id, len({_TOKS_SQL})::BIGINT AS dl, unnest({_TOKS_SQL}) AS term
       FROM docs_f),
     tf AS (SELECT doc_id, dl, term, count(*) AS tf FROM base
-           WHERE term IN ('hash', 'join', 'scan') GROUP BY doc_id, dl, term),
+           WHERE term IN ({tlist}) GROUP BY doc_id, dl, term),
     wdf AS (SELECT *, count(*) OVER (PARTITION BY term) AS df FROM tf),
     wdf_c AS (SELECT * FROM wdf {cap}),
     tot AS (SELECT count(*) AS n_docs,
@@ -12689,6 +12691,52 @@ def q_text_probe_conjunctive_capped(spark, sf_dir):
         require_all=True,
         max_df=395,
     )
+
+
+@query(
+    "text_probe_maxscore",
+    _bm25_idx_oracle(terms=("dup", "hash", "scan")),
+)
+def q_text_probe_maxscore(spark, sf_dir):
+    """MaxScore early termination served from the persisted index
+    (textindex.text_index_probe_bm25_maxscore, r10 verdict #4): the
+    query mixes ONE rare term ('dup' — ~5% of docs) with two
+    stopword-adjacent terms (~80% each), the shape where scoring every
+    posting is mostly waste. The probe takes 'dup' as the essential
+    set from the persisted termstats upper bounds, proves the k-th
+    best dup-only partial score exceeds the non-essential bound, and
+    scores the high-df terms ONLY for dup's candidate docs — the
+    runtime asserts the skip really happened (thousands of postings
+    rows never scored at sf0.1) AND that no fallback fired, then the
+    gate pins the result against the FULL-scoring oracle: exact top-k,
+    provably cheaper."""
+    import tempfile
+
+    from parkour_spark.operators.textindex import (
+        text_index_build,
+        text_index_probe_bm25_maxscore,
+    )
+
+    docs = _t(spark, sf_dir, "documents")
+    key = (sf_dir, "text")
+    if key not in _R10_INDEX_DIRS:
+        tmp = tempfile.mkdtemp(prefix="parkour_textidx_")
+        text_index_build(docs, tmp, n_buckets=16)
+        _R10_INDEX_DIRS[key] = tmp
+    stats: dict = {}
+    out = text_index_probe_bm25_maxscore(
+        spark,
+        _R10_INDEX_DIRS[key],
+        ("dup", "hash", "scan"),
+        k=10,
+        stats_out=stats,
+    )
+    # the early-termination claim is part of the entry: no fallback,
+    # 'dup' alone essential, and a real row skip — not just equal rows
+    assert stats["fallback"] is None, stats
+    assert stats["essential"] == ["dup"], stats
+    assert stats["rows_skipped_lower_bound"] > 0, stats
+    return out
 
 
 @query("text_probe_after_append", _bm25_idx_oracle())
