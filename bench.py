@@ -102,6 +102,11 @@ HEADLINE = [
     # variant tracked next to its sequential sibling bpe_train_merges)
     "pq_probe_persisted",
     "bpe_train_merges_scaled",
+    # r11 (r10 verdict #8): the remaining serving-path probes join the
+    # headline set so every index family's serving latency is tracked
+    # round-over-round like pq_probe_persisted already is
+    "text_probe_persisted",
+    "ivfpq_probe_persisted",
 ]
 
 

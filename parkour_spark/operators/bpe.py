@@ -133,6 +133,7 @@ def bpe_train_batched(
     batch: int = 8,
     word_col: str = "word",
     count_col: str = "wc",
+    checkpoint_every: int = 8,
 ) -> DataFrame:
     """BATCH-GREEDY BPE training — the scale path for large merge
     counts (r9 verdict #5: `bpe_train`'s one-merge-per-round driver
@@ -168,7 +169,18 @@ def bpe_train_batched(
     global merge index in applied order, `rk` the rank within the
     round's selection, `pair_count` the round-start count. Driver
     traffic per round is `batch` rows; the vocabulary itself is never
-    collected."""
+    collected.
+
+    Plan-depth bound (r11, r10 verdict #7): each round chains up to
+    `batch` scan-side `replace` projections onto the running vocab;
+    persist caches the BLOCKS but Catalyst still re-analyzes the full
+    chained lineage every round, so analysis time would grow with
+    TOTAL merges learned. Every `checkpoint_every` rounds the vocab is
+    localCheckpoint'ed (eager), truncating the logical plan to a scan
+    of the materialized blocks — per-round analysis cost stays bounded
+    by batch × checkpoint_every expressions regardless of n_rounds
+    (values unchanged: the replaces are already applied when the
+    checkpoint lands)."""
     spark = words.sparkSession
     vocab = vocab_from_words(words, word_col, count_col).persist()
     vocab.count()
@@ -211,8 +223,11 @@ def bpe_train_batched(
                     )
                 ),
             )
-        nxt = nxt.persist()
-        nxt.count()
+        if checkpoint_every and rnd % checkpoint_every == 0:
+            nxt = nxt.localCheckpoint(eager=True)  # truncate lineage
+        else:
+            nxt = nxt.persist()
+            nxt.count()
         vocab.unpersist()
         vocab = nxt
     vocab.unpersist()

@@ -778,8 +778,10 @@ def _soak_text_inline_same_query(spark):
 
 def _soak_text_delete_only(spark):
     """DELETE one replica's ids (10% of the corpus) from the persisted
-    text index: anti-join rewrites of postings+doclen + the stats
-    re-derivation — text never re-tokenized, delete ≪ rebuild."""
+    text index — r11 TOMBSTONE path: one |B|-row ledger write + the
+    doclen-sized stats re-derivation; postings (the big table) is NOT
+    rewritten. Compare with r10's 1.87s anti-join-rewrite delete and
+    with `text_index_delete_small` below — the |B|-scaling claim."""
     from parkour_spark.operators.textindex import text_index_delete
 
     stride = spark.read.parquet(f"{SRC}/documents.parquet").agg(
@@ -790,6 +792,64 @@ def _soak_text_delete_only(spark):
     ).select("doc_id")
     text_index_delete(spark, victims, f"{DST}/text_index")
     return spark.read.parquet(f"{DST}/text_index/doclen").select("doc_id")
+
+
+def _soak_text_delete_small(spark):
+    """The |B|-scaling companion: delete 100 MORE ids (0.02% of the
+    corpus) from the same index. Under the r11 ledger contract this
+    row and the 10%-delete row above should cost about the SAME small
+    constant (ledger write + doclen-sized stats pass) — the O(|B|)
+    claim is that neither scales with the postings table."""
+    from parkour_spark.operators.textindex import text_index_delete
+
+    stride = spark.read.parquet(f"{SRC}/documents.parquet").agg(
+        F.max("doc_id")
+    ).first()[0] + 1
+    victims = (
+        spark.read.parquet(f"{DST}/documents.parquet")
+        .where(F.col("doc_id") < (REPLICAS - 1) * stride)
+        .select("doc_id")
+        .orderBy("doc_id")
+        .limit(100)
+    )
+    text_index_delete(spark, victims, f"{DST}/text_index")
+    return spark.read.parquet(f"{DST}/text_index/doclen").select("doc_id")
+
+
+def _soak_text_probe_maxscore_only(spark):
+    """MaxScore early termination at 10× scale (r11): one rare term
+    ('dup' — the only rare token in the synthetic vocabulary) + two
+    ~80%-df terms. The timed claim vs `text_probe_plain_dup_query`:
+    identical top-k (gate- and unit-pinned elsewhere) with the two
+    stopword-adjacent postings lists scored only for the rare term's
+    candidates — no fallback asserted, rows-skipped printed into the
+    soak log. Run AFTER the compact row (termstats fresh)."""
+    from parkour_spark.operators.textindex import (
+        text_index_probe_bm25_maxscore,
+    )
+
+    stats: dict = {}
+    got = text_index_probe_bm25_maxscore(
+        spark, f"{DST}/text_index", ("dup", "hash", "scan"), k=10,
+        stats_out=stats,
+    )
+    got.collect()
+    assert stats["fallback"] is None, stats
+    print(
+        f"    [maxscore] essential={stats['essential']} "
+        f"rows_skipped>={stats['rows_skipped_lower_bound']}"
+    )
+    return got
+
+
+def _soak_text_probe_plain_dup_query(spark):
+    """The SAME rare+stopword query through the plain full-scoring
+    probe — the yardstick for the MaxScore row above."""
+    from parkour_spark.operators.textindex import text_index_probe_bm25
+
+    return text_index_probe_bm25(
+        spark, f"{DST}/text_index", ("dup", "hash", "scan"), k=10
+    )
 
 
 def _soak_text_compact_only(spark):
@@ -820,6 +880,61 @@ def _soak_bpe_seq16(spark):
     return bpe_train(_soak_words(spark), n_merges=16)
 
 
+def _soak_emb256_materialize(spark):
+    """Materialize a d=256 embedding corpus (four deterministic
+    transforms of the d=64 vectors, concatenated) — stored to parquet
+    FIRST so the d=256 build row below times index construction, not
+    vector synthesis. d=256 is the production-dimension check the r10
+    verdict asked for (#2 'what's wrong'): at d=64 IVF compaction ≈
+    build because the assignment the fold skips is cheap."""
+    emb = spark.read.parquet(f"{DST}/embeddings.parquet")
+    e256 = emb.select(
+        "vec_id",
+        F.concat(
+            F.col("embedding"),
+            F.expr("transform(embedding, x -> x * 0.5)"),
+            F.expr("reverse(embedding)"),
+            F.expr("transform(embedding, x -> -x)"),
+        ).alias("embedding"),
+    )
+    e256.write.mode("overwrite").parquet(f"{DST}/emb256.parquet")
+    return spark.read.parquet(f"{DST}/emb256.parquet").select("vec_id")
+
+
+def _soak_ivf_d256_build(spark):
+    """Build the IVF index at d=256 / 64 lists: the Arrow assignment
+    scan now does 64×256 multiply-adds per row — the cost compaction
+    skips. Yardstick for the compact row below."""
+    from parkour_spark.operators.similarity import ivf_index_build
+
+    emb = spark.read.parquet(f"{DST}/emb256.parquet")
+    cents = [
+        (i, [float(x) for x in r[0]])
+        for i, r in enumerate(
+            emb.where(F.col("vec_id") < 64).orderBy("vec_id")
+            .select("embedding").collect()
+        )
+    ]
+    ivf_index_build(emb, cents, f"{DST}/ivf_index_d256.parquet")
+    return spark.read.parquet(f"{DST}/ivf_index_d256.parquet").select(
+        "vec_id"
+    )
+
+
+def _soak_ivf_d256_compact_only(spark):
+    """Compact the d=256 index: a row copy of stored (id, vec, cnorm,
+    cell) with NO re-assignment. The r10 verdict's open question
+    measured — at production dims the assignment dominates the build,
+    so compact ≪ build should now hold where d=64 showed parity
+    (5.51s vs 5.64s)."""
+    from parkour_spark.operators.similarity import ivf_index_compact
+
+    ivf_index_compact(spark, f"{DST}/ivf_index_d256.parquet")
+    return spark.read.parquet(f"{DST}/ivf_index_d256.parquet").select(
+        "vec_id"
+    )
+
+
 def _soak_bpe_batched16(spark):
     """Batch-greedy BPE, 4 rounds × up-to-8 merges over the SAME 10×
     vocabulary: the sub-linear-rounds claim measured — wall clock
@@ -830,6 +945,21 @@ def _soak_bpe_batched16(spark):
     from parkour_spark.operators.bpe import bpe_train_batched
 
     return bpe_train_batched(_soak_words(spark), n_rounds=4, batch=8)
+
+
+def _soak_bpe_batched256(spark):
+    """Batch-greedy BPE at PRODUCTION merge count (r10 verdict #7):
+    8 rounds × batch=32 → up to 256 merges over the 10× vocabulary,
+    with the vocab localCheckpoint'ed every 4 rounds so Catalyst
+    analysis depth stays bounded by batch×4 chained replaces. The
+    claims: rounds stay ~n/batch (8 pair-count shuffles for ~256
+    merges) and seconds-per-merge stays ~flat vs the 16-merge row
+    above — the trainer does not degrade as the merge budget grows."""
+    from parkour_spark.operators.bpe import bpe_train_batched
+
+    return bpe_train_batched(
+        _soak_words(spark), n_rounds=8, batch=32, checkpoint_every=4
+    )
 
 
 SOAK_CUSTOM = {
@@ -874,9 +1004,21 @@ SOAK_CUSTOM = {
     "text_probe_only": _soak_text_probe_only,
     "text_inline_same_query": _soak_text_inline_same_query,
     "text_index_delete_only": _soak_text_delete_only,
+    # r11: the |B|-scaling companion, then compact (reconciles the
+    # ledger + rebuilds termstats), then the MaxScore serving pair
+    # (which REQUIRES fresh termstats, hence the ordering)
+    "text_index_delete_small": _soak_text_delete_small,
     "text_index_compact_only": _soak_text_compact_only,
+    "text_probe_maxscore_only": _soak_text_probe_maxscore_only,
+    "text_probe_plain_dup_query": _soak_text_probe_plain_dup_query,
     "bpe_train_seq16": _soak_bpe_seq16,
     "bpe_train_batched16": _soak_bpe_batched16,
+    # r11: production-dimension IVF compaction economics + the
+    # 256-merge BPE run (r10 verdict items)
+    "emb256_materialize": _soak_emb256_materialize,
+    "ivf_d256_index_build": _soak_ivf_d256_build,
+    "ivf_d256_index_compact_only": _soak_ivf_d256_compact_only,
+    "bpe_train_batched256": _soak_bpe_batched256,
 }
 
 
@@ -1083,6 +1225,12 @@ def main() -> None:
     times: dict[str, float] = {}
     runs = [(name, lambda s, n=name: QUERIES[n](s, DST)) for name in SOAK_QUERIES]
     runs += list(SOAK_CUSTOM.items())
+    # targeted smoke/debug: run only the named rows (order preserved;
+    # the caller owns prerequisite ordering, e.g. *_build before probes)
+    only = os.environ.get("SPARK_GRAFT_SOAK_ONLY")
+    if only:
+        keep = set(only.split(","))
+        runs = [(n, f) for n, f in runs if n in keep]
     for name, fn in runs:
         t0 = time.perf_counter()
         n = fn(spark).count()

@@ -157,3 +157,19 @@ def test_batched_segmentation_compresses_monotonically(spark):
         if prev is not None:
             assert total <= prev, upto
         prev = total
+
+
+def test_batched_checkpoint_every_round_identical_merges(spark):
+    """localCheckpoint lineage truncation (r11 plan-depth bound) must
+    not change the learned trajectory: checkpointing every round and
+    never checkpointing yield the identical merge table."""
+    from parkour_spark.operators.bpe import bpe_train_batched
+
+    words = spark.createDataFrame(
+        [("banana", 10), ("bandana", 6), ("analog", 4), ("nanny", 3)],
+        "word string, wc long",
+    )
+    a = bpe_train_batched(words, n_rounds=3, batch=4, checkpoint_every=1)
+    b = bpe_train_batched(words, n_rounds=3, batch=4, checkpoint_every=0)
+    assert sorted(map(tuple, a.collect())) == sorted(map(tuple, b.collect()))
+    assert a.count() > 0
