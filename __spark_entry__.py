@@ -21,7 +21,7 @@ def entry(spark: SparkSession) -> DataFrame:
 
 
 # The driver's correctness gate checks the first 50 registry entries;
-# the registry holds 285. ROTATION POLICY (restated each round since
+# the registry holds 289. ROTATION POLICY (restated each round since
 # r5): the window each round = (a) entries ADDED this round (plus any
 # prior-round late additions still holding zero driver rows), (b)
 # entries whose code or oracle CHANGED this round, (c) filled to 50
@@ -30,96 +30,80 @@ def entry(spark: SparkSession) -> DataFrame:
 # local gate replica (scripts/check_oracle.py over ALL entries — same
 # compare: rows + columns + sorted value hash vs DuckDB).
 #
-# FRESHNESS LEDGER (entering r10, computed from CORRECTNESS_r01–r09 —
-# union of artifacts, latest row per entry): 30×r4, 37×r5, 45×r6,
-# 47×r7, 44×r8, 50×r9, 20×never (the 11 r9 late additions + the 9
-# entries NEW in r10). This window takes ALL 20 never-verified entries
-# and ALL 30 remaining r4-era rows — exactly the rotation the r9
-# ledger promised — so after it lands no entry anywhere is older than
-# r5, and the r11 fill budget (the 37 r5 rows + the oldest r6 rows)
-# continues the cycle: at 285 entries and 50 rows/round the steady
-# state keeps every entry's latest driver row ≤ ~5 rounds old, with
-# the local full-registry replica re-proving ALL entries every round.
+# FRESHNESS LEDGER (entering r11, computed from CORRECTNESS_r01–r10 —
+# union of artifacts, latest row per entry): 37×r5, 45×r6, 47×r7,
+# 44×r8, 50×r9, 50×r10, 16×never (the 12 r10 late additions + the 4
+# entries NEW in r11). The r10 plan projected "12 + ≤1 new + 37 r5
+# fills clears ALL of r5"; r11's actual surface was broader — the
+# tombstone-ledger deletes, the shared index-lifecycle layer, the
+# in-plan training folds, and the streaming-harness unification CHANGE
+# the code under 27 row-holding entries, and policy places every one
+# of them in-window — so the fill budget this round is 7, taken from
+# the oldest (r5) rows alphabetically. After this window lands the
+# ledger reads 27×r5 (oldest), and those 27 lead the r12 (c) class.
 #
-# r10 window =
-# (a) the 11 r9 late additions with zero driver rows (k_anonymity,
-#     FS linkage ×2, IVF recall eval, MDM pipeline, GIF frames,
-#     blocking quality, minhash compact probe, and the three
-#     exactly-once streaming index ingests) plus the 9 entries NEW
-#     this round: the persisted-PQ lifecycle legs (probe ≡ in-line
-#     ADC, probe-after-append ≡ combined build, probe-after-delete ≡
-#     survivors build), the compaction-symmetry closers
-#     (ivf/substring probe-after-compact), the three end-to-end
-#     ingest→compact→probe pipelines, and the batch-greedy BPE
-#     trainer;
-# (b) — code changed this round OUTSIDE the window, documented
-#     exception: the r9-ADVICE hardening touched publish_swap
-#     (artifacts.py) and the JPEG decoder, whose happy paths are
-#     end-state-identical (the changes rewrite failure/recovery
-#     branches: swap-failure ordering, fill-byte tolerance, truncation
-#     error normalization, restart-retry coefficient zeroing —
-#     tests/test_r10_fixes.py pins each). The affected entries
-#     (minhash/ivf/substring persisted legs, multimodal_jpeg_*) all
-#     hold GREEN r9 driver rows — the freshest evidence possible —
-#     plus green rows in this round's local full replica;
-#     displacing the r4-era fills for them would break the two-round
-#     freshness arithmetic promised in r8/r9. The streaming-ingest
-#     replay fix's entries ARE in-window (part of the 11). Same
-#     reasoning covers the late empty-tree tolerance (probes/deletes/
-#     compacts of an index whose every row was deleted return empty /
-#     no-op instead of crashing on schema inference): non-empty-path
-#     plans are unchanged, the affected families were re-verified 11/11
-#     in the local replica after the change, and the emptied-state
-#     behavior is pinned by dedicated unit tests.
-# (c) the 30 r4-era rows, verbatim (alphabetical).
-#
-# LATE ADDITIONS (landed after this window filled; each holds green
-# local full-gate evidence this round and they lead the r11 (a)
-# class): pq_probe_after_compact, streaming_pq_ingest_probe,
-# pq_ingest_compact_probe (the PQ streaming/compaction symmetry legs);
-# ivfpq_probe_persisted, ivfpq_probe_after_append,
-# ivfpq_probe_after_delete (the persisted IVF-PQ composite index);
-# text_probe_persisted, text_probe_after_append,
-# text_probe_after_delete, text_ingest_compact_probe (the persisted
-# full-text retrieval index — the fifth index family);
-# ivfpq_probe_after_compact, ivfpq_ingest_compact_probe (the
-# composite index's compaction + end-to-end streaming legs).
-# Registry at freeze: 285.
-_R10_WINDOW = [
-    # (a) r9 late additions — zero driver rows until now
-    "k_anonymity_docs", "fs_linkage_customers", "fs_linkage_tf_customers",
-    "ivf_recall_at_k", "mdm_golden_pipeline", "multimodal_gif_frames",
-    "blocking_quality_customers", "minhash_probe_after_compact",
-    "streaming_minhash_ingest_probe", "streaming_ivf_ingest_probe",
-    "streaming_substring_ingest_probe",
+# r11 window =
+# (a) the 12 r10 late additions with zero driver rows (the PQ
+#     streaming/compaction legs ×3, the IVF-PQ lifecycle ×5, the
+#     full-text index ×4) plus the 4 entries NEW this round:
+#     substring_probe_delete_readrepair (the pure tombstone
+#     read-repair window on an ample-cap build), bm25_conjunctive_capped
+#     + text_probe_conjunctive_capped (the require_all/max_df options,
+#     registry-gated on both paths), and text_probe_maxscore (exact
+#     early termination with an in-entry row-skip assertion);
+# (b) the 27 row-holding entries whose code or oracle changed:
+#     the doc-keyed index lifecycles now on the tombstone ledger
+#     (minhash/substring probe/append/delete/compact legs), every
+#     streaming ingest probe (shared _drain_ingest/_batch_commit_gate
+#     harness), the PQ/k-means training-fold consumers (kmeans_centroids,
+#     ivf_kmeans_topk, semantic_dedup_kmeans/groups, streaming_dedup,
+#     pq_adc_topk, ivfpq_topk_l2, pq_probe_* ×3), the shared-BM25-tail
+#     consumers (bm25_search, rrf_hybrid_retrieval), the parameterized
+#     substring delta oracle (substring_spans_delta), and the
+#     checkpointed batched-BPE trainer (bpe_train_merges_scaled);
+# (c) 7 fills — the oldest (r5) rows, alphabetical:
+#     avro_roundtrip_orders, bloom_filtered_join_agg, cms_heavy_hitters,
+#     corpus_snapshot_diff, dedup_delta_ingest, event_transition_matrix,
+#     format_roundtrip_orders.
+_R11_WINDOW = [
+    # (a) r10 late additions — zero driver rows until now
+    "pq_probe_after_compact", "streaming_pq_ingest_probe",
+    "pq_ingest_compact_probe", "ivfpq_probe_persisted",
+    "ivfpq_probe_after_append", "ivfpq_probe_after_delete",
+    "text_probe_persisted", "text_probe_after_append",
+    "text_probe_after_delete", "text_ingest_compact_probe",
+    "ivfpq_probe_after_compact", "ivfpq_ingest_compact_probe",
     # (a) new this round
+    "substring_probe_delete_readrepair", "bm25_conjunctive_capped",
+    "text_probe_conjunctive_capped", "text_probe_maxscore",
+    # (b) code/oracle changed this round (held rows through r10)
+    "ivfpq_topk_l2", "pq_adc_topk", "semantic_dedup_kmeans",
+    "semantic_dedup_groups", "rrf_hybrid_retrieval", "streaming_dedup",
+    "ivf_kmeans_topk", "bm25_search", "minhash_probe_persisted",
+    "substring_spans_delta", "minhash_probe_after_append",
+    "minhash_probe_after_delete", "substring_probe_after_delete",
+    "substring_probe_after_append", "kmeans_centroids",
+    "streaming_minhash_ingest_probe", "streaming_ivf_ingest_probe",
+    "minhash_probe_after_compact", "streaming_substring_ingest_probe",
     "pq_probe_persisted", "pq_probe_after_append", "pq_probe_after_delete",
-    "ivf_probe_after_compact", "substring_probe_after_compact",
-    "minhash_ingest_compact_probe", "ivf_ingest_compact_probe",
-    "substring_ingest_compact_probe", "bpe_train_merges_scaled",
-    # (c) the 30 remaining r4-era rows
-    "kmeans_centroids", "knn_cosine", "lang_id", "lang_id_ngram",
-    "matrixify", "merge_upsert_orders", "multimodal_fingerprint",
-    "order_gaps", "orders_per_priority_pivot", "pack_sequences",
-    "q1_pricing_summary", "quality_scores", "range_join_quantity_bands",
-    "range_mod_agg", "rolling_30d_spend", "salted_join_agg",
-    "scd2_customer_orders", "secondary_sort_orders", "shape_keyvals",
-    "stratified_sample_lang", "streaming_stream_join",
-    "subword_token_count", "token_stats", "top3_orders_per_customer",
-    "unigram_lm_scores", "union_tagged_names",
-    "unpivot_lineitem_measures", "user_sessions", "winnow_fingerprints",
-    "word_count",
+    "substring_probe_after_compact", "minhash_ingest_compact_probe",
+    "ivf_ingest_compact_probe", "substring_ingest_compact_probe",
+    "bpe_train_merges_scaled",
+    # (c) the 7 oldest (r5) fills, alphabetical
+    "avro_roundtrip_orders", "bloom_filtered_join_agg",
+    "cms_heavy_hitters", "corpus_snapshot_diff", "dedup_delta_ingest",
+    "event_transition_matrix", "format_roundtrip_orders",
 ]
 
 
 def _ordered(d: dict) -> dict:
     # loud drift check (r3 advice): a rename/typo must fail here, not
     # silently slide an unverified entry into the 50-entry gate window
-    missing = set(_R10_WINDOW) - set(d)
+    missing = set(_R11_WINDOW) - set(d)
     assert not missing, f"window entries not in registry: {sorted(missing)}"
-    assert len(_R10_WINDOW) == 50, len(_R10_WINDOW)
-    assert len(set(_R10_WINDOW)) == 50, "duplicate window entries"
-    front = [n for n in _R10_WINDOW if n in d]
+    assert len(_R11_WINDOW) == 50, len(_R11_WINDOW)
+    assert len(set(_R11_WINDOW)) == 50, "duplicate window entries"
+    front = [n for n in _R11_WINDOW if n in d]
     return {n: d[n] for n in front} | {n: d[n] for n in d if n not in front}
 
 

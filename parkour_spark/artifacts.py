@@ -234,11 +234,15 @@ def prune_versions(
 def ids_remaining(
     spark: SparkSession, data_path: str, id_col: str, ids, limit: int = 100
 ) -> list:
-    """Right-to-be-forgotten AUDIT for physical deletes: scan the
+    """Right-to-be-forgotten AUDIT for PHYSICAL absence: scan the
     artifact table under `data_path` and return (up to `limit`) ids
     from `ids` that STILL appear — the verification pass a compliance
-    flow runs after `minhash_index_delete` / `ivf_index_delete` /
-    `substring_index_delete`.
+    flow runs after `ivf_index_delete` / `ivfpq_index_delete` (physical
+    deletes) and after the COMPACTION that reconciles a tombstone
+    ledger (r11: the text/minhash/substring deletes are O(|B|) ledger
+    appends — immediately after those, audit PROBE VISIBILITY with
+    `operators.indexcommon.ids_probe_visible` instead; this physical
+    audit is the post-compaction check).
 
     Why it exists as a separate full scan: the delete legs are
     batch-∝ by design (they prune to the partitions/rows the batch

@@ -98,6 +98,76 @@ def _assign_codes(V, cbs):
     return codes
 
 
+def _iteration_stats_df(partial_rows: DataFrame, dsub: int) -> DataFrame:
+    """The in-plan sufficient-statistics fold (r10 verdict #1): reduce
+    the per-Arrow-batch partial rows to exactly (s, cell) granularity
+    executor-side — per-element F.sum columns, whole-stage codegen —
+    so one Lloyd's iteration hands the driver m×ksub rows, never a
+    partition-count-sized fetch. Exposed (via pq_train_stats_plan) so
+    PLANS.md can show the aggregate in the training plan."""
+    return partial_rows.groupBy("s", "cell").agg(
+        F.sum("n").alias("n"),
+        *[F.sum(F.col("sv")[i]).alias(f"v{i}") for i in range(dsub)],
+    )
+
+
+def pq_train_stats_plan(
+    df: DataFrame,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+    m: int = 4,
+    ksub: int = 8,
+) -> DataFrame:
+    """ONE Lloyd's iteration's folded statistics, UNCOLLECTED — the
+    plan-evidence hook (scripts/gen_plans.py): explaining this frame
+    shows the mapInPandas partials feeding a HashAggregate whose
+    output is exactly m×ksub rows, i.e. the training loop's only
+    driver traffic. Uses the same seed rule and partials closure as
+    pq_train's first iteration."""
+    import numpy as np
+
+    seeds = _seed_vectors(df, vec_col, id_col, ksub)
+    dim = len(seeds[0])
+    dsub = dim // m
+    cbs = [
+        np.array([s_vec[s * dsub : (s + 1) * dsub] for s_vec in seeds])
+        for s in range(m)
+    ]
+    stats_schema = T.StructType(
+        [
+            T.StructField("s", T.LongType()),
+            T.StructField("cell", T.LongType()),
+            T.StructField("n", T.LongType()),
+            T.StructField("sv", T.ArrayType(T.DoubleType())),
+        ]
+    )
+
+    def partials(batches, _cbs=cbs, _vec=vec_col, _dsub=dsub):
+        import numpy as np
+        import pandas as pd
+
+        for pdf in batches:
+            if len(pdf) == 0:
+                continue
+            V = np.stack(pdf[_vec].to_numpy()).astype(np.float64)
+            codes = _assign_codes(V, _cbs)
+            rows = []
+            for s in range(len(_cbs)):
+                Vs = V[:, s * _dsub : (s + 1) * _dsub]
+                for c in np.unique(codes[:, s]):
+                    mask = codes[:, s] == c
+                    rows.append(
+                        (s, int(c), int(mask.sum()),
+                         Vs[mask].sum(axis=0).tolist())
+                    )
+            yield pd.DataFrame(rows, columns=["s", "cell", "n", "sv"])
+
+    corpus = widen_scan(df.select(id_col, vec_col))
+    return _iteration_stats_df(
+        corpus.mapInPandas(partials, schema=stats_schema), dsub
+    )
+
+
 def pq_train(
     df: DataFrame,
     vec_col: str = "embedding",
@@ -164,15 +234,9 @@ def pq_train(
         # Spark's (not the old sorted-partials order) — the same
         # freedom the DuckDB oracle's SUM always had, and the gated
         # outputs round before compare, so the identity stands.
-        stats = (
-            corpus.mapInPandas(partials, schema=stats_schema)
-            .groupBy("s", "cell")
-            .agg(
-                F.sum("n").alias("n"),
-                *[F.sum(F.col("sv")[i]).alias(f"v{i}") for i in range(dsub)],
-            )
-            .collect()
-        )
+        stats = _iteration_stats_df(
+            corpus.mapInPandas(partials, schema=stats_schema), dsub
+        ).collect()
         counts = [np.zeros(ksub) for _ in range(m)]
         sums = [np.zeros((ksub, dsub)) for _ in range(m)]
         for r in sorted(stats, key=lambda r: (r["s"], r["cell"])):

@@ -112,6 +112,30 @@ COMMENTARY = {
     "ivf_recall_at_k": "Both retrieval arms share the corpus scan shape (broadcast queries, per-query ranking window); the recall join is top-k-output-sized (50 rows vs 50 rows), so the evaluation costs two corpus scans and nothing more.",
     "multimodal_jpeg_dedup_agree": "The economics identity plan: one blob scan feeds BOTH arms (persisted), the per-row arm decodes inside mapInPandas, the dedup-first arm dedups fingerprints with a map-side partial agg BEFORE its decode — the join back is md5-key-sized, blobs never shuffle.",
     "substring_probe_after_delete": "Probe-only plan against the persisted lists/ artifact: the batch fingerprint scan equi-joins the committed df-capped lists, span segmentation is one (id_new, id_old, delta)-keyed window — the corpus occ/ table is not in the plan at all (deletes already folded in at publish time).",
+    "text_probe_maxscore": "MaxScore final plan (r11): tbucket PartitionFilters + pushed term IN-list like the plain probe, corpus text scanned nowhere, and the non-essential postings slice reduced by a LEFT SEMI broadcast join against the essential candidates — the rows the early termination provably never scores.",
+    "text_probe_conjunctive_capped": "require_all + max_df on the persisted probe: same pruned postings scan; the capped-term count rides as a broadcast 1-row aggregate (no driver-side count), the conjunction is a post-aggregation filter — options add zero extra scans.",
+    "substring_probe_delete_readrepair": "The tombstone read-repair probe (r11): the usual lists/ equi-join plan plus ONE broadcast anti-join of the pending ledger ids applied post-explode — delete cost moved to O(|B|), probe cost unchanged in shape.",
+}
+
+# Plans that aren't a registered query's OUTPUT but ARE the evidence a
+# verdict asked for — built by a dedicated hook and explained the same
+# way (r11: the in-plan training-statistics fold, r10 verdict #1).
+SPECIALS = {
+    "pq_train_stats_fold": (
+        "ONE Lloyd's iteration of PQ training, uncollected: the"
+        " mapInPandas partials feed a HashAggregate (per-element sums,"
+        " whole-stage codegen) whose output is exactly m×ksub rows —"
+        " the training loop's only driver traffic; the old collect() of"
+        " raw partials was partition-count-sized. kmeans_fit shares the"
+        " same fold shape.",
+        lambda spark: __import__(
+            "parkour_spark.operators.pq", fromlist=["pq_train_stats_plan"]
+        ).pq_train_stats_plan(
+            __import__(
+                "parkour_spark.dataset", fromlist=["load_table"]
+            ).load_table(spark, SF, "embeddings")
+        ),
+    ),
 }
 
 HEADER = """# PLANS — physical-plan evidence for the headline operators
@@ -128,8 +152,12 @@ def main() -> None:
     spark = build_session()
     out = io.StringIO()
     out.write(HEADER)
-    for name, note in COMMENTARY.items():
-        df = QUERIES[name](spark, SF)
+    sections = [
+        (name, note, lambda s, n=name: QUERIES[n](s, SF))
+        for name, note in COMMENTARY.items()
+    ] + [(name, note, fn) for name, (note, fn) in SPECIALS.items()]
+    for name, note, build in sections:
+        df = build(spark)
         plan = df._jdf.queryExecution().explainString(
             spark._jvm.org.apache.spark.sql.execution.ExplainMode.fromString("formatted")
         )
