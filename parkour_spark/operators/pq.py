@@ -98,6 +98,45 @@ def _assign_codes(V, cbs):
     return codes
 
 
+_STATS_SCHEMA = T.StructType(
+    [
+        T.StructField("s", T.LongType()),
+        T.StructField("cell", T.LongType()),
+        T.StructField("n", T.LongType()),
+        T.StructField("sv", T.ArrayType(T.DoubleType())),
+    ]
+)
+
+
+def _train_partials(cbs, vec_col: str, dsub: int):
+    """The per-Arrow-batch sufficient-statistics closure — ONE
+    definition shared by pq_train's iterations and the PLANS.md hook
+    (pq_train_stats_plan), so the published plan can never drift from
+    the code the trainer actually runs (r11 review)."""
+
+    def partials(batches, _cbs=cbs, _vec=vec_col, _dsub=dsub):
+        import numpy as np
+        import pandas as pd
+
+        for pdf in batches:
+            if len(pdf) == 0:
+                continue
+            V = np.stack(pdf[_vec].to_numpy()).astype(np.float64)
+            codes = _assign_codes(V, _cbs)
+            rows = []
+            for s in range(len(_cbs)):
+                Vs = V[:, s * _dsub : (s + 1) * _dsub]
+                for c in np.unique(codes[:, s]):
+                    mask = codes[:, s] == c
+                    rows.append(
+                        (s, int(c), int(mask.sum()),
+                         Vs[mask].sum(axis=0).tolist())
+                    )
+            yield pd.DataFrame(rows, columns=["s", "cell", "n", "sv"])
+
+    return partials
+
+
 def _iteration_stats_df(partial_rows: DataFrame, dsub: int) -> DataFrame:
     """The in-plan sufficient-statistics fold (r10 verdict #1): reduce
     the per-Arrow-batch partial rows to exactly (s, cell) granularity
@@ -133,38 +172,12 @@ def pq_train_stats_plan(
         np.array([s_vec[s * dsub : (s + 1) * dsub] for s_vec in seeds])
         for s in range(m)
     ]
-    stats_schema = T.StructType(
-        [
-            T.StructField("s", T.LongType()),
-            T.StructField("cell", T.LongType()),
-            T.StructField("n", T.LongType()),
-            T.StructField("sv", T.ArrayType(T.DoubleType())),
-        ]
-    )
-
-    def partials(batches, _cbs=cbs, _vec=vec_col, _dsub=dsub):
-        import numpy as np
-        import pandas as pd
-
-        for pdf in batches:
-            if len(pdf) == 0:
-                continue
-            V = np.stack(pdf[_vec].to_numpy()).astype(np.float64)
-            codes = _assign_codes(V, _cbs)
-            rows = []
-            for s in range(len(_cbs)):
-                Vs = V[:, s * _dsub : (s + 1) * _dsub]
-                for c in np.unique(codes[:, s]):
-                    mask = codes[:, s] == c
-                    rows.append(
-                        (s, int(c), int(mask.sum()),
-                         Vs[mask].sum(axis=0).tolist())
-                    )
-            yield pd.DataFrame(rows, columns=["s", "cell", "n", "sv"])
-
     corpus = widen_scan(df.select(id_col, vec_col))
     return _iteration_stats_df(
-        corpus.mapInPandas(partials, schema=stats_schema), dsub
+        corpus.mapInPandas(
+            _train_partials(cbs, vec_col, dsub), schema=_STATS_SCHEMA
+        ),
+        dsub,
     )
 
 
@@ -192,37 +205,11 @@ def pq_train(
         for s in range(m)
     ]
 
-    stats_schema = T.StructType(
-        [
-            T.StructField("s", T.LongType()),
-            T.StructField("cell", T.LongType()),
-            T.StructField("n", T.LongType()),
-            T.StructField("sv", T.ArrayType(T.DoubleType())),
-        ]
-    )
     corpus = widen_scan(df.select(id_col, vec_col))
 
     for _ in range(iters):
         frozen = [C.copy() for C in cbs]
-
-        def partials(batches, _cbs=frozen, _vec=vec_col, _dsub=dsub):
-            import numpy as np
-            import pandas as pd
-
-            for pdf in batches:
-                if len(pdf) == 0:
-                    continue
-                V = np.stack(pdf[_vec].to_numpy()).astype(np.float64)
-                codes = _assign_codes(V, _cbs)
-                rows = []
-                for s in range(len(_cbs)):
-                    Vs = V[:, s * _dsub : (s + 1) * _dsub]
-                    for c in np.unique(codes[:, s]):
-                        mask = codes[:, s] == c
-                        rows.append(
-                            (s, int(c), int(mask.sum()), Vs[mask].sum(axis=0).tolist())
-                        )
-                yield pd.DataFrame(rows, columns=["s", "cell", "n", "sv"])
+        partials = _train_partials(frozen, vec_col, dsub)
 
         # IN-PLAN fold (r10 verdict #1): the per-batch partials reduce
         # to exactly m×ksub rows via groupBy before anything reaches
@@ -235,7 +222,7 @@ def pq_train(
         # freedom the DuckDB oracle's SUM always had, and the gated
         # outputs round before compare, so the identity stands.
         stats = _iteration_stats_df(
-            corpus.mapInPandas(partials, schema=stats_schema), dsub
+            corpus.mapInPandas(partials, schema=_STATS_SCHEMA), dsub
         ).collect()
         counts = [np.zeros(ksub) for _ in range(m)]
         sums = [np.zeros((ksub, dsub)) for _ in range(m)]

@@ -296,7 +296,17 @@ def text_index_delete(spark, ids: DataFrame, path: str) -> None:
     physically reconciles the rows later. Corpus text is never
     re-tokenized; audit visibility with
     `indexcommon.ids_probe_visible` (and `artifacts.ids_remaining`
-    for physical absence after compaction)."""
+    for physical absence after compaction).
+
+    CRASH WINDOW / rerun-to-heal (r11 review): the leg is two steps —
+    ledger append, then the stats rewrite. A crash between them leaves
+    probes deriving the shrunken df against the STALE (pre-delete)
+    N/avgdl — scores off until the next mutation or compact reruns
+    the stats derivation. The leg is idempotent (the ledger read
+    dedups, stats rewrite wholesale), so the operational contract is
+    the house one: on any doubt, re-run the delete (or run compact),
+    then audit with ids_probe_visible — same rerun-to-heal class as
+    ivfpq_index_delete's two-step window."""
     from parkour_spark.operators.indexcommon import append_tombstones
 
     id_col = _read_meta(spark, path)["id_col"]
@@ -486,24 +496,39 @@ def text_index_probe_bm25_maxscore(
     # grow the essential prefix until θ (k-th best partial score over
     # E, in micro units — a lower bound on the true k-th best) clears
     # the non-essential upper bound; each check is one partition-pruned
-    # pass over E's postings only
+    # pass over E's postings only. Prefix sizes grow GEOMETRICALLY
+    # (1, 2, 4, …) so the θ search costs O(log q) passes and total
+    # re-scanned prefix work ≤ 2× the final pass — not the O(q) passes
+    # / O(q²) scans of unit growth (r11 review). The trade: n_ess may
+    # overshoot the minimal essential set by <2×, shrinking the skip,
+    # never breaking exactness.
+    def rest_ub(i: int) -> int:
+        # +1 micro/term slack for per-term rounding in the comparison
+        return math.ceil(sum(ubs[t] for t in order[i:]) * 1e6) + len(
+            order[i:]
+        )
+
+    sizes, s = [], 1
+    while s < len(order):
+        sizes.append(s)
+        s *= 2
+    if sizes and sizes[-1] != len(order) - 1:
+        sizes.append(len(order) - 1)  # always test the largest proper prefix
     n_ess = len(order)
     theta = None
-    for i in range(1, len(order)):
-        rest_ub_micro = math.ceil(
-            sum(ubs[t] for t in order[i:]) * 1e6
-        ) + len(order[i:])  # +1 micro/term slack for per-term rounding
+    chosen_rest_ub = 0
+    for i in sizes:
         part = _bm25_rank_filtered(
             with_df(slice_terms(order[:i])), totals, qlist,
             k=k, k1=k1, b=b, id_col=id_col,
             require_all=False, max_df=None,
         ).collect()
-        if len(part) < k:
-            continue  # too few candidates: θ unbounded below, grow E
-        theta = int(part[k - 1]["score_micro"])
-        if theta > rest_ub_micro:
-            n_ess = i
-            break
+        if len(part) >= k:
+            theta = int(part[k - 1]["score_micro"])
+            if theta > rest_ub(i):
+                n_ess = i
+                chosen_rest_ub = rest_ub(i)
+                break
     out["essential"] = order[:n_ess]
     out["theta_micro"] = theta
     if n_ess == len(order):
@@ -517,9 +542,7 @@ def text_index_probe_bm25_maxscore(
             k=k, k1=k1, b=b, id_col=id_col,
             require_all=False, max_df=None,
         )
-    out["rest_ub_micro"] = math.ceil(
-        sum(ubs[t] for t in order[n_ess:]) * 1e6
-    ) + len(order[n_ess:])
+    out["rest_ub_micro"] = chosen_rest_ub
     ess_rows = slice_terms(order[:n_ess])
     cand = ess_rows.select(id_col).distinct()
     rest_rows = slice_terms(order[n_ess:]).join(cand, id_col, "left_semi")

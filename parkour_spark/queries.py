@@ -10700,11 +10700,15 @@ def q_minhash_probe_after_delete(spark, sf_dir):
     (bkt < 10 re-idded — identical signatures, so they would
     certainly surface as extra id_old matches and can push shared band
     buckets over the cap), DELETE the junk ids (r11: an O(|B|)
-    tombstone-ledger append — probes anti-join the ledger, compaction
-    reconciles physically), then probe with the top 10%. The oracle is
-    the junk-free build — green ⇒ delete(B) from build(A ∪ B) ≡
-    build(A) through the read-repair path, the right-to-be-forgotten
-    guarantee for the document index."""
+    tombstone-ledger append), COMPACT (the physical reconciliation
+    that re-derives bands/ from the survivors — cap resurrection is a
+    compaction property under the ledger contract, and this entry's
+    junk is DESIGNED to cross cap boundaries, so probing the
+    un-reconciled window here would be data-dependent), then probe
+    with the top 10%. The oracle is the junk-free build — green ⇒
+    delete(B)+compact from build(A ∪ B) ≡ build(A) INCLUDING
+    resurrection. The pure read-repair window is pinned by the
+    hypothesis property (test_r11_property) and the r9 unit tests."""
     import tempfile
 
     from parkour_spark.functions.sampling import hash_bucket
@@ -10724,6 +10728,7 @@ def q_minhash_probe_after_delete(spark, sf_dir):
         D.minhash_index_delete(
             spark, junk.select("doc_id"), tmp, max_bucket=200
         )
+        D.minhash_index_compact(spark, tmp)
         _MINHASH_DELETE_DIRS[sf_dir] = tmp
     return D.minhash_probe_delta(
         spark, docs.where(bkt >= 90), _MINHASH_DELETE_DIRS[sf_dir],

@@ -891,6 +891,15 @@ def streaming_minhash_ingest(
         bdir = os.path.join(index_path, "sigs", f"batch={batch_id}")
         if _batch_commit_gate(spark, bdir, rederive, caught_up):
             return
+        # a retired id must not be re-ingested over a pending ledger —
+        # same invariant the batch append enforces (r11 review)
+        from parkour_spark.operators.indexcommon import (
+            check_ids_not_tombstoned,
+        )
+
+        check_ids_not_tombstoned(
+            spark, index_path, batch_df.select(id_col), id_col
+        )
         if not pfs.exists(spark, os.path.join(index_path, "meta")):
             write_params(
                 spark,
@@ -1039,6 +1048,15 @@ def streaming_substring_ingest(
         bdir = os.path.join(index_path, "occ", f"batch={batch_id}")
         if _batch_commit_gate(spark, bdir, rederive, caught_up):
             return
+        # a retired id must not be re-ingested over a pending ledger —
+        # same invariant the batch append enforces (r11 review)
+        from parkour_spark.operators.indexcommon import (
+            check_ids_not_tombstoned,
+        )
+
+        check_ids_not_tombstoned(
+            spark, index_path, batch_df.select(id_col), id_col
+        )
         if not pfs.exists(spark, os.path.join(index_path, "meta")):
             write_params(
                 spark,
@@ -1159,15 +1177,25 @@ def streaming_text_ingest(
 
     from parkour_spark import fs as pfs
     from parkour_spark.artifacts import publish_dir, write_params
+    from parkour_spark.operators.indexcommon import check_ids_not_tombstoned
     from parkour_spark.operators.textindex import (
         _check_text_meta,
         _doclen,
+        _invalidate_termstats,
         _postings,
         _write_stats,
     )
 
     caught_up = [False]
-    rederive = lambda: _write_stats(spark, index_path)  # noqa: E731
+
+    def rederive() -> None:
+        _write_stats(spark, index_path)
+        # streaming batches change df/N/avgdl exactly like a batch
+        # append, so the MaxScore table must be invalidated with the
+        # same discipline (r11 review: a stale termstats df would
+        # silently mis-score maxscore probes with no fallback fired);
+        # idempotent, and the catch-up path re-runs it too
+        _invalidate_termstats(spark, index_path)
 
     def ingest(batch_df, batch_id: int) -> None:
         pdir = os.path.join(index_path, "postings", f"batch={batch_id}")
@@ -1175,6 +1203,11 @@ def streaming_text_ingest(
         # the POSTINGS marker is the pair's commit point
         if _batch_commit_gate(spark, pdir, rederive, caught_up):
             return
+        # a retired id must not be re-ingested over a pending ledger —
+        # same invariant the batch append enforces (r11 review)
+        check_ids_not_tombstoned(
+            spark, index_path, batch_df.select(id_col), id_col
+        )
         if pfs.exists(spark, ldir):
             pfs.delete(spark, ldir)  # torn pair: doclen without postings
         if not pfs.exists(spark, os.path.join(index_path, "meta")):

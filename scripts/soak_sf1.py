@@ -1263,7 +1263,11 @@ def main() -> None:
         "load_start": {"loadavg_1m": start_load},
     }
     print(json.dumps(out))
-    with open(os.path.join(os.path.dirname(__file__), "..", "BENCH_sf1.json"), "w") as f:
+    # a SPARK_GRAFT_SOAK_ONLY smoke must never clobber the committed
+    # full-soak baseline (r11 review: an 11-row smoke once replaced the
+    # 88-row recording) — partial runs land in a sibling file
+    fname = "BENCH_sf1_partial.json" if only else "BENCH_sf1.json"
+    with open(os.path.join(os.path.dirname(__file__), "..", fname), "w") as f:
         f.write(json.dumps(out) + "\n")
 
 

@@ -228,3 +228,65 @@ def test_delete_everything_then_compact_reaches_empty_tree_state(
     assert text_index_probe_bm25(spark, idx, ["shared"], k=3).count() == 0
     st = spark.read.parquet(idx + "/stats").collect()[0]
     assert st.n_docs == 0
+
+
+# ------------------------------------------------------------------
+# streaming-path invariants (r11 review findings)
+# ------------------------------------------------------------------
+
+
+def _stream_src(spark, tmp_path, rows, name="src"):
+    src = str(tmp_path / name)
+    _docs(spark, rows).coalesce(1).write.parquet(src)
+    return src, spark.read.parquet(src).schema
+
+
+def test_streaming_text_ingest_invalidates_termstats(spark, tmp_path):
+    """A streaming batch changes df/N/avgdl like a batch append, so it
+    must invalidate the MaxScore termstats table — a stale df would
+    silently mis-score maxscore probes with no fallback fired. (The
+    streaming layout itself keeps batch= dirs, so this is staged at
+    the mechanism level: a termstats table present on a streaming root
+    — any crash-ordering or operator mix that leaves one — must be
+    gone after the next batch lands.)"""
+    from parkour_spark import fs as pfs
+    from parkour_spark.operators.textindex import _write_termstats
+    from parkour_spark.streaming.windows import streaming_text_ingest
+
+    idx = str(tmp_path / "idx")
+    src, schema = _stream_src(
+        spark, tmp_path, [(1000, "alpha shared streamed doc")]
+    )
+    streaming_text_ingest(spark, src, schema, idx, n_buckets=4)
+    _write_termstats(spark, idx)  # stage the stale-stats state
+    assert pfs.exists(spark, idx + "/termstats")
+    _docs(spark, [(1001, "beta shared streamed doc two")]).coalesce(
+        1
+    ).write.mode("append").parquet(src)
+    streaming_text_ingest(spark, src, schema, idx, n_buckets=4)
+    assert not pfs.exists(spark, idx + "/termstats"), (
+        "streaming batch must invalidate the MaxScore table"
+    )
+
+
+def test_streaming_ingest_refuses_pending_tombstoned_id(spark, tmp_path):
+    """Streaming a retired id onto a pending ledger must raise (the
+    probe-side anti-join would hide the new rows, and the next compact
+    would physically delete them) — the same invariant the batch
+    append enforces."""
+    import pytest
+
+    from parkour_spark.operators.textindex import (
+        text_index_build,
+        text_index_delete,
+    )
+    from parkour_spark.streaming.windows import streaming_text_ingest
+
+    idx = str(tmp_path / "idx")
+    text_index_build(_corpus(spark), idx, n_buckets=4)
+    text_index_delete(spark, spark.createDataFrame([(3,)], "doc_id long"), idx)
+    src, schema = _stream_src(
+        spark, tmp_path, [(3, "re-ingested retired doc")]
+    )
+    with pytest.raises(Exception, match="tombstoned"):
+        streaming_text_ingest(spark, src, schema, idx, n_buckets=4)
