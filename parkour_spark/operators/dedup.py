@@ -1367,8 +1367,11 @@ def substring_index_build(
     group-by); every ingest batch then pays only its own fingerprint
     scan (`substring_index_append` / `substring_probe_persisted`)."""
     from parkour_spark.artifacts import write_params
+    from parkour_spark.operators.indexcommon import clear_tombstones
 
     spark = corpus_df.sparkSession
+    clear_tombstones(spark, path)  # a rebuild starts a fresh index:
+    # a leftover ledger would hide the new corpus's rows (r11)
     occ = _positioned_occurrences(corpus_df, text_col, id_col, k, w)
     occ.write.mode("overwrite").parquet(path + "/occ")
     write_params(
@@ -1787,7 +1790,11 @@ def minhash_index_build(
     shuffle); every ingest batch then pays only its OWN signatures plus
     one broadcast equi-join probe (`minhash_probe_delta`) — cost
     independent of corpus size in everything but the index scan."""
+    from parkour_spark.operators.indexcommon import clear_tombstones
+
     spark = corpus_df.sparkSession
+    clear_tombstones(spark, path)  # a rebuild starts a fresh index:
+    # a leftover ledger would hide the new corpus's rows (r11)
     sig = minhash_signature(corpus_df, text_col, id_col, num_hashes, ngram_n)
     sig.select(
         F.col(id_col),

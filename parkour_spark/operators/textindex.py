@@ -228,8 +228,13 @@ def text_index_build(
     file set per bucket, term-sorted within files), the doc-length
     table, the derived stats row, and the layout record."""
     from parkour_spark.artifacts import write_params
+    from parkour_spark.operators.indexcommon import clear_tombstones
 
     spark = docs.sparkSession
+    # a REBUILD into a reused root starts a fresh index: a leftover
+    # ledger from the previous incarnation would silently hide the new
+    # corpus's rows from probes and skew stats (r11)
+    clear_tombstones(spark, path)
     (
         _postings(docs, text_col, id_col, n_buckets)
         .repartition("tbucket")

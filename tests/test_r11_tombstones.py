@@ -290,3 +290,32 @@ def test_streaming_ingest_refuses_pending_tombstoned_id(spark, tmp_path):
     )
     with pytest.raises(Exception, match="tombstoned"):
         streaming_text_ingest(spark, src, schema, idx, n_buckets=4)
+
+
+def test_rebuild_into_reused_root_clears_stale_ledger(spark, tmp_path):
+    """build() into a root whose previous incarnation had a pending
+    ledger starts FRESH — the stale tombstones must not hide the new
+    corpus's rows or skew stats (r11: the soak reuses index dirs
+    across runs, the exact state this guards)."""
+    from parkour_spark.operators.textindex import (
+        text_index_build,
+        text_index_delete,
+        text_index_probe_bm25,
+    )
+
+    idx = str(tmp_path / "idx")
+    corpus = _corpus(spark)
+    text_index_build(corpus, idx, n_buckets=4)
+    text_index_delete(
+        spark, spark.createDataFrame([(1,), (2,)], "doc_id long"), idx
+    )
+    assert IC.read_tombstones(spark, idx) is not None
+    text_index_build(corpus, idx, n_buckets=4)  # rebuild, same root
+    assert IC.read_tombstones(spark, idx) is None
+    got = {
+        r.doc_id
+        for r in text_index_probe_bm25(spark, idx, ["shared"], k=20).collect()
+    }
+    assert {1, 2} <= got, "previously-retired ids are live after rebuild"
+    st = spark.read.parquet(idx + "/stats").collect()[0]
+    assert st.n_docs == corpus.count()
