@@ -65,6 +65,14 @@ def entry(spark: SparkSession) -> DataFrame:
 #     avro_roundtrip_orders, bloom_filtered_join_agg, cms_heavy_hitters,
 #     corpus_snapshot_diff, dedup_delta_ingest, event_transition_matrix,
 #     format_roundtrip_orders.
+#
+# LATE ADDITIONS (landed after this window froze; each holds green
+# local full-gate evidence this round and they lead the r12 (a)
+# class): text_probe_multi_batch (a query BATCH served from one pruned
+# postings scan — the serving-throughput pattern, VALUES-map oracle)
+# and ivfpq_probe_refined (FAISS IndexRefineFlat: exact L2 re-rank of
+# the ADC top-k' candidates, full two-level-training + refine replay
+# oracle). Registry at freeze: 291.
 _R11_WINDOW = [
     # (a) r10 late additions — zero driver rows until now
     "pq_probe_after_compact", "streaming_pq_ingest_probe",

@@ -1128,3 +1128,71 @@ def ivfpq_probe_topk(
         .where(F.col("rank") <= k)
         .select("query_id", id_col, "rank", "adc_d2")
     )
+
+
+def ivfpq_probe_refined(
+    spark,
+    path: str,
+    corpus: DataFrame,
+    queries: list[tuple[int, list[float]]],
+    k: int = 10,
+    kprime: int = 30,
+    nprobe: int = 2,
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """FAISS-style REFINE over the persisted IVF-PQ index (the
+    IndexRefineFlat serving shape, Jégou et al. 2011 §V): stage 1
+    takes the ADC top-k' candidates per query from the stored residual
+    codes (partition-pruned, vectors never read — `ivfpq_probe_topk`);
+    stage 2 re-ranks ONLY those candidates by their EXACT L2 distance
+    over true vectors fetched with a candidate-sized semi-join. The
+    standard accuracy knob: exact-search ordering on the candidate
+    set at the I/O cost of ≤ nq·k' vector rows instead of a corpus
+    scan — k'/k trades recall for fetch volume.
+
+    Result: (query_id, vec_id, rank, exact_d2) ranked by ascending
+    exact distance (round-4, ties to lowest id — the house rule). The
+    exact distance is a plain Column fold (zip_with + aggregate, JVM
+    whole-stage — no Python in stage 2), summed in index order so the
+    DuckDB oracle replays it term-for-term.
+
+    SCALE note, stated honestly: the candidate vector fetch is a
+    semi-join against the corpus table — columnar pruning keeps it to
+    (id, vector) but local parquet offers no point reads, so the scan
+    still touches every row group. A 100 TB deployment buckets the
+    corpus by id (sources/bucketed layout) so the fetch prunes to the
+    candidates' buckets; the operator's plan is unchanged either way."""
+    cand = ivfpq_probe_topk(
+        spark, path, queries, k=kprime, nprobe=nprobe
+    )
+    _coarse, _cbs, id_col = read_ivfpq_meta(spark, path)
+    qdf = spark.createDataFrame(
+        [(int(q), [float(x) for x in v]) for q, v in queries],
+        "query_id long, qv array<double>",
+    )
+    ids = cand.select(id_col).distinct()
+    vecs = corpus.select(
+        id_col,
+        F.expr(f"transform({vec_col}, x -> cast(x as double))").alias("__v"),
+    ).join(ids, id_col, "left_semi")
+    pairs = (
+        cand.select("query_id", id_col)
+        .join(F.broadcast(qdf), "query_id")
+        .join(vecs, id_col)
+    )
+    d2 = F.aggregate(
+        F.zip_with("qv", "__v", lambda a, b: (a - b) * (a - b)),
+        F.lit(0.0),
+        lambda acc, x: acc + x,
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.col("exact_d2").asc(), F.col(id_col)
+    )
+    return (
+        pairs.select(
+            "query_id", id_col, F.round(d2, 4).alias("exact_d2")
+        )
+        .withColumn("rank", F.row_number().over(w))
+        .where(F.col("rank") <= k)
+        .select("query_id", id_col, "rank", "exact_d2")
+    )

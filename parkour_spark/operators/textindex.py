@@ -563,3 +563,81 @@ def text_index_probe_bm25_maxscore(
         k=k, k1=k1, b=b, id_col=id_col,
         require_all=False, max_df=None,
     )
+
+
+def text_index_probe_bm25_multi(
+    spark,
+    path: str,
+    query_sets: list,
+    k: int = 10,
+    k1: float = 1.2,
+    b: float = 0.75,
+) -> DataFrame:
+    """A BATCH of BM25 queries served from ONE partition-pruned
+    postings scan — the serving-throughput pattern: at 100 TB you
+    amortize the scan setup over the query batch instead of paying a
+    Spark job per query. `query_sets` is [(query_id, [terms...])].
+
+    One slice covers the UNION of all queries' terms (driver-side
+    bucket hash → static partition filter + pushed IN-list, exactly
+    the single-query probe); df derives per TERM over that slice
+    (query-independent — a term's df is the same whoever asks); each
+    query's postings select via a broadcast (query_id, term) map; the
+    per-(query, doc) scoring is the same shared expression
+    (corpus.bm25_term_micro) and the final top-k is one
+    query-partitioned window. Restricted to a single query the result
+    is row-identical to `text_index_probe_bm25` (test-pinned), so the
+    gate oracle replays each query independently and unions.
+
+    Result: (query_id, {id}, n_qterms, score_micro, rank ≤ k), ties at
+    rank k to the lowest id — the house rule, per query."""
+    from pyspark.sql import Window
+
+    from parkour_spark.operators.corpus import bm25_term_micro
+    from parkour_spark.operators.indexcommon import exclude_tombstoned
+
+    meta = _read_meta(spark, path)
+    id_col, nb = meta["id_col"], int(meta["n_buckets"])
+    qmap = sorted({(int(q), t) for q, terms in query_sets for t in terms})
+    all_terms = sorted({t for _, t in qmap})
+    buckets = sorted({_py_bucket(t, nb) for t in all_terms})
+    stored = _read_postings(spark, path)
+    if stored is None or not qmap:
+        return spark.createDataFrame(
+            [],
+            f"query_id long, {id_col} long, n_qterms long, "
+            "score_micro long, rank int",
+        )
+    tf = (
+        stored.where(F.col("tbucket").isin(buckets))
+        .where(F.col("term").isin(all_terms))
+        .select(id_col, "dl", "term", "tf")
+    )
+    tf = exclude_tombstoned(spark, path, tf, id_col)
+    # df per TERM over the union slice — identical to what each
+    # query's own slice would derive (the slice per term is the same)
+    tf = tf.withColumn("df", F.count("*").over(Window.partitionBy("term")))
+    qdf = spark.createDataFrame(qmap, "query_id long, term string")
+    totals = spark.read.parquet(path + "/stats")
+    scored = (
+        tf.join(F.broadcast(qdf), "term")
+        .crossJoin(F.broadcast(totals))
+        .select(
+            "query_id",
+            F.col(id_col),
+            bm25_term_micro(k1, b).alias("term_micro"),
+        )
+        .groupBy("query_id", id_col)
+        .agg(
+            F.count("*").alias("n_qterms"),
+            F.sum("term_micro").alias("score_micro"),
+        )
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.col("score_micro").desc(), F.col(id_col)
+    )
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .where(F.col("rank") <= k)
+        .select("query_id", id_col, "n_qterms", "score_micro", "rank")
+    )

@@ -2561,7 +2561,8 @@ def _l2_lloyd_ctes(prefix: str, src: str, seeds: str, lo: int, hi: int,
 
 def _ivfpq_oracle(k_coarse: int = 8, m: int = 4, ksub: int = 8, iters: int = 2,
                   dim: int = 64, nprobe: int = 2, k: int = 10,
-                  corpus_where: str | None = None) -> str:
+                  corpus_where: str | None = None,
+                  refine_from: int | None = None) -> str:
     """Full IVF-PQ replay: L2 coarse Lloyd's over raw vectors →
     residuals → per-subspace L2 Lloyd's over residuals → probe nprobe
     nearest cells per query → ADC distance through residual codes.
@@ -2604,10 +2605,7 @@ def _ivfpq_oracle(k_coarse: int = 8, m: int = 4, ksub: int = 8, iters: int = 2,
              * (qr.qres[{s * dsub} + i] - cb{s}.c[i])))"""
         for s in range(m)
     )
-    return (
-        "WITH "
-        + ",\n    ".join(parts)
-        + f""",
+    middle = f""",
     q AS (SELECT vec_id AS query_id, v AS qv FROM emb WHERE vec_id < 5),
     probes AS (
       SELECT query_id, cell FROM (
@@ -2625,14 +2623,40 @@ def _ivfpq_oracle(k_coarse: int = 8, m: int = 4, ksub: int = 8, iters: int = 2,
       FROM qres qr
       JOIN g_af ga ON ga.cell = qr.cell
       JOIN emb e ON e.vec_id = ga.vec_id
-      {joins}{" WHERE " + corpus_where if corpus_where else ""})
+      {joins}{" WHERE " + corpus_where if corpus_where else ""})"""
+    if refine_from is None:
+        tail = f"""
     SELECT query_id, vec_id, rank, adc_d2 FROM (
       SELECT *, row_number() OVER (PARTITION BY query_id
                                    ORDER BY adc_d2 ASC, vec_id) AS rank
       FROM scored)
     WHERE rank <= {k}
     """
-    )
+    else:
+        # FAISS-style refine replay: ADC top-refine_from per query,
+        # exact L2 re-rank over the candidates' true vectors
+        tail = f""",
+    cand AS (
+      SELECT query_id, vec_id FROM (
+        SELECT *, row_number() OVER (PARTITION BY query_id
+                                     ORDER BY adc_d2 ASC, vec_id) AS rank
+        FROM scored)
+      WHERE rank <= {refine_from}),
+    refined AS (
+      SELECT c.query_id, c.vec_id,
+             round(list_sum(list_transform(range(1, {dim} + 1),
+               i -> (q.qv[i] - e.v[i]) * (q.qv[i] - e.v[i]))), 4)
+               AS exact_d2
+      FROM cand c JOIN q USING (query_id) JOIN emb e USING (vec_id))
+    SELECT query_id, vec_id, rank, exact_d2 FROM (
+      SELECT *, row_number() OVER (PARTITION BY query_id
+                                   ORDER BY exact_d2 ASC, vec_id) AS rank
+      FROM refined)
+    WHERE rank <= {k}
+    """
+    # refine's cand CTE chains onto scored, so the tail opens with a
+    # comma in that branch — middle ends the WITH list either way
+    return "WITH " + ",\n    ".join(parts) + middle + tail
 
 
 # Trained-codebook cache, same rationale as _IVF_CENTS: a production PQ
@@ -12480,6 +12504,43 @@ def q_ivfpq_probe_persisted(spark, sf_dir):
     )
 
 
+@query("ivfpq_probe_refined", _ivfpq_oracle(refine_from=30))
+def q_ivfpq_probe_refined(spark, sf_dir):
+    """FAISS-style REFINE over the persisted composite index (r11,
+    pq.ivfpq_probe_refined — the IndexRefineFlat serving shape): the
+    ADC top-30 candidates per query come from the stored residual
+    codes (partition-pruned, vectors never read), then ONLY those
+    candidates are re-ranked by exact L2 over true vectors fetched
+    with a candidate-sized semi-join. The standard accuracy knob —
+    exact ordering on the candidate set at ≤ nq·k' vector-row I/O
+    instead of a corpus scan. The oracle replays the full two-level
+    training + ADC, takes the same top-30, and re-ranks with the same
+    index-ordered exact-distance sum (round-4, ties to lowest id)."""
+    import tempfile
+
+    from parkour_spark.operators.pq import (
+        ivfpq_index_build,
+        ivfpq_probe_refined,
+    )
+
+    emb = _t(spark, sf_dir, "embeddings")
+    coarse, cbs = _ivfpq_quantizers(spark, sf_dir)
+    key = (sf_dir, "ivfpq")
+    if key not in _R10_INDEX_DIRS:
+        tmp = tempfile.mkdtemp(prefix="parkour_ivfpqidx_")
+        ivfpq_index_build(emb, coarse, cbs, tmp)
+        _R10_INDEX_DIRS[key] = tmp
+    return ivfpq_probe_refined(
+        spark,
+        _R10_INDEX_DIRS[key],
+        emb,
+        _pq_queries(spark, sf_dir),
+        k=10,
+        kprime=30,
+        nprobe=2,
+    )
+
+
 @query("ivfpq_probe_after_append", _ivfpq_oracle())
 def q_ivfpq_probe_after_append(spark, sf_dir):
     """Append identity for the composite index: build on
@@ -12695,6 +12756,83 @@ def q_text_probe_conjunctive_capped(spark, sf_dir):
         k=10,
         require_all=True,
         max_df=395,
+    )
+
+
+_MULTI_QUERY_SETS = [
+    (0, ("hash", "join", "scan")),
+    (1, ("dup", "scan")),
+    (2, ("hash", "zz_absent_term")),
+]
+
+
+def _bm25_multi_oracle(query_sets, k: int = 10) -> str:
+    """Replay of the BATCHED probe: ONE tf/df derivation over the
+    union of all queries' terms (df per term is query-independent), a
+    (query_id, term) VALUES map selecting each query's postings, and a
+    per-query row_number top-k — mirroring
+    textindex.text_index_probe_bm25_multi expression-for-expression."""
+    all_terms = sorted({t for _, terms in query_sets for t in terms})
+    tlist = ", ".join(f"'{t}'" for t in all_terms)
+    qvals = ", ".join(
+        f"({qid}, '{t}')" for qid, terms in query_sets for t in sorted(set(terms))
+    )
+    return f"""
+    WITH base AS (
+      SELECT doc_id, len({_TOKS_SQL})::BIGINT AS dl, unnest({_TOKS_SQL}) AS term
+      FROM documents),
+    tf AS (SELECT doc_id, dl, term, count(*) AS tf FROM base
+           WHERE term IN ({tlist}) GROUP BY doc_id, dl, term),
+    wdf AS (SELECT *, count(*) OVER (PARTITION BY term) AS df FROM tf),
+    qmap(query_id, term) AS (VALUES {qvals}),
+    tot AS (SELECT count(*) AS n_docs,
+                   (SELECT sum(len({_TOKS_SQL}))::BIGINT FROM documents) AS n_total
+            FROM documents),
+    scored AS (
+      SELECT q.query_id, doc_id,
+             round(ln(1 + (n_docs - df + 0.5) / (df + 0.5))
+                   * ((tf * 2.2) / (tf + 1.2 * (0.25 + 0.75 * dl / (n_total::DOUBLE / n_docs))))
+                   * 1e6)::BIGINT AS term_micro
+      FROM wdf w JOIN qmap q USING (term), tot),
+    agg AS (
+      SELECT query_id, doc_id, count(*)::BIGINT AS n_qterms,
+             sum(term_micro)::BIGINT AS score_micro
+      FROM scored GROUP BY 1, 2)
+    SELECT query_id, doc_id, n_qterms, score_micro, rank FROM (
+      SELECT *, row_number() OVER (PARTITION BY query_id
+                                   ORDER BY score_micro DESC, doc_id) AS rank
+      FROM agg)
+    WHERE rank <= {k}
+    """
+
+
+@query("text_probe_multi_batch", _bm25_multi_oracle(_MULTI_QUERY_SETS))
+def q_text_probe_multi_batch(spark, sf_dir):
+    """A BATCH of BM25 queries served from ONE partition-pruned
+    postings scan (textindex.text_index_probe_bm25_multi, r11) — the
+    serving-throughput pattern: the union of the three queries' terms
+    prunes buckets/terms once, df derives per term (query-independent),
+    each query selects its postings via a broadcast (query_id, term)
+    map, and one query-partitioned window takes each top-k. One query
+    mixes in a term absent from the whole corpus (scores ride on the
+    remaining term, the single-probe semantics). Restricted to one
+    query the result is row-identical to text_index_probe_bm25
+    (test-pinned); the oracle replays the batch with a VALUES map."""
+    import tempfile
+
+    from parkour_spark.operators.textindex import (
+        text_index_build,
+        text_index_probe_bm25_multi,
+    )
+
+    docs = _t(spark, sf_dir, "documents")
+    key = (sf_dir, "text")
+    if key not in _R10_INDEX_DIRS:
+        tmp = tempfile.mkdtemp(prefix="parkour_textidx_")
+        text_index_build(docs, tmp, n_buckets=16)
+        _R10_INDEX_DIRS[key] = tmp
+    return text_index_probe_bm25_multi(
+        spark, _R10_INDEX_DIRS[key], _MULTI_QUERY_SETS, k=10
     )
 
 
