@@ -155,3 +155,92 @@ def test_prop_minhash_readrepair_probe_equals_survivor_probe(
         )
 
     assert rows(idx) == rows(surv)
+
+
+@given(
+    doc_words=docs_strategy,
+    batch=st.lists(
+        st.tuples(
+            st.integers(min_value=0, max_value=9),
+            st.sets(
+                st.integers(min_value=0, max_value=len(_WORDS)),
+                min_size=1,
+                max_size=3,
+            ),
+        ),
+        min_size=1,
+        max_size=3,
+        unique_by=lambda t: t[0],
+    ),
+    k=st.integers(min_value=1, max_value=8),
+)
+@settings(**_SETTINGS)
+def test_prop_multi_probe_equals_per_query_probes(
+    spark, tmp_path_factory, doc_words, batch, k
+):
+    """The batched probe ≡ one plain probe per query, for random
+    corpora, random query batches (absent terms included), and k —
+    the one-scan-serves-the-batch rewrite must be invisible in the
+    results."""
+    from parkour_spark.operators.textindex import (
+        text_index_build,
+        text_index_probe_bm25,
+        text_index_probe_bm25_multi,
+    )
+
+    docs = _docs_df(spark, doc_words)
+    idx = str(tmp_path_factory.mktemp("t11m") / "idx")
+    text_index_build(docs, idx, n_buckets=4)
+    qsets = [
+        (qid, [(_WORDS + ["zzz"])[i] for i in sorted(idxs)])
+        for qid, idxs in batch
+    ]
+    multi = text_index_probe_bm25_multi(spark, idx, qsets, k=k).collect()
+    for qid, terms in qsets:
+        got = sorted(
+            (r.doc_id, r.n_qterms, r.score_micro)
+            for r in multi
+            if r.query_id == qid
+        )
+        ref = sorted(
+            (r.doc_id, r.n_qterms, r.score_micro)
+            for r in text_index_probe_bm25(spark, idx, terms, k=k).collect()
+        )
+        assert got == ref, (qid, terms)
+
+
+@given(
+    doc_words=docs_strategy,
+    qidx=st.sets(
+        st.integers(min_value=0, max_value=len(_WORDS)), min_size=1,
+        max_size=4,
+    ),
+    max_df=st.one_of(st.none(), st.integers(min_value=1, max_value=6)),
+    require_all=st.booleans(),
+)
+@settings(**_SETTINGS)
+def test_prop_probe_equals_inline_under_options(
+    spark, tmp_path_factory, doc_words, qidx, max_df, require_all
+):
+    """probe ≡ inline under EVERY require_all/max_df combination for
+    random corpora — the r10 options ride the one shared scoring tail,
+    and this property is what keeps that identity from drifting."""
+    from parkour_spark.operators.corpus import bm25_topk
+    from parkour_spark.operators.textindex import (
+        text_index_build,
+        text_index_probe_bm25,
+    )
+
+    docs = _docs_df(spark, doc_words)
+    terms = [(_WORDS + ["zzz"])[i] for i in sorted(qidx)]
+    idx = str(tmp_path_factory.mktemp("t11o") / "idx")
+    text_index_build(docs, idx, n_buckets=4)
+    got = _bm25_rows(
+        text_index_probe_bm25(
+            spark, idx, terms, k=20, require_all=require_all, max_df=max_df
+        )
+    )
+    ref = _bm25_rows(
+        bm25_topk(docs, terms, k=20, require_all=require_all, max_df=max_df)
+    )
+    assert got == ref
