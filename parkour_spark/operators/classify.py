@@ -68,8 +68,24 @@ def nb_train(
     )
     counts = occ.groupBy("label", "bucket").agg(F.count("*").alias("cnt"))
     label_tot = counts.groupBy("label").agg(F.sum("cnt").alias("__n_tok"))
+    # The label universe comes from the DOC-count frame, not the token
+    # counts: a label whose training docs are ALL empty contributes no
+    # token rows, but it still has a prior and must hold a full
+    # smoothing-floor row set in the grid (ll = ln(alpha / (0 + alpha *
+    # n_buckets)) per cell) or nb_score never considers it for tokened
+    # docs. Regression: r11 verdict "What's wrong #1", falsifying
+    # example [('L1', []), ('L1', []), ('L0', ['alpha'])] — pinned in
+    # tests/test_property.py::test_nb_zero_token_label_kept.
+    by_label = docs.groupBy(F.col(label_col).alias("label")).agg(
+        F.count("*").alias("n_docs")
+    )
+    label_base = (
+        by_label.select("label")
+        .join(label_tot, "label", "left")
+        .na.fill({"__n_tok": 0})
+    )
     # full grid generated scan-side from the tiny per-label totals row
-    grid = label_tot.select(
+    grid = label_base.select(
         "label",
         "__n_tok",
         F.explode(F.sequence(F.lit(0), F.lit(n_buckets - 1))).alias("bucket"),
@@ -91,9 +107,6 @@ def nb_train(
             .cast("long")
             .alias("ll_micro"),
         )
-    )
-    by_label = docs.groupBy(F.col(label_col).alias("label")).agg(
-        F.count("*").alias("n_docs")
     )
     total = by_label.agg(F.sum("n_docs").alias("__n"))
     priors = by_label.crossJoin(F.broadcast(total)).select(

@@ -10,7 +10,7 @@ under test.
 
 import bisect
 
-from hypothesis import HealthCheck, given, settings, strategies as st
+from hypothesis import HealthCheck, example, given, settings, strategies as st
 from pyspark.sql import functions as F
 
 from parkour_spark.operators.asof import asof_join, range_join
@@ -622,6 +622,7 @@ _labels = st.sampled_from(["L0", "L1"])
         max_size=15,
     ).filter(lambda d: len({l for l, _ in d}) == 2),
 )
+@example(docs=[("L1", []), ("L1", []), ("L0", ["alpha"])])
 @settings(**_SETTINGS)
 def test_nb_scores_match_pure_python_replica(spark, docs):
     """nb_train + nb_score == an independent driver-side NB replica

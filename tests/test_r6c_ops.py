@@ -43,6 +43,30 @@ def test_nb_model_is_full_grid(spark):
     assert pri == {"sport": 9, "math": 4}
 
 
+def test_nb_zero_token_label_kept(spark):
+    """Regression (r11 verdict "What's wrong #1"): a label whose
+    training docs are ALL empty must still hold a full smoothing-floor
+    grid in the model and be considered at scoring. Falsifying example
+    found by hypothesis: [('L1', []), ('L1', []), ('L0', ['alpha'])] —
+    with n_buckets=16, correct NB gives L1 (prior ln(2/3) + one floor
+    cell ln(1/16) = -3178054 μ) over L0 (ln(1/3) + ln(2/17) =
+    -3238678 μ)."""
+    docs = spark.createDataFrame(
+        [(0, "L1", ""), (1, "L1", ""), (2, "L0", "alpha")],
+        ["doc_id", "label", "text"],
+    )
+    model, priors = nb_train(docs, "label", n_buckets=16)
+    rows = model.collect()
+    assert len(rows) == 2 * 16  # BOTH labels hold a full grid
+    floor = {r.ll_micro for r in rows if r.label == "L1"}
+    assert floor == {round(__import__("math").log(1 / 16) * 1e6)}
+    got = {
+        r.doc_id: (r.pred_label, r.score_micro)
+        for r in nb_score(docs, model, priors, n_buckets=16).collect()
+    }
+    assert got[2] == ("L1", -3178054), got[2]
+
+
 def test_nb_score_separates_disjoint_vocab(spark):
     docs = _nb_docs(spark)
     model, priors = nb_train(docs, "label", n_buckets=32)
