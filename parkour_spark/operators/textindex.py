@@ -41,8 +41,12 @@ approximation.
               physically reconciles it.
   termstats/ — (term, df, max_tf, min_dl) per term, bucket-partitioned
               (r11): the MaxScore upper-bound table, written at
-              build/compact and INVALIDATED by append/delete (its df
-              must be exact), consumed by
+              build/compact, maintained INCREMENTALLY through appends
+              (r12 — df/max_tf/min_dl merge monotonically with the
+              batch, staged before and published after the postings
+              land so a crash leaves it absent, never stale) and
+              INVALIDATED by delete/streaming (df can shrink / the
+              batch protocol has no rename slot), consumed by
               text_index_probe_bm25_maxscore.
 
 Lifecycle identities (each gate-pinned): probe(build(A)) ≡
@@ -180,11 +184,14 @@ def _write_termstats(spark, path: str) -> None:
     verdict #4). df is the exact per-term postings count (one row per
     (term, doc)); max_tf/min_dl bound the tf-normalization for ANY
     (k1, b), since tfn increases in tf and decreases in dl. Written at
-    build and compact ONLY; append and delete INVALIDATE it (remove
-    the directory) — a stale df would mis-score, so the MaxScore probe
-    falls back to the plain probe whenever the table is absent or a
-    delete is pending. Real impact-ordered indexes are maintained at
-    merge time for exactly this reason (Turtle & Flood 1995)."""
+    build and compact; APPENDS maintain it incrementally (r12 — the
+    stage-invalidate-publish protocol in text_index_append); delete
+    and streaming ingest INVALIDATE it (df can shrink under delete; the
+    streaming commit unit has no atomic rename slot for it) — a stale
+    df would mis-score, so the MaxScore probe falls back to the plain
+    probe whenever the table is absent or a delete is pending. Real
+    impact-ordered indexes are maintained at merge time for exactly
+    this reason (Turtle & Flood 1995)."""
     from parkour_spark import fs as pfs
     from parkour_spark.artifacts import publish_swap
 
@@ -214,6 +221,70 @@ def _invalidate_termstats(spark, path: str) -> None:
 
     if pfs.exists(spark, path + "/termstats"):
         pfs.delete(spark, path + "/termstats")
+
+
+def _stage_merged_termstats(
+    spark, path: str, batch_post: DataFrame
+) -> str | None:
+    """Stage the POST-append termstats (r12, r11 verdict #4): df /
+    max_tf / min_dl merge MONOTONICALLY with an append batch's own
+    stats — df adds (batch ids are disjoint from the index's, the
+    delta contract the append already enforces), max_tf takes the max,
+    min_dl the min — so the table stays exact through appends instead
+    of dying until the next compact. The merged rows MATERIALIZE to a
+    staging sibling BEFORE the live table is invalidated and before
+    any postings byte lands, so the publish is a pure rename at the
+    end of the append: a crash anywhere in between leaves termstats/
+    ABSENT (probe falls back, exact) — never stale. Returns the
+    staging dir, or None when no live termstats exists to extend
+    (mutated-since-compact index: stays absent, compact restores)."""
+    import uuid
+
+    from parkour_spark import fs as pfs
+    from parkour_spark.artifacts import read_parquet_or_none
+
+    live = read_parquet_or_none(spark, path + "/termstats")
+    if live is None:
+        return None
+    batch_ts = batch_post.groupBy("term", "tbucket").agg(
+        F.count("*").alias("df"),
+        F.max("tf").alias("max_tf"),
+        F.min("dl").alias("min_dl"),
+    )
+    merged = (
+        live.select("term", "tbucket", "df", "max_tf", "min_dl")
+        .unionByName(batch_ts)
+        .groupBy("term", "tbucket")
+        .agg(
+            F.sum("df").cast("long").alias("df"),
+            F.max("max_tf").alias("max_tf"),
+            F.min("min_dl").alias("min_dl"),
+        )
+    )
+    staging = f"{path}/termstats.__next-{uuid.uuid4().hex}__"
+    try:
+        (
+            merged.repartition("tbucket")
+            .sortWithinPartitions("term")
+            .write.mode("overwrite")
+            .partitionBy("tbucket")
+            .parquet(staging)
+        )
+    except BaseException:
+        if pfs.exists(spark, staging):
+            pfs.delete(spark, staging)
+        raise
+    return staging
+
+
+def _sweep_termstats_staging(spark, path: str) -> None:
+    """Drop staging leftovers from crashed appends — they are garbage
+    by construction (the crash left termstats/ absent and the postings
+    possibly torn, so the staged merge no longer describes anything)."""
+    from parkour_spark import fs as pfs
+
+    for p in pfs.glob_paths(spark, path + "/termstats.__next-*__"):
+        pfs.delete(spark, p)
 
 
 def text_index_build(
@@ -268,26 +339,52 @@ def text_index_append(
     from the index's (the standard delta contract — a duplicate id
     would double-count its postings) AND from the pending tombstone
     ledger (checked — a pending delete would silently hide the
-    re-inserted rows; compact first, then re-add)."""
+    re-inserted rows; compact first, then re-add).
+
+    The MaxScore termstats/ table SURVIVES the append (r12): the
+    batch's per-term stats merge monotonically into the stored table
+    via the staged-rename protocol below, so early termination stays
+    live through an append-only lifecycle instead of dying until the
+    next compact."""
+    from parkour_spark import fs as pfs
     from parkour_spark.operators.indexcommon import check_ids_not_tombstoned
 
     spark = new_docs.sparkSession
     _check_text_meta(spark, path, n_buckets)
     nb = int(_read_meta(spark, path)["n_buckets"])
     check_ids_not_tombstoned(spark, path, new_docs.select(id_col), id_col)
-    (
-        _postings(new_docs, text_col, id_col, nb)
-        .repartition("tbucket")
-        .sortWithinPartitions("term", id_col)
-        .write.mode("append")
-        .partitionBy("tbucket")
-        .parquet(path + "/postings")
-    )
-    _doclen(new_docs, text_col, id_col).write.mode("append").parquet(
-        path + "/doclen"
-    )
-    _write_stats(spark, path)
-    _invalidate_termstats(spark, path)  # MaxScore table: rebuilt at compact
+    _sweep_termstats_staging(spark, path)
+    batch_post = _postings(new_docs, text_col, id_col, nb).persist()
+    try:
+        # Termstats protocol (r12, r11 verdict #4 + r11 ADVICE order
+        # fix): (1) stage the merged post-append termstats to a sibling
+        # while the live table still matches the live postings, (2)
+        # invalidate the live table BEFORE any postings byte lands —
+        # from here to (4) a crash leaves termstats ABSENT, so the
+        # MaxScore probe falls back (exact) instead of mis-scoring
+        # against a stale df (the r11 publish-then-invalidate window),
+        # (3) append postings/doclen + rewrite stats, (4) publish the
+        # staged merge with one rename. Either crash order is safe:
+        # before (2) the old table still describes the old postings;
+        # after (2) the table is absent until the rename commits it.
+        staging = _stage_merged_termstats(spark, path, batch_post)
+        _invalidate_termstats(spark, path)
+        (
+            batch_post.repartition("tbucket")
+            .sortWithinPartitions("term", id_col)
+            .write.mode("append")
+            .partitionBy("tbucket")
+            .parquet(path + "/postings")
+        )
+        _doclen(new_docs, text_col, id_col).write.mode("append").parquet(
+            path + "/doclen"
+        )
+        _write_stats(spark, path)
+        if staging is not None:
+            if not pfs.rename(spark, staging, path + "/termstats"):
+                pfs.delete(spark, staging)  # absent → fallback, never stale
+    finally:
+        batch_post.unpersist()
 
 
 def text_index_delete(spark, ids: DataFrame, path: str) -> None:
@@ -414,7 +511,8 @@ def text_index_probe_bm25_maxscore(
     lists. The textindex.py:49 future-work note, implemented.
 
     How: the persisted `termstats/` table (df, max_tf, min_dl per
-    term — written at build/compact, INVALIDATED by append/delete)
+    term — written at build/compact, incrementally maintained through
+    appends since r12, INVALIDATED by delete/streaming)
     gives each term a per-document score upper bound
     ub_t = idf(df_t) · tfn(max_tf_t, min_dl_t). Terms are taken in
     descending-ub order into the ESSENTIAL set E until the k-th best

@@ -12913,6 +12913,52 @@ def q_text_probe_after_append(spark, sf_dir):
 
 
 @query(
+    "text_probe_maxscore_after_append",
+    _bm25_idx_oracle(terms=("dup", "hash", "scan")),
+)
+def q_text_probe_maxscore_after_append(spark, sf_dir):
+    """MaxScore early termination SURVIVING an append (r12, r11
+    verdict #4): the termstats table is maintained incrementally
+    through text_index_append (the batch's per-term df/max_tf/min_dl
+    merge monotonically into the stored table, staged before and
+    renamed in after the postings land — a crash leaves it absent,
+    never stale), so the appended index serves early-terminated probes
+    WITHOUT waiting for a compact. The entry asserts no fallback fired
+    and the row skip is real on the build+append index, then the gate
+    pins the result against the FULL-corpus full-scoring oracle —
+    under r11 this same probe fell back to plain scoring."""
+    import tempfile
+
+    from parkour_spark.functions.sampling import hash_bucket
+    from parkour_spark.operators.textindex import (
+        text_index_append,
+        text_index_build,
+        text_index_probe_bm25_maxscore,
+    )
+
+    docs = _t(spark, sf_dir, "documents")
+    bkt = hash_bucket(F.col("doc_id"), 100)
+    key = (sf_dir, "text_append")
+    if key not in _R10_INDEX_DIRS:
+        tmp = tempfile.mkdtemp(prefix="parkour_textidx_app_")
+        text_index_build(docs.where(bkt < 80), tmp, n_buckets=16)
+        text_index_append(docs.where(bkt >= 80), tmp, n_buckets=16)
+        _R10_INDEX_DIRS[key] = tmp
+    stats: dict = {}
+    out = text_index_probe_bm25_maxscore(
+        spark,
+        _R10_INDEX_DIRS[key],
+        ("dup", "hash", "scan"),
+        k=10,
+        stats_out=stats,
+    )
+    assert stats["fallback"] is None, stats  # survived the append
+    assert stats["essential"] == ["dup"], stats
+    assert stats["rows_skipped_lower_bound"] > 0, stats
+    return out
+
+
+@query(
     "text_probe_after_delete",
     _bm25_idx_oracle(where="doc_id % 10 <> 7"),
 )

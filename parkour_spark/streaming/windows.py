@@ -1208,6 +1208,13 @@ def streaming_text_ingest(
         check_ids_not_tombstoned(
             spark, index_path, batch_df.select(id_col), id_col
         )
+        # invalidate termstats BEFORE the batch's rows become visible
+        # (r11 ADVICE): with the old publish-then-invalidate order, a
+        # crash between the postings publish and the rederive left a
+        # committed batch scored against a stale df with no fallback
+        # fired; absent-until-rederive is the safe state (exact, just
+        # slower) and the catch-up replay re-runs the invalidation too
+        _invalidate_termstats(spark, index_path)
         if pfs.exists(spark, ldir):
             pfs.delete(spark, ldir)  # torn pair: doclen without postings
         if not pfs.exists(spark, os.path.join(index_path, "meta")):

@@ -58,25 +58,80 @@ def test_maxscore_identical_topk_with_provable_skip(spark, tmp_path):
     assert stats["rows_skipped_lower_bound"] >= 2 * (60 - 3)
 
 
-def test_maxscore_falls_back_after_append_until_compact(spark, tmp_path):
+def test_maxscore_stays_live_after_append(spark, tmp_path):
+    """r12 (r11 verdict #4): the termstats table is maintained
+    INCREMENTALLY through appends — NO fallback after an append, the
+    merged stats are byte-identical to a fresh build of the union
+    corpus, and the probe stays row-identical to full scoring. The r11
+    predecessor of this test pinned the old falls-back-until-compact
+    behavior."""
     idx = str(tmp_path / "idx")
-    text_index_build(_skewed_corpus(spark), idx, n_buckets=4)
-    text_index_append(
-        _docs(spark, [(1000, "rareterm common shared appended")]), idx
-    )
+    idx2 = str(tmp_path / "idx2")
+    corpus = _skewed_corpus(spark)
+    extra = _docs(spark, [(1000, "rareterm common shared appended")])
+    text_index_build(corpus, idx, n_buckets=4)
+    text_index_append(extra, idx)
     stats = {}
     got = text_index_probe_bm25_maxscore(
         spark, idx, TERMS, k=2, stats_out=stats
     )
-    assert stats["fallback"] == "no_termstats"
+    assert stats["fallback"] is None  # early termination survived
     assert _rows(got) == _rows(text_index_probe_bm25(spark, idx, TERMS, k=2))
+    # the merged termstats ≡ a fresh union build's termstats, exactly
+    text_index_build(corpus.unionByName(extra), idx2, n_buckets=4)
+    merged = sorted(
+        ((r.term, r.tbucket), (r.df, r.max_tf, r.min_dl))
+        for r in spark.read.parquet(idx + "/termstats").collect()
+    )
+    fresh = sorted(
+        ((r.term, r.tbucket), (r.df, r.max_tf, r.min_dl))
+        for r in spark.read.parquet(idx2 + "/termstats").collect()
+    )
+    assert merged == fresh
     text_index_compact(spark, idx)
     stats = {}
     got = text_index_probe_bm25_maxscore(
         spark, idx, TERMS, k=2, stats_out=stats
     )
-    assert stats["fallback"] is None  # compaction restored serving state
+    assert stats["fallback"] is None
     assert _rows(got) == _rows(text_index_probe_bm25(spark, idx, TERMS, k=2))
+
+
+def test_maxscore_append_onto_absent_termstats_stays_absent(spark, tmp_path):
+    """An index whose termstats died (delete invalidates — df can
+    shrink) does NOT resurrect it on append: there is no live table to
+    extend, so the merge is skipped and the probe keeps falling back
+    until compact rebuilds from the reconciled survivors."""
+    from parkour_spark import fs as pfs
+
+    idx = str(tmp_path / "idx")
+    text_index_build(_skewed_corpus(spark), idx, n_buckets=4)
+    text_index_delete(spark, _docs(spark, [(1, "")]).select("doc_id"), idx)
+    assert not pfs.exists(spark, idx + "/termstats")
+    text_index_append(_docs(spark, [(1000, "rareterm fresh rows")]), idx)
+    assert not pfs.exists(spark, idx + "/termstats")
+    stats = {}
+    got = text_index_probe_bm25_maxscore(
+        spark, idx, TERMS, k=2, stats_out=stats
+    )
+    assert stats["fallback"] in ("no_termstats", "pending_tombstones")
+    assert _rows(got) == _rows(text_index_probe_bm25(spark, idx, TERMS, k=2))
+
+
+def test_append_sweeps_crashed_termstats_staging(spark, tmp_path):
+    """A staging sibling left by a crashed append is garbage (the
+    crash left termstats/ absent); the next append sweeps it and the
+    live table still ends exact."""
+    from parkour_spark import fs as pfs
+
+    idx = str(tmp_path / "idx")
+    corpus = _skewed_corpus(spark)
+    text_index_build(corpus, idx, n_buckets=4)
+    junk = idx + "/termstats.__next-deadbeef__"
+    pfs.mkdirs(spark, junk)
+    text_index_append(_docs(spark, [(1000, "rareterm appended")]), idx)
+    assert not pfs.glob_paths(spark, idx + "/termstats.__next-*__")
+    assert pfs.exists(spark, idx + "/termstats")
 
 
 def test_maxscore_falls_back_on_pending_tombstones(spark, tmp_path):
