@@ -691,7 +691,6 @@ def text_index_probe_bm25_multi(
     rank k to the lowest id — the house rule, per query."""
     from pyspark.sql import Window
 
-    from parkour_spark.operators.corpus import bm25_term_micro
     from parkour_spark.operators.indexcommon import exclude_tombstoned
 
     meta = _read_meta(spark, path)
@@ -716,10 +715,29 @@ def text_index_probe_bm25_multi(
     # query's own slice would derive (the slice per term is the same)
     tf = tf.withColumn("df", F.count("*").over(Window.partitionBy("term")))
     qdf = spark.createDataFrame(qmap, "query_id long, term string")
+    rows = tf.join(F.broadcast(qdf), "term")
     totals = spark.read.parquet(path + "/stats")
+    return _multi_rank_tail(rows, totals, k, k1, b, id_col)
+
+
+def _multi_rank_tail(
+    rows: DataFrame, totals: DataFrame, k: int, k1: float, b: float,
+    id_col: str,
+) -> DataFrame:
+    """The batched probes' shared scoring tail: per-(query, doc)
+    aggregate of the one shared per-term expression
+    (corpus.bm25_term_micro) + one query-partitioned top-k window.
+    `rows` carries (query_id, id_col, dl, term, tf, df) — the plain
+    multi probe enters with window-derived df, the MaxScore variant
+    with termstats-supplied df and candidate-pruned rows; both must
+    score through THIS one copy or the batched maxscore ≡ batched
+    plain identity drifts (the r10-ADVICE one-copy discipline)."""
+    from pyspark.sql import Window
+
+    from parkour_spark.operators.corpus import bm25_term_micro
+
     scored = (
-        tf.join(F.broadcast(qdf), "term")
-        .crossJoin(F.broadcast(totals))
+        rows.crossJoin(F.broadcast(totals))
         .select(
             "query_id",
             F.col(id_col),
@@ -738,4 +756,212 @@ def text_index_probe_bm25_multi(
         scored.withColumn("rank", F.row_number().over(w))
         .where(F.col("rank") <= k)
         .select("query_id", id_col, "n_qterms", "score_micro", "rank")
+    )
+
+
+def text_index_probe_bm25_multi_maxscore(
+    spark,
+    path: str,
+    query_sets: list,
+    k: int = 10,
+    k1: float = 1.2,
+    b: float = 0.75,
+    stats_out: dict | None = None,
+) -> DataFrame:
+    """The batched BM25 probe WITH per-query MaxScore early
+    termination (r12, r11 verdict #3) — EXACT: row-identical to
+    `text_index_probe_bm25_multi` (gate-pinned against the same
+    full-scoring oracle), composing the two serving wins the r11
+    verdict called out as un-composed: the batch amortizes ONE
+    partition-pruned postings scan over all queries, AND each query
+    skips scoring its high-df non-essential terms' postings outside
+    its essential-candidate set — which is exactly where skipping pays
+    at 100 TB serving scale (the per-query fixed job latency that
+    drowned the single-query win at sf1 is already amortized here).
+
+    Per-query θ, batched search: every query orders its terms by the
+    shared termstats upper bound (ub_t = idf(df_t)·tfn(max_tf_t,
+    min_dl_t) — query-independent, computed once); the essential-
+    prefix search then runs ALL queries' geometric prefix rounds in
+    lockstep — round r scores every still-active query's 2^r-term
+    prefix in ONE job over the union slice (a broadcast (query_id,
+    term) prefix map), collects each query's k-th best partial score
+    θ_q, and locks the queries whose θ_q clears their non-essential
+    bound Σub + slack. O(log max_terms) jobs for the WHOLE batch —
+    the same bound the single-query probe pays for one query.
+    Queries that never clear (uniform ubs, < k candidates) simply
+    score all their terms — per-query exactness never depends on the
+    skip landing.
+
+    Final pass: one job — the union slice fans out to (query, term)
+    rows via the broadcast query map, essential rows pass through,
+    non-essential rows semi-join each query's essential-candidate set
+    on (query_id, id), and the shared tail (_multi_rank_tail, df from
+    termstats — exact while fresh, which the lifecycle contract
+    guarantees) takes each top-k. Dropped (query, doc) pairs match
+    only non-essential terms of that query, so their score is
+    ≤ rest_ub < θ_q ≤ the true k-th best — strictly below the cut,
+    ties included: the identity is exact, not approximate.
+
+    Fallbacks (batch-wide, always exact): termstats absent, pending
+    tombstones, or an empty index → the plain batched probe. Pass
+    `stats_out={}` to receive {fallback, per_query: {qid: {essential,
+    theta_micro, rest_ub_micro, rows_skipped_lower_bound}}} — the
+    skip counters run extra jobs, only when asked."""
+    import math
+
+    from parkour_spark.artifacts import read_parquet_or_none
+    from parkour_spark.operators.indexcommon import read_tombstones
+
+    out = stats_out if stats_out is not None else {}
+
+    def plain(reason: str) -> DataFrame:
+        out["fallback"] = reason
+        return text_index_probe_bm25_multi(
+            spark, path, query_sets, k=k, k1=k1, b=b
+        )
+
+    meta = _read_meta(spark, path)
+    id_col, nb = meta["id_col"], int(meta["n_buckets"])
+    qsets = {int(q): sorted(set(terms)) for q, terms in query_sets}
+    all_terms = sorted({t for terms in qsets.values() for t in terms})
+    if not all_terms:
+        return plain("empty_batch")
+    ts_df = read_parquet_or_none(spark, path + "/termstats")
+    if ts_df is None:
+        return plain("no_termstats")
+    if read_tombstones(spark, path) is not None:
+        return plain("pending_tombstones")
+    stored = _read_postings(spark, path)
+    if stored is None:
+        return plain("empty_index")
+    buckets = sorted({_py_bucket(t, nb) for t in all_terms})
+    ts_rows = (
+        ts_df.where(F.col("tbucket").isin(buckets))
+        .where(F.col("term").isin(all_terms))
+        .collect()
+    )
+    st = spark.read.parquet(path + "/stats").collect()[0]
+    n_docs, n_total = int(st["n_docs"]), int(st["n_total"])
+    if n_docs == 0 or not ts_rows:
+        return plain("no_matching_terms")
+    avgdl = n_total / n_docs
+
+    def ub(r) -> float:
+        idf = math.log(1 + (n_docs - r["df"] + 0.5) / (r["df"] + 0.5))
+        tfn = (r["max_tf"] * (k1 + 1)) / (
+            r["max_tf"] + k1 * ((1 - b) + b * r["min_dl"] / avgdl)
+        )
+        return idf * tfn
+
+    ubs = {r["term"]: ub(r) for r in ts_rows}
+    dfs = {r["term"]: int(r["df"]) for r in ts_rows}
+    # per query: stored terms only (absent-from-corpus terms carry no
+    # postings and no bound — same semantics as the plain probe, which
+    # simply never sees them), ordered by descending ub
+    order = {
+        q: sorted((t for t in terms if t in ubs), key=lambda t: (-ubs[t], t))
+        for q, terms in qsets.items()
+    }
+    totals = spark.createDataFrame(
+        [(n_docs, n_total)], "n_docs long, n_total long"
+    )
+    df_table = spark.createDataFrame(
+        sorted(dfs.items()), "term string, df long"
+    )
+    # ONE pruned slice for the whole batch — every pass below reuses it
+    tf = (
+        stored.where(F.col("tbucket").isin(buckets))
+        .where(F.col("term").isin(all_terms))
+        .select(id_col, "dl", "term", "tf")
+        .join(F.broadcast(df_table), "term")
+    )
+
+    def rest_ub(q: int, i: int) -> int:
+        rest = order[q][i:]
+        return math.ceil(sum(ubs[t] for t in rest) * 1e6) + len(rest)
+
+    def prefix_sizes(q: int) -> list[int]:
+        n = len(order[q])
+        sizes, s = [], 1
+        while s < n:
+            sizes.append(s)
+            s *= 2
+        if sizes and sizes[-1] != n - 1:
+            sizes.append(n - 1)
+        return sizes
+
+    sizes = {q: prefix_sizes(q) for q in order}
+    n_ess = {q: len(order[q]) for q in order}  # default: all essential
+    theta = {}
+    chosen_rest_ub = {}
+    active = {q for q in order if sizes[q]}
+    rnd = 0
+    while active:
+        # this round's prefix per active query (its rnd-th size)
+        pmap = [
+            (q, t)
+            for q in sorted(active)
+            for t in order[q][: sizes[q][rnd]]
+        ]
+        pdf = spark.createDataFrame(pmap, "query_id long, term string")
+        kth = {
+            r["query_id"]: int(r["score_micro"])
+            for r in _multi_rank_tail(
+                tf.join(F.broadcast(pdf), "term"), totals, k, k1, b, id_col
+            )
+            .where(F.col("rank") == k)
+            .collect()
+        }
+        for q in sorted(active):
+            i = sizes[q][rnd]
+            if q in kth and kth[q] > rest_ub(q, i):
+                n_ess[q] = i
+                theta[q] = kth[q]
+                chosen_rest_ub[q] = rest_ub(q, i)
+                active.discard(q)
+            elif rnd + 1 >= len(sizes[q]):
+                active.discard(q)  # exhausted: all terms essential
+        rnd += 1
+    per_query = {
+        q: {
+            "essential": order[q][: n_ess[q]],
+            "theta_micro": theta.get(q),
+            "rest_ub_micro": chosen_rest_ub.get(q),
+        }
+        for q in order
+    }
+    out["per_query"] = per_query
+    out["fallback"] = None
+    ess_map = spark.createDataFrame(
+        [(q, t) for q in sorted(order) for t in order[q][: n_ess[q]]],
+        "query_id long, term string",
+    )
+    rest_pairs = [
+        (q, t) for q in sorted(order) for t in order[q][n_ess[q]:]
+    ]
+    ess_rows = tf.join(F.broadcast(ess_map), "term")
+    if not rest_pairs:
+        return _multi_rank_tail(ess_rows, totals, k, k1, b, id_col)
+    rest_map = spark.createDataFrame(
+        rest_pairs, "query_id long, term string"
+    )
+    cand = ess_rows.select("query_id", id_col).distinct()
+    rest_rows = tf.join(F.broadcast(rest_map), "term").join(
+        cand, ["query_id", id_col], "left_semi"
+    )
+    if stats_out is not None:
+        scored_rest = {
+            r["query_id"]: r["n"]
+            for r in rest_rows.groupBy("query_id")
+            .agg(F.count("*").alias("n"))
+            .collect()
+        }
+        for q in order:
+            full = sum(dfs[t] for t in order[q][n_ess[q]:])
+            per_query[q]["rows_skipped_lower_bound"] = full - scored_rest.get(
+                q, 0
+            )
+    return _multi_rank_tail(
+        ess_rows.unionByName(rest_rows), totals, k, k1, b, id_col
     )

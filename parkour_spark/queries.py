@@ -12836,6 +12836,62 @@ def q_text_probe_multi_batch(spark, sf_dir):
     )
 
 
+_MULTI_MS_QUERY_SETS = [
+    (0, ("dup", "hash", "scan")),
+    (1, ("dup", "join")),
+    (2, ("hash", "scan")),
+]
+
+
+@query(
+    "text_probe_multi_maxscore",
+    _bm25_multi_oracle(_MULTI_MS_QUERY_SETS),
+)
+def q_text_probe_multi_maxscore(spark, sf_dir):
+    """Batched BM25 serving WITH per-query MaxScore early termination
+    (textindex.text_index_probe_bm25_multi_maxscore, r12 — r11 verdict
+    #3): the two serving wins composed. The batch amortizes ONE
+    partition-pruned postings scan over all three queries; each query
+    then skips scoring its high-df non-essential terms outside its
+    essential-candidate set, with the θ-search for ALL queries run in
+    lockstep (one job per geometric prefix round — O(log max_terms)
+    jobs for the whole batch, the single-query probe's bound paid
+    once). Queries 0 and 1 mix the rare 'dup' with stopword-adjacent
+    terms (the runtime asserts their per-query skips really happened);
+    query 2 is uniform-ub and scores everything — per-query exactness
+    never depends on the skip landing. The oracle is the same
+    FULL-scoring batched replay that gates the plain multi probe:
+    exact top-k per query, provably cheaper for the skewed ones."""
+    import tempfile
+
+    from parkour_spark.operators.textindex import (
+        text_index_build,
+        text_index_probe_bm25_multi_maxscore,
+    )
+
+    docs = _t(spark, sf_dir, "documents")
+    key = (sf_dir, "text")
+    if key not in _R10_INDEX_DIRS:
+        tmp = tempfile.mkdtemp(prefix="parkour_textidx_")
+        text_index_build(docs, tmp, n_buckets=16)
+        _R10_INDEX_DIRS[key] = tmp
+    stats: dict = {}
+    out = text_index_probe_bm25_multi_maxscore(
+        spark,
+        _R10_INDEX_DIRS[key],
+        _MULTI_MS_QUERY_SETS,
+        k=10,
+        stats_out=stats,
+    )
+    assert stats["fallback"] is None, stats
+    pq = stats["per_query"]
+    assert pq[0]["essential"] == ["dup"], stats
+    assert pq[0]["rows_skipped_lower_bound"] > 0, stats
+    assert pq[1]["essential"] == ["dup"], stats
+    assert pq[1]["rows_skipped_lower_bound"] > 0, stats
+    return out
+
+
 @query(
     "text_probe_maxscore",
     _bm25_idx_oracle(terms=("dup", "hash", "scan")),
