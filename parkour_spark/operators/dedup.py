@@ -1453,6 +1453,7 @@ def substring_index_delete(
     k: int = 8,
     w: int = 8,
     max_df: int = 50,
+    auto_compact_threshold: int | None = None,
 ) -> None:
     """DELETE documents from a persisted substring index — the retire
     leg (right-to-be-forgotten, dedup-after-removal). `delete(B) from
@@ -1477,11 +1478,26 @@ def substring_index_delete(
     survivor-build state, unit-pinned — which is what keeps the
     delete ≡ survivor-build gate identity exact). Audit:
     `indexcommon.ids_probe_visible` immediately;
-    `artifacts.ids_remaining` after compaction."""
-    from parkour_spark.operators.indexcommon import append_tombstones
+    `artifacts.ids_remaining` after compaction.
+
+    COMPLIANCE: the delete is LOGICAL until a compact reconciles it —
+    the retired bytes persist in occ/ until then (the indexcommon
+    module note). Pass `auto_compact_threshold=N` to run
+    `substring_index_compact` inline once the pending ledger exceeds
+    N ids; right-to-be-forgotten flows should either do that or follow
+    up with an explicit compact + ids_remaining audit."""
+    from parkour_spark.operators.indexcommon import (
+        append_tombstones,
+        pending_tombstone_count,
+    )
 
     _check_substring_meta(spark, path, k, w, max_df, id_col)
     append_tombstones(spark, path, ids, id_col)
+    if (
+        auto_compact_threshold is not None
+        and pending_tombstone_count(spark, path) > auto_compact_threshold
+    ):
+        substring_index_compact(spark, path, id_col=id_col)
 
 
 def substring_probe_persisted(
@@ -1951,6 +1967,7 @@ def minhash_index_delete(
     bands: int = 4,
     ngram_n: int = 3,
     max_bucket: int = 200,
+    auto_compact_threshold: int | None = None,
 ) -> None:
     """DELETE documents from a persisted MinHash index — the retire leg
     that completes the build/append/delete/probe lifecycle (r8 verdict
@@ -1979,11 +1996,26 @@ def minhash_index_delete(
     Audit: `indexcommon.ids_probe_visible` is clean immediately after
     this call; `artifacts.ids_remaining` (physical absence) is clean
     after compaction. Parameters are validated against the persisted
-    build record (meta/)."""
-    from parkour_spark.operators.indexcommon import append_tombstones
+    build record (meta/).
+
+    COMPLIANCE: the delete is LOGICAL until a compact reconciles it —
+    the retired signature bytes persist in sigs/ until then (the
+    indexcommon module note). Pass `auto_compact_threshold=N` to run
+    `minhash_index_compact` inline once the pending ledger exceeds N
+    ids; right-to-be-forgotten flows should either do that or follow
+    up with an explicit compact + ids_remaining audit."""
+    from parkour_spark.operators.indexcommon import (
+        append_tombstones,
+        pending_tombstone_count,
+    )
 
     _check_index_meta(spark, path, num_hashes, bands, ngram_n, max_bucket)
     append_tombstones(spark, path, ids, id_col)
+    if (
+        auto_compact_threshold is not None
+        and pending_tombstone_count(spark, path) > auto_compact_threshold
+    ):
+        minhash_index_compact(spark, path, id_col=id_col)
 
 
 def minhash_probe_delta(
@@ -2099,6 +2131,7 @@ def minhash_index_compact(
     from parkour_spark.artifacts import read_params
     from parkour_spark.operators.indexcommon import (
         TableSpec,
+        read_tombstones,
         reconcile_tombstones,
     )
 
@@ -2112,6 +2145,18 @@ def minhash_index_compact(
             int(meta["num_hashes"]),
             int(meta["bands"]),
             int(meta["max_bucket"]),
+        )
+    elif read_tombstones(spark, path) is not None:
+        # r11 ADVICE: reconciling a pending ledger WITHOUT the meta
+        # would anti-join sigs/ and clear the ledger while bands/ keeps
+        # its retired ids — deleted docs would resurface in probes with
+        # no ledger left to repair against. Refuse instead.
+        raise ValueError(
+            f"minhash index at {path} has a pending tombstone ledger but "
+            "no readable meta/ record — the band table cannot be "
+            "re-derived, so compacting would leave retired ids serving "
+            "from bands/ with the ledger cleared; restore meta/ (or "
+            "rebuild the index) before compacting"
         )
     reconcile_tombstones(
         spark,
@@ -2135,6 +2180,7 @@ def substring_index_compact(
     from parkour_spark.artifacts import read_params
     from parkour_spark.operators.indexcommon import (
         TableSpec,
+        read_tombstones,
         reconcile_tombstones,
     )
 
@@ -2143,6 +2189,17 @@ def substring_index_compact(
     if meta:
         rederive = lambda: _write_substring_lists(  # noqa: E731
             spark, path, id_col, int(meta["max_df"])
+        )
+    elif read_tombstones(spark, path) is not None:
+        # r11 ADVICE: same refusal as minhash_index_compact — clearing
+        # the ledger without re-deriving lists/ would leave retired ids
+        # serving from the candidate lists with nothing to repair them
+        raise ValueError(
+            f"substring index at {path} has a pending tombstone ledger "
+            "but no readable meta/ record — lists/ cannot be re-derived, "
+            "so compacting would leave retired ids in the candidate "
+            "lists with the ledger cleared; restore meta/ (or rebuild "
+            "the index) before compacting"
         )
     reconcile_tombstones(
         spark,

@@ -53,6 +53,17 @@ Two pieces:
    tombstoned id — the probe-side anti-join would silently kill the
    new rows. `check_ids_not_tombstoned` raises instead (compact
    first, then re-add).
+
+   COMPLIANCE NOTE (right-to-be-forgotten, r11 ADVICE): a tombstone
+   delete is LOGICAL — the retired docs' bytes (postings, signatures,
+   occurrences) persist on disk until a compact physically reconciles
+   them. A flow that deletes and never compacts retains the data
+   indefinitely. Compliance deletes MUST be followed by the family's
+   compact + an `artifacts.ids_remaining` audit; alternatively pass
+   `auto_compact_threshold` to the delete legs, which runs the compact
+   inline once the pending ledger exceeds that many ids
+   (`pending_tombstone_count` exposes the ledger size for external
+   schedulers).
 """
 
 from __future__ import annotations
@@ -161,6 +172,16 @@ def read_tombstones(spark, base: str) -> DataFrame | None:
 
 def clear_tombstones(spark, base: str) -> None:
     pfs.delete(spark, f"{base}/{_TOMB}")
+
+
+def pending_tombstone_count(spark, base: str) -> int:
+    """Distinct retired ids on the pending ledger (0 with no pending
+    delete — one driver-side glob, no job). The operational signal for
+    compact scheduling: deletes are LOGICAL until a compact reconciles
+    them (see the module compliance note), so a maintenance loop — or
+    the delete legs' own `auto_compact_threshold` — watches this."""
+    t = read_tombstones(spark, base)
+    return 0 if t is None else t.count()
 
 
 def exclude_tombstoned(

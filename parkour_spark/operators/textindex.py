@@ -387,7 +387,12 @@ def text_index_append(
         batch_post.unpersist()
 
 
-def text_index_delete(spark, ids: DataFrame, path: str) -> None:
+def text_index_delete(
+    spark,
+    ids: DataFrame,
+    path: str,
+    auto_compact_threshold: int | None = None,
+) -> None:
     """DELETE documents in O(|delete set|): the retired ids land on
     the index's tombstone ledger (one atomic |B|-row write — postings/
     and doclen/ are NOT rewritten; r10 verdict #2, replacing the
@@ -408,8 +413,18 @@ def text_index_delete(spark, ids: DataFrame, path: str) -> None:
     dedups, stats rewrite wholesale), so the operational contract is
     the house one: on any doubt, re-run the delete (or run compact),
     then audit with ids_probe_visible — same rerun-to-heal class as
-    ivfpq_index_delete's two-step window."""
-    from parkour_spark.operators.indexcommon import append_tombstones
+    ivfpq_index_delete's two-step window.
+
+    COMPLIANCE: the delete is LOGICAL until a compact reconciles it —
+    the retired postings/doclen bytes persist until then (the
+    indexcommon module note). Pass `auto_compact_threshold=N` to run
+    `text_index_compact` inline once the pending ledger exceeds N ids;
+    right-to-be-forgotten flows should either do that or follow up
+    with an explicit compact + ids_remaining audit."""
+    from parkour_spark.operators.indexcommon import (
+        append_tombstones,
+        pending_tombstone_count,
+    )
 
     id_col = _read_meta(spark, path)["id_col"]
     _invalidate_termstats(spark, path)  # first: a stale df must never
@@ -417,6 +432,11 @@ def text_index_delete(spark, ids: DataFrame, path: str) -> None:
     # probe falling back, never mis-scoring)
     append_tombstones(spark, path, ids, id_col)
     _write_stats(spark, path)
+    if (
+        auto_compact_threshold is not None
+        and pending_tombstone_count(spark, path) > auto_compact_threshold
+    ):
+        text_index_compact(spark, path)
 
 
 def text_index_compact(spark, path: str) -> None:
