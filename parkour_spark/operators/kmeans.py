@@ -13,9 +13,11 @@ Spark-first at 100 TB:
   per iteration — never the data, and never a partition-count-sized
   fetch. This is the standard scalable shape for Lloyd's on a cluster
   (partial sufficient statistics, tiny combine).
-- Deterministic up to float-sum order: hash-sampled init (k smallest
-  md5(id) — engine- and layout-independent); the driver applies the
-  folded k rows in sorted cell order.
+- Deterministic: hash-sampled init (k smallest md5(id) — engine- and
+  layout-independent); the driver applies the folded k rows in sorted
+  cell order; and the in-plan element fold sums in exact DECIMAL
+  (r12, r11 ADVICE) so the combine order cannot perturb a centroid —
+  bit-identical centroids run-to-run on a fixed file layout.
 """
 
 from __future__ import annotations
@@ -97,15 +99,25 @@ def kmeans_fit(
         # IN-PLAN fold (r10 verdict #1, same fix as pq.pq_train): the
         # per-batch partials reduce to ≤k rows via groupBy before
         # anything reaches the driver — k×d doubles per ITERATION now,
-        # instead of per partition. Cross-partition float-sum order is
-        # Spark's (the same freedom the DuckDB oracle's SUM always
-        # had); gated outputs round before compare.
+        # instead of per partition. The element sums run in
+        # DECIMAL(38,12) (r12, r11 ADVICE): decimal addition is exact,
+        # hence order-INDEPENDENT, so the fold no longer varies with
+        # Spark's combine order — centroids are bit-deterministic
+        # run-to-run (the per-batch numpy partials were already
+        # deterministic for a fixed file layout). Cost: decimal adds
+        # over ≤ n_batches×k partial rows, never the corpus; headroom:
+        # 26 integer digits ≫ any coordinate sum at 100 TB.
         stats = (
             assigned.mapInPandas(partials, schema=schema)
             .groupBy("cell")
             .agg(
                 F.sum("n").alias("n"),
-                *[F.sum(F.col("s")[i]).alias(f"v{i}") for i in range(dim)],
+                *[
+                    F.sum(F.col("s")[i].cast("decimal(38,12)"))
+                    .cast("double")
+                    .alias(f"v{i}")
+                    for i in range(dim)
+                ],
             )
             .collect()
         )

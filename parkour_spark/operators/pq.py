@@ -146,7 +146,16 @@ def _iteration_stats_df(partial_rows: DataFrame, dsub: int) -> DataFrame:
     PLANS.md can show the aggregate in the training plan."""
     return partial_rows.groupBy("s", "cell").agg(
         F.sum("n").alias("n"),
-        *[F.sum(F.col("sv")[i]).alias(f"v{i}") for i in range(dsub)],
+        # exact DECIMAL element sums (r12, r11 ADVICE): order-
+        # independent, so the folded codebooks are bit-deterministic
+        # run-to-run regardless of Spark's combine order — over the
+        # partial rows only, never the corpus
+        *[
+            F.sum(F.col("sv")[i].cast("decimal(38,12)"))
+            .cast("double")
+            .alias(f"v{i}")
+            for i in range(dsub)
+        ],
     )
 
 
@@ -217,10 +226,11 @@ def pq_train(
         # partials was an avoidable n_batches×m×ksub driver fetch.
         # Per-element F.sum columns keep the whole combine in
         # whole-stage codegen; the driver applies the (sorted) m×ksub
-        # result deterministically. Cross-partition float-sum order is
-        # Spark's (not the old sorted-partials order) — the same
-        # freedom the DuckDB oracle's SUM always had, and the gated
-        # outputs round before compare, so the identity stands.
+        # result deterministically, and the element sums run in exact
+        # DECIMAL (r12, _iteration_stats_df) so the fold itself is
+        # order-independent — codebooks are bit-deterministic
+        # run-to-run, closing the r11-ADVICE flake window for the
+        # gated entries downstream of training.
         stats = _iteration_stats_df(
             corpus.mapInPandas(partials, schema=_STATS_SCHEMA), dsub
         ).collect()

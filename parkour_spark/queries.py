@@ -2349,10 +2349,12 @@ def q_kmeans(spark, sf_dir):
     """Distributed Lloyd's k-means over the embeddings corpus
     (operators.kmeans.kmeans_fit): per iteration one scan-side
     assignment pass + NumPy partial (cell, count, sum) statistics per
-    Arrow batch, combined on the driver. Deterministic by construction
+    Arrow batch, folded in-plan. Deterministic by construction
     (hash-sampled init = k smallest (md5(id), id) — engine- and
-    layout-independent, fixed iteration count, sorted partial combine),
-    so the DuckDB oracle replays the SAME
+    layout-independent, fixed iteration count, and an EXACT
+    decimal-arithmetic element fold (r12) — order-independent, so the
+    centroids are bit-identical run-to-run regardless of Spark's
+    combine order), so the DuckDB oracle replays the SAME
     Lloyd's — k=8 × 3 iterations unrolled as CTEs with cosine argmax
     assignment (r2 verdict: promote from rows-only to a full oracle).
     Monotone-inertia and ivf-integration stay asserted in
