@@ -49,10 +49,24 @@ def write_params(spark: SparkSession, path: str, params: dict) -> None:
     """Record an artifact's build parameters as a 1-row JSON parquet at
     `path` (e.g. `<index>/meta`). JSON keeps the record kind-agnostic —
     ints, strings, and float lists (quantizer centroids) round-trip
-    exactly (json emits repr-precision doubles)."""
-    spark.createDataFrame(
-        [(json.dumps(params, sort_keys=True),)], PARAMS_SCHEMA
-    ).coalesce(1).write.mode("overwrite").parquet(path)
+    exactly (json emits repr-precision doubles).
+
+    The row rides as a JVM literal over range(1) rather than a Python
+    local relation (r12): a createDataFrame-backed write schedules
+    Python workers for its one row and measured ~20× slower (~4s vs
+    0.2s) — a fixed tax every meta/stats record paid on every build,
+    append, delete, and compact."""
+    from pyspark.sql import functions as F
+
+    (
+        spark.range(1)
+        .select(
+            F.lit(json.dumps(params, sort_keys=True)).alias("params")
+        )
+        .coalesce(1)
+        .write.mode("overwrite")
+        .parquet(path)
+    )
 
 
 def read_params(spark: SparkSession, path: str) -> dict | None:

@@ -287,3 +287,108 @@ def ids_probe_visible(
         .collect()
     )
     return sorted(r[id_col] for r in hits)
+
+
+# --------------------------------------------------------------------------
+# File-level (Arrow) compaction for hash-partitioned trees (r12,
+# r11 verdict #5)
+# --------------------------------------------------------------------------
+
+
+def _pa_fs_path(uri: str):
+    """(pyarrow FileSystem, path) for a Spark file URI or plain path —
+    Spark's inputFiles() emits `file:/...` single-slash URIs, publish
+    temp siblings are plain paths, cluster deployments hand qualified
+    hdfs://... / s3a://... URIs to pyarrow's own mounts."""
+    from urllib.parse import urlparse
+
+    from pyarrow import fs as pafs
+
+    pr = urlparse(uri)
+    if pr.scheme in ("", "file"):
+        return pafs.LocalFileSystem(), (pr.path if pr.scheme else uri)
+    return pafs.FileSystem.from_uri(uri)
+
+
+def _arrow_merge_one(item) -> None:
+    """EXECUTOR task: concatenate one partition-value's parquet files
+    into a single file with Arrow — columnar decode → one encode, no
+    Spark row materialization. Asserts metadata row-count conservation
+    (Σ footer num_rows == rows written): a torn or short input file
+    fails the task instead of silently shrinking the partition.
+    Idempotent — a retry overwrites the same destination file."""
+    import os
+
+    import pyarrow.parquet as pq
+
+    files, out = item
+    fs_out, out_path = _pa_fs_path(out)
+    fs_out.create_dir(os.path.dirname(out_path), recursive=True)
+    expected = 0
+    written = 0
+    writer = None
+    try:
+        for f in files:
+            fs_in, p = _pa_fs_path(f)
+            pf = pq.ParquetFile(fs_in.open_input_file(p))
+            expected += pf.metadata.num_rows
+            for batch in pf.iter_batches():
+                if writer is None:
+                    writer = pq.ParquetWriter(
+                        out_path, pf.schema_arrow, filesystem=fs_out
+                    )
+                writer.write_batch(batch)
+                written += batch.num_rows
+    finally:
+        if writer is not None:
+            writer.close()
+    if written != expected:
+        raise ValueError(
+            f"arrow compact row-count mismatch under {out}: footers "
+            f"promise {expected} rows, decoded {written}"
+        )
+
+
+def arrow_concat_partition_tree(
+    spark, input_files: list, part_col: str, dest: str
+) -> bool:
+    """FILE-LEVEL compaction of a `part_col=`-partitioned parquet tree
+    (r12, r11 verdict #5): every input file already lives inside one
+    `part_col=<v>` directory (builds write `part_col=`, streaming
+    writes `batch=N/part_col=` — both match), and compaction moves no
+    row between partitions, so the fold is one Arrow concatenation
+    task per partition value writing `dest/part_col=<v>/part-00000
+    .parquet`. The heavy payload (e.g. IVF's d-double vectors) passes
+    through ONE columnar decode+encode — never Spark's row format, a
+    shuffle, or Python rows; any `batch=` level vanishes because it is
+    directory-encoded, not stored in the files. Returns False without
+    writing when the layout or path scheme isn't foldable this way
+    (unpartitioned files, schemes pyarrow cannot mount) — the caller
+    then pays its Spark row fold. Parallelism: one task per partition
+    value; file order within a partition is sorted (deterministic
+    output)."""
+    import re
+    from collections import defaultdict
+    from urllib.parse import urlparse
+
+    pat = re.compile(rf"/{re.escape(part_col)}=([^/]+)/")
+    by_val = defaultdict(list)
+    for f in input_files:
+        m = pat.search(f)
+        if m is None:
+            return False
+        by_val[m.group(1)].append(f)
+    if not by_val:
+        return False
+    if urlparse(input_files[0]).scheme not in (
+        "", "file", "hdfs", "viewfs", "s3", "s3a", "gs", "abfs",
+    ):
+        return False
+    items = [
+        (sorted(files), f"{dest}/{part_col}={val}/part-00000.parquet")
+        for val, files in sorted(by_val.items())
+    ]
+    spark.sparkContext.parallelize(items, len(items)).foreach(
+        _arrow_merge_one
+    )
+    return True

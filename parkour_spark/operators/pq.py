@@ -1012,8 +1012,16 @@ def ivfpq_index_compact(spark, path: str) -> None:
     """Fold per-append file sets back into one co-located file set per
     cell — the ivf_index_compact contract for the composite index:
     stored rows rewritten (never re-encoded), meta carried, atomic
-    whole-root swap."""
+    whole-root swap. Runs the FILE-LEVEL Arrow fold (r12,
+    indexcommon.arrow_concat_partition_tree — no row ever moves
+    between cells, so compaction is one concat task per cell with no
+    exchange and no Spark row materialization; any streaming batch=
+    level is directory-encoded and vanishes), falling back to the
+    Spark row fold for unmountable path schemes."""
     from parkour_spark.artifacts import publish_swap, read_params, write_params
+    from parkour_spark.operators.indexcommon import (
+        arrow_concat_partition_tree,
+    )
 
     rec = read_params(spark, path + "/_ivfpq_meta")
     if rec is None:
@@ -1023,15 +1031,19 @@ def ivfpq_index_compact(spark, path: str) -> None:
     stored = read_parquet_or_none(spark, path)
     if stored is None:
         return  # emptied index: nothing to fold, meta stays
-    rows = stored.select(rec["id_col"], "codes", "cell")
 
     def write(tmp: str) -> None:
-        (
-            rows.repartition("cell")
-            .write.mode("overwrite")
-            .partitionBy("cell")
-            .parquet(tmp)
+        done = arrow_concat_partition_tree(
+            spark, stored.inputFiles(), "cell", tmp
         )
+        if not done:
+            (
+                stored.select(rec["id_col"], "codes", "cell")
+                .repartition("cell")
+                .write.mode("overwrite")
+                .partitionBy("cell")
+                .parquet(tmp)
+            )
         write_params(spark, tmp + "/_ivfpq_meta", rec)
 
     publish_swap(spark, path, write)
