@@ -528,15 +528,15 @@ def ivf_index_compact(
     index intact.
 
     Streaming contract: run with the ingest query drained and stopped
-    (the ingest entrypoint drains before returning). Compaction is the
-    TERMINAL fold of a streaming run — the batch commit markers and
-    any in-root _checkpoint do not survive the swap, and the
-    canonical cell= layout cannot host further batch=<id> subtrees
-    (mixed partition depths are unreadable) — so continue ingesting
-    via `ivf_index_append`, or start a fresh streaming root and fold
-    it in at the next compaction. After compacting, the index is
-    indistinguishable from a freshly-built one: append, delete, and
-    probe all compose.
+    (the ingest entrypoint drains before returning). Compaction folds
+    a streaming run's batches — the batch commit markers and any
+    in-root _checkpoint do not survive the swap — and the compacted
+    root hosts FURTHER streaming (r12): the next ingest run
+    layout-normalizes the canonical cell= tree back under batch=-1/
+    with pure renames (indexcommon.ensure_batch_layout, r11 verdict
+    #6) before its first micro-batch. After compacting, the index is
+    indistinguishable from a freshly-built one: append, delete,
+    streaming, and probe all compose.
 
     VECTOR-COPY-CHEAP (r12, r11 verdict #5): compaction is a pure
     LAYOUT operation — assignment is never recomputed and no row moves

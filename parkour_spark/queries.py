@@ -13084,6 +13084,127 @@ def q_text_ingest_compact_probe(spark, sf_dir):
     )
 
 
+# ===========================================================================
+# r12: streaming ingest ONTO a built root (r11 verdict #6) — the r11
+# house contract required streaming into a fresh root because build
+# writes `part=*/` while streaming writes `batch=N/part=*/` and Spark
+# rejects mixed partition depths. indexcommon.ensure_batch_layout
+# normalizes a built/compacted table with PURE RENAMES (everything
+# moves under batch=-1/ — no byte read or rewritten), and every
+# streaming ingest now runs it first, so build → stream → probe
+# composes. One gated entry per doc-keyed family pins
+# probe(build(A) then stream(B)) ≡ probe(build(A ∪ B)).
+# ===========================================================================
+
+
+@query("text_build_then_stream_probe", _bm25_idx_oracle())
+def q_text_build_then_stream_probe(spark, sf_dir):
+    """BM25 probe on an index BUILT on the content-hash bottom 80% of
+    documents and then STREAM-INGESTED the rest (4-batch exactly-once
+    replay onto the normalized root — postings/doclen move under
+    batch=-1/ with renames before the first micro-batch). The oracle
+    is the FULL-corpus replay: build ∘ stream ≡ build(all), the
+    composition the r11 layout contract forbade."""
+    import tempfile
+
+    from parkour_spark.functions.sampling import hash_bucket
+    from parkour_spark.operators.textindex import (
+        text_index_build,
+        text_index_probe_bm25,
+    )
+    from parkour_spark.streaming.windows import streaming_text_ingest
+
+    docs = _t(spark, sf_dir, "documents")
+    bkt = hash_bucket(F.col("doc_id"), 100)
+    key = (sf_dir, "text_bts")
+    if key not in _R10_INDEX_DIRS:
+        idx = tempfile.mkdtemp(prefix="parkour_text_bts_idx_")
+        text_index_build(docs.where(bkt < 80), idx, n_buckets=16)
+        src = tempfile.mkdtemp(prefix="parkour_text_bts_src_")
+        docs.where(bkt >= 80).select("doc_id", "text").repartition(
+            4
+        ).write.mode("overwrite").parquet(src)
+        streaming_text_ingest(
+            spark, src, spark.read.parquet(src).schema, idx, n_buckets=16
+        )
+        _R10_INDEX_DIRS[key] = idx
+    return text_index_probe_bm25(
+        spark, _R10_INDEX_DIRS[key], _BM25_TERMS, k=10
+    )
+
+
+@query("minhash_build_then_stream_probe", _minhash_probe_oracle())
+def q_minhash_build_then_stream_probe(spark, sf_dir):
+    """MinHash delta probe on an index BUILT on the content-hash
+    bottom 45% and STREAM-INGESTED up to the bottom 90% (sigs/ moves
+    under batch=-1/ with renames before the first micro-batch; the
+    band table re-derives over the full membership per batch, caps
+    included). Probe = the top 10%; the oracle is the same
+    combined-build replay that gates every minhash lifecycle leg —
+    build ∘ stream ≡ build(all)."""
+    import tempfile
+
+    from parkour_spark.functions.sampling import hash_bucket
+    from parkour_spark.streaming.windows import streaming_minhash_ingest
+
+    docs = _t(spark, sf_dir, "documents")
+    bkt = hash_bucket(F.col("doc_id"), 100)
+    key = (sf_dir, "mh_bts")
+    if key not in _R10_INDEX_DIRS:
+        idx = tempfile.mkdtemp(prefix="parkour_mh_bts_idx_")
+        D.minhash_index_build(
+            docs.where(bkt < 45).select("doc_id", "text"), idx
+        )
+        src = tempfile.mkdtemp(prefix="parkour_mh_bts_src_")
+        docs.where((bkt >= 45) & (bkt < 90)).select(
+            "doc_id", "text"
+        ).repartition(4).write.mode("overwrite").parquet(src)
+        streaming_minhash_ingest(
+            spark, src, spark.read.parquet(src).schema, idx, max_bucket=200
+        )
+        _R10_INDEX_DIRS[key] = idx
+    return D.minhash_probe_delta(
+        spark, docs.where(bkt >= 90), _R10_INDEX_DIRS[key], threshold=0.8
+    )
+
+
+@query(
+    "substring_build_then_stream_probe", ORACLES["substring_spans_delta"]
+)
+def q_substring_build_then_stream_probe(spark, sf_dir):
+    """Substring-span probe on an index BUILT on the content-hash
+    bottom 45% and STREAM-INGESTED up to the bottom 90% (occ/ moves
+    under batch=-1/ before the first micro-batch; lists/ re-derives
+    per batch with the df cap applied to the full membership). Probe =
+    the top 10% through the unchanged substring_probe_persisted;
+    oracle = the combined-build delta replay — build ∘ stream ≡
+    build(all) for the third doc-keyed family."""
+    import tempfile
+
+    from parkour_spark.functions.sampling import hash_bucket
+    from parkour_spark.streaming.windows import streaming_substring_ingest
+
+    docs = _t(spark, sf_dir, "documents")
+    bkt = hash_bucket(F.col("doc_id"), 100)
+    key = (sf_dir, "sub_bts")
+    if key not in _R10_INDEX_DIRS:
+        idx = tempfile.mkdtemp(prefix="parkour_sub_bts_idx_")
+        D.substring_index_build(
+            docs.where(bkt < 45).select("doc_id", "text"), idx
+        )
+        src = tempfile.mkdtemp(prefix="parkour_sub_bts_src_")
+        docs.where((bkt >= 45) & (bkt < 90)).select(
+            "doc_id", "text"
+        ).repartition(4).write.mode("overwrite").parquet(src)
+        streaming_substring_ingest(
+            spark, src, spark.read.parquet(src).schema, idx
+        )
+        _R10_INDEX_DIRS[key] = idx
+    return D.substring_probe_persisted(
+        spark, docs.where(bkt >= 90), _R10_INDEX_DIRS[key]
+    )
+
+
 @query("ivfpq_probe_after_compact", _ivfpq_oracle())
 def q_ivfpq_probe_after_compact(spark, sf_dir):
     """IVF-PQ compaction identity: build on vec_id % 10 != 7, append

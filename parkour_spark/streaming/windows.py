@@ -788,13 +788,27 @@ def streaming_component_maintainer(
     return spark.read.parquet(final)
 
 
-def _drain_ingest(spark, source_path, schema, index_path, ingest, max_files):
+def _drain_ingest(
+    spark, source_path, schema, index_path, ingest, max_files,
+    normalize=(),
+):
     """The one-shot exactly-once ingest harness every persisted-index
     streaming leg shares (r11, the indexcommon unification):
     foreachBatch(ingest) with the checkpoint under the index root,
-    drained with processAllAvailable, stopped, index root returned."""
+    drained with processAllAvailable, stopped, index root returned.
+
+    `normalize` names the tables this family streams batches into
+    (r12, r11 verdict #6): each is layout-normalized
+    (indexcommon.ensure_batch_layout — pure renames moving a BUILT or
+    COMPACTED layout under batch=-1/) before the stream starts, so
+    streaming onto an existing built/compacted root now composes
+    instead of tripping Spark's mixed-partition-depth rejection."""
     import os
 
+    from parkour_spark.operators.indexcommon import ensure_batch_layout
+
+    for t in normalize:
+        ensure_batch_layout(spark, t)
     stream = read_stream(spark, source_path, schema, max_files=max_files)
     q = (
         stream.writeStream.foreachBatch(ingest)
@@ -929,7 +943,8 @@ def streaming_minhash_ingest(
         caught_up[0] = True  # derived state now covers all stored rows
 
     return _drain_ingest(
-        spark, source_path, schema, index_path, ingest, max_files
+        spark, source_path, schema, index_path, ingest, max_files,
+        normalize=[index_path + "/sigs"],
     )
 
 
@@ -1001,7 +1016,8 @@ def streaming_ivf_ingest(
         publish_dir(spark, bdir, write)
 
     return _drain_ingest(
-        spark, source_path, schema, index_path, ingest, max_files
+        spark, source_path, schema, index_path, ingest, max_files,
+        normalize=[index_path],
     )
 
 
@@ -1073,7 +1089,8 @@ def streaming_substring_ingest(
         caught_up[0] = True  # derived state now covers all stored rows
 
     return _drain_ingest(
-        spark, source_path, schema, index_path, ingest, max_files
+        spark, source_path, schema, index_path, ingest, max_files,
+        normalize=[index_path + "/occ"],
     )
 
 
@@ -1142,7 +1159,8 @@ def streaming_pq_ingest(
         )
 
     return _drain_ingest(
-        spark, source_path, schema, index_path, ingest, max_files
+        spark, source_path, schema, index_path, ingest, max_files,
+        normalize=[index_path + "/codes"],
     )
 
 
@@ -1246,7 +1264,8 @@ def streaming_text_ingest(
         caught_up[0] = True  # derived state now covers all stored rows
 
     return _drain_ingest(
-        spark, source_path, schema, index_path, ingest, max_files
+        spark, source_path, schema, index_path, ingest, max_files,
+        normalize=[index_path + "/postings", index_path + "/doclen"],
     )
 
 
@@ -1307,5 +1326,6 @@ def streaming_ivfpq_ingest(
         )
 
     return _drain_ingest(
-        spark, source_path, schema, index_path, ingest, max_files
+        spark, source_path, schema, index_path, ingest, max_files,
+        normalize=[index_path],
     )
