@@ -5732,6 +5732,51 @@ def q_avro_roundtrip(spark, sf_dir):
 
 
 @query(
+    "seqf_roundtrip_orders",
+    """
+    SELECT o_orderpriority, count(*) AS n,
+           sum(o_orderkey)::BIGINT AS key_sum,
+           min(o_orderkey) AS key_min, max(o_orderkey) AS key_max
+    FROM orders GROUP BY o_orderpriority
+    """,
+)
+def q_seqf_roundtrip(spark, sf_dir):
+    """SequenceFile dseq/dsink round-trip INSIDE the correctness gate —
+    SURVEY §2.4's one remaining partial row closed (r11 verdict #7;
+    reference io/seqf.clj:12-32). Orders' (o_orderkey LongWritable,
+    o_orderpriority Text) pairs write through `write_seqf` (core
+    Spark's own Hadoop binding — one sequence file per task) and read
+    back through the PURE-PYTHON v6 reader (`parkour_seqf` DataSource,
+    forced here so the gate exercises the spec implementation, not
+    just the JVM echo); the aggregate over the round-tripped pairs
+    must hash-match the oracle over the ORIGINAL parquet. Both
+    directions of Hadoop↔Python byte compatibility are pinned
+    separately in tests/test_seqfile.py."""
+    import tempfile
+
+    from parkour_spark.sources.seqfile import (
+        register_seqf_source,
+        write_seqf,
+    )
+
+    orders = _t(spark, sf_dir, "orders")
+    tmp = tempfile.mkdtemp(prefix="parkour_seqf_rt_") + "/orders"
+    write_seqf(
+        orders.select("o_orderkey", "o_orderpriority"), tmp
+    )
+    register_seqf_source(spark)
+    back = spark.read.format("parkour_seqf").option("path", tmp).load()
+    return back.groupBy(
+        F.col("value").alias("o_orderpriority")
+    ).agg(
+        F.count("*").alias("n"),
+        F.sum("key").cast("long").alias("key_sum"),
+        F.min("key").alias("key_min"),
+        F.max("key").alias("key_max"),
+    )
+
+
+@query(
     "multimodal_resize",
     """
     SELECT doc_id AS media_id, 64 AS width, 64 AS height,

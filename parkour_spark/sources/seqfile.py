@@ -1,0 +1,572 @@
+"""Hadoop SequenceFile dseq/dsink — the reference's `seqf` source/sink
+(/root/reference/src/clojure/parkour/io/seqf.clj:12-32: a thin
+SequenceFileInputFormat/OutputFormat binding with key/value Writable
+classes), closing the one PARTIAL row of SURVEY §2.4 (r11 verdict #7).
+
+Two paths, JVM first:
+
+- `read_seqf` / `write_seqf` ride core Spark's own Hadoop bindings
+  (`sc.sequenceFile` / `saveAsSequenceFile` — part of every Spark
+  distribution, no extra jar): Writables unwrap JVM-side through
+  Spark's converters, rows surface as a (key, value) DataFrame. This
+  is the production path at any scale.
+- `read_seqfile_py` / `write_seqfile_py` implement the SequenceFile
+  v6 on-disk format directly from the public Hadoop spec (header
+  `SEQ\\x06` + Text-encoded class names + compression flags + metadata
+  + 16-byte sync; records as BE-int lengths with -1 sync escapes;
+  record-compression via DefaultCodec zlib), exposed as the
+  `parkour_seqf` Python DataSource — the avrofmt.py pattern. The
+  pure-Python codec is CROSS-VALIDATED against Hadoop's own bytes in
+  both directions (tests/test_seqfile.py: Hadoop writes → Python
+  reads, Python writes → Hadoop reads), so it cannot be
+  self-consistently wrong.
+
+Writable coverage (the common types the reference's jobs key on):
+Text, IntWritable, LongWritable, DoubleWritable, FloatWritable,
+BooleanWritable, BytesWritable, NullWritable (zero-byte — its column
+is omitted from the DataFrame). The reader handles all three Hadoop
+layouts (uncompressed, record-compressed, BLOCK-compressed — the last
+is what `saveAsSequenceFile` emits whenever a codec is given); the
+writer emits uncompressed or record-compressed. DefaultCodec (zlib)
+only — other codecs raise with a clear message pointing at the JVM
+path (honest scope).
+
+SCALE: the Python reader plans one split per FILE (sequence files from
+MapReduce/Spark jobs are already task-sized parts); the JVM path
+inherits Hadoop's sync-marker block splits. Writing emits one file per
+task, the reference's file-per-reducer layout.
+"""
+
+from __future__ import annotations
+
+import io
+import os
+import struct
+import uuid
+import zlib
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import types as T
+
+MAGIC = b"SEQ\x06"
+SYNC_ESCAPE = b"\xff\xff\xff\xff"
+_SYNC = b"parkour-seqf-syn"[:16]  # deterministic 16-byte marker
+
+_HADOOP = "org.apache.hadoop.io."
+_DEFAULT_CODEC = "org.apache.hadoop.io.compress.DefaultCodec"
+
+try:  # the Python DataSource API (Spark 4)
+    from pyspark.sql.datasource import (
+        DataSource,
+        DataSourceReader,
+        DataSourceWriter,
+        InputPartition,
+        WriterCommitMessage,
+    )
+
+    _HAVE_DSAPI = True
+except ImportError:  # pragma: no cover
+    _HAVE_DSAPI = False
+    DataSource = DataSourceReader = DataSourceWriter = object  # type: ignore
+    InputPartition = WriterCommitMessage = object  # type: ignore
+
+
+# ---------------------------------------------------------------------------
+# Hadoop VInt/VLong (WritableUtils.writeVLong — public spec)
+# ---------------------------------------------------------------------------
+
+
+def write_vlong(buf: io.BytesIO, i: int) -> None:
+    if -112 <= i <= 127:
+        buf.write(struct.pack("b", i))
+        return
+    length = -112
+    if i < 0:
+        i ^= -1
+        length = -120
+    tmp = i
+    while tmp != 0:
+        tmp >>= 8
+        length -= 1
+    buf.write(struct.pack("b", length))
+    length = -(length + 120) if length < -120 else -(length + 112)
+    for idx in range(length, 0, -1):
+        shift = (idx - 1) * 8
+        buf.write(bytes([(i >> shift) & 0xFF]))
+
+
+def read_vlong(f) -> int:
+    b = struct.unpack("b", f.read(1))[0]
+    if b >= -112:
+        return b
+    neg = b < -120
+    length = -(b + 120) if neg else -(b + 112)
+    v = 0
+    for _ in range(length):
+        v = (v << 8) | f.read(1)[0]
+    return (v ^ -1) if neg else v
+
+
+def _write_text(buf: io.BytesIO, s: str) -> None:
+    """Text serialization: VInt byte length + UTF-8 bytes."""
+    b = s.encode("utf-8")
+    write_vlong(buf, len(b))
+    buf.write(b)
+
+
+def _read_text(f) -> str:
+    return f.read(read_vlong(f)).decode("utf-8")
+
+
+# ---------------------------------------------------------------------------
+# Writable codecs: (spark type, encode, decode) per Hadoop class
+# ---------------------------------------------------------------------------
+
+
+def _enc_text(buf, v):
+    _write_text(buf, v)
+
+
+def _enc_int(buf, v):
+    buf.write(struct.pack(">i", v))
+
+
+def _enc_long(buf, v):
+    buf.write(struct.pack(">q", v))
+
+
+def _enc_double(buf, v):
+    buf.write(struct.pack(">d", v))
+
+
+def _enc_float(buf, v):
+    buf.write(struct.pack(">f", v))
+
+
+def _enc_bool(buf, v):
+    buf.write(b"\x01" if v else b"\x00")
+
+
+def _enc_bytes(buf, v):
+    buf.write(struct.pack(">i", len(v)))
+    buf.write(bytes(v))
+
+
+def _enc_null(buf, v):
+    pass
+
+
+_WRITABLES = {
+    _HADOOP + "Text": (T.StringType(), _enc_text, _read_text),
+    _HADOOP + "IntWritable": (
+        T.IntegerType(),
+        _enc_int,
+        lambda f: struct.unpack(">i", f.read(4))[0],
+    ),
+    _HADOOP + "LongWritable": (
+        T.LongType(),
+        _enc_long,
+        lambda f: struct.unpack(">q", f.read(8))[0],
+    ),
+    _HADOOP + "DoubleWritable": (
+        T.DoubleType(),
+        _enc_double,
+        lambda f: struct.unpack(">d", f.read(8))[0],
+    ),
+    _HADOOP + "FloatWritable": (
+        T.FloatType(),
+        _enc_float,
+        lambda f: struct.unpack(">f", f.read(4))[0],
+    ),
+    _HADOOP + "BooleanWritable": (
+        T.BooleanType(),
+        _enc_bool,
+        lambda f: f.read(1) == b"\x01",
+    ),
+    _HADOOP + "BytesWritable": (
+        T.BinaryType(),
+        _enc_bytes,
+        lambda f: f.read(struct.unpack(">i", f.read(4))[0]),
+    ),
+    _HADOOP + "NullWritable": (None, _enc_null, lambda f: None),
+}
+
+_SPARK_TO_WRITABLE = {
+    T.StringType: _HADOOP + "Text",
+    T.IntegerType: _HADOOP + "IntWritable",
+    T.LongType: _HADOOP + "LongWritable",
+    T.DoubleType: _HADOOP + "DoubleWritable",
+    T.FloatType: _HADOOP + "FloatWritable",
+    T.BooleanType: _HADOOP + "BooleanWritable",
+    T.BinaryType: _HADOOP + "BytesWritable",
+}
+
+
+def _codec_for(cls: str):
+    if cls not in _WRITABLES:
+        raise ValueError(
+            f"seqfile: unsupported Writable class {cls} — supported: "
+            + ", ".join(sorted(_WRITABLES))
+        )
+    return _WRITABLES[cls]
+
+
+# ---------------------------------------------------------------------------
+# File-level read/write (the SequenceFile v6 spec)
+# ---------------------------------------------------------------------------
+
+
+def read_seqfile_header(f) -> dict:
+    magic = f.read(4)
+    if magic[:3] != b"SEQ":
+        raise ValueError("not a SequenceFile (missing SEQ magic)")
+    if magic[3:4] != b"\x06":
+        raise ValueError(
+            f"seqfile: unsupported version {magic[3]} (spec v6 supported)"
+        )
+    key_cls = _read_text(f)
+    val_cls = _read_text(f)
+    compressed = f.read(1) == b"\x01"
+    block_compressed = f.read(1) == b"\x01"
+    codec = None
+    if compressed:
+        codec = _read_text(f)
+    n_meta = struct.unpack(">i", f.read(4))[0]
+    meta = {}
+    for _ in range(n_meta):
+        k = _read_text(f)
+        meta[k] = _read_text(f)
+    sync = f.read(16)
+    return {
+        "key_cls": key_cls,
+        "val_cls": val_cls,
+        "compressed": compressed,
+        "block_compressed": block_compressed,
+        "codec": codec,
+        "meta": meta,
+        "sync": sync,
+    }
+
+
+def read_seqfile_py(path: str):
+    """Yield (key, value) tuples from one SequenceFile — all three
+    layouts Hadoop's writer produces: uncompressed records,
+    record-compressed, and BLOCK-compressed (what Spark's
+    `saveAsSequenceFile` emits whenever a codec is given), DefaultCodec
+    (zlib) only — other codecs raise (read those through the JVM
+    path)."""
+    with open(path, "rb") as f:
+        hdr = read_seqfile_header(f)
+        if hdr["compressed"] and hdr["codec"] != _DEFAULT_CODEC:
+            raise ValueError(
+                f"seqfile: unsupported codec {hdr['codec']} — only "
+                f"{_DEFAULT_CODEC} (zlib) is implemented; use read_seqf "
+                "(the JVM path)"
+            )
+        _, _, dec_key = _codec_for(hdr["key_cls"])
+        _, _, dec_val = _codec_for(hdr["val_cls"])
+        sync = hdr["sync"]
+
+        def eat_sync() -> None:
+            if f.read(16) != sync:
+                raise ValueError(
+                    "seqfile: sync marker mismatch (corrupt file)"
+                )
+
+        if hdr["block_compressed"]:
+            # BLOCK layout: [escape+sync] VInt(n_records) then four
+            # VInt-length-prefixed zlib buffers — key lengths (VInts),
+            # keys, value lengths (VInts), values
+            def buf() -> io.BytesIO:
+                return io.BytesIO(zlib.decompress(f.read(read_vlong(f))))
+
+            while True:
+                head = f.read(4)
+                if len(head) < 4:
+                    return
+                if head == SYNC_ESCAPE:
+                    eat_sync()
+                    continue
+                f.seek(-4, os.SEEK_CUR)
+                n_rec = read_vlong(f)
+                key_lens, keys = buf(), buf()
+                val_lens, vals = buf(), buf()
+                for _ in range(n_rec):
+                    k = dec_key(io.BytesIO(keys.read(read_vlong(key_lens))))
+                    v = dec_val(io.BytesIO(vals.read(read_vlong(val_lens))))
+                    yield k, v
+            return
+        while True:
+            head = f.read(4)
+            if len(head) < 4:
+                return
+            if head == SYNC_ESCAPE:
+                eat_sync()
+                continue
+            rec_len = struct.unpack(">i", head)[0]
+            key_len = struct.unpack(">i", f.read(4))[0]
+            key = dec_key(io.BytesIO(f.read(key_len)))
+            val_bytes = f.read(rec_len - key_len)
+            if hdr["compressed"]:
+                val_bytes = zlib.decompress(val_bytes)
+            val = dec_val(io.BytesIO(val_bytes))
+            yield key, val
+
+
+def write_seqfile_py(
+    path: str,
+    rows,
+    key_cls: str,
+    val_cls: str,
+    compress: bool = False,
+    sync_every: int = 100,
+) -> int:
+    """Serialize (key, value) rows into one SequenceFile v6;
+    returns the record count. `compress` = record compression with
+    DefaultCodec (zlib-wrapped deflate — what Hadoop's Deflater
+    emits); a sync marker lands every `sync_every` records (Hadoop
+    readers use them for split alignment and corruption checks)."""
+    _, enc_key, _ = _codec_for(key_cls)
+    _, enc_val, _ = _codec_for(val_cls)
+    buf = io.BytesIO()
+    buf.write(MAGIC)
+    _write_text(buf, key_cls)
+    _write_text(buf, val_cls)
+    buf.write(b"\x01" if compress else b"\x00")
+    buf.write(b"\x00")  # never block-compressed
+    if compress:
+        _write_text(buf, _DEFAULT_CODEC)
+    buf.write(struct.pack(">i", 0))  # empty metadata
+    buf.write(_SYNC)
+    n = 0
+    for key, val in rows:
+        if n and n % sync_every == 0:
+            buf.write(SYNC_ESCAPE)
+            buf.write(_SYNC)
+        kb = io.BytesIO()
+        enc_key(kb, key)
+        vb = io.BytesIO()
+        enc_val(vb, val)
+        key_bytes = kb.getvalue()
+        val_bytes = vb.getvalue()
+        if compress:
+            val_bytes = zlib.compress(val_bytes)
+        buf.write(struct.pack(">i", len(key_bytes) + len(val_bytes)))
+        buf.write(struct.pack(">i", len(key_bytes)))
+        buf.write(key_bytes)
+        buf.write(val_bytes)
+        n += 1
+    with open(path, "wb") as f:
+        f.write(buf.getvalue())
+    return n
+
+
+def _seqf_files(path: str) -> list[str]:
+    if os.path.isfile(path):
+        return [path]
+    if os.path.isdir(path):
+        return sorted(
+            os.path.join(path, f)
+            for f in os.listdir(path)
+            if not f.startswith(("_", "."))
+        )
+    import glob as _glob
+
+    return sorted(_glob.glob(path))
+
+
+def _pair_schema(key_cls: str, val_cls: str) -> T.StructType:
+    fields = []
+    kt = _codec_for(key_cls)[0]
+    vt = _codec_for(val_cls)[0]
+    if kt is not None:
+        fields.append(T.StructField("key", kt))
+    if vt is not None:
+        fields.append(T.StructField("value", vt))
+    if not fields:
+        raise ValueError("seqfile: both key and value are NullWritable")
+    return T.StructType(fields)
+
+
+# ---------------------------------------------------------------------------
+# Python DataSource (the avrofmt pattern)
+# ---------------------------------------------------------------------------
+
+if _HAVE_DSAPI:
+
+    class _SeqfPartition(InputPartition):
+        def __init__(self, path: str):
+            self.path = path
+
+    class SeqfCommitMessage(WriterCommitMessage):
+        def __init__(self, path: str, count: int):
+            self.path = path
+            self.count = count
+
+    class SeqfDataSource(DataSource):
+        """format name: parkour_seqf. Options: path, compress
+        (true|false, record compression with DefaultCodec)."""
+
+        @classmethod
+        def name(cls) -> str:
+            return "parkour_seqf"
+
+        def schema(self):
+            files = _seqf_files(self.options["path"])
+            if not files:
+                raise ValueError(
+                    f"no sequence files under {self.options['path']}"
+                )
+            with open(files[0], "rb") as f:
+                hdr = read_seqfile_header(f)
+            return _pair_schema(hdr["key_cls"], hdr["val_cls"])
+
+        def reader(self, schema):
+            return SeqfReader(self.options)
+
+        def writer(self, schema, overwrite: bool):
+            return SeqfWriter(self.options, schema, overwrite)
+
+    class SeqfReader(DataSourceReader):
+        def __init__(self, options):
+            self.path = options["path"]
+
+        def partitions(self):
+            return [_SeqfPartition(p) for p in _seqf_files(self.path)]
+
+        def read(self, part):
+            with open(part.path, "rb") as f:
+                hdr = read_seqfile_header(f)
+            null_key = hdr["key_cls"].endswith("NullWritable")
+            null_val = hdr["val_cls"].endswith("NullWritable")
+            for k, v in read_seqfile_py(part.path):
+                if null_key:
+                    yield (v,)
+                elif null_val:
+                    yield (k,)
+                else:
+                    yield (k, v)
+
+    class SeqfWriter(DataSourceWriter):
+        def __init__(self, options, schema, overwrite):
+            self.path = options["path"]
+            self.compress = (
+                str(options.get("compress", "false")).lower() == "true"
+            )
+            if len(schema.fields) not in (1, 2):
+                raise ValueError(
+                    "seqfile sink needs 1 (key + NullWritable) or 2 "
+                    f"(key, value) columns, got {len(schema.fields)}"
+                )
+
+            def cls_of(field):
+                t = type(field.dataType)
+                if t not in _SPARK_TO_WRITABLE:
+                    raise ValueError(
+                        f"seqfile: no Writable for column "
+                        f"{field.name}: {field.dataType}"
+                    )
+                return _SPARK_TO_WRITABLE[t]
+
+            self.key_cls = cls_of(schema.fields[0])
+            self.val_cls = (
+                cls_of(schema.fields[1])
+                if len(schema.fields) == 2
+                else _HADOOP + "NullWritable"
+            )
+            self.n_cols = len(schema.fields)
+            os.makedirs(self.path, exist_ok=True)
+            if overwrite:  # driver-side, before tasks launch
+                for f in os.listdir(self.path):
+                    if not f.startswith(("_", ".")) or f == "_SUCCESS":
+                        os.remove(os.path.join(self.path, f))
+
+        def write(self, rows):
+            out = os.path.join(self.path, f"part-{uuid.uuid4().hex}")
+            pairs = (
+                ((r[0], r[1]) if self.n_cols == 2 else (r[0], None))
+                for r in rows
+            )
+            n = write_seqfile_py(
+                out, pairs, self.key_cls, self.val_cls,
+                compress=self.compress,
+            )
+            return SeqfCommitMessage(out, n)
+
+        def commit(self, messages):
+            with open(os.path.join(self.path, "_SUCCESS"), "w") as f:
+                f.write("")
+
+        def abort(self, messages):
+            for m in messages:
+                if m is not None and os.path.exists(m.path):
+                    os.remove(m.path)
+
+
+def register_seqf_source(spark: SparkSession) -> bool:
+    if not _HAVE_DSAPI:
+        return False
+    try:
+        spark.dataSource.register(SeqfDataSource)
+        return True
+    except Exception:
+        return False
+
+
+# ---------------------------------------------------------------------------
+# dseq / dsink surface (JVM first)
+# ---------------------------------------------------------------------------
+
+
+def read_seqf(spark: SparkSession, path: str) -> DataFrame:
+    """seqf dseq (reference io/seqf.clj:12-19): core Spark's Hadoop
+    binding unwraps the Writables JVM-side; rows surface as (key,
+    value). Falls back to the pure-Python `parkour_seqf` DataSource
+    when the RDD converters are unavailable."""
+    try:
+        rdd = spark.sparkContext.sequenceFile(path)
+        first = rdd.take(1)
+        if not first:
+            files = _seqf_files(path)
+            with open(files[0], "rb") as f:
+                hdr = read_seqfile_header(f)
+            return spark.createDataFrame(
+                [], _pair_schema(hdr["key_cls"], hdr["val_cls"])
+            )
+        return spark.createDataFrame(rdd, ["key", "value"])
+    except Exception:
+        register_seqf_source(spark)
+        return spark.read.format("parkour_seqf").option("path", path).load()
+
+
+def write_seqf(df: DataFrame, path: str, compress: bool = False) -> None:
+    """seqf dsink (reference io/seqf.clj:20-32): the first column is
+    the key Writable, the second the value (a 1-column frame writes
+    NullWritable values, the reference's `cval nil` default). JVM path
+    first (`saveAsSequenceFile` — one file per task); pure-Python
+    DataSource as fallback."""
+    cols = df.columns
+    if len(cols) not in (1, 2):
+        raise ValueError(
+            f"write_seqf needs 1 or 2 columns, got {len(cols)}"
+        )
+    try:
+        if len(cols) == 2:
+            rdd = df.rdd.map(lambda r: (r[0], r[1]))
+        else:
+            rdd = df.rdd.map(lambda r: (r[0], None))
+        codec = (
+            "org.apache.hadoop.io.compress.DefaultCodec" if compress
+            else None
+        )
+        rdd.saveAsSequenceFile(path, compressionCodecClass=codec)
+        return
+    except Exception:
+        pass
+    register_seqf_source(df.sparkSession)
+    (
+        df.write.format("parkour_seqf")
+        .mode("overwrite")
+        .option("compress", str(compress).lower())
+        .save(path)
+    )
