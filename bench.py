@@ -128,6 +128,39 @@ def machine_load() -> dict:
     }
 
 
+def best_prior_times(sf: float) -> dict[str, float]:
+    """Per-query BEST steady time across every committed BENCH_r*.json
+    history artifact at the same scale factor (r12, r11 verdict #8 —
+    the judge recomputed the 2×-vs-best-prior check by hand from
+    BENCH_LAST vs history each round; now the bench emits it). Taking
+    the MIN across all recorded runs is the loaded-run-safe choice:
+    shared-machine load only ever inflates a recording, so the fastest
+    prior is the cleanest prior. Early artifacts (r5–r11 driver runs)
+    hold their per-query dicts under parsed.queries or not at all —
+    both shapes handled, absent dicts skipped."""
+    import glob
+
+    here = os.path.dirname(os.path.abspath(__file__))
+    best: dict[str, float] = {}
+    for p in sorted(glob.glob(os.path.join(here, "BENCH_r*.json"))):
+        try:
+            with open(p) as f:
+                d = json.load(f)
+        except Exception:
+            continue
+        if isinstance(d.get("parsed"), dict):
+            d = d["parsed"]
+        q = d.get("queries")
+        if not isinstance(q, dict) or not q or d.get("sf") != sf:
+            continue
+        for name, t in q.items():
+            if isinstance(t, (int, float)) and (
+                name not in best or t < best[name]
+            ):
+                best[name] = float(t)
+    return best
+
+
 def main() -> None:
     start_load = machine_load()
     if start_load["loaded_machine"]:
@@ -179,6 +212,28 @@ def main() -> None:
         times[name] = round(best, 3)
         print(f"# {name}: {times[name]}s steady / {cold.get(name)}s cold ({n} rows)", file=sys.stderr)
     sf = SF_DIR.rstrip("/").split("sf")[-1]
+    # the automated regression budget (r11 verdict #8): every query >2×
+    # its best recorded prior run at this sf is flagged — the per-round
+    # check the judge previously recomputed by hand. A loaded host
+    # inflates uniformly (see load_start); plan regressions show up as
+    # OUTLIER ratios against flat siblings.
+    priors = best_prior_times(float(sf))
+    regressions = [
+        {
+            "query": name,
+            "now": t,
+            "best_prior": priors[name],
+            "ratio": round(t / priors[name], 2),
+        }
+        for name, t in sorted(times.items())
+        if name in priors and priors[name] > 0 and t > 2.0 * priors[name]
+    ]
+    for r in regressions:
+        print(
+            f"# REGRESSION {r['query']}: {r['now']}s vs best prior "
+            f"{r['best_prior']}s ({r['ratio']}x)",
+            file=sys.stderr,
+        )
     payload = {
         "metric": "headline_queries_total",
         "value": round(sum(times.values()), 3),
@@ -188,6 +243,8 @@ def main() -> None:
         "steady_total": round(sum(times.values()), 3),
         "cold_total": round(sum(cold.values()), 3),
         "queries_cold": cold,
+        "regressions": regressions,
+        "n_tracked_priors": len(priors),
         # loaded_machine is only meaningful at START: by the
         # end the bench itself has driven the loadavg up.
         "load_start": start_load,
@@ -216,6 +273,7 @@ def main() -> None:
         "steady_total": payload["steady_total"],
         "cold_total": payload["cold_total"],
         "load_start": start_load,
+        "regressions": regressions,
         # keep the dict type for the driver's contract; the per-query
         # values are in BENCH_LAST.json (they are what overflowed the
         # tail window)
