@@ -21,7 +21,7 @@ def entry(spark: SparkSession) -> DataFrame:
 
 
 # The driver's correctness gate checks the first 50 registry entries;
-# the registry holds 289. ROTATION POLICY (restated each round since
+# the registry holds 297. ROTATION POLICY (restated each round since
 # r5): the window each round = (a) entries ADDED this round (plus any
 # prior-round late additions still holding zero driver rows), (b)
 # entries whose code or oracle CHANGED this round, (c) filled to 50
@@ -30,88 +30,114 @@ def entry(spark: SparkSession) -> DataFrame:
 # local gate replica (scripts/check_oracle.py over ALL entries — same
 # compare: rows + columns + sorted value hash vs DuckDB).
 #
-# FRESHNESS LEDGER (entering r11, computed from CORRECTNESS_r01–r10 —
-# union of artifacts, latest row per entry): 37×r5, 45×r6, 47×r7,
-# 44×r8, 50×r9, 50×r10, 16×never (the 12 r10 late additions + the 4
-# entries NEW in r11). The r10 plan projected "12 + ≤1 new + 37 r5
-# fills clears ALL of r5"; r11's actual surface was broader — the
-# tombstone-ledger deletes, the shared index-lifecycle layer, the
-# in-plan training folds, and the streaming-harness unification CHANGE
-# the code under 27 row-holding entries, and policy places every one
-# of them in-window — so the fill budget this round is 7, taken from
-# the oldest (r5) rows alphabetically. After this window lands the
-# ledger reads 27×r5 (oldest), and those 27 lead the r12 (c) class.
+# FRESHNESS LEDGER (entering r12, computed from CORRECTNESS_r01–r11 —
+# union of artifacts, latest green row per entry): 27×r5, 44×r6,
+# 46×r7, 43×r8, 42×r9, 37×r10, 50×r11, 8×never (the 2 r11 late
+# additions + the 6 entries NEW in r12). The r11 verdict projected
+# "2 late additions + 27 r5 fills + NB re-gates ≈ 31"; the actual r12
+# surface puts 28 row-holding entries in-window by the (b) policy
+# (the decimal training-fold determinism change touches every
+# PQ/IVF-PQ/k-means-trained entry, the Arrow compaction both compact
+# legs, the normalize-on-ingest change every streaming probe), so the
+# fill budget is 14 — the oldest (r5) rows, alphabetical. After this
+# window lands the ledger reads 13×r5 (oldest; they lead the r13 (c)
+# class, named at the bottom of this comment).
 #
-# r11 window =
-# (a) the 12 r10 late additions with zero driver rows (the PQ
-#     streaming/compaction legs ×3, the IVF-PQ lifecycle ×5, the
-#     full-text index ×4) plus the 4 entries NEW this round:
-#     substring_probe_delete_readrepair (the pure tombstone
-#     read-repair window on an ample-cap build), bm25_conjunctive_capped
-#     + text_probe_conjunctive_capped (the require_all/max_df options,
-#     registry-gated on both paths), and text_probe_maxscore (exact
-#     early termination with an in-entry row-skip assertion);
-# (b) the 27 row-holding entries whose code or oracle changed:
-#     the doc-keyed index lifecycles now on the tombstone ledger
-#     (minhash/substring probe/append/delete/compact legs), every
-#     streaming ingest probe (shared _drain_ingest/_batch_commit_gate
-#     harness), the PQ/k-means training-fold consumers (kmeans_centroids,
-#     ivf_kmeans_topk, semantic_dedup_kmeans/groups, streaming_dedup,
-#     pq_adc_topk, ivfpq_topk_l2, pq_probe_* ×3), the shared-BM25-tail
-#     consumers (bm25_search, rrf_hybrid_retrieval), the parameterized
-#     substring delta oracle (substring_spans_delta), and the
-#     checkpointed batched-BPE trainer (bpe_train_merges_scaled);
-# (c) 7 fills — the oldest (r5) rows, alphabetical:
-#     avro_roundtrip_orders, bloom_filtered_join_agg, cms_heavy_hitters,
-#     corpus_snapshot_diff, dedup_delta_ingest, event_transition_matrix,
-#     format_roundtrip_orders.
+# r12 window =
+# (a) the 2 r11 late additions with zero driver rows
+#     (text_probe_multi_batch — batched BM25 serving;
+#     ivfpq_probe_refined — IndexRefineFlat re-rank) plus the 6
+#     entries NEW this round: text_probe_multi_maxscore (per-query
+#     MaxScore composed onto the batched probe, lockstep θ-search,
+#     in-entry skip assertions), text_probe_maxscore_after_append
+#     (termstats survive appends — no fallback, r11 verdict #4),
+#     text/minhash/substring_build_then_stream_probe (streaming onto
+#     a BUILT root via the batch=-1 layout normalization, r11 verdict
+#     #6), and seqf_roundtrip_orders (SequenceFile dseq/dsink, the
+#     last §2.4 partial row — pure-Python v6 reader forced in-gate).
+# (b) the 28 row-holding entries whose BEHAVIOR-AFFECTING code
+#     changed this round: the NB label-grid fix (nb_lang_model,
+#     nb_lang_scores — the r11 wrong answer), the exact-decimal
+#     training folds whose centroids/codebooks may shift in the last
+#     float digits (kmeans_centroids, ivf_kmeans_topk,
+#     semantic_dedup_kmeans/groups, pq_adc_topk, ivfpq_topk_l2, every
+#     pq_probe_*/ivfpq_probe_* lifecycle leg ×11,
+#     streaming_pq_ingest_probe, pq/ivfpq_ingest_compact_probe), the
+#     file-level Arrow compaction (ivf_probe_after_compact,
+#     ivf_ingest_compact_probe — ivfpq twins counted above), the
+#     incremental-termstats append protocol (text_probe_after_append),
+#     the invalidate-before-publish streaming order + normalize-on-
+#     ingest (text_ingest_compact_probe, streaming_minhash/ivf/
+#     substring_ingest_probe, minhash/substring_ingest_compact_probe).
+#     EXCEPTED from (b) with the r10 end-state-identical rule (each
+#     carries dedicated tests + the full local replica): the
+#     additive-default-None auto_compact_threshold parameter on the
+#     three delete legs (text/minhash/substring_probe_after_delete,
+#     substring_probe_delete_readrepair — no entry passes it), the
+#     failure-path-only meta-less-compact refusal
+#     (minhash/substring_probe_after_compact — their indexes always
+#     carry meta), write_params' JVM-literal write path (same 1-row
+#     record byte-for-byte in content — every index entry consumes
+#     it; pinned by the unchanged read_params round-trip tests), and
+#     docstring-only hunks (text_probe_maxscore, text_probe_persisted).
+# (c) 14 fills — the oldest (r5) rows, alphabetical:
+#     funnel_view_click_purchase, incremental_hourly_rollup,
+#     leakage_safe_split_counts, line_dedup_boiler,
+#     model_quality_scores, multimodal_resize, pii_scrub,
+#     profile_order_columns, q10_returned_items,
+#     q13_order_count_distribution, q15_top_supplier,
+#     q17_small_quantity_revenue, q18_large_volume_customers,
+#     q19_disjunctive_predicates.
 #
-# LATE ADDITIONS (landed after this window froze; each holds green
-# local full-gate evidence this round and they lead the r12 (a)
-# class): text_probe_multi_batch (a query BATCH served from one pruned
-# postings scan — the serving-throughput pattern, VALUES-map oracle)
-# and ivfpq_probe_refined (FAISS IndexRefineFlat: exact L2 re-rank of
-# the ADC top-k' candidates, full two-level-training + refine replay
-# oracle). Registry at freeze: 291.
-_R11_WINDOW = [
-    # (a) r10 late additions — zero driver rows until now
-    "pq_probe_after_compact", "streaming_pq_ingest_probe",
-    "pq_ingest_compact_probe", "ivfpq_probe_persisted",
-    "ivfpq_probe_after_append", "ivfpq_probe_after_delete",
-    "text_probe_persisted", "text_probe_after_append",
-    "text_probe_after_delete", "text_ingest_compact_probe",
-    "ivfpq_probe_after_compact", "ivfpq_ingest_compact_probe",
+# r5 rows REMAINING after this window (13 — the r13 (c) lead):
+# q21_waiting_supplier, q22_sales_opportunity, q4_priority_check,
+# quantized_embeddings, repetition_profile, retention_weekly_cohorts,
+# semantic_decontamination, sorted_neighborhood_candidates,
+# source_mixture_weights, substring_dedup_spans,
+# triangle_counts_dedup_graph, validate_orders_constraints,
+# zorder_pruned_scan.
+_R12_WINDOW = [
+    # (a) r11 late additions — zero driver rows until now
+    "text_probe_multi_batch", "ivfpq_probe_refined",
     # (a) new this round
-    "substring_probe_delete_readrepair", "bm25_conjunctive_capped",
-    "text_probe_conjunctive_capped", "text_probe_maxscore",
-    # (b) code/oracle changed this round (held rows through r10)
-    "ivfpq_topk_l2", "pq_adc_topk", "semantic_dedup_kmeans",
-    "semantic_dedup_groups", "rrf_hybrid_retrieval", "streaming_dedup",
-    "ivf_kmeans_topk", "bm25_search", "minhash_probe_persisted",
-    "substring_spans_delta", "minhash_probe_after_append",
-    "minhash_probe_after_delete", "substring_probe_after_delete",
-    "substring_probe_after_append", "kmeans_centroids",
+    "text_probe_multi_maxscore", "text_probe_maxscore_after_append",
+    "text_build_then_stream_probe", "minhash_build_then_stream_probe",
+    "substring_build_then_stream_probe", "seqf_roundtrip_orders",
+    # (b) behavior-affecting code changed this round (held rows)
+    "nb_lang_model", "nb_lang_scores",
+    "kmeans_centroids", "ivf_kmeans_topk",
+    "semantic_dedup_kmeans", "semantic_dedup_groups",
+    "pq_adc_topk", "ivfpq_topk_l2",
+    "pq_probe_persisted", "pq_probe_after_append",
+    "pq_probe_after_delete", "pq_probe_after_compact",
+    "streaming_pq_ingest_probe", "pq_ingest_compact_probe",
+    "ivfpq_probe_persisted", "ivfpq_probe_after_append",
+    "ivfpq_probe_after_delete", "ivfpq_probe_after_compact",
+    "ivfpq_ingest_compact_probe",
+    "ivf_probe_after_compact", "ivf_ingest_compact_probe",
+    "text_probe_after_append", "text_ingest_compact_probe",
     "streaming_minhash_ingest_probe", "streaming_ivf_ingest_probe",
-    "minhash_probe_after_compact", "streaming_substring_ingest_probe",
-    "pq_probe_persisted", "pq_probe_after_append", "pq_probe_after_delete",
-    "substring_probe_after_compact", "minhash_ingest_compact_probe",
-    "ivf_ingest_compact_probe", "substring_ingest_compact_probe",
-    "bpe_train_merges_scaled",
-    # (c) the 7 oldest (r5) fills, alphabetical
-    "avro_roundtrip_orders", "bloom_filtered_join_agg",
-    "cms_heavy_hitters", "corpus_snapshot_diff", "dedup_delta_ingest",
-    "event_transition_matrix", "format_roundtrip_orders",
+    "streaming_substring_ingest_probe",
+    "minhash_ingest_compact_probe", "substring_ingest_compact_probe",
+    # (c) the 14 oldest (r5) fills, alphabetical
+    "funnel_view_click_purchase", "incremental_hourly_rollup",
+    "leakage_safe_split_counts", "line_dedup_boiler",
+    "model_quality_scores", "multimodal_resize", "pii_scrub",
+    "profile_order_columns", "q10_returned_items",
+    "q13_order_count_distribution", "q15_top_supplier",
+    "q17_small_quantity_revenue", "q18_large_volume_customers",
+    "q19_disjunctive_predicates",
 ]
 
 
 def _ordered(d: dict) -> dict:
     # loud drift check (r3 advice): a rename/typo must fail here, not
     # silently slide an unverified entry into the 50-entry gate window
-    missing = set(_R11_WINDOW) - set(d)
+    missing = set(_R12_WINDOW) - set(d)
     assert not missing, f"window entries not in registry: {sorted(missing)}"
-    assert len(_R11_WINDOW) == 50, len(_R11_WINDOW)
-    assert len(set(_R11_WINDOW)) == 50, "duplicate window entries"
-    front = [n for n in _R11_WINDOW if n in d]
+    assert len(_R12_WINDOW) == 50, len(_R12_WINDOW)
+    assert len(set(_R12_WINDOW)) == 50, "duplicate window entries"
+    front = [n for n in _R12_WINDOW if n in d]
     return {n: d[n] for n in front} | {n: d[n] for n in d if n not in front}
 
 
