@@ -852,6 +852,97 @@ def _soak_text_probe_plain_dup_query(spark):
     )
 
 
+_MULTI_SOAK_QUERIES = [
+    (0, ("dup", "hash", "scan")),
+    (1, ("dup", "join")),
+    (2, ("dup", "scan")),
+    (3, ("hash", "scan")),
+]
+
+
+def _soak_text_probe_multi_plain(spark):
+    """A 4-query batch through the plain batched probe (r11): ONE
+    partition-pruned postings scan amortized over the batch — the
+    yardstick for the maxscore-composed row below. Compare also with
+    4× text_probe_plain_dup_query: the batch should cost far less
+    than 4 independent probes."""
+    from parkour_spark.operators.textindex import (
+        text_index_probe_bm25_multi,
+    )
+
+    return text_index_probe_bm25_multi(
+        spark, f"{DST}/text_index", _MULTI_SOAK_QUERIES, k=10
+    )
+
+
+def _soak_text_probe_multi_maxscore(spark):
+    """The SAME 4-query batch with per-query MaxScore composed on
+    (r12, r11 verdict #3): the lockstep θ-search adds O(log max_terms)
+    small jobs for the WHOLE batch, and the three dup-anchored queries
+    then skip their stopword postings outside dup's candidates — the
+    scan amortization and the skip compound instead of competing with
+    per-query job latency. No fallback asserted; per-query skips
+    printed into the soak log. Runs right after compact (termstats
+    fresh)."""
+    from parkour_spark.operators.textindex import (
+        text_index_probe_bm25_multi_maxscore,
+    )
+
+    stats: dict = {}
+    got = text_index_probe_bm25_multi_maxscore(
+        spark, f"{DST}/text_index", _MULTI_SOAK_QUERIES, k=10,
+        stats_out=stats,
+    )
+    got.collect()
+    assert stats["fallback"] is None, stats
+    for q, s in sorted(stats["per_query"].items()):
+        print(
+            f"    [multi-maxscore] q{q}: essential={s['essential']} "
+            f"rows_skipped>={s.get('rows_skipped_lower_bound')}"
+        )
+    return got
+
+
+def _soak_text_append_termstats_alive(spark):
+    """Append a 100-doc batch to the compacted 10× index, then serve
+    a MaxScore probe from it (r12, r11 verdict #4): the timed claim is
+    the append costs only its own batch work PLUS the staged termstats
+    merge (old termstats scan + batch stats + rename — NOT a postings
+    rewrite), and early termination SURVIVES the append (no fallback
+    asserted — under r11 this probe fell back to full scoring until
+    the next compact). Runs LAST in the text family: it mutates the
+    index."""
+    from parkour_spark.operators.textindex import (
+        text_index_append,
+        text_index_probe_bm25_maxscore,
+    )
+
+    docs = spark.read.parquet(f"{DST}/documents.parquet")
+    top = docs.agg(F.max("doc_id")).first()[0]
+    batch = (
+        docs.orderBy("doc_id").limit(100)
+        .select(
+            (F.col("doc_id") + top + 1).alias("doc_id"),
+            F.concat(F.col("text"), F.lit(" appended replica")).alias(
+                "text"
+            ),
+        )
+    )
+    text_index_append(batch, f"{DST}/text_index", n_buckets=16)
+    stats: dict = {}
+    got = text_index_probe_bm25_maxscore(
+        spark, f"{DST}/text_index", ("dup", "hash", "scan"), k=10,
+        stats_out=stats,
+    )
+    got.collect()
+    assert stats["fallback"] is None, stats  # survived the append
+    print(
+        f"    [append+maxscore] essential={stats['essential']} "
+        f"rows_skipped>={stats['rows_skipped_lower_bound']}"
+    )
+    return got
+
+
 def _soak_text_compact_only(spark):
     """Compact the survivor text index back to one term-sorted file
     set per bucket — exact row preservation, compaction ≪ rebuild."""
@@ -1011,6 +1102,13 @@ SOAK_CUSTOM = {
     "text_index_compact_only": _soak_text_compact_only,
     "text_probe_maxscore_only": _soak_text_probe_maxscore_only,
     "text_probe_plain_dup_query": _soak_text_probe_plain_dup_query,
+    # r12: the batched serving pair (scan amortization × per-query
+    # skip — r11 verdict #3) runs while termstats is still fresh; the
+    # append row runs LAST in the family (it mutates the index) and
+    # asserts early termination SURVIVED the append (r11 verdict #4)
+    "text_probe_multi_plain": _soak_text_probe_multi_plain,
+    "text_probe_multi_maxscore": _soak_text_probe_multi_maxscore,
+    "text_append_termstats_alive": _soak_text_append_termstats_alive,
     "bpe_train_seq16": _soak_bpe_seq16,
     "bpe_train_batched16": _soak_bpe_batched16,
     # r11: production-dimension IVF compaction economics + the
