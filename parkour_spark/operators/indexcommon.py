@@ -175,11 +175,14 @@ def clear_tombstones(spark, base: str) -> None:
 
 
 def pending_tombstone_count(spark, base: str) -> int:
-    """Distinct retired ids on the pending ledger (0 with no pending
-    delete — one driver-side glob, no job). The operational signal for
-    compact scheduling: deletes are LOGICAL until a compact reconciles
-    them (see the module compliance note), so a maintenance loop — or
-    the delete legs' own `auto_compact_threshold` — watches this."""
+    """Distinct retired ids on the pending ledger. Cost, honestly: the
+    no-pending case is one driver-side glob (no job); WITH a pending
+    ledger this runs a small Spark job (distinct+count over the |B|-row
+    ledger versions) — size frequent polls accordingly. The operational
+    signal for compact scheduling: deletes are LOGICAL until a compact
+    reconciles them (see the module compliance note), so a maintenance
+    loop — or the delete legs' own `auto_compact_threshold` — watches
+    this."""
     t = read_tombstones(spark, base)
     return 0 if t is None else t.count()
 
@@ -380,8 +383,12 @@ def arrow_concat_partition_tree(
         by_val[m.group(1)].append(f)
     if not by_val:
         return False
+    # only schemes pyarrow's FileSystem.from_uri actually MOUNTS (r12
+    # review: s3a/viewfs/abfs are Hadoop-connector schemes pyarrow
+    # rejects — admitting them crashed the foreach task instead of
+    # falling back to the Spark row fold that handles any Hadoop path)
     if urlparse(input_files[0]).scheme not in (
-        "", "file", "hdfs", "viewfs", "s3", "s3a", "gs", "abfs",
+        "", "file", "hdfs", "s3", "gs",
     ):
         return False
     items = [

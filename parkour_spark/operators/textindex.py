@@ -513,6 +513,50 @@ def text_index_probe_bm25(
     )
 
 
+def _maxscore_term_ub(r, n_docs: int, avgdl: float, k1: float, b: float):
+    """The per-document score upper bound for one termstats row —
+    idf(df) · tfn(max_tf, min_dl): tfn increases in tf and decreases
+    in dl, so this bounds the term's contribution for ANY document.
+    ONE copy (r12 review): the single-query and batched MaxScore
+    probes' exactness proofs both lean on this exact expression."""
+    import math
+
+    idf = math.log(1 + (n_docs - r["df"] + 0.5) / (r["df"] + 0.5))
+    tfn = (r["max_tf"] * (k1 + 1)) / (
+        r["max_tf"] + k1 * ((1 - b) + b * r["min_dl"] / avgdl)
+    )
+    return idf * tfn
+
+
+def _maxscore_rest_ub(ubs: dict, rest_terms: list) -> int:
+    """Micro-unit upper bound on any document's total score over the
+    NON-essential terms, +1 micro/term slack for per-term rounding —
+    the slack the exactness proof depends on, in one copy: each
+    term_micro = round(x·1e6) ≤ x·1e6 + 0.5 with x ≤ ub_t, so the sum
+    is ≤ ceil(Σ ub·1e6) + |rest|."""
+    import math
+
+    return math.ceil(sum(ubs[t] for t in rest_terms) * 1e6) + len(
+        rest_terms
+    )
+
+
+def _maxscore_prefix_sizes(n: int) -> list[int]:
+    """Geometric essential-prefix sizes (1, 2, 4, …, n-1) for the θ
+    search: O(log n) passes, total re-scanned prefix work ≤ 2× the
+    final pass — not the O(n) passes / O(n²) scans of unit growth
+    (r11 review). The trade: the chosen prefix may overshoot the
+    minimal essential set by <2×, shrinking the skip, never breaking
+    exactness."""
+    sizes, s = [], 1
+    while s < n:
+        sizes.append(s)
+        s *= 2
+    if sizes and sizes[-1] != n - 1:
+        sizes.append(n - 1)  # always test the largest proper prefix
+    return sizes
+
+
 def text_index_probe_bm25_maxscore(
     spark,
     path: str,
@@ -553,8 +597,6 @@ def text_index_probe_bm25_maxscore(
     θ never clearing the bound (uniform-ub queries) → the plain probe.
     Pass `stats_out={}` to receive {essential, theta_micro,
     rest_ub_micro, rows_skipped_lower_bound, fallback}."""
-    import math
-
     from parkour_spark.artifacts import read_parquet_or_none
     from parkour_spark.operators.corpus import _bm25_rank_filtered
     from parkour_spark.operators.indexcommon import read_tombstones
@@ -587,15 +629,10 @@ def text_index_probe_bm25_maxscore(
     if n_docs == 0 or not ts_rows:
         return plain("no_matching_terms")
     avgdl = n_total / n_docs
-
-    def ub(r) -> float:
-        idf = math.log(1 + (n_docs - r["df"] + 0.5) / (r["df"] + 0.5))
-        tfn = (r["max_tf"] * (k1 + 1)) / (
-            r["max_tf"] + k1 * ((1 - b) + b * r["min_dl"] / avgdl)
-        )
-        return idf * tfn
-
-    ubs = {r["term"]: ub(r) for r in ts_rows}
+    ubs = {
+        r["term"]: _maxscore_term_ub(r, n_docs, avgdl, k1, b)
+        for r in ts_rows
+    }
     dfs = {r["term"]: int(r["df"]) for r in ts_rows}
     order = sorted(ubs, key=lambda t: (-ubs[t], t))
     totals = spark.createDataFrame(
@@ -618,25 +655,13 @@ def text_index_probe_bm25_maxscore(
 
     # grow the essential prefix until θ (k-th best partial score over
     # E, in micro units — a lower bound on the true k-th best) clears
-    # the non-essential upper bound; each check is one partition-pruned
-    # pass over E's postings only. Prefix sizes grow GEOMETRICALLY
-    # (1, 2, 4, …) so the θ search costs O(log q) passes and total
-    # re-scanned prefix work ≤ 2× the final pass — not the O(q) passes
-    # / O(q²) scans of unit growth (r11 review). The trade: n_ess may
-    # overshoot the minimal essential set by <2×, shrinking the skip,
-    # never breaking exactness.
+    # the non-essential upper bound (shared _maxscore_rest_ub slack);
+    # each check is one partition-pruned pass over E's postings only,
+    # with geometric prefix growth (shared _maxscore_prefix_sizes)
     def rest_ub(i: int) -> int:
-        # +1 micro/term slack for per-term rounding in the comparison
-        return math.ceil(sum(ubs[t] for t in order[i:]) * 1e6) + len(
-            order[i:]
-        )
+        return _maxscore_rest_ub(ubs, order[i:])
 
-    sizes, s = [], 1
-    while s < len(order):
-        sizes.append(s)
-        s *= 2
-    if sizes and sizes[-1] != len(order) - 1:
-        sizes.append(len(order) - 1)  # always test the largest proper prefix
+    sizes = _maxscore_prefix_sizes(len(order))
     n_ess = len(order)
     theta = None
     chosen_rest_ub = 0
@@ -828,8 +853,6 @@ def text_index_probe_bm25_multi_maxscore(
     `stats_out={}` to receive {fallback, per_query: {qid: {essential,
     theta_micro, rest_ub_micro, rows_skipped_lower_bound}}} — the
     skip counters run extra jobs, only when asked."""
-    import math
-
     from parkour_spark.artifacts import read_parquet_or_none
     from parkour_spark.operators.indexcommon import read_tombstones
 
@@ -843,7 +866,13 @@ def text_index_probe_bm25_multi_maxscore(
 
     meta = _read_meta(spark, path)
     id_col, nb = meta["id_col"], int(meta["n_buckets"])
-    qsets = {int(q): sorted(set(terms)) for q, terms in query_sets}
+    # duplicate query ids UNION their term sets — the plain batched
+    # probe's (query_id, term)-pair semantics (r12 review: a dict
+    # comprehension kept only the last entry, silently dropping terms)
+    qsets: dict[int, set] = {}
+    for q, terms in query_sets:
+        qsets.setdefault(int(q), set()).update(terms)
+    qsets = {q: sorted(ts) for q, ts in qsets.items()}
     all_terms = sorted({t for terms in qsets.values() for t in terms})
     if not all_terms:
         return plain("empty_batch")
@@ -866,15 +895,10 @@ def text_index_probe_bm25_multi_maxscore(
     if n_docs == 0 or not ts_rows:
         return plain("no_matching_terms")
     avgdl = n_total / n_docs
-
-    def ub(r) -> float:
-        idf = math.log(1 + (n_docs - r["df"] + 0.5) / (r["df"] + 0.5))
-        tfn = (r["max_tf"] * (k1 + 1)) / (
-            r["max_tf"] + k1 * ((1 - b) + b * r["min_dl"] / avgdl)
-        )
-        return idf * tfn
-
-    ubs = {r["term"]: ub(r) for r in ts_rows}
+    ubs = {
+        r["term"]: _maxscore_term_ub(r, n_docs, avgdl, k1, b)
+        for r in ts_rows
+    }
     dfs = {r["term"]: int(r["df"]) for r in ts_rows}
     # per query: stored terms only (absent-from-corpus terms carry no
     # postings and no bound — same semantics as the plain probe, which
@@ -898,20 +922,9 @@ def text_index_probe_bm25_multi_maxscore(
     )
 
     def rest_ub(q: int, i: int) -> int:
-        rest = order[q][i:]
-        return math.ceil(sum(ubs[t] for t in rest) * 1e6) + len(rest)
+        return _maxscore_rest_ub(ubs, order[q][i:])
 
-    def prefix_sizes(q: int) -> list[int]:
-        n = len(order[q])
-        sizes, s = [], 1
-        while s < n:
-            sizes.append(s)
-            s *= 2
-        if sizes and sizes[-1] != n - 1:
-            sizes.append(n - 1)
-        return sizes
-
-    sizes = {q: prefix_sizes(q) for q in order}
+    sizes = {q: _maxscore_prefix_sizes(len(order[q])) for q in order}
     n_ess = {q: len(order[q]) for q in order}  # default: all essential
     theta = {}
     chosen_rest_ub = {}

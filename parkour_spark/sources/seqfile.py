@@ -325,39 +325,43 @@ def write_seqfile_py(
     returns the record count. `compress` = record compression with
     DefaultCodec (zlib-wrapped deflate — what Hadoop's Deflater
     emits); a sync marker lands every `sync_every` records (Hadoop
-    readers use them for split alignment and corruption checks)."""
+    readers use them for split alignment and corruption checks).
+    Records STREAM to the file as they arrive (r12 review: buffering
+    the whole file in a BytesIO held a full task partition's bytes in
+    RAM, defeating the generator input — the format is purely
+    sequential, so nothing needs to be held back)."""
     _, enc_key, _ = _codec_for(key_cls)
     _, enc_val, _ = _codec_for(val_cls)
-    buf = io.BytesIO()
-    buf.write(MAGIC)
-    _write_text(buf, key_cls)
-    _write_text(buf, val_cls)
-    buf.write(b"\x01" if compress else b"\x00")
-    buf.write(b"\x00")  # never block-compressed
-    if compress:
-        _write_text(buf, _DEFAULT_CODEC)
-    buf.write(struct.pack(">i", 0))  # empty metadata
-    buf.write(_SYNC)
     n = 0
-    for key, val in rows:
-        if n and n % sync_every == 0:
-            buf.write(SYNC_ESCAPE)
-            buf.write(_SYNC)
-        kb = io.BytesIO()
-        enc_key(kb, key)
-        vb = io.BytesIO()
-        enc_val(vb, val)
-        key_bytes = kb.getvalue()
-        val_bytes = vb.getvalue()
-        if compress:
-            val_bytes = zlib.compress(val_bytes)
-        buf.write(struct.pack(">i", len(key_bytes) + len(val_bytes)))
-        buf.write(struct.pack(">i", len(key_bytes)))
-        buf.write(key_bytes)
-        buf.write(val_bytes)
-        n += 1
     with open(path, "wb") as f:
-        f.write(buf.getvalue())
+        f.write(MAGIC)
+        hdr = io.BytesIO()
+        _write_text(hdr, key_cls)
+        _write_text(hdr, val_cls)
+        hdr.write(b"\x01" if compress else b"\x00")
+        hdr.write(b"\x00")  # never block-compressed
+        if compress:
+            _write_text(hdr, _DEFAULT_CODEC)
+        hdr.write(struct.pack(">i", 0))  # empty metadata
+        hdr.write(_SYNC)
+        f.write(hdr.getvalue())
+        for key, val in rows:
+            if n and n % sync_every == 0:
+                f.write(SYNC_ESCAPE)
+                f.write(_SYNC)
+            kb = io.BytesIO()
+            enc_key(kb, key)
+            vb = io.BytesIO()
+            enc_val(vb, val)
+            key_bytes = kb.getvalue()
+            val_bytes = vb.getvalue()
+            if compress:
+                val_bytes = zlib.compress(val_bytes)
+            f.write(struct.pack(">i", len(key_bytes) + len(val_bytes)))
+            f.write(struct.pack(">i", len(key_bytes)))
+            f.write(key_bytes)
+            f.write(val_bytes)
+            n += 1
     return n
 
 
@@ -518,11 +522,24 @@ def register_seqf_source(spark: SparkSession) -> bool:
 # ---------------------------------------------------------------------------
 
 
+def _local_path(path: str) -> bool:
+    """True when `path` is one the pure-Python fallback can actually
+    open (plain local path or file: URI). The fallback must NOT
+    swallow a real hdfs://-path failure and re-raise a misleading
+    FileNotFoundError from open() (r12 review)."""
+    from urllib.parse import urlparse
+
+    return urlparse(path).scheme in ("", "file")
+
+
 def read_seqf(spark: SparkSession, path: str) -> DataFrame:
     """seqf dseq (reference io/seqf.clj:12-19): core Spark's Hadoop
     binding unwraps the Writables JVM-side; rows surface as (key,
     value). Falls back to the pure-Python `parkour_seqf` DataSource
-    when the RDD converters are unavailable."""
+    when the JVM converters are unavailable — LOCAL paths only: a
+    remote-path JVM failure re-raises (the fallback could not read it
+    anyway, and masking the real error behind the fallback's
+    FileNotFoundError made failures undiagnosable — r12 review)."""
     try:
         rdd = spark.sparkContext.sequenceFile(path)
         first = rdd.take(1)
@@ -534,7 +551,13 @@ def read_seqf(spark: SparkSession, path: str) -> DataFrame:
                 [], _pair_schema(hdr["key_cls"], hdr["val_cls"])
             )
         return spark.createDataFrame(rdd, ["key", "value"])
-    except Exception:
+    except Exception as e:
+        if not _local_path(path):
+            raise
+        import sys
+
+        print(f"# read_seqf: JVM path failed ({e}); pure-Python "
+              "reader fallback", file=sys.stderr)
         register_seqf_source(spark)
         return spark.read.format("parkour_seqf").option("path", path).load()
 
@@ -544,12 +567,24 @@ def write_seqf(df: DataFrame, path: str, compress: bool = False) -> None:
     the key Writable, the second the value (a 1-column frame writes
     NullWritable values, the reference's `cval nil` default). JVM path
     first (`saveAsSequenceFile` — one file per task); pure-Python
-    DataSource as fallback."""
+    DataSource as fallback for local paths.
+
+    OVERWRITE semantics, explicit and uniform (r12 review): `path` is
+    DELETED first on both paths — previously a Hadoop
+    FileAlreadyExistsException was silently swallowed and the fallback
+    clobbered the existing files anyway, destroying data behind a
+    caller relying on error-on-exists. A JVM failure on a non-local
+    path re-raises (the Python fallback could not write there)."""
     cols = df.columns
     if len(cols) not in (1, 2):
         raise ValueError(
             f"write_seqf needs 1 or 2 columns, got {len(cols)}"
         )
+    from parkour_spark import fs as pfs
+
+    spark = df.sparkSession
+    if pfs.exists(spark, path):
+        pfs.delete(spark, path)
     try:
         if len(cols) == 2:
             rdd = df.rdd.map(lambda r: (r[0], r[1]))
@@ -561,9 +596,16 @@ def write_seqf(df: DataFrame, path: str, compress: bool = False) -> None:
         )
         rdd.saveAsSequenceFile(path, compressionCodecClass=codec)
         return
-    except Exception:
-        pass
-    register_seqf_source(df.sparkSession)
+    except Exception as e:
+        if not _local_path(path):
+            raise
+        import sys
+
+        print(f"# write_seqf: JVM path failed ({e}); pure-Python "
+              "writer fallback", file=sys.stderr)
+        if pfs.exists(spark, path):
+            pfs.delete(spark, path)  # partial JVM output
+    register_seqf_source(spark)
     (
         df.write.format("parkour_seqf")
         .mode("overwrite")

@@ -110,6 +110,21 @@ def test_multi_maxscore_falls_back_on_pending_tombstones(spark, tmp_path):
     )
 
 
+def test_multi_maxscore_duplicate_query_ids_union_terms(spark, tmp_path):
+    """Duplicate query ids UNION their term sets — the plain batched
+    probe's (query_id, term)-pair semantics (r12 review: a dict
+    comprehension kept only the LAST entry's terms, silently dropping
+    the rest and breaking the identity)."""
+    idx = str(tmp_path / "idx")
+    text_index_build(_skewed_corpus(spark), idx, n_buckets=4)
+    dup_qs = [(0, ("rareterm",)), (0, ("common", "shared"))]
+    got = text_index_probe_bm25_multi_maxscore(spark, idx, dup_qs, k=3)
+    ref = text_index_probe_bm25_multi(spark, idx, dup_qs, k=3)
+    assert _rows(got) == _rows(ref)
+    # non-vacuous: the merged query matches all three terms somewhere
+    assert max(r.n_qterms for r in got.collect()) == 3
+
+
 def test_multi_maxscore_k_exceeds_candidates_exact(spark, tmp_path):
     """k larger than any query's match count: θ never locks (no k-th
     row), every term goes essential, result still exact."""
