@@ -89,6 +89,14 @@ def entry(spark: SparkSession) -> DataFrame:
 #     q17_small_quantity_revenue, q18_large_volume_customers,
 #     q19_disjunctive_predicates.
 #
+# LATE ADDITION (landed after this window froze; green local
+# full-gate evidence this round; leads the r13 (a) class):
+# text_stream_then_maxscore_probe — streaming batches now MAINTAIN the
+# MaxScore termstats table through the staged-rename protocol (the
+# first batch creates it), so early termination serves from a
+# streaming-only root with no compact; full-scoring oracle, in-entry
+# no-fallback + rows-skipped assertions.
+#
 # r5 rows REMAINING after this window (13 — the r13 (c) lead):
 # q21_waiting_supplier, q22_sales_opportunity, q4_priority_check,
 # quantized_embeddings, repetition_profile, retention_weekly_cohorts,

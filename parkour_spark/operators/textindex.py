@@ -42,11 +42,12 @@ approximation.
   termstats/ — (term, df, max_tf, min_dl) per term, bucket-partitioned
               (r11): the MaxScore upper-bound table, written at
               build/compact, maintained INCREMENTALLY through appends
-              (r12 — df/max_tf/min_dl merge monotonically with the
-              batch, staged before and published after the postings
-              land so a crash leaves it absent, never stale) and
-              INVALIDATED by delete/streaming (df can shrink / the
-              batch protocol has no rename slot), consumed by
+              AND streaming batches (r12 — df/max_tf/min_dl merge
+              monotonically with each batch, staged before and
+              published after the batch's rows land so any crash
+              leaves it absent, never stale; a fresh streaming root's
+              first batch creates it), INVALIDATED only by delete
+              (df can shrink — the honest asymmetry), consumed by
               text_index_probe_bm25_maxscore.
 
 Lifecycle identities (each gate-pinned): probe(build(A)) ≡
@@ -184,10 +185,10 @@ def _write_termstats(spark, path: str) -> None:
     verdict #4). df is the exact per-term postings count (one row per
     (term, doc)); max_tf/min_dl bound the tf-normalization for ANY
     (k1, b), since tfn increases in tf and decreases in dl. Written at
-    build and compact; APPENDS maintain it incrementally (r12 — the
-    stage-invalidate-publish protocol in text_index_append); delete
-    and streaming ingest INVALIDATE it (df can shrink under delete; the
-    streaming commit unit has no atomic rename slot for it) — a stale
+    build and compact; appends AND streaming batches maintain it
+    incrementally (r12 — the stage-invalidate-publish protocol in
+    text_index_append / streaming_text_ingest); only DELETE
+    invalidates (df can shrink, so no monotone merge exists) — a stale
     df would mis-score, so the MaxScore probe falls back to the plain
     probe whenever the table is absent or a delete is pending. Real
     impact-ordered indexes are maintained at merge time for exactly
@@ -236,31 +237,39 @@ def _stage_merged_termstats(
     any postings byte lands, so the publish is a pure rename at the
     end of the append: a crash anywhere in between leaves termstats/
     ABSENT (probe falls back, exact) — never stale. Returns the
-    staging dir, or None when no live termstats exists to extend
-    (mutated-since-compact index: stays absent, compact restores)."""
+    staging dir, or None when the table cannot be reconstructed: a
+    POPULATED index whose termstats was invalidated (delete / crashed
+    mutation) stays absent until compact rebuilds it from the
+    reconciled survivors. An EMPTY index (fresh streaming root, zero
+    postings) is the exception — the batch's own stats ARE the exact
+    table, which is what keeps MaxScore alive from a streaming root's
+    very first micro-batch (r12)."""
     import uuid
 
     from parkour_spark import fs as pfs
     from parkour_spark.artifacts import read_parquet_or_none
 
     live = read_parquet_or_none(spark, path + "/termstats")
-    if live is None:
-        return None
     batch_ts = batch_post.groupBy("term", "tbucket").agg(
         F.count("*").alias("df"),
         F.max("tf").alias("max_tf"),
         F.min("dl").alias("min_dl"),
     )
-    merged = (
-        live.select("term", "tbucket", "df", "max_tf", "min_dl")
-        .unionByName(batch_ts)
-        .groupBy("term", "tbucket")
-        .agg(
-            F.sum("df").cast("long").alias("df"),
-            F.max("max_tf").alias("max_tf"),
-            F.min("min_dl").alias("min_dl"),
+    if live is None:
+        if _read_postings(spark, path) is not None:
+            return None  # invalidated on a populated index
+        merged = batch_ts  # empty index: the batch IS the corpus
+    else:
+        merged = (
+            live.select("term", "tbucket", "df", "max_tf", "min_dl")
+            .unionByName(batch_ts)
+            .groupBy("term", "tbucket")
+            .agg(
+                F.sum("df").cast("long").alias("df"),
+                F.max("max_tf").alias("max_tf"),
+                F.min("min_dl").alias("min_dl"),
+            )
         )
-    )
     staging = f"{path}/termstats.__next-{uuid.uuid4().hex}__"
     try:
         (
@@ -576,7 +585,7 @@ def text_index_probe_bm25_maxscore(
 
     How: the persisted `termstats/` table (df, max_tf, min_dl per
     term — written at build/compact, incrementally maintained through
-    appends since r12, INVALIDATED by delete/streaming)
+    appends and streaming since r12, INVALIDATED only by delete)
     gives each term a per-document score upper bound
     ub_t = idf(df_t) · tfn(max_tf_t, min_dl_t). Terms are taken in
     descending-ub order into the ESSENTIAL set E until the k-th best

@@ -13129,6 +13129,54 @@ def q_text_ingest_compact_probe(spark, sf_dir):
     )
 
 
+@query(
+    "text_stream_then_maxscore_probe",
+    _bm25_idx_oracle(terms=("dup", "hash", "scan")),
+)
+def q_text_stream_then_maxscore_probe(spark, sf_dir):
+    """MaxScore served from a STREAMING-ONLY index with NO compact
+    (r12): streaming_text_ingest maintains the termstats table through
+    every micro-batch via the staged stage→invalidate→publish→rename
+    protocol — the first batch CREATES it from its own stats, later
+    batches merge monotonically — so early termination works the
+    moment the stream drains. The 4-batch replay covers the full
+    corpus; the entry asserts no fallback fired and the row skip is
+    real, and the gate pins the result against the FULL-scoring
+    oracle. Under r11 every streaming batch invalidated the table and
+    this probe fell back until a compact ran."""
+    import tempfile
+
+    from parkour_spark.operators.textindex import (
+        text_index_probe_bm25_maxscore,
+    )
+    from parkour_spark.streaming.windows import streaming_text_ingest
+
+    docs = _t(spark, sf_dir, "documents")
+    key = (sf_dir, "text_stream_ms")
+    if key not in _R10_INDEX_DIRS:
+        src = tempfile.mkdtemp(prefix="parkour_text_sms_src_")
+        docs.select("doc_id", "text").repartition(4).write.mode(
+            "overwrite"
+        ).parquet(src)
+        idx = tempfile.mkdtemp(prefix="parkour_text_sms_idx_")
+        streaming_text_ingest(
+            spark, src, spark.read.parquet(src).schema, idx, n_buckets=16
+        )
+        _R10_INDEX_DIRS[key] = idx
+    stats: dict = {}
+    out = text_index_probe_bm25_maxscore(
+        spark,
+        _R10_INDEX_DIRS[key],
+        ("dup", "hash", "scan"),
+        k=10,
+        stats_out=stats,
+    )
+    assert stats["fallback"] is None, stats  # alive without a compact
+    assert stats["essential"] == ["dup"], stats
+    assert stats["rows_skipped_lower_bound"] > 0, stats
+    return out
+
+
 # ===========================================================================
 # r12: streaming ingest ONTO a built root (r11 verdict #6) — the r11
 # house contract required streaming into a fresh root because build

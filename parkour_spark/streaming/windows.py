@@ -1190,7 +1190,19 @@ def streaming_text_ingest(
     rewrite); a replay that finds doclen committed but postings not is
     the torn middle state — both dirs are rebuilt, so the pair commits
     or neither does. After draining: probe ≡ probe(build(all)),
-    gate-pinned; `text_index_compact` is the terminal fold."""
+    gate-pinned; `text_index_compact` is the terminal fold.
+
+    TERMSTATS STAY ALIVE through the stream (r12, extending the r11
+    verdict #4 append protocol): each batch stages the merged MaxScore
+    table BEFORE invalidating the live one and publishes it with one
+    rename AFTER the pair commits — a fresh root's first batch creates
+    the table from its own stats, so early termination serves from a
+    streaming index WITHOUT waiting for a compact. Any crash ordering
+    leaves the table absent (probe falls back, exact, and it STAYS
+    absent for the rest of the run — the catch-up replay invalidates
+    because a replayed batch cannot know whether the staged merge
+    covered it); compact restores. Delete still invalidates (df can
+    shrink — the honest asymmetry)."""
     import os
 
     from parkour_spark import fs as pfs
@@ -1201,6 +1213,8 @@ def streaming_text_ingest(
         _doclen,
         _invalidate_termstats,
         _postings,
+        _stage_merged_termstats,
+        _sweep_termstats_staging,
         _write_stats,
     )
 
@@ -1208,11 +1222,11 @@ def streaming_text_ingest(
 
     def rederive() -> None:
         _write_stats(spark, index_path)
-        # streaming batches change df/N/avgdl exactly like a batch
-        # append, so the MaxScore table must be invalidated with the
-        # same discipline (r11 review: a stale termstats df would
-        # silently mis-score maxscore probes with no fallback fired);
-        # idempotent, and the catch-up path re-runs it too
+        # catch-up on REPLAY: a replayed batch cannot know whether the
+        # staged termstats merge covered it (the crash may have landed
+        # between the postings publish and the rename), so the only
+        # exact move is invalidation — stale df must never serve (r11
+        # review); the happy path below maintains the table instead
         _invalidate_termstats(spark, index_path)
 
     def ingest(batch_df, batch_id: int) -> None:
@@ -1226,15 +1240,6 @@ def streaming_text_ingest(
         check_ids_not_tombstoned(
             spark, index_path, batch_df.select(id_col), id_col
         )
-        # invalidate termstats BEFORE the batch's rows become visible
-        # (r11 ADVICE): with the old publish-then-invalidate order, a
-        # crash between the postings publish and the rederive left a
-        # committed batch scored against a stale df with no fallback
-        # fired; absent-until-rederive is the safe state (exact, just
-        # slower) and the catch-up replay re-runs the invalidation too
-        _invalidate_termstats(spark, index_path)
-        if pfs.exists(spark, ldir):
-            pfs.delete(spark, ldir)  # torn pair: doclen without postings
         if not pfs.exists(spark, os.path.join(index_path, "meta")):
             write_params(
                 spark,
@@ -1243,24 +1248,47 @@ def streaming_text_ingest(
             )
         else:
             _check_text_meta(spark, index_path, n_buckets)
-        publish_dir(
-            spark,
-            ldir,
-            lambda tmp: _doclen(batch_df, text_col, id_col)
-            .write.mode("overwrite")
-            .parquet(tmp),
-        )
-        publish_dir(
-            spark,
-            pdir,
-            lambda tmp: _postings(batch_df, text_col, id_col, n_buckets)
-            .repartition("tbucket")
-            .sortWithinPartitions("term", id_col)
-            .write.mode("overwrite")
-            .partitionBy("tbucket")
-            .parquet(tmp),
-        )
-        rederive()
+        _sweep_termstats_staging(spark, index_path)
+        batch_post = _postings(batch_df, text_col, id_col, n_buckets).persist()
+        try:
+            # the append protocol's stage → invalidate → publish →
+            # rename ordering (textindex.text_index_append): stage the
+            # merged termstats while the live table still matches the
+            # live postings, invalidate BEFORE any batch row becomes
+            # visible (r11 ADVICE — the old publish-then-invalidate
+            # order could serve a committed batch against a stale df),
+            # publish the pair, rewrite stats, rename the merge in
+            staging = _stage_merged_termstats(
+                spark, index_path, batch_post
+            )
+            _invalidate_termstats(spark, index_path)
+            if pfs.exists(spark, ldir):
+                pfs.delete(spark, ldir)  # torn pair: doclen, no postings
+            publish_dir(
+                spark,
+                ldir,
+                lambda tmp: _doclen(batch_df, text_col, id_col)
+                .write.mode("overwrite")
+                .parquet(tmp),
+            )
+            publish_dir(
+                spark,
+                pdir,
+                lambda tmp: batch_post
+                .repartition("tbucket")
+                .sortWithinPartitions("term", id_col)
+                .write.mode("overwrite")
+                .partitionBy("tbucket")
+                .parquet(tmp),
+            )
+            _write_stats(spark, index_path)
+            if staging is not None:
+                if not pfs.rename(
+                    spark, staging, index_path + "/termstats"
+                ):
+                    pfs.delete(spark, staging)  # absent → fallback
+        finally:
+            batch_post.unpersist()
         caught_up[0] = True  # derived state now covers all stored rows
 
     return _drain_ingest(
