@@ -107,6 +107,10 @@ HEADLINE = [
     # round-over-round like pq_probe_persisted already is
     "text_probe_persisted",
     "ivfpq_probe_persisted",
+    # r12: the batched serving path (one pruned postings scan amortized
+    # over a query batch — the serving-THROUGHPUT number, tracked next
+    # to the single-query latency row above)
+    "text_probe_multi_batch",
 ]
 
 
