@@ -89,13 +89,25 @@ def entry(spark: SparkSession) -> DataFrame:
 #     q17_small_quantity_revenue, q18_large_volume_customers,
 #     q19_disjunctive_predicates.
 #
-# LATE ADDITION (landed after this window froze; green local
-# full-gate evidence this round; leads the r13 (a) class):
-# text_stream_then_maxscore_probe — streaming batches now MAINTAIN the
-# MaxScore termstats table through the staged-rename protocol (the
-# first batch creates it), so early termination serves from a
-# streaming-only root with no compact; full-scoring oracle, in-entry
-# no-fallback + rows-skipped assertions.
+# LATE ADDITIONS (landed after this window froze; green local
+# full-gate evidence this round; they lead the r13 (a) class):
+# 1. text_stream_then_maxscore_probe — streaming batches now MAINTAIN
+#    the MaxScore termstats table through the staged-rename protocol
+#    (the first batch creates it), so early termination serves from a
+#    streaming-only root with no compact; full-scoring oracle,
+#    in-entry no-fallback + rows-skipped assertions.
+# 2. text_probe_maxscore_after_delete — the delete leg maintains
+#    termstats on opt-in (maintain_termstats=True: survivor-exact df
+#    decrement staged from one column-pruned postings scan;
+#    max_tf/min_dl kept as still-valid bounds) and BOTH MaxScore
+#    probes now serve a pending tombstone ledger via slice anti-joins
+#    instead of falling back; survivor-corpus full-scoring oracle,
+#    in-entry no-fallback + rows-skipped assertions. The probe-side
+#    change is end-state-identical for every ledger-free index (tomb
+#    is None → identical plan), which covers every OTHER gated
+#    maxscore entry's configuration — each re-verified in the local
+#    replica plus dedicated tests (test_r12_delete_termstats.py, the
+#    maintained-delete ≡ survivor-build hypothesis property).
 #
 # r5 rows REMAINING after this window (13 — the r13 (c) lead):
 # q21_waiting_supplier, q22_sales_opportunity, q4_priority_check,

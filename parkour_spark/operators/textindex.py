@@ -46,9 +46,18 @@ approximation.
               monotonically with each batch, staged before and
               published after the batch's rows land so any crash
               leaves it absent, never stale; a fresh streaming root's
-              first batch creates it), INVALIDATED only by delete
-              (df can shrink — the honest asymmetry), consumed by
-              text_index_probe_bm25_maxscore.
+              first batch creates it) AND through deletes when the
+              caller opts in (`maintain_termstats=True` — exact df
+              decrement from one column-pruned postings scan;
+              max_tf/min_dl go stale-but-bounding), consumed by the
+              MaxScore probes. TABLE CONTRACT (what every leg
+              preserves and the probes' exactness proofs lean on):
+              when present, df is EXACT for the SURVIVOR membership
+              (postings minus the pending tombstone ledger), while
+              max_tf ≥ the survivors' max tf and min_dl ≤ their min
+              dl per term — still-valid bounds, possibly loose after
+              a maintained delete. A leg that cannot preserve this
+              leaves the table ABSENT (probes fall back, exact).
 
 Lifecycle identities (each gate-pinned): probe(build(A)) ≡
 bm25_topk(A); append(B) ≡ build(A∪B) — postings/doclen are per-doc
@@ -187,12 +196,16 @@ def _write_termstats(spark, path: str) -> None:
     (k1, b), since tfn increases in tf and decreases in dl. Written at
     build and compact; appends AND streaming batches maintain it
     incrementally (r12 — the stage-invalidate-publish protocol in
-    text_index_append / streaming_text_ingest); only DELETE
-    invalidates (df can shrink, so no monotone merge exists) — a stale
-    df would mis-score, so the MaxScore probe falls back to the plain
-    probe whenever the table is absent or a delete is pending. Real
-    impact-ordered indexes are maintained at merge time for exactly
-    this reason (Turtle & Flood 1995)."""
+    text_index_append / streaming_text_ingest); DELETE invalidates by
+    default (df shrinks — no monotone merge exists) but maintains the
+    table exactly when asked (`maintain_termstats=True`: one
+    column-pruned postings scan decrements df per term; see
+    _stage_decremented_termstats). A stale df would mis-score, so the
+    MaxScore probes fall back to plain scoring whenever the table is
+    absent — presence is the module-docstring contract: df
+    survivor-exact, max_tf/min_dl valid bounds. Real impact-ordered
+    indexes are maintained at merge time for exactly this reason
+    (Turtle & Flood 1995)."""
     from parkour_spark import fs as pfs
     from parkour_spark.artifacts import publish_swap
 
@@ -270,6 +283,96 @@ def _stage_merged_termstats(
                 F.min("min_dl").alias("min_dl"),
             )
         )
+    staging = f"{path}/termstats.__next-{uuid.uuid4().hex}__"
+    try:
+        (
+            merged.repartition("tbucket")
+            .sortWithinPartitions("term")
+            .write.mode("overwrite")
+            .partitionBy("tbucket")
+            .parquet(staging)
+        )
+    except BaseException:
+        if pfs.exists(spark, staging):
+            pfs.delete(spark, staging)
+        raise
+    return staging
+
+
+def _stage_decremented_termstats(
+    spark, path: str, ids: DataFrame, id_col: str
+) -> str | None:
+    """Stage the POST-DELETE termstats (r12 extra wave — closing the
+    'delete invalidates' asymmetry the r11/r12 notes called honest):
+    df CAN be maintained exactly through a tombstone delete, because
+    the decrement per term is just the number of postings rows whose
+    id is newly retired — one column-pruned (term, tbucket, id) scan
+    of postings/ joined to the delete batch. Cost, honestly: that
+    scan touches every postings file (the layout partitions by term
+    bucket, not id), flat in |B| but O(index bytes read) — which is
+    why the delete leg takes this path only on `maintain_termstats=
+    True`; the default stays the O(|B|) ledger append + invalidate.
+
+    max_tf / min_dl are NOT recomputed (that would need the per-term
+    survivor max/min — a full re-aggregation): deleting docs can only
+    SHRINK a term's max tf and RAISE its min dl, so the stored values
+    remain valid upper/lower bounds — the probes' ub expression stays
+    an upper bound (possibly loose → smaller skip, never wrong),
+    while scoring itself reads tf/dl from postings rows and df from
+    this table, both survivor-exact. That is precisely the table
+    contract in the module docstring.
+
+    Exactness of the decrement: the batch is first reduced to ids NOT
+    already on the pending ledger (a re-delete must not decrement
+    twice) — live df counts survivors net of the EXISTING ledger (by
+    induction over the maintained legs), so df' = df_live −
+    |postings_t ∩ (B ∖ ledger)| = survivors net of ledger ∪ B. Terms
+    whose survivor df reaches 0 drop out of the table entirely (their
+    remaining postings rows are all tombstoned; keeping a df=0 row
+    would only inflate the probes' term order).
+
+    Same staging discipline as the append stager: materialize to a
+    `termstats.__next-*__` sibling (swept by the same crash sweep)
+    while the live table is still consistent, return the path for the
+    caller to rename in LAST — any crash ordering leaves the table
+    absent, never stale. Returns None when there is nothing to
+    maintain (table absent or index empty)."""
+    import uuid
+
+    from parkour_spark import fs as pfs
+    from parkour_spark.artifacts import read_parquet_or_none
+    from parkour_spark.operators.indexcommon import read_tombstones
+
+    live = read_parquet_or_none(spark, path + "/termstats")
+    if live is None:
+        return None
+    post = _read_postings(spark, path)
+    if post is None:
+        return None
+    new_ids = ids.select(F.col(ids.columns[0]).alias(id_col)).distinct()
+    ledger = read_tombstones(spark, path)
+    if ledger is not None:
+        new_ids = new_ids.join(F.broadcast(ledger), id_col, "left_anti")
+    dec = (
+        post.select("term", "tbucket", id_col)
+        .join(F.broadcast(new_ids), id_col)
+        .groupBy("term", "tbucket")
+        .agg(F.count("*").alias("__dec"))
+    )
+    merged = (
+        live.select("term", "tbucket", "df", "max_tf", "min_dl")
+        .join(dec, ["term", "tbucket"], "left")
+        .select(
+            "term",
+            "tbucket",
+            (F.col("df") - F.coalesce(F.col("__dec"), F.lit(0)))
+            .cast("long")
+            .alias("df"),
+            "max_tf",
+            "min_dl",
+        )
+        .where(F.col("df") > 0)
+    )
     staging = f"{path}/termstats.__next-{uuid.uuid4().hex}__"
     try:
         (
@@ -401,6 +504,7 @@ def text_index_delete(
     ids: DataFrame,
     path: str,
     auto_compact_threshold: int | None = None,
+    maintain_termstats: bool = False,
 ) -> None:
     """DELETE documents in O(|delete set|): the retired ids land on
     the index's tombstone ledger (one atomic |B|-row write — postings/
@@ -429,18 +533,40 @@ def text_index_delete(
     indexcommon module note). Pass `auto_compact_threshold=N` to run
     `text_index_compact` inline once the pending ledger exceeds N ids;
     right-to-be-forgotten flows should either do that or follow up
-    with an explicit compact + ids_remaining audit."""
+    with an explicit compact + ids_remaining audit.
+
+    MAINTAIN TERMSTATS (r12): by default the delete INVALIDATES the
+    MaxScore termstats table (df shrinks; no monotone merge), so
+    early termination dies until the next compact. Pass
+    `maintain_termstats=True` to keep it alive: the per-term df
+    decrement is staged from one column-pruned postings scan BEFORE
+    the ledger lands and renamed in LAST (max_tf/min_dl stay as
+    still-valid bounds — the module-docstring table contract), at the
+    honest cost of giving up the pure-O(|B|) delete for that one
+    scan. Either crash order leaves the table absent → probes fall
+    back, exact — the same staged-rename guarantee as the append
+    leg."""
+    from parkour_spark import fs as pfs
     from parkour_spark.operators.indexcommon import (
         append_tombstones,
         pending_tombstone_count,
     )
 
     id_col = _read_meta(spark, path)["id_col"]
+    _sweep_termstats_staging(spark, path)
+    staging = None
+    if maintain_termstats:
+        # stage while live termstats/ledger still describe the
+        # pre-delete survivor state (the stager dedups vs the ledger)
+        staging = _stage_decremented_termstats(spark, path, ids, id_col)
     _invalidate_termstats(spark, path)  # first: a stale df must never
     # outlive the ledger write (either crash order leaves the MaxScore
     # probe falling back, never mis-scoring)
     append_tombstones(spark, path, ids, id_col)
     _write_stats(spark, path)
+    if staging is not None:
+        if not pfs.rename(spark, staging, path + "/termstats"):
+            pfs.delete(spark, staging)  # absent → fallback, never stale
     if (
         auto_compact_threshold is not None
         and pending_tombstone_count(spark, path) > auto_compact_threshold
@@ -585,8 +711,10 @@ def text_index_probe_bm25_maxscore(
 
     How: the persisted `termstats/` table (df, max_tf, min_dl per
     term — written at build/compact, incrementally maintained through
-    appends and streaming since r12, INVALIDATED only by delete)
-    gives each term a per-document score upper bound
+    appends and streaming since r12, and through deletes on
+    `maintain_termstats=True`; the module-docstring contract makes
+    presence imply survivor-exact df + valid bounds) gives each term
+    a per-document score upper bound
     ub_t = idf(df_t) · tfn(max_tf_t, min_dl_t). Terms are taken in
     descending-ub order into the ESSENTIAL set E until the k-th best
     partial score over E alone (θ, a valid lower bound on the true
@@ -601,11 +729,16 @@ def text_index_probe_bm25_maxscore(
     Scale shape: the win is Σ_{t∉E} (df_t − |candidates ∩ postings_t|)
     rows never scored — for a query mixing one rare term with
     stopword-adjacent terms that is nearly the whole stopword list.
-    Fallbacks (always exact, never wrong): termstats absent (index
-    mutated since last build/compact), a pending tombstone ledger, or
-    θ never clearing the bound (uniform-ub queries) → the plain probe.
-    Pass `stats_out={}` to receive {essential, theta_micro,
-    rest_ub_micro, rows_skipped_lower_bound, fallback}."""
+    A PENDING tombstone ledger is served, not fallen back from (r12):
+    every postings slice — θ passes, essential rows, candidate set,
+    non-essential semi-join — anti-joins the ledger first, so θ and
+    the final scores derive from survivors only, and the maintained
+    termstats df matches the plain probe's post-anti-join window df
+    row for row. Fallbacks (always exact, never wrong): termstats
+    absent (index mutated without maintenance since the last
+    build/compact) or θ never clearing the bound (uniform-ub queries)
+    → the plain probe. Pass `stats_out={}` to receive {essential,
+    theta_micro, rest_ub_micro, rows_skipped_lower_bound, fallback}."""
     from parkour_spark.artifacts import read_parquet_or_none
     from parkour_spark.operators.corpus import _bm25_rank_filtered
     from parkour_spark.operators.indexcommon import read_tombstones
@@ -622,11 +755,12 @@ def text_index_probe_bm25_maxscore(
     ts_df = read_parquet_or_none(spark, path + "/termstats")
     if ts_df is None:
         return plain("no_termstats")
-    if read_tombstones(spark, path) is not None:
-        return plain("pending_tombstones")
     stored = _read_postings(spark, path)
     if stored is None:
         return plain("empty_index")
+    # pending deletes are SERVED (r12): read the ledger once; every
+    # slice below anti-joins it, so θ and scores see survivors only
+    tomb = read_tombstones(spark, path)
     buckets = sorted({_py_bucket(t, nb) for t in qlist})
     ts_rows = (
         ts_df.where(F.col("tbucket").isin(buckets))
@@ -653,11 +787,14 @@ def text_index_probe_bm25_maxscore(
 
     def slice_terms(terms: list[str]) -> DataFrame:
         bks = sorted({_py_bucket(t, nb) for t in terms})
-        return (
+        tf = (
             stored.where(F.col("tbucket").isin(bks))
             .where(F.col("term").isin(terms))
             .select(id_col, "dl", "term", "tf")
         )
+        if tomb is not None:
+            tf = tf.join(F.broadcast(tomb), id_col, "left_anti")
+        return tf
 
     def with_df(tf: DataFrame) -> DataFrame:
         return tf.join(F.broadcast(df_table), "term")
@@ -857,8 +994,12 @@ def text_index_probe_bm25_multi_maxscore(
     ≤ rest_ub < θ_q ≤ the true k-th best — strictly below the cut,
     ties included: the identity is exact, not approximate.
 
-    Fallbacks (batch-wide, always exact): termstats absent, pending
-    tombstones, or an empty index → the plain batched probe. Pass
+    A pending tombstone ledger is served, not fallen back from (r12):
+    the one shared slice anti-joins the ledger before any θ pass or
+    scoring, so every query's θ and scores derive from survivors only
+    while the maintained termstats df stays exact (the module
+    table contract). Fallbacks (batch-wide, always exact): termstats
+    absent or an empty index → the plain batched probe. Pass
     `stats_out={}` to receive {fallback, per_query: {qid: {essential,
     theta_micro, rest_ub_micro, rows_skipped_lower_bound}}} — the
     skip counters run extra jobs, only when asked."""
@@ -888,11 +1029,11 @@ def text_index_probe_bm25_multi_maxscore(
     ts_df = read_parquet_or_none(spark, path + "/termstats")
     if ts_df is None:
         return plain("no_termstats")
-    if read_tombstones(spark, path) is not None:
-        return plain("pending_tombstones")
     stored = _read_postings(spark, path)
     if stored is None:
         return plain("empty_index")
+    tomb = read_tombstones(spark, path)  # served via the slice
+    # anti-join below, never a fallback (r12)
     buckets = sorted({_py_bucket(t, nb) for t in all_terms})
     ts_rows = (
         ts_df.where(F.col("tbucket").isin(buckets))
@@ -927,8 +1068,10 @@ def text_index_probe_bm25_multi_maxscore(
         stored.where(F.col("tbucket").isin(buckets))
         .where(F.col("term").isin(all_terms))
         .select(id_col, "dl", "term", "tf")
-        .join(F.broadcast(df_table), "term")
     )
+    if tomb is not None:
+        tf = tf.join(F.broadcast(tomb), id_col, "left_anti")
+    tf = tf.join(F.broadcast(df_table), "term")
 
     def rest_ub(q: int, i: int) -> int:
         return _maxscore_rest_ub(ubs, order[q][i:])

@@ -13096,6 +13096,57 @@ def q_text_probe_after_delete(spark, sf_dir):
     )
 
 
+@query(
+    "text_probe_maxscore_after_delete",
+    _bm25_idx_oracle(where="doc_id % 10 <> 7", terms=("dup", "hash", "scan")),
+)
+def q_text_probe_maxscore_after_delete(spark, sf_dir):
+    """MaxScore early termination SURVIVING a delete (r12 extra wave —
+    the last lifecycle leg where it died): `text_index_delete(...,
+    maintain_termstats=True)` stages a survivor-exact df decrement
+    from one column-pruned postings scan (max_tf/min_dl stay as
+    still-valid bounds) and renames it in after the ledger lands, and
+    the probe now serves a PENDING tombstone ledger by anti-joining
+    every slice — θ passes included — instead of falling back. The
+    entry asserts no fallback fired and the row skip is real on the
+    deleted index; the gate pins the rows against the SURVIVOR-corpus
+    full-scoring oracle (df, N, avgdl all shifted as a survivor
+    build). Under r11 this probe fell back to plain scoring until the
+    next compact."""
+    import tempfile
+
+    from parkour_spark.operators.textindex import (
+        text_index_build,
+        text_index_delete,
+        text_index_probe_bm25_maxscore,
+    )
+
+    docs = _t(spark, sf_dir, "documents")
+    key = (sf_dir, "text_delete_ms")
+    if key not in _R10_INDEX_DIRS:
+        tmp = tempfile.mkdtemp(prefix="parkour_textidx_delms_")
+        text_index_build(docs, tmp, n_buckets=16)
+        text_index_delete(
+            spark,
+            docs.where(F.col("doc_id") % 10 == 7).select("doc_id"),
+            tmp,
+            maintain_termstats=True,
+        )
+        _R10_INDEX_DIRS[key] = tmp
+    stats: dict = {}
+    out = text_index_probe_bm25_maxscore(
+        spark,
+        _R10_INDEX_DIRS[key],
+        ("dup", "hash", "scan"),
+        k=10,
+        stats_out=stats,
+    )
+    assert stats["fallback"] is None, stats  # survived the delete
+    assert stats["essential"] == ["dup"], stats
+    assert stats["rows_skipped_lower_bound"] > 0, stats
+    return out
+
+
 @query("text_ingest_compact_probe", _bm25_idx_oracle())
 def q_text_ingest_compact_probe(spark, sf_dir):
     """END-TO-END pipeline for the text index: 4-batch exactly-once

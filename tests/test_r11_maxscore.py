@@ -114,7 +114,7 @@ def test_maxscore_append_onto_absent_termstats_stays_absent(spark, tmp_path):
     got = text_index_probe_bm25_maxscore(
         spark, idx, TERMS, k=2, stats_out=stats
     )
-    assert stats["fallback"] in ("no_termstats", "pending_tombstones")
+    assert stats["fallback"] == "no_termstats"
     assert _rows(got) == _rows(text_index_probe_bm25(spark, idx, TERMS, k=2))
 
 
@@ -134,7 +134,7 @@ def test_append_sweeps_crashed_termstats_staging(spark, tmp_path):
     assert pfs.exists(spark, idx + "/termstats")
 
 
-def test_maxscore_falls_back_on_pending_tombstones(spark, tmp_path):
+def test_maxscore_falls_back_after_default_delete(spark, tmp_path):
     idx = str(tmp_path / "idx")
     text_index_build(_skewed_corpus(spark), idx, n_buckets=4)
     text_index_delete(spark, _docs(spark, [(1, "")]).select("doc_id"), idx)
@@ -142,9 +142,11 @@ def test_maxscore_falls_back_on_pending_tombstones(spark, tmp_path):
     got = text_index_probe_bm25_maxscore(
         spark, idx, TERMS, k=2, stats_out=stats
     )
-    # delete invalidates termstats first, so that's the trigger seen;
-    # either fallback reason is exact — the pin is identity + fallback
-    assert stats["fallback"] in ("no_termstats", "pending_tombstones")
+    # the default delete INVALIDATES termstats (r12: a pending ledger
+    # by itself is served, not fallen back from — see
+    # test_r12_delete_termstats for the maintained path), so absence
+    # is the trigger; the pin is identity + fallback
+    assert stats["fallback"] == "no_termstats"
     assert _rows(got) == _rows(text_index_probe_bm25(spark, idx, TERMS, k=2))
 
 

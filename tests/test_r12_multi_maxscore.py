@@ -94,7 +94,7 @@ def test_multi_maxscore_falls_back_without_termstats(spark, tmp_path):
     )
 
 
-def test_multi_maxscore_falls_back_on_pending_tombstones(spark, tmp_path):
+def test_multi_maxscore_falls_back_after_default_delete(spark, tmp_path):
     idx = str(tmp_path / "idx")
     text_index_build(_skewed_corpus(spark), idx, n_buckets=4)
     text_index_delete(
@@ -104,7 +104,9 @@ def test_multi_maxscore_falls_back_on_pending_tombstones(spark, tmp_path):
     got = text_index_probe_bm25_multi_maxscore(
         spark, idx, QSETS, k=2, stats_out=stats
     )
-    assert stats["fallback"] in ("no_termstats", "pending_tombstones")
+    # r12: the default delete invalidates termstats; a pending ledger
+    # with a MAINTAINED table is served (test_r12_delete_termstats)
+    assert stats["fallback"] == "no_termstats"
     assert _rows(got) == _rows(
         text_index_probe_bm25_multi(spark, idx, QSETS, k=2)
     )

@@ -182,3 +182,60 @@ def test_seqfile_python_roundtrip_property(tmp_path_factory, case, data):
     )
     assert n == len(rows)
     assert list(read_seqfile_py(p)) == rows
+
+
+@given(
+    docs=st.lists(
+        st.lists(_words, min_size=0, max_size=6),
+        min_size=1,
+        max_size=12,
+    ),
+    delmask=st.lists(st.booleans(), min_size=12, max_size=12),
+    k=st.integers(min_value=1, max_value=4),
+)
+@settings(**_SETTINGS)
+def test_maintained_delete_maxscore_equals_survivor_build_property(
+    spark, tmp_path_factory, docs, delmask, k
+):
+    """maxscore-probe(delete(B, maintain_termstats=True)) ≡
+    plain-probe(build(A∖B)) bit-exact over randomized corpora, delete
+    subsets, and k — the r12 delete-leg extension of the lifecycle
+    identity family (probes must agree through every fallback branch:
+    all-essential, empty survivor set, vanished terms)."""
+    from parkour_spark.operators.textindex import (
+        text_index_build,
+        text_index_delete,
+        text_index_probe_bm25,
+        text_index_probe_bm25_maxscore,
+    )
+
+    base = tmp_path_factory.mktemp("mdel")
+    rows = [(i, " ".join(ws)) for i, ws in enumerate(docs)]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    dels = [i for i in range(len(rows)) if delmask[i % len(delmask)]]
+    idx = str(base / "idx")
+    text_index_build(df, idx, n_buckets=2)
+    text_index_delete(
+        spark,
+        spark.createDataFrame([(i,) for i in dels] or [(-1,)], "doc_id long"),
+        idx,
+        maintain_termstats=True,
+    )
+    surv = str(base / "surv")
+    text_index_build(
+        df.where(~F.col("doc_id").isin(dels) if dels else F.lit(True)),
+        surv,
+        n_buckets=2,
+    )
+    terms = ["alpha", "beta", "rare1"]
+    got = sorted(
+        tuple(r)
+        for r in text_index_probe_bm25_maxscore(
+            spark, idx, terms, k=k
+        ).collect()
+    )
+    want = sorted(
+        tuple(r)
+        for r in text_index_probe_bm25(spark, surv, terms, k=k).collect()
+    )
+    assert got == want
