@@ -676,6 +676,21 @@ def _maxscore_rest_ub(ubs: dict, rest_terms: list) -> int:
     )
 
 
+# The MaxScore final pass semi-joins the non-essential postings to the
+# essential-candidate set. The driver holds a PROVABLE bound on that
+# set before running anything: |cand| ≤ Σ df over the essential terms
+# (termstats df, survivor-exact). Essential terms are the rare
+# high-ub ones by construction, so the bound is usually tiny — under
+# this cap the candidate set broadcasts (hash semi-join, no shuffle of
+# the big non-essential slice; at 4M long ids the hashed relation is
+# ~10²MB, comfortably executor-broadcastable). Over the cap the join
+# falls back to Spark's shuffle semi-join — correct, just not
+# shuffle-free. Measured (scripts/serving_scale_maxscore.py, ×400
+# corpus): the static plan's SortMergeJoin LeftSemi exchanged the
+# full 3M-row rest slice; broadcasting cand removes that exchange.
+_MAXSCORE_CAND_BROADCAST_MAX = 4_000_000
+
+
 def _maxscore_prefix_sizes(n: int) -> list[int]:
     """Geometric essential-prefix sizes (1, 2, 4, …, n-1) for the θ
     search: O(log n) passes, total re-scanned prefix work ≤ 2× the
@@ -690,6 +705,51 @@ def _maxscore_prefix_sizes(n: int) -> list[int]:
     if sizes and sizes[-1] != n - 1:
         sizes.append(n - 1)  # always test the largest proper prefix
     return sizes
+
+
+def _maxscore_feasible_prefix_sizes(
+    ubs: dict, dfs: dict, order: list, sizes: list[int], rest_ub_fn
+) -> list[int]:
+    """Drop θ-search prefix sizes that provably cannot PAY —
+    driver-side, before any job, from termstats alone (r12
+    serving-scale fix). Two screens, both conservative:
+
+    CAN'T CLEAR: θ is the k-th best partial micro score over the
+    prefix, and every per-term micro ≤ ub_t·1e6 + 0.5, so
+    θ ≤ ceil(Σ_{t∈prefix_i} ub_t · 1e6) + i — the same slack
+    arithmetic _maxscore_rest_ub uses, applied to the prefix. If that
+    ceiling is ≤ rest_ub(i), NO corpus can produce a θ that clears at
+    prefix i and scoring the prefix would be a wasted pass.
+
+    CAN'T PAY: even a prefix that clears only helps by the rows the
+    candidate semi-join then drops, and the driver can bound THAT
+    too: the join keeps ≤ min(Σ_{ess} df, df_t) rows of each rest
+    term t, so the assured skip is Σ_t (df_t − min(Σ_ess df, df_t)).
+    When that is under HALF the rest postings the mechanism cannot
+    beat its own extra jobs — the near-uniform case (measured ×400:
+    a hash+scan query with a 0.009-ub gap was 'feasible', scanned
+    1.5M prefix rows, and would have skipped ~10k) — so the query
+    goes straight to full scoring with zero θ jobs.
+
+    Both screens affect PERFORMANCE only, never results: skipping
+    early termination is always exact (the probe scores everything),
+    and kept passes still run and may or may not clear."""
+    import math
+
+    out = []
+    for i in sizes:
+        theta_max = (
+            math.ceil(sum(ubs[t] for t in order[:i]) * 1e6) + i
+        )
+        if theta_max <= rest_ub_fn(i):
+            continue
+        cand_bound = sum(dfs[t] for t in order[:i])
+        rest_dfs = [dfs[t] for t in order[i:]]
+        assured_skip = sum(d - min(cand_bound, d) for d in rest_dfs)
+        if 2 * assured_skip < sum(rest_dfs):
+            continue
+        out.append(i)
+    return out
 
 
 def text_index_probe_bm25_maxscore(
@@ -807,7 +867,13 @@ def text_index_probe_bm25_maxscore(
     def rest_ub(i: int) -> int:
         return _maxscore_rest_ub(ubs, order[i:])
 
-    sizes = _maxscore_prefix_sizes(len(order))
+    # driver-side screen: drop prefix sizes that provably cannot
+    # clear (uniform-ub queries run ZERO θ jobs and go straight to
+    # full scoring — the θ passes they used to pay scanned a common
+    # term's whole postings list for a pass that could never succeed)
+    sizes = _maxscore_feasible_prefix_sizes(
+        ubs, dfs, order, _maxscore_prefix_sizes(len(order)), rest_ub
+    )
     n_ess = len(order)
     theta = None
     chosen_rest_ub = 0
@@ -839,6 +905,8 @@ def text_index_probe_bm25_maxscore(
     out["rest_ub_micro"] = chosen_rest_ub
     ess_rows = slice_terms(order[:n_ess])
     cand = ess_rows.select(id_col).distinct()
+    if sum(dfs[t] for t in order[:n_ess]) <= _MAXSCORE_CAND_BROADCAST_MAX:
+        cand = F.broadcast(cand)  # provably small: ≤ Σ essential df
     rest_rows = slice_terms(order[n_ess:]).join(cand, id_col, "left_semi")
     if stats_out is not None:
         # the provable skip: non-essential rows scored vs their full
@@ -975,8 +1043,11 @@ def text_index_probe_bm25_multi_maxscore(
     min_dl_t) — query-independent, computed once); the essential-
     prefix search then runs ALL queries' geometric prefix rounds in
     lockstep — round r scores every still-active query's 2^r-term
-    prefix in ONE job over the union slice (a broadcast (query_id,
-    term) prefix map), collects each query's k-th best partial score
+    prefix in ONE job over a slice pruned to that round's prefix
+    terms only (bucket filter + pushed IN-list — the round scans the
+    rare essential prefixes' postings, never the full union slice;
+    a broadcast (query_id, term) prefix map assigns rows to queries),
+    collects each query's k-th best partial score
     θ_q, and locks the queries whose θ_q clears their non-essential
     bound Σub + slack. O(log max_terms) jobs for the WHOLE batch —
     the same bound the single-query probe pays for one query.
@@ -984,10 +1055,13 @@ def text_index_probe_bm25_multi_maxscore(
     score all their terms — per-query exactness never depends on the
     skip landing.
 
-    Final pass: one job — the union slice fans out to (query, term)
-    rows via the broadcast query map, essential rows pass through,
-    non-essential rows semi-join each query's essential-candidate set
-    on (query_id, id), and the shared tail (_multi_rank_tail, df from
+    Final pass: one job over two term-pruned slices — the essential
+    slice fans out to (query, term) rows via the broadcast query map
+    and passes through; the non-essential slice (its own pushed
+    IN-list) semi-joins each query's essential-candidate set on
+    (query_id, id) — broadcast when the driver's Σ-essential-df bound
+    proves it small (_MAXSCORE_CAND_BROADCAST_MAX), so the big rest
+    slice never shuffles; and the shared tail (_multi_rank_tail, df from
     termstats — exact while fresh, which the lifecycle contract
     guarantees) takes each top-k. Dropped (query, doc) pairs match
     only non-essential terms of that query, so their score is
@@ -1063,20 +1137,44 @@ def text_index_probe_bm25_multi_maxscore(
     df_table = spark.createDataFrame(
         sorted(dfs.items()), "term string, df long"
     )
-    # ONE pruned slice for the whole batch — every pass below reuses it
-    tf = (
-        stored.where(F.col("tbucket").isin(buckets))
-        .where(F.col("term").isin(all_terms))
-        .select(id_col, "dl", "term", "tf")
-    )
-    if tomb is not None:
-        tf = tf.join(F.broadcast(tomb), id_col, "left_anti")
-    tf = tf.join(F.broadcast(df_table), "term")
+    # Per-pass pruned slices (r12 serving-scale fix): the r11 shape
+    # built ONE slice over the union of all terms and joined each θ
+    # round's prefix map against it — but the prefix restriction then
+    # lived in the JOIN, not the SCAN, so every θ round re-read the
+    # whole union slice from parquet (measured ×400: each round paid
+    # the full 3M-row scan to score a 20k-row prefix). Re-slicing per
+    # pass pushes that pass's term IN-list + bucket filter into the
+    # parquet scan — the single-query probe's discipline — so θ rounds
+    # scan only the rare essential prefixes and the final pass's two
+    # slices each read only their own terms' postings.
+    def slice_union(terms: list[str]) -> DataFrame:
+        bks = sorted({_py_bucket(t, nb) for t in terms})
+        tf = (
+            stored.where(F.col("tbucket").isin(bks))
+            .where(F.col("term").isin(terms))
+            .select(id_col, "dl", "term", "tf")
+        )
+        if tomb is not None:
+            tf = tf.join(F.broadcast(tomb), id_col, "left_anti")
+        return tf.join(F.broadcast(df_table), "term")
 
     def rest_ub(q: int, i: int) -> int:
         return _maxscore_rest_ub(ubs, order[q][i:])
 
-    sizes = {q: _maxscore_prefix_sizes(len(order[q])) for q in order}
+    # the same driver-side feasibility screen as the single probe:
+    # a uniform-ub query contributes NO prefix to any lockstep round
+    # (it goes straight to all-essential full scoring), so the rounds
+    # scan only the prefixes that could actually terminate
+    sizes = {
+        q: _maxscore_feasible_prefix_sizes(
+            ubs,
+            dfs,
+            order[q],
+            _maxscore_prefix_sizes(len(order[q])),
+            lambda i, q=q: rest_ub(q, i),
+        )
+        for q in order
+    }
     n_ess = {q: len(order[q]) for q in order}  # default: all essential
     theta = {}
     chosen_rest_ub = {}
@@ -1090,10 +1188,12 @@ def text_index_probe_bm25_multi_maxscore(
             for t in order[q][: sizes[q][rnd]]
         ]
         pdf = spark.createDataFrame(pmap, "query_id long, term string")
+        round_terms = sorted({t for _, t in pmap})
         kth = {
             r["query_id"]: int(r["score_micro"])
             for r in _multi_rank_tail(
-                tf.join(F.broadcast(pdf), "term"), totals, k, k1, b, id_col
+                slice_union(round_terms).join(F.broadcast(pdf), "term"),
+                totals, k, k1, b, id_col,
             )
             .where(F.col("rank") == k)
             .collect()
@@ -1118,27 +1218,61 @@ def text_index_probe_bm25_multi_maxscore(
     }
     out["per_query"] = per_query
     out["fallback"] = None
-    ess_map = spark.createDataFrame(
-        [(q, t) for q in sorted(order) for t in order[q][: n_ess[q]]],
-        "query_id long, term string",
-    )
     rest_pairs = [
         (q, t) for q in sorted(order) for t in order[q][n_ess[q]:]
     ]
-    ess_rows = tf.join(F.broadcast(ess_map), "term")
-    if not rest_pairs:
-        return _multi_rank_tail(ess_rows, totals, k, k1, b, id_col)
-    rest_map = spark.createDataFrame(
-        rest_pairs, "query_id long, term string"
+    # the (query, term) fan-out map with the essential flag — one map,
+    # one broadcast join, ONE scan for the whole final pass (the
+    # ess/rest two-slice shape scanned the shared stopword terms
+    # twice: once for the all-essential queries, once for the
+    # dup-anchored queries' rest — measured ×400, the double scan ate
+    # the scoring savings)
+    qmap = spark.createDataFrame(
+        [
+            (q, t, i < n_ess[q])
+            for q in sorted(order)
+            for i, t in enumerate(order[q])
+        ],
+        "query_id long, term string, is_ess boolean",
     )
-    cand = ess_rows.select("query_id", id_col).distinct()
-    rest_rows = tf.join(F.broadcast(rest_map), "term").join(
-        cand, ["query_id", id_col], "left_semi"
+    rows = slice_union(all_terms).join(F.broadcast(qmap), "term")
+    if not rest_pairs:
+        return _multi_rank_tail(rows, totals, k, k1, b, id_col)
+    # candidate sets come ONLY from queries that actually have rest
+    # terms (an all-essential query contributes no semi-join and its —
+    # possibly huge — matched-doc set must not inflate the broadcast),
+    # built from a slice pruned to just those queries' essential terms
+    rest_qids = sorted({q for q, _ in rest_pairs})
+    cand_terms = sorted(
+        {t for q in rest_qids for t in order[q][: n_ess[q]]}
+    )
+    cand_map = spark.createDataFrame(
+        [(q, t) for q in rest_qids for t in order[q][: n_ess[q]]],
+        "query_id long, term string",
+    )
+    cand = (
+        slice_union(cand_terms)
+        .join(F.broadcast(cand_map), "term")
+        .select("query_id", id_col)
+        .distinct()
+        .withColumn("__cand", F.lit(True))
+    )
+    cand_bound = sum(
+        dfs[t] for q in rest_qids for t in order[q][: n_ess[q]]
+    )
+    if cand_bound <= _MAXSCORE_CAND_BROADCAST_MAX:
+        cand = F.broadcast(cand)  # provably small: ≤ Σ_q Σ essential df
+    # essential rows pass; non-essential rows survive only on a
+    # candidate hit — a broadcast LEFT join + filter keeps the single
+    # scan (a semi-join would need its own branch and re-scan)
+    rows = rows.join(cand, ["query_id", id_col], "left").where(
+        F.col("is_ess") | F.col("__cand").isNotNull()
     )
     if stats_out is not None:
         scored_rest = {
             r["query_id"]: r["n"]
-            for r in rest_rows.groupBy("query_id")
+            for r in rows.where(~F.col("is_ess"))
+            .groupBy("query_id")
             .agg(F.count("*").alias("n"))
             .collect()
         }
@@ -1148,5 +1282,6 @@ def text_index_probe_bm25_multi_maxscore(
                 q, 0
             )
     return _multi_rank_tail(
-        ess_rows.unionByName(rest_rows), totals, k, k1, b, id_col
+        rows.select("query_id", id_col, "dl", "term", "tf", "df"),
+        totals, k, k1, b, id_col,
     )
