@@ -237,6 +237,34 @@ def _invalidate_termstats(spark, path: str) -> None:
         pfs.delete(spark, path + "/termstats")
 
 
+def _write_termstats_staging(spark, path: str, merged) -> str:
+    """Materialize a staged termstats table to a `termstats.__next-*__`
+    sibling in the canonical layout — the ONE copy of the
+    crash-safety-critical staging publish (r12 review: the append and
+    delete stagers each carried their own; a divergent fix would
+    reintroduce the torn-staging bug class the sweep/rename protocol
+    prevents). Cleans up and re-raises on any write failure; the
+    caller renames the returned path in LAST."""
+    import uuid
+
+    from parkour_spark import fs as pfs
+
+    staging = f"{path}/termstats.__next-{uuid.uuid4().hex}__"
+    try:
+        (
+            merged.repartition("tbucket")
+            .sortWithinPartitions("term")
+            .write.mode("overwrite")
+            .partitionBy("tbucket")
+            .parquet(staging)
+        )
+    except BaseException:
+        if pfs.exists(spark, staging):
+            pfs.delete(spark, staging)
+        raise
+    return staging
+
+
 def _stage_merged_termstats(
     spark, path: str, batch_post: DataFrame
 ) -> str | None:
@@ -283,20 +311,7 @@ def _stage_merged_termstats(
                 F.min("min_dl").alias("min_dl"),
             )
         )
-    staging = f"{path}/termstats.__next-{uuid.uuid4().hex}__"
-    try:
-        (
-            merged.repartition("tbucket")
-            .sortWithinPartitions("term")
-            .write.mode("overwrite")
-            .partitionBy("tbucket")
-            .parquet(staging)
-        )
-    except BaseException:
-        if pfs.exists(spark, staging):
-            pfs.delete(spark, staging)
-        raise
-    return staging
+    return _write_termstats_staging(spark, path, merged)
 
 
 def _stage_decremented_termstats(
@@ -337,9 +352,6 @@ def _stage_decremented_termstats(
     caller to rename in LAST — any crash ordering leaves the table
     absent, never stale. Returns None when there is nothing to
     maintain (table absent or index empty)."""
-    import uuid
-
-    from parkour_spark import fs as pfs
     from parkour_spark.artifacts import read_parquet_or_none
     from parkour_spark.operators.indexcommon import read_tombstones
 
@@ -373,20 +385,7 @@ def _stage_decremented_termstats(
         )
         .where(F.col("df") > 0)
     )
-    staging = f"{path}/termstats.__next-{uuid.uuid4().hex}__"
-    try:
-        (
-            merged.repartition("tbucket")
-            .sortWithinPartitions("term")
-            .write.mode("overwrite")
-            .partitionBy("tbucket")
-            .parquet(staging)
-        )
-    except BaseException:
-        if pfs.exists(spark, staging):
-            pfs.delete(spark, staging)
-        raise
-    return staging
+    return _write_termstats_staging(spark, path, merged)
 
 
 def _sweep_termstats_staging(spark, path: str) -> None:
@@ -734,13 +733,12 @@ def _maxscore_feasible_prefix_sizes(
     Both screens affect PERFORMANCE only, never results: skipping
     early termination is always exact (the probe scores everything),
     and kept passes still run and may or may not clear."""
-    import math
-
     out = []
     for i in sizes:
-        theta_max = (
-            math.ceil(sum(ubs[t] for t in order[:i]) * 1e6) + i
-        )
+        # θ_max over prefix i IS the shared slack bound applied to the
+        # prefix — one copy (r12 review), so the screen can never
+        # diverge from the exactness proof's arithmetic
+        theta_max = _maxscore_rest_ub(ubs, order[:i])
         if theta_max <= rest_ub_fn(i):
             continue
         cand_bound = sum(dfs[t] for t in order[:i])

@@ -24,10 +24,14 @@ the steady-state serving latency of
 each RUNS times after one untimed warm-up (steady-state serving is
 the claim; the warm-up covers codegen + file-listing caches and its
 time is reported as "cold"). Output: one JSON line + the artifact
-path given by --out (default BENCH_serving_scale.json at the repo
-root — NEVER BENCH_sf1.json; the r11 lesson about clobbering recorded
-artifacts). Two full timed passes run back-to-back and both are
-embedded, so the artifact carries its own same-protocol reproduction.
+path given by --out (default BENCH_serving_scale_run.json at the
+repo root — NOT the committed BENCH_serving_scale.json, which is a
+hand-curated two-scale envelope {what, scales: {x100, x400},
+headline, disclosed_runs} assembled from two recorded runs of this
+script; a re-run must never clobber it — the r11 lesson about
+clobbered recorded artifacts). Two full timed passes run
+back-to-back and both are embedded, so every run carries its own
+same-protocol reproduction.
 
 Usage: python scripts/serving_scale_maxscore.py [--keep] [--out PATH]
 Env: SPARK_GRAFT_SERVING_REPLICAS (default 100),
@@ -198,7 +202,7 @@ def main() -> None:
     keep = "--keep" in sys.argv
     out_path = os.path.join(
         os.path.dirname(os.path.dirname(os.path.abspath(__file__))),
-        "BENCH_serving_scale.json",
+        "BENCH_serving_scale_run.json",
     )
     if "--out" in sys.argv:
         out_path = sys.argv[sys.argv.index("--out") + 1]
