@@ -23,7 +23,7 @@ SCALE (100 TB):
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, functions as F
+from pyspark.sql import Column, DataFrame, functions as F
 
 from parkour_spark.functions.text import fingerprint, shingles_of, tokens
 from parkour_spark.operators.sort import (
@@ -266,18 +266,47 @@ def jaccard_verify(
     ts.count()
     a = ts.select(F.col(id_col).alias("id_a"), F.col("toks").alias("toks_a"))
     bb = ts.select(F.col(id_col).alias("id_b"), F.col("toks").alias("toks_b"))
-    jac = F.size(F.array_intersect("toks_a", "toks_b")) / F.size(
-        F.array_union("toks_a", "toks_b")
-    )
     # Filter on the RAW score; round only in the projection — the oracle
     # SQL does the same, and a score in [threshold-5e-5, threshold) must
     # not survive on one engine and die on the other.
+    jac = _guarded_jaccard("toks_a", "toks_b", threshold)
     return (
         candidates.join(a, "id_a")
         .join(bb, "id_b")
         .select("id_a", "id_b", jac.alias("__jac"))
         .where(F.col("__jac") >= threshold)
         .select("id_a", "id_b", F.round("__jac", 4).alias("jaccard"))
+    )
+
+
+def _guarded_jaccard(toks_a: str, toks_b: str, threshold: float) -> Column:
+    """Exact Jaccard over two DISTINCT feature arrays, length-pruned.
+
+    Candidate verification is the verify family's CPU wall (profiled at
+    sf0.1: ~60 task-CPU-seconds per run of the capped-Jaccard entry —
+    an `array_intersect` + `array_union` hash build per candidate pair,
+    re-run inside the join condition). Two result-identical rewrites:
+
+    - |A∪B| = |A| + |B| − |A∩B| (exact: feature arrays are
+      `array_distinct` with no null elements), so the union's second
+      per-pair hash build is integer arithmetic instead. The division
+      consumes the SAME int values as before → identical doubles →
+      identical threshold/round behavior.
+    - Length prune: |A∩B| ≤ min, |A∪B| ≥ max, and correctly-rounded
+      double division is monotone, so min/max < t ⇒ J < t — pairs
+      failing the O(1) size-ratio check cannot pass the threshold. The
+      guard is a CASE WHEN so the expensive intersect provably never
+      evaluates for pruned pairs (conjunct order inside a join
+      condition is not a contract; CaseWhen's lazy branches are).
+      Pruned pairs yield NULL, which fails `>= threshold` exactly like
+      their sub-threshold score.
+
+    Returns the score expression (double, NULL when length-pruned)."""
+    na, nb = F.size(toks_a), F.size(toks_b)
+    inter = F.size(F.array_intersect(toks_a, toks_b))
+    return F.when(
+        F.least(na, nb) / F.greatest(na, nb) >= threshold,
+        inter / (na + nb - inter),
     )
 
 
@@ -1059,9 +1088,7 @@ def ngram_jaccard_delta(
         corpus_df.join(old_ids, id_col, "leftsemi"), text_col, id_col, ngram_n,
         widen=False,
     ).select(F.col(id_col).alias("id_old"), F.col("toks").alias("toks_b"))
-    jac = F.size(F.array_intersect("toks_a", "toks_b")) / F.size(
-        F.array_union("toks_a", "toks_b")
-    )
+    jac = _guarded_jaccard("toks_a", "toks_b", threshold)
     return (
         cand.join(a, "id_new")
         .join(b, "id_old")

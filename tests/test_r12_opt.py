@@ -1,0 +1,107 @@
+"""Optimization-round regression pins: every rewrite here must be
+result-identical to the shape it replaced — these tests hold the
+equivalence arguments to executable account."""
+
+import math
+
+import pytest
+from pyspark.sql import functions as F
+
+from parkour_spark.operators.dedup import jaccard_verify
+
+
+def _naive_jaccard_pairs(docs, cands, threshold, ngram_n=1):
+    """Pure-Python replica of jaccard_verify's contract (pre-rewrite
+    shape: size(intersect)/size(union), filter raw, round 4)."""
+    import itertools
+
+    feats = {}
+    for i, text in docs:
+        toks = [t for t in text.lower().split() if t]
+        if ngram_n <= 1:
+            fs = list(dict.fromkeys(toks))
+        else:
+            fs = list(
+                dict.fromkeys(
+                    " ".join(toks[j : j + ngram_n])
+                    for j in range(max(len(toks) - ngram_n + 1, 1))
+                )
+            )
+        feats[i] = set(fs)
+    out = []
+    for a, b in cands:
+        inter = len(feats[a] & feats[b])
+        union = len(feats[a] | feats[b])
+        jac = inter / union
+        if jac >= threshold:
+            out.append((a, b, round(jac, 4)))
+    return sorted(out)
+
+
+def test_guarded_jaccard_matches_naive_replica(spark):
+    """The length-pruned |A|+|B|−|A∩B| rewrite (r12 optimization) must
+    keep jaccard_verify row- and score-identical, including pairs at
+    the exact threshold boundary (J = 4/5 with t = 0.8) and pairs the
+    length prune fires on (size ratio < t)."""
+    docs = [
+        # J = 4/5 exactly (sizes 5 and 4 sharing 4): the threshold
+        # boundary AND the length-prune boundary (min/max = 4/5 = t),
+        # which the rounded-division argument must keep
+        (1, "a b c d e"),
+        (2, "a b c d"),
+        # length-pruned pair: 2 vs 10 tokens (ratio 0.2 < 0.8)
+        (3, "a b"),
+        (4, "a b g h i j k l m n"),
+        # identical pair (J = 1)
+        (5, "x y z"),
+        (6, "x y z"),
+        # just-under pair: 3 of 5 (0.6)
+        (7, "p q r s t"),
+        (8, "p q r u v"),
+    ]
+    cands = [(1, 2), (3, 4), (5, 6), (7, 8)]
+    df = spark.createDataFrame(docs, "doc_id int, text string")
+    cand_df = spark.createDataFrame(cands, "id_a int, id_b int")
+    got = sorted(
+        (r["id_a"], r["id_b"], r["jaccard"])
+        for r in jaccard_verify(
+            cand_df, df, threshold=0.8, ngram_n=1
+        ).collect()
+    )
+    want = _naive_jaccard_pairs(docs, cands, 0.8, ngram_n=1)
+    assert got == want
+    # the boundary pair must be IN (J exactly 0.8) and the pruned /
+    # sub-threshold pairs OUT
+    assert (1, 2, 0.8) in got
+    assert all(p[0] not in (3, 7) for p in got)
+    spark.catalog.clearCache()
+
+
+def test_guarded_jaccard_random_corpora(spark):
+    """Randomized differential check on 3-gram shingles (the production
+    parameterization) across a spread of lengths and overlaps."""
+    import random
+
+    rng = random.Random(12012)
+    vocab = [f"w{i}" for i in range(50)]
+    docs = []
+    for i in range(40):
+        n = rng.randint(1, 30)
+        docs.append((i, " ".join(rng.choice(vocab) for _ in range(n))))
+    # near-dup clones with small edits
+    for i in range(40, 60):
+        base = docs[i - 40][1].split()
+        if base and rng.random() < 0.7:
+            base[rng.randrange(len(base))] = rng.choice(vocab)
+        docs.append((i, " ".join(base) if base else "w0"))
+    cands = [(a, b) for a in range(60) for b in range(a + 1, 60) if rng.random() < 0.08]
+    df = spark.createDataFrame(docs, "doc_id int, text string")
+    cand_df = spark.createDataFrame(cands, "id_a int, id_b int")
+    for thr in (0.5, 0.8):
+        got = sorted(
+            (r["id_a"], r["id_b"], r["jaccard"])
+            for r in jaccard_verify(cand_df, df, threshold=thr, ngram_n=3).collect()
+        )
+        want = _naive_jaccard_pairs(docs, cands, thr, ngram_n=3)
+        assert got == want, f"threshold {thr}: {got} != {want}"
+        spark.catalog.clearCache()
