@@ -23,7 +23,7 @@ Spark-first iterative shape:
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, Window, functions as F
+from pyspark.sql import DataFrame, Observation, Window, functions as F
 
 
 def _truncate(df: DataFrame, checkpoint: str, eager: bool = True) -> DataFrame:
@@ -72,10 +72,16 @@ def connected_components(
     """(node, component) where component = min node id reachable.
     Isolated nodes are their own component. `checkpoint="reliable"` is
     the fault-tolerant cluster mode (see _truncate)."""
+    # Membership is enforced ONCE here instead of per round (r12): the
+    # old shape re-imposed it every round through a labels-keyed LEFT
+    # join; restricting sym's source endpoints to the node set up front
+    # lets each round be a single union+aggregate with no second join.
+    node_ids = nodes.select(F.col(node_col).alias("__nid")).distinct()
     sym = (
         edges.select(F.col(src).alias("a"), F.col(dst).alias("b"))
         .union(edges.select(F.col(dst).alias("a"), F.col(src).alias("b")))
         .distinct()
+        .join(node_ids, F.col("a") == F.col("__nid"), "leftsemi")
         .persist()
     )
     # Labels propagate in the id's NATIVE orderable type (string doc ids
@@ -85,26 +91,47 @@ def connected_components(
         F.col(node_col).alias("n"), F.col(node_col).alias("comp")
     ).transform(lambda d: _truncate(d, checkpoint))
     for _ in range(max_iters):
-        nb_min = (
-            sym.join(labels, sym.b == labels.n)
-            .groupBy("a")
-            .agg(F.min("comp").alias("nb_min"))
+        # One round = one union + one aggregation (r12, guide §2.4):
+        #   next(n) = min(own(n) ∪ {comp(m) : m ∈ Γ(n)})
+        # expressed as labels ∪ neighbor-contributions → groupBy(n) min.
+        # This is result-identical to the former least(own,
+        # coalesce(nb_min, own)) LEFT-join shape — every node
+        # contributes its own labels row, so membership and isolated
+        # nodes are preserved — but drops the second (labels-keyed)
+        # join and its broadcast build from every round. `own` tags the
+        # self row; min(when(own)) recovers the previous label so the
+        # convergence metric needs no old/new comparison join.
+        contrib = sym.join(labels, sym.b == labels.n).select(
+            F.col("a").alias("n"), F.col("comp"), F.lit(False).alias("__own")
         )
+        # Convergence = no label moved this round, checked type-
+        # generically. The changed-count rides the checkpoint's own
+        # materialization as an observed metric (r12 optimization:
+        # the separate where/limit/count action was one extra job per
+        # round; Observations fire on eager local AND reliable
+        # checkpoints — pinned in tests), so each round runs exactly
+        # one job. count(when(...)) not sum(): count is 0 on an empty
+        # frame where sum is NULL.
+        obs = Observation()
         nxt = (
-            labels.join(nb_min, labels.n == nb_min.a, "left")
-            .select(
-                "n",
-                F.col("comp").alias("__old"),
-                F.least(F.col("comp"), F.coalesce("nb_min", "comp")).alias("comp"),
+            labels.select("n", "comp", F.lit(True).alias("__own"))
+            .unionByName(contrib)
+            .groupBy("n")
+            .agg(
+                F.min("comp").alias("comp"),
+                F.min(F.when(F.col("__own"), F.col("comp"))).alias("__prev"),
             )
+            .observe(
+                obs,
+                F.count(
+                    F.when(F.col("comp") < F.col("__prev"), 1)
+                ).alias("changed"),
+            )
+            .select("n", "comp")
             .transform(lambda d: _truncate(d, checkpoint))
         )
-        # Convergence = no label moved this round. Checked type-
-        # generically against the checkpointed frame (one tiny action
-        # with an early-out limit), instead of the old label-sum trick
-        # that only worked for integral ids.
-        changed = nxt.where(F.col("comp") != F.col("__old")).limit(1).count()
-        labels = nxt.drop("__old")
+        changed = obs.get["changed"]
+        labels = nxt
         if changed == 0:
             break
     else:
@@ -154,6 +181,7 @@ def connected_components_bigstar(
     early-out anti-join proving new ⊆ old — two tiny driver actions per
     round, type-generic (string ids fine), no hash-collision
     false-stop the old (count, xxhash64-sum) signature admitted."""
+    obs0 = Observation()
     e = (
         edges.select(F.col(src).alias("x"), F.col(dst).alias("y"))
         .where(F.col(src) != F.col(dst))
@@ -161,10 +189,14 @@ def connected_components_bigstar(
             F.greatest("x", "y").alias("a"), F.least("x", "y").alias("b")
         )
         .distinct()
+        # edge counts ride the checkpoint materializations as observed
+        # metrics (r12 optimization: the separate count() was one extra
+        # job per round; same piggyback as connected_components)
+        .observe(obs0, F.count(F.lit(1)).alias("n"))
         .transform(lambda d: _truncate(d, checkpoint))
     )
 
-    n_prev = e.count()
+    n_prev = obs0.get["n"]
     rounds = 0
     converged = False
     for _ in range(max_iters):
@@ -186,15 +218,17 @@ def connected_components_bigstar(
         # small-star over the canonical (child > parent) view
         mn2 = large.groupBy("a").agg(F.min("b").alias("m"))
         joined = large.join(mn2, "a")
+        obs = Observation()
         small = (
             joined.where(F.col("b") != F.col("m"))
             .select(F.col("b").alias("a"), F.col("m").alias("b"))
             .union(joined.select("a", F.col("m").alias("b")))
             .where(F.col("a") != F.col("b"))
             .distinct()
+            .observe(obs, F.count(F.lit(1)).alias("n"))
             .transform(lambda d: _truncate(d, checkpoint))
         )
-        n_new = small.count()
+        n_new = obs.get["n"]
         # Both sides are canonical DISTINCT (child, parent) sets, so
         # equal counts + empty (new MINUS old) ⟺ set equality — exact.
         unchanged = (
@@ -572,22 +606,45 @@ def label_propagation(
     labels = nodes.select(
         F.col(node_col).alias("n"), F.col(node_col).alias("lbl")
     ).transform(lambda d: _truncate(d, checkpoint))
-    w = Window.partitionBy("a").orderBy(F.col("cnt").desc(), F.col("lbl"))
-    for _ in range(rounds):
+    for rnd in range(rounds):
         counts = (
             sym.join(labels, sym.b == labels.n)
             .groupBy("a", "lbl")
             .agg(F.count("*").alias("cnt"))
         )
+        # (count DESC, label ASC) argmax as min(struct(-cnt, lbl)) —
+        # result-identical to the former row_number window (struct
+        # ordering is field-lexicographic, so min = largest count then
+        # smallest label) but partially aggregable: the exchange ships
+        # one best-so-far row per (partition, a) instead of every
+        # (a, lbl, cnt) row, and the per-partition SORT the window
+        # needed disappears (r12 optimization, guide §2.3 "aggregate
+        # before you shuffle").
         best = (
-            counts.withColumn("__rn", F.row_number().over(w))
-            .where(F.col("__rn") == 1)
-            .select(F.col("a"), F.col("lbl").alias("__new"))
+            counts.groupBy("a")
+            .agg(
+                F.min(
+                    F.struct((-F.col("cnt")).alias("nc"), F.col("lbl").alias("l"))
+                ).alias("__m")
+            )
+            .select(F.col("a"), F.col("__m.l").alias("__new"))
         )
+        # Truncation is LAZY except on the last round (r12): LPA runs
+        # a FIXED round count with no per-round driver decision, so
+        # nothing needs a materialization barrier inside the loop —
+        # the final eager checkpoint runs the whole chain in one job
+        # while every round's plan still collapses to the previous
+        # round's checkpoint-marked blocks. (connected_components/
+        # bigstar read a convergence metric per round, so they stay
+        # eager.) The last round IS eager: sym's cache blocks must
+        # outlive every consumer, so the chain materializes before the
+        # unpersist below.
         labels = (
             labels.join(best, labels.n == best.a, "left")
             .select("n", F.coalesce("__new", "lbl").alias("lbl"))
-            .transform(lambda d: _truncate(d, checkpoint))
+            .transform(
+                lambda d: _truncate(d, checkpoint, eager=(rnd == rounds - 1))
+            )
         )
     sym.unpersist()
     return labels.select(F.col("n").alias(node_col), F.col("lbl").alias("label"))

@@ -77,6 +77,53 @@ def test_guarded_jaccard_matches_naive_replica(spark):
     spark.catalog.clearCache()
 
 
+def test_cc_union_round_identity(spark):
+    """The fused union+aggregate CC round (r12) must keep the
+    least(own, min(neighbors)) semantics: isolated nodes stay their own
+    component, empty edge sets converge in one observed round (the
+    count-on-empty-frame path), string ids propagate, and out-of-node
+    edge endpoints stay excluded (the one-time membership semi-join)."""
+    from parkour_spark.operators.graph import connected_components
+
+    nodes = spark.createDataFrame([("a",), ("b",), ("c",), ("z",)], "id string")
+    edges = spark.createDataFrame(
+        [("b", "a"), ("c", "b"), ("c", "ghost")], "id_a string, id_b string"
+    )
+    got = {
+        (r["n"], r["component"])
+        for r in connected_components(nodes, edges).collect()
+    }
+    # ghost is not a node: its edge may not add it to the output, and
+    # c still reaches a through b
+    assert got == {("a", "a"), ("b", "a"), ("c", "a"), ("z", "z")}
+    empty = spark.createDataFrame([], "id_a string, id_b string")
+    got2 = {
+        (r["n"], r["component"])
+        for r in connected_components(nodes, empty).collect()
+    }
+    assert got2 == {(n, n) for n in ("a", "b", "c", "z")}
+
+
+def test_lpa_argmax_matches_window_semantics(spark):
+    """The min(struct(-cnt, lbl)) argmax (r12) must reproduce the
+    former (count DESC, label ASC) row_number choice, including the
+    all-ties case where the smallest label wins."""
+    from parkour_spark.operators.graph import label_propagation
+
+    # triangle {1,2,3} + pendant 4 on 3, isolated 9: after round 1
+    # every triangle member sees votes {self} ∪ neighbors — all counts
+    # 1 ⇒ smallest label wins everywhere
+    nodes = spark.createDataFrame([(1,), (2,), (3,), (4,), (9,)], "id long")
+    edges = spark.createDataFrame(
+        [(1, 2), (2, 3), (1, 3), (3, 4)], "id_a long, id_b long"
+    )
+    got = {
+        (r["id"], r["label"])
+        for r in label_propagation(nodes, edges, rounds=2).collect()
+    }
+    assert got == {(1, 1), (2, 1), (3, 1), (4, 1), (9, 9)}
+
+
 def test_guarded_jaccard_random_corpora(spark):
     """Randomized differential check on 3-gram shingles (the production
     parameterization) across a spread of lengths and overlaps."""
