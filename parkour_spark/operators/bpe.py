@@ -74,8 +74,17 @@ def bpe_train(words: DataFrame, n_merges: int = 3,
     (lhs, rhs)."""
     spark = words.sparkSession
     vocab = vocab_from_words(words, word_col, count_col).persist()
-    vocab.count()
     merges = []
+    # Per-round persists are LAZY (r12): each round's 1-row argmax
+    # collect is the only consumer of the running vocab, and computing
+    # it populates the round's cache as a side effect — the former
+    # eager count() doubled the job count for zero extra information.
+    # The PREVIOUS round's blocks unpersist only after that collect so
+    # the new cache never recomputes upstream of a cold cache
+    # (consumption is strictly sequential here — the concurrent-stage
+    # hazard that forces eager materialization in the dedup family
+    # does not apply to a driver loop).
+    prev = None
     for step in range(1, n_merges + 1):
         best = (
             _pair_counts(vocab)
@@ -83,6 +92,9 @@ def bpe_train(words: DataFrame, n_merges: int = 3,
             .limit(1)
             .collect()
         )
+        if prev is not None:
+            prev.unpersist()
+            prev = None
         if not best:
             break
         l, r, c = best[0]["l"], best[0]["r"], best[0]["c"]
@@ -95,10 +107,10 @@ def bpe_train(words: DataFrame, n_merges: int = 3,
                 )
             ),
         ).persist()
-        nxt.count()
-        vocab.unpersist()
-        vocab = nxt
+        prev, vocab = vocab, nxt
     vocab.unpersist()
+    if prev is not None:
+        prev.unpersist()
     return spark.createDataFrame(
         merges, "step int, lhs string, rhs string, pair_count long"
     )
@@ -183,8 +195,11 @@ def bpe_train_batched(
     checkpoint lands)."""
     spark = words.sparkSession
     vocab = vocab_from_words(words, word_col, count_col).persist()
-    vocab.count()
     out, step = [], 0
+    # Lazy per-round persists, same protocol as bpe_train (r12): the
+    # round's top-slice collect populates the cache; the previous
+    # round's blocks free right after it.
+    prev = None
     for rnd in range(1, n_rounds + 1):
         top = (
             _pair_counts(vocab)
@@ -192,6 +207,9 @@ def bpe_train_batched(
             .limit(batch)
             .collect()
         )
+        if prev is not None:
+            prev.unpersist()
+            prev = None
         sel = []
         for i, t in enumerate(top):
             t_syms = {t["l"], t["r"]}
@@ -224,13 +242,17 @@ def bpe_train_batched(
                 ),
             )
         if checkpoint_every and rnd % checkpoint_every == 0:
+            # the checkpoint is a materialization barrier, so the old
+            # vocab's cache has been fully consumed here — free it now
             nxt = nxt.localCheckpoint(eager=True)  # truncate lineage
+            vocab.unpersist()
         else:
             nxt = nxt.persist()
-            nxt.count()
-        vocab.unpersist()
+            prev = vocab
         vocab = nxt
     vocab.unpersist()
+    if prev is not None:
+        prev.unpersist()
     return spark.createDataFrame(
         out,
         "step int, round int, rk int, lhs string, rhs string, pair_count long",
