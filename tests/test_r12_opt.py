@@ -124,6 +124,55 @@ def test_lpa_argmax_matches_window_semantics(spark):
     assert got == {(1, 1), (2, 1), (3, 1), (4, 1), (9, 9)}
 
 
+def test_winnow_arrow_matches_expression(spark):
+    """winnow_pos_arrow (r12) must be element-identical to the
+    winnow_select_pos / winnow_select expressions — including short
+    arrays (n <= w), duplicate window minima (first-occurrence tie), a
+    null gram array, and the value-distinct ordering of the
+    positions=False variant."""
+    import random
+
+    from pyspark.sql import functions as F
+
+    from parkour_spark.functions.text import (
+        winnow_pos_arrow,
+        winnow_select,
+        winnow_select_pos,
+    )
+
+    rng = random.Random(7)
+    rows = [
+        (0, [5]),
+        (1, [3, 3, 3]),
+        (2, list(range(20, 0, -1))),
+        (3, None),
+        (99, []),
+    ]
+    for i in range(4, 40):
+        n = rng.randint(1, 60)
+        rows.append((i, [rng.randint(0, 9) for _ in range(n)]))  # many ties
+    df = spark.createDataFrame(rows, "doc_id long, g array<long>")
+    for w in (3, 8):
+        expr_pos = df.select(
+            "doc_id", F.to_json(winnow_select_pos(F.col("g"), w=w)).alias("j")
+        ).collect()
+        arrow_pos = winnow_pos_arrow(df, "doc_id", "g", w=w, out="f").select(
+            "doc_id", F.to_json("f").alias("j")
+        ).collect()
+        assert sorted((r.doc_id, r.j) for r in expr_pos) == sorted(
+            (r.doc_id, r.j) for r in arrow_pos
+        ), f"positions variant diverged at w={w}"
+        expr_val = df.select(
+            "doc_id", F.to_json(winnow_select(F.col("g"), w=w)).alias("j")
+        ).collect()
+        arrow_val = winnow_pos_arrow(
+            df, "doc_id", "g", w=w, out="f", positions=False
+        ).select("doc_id", F.to_json("f").alias("j")).collect()
+        assert sorted((r.doc_id, r.j) for r in expr_val) == sorted(
+            (r.doc_id, r.j) for r in arrow_val
+        ), f"values variant diverged at w={w}"
+
+
 def test_guarded_jaccard_random_corpora(spark):
     """Randomized differential check on 3-gram shingles (the production
     parameterization) across a spread of lengths and overlaps."""
