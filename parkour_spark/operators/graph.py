@@ -72,11 +72,21 @@ def connected_components(
     """(node, component) where component = min node id reachable.
     Isolated nodes are their own component. `checkpoint="reliable"` is
     the fault-tolerant cluster mode (see _truncate)."""
+    # Labels propagate in the id's NATIVE orderable type (string doc ids
+    # are as valid as longs for corpus dedup; the old cast-to-long made
+    # every string comp NULL and broke convergence silently — r2 advice).
+    labels = nodes.select(
+        F.col(node_col).alias("n"), F.col(node_col).alias("comp")
+    ).transform(lambda d: _truncate(d, checkpoint))
     # Membership is enforced ONCE here instead of per round (r12): the
     # old shape re-imposed it every round through a labels-keyed LEFT
     # join; restricting sym's source endpoints to the node set up front
     # lets each round be a single union+aggregate with no second join.
-    node_ids = nodes.select(F.col(node_col).alias("__nid")).distinct()
+    # The id source is the CHECKPOINTED labels frame, not `nodes`:
+    # callers like cc_delta_update pass nodes with an expensive
+    # (broadcast-join/union) lineage, and reading the materialized
+    # blocks avoids re-executing it inside sym's first materialization.
+    node_ids = labels.select(F.col("n").alias("__nid"))
     sym = (
         edges.select(F.col(src).alias("a"), F.col(dst).alias("b"))
         .union(edges.select(F.col(dst).alias("a"), F.col(src).alias("b")))
@@ -84,12 +94,6 @@ def connected_components(
         .join(node_ids, F.col("a") == F.col("__nid"), "leftsemi")
         .persist()
     )
-    # Labels propagate in the id's NATIVE orderable type (string doc ids
-    # are as valid as longs for corpus dedup; the old cast-to-long made
-    # every string comp NULL and broke convergence silently — r2 advice).
-    labels = nodes.select(
-        F.col(node_col).alias("n"), F.col(node_col).alias("comp")
-    ).transform(lambda d: _truncate(d, checkpoint))
     for _ in range(max_iters):
         # One round = one union + one aggregation (r12, guide §2.4):
         #   next(n) = min(own(n) ∪ {comp(m) : m ∈ Γ(n)})
