@@ -151,7 +151,17 @@ def decode_distinct(
         F.col(id_col), F.col(payload_col), fp.alias("__fp")
     )
     ids = fp_df.select(id_col, "__fp")
-    reps = fp_df.dropDuplicates(["__fp"])
+    # The distinct-representative set is PERSISTED and materialized
+    # (r12): it is consumed twice (the decode pass and the fingerprint
+    # fan-back join), and each unpersisted consumption re-executed the
+    # whole upstream blob scan — profiled as 3-4 source passes per run
+    # where two are inherent (the fingerprint pass + one distinct
+    # build). Caching it is the operator's own scale premise: distinct
+    # payloads ≪ corpus rows, and persist's MEMORY_AND_DISK default
+    # spills rather than recomputes if a corpus breaks the premise.
+    # The caller owns the blocks (same contract as jaccard_verify).
+    reps = fp_df.dropDuplicates(["__fp"]).persist()
+    reps.count()
     decoded = decode_fn(reps.drop("__fp"))
     by_fp = decoded.withColumnRenamed(id_col, "__rep").join(
         reps.select(F.col(id_col).alias("__rep"), "__fp"), "__rep"
