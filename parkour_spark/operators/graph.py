@@ -596,6 +596,15 @@ def label_propagation(
     lands back split after any even round count. Each round is one
     shuffle (neighbor-label count) + one argmax window; labels are
     checkpointed per round like connected_components."""
+    labels = nodes.select(
+        F.col(node_col).alias("n"), F.col(node_col).alias("lbl")
+    ).transform(lambda d: _truncate(d, checkpoint))
+    # Vote-source endpoints are restricted to the node set ONCE here
+    # (r12, same move as connected_components): every node holds a
+    # self-loop vote row, so the per-round argmax's key set is exactly
+    # the node set and the old labels-keyed LEFT join + coalesce that
+    # re-imposed membership every round is redundant. The semi-join
+    # reads the CHECKPOINTED labels blocks, not `nodes`' lineage.
     sym = (
         edges.select(F.col(src).alias("a"), F.col(dst).alias("b"))
         .union(edges.select(F.col(dst).alias("a"), F.col(src).alias("b")))
@@ -605,11 +614,13 @@ def label_propagation(
             )
         )
         .distinct()
+        .join(
+            labels.select(F.col("n").alias("__nid")),
+            F.col("a") == F.col("__nid"),
+            "leftsemi",
+        )
         .persist()
     )
-    labels = nodes.select(
-        F.col(node_col).alias("n"), F.col(node_col).alias("lbl")
-    ).transform(lambda d: _truncate(d, checkpoint))
     for rnd in range(rounds):
         counts = (
             sym.join(labels, sym.b == labels.n)
@@ -633,22 +644,23 @@ def label_propagation(
             )
             .select(F.col("a"), F.col("__m.l").alias("__new"))
         )
-        # Truncation is LAZY except on the last round (r12): LPA runs
-        # a FIXED round count with no per-round driver decision, so
-        # nothing needs a materialization barrier inside the loop —
-        # the final eager checkpoint runs the whole chain in one job
-        # while every round's plan still collapses to the previous
-        # round's checkpoint-marked blocks. (connected_components/
-        # bigstar read a convergence metric per round, so they stay
-        # eager.) The last round IS eager: sym's cache blocks must
-        # outlive every consumer, so the chain materializes before the
-        # unpersist below.
-        labels = (
-            labels.join(best, labels.n == best.a, "left")
-            .select("n", F.coalesce("__new", "lbl").alias("lbl"))
-            .transform(
-                lambda d: _truncate(d, checkpoint, eager=(rnd == rounds - 1))
-            )
+        # `best` IS the next label table (r12): its key set equals the
+        # node set (self-loop votes + the one-time endpoint
+        # restriction above), so the old labels-keyed LEFT join +
+        # coalesce added nothing. Truncation is LAZY except on the
+        # last round: LPA runs a FIXED round count with no per-round
+        # driver decision, so nothing needs a materialization barrier
+        # inside the loop — the final eager checkpoint runs the whole
+        # chain in one job while every round's plan still collapses to
+        # the previous round's checkpoint-marked blocks.
+        # (connected_components/bigstar read a convergence metric per
+        # round, so they stay eager.) The last round IS eager: sym's
+        # cache blocks must outlive every consumer, so the chain
+        # materializes before the unpersist below.
+        labels = best.select(
+            F.col("a").alias("n"), F.col("__new").alias("lbl")
+        ).transform(
+            lambda d: _truncate(d, checkpoint, eager=(rnd == rounds - 1))
         )
     sym.unpersist()
     return labels.select(F.col("n").alias(node_col), F.col("lbl").alias("label"))
