@@ -15,10 +15,12 @@ Spark-first iterative shape:
   for billion-edge graphs use the large-star/small-star alternation
   (Kiveris et al., "Connected Components in MapReduce and Beyond") —
   same join primitive, fewer rounds.
-- Convergence checks are EXACT in both variants (changed-row early-out
-  for propagation; count + anti-join set equality for big-star) — one
-  or two tiny scalar actions per round, type-generic, no probabilistic
-  signature. Exhausting max_iters without a fixpoint warns loudly.
+- Convergence checks are EXACT in both variants (changed-label count
+  for propagation; count + anti-join set equality for big-star) and
+  ride the per-round checkpoint materialization as OBSERVED metrics
+  (r12) — type-generic, no probabilistic signature, no extra action
+  except big-star's rare equal-count anti-join probe. Exhausting
+  max_iters without a fixpoint warns loudly.
 """
 
 from __future__ import annotations
@@ -594,8 +596,11 @@ def label_propagation(
     without the self-vote, synchronous LPA oscillates on bipartite
     structures — a bare near-dup PAIR swaps labels every round and
     lands back split after any even round count. Each round is one
-    shuffle (neighbor-label count) + one argmax window; labels are
-    checkpointed per round like connected_components."""
+    shuffle (neighbor-label count) + one partially-aggregated
+    min(struct(-cnt, lbl)) argmax (r12 — the former row_number window
+    paid a per-partition sort and shipped every (node, label, count)
+    row); lineage is truncated per round (lazily — see the loop
+    comment)."""
     labels = nodes.select(
         F.col(node_col).alias("n"), F.col(node_col).alias("lbl")
     ).transform(lambda d: _truncate(d, checkpoint))

@@ -6739,8 +6739,10 @@ def q_label_propagation(spark, sf_dir):
     components (pure reachability) would merge them through one
     accidental pair. Deterministic (synchronous updates, fixed rounds,
     (count, label) argmax), so the oracle unrolls the rounds over the
-    shared MinHash pair-graph CTE prefix. One shuffle + one argmax
-    window per round. Artifact: per-community member counts."""
+    shared MinHash pair-graph CTE prefix. One vote-count shuffle + one
+    partially-aggregated min(struct) argmax per round (r12 — no window
+    sort, no per-round membership join). Artifact: per-community
+    member counts."""
     from parkour_spark.operators.graph import label_propagation
 
     docs = _t(spark, sf_dir, "documents")

@@ -30,7 +30,7 @@ COMMENTARY = {
     "ivf_kmeans_topk": "End-to-end learned-quantizer ANN: the k-means job runs once (cached coarse quantizer), then the SAME IVF plan as ivf_topk_cosine — Arrow-batched assignment scan, broadcast probe equi-join on cell, rounded-cosine ranking window keyed by query_id.",
     "tfidf_top_terms": "SINGLE corpus pass: document frequency is a count window over the tf aggregate itself (one row per doc,term ⇒ window count IS df), n_docs rides in as a broadcast 1-row aggregate — no second tokenize, no driver count() action.",
     "pmi_collocations": "SINGLE corpus pass: unigram markers and bigram structs ride one explode into one groupBy; the persisted vocabulary-sized count table then yields unigram counts, bigram counts, and both totals without re-reading the corpus.",
-    "dedup_ngram_jaccard_capped": "The shingle inverted index reused as a bucket table: one groupBy(shingle) shuffle collects buckets, the df cap drops oversize buckets, pairs explode in-bucket (never a self-join), exact verify touches candidate docs only. Every explode of a computed array goes through explode_fast — plain explode's inferred size()>0 filter re-evaluates the tokenize per shingle (measured 20x).",
+    "dedup_ngram_jaccard_capped": "The shingle inverted index reused as a bucket table: one groupBy(shingle) shuffle collects buckets, the df cap drops oversize buckets, pairs explode in-bucket (never a self-join), exact verify touches candidate docs only. Every explode of a computed array goes through explode_fast — plain explode's inferred size()>0 filter re-evaluates the tokenize per shingle (measured 20x). r12: the verify score is a CASE-WHEN-guarded exact Jaccard — an O(1) size-ratio prune fires before the array_intersect, and |A∪B| is |A|+|B|−|A∩B| arithmetic (no array_union hash build; was ~60 task-CPU-s per run).",
     "repetition_profile": "Zero shuffle, zero explode: distinct-token ratio, longest run, and top-bigram share are Column folds over one staged token array; the bigram mode is the longest run in the SORTED bigram array.",
     "line_dedup_boiler": "Two shuffles total: groupBy(line).min(struct) resolves first occurrence with map-side partial aggregation (a boilerplate line in half the corpus ships one candidate per partition, never a hot window key), then one per-doc regroup rebuilds documents.",
     "decontaminate_ngram_overlap": "Eval n-grams distinct + broadcast; corpus 4-grams explode scan-side from a STAGED token array into the broadcast join — the only corpus shuffle is the per-doc hit count.",
@@ -40,7 +40,7 @@ COMMENTARY = {
     "incremental_hourly_rollup": "Two state sketches (history, batch) each partial-agg before their exchange; the merge is a union + re-reduce over STATE ROWS only. In production the history state is a persisted table and only the batch side executes — the plan shows why the merge cost is O(state), not O(corpus).",
     "triangle_counts_dedup_graph": "Degree-ordered orientation bounds wedge fan-out by ~sqrt(2m); the oriented edge list is cached (it feeds both wedge sides and the closing semi-join — without the cache the MinHash pair derivation upstream executes three times, measured 1.5x). Wedges close via LeftSemi on the (b,c) edge set.",
     "key_skew_profile": "One partial-agg'd count shuffle over the key; totals are a 1-row broadcast over the key-sized count table; top-n runs as TakeOrderedAndProject. The ratios are exact integer division (div), never float.",
-    "substring_dedup_spans": "Suffix-array-free exact-substring detection: positioned winnowing fingerprints compute scan-side; ONE groupBy(fp) shuffle builds df-capped occurrence buckets; in-bucket triangular pairs explode via explode_fast; run segmentation is a lag+sum window partitioned by (id_a, id_b, delta). No global sort, no cartesian, fan-out bounded by the df cap.",
+    "substring_dedup_spans": "Suffix-array-free exact-substring detection: positioned winnowing fingerprints compute on the scan — k-gram md5s as JVM projections, then the window-min selection as ONE vectorized sliding-window pass (winnow_pos_arrow mapInArrow, r12: the HOF expression form re-sliced each window 3x and re-scanned it for the min twice — ~22 task-CPU-s); ONE groupBy(fp) shuffle builds df-capped occurrence buckets; in-bucket triangular pairs explode via explode_fast; run segmentation is a lag+sum window partitioned by (id_a, id_b, delta). No global sort, no cartesian, fan-out bounded by the df cap.",
     "substring_spans_delta": "Ingest shape: the corpus side's positioned-fingerprint index builds with ONE groupBy(fp) (persisted in production); the batch probes it by equi-join on fp — no corpus self-pairs, fan-out bounded by the df cap; the same single-sort window segments runs per (id_new, id_old, delta).",
     "substring_dedup_clean": "Apply half: span intervals merge per doc via the gaps-and-islands window (one shuffle on the flagged-doc id), the cut is a pure Column fold over the merged interval array, and cleaned fingerprints join back to the corpus on the doc id. Only flagged docs carry interval state; unflagged docs stream through the left join untouched.",
     "q8_market_share": "TPC-H Q8 adapted: the selective p_type filter prunes the part build side BEFORE it broadcasts into the lineitem scan; customer/supplier nation decodes and the region gate are broadcast joins; the one wide exchange is orders-lineitem (AQE broadcasts it at small sf). Market share divides two exact integer-cent sums - deterministic at any parallelism.",
@@ -102,7 +102,7 @@ COMMENTARY = {
     "ece_purchase_value": "ECE: scan with score/label projected, one partial-agg shuffle to <= bins cells (bin key scan-side), then a 1-row aggregate over the cells. Rides the existing calibration_bins.",
     "ess_event_value_by_type": "Kish ESS: scan (IsNotNull pushed) -> partial HashAggregate of the three integer moments -> ONE exchange -> per-group 1-row arithmetic. The canonical single-shuffle moments shape.",
     "zipf_slope_docs": "Zipf fit: tokenize-explode scan -> vocabulary partial agg -> TakeOrdered(100) head (per-partition heaps, no full sort) -> rank window + five-moment aggregate on 100 rows -> closed-form solve in a 1-row projection.",
-    "multimodal_dhash_dedup_decode": "Dedup-first decode: md5 fingerprints ride the blob scan; dropDuplicates(fp) partial-aggs map-side so the shuffle carries per-partition-distinct blobs; the Python dHash decode sees only the distinct set; fan-out back is two KEY-sized joins (fp strings + hashes, no payload bytes).",
+    "multimodal_dhash_dedup_decode": "Dedup-first decode: md5 fingerprints ride the blob scan; dropDuplicates(fp) partial-aggs map-side so the shuffle carries per-partition-distinct blobs; the Python dHash decode sees only the distinct set; fan-out back is two KEY-sized joins (fp strings + hashes, no payload bytes). r12: the distinct-representative set is persisted+materialized — its two consumers (decode + fan-back join) each re-ran the full blob scan (3-4 source passes where 2 are inherent; 1.8s -> 1.1s).",
     "sql_grouping_sets": "Identical-ANSI GROUPING SETS through Dataset.view: Catalyst plans the three grains as one Expand + single aggregate exchange — multi-grain rollup in one shuffle, same text DuckDB runs.",
     "sql_running_total": "Identical-ANSI window frame through register_views: partitioned by user_id (hash exchange + in-partition sort), cumulative frame runs per partition — no global window, no extra shuffle.",
     "sql_star_join": "Identical-ANSI star join: the orders fact streams through three BroadcastHashJoins (customer, nation, region all under the broadcast threshold) — zero fact-side shuffle before the (region, nation) partial aggregate; SortMergeJoin absent, plan-asserted.",
