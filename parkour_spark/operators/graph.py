@@ -333,9 +333,18 @@ def cc_delta_update(
         .union(e.select(F.col("__b").alias("__p")))
         .distinct()
     )
-    touched = c.join(
-        F.broadcast(eps), F.col("__n") == F.col("__p")
-    ).select("__n", "__c")
+    # Persisted AND eagerly materialized (r12): `touched` is BATCH-sized
+    # by construction (the batch's endpoints ∩ corpus) but was consumed
+    # three times (the two contraction maps + the new-node anti-join),
+    # each reference re-running the corpus component scan + broadcast
+    # join — the docstring's "2 corpus scans" contract was actually 4
+    # without the cache. The caller owns the blocks (house contract).
+    touched = (
+        c.join(F.broadcast(eps), F.col("__n") == F.col("__p"))
+        .select("__n", "__c")
+        .persist()
+    )
+    touched.count()
     ma = touched.select(
         F.col("__n").alias("__ka"), F.col("__c").alias("__ca")
     )
