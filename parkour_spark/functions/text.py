@@ -179,6 +179,69 @@ def winnow_select(grams: Column, w: int = 8) -> Column:
     )
 
 
+def _winnow_row(g, w: int, positions: bool):
+    """Per-row winnow core over one int64 gram-hash numpy array — ONE
+    copy shared by winnow_pos_arrow and winnow_text_arrow (r13): per
+    window of w grams the min value and the 1-based offset of its FIRST
+    occurrence (np.argmin == array_position-of-first-min), consecutive-
+    deduped by position (selected positions are non-decreasing, so this
+    equals array_distinct's first-occurrence order); the value-only
+    variant restores first-occurrence VALUE order via the return_index
+    sort. Returns (fps, poss) int64 arrays."""
+    import numpy as np
+
+    n = len(g)
+    if n <= w:
+        fps = g.min(keepdims=True)
+        poss = np.asarray([g.argmin() + 1], dtype=np.int64)
+    else:
+        sw = np.lib.stride_tricks.sliding_window_view(g, w)
+        mins = sw.min(axis=1)
+        pos = np.arange(len(mins), dtype=np.int64) + sw.argmin(axis=1) + 1
+        keep = np.empty(len(pos), dtype=bool)
+        keep[0] = True
+        keep[1:] = pos[1:] != pos[:-1]
+        fps, poss = mins[keep], pos[keep]
+    if not positions:
+        _, first = np.unique(fps, return_index=True)
+        fps = fps[np.sort(first)]
+        poss = fps  # unused
+    return fps, poss
+
+
+def _winnow_assemble(ids, per_fp, per_pos, per_null, offsets, positions,
+                     id_col, out):
+    """One output RecordBatch from per-row winnow results — the shared
+    assembly tail of the two arrow winnow paths (r13)."""
+    import numpy as np
+    import pyarrow as pa
+
+    flat_fp = (
+        np.concatenate(per_fp) if per_fp else np.empty(0, dtype=np.int64)
+    )
+    nulls = (
+        np.concatenate(per_null) if per_null else np.empty(0, dtype=bool)
+    )
+    nmask = nulls if nulls.any() else None
+    if positions:
+        flat_pos = (
+            np.concatenate(per_pos)
+            if per_pos
+            else np.empty(0, dtype=np.int64)
+        )
+        values = pa.StructArray.from_arrays(
+            [
+                pa.array(flat_fp, pa.int64(), mask=nmask),
+                pa.array(flat_pos, pa.int64(), mask=nmask),
+            ],
+            ["fp", "pos"],
+        )
+    else:
+        values = pa.array(flat_fp, pa.int64(), mask=nmask)
+    lst = pa.ListArray.from_arrays(pa.array(offsets, pa.int32()), values)
+    return pa.RecordBatch.from_arrays([ids, lst], [id_col, out])
+
+
 def winnow_pos_arrow(df, id_col: str, grams_col: str, w: int = 8,
                      out: str = "__fpp", positions: bool = True):
     """DataFrame-level winnowing over a staged k-gram hash column —
@@ -216,13 +279,16 @@ def winnow_pos_arrow(df, id_col: str, grams_col: str, w: int = 8,
     explode_fast then drops the null element of the values variant
     while the pos variant's null-fielded struct survives, exactly as
     before; pinned in tests)."""
-    import pyarrow as pa
-
     id_type = df.schema[id_col].dataType.simpleString()
     if positions:
         schema = f"{id_col} {id_type}, {out} array<struct<fp: long, pos: long>>"
     else:
         schema = f"{id_col} {id_type}, {out} array<long>"
+    # columns selected BY NAME (r13, ADVICE fix): the batch is read
+    # positionally below, so the input frame must be exactly these two
+    # columns in this order regardless of the caller's layout — and
+    # only these two cross the Python boundary (guide §4.1).
+    sel = df.select(id_col, grams_col)
 
     def fn(it):
         import numpy as np
@@ -232,61 +298,113 @@ def winnow_pos_arrow(df, id_col: str, grams_col: str, w: int = 8,
             gl = batch.column(1)
             per_fp, per_pos, per_null, offsets = [], [], [], [0]
             for row in gl:
-                if not row.is_valid or len(row.values) == 0:
-                    # one null-valued window, matching the expression
+                if (
+                    not row.is_valid
+                    or len(row.values) == 0
+                    or row.values.null_count
+                ):
+                    # one null-valued window, matching the expression —
+                    # incl. the [null] gram array kgram_hashes yields
+                    # for NULL text (r13: the numpy int64 cast was
+                    # silently rendering that null as INT64_MIN;
+                    # array_min over an all-null window is null in the
+                    # expression path, and a null element only arises
+                    # from null input text, where every window is null)
                     per_fp.append(np.zeros(1, dtype=np.int64))
                     per_pos.append(np.zeros(1, dtype=np.int64))
                     per_null.append(np.ones(1, dtype=bool))
                     offsets.append(offsets[-1] + 1)
                     continue
                 g = np.asarray(row.values, dtype=np.int64)
-                n = len(g)
-                if n <= w:
-                    fps = g.min(keepdims=True)
-                    poss = np.asarray([g.argmin() + 1], dtype=np.int64)
-                else:
-                    sw = np.lib.stride_tricks.sliding_window_view(g, w)
-                    mins = sw.min(axis=1)
-                    pos = np.arange(len(mins), dtype=np.int64) + sw.argmin(axis=1) + 1
-                    keep = np.empty(len(pos), dtype=bool)
-                    keep[0] = True
-                    keep[1:] = pos[1:] != pos[:-1]
-                    fps, poss = mins[keep], pos[keep]
-                if not positions:
-                    # distinct VALUES in first-occurrence order
-                    _, first = np.unique(fps, return_index=True)
-                    fps = fps[np.sort(first)]
-                    poss = fps  # unused
+                fps, poss = _winnow_row(g, w, positions)
                 per_fp.append(fps)
                 per_pos.append(poss)
                 per_null.append(np.zeros(len(fps), dtype=bool))
                 offsets.append(offsets[-1] + len(fps))
-            flat_fp = (
-                np.concatenate(per_fp) if per_fp else np.empty(0, dtype=np.int64)
+            yield _winnow_assemble(
+                ids, per_fp, per_pos, per_null, offsets, positions,
+                id_col, out,
             )
-            nulls = (
-                np.concatenate(per_null) if per_null else np.empty(0, dtype=bool)
-            )
-            nmask = nulls if nulls.any() else None
-            if positions:
-                flat_pos = (
-                    np.concatenate(per_pos)
-                    if per_pos
-                    else np.empty(0, dtype=np.int64)
-                )
-                values = pa.StructArray.from_arrays(
-                    [
-                        pa.array(flat_fp, pa.int64(), mask=nmask),
-                        pa.array(flat_pos, pa.int64(), mask=nmask),
-                    ],
-                    ["fp", "pos"],
-                )
-            else:
-                values = pa.array(flat_fp, pa.int64(), mask=nmask)
-            lst = pa.ListArray.from_arrays(pa.array(offsets, pa.int32()), values)
-            yield pa.RecordBatch.from_arrays([ids, lst], [id_col, out])
 
-    return df.mapInArrow(fn, schema)
+    return sel.mapInArrow(fn, schema)
+
+
+def winnow_text_arrow(df, id_col: str, norm_col: str, k: int = 8,
+                      w: int = 8, out: str = "__fpp",
+                      positions: bool = True):
+    """FUSED k-gram md5 hashing + winnowing over the NORMALIZED text
+    column in ONE mapInArrow pass (r13; guide §4.2, and §2.3 "project
+    before the exchange" applied to the Python boundary: the staged
+    form shipped an 8-byte-per-character gram array JVM→Python →JVM;
+    this ships the text once and returns only the selected
+    fingerprints).
+
+    Result-identical to kgram_hashes(norm, k) → winnow_pos_arrow(…):
+    - gram i (1-based) = conv(substr(md5(substr(nt, i, k)), 1, 8), 16,
+      10)::long == int of the first 4 md5 bytes, big-endian, of the
+      UTF-8 encoding of the k-CHARACTER slice. Python str slicing is
+      codepoint-based exactly like Spark's substring, and
+      .encode('utf-8') yields the same bytes Spark's md5(string)
+      digests; ASCII rows (len(utf8) == len(str)) slice the encoded
+      bytes directly — same bytes, one encode.
+    - n_grams = greatest(length(nt) - (k-1), 1): short rows produce ONE
+      gram over the truncated slice (Python slicing truncates the same
+      way); empty strings hash md5("") — a real value, never null.
+    - NULL text reproduces the expression path's single null-valued
+      window element ([{fp:null,pos:null}] / [null]): kgram_hashes(null)
+      is one null gram (greatest(null,1) = 1 window over a null md5)
+      and winnowing it yields exactly the null element the staged
+      winnow_pos_arrow emits for null/empty gram arrays.
+    - The winnow stage is the SAME _winnow_row core winnow_pos_arrow
+      runs — one copy, pinned differentially in tests/test_r13_opt.py."""
+    id_type = df.schema[id_col].dataType.simpleString()
+    if positions:
+        schema = f"{id_col} {id_type}, {out} array<struct<fp: long, pos: long>>"
+    else:
+        schema = f"{id_col} {id_type}, {out} array<long>"
+    sel = df.select(id_col, norm_col)
+
+    def fn(it):
+        from hashlib import md5
+
+        import numpy as np
+
+        for batch in it:
+            ids = batch.column(0)
+            texts = batch.column(1)
+            per_fp, per_pos, per_null, offsets = [], [], [], [0]
+            for row in texts:
+                s = row.as_py()
+                if s is None:
+                    per_fp.append(np.zeros(1, dtype=np.int64))
+                    per_pos.append(np.zeros(1, dtype=np.int64))
+                    per_null.append(np.ones(1, dtype=bool))
+                    offsets.append(offsets[-1] + 1)
+                    continue
+                n = len(s)
+                m = n - (k - 1) if n >= k else 1
+                enc = s.encode("utf-8")
+                if len(enc) == n:  # ASCII: char slices == byte slices
+                    digs = b"".join(
+                        md5(enc[i:i + k]).digest()[:4] for i in range(m)
+                    )
+                else:
+                    digs = b"".join(
+                        md5(s[i:i + k].encode("utf-8")).digest()[:4]
+                        for i in range(m)
+                    )
+                g = np.frombuffer(digs, dtype=">u4").astype(np.int64)
+                fps, poss = _winnow_row(g, w, positions)
+                per_fp.append(fps)
+                per_pos.append(poss)
+                per_null.append(np.zeros(len(fps), dtype=bool))
+                offsets.append(offsets[-1] + len(fps))
+            yield _winnow_assemble(
+                ids, per_fp, per_pos, per_null, offsets, positions,
+                id_col, out,
+            )
+
+    return sel.mapInArrow(fn, schema)
 
 
 def winnow_select_pos(grams: Column, w: int = 8) -> Column:

@@ -1765,19 +1765,17 @@ def q_winnow(spark, sf_dir):
     exploded to (doc_id, fp) — substring-overlap detection becomes an
     equi-join on fp."""
     from parkour_spark.functions.text import (
-        kgram_hashes,
         normalize_text,
-        winnow_pos_arrow,
+        winnow_text_arrow,
     )
     from parkour_spark.operators.sort import widen_scan
 
     docs = widen_scan(_t(spark, sf_dir, "documents"))
     normed = docs.select(F.col("doc_id"), normalize_text("text").alias("__nt"))
-    grams = normed.select(F.col("doc_id"), kgram_hashes("__nt", k=8).alias("__g"))
-    # vectorized winnow (r12): result-identical to winnow_select, ~2×
-    # the best expression form — see winnow_pos_arrow
-    fps = winnow_pos_arrow(grams, "doc_id", "__g", w=8, out="__fps",
-                           positions=False)
+    # fused kgram+winnow (r13): result-identical to kgram_hashes →
+    # winnow_pos_arrow (r12) → winnow_select — see winnow_text_arrow
+    fps = winnow_text_arrow(normed, "doc_id", "__nt", k=8, w=8, out="__fps",
+                            positions=False)
     # explode_outer, NOT explode: plain explode adds a size(arr)>0 filter
     # that predicate-pushdown rewrites below the staged projections,
     # inlining the whole three-stage lambda pipeline into one giant
