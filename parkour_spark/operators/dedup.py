@@ -95,12 +95,18 @@ def minhash_params(num_hashes: int) -> list[tuple[int, int]]:
 
 def minhash_signature(
     df: DataFrame, text_col: str = "text", id_col: str = "doc_id", num_hashes: int = 12,
-    ngram_n: int = 3,
+    ngram_n: int = 3, engine: str = "arrow",
 ) -> DataFrame:
     """(id, sig_0..sig_{k-1}): sig_i = min over shingles of
     (a_i * x + b_i) mod P, x = first 8 md5 hex chars of the shingle.
     Computed entirely scan-side (no shuffle), ONE digest per feature
     instead of num_hashes — the md5 is the dominant cost at scale.
+
+    `engine="arrow"` (default, r13) computes the md5+minhash fold
+    vectorized in a mapInArrow pass — see _minhash_signature_arrow for
+    the value-identity argument; tokenize/shingle stay JVM-side either
+    way. `engine="column"` keeps the pure-Column expression path (the
+    differential-test reference and the plan-assertion surface):
 
     All num_hashes minima are folded in a single `aggregate` pass with an
     array<long> accumulator (not num_hashes separate transform/array_min
@@ -109,6 +115,8 @@ def minhash_signature(
     Each stage lives in its own projection so the expensive array exprs
     are evaluated once per row (CollapseProject refuses to inline
     non-cheap expressions used more than once)."""
+    if engine == "arrow":
+        return _minhash_signature_arrow(df, text_col, id_col, num_hashes, ngram_n)
     params = minhash_params(num_hashes)
     a_arr = F.array(*[F.lit(a) for a, _ in params])  # foldable → hoisted
     b_arr = F.array(*[F.lit(b) for _, b in params])
@@ -141,6 +149,99 @@ def minhash_signature(
         F.col(id_col),
         *[F.col("__sigs")[i].alias(f"sig_{i}") for i in range(num_hashes)],
     )
+
+
+def _minhash_signature_arrow(
+    df: DataFrame, text_col: str, id_col: str, num_hashes: int, ngram_n: int
+) -> DataFrame:
+    """Vectorized MinHash signatures via mapInArrow (r13; guide §4.2 —
+    the signature projection was the LSH family's residual CPU wall:
+    the per-shingle md5 + k modular multiplies ran as JIT/alloc-bound
+    JVM expression eval, profiled at 18s stage executorRunTime vs 5s
+    CPU per sf0.1 run in r12).
+
+    VALUE-IDENTICAL to the Column path (`engine="column"`, the
+    differential-test reference):
+    - tokenize/shingle/array_distinct stay JVM-side (_features_df —
+      shared with the column path, so lower/trim/split semantics
+      cannot diverge by construction);
+    - per shingle: x = first 4 md5 bytes big-endian over the UTF-8
+      string == conv(substr(md5_hex,1,8),16,10)::long; then x mod P.
+      Arrow hands the shingles over as binary — the same UTF-8 bytes
+      Spark's md5(string) digests;
+    - sig_i = min over shingles of (a_i*x + b_i) mod P, computed with
+      the exact Mersenne-prime reduction (P = 2^31-1, so v ≡
+      (v&P)+(v>>31) mod P, applied twice + one conditional subtract —
+      exact for v < 2^62, and a_i,b_i,x < P keeps v < 2^62; ~11×
+      faster than vectorized `%` by skipping the int64 division) and
+      one segmented np.minimum.reduceat per hash;
+    - EMPTY feature arrays yield sig_i = P (the expression aggregate's
+      init), NULL arrays yield null sigs (aggregate over null) — both
+      pinned in tests/test_r13_opt.py.
+
+    Exactly two columns cross the boundary each way (guide §4.1)."""
+    params = minhash_params(num_hashes)
+    a_list = [a for a, _ in params]
+    b_list = [b for _, b in params]
+    k = num_hashes
+    staged = _features_df(df, text_col, id_col, ngram_n, out="__feats")
+    id_type = staged.schema[id_col].dataType.simpleString()
+    schema = f"{id_col} {id_type}, " + ", ".join(
+        f"sig_{i} long" for i in range(k)
+    )
+    names = [id_col] + [f"sig_{i}" for i in range(k)]
+
+    def fn(it):
+        from hashlib import md5
+
+        import numpy as np
+        import pyarrow as pa
+        import pyarrow.compute as pc
+
+        A = np.asarray(a_list, dtype=np.int64)
+        B = np.asarray(b_list, dtype=np.int64)
+        P = MINHASH_P
+        for batch in it:
+            ids = batch.column(0)
+            feats = batch.column(1)
+            n_rows = len(ids)
+            nulls = pc.is_null(feats).to_numpy(zero_copy_only=False)
+            lens = (
+                pc.list_value_length(feats)
+                .fill_null(0)
+                .to_numpy(zero_copy_only=False)
+                .astype(np.int64)
+            )
+            vals = pc.cast(feats.flatten(), pa.binary()).to_pylist()
+            digs = b"".join(md5(v).digest()[:4] for v in vals)
+            xs = np.frombuffer(digs, dtype=">u4").astype(np.int64)
+            xs %= P
+            sigs = np.full((k, n_rows), P, dtype=np.int64)
+            ne = np.flatnonzero(lens > 0)
+            if len(ne):
+                starts = np.zeros(n_rows, dtype=np.int64)
+                np.cumsum(lens[:-1], out=starts[1:])
+                offs = starts[ne]
+                buf = np.empty(len(xs), dtype=np.int64)
+                tmp = np.empty(len(xs), dtype=np.int64)
+                for i in range(k):
+                    np.multiply(xs, A[i], out=buf)
+                    buf += B[i]
+                    np.right_shift(buf, 31, out=tmp)
+                    buf &= P
+                    buf += tmp
+                    np.right_shift(buf, 31, out=tmp)
+                    buf &= P
+                    buf += tmp
+                    buf -= (buf >= P) * P
+                    sigs[i, ne] = np.minimum.reduceat(buf, offs)
+            mask = nulls if nulls.any() else None
+            arrays = [ids] + [
+                pa.array(sigs[i], pa.int64(), mask=mask) for i in range(k)
+            ]
+            yield pa.RecordBatch.from_arrays(arrays, names)
+
+    return staged.mapInArrow(fn, schema)
 
 
 def lsh_bands(sig_df: DataFrame, id_col: str = "doc_id", num_hashes: int = 12, bands: int = 4) -> DataFrame:
@@ -188,28 +289,9 @@ def minhash_candidates(
     b = lsh_bands(
         minhash_signature(df, text_col, id_col, num_hashes, ngram_n), id_col, num_hashes, bands
     )
-    buckets = (
-        b.groupBy("band_key")
-        .agg(F.array_sort(F.collect_set(id_col)).alias("__ids"))
-        .where(F.size("__ids") > 1)
-    )
-    if max_bucket is not None:
-        buckets = buckets.where(F.size("__ids") <= max_bucket)
-    ids = F.col("__ids")
-    pair_expr = F.flatten(
-        F.transform(
-            ids,
-            lambda x, i: F.transform(
-                F.slice(ids, i + 2, F.size(ids)),
-                lambda y: F.struct(x.alias("id_a"), y.alias("id_b")),
-            ),
-        )
-    )
-    return (
-        _explode_fast(buckets, pair_expr, "__p")
-        .select("__p.id_a", "__p.id_b")
-        .distinct()
-    )
+    # the pair explode IS _bucket_pairs (r13: the former inline copy of
+    # its body is deduplicated — one triangular-explode implementation)
+    return _bucket_pairs(b, id_col, max_bucket)
 
 
 def overfull_lsh_buckets(
@@ -426,6 +508,7 @@ def prefix_filter_pairs(
     threshold_num: int = 4,
     threshold_den: int = 5,
     ngram_n: int = 3,
+    engine: str = "arrow",
 ) -> DataFrame:
     """EXACT shingle-set Jaccard ≥ num/den via prefix filtering — the
     SSJoin/PPJoin candidate scheme (Chaudhuri et al., ICDE 2006; Xiao
@@ -470,8 +553,6 @@ def prefix_filter_pairs(
     contract)."""
     if not (0 < threshold_num <= threshold_den):
         raise ValueError("threshold must be a rational in (0, 1]")
-    from pyspark.sql import Window
-
     ts = _feature_sets(df, text_col, id_col, ngram_n).withColumn(
         "__n", F.size("toks")
     )
@@ -481,19 +562,42 @@ def prefix_filter_pairs(
     ceil_tn = F.expr(
         f"({threshold_num} * __n + {threshold_den - 1}) div {threshold_den}"
     )
-    pref = (
+    # Per-doc PREFIX via aggregate top-N instead of the former
+    # row_number window (r13, guide §2.3/§2.4): the window sorted the
+    # ENTIRE per-doc partition (full Sort after its exchange) and kept
+    # every (id, tok, df) row until the rank filter; grouping instead
+    # collects each doc's (df, tok) pairs, sorts the ~|doc| array
+    # locally, and slices the prefix — the Sort operator disappears
+    # from the plan and only prefix tokens survive the aggregation.
+    # Rank identity: (df, tok) is a TOTAL order per doc (tokens are
+    # distinct within a doc), so position in array_sort(collect_list(
+    # struct(df, tok))) == row_number over (ORDER BY df, tok) — pinned
+    # in tests/test_r13_opt.py.
+    grouped = (
         ex.join(dfs, "tok")
-        .withColumn(
-            "__pos",
-            F.row_number().over(Window.partitionBy(id_col).orderBy("__df", "tok")),
+        .groupBy(id_col)
+        .agg(
+            F.max("__n").alias("__n"),  # __n is constant per doc
+            F.array_sort(
+                F.collect_list(F.struct(F.col("__df"), F.col("tok")))
+            ).alias("__dt"),
         )
-        .where(F.col("__pos") <= F.col("__n") - ceil_tn + 1)
-        .select(
+    )
+    pref = _explode_fast(
+        grouped.select(
             F.col(id_col),
-            F.col("tok").alias("band_key"),
             F.col("__n"),
-            F.col("__pos"),
-        )
+            F.slice("__dt", 1, F.col("__n") - ceil_tn + 1).alias("__pfx"),
+        ),
+        "__pfx",
+        "__e",
+        keep=[id_col, "__n"],
+        pos_alias="__i",
+    ).select(
+        F.col(id_col),
+        F.col("__e.tok").alias("band_key"),
+        F.col("__n"),
+        (F.col("__i") + 1).alias("__pos"),
     )
     # Same single-shuffle bucket-pair shape as _bucket_pairs, but each
     # bucket member carries its SET SIZE and PREFIX POSITION so both
@@ -526,41 +630,50 @@ def prefix_filter_pairs(
         )
         .where(F.size("__ms") > 1)
     )
-    ms = F.col("__ms")
-    ts_sum = threshold_num + threshold_den
-    pair_expr = F.flatten(
-        F.transform(
-            ms,
-            lambda x, i: F.filter(
-                F.transform(
-                    F.slice(ms, i + 2, F.size(ms)),
-                    lambda y: F.struct(
-                        x["i"].alias("id_a"),
-                        y["i"].alias("id_b"),
-                        x["n"].alias("n_a"),
-                        y["n"].alias("n_b"),
-                        x["p"].alias("p_a"),
-                        y["p"].alias("p_b"),
+    if engine == "arrow":
+        cand = (
+            _prefix_pairs_arrow(
+                buckets.select("__ms"), threshold_num, threshold_den
+            )
+            .distinct()
+            .persist()
+        )
+    else:
+        ms = F.col("__ms")
+        ts_sum = threshold_num + threshold_den
+        pair_expr = F.flatten(
+            F.transform(
+                ms,
+                lambda x, i: F.filter(
+                    F.transform(
+                        F.slice(ms, i + 2, F.size(ms)),
+                        lambda y: F.struct(
+                            x["i"].alias("id_a"),
+                            y["i"].alias("id_b"),
+                            x["n"].alias("n_a"),
+                            y["n"].alias("n_b"),
+                            x["p"].alias("p_a"),
+                            y["p"].alias("p_b"),
+                        ),
+                    ),
+                    lambda p: (
+                        threshold_den * F.least(p["n_a"], p["n_b"])
+                        >= threshold_num * F.greatest(p["n_a"], p["n_b"])
+                    )
+                    & (
+                        (F.lit(1) + F.least(p["n_a"] - p["p_a"], p["n_b"] - p["p_b"]))
+                        * ts_sum
+                        >= threshold_num * (p["n_a"] + p["n_b"])
                     ),
                 ),
-                lambda p: (
-                    threshold_den * F.least(p["n_a"], p["n_b"])
-                    >= threshold_num * F.greatest(p["n_a"], p["n_b"])
-                )
-                & (
-                    (F.lit(1) + F.least(p["n_a"] - p["p_a"], p["n_b"] - p["p_b"]))
-                    * ts_sum
-                    >= threshold_num * (p["n_a"] + p["n_b"])
-                ),
-            ),
+            )
         )
-    )
-    cand = (
-        _explode_fast(buckets, pair_expr, "__p")
-        .select("__p.id_a", "__p.id_b")
-        .distinct()
-        .persist()
-    )
+        cand = (
+            _explode_fast(buckets, pair_expr, "__p")
+            .select("__p.id_a", "__p.id_b")
+            .distinct()
+            .persist()
+        )
     # Eagerly materialized: verify consumes it three times (see
     # minhash_dedup_pairs).
     cand.count()
@@ -750,10 +863,22 @@ def embedding_band_keys_arrow(
     )
 
 
-def _bucket_pairs(exploded: DataFrame, id_col: str, max_bucket: int | None) -> DataFrame:
+def _bucket_pairs(
+    exploded: DataFrame, id_col: str, max_bucket: int | None,
+    engine: str = "arrow",
+) -> DataFrame:
     """(id, band_key) → distinct candidate pairs (a < b) sharing a
     bucket. ONE shuffle: groupBy(band_key) collects each bucket, pairs
-    explode inside it — never a self-join, never a cartesian."""
+    explode inside it — never a self-join, never a cartesian.
+
+    `engine="arrow"` (default, r13) generates the triangular pairs in
+    a vectorized mapInArrow pass — see _triangle_pairs_arrow for the
+    identity argument. `engine="column"` keeps the pure-Column nested-
+    transform explode (the differential-test reference): its per-
+    element `slice(ids, i+2, size)` copies the array TAIL once per
+    member, so one bucket of size b allocates O(b²) elements of
+    generic-array slices plus a struct per pair — the profiled CPU
+    block the arrow path removes (guide §2 fan-out control, §4.2)."""
     buckets = (
         exploded.groupBy("band_key")
         .agg(F.array_sort(F.collect_set(id_col)).alias("__ids"))
@@ -761,6 +886,8 @@ def _bucket_pairs(exploded: DataFrame, id_col: str, max_bucket: int | None) -> D
     )
     if max_bucket is not None:
         buckets = buckets.where(F.size("__ids") <= max_bucket)
+    if engine == "arrow":
+        return _triangle_pairs_arrow(buckets.select("__ids")).distinct()
     ids = F.col("__ids")
     pair_expr = F.flatten(
         F.transform(
@@ -776,6 +903,176 @@ def _bucket_pairs(exploded: DataFrame, id_col: str, max_bucket: int | None) -> D
         .select("__p.id_a", "__p.id_b")
         .distinct()
     )
+
+
+# Pair-emission flush threshold for the arrow triangular explodes: one
+# output RecordBatch per ~2^20 pairs bounds builder memory even when a
+# single input batch holds many near-cap buckets (cap b=1000 → ~500k
+# pairs per bucket).
+_PAIR_FLUSH = 1 << 20
+
+
+def _triangle_pairs_arrow(bk: DataFrame) -> DataFrame:
+    """Triangular in-bucket pair explode, vectorized (r13, guide §4.2):
+    input is exactly one column — the per-bucket SORTED-distinct id
+    array — and output is (id_a, id_b) rows, id_a < id_b.
+
+    VALUE-IDENTICAL to the nested-transform Column explode
+    (`_bucket_pairs(engine="column")`, the differential reference):
+    both emit {(ids[i], ids[j]) : i < j} per bucket, and the arrays
+    arrive array_sort(collect_set(...))-ed, so i < j ⟺ id_a < id_b —
+    element ORDER inside one bucket's emission is irrelevant because
+    every consumer applies `.distinct()` (a set operation) first.
+    Implementation: per input batch, gather indices = per-bucket
+    np.triu_indices (cached per bucket size) offset by the bucket's
+    start in the flattened values, then ONE pyarrow `take` per side —
+    id values never become Python objects, so string and long ids cost
+    the same. Pinned differentially in tests/test_r13_opt.py."""
+    elem = bk.schema[bk.columns[0]].dataType.elementType.simpleString()
+    schema = f"id_a {elem}, id_b {elem}"
+
+    def fn(it):
+        import numpy as np
+        import pyarrow as pa
+        import pyarrow.compute as pc
+
+        tri: dict[int, tuple] = {}
+
+        def flush(flat, ia_parts, ib_parts):
+            ia = np.concatenate(ia_parts)
+            ib = np.concatenate(ib_parts)
+            return pa.RecordBatch.from_arrays(
+                [
+                    pc.take(flat, pa.array(ia, pa.int64())),
+                    pc.take(flat, pa.array(ib, pa.int64())),
+                ],
+                ["id_a", "id_b"],
+            )
+
+        for batch in it:
+            lst = batch.column(0)
+            flat = lst.flatten()
+            lens = (
+                pc.list_value_length(lst)
+                .to_numpy(zero_copy_only=False)
+                .astype(np.int64)
+            )
+            starts = np.zeros(len(lens), dtype=np.int64)
+            np.cumsum(lens[:-1], out=starts[1:])
+            ia_parts, ib_parts, acc = [], [], 0
+            for j in range(len(lens)):
+                b = int(lens[j])
+                if b < 2:
+                    continue
+                t = tri.get(b)
+                if t is None:
+                    t = tri[b] = np.triu_indices(b, 1)
+                ia_parts.append(t[0] + starts[j])
+                ib_parts.append(t[1] + starts[j])
+                acc += len(t[0])
+                if acc >= _PAIR_FLUSH:
+                    yield flush(flat, ia_parts, ib_parts)
+                    ia_parts, ib_parts, acc = [], [], 0
+            if ia_parts:
+                yield flush(flat, ia_parts, ib_parts)
+
+    return bk.mapInArrow(fn, schema)
+
+
+def _prefix_pairs_arrow(
+    bk: DataFrame, threshold_num: int, threshold_den: int
+) -> DataFrame:
+    """prefix_filter_pairs' triangular pair explode + the two PPJoin
+    prunes, vectorized (r13, guide §4.2) — input is exactly one column,
+    the per-bucket sorted-distinct array of (i: id, n: set size,
+    p: prefix position) member structs; output is the PRUNE-SURVIVING
+    (id_a, id_b) rows, id_a < id_b.
+
+    VALUE-IDENTICAL to the Column explode (`engine="column"`, the
+    differential reference): the pair universe is the same triangular
+    set over the same array_sort(collect_set(...)) arrays (sorted by
+    the leading id field, so i < j ⟺ id_a < id_b), and both prunes are
+    the SAME integer arithmetic —
+      length:     den·min(n_a,n_b) ≥ num·max(n_a,n_b)
+      positional: (1 + min(n_a−p_a, n_b−p_b))·(num+den) ≥ num·(n_a+n_b)
+    — evaluated in int64 (n, p are int32 set sizes/positions; num, den
+    are small ints, so no overflow on either engine). Per-occurrence
+    emission order differs only within a bucket, which the consumer's
+    `.distinct()` erases. Pinned differentially in
+    tests/test_r13_opt.py."""
+    elem = bk.schema[bk.columns[0]].dataType.elementType["i"].dataType
+    elem_s = elem.simpleString()
+    schema = f"id_a {elem_s}, id_b {elem_s}"
+    num = threshold_num
+    den = threshold_den
+
+    def fn(it):
+        import numpy as np
+        import pyarrow as pa
+        import pyarrow.compute as pc
+
+        tri: dict[int, tuple] = {}
+
+        def flush(ivals, ia_parts, ib_parts):
+            ia = np.concatenate(ia_parts)
+            ib = np.concatenate(ib_parts)
+            return pa.RecordBatch.from_arrays(
+                [
+                    pc.take(ivals, pa.array(ia, pa.int64())),
+                    pc.take(ivals, pa.array(ib, pa.int64())),
+                ],
+                ["id_a", "id_b"],
+            )
+
+        for batch in it:
+            lst = batch.column(0)
+            flat = lst.flatten()
+            ivals = flat.field("i")
+            ns = (
+                flat.field("n").to_numpy(zero_copy_only=False)
+                .astype(np.int64)
+            )
+            ps = (
+                flat.field("p").to_numpy(zero_copy_only=False)
+                .astype(np.int64)
+            )
+            lens = (
+                pc.list_value_length(lst)
+                .to_numpy(zero_copy_only=False)
+                .astype(np.int64)
+            )
+            starts = np.zeros(len(lens), dtype=np.int64)
+            np.cumsum(lens[:-1], out=starts[1:])
+            ia_parts, ib_parts, acc = [], [], 0
+            for j in range(len(lens)):
+                b = int(lens[j])
+                if b < 2:
+                    continue
+                t = tri.get(b)
+                if t is None:
+                    t = tri[b] = np.triu_indices(b, 1)
+                ia = t[0] + starts[j]
+                ib = t[1] + starts[j]
+                na, nb = ns[ia], ns[ib]
+                pa_, pb = ps[ia], ps[ib]
+                keep = (
+                    den * np.minimum(na, nb) >= num * np.maximum(na, nb)
+                ) & (
+                    (1 + np.minimum(na - pa_, nb - pb)) * (num + den)
+                    >= num * (na + nb)
+                )
+                if not keep.any():
+                    continue
+                ia_parts.append(ia[keep])
+                ib_parts.append(ib[keep])
+                acc += int(keep.sum())
+                if acc >= _PAIR_FLUSH:
+                    yield flush(ivals, ia_parts, ib_parts)
+                    ia_parts, ib_parts, acc = [], [], 0
+            if ia_parts:
+                yield flush(ivals, ia_parts, ib_parts)
+
+    return bk.mapInArrow(fn, schema)
 
 
 def embedding_block_candidates(
@@ -1124,18 +1421,16 @@ def winnow_overlap_pairs(
     dropped; the remaining buckets explode triangular in-bucket pairs,
     and ONE aggregation counts shared fps per pair."""
     from parkour_spark.functions.text import (
-        kgram_hashes,
         normalize_text,
-        winnow_pos_arrow,
+        winnow_text_arrow,
     )
 
     base = _parallelize_scan(df.select(F.col(id_col), F.col(text_col)))
     normed = base.select(F.col(id_col), normalize_text(text_col).alias("__nt"))
-    grams = normed.select(F.col(id_col), kgram_hashes("__nt", k=k).alias("__g"))
-    # vectorized winnow (r12): result-identical to winnow_select — see
-    # winnow_pos_arrow
-    fps = winnow_pos_arrow(grams, id_col, "__g", w=w, out="__fps",
-                           positions=False)
+    # fused kgram+winnow (r13): result-identical to kgram_hashes →
+    # winnow_pos_arrow → winnow_select — see winnow_text_arrow
+    fps = winnow_text_arrow(normed, id_col, "__nt", k=k, w=w, out="__fps",
+                            positions=False)
     ex = _explode_fast(fps, "__fps", "band_key", keep=[id_col])
     buckets = (
         ex.groupBy("band_key")
@@ -1289,15 +1584,14 @@ def _positioned_occurrences(
     result-identical to the winnow_select_pos expression — see
     winnow_pos_arrow."""
     from parkour_spark.functions.text import (
-        kgram_hashes,
         normalize_text,
-        winnow_pos_arrow,
+        winnow_text_arrow,
     )
 
     base = _parallelize_scan(df.select(F.col(id_col), F.col(text_col)))
     normed = base.select(F.col(id_col), normalize_text(text_col).alias("__nt"))
-    grams = normed.select(F.col(id_col), kgram_hashes("__nt", k=k).alias("__g"))
-    fpp = winnow_pos_arrow(grams, id_col, "__g", w=w, out="__fpp")
+    # fused kgram+winnow (r13) — see winnow_text_arrow
+    fpp = winnow_text_arrow(normed, id_col, "__nt", k=k, w=w, out="__fpp")
     return _explode_fast(fpp, "__fpp", "__o", keep=[id_col]).select(
         F.col(id_col), F.col("__o.fp").alias("fp"), F.col("__o.pos").alias("pos")
     )
