@@ -27,6 +27,8 @@ from __future__ import annotations
 
 from pyspark.sql import DataFrame, Observation, Window, functions as F
 
+from parkour_spark.operators.sort import explode_fast as _explode_fast
+
 
 def _truncate(df: DataFrame, checkpoint: str, eager: bool = True) -> DataFrame:
     """Per-round lineage truncation for the iterative operators — the
@@ -59,6 +61,36 @@ def _truncate(df: DataFrame, checkpoint: str, eager: bool = True) -> DataFrame:
         return df.checkpoint(eager=eager)
     raise ValueError(
         f"checkpoint must be 'local' or 'reliable', got {checkpoint!r}"
+    )
+
+
+def _cc_round(labels: DataFrame, sym: DataFrame) -> DataFrame:
+    """ONE min-propagation round, BEFORE the observe/truncate wrapper
+    (r13: exposed so the committed per-round plan evidence —
+    scripts/gen_round_plans.py → plans/r13/ — is the loop's actual
+    shape, not a transcription; checkpoints truncate lineage, so the
+    full entry plans cannot show the round).
+
+    One union + one aggregation (r12, guide §2.4):
+      next(n) = min(own(n) ∪ {comp(m) : m ∈ Γ(n)})
+    expressed as labels ∪ neighbor-contributions → groupBy(n) min.
+    Result-identical to the former least(own, coalesce(nb_min, own))
+    LEFT-join shape — every node contributes its own labels row, so
+    membership and isolated nodes are preserved — but with no second
+    (labels-keyed) join or broadcast build per round. `__own` tags the
+    self row; min(when(__own)) recovers the previous label so the
+    convergence metric needs no old/new comparison join."""
+    contrib = sym.join(labels, sym.b == labels.n).select(
+        F.col("a").alias("n"), F.col("comp"), F.lit(False).alias("__own")
+    )
+    return (
+        labels.select("n", "comp", F.lit(True).alias("__own"))
+        .unionByName(contrib)
+        .groupBy("n")
+        .agg(
+            F.min("comp").alias("comp"),
+            F.min(F.when(F.col("__own"), F.col("comp"))).alias("__prev"),
+        )
     )
 
 
@@ -97,19 +129,6 @@ def connected_components(
         .persist()
     )
     for _ in range(max_iters):
-        # One round = one union + one aggregation (r12, guide §2.4):
-        #   next(n) = min(own(n) ∪ {comp(m) : m ∈ Γ(n)})
-        # expressed as labels ∪ neighbor-contributions → groupBy(n) min.
-        # This is result-identical to the former least(own,
-        # coalesce(nb_min, own)) LEFT-join shape — every node
-        # contributes its own labels row, so membership and isolated
-        # nodes are preserved — but drops the second (labels-keyed)
-        # join and its broadcast build from every round. `own` tags the
-        # self row; min(when(own)) recovers the previous label so the
-        # convergence metric needs no old/new comparison join.
-        contrib = sym.join(labels, sym.b == labels.n).select(
-            F.col("a").alias("n"), F.col("comp"), F.lit(False).alias("__own")
-        )
         # Convergence = no label moved this round, checked type-
         # generically. The changed-count rides the checkpoint's own
         # materialization as an observed metric (r12 optimization:
@@ -120,13 +139,7 @@ def connected_components(
         # frame where sum is NULL.
         obs = Observation()
         nxt = (
-            labels.select("n", "comp", F.lit(True).alias("__own"))
-            .unionByName(contrib)
-            .groupBy("n")
-            .agg(
-                F.min("comp").alias("comp"),
-                F.min(F.when(F.col("__own"), F.col("comp"))).alias("__prev"),
-            )
+            _cc_round(labels, sym)
             .observe(
                 obs,
                 F.count(
@@ -153,6 +166,57 @@ def connected_components(
         )
     sym.unpersist()
     return labels.select(F.col("n"), F.col("comp").alias("component"))
+
+
+def _bigstar_round(e: DataFrame) -> DataFrame:
+    """ONE large-star + small-star pass over the canonical DISTINCT
+    (child, parent) edge set, BEFORE the observe/truncate wrapper (r13:
+    exposed for the loop AND for scripts/gen_round_plans.py's committed
+    per-round plan evidence — the entry plans cannot show the round
+    shape past the checkpoints).
+
+    Each star phase is ONE neighborhood aggregation (r13, guide
+    §2.3/§2.4): the former groupBy-min + join-back-on-key shape
+    re-shuffled its own input to re-attach the per-key min, and
+    large-star additionally paid a distinct exchange whose only
+    consumer was the small-star dedup. collect_set(b) groups the
+    whole neighborhood once — the min is array_min, the re-point
+    targets come from exploding the same array, and the set semantics
+    subsume the dropped large.distinct() (duplicate (child, parent)
+    emissions collapse in the next groupBy / final distinct). 6
+    exchanges per round → 3. Per-key state is now the neighborhood
+    array (the Kiveris MR formulation's reducer input); degrees here
+    are bounded by the candidate generators' bucket caps, and
+    large-star keeps halving neighborhoods as contraction proceeds."""
+    # large-star over the symmetric view
+    sym = e.union(e.select(F.col("b").alias("a"), F.col("a").alias("b")))
+    lg = sym.groupBy("a").agg(F.collect_set("b").alias("__nb"))
+    large = (
+        _explode_fast(
+            lg.select(
+                "a",
+                F.least(F.col("a"), F.array_min("__nb")).alias("m"),
+                "__nb",
+            ),
+            "__nb",
+            "b",
+            keep=["a", "m"],
+        )
+        .where(F.col("b") > F.col("a"))
+        .select(F.col("b").alias("a"), F.col("m").alias("b"))
+        .where(F.col("a") != F.col("b"))
+    )
+    # small-star over the canonical (child > parent) view
+    sg = large.groupBy("a").agg(F.collect_set("b").alias("__ps"))
+    sg = sg.select("a", F.array_min("__ps").alias("m"), "__ps")
+    return (
+        _explode_fast(sg, "__ps", "b", keep=["a", "m"])
+        .where(F.col("b") != F.col("m"))
+        .select(F.col("b").alias("a"), F.col("m").alias("b"))
+        .union(sg.select("a", F.col("m").alias("b")))
+        .where(F.col("a") != F.col("b"))
+        .distinct()
+    )
 
 
 def connected_components_bigstar(
@@ -207,30 +271,9 @@ def connected_components_bigstar(
     converged = False
     for _ in range(max_iters):
         rounds += 1
-        # large-star over the symmetric view
-        sym = e.union(e.select(F.col("b").alias("a"), F.col("a").alias("b")))
-        mn = (
-            sym.groupBy("a")
-            .agg(F.min("b").alias("mv"))
-            .select("a", F.least("a", "mv").alias("m"))
-        )
-        large = (
-            sym.join(mn, "a")
-            .where(F.col("b") > F.col("a"))
-            .select(F.col("b").alias("a"), F.col("m").alias("b"))
-            .where(F.col("a") != F.col("b"))
-            .distinct()
-        )
-        # small-star over the canonical (child > parent) view
-        mn2 = large.groupBy("a").agg(F.min("b").alias("m"))
-        joined = large.join(mn2, "a")
         obs = Observation()
         small = (
-            joined.where(F.col("b") != F.col("m"))
-            .select(F.col("b").alias("a"), F.col("m").alias("b"))
-            .union(joined.select("a", F.col("m").alias("b")))
-            .where(F.col("a") != F.col("b"))
-            .distinct()
+            _bigstar_round(e)
             .observe(obs, F.count(F.lit(1)).alias("n"))
             .transform(lambda d: _truncate(d, checkpoint))
         )
@@ -390,7 +433,13 @@ def cc_delta_update(
     fresh = nn.join(
         F.broadcast(res), nn.id == F.col("__super")
     ).select(F.col("id").alias("n"), F.col("__new").alias("component"))
-    return untouched.unionByName(updated).unionByName(fresh)
+    out = untouched.unionByName(updated).unionByName(fresh)
+    # Discharge handle (r13, ADVICE fix): the batch-sized `touched`
+    # persist backs the lazily-returned result, so it cannot unpersist
+    # here — it rides on the returned DataFrame as ._parkour_persisted
+    # for callers in long-lived sessions to release once consumed.
+    out._parkour_persisted = [touched]
+    return out
 
 
 def pagerank(
@@ -568,7 +617,16 @@ def kcore(
             e.join(keep.withColumnRenamed("n", "a"), "a", "left_semi")
             .join(keep.withColumnRenamed("n", "b"), "b", "left_semi")
             .select("a", "b")
-            .transform(lambda d: _truncate(d, checkpoint, eager=False))
+            # Lazy marks only under 'local' (the fixed-round LPA
+            # rationale); 'reliable' stays eager per round — non-eager
+            # reliable checkpoints are only marked, so lazy would
+            # collapse per-round fault tolerance into one unprotected
+            # job (r13, the ADVICE LPA fix applied consistently here).
+            .transform(
+                lambda d: _truncate(
+                    d, checkpoint, eager=(checkpoint == "reliable")
+                )
+            )
         )
     deg = (
         e.select(F.col("a").alias("node"))
@@ -577,6 +635,34 @@ def kcore(
         .agg(F.count("*").alias("degree"))
     )
     return deg.where(F.col("degree") >= k)
+
+
+def _lpa_round(labels: DataFrame, sym: DataFrame) -> DataFrame:
+    """ONE synchronous LPA round — (a, __new) per node, BEFORE the
+    truncate wrapper (r13: exposed for the loop and for
+    scripts/gen_round_plans.py's committed per-round plan evidence).
+
+    (count DESC, label ASC) argmax as min(struct(-cnt, lbl)) —
+    result-identical to the former row_number window (struct ordering
+    is field-lexicographic, so min = largest count then smallest
+    label) but partially aggregable: the exchange ships one
+    best-so-far row per (partition, a) instead of every (a, lbl, cnt)
+    row, and the per-partition SORT the window needed disappears (r12
+    optimization, guide §2.3 "aggregate before you shuffle")."""
+    counts = (
+        sym.join(labels, sym.b == labels.n)
+        .groupBy("a", "lbl")
+        .agg(F.count("*").alias("cnt"))
+    )
+    return (
+        counts.groupBy("a")
+        .agg(
+            F.min(
+                F.struct((-F.col("cnt")).alias("nc"), F.col("lbl").alias("l"))
+            ).alias("__m")
+        )
+        .select(F.col("a"), F.col("__m.l").alias("__new"))
+    )
 
 
 def label_propagation(
@@ -636,28 +722,7 @@ def label_propagation(
         .persist()
     )
     for rnd in range(rounds):
-        counts = (
-            sym.join(labels, sym.b == labels.n)
-            .groupBy("a", "lbl")
-            .agg(F.count("*").alias("cnt"))
-        )
-        # (count DESC, label ASC) argmax as min(struct(-cnt, lbl)) —
-        # result-identical to the former row_number window (struct
-        # ordering is field-lexicographic, so min = largest count then
-        # smallest label) but partially aggregable: the exchange ships
-        # one best-so-far row per (partition, a) instead of every
-        # (a, lbl, cnt) row, and the per-partition SORT the window
-        # needed disappears (r12 optimization, guide §2.3 "aggregate
-        # before you shuffle").
-        best = (
-            counts.groupBy("a")
-            .agg(
-                F.min(
-                    F.struct((-F.col("cnt")).alias("nc"), F.col("lbl").alias("l"))
-                ).alias("__m")
-            )
-            .select(F.col("a"), F.col("__m.l").alias("__new"))
-        )
+        best = _lpa_round(labels, sym)
         # `best` IS the next label table (r12): its key set equals the
         # node set (self-loop votes + the one-time endpoint
         # restriction above), so the old labels-keyed LEFT join +
@@ -671,10 +736,19 @@ def label_propagation(
         # round, so they stay eager.) The last round IS eager: sym's
         # cache blocks must outlive every consumer, so the chain
         # materializes before the unpersist below.
+        # Under checkpoint='reliable' EVERY round stays eager (r13,
+        # ADVICE fix): non-eager reliable checkpoints are only marked,
+        # and Spark checkpoints just the final RDD of the job — lazy
+        # marks would silently collapse the documented per-round fault
+        # tolerance into one unprotected rounds-deep job.
         labels = best.select(
             F.col("a").alias("n"), F.col("__new").alias("lbl")
         ).transform(
-            lambda d: _truncate(d, checkpoint, eager=(rnd == rounds - 1))
+            lambda d: _truncate(
+                d,
+                checkpoint,
+                eager=(rnd == rounds - 1 or checkpoint == "reliable"),
+            )
         )
     sym.unpersist()
     return labels.select(F.col("n").alias(node_col), F.col("lbl").alias("label"))
