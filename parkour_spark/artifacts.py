@@ -72,11 +72,77 @@ def write_params(spark: SparkSession, path: str, params: dict) -> None:
 def read_params(spark: SparkSession, path: str) -> dict | None:
     """The stored parameter record, or None if the artifact predates
     the guard (nothing recorded). An unreadable record RAISES — see
-    check_params."""
+    check_params.
+
+    The record is read DRIVER-SIDE with pyarrow when the filesystem is
+    one pyarrow mounts (local/file/hdfs/s3/gs) — r13, guide §5 "the
+    driver should do almost no data work" inverted: this 1-row read IS
+    driver-sized work, and `spark.read.parquet(...).collect()` was
+    spinning a full Spark job (scheduler + scan task + collect) per
+    probe call for it, several times per serving probe across the six
+    index families. Hadoop-connector schemes pyarrow rejects (s3a://,
+    viewfs://, abfs://...) fall back to the Spark read. NO caching at
+    any layer — every call re-reads the bytes (the no-memo rule); this
+    removes job overhead, not work."""
     if not pfs.exists(spark, path):
         return None
-    row = spark.read.parquet(path).collect()[0]
-    return json.loads(row["params"])
+    rec = _read_params_arrow(spark, path)
+    if rec is None:
+        row = spark.read.parquet(path).collect()[0]
+        rec = row["params"]
+    return json.loads(rec)
+
+
+def _read_params_arrow(spark: SparkSession, path: str) -> str | None:
+    """Driver-side read of the 1-row params record; None → caller falls
+    back to the Spark read (unmountable scheme / unexpected layout).
+    A readable-but-empty record still raises like the Spark path would
+    (the guard must not be disabled by corruption)."""
+    rows = read_tiny_rows_arrow(spark, path, columns=["params"])
+    if rows is None:
+        return None
+    if not rows:
+        raise ValueError(f"params record at {path} holds no rows")
+    return rows[0]["params"]
+
+
+def read_tiny_rows_arrow(
+    spark: SparkSession, path: str, columns: list | None = None
+) -> list | None:
+    """Rows (as dicts) of a TINY parquet table, read driver-side with
+    pyarrow — for the 1-row/handful-row control records (params, index
+    stats) whose `spark.read...collect()` was a full Spark job of
+    scheduler overhead per probe call (r13). Returns None when the
+    scheme isn't one pyarrow mounts or the read fails — callers fall
+    back to the Spark read. Every call re-reads the bytes; nothing is
+    cached (the no-memo rule): this removes per-job overhead, not
+    work. Only for bounded-size control tables — data tables keep
+    going through Spark."""
+    from urllib.parse import urlparse
+
+    try:
+        files = [
+            p
+            for p in pfs.glob_paths(spark, os.path.join(path, "*.parquet"))
+            if urlparse(p).scheme in ("", "file", "hdfs", "s3", "gs")
+        ]
+        if not files:
+            return None
+        import pyarrow.parquet as pq
+
+        from parkour_spark.operators.indexcommon import _pa_fs_path
+
+        rows = []
+        for f in sorted(files):
+            fs, p = _pa_fs_path(f)
+            rows.extend(
+                pq.read_table(
+                    fs.open_input_file(p), columns=columns
+                ).to_pylist()
+            )
+        return rows
+    except Exception:
+        return None  # fall back to the Spark read (which may raise)
 
 
 def check_params(

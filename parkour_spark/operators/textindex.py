@@ -160,6 +160,41 @@ def _write_stats(spark, path: str) -> None:
     )
 
 
+def _read_stats(spark, path: str) -> tuple[int, int]:
+    """(n_docs, n_total) from the 1-row stats table — driver-side
+    pyarrow read when the filesystem is mountable (r13: the
+    `spark.read...collect()` here was a full Spark job of scheduler
+    overhead per probe call), Spark-read fallback otherwise. Fresh
+    read per call; nothing cached."""
+    from parkour_spark.artifacts import read_tiny_rows_arrow
+
+    rows = read_tiny_rows_arrow(spark, path + "/stats")
+    if rows is None:
+        rows = [
+            r.asDict()
+            for r in spark.read.parquet(path + "/stats").collect()
+        ]
+    st = rows[0]
+    return int(st["n_docs"]), int(st["n_total"])
+
+
+def _stats_df(spark, path: str) -> DataFrame:
+    """The stats row as a 1-row LOCAL DataFrame (r13) — same values the
+    parquet scan produced, without a file scan inside the probe plan
+    (the read happens driver-side in _read_stats, per call).
+
+    A LocalRelation (createDataFrame), NOT literals: the scoring tail
+    divides n_total/n_docs, and foldable literals would let
+    ConstantFolding evaluate 0/0 at OPTIMIZATION time on a fully
+    emptied index (ANSI DIVIDE_BY_ZERO) — with attribute references,
+    exactly like the parquet scan, the division only runs for rows
+    that actually flow (none, when no posting survives)."""
+    n_docs, n_total = _read_stats(spark, path)
+    return spark.createDataFrame(
+        [(n_docs, n_total)], "n_docs long, n_total long"
+    )
+
+
 def _check_text_meta(spark, path: str, n_buckets: int | None) -> None:
     from parkour_spark.artifacts import check_params
 
@@ -636,7 +671,7 @@ def text_index_probe_bm25(
     # it every idf, derives from the surviving postings only — exactly
     # the survivor build's values (no-op when no delete is pending)
     tf = exclude_tombstoned(spark, path, tf, id_col)
-    totals = spark.read.parquet(path + "/stats")
+    totals = _stats_df(spark, path)
     # the scoring tail is SHARED with corpus.bm25_topk (one copy — the
     # probe ≡ inline identity is gate-pinned and must not drift)
     from parkour_spark.operators.corpus import bm25_score_topk
@@ -825,8 +860,7 @@ def text_index_probe_bm25_maxscore(
         .where(F.col("term").isin(qlist))
         .collect()
     )
-    st = spark.read.parquet(path + "/stats").collect()[0]
-    n_docs, n_total = int(st["n_docs"]), int(st["n_total"])
+    n_docs, n_total = _read_stats(spark, path)
     if n_docs == 0 or not ts_rows:
         return plain("no_matching_terms")
     avgdl = n_total / n_docs
@@ -973,7 +1007,7 @@ def text_index_probe_bm25_multi(
     tf = tf.withColumn("df", F.count("*").over(Window.partitionBy("term")))
     qdf = spark.createDataFrame(qmap, "query_id long, term string")
     rows = tf.join(F.broadcast(qdf), "term")
-    totals = spark.read.parquet(path + "/stats")
+    totals = _stats_df(spark, path)
     return _multi_rank_tail(rows, totals, k, k1, b, id_col)
 
 
@@ -1112,8 +1146,7 @@ def text_index_probe_bm25_multi_maxscore(
         .where(F.col("term").isin(all_terms))
         .collect()
     )
-    st = spark.read.parquet(path + "/stats").collect()[0]
-    n_docs, n_total = int(st["n_docs"]), int(st["n_total"])
+    n_docs, n_total = _read_stats(spark, path)
     if n_docs == 0 or not ts_rows:
         return plain("no_matching_terms")
     avgdl = n_total / n_docs
