@@ -160,6 +160,10 @@ def decode_distinct(
     # payloads ≪ corpus rows, and persist's MEMORY_AND_DISK default
     # spills rather than recomputes if a corpus breaks the premise.
     # The caller owns the blocks (same contract as jaccard_verify).
+    # Discharge handle (r13, ADVICE fix): `reps` is internal, so the
+    # persisted frame rides on the returned DataFrame as
+    # `._parkour_persisted` — long-lived sessions unpersist those (or
+    # spark.catalog.clearCache()) once the result is consumed.
     reps = fp_df.dropDuplicates(["__fp"]).persist()
     reps.count()
     decoded = decode_fn(reps.drop("__fp"))
@@ -167,7 +171,9 @@ def decode_distinct(
         reps.select(F.col(id_col).alias("__rep"), "__fp"), "__rep"
     ).drop("__rep")
     out_cols = [c for c in decoded.columns if c != id_col]
-    return ids.join(by_fp, "__fp").select(id_col, *out_cols)
+    out = ids.join(by_fp, "__fp").select(id_col, *out_cols)
+    out._parkour_persisted = [reps]
+    return out
 
 
 def decode_image_features(df: DataFrame, payload_col: str = "payload") -> DataFrame:
