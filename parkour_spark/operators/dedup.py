@@ -613,24 +613,23 @@ def prefix_filter_pairs(
     # Both prunes are integer arithmetic (α test cross-multiplied by
     # num+den). Measured at sf0.1: 118 826 raw → 43 543 after length
     # → 12 784 after positional (−89% total) before the exact verify.
-    # Struct sort is by the leading id field, so id_a < id_b as in
-    # _bucket_pairs.
-    buckets = (
-        pref.groupBy("band_key")
-        .agg(
-            F.array_sort(
-                F.collect_set(
-                    F.struct(
-                        F.col(id_col).alias("i"),
-                        F.col("__n").alias("n"),
-                        F.col("__pos").alias("p"),
-                    )
-                )
-            ).alias("__ms")
-        )
-        .where(F.size("__ms") > 1)
+    # Struct sort (Column engine only) is by the leading id field, so
+    # id_a < id_b as in _bucket_pairs; the arrow explode takes plain
+    # collect_list buckets and normalizes emitted pairs to
+    # (least, greatest) instead — set-identical, and the wide
+    # aggregation sheds the per-row hash-set insert + per-bucket
+    # struct sort (r13 wave 3, same argument as _bucket_pairs).
+    member = F.struct(
+        F.col(id_col).alias("i"),
+        F.col("__n").alias("n"),
+        F.col("__pos").alias("p"),
     )
     if engine == "arrow":
+        buckets = (
+            pref.groupBy("band_key")
+            .agg(F.collect_list(member).alias("__ms"))
+            .where(F.size("__ms") > 1)
+        )
         cand = (
             _prefix_pairs_arrow(
                 buckets.select("__ms"), threshold_num, threshold_den
@@ -639,6 +638,11 @@ def prefix_filter_pairs(
             .persist()
         )
     else:
+        buckets = (
+            pref.groupBy("band_key")
+            .agg(F.array_sort(F.collect_set(member)).alias("__ms"))
+            .where(F.size("__ms") > 1)
+        )
         ms = F.col("__ms")
         ts_sum = threshold_num + threshold_den
         pair_expr = F.flatten(
@@ -878,7 +882,32 @@ def _bucket_pairs(
     element `slice(ids, i+2, size)` copies the array TAIL once per
     member, so one bucket of size b allocates O(b²) elements of
     generic-array slices plus a struct per pair — the profiled CPU
-    block the arrow path removes (guide §2 fan-out control, §4.2)."""
+    block the arrow path removes (guide §2 fan-out control, §4.2).
+
+    The arrow path's buckets are plain collect_list (r13 wave 3): the
+    per-row hash-set dedup of collect_set and the per-bucket (string)
+    array_sort only served to make in-array index order ⟺ id order for
+    the Column explode's `i < j` emission. The arrow explode instead
+    normalizes each emitted pair to (least, greatest) and drops equal
+    ids, which is set-identical for ANY input multiset:
+    {(min(x,y), max(x,y)) : i < j, ids[i] ≠ ids[j]} over a list with
+    duplicates ≡ the unordered distinct-element pairs of the set —
+    duplicate pairs collapse in the consumers' mandatory `.distinct()`.
+    (Every current caller feeds unique (id, band_key) rows anyway —
+    feature sets are array_distinct, band keys carry the band index —
+    which also keeps the `max_bucket` size test identical across
+    engines; the normalization just removes the proof obligation for
+    the pair SET.) Differentially pinned incl. a duplicate-row corpus
+    in tests/test_r13_opt.py."""
+    if engine == "arrow":
+        buckets = (
+            exploded.groupBy("band_key")
+            .agg(F.collect_list(id_col).alias("__ids"))
+            .where(F.size("__ids") > 1)
+        )
+        if max_bucket is not None:
+            buckets = buckets.where(F.size("__ids") <= max_bucket)
+        return _triangle_pairs_arrow(buckets.select("__ids")).distinct()
     buckets = (
         exploded.groupBy("band_key")
         .agg(F.array_sort(F.collect_set(id_col)).alias("__ids"))
@@ -886,8 +915,6 @@ def _bucket_pairs(
     )
     if max_bucket is not None:
         buckets = buckets.where(F.size("__ids") <= max_bucket)
-    if engine == "arrow":
-        return _triangle_pairs_arrow(buckets.select("__ids")).distinct()
     ids = F.col("__ids")
     pair_expr = F.flatten(
         F.transform(
@@ -917,17 +944,23 @@ def _triangle_pairs_arrow(bk: DataFrame) -> DataFrame:
     input is exactly one column — the per-bucket SORTED-distinct id
     array — and output is (id_a, id_b) rows, id_a < id_b.
 
-    VALUE-IDENTICAL to the nested-transform Column explode
+    SET-IDENTICAL to the nested-transform Column explode
     (`_bucket_pairs(engine="column")`, the differential reference):
-    both emit {(ids[i], ids[j]) : i < j} per bucket, and the arrays
-    arrive array_sort(collect_set(...))-ed, so i < j ⟺ id_a < id_b —
-    element ORDER inside one bucket's emission is irrelevant because
-    every consumer applies `.distinct()` (a set operation) first.
-    Implementation: per input batch, gather indices = per-bucket
-    np.triu_indices (cached per bucket size) offset by the bucket's
-    start in the flattened values, then ONE pyarrow `take` per side —
-    id values never become Python objects, so string and long ids cost
-    the same. Pinned differentially in tests/test_r13_opt.py."""
+    the Column path emits {(ids[i], ids[j]) : i < j} over sorted
+    DEDUPED arrays; this path walks UNSORTED collect_list arrays and
+    normalizes each pair to (least, greatest), dropping equal ids —
+    the same unordered distinct-element pair set (see _bucket_pairs),
+    and element/duplicate ORDER inside one bucket's emission is
+    irrelevant because every consumer applies `.distinct()` (a set
+    operation) first. Dropping collect_set + array_sort removes a
+    per-row hash-set insert and a per-bucket (string-comparison) sort
+    from the wide aggregation (r13 wave 3). Implementation: per input
+    batch, gather indices = per-bucket np.triu_indices (cached per
+    bucket size) offset by the bucket's start in the flattened values,
+    then ONE pyarrow `take` per side and a vectorized less/if_else
+    normalization — id values never become Python objects, so string
+    and long ids cost the same. Pinned differentially in
+    tests/test_r13_opt.py."""
     elem = bk.schema[bk.columns[0]].dataType.elementType.simpleString()
     schema = f"id_a {elem}, id_b {elem}"
 
@@ -941,13 +974,18 @@ def _triangle_pairs_arrow(bk: DataFrame) -> DataFrame:
         def flush(flat, ia_parts, ib_parts):
             ia = np.concatenate(ia_parts)
             ib = np.concatenate(ib_parts)
-            return pa.RecordBatch.from_arrays(
-                [
-                    pc.take(flat, pa.array(ia, pa.int64())),
-                    pc.take(flat, pa.array(ib, pa.int64())),
-                ],
+            va = pc.take(flat, pa.array(ia, pa.int64()))
+            vb = pc.take(flat, pa.array(ib, pa.int64()))
+            # (least, greatest) normalization + equal-id drop: the
+            # arrays are NOT sorted/deduped (collect_list) — see the
+            # set-identity argument in the docstring. collect_list
+            # never emits null elements, so less() is total here.
+            lt = pc.less(va, vb)
+            batch = pa.RecordBatch.from_arrays(
+                [pc.if_else(lt, va, vb), pc.if_else(lt, vb, va)],
                 ["id_a", "id_b"],
             )
+            return batch.filter(pc.not_equal(va, vb))
 
         for batch in it:
             lst = batch.column(0)
@@ -988,11 +1026,15 @@ def _prefix_pairs_arrow(
     p: prefix position) member structs; output is the PRUNE-SURVIVING
     (id_a, id_b) rows, id_a < id_b.
 
-    VALUE-IDENTICAL to the Column explode (`engine="column"`, the
-    differential reference): the pair universe is the same triangular
-    set over the same array_sort(collect_set(...)) arrays (sorted by
-    the leading id field, so i < j ⟺ id_a < id_b), and both prunes are
-    the SAME integer arithmetic —
+    SET-IDENTICAL to the Column explode (`engine="column"`, the
+    differential reference): the pair universe is the triangular set
+    over the SAME members — the Column path sorts/dedupes via
+    array_sort(collect_set(...)) and emits by index order, this path
+    walks plain collect_list arrays and normalizes each emission to
+    (least, greatest) by the id field, dropping equal ids (see
+    _bucket_pairs for the multiset identity) — and both prunes are
+    the SAME integer arithmetic (symmetric under operand swap, so
+    pruning before the swap is sound) —
       length:     den·min(n_a,n_b) ≥ num·max(n_a,n_b)
       positional: (1 + min(n_a−p_a, n_b−p_b))·(num+den) ≥ num·(n_a+n_b)
     — evaluated in int64 (n, p are int32 set sizes/positions; num, den
@@ -1016,13 +1058,16 @@ def _prefix_pairs_arrow(
         def flush(ivals, ia_parts, ib_parts):
             ia = np.concatenate(ia_parts)
             ib = np.concatenate(ib_parts)
-            return pa.RecordBatch.from_arrays(
-                [
-                    pc.take(ivals, pa.array(ia, pa.int64())),
-                    pc.take(ivals, pa.array(ib, pa.int64())),
-                ],
+            va = pc.take(ivals, pa.array(ia, pa.int64()))
+            vb = pc.take(ivals, pa.array(ib, pa.int64()))
+            # (least, greatest) by id + equal-id drop — the members
+            # arrive unsorted (collect_list); see the docstring.
+            lt = pc.less(va, vb)
+            batch = pa.RecordBatch.from_arrays(
+                [pc.if_else(lt, va, vb), pc.if_else(lt, vb, va)],
                 ["id_a", "id_b"],
             )
+            return batch.filter(pc.not_equal(va, vb))
 
         for batch in it:
             lst = batch.column(0)

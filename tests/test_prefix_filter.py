@@ -121,12 +121,13 @@ def test_keep_best_picks_highest_score_not_min_id(spark):
 
 def test_prefix_filter_plan_shape(spark, docs):
     """Plan guards: candidates must come from bucket collection (an
-    aggregate building collect_set buckets), and the plan may contain
-    no nested-loop or cartesian join anywhere — the exactness must not
-    be bought with an all-pairs physical plan. (The printed tree
-    repeats the persisted candidate lineage per consumer, so exchange
-    COUNTS are pinned on the spans/capped siblings whose plans are
-    linear; here we pin the join strategy.)"""
+    aggregate building collect_list buckets — collect_set on the
+    Column engine), and the plan may contain no nested-loop or
+    cartesian join anywhere — the exactness must not be bought with an
+    all-pairs physical plan. (The printed tree repeats the persisted
+    candidate lineage per consumer, so exchange COUNTS are pinned on
+    the spans/capped siblings whose plans are linear; here we pin the
+    join strategy.)"""
     plan = (
         D.prefix_filter_pairs(docs)
         ._jdf.queryExecution()
@@ -135,4 +136,4 @@ def test_prefix_filter_plan_shape(spark, docs):
     )
     assert "BroadcastNestedLoopJoin" not in plan
     assert "CartesianProduct" not in plan
-    assert "collect_set" in plan
+    assert "collect_list" in plan

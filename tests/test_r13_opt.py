@@ -210,9 +210,13 @@ def test_bucket_pairs_arrow_equals_column(spark):
     from parkour_spark.operators.dedup import _bucket_pairs
 
     rng = random.Random(41)
-    rows = [
+    raw = [
         (rng.randint(0, 120), f"b{rng.randint(0, 25)}") for _ in range(600)
     ]
+    # the _bucket_pairs contract: callers feed UNIQUE (id, band_key)
+    # rows (all real callers do by construction) — required for the
+    # max_bucket size test to agree across engines
+    rows = sorted(set(raw))
     df = spark.createDataFrame(rows, "doc_id long, band_key string")
     sdf = spark.createDataFrame(
         [(f"id{a}", k) for a, k in rows], "doc_id string, band_key string"
@@ -232,6 +236,19 @@ def test_bucket_pairs_arrow_equals_column(spark):
                 ).collect()
             }
             assert a == c and all(x < y for x, y in a)
+    # uncapped, WITH duplicate rows: the (least, greatest) + equal-id
+    # drop normalization makes the collect_list explode set-identical
+    # to collect_set's for any input multiset (r13 wave 3)
+    dup = spark.createDataFrame(raw, "doc_id long, band_key string")
+    a = {
+        (r.id_a, r.id_b)
+        for r in _bucket_pairs(dup, "doc_id", None, engine="arrow").collect()
+    }
+    c = {
+        (r.id_a, r.id_b)
+        for r in _bucket_pairs(dup, "doc_id", None, engine="column").collect()
+    }
+    assert a == c and all(x < y for x, y in a)
 
 
 def test_bucket_pairs_arrow_flush_path(spark):
